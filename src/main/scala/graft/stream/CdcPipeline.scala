@@ -1,0 +1,69 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc.Cdc
+import graft.table.TransactionalTable
+
+/**
+ * The streaming ingest pipeline: the reference's job loop
+ * (`src/main/python/spark_sql_merge_into_iceberg.py:73-151`) re-expressed as
+ * `readStream` → `foreachBatch(applyCdcBatch)` with checkpointing.
+ *
+ * Deliberate deviations from the reference, all performance-motivated
+ * (SURVEY §4.3):
+ *  - the batch is persisted once and gated with a single action, instead of
+ *    the reference's triple `count()` recomputation (`job:86,113,128`);
+ *  - no per-batch `SHOW TABLES` + driver collect (`job:91-92`) — table
+ *    existence is established at pipeline start;
+ *  - upserts and deletes apply in one copy-on-write pass (key sets are
+ *    disjoint after W1 dedup, so this equals the reference's
+ *    upsert-then-delete order, O4).
+ */
+object CdcPipeline {
+
+  /** Per-batch kernel: flatten → W1 dedup → route → MERGE. Callable from both
+   *  the stream (`foreachBatch`) and batch replay/tests. */
+  def applyCdcBatch(table: TransactionalTable, envelopes: DataFrame, batchId: Long): Unit = {
+    val deduped = Cdc.latestPerKey(Cdc.flatten(envelopes)).persist()
+    try {
+      if (deduped.limit(1).count() > 0) { // F4: single-pass non-empty gate
+        val ups = Cdc.projectToTable(Cdc.upserts(deduped))
+        val dels = Cdc.deletes(deduped).select(col(Cdc.PrimaryKey))
+        table.merge(ups, dels, batchId)
+      }
+    } finally deduped.unpersist()
+  }
+
+  /** Replay a batch of raw JSON lines (no stream) — used by golden-scenario tests
+   *  and the flagship entry query. */
+  def replayLines(spark: SparkSession, table: TransactionalTable, lines: Seq[String], batchId: Long): Unit = {
+    import spark.implicits._
+    applyCdcBatch(table, Cdc.parse(lines.toDS()), batchId)
+  }
+
+  /**
+   * Start the streaming query over a JSON-lines directory (the local stand-in
+   * for the Kinesis source, `job:73-83`; the envelope schema replaces
+   * `inferSchema=true` for determinism). Checkpointing makes restarts resume
+   * from the last committed offset (T6); `batchId` fencing in the table makes
+   * replayed batches no-ops (T4).
+   */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      table: TransactionalTable,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("100 seconds")): StreamingQuery = {
+    val envelopes = spark.readStream.schema(Cdc.envelopeSchema).json(inputDir)
+    val fn: (Dataset[Row], Long) => Unit =
+      (df, batchId) => applyCdcBatch(table, df.toDF(), batchId)
+    envelopes.writeStream
+      .foreachBatch(fn)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+}

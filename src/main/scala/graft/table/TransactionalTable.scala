@@ -1,0 +1,218 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** One immutable data file tracked by a snapshot manifest. `partition` is the
+ *  value of the table's partition column for every row in the file; `pkMin`/
+ *  `pkMax` enable file skipping during MERGE (the Iceberg-manifest idea,
+ *  reference `spark_sql_merge_into_iceberg.py:51-63` delegates this to Iceberg). */
+final case class DataFile(path: String, partition: Option[String], pkMin: Long, pkMax: Long, rows: Long)
+
+/** A committed table version. `batchId` fences replays (T4): re-committing an
+ *  already-applied streaming batch is a no-op. */
+final case class Snapshot(version: Long, batchId: Long, files: Seq[DataFile]) {
+  def rowCount: Long = files.map(_.rows).sum
+}
+
+/**
+ * TransactionalTable — Iceberg-semantics mutable table over plain Parquet.
+ *
+ * Re-creates what the reference obtains from the Iceberg runtime (ACID MERGE
+ * sink + snapshot versioning, reference `job:51-63,118-136`) natively:
+ *
+ *  - snapshot-versioned manifests (`manifest/v{N}.json`) listing immutable
+ *    Parquet files with per-file partition value and PK min/max stats;
+ *  - commits are an atomic pointer swap (`_current` renamed into place) —
+ *    single-writer, the local stand-in for the reference's DynamoDB commit
+ *    lock (`job:57-58`);
+ *  - MERGE is copy-on-write at file granularity: only files whose PK range
+ *    intersects the batch's keys are rewritten; everything else is carried
+ *    over by reference. At 100 TB this is the difference between rewriting
+ *    a few files and rewriting the table.
+ *  - `batchId` fencing makes streaming replays idempotent (at-least-once
+ *    delivery → effectively-once table state, SURVEY §2.9 T4).
+ *
+ * Data files are self-contained (they include the partition column; the
+ * `_p=value` directory layout is bookkeeping only), so a scan is a plain
+ * multi-file Parquet read with full pushdown/pruning from Catalyst.
+ */
+final class TransactionalTable private (
+    val spark: SparkSession,
+    val root: String,
+    val schema: StructType,
+    val pk: String,
+    val partitionCol: Option[String]) {
+
+  import TransactionalTable._
+
+  private def manifestDir = Paths.get(root, "manifest")
+  private def pointerPath = Paths.get(root, "_current")
+  private def dataDir = Paths.get(root, "data")
+
+  def currentVersion: Long = new String(Files.readAllBytes(pointerPath)).trim.toLong
+
+  def snapshot: Snapshot = snapshotAt(currentVersion)
+
+  def snapshotAt(version: Long): Snapshot = {
+    val node = mapper.readTree(Files.readAllBytes(manifestDir.resolve(s"v$version.json")))
+    val files = node.get("files").elements().asScala.map { f =>
+      DataFile(
+        f.get("path").asText(),
+        if (f.get("partition").isNull) None else Some(f.get("partition").asText()),
+        f.get("pkMin").asLong(), f.get("pkMax").asLong(), f.get("rows").asLong())
+    }.toSeq
+    Snapshot(node.get("version").asLong(), node.get("batchId").asLong(), files)
+  }
+
+  /** Full-table scan of the current snapshot. */
+  def scan(): DataFrame = scanFiles(snapshot.files)
+
+  /** Time travel: scan an older committed version. */
+  def scanAt(version: Long): DataFrame = scanFiles(snapshotAt(version).files)
+
+  /** Partition-pruned scan: only files whose partition value passes `pred` are
+   *  read at all (manifest-level pruning, ahead of Parquet row-group skipping). */
+  def scanPartitions(pred: Option[String] => Boolean): DataFrame =
+    scanFiles(snapshot.files.filter(f => pred(f.partition)))
+
+  private def scanFiles(files: Seq[DataFile]): DataFrame =
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+
+  /** Metadata-only COUNT(*) — answered from manifest stats, no file I/O
+   *  (what Iceberg gives Athena for the reference's `README.md:511-512` query). */
+  def countRows: Long = snapshot.rowCount
+
+  /**
+   * MERGE a micro-batch: `upserts` are full rows (insert-or-update images),
+   * `deleteKeys` needs only the PK column. Copy-on-write limited to files whose
+   * PK range can contain a touched key.
+   */
+  def merge(upserts: DataFrame, deleteKeys: DataFrame, batchId: Long): Unit = synchronized {
+    val snap = snapshot
+    if (batchId <= snap.batchId) return // T4: replayed batch — already committed
+
+    val up = upserts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // Touched-key set. A CDC micro-batch is bounded by the trigger interval and
+    // post-W1 has ≤1 row/key, so collecting keys is driver-safe (cap guarded);
+    // past the cap we degrade to min/max-range pruning only.
+    val keyDf = up.select(col(pk).cast("long")).unionByName(deleteKeys.select(col(pk).cast("long"))).distinct()
+    val keys = keyDf.limit(MaxCollectedKeys + 1).collect().map(_.getLong(0))
+    val affected =
+      if (keys.isEmpty) Seq.empty[DataFile]
+      else if (keys.length > MaxCollectedKeys) {
+        val Array(lo, hi) = keyDf.agg(min(pk), max(pk)).collect().head match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+        snap.files.filter(f => f.pkMax >= lo && f.pkMin <= hi)
+      } else {
+        val sorted = keys.sorted
+        snap.files.filter(f => overlaps(sorted, f.pkMin, f.pkMax))
+      }
+
+    val slice = scanFiles(affected)
+    val merged = Merge(slice, up, deleteKeys.select(col(pk)), pk)
+
+    val newVersion = snap.version + 1
+    val outDir = dataDir.resolve(s"v$newVersion")
+    val newFiles = writeDataFiles(merged, outDir)
+
+    val carried = snap.files.filterNot(affected.toSet)
+    commit(Snapshot(newVersion, batchId, carried ++ newFiles))
+  }
+
+  /** Bulk append (bootstrap / initial load): no key matching, pure add. */
+  def append(rows: DataFrame, batchId: Long = -1L): Unit = synchronized {
+    val snap = snapshot
+    if (batchId >= 0 && batchId <= snap.batchId) return
+    val newVersion = snap.version + 1
+    val newFiles = writeDataFiles(rows.select(schema.fieldNames.map(col).toIndexedSeq: _*),
+      dataDir.resolve(s"v$newVersion"))
+    commit(Snapshot(newVersion, math.max(batchId, snap.batchId), snap.files ++ newFiles))
+  }
+
+  /** Write rows as self-contained Parquet, directory-bucketed by partition value,
+   *  and return their manifest entries (path + partition + PK min/max stats). */
+  private def writeDataFiles(df: DataFrame, outDir: Path): Seq[DataFile] = {
+    if (df.isEmpty) return Seq.empty
+    val writer = partitionCol match {
+      // `_p` duplicates the partition column so the data file keeps the real
+      // column (Hive-style partitionBy would strip it from the file).
+      case Some(p) => df.withColumn("_p", col(p)).write.partitionBy("_p")
+      case None => df.write
+    }
+    writer.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
+    val written = spark.read.schema(schema).parquet(outDir.toString)
+    written
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col(pk).cast("long")).as("mn"), max(col(pk).cast("long")).as("mx"),
+        count(lit(1)).as("n"),
+        partitionCol.map(p => first(col(p)).as("pv")).getOrElse(lit(null).cast("string").as("pv")))
+      .collect()
+      .map(r => DataFile(stripScheme(r.getString(0)), Option(r.getString(4)),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  /** Durably write the manifest, then atomically swap the current pointer. */
+  private def commit(s: Snapshot): Unit = {
+    Files.createDirectories(manifestDir)
+    val filesJson = s.files.map { f =>
+      val o = mapper.createObjectNode()
+      o.put("path", f.path)
+      f.partition match { case Some(p) => o.put("partition", p); case None => o.putNull("partition") }
+      o.put("pkMin", f.pkMin); o.put("pkMax", f.pkMax); o.put("rows", f.rows)
+      o
+    }
+    val node = mapper.createObjectNode()
+    node.put("version", s.version); node.put("batchId", s.batchId)
+    val arr = node.putArray("files"); filesJson.foreach(arr.add)
+    Files.write(manifestDir.resolve(s"v${s.version}.json"), mapper.writeValueAsBytes(node))
+    val tmp = Paths.get(root, s"_current.tmp")
+    Files.write(tmp, s.version.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object TransactionalTable {
+  private[table] val mapper = new ObjectMapper()
+  /** Above this many touched keys per batch we stop collecting the exact key set
+   *  for file pruning and use the batch's [min,max] PK range instead. */
+  val MaxCollectedKeys = 1 << 20
+
+  def create(spark: SparkSession, root: String, schema: StructType, pk: String,
+      partitionCol: Option[String] = None): TransactionalTable = {
+    val t = new TransactionalTable(spark, root, schema, pk, partitionCol)
+    Files.createDirectories(Paths.get(root))
+    t.commit(Snapshot(0L, -1L, Seq.empty))
+    t
+  }
+
+  def load(spark: SparkSession, root: String, schema: StructType, pk: String,
+      partitionCol: Option[String] = None): TransactionalTable =
+    new TransactionalTable(spark, root, schema, pk, partitionCol)
+
+  def exists(root: String): Boolean = Files.exists(Paths.get(root, "_current"))
+
+  /** True if any of the sorted keys falls within [lo, hi] — binary search, O(log n). */
+  private[table] def overlaps(sortedKeys: Array[Long], lo: Long, hi: Long): Boolean = {
+    var a = 0; var b = sortedKeys.length - 1
+    // find first key >= lo
+    var pos = sortedKeys.length
+    while (a <= b) {
+      val m = (a + b) >>> 1
+      if (sortedKeys(m) >= lo) { pos = m; b = m - 1 } else a = m + 1
+    }
+    pos < sortedKeys.length && sortedKeys(pos) <= hi
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+}
