@@ -1,0 +1,74 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Cdc
+import graft.fixtures.CdcFixtures
+import graft.stream.CdcPipeline
+import graft.table.TransactionalTable
+
+/**
+ * The flagship end-to-end queries: replay the reference's two golden CDC
+ * scenarios (`/root/reference/src/utils/gen_fake_cdc_data.py:26-59`) through
+ * the full engine — parse → W1 dedup → MERGE into a snapshot-versioned
+ * TransactionalTable — then query the maintained table. This is the engine-side
+ * equivalent of the reference's manual test procedure (`README.md:386-513`).
+ *
+ * The oracle is the hand-derived end state (FIXTURES.md §A.2) as literal
+ * VALUES — the same 12-row expectation the reference's runbook eyeballs.
+ */
+object ReplayQueries {
+
+  /** Fresh table in a temp dir, scenario1 as batch 0, scenario2 as batch 1. */
+  private def replay(spark: SparkSession): TransactionalTable = {
+    val root = Files.createTempDirectory("graft_replay").toString
+    val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
+      Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario2Lines, batchId = 1)
+    t
+  }
+
+  private def endStateDf(spark: SparkSession): DataFrame =
+    replay(spark).scan()
+      .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+        col("amount"), col("device"),
+        date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+      .orderBy("trans_id")
+
+  private val endStateOracle: String = {
+    val rows = CdcFixtures.expectedEndState.map { case (id, cust, ev, sku, amt, dev, dt) =>
+      s"(CAST($id AS BIGINT), '$cust', '$ev', '$sku', $amt, '$dev', '$dt')"
+    }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $rows
+       |) AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+       |ORDER BY trans_id""".stripMargin
+  }
+
+  private val timeTravelOracle: String = {
+    val ids = Seq(6L, 19L, 21L, 23L, 24L, 27L, 28L, 30L, 33L, 35L)
+    s"SELECT * FROM (VALUES ${ids.map(i => s"(CAST($i AS BIGINT))").mkString(",")}) " +
+      "AS t(trans_id) ORDER BY trans_id"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("cdc_replay_end_state", (s, _) => endStateDf(s), Some(endStateOracle),
+      headline = true),
+
+    // Time travel: the snapshot committed after batch 0 still answers with the
+    // 10 originally-inserted keys (version 1 = post-scenario1 commit).
+    Q("cdc_time_travel_v1",
+      (s, _) => replay(s).scanAt(1).select("trans_id").orderBy("trans_id"),
+      Some(timeTravelOracle)),
+
+    // A2 as metadata-only count: answered from manifest stats, zero file I/O
+    // (what Iceberg gives Athena for `README.md:511-512`).
+    Q("cdc_count_after_replay",
+      (s, _) => { import s.implicits._; Seq(replay(s).countRows).toDF("cnt") },
+      Some("SELECT CAST(12 AS BIGINT) AS cnt")))
+}

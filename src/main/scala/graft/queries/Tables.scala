@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Loaders + S4 temp-view registration for the driver testdata tables
+ * (`/root/testdata/sf{0.001,0.01,0.1}`, schemas in FIXTURES.md §B).
+ *
+ * S4 mirrors the reference's temp-view surface
+ * (`src/main/python/spark_sql_merge_into_iceberg.py:114,129` registers the
+ * micro-batch as a SQL-visible view); here every fixture table is registered so
+ * the X7 analytic SQL runs through `spark.sql` exactly as the reference's
+ * product table is queried through Athena (`README.md:507-513`).
+ */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /**
+   * `events` with `ts` normalized to a microsecond TimestampType. The fixture
+   * stores parquet TIMESTAMP(NANOS), which Spark reads as raw Long nanos under
+   * `spark.sql.legacy.parquet.nanosAsLong=true` (Spark's TimestampType is
+   * microseconds; the fixture values are microsecond-clean, verified).
+   */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** S4: register every fixture table as a temp view (events ts-normalized). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+}
