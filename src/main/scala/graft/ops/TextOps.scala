@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * X4: text-analysis operators for a training-data pipeline, over a DataFrame
+ * with a free-text column (fixture: `documents.text`, FIXTURES.md §B).
+ *
+ * All operators are pure column expressions (whole-stage-codegen'd, no UDFs);
+ * everything distributive runs as narrow projections, aggregations as
+ * partial+final hash aggs — per-doc stats never shuffle, corpus stats shuffle
+ * once on the grouping key. At 100 TB each remains a single scan.
+ */
+object TextOps {
+
+  /** Whitespace tokenizer: non-empty tokens, order-preserving. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles (default 3) — the unit for Jaccard/MinHash near-dup
+   *  (X2). Returns the DISTINCT shingle set per document. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    // Guard: sequence(a, b) descends when b < a, so short docs need an
+    // explicit empty, not an empty-range idiom.
+    val grams = transform(sequence(lit(1), size(t) - n + 1),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+    array_distinct(
+      when(size(t) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Per-document token statistics (exact integer math). */
+  def docStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      array_max(transform(t, x => length(x))).cast("long").as("max_token_len"),
+      aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("long").as("sum_token_len"))
+  }
+
+  /** Corpus term frequencies: top-k terms (count desc, term asc). */
+  def termFrequency(df: DataFrame, textCol: String = "text", k: Int = 20): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("term"))
+      .limit(k)
+
+  /** Stopword-marker sets for the n-gram-free language-ID heuristic. The
+    * fixture's `lang` column is synthetic (all texts share one vocabulary), so
+    * this is a deterministic self-contained classifier, not a fit to labels. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "la", "y", "es"))
+
+  private def markerCount(t: Column, markers: Seq[String]): Column =
+    size(filter(t, x => markers.map(m => x === m).reduce(_ || _)))
+
+  /** Language-ID: argmax of marker-stopword hits, ties broken by the fixed
+    * marker order above, no hits → "und" (undetermined). */
+  def langId(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val counts = LangMarkers.map { case (lang, ms) => lang -> markerCount(t, ms) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    // Nested whens keep the FIRST max in marker order (en > de > fr > es).
+    val predFirstMax = counts.reverse.foldLeft(lit("und"): Column) { case (acc, (lang, c)) =>
+      when(c > 0 && c === best, lit(lang)).otherwise(acc)
+    }
+    df.select(col(idCol) +: counts.map { case (l, c) => c.cast("long").as(s"n_$l") } :+
+      predFirstMax.as("lang_pred"): _*)
+  }
+
+  /** Quality signals: exact integer counts + double ratios computed in a fixed
+    * operation order (bit-reproducible across engines). */
+  def qualityScore(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      stopwords: Seq[String] = Seq("the", "a", "is", "and", "of")): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nStop = markerCount(t, stopwords)
+    val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    df.select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      nStop.cast("long").as("n_stopwords"),
+      (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      (sumLen.cast("double") / nTok.cast("double")).as("avg_token_len"),
+      (nTok >= 5 && nTok <= 10000).as("length_ok"))
+  }
+
+  /**
+   * Document fingerprint: 64-bit content hash (xxhash64 of the full text) plus
+   * a MinHash-style rolling signature — the minimum xxhash64 over the
+   * document's word-3-gram shingles. Equal fingerprints ⇒ near-certain exact
+   * duplicate; equal min-shingle-hash is a 1-band LSH candidate signal.
+   * Spark-only (hash functions are engine-specific → no DuckDB oracle).
+   */
+  def fingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol),
+      xxhash64(col(textCol)).as("content_hash"),
+      array_min(transform(shingles(col(textCol)), s => xxhash64(s))).as("min_shingle_hash"))
+}
