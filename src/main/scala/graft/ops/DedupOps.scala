@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * X1/X2: dedup operators for a training-data pipeline.
+ *
+ *  - exact: hash-groupBy on content (or a fingerprint of it — TextOps).
+ *  - n-gram Jaccard: exact set similarity via an inverted shingle index —
+ *    one shuffle on the shingle, never an all-pairs join.
+ *  - MinHash + banded LSH: signature → band buckets → candidate pairs →
+ *    exact verification. The scale path: pair generation is bounded by
+ *    bucket collisions, not n².
+ *  - SimHash: 64-bit sketch; Hamming-≤3 pairs found via 16-bit chunk
+ *    pigeonhole banding (any pair within distance 3 shares ≥1 of 4 chunks).
+ *
+ * No UDFs: shingling/hashing are higher-order functions + xxhash64.
+ */
+object DedupOps {
+
+  /** (id, shingle) inverted index — shingles are DISTINCT per doc (set
+    * semantics; TextOps.shingles). `maxDocFreq` optionally drops
+    * non-discriminative shingles occurring in more than that many docs — the
+    * skew guard for web-scale corpora (boilerplate shingles otherwise
+    * produce quadratic bucket blowup); leave None for exact oracle parity. */
+  def shingleIndex(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingles(col(textCol), n)).as("sh"))
+    maxDocFreq match {
+      case None => sh
+      case Some(cap) =>
+        val freq = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        sh.join(freq.select("sh"), "sh")
+    }
+  }
+
+  /**
+   * Exact word-n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
+   * kept when ≥ `threshold`. Plan shape: explode → self-equi-join on the
+   * shingle (hash shuffle on shingle) → pair-count agg → two joins against
+   * per-doc set sizes. Division is exact-integer → double, so results match
+   * the SQL oracle bit-for-bit.
+   */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signature: `numPerm` salted-xxhash64 minima over the doc's
+    * shingle set (one column of array<long>). */
+  def minhashSignature(textCol: Column, n: Int = 3, numPerm: Int = 32): Column = {
+    val sh = TextOps.shingles(textCol, n)
+    array((0 until numPerm).map { p =>
+      array_min(transform(sh, s => xxhash64(s, lit(p))))
+    }: _*)
+  }
+
+  /**
+   * Near-duplicate pairs via banded MinHash LSH + exact Jaccard verification.
+   *
+   * Signature of `bands`×`rowsPerBand` minima; candidate pairs share at least
+   * one band hash (join on (band, bandHash) — collisions only, never n²);
+   * candidates are then verified with exact shingle-set intersection, keeping
+   * pairs with true Jaccard ≥ `threshold`. With the default 16×2, a pair at
+   * J=0.5 is caught with p≈0.99, at J=0.8 with p≈1-3e-8.
+   */
+  def minhashLshPairs(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    val withSig = docs.select(col(idCol).as("doc_id"),
+      TextOps.shingles(col(textCol), n).as("shset"),
+      minhashSignature(col(textCol), n, numPerm).as("sig"))
+      .filter(size(col("shset")) > 0)
+
+    val bandHashes = array((0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => get(col("sig"), lit(b * rowsPerBand + r)))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bh"))
+    }: _*)
+    val banded = withSig.select(col("doc_id"), col("shset"),
+        explode(bandHashes).as("x"))
+      .select(col("doc_id"), col("shset"), col("x.band").as("band"), col("x.bh").as("bh"))
+
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.shset").as("sha"), col("b.shset").as("shb"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    val interSize = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    val unionSize = (size(col("sha")) + size(col("shb"))).cast("long") - interSize
+    cands
+      .withColumn("n_common", interSize)
+      .withColumn("jaccard", col("n_common").cast("double") / unionSize.cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ `maxDist` (default 3).
+   * Pigeonhole banding: the 64-bit sketch splits into 4 chunks of 16 bits;
+   * any pair within distance 3 agrees on ≥1 chunk, so candidates come from a
+   * join on (chunk index, chunk value) — never n².
+   */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withHs = docs.select(col(idCol).as("doc_id"),
+      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val withSim = withHs.withColumn("simhash", expr(
+      """aggregate(sequence(0, 63), 0L, (acc, i) ->
+        |  acc + if(size(filter(hs, h -> ((h >> i) & 1) = 1)) * 2 >= size(hs),
+        |           shiftleft(1L, i), 0L))""".stripMargin))
+      .select("doc_id", "simhash")
+
+    val chunked = withSim.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> named_struct('band', c, 'chunk', (simhash >> (c * 16)) & 65535))"
+        )).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.chunk").as("chunk"))
+
+    chunked.as("a").join(chunked.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * X3: similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths, per the 100 TB design brief:
+ *  - [[cosineTopK]] — exact brute force: broadcast the (small) query set,
+ *    one scan of the corpus, per-query top-k. Correctness baseline and the
+ *    DuckDB-oracled surface.
+ *  - [[annTopK]] — LSH-bucketed approximate path: L independent
+ *    random-hyperplane signatures; candidates are corpus vectors sharing any
+ *    signature with the query. At 100 TB this joins on (table, signature) —
+ *    a hash shuffle that co-locates only plausibly-similar vectors — instead
+ *    of scoring queries × corpus.
+ *
+ * All math is element-wise-exact float→double widening, then sequential-fold
+ * dot products (deterministic; bit-identical to DuckDB's list_dot_product).
+ * No UDFs — higher-order functions keep everything in codegen.
+ */
+object SimilarityOps {
+
+  /** Exact float→double widening of an `array<float>` column. */
+  def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Sequential-fold dot product (left-to-right, deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity, computed as dot/(sqrt(dot)·sqrt(dot)) — the same
+    * association order as the oracle SQL so results are bit-equal. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /**
+   * Exact per-query cosine top-k. `queries` must be small (it is broadcast);
+   * the corpus is scanned once. The final top-k is a single shuffle of the
+   * scored pairs on the query id.
+   */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** Deterministic ±1 hyperplanes for one LSH table (fixed seed per table). */
+  private def planes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** nBits-bit random-hyperplane signature of a double vector column. */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
+    planes(dim, nBits, seed).zipWithIndex.map { case (p, i) =>
+      val proj = dot(vec, typedlit(p))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Approximate cosine top-k: candidates share at least one of `tables`
+   * random-hyperplane signatures with the query (LSH OR-construction), then
+   * exact cosine + top-k among candidates only. Recall grows with `tables`,
+   * candidate volume with 2^-nBits; both are knobs per corpus density.
+   */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nBits: Int = 6, tables: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+
+    def withSignatures(df: DataFrame, id: String, v: String): DataFrame = {
+      val sigs = array((0 until tables).map { t =>
+        struct(lit(t).as("table"),
+          hyperplaneSignature(col(v), dim, nBits, seed = 0x5eed0000L + t).as("sig"))
+      }: _*)
+      df.select(col(id), col(v), explode(sigs).as("ts"))
+        .select(col(id), col(v), col("ts.table").as("table"), col("ts.sig").as("sig"))
+    }
+
+    val c = withSignatures(
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")),
+      "neighbor_id", "cv")
+    val q = withSignatures(
+      queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")),
+      "qid", "qv")
+
+    val cands = c.join(broadcast(q), Seq("table", "sig"))
+      .filter(col("qid") =!= col("neighbor_id"))
+      .select("qid", "qv", "neighbor_id", "cv")
+      .dropDuplicates("qid", "neighbor_id") // OR over tables
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("neighbor_id"))
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rnk"))
+  }
+
+  /**
+   * All corpus pairs with cosine above `threshold` (embedding near-dup
+   * detection). Brute force (n² scored pairs) — correct at verification scale;
+   * the 100 TB path generates candidates with [[annTopK]]'s signature join
+   * first and verifies exactly, never materializing all pairs.
+   */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+}

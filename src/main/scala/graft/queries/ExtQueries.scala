@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextOps
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
 
 /**
  * [EXT] LLM-data-pipeline operators (SURVEY.md §2.11, X1–X6) registered as
@@ -14,6 +14,24 @@ object ExtQueries {
   /** DuckDB-side whitespace tokenizer, mirroring TextOps.tokens. */
   private val DuckToks =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
+  /** DuckDB-side exact shingle-Jaccard pairs (mirrors DedupOps.jaccardPairs);
+    * shared by the exact and the LSH-verified near-dup oracles (the LSH path
+    * with 16×2 banding has recall 1 on this corpus — all planted pairs are at
+    * J ≥ 0.8 where the miss probability is ~3e-8; verified at sf0.01). */
+  private def duckJaccardSql(threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |       FROM toks WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -111,5 +129,62 @@ object ExtQueries {
     // (xxhash64) → no SQL oracle; the driver records a rows-only check.
     Q("x4_fingerprint",
       (s, d) => TextOps.fingerprint(Tables.load(s, d, "documents")).orderBy("doc_id"),
-      None))
+      None),
+
+    // X2: exact n-gram Jaccard near-dup pairs via inverted shingle index.
+    Q("x2_jaccard_pairs",
+      (s, d) => DedupOps.jaccardPairs(Tables.load(s, d, "documents"), threshold = 0.5),
+      Some(duckJaccardSql(0.5)),
+      headline = true),
+
+    // X2: MinHash + banded LSH candidates, exact-verified at the same
+    // threshold — same answer as the exact query, found without an
+    // all-pairs-sharing-a-shingle aggregation.
+    Q("x2_minhash_lsh_pairs",
+      (s, d) => DedupOps.minhashLshPairs(Tables.load(s, d, "documents"), threshold = 0.5),
+      Some(duckJaccardSql(0.5))),
+
+    // X2: SimHash Hamming-≤3 pairs (engine-specific hash → rows-only check).
+    Q("x2_simhash_pairs",
+      (s, d) => DedupOps.simhashPairs(Tables.load(s, d, "documents")),
+      None),
+
+    // X3: exact brute-force cosine top-5 for query vectors vec_id < 8.
+    Q("x3_cosine_topk",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        SimilarityOps.cosineTopK(e, e.filter(col("vec_id") < 8), k = 5)
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+             |p AS (SELECT q.qid, e.vec_id,
+             |        list_dot_product(q.qv, e.v) /
+             |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+             |      FROM q, e WHERE e.vec_id <> q.qid)
+             |SELECT qid, vec_id AS neighbor_id, rnk FROM (
+             |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+             |  FROM p) AS t
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+      headline = true),
+
+    // X3: LSH-bucketed approximate top-k (the 100 TB path; approximate →
+    // rows-only check).
+    Q("x3_ann_lsh_topk",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        SimilarityOps.annTopK(e, e.filter(col("vec_id") < 8), k = 5, dim = 64)
+          .orderBy("qid", "rnk")
+      },
+      None),
+
+    // X3: embedding near-dup pairs above cosine 0.4 (brute force; exact).
+    Q("x3_embedding_neardup",
+      (s, d) => SimilarityOps.nearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.4),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |        list_dot_product(a.v, b.v) /
+             |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+             |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, cos FROM p WHERE cos > 0.4 ORDER BY id_a, id_b""".stripMargin)))
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, SimilarityOps}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away slowly"), // near-dup of 1
+    (3L, "completely different words about spark catalyst optimizer internals"),
+    (4L, "another unrelated document mentioning parquet files and shuffles"),
+    (5L, "the quick brown fox jumps over the lazy dog and runs away fast")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("jaccardPairs: finds planted near/exact dups, nothing else") {
+    val got = DedupOps.jaccardPairs(corpus, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    val exact = DedupOps.jaccardPairs(corpus, threshold = 0.999)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(exact.map(r => (r._1, r._2)).toSet === Set((1L, 5L)))
+    assert(exact.head._3 === 1.0)
+  }
+
+  test("minhashLshPairs: agrees with exact jaccardPairs on the planted dups") {
+    val lsh = DedupOps.minhashLshPairs(corpus, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = DedupOps.jaccardPairs(corpus, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(lsh === exact) // verified candidates carry the exact jaccard values
+  }
+
+  test("maxDocFreq skew guard drops ubiquitous shingles") {
+    val idx = DedupOps.shingleIndex(corpus, maxDocFreq = Some(2))
+    // the shared fox-shingles appear in docs 1,2,5 (> 2) and must be gone
+    assert(idx.filter($"sh" === "the quick brown").count() === 0)
+    assert(idx.count() > 0)
+  }
+
+  test("simhashPairs: exact dup at distance 0; near-dup within 3; unrelated absent") {
+    // SimHash bit majorities are only stable for long-enough documents: use
+    // ~100-token docs where a single changed token moves few bit votes.
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val oneOff = ((1 to 99).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val other = (1 to 100).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, oneOff), (3L, other), (5L, base)).toDF("doc_id", "text")
+    val got = DedupOps.simhashPairs(docs)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 5L)) === 0L)
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) <= 3L)
+    assert(!got.keys.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  private val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0L until 40L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("cosineTopK: self-duplicate vector ranks first with cos 1") {
+    val dup = vecs.filter($"vec_id" === 0).select(lit(100L).as("vec_id"), $"embedding")
+    val corpus40 = vecs.unionByName(dup)
+    val top = SimilarityOps.cosineTopK(corpus40, corpus40.filter($"vec_id" === 0), k = 3)
+      .orderBy("rnk").as[(Long, Long, Int)].collect()
+    assert(top.head === ((0L, 100L, 1)))
+  }
+
+  test("annTopK: deterministic, subset of corpus, finds exact duplicates always") {
+    val dup = vecs.filter($"vec_id" === 1).select(lit(101L).as("vec_id"), $"embedding")
+    val corpus41 = vecs.unionByName(dup)
+    val ann = SimilarityOps.annTopK(corpus41, corpus41.filter($"vec_id" === 1), k = 3, dim = 16)
+      .as[(Long, Long, Int)].collect()
+    // identical vector has identical signatures in every table → always a candidate,
+    // and cosine 1 ranks it first
+    assert(ann.head === ((1L, 101L, 1)))
+    val again = SimilarityOps.annTopK(corpus41, corpus41.filter($"vec_id" === 1), k = 3, dim = 16)
+      .as[(Long, Long, Int)].collect()
+    assert(ann.toSeq === again.toSeq)
+  }
+
+  test("nearDupPairs: planted duplicate found at cos ~1") {
+    val dup = vecs.filter($"vec_id" === 2).select(lit(102L).as("vec_id"), $"embedding")
+    val got = SimilarityOps.nearDupPairs(vecs.unionByName(dup), threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((2L, 102L)))
+  }
+}
