@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 
 /**
  * [EXT] LLM-data-pipeline operators (SURVEY.md §2.11, X1–X6) registered as
@@ -186,5 +186,23 @@ object ExtQueries {
              |        list_dot_product(a.v, b.v) /
              |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
              |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-             |SELECT id_a, id_b, cos FROM p WHERE cos > 0.4 ORDER BY id_a, id_b""".stripMargin)))
+             |SELECT id_a, id_b, cos FROM p WHERE cos > 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // X5: multimodal binary column + typed metadata (payload stays opaque;
+    // metadata prunable without reading payload pages).
+    Q("x5_binary_meta",
+      (s, d) => MultimodalOps.fromDocuments(Tables.load(s, d, "documents"))
+        .select(col("media_id"), col("kind"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, 'text' AS kind,
+             |  octet_length(encode(text)) AS n_bytes
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // X5: batched (mapPartitions) stub decode → fixed-shape features.
+    // Decoder is a deterministic fake (no codecs in env) → rows-only check.
+    Q("x5_decode_features",
+      (s, d) => MultimodalOps.documentFeatures(Tables.load(s, d, "documents"))
+        .orderBy("media_id"),
+      None))
 }
