@@ -25,13 +25,24 @@ import graft.table.TransactionalTable
 object CdcPipeline {
 
   /** Per-batch kernel: flatten → W1 dedup → route → MERGE. Callable from both
-   *  the stream (`foreachBatch`) and batch replay/tests. */
+   *  the stream (`foreachBatch`) and batch replay/tests.
+   *
+   *  Rows with a NULL primary key or NULL op (malformed JSON lines parse to
+   *  null structs; DMS control records lack a txn id) are dropped — but
+   *  *observably*: the count is logged per batch, because silent data loss in
+   *  a CDC pipeline is undebuggable. The count costs one pass over the
+   *  already-persisted deduped batch. */
   def applyCdcBatch(table: TransactionalTable, envelopes: DataFrame, batchId: Long): Unit = {
+    val pkCol = col(Cdc.PrimaryKey)
     val deduped = Cdc.latestPerKey(Cdc.flatten(envelopes)).persist()
     try {
-      if (deduped.limit(1).count() > 0) { // F4: single-pass non-empty gate
-        val ups = Cdc.projectToTable(Cdc.upserts(deduped))
-        val dels = Cdc.deletes(deduped).select(col(Cdc.PrimaryKey))
+      val dropped = deduped.filter(pkCol.isNull || col("_op").isNull).count()
+      if (dropped > 0)
+        System.err.println(s"[cdc] batch $batchId: dropped $dropped malformed row(s) (null pk/op)")
+      val valid = deduped.filter(pkCol.isNotNull && col("_op").isNotNull)
+      if (valid.limit(1).count() > 0) { // F4: single-pass non-empty gate
+        val ups = Cdc.projectToTable(Cdc.upserts(valid))
+        val dels = Cdc.deletes(valid).select(pkCol)
         table.merge(ups, dels, batchId)
       }
     } finally deduped.unpersist()

@@ -36,10 +36,15 @@ object Merge {
    * Combined upsert+delete in a single pass over the target. After W1 dedup the
    * key sets are disjoint (≤1 row/key), so this equals the reference's
    * sequential upsert-then-delete MERGEs (O4 ordering) with one fewer scan.
+   *
+   * `broadcastKeys = false` drops the broadcast hint for oversized batches
+   * (e.g. a bulk backfill routed through merge): a multi-GB key set would OOM
+   * the broadcast, and Catalyst/AQE pick a shuffle join correctly there.
    */
-  def apply(target: DataFrame, upserts: DataFrame, deleteKeys: DataFrame, pk: String): DataFrame = {
-    val touched = broadcast(
-      upserts.select(col(pk)).unionByName(deleteKeys.select(col(pk))).distinct())
+  def apply(target: DataFrame, upserts: DataFrame, deleteKeys: DataFrame, pk: String,
+      broadcastKeys: Boolean = true): DataFrame = {
+    val keys = upserts.select(col(pk)).unionByName(deleteKeys.select(col(pk))).distinct()
+    val touched = if (broadcastKeys) broadcast(keys) else keys
     target.join(touched, Seq(pk), "left_anti")
       .unionByName(upserts.select(target.columns.map(col).toIndexedSeq: _*))
   }

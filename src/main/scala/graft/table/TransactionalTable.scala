@@ -98,15 +98,22 @@ final class TransactionalTable private (
     val snap = snapshot
     if (batchId <= snap.batchId) return // T4: replayed batch — already committed
 
+    // Null-PK rows are dropped here by policy (defense in depth — the pipeline
+    // already filters and counts them): a malformed CDC envelope must degrade
+    // to an observable drop, not an NPE that wedges the stream on replay.
     val up = upserts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .filter(col(pk).isNotNull)
     // Touched-key set. A CDC micro-batch is bounded by the trigger interval and
     // post-W1 has ≤1 row/key, so collecting keys is driver-safe (cap guarded);
     // past the cap we degrade to min/max-range pruning only.
-    val keyDf = up.select(col(pk).cast("long")).unionByName(deleteKeys.select(col(pk).cast("long"))).distinct()
+    val keyDf = up.select(col(pk).cast("long"))
+      .unionByName(deleteKeys.select(col(pk).cast("long")))
+      .filter(col(pk).isNotNull).distinct()
     val keys = keyDf.limit(MaxCollectedKeys + 1).collect().map(_.getLong(0))
+    val oversized = keys.length > MaxCollectedKeys
     val affected =
       if (keys.isEmpty) Seq.empty[DataFile]
-      else if (keys.length > MaxCollectedKeys) {
+      else if (oversized) {
         val Array(lo, hi) = keyDf.agg(min(pk), max(pk)).collect().head match {
           case r => Array(r.getLong(0), r.getLong(1))
         }
@@ -117,7 +124,10 @@ final class TransactionalTable private (
       }
 
     val slice = scanFiles(affected)
-    val merged = Merge(slice, up, deleteKeys.select(col(pk)), pk)
+    // A key set past the collect cap is also past sensible broadcast size —
+    // let Catalyst/AQE pick the join strategy there instead.
+    val merged = Merge(slice, up, deleteKeys.select(col(pk)).filter(col(pk).isNotNull),
+      pk, broadcastKeys = !oversized)
 
     val newVersion = snap.version + 1
     val outDir = dataDir.resolve(s"v$newVersion")
@@ -138,9 +148,10 @@ final class TransactionalTable private (
   }
 
   /** Write rows as self-contained Parquet, directory-bucketed by partition value,
-   *  and return their manifest entries (path + partition + PK min/max stats). */
+   *  and return their manifest entries (path + partition + PK min/max stats).
+   *  Single pass: no emptiness pre-check (that would execute the whole merged
+   *  plan twice) — an empty input simply yields an empty file listing. */
   private def writeDataFiles(df: DataFrame, outDir: Path): Seq[DataFile] = {
-    if (df.isEmpty) return Seq.empty
     val writer = partitionCol match {
       // `_p` duplicates the partition column so the data file keeps the real
       // column (Hive-style partitionBy would strip it from the file).
@@ -160,8 +171,42 @@ final class TransactionalTable private (
       .toSeq
   }
 
+  /**
+   * Rewrite small files (bin-packing compaction). A 100 s CDC trigger accretes
+   * ~864 commits/day of small files; without compaction scan fan-out grows
+   * unboundedly (Iceberg ships `rewrite_data_files` for the same reason —
+   * reference `spark_sql_merge_into_iceberg.py:51-63` leans on it implicitly).
+   *
+   * Files with fewer than `minFileRows` rows are rewritten, one output file
+   * per partition value; larger files are carried untouched. Data is
+   * byte-identical, old versions stay time-travelable (their manifests and
+   * files are never deleted), and `batchId` is preserved so replay fencing is
+   * unaffected.
+   */
+  def compact(minFileRows: Long = 1L << 20): Unit = synchronized {
+    val snap = snapshot
+    val small = snap.files.filter(_.rows < minFileRows)
+    val needsWork = small.groupBy(_.partition).exists(_._2.size > 1)
+    if (!needsWork) return
+    val keep = snap.files.filterNot(small.toSet)
+    val packed = partitionCol match {
+      case Some(p) => scanFiles(small).repartition(col(p)) // 1 task → 1 file per value
+      case None => scanFiles(small).coalesce(1)
+    }
+    val newVersion = snap.version + 1
+    val newFiles = writeDataFiles(packed, dataDir.resolve(s"v$newVersion"))
+    commit(Snapshot(newVersion, snap.batchId, keep ++ newFiles))
+  }
+
   /** Durably write the manifest, then atomically swap the current pointer. */
   private def commit(s: Snapshot): Unit = {
+    // Single-writer is the documented contract (the reference's DynamoDB lock
+    // stand-in); these two checks make a violation fail loudly instead of
+    // silently losing a commit: the manifest is CREATE_NEW (second writer of
+    // the same version throws) and the pointer must not have advanced.
+    if (Files.exists(pointerPath) && currentVersion >= s.version && s.version > 0)
+      throw new IllegalStateException(
+        s"concurrent writer detected: version ${s.version} already committed (root=$root)")
     Files.createDirectories(manifestDir)
     val filesJson = s.files.map { f =>
       val o = mapper.createObjectNode()
@@ -173,7 +218,18 @@ final class TransactionalTable private (
     val node = mapper.createObjectNode()
     node.put("version", s.version); node.put("batchId", s.batchId)
     val arr = node.putArray("files"); filesJson.foreach(arr.add)
-    Files.write(manifestDir.resolve(s"v${s.version}.json"), mapper.writeValueAsBytes(node))
+    val mPath = manifestDir.resolve(s"v${s.version}.json")
+    val bytes = mapper.writeValueAsBytes(node)
+    try Files.write(mPath, bytes, StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      if (!Files.exists(pointerPath) || currentVersion < s.version) {
+        // Orphaned manifest from a commit that crashed before the pointer
+        // swap — never visible to readers, safe to replace on retry.
+        Files.delete(mPath)
+        Files.write(mPath, bytes, StandardOpenOption.CREATE_NEW)
+      } else throw new IllegalStateException(
+        s"concurrent writer detected: manifest v${s.version} exists and is committed (root=$root)")
+    }
     val tmp = Paths.get(root, s"_current.tmp")
     Files.write(tmp, s.version.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -213,6 +269,12 @@ object TransactionalTable {
     pos < sortedKeys.length && sortedKeys(pos) <= hi
   }
 
+  /** input_file_name() yields URL-encoded URIs; decode via URI so table roots
+    * containing spaces/%/non-ASCII round-trip (plain prefix-stripping would
+    * store percent-encoded paths the next scan cannot open). */
   private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme == null) p else u.getPath
+    } catch { case _: java.net.URISyntaxException => p }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.cdc.Cdc
+import graft.fixtures.CdcFixtures
+import graft.stream.CdcPipeline
+import graft.table.TransactionalTable
+
+/** T4/T6 under the at-least-once contract: the stream is stopped cold between
+  * batches and must resume from the checkpoint without losing or re-applying
+  * work (SURVEY §2.9). */
+class StreamRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stop between batches → resume from checkpoint: no loss, no duplicate commits") {
+    val work = tmpDir("stream-recovery")
+    val input = s"$work/input"
+    val checkpoint = s"$work/checkpoint"
+    Files.createDirectories(Paths.get(input))
+    val t = TransactionalTable.create(spark, s"$work/table", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+
+    def runOnce(): Unit = {
+      val q = CdcPipeline.start(spark, input, t, checkpoint,
+        trigger = Trigger.ProcessingTime("1 second"))
+      q.processAllAvailable()
+      q.stop() // cold stop — no graceful drain beyond the processed batch
+      q.awaitTermination()
+    }
+
+    CdcFixtures.write(input, "batch1.jsonl", CdcFixtures.scenario1Lines)
+    runOnce()
+    assert(t.countRows === 10)
+    val versionAfter1 = t.currentVersion
+
+    // second file lands while the stream is DOWN; restart must pick it up
+    CdcFixtures.write(input, "batch2.jsonl", CdcFixtures.scenario2Lines)
+    runOnce()
+    assert(t.countRows === 12)
+    val versionAfter2 = t.currentVersion
+    assert(versionAfter2 === versionAfter1 + 1, "exactly one new commit for the new file")
+
+    // third restart with nothing new: checkpoint replay must not re-commit
+    runOnce()
+    assert(t.currentVersion === versionAfter2, "idle restart created a commit")
+    assert(t.countRows === 12)
+
+    val ids = t.scan().select($"trans_id").as[Long].collect().sorted.toSeq
+    assert(ids === CdcFixtures.expectedEndState.map(_._1))
+  }
+}
