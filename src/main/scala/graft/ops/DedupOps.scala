@@ -38,19 +38,35 @@ object DedupOps {
 
   /**
    * Exact word-n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
-   * kept when ≥ `threshold`. Plan shape: explode → self-equi-join on the
-   * shingle (hash shuffle on shingle) → pair-count agg → two joins against
-   * per-doc set sizes. Division is exact-integer → double, so results match
-   * the SQL oracle bit-for-bit.
+   * kept when ≥ `threshold`.
+   *
+   * Plan shape (the scale-correct inverted-index form): explode → ONE hash
+   * shuffle grouping doc-ids per shingle → per-shingle pair expansion
+   * (bounded by df², capped by `maxDocFreq`) → pair-count agg → joins against
+   * per-doc set sizes (small; auto-broadcast). This replaces a shingle
+   * self-join, which scans/shuffles the exploded index twice and recomputes
+   * the shingling three times. Division is exact-integer → double, so results
+   * match the SQL oracle bit-for-bit.
    */
   def jaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingles(col(textCol), n)).as("sh"))
+    val byShingle = exploded.groupBy("sh")
+      .agg(sort_array(collect_list("doc_id")).as("ds"))
+    // Skew guard first (so set sizes below see the same capped index), then
+    // keep only shingles that can produce a pair.
+    val capped = maxDocFreq.fold(byShingle)(cap => byShingle.filter(size(col("ds")) <= cap))
+    val sizes = capped.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // All a<b combinations within one shingle's (sorted) doc list.
+    val combos = flatten(transform(col("ds"), (a, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+        b => struct(a.as("a"), b.as("b")))))
+    val inter = capped.filter(size(col("ds")) > 1)
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     val jac = col("n_common").cast("double") /
       (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double")

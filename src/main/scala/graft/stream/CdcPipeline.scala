@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.cdc.Cdc
@@ -34,13 +34,16 @@ object CdcPipeline {
    *  already-persisted deduped batch. */
   def applyCdcBatch(table: TransactionalTable, envelopes: DataFrame, batchId: Long): Unit = {
     val pkCol = col(Cdc.PrimaryKey)
+    val bad = pkCol.isNull || col("_op").isNull
     val deduped = Cdc.latestPerKey(Cdc.flatten(envelopes)).persist()
     try {
-      val dropped = deduped.filter(pkCol.isNull || col("_op").isNull).count()
+      // F4 gate + malformed-row count in ONE action over the cached batch.
+      val stats = deduped.agg(count(lit(1)).as("n"), count(when(bad, 1)).as("nbad")).head()
+      val (total, dropped) = (stats.getLong(0), stats.getLong(1))
       if (dropped > 0)
         System.err.println(s"[cdc] batch $batchId: dropped $dropped malformed row(s) (null pk/op)")
-      val valid = deduped.filter(pkCol.isNotNull && col("_op").isNotNull)
-      if (valid.limit(1).count() > 0) { // F4: single-pass non-empty gate
+      if (total - dropped > 0) {
+        val valid = deduped.filter(!bad)
         val ups = Cdc.projectToTable(Cdc.upserts(valid))
         val dels = Cdc.deletes(valid).select(pkCol)
         table.merge(ups, dels, batchId)

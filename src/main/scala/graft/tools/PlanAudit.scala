@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Registry
+
+/**
+ * Plan auditor: prints `explain("formatted")` for the headline queries and
+ * greps the physical plan for the properties that matter at 100 TB —
+ * filter/column pushdown into the parquet scan, broadcast joins where a side
+ * is small, and whole-stage codegen coverage. Run:
+ *   sbt "runMain graft.tools.PlanAudit [sfDir]"
+ */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val audited = Seq(
+      "w1_dedup_latest_per_key", "f3_filter_equal", "j1_merge_upsert",
+      "x7_q1_pricing_summary", "x7_q3_top_orders", "x7_q5_revenue_by_nation",
+      "x7_q6_forecast_revenue", "x7_topk_orders_per_customer",
+      "x2_jaccard_pairs", "x3_cosine_topk", "x1_exact_dedup_documents")
+
+    audited.foreach { name =>
+      val df = Registry.byName(name).fn(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      def has(s: String) = plan.contains(s)
+      val marks = Seq(
+        "PushedFilters" -> (has("PushedFilters: [") && !plan.contains("PushedFilters: []")),
+        "BroadcastHashJoin" -> has("BroadcastHashJoin"),
+        "SortMergeJoin" -> has("SortMergeJoin"),
+        "WholeStageCodegen" -> has("WholeStageCodegen"),
+        "CartesianProduct" -> has("CartesianProduct"),
+        "BroadcastNestedLoop" -> has("BroadcastNestedLoopJoin"))
+        .collect { case (k, true) => k }.mkString(", ")
+      println(s"[audit] $name: $marks")
+    }
+
+    // Full formatted plan for the flagship analytic join (visual check).
+    println("\n[audit] ===== x7_q5_revenue_by_nation formatted plan =====")
+    Registry.byName("x7_q5_revenue_by_nation").fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}
