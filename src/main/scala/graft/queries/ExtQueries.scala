@@ -204,5 +204,30 @@ object ExtQueries {
     Q("x5_decode_features",
       (s, d) => MultimodalOps.documentFeatures(Tables.load(s, d, "documents"))
         .orderBy("media_id"),
-      None))
+      None),
+
+    // X4: BPE-ish token counting — letter runs, single digits, single
+    // punctuation (the GPT-2-style pre-tokenizer shape); identical regex
+    // semantics in Java and RE2 for this class-only pattern.
+    Q("x4_bpe_token_count",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          size(expr("""regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)"""))
+            .cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // X6: typed JSON parse via from_json with an explicit schema (the
+    // streaming-safe form — no inference), vs get_json_object's path probe.
+    Q("x6_from_json_typed",
+      (s, d) => Tables.load(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events ORDER BY event_id""".stripMargin)))
 }

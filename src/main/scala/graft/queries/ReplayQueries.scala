@@ -70,5 +70,24 @@ object ReplayQueries {
     // (what Iceberg gives Athena for `README.md:511-512`).
     Q("cdc_count_after_replay",
       (s, _) => { import s.implicits._; Seq(replay(s).countRows).toDF("cnt") },
-      Some("SELECT CAST(12 AS BIGINT) AS cnt")))
+      Some("SELECT CAST(12 AS BIGINT) AS cnt")),
+
+    // S4+X7 over the ENGINE's own table: register the maintained table as a
+    // SQL-visible view and answer an analytic GROUP BY through spark.sql —
+    // the reference's product surface (Athena over the Iceberg table,
+    // `README.md:507-513`). Oracle: hand-derived per-event aggregate of the
+    // golden end state.
+    Q("cdc_sql_over_table",
+      (s, _) => {
+        replay(s).scan().createOrReplaceTempView("retail_trans_iceberg")
+        s.sql("""SELECT event, COUNT(*) AS n, SUM(amount) AS total_amount
+                 FROM retail_trans_iceberg GROUP BY event ORDER BY event""")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('cart', CAST(2 AS BIGINT), CAST(127 AS BIGINT)),
+             |  ('like', CAST(4 AS BIGINT), CAST(88 AS BIGINT)),
+             |  ('list', CAST(3 AS BIGINT), CAST(44 AS BIGINT)),
+             |  ('purchase', CAST(1 AS BIGINT), CAST(5 AS BIGINT)),
+             |  ('visit', CAST(2 AS BIGINT), CAST(40 AS BIGINT))
+             |) AS t(event, n, total_amount) ORDER BY event""".stripMargin)))
 }
