@@ -89,5 +89,23 @@ object ReplayQueries {
              |  ('list', CAST(3 AS BIGINT), CAST(44 AS BIGINT)),
              |  ('purchase', CAST(1 AS BIGINT), CAST(5 AS BIGINT)),
              |  ('visit', CAST(2 AS BIGINT), CAST(40 AS BIGINT))
-             |) AS t(event, n, total_amount) ORDER BY event""".stripMargin)))
+             |) AS t(event, n, total_amount) ORDER BY event""".stripMargin)),
+
+    // Scale-up CDC replay over the events fixture (sf-scalable, full
+    // pipeline). End state = last event per user (ts is monotone in
+    // event_id), deletes drop 'error'-typed users — SQL-expressible, so the
+    // whole streaming MERGE path is driver-oracled, not just the golden 23
+    // envelopes.
+    Q("cdc_events_replay",
+      (s, d) => graft.stream.CdcEventsReplay.endState(s, d),
+      Some("""WITH ranked AS (
+             |  SELECT user_id, event_type, value, ts, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id AS trans_id, CAST(user_id AS VARCHAR) AS customer_id,
+             |  event_type AS event, CAST(floor(value) AS INTEGER) AS amount,
+             |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS trans_dt
+             |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY trans_id""".stripMargin),
+      headline = true))
 }
