@@ -96,5 +96,66 @@ object AnalyticQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     // The reference's own verification query shape (`README.md:511-512`).
-    sqlQ("x7_count_star_lineitem", "SELECT COUNT(*) AS cnt FROM lineitem"))
+    sqlQ("x7_count_star_lineitem", "SELECT COUNT(*) AS cnt FROM lineitem"),
+
+    // ROLLUP grouping sets (explicit NULLS FIRST — Spark and DuckDB default
+    // null ordering differs).
+    sqlQ("x7_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // HAVING over a grouped aggregate.
+    sqlQ("x7_having",
+      """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) >= 3 ORDER BY o_custkey""".stripMargin),
+
+    // IN-subquery (planned as a semi join).
+    sqlQ("x7_in_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Correlated NOT EXISTS (anti join).
+    sqlQ("x7_not_exists",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // UNION ALL across tables.
+    sqlQ("x7_union_all",
+      """SELECT 'order' AS src, o_orderkey AS id FROM orders WHERE o_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT 'line' AS src, l_orderkey AS id FROM lineitem
+        |WHERE l_orderkey % 100 = 0 AND l_linenumber = 1
+        |ORDER BY src, id""".stripMargin),
+
+    // Conditional aggregation.
+    sqlQ("x7_case_agg",
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN l_quantity < 10 THEN 1 END) AS n_small,
+        |  COUNT(CASE WHEN l_quantity >= 10 THEN 1 END) AS n_big
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Gap-based sessionization over events (DataFrame impl in EventOps; the
+    // oracle states the same two-window definition in DuckDB SQL).
+    Q("x7_sessionize",
+      (s, d) => graft.ops.EventOps.sessionize(Tables.events(s, d), gapSeconds = 43200),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 43200000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |s AS (SELECT user_id, us,
+             |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |      FROM g)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  max(us) - min(us) AS duration_us
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+      headline = true))
 }

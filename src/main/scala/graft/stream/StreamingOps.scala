@@ -1,0 +1,72 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open-session state carried across micro-batches (one per user). */
+final case class SessionState(sessionId: Long, startUs: Long, lastUs: Long, n: Long)
+
+/** A closed session emitted downstream. */
+final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
+
+/**
+ * Structured-Streaming operators beyond the CDC pipeline's foreachBatch:
+ * event-time windowed aggregation with a watermark, and arbitrary-state
+ * sessionization via flatMapGroupsWithState — the two canonical stateful
+ * shapes (SURVEY §2.9 notes the reference uses neither; these are the [EXT]
+ * streaming surface).
+ *
+ * Scale posture: both operators shuffle once on their grouping key and keep
+ * state partitioned in the state store; watermarks bound state size for the
+ * windowed agg, and closed sessions leave the state store immediately.
+ */
+object StreamingOps {
+
+  /**
+   * Event-time tumbling-window counts per event_type with a watermark: late
+   * events beyond `lateness` are dropped and window state is reclaimed —
+   * without a watermark an unbounded stream accretes unbounded window state.
+   */
+  def windowedCounts(events: DataFrame, window: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(functions.window(col("ts"), window).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  // functions.window under an alias to avoid the String param overload clash
+  private object functions {
+    def window(c: org.apache.spark.sql.Column, d: String): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.window(c, d)
+  }
+
+  /**
+   * Gap-based sessionization over an unbounded stream of (user_id, ts_us):
+   * the streaming twin of `graft.ops.EventOps.sessionize`. Per-user open
+   * sessions live in the state store; a session closes (and is emitted) when
+   * a later event arrives more than `gapUs` after the session's last event.
+   * Append-mode semantics: only closed sessions are emitted.
+   */
+  def sessionizeStream(events: Dataset[(Long, Long)], gapUs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, it: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+        val sorted = it.map(_._2).toArray.sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var st = state.getOption.orNull
+        sorted.foreach { us =>
+          if (st == null) st = SessionState(0L, us, us, 1L)
+          else if (us - st.lastUs > gapUs) {
+            out += SessionOut(user, st.sessionId, st.n, st.lastUs - st.startUs)
+            st = SessionState(st.sessionId + 1, us, us, 1L)
+          } else st = SessionState(st.sessionId, st.startUs, us, st.n + 1)
+        }
+        if (st != null) state.update(st)
+        out.iterator
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.stream.StreamingOps
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts with watermark over an unbounded source") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.windowedCounts(df, window = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      mem.addData((t(10, 5), "click"), (t(10, 40), "click"), (t(11, 5), "view"))
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .select($"window_start", $"event_type", $"n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got === Set(
+        (t(10, 0), "click", 2L),
+        (t(11, 0), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization across micro-batches (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val hour = 3600L * 1000000L
+    val q = StreamingOps.sessionizeStream(mem.toDS(), gapUs = hour)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 has two close events (open session), user 2 one event
+      mem.addData((1L, 0L), (1L, 60L * 1000000L), (2L, 0L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0, "no session closed yet")
+
+      // batch 2: user 1 jumps 5 hours → first session closes (2 events, 60 s)
+      mem.addData((1L, 5L * hour))
+      q.processAllAvailable()
+      val closed = spark.table("sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(closed === Set((1L, 0L, 2L, 60L * 1000000L)))
+
+      // batch 3: another 5-hour jump closes the singleton second session
+      mem.addData((1L, 10L * hour))
+      q.processAllAvailable()
+      val closed2 = spark.table("sessions").as[(Long, Long, Long, Long)].collect().toSet
+      assert(closed2 === Set(
+        (1L, 0L, 2L, 60L * 1000000L),
+        (1L, 1L, 1L, 0L)))
+    } finally q.stop()
+  }
+}
