@@ -91,6 +91,24 @@ object ReplayQueries {
              |  ('visit', CAST(2 AS BIGINT), CAST(40 AS BIGINT))
              |) AS t(event, n, total_amount) ORDER BY event""".stripMargin)),
 
+    // DSv2 catalog front door: the same maintained table resolved through
+    // `graft.<db>.<table>` SQL identifiers with VERSION AS OF time travel —
+    // the engine's equivalent of the reference's Glue-catalog + Athena path
+    // (`job:53-58`, `README.md:507-513`). Oracle: the 10 keys of snapshot 1.
+    Q("cdc_catalog_time_travel",
+      (s, _) => {
+        val warehouse = Files.createTempDirectory("graft_warehouse").toString
+        s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql("SELECT trans_id FROM graft.db.retail VERSION AS OF 1 ORDER BY trans_id")
+      },
+      Some(timeTravelOracle)),
+
     // Scale-up CDC replay over the events fixture (sf-scalable, full
     // pipeline). End state = last event per user (ts is monotone in
     // event_id), deletes drop 'error'-typed users — SQL-expressible, so the

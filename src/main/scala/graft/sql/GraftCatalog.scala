@@ -1,0 +1,152 @@
+package graft.sql
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.TransactionalTable
+
+/**
+ * DSv2 catalog over TransactionalTable warehouses: the SQL front door the
+ * reference gets from Glue+Iceberg (`spark_sql_merge_into_iceberg.py:53-58`
+ * registers `SparkCatalog`; Athena queries `catalog.db.table`,
+ * `README.md:507-513`). Register with:
+ *
+ *   spark.sql.catalog.graft            = graft.sql.GraftCatalog
+ *   spark.sql.catalog.graft.warehouse  = /path/to/warehouse
+ *
+ * then `SELECT * FROM graft.db.tbl` and `... VERSION AS OF n` (time travel)
+ * resolve through Catalyst. Reads delegate to Spark's internal ParquetTable
+ * over the snapshot's file list — vectorized scans, filter pushdown and
+ * column pruning come for free, and the file list is pinned at resolution
+ * time so queries are snapshot-consistent. Writes must go through the
+ * engine's MERGE/append API (the table is read-only via SQL, like an
+ * Iceberg table without a committing writer) — `INSERT INTO` is rejected.
+ */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      sys.props("java.io.tmpdir") + "/graft-warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(dir)) Array.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => TransactionalTable.exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    TransactionalTable.exists(rootOf(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, None)
+
+  /** `VERSION AS OF n` time travel (Catalyst calls this overload). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.toLong))
+
+  private def loadAt(ident: Identifier, version: Option[Long]): Table = {
+    val root = rootOf(ident)
+    if (!TransactionalTable.exists(root))
+      throw new NoSuchTableException(ident)
+    val t = TransactionalTable.open(spark, root)
+    val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+    new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
+      t.schema, snap.files.map(_.path), spark)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val pk = Option(properties.get("pk")).getOrElse(schema.fieldNames.head)
+    val partCol = partitions.collectFirst {
+      case t if t.name == "identity" => t.references().head.fieldNames().mkString(".")
+    }
+    Files.createDirectories(Paths.get(rootOf(ident)).getParent)
+    TransactionalTable.create(spark, rootOf(ident), schema, pk, partCol)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported; use the engine API")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = Paths.get(rootOf(ident))
+    if (!Files.exists(root)) false
+    else {
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME not supported")
+
+  // SupportsNamespaces (flat, directory-backed)
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = Paths.get(warehouse)
+    if (!Files.isDirectory(dir)) Array.empty
+    else Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(Paths.get((warehouse +: namespace.toSeq).mkString("/")))
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException((name() +: namespace).toSeq)
+    Map.empty[String, String].asJava
+  }
+  override def createNamespace(namespace: Array[String], metadata: JMap[String, String]): Unit =
+    Files.createDirectories(Paths.get((warehouse +: namespace.toSeq).mkString("/")))
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException
+}
+
+/**
+ * Read-only DSv2 table over a pinned snapshot file list. Scans delegate to
+ * Spark's ParquetTable (vectorized reader, pushdown, pruning); the explicit
+ * schema avoids footer inference and keeps empty tables queryable.
+ */
+private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
+    files: Seq[String], spark: SparkSession)
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  private lazy val delegate = ParquetTable(tableName, spark,
+    CaseInsensitiveStringMap.empty(), files, Some(tableSchema),
+    classOf[ParquetFileFormat])
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+}

@@ -247,6 +247,17 @@ object TransactionalTable {
       partitionCol: Option[String] = None): TransactionalTable = {
     val t = new TransactionalTable(spark, root, schema, pk, partitionCol)
     Files.createDirectories(Paths.get(root))
+    // Self-describing table: persist schema/pk/partitioning so catalogs
+    // (graft.sql.GraftCatalog) and tools can open the table from its path
+    // alone (what Iceberg keeps in table metadata files).
+    val meta = mapper.createObjectNode()
+    meta.put("schemaJson", schema.json)
+    meta.put("pk", pk)
+    partitionCol match {
+      case Some(p) => meta.put("partitionCol", p)
+      case None => meta.putNull("partitionCol")
+    }
+    Files.write(Paths.get(root, "_table.json"), mapper.writeValueAsBytes(meta))
     t.commit(Snapshot(0L, -1L, Seq.empty))
     t
   }
@@ -254,6 +265,16 @@ object TransactionalTable {
   def load(spark: SparkSession, root: String, schema: StructType, pk: String,
       partitionCol: Option[String] = None): TransactionalTable =
     new TransactionalTable(spark, root, schema, pk, partitionCol)
+
+  /** Open a table from its path alone, using the persisted `_table.json`. */
+  def open(spark: SparkSession, root: String): TransactionalTable = {
+    val meta = mapper.readTree(Files.readAllBytes(Paths.get(root, "_table.json")))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+      meta.get("schemaJson").asText()).asInstanceOf[StructType]
+    val part = if (meta.get("partitionCol").isNull) None
+      else Some(meta.get("partitionCol").asText())
+    new TransactionalTable(spark, root, schema, meta.get("pk").asText(), part)
+  }
 
   def exists(root: String): Boolean = Files.exists(Paths.get(root, "_current"))
 

@@ -1,0 +1,64 @@
+package graft
+
+import graft.cdc.Cdc
+import graft.fixtures.CdcFixtures
+import graft.stream.CdcPipeline
+import graft.table.TransactionalTable
+
+/** DSv2 catalog: SQL front door over TransactionalTable (SELECT, COUNT,
+  * VERSION AS OF time travel, SHOW TABLES), snapshot-consistent reads. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = {
+    val w = tmpDir("graft-warehouse")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    val root = s"$w/db/retail"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
+      Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario2Lines, batchId = 1)
+    w
+  }
+
+  test("SELECT through the catalog matches the golden end state") {
+    warehouse
+    val ids = spark.sql("SELECT trans_id FROM graft.db.retail ORDER BY trans_id")
+      .as[Long].collect().toSeq
+    assert(ids === CdcFixtures.expectedEndState.map(_._1))
+    val cnt = spark.sql("SELECT COUNT(*) AS c FROM graft.db.retail").as[Long].head()
+    assert(cnt === 12L)
+  }
+
+  test("VERSION AS OF time travel through SQL") {
+    warehouse
+    val v1 = spark.sql("SELECT trans_id FROM graft.db.retail VERSION AS OF 1 ORDER BY trans_id")
+      .as[Long].collect().toSeq
+    assert(v1 === Seq(6L, 19L, 21L, 23L, 24L, 27L, 28L, 30L, 33L, 35L))
+  }
+
+  test("filter pushdown reaches the parquet scan via the catalog") {
+    warehouse
+    val df = spark.sql("SELECT trans_id FROM graft.db.retail WHERE event = 'cart'")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("cart"),
+      s"expected pushed filter in:\n$plan")
+    assert(df.as[Long].collect().sorted.toSeq === Seq(21L, 30L))
+  }
+
+  test("SHOW TABLES and INSERT rejection") {
+    warehouse
+    val tables = spark.sql("SHOW TABLES IN graft.db").select("tableName")
+      .as[String].collect().toSeq
+    assert(tables === Seq("retail"))
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.retail VALUES (99, 'c', 'cart', 'S', 1, 'pc', NULL)")
+    }
+    assert(e.getMessage.toLowerCase.contains("does not support") ||
+      e.getMessage.toLowerCase.contains("unsupported") ||
+      e.getMessage.toLowerCase.contains("batch_write") ||
+      e.getMessage.toLowerCase.contains("write"), e.getMessage)
+  }
+}
