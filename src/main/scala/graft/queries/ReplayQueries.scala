@@ -91,21 +91,53 @@ object ReplayQueries {
              |  ('visit', CAST(2 AS BIGINT), CAST(40 AS BIGINT))
              |) AS t(event, n, total_amount) ORDER BY event""".stripMargin)),
 
+    // SQL MERGE INTO (the reference's verbatim hot-path statements,
+    // `spark_sql_merge_into_iceberg.py:118-122,133-136`) applied through the
+    // GraftExtensions rule/strategy: scenario1 via the pipeline, then
+    // scenario2's upserts and deletes via two MERGE INTO statements in the
+    // reference's order. Oracle: the same golden 12-row end state.
+    Q("cdc_sql_merge_into",
+      (s, _) => {
+        // Catalog instances are cached by name per session — a unique name
+        // per invocation guarantees a fresh warehouse binding.
+        val cat = s"graft_m${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_m").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        import s.implicits._
+        val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(CdcFixtures.scenario2Lines.toDS())))
+        Cdc.projectToTable(Cdc.upserts(deduped)).createOrReplaceTempView("cdc_upserts")
+        Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)).createOrReplaceTempView("cdc_deletes")
+        s.sql(s"""MERGE INTO $cat.db.retail t USING cdc_upserts s ON t.trans_id = s.trans_id
+                  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"""MERGE INTO $cat.db.retail t USING cdc_deletes s ON t.trans_id = s.trans_id
+                  WHEN MATCHED THEN DELETE""")
+        s.sql(s"SELECT trans_id, customer_id, event, sku, amount, device, " +
+          "date_format(trans_datetime, 'yyyy-MM-dd HH:mm:ss') AS trans_datetime " +
+          s"FROM $cat.db.retail ORDER BY trans_id")
+      },
+      Some(endStateOracle)),
+
     // DSv2 catalog front door: the same maintained table resolved through
     // `graft.<db>.<table>` SQL identifiers with VERSION AS OF time travel —
     // the engine's equivalent of the reference's Glue-catalog + Athena path
     // (`job:53-58`, `README.md:507-513`). Oracle: the 10 keys of snapshot 1.
     Q("cdc_catalog_time_travel",
       (s, _) => {
+        val cat = s"graft_t${System.nanoTime()}" // unique: catalogs cache by name
         val warehouse = Files.createTempDirectory("graft_warehouse").toString
-        s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
         Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
         val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
           Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
         CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
         CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
-        s.sql("SELECT trans_id FROM graft.db.retail VERSION AS OF 1 ORDER BY trans_id")
+        s.sql(s"SELECT trans_id FROM $cat.db.retail VERSION AS OF 1 ORDER BY trans_id")
       },
       Some(timeTravelOracle)),
 

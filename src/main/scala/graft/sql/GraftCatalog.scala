@@ -78,7 +78,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val t = TransactionalTable.open(spark, root)
     val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      t.schema, snap.files.map(_.path), spark)
+      t.schema, snap.files.map(_.path), spark, root, version)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -136,7 +136,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
  * schema avoids footer inference and keeps empty tables queryable.
  */
 private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
-    files: Seq[String], spark: SparkSession)
+    files: Seq[String], spark: SparkSession,
+    /** table root on disk — lets GraftMergeRule route SQL MERGE INTO back to
+      * the engine's transactional merge */
+    val root: String,
+    /** Some(v) when resolved via VERSION AS OF — such relations are read-only
+      * even for MERGE */
+    val pinnedVersion: Option[Long])
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   private lazy val delegate = ParquetTable(tableName, spark,

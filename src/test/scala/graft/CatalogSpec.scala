@@ -12,8 +12,8 @@ class CatalogSpec extends SparkSpec {
 
   private lazy val warehouse = {
     val w = tmpDir("graft-warehouse")
-    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    spark.conf.set("spark.sql.catalog.graft_cs", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cs.warehouse", w)
     val root = s"$w/db/retail"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
     val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
@@ -25,23 +25,23 @@ class CatalogSpec extends SparkSpec {
 
   test("SELECT through the catalog matches the golden end state") {
     warehouse
-    val ids = spark.sql("SELECT trans_id FROM graft.db.retail ORDER BY trans_id")
+    val ids = spark.sql("SELECT trans_id FROM graft_cs.db.retail ORDER BY trans_id")
       .as[Long].collect().toSeq
     assert(ids === CdcFixtures.expectedEndState.map(_._1))
-    val cnt = spark.sql("SELECT COUNT(*) AS c FROM graft.db.retail").as[Long].head()
+    val cnt = spark.sql("SELECT COUNT(*) AS c FROM graft_cs.db.retail").as[Long].head()
     assert(cnt === 12L)
   }
 
   test("VERSION AS OF time travel through SQL") {
     warehouse
-    val v1 = spark.sql("SELECT trans_id FROM graft.db.retail VERSION AS OF 1 ORDER BY trans_id")
+    val v1 = spark.sql("SELECT trans_id FROM graft_cs.db.retail VERSION AS OF 1 ORDER BY trans_id")
       .as[Long].collect().toSeq
     assert(v1 === Seq(6L, 19L, 21L, 23L, 24L, 27L, 28L, 30L, 33L, 35L))
   }
 
   test("filter pushdown reaches the parquet scan via the catalog") {
     warehouse
-    val df = spark.sql("SELECT trans_id FROM graft.db.retail WHERE event = 'cart'")
+    val df = spark.sql("SELECT trans_id FROM graft_cs.db.retail WHERE event = 'cart'")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("cart"),
       s"expected pushed filter in:\n$plan")
@@ -50,11 +50,11 @@ class CatalogSpec extends SparkSpec {
 
   test("SHOW TABLES and INSERT rejection") {
     warehouse
-    val tables = spark.sql("SHOW TABLES IN graft.db").select("tableName")
+    val tables = spark.sql("SHOW TABLES IN graft_cs.db").select("tableName")
       .as[String].collect().toSeq
     assert(tables === Seq("retail"))
     val e = intercept[Exception] {
-      spark.sql("INSERT INTO graft.db.retail VALUES (99, 'c', 'cart', 'S', 1, 'pc', NULL)")
+      spark.sql("INSERT INTO graft_cs.db.retail VALUES (99, 'c', 'cart', 'S', 1, 'pc', NULL)")
     }
     assert(e.getMessage.toLowerCase.contains("does not support") ||
       e.getMessage.toLowerCase.contains("unsupported") ||

@@ -1,0 +1,70 @@
+package graft
+
+import graft.cdc.Cdc
+import graft.fixtures.CdcFixtures
+import graft.stream.CdcPipeline
+import graft.table.TransactionalTable
+
+/** SQL `MERGE INTO` against graft catalog tables — the reference's statement
+  * shapes (`spark_sql_merge_into_iceberg.py:118-122,133-136`) executed
+  * verbatim through the GraftExtensions rule/strategy. */
+class MergeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val w = tmpDir("graft-merge-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_ms", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ms.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val t = TransactionalTable.create(spark, s"$w/db/retail", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    s"$w/db/retail"
+  }
+
+  test("MERGE INTO ... UPDATE SET * / INSERT * (upsert) and ... DELETE") {
+    val root = freshTable()
+    // source: update amount of key 19 → 999, insert new key 77
+    Seq(
+      (19L, "826787813308", "visit", "DK2617NXBK", 999, "tablet", new java.sql.Timestamp(0L)),
+      (77L, "c77", "cart", "SKU7", 7, "pc", new java.sql.Timestamp(0L)))
+      .toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*)
+      .createOrReplaceTempView("upd_src")
+    spark.sql(
+      """MERGE INTO graft_ms.db.retail AS t USING upd_src AS s ON t.trans_id = s.trans_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val t = TransactionalTable.open(spark, root)
+    assert(t.countRows === 11)
+    val amounts = t.scan().select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+    assert(amounts(19L) === 999 && amounts(77L) === 7)
+
+    // delete keys 6 and 77 via MERGE DELETE
+    Seq(6L, 77L).toDF("trans_id").createOrReplaceTempView("del_src")
+    spark.sql(
+      """MERGE INTO graft_ms.db.retail AS t USING del_src AS s ON t.trans_id = s.trans_id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val ids = TransactionalTable.open(spark, root)
+      .scan().select($"trans_id").as[Long].collect().sorted.toSeq
+    assert(!ids.contains(6L) && !ids.contains(77L) && ids.contains(19L))
+    assert(ids.size === 9)
+  }
+
+  test("unsupported MERGE shapes and version-pinned targets are rejected") {
+    freshTable()
+    Seq((1L, 1)).toDF("trans_id", "x").createOrReplaceTempView("bad_src")
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_ms.db.retail t USING bad_src s ON t.amount = s.x
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("requires ON"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_ms.db.retail VERSION AS OF 1 t USING bad_src s
+          |ON t.trans_id = s.trans_id WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.toLowerCase.contains("version") ||
+      e2.getMessage.toLowerCase.contains("syntax"), e2.getMessage)
+  }
+}
