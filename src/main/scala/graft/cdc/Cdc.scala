@@ -98,6 +98,24 @@ object Cdc {
       .drop("_row")
   }
 
+  /**
+   * Skew-aware W1 alternative: same latest-per-key semantics expressed as an
+   * aggregation (`max_by` over the (ts, txn) ordering struct) instead of a
+   * ranking window. Hash aggregation gets map-side PARTIAL combine, so a hot
+   * key ships ≤1 row per map task across the shuffle — a window function
+   * ships every row of the hot key to one reducer. Use this form when key
+   * skew is expected (the 100 TB posture); results are identical where the
+   * ordering is total (ts + unique txn id), incl. NULL ts losing (struct
+   * max treats NULL fields as smallest).
+   */
+  def latestPerKeyAgg(flat: DataFrame, pk: String = PrimaryKey): DataFrame = {
+    val payload = struct(flat.columns.map(col).toIndexedSeq: _*)
+    val ordering = struct(col("_op_timestamp"), col("_txn_id"))
+    flat.groupBy(col(pk))
+      .agg(max_by(payload, ordering).as("_latest"))
+      .select(col("_latest.*"))
+  }
+
   /** F2: route inserts+updates (reference `job:112`). */
   def upserts(deduped: DataFrame): DataFrame = deduped.filter(col("_op") =!= "delete")
 

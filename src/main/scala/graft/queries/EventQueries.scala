@@ -44,6 +44,26 @@ object EventQueries {
              |WHERE rn = 1 ORDER BY user_id""".stripMargin),
       headline = true),
 
+    // W1 skew-aware twin: identical semantics via max_by aggregation —
+    // map-side partial combine means a hot key ships one row per mapper,
+    // not its whole history (same oracle as the window form).
+    Q("w1_dedup_agg_skew_aware",
+      (s, d) => {
+        val e = ev(s, d)
+        e.groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("event_id"), col("event_type"), col("ts")),
+            struct(col("ts"), col("event_id"))).as("m"))
+          .select(col("user_id"), col("m.event_id"), col("m.event_type"),
+            date_format(col("m.ts"), TsFmt).as("ts_s"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type,
+             |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events) AS t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // F2: route upserts — inequality filter (`job:112`).
     Q("f2_filter_not_equal",
       (s, d) => ev(s, d).filter(col("event_type") =!= "error")

@@ -44,6 +44,15 @@ class CdcCoreSpec extends SparkSpec {
     assert(got === Map(1L -> 9, 2L -> 7, 3L -> 4))
   }
 
+  test("latestPerKeyAgg (skew-aware) matches the window-based W1 kernel") {
+    val flat = Cdc.flatten(parsed(CdcFixtures.scenario1Lines ++ CdcFixtures.scenario2Lines))
+    val viaWindow = Cdc.latestPerKey(flat)
+      .select($"trans_id", $"amount", $"_op").as[(Long, Int, String)].collect().toSet
+    val viaAgg = Cdc.latestPerKeyAgg(flat)
+      .select($"trans_id", $"amount", $"_op").as[(Long, Int, String)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("Merge kernel: upsert = anti ∪ source; delete = anti") {
     val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val source = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
