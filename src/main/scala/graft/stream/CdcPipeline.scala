@@ -70,10 +70,18 @@ object CdcPipeline {
       inputDir: String,
       table: TransactionalTable,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("100 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("100 seconds"),
+      compactEvery: Int = 0): StreamingQuery = {
     val envelopes = spark.readStream.schema(Cdc.envelopeSchema).json(inputDir)
-    val fn: (Dataset[Row], Long) => Unit =
-      (df, batchId) => applyCdcBatch(table, df.toDF(), batchId)
+    val fn: (Dataset[Row], Long) => Unit = (df, batchId) => {
+      applyCdcBatch(table, df.toDF(), batchId)
+      // Periodic bin-packing: a 100 s trigger accretes ~864 commits/day of
+      // small files; without a compaction cadence scan fan-out grows without
+      // bound. 0 disables (reference-faithful default — Iceberg handles this
+      // out-of-band via rewrite_data_files).
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        table.compact()
+    }
     envelopes.writeStream
       .foreachBatch(fn)
       .trigger(trigger)

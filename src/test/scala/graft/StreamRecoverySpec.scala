@@ -51,4 +51,25 @@ class StreamRecoverySpec extends SparkSpec {
     val ids = t.scan().select($"trans_id").as[Long].collect().sorted.toSeq
     assert(ids === CdcFixtures.expectedEndState.map(_._1))
   }
+
+  test("compaction cadence inside the streaming loop bounds file count") {
+    val work = tmpDir("stream-compact")
+    val input = s"$work/input"
+    Files.createDirectories(Paths.get(input))
+    val t = TransactionalTable.create(spark, s"$work/table", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    // 4 single-envelope files, one per micro-batch (maxFilesPerTrigger=1
+    // unavailable through the helper — emulate by running once per file)
+    (0 until 4).foreach { i =>
+      val line =
+        s"""{"data": {"trans_id": ${200 + i}, "customer_id": "c", "event": "cart", "sku": "S", "amount": $i, "device": "pc", "trans_datetime": "2023-01-16T06:00:00Z"}, "metadata": {"timestamp": "2023-01-16T06:00:0$i.000001Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "t", "transaction-id": $i}}"""
+      CdcFixtures.write(input, s"b$i.jsonl", Seq(line))
+      val q = CdcPipeline.start(spark, input, t, s"$work/ckpt",
+        trigger = Trigger.ProcessingTime("1 second"), compactEvery = 2)
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    assert(t.countRows === 4)
+    // without compaction there would be 4 single-row files in 'cart'
+    assert(t.snapshot.files.size < 4, s"files=${t.snapshot.files.map(_.rows)}")
+  }
 }
