@@ -106,6 +106,12 @@ object AnalyticQueries {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
 
+    // CUBE grouping sets.
+    sqlQ("x7_cube",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
     // HAVING over a grouped aggregate.
     sqlQ("x7_having",
       """SELECT o_custkey, COUNT(*) AS n_orders FROM orders

@@ -30,9 +30,11 @@ import graft.table.TransactionalTable
  * resolve through Catalyst. Reads delegate to Spark's internal ParquetTable
  * over the snapshot's file list — vectorized scans, filter pushdown and
  * column pruning come for free, and the file list is pinned at resolution
- * time so queries are snapshot-consistent. Writes must go through the
- * engine's MERGE/append API (the table is read-only via SQL, like an
- * Iceberg table without a committing writer) — `INSERT INTO` is rejected.
+ * time so queries are snapshot-consistent. SQL writes route through the
+ * engine's transactional commits when `graft.sql.GraftExtensions` is
+ * registered: `MERGE INTO` (GraftMergeRule) and `INSERT INTO` (append);
+ * other write forms are rejected — there is no path that bypasses the
+ * manifest.
  */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 

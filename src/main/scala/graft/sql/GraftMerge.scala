@@ -44,6 +44,13 @@ final case class GraftMergeCommand(
     copy(source = newChild)
 }
 
+/** `INSERT INTO graft.db.t ...` — transactional append through the engine. */
+final case class GraftAppendCommand(root: String, source: LogicalPlan) extends UnaryCommand {
+  override def child: LogicalPlan = source
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftAppendCommand =
+    copy(source = newChild)
+}
+
 class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def stripped(plan: LogicalPlan): LogicalPlan = plan match {
@@ -104,6 +111,16 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case None => m
       }
+
+    case a @ AppendData(target, query, _, _, _, _) if a.childrenResolved =>
+      graftTarget(target) match {
+        case Some(g) =>
+          if (g.pinnedVersion.nonEmpty)
+            throw new UnsupportedOperationException(
+              "INSERT INTO a VERSION AS OF relation is not allowed")
+          GraftAppendCommand(g.root, query)
+        case None => a
+      }
   }
 }
 
@@ -136,10 +153,22 @@ final case class GraftMergeExec(cmd: GraftMergeCommand, sourcePlan: SparkPlan)
   }
 }
 
+final case class GraftAppendExec(cmd: GraftAppendCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val t = TransactionalTable.open(session, cmd.root)
+    t.append(org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.source))
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
 class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case cmd: GraftMergeCommand =>
       GraftMergeExec(cmd, planLater(cmd.source)) :: Nil
+    case cmd: GraftAppendCommand =>
+      GraftAppendExec(cmd) :: Nil
     case _ => Nil
   }
 }

@@ -48,17 +48,18 @@ class CatalogSpec extends SparkSpec {
     assert(df.as[Long].collect().sorted.toSeq === Seq(21L, 30L))
   }
 
-  test("SHOW TABLES and INSERT rejection") {
+  test("SHOW TABLES; INSERT INTO appends through the engine commit path") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN graft_cs.db").select("tableName")
       .as[String].collect().toSeq
     assert(tables === Seq("retail"))
-    val e = intercept[Exception] {
-      spark.sql("INSERT INTO graft_cs.db.retail VALUES (99, 'c', 'cart', 'S', 1, 'pc', NULL)")
-    }
-    assert(e.getMessage.toLowerCase.contains("does not support") ||
-      e.getMessage.toLowerCase.contains("unsupported") ||
-      e.getMessage.toLowerCase.contains("batch_write") ||
-      e.getMessage.toLowerCase.contains("write"), e.getMessage)
+    spark.sql("INSERT INTO graft_cs.db.retail VALUES (99, 'c', 'cart', 'S', 1, 'pc', NULL)")
+    val got = spark.sql("SELECT amount FROM graft_cs.db.retail WHERE trans_id = 99")
+      .as[Int].collect().toSeq
+    assert(got === Seq(1))
+    // the append went through a manifest commit, not a rogue file write
+    val t = graft.table.TransactionalTable.open(spark,
+      spark.conf.get("spark.sql.catalog.graft_cs.warehouse") + "/db/retail")
+    assert(t.countRows === 13)
   }
 }
