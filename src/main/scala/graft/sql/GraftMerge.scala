@@ -124,8 +124,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-final case class GraftMergeExec(cmd: GraftMergeCommand, sourcePlan: SparkPlan)
-  extends LeafExecNode {
+final case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
   override def output: Seq[Attribute] = Nil
 
   override def executeCollect(): Array[InternalRow] = { run; Array.empty }
@@ -166,7 +165,7 @@ final case class GraftAppendExec(cmd: GraftAppendCommand) extends LeafExecNode {
 class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case cmd: GraftMergeCommand =>
-      GraftMergeExec(cmd, planLater(cmd.source)) :: Nil
+      GraftMergeExec(cmd) :: Nil
     case cmd: GraftAppendCommand =>
       GraftAppendExec(cmd) :: Nil
     case _ => Nil
