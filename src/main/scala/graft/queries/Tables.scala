@@ -35,10 +35,16 @@ object Tables {
     else raw
   }
 
-  /** S4: register every fixture table as a temp view (events ts-normalized). */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  /** S4: register every fixture table as a temp view (events ts-normalized).
+    * Idempotent and cached per (session, dir) — repeated calls from the query
+    * registry cost nothing after the first. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    names.foreach { n =>
-      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
-      df.createOrReplaceTempView(n)
-    }
+    if (registered.add((System.identityHashCode(spark), sfDir)))
+      names.foreach { n =>
+        val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+        df.createOrReplaceTempView(n)
+      }
 }
