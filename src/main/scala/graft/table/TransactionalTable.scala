@@ -245,6 +245,8 @@ object TransactionalTable {
 
   def create(spark: SparkSession, root: String, schema: StructType, pk: String,
       partitionCol: Option[String] = None): TransactionalTable = {
+    if (exists(root))
+      throw new IllegalStateException(s"table already exists at $root — use load/open")
     val t = new TransactionalTable(spark, root, schema, pk, partitionCol)
     Files.createDirectories(Paths.get(root))
     // Self-describing table: persist schema/pk/partitioning so catalogs

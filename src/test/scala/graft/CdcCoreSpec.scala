@@ -53,6 +53,22 @@ class CdcCoreSpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("latestPerKeyAgg under heavy key skew: one hot key, 20k events") {
+    // hot key 1 gets 20k updates; keys 2..50 one each — the agg form must
+    // pick the max-(ts,txn) row exactly like the window form
+    val hot = (0 until 20000).map { i =>
+      s"""{"data": {"trans_id": 1, "customer_id": "c", "event": "cart", "sku": "S", "amount": $i, "device": "pc", "trans_datetime": "2023-01-16T06:00:00Z"}, "metadata": {"timestamp": "2023-01-16T06:00:00.${f"$i%06d"}Z", "record-type": "data", "operation": "update", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "t", "transaction-id": $i}}"""
+    }
+    val cold = (2 to 50).map { k =>
+      s"""{"data": {"trans_id": $k, "customer_id": "c", "event": "cart", "sku": "S", "amount": $k, "device": "pc", "trans_datetime": "2023-01-16T06:00:00Z"}, "metadata": {"timestamp": "2023-01-16T07:00:00.000001Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "t", "transaction-id": ${100000 + k}}}"""
+    }
+    val flat = Cdc.flatten(parsed(scala.util.Random.shuffle(hot ++ cold)))
+    val got = Cdc.latestPerKeyAgg(flat).select($"trans_id", $"amount")
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) === 19999)
+    assert(got.size === 50 && got(50L) === 50)
+  }
+
   test("Merge kernel: upsert = anti ∪ source; delete = anti") {
     val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val source = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
