@@ -10,8 +10,6 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -79,8 +77,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident)
     val t = TransactionalTable.open(spark, root)
     val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+    val entries = snap.files.map(f =>
+      org.apache.spark.sql.graftshim.ManifestEntry(f.path, f.partition, f.pkMin, f.pkMax, f.bytes))
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      t.schema, snap.files.map(_.path), spark, root, version)
+      t.schema, entries, spark, root, version, t.pk, t.partitionCol)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -133,28 +133,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 /**
- * Read-only DSv2 table over a pinned snapshot file list. Scans delegate to
- * Spark's ParquetTable (vectorized reader, pushdown, pruning); the explicit
- * schema avoids footer inference and keeps empty tables queryable.
+ * Read-only DSv2 table over a pinned snapshot file list. Scans go through a
+ * manifest-fed file index (graftshim.ManifestFileIndex): pushed filters prune
+ * whole files by partition value and PK min/max stats BEFORE any footer is
+ * opened, then Spark's vectorized parquet reader handles the rest (row-group
+ * skipping, column pruning). The explicit schema avoids footer inference and
+ * keeps empty tables queryable.
  */
 private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
-    files: Seq[String], spark: SparkSession,
+    val entries: Seq[org.apache.spark.sql.graftshim.ManifestEntry],
+    spark: SparkSession,
     /** table root on disk — lets GraftMergeRule route SQL MERGE INTO back to
       * the engine's transactional merge */
     val root: String,
     /** Some(v) when resolved via VERSION AS OF — such relations are read-only
       * even for MERGE */
-    val pinnedVersion: Option[Long])
+    val pinnedVersion: Option[Long],
+    pk: String,
+    partitionCol: Option[String])
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
-
-  private lazy val delegate = ParquetTable(tableName, spark,
-    CaseInsensitiveStringMap.empty(), files, Some(tableSchema),
-    classOf[ParquetFileFormat])
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    org.apache.spark.sql.graftshim.ManifestFileIndex.scanBuilder(
+      spark, tableSchema, entries, pk, partitionCol, options)
 }

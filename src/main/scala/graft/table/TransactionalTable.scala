@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.StructType
  *  value of the table's partition column for every row in the file; `pkMin`/
  *  `pkMax` enable file skipping during MERGE (the Iceberg-manifest idea,
  *  reference `spark_sql_merge_into_iceberg.py:51-63` delegates this to Iceberg). */
-final case class DataFile(path: String, partition: Option[String], pkMin: Long, pkMax: Long, rows: Long)
+final case class DataFile(path: String, partition: Option[String], pkMin: Long, pkMax: Long,
+    rows: Long, bytes: Long)
 
 /** A committed table version. `batchId` fences replays (T4): re-committing an
  *  already-applied streaming batch is a no-op. */
@@ -65,7 +66,10 @@ final class TransactionalTable private (
       DataFile(
         f.get("path").asText(),
         if (f.get("partition").isNull) None else Some(f.get("partition").asText()),
-        f.get("pkMin").asLong(), f.get("pkMax").asLong(), f.get("rows").asLong())
+        f.get("pkMin").asLong(), f.get("pkMax").asLong(), f.get("rows").asLong(),
+        // pre-`bytes` manifests: stat once on read (local legacy only)
+        if (f.has("bytes")) f.get("bytes").asLong()
+        else Files.size(Paths.get(f.get("path").asText())))
     }.toSeq
     Snapshot(node.get("version").asLong(), node.get("batchId").asLong(), files)
   }
@@ -166,8 +170,12 @@ final class TransactionalTable private (
         count(lit(1)).as("n"),
         partitionCol.map(p => first(col(p)).as("pv")).getOrElse(lit(null).cast("string").as("pv")))
       .collect()
-      .map(r => DataFile(stripScheme(r.getString(0)), Option(r.getString(4)),
-        r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map { r =>
+        val path = stripScheme(r.getString(0))
+        // size recorded in the manifest so scans never stat data files
+        DataFile(path, Option(r.getString(4)),
+          r.getLong(1), r.getLong(2), r.getLong(3), Files.size(Paths.get(path)))
+      }
       .toSeq
   }
 
@@ -213,6 +221,7 @@ final class TransactionalTable private (
       o.put("path", f.path)
       f.partition match { case Some(p) => o.put("partition", p); case None => o.putNull("partition") }
       o.put("pkMin", f.pkMin); o.put("pkMax", f.pkMax); o.put("rows", f.rows)
+      o.put("bytes", f.bytes)
       o
     }
     val node = mapper.createObjectNode()

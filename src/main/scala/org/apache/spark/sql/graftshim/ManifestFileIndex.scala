@@ -1,0 +1,116 @@
+package org.apache.spark.sql.graftshim
+
+import scala.collection.mutable.LinkedHashMap
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest entry mirror (path + partition value + PK min/max + size) — kept
+  * dependency-free of graft.table to avoid a package cycle. */
+final case class ManifestEntry(path: String, partition: Option[String], pkMin: Long,
+    pkMax: Long, bytes: Long)
+
+/**
+ * A FileIndex fed from the TransactionalTable MANIFEST instead of a directory
+ * listing: `listFiles` prunes by per-file partition value and PK min/max
+ * stats against the pushed data filters — so a SQL query like
+ * `WHERE event = 'cart' AND trans_id = 21` through the graft catalog never
+ * opens files (or even footers) that cannot match. This is the SQL-path twin
+ * of the engine API's merge-time file skipping, and what Iceberg's manifests
+ * provide Athena in the reference. Conservative: a file is skipped only when
+ * a conjunct PROVES it cannot contain a matching row.
+ */
+class ManifestFileIndex(
+    spark: SparkSession,
+    entries: Seq[ManifestEntry],
+    pk: String,
+    partCol: Option[String])
+  extends PartitioningAwareFileIndex(
+    spark.asInstanceOf[classic.SparkSession], Map.empty, None,
+    FileStatusCache.getOrCreate(spark.asInstanceOf[classic.SparkSession])) {
+
+  // Statuses come from manifest metadata alone — listing/planning a scan
+  // touches NO data file (the same property Iceberg manifests give planners).
+  private val withStatus: Seq[(ManifestEntry, FileStatus)] =
+    entries.map(e => e -> new FileStatus(
+      e.bytes, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path)))
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+  override def leafFiles: LinkedHashMap[Path, FileStatus] =
+    LinkedHashMap(withStatus.map { case (_, s) => s.getPath -> s }: _*)
+  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    withStatus.map(_._2).groupBy(_.getPath.getParent)
+      .view.mapValues(_.toArray).toMap
+  override def rootPaths: Seq[Path] = withStatus.map(_._2.getPath)
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = withStatus.map(_._2.getLen).sum
+  override def inputFiles: Array[String] = entries.map(_.path).toArray
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = withStatus.collect {
+      case (e, s) if !dataFilters.exists(f => provablyNoMatch(e, f)) => s
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+
+  /** True only when `f` can contain NO row satisfying `expr`. */
+  private def provablyNoMatch(e: ManifestEntry, expr: Expression): Boolean = expr match {
+    case And(l, r) => provablyNoMatch(e, l) || provablyNoMatch(e, r)
+    case Or(l, r) => provablyNoMatch(e, l) && provablyNoMatch(e, r)
+
+    case EqualTo(a: Attribute, Literal(v, _)) => noEq(e, a.name, v)
+    case EqualTo(Literal(v, _), a: Attribute) => noEq(e, a.name, v)
+    case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.forall(v => noEq(e, a.name, v.asInstanceOf[Literal].value))
+
+    case GreaterThan(a: Attribute, Literal(v, _)) if isPk(a.name) => e.pkMax <= toLong(v)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if isPk(a.name) => e.pkMax < toLong(v)
+    case LessThan(a: Attribute, Literal(v, _)) if isPk(a.name) => e.pkMin >= toLong(v)
+    case LessThanOrEqual(a: Attribute, Literal(v, _)) if isPk(a.name) => e.pkMin > toLong(v)
+    case GreaterThan(Literal(v, _), a: Attribute) if isPk(a.name) => e.pkMin >= toLong(v)
+    case GreaterThanOrEqual(Literal(v, _), a: Attribute) if isPk(a.name) => e.pkMin > toLong(v)
+    case LessThan(Literal(v, _), a: Attribute) if isPk(a.name) => e.pkMax <= toLong(v)
+    case LessThanOrEqual(Literal(v, _), a: Attribute) if isPk(a.name) => e.pkMax < toLong(v)
+
+    case _ => false
+  }
+
+  private def isPk(name: String): Boolean = name.equalsIgnoreCase(pk)
+  private def isPart(name: String): Boolean = partCol.exists(_.equalsIgnoreCase(name))
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => other.toString.toLong
+  }
+
+  private def noEq(e: ManifestEntry, colName: String, v: Any): Boolean =
+    if (v == null) false
+    else if (isPk(colName)) { val l = toLong(v); l < e.pkMin || l > e.pkMax }
+    else if (isPart(colName)) e.partition.exists(_ != strOf(v))
+    else false
+
+  private def strOf(v: Any): String = v match {
+    case u: UTF8String => u.toString
+    case other => other.toString
+  }
+}
+
+object ManifestFileIndex {
+  /** Build a ParquetScanBuilder whose file listing is manifest-pruned. */
+  def scanBuilder(spark: SparkSession, schema: StructType, entries: Seq[ManifestEntry],
+      pk: String, partCol: Option[String], options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetScanBuilder(spark.asInstanceOf[classic.SparkSession],
+      new ManifestFileIndex(spark, entries, pk, partCol), schema, schema, options)
+}

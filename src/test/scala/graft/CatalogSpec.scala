@@ -48,6 +48,35 @@ class CatalogSpec extends SparkSpec {
     assert(df.as[Long].collect().sorted.toSeq === Seq(21L, 30L))
   }
 
+  test("manifest-level file pruning: filtered SQL never touches out-of-range files") {
+    val w = tmpDir("graft-prune-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_pr", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pr.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val t = TransactionalTable.create(spark, s"$w/db/retail", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    val far =
+      """{"data": {"trans_id": 1000000, "customer_id": "z", "event": "visit", "sku": "Z", "amount": 1, "device": "pc", "trans_datetime": "2023-01-16T06:00:00Z"}, "metadata": {"timestamp": "2023-01-16T06:00:00.000001Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "t", "transaction-id": 99}}"""
+    CdcPipeline.replayLines(spark, t, Seq(far), batchId = 1)
+
+    // destroy the far-key file on disk: only manifest pruning can save a
+    // filtered query from touching it
+    val farFile = t.snapshot.files.find(_.pkMin >= 1000000L).get
+    java.nio.file.Files.delete(java.nio.file.Paths.get(farFile.path))
+
+    val amount = spark.sql(
+      "SELECT amount FROM graft_pr.db.retail WHERE trans_id = 21").as[Int].collect().toSeq
+    assert(amount === Seq(77), "PK-range pruning must skip the destroyed file")
+    val cartCount = spark.sql(
+      "SELECT COUNT(*) FROM graft_pr.db.retail WHERE event = 'cart'").as[Long].head()
+    assert(cartCount === 4L, "partition pruning must skip the destroyed 'visit' file")
+    // sanity: an unfiltered scan DOES need the destroyed file
+    intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM graft_pr.db.retail").as[Long].head()
+    }
+  }
+
   test("SHOW TABLES; INSERT INTO appends through the engine commit path") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN graft_cs.db").select("tableName")
