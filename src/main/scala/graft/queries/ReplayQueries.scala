@@ -91,6 +91,18 @@ object ReplayQueries {
              |  ('visit', CAST(2 AS BIGINT), CAST(40 AS BIGINT))
              |) AS t(event, n, total_amount) ORDER BY event""".stripMargin)),
 
+    // Snapshot history (Iceberg `table.snapshots` parity) — manifest-only
+    // metadata; bytes vary per run so the oracle pins the invariant columns.
+    Q("cdc_table_history",
+      (s, _) => replay(s).history()
+        .select(col("version"), col("batch_id"), col("n_rows"))
+        .orderBy("version"),
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),
+             |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
+             |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(12 AS BIGINT))
+             |) AS t(version, batch_id, n_rows) ORDER BY version""".stripMargin)),
+
     // SQL MERGE INTO (the reference's verbatim hot-path statements,
     // `spark_sql_merge_into_iceberg.py:118-122,133-136`) applied through the
     // GraftExtensions rule/strategy: scenario1 via the pipeline, then

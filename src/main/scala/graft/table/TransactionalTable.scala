@@ -93,6 +93,16 @@ final class TransactionalTable private (
    *  (what Iceberg gives Athena for the reference's `README.md:511-512` query). */
   def countRows: Long = snapshot.rowCount
 
+  /** Snapshot history (Iceberg's `table.snapshots` parity), manifest-only:
+    * one row per committed version with its fencing batchId and stats. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    (0L to currentVersion).map { v =>
+      val s = snapshotAt(v)
+      (s.version, s.batchId, s.files.size.toLong, s.rowCount, s.files.map(_.bytes).sum)
+    }.toDF("version", "batch_id", "n_files", "n_rows", "n_bytes")
+  }
+
   /**
    * MERGE a micro-batch: `upserts` are full rows (insert-or-update images),
    * `deleteKeys` needs only the PK column. Copy-on-write limited to files whose
