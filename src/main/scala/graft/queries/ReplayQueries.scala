@@ -91,6 +91,31 @@ object ReplayQueries {
              |  ('visit', CAST(2 AS BIGINT), CAST(40 AS BIGINT))
              |) AS t(event, n, total_amount) ORDER BY event""".stripMargin)),
 
+    // Merge-on-read replay: same golden scenarios applied as Iceberg-v2-style
+    // data + equality-delete files (no rewrite at merge time; the delete
+    // anti-join runs at scan). Oracle: identical golden end state.
+    Q("cdc_replay_mor_end_state",
+      (s, _) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_replay_mor").toString
+        val t = TransactionalTable.create(s, root, Cdc.tableSchema, Cdc.PrimaryKey,
+          Some(Cdc.PartitionColumn))
+        def applyB(lines: Seq[String], b: Long): Unit = {
+          val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+          t.merge(Cdc.projectToTable(Cdc.upserts(deduped)),
+            Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)), b,
+            graft.table.MergeMode.MergeOnRead)
+        }
+        applyB(CdcFixtures.scenario1Lines, 0)
+        applyB(CdcFixtures.scenario2Lines, 1)
+        t.scan()
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+          .orderBy("trans_id")
+      },
+      Some(endStateOracle)),
+
     // Snapshot history (Iceberg `table.snapshots` parity) — manifest-only
     // metadata; bytes vary per run so the oracle pins the invariant columns.
     Q("cdc_table_history",

@@ -77,6 +77,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident)
     val t = TransactionalTable.open(spark, root)
     val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+    if (snap.deletes.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"table at $root has pending merge-on-read delete files; run compact() " +
+          "before SQL reads (the DSv2 scan path reads data files only)")
     val entries = snap.files.map(f =>
       org.apache.spark.sql.graftshim.ManifestEntry(f.path, f.partition, f.pkMin, f.pkMax, f.bytes))
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",

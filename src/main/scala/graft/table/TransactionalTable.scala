@@ -15,10 +15,29 @@ import org.apache.spark.sql.types.StructType
 final case class DataFile(path: String, partition: Option[String], pkMin: Long, pkMax: Long,
     rows: Long, bytes: Long)
 
+/** A merge-on-read delete file: one parquet of (pk, _dseq) key rows. A delete
+ *  row masks any data row with the same key whose embedded `_seq` (commit
+ *  version stamped at write) is LOWER than `_dseq` — Iceberg v2 equality
+ *  deletes, natively. */
+final case class DeleteFile(path: String, pkMin: Long, pkMax: Long, rows: Long, bytes: Long)
+
 /** A committed table version. `batchId` fences replays (T4): re-committing an
  *  already-applied streaming batch is a no-op. */
-final case class Snapshot(version: Long, batchId: Long, files: Seq[DataFile]) {
+final case class Snapshot(version: Long, batchId: Long, files: Seq[DataFile],
+    deletes: Seq[DeleteFile] = Seq.empty) {
+  /** Exact only when no merge-on-read deletes are pending. */
   def rowCount: Long = files.map(_.rows).sum
+}
+
+/** MERGE physical strategy. CopyOnWrite rewrites PK-affected files at commit
+ *  (read-optimized; the reference's Iceberg v1 shape). MergeOnRead writes the
+ *  batch as a new data file + an equality-delete file and defers the join to
+ *  scan time (write-optimized; Iceberg v2 shape) — compaction folds deletes
+ *  back in. */
+sealed trait MergeMode
+object MergeMode {
+  case object CopyOnWrite extends MergeMode
+  case object MergeOnRead extends MergeMode
 }
 
 /**
@@ -71,27 +90,66 @@ final class TransactionalTable private (
         if (f.has("bytes")) f.get("bytes").asLong()
         else Files.size(Paths.get(f.get("path").asText())))
     }.toSeq
-    Snapshot(node.get("version").asLong(), node.get("batchId").asLong(), files)
+    val deletes =
+      if (!node.has("deletes")) Seq.empty
+      else node.get("deletes").elements().asScala.map { d =>
+        DeleteFile(d.get("path").asText(), d.get("pkMin").asLong(), d.get("pkMax").asLong(),
+          d.get("rows").asLong(), d.get("bytes").asLong())
+      }.toSeq
+    Snapshot(node.get("version").asLong(), node.get("batchId").asLong(), files, deletes)
   }
 
-  /** Full-table scan of the current snapshot. */
-  def scan(): DataFrame = scanFiles(snapshot.files)
+  /** Full-table scan of the current snapshot (delete-file-aware). */
+  def scan(): DataFrame = { val s = snapshot; scanWithDeletes(s.files, s.deletes) }
 
-  /** Time travel: scan an older committed version. */
-  def scanAt(version: Long): DataFrame = scanFiles(snapshotAt(version).files)
+  /** Time travel: scan an older committed version (delete-file-aware). */
+  def scanAt(version: Long): DataFrame =
+    { val s = snapshotAt(version); scanWithDeletes(s.files, s.deletes) }
 
   /** Partition-pruned scan: only files whose partition value passes `pred` are
    *  read at all (manifest-level pruning, ahead of Parquet row-group skipping). */
-  def scanPartitions(pred: Option[String] => Boolean): DataFrame =
-    scanFiles(snapshot.files.filter(f => pred(f.partition)))
+  def scanPartitions(pred: Option[String] => Boolean): DataFrame = {
+    val s = snapshot
+    scanWithDeletes(s.files.filter(f => pred(f.partition)), s.deletes)
+  }
 
   private def scanFiles(files: Seq[DataFile]): DataFrame =
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files.map(_.path): _*)
 
-  /** Metadata-only COUNT(*) — answered from manifest stats, no file I/O
-   *  (what Iceberg gives Athena for the reference's `README.md:511-512` query). */
-  def countRows: Long = snapshot.rowCount
+  /**
+   * Delete-file-aware scan. When merge-on-read delete files are pending, data
+   * is read with its embedded `_seq` commit stamp (files written before MOR
+   * support lack it → null → treated as 0) and anti-joined against the
+   * accumulated delete set: a delete row (pk, _dseq) masks same-key data rows
+   * with an OLDER stamp. The delete side is broadcast while small (bounded by
+   * merge traffic between compactions).
+   */
+  private def scanWithDeletes(files: Seq[DataFile], deletes: Seq[DeleteFile]): DataFrame =
+    if (deletes.isEmpty) scanFiles(files)
+    else {
+      val withSeq = schema.add("_seq", "long")
+      val data =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withSeq)
+        else spark.read.schema(withSeq).parquet(files.map(_.path): _*)
+      val delRaw = spark.read.parquet(deletes.map(_.path): _*)
+        .select(col(pk).as("_dpk"), col("_dseq"))
+      val del = if (deletes.map(_.rows).sum <= MaxCollectedKeys) broadcast(delRaw) else delRaw
+      data.join(del,
+          col(pk) === col("_dpk") && col("_dseq") > coalesce(col("_seq"), lit(0L)),
+          "left_anti")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+
+  /** COUNT(*): metadata-only from manifest stats when no merge-on-read
+   *  deletes are pending (what Iceberg gives Athena for the reference's
+   *  `README.md:511-512` query); with pending deletes the exact count needs
+   *  the delete join, so it falls back to a scan. */
+  def countRows: Long = {
+    val s = snapshot
+    if (s.deletes.isEmpty) s.rowCount else scan().count()
+  }
 
   /** Snapshot history (Iceberg's `table.snapshots` parity), manifest-only:
     * one row per committed version with its fencing batchId and stats. */
@@ -108,7 +166,8 @@ final class TransactionalTable private (
    * `deleteKeys` needs only the PK column. Copy-on-write limited to files whose
    * PK range can contain a touched key.
    */
-  def merge(upserts: DataFrame, deleteKeys: DataFrame, batchId: Long): Unit = synchronized {
+  def merge(upserts: DataFrame, deleteKeys: DataFrame, batchId: Long,
+      mode: MergeMode = MergeMode.CopyOnWrite): Unit = synchronized {
     val snap = snapshot
     if (batchId <= snap.batchId) return // T4: replayed batch — already committed
 
@@ -117,12 +176,20 @@ final class TransactionalTable private (
     // to an observable drop, not an NPE that wedges the stream on replay.
     val up = upserts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .filter(col(pk).isNotNull)
+    val dels = deleteKeys.select(col(pk)).filter(col(pk).isNotNull)
+    mode match {
+      case MergeMode.CopyOnWrite => mergeCow(snap, up, dels, batchId)
+      case MergeMode.MergeOnRead => mergeMor(snap, up, dels, batchId)
+    }
+  }
+
+  private def mergeCow(snap: Snapshot, up: DataFrame, dels: DataFrame, batchId: Long): Unit = {
     // Touched-key set. A CDC micro-batch is bounded by the trigger interval and
     // post-W1 has ≤1 row/key, so collecting keys is driver-safe (cap guarded);
     // past the cap we degrade to min/max-range pruning only.
     val keyDf = up.select(col(pk).cast("long"))
-      .unionByName(deleteKeys.select(col(pk).cast("long")))
-      .filter(col(pk).isNotNull).distinct()
+      .unionByName(dels.select(col(pk).cast("long")))
+      .distinct()
     val keys = keyDf.limit(MaxCollectedKeys + 1).collect().map(_.getLong(0))
     val oversized = keys.length > MaxCollectedKeys
     val affected =
@@ -137,18 +204,34 @@ final class TransactionalTable private (
         snap.files.filter(f => overlaps(sorted, f.pkMin, f.pkMax))
       }
 
-    val slice = scanFiles(affected)
+    // Pending MOR deletes must be applied to the rewritten slice, or a merge
+    // would resurrect masked rows.
+    val slice = scanWithDeletes(affected, snap.deletes)
     // A key set past the collect cap is also past sensible broadcast size —
     // let Catalyst/AQE pick the join strategy there instead.
-    val merged = Merge(slice, up, deleteKeys.select(col(pk)).filter(col(pk).isNotNull),
-      pk, broadcastKeys = !oversized)
+    val merged = Merge(slice, up, dels, pk, broadcastKeys = !oversized)
 
     val newVersion = snap.version + 1
-    val outDir = dataDir.resolve(s"v$newVersion")
-    val newFiles = writeDataFiles(merged, outDir)
+    val newFiles = writeDataFiles(merged, dataDir.resolve(s"v$newVersion"), seq = newVersion)
 
     val carried = snap.files.filterNot(affected.toSet)
-    commit(Snapshot(newVersion, batchId, carried ++ newFiles))
+    // delete files are carried: they may still mask carried data files
+    // (rewritten files got a fresh seq and are immune)
+    commit(Snapshot(newVersion, batchId, carried ++ newFiles, snap.deletes))
+  }
+
+  /** Merge-on-read: write the batch as new data + one equality-delete file;
+    * no existing file is rewritten — the anti-join happens at scan time. */
+  private def mergeMor(snap: Snapshot, up: DataFrame, dels: DataFrame, batchId: Long): Unit = {
+    val newVersion = snap.version + 1
+    // every batch key masks older images: upserted keys (superseded) and
+    // deleted keys (removed)
+    val keyDf = up.select(col(pk).cast("long"))
+      .unionByName(dels.select(col(pk).cast("long"))).distinct()
+    val delFile = writeDeleteFile(keyDf, dataDir.resolve(s"v${newVersion}_deletes"), newVersion)
+    val newFiles = writeDataFiles(up, dataDir.resolve(s"v$newVersion"), seq = newVersion)
+    commit(Snapshot(newVersion, batchId, snap.files ++ newFiles,
+      snap.deletes ++ delFile.toSeq))
   }
 
   /** Bulk append (bootstrap / initial load): no key matching, pure add. */
@@ -157,20 +240,24 @@ final class TransactionalTable private (
     if (batchId >= 0 && batchId <= snap.batchId) return
     val newVersion = snap.version + 1
     val newFiles = writeDataFiles(rows.select(schema.fieldNames.map(col).toIndexedSeq: _*),
-      dataDir.resolve(s"v$newVersion"))
-    commit(Snapshot(newVersion, math.max(batchId, snap.batchId), snap.files ++ newFiles))
+      dataDir.resolve(s"v$newVersion"), seq = newVersion)
+    commit(Snapshot(newVersion, math.max(batchId, snap.batchId),
+      snap.files ++ newFiles, snap.deletes))
   }
 
   /** Write rows as self-contained Parquet, directory-bucketed by partition value,
    *  and return their manifest entries (path + partition + PK min/max stats).
-   *  Single pass: no emptiness pre-check (that would execute the whole merged
-   *  plan twice) — an empty input simply yields an empty file listing. */
-  private def writeDataFiles(df: DataFrame, outDir: Path): Seq[DataFile] = {
+   *  Rows are stamped with the committing version (`_seq`) so merge-on-read
+   *  delete files can mask only OLDER images. Single pass: no emptiness
+   *  pre-check (that would execute the whole merged plan twice) — an empty
+   *  input simply yields an empty file listing. */
+  private def writeDataFiles(df: DataFrame, outDir: Path, seq: Long): Seq[DataFile] = {
+    val stamped = df.withColumn("_seq", lit(seq))
     val writer = partitionCol match {
       // `_p` duplicates the partition column so the data file keeps the real
       // column (Hive-style partitionBy would strip it from the file).
-      case Some(p) => df.withColumn("_p", col(p)).write.partitionBy("_p")
-      case None => df.write
+      case Some(p) => stamped.withColumn("_p", col(p)).write.partitionBy("_p")
+      case None => stamped.write
     }
     writer.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
     val written = spark.read.schema(schema).parquet(outDir.toString)
@@ -189,6 +276,23 @@ final class TransactionalTable private (
       .toSeq
   }
 
+  /** Write a merge-on-read equality-delete file: (pk, _dseq) rows. Returns
+    * None when the key set is empty. The manifest entry's path is the written
+    * directory (delete sets are small; part-file granularity isn't needed). */
+  private def writeDeleteFile(keys: DataFrame, outDir: Path, seq: Long): Option[DeleteFile] = {
+    keys.withColumn("_dseq", lit(seq)).write.mode("overwrite").parquet(outDir.toString)
+    val written = spark.read.parquet(outDir.toString)
+    val stats = written.agg(min(col(pk).cast("long")), max(col(pk).cast("long")),
+      count(lit(1))).collect().head
+    if (stats.getLong(2) == 0) None
+    else {
+      val bytes = Files.walk(outDir).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      Some(DeleteFile(outDir.toString, stats.getLong(0), stats.getLong(1),
+        stats.getLong(2), bytes))
+    }
+  }
+
   /**
    * Rewrite small files (bin-packing compaction). A 100 s CDC trigger accretes
    * ~864 commits/day of small files; without compaction scan fan-out grows
@@ -203,6 +307,18 @@ final class TransactionalTable private (
    */
   def compact(minFileRows: Long = 1L << 20): Unit = synchronized {
     val snap = snapshot
+    if (snap.deletes.nonEmpty) {
+      // MOR maintenance: fold the pending delete files in — rewrite all data
+      // with deletes applied, emerging as a pure-data snapshot.
+      val packed = partitionCol match {
+        case Some(p) => scanWithDeletes(snap.files, snap.deletes).repartition(col(p))
+        case None => scanWithDeletes(snap.files, snap.deletes).coalesce(1)
+      }
+      val newVersion = snap.version + 1
+      val newFiles = writeDataFiles(packed, dataDir.resolve(s"v$newVersion"), seq = newVersion)
+      commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
+      return
+    }
     val small = snap.files.filter(_.rows < minFileRows)
     val needsWork = small.groupBy(_.partition).exists(_._2.size > 1)
     if (!needsWork) return
@@ -212,7 +328,7 @@ final class TransactionalTable private (
       case None => scanFiles(small).coalesce(1)
     }
     val newVersion = snap.version + 1
-    val newFiles = writeDataFiles(packed, dataDir.resolve(s"v$newVersion"))
+    val newFiles = writeDataFiles(packed, dataDir.resolve(s"v$newVersion"), seq = newVersion)
     commit(Snapshot(newVersion, snap.batchId, keep ++ newFiles))
   }
 
@@ -237,6 +353,15 @@ final class TransactionalTable private (
     val node = mapper.createObjectNode()
     node.put("version", s.version); node.put("batchId", s.batchId)
     val arr = node.putArray("files"); filesJson.foreach(arr.add)
+    if (s.deletes.nonEmpty) {
+      val darr = node.putArray("deletes")
+      s.deletes.foreach { d =>
+        val o = mapper.createObjectNode()
+        o.put("path", d.path); o.put("pkMin", d.pkMin); o.put("pkMax", d.pkMax)
+        o.put("rows", d.rows); o.put("bytes", d.bytes)
+        darr.add(o)
+      }
+    }
     val mPath = manifestDir.resolve(s"v${s.version}.json")
     val bytes = mapper.writeValueAsBytes(node)
     try Files.write(mPath, bytes, StandardOpenOption.CREATE_NEW)
