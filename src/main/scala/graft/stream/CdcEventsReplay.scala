@@ -56,7 +56,8 @@ object CdcEventsReplay {
    * per-batch wall-clock seconds (the freshness metric: each must stay far
    * under the reference's 100 s trigger).
    */
-  def replay(spark: SparkSession, sfDir: String, root: String, nBatches: Int = 4)
+  def replay(spark: SparkSession, sfDir: String, root: String, nBatches: Int = 4,
+      mode: graft.table.MergeMode = graft.table.MergeMode.CopyOnWrite)
       : (TransactionalTable, Seq[Double]) = {
     val events = Tables.events(spark, sfDir)
     val maxId = events.agg(max("event_id")).head().getLong(0)
@@ -67,7 +68,7 @@ object CdcEventsReplay {
       val batch = events.filter(
         col("event_id") >= i * step && col("event_id") < (i + 1) * step)
       val t0 = System.nanoTime()
-      CdcPipeline.applyCdcBatch(t, Cdc.parse(envelopeLines(batch)), batchId = i)
+      CdcPipeline.applyCdcBatch(t, Cdc.parse(envelopeLines(batch)), batchId = i, mode)
       (System.nanoTime() - t0) / 1e9
     }
     (t, times)

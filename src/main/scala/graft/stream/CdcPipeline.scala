@@ -32,7 +32,8 @@ object CdcPipeline {
    *  *observably*: the count is logged per batch, because silent data loss in
    *  a CDC pipeline is undebuggable. The count costs one pass over the
    *  already-persisted deduped batch. */
-  def applyCdcBatch(table: TransactionalTable, envelopes: DataFrame, batchId: Long): Unit = {
+  def applyCdcBatch(table: TransactionalTable, envelopes: DataFrame, batchId: Long,
+      mode: graft.table.MergeMode = graft.table.MergeMode.CopyOnWrite): Unit = {
     val pkCol = col(Cdc.PrimaryKey)
     val bad = pkCol.isNull || col("_op").isNull
     val deduped = Cdc.latestPerKey(Cdc.flatten(envelopes)).persist()
@@ -46,7 +47,7 @@ object CdcPipeline {
         val valid = deduped.filter(!bad)
         val ups = Cdc.projectToTable(Cdc.upserts(valid))
         val dels = Cdc.deletes(valid).select(pkCol)
-        table.merge(ups, dels, batchId)
+        table.merge(ups, dels, batchId, mode)
       }
     } finally deduped.unpersist()
   }
