@@ -144,6 +144,27 @@ object AnalyticQueries {
         |  COUNT(CASE WHEN l_quantity >= 10 THEN 1 END) AS n_big
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // Analytic lag(): per-customer inter-order gaps in days (exact int math
+    // on epoch days; LAG parses identically in both dialects).
+    sqlQ("x7_order_gaps",
+      """SELECT o_custkey, COUNT(*) AS n_gaps,
+        |  CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+        |  MAX(gap_days) AS max_gap_days
+        |FROM (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - LAG(CAST(o_orderdate AS DATE))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS gap_days
+        |  FROM orders) AS t
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
+    // Tumbling-window aggregation, batch form (the streaming windowed-count
+    // twin in StreamingOps.windowedCounts).
+    sqlQ("x7_hourly_event_counts",
+      """SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour_start, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
+
     // Gap-based sessionization over events (DataFrame impl in EventOps; the
     // oracle states the same two-window definition in DuckDB SQL).
     Q("x7_sessionize",

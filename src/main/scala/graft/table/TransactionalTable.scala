@@ -252,7 +252,11 @@ final class TransactionalTable private (
    *  pre-check (that would execute the whole merged plan twice) — an empty
    *  input simply yields an empty file listing. */
   private def writeDataFiles(df: DataFrame, outDir: Path, seq: Long): Seq[DataFile] = {
-    val stamped = df.withColumn("_seq", lit(seq))
+    // PK-sort within each task (no shuffle): clusters rows so parquet
+    // row-group min/max stats on the key are tight — read-side point/range
+    // lookups skip row groups, not just whole files.
+    val sortCols = partitionCol.map(col).toSeq :+ col(pk)
+    val stamped = df.sortWithinPartitions(sortCols: _*).withColumn("_seq", lit(seq))
     val writer = partitionCol match {
       // `_p` duplicates the partition column so the data file keeps the real
       // column (Hive-style partitionBy would strip it from the file).
