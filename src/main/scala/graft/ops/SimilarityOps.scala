@@ -104,6 +104,70 @@ object SimilarityOps {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k — the second scale path beside
+   * [[annTopK]]'s hyperplane LSH. A small k-means-lite coarse quantizer
+   * (deterministic: strided seeding + fixed Lloyd iterations, computed with
+   * DataFrame aggregations) assigns every corpus vector to a cell; a query
+   * probes its `nprobe` nearest cells and scores exactly only within them.
+   * At 100 TB the corpus is partitioned by cell id, so a query touches
+   * nprobe/cells of the data — the centroid table (cells × dim doubles) is a
+   * driver-size literal.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      cells: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val unit = {
+      val v = asDouble(col(vecCol))
+      transform(v, x => x / sqrt(dot(v, v)))
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), unit.as("cv"))
+    val q = queries.select(col(idCol).as("qid"), unit.as("qv"))
+
+    // --- train the coarse quantizer (driver loop; k·dim doubles) ---
+    val n = c.count()
+    val stride = math.max(1L, n / cells)
+    var cent: Seq[Seq[Double]] = c
+      .withColumn("_rn", row_number().over(
+        Window.orderBy("neighbor_id")))
+      .filter((col("_rn") - 1) % stride === 0)
+      .limit(cells)
+      .select("cv").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    def simsTo(v: Column): Column = array(cent.map(ct => dot(v, typedlit(ct))): _*)
+    // argmax = first position of the max similarity (deterministic ties)
+    def cellOf(v: Column): Column =
+      (array_position(simsTo(v), array_max(simsTo(v))) - 1).cast("int")
+    (0 until iters).foreach { _ =>
+      val means = c.withColumn("cell", cellOf(col("cv")))
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cent = cent.indices.map(i => means.getOrElse(i, cent(i)))
+    }
+
+    // --- assign corpus, probe cells, score exactly within candidates ---
+    val assigned = c.withColumn("cell", cellOf(col("cv")))
+    val probes = q.withColumn("_sims", simsTo(col("qv")))
+      .withColumn("cell", explode(slice(
+        transform(array_sort(zip_with(col("_sims"),
+            typedlit((0 until cells).toList),
+            (s, i) => struct((-s).as("negs"), i.as("i")))),
+          p => p.getField("i")),
+        1, nprobe)))
+      .select("qid", "qv", "cell")
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv"))) // unit vectors: dot = cosine
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("neighbor_id"))
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rnk"))
+  }
+
+  /**
    * All corpus pairs with cosine above `threshold` (embedding near-dup
    * detection). Brute force (n² scored pairs) — correct at verification scale;
    * the 100 TB path generates candidates with [[annTopK]]'s signature join

@@ -178,6 +178,16 @@ object ExtQueries {
       },
       None),
 
+    // X3: IVF-bucketed approximate top-k (coarse-quantizer scale path;
+    // approximate → rows-only check).
+    Q("x3_ann_ivf_topk",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, dim = 64)
+          .orderBy("qid", "rnk")
+      },
+      None),
+
     // X3: embedding near-dup pairs above cosine 0.4 (brute force; exact).
     Q("x3_embedding_neardup",
       (s, d) => SimilarityOps.nearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.4),

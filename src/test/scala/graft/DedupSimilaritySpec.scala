@@ -84,6 +84,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann.toSeq === again.toSeq)
   }
 
+  test("ivfTopK: deterministic, finds exact duplicate; reasonable recall") {
+    val dup = vecs.filter($"vec_id" === 3).select(lit(103L).as("vec_id"), $"embedding")
+    val corpus41 = vecs.unionByName(dup)
+    val q = corpus41.filter($"vec_id" === 3)
+    val ivf = SimilarityOps.ivfTopK(corpus41, q, k = 3, dim = 16, cells = 4, nprobe = 2)
+      .as[(Long, Long, Int)].collect()
+    // the duplicate lands in the same cell as the query vector → rank 1
+    assert(ivf.head === ((3L, 103L, 1)))
+    val again = SimilarityOps.ivfTopK(corpus41, q, k = 3, dim = 16, cells = 4, nprobe = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(ivf.toSeq === again.toSeq)
+
+    // recall vs brute force over several queries
+    val queries = vecs.filter($"vec_id" < 8)
+    val exact = SimilarityOps.cosineTopK(vecs, queries, k = 3)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val approx = SimilarityOps.ivfTopK(vecs, queries, k = 3, dim = 16, cells = 4, nprobe = 2)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("nearDupPairs: planted duplicate found at cos ~1") {
     val dup = vecs.filter($"vec_id" === 2).select(lit(102L).as("vec_id"), $"embedding")
     val got = SimilarityOps.nearDupPairs(vecs.unionByName(dup), threshold = 0.99)
