@@ -126,4 +126,15 @@ object Cdc {
    *  columns (reference `job:108`'s select-by-schema-names). */
   def projectToTable(df: DataFrame): DataFrame =
     df.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Target schema for the GUARDED pipeline variant: the business row plus the
+    * persisted op timestamp the guard compares against (SURVEY §7.5.3 — the
+    * reference stores no op ts, which is why its last-batch-wins anomaly is
+    * unfixable there). */
+  val guardedTableSchema: StructType = tableSchema.add("_op_ts", TimestampType)
+
+  /** Projection for guarded tables: business columns + `_op_ts`. */
+  def projectToTableGuarded(df: DataFrame): DataFrame =
+    df.select((tableSchema.fieldNames.map(col) :+
+      col("_op_timestamp").as("_op_ts")).toIndexedSeq: _*)
 }

@@ -52,6 +52,27 @@ object CdcPipeline {
     } finally deduped.unpersist()
   }
 
+  /** GUARDED per-batch kernel (T3 fix, SURVEY §7.5.3): like applyCdcBatch but
+    * a row only replaces/removes stored data when its op timestamp is not
+    * older — late events in later batches can no longer clobber newer rows.
+    * The table must use `Cdc.guardedTableSchema` (persists `_op_ts`). */
+  def applyCdcBatchGuarded(table: TransactionalTable, envelopes: DataFrame, batchId: Long): Unit = {
+    val pkCol = col(Cdc.PrimaryKey)
+    val bad = pkCol.isNull || col("_op").isNull
+    val deduped = Cdc.latestPerKey(Cdc.flatten(envelopes)).persist()
+    try {
+      val stats = deduped.agg(count(lit(1)).as("n"), count(when(bad, 1)).as("nbad")).head()
+      if (stats.getLong(1) > 0)
+        System.err.println(s"[cdc] batch $batchId: dropped ${stats.getLong(1)} malformed row(s)")
+      if (stats.getLong(0) - stats.getLong(1) > 0) {
+        val valid = deduped.filter(!bad)
+        val ups = Cdc.projectToTableGuarded(Cdc.upserts(valid))
+        val dels = Cdc.deletes(valid).select(pkCol, col("_op_timestamp").as("_op_ts"))
+        table.merge(ups, dels, batchId, guardTs = Some("_op_ts"))
+      }
+    } finally deduped.unpersist()
+  }
+
   /** Replay a batch of raw JSON lines (no stream) — used by golden-scenario tests
    *  and the flagship entry query. */
   def replayLines(spark: SparkSession, table: TransactionalTable, lines: Seq[String], batchId: Long): Unit = {

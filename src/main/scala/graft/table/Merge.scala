@@ -33,6 +33,39 @@ object Merge {
   }
 
   /**
+   * Timestamp-GUARDED upsert+delete (the reference's T3 late-data anomaly
+   * fixed, SURVEY §7.5.3: `WHEN MATCHED AND s.ts >= t.ts`): a source row only
+   * replaces/removes the target row when its `tsCol` is not older — a late
+   * event arriving in a later batch can no longer clobber newer data. Both
+   * sides are ≤1 row/key post-W1, so one full-outer join on the PK decides
+   * every key; NULL source ts (unparseable) never wins. `deleteKeys` carries
+   * (pk, tsCol).
+   */
+  def applyGuarded(target: DataFrame, upserts: DataFrame, deleteKeys: DataFrame,
+      pk: String, tsCol: String, broadcastKeys: Boolean = true): DataFrame = {
+    val tCols = target.columns
+    val s = upserts.select(col(pk).as("_spk"), struct(tCols.map(col).toIndexedSeq: _*).as("_srow"),
+      col(tsCol).as("_sts"))
+    val d = deleteKeys.select(col(pk).as("_dpk"), col(tsCol).as("_dts"))
+    val sSide = if (broadcastKeys) broadcast(s) else s
+    val dSide = if (broadcastKeys) broadcast(d) else d
+    val t = target.select(struct(tCols.map(col).toIndexedSeq: _*).as("_trow"),
+      col(pk).as("_tpk"), col(tsCol).as("_tts"))
+    val sourceWins = col("_tpk").isNull ||
+      (col("_sts").isNotNull && (col("_tts").isNull || col("_sts") >= col("_tts")))
+    val deleteWins = col("_dpk").isNotNull && col("_tpk").isNotNull &&
+      col("_dts").isNotNull && (col("_tts").isNull || col("_dts") >= col("_tts"))
+    t.join(sSide, col("_tpk") === col("_spk"), "full_outer")
+      .join(dSide, coalesce(col("_tpk"), col("_spk")) === col("_dpk"), "left_outer")
+      .withColumn("_win",
+        when(deleteWins, lit(null)) // guarded delete removes the key
+          .when(col("_spk").isNotNull && sourceWins, col("_srow"))
+          .otherwise(col("_trow")))
+      .filter(col("_win").isNotNull)
+      .select(col("_win.*"))
+  }
+
+  /**
    * Combined upsert+delete in a single pass over the target. After W1 dedup the
    * key sets are disjoint (≤1 row/key), so this equals the reference's
    * sequential upsert-then-delete MERGEs (O4 ordering) with one fewer scan.

@@ -167,7 +167,13 @@ final class TransactionalTable private (
    * PK range can contain a touched key.
    */
   def merge(upserts: DataFrame, deleteKeys: DataFrame, batchId: Long,
-      mode: MergeMode = MergeMode.CopyOnWrite): Unit = synchronized {
+      mode: MergeMode = MergeMode.CopyOnWrite,
+      /** When set, the merge is timestamp-GUARDED on this (table) column:
+        * a source row only wins over the stored row if its ts is not older
+        * (fixes the reference's last-batch-wins late-data anomaly, SURVEY
+        * §7.5.3). `deleteKeys` must then carry (pk, guardTs). CoW only —
+        * MOR equality deletes mask unconditionally by construction. */
+      guardTs: Option[String] = None): Unit = synchronized {
     val snap = snapshot
     if (batchId <= snap.batchId) return // T4: replayed batch — already committed
 
@@ -176,14 +182,22 @@ final class TransactionalTable private (
     // to an observable drop, not an NPE that wedges the stream on replay.
     val up = upserts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .filter(col(pk).isNotNull)
-    val dels = deleteKeys.select(col(pk)).filter(col(pk).isNotNull)
+    guardTs.foreach { ts =>
+      require(schema.fieldNames.contains(ts), s"guard column $ts not in table schema")
+      require(mode == MergeMode.CopyOnWrite, "guarded merge requires CopyOnWrite")
+    }
+    val dels = guardTs match {
+      case Some(ts) => deleteKeys.select(col(pk), col(ts)).filter(col(pk).isNotNull)
+      case None => deleteKeys.select(col(pk)).filter(col(pk).isNotNull)
+    }
     mode match {
-      case MergeMode.CopyOnWrite => mergeCow(snap, up, dels, batchId)
+      case MergeMode.CopyOnWrite => mergeCow(snap, up, dels, batchId, guardTs)
       case MergeMode.MergeOnRead => mergeMor(snap, up, dels, batchId)
     }
   }
 
-  private def mergeCow(snap: Snapshot, up: DataFrame, dels: DataFrame, batchId: Long): Unit = {
+  private def mergeCow(snap: Snapshot, up: DataFrame, dels: DataFrame, batchId: Long,
+      guardTs: Option[String] = None): Unit = {
     // Touched-key set. A CDC micro-batch is bounded by the trigger interval and
     // post-W1 has ≤1 row/key, so collecting keys is driver-safe (cap guarded);
     // past the cap we degrade to min/max-range pruning only.
@@ -209,7 +223,10 @@ final class TransactionalTable private (
     val slice = scanWithDeletes(affected, snap.deletes)
     // A key set past the collect cap is also past sensible broadcast size —
     // let Catalyst/AQE pick the join strategy there instead.
-    val merged = Merge(slice, up, dels, pk, broadcastKeys = !oversized)
+    val merged = guardTs match {
+      case Some(ts) => Merge.applyGuarded(slice, up, dels, pk, ts, broadcastKeys = !oversized)
+      case None => Merge(slice, up, dels, pk, broadcastKeys = !oversized)
+    }
 
     val newVersion = snap.version + 1
     val newFiles = writeDataFiles(merged, dataDir.resolve(s"v$newVersion"), seq = newVersion)
