@@ -114,7 +114,8 @@ object ReplayQueries {
             date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
           .orderBy("trans_id")
       },
-      Some(endStateOracle)),
+      Some(endStateOracle),
+      headline = true),
 
     // Snapshot history (Iceberg `table.snapshots` parity) — manifest-only
     // metadata; bytes vary per run so the oracle pins the invariant columns.
