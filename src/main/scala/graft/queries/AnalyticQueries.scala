@@ -144,6 +144,26 @@ object AnalyticQueries {
         |  COUNT(CASE WHEN l_quantity >= 10 THEN 1 END) AS n_big
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // LEFT OUTER join with null-aware counting: customers with their order
+    // counts, including order-less customers at 0.
+    sqlQ("x7_left_join_counts",
+      """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin),
+
+    // Scalar subquery: orders above the global average price (exact DECIMAL
+    // average on both sides).
+    sqlQ("x7_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(18,2))
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // O2: LIMIT 0 — the reference's schema-probe shape (`job:96`).
+    sqlQ("x7_limit_zero",
+      "SELECT event_id, event_type FROM events LIMIT 0"),
+
     // Analytic lag(): per-customer inter-order gaps in days (exact int math
     // on epoch days; LAG parses identically in both dialects).
     sqlQ("x7_order_gaps",

@@ -91,6 +91,25 @@ object ReplayQueries {
              |  ('visit', CAST(2 AS BIGINT), CAST(40 AS BIGINT))
              |) AS t(event, n, total_amount) ORDER BY event""".stripMargin)),
 
+    // GUARDED replay (T3 late-data fix): the golden scenarios arrive in op-ts
+    // order, so the guarded pipeline must land on the exact same end state —
+    // driver-checks the timestamp-guard algebra itself.
+    Q("cdc_replay_guarded_end_state",
+      (s, _) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_replay_g").toString
+        val t = TransactionalTable.create(s, root, Cdc.guardedTableSchema, Cdc.PrimaryKey,
+          Some(Cdc.PartitionColumn))
+        CdcPipeline.applyCdcBatchGuarded(t, Cdc.parse(CdcFixtures.scenario1Lines.toDS()), 0)
+        CdcPipeline.applyCdcBatchGuarded(t, Cdc.parse(CdcFixtures.scenario2Lines.toDS()), 1)
+        t.scan()
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+          .orderBy("trans_id")
+      },
+      Some(endStateOracle)),
+
     // Merge-on-read replay: same golden scenarios applied as Iceberg-v2-style
     // data + equality-delete files (no rewrite at merge time; the delete
     // anti-join runs at scan). Oracle: identical golden end state.
