@@ -26,8 +26,19 @@ object SimilarityOps {
   /** Exact float→double widening of an `array<float>` column. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Sequential-fold dot product (left-to-right, deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product as a native codegen'd Catalyst expression
+    * (graft.functions.DotProduct): tight primitive loop, no per-element
+    * lambda dispatch — same left-to-right accumulation as [[dotHof]], so
+    * results are bit-identical. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    GraftShims.column(graft.functions.DotProduct(
+      GraftShims.expression(a), GraftShims.expression(b)))
+  }
+
+  /** Reference HOF form of the dot product (zip_with + sequential fold) —
+    * kept for equivalence testing against the codegen expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Cosine similarity, computed as dot/(sqrt(dot)·sqrt(dot)) — the same

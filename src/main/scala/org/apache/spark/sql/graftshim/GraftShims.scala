@@ -1,13 +1,19 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
 
 /** Minimal bridge to `private[sql]` Spark internals (the standard table-format
-  * technique — Delta/Iceberg ship equivalent shims). Only what GraftMergeExec
-  * needs: build a DataFrame from an analyzed LogicalPlan. */
+  * technique — Delta/Iceberg ship equivalent shims): build a DataFrame from an
+  * analyzed LogicalPlan (GraftMergeExec) and wrap a custom catalyst Expression
+  * as a Column (graft.functions). */
 object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
