@@ -43,6 +43,17 @@ object StreamingOps {
   }
 
   /**
+   * Streaming exact dedup (X1's streaming twin): first-seen-wins per key with
+   * watermark-BOUNDED state — without the watermark, the seen-keys state
+   * grows forever on an unbounded stream; with it, Spark evicts keys once
+   * they can no longer collide with late arrivals.
+   */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /**
    * Gap-based sessionization over an unbounded stream of (user_id, ts_us):
    * the streaming twin of `graft.ops.EventOps.sessionize`. Per-user open
    * sessions live in the state store; a session closes (and is emitted) when

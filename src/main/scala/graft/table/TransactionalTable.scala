@@ -151,14 +151,46 @@ final class TransactionalTable private (
     if (s.deletes.isEmpty) s.rowCount else scan().count()
   }
 
+  /**
+   * Expire old snapshots (Iceberg `expire_snapshots` parity): keep the last
+   * `keepLast` versions, delete older manifests and any data/delete file no
+   * kept snapshot references. Time travel remains valid within the kept
+   * window; storage stops growing without bound under continuous CDC.
+   */
+  def expireSnapshots(keepLast: Int = 2): Unit = synchronized {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val current = currentVersion
+    val cutoff = current - keepLast + 1
+    if (cutoff <= 0) return
+    val kept = (cutoff to current).map(snapshotAt)
+    val referenced = kept.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
+    (0L until cutoff).foreach { v =>
+      val m = manifestDir.resolve(s"v$v.json")
+      if (Files.exists(m)) {
+        val snap = snapshotAt(v)
+        (snap.files.map(_.path) ++ snap.deletes.map(_.path))
+          .filterNot(referenced)
+          .foreach { p =>
+            val path = Paths.get(p)
+            if (Files.isDirectory(path))
+              Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+            else Files.deleteIfExists(path)
+          }
+        Files.delete(m)
+      }
+    }
+  }
+
   /** Snapshot history (Iceberg's `table.snapshots` parity), manifest-only:
     * one row per committed version with its fencing batchId and stats. */
   def history(): DataFrame = {
     import spark.implicits._
-    (0L to currentVersion).map { v =>
-      val s = snapshotAt(v)
-      (s.version, s.batchId, s.files.size.toLong, s.rowCount, s.files.map(_.bytes).sum)
-    }.toDF("version", "batch_id", "n_files", "n_rows", "n_bytes")
+    (0L to currentVersion)
+      .filter(v => Files.exists(manifestDir.resolve(s"v$v.json"))) // expired are gone
+      .map { v =>
+        val s = snapshotAt(v)
+        (s.version, s.batchId, s.files.size.toLong, s.rowCount, s.files.map(_.bytes).sum)
+      }.toDF("version", "batch_id", "n_files", "n_rows", "n_bytes")
   }
 
   /**

@@ -30,6 +30,25 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicate events across batches collapse to one") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "event_id", "payload")
+    val q = StreamingOps.dedupStream(df, Seq("event_id"), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData((t(0), 1L, "a"), (t(1), 2L, "b"), (t(1), 1L, "a-dup"))
+      q.processAllAvailable()
+      mem.addData((t(2), 1L, "a-dup-later-batch"), (t(3), 3L, "c"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select($"event_id", $"payload")
+        .as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("stateful sessionization across micro-batches (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
@@ -71,6 +72,33 @@ class TableRobustnessSpec extends SparkSpec {
     CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
     assert(t.currentVersion === 1L)
     assert(t.scan().count() === 10)
+  }
+
+  test("expireSnapshots: old manifests and orphaned files removed, kept window intact") {
+    val root = tmpDir("ttable-expire")
+    val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
+      Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario2Lines, batchId = 1)
+    t.compact() // v3
+    val dataBefore = t.scan().orderBy("trans_id").collect().toSeq
+    val filesBefore = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet"))
+
+    t.expireSnapshots(keepLast = 1)
+    // current snapshot untouched
+    assert(t.scan().orderBy("trans_id").collect().toSeq === dataBefore)
+    assert(t.countRows === 12)
+    // old manifests gone; time travel beyond the window now fails
+    assert(!Files.exists(Paths.get(root, "manifest", "v0.json")))
+    assert(!Files.exists(Paths.get(root, "manifest", "v1.json")))
+    intercept[Exception] { t.scanAt(1).count() }
+    // orphaned data files physically removed
+    val filesAfter = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet"))
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    // history only reports the kept window
+    assert(t.history().count() === 1)
   }
 
   test("oversized batch path: merge beyond the collect cap stays correct") {
