@@ -334,7 +334,11 @@ final class TransactionalTable private (
     * directory (delete sets are small; part-file granularity isn't needed). */
   private def writeDeleteFile(keys: DataFrame, outDir: Path, seq: Long): Option[DeleteFile] = {
     keys.withColumn("_dseq", lit(seq)).write.mode("overwrite").parquet(outDir.toString)
-    val written = spark.read.parquet(outDir.toString)
+    // explicit schema: an empty key set writes no part files, and schema
+    // inference over _SUCCESS-only directories throws
+    val written = spark.read
+      .schema(new StructType().add(pk, "long").add("_dseq", "long"))
+      .parquet(outDir.toString)
     val stats = written.agg(min(col(pk).cast("long")), max(col(pk).cast("long")),
       count(lit(1))).collect().head
     if (stats.getLong(2) == 0) None
