@@ -198,6 +198,76 @@ object ReplayQueries {
       },
       Some(timeTravelOracle)),
 
+    // MOR tables through the SQL front door: both scenarios applied as
+    // merge-on-read (uncompacted — two pending equality-delete files), then
+    // an aggregate via `SELECT ... FROM graft.db.t`. GraftMorScanRule
+    // substitutes the delete-aware anti-join plan during analysis, so SQL
+    // answers are correct whatever the write mode — the reference's Athena-
+    // over-Iceberg-v2 promise (`README.md:507-513`). Oracle: per-event
+    // aggregate of the golden end state (same as cdc_sql_over_table).
+    Q("cdc_sql_over_mor",
+      (s, _) => {
+        import s.implicits._
+        val cat = s"graft_mor${System.nanoTime()}" // unique: catalogs cache by name
+        val warehouse = Files.createTempDirectory("graft_warehouse_mor").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        def applyB(lines: Seq[String], b: Long): Unit = {
+          val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+          t.merge(Cdc.projectToTable(Cdc.upserts(deduped)),
+            Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)), b,
+            graft.table.MergeMode.MergeOnRead)
+        }
+        applyB(CdcFixtures.scenario1Lines, 0)
+        applyB(CdcFixtures.scenario2Lines, 1)
+        assert(t.snapshot.deletes.nonEmpty, "test premise: deletes must be pending")
+        s.sql(s"""SELECT event, COUNT(*) AS n, SUM(amount) AS total_amount
+                  FROM $cat.db.retail GROUP BY event ORDER BY event""")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('cart', CAST(2 AS BIGINT), CAST(127 AS BIGINT)),
+             |  ('like', CAST(4 AS BIGINT), CAST(88 AS BIGINT)),
+             |  ('list', CAST(3 AS BIGINT), CAST(44 AS BIGINT)),
+             |  ('purchase', CAST(1 AS BIGINT), CAST(5 AS BIGINT)),
+             |  ('visit', CAST(2 AS BIGINT), CAST(40 AS BIGINT))
+             |) AS t(event, n, total_amount) ORDER BY event""".stripMargin)),
+
+    // GUARDED MERGE through SQL (`WHEN MATCHED AND s._op_ts >= t._op_ts`) —
+    // the engine's T3 late-data fix reachable from the SQL surface, not just
+    // the Scala API: scenario1 via the guarded pipeline, scenario2's upserts
+    // and deletes via two guarded MERGE INTO statements. Oracle: the same
+    // golden 12-row end state as cdc_replay_guarded_end_state.
+    Q("cdc_sql_merge_guarded",
+      (s, _) => {
+        import s.implicits._
+        val cat = s"graft_g${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_g").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail",
+          Cdc.guardedTableSchema, Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.applyCdcBatchGuarded(t, Cdc.parse(CdcFixtures.scenario1Lines.toDS()), 0)
+        val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(CdcFixtures.scenario2Lines.toDS())))
+        Cdc.projectToTableGuarded(Cdc.upserts(deduped))
+          .createOrReplaceTempView("cdc_g_upserts")
+        Cdc.deletes(deduped)
+          .select(col(Cdc.PrimaryKey), col("_op_timestamp").as("_op_ts"))
+          .createOrReplaceTempView("cdc_g_deletes")
+        s.sql(s"""MERGE INTO $cat.db.retail t USING cdc_g_upserts s ON t.trans_id = s.trans_id
+                  WHEN MATCHED AND s._op_ts >= t._op_ts THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"""MERGE INTO $cat.db.retail t USING cdc_g_deletes s ON t.trans_id = s.trans_id
+                  WHEN MATCHED AND s._op_ts >= t._op_ts THEN DELETE""")
+        s.sql(s"SELECT trans_id, customer_id, event, sku, amount, device, " +
+          "date_format(trans_datetime, 'yyyy-MM-dd HH:mm:ss') AS trans_datetime " +
+          s"FROM $cat.db.retail ORDER BY trans_id")
+      },
+      Some(endStateOracle)),
+
     // Scale-up CDC replay over the events fixture (sf-scalable, full
     // pipeline). End state = last event per user (ts is monotone in
     // event_id), deletes drop 'error'-typed users — SQL-expressible, so the

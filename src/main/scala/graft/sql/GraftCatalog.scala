@@ -77,29 +77,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident)
     val t = TransactionalTable.open(spark, root)
     val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
-    if (snap.deletes.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"table at $root has pending merge-on-read delete files; run compact() " +
-          "before SQL reads (the DSv2 scan path reads data files only)")
     val entries = snap.files.map(f =>
       org.apache.spark.sql.graftshim.ManifestEntry(f.path, f.partition, f.pkMin, f.pkMax, f.bytes))
+    // Pending merge-on-read deletes: the relation is flagged and rewritten by
+    // GraftMorScanRule into the delete-aware anti-join plan — SQL reads work
+    // whatever the table's write mode (the reference's product promise:
+    // Athena reads the live Iceberg v2 table, `README.md:507-513`).
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      t.schema, entries, spark, root, version, t.pk, t.partitionCol)
+      t.schema, entries, spark, root, version, t.pk, t.partitionCol,
+      loadedVersion = snap.version, morPending = snap.deletes.nonEmpty)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val pk = Option(properties.get("pk")).getOrElse(schema.fieldNames.head)
-    val partCol = partitions.collectFirst {
+    // Silently dropping a transform would produce an unpartitioned table the
+    // user believes is partitioned — reject anything we don't implement.
+    val identities = partitions.toSeq.map {
       case t if t.name == "identity" => t.references().head.fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"unsupported partition transform ${t.describe()}: identity transforms only")
     }
+    if (identities.length > 1)
+      throw new UnsupportedOperationException(
+        s"at most one partition column supported, got: ${identities.mkString(", ")}")
+    val partCol = identities.headOption
     Files.createDirectories(Paths.get(rootOf(ident)).getParent)
     TransactionalTable.create(spark, rootOf(ident), schema, pk, partCol)
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported; use the engine API")
+  /** Schema evolution: `ALTER TABLE graft.db.t ADD COLUMN c TYPE` (top-level,
+    * nullable — Iceberg's optional-column semantics). Other changes are
+    * rejected loudly rather than silently ignored. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    var t = TransactionalTable.open(spark, rootOf(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        t = t.addColumn(add.fieldNames().head, add.dataType())
+      case add: TableChange.AddColumn =>
+        throw new UnsupportedOperationException(
+          s"nested ADD COLUMN not supported: ${add.fieldNames().mkString(".")}")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other (ADD COLUMN only)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = Paths.get(rootOf(ident))
@@ -154,14 +179,30 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
       * even for MERGE */
     val pinnedVersion: Option[Long],
     pk: String,
-    partitionCol: Option[String])
+    partitionCol: Option[String],
+    /** snapshot version this relation was resolved at (= pinnedVersion when
+      * time-traveling, else the current version) — pins the MOR rewrite to
+      * the same snapshot the file list came from */
+    val loadedVersion: Long = 0L,
+    /** true when the snapshot carries uncompacted equality-delete files; such
+      * relations are rewritten by GraftMorScanRule before any scan is built */
+    val morPending: Boolean = false)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (morPending)
+      // Only reachable when graft.sql.GraftExtensions is NOT registered (the
+      // rewrite rule removes flagged relations during analysis). Fail loudly:
+      // a plain file scan would silently resurrect deleted rows.
+      throw new UnsupportedOperationException(
+        s"$tableName has pending merge-on-read delete files; register " +
+          "spark.sql.extensions=graft.sql.GraftExtensions (delete-aware SQL " +
+          "reads) or run compact()")
     org.apache.spark.sql.graftshim.ManifestFileIndex.scanBuilder(
       spark, tableSchema, entries, pk, partitionCol, options)
+  }
 }

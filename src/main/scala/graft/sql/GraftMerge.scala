@@ -38,7 +38,10 @@ final case class GraftMergeCommand(
     root: String,
     source: LogicalPlan,
     isDelete: Boolean,
-    pk: String) extends UnaryCommand {
+    pk: String,
+    /** Timestamp-guarded merge (`WHEN MATCHED AND s.<ts> >= t.<ts>`): the
+      * engine's T3 late-data fix (SURVEY §7.5.3), reachable from SQL. */
+    guardTs: Option[String] = None) extends UnaryCommand {
   override def child: LogicalPlan = source
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
     copy(source = newChild)
@@ -85,6 +88,29 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** Explicit assignments are only equivalent to star when they cover EVERY
+    * target column — a partial list executed as `SET *` would clobber the
+    * unassigned columns with source values instead of preserving them. */
+  private def coversAllColumns(assigns: Seq[Assignment],
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    val assigned = assigns.collect {
+      case Assignment(k: Attribute, _) => k.name.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+    schema.fieldNames.forall(f => assigned.contains(f.toLowerCase(java.util.Locale.ROOT)))
+  }
+
+  /** Matches `s.<ts> >= t.<ts>` (same column name both sides) and returns the
+    * guard column; the engine routes such merges through Merge.applyGuarded. */
+  private def guardColumn(cond: Expression, target: LogicalPlan,
+      source: LogicalPlan): Option[String] = cond match {
+    case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+        a: Attribute, b: Attribute)
+        if source.outputSet.contains(a) && target.outputSet.contains(b) &&
+          a.name.equalsIgnoreCase(b.name) =>
+      Some(b.name)
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, Seq(), false)
         if m.childrenResolved =>
@@ -97,17 +123,47 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (!isPkEquality(cond, pk, target, source))
             throw new UnsupportedOperationException(
               s"graft MERGE requires ON target.$pk = source.$pk")
+          // Star actions may arrive verbatim or already star-expanded into
+          // explicit per-column identity assignments (the analyzer expands
+          // them before post-hoc rules run) — accept both, requiring expanded
+          // forms to cover EVERY target column (a partial list executed as
+          // SET * would clobber unassigned columns).
+          def starUpdateCond(a: MergeAction): Option[Option[Expression]] = a match {
+            case UpdateStarAction(c) => Some(c)
+            case UpdateAction(c, as, _)
+                if identityAssignments(as) && coversAllColumns(as, g.schema()) =>
+              Some(c)
+            case _ => None
+          }
+          def starInsert(a: MergeAction): Boolean = a match {
+            case InsertStarAction(None) => true
+            case InsertAction(None, as) =>
+              identityAssignments(as) && coversAllColumns(as, g.schema())
+            case _ => false
+          }
+          def reject(): Nothing = throw new UnsupportedOperationException(
+            "graft MERGE supports UPDATE SET * + INSERT * (upsert), DELETE, " +
+              "their s.ts >= t.ts guarded forms, or explicit identity " +
+              "assignments covering every target column")
           (matched, notMatched) match {
-            case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-              GraftMergeCommand(g.root, source, isDelete = false, pk)
-            case (Seq(UpdateAction(None, as1, _)), Seq(InsertAction(None, as2)))
-                if identityAssignments(as1) && identityAssignments(as2) =>
-              GraftMergeCommand(g.root, source, isDelete = false, pk)
+            case (Seq(u), Seq(i)) if starUpdateCond(u).isDefined && starInsert(i) =>
+              starUpdateCond(u).get match {
+                case None =>
+                  GraftMergeCommand(g.root, source, isDelete = false, pk)
+                // Timestamp-guarded upsert: WHEN MATCHED AND s.ts >= t.ts
+                case Some(c) if guardColumn(c, target, source).isDefined =>
+                  GraftMergeCommand(g.root, source, isDelete = false, pk,
+                    guardTs = guardColumn(c, target, source))
+                case _ => reject()
+              }
             case (Seq(DeleteAction(None)), Seq()) =>
               GraftMergeCommand(g.root, source, isDelete = true, pk)
-            case _ =>
-              throw new UnsupportedOperationException(
-                "graft MERGE supports UPDATE SET * + INSERT * (upsert) or DELETE only")
+            // Timestamp-guarded delete: WHEN MATCHED AND s.ts >= t.ts THEN DELETE
+            case (Seq(DeleteAction(Some(c))), Seq())
+                if guardColumn(c, target, source).isDefined =>
+              GraftMergeCommand(g.root, source, isDelete = true, pk,
+                guardTs = guardColumn(c, target, source))
+            case _ => reject()
           }
         case None => m
       }
@@ -133,14 +189,18 @@ final case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
     val spark = session
     val t = TransactionalTable.open(spark, cmd.root)
     val src = org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, cmd.source)
-    // SQL merges advance the replay fence by one (they are not stream
-    // batches; interleaving with a checkpointed stream on the SAME table is
-    // the caller's contract to avoid, as with any second writer).
-    val batchId = t.snapshot.batchId + 1
-    if (cmd.isDelete)
-      t.merge(emptyLike(spark, t), src.select(col(cmd.pk)), batchId)
-    else
-      t.merge(src, emptyLike(spark, t).select(col(cmd.pk)), batchId)
+    // mergeAdhoc: SQL merges are not stream batches — the commit must NOT
+    // advance the replay fence, or a checkpointed stream resuming on the same
+    // table would have its next batch silently fenced out as a replay.
+    val empty = emptyLike(spark, t)
+    (cmd.isDelete, cmd.guardTs) match {
+      case (true, None) => t.mergeAdhoc(empty, src.select(col(cmd.pk)))
+      case (false, None) => t.mergeAdhoc(src, empty.select(col(cmd.pk)))
+      case (true, g @ Some(ts)) =>
+        t.mergeAdhoc(empty, src.select(col(cmd.pk), col(ts)), guardTs = g)
+      case (false, g @ Some(ts)) =>
+        t.mergeAdhoc(src, empty.select(col(cmd.pk), col(ts)), guardTs = g)
+    }
   }
 
   private def emptyLike(spark: SparkSession, t: TransactionalTable) =
@@ -176,6 +236,10 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new GraftMergeRule(s))
+    // AFTER the merge rule (injection order is execution order): write
+    // targets become engine commands first; remaining MOR-pending relations
+    // (plain reads, merge sources) get the delete-aware substitution.
+    ext.injectPostHocResolutionRule(s => new GraftMorScanRule(s))
     ext.injectPlannerStrategy(s => new GraftMergeStrategy(s))
   }
 }

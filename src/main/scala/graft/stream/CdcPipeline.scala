@@ -1,5 +1,7 @@
 package graft.stream
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -22,6 +24,15 @@ import graft.table.TransactionalTable
  *    disjoint after W1 dedup, so this equals the reference's
  *    upsert-then-delete order, O4).
  */
+/** Stream start semantics (reference `job:46-47`: Kinesis `startingPosition`).
+  * TrimHorizon replays everything already in the source; Latest starts from
+  * the tip — records present BEFORE the stream started are not replayed. */
+sealed trait StartingPosition
+object StartingPosition {
+  case object TrimHorizon extends StartingPosition
+  case object Latest extends StartingPosition
+}
+
 object CdcPipeline {
 
   /** Per-batch kernel: flatten → W1 dedup → route → MERGE. Callable from both
@@ -93,8 +104,29 @@ object CdcPipeline {
       table: TransactionalTable,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("100 seconds"),
-      compactEvery: Int = 0): StreamingQuery = {
-    val envelopes = spark.readStream.schema(Cdc.envelopeSchema).json(inputDir)
+      compactEvery: Int = 0,
+      /** LATEST vs TRIM_HORIZON (reference `job:46-47`). The local file
+        * source has no skip-existing option, so LATEST snapshots the file
+        * names present at start and filters them out of every batch — exact
+        * "start at the tip" semantics; the In-list is bounded by the files
+        * present at start, not by stream lifetime. */
+      startingPosition: StartingPosition = StartingPosition.TrimHorizon): StreamingQuery = {
+    val source = spark.readStream.schema(Cdc.envelopeSchema).json(inputDir)
+    val envelopes = startingPosition match {
+      case StartingPosition.TrimHorizon => source
+      case StartingPosition.Latest =>
+        val dir = java.nio.file.Paths.get(inputDir)
+        val pre =
+          if (!java.nio.file.Files.isDirectory(dir)) Seq.empty[String]
+          else {
+            val s = java.nio.file.Files.list(dir)
+            try s.iterator().asScala.map(_.getFileName.toString).toSeq
+            finally s.close()
+          }
+        if (pre.isEmpty) source
+        else source.filter(
+          !element_at(split(input_file_name(), "/"), -1).isin(pre: _*))
+    }
     val fn: (Dataset[Row], Long) => Unit = (df, batchId) => {
       applyCdcBatch(table, df.toDF(), batchId)
       // Periodic bin-packing: a 100 s trigger accretes ~864 commits/day of

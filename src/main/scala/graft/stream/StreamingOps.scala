@@ -57,27 +57,50 @@ object StreamingOps {
    * Gap-based sessionization over an unbounded stream of (user_id, ts_us):
    * the streaming twin of `graft.ops.EventOps.sessionize`. Per-user open
    * sessions live in the state store; a session closes (and is emitted) when
-   * a later event arrives more than `gapUs` after the session's last event.
+   * a later event arrives more than `gapUs` after the session's last event,
+   * OR when the key has been idle for `idleTimeout` of processing time — the
+   * timeout flushes the user's final session and clears their state, so
+   * open-session state cannot grow without bound on an unbounded stream.
    * Append-mode semantics: only closed sessions are emitted.
+   *
+   * `idleTimeout = None` disables the flush (state then lives until its
+   * session closes by gap) — for deterministic finite replays and tests,
+   * where processing-time timeouts would make output timing-dependent (and
+   * where a pending timeout keeps the engine scheduling no-data batches, so
+   * `processAllAvailable` never settles). Unbounded production streams should
+   * keep the default.
    */
-  def sessionizeStream(events: Dataset[(Long, Long)], gapUs: Long): Dataset[SessionOut] = {
+  def sessionizeStream(events: Dataset[(Long, Long)], gapUs: Long,
+      idleTimeout: Option[String] = Some("30 minutes")): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_._1).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      OutputMode.Append,
+      idleTimeout.fold[GroupStateTimeout](GroupStateTimeout.NoTimeout)(_ =>
+        GroupStateTimeout.ProcessingTimeTimeout)) {
       (user: Long, it: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-        val sorted = it.map(_._2).toArray.sorted
-        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-        var st = state.getOption.orNull
-        sorted.foreach { us =>
-          if (st == null) st = SessionState(0L, us, us, 1L)
-          else if (us - st.lastUs > gapUs) {
-            out += SessionOut(user, st.sessionId, st.n, st.lastUs - st.startUs)
-            st = SessionState(st.sessionId + 1, us, us, 1L)
-          } else st = SessionState(st.sessionId, st.startUs, us, st.n + 1)
+        if (state.hasTimedOut) {
+          // Idle key: emit the open session as closed and drop the state.
+          val st = state.get
+          state.remove()
+          Iterator.single(SessionOut(user, st.sessionId, st.n, st.lastUs - st.startUs))
+        } else {
+          val sorted = it.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          sorted.foreach { us =>
+            if (st == null) st = SessionState(0L, us, us, 1L)
+            else if (us - st.lastUs > gapUs) {
+              out += SessionOut(user, st.sessionId, st.n, st.lastUs - st.startUs)
+              st = SessionState(st.sessionId + 1, us, us, 1L)
+            } else st = SessionState(st.sessionId, st.startUs, us, st.n + 1)
+          }
+          if (st != null) {
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+          }
+          out.iterator
         }
-        if (st != null) state.update(st)
-        out.iterator
     }
   }
 }

@@ -71,6 +71,20 @@ final class TransactionalTable private (
 
   import TransactionalTable._
 
+  // Fail fast at table-handle construction: manifest pruning and the MOR
+  // delete join key on `cast(pk as long)`; a non-integral PK would yield null
+  // stats that silently disable file pruning (lost updates), not an error.
+  require(schema.fieldNames.contains(pk), s"pk column '$pk' not in table schema")
+  schema(pk).dataType match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+    case dt => throw new IllegalArgumentException(
+      s"pk column '$pk' must be integral (byte/short/int/long), got ${dt.simpleString}: " +
+        "per-file pkMin/pkMax stats and equality-delete keys are 64-bit")
+  }
+  partitionCol.foreach(p => require(schema.fieldNames.contains(p),
+    s"partition column '$p' not in table schema"))
+
   private def manifestDir = Paths.get(root, "manifest")
   private def pointerPath = Paths.get(root, "_current")
   private def dataDir = Paths.get(root, "data")
@@ -208,12 +222,29 @@ final class TransactionalTable private (
       guardTs: Option[String] = None): Unit = synchronized {
     val snap = snapshot
     if (batchId <= snap.batchId) return // T4: replayed batch — already committed
+    doMerge(snap, upserts, deleteKeys, batchId, mode, guardTs)
+  }
 
+  /**
+   * MERGE outside the stream: same row-level semantics as [[merge]], but the
+   * commit PRESERVES the snapshot's `batchId` instead of consuming one — an
+   * ad-hoc SQL `MERGE INTO` must not advance the replay fence past a
+   * checkpointed stream's next batch, or the stream's resume would be
+   * silently fenced out as a replay.
+   */
+  def mergeAdhoc(upserts: DataFrame, deleteKeys: DataFrame,
+      mode: MergeMode = MergeMode.CopyOnWrite,
+      guardTs: Option[String] = None): Unit = synchronized {
+    val snap = snapshot
+    doMerge(snap, upserts, deleteKeys, snap.batchId, mode, guardTs)
+  }
+
+  private def doMerge(snap: Snapshot, upserts: DataFrame, deleteKeys: DataFrame,
+      batchId: Long, mode: MergeMode, guardTs: Option[String]): Unit = {
     // Null-PK rows are dropped here by policy (defense in depth — the pipeline
     // already filters and counts them): a malformed CDC envelope must degrade
     // to an observable drop, not an NPE that wedges the stream on replay.
-    val up = upserts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      .filter(col(pk).isNotNull)
+    val up = conformed(upserts).filter(col(pk).isNotNull)
     guardTs.foreach { ts =>
       require(schema.fieldNames.contains(ts), s"guard column $ts not in table schema")
       require(mode == MergeMode.CopyOnWrite, "guarded merge requires CopyOnWrite")
@@ -283,12 +314,44 @@ final class TransactionalTable private (
       snap.deletes ++ delFile.toSeq))
   }
 
+  /**
+   * Schema evolution (ALTER TABLE ... ADD COLUMN parity — Iceberg's most
+   * common evolution; the reference composes it implicitly via Iceberg table
+   * metadata): append a nullable column to the table schema. Zero data
+   * movement — files written before the evolution simply lack the column,
+   * and every read path already supplies the table schema explicitly, so the
+   * Parquet readers null-fill it (the same trick Iceberg's schema-id
+   * resolution performs). Old snapshots stay time-travelable (read with the
+   * unified schema, new column null). Returns the evolved table handle —
+   * this instance keeps its pre-evolution schema.
+   */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): TransactionalTable =
+    synchronized {
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' already exists")
+      val evolved = schema.add(name, dataType, nullable = true)
+      writeTableMeta(root, evolved, pk, partitionCol)
+      new TransactionalTable(spark, root, evolved, pk, partitionCol)
+    }
+
+  /** Conform a merge/append input to the table schema: columns the input
+    * lacks are null-filled (post-evolution writers that predate the new
+    * column keep working — Iceberg's optional-column semantics); extra
+    * columns are dropped by the projection. */
+  private def conformed(df: DataFrame): DataFrame = {
+    val present = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    df.select(schema.fields.map { f =>
+      if (present.contains(f.name.toLowerCase(java.util.Locale.ROOT))) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   /** Bulk append (bootstrap / initial load): no key matching, pure add. */
   def append(rows: DataFrame, batchId: Long = -1L): Unit = synchronized {
     val snap = snapshot
     if (batchId >= 0 && batchId <= snap.batchId) return
     val newVersion = snap.version + 1
-    val newFiles = writeDataFiles(rows.select(schema.fieldNames.map(col).toIndexedSeq: _*),
+    val newFiles = writeDataFiles(conformed(rows),
       dataDir.resolve(s"v$newVersion"), seq = newVersion)
     commit(Snapshot(newVersion, math.max(batchId, snap.batchId),
       snap.files ++ newFiles, snap.deletes))
@@ -453,6 +516,16 @@ object TransactionalTable {
     // Self-describing table: persist schema/pk/partitioning so catalogs
     // (graft.sql.GraftCatalog) and tools can open the table from its path
     // alone (what Iceberg keeps in table metadata files).
+    writeTableMeta(root, schema, pk, partitionCol)
+    t.commit(Snapshot(0L, -1L, Seq.empty))
+    t
+  }
+
+  /** (Re)write `_table.json` atomically — also the schema-evolution commit
+    * point (addColumn): readers see either the old or the new schema, never
+    * a torn file. */
+  private[table] def writeTableMeta(root: String, schema: StructType, pk: String,
+      partitionCol: Option[String]): Unit = {
     val meta = mapper.createObjectNode()
     meta.put("schemaJson", schema.json)
     meta.put("pk", pk)
@@ -460,9 +533,11 @@ object TransactionalTable {
       case Some(p) => meta.put("partitionCol", p)
       case None => meta.putNull("partitionCol")
     }
-    Files.write(Paths.get(root, "_table.json"), mapper.writeValueAsBytes(meta))
-    t.commit(Snapshot(0L, -1L, Seq.empty))
-    t
+    val tmp = Paths.get(root, "_table.json.tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(meta),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(root, "_table.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   def load(spark: SparkSession, root: String, schema: StructType, pk: String,

@@ -16,4 +16,8 @@ object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame (for plan substitution in rules). */
+  def planOf(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.analyzed
 }

@@ -77,6 +77,50 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE ADD COLUMN: merge → evolve → merge → unified scan; time travel intact") {
+    val w = tmpDir("graft-evolve-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_ev", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ev.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val root = s"$w/db/retail"
+    val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
+      Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+
+    spark.sql("ALTER TABLE graft_ev.db.retail ADD COLUMN note STRING")
+
+    // evolved handle: merge a row WITH the new column, and verify a writer
+    // that predates the column still works (null-filled)
+    val t2 = TransactionalTable.open(spark, root)
+    assert(t2.schema.fieldNames.contains("note"))
+    Seq((500L, "x", "visit", "S", 999, "pc", new java.sql.Timestamp(0L), "evolved"))
+      .toDF(t2.schema.fieldNames.toIndexedSeq: _*)
+      .createOrReplaceTempView("ev_src")
+    spark.sql(
+      """MERGE INTO graft_ev.db.retail t USING ev_src s ON t.trans_id = s.trans_id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    CdcPipeline.replayLines(spark, TransactionalTable.open(spark, root),
+      CdcFixtures.scenario2Lines, batchId = 1) // pre-evolution shape, null-filled
+
+    val got = spark.sql(
+      "SELECT trans_id, note FROM graft_ev.db.retail ORDER BY trans_id")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(500L) === Some("evolved"))
+    assert(got.size === 13 && got.count(_._2.isDefined) === 1,
+      "pre-evolution rows must read as null in the new column")
+    // old snapshot still time-travels (read with unified schema, note = null)
+    val v1 = spark.sql(
+      "SELECT COUNT(*) AS c FROM graft_ev.db.retail VERSION AS OF 1").as[Long].head()
+    assert(v1 === 10L)
+    // duplicate / unsupported changes fail loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_ev.db.retail ADD COLUMN note STRING")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_ev.db.retail DROP COLUMN note")
+    }
+  }
+
   test("SHOW TABLES; INSERT INTO appends through the engine commit path") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN graft_cs.db").select("tableName")

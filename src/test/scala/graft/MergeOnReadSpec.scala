@@ -63,22 +63,36 @@ class MergeOnReadSpec extends SparkSpec {
     assert(!got.contains(6L), "CoW rewrite resurrected a MOR-deleted row")
   }
 
-  test("catalog SQL refuses MOR-pending tables until compacted") {
+  test("catalog SQL reads MOR-pending tables via the delete-aware rewrite") {
     val w = tmpDir("graft-mor-warehouse")
     spark.conf.set("spark.sql.catalog.graft_mor", "graft.sql.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_mor.warehouse", w)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
     val t = TransactionalTable.create(spark, s"$w/db/retail", Cdc.tableSchema,
       Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
-    val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(CdcFixtures.scenario1Lines.toDS())))
-    t.merge(Cdc.projectToTable(Cdc.upserts(deduped)),
-      Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)), 0, MergeMode.MergeOnRead)
-    val e = intercept[Exception] {
-      spark.sql("SELECT COUNT(*) FROM graft_mor.db.retail").collect()
+    def applyB(lines: Seq[String], b: Long): Unit = {
+      val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+      t.merge(Cdc.projectToTable(Cdc.upserts(deduped)),
+        Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)), b, MergeMode.MergeOnRead)
     }
-    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
-    t.compact()
+    applyB(CdcFixtures.scenario1Lines, 0)
+    applyB(CdcFixtures.scenario2Lines, 1)
+    assert(t.snapshot.deletes.nonEmpty, "test premise: deletes pending")
+    // SQL over the live MOR table: masked rows must not surface (GraftMorScanRule)
     val cnt = spark.sql("SELECT COUNT(*) AS c FROM graft_mor.db.retail").as[Long].head()
-    assert(cnt === 10L)
+    assert(cnt === 12L)
+    val got = spark.sql(
+      "SELECT trans_id, amount FROM graft_mor.db.retail WHERE event = 'cart' ORDER BY trans_id")
+      .as[(Long, Int)].collect().toSeq
+    assert(got === t.scan().filter($"event" === "cart")
+      .select($"trans_id", $"amount").orderBy($"trans_id").as[(Long, Int)].collect().toSeq)
+    // time travel to the batch-0 MOR snapshot still applies ITS delete set
+    val v1 = spark.sql("SELECT COUNT(*) AS c FROM graft_mor.db.retail VERSION AS OF 1")
+      .as[Long].head()
+    assert(v1 === 10L)
+    // compaction folds deletes; the plain scan path answers identically
+    t.compact()
+    val cnt2 = spark.sql("SELECT COUNT(*) AS c FROM graft_mor.db.retail").as[Long].head()
+    assert(cnt2 === 12L)
   }
 }

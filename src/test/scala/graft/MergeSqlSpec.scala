@@ -48,6 +48,64 @@ class MergeSqlSpec extends SparkSpec {
       .scan().select($"trans_id").as[Long].collect().sorted.toSeq
     assert(!ids.contains(6L) && !ids.contains(77L) && ids.contains(19L))
     assert(ids.size === 9)
+    // SQL merges must not consume stream batch ids: the replay fence stays
+    // where the stream left it, so a checkpointed stream can still resume.
+    assert(TransactionalTable.open(spark, root).snapshot.batchId === 0L,
+      "ad-hoc SQL MERGE advanced the stream replay fence")
+  }
+
+  test("partial explicit assignments are rejected (would clobber unassigned cols)") {
+    freshTable()
+    Seq((19L, 123)).toDF("trans_id", "amount").createOrReplaceTempView("part_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_ms.db.retail t USING part_src s ON t.trans_id = s.trans_id
+          |WHEN MATCHED THEN UPDATE SET t.amount = s.amount
+          |WHEN NOT MATCHED THEN INSERT (trans_id, amount) VALUES (s.trans_id, s.amount)""".stripMargin)
+    }
+    assert(e.getMessage.contains("covering every target column") ||
+      e.getMessage.contains("graft MERGE supports"), e.getMessage)
+  }
+
+  test("guarded MERGE (WHEN MATCHED AND s.ts >= t.ts) through SQL") {
+    val w = tmpDir("graft-gms-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_gms", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_gms.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val root = s"$w/db/retail"
+    val t = TransactionalTable.create(spark, root, Cdc.guardedTableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcPipeline.applyCdcBatchGuarded(t, Cdc.parse(CdcFixtures.scenario1Lines.toDS()), 0)
+    val before = t.scan().select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+
+    // A LATE update of key 19 (op ts older than the stored one) plus a FRESH
+    // update of key 21: the guard must drop the former and apply the latter.
+    Seq(
+      (19L, "x", "visit", "S", 111, "pc", new java.sql.Timestamp(0L),
+        java.sql.Timestamp.valueOf("2000-01-01 00:00:00")),
+      (21L, "y", "like", "S", 222, "pc", new java.sql.Timestamp(0L),
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      .toDF(Cdc.guardedTableSchema.fieldNames.toIndexedSeq: _*)
+      .createOrReplaceTempView("guard_src")
+    spark.sql(
+      """MERGE INTO graft_gms.db.retail t USING guard_src s ON t.trans_id = s.trans_id
+        |WHEN MATCHED AND s._op_ts >= t._op_ts THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = TransactionalTable.open(spark, root)
+      .scan().select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+    assert(after(19L) === before(19L), "late update must not clobber newer row")
+    assert(after(21L) === 222, "fresh update must apply")
+
+    // guarded DELETE: late delete of 19 is a no-op; fresh delete of 21 lands
+    Seq((19L, java.sql.Timestamp.valueOf("2000-01-01 00:00:00")),
+        (21L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00")))
+      .toDF("trans_id", "_op_ts").createOrReplaceTempView("guard_del")
+    spark.sql(
+      """MERGE INTO graft_gms.db.retail t USING guard_del s ON t.trans_id = s.trans_id
+        |WHEN MATCHED AND s._op_ts >= t._op_ts THEN DELETE""".stripMargin)
+    val ids = TransactionalTable.open(spark, root)
+      .scan().select($"trans_id").as[Long].collect().toSet
+    assert(ids.contains(19L) && !ids.contains(21L))
   }
 
   test("unsupported MERGE shapes and version-pinned targets are rejected") {

@@ -52,6 +52,29 @@ class StreamRecoverySpec extends SparkSpec {
     assert(ids === CdcFixtures.expectedEndState.map(_._1))
   }
 
+  test("startingPosition=LATEST skips files present before the stream started") {
+    val work = tmpDir("stream-latest")
+    val input = s"$work/input"
+    Files.createDirectories(Paths.get(input))
+    val t = TransactionalTable.create(spark, s"$work/table", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    // scenario1 lands BEFORE the stream exists — a LATEST start must not replay it
+    CdcFixtures.write(input, "preexisting.jsonl", CdcFixtures.scenario1Lines)
+    val q = CdcPipeline.start(spark, input, t, s"$work/ckpt",
+      trigger = Trigger.ProcessingTime("1 second"),
+      startingPosition = graft.stream.StartingPosition.Latest)
+    try {
+      q.processAllAvailable()
+      assert(t.countRows === 0, "LATEST start replayed pre-existing data")
+      // new data after start IS picked up
+      val line =
+        """{"data": {"trans_id": 900, "customer_id": "c", "event": "cart", "sku": "S", "amount": 1, "device": "pc", "trans_datetime": "2023-01-16T06:00:00Z"}, "metadata": {"timestamp": "2023-01-16T06:00:01.000001Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "t", "transaction-id": 1}}"""
+      CdcFixtures.write(input, "fresh.jsonl", Seq(line))
+      q.processAllAvailable()
+      assert(t.scan().select($"trans_id").as[Long].collect().toSeq === Seq(900L))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("compaction cadence inside the streaming loop bounds file count") {
     val work = tmpDir("stream-compact")
     val input = s"$work/input"

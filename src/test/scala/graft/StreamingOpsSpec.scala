@@ -53,7 +53,9 @@ class StreamingOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
     val hour = 3600L * 1000000L
-    val q = StreamingOps.sessionizeStream(mem.toDS(), gapUs = hour)
+    // idleTimeout = None: a pending processing-time timeout keeps the engine
+    // scheduling no-data batches, so processAllAvailable would never settle.
+    val q = StreamingOps.sessionizeStream(mem.toDS(), gapUs = hour, idleTimeout = None)
       .writeStream.format("memory").queryName("sessions")
       .outputMode(OutputMode.Append).start()
     try {
