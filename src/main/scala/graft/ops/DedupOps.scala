@@ -138,14 +138,24 @@ object DedupOps {
    */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withHs = docs.select(col(idCol).as("doc_id"),
-      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
-      .filter(size(col("hs")) > 0)
-    val withSim = withHs.withColumn("simhash", expr(
-      """aggregate(sequence(0, 63), 0L, (acc, i) ->
-        |  acc + if(size(filter(hs, h -> ((h >> i) & 1) = 1)) * 2 >= size(hs),
-        |           shiftleft(1L, i), 0L))""".stripMargin))
-      .select("doc_id", "simhash")
+    // Sketch construction is fully vectorized: explode token hashes, sum the
+    // per-bit contributions with bitwise column math in ONE codegen'd hash
+    // aggregation (map-side partial combine ships ≤1 row per doc per task),
+    // then assemble the 64-bit majority sketch. The previous form folded a
+    // 64-step interpreted HOF with a nested filter per bit — O(64·tokens)
+    // lambda dispatch per document; this is the same sketch bit-for-bit
+    // (sum of (h>>i)&1 ≡ count of set bits; ties break identically on
+    // 2·count >= n). Docs with zero tokens drop out via the explode.
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(transform(TextOps.tokens(col(textCol)), t => xxhash64(t))).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"_b$i"))
+    val counted = exploded.groupBy("doc_id")
+      .agg(count(lit(1)).as("_n"), bitSums: _*)
+    val sketch = (0 until 64).map { i =>
+      when(col(s"_b$i") * 2 >= col("_n"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withSim = counted.select(col("doc_id"), sketch.as("simhash"))
 
     val chunked = withSim.select(col("doc_id"), col("simhash"),
         explode(expr(

@@ -124,6 +124,22 @@ object SimilarityOps {
    * nprobe/cells of the data — the centroid table (cells × dim doubles) is a
    * driver-size literal.
    */
+  /**
+   * Quantizer seed rows: deterministic hash-stride sampling — keep vectors
+   * whose id hashes to residue 0 mod (n/cells), a fully distributed filter.
+   * (Previously a `row_number` over an unpartitioned Window, which funnels
+   * the whole corpus through ONE task — a guaranteed straggler/OOM at scale.)
+   * The final orderBy+limit is TakeOrderedAndProject over the ~`cells`
+   * surviving rows, not a global sort of the corpus.
+   */
+  private[graft] def seedCandidates(c: DataFrame, cells: Int, n: Long): DataFrame = {
+    val stride = math.max(1L, n / cells)
+    c.filter(pmod(xxhash64(col("neighbor_id")), lit(stride)) === 0)
+      .orderBy("neighbor_id")
+      .limit(cells)
+      .select("cv")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       cells: Int = 16, nprobe: Int = 4, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -137,13 +153,11 @@ object SimilarityOps {
 
     // --- train the coarse quantizer (driver loop; k·dim doubles) ---
     val n = c.count()
-    val stride = math.max(1L, n / cells)
-    var cent: Seq[Seq[Double]] = c
-      .withColumn("_rn", row_number().over(
-        Window.orderBy("neighbor_id")))
-      .filter((col("_rn") - 1) % stride === 0)
-      .limit(cells)
-      .select("cv").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    var cent: Seq[Seq[Double]] = seedCandidates(c, cells, n)
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    if (cent.isEmpty) // hash-sampling whiff (P ≈ e^-cells): take-ordered fallback
+      cent = c.orderBy("neighbor_id").limit(cells)
+        .select("cv").collect().map(_.getSeq[Double](0).toSeq).toSeq
     def simsTo(v: Column): Column = array(cent.map(ct => dot(v, typedlit(ct))): _*)
     // argmax = first position of the max similarity (deterministic ties)
     def cellOf(v: Column): Column =
@@ -181,14 +195,51 @@ object SimilarityOps {
   /**
    * All corpus pairs with cosine above `threshold` (embedding near-dup
    * detection). Brute force (n² scored pairs) — correct at verification scale;
-   * the 100 TB path generates candidates with [[annTopK]]'s signature join
-   * first and verifies exactly, never materializing all pairs.
+   * kept as the oracle twin of [[nearDupLshPairs]], which is the plan to run
+   * at scale.
    */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
     val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /**
+   * Embedding near-dup pairs via LSH candidates + exact verification — the
+   * scale shape: candidates come from an equi-join on (table, signature)
+   * hash buckets (never an n² theta-join); each candidate pair is then
+   * scored with the exact cosine, so RESULTS equal the brute force whenever
+   * every true pair collides in ≥1 table.
+   *
+   * Recall/volume tradeoff is explicit: per-pair miss = (1-p^b)^T with
+   * p = 1-θ/π. The low default threshold 0.4 (θ ≈ 66°) forces few-bit/
+   * many-table settings (b=2, T=24 → miss ≈ 5e-6 at cos = 0.4) whose bucket
+   * volume is high; at a production near-dup threshold (0.9, θ ≈ 26°) the
+   * same miss needs only b=6/T=24, where buckets shrink 16× per table and
+   * candidate volume falls to collisions only. The mechanism is identical —
+   * threshold and (bits, tables) are the knobs.
+   */
+  def nearDupLshPairs(corpus: DataFrame, threshold: Double, dim: Int,
+      nBits: Int = 2, tables: Int = 24,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val sigs = array((0 until tables).map { t =>
+      struct(lit(t).as("table"),
+        hyperplaneSignature(col("v"), dim, nBits, seed = 0x0eedba5eL + t).as("sig"))
+    }: _*)
+    val signed = c.select(col("id"), col("v"), explode(sigs).as("ts"))
+      .select(col("id"), col("v"), col("ts.table").as("table"), col("ts.sig").as("sig"))
+    signed.as("a").join(signed.as("b"),
+        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b") // OR-construction over tables
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -149,6 +149,29 @@ object ExtQueries {
       (s, d) => DedupOps.simhashPairs(Tables.load(s, d, "documents")),
       None),
 
+    // X2: the Jaccard skew cap EXERCISED under oracle — maxDocFreq=4 drops
+    // non-discriminative shingles (df 5-8 at this SF) before pair expansion,
+    // the guard that bounds per-shingle blowup at web scale. The oracle
+    // applies the identical df filter, so this proves the capped
+    // configuration end-to-end, not just the parity-friendly uncapped one.
+    Q("x2_jaccard_capped",
+      (s, d) => DedupOps.jaccardPairs(Tables.load(s, d, "documents"),
+        threshold = 0.5, maxDocFreq = Some(4)),
+      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+              |sh AS (SELECT DISTINCT doc_id,
+              |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              |       FROM toks WHERE len(w) >= 3),
+              |df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s),
+              |capped AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s WHERE df.c <= 4),
+              |sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              |          FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, n_common,
+              |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+              |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+              |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // X3: exact brute-force cosine top-5 for query vectors vec_id < 8.
     Q("x3_cosine_topk",
       (s, d) => {
@@ -198,6 +221,22 @@ object ExtQueries {
              |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |SELECT id_a, id_b, cos FROM p WHERE cos > 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
+    // X3: near-dup pairs via LSH signature candidates + exact cosine verify —
+    // the scale-shaped twin of x3_embedding_neardup, oracled against the SAME
+    // brute-force SQL: candidates come from an equi-join on (table, signature)
+    // buckets, never an n² theta-join, and the exact verification makes the
+    // results identical (per-pair miss ≈ 5e-6 at cos = 0.4 with 2 bits × 24
+    // tables; see SimilarityOps.nearDupLshPairs for the recall math).
+    Q("x3_neardup_lsh",
+      (s, d) => SimilarityOps.nearDupLshPairs(Tables.load(s, d, "embeddings"),
+        threshold = 0.4, dim = 64),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |        list_dot_product(a.v, b.v) /
+             |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+             |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, cos FROM p WHERE cos > 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
     // X5: multimodal binary column + typed metadata (payload stays opaque;
     // metadata prunable without reading payload pages).
     Q("x5_binary_meta",
@@ -209,12 +248,25 @@ object ExtQueries {
              |  octet_length(encode(text)) AS n_bytes
              |FROM documents ORDER BY media_id""".stripMargin)),
 
-    // X5: batched (mapPartitions) stub decode → fixed-shape features.
-    // Decoder is a deterministic fake (no codecs in env) → rows-only check.
+    // X5: batched (mapPartitions) stub decode → scalar feature columns.
+    // Projected to scalars (no array column) so the driver's pandas harness
+    // can sort/hash the result; the scalar outputs all flow THROUGH the
+    // mapPartitions decode kernel, so the batched-decode path is fully
+    // oracled (the fixture text is ASCII, so byte values = code points and
+    // DuckDB can recompute byte_mean/n_frames exactly). The 16-bin histogram
+    // feature stays engine-internal (float32 arithmetic of the stub codec).
     Q("x5_decode_features",
       (s, d) => MultimodalOps.documentFeatures(Tables.load(s, d, "documents"))
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("byte_mean"),
+          col("n_frames"))
         .orderBy("media_id"),
-      None),
+      Some("""SELECT doc_id AS media_id, 'text' AS kind,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+             |         i -> unicode(text[i]))) AS DOUBLE)
+             |    / CAST(octet_length(encode(text)) AS DOUBLE) AS byte_mean,
+             |  CAST((octet_length(encode(text)) + 4095) // 4096 AS INTEGER) AS n_frames
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     // X4: BPE-ish token counting — letter runs, single digits, single
     // punctuation (the GPT-2-style pre-tokenizer shape); identical regex

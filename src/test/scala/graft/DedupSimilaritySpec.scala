@@ -112,4 +112,31 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(got.map(r => (r._1, r._2)).toSet === Set((2L, 102L)))
   }
+
+  test("nearDupLshPairs: equals brute force; plan has no theta-join") {
+    val dup = vecs.filter($"vec_id" === 2).select(lit(102L).as("vec_id"), $"embedding")
+    val corpus = vecs.unionByName(dup)
+    val brute = SimilarityOps.nearDupPairs(corpus, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val lshDf = SimilarityOps.nearDupLshPairs(corpus, threshold = 0.3, dim = 16)
+    val lsh = lshDf.as[(Long, Long, Double)].collect().toSeq
+    assert(lsh === brute) // exact verify ⇒ identical results (incl. bit-equal cos)
+    // scale shape: candidates come from an equi-join on (table, sig) buckets,
+    // never a nested-loop/cartesian pair expansion
+    val physical = lshDf.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"), physical.take(2000))
+  }
+
+  test("ivf seeding is a distributed filter: no Window, no single-partition sort") {
+    val c = vecs.select($"vec_id".as("neighbor_id"),
+      SimilarityOps.asDouble($"embedding").as("cv"))
+    val plan = SimilarityOps.seedCandidates(c, cells = 4, n = 40L)
+      .queryExecution.executedPlan.toString
+    // the old seeding used row_number() over an unpartitioned Window — the
+    // whole corpus through ONE task; the fix must keep seeding windowless
+    // (TakeOrderedAndProject over the hash-sampled survivors is fine)
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
 }
