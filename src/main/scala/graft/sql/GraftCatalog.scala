@@ -85,7 +85,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // Athena reads the live Iceberg v2 table, `README.md:507-513`).
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
       t.schema, entries, spark, root, version, t.pk, t.partitionCol,
-      loadedVersion = snap.version, morPending = snap.deletes.nonEmpty)
+      loadedVersion = snap.version, morPending = snap.deletes.nonEmpty,
+      rowCount = snap.rowCount)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -186,7 +187,10 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     val loadedVersion: Long = 0L,
     /** true when the snapshot carries uncompacted equality-delete files; such
       * relations are rewritten by GraftMorScanRule before any scan is built */
-    val morPending: Boolean = false)
+    val morPending: Boolean = false,
+    /** exact row count from manifest stats (valid only when !morPending) —
+      * lets GraftCountStarRule answer SELECT COUNT(*) without touching data */
+    val rowCount: Long = 0L)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = tableName

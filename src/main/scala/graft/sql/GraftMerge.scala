@@ -240,6 +240,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // targets become engine commands first; remaining MOR-pending relations
     // (plain reads, merge sources) get the delete-aware substitution.
     ext.injectPostHocResolutionRule(s => new GraftMorScanRule(s))
+    // Optimizer: manifest-answered COUNT(*) (Iceberg-manifest parity).
+    ext.injectOptimizerRule(s => new GraftCountStarRule(s))
     ext.injectPlannerStrategy(s => new GraftMergeStrategy(s))
   }
 }

@@ -71,10 +71,28 @@ class CatalogSpec extends SparkSpec {
     val cartCount = spark.sql(
       "SELECT COUNT(*) FROM graft_pr.db.retail WHERE event = 'cart'").as[Long].head()
     assert(cartCount === 4L, "partition pruning must skip the destroyed 'visit' file")
-    // sanity: an unfiltered scan DOES need the destroyed file
+    // sanity: an unfiltered DATA scan does need the destroyed file (COUNT(*)
+    // won't do here — it is answered from the manifest without file I/O)
     intercept[Exception] {
-      spark.sql("SELECT COUNT(*) FROM graft_pr.db.retail").as[Long].head()
+      spark.sql("SELECT SUM(amount) FROM graft_pr.db.retail").as[Long].head()
     }
+  }
+
+  test("COUNT(*) is answered from the manifest, not a data scan") {
+    warehouse
+    val df = spark.sql("SELECT COUNT(*) AS c FROM graft_cs.db.retail")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected manifest-folded count in:\n$plan")
+    assert(!plan.contains("Parquet"), s"count(*) must not scan files:\n$plan")
+    assert(df.as[Long].head() === 12L)
+    // snapshot-exact under time travel
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_cs.db.retail VERSION AS OF 1")
+      .as[Long].head() === 10L)
+    // a WHERE clause disables the fold (count depends on data)
+    val filtered = spark.sql(
+      "SELECT COUNT(*) AS c FROM graft_cs.db.retail WHERE event = 'cart'")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(filtered.as[Long].head() === 2L)
   }
 
   test("ALTER TABLE ADD COLUMN: merge → evolve → merge → unified scan; time travel intact") {
