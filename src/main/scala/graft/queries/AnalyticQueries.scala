@@ -185,6 +185,72 @@ object AnalyticQueries {
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
 
+    // Set operations: EXCEPT (customers who never ordered) and INTERSECT
+    // (customers with both open and fulfilled orders). Both are DISTINCT set
+    // semantics in both dialects; at scale each is one hash shuffle.
+    sqlQ("x7_except",
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin),
+
+    sqlQ("x7_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin),
+
+    // Running total with an explicit ROWS frame (exact DECIMAL accumulation,
+    // cast to DOUBLE per row; total order inside each partition makes every
+    // prefix deterministic).
+    sqlQ("x7_running_total",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // ntile + percent_rank within a partition (never a global single-partition
+    // window): quartiles of order value per order priority.
+    sqlQ("x7_ntile_percent_rank",
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // first_value/last_value with an unbounded frame, collapsed to one row
+    // per customer.
+    sqlQ("x7_first_last_order",
+      """SELECT DISTINCT o_custkey,
+        |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        |FROM orders
+        |ORDER BY o_custkey""".stripMargin),
+
+    // Month-bucketed revenue (dialect-portable month key via ISO-string
+    // prefix; exact DECIMAL sum).
+    sqlQ("x7_monthly_revenue",
+      """SELECT substr(CAST(CAST(o_orderdate AS DATE) AS STRING), 1, 7) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin),
+
+    // Correlated EXISTS (decorrelated by Catalyst into a semi-join).
+    sqlQ("x7_exists_correlated",
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND CAST(o.o_totalprice AS DECIMAL(18,2)) > 300000)
+        |ORDER BY c_custkey""".stripMargin),
+
     // Gap-based sessionization over events (DataFrame impl in EventOps; the
     // oracle states the same two-window definition in DuckDB SQL).
     Q("x7_sessionize",

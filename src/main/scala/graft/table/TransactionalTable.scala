@@ -362,7 +362,14 @@ final class TransactionalTable private (
    *  Rows are stamped with the committing version (`_seq`) so merge-on-read
    *  delete files can mask only OLDER images. Single pass: no emptiness
    *  pre-check (that would execute the whole merged plan twice) — an empty
-   *  input simply yields an empty file listing. */
+   *  input simply yields an empty file listing.
+   *
+   *  Manifest stats come from the PARQUET FOOTERS of the written files
+   *  (exact row counts and INT64 min/max per row group), not from re-reading
+   *  the data: commit cost is O(files), independent of batch width — at
+   *  scale, the difference between reading KBs of footers and re-scanning
+   *  every byte just written (exactly why Iceberg builds manifests from file
+   *  metadata). */
   private def writeDataFiles(df: DataFrame, outDir: Path, seq: Long): Seq[DataFile] = {
     // PK-sort within each task (no shuffle): clusters rows so parquet
     // row-group min/max stats on the key are tight — read-side point/range
@@ -376,40 +383,67 @@ final class TransactionalTable private (
       case None => stamped.write
     }
     writer.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
-    val written = spark.read.schema(schema).parquet(outDir.toString)
-    written
-      .groupBy(input_file_name().as("path"))
-      .agg(min(col(pk).cast("long")).as("mn"), max(col(pk).cast("long")).as("mx"),
-        count(lit(1)).as("n"),
-        partitionCol.map(p => first(col(p)).as("pv")).getOrElse(lit(null).cast("string").as("pv")))
-      .collect()
-      .map { r =>
-        val path = stripScheme(r.getString(0))
-        // size recorded in the manifest so scans never stat data files
-        DataFile(path, Option(r.getString(4)),
-          r.getLong(1), r.getLong(2), r.getLong(3), Files.size(Paths.get(path)))
-      }
+    if (!Files.isDirectory(outDir)) return Seq.empty
+    val parts = Files.walk(outDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq
+    // Footers are read in parallel: a partitioned commit can produce
+    // tasks×partitions part files, and ~20 ms of sequential open() each would
+    // put an O(files) serial section back into the commit path.
+    import scala.collection.parallel.CollectionConverters._
+    parts.par.map { p =>
+      val (rows, mn, mx) = pkFooterStats(p)
+      DataFile(p.toString, partitionFromPath(outDir, p), mn, mx, rows, Files.size(p))
+    }.seq.toSeq.filter(_.rows > 0)
   }
+
+  /** Row count + PK min/max straight from a written file's parquet footer.
+    * Stats are exact for integral types; a file whose PK stats are absent
+    * (all-null column) gets the never-prunable full range — conservative,
+    * not silently prunable-to-nothing. */
+  private def pkFooterStats(file: Path): (Long, Long, Long) = {
+    val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val pkStats = blocks.flatMap(_.getColumns.asScala
+        .find(_.getPath.toDotString == pk).map(_.getStatistics))
+        .filter(s => s != null && s.hasNonNullValue)
+      if (pkStats.isEmpty) (rows, Long.MinValue, Long.MaxValue)
+      else (rows,
+        pkStats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+        pkStats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+    } finally reader.close()
+  }
+
+  /** Partition value from the Hive-style `_p=<value>` directory segment
+    * (what DataFrameWriter.partitionBy produced); decoded with Spark's own
+    * unescaper so special characters round-trip. */
+  private def partitionFromPath(outDir: Path, file: Path): Option[String] =
+    outDir.relativize(file).iterator().asScala
+      .map(_.toString).find(_.startsWith("_p="))
+      .map(_.substring(3))
+      .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+      .map(org.apache.spark.sql.graftshim.GraftShims.unescapePathName)
 
   /** Write a merge-on-read equality-delete file: (pk, _dseq) rows. Returns
     * None when the key set is empty. The manifest entry's path is the written
     * directory (delete sets are small; part-file granularity isn't needed). */
   private def writeDeleteFile(keys: DataFrame, outDir: Path, seq: Long): Option[DeleteFile] = {
     keys.withColumn("_dseq", lit(seq)).write.mode("overwrite").parquet(outDir.toString)
-    // explicit schema: an empty key set writes no part files, and schema
-    // inference over _SUCCESS-only directories throws
-    val written = spark.read
-      .schema(new StructType().add(pk, "long").add("_dseq", "long"))
-      .parquet(outDir.toString)
-    val stats = written.agg(min(col(pk).cast("long")), max(col(pk).cast("long")),
-      count(lit(1))).collect().head
-    if (stats.getLong(2) == 0) None
+    // Stats from footers, like writeDataFiles (an empty key set writes no
+    // part files → None).
+    val parts = Files.walk(outDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    val stats = parts.map(pkFooterStats).filter(_._1 > 0)
+    if (stats.isEmpty) None
     else {
-      val bytes = Files.walk(outDir).iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
-      Some(DeleteFile(outDir.toString, stats.getLong(0), stats.getLong(1),
-        stats.getLong(2), bytes))
+      val bytes = parts.map(Files.size).sum
+      Some(DeleteFile(outDir.toString, stats.map(_._2).min, stats.map(_._3).max,
+        stats.map(_._1).sum, bytes))
     }
   }
 

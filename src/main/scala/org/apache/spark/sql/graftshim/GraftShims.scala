@@ -20,4 +20,8 @@ object GraftShims {
   /** Analyzed logical plan of a DataFrame (for plan substitution in rules). */
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.analyzed
+
+  /** Spark's Hive-style partition-path unescaper (`_p=a%20b` → `a b`). */
+  def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 }
