@@ -47,7 +47,11 @@ object Merge {
     val s = upserts.select(col(pk).as("_spk"), struct(tCols.map(col).toIndexedSeq: _*).as("_srow"),
       col(tsCol).as("_sts"))
     val d = deleteKeys.select(col(pk).as("_dpk"), col(tsCol).as("_dts"))
-    val sSide = if (broadcastKeys) broadcast(s) else s
+    // No broadcast hint on the full-outer join: Spark cannot broadcast either
+    // side of a full outer (the hint only produced a planner warning). Both
+    // sides are batch-bounded anyway — the target here is the PK-range-pruned
+    // slice, not the table — so the sort-merge join is over O(batch) rows.
+    val sSide = s
     val dSide = if (broadcastKeys) broadcast(d) else d
     val t = target.select(struct(tCols.map(col).toIndexedSeq: _*).as("_trow"),
       col(pk).as("_tpk"), col(tsCol).as("_tts"))
