@@ -26,18 +26,25 @@ object PlanAudit {
       "w1_dedup_latest_per_key", "f3_filter_equal", "j1_merge_upsert",
       "x7_q1_pricing_summary", "x7_q3_top_orders", "x7_q5_revenue_by_nation",
       "x7_q6_forecast_revenue", "x7_topk_orders_per_customer",
-      "x2_jaccard_pairs", "x3_cosine_topk", "x1_exact_dedup_documents")
+      "x2_jaccard_pairs", "x2_jaccard_capped", "x3_cosine_topk",
+      "x3_neardup_lsh", "x1_exact_dedup_documents",
+      "x7_except", "x7_intersect", "x7_running_total",
+      "x7_ntile_percent_rank", "x7_first_last_order", "x7_monthly_revenue",
+      "x7_exists_correlated")
 
     audited.foreach { name =>
       val df = Registry.byName(name).fn(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode)
+      // Execute THIS QueryExecution first (collect, not count — count builds
+      // a different plan): under AQE only the final adaptive plan shows the
+      // real joins + codegen stages.
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
       def has(s: String) = plan.contains(s)
       val marks = Seq(
         "PushedFilters" -> (has("PushedFilters: [") && !plan.contains("PushedFilters: []")),
         "BroadcastHashJoin" -> has("BroadcastHashJoin"),
         "SortMergeJoin" -> has("SortMergeJoin"),
-        "WholeStageCodegen" -> has("WholeStageCodegen"),
+        "WholeStageCodegen" -> (has("WholeStageCodegen") || has("*(")), // SimpleMode renders codegen stages as *(n)
         "CartesianProduct" -> has("CartesianProduct"),
         "BroadcastNestedLoop" -> has("BroadcastNestedLoopJoin"))
         .collect { case (k, true) => k }.mkString(", ")
