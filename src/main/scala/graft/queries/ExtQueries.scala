@@ -49,6 +49,53 @@ object ExtQueries {
              |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin),
       headline = true),
 
+    // X1 at 100 TB shape: dedup keyed on a 64-bit fingerprint instead of the
+    // raw (multi-KB) text — the shuffle key shrinks from document size to 8
+    // bytes. Same answer as x1_exact_dedup_documents absent a hash collision
+    // (P ≈ n²/2⁶⁴; the oracle groups by text, so a collision would surface as
+    // a mismatch rather than silent corruption).
+    Q("x1_dedup_by_fingerprint",
+      (s, d) => Tables.load(s, d, "documents")
+        .groupBy(xxhash64(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // X1: deterministic hash-free sampling (repeatable train/eval splits —
+    // the modulo predicate is engine-agnostic, so the split is reproducible
+    // across engines; a narrow filter, no shuffle).
+    Q("x1_mod_sample",
+      (s, d) => Tables.load(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 3)
+        .select("doc_id")
+        .orderBy("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id")),
+
+    // X4: corpus length distribution — exact percentiles of the document
+    // token count (linear-interpolation definition is identical in Spark's
+    // percentile and DuckDB's quantile_cont).
+    Q("x4_length_percentiles",
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n"))
+        toks.agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n")).as("min_tokens"),
+          expr("CAST(percentile(n, 0.5) AS DOUBLE)").as("p50"),
+          expr("CAST(percentile(n, 0.9) AS DOUBLE)").as("p90"),
+          expr("CAST(percentile(n, 0.99) AS DOUBLE)").as("p99"),
+          max(col("n")).as("max_tokens"))
+      },
+      Some(s"""WITH toks AS (SELECT CAST(len($DuckToks) AS BIGINT) AS n FROM documents)
+              |SELECT COUNT(*) AS n_docs, min(n) AS min_tokens,
+              |  quantile_cont(n, 0.5) AS p50,
+              |  quantile_cont(n, 0.9) AS p90,
+              |  quantile_cont(n, 0.99) AS p99,
+              |  max(n) AS max_tokens
+              |FROM toks""".stripMargin)),
+
     // X1 variant: DISTINCT projection (dedup of a derived row set).
     Q("x1_distinct_pairs",
       (s, d) => Tables.load(s, d, "lineitem")

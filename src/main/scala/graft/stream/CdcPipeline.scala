@@ -110,7 +110,11 @@ object CdcPipeline {
         * names present at start and filters them out of every batch — exact
         * "start at the tip" semantics; the In-list is bounded by the files
         * present at start, not by stream lifetime. */
-      startingPosition: StartingPosition = StartingPosition.TrimHorizon): StreamingQuery = {
+      startingPosition: StartingPosition = StartingPosition.TrimHorizon,
+      /** MERGE strategy per batch: CopyOnWrite (read-optimized) or
+        * MergeOnRead (write-optimized; pair with `compactEvery` so pending
+        * delete files are folded on a cadence). */
+      mode: graft.table.MergeMode = graft.table.MergeMode.CopyOnWrite): StreamingQuery = {
     val source = spark.readStream.schema(Cdc.envelopeSchema).json(inputDir)
     val envelopes = startingPosition match {
       case StartingPosition.TrimHorizon => source
@@ -128,7 +132,7 @@ object CdcPipeline {
           !element_at(split(input_file_name(), "/"), -1).isin(pre: _*))
     }
     val fn: (Dataset[Row], Long) => Unit = (df, batchId) => {
-      applyCdcBatch(table, df.toDF(), batchId)
+      applyCdcBatch(table, df.toDF(), batchId, mode)
       // Periodic bin-packing: a 100 s trigger accretes ~864 commits/day of
       // small files; without a compaction cadence scan fan-out grows without
       // bound. 0 disables (reference-faithful default — Iceberg handles this

@@ -75,6 +75,30 @@ class StreamRecoverySpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("streaming in merge-on-read mode reaches the golden end state") {
+    val work = tmpDir("stream-mor")
+    val input = s"$work/input"
+    Files.createDirectories(Paths.get(input))
+    val t = TransactionalTable.create(spark, s"$work/table", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcFixtures.write(input, "batch1.jsonl", CdcFixtures.scenario1Lines)
+    val q1 = CdcPipeline.start(spark, input, t, s"$work/ckpt",
+      trigger = Trigger.ProcessingTime("1 second"),
+      mode = graft.table.MergeMode.MergeOnRead)
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    CdcFixtures.write(input, "batch2.jsonl", CdcFixtures.scenario2Lines)
+    val q2 = CdcPipeline.start(spark, input, t, s"$work/ckpt",
+      trigger = Trigger.ProcessingTime("1 second"),
+      mode = graft.table.MergeMode.MergeOnRead)
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    assert(t.snapshot.deletes.nonEmpty, "MOR merges must defer deletes")
+    assert(t.scan().select($"trans_id").as[Long].collect().sorted.toSeq ===
+      CdcFixtures.expectedEndState.map(_._1))
+    t.compact()
+    assert(t.snapshot.deletes.isEmpty)
+    assert(t.countRows === 12)
+  }
+
   test("compaction cadence inside the streaming loop bounds file count") {
     val work = tmpDir("stream-compact")
     val input = s"$work/input"
