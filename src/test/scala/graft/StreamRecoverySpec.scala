@@ -75,6 +75,23 @@ class StreamRecoverySpec extends SparkSpec {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("Trigger.AvailableNow: bounded catch-up run self-terminates at the golden state") {
+    val work = tmpDir("stream-avnow")
+    val input = s"$work/input"
+    Files.createDirectories(Paths.get(input))
+    val t = TransactionalTable.create(spark, s"$work/table", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcFixtures.write(input, "batch1.jsonl", CdcFixtures.scenario1Lines)
+    CdcFixtures.write(input, "batch2.jsonl", CdcFixtures.scenario2Lines)
+    // AvailableNow processes everything present, then stops on its own — the
+    // bounded-backfill mode (no processAllAvailable/stop choreography needed).
+    val q = CdcPipeline.start(spark, input, t, s"$work/ckpt",
+      trigger = Trigger.AvailableNow())
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(t.scan().select($"trans_id").as[Long].collect().sorted.toSeq ===
+      CdcFixtures.expectedEndState.map(_._1))
+  }
+
   test("streaming in merge-on-read mode reaches the golden end state") {
     val work = tmpDir("stream-mor")
     val input = s"$work/input"
