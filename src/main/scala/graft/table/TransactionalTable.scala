@@ -47,7 +47,10 @@ object MergeMode {
  * sink + snapshot versioning, reference `job:51-63,118-136`) natively:
  *
  *  - snapshot-versioned manifests (`manifest/v{N}.json`) listing immutable
- *    Parquet files with per-file partition value and PK min/max stats;
+ *    Parquet files with per-file partition value and PK min/max stats; the
+ *    file list lives in immutable manifest CHUNKS reused across versions, so
+ *    a commit writes O(changed files) of metadata, not the table's whole
+ *    file list (Iceberg's manifest-file layering, see planChunks);
  *  - commits are an atomic pointer swap (`_current` renamed into place) —
  *    single-writer, the local stand-in for the reference's DynamoDB commit
  *    lock (`job:57-58`);
@@ -93,17 +96,49 @@ final class TransactionalTable private (
 
   def snapshot: Snapshot = snapshotAt(currentVersion)
 
+  private def parseDataFile(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
+    DataFile(
+      f.get("path").asText(),
+      if (f.get("partition").isNull) None else Some(f.get("partition").asText()),
+      f.get("pkMin").asLong(), f.get("pkMax").asLong(), f.get("rows").asLong(),
+      // pre-`bytes` manifests: stat once on read (local legacy only)
+      if (f.has("bytes")) f.get("bytes").asLong()
+      else Files.size(Paths.get(f.get("path").asText())))
+
+  /** Load one immutable manifest chunk (cached globally by path — chunks are
+    * write-once, so the cache never goes stale). */
+  private def loadChunk(path: String): Seq[DataFile] = {
+    val cached = chunkCache.get(path)
+    if (cached != null) cached
+    else {
+      val node = mapper.readTree(Files.readAllBytes(Paths.get(path)))
+      val files = node.get("files").elements().asScala.map(parseDataFile).toIndexedSeq
+      if (chunkCache.size > MaxCachedChunks) chunkCache.clear()
+      chunkCache.put(path, files)
+      files
+    }
+  }
+
+  /** Chunk paths referenced by a version's manifest (empty for legacy inline
+    * manifests). Manifest-JSON-only — no chunk is opened. */
+  private def chunkPathsOf(version: Long): Seq[String] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestDir.resolve(s"v$version.json")))
+    if (!node.has("chunks")) Seq.empty
+    else node.get("chunks").elements().asScala.map(_.get("path").asText()).toSeq
+  }
+
   def snapshotAt(version: Long): Snapshot = {
     val node = mapper.readTree(Files.readAllBytes(manifestDir.resolve(s"v$version.json")))
-    val files = node.get("files").elements().asScala.map { f =>
-      DataFile(
-        f.get("path").asText(),
-        if (f.get("partition").isNull) None else Some(f.get("partition").asText()),
-        f.get("pkMin").asLong(), f.get("pkMax").asLong(), f.get("rows").asLong(),
-        // pre-`bytes` manifests: stat once on read (local legacy only)
-        if (f.has("bytes")) f.get("bytes").asLong()
-        else Files.size(Paths.get(f.get("path").asText())))
-    }.toSeq
+    val files =
+      if (node.has("chunks")) {
+        // Chunked manifest: the file list lives in immutable chunk files the
+        // commit path reuses across versions (O(delta) commits — see commit()).
+        // Loaded in parallel: a million-file table is ~2 000 chunks.
+        val paths = node.get("chunks").elements().asScala.map(_.get("path").asText()).toSeq
+        import scala.collection.parallel.CollectionConverters._
+        paths.par.map(loadChunk).seq.toSeq.flatten
+      } else // legacy inline manifest
+        node.get("files").elements().asScala.map(parseDataFile).toSeq
     val deletes =
       if (!node.has("deletes")) Seq.empty
       else node.get("deletes").elements().asScala.map { d =>
@@ -192,6 +227,17 @@ final class TransactionalTable private (
           }
         Files.delete(m)
       }
+    }
+    // Manifest-chunk GC: drop chunk files no remaining manifest references
+    // (expired versions' exclusive chunks, plus crash-orphaned chunks).
+    val chunksDir = manifestDir.resolve("chunks")
+    if (Files.isDirectory(chunksDir)) {
+      val live = (cutoff to current).flatMap(chunkPathsOf).toSet
+      val s = Files.list(chunksDir)
+      try s.iterator().asScala
+        .filterNot(p => live.contains(p.toString))
+        .foreach { p => chunkCache.remove(p.toString); Files.deleteIfExists(p) }
+      finally s.close()
     }
   }
 
@@ -486,6 +532,58 @@ final class TransactionalTable private (
     commit(Snapshot(newVersion, snap.batchId, keep ++ newFiles))
   }
 
+  private def dataFileJson(f: DataFile): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("path", f.path)
+    f.partition match { case Some(p) => o.put("partition", p); case None => o.putNull("partition") }
+    o.put("pkMin", f.pkMin); o.put("pkMax", f.pkMax); o.put("rows", f.rows)
+    o.put("bytes", f.bytes)
+    o
+  }
+
+  /** Write one immutable chunk file holding `files`; returns its path. */
+  private def writeChunk(files: Seq[DataFile]): String = {
+    val dir = manifestDir.resolve("chunks")
+    Files.createDirectories(dir)
+    val path = dir.resolve(s"c-${java.util.UUID.randomUUID()}.json")
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("files")
+    files.foreach(f => arr.add(dataFileJson(f)))
+    Files.write(path, mapper.writeValueAsBytes(node), StandardOpenOption.CREATE_NEW)
+    chunkCache.put(path.toString, files.toIndexedSeq)
+    path.toString
+  }
+
+  /**
+   * Split the snapshot's file list into manifest chunks, REUSING the parent
+   * version's chunks wherever every file in a chunk survives unchanged — so
+   * a commit writes O(changed + new files) of manifest data, not the whole
+   * table's file list (Iceberg's manifest-file idea: at a million files, a
+   * single-JSON manifest would make every 100-byte commit rewrite ~100 MB).
+   * Reusable chunks that have shrunk below half occupancy are folded back
+   * into the rewrite pool once more than [[SmallChunkFoldThreshold]] of them
+   * accumulate, so chunk count stays O(files/ChunkSize), not O(commits).
+   */
+  private def planChunks(s: Snapshot): Seq[(String, Int)] = {
+    val byPath = s.files.map(f => f.path -> f).toMap
+    val parentChunks: Seq[String] =
+      if (s.version == 0 || !Files.exists(manifestDir.resolve(s"v${s.version - 1}.json")))
+        Seq.empty
+      else chunkPathsOf(s.version - 1)
+    val reusable = parentChunks.flatMap { p =>
+      val files = loadChunk(p)
+      if (files.nonEmpty && files.forall(f => byPath.contains(f.path))) Some(p -> files)
+      else None
+    }
+    val (small, big) = reusable.partition(_._2.length < ChunkSize / 2)
+    val kept = if (small.length > SmallChunkFoldThreshold) big else reusable
+    val keptPaths = kept.map { case (p, fs) => (p, fs.length) }
+    val coveredPaths = kept.iterator.flatMap(_._2).map(_.path).toSet
+    val remaining = s.files.filterNot(f => coveredPaths.contains(f.path))
+    val fresh = remaining.grouped(ChunkSize).map(g => (writeChunk(g), g.length)).toSeq
+    keptPaths ++ fresh
+  }
+
   /** Durably write the manifest, then atomically swap the current pointer. */
   private def commit(s: Snapshot): Unit = {
     // Single-writer is the documented contract (the reference's DynamoDB lock
@@ -496,17 +594,13 @@ final class TransactionalTable private (
       throw new IllegalStateException(
         s"concurrent writer detected: version ${s.version} already committed (root=$root)")
     Files.createDirectories(manifestDir)
-    val filesJson = s.files.map { f =>
-      val o = mapper.createObjectNode()
-      o.put("path", f.path)
-      f.partition match { case Some(p) => o.put("partition", p); case None => o.putNull("partition") }
-      o.put("pkMin", f.pkMin); o.put("pkMax", f.pkMax); o.put("rows", f.rows)
-      o.put("bytes", f.bytes)
-      o
-    }
+    val chunkRefs = planChunks(s)
     val node = mapper.createObjectNode()
     node.put("version", s.version); node.put("batchId", s.batchId)
-    val arr = node.putArray("files"); filesJson.foreach(arr.add)
+    val arr = node.putArray("chunks")
+    chunkRefs.foreach { case (p, n) =>
+      val o = mapper.createObjectNode(); o.put("path", p); o.put("n", n); arr.add(o)
+    }
     if (s.deletes.nonEmpty) {
       val darr = node.putArray("deletes")
       s.deletes.foreach { d =>
@@ -540,6 +634,16 @@ object TransactionalTable {
   /** Above this many touched keys per batch we stop collecting the exact key set
    *  for file pruning and use the batch's [min,max] PK range instead. */
   val MaxCollectedKeys = 1 << 20
+  /** Max data-file entries per manifest chunk. */
+  val ChunkSize = 512
+  /** More than this many under-half-full reusable chunks → fold them into a
+    * rewrite so chunk count tracks O(files/ChunkSize), not O(commits). */
+  val SmallChunkFoldThreshold = 8
+  /** Write-once chunk cache (path → entries); bounded, cleared wholesale on
+    * overflow — immutability makes staleness impossible. */
+  private[table] val chunkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
+  private[table] val MaxCachedChunks = 4096
 
   def create(spark: SparkSession, root: String, schema: StructType, pk: String,
       partitionCol: Option[String] = None): TransactionalTable = {

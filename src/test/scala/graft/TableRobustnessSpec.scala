@@ -13,6 +13,62 @@ import graft.table.TransactionalTable
 class TableRobustnessSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Chunk paths referenced by a version's manifest (parsed textually — the
+    * manifest format is the unit under test here). */
+  private def chunkRefs(root: String, version: Long): Seq[String] = {
+    val txt = new String(Files.readAllBytes(Paths.get(root, "manifest", s"v$version.json")))
+    """manifest/chunks/c-[0-9a-f-]+\.json""".r.findAllIn(txt).toSeq
+  }
+
+  test("chunked manifests: commits reuse untouched parent chunks (O(delta) writes)") {
+    val root = tmpDir("ttable-chunks")
+    val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey, None)
+    def rows(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 10).map(i =>
+        (i, s"c$i", "cart", "S", 1, "pc", new java.sql.Timestamp(0L)))
+        .toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*).coalesce(1)
+    t.append(rows(0));   val v1Chunks = chunkRefs(root, 1)
+    t.append(rows(100)); val v2Chunks = chunkRefs(root, 2)
+    t.append(rows(200)); val v3Chunks = chunkRefs(root, 3)
+    // appends reference the parent's chunks verbatim and add new ones
+    assert(v1Chunks.toSet.subsetOf(v2Chunks.toSet),
+      s"v2 must reuse v1 chunks: $v1Chunks vs $v2Chunks")
+    assert(v2Chunks.toSet.subsetOf(v3Chunks.toSet))
+    assert(v3Chunks.size === 3)
+
+    // a merge touching ONLY pk range 0-9 must not rewrite the other chunks
+    val up = Seq((5L, "x", "cart", "S", 99, "pc", new java.sql.Timestamp(0L)))
+      .toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*)
+    t.merge(up, spark.emptyDataset[Long].toDF("trans_id"), batchId = 1)
+    val v4Chunks = chunkRefs(root, 4)
+    val untouched = v3Chunks.toSet -- v1Chunks.toSet // chunks for ranges 100+, 200+
+    assert(untouched.subsetOf(v4Chunks.toSet),
+      s"merge must carry untouched chunks by reference: $untouched vs $v4Chunks")
+    assert(!v1Chunks.toSet.subsetOf(v4Chunks.toSet),
+      "the PK-affected chunk must have been rewritten")
+
+    // data correctness across the chunked manifests
+    val amounts = t.scan().select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+    assert(amounts.size === 30 && amounts(5L) === 99)
+    assert(t.scanAt(3).count() === 30 && t.scanAt(1).count() === 10)
+
+    // small-chunk fold: many tiny commits must not grow chunk count forever
+    (0 until 10).foreach(i => t.append(rows(1000 + i * 10)))
+    val lastChunks = chunkRefs(root, t.currentVersion)
+    assert(lastChunks.size < 12,
+      s"chunk count must fold, got ${lastChunks.size}: $lastChunks")
+    assert(t.scan().count() === 130)
+
+    // expiry GC drops chunk files no kept manifest references
+    val allOnDisk = { val s = Files.list(Paths.get(root, "manifest", "chunks"))
+      try s.iterator().asScala.size finally s.close() }
+    t.expireSnapshots(keepLast = 2)
+    val afterGc = { val s = Files.list(Paths.get(root, "manifest", "chunks"))
+      try s.iterator().asScala.size finally s.close() }
+    assert(afterGc < allOnDisk, s"expiry must GC unreferenced chunks ($allOnDisk -> $afterGc)")
+    assert(t.scan().count() === 130)
+  }
+
   test("compaction: merges small files, preserves data and time travel") {
     val root = tmpDir("ttable-compact")
     val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
