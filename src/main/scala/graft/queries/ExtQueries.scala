@@ -172,6 +172,22 @@ object ExtQueries {
               |  n_tokens BETWEEN 5 AND 10000 AS length_ok
               |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // X4: text normalization for dedup/training prep — lowercase + strip
+    // punctuation. Deliberately regex-free: `translate` + `lower` have
+    // identical per-character semantics in Spark and DuckDB (regex dialects
+    // differ between Java and RE2, so normalization that must be
+    // reproducible across engines sticks to character maps).
+    Q("x4_normalize_text",
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          lower(translate(col("text"), ".,!?;:'\"()-", "")).as("norm"),
+          length(lower(translate(col("text"), ".,!?;:'\"()-", ""))).cast("long").as("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  lower(translate(text, '.,!?;:''"()-', '')) AS norm,
+             |  length(lower(translate(text, '.,!?;:''"()-', ''))) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // X4: 64-bit content + min-shingle-hash fingerprint. Engine-specific hash
     // (xxhash64) → no SQL oracle; the driver records a rows-only check.
     Q("x4_fingerprint",

@@ -268,6 +268,45 @@ object ReplayQueries {
       },
       Some(endStateOracle)),
 
+    // S3 through the driver gate: catalog listing via SQL `SHOW TABLES`
+    // (reference `job:91-92` does this per batch against Glue; the engine
+    // answers from the warehouse directory). Oracle: literal table names.
+    Q("cdc_show_tables",
+      (s, _) => {
+        val cat = s"graft_st${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_st").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        TransactionalTable.create(s, s"$warehouse/db/orders_t", Cdc.tableSchema, Cdc.PrimaryKey)
+        TransactionalTable.create(s, s"$warehouse/db/retail_t", Cdc.tableSchema, Cdc.PrimaryKey)
+        s.sql(s"SHOW TABLES IN $cat.db").select(col("tableName").as("table_name"))
+          .orderBy("table_name")
+      },
+      Some("SELECT * FROM (VALUES ('orders_t'), ('retail_t')) AS t(table_name) ORDER BY table_name")),
+
+    // S2 through the driver gate: schema inspection via DESCRIBE (the
+    // engine's pinned-StructType answer to the reference's `LIMIT 0` probe).
+    Q("cdc_describe_table",
+      (s, _) => {
+        val cat = s"graft_dt${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_dt").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        s.sql(s"DESCRIBE TABLE $cat.db.retail")
+          .filter(!col("col_name").startsWith("#") && col("col_name") =!= "")
+          .select(col("col_name"), col("data_type"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('amount', 'int'), ('customer_id', 'string'), ('device', 'string'),
+             |  ('event', 'string'), ('sku', 'string'), ('trans_datetime', 'timestamp'),
+             |  ('trans_id', 'bigint')
+             |) AS t(col_name, data_type) ORDER BY col_name""".stripMargin)),
+
     // Scale-up CDC replay over the events fixture (sf-scalable, full
     // pipeline). End state = last event per user (ts is monotone in
     // event_id), deletes drop 'error'-typed users — SQL-expressible, so the
