@@ -300,6 +300,37 @@ object ExtQueries {
              |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |SELECT id_a, id_b, cos FROM p WHERE cos > 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
+    // X3: per-vector L2 norms — the filter stage ahead of cosine work (zero
+    // vectors, outliers). Exact fold dot product → sqrt is bit-identical
+    // across engines.
+    Q("x3_vector_norms",
+      (s, d) => Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          sqrt(SimilarityOps.dot(SimilarityOps.asDouble(col("embedding")),
+            SimilarityOps.asDouble(col("embedding")))).as("l2_norm"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // X3: int8 scalar-quantization parameters per vector (min/max/scale) —
+    // the stats a quantized ANN index stores per vector. floor() before any
+    // int conversion (Spark casts truncate, DuckDB rounds); scale kept as
+    // DOUBLE (exact: (max-min)/255 is one double op on both sides).
+    Q("x3_quantization_params",
+      (s, d) => {
+        val v = SimilarityOps.asDouble(col("embedding"))
+        Tables.load(s, d, "embeddings")
+          .select(col("vec_id"),
+            array_min(v).as("v_min"), array_max(v).as("v_max"),
+            ((array_max(v) - array_min(v)) / lit(255.0)).as("scale"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT vec_id, list_min(v) AS v_min, list_max(v) AS v_max,
+             |  (list_max(v) - list_min(v)) / 255.0 AS scale
+             |FROM e ORDER BY vec_id""".stripMargin)),
+
     // X5: multimodal binary column + typed metadata (payload stays opaque;
     // metadata prunable without reading payload pages).
     Q("x5_binary_meta",
