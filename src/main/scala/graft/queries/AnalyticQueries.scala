@@ -72,6 +72,59 @@ object AnalyticQueries {
          |ORDER BY revenue DESC, n.n_name""".stripMargin,
       headline = true),
 
+    // TPC-H Q7-shaped volume shipping: a 6-way star join (lineitem at the
+    // center, nation joined twice under different roles) bucketed by ship
+    // year. All five non-fact sides are broadcastable dimensions.
+    sqlQ("x7_q7_volume_shipping",
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+         |  $RevenueExpr AS revenue
+         |FROM lineitem l
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         |WHERE n1.n_name <> n2.n_name
+         |GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    // TPC-H Q8-shaped market share: one nation's share of a region's annual
+    // part revenue — conditional DECIMAL sums divided only after the exact
+    // aggregation, so the double ratio is bit-identical across engines.
+    sqlQ("x7_q8_market_share",
+      """WITH base AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+        |  COUNT(*) AS n_lines
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin),
+
+    // TPC-H Q10-shaped returned-item report: customers ranked by revenue
+    // lost to returns.
+    sqlQ("x7_q10_returned_items",
+      s"""SELECT c.c_custkey, c.c_name, n.n_name, $RevenueExpr AS revenue
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |GROUP BY c.c_custkey, c.c_name, n.n_name
+         |ORDER BY revenue DESC, c.c_custkey
+         |LIMIT 20""".stripMargin),
+
     // TPC-H Q6-shaped selective aggregate (predicate pushdown showcase).
     sqlQ("x7_q6_forecast_revenue",
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SimilarityOps, TextOps}
+
+/**
+ * Training-data-pipeline queries beyond the X1–X6 core: corpus-level TF-IDF
+ * ranking, stratified (per-language) downsampling, and k-means cluster
+ * assignment over embeddings — the relevance / rebalancing / clustering trio
+ * every large-scale corpus build runs.
+ *
+ * Scale notes: tfidf is two hash aggregations (term×doc, then term) plus an
+ * equi-join on term — no cross join wider than the 1-row corpus count;
+ * stratified sampling is a narrow filter (no shuffle); cluster assignment
+ * broadcasts k centroid rows and scans the corpus once (same shape as
+ * SimilarityOps.cosineTopK).
+ */
+object PipelineQueries {
+
+  private val DuckToks =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
+  val all: Seq[Q] = Seq(
+
+    // Per-document top-3 terms by TF-IDF (tf × ln(N/df), the plain-ratio idf).
+    // The score itself is kept out of the output: Java's Math.log and libm's
+    // log differ by 1 ulp on some inputs, so only the RANKING (which both
+    // engines agree on — ulp gaps never straddle a rank boundary on this
+    // fixture) plus the exact integer tf/df counts are emitted — the same
+    // convention x3_cosine_topk uses for its cosine.
+    Q("x4_tfidf",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        // term-dictionary join: vocabulary ≪ corpus, AQE picks broadcast here;
+        // the n_docs cross join is a 1-row literal either way
+        val scored = tf.join(df, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("term"))
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+             |  FROM tf JOIN df USING (term) CROSS JOIN n)
+             |SELECT doc_id, rnk, term, tf, df FROM (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+             |  FROM scored) t
+             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Stratified downsampling: per-language keep rates (1/2 en, 1/5 de, 1/10
+    // rest) via a deterministic modulo predicate — the reproducible
+    // class-rebalancing split (narrow filter, no shuffle, engine-agnostic).
+    Q("x1_stratified_sample",
+      (s, d) => {
+        val rate = when(col("lang") === "en", lit(2))
+          .when(col("lang") === "de", lit(5)).otherwise(lit(10))
+        Tables.load(s, d, "documents")
+          .filter(pmod(col("doc_id"), rate) === 0)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE doc_id % (CASE WHEN lang = 'en' THEN 2
+             |                     WHEN lang = 'de' THEN 5 ELSE 10 END) = 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // K-means assignment step: nearest (max-cosine) of k=8 fixed centroids
+    // (the 8 lowest-vec_id embeddings — deterministic seeding, same rule as
+    // IVF's hash-stride sampling degenerates to on this fixture). One corpus
+    // scan against k broadcast rows; ties break to the lowest centroid id.
+    Q("x3_kmeans_assign",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), SimilarityOps.asDouble(col("embedding")).as("v"))
+        val cents = e.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cid"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("cos", SimilarityOps.cosine(col("v"), col("cv")))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+          .select(col("vec_id"), col("cid"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+             |p AS (SELECT e.vec_id, c.cid,
+             |        list_dot_product(e.v, c.cv) /
+             |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+             |      FROM e, c)
+             |SELECT vec_id, cid FROM (
+             |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+             |  FROM p) t
+             |WHERE rnk = 1 ORDER BY vec_id""".stripMargin)))
+}

@@ -21,7 +21,8 @@ final case class Q(
 object Registry {
 
   lazy val all: Seq[Q] =
-    EventQueries.all ++ AnalyticQueries.all ++ ReplayQueries.all ++ ExtQueries.all
+    EventQueries.all ++ AnalyticQueries.all ++ ReplayQueries.all ++ ExtQueries.all ++
+      JoinQueries.all ++ PipelineQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

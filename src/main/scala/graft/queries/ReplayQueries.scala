@@ -136,6 +136,34 @@ object ReplayQueries {
       Some(endStateOracle),
       headline = true),
 
+    // Positional-delete merge-on-read replay: same golden scenarios, but each
+    // merge resolves masked rows to (file, row-ordinal) at write time (Iceberg
+    // v2 position deletes) — the scan side then filters with a key-free
+    // (file, pos) anti-join. Oracle: identical golden end state.
+    Q("cdc_replay_morpos_end_state",
+      (s, _) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_replay_morpos").toString
+        val t = TransactionalTable.create(s, root, Cdc.tableSchema, Cdc.PrimaryKey,
+          Some(Cdc.PartitionColumn))
+        def applyB(lines: Seq[String], b: Long): Unit = {
+          val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+          t.merge(Cdc.projectToTable(Cdc.upserts(deduped)),
+            Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)), b,
+            graft.table.MergeMode.MergeOnReadPositional)
+        }
+        applyB(CdcFixtures.scenario1Lines, 0)
+        applyB(CdcFixtures.scenario2Lines, 1)
+        assert(t.snapshot.deletes.exists(_.kind == graft.table.DeleteFile.Position),
+          "test premise: positional delete files must be pending")
+        t.scan()
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+          .orderBy("trans_id")
+      },
+      Some(endStateOracle)),
+
     // Snapshot history (Iceberg `table.snapshots` parity) — manifest-only
     // metadata; bytes vary per run so the oracle pins the invariant columns.
     Q("cdc_table_history",

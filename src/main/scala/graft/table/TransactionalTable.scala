@@ -15,11 +15,20 @@ import org.apache.spark.sql.types.StructType
 final case class DataFile(path: String, partition: Option[String], pkMin: Long, pkMax: Long,
     rows: Long, bytes: Long)
 
-/** A merge-on-read delete file: one parquet of (pk, _dseq) key rows. A delete
- *  row masks any data row with the same key whose embedded `_seq` (commit
- *  version stamped at write) is LOWER than `_dseq` — Iceberg v2 equality
- *  deletes, natively. */
-final case class DeleteFile(path: String, pkMin: Long, pkMax: Long, rows: Long, bytes: Long)
+/** A merge-on-read delete file (Iceberg v2 shapes, natively):
+ *   - kind="equality": parquet of (pk, _dseq) key rows; a delete row masks any
+ *     data row with the same key whose embedded `_seq` (commit version stamped
+ *     at write) is LOWER than `_dseq`.
+ *   - kind="position": parquet of (_dfile, _dpos) rows; masks exactly the row
+ *     at ordinal `_dpos` of data file `_dfile`. No sequence logic is needed —
+ *     positions pin concrete rows, and new data files (fresh paths) can never
+ *     be referenced by an older delete file. */
+final case class DeleteFile(path: String, pkMin: Long, pkMax: Long, rows: Long, bytes: Long,
+    kind: String = DeleteFile.Equality)
+object DeleteFile {
+  val Equality = "equality"
+  val Position = "position"
+}
 
 /** A committed table version. `batchId` fences replays (T4): re-committing an
  *  already-applied streaming batch is a no-op. */
@@ -34,10 +43,21 @@ final case class Snapshot(version: Long, batchId: Long, files: Seq[DataFile],
  *  batch as a new data file + an equality-delete file and defers the join to
  *  scan time (write-optimized; Iceberg v2 shape) — compaction folds deletes
  *  back in. */
+/** A commit lost the optimistic race: another writer advanced the table (or
+ *  holds an in-flight manifest) between snapshot read and pointer swap.
+ *  Mutation entry points catch this and retry against the fresh snapshot. */
+final class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
+
 sealed trait MergeMode
 object MergeMode {
   case object CopyOnWrite extends MergeMode
   case object MergeOnRead extends MergeMode
+  /** Merge-on-read with POSITIONAL delete files: the merge looks up the
+   *  (file, row-ordinal) of each masked row at write time (reading only
+   *  PK-range-pruned files), so the scan-side filter is a cheap anti-join on
+   *  (file, pos) with no key semantics. Write cost ≈ MOR + a pruned read;
+   *  read cost ≈ CoW. Iceberg v2's position-delete trade, natively. */
+  case object MergeOnReadPositional extends MergeMode
 }
 
 /**
@@ -51,9 +71,11 @@ object MergeMode {
  *    file list lives in immutable manifest CHUNKS reused across versions, so
  *    a commit writes O(changed files) of metadata, not the table's whole
  *    file list (Iceberg's manifest-file layering, see planChunks);
- *  - commits are an atomic pointer swap (`_current` renamed into place) —
- *    single-writer, the local stand-in for the reference's DynamoDB commit
- *    lock (`job:57-58`);
+ *  - commits are an atomic pointer swap (`_current` renamed into place) with
+ *    OPTIMISTIC multi-writer concurrency: the CREATE_NEW manifest write is the
+ *    per-version claim, losers recompute against the fresh snapshot and retry
+ *    (see commit()/retryingCommit) — the local stand-in for the reference's
+ *    DynamoDB commit lock (`job:57-58`);
  *  - MERGE is copy-on-write at file granularity: only files whose PK range
  *    intersects the batch's keys are rewritten; everything else is carried
  *    over by reference. At 100 TB this is the difference between rewriting
@@ -91,6 +113,17 @@ final class TransactionalTable private (
   private def manifestDir = Paths.get(root, "manifest")
   private def pointerPath = Paths.get(root, "_current")
   private def dataDir = Paths.get(root, "data")
+
+  /** Per-attempt output directory for a commit's data/delete files. The nonce
+    * makes concurrent attempts at the same version write DISJOINT paths — a
+    * losing writer can never clobber files a winner's manifest references
+    * (a shared `v$version` dir + overwrite mode would). A crashed or beaten
+    * attempt orphans its directory; orphans are never referenced by any
+    * manifest and are left for out-of-band cleanup, exactly like Iceberg's
+    * orphan files. */
+  private def commitDir(version: Long, tag: String = ""): Path =
+    dataDir.resolve(
+      s"v$version$tag-${java.lang.Long.toHexString(java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)}")
 
   def currentVersion: Long = new String(Files.readAllBytes(pointerPath)).trim.toLong
 
@@ -143,7 +176,8 @@ final class TransactionalTable private (
       if (!node.has("deletes")) Seq.empty
       else node.get("deletes").elements().asScala.map { d =>
         DeleteFile(d.get("path").asText(), d.get("pkMin").asLong(), d.get("pkMax").asLong(),
-          d.get("rows").asLong(), d.get("bytes").asLong())
+          d.get("rows").asLong(), d.get("bytes").asLong(),
+          if (d.has("kind")) d.get("kind").asText() else DeleteFile.Equality)
       }.toSeq
     Snapshot(node.get("version").asLong(), node.get("batchId").asLong(), files, deletes)
   }
@@ -176,19 +210,32 @@ final class TransactionalTable private (
    */
   private def scanWithDeletes(files: Seq[DataFile], deletes: Seq[DeleteFile]): DataFrame =
     if (deletes.isEmpty) scanFiles(files)
+    else if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
+      val (posDel, eqDel) = deletes.partition(_.kind == DeleteFile.Position)
       val withSeq = schema.add("_seq", "long")
-      val data =
-        if (files.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withSeq)
-        else spark.read.schema(withSeq).parquet(files.map(_.path): _*)
-      val delRaw = spark.read.parquet(deletes.map(_.path): _*)
-        .select(col(pk).as("_dpk"), col("_dseq"))
-      val del = if (deletes.map(_.rows).sum <= MaxCollectedKeys) broadcast(delRaw) else delRaw
-      data.join(del,
+      var data = spark.read.schema(withSeq).parquet(files.map(_.path): _*)
+      if (posDel.nonEmpty) {
+        // Positional masking: anti-join on (file, ordinal) via Spark's hidden
+        // per-file metadata columns — no key comparison, no sequence logic.
+        val pdRaw = spark.read.parquet(posDel.map(_.path): _*).select(col("_dfile"), col("_dpos"))
+        val pd = if (posDel.map(_.rows).sum <= MaxCollectedKeys) broadcast(pdRaw) else pdRaw
+        data = data
+          .withColumn("_gfile", col("_metadata.file_path"))
+          .withColumn("_gpos", col("_metadata.row_index"))
+          .join(pd, col("_gfile") === col("_dfile") && col("_gpos") === col("_dpos"), "left_anti")
+          .drop("_gfile", "_gpos")
+      }
+      if (eqDel.nonEmpty) {
+        val delRaw = spark.read.parquet(eqDel.map(_.path): _*)
+          .select(col(pk).as("_dpk"), col("_dseq"))
+        val del = if (eqDel.map(_.rows).sum <= MaxCollectedKeys) broadcast(delRaw) else delRaw
+        data = data.join(del,
           col(pk) === col("_dpk") && col("_dseq") > coalesce(col("_seq"), lit(0L)),
           "left_anti")
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+      data.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
 
   /** COUNT(*): metadata-only from manifest stats when no merge-on-read
@@ -266,9 +313,39 @@ final class TransactionalTable private (
         * §7.5.3). `deleteKeys` must then carry (pk, guardTs). CoW only —
         * MOR equality deletes mask unconditionally by construction. */
       guardTs: Option[String] = None): Unit = synchronized {
-    val snap = snapshot
-    if (batchId <= snap.batchId) return // T4: replayed batch — already committed
-    doMerge(snap, upserts, deleteKeys, batchId, mode, guardTs)
+    retryingCommit("merge") { snap =>
+      // T4: replayed batch — already committed (re-checked on every retry:
+      // the concurrent winner may have been this very batch's other attempt)
+      if (batchId > snap.batchId)
+        doMerge(snap, upserts, deleteKeys, batchId, mode, guardTs)
+    }
+  }
+
+  /**
+   * Optimistic-concurrency driver for every mutation: run `body` against the
+   * freshest snapshot; if the commit loses the race to another writer
+   * (pointer advanced or an in-flight manifest holds our target version),
+   * reload and RECOMPUTE against the new snapshot, with jittered backoff.
+   * Recompute-from-scratch (rather than metadata rebase) is what makes
+   * retries unconditionally serializable: the second attempt sees the
+   * winner's rows, so key-overlapping writers land in some serial order —
+   * the same contract Iceberg's commit-retry loop provides over a real lock
+   * service; here the CREATE_NEW manifest claim is the lock.
+   */
+  private def retryingCommit(opName: String)(body: Snapshot => Unit): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { body(snapshot); done = true }
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > MaxCommitRetries) throw new ConcurrentCommitException(
+            s"$opName gave up after $MaxCommitRetries retries (root=$root): ${e.getMessage}")
+          Thread.sleep(CommitRetryBackoffMs * attempt +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(CommitRetryBackoffMs))
+      }
+    }
   }
 
   /**
@@ -281,8 +358,9 @@ final class TransactionalTable private (
   def mergeAdhoc(upserts: DataFrame, deleteKeys: DataFrame,
       mode: MergeMode = MergeMode.CopyOnWrite,
       guardTs: Option[String] = None): Unit = synchronized {
-    val snap = snapshot
-    doMerge(snap, upserts, deleteKeys, snap.batchId, mode, guardTs)
+    retryingCommit("mergeAdhoc") { snap =>
+      doMerge(snap, upserts, deleteKeys, snap.batchId, mode, guardTs)
+    }
   }
 
   private def doMerge(snap: Snapshot, upserts: DataFrame, deleteKeys: DataFrame,
@@ -302,7 +380,27 @@ final class TransactionalTable private (
     mode match {
       case MergeMode.CopyOnWrite => mergeCow(snap, up, dels, batchId, guardTs)
       case MergeMode.MergeOnRead => mergeMor(snap, up, dels, batchId)
+      case MergeMode.MergeOnReadPositional => mergeMorPositional(snap, up, dels, batchId)
     }
+  }
+
+  /** Files of `snap` that can contain any of the batch's keys, plus whether
+   *  the key set blew past the collect cap (→ callers should not broadcast).
+   *  Exact key-set pruning under the cap; [min,max]-range pruning past it. */
+  private def affectedFiles(snap: Snapshot, keyDf: DataFrame): (Seq[DataFile], Boolean) = {
+    val keys = keyDf.limit(MaxCollectedKeys + 1).collect().map(_.getLong(0))
+    val oversized = keys.length > MaxCollectedKeys
+    val affected =
+      if (keys.isEmpty) Seq.empty[DataFile]
+      else if (oversized) {
+        val Array(lo, hi) = keyDf.agg(min(keyDf.columns.head), max(keyDf.columns.head))
+          .collect().head match { case r => Array(r.getLong(0), r.getLong(1)) }
+        snap.files.filter(f => f.pkMax >= lo && f.pkMin <= hi)
+      } else {
+        val sorted = keys.sorted
+        snap.files.filter(f => overlaps(sorted, f.pkMin, f.pkMax))
+      }
+    (affected, oversized)
   }
 
   private def mergeCow(snap: Snapshot, up: DataFrame, dels: DataFrame, batchId: Long,
@@ -313,19 +411,7 @@ final class TransactionalTable private (
     val keyDf = up.select(col(pk).cast("long"))
       .unionByName(dels.select(col(pk).cast("long")))
       .distinct()
-    val keys = keyDf.limit(MaxCollectedKeys + 1).collect().map(_.getLong(0))
-    val oversized = keys.length > MaxCollectedKeys
-    val affected =
-      if (keys.isEmpty) Seq.empty[DataFile]
-      else if (oversized) {
-        val Array(lo, hi) = keyDf.agg(min(pk), max(pk)).collect().head match {
-          case r => Array(r.getLong(0), r.getLong(1))
-        }
-        snap.files.filter(f => f.pkMax >= lo && f.pkMin <= hi)
-      } else {
-        val sorted = keys.sorted
-        snap.files.filter(f => overlaps(sorted, f.pkMin, f.pkMax))
-      }
+    val (affected, oversized) = affectedFiles(snap, keyDf)
 
     // Pending MOR deletes must be applied to the rewritten slice, or a merge
     // would resurrect masked rows.
@@ -338,7 +424,7 @@ final class TransactionalTable private (
     }
 
     val newVersion = snap.version + 1
-    val newFiles = writeDataFiles(merged, dataDir.resolve(s"v$newVersion"), seq = newVersion)
+    val newFiles = writeDataFiles(merged, commitDir(newVersion), seq = newVersion)
 
     val carried = snap.files.filterNot(affected.toSet)
     // delete files are carried: they may still mask carried data files
@@ -354,8 +440,39 @@ final class TransactionalTable private (
     // deleted keys (removed)
     val keyDf = up.select(col(pk).cast("long"))
       .unionByName(dels.select(col(pk).cast("long"))).distinct()
-    val delFile = writeDeleteFile(keyDf, dataDir.resolve(s"v${newVersion}_deletes"), newVersion)
-    val newFiles = writeDataFiles(up, dataDir.resolve(s"v$newVersion"), seq = newVersion)
+    val delFile = writeDeleteFile(keyDf, commitDir(newVersion, "_deletes"), newVersion)
+    val newFiles = writeDataFiles(up, commitDir(newVersion), seq = newVersion)
+    commit(Snapshot(newVersion, batchId, snap.files ++ newFiles,
+      snap.deletes ++ delFile.toSeq))
+  }
+
+  /** Merge-on-read with positional deletes: resolve each masked row to its
+    * (file, ordinal) now — reading only PK-range-pruned files — so the scan
+    * side pays a key-free (file, pos) anti-join instead of an equality join.
+    * Every batch key masks its older images: upserted keys are superseded by
+    * the batch's new data file, deleted keys are removed. Re-masking a row an
+    * earlier delete file already masks just duplicates a (file, pos) entry —
+    * the anti-join is idempotent. */
+  private def mergeMorPositional(snap: Snapshot, up: DataFrame, dels: DataFrame,
+      batchId: Long): Unit = {
+    val newVersion = snap.version + 1
+    val keyDf = up.select(col(pk).cast("long").as("_mk"))
+      .unionByName(dels.select(col(pk).cast("long").as("_mk"))).distinct()
+    val (affected, oversized) = affectedFiles(snap, keyDf)
+    val delFile =
+      if (affected.isEmpty) None
+      else {
+        val keysSide = if (oversized) keyDf else broadcast(keyDf)
+        val positions = spark.read.schema(schema).parquet(affected.map(_.path): _*)
+          .select(col(pk).cast("long").as("_dk"),
+            col("_metadata.file_path").as("_dfile"),
+            col("_metadata.row_index").as("_dpos"))
+          .join(keysSide, col("_dk") === col("_mk"))
+          .select("_dfile", "_dpos")
+        writeDeleteFile(positions, commitDir(newVersion, "_deletes"), newVersion,
+          kind = DeleteFile.Position)
+      }
+    val newFiles = writeDataFiles(up, commitDir(newVersion), seq = newVersion)
     commit(Snapshot(newVersion, batchId, snap.files ++ newFiles,
       snap.deletes ++ delFile.toSeq))
   }
@@ -394,13 +511,15 @@ final class TransactionalTable private (
 
   /** Bulk append (bootstrap / initial load): no key matching, pure add. */
   def append(rows: DataFrame, batchId: Long = -1L): Unit = synchronized {
-    val snap = snapshot
-    if (batchId >= 0 && batchId <= snap.batchId) return
-    val newVersion = snap.version + 1
-    val newFiles = writeDataFiles(conformed(rows),
-      dataDir.resolve(s"v$newVersion"), seq = newVersion)
-    commit(Snapshot(newVersion, math.max(batchId, snap.batchId),
-      snap.files ++ newFiles, snap.deletes))
+    retryingCommit("append") { snap =>
+      if (!(batchId >= 0 && batchId <= snap.batchId)) {
+        val newVersion = snap.version + 1
+        val newFiles = writeDataFiles(conformed(rows),
+          commitDir(newVersion), seq = newVersion)
+        commit(Snapshot(newVersion, math.max(batchId, snap.batchId),
+          snap.files ++ newFiles, snap.deletes))
+      }
+    }
   }
 
   /** Write rows as self-contained Parquet, directory-bucketed by partition value,
@@ -474,10 +593,14 @@ final class TransactionalTable private (
       .filter(_ != "__HIVE_DEFAULT_PARTITION__")
       .map(org.apache.spark.sql.graftshim.GraftShims.unescapePathName)
 
-  /** Write a merge-on-read equality-delete file: (pk, _dseq) rows. Returns
-    * None when the key set is empty. The manifest entry's path is the written
-    * directory (delete sets are small; part-file granularity isn't needed). */
-  private def writeDeleteFile(keys: DataFrame, outDir: Path, seq: Long): Option[DeleteFile] = {
+  /** Write a merge-on-read delete file — equality (pk, _dseq) rows or
+    * positional (_dfile, _dpos) rows per `kind`. Returns None when the input
+    * is empty. The manifest entry's path is the written directory (delete
+    * sets are small; part-file granularity isn't needed). For positional
+    * files the pk stats degrade to the never-prunable full range (no pk
+    * column), which is conservative and correct. */
+  private def writeDeleteFile(keys: DataFrame, outDir: Path, seq: Long,
+      kind: String = DeleteFile.Equality): Option[DeleteFile] = {
     keys.withColumn("_dseq", lit(seq)).write.mode("overwrite").parquet(outDir.toString)
     // Stats from footers, like writeDataFiles (an empty key set writes no
     // part files → None).
@@ -489,7 +612,7 @@ final class TransactionalTable private (
     else {
       val bytes = parts.map(Files.size).sum
       Some(DeleteFile(outDir.toString, stats.map(_._2).min, stats.map(_._3).max,
-        stats.map(_._1).sum, bytes))
+        stats.map(_._1).sum, bytes, kind))
     }
   }
 
@@ -506,30 +629,32 @@ final class TransactionalTable private (
    * unaffected.
    */
   def compact(minFileRows: Long = 1L << 20): Unit = synchronized {
-    val snap = snapshot
-    if (snap.deletes.nonEmpty) {
-      // MOR maintenance: fold the pending delete files in — rewrite all data
-      // with deletes applied, emerging as a pure-data snapshot.
-      val packed = partitionCol match {
-        case Some(p) => scanWithDeletes(snap.files, snap.deletes).repartition(col(p))
-        case None => scanWithDeletes(snap.files, snap.deletes).coalesce(1)
+    retryingCommit("compact") { snap =>
+      if (snap.deletes.nonEmpty) {
+        // MOR maintenance: fold the pending delete files in — rewrite all data
+        // with deletes applied, emerging as a pure-data snapshot.
+        val packed = partitionCol match {
+          case Some(p) => scanWithDeletes(snap.files, snap.deletes).repartition(col(p))
+          case None => scanWithDeletes(snap.files, snap.deletes).coalesce(1)
+        }
+        val newVersion = snap.version + 1
+        val newFiles = writeDataFiles(packed, commitDir(newVersion), seq = newVersion)
+        commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
+      } else {
+        val small = snap.files.filter(_.rows < minFileRows)
+        val needsWork = small.groupBy(_.partition).exists(_._2.size > 1)
+        if (needsWork) {
+          val keep = snap.files.filterNot(small.toSet)
+          val packed = partitionCol match {
+            case Some(p) => scanFiles(small).repartition(col(p)) // 1 task → 1 file per value
+            case None => scanFiles(small).coalesce(1)
+          }
+          val newVersion = snap.version + 1
+          val newFiles = writeDataFiles(packed, commitDir(newVersion), seq = newVersion)
+          commit(Snapshot(newVersion, snap.batchId, keep ++ newFiles))
+        }
       }
-      val newVersion = snap.version + 1
-      val newFiles = writeDataFiles(packed, dataDir.resolve(s"v$newVersion"), seq = newVersion)
-      commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
-      return
     }
-    val small = snap.files.filter(_.rows < minFileRows)
-    val needsWork = small.groupBy(_.partition).exists(_._2.size > 1)
-    if (!needsWork) return
-    val keep = snap.files.filterNot(small.toSet)
-    val packed = partitionCol match {
-      case Some(p) => scanFiles(small).repartition(col(p)) // 1 task → 1 file per value
-      case None => scanFiles(small).coalesce(1)
-    }
-    val newVersion = snap.version + 1
-    val newFiles = writeDataFiles(packed, dataDir.resolve(s"v$newVersion"), seq = newVersion)
-    commit(Snapshot(newVersion, snap.batchId, keep ++ newFiles))
   }
 
   private def dataFileJson(f: DataFile): com.fasterxml.jackson.databind.node.ObjectNode = {
@@ -584,15 +709,22 @@ final class TransactionalTable private (
     keptPaths ++ fresh
   }
 
-  /** Durably write the manifest, then atomically swap the current pointer. */
+  /** Durably write the manifest, then atomically swap the current pointer.
+    *
+    * Concurrency protocol (optimistic, the local stand-in for the reference's
+    * DynamoDB commit lock, `job:57-58`): the CREATE_NEW write of
+    * `v{N}.json` is the atomic claim on version N — exactly one writer can
+    * create it. A writer that finds the pointer advanced or the claim taken
+    * throws [[ConcurrentCommitException]], and the mutation entry points
+    * recompute against the fresh snapshot (retryingCommit). A claim file
+    * whose version is AHEAD of the pointer is either a writer mid-swap
+    * (microseconds) or a crashed attempt; only after [[OrphanManifestGraceMs]]
+    * of age is it treated as crashed and replaced — an in-flight winner's
+    * manifest is never deleted. */
   private def commit(s: Snapshot): Unit = {
-    // Single-writer is the documented contract (the reference's DynamoDB lock
-    // stand-in); these two checks make a violation fail loudly instead of
-    // silently losing a commit: the manifest is CREATE_NEW (second writer of
-    // the same version throws) and the pointer must not have advanced.
     if (Files.exists(pointerPath) && currentVersion >= s.version && s.version > 0)
-      throw new IllegalStateException(
-        s"concurrent writer detected: version ${s.version} already committed (root=$root)")
+      throw new ConcurrentCommitException(
+        s"version ${s.version} already committed (root=$root)")
     Files.createDirectories(manifestDir)
     val chunkRefs = planChunks(s)
     val node = mapper.createObjectNode()
@@ -606,7 +738,7 @@ final class TransactionalTable private (
       s.deletes.foreach { d =>
         val o = mapper.createObjectNode()
         o.put("path", d.path); o.put("pkMin", d.pkMin); o.put("pkMax", d.pkMax)
-        o.put("rows", d.rows); o.put("bytes", d.bytes)
+        o.put("rows", d.rows); o.put("bytes", d.bytes); o.put("kind", d.kind)
         darr.add(o)
       }
     }
@@ -614,13 +746,19 @@ final class TransactionalTable private (
     val bytes = mapper.writeValueAsBytes(node)
     try Files.write(mPath, bytes, StandardOpenOption.CREATE_NEW)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
-      if (!Files.exists(pointerPath) || currentVersion < s.version) {
-        // Orphaned manifest from a commit that crashed before the pointer
-        // swap — never visible to readers, safe to replace on retry.
-        Files.delete(mPath)
-        Files.write(mPath, bytes, StandardOpenOption.CREATE_NEW)
-      } else throw new IllegalStateException(
-        s"concurrent writer detected: manifest v${s.version} exists and is committed (root=$root)")
+      if (Files.exists(pointerPath) && currentVersion >= s.version)
+        throw new ConcurrentCommitException(
+          s"manifest v${s.version} committed by another writer (root=$root)")
+      // Claim exists but the pointer hasn't reached it: in-flight writer
+      // (lose the race, retry) — unless it has sat un-pointed past the grace
+      // window, which only a crash between claim and swap produces.
+      val ageMs = try System.currentTimeMillis() - Files.getLastModifiedTime(mPath).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+      if (ageMs < OrphanManifestGraceMs)
+        throw new ConcurrentCommitException(
+          s"manifest v${s.version} claimed by an in-flight writer (root=$root)")
+      Files.deleteIfExists(mPath)
+      Files.write(mPath, bytes, StandardOpenOption.CREATE_NEW)
     }
     val tmp = Paths.get(root, s"_current.tmp")
     Files.write(tmp, s.version.toString.getBytes,
@@ -634,6 +772,13 @@ object TransactionalTable {
   /** Above this many touched keys per batch we stop collecting the exact key set
    *  for file pruning and use the batch's [min,max] PK range instead. */
   val MaxCollectedKeys = 1 << 20
+  /** Optimistic-concurrency knobs: retries per mutation, linear-backoff base,
+    * and how long an un-pointed manifest claim must sit before it is presumed
+    * crashed (total retry budget spans the grace window, so a crashed claim
+    * self-heals within one mutation call). */
+  val MaxCommitRetries = 6
+  val CommitRetryBackoffMs = 250L
+  val OrphanManifestGraceMs = 3000L
   /** Max data-file entries per manifest chunk. */
   val ChunkSize = 512
   /** More than this many under-half-full reusable chunks → fold them into a

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.table.{MergeMode, TransactionalTable}
+
+/** Optimistic multi-writer concurrency: independent table handles (as separate
+  * jobs/sessions would hold) racing merges on one table root must all land —
+  * losers recompute against the winner's snapshot and retry. */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType)))
+
+  private def fresh(): String = {
+    val root = tmpDir("ttable-conc")
+    TransactionalTable.create(spark, root, schema, "id")
+    root
+  }
+
+  private def runAll(n: Int)(job: Int => Unit): Unit = {
+    val pool = Executors.newFixedThreadPool(n)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence((0 until n).map(i => Future(job(i)))), 120.seconds)
+    finally pool.shutdown()
+  }
+
+  test("disjoint-key writers race on separate handles; every merge lands") {
+    val root = fresh()
+    val writers = 4
+    runAll(writers) { i =>
+      val t = TransactionalTable.open(spark, root) // own handle: no shared lock
+      val rows = (0 until 10).map(j => (i * 100L + j, i.toLong)).toDF("id", "v")
+      t.mergeAdhoc(rows, spark.emptyDataset[Long].toDF("id"))
+    }
+    val t = TransactionalTable.open(spark, root)
+    assert(t.currentVersion === writers.toLong, "each writer must have committed once")
+    val got = t.scan().as[(Long, Long)].collect().toMap
+    assert(got.size === writers * 10)
+    (0 until writers).foreach(i => assert(got(i * 100L) === i.toLong))
+  }
+
+  test("same-key writers serialize: one value survives, none lost mid-air") {
+    val root = fresh()
+    runAll(3) { i =>
+      val t = TransactionalTable.open(spark, root)
+      t.mergeAdhoc(Seq((7L, i.toLong)).toDF("id", "v"),
+        spark.emptyDataset[Long].toDF("id"))
+    }
+    val t = TransactionalTable.open(spark, root)
+    assert(t.currentVersion === 3L)
+    val got = t.scan().as[(Long, Long)].collect()
+    assert(got.length === 1 && got.head._1 === 7L && Set(0L, 1L, 2L)(got.head._2))
+  }
+
+  test("concurrent MOR merges: all rows land, delete masks stay consistent") {
+    val root = fresh()
+    // seed rows 0..19, then 3 writers concurrently MOR-update disjoint slices
+    val t0 = TransactionalTable.open(spark, root)
+    t0.append((0L until 20L).map((_, -1L)).toDF("id", "v"))
+    runAll(3) { i =>
+      val t = TransactionalTable.open(spark, root)
+      val mode = if (i % 2 == 0) MergeMode.MergeOnRead else MergeMode.MergeOnReadPositional
+      t.mergeAdhoc((0 until 5).map(j => (i * 5L + j, 100L + i)).toDF("id", "v"),
+        spark.emptyDataset[Long].toDF("id"), mode)
+    }
+    val t = TransactionalTable.open(spark, root)
+    val got = t.scan().as[(Long, Long)].collect().toMap
+    assert(got.size === 20, s"got ${got.size} rows: ${got.keys.toSeq.sorted}")
+    (0 until 15).foreach(k => assert(got(k.toLong) === 100L + k / 5, s"key $k"))
+    (15 until 20).foreach(k => assert(got(k.toLong) === -1L))
+  }
+
+  test("a losing attempt never clobbers a winner's committed data files") {
+    val root = fresh()
+    runAll(4) { i =>
+      val t = TransactionalTable.open(spark, root)
+      t.mergeAdhoc(Seq((i.toLong, i.toLong)).toDF("id", "v"),
+        spark.emptyDataset[Long].toDF("id"))
+    }
+    val t = TransactionalTable.open(spark, root)
+    // every manifest-referenced file must physically exist (unique commit dirs)
+    t.snapshot.files.foreach(f => assert(Files.exists(Paths.get(f.path)), f.path))
+    assert(t.scan().count() === 4)
+  }
+
+  test("stale un-pointed manifest claim self-heals after the grace window") {
+    val root = fresh()
+    val t = TransactionalTable.open(spark, root)
+    // simulate a crashed claim: manifest v1 exists, pointer still 0, aged out
+    val orphan = Paths.get(root, "manifest", "v1.json")
+    Files.write(orphan, "{garbage".getBytes)
+    Files.setLastModifiedTime(orphan, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - TransactionalTable.OrphanManifestGraceMs - 1000))
+    t.append(Seq((1L, 1L)).toDF("id", "v"))
+    assert(t.currentVersion === 1L)
+    assert(t.scan().count() === 1)
+  }
+
+  test("a FRESH un-pointed claim is respected, not deleted (in-flight writer)") {
+    val root = fresh()
+    val t = TransactionalTable.open(spark, root)
+    val claim = Paths.get(root, "manifest", "v1.json")
+    Files.write(claim, "{in-flight".getBytes)
+    // keep the claim perpetually fresh so every retry still sees an in-flight
+    // writer; append must give up with ConcurrentCommitException, never
+    // delete the claim.
+    val keeper = new Thread(() => {
+      while (!Thread.interrupted())
+        try {
+          Files.setLastModifiedTime(claim,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          Thread.sleep(200)
+        } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    })
+    keeper.start()
+    try {
+      intercept[graft.table.ConcurrentCommitException] {
+        t.append(Seq((1L, 1L)).toDF("id", "v"))
+      }
+      assert(new String(Files.readAllBytes(claim)) === "{in-flight",
+        "in-flight claim was clobbered")
+    } finally { keeper.interrupt(); keeper.join() }
+  }
+}

@@ -63,6 +63,49 @@ class MergeOnReadSpec extends SparkSpec {
     assert(!got.contains(6L), "CoW rewrite resurrected a MOR-deleted row")
   }
 
+  test("positional MOR golden replay equals the CoW end state; no rewrite") {
+    val t = freshGolden(MergeMode.MergeOnReadPositional)
+    val got = t.scan()
+      .select($"trans_id", $"amount").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val want = CdcFixtures.expectedEndState.map(e => (e._1, e._5))
+    assert(got === want)
+    // batch-0 files survive untouched; pending deletes are positional
+    val v1Files = t.snapshotAt(1).files.map(_.path).toSet
+    assert(v1Files.subsetOf(t.snapshot.files.map(_.path).toSet))
+    assert(t.snapshot.deletes.nonEmpty)
+    assert(t.snapshot.deletes.forall(_.kind === graft.table.DeleteFile.Position))
+    // time travel applies only version-1's delete set (none exists yet there)
+    assert(t.scanAt(1).count() === 10)
+  }
+
+  test("positional MOR: compaction folds position deletes; scan identical") {
+    val t = freshGolden(MergeMode.MergeOnReadPositional)
+    val before = t.scan().orderBy("trans_id").collect().toSeq
+    t.compact()
+    assert(t.snapshot.deletes.isEmpty)
+    assert(t.scan().orderBy("trans_id").collect().toSeq === before)
+    assert(t.countRows === 12)
+  }
+
+  test("mixed equality + positional delete files apply together") {
+    val t = freshGolden(MergeMode.MergeOnRead) // scenario1+2 → equality deletes
+    // a third batch via POSITIONAL mode: update key 21, delete key 28
+    val up = Seq((21L, "751351243210", "cart", "UPDATED", 999, "tablet",
+      new java.sql.Timestamp(0L))).toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*)
+    t.merge(up, Seq(28L).toDF("trans_id"), batchId = 2,
+      MergeMode.MergeOnReadPositional)
+    val kinds = t.snapshot.deletes.map(_.kind).toSet
+    assert(kinds === Set(graft.table.DeleteFile.Equality, graft.table.DeleteFile.Position))
+    val got = t.scan().select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+    assert(got(21L) === 999, "positional mask of the superseded image failed")
+    assert(!got.contains(28L), "positional delete failed")
+    assert(got.size === 11)
+    // and compaction folds BOTH kinds
+    t.compact()
+    assert(t.snapshot.deletes.isEmpty)
+    assert(t.scan().count() === 11)
+  }
+
   test("catalog SQL reads MOR-pending tables via the delete-aware rewrite") {
     val w = tmpDir("graft-mor-warehouse")
     spark.conf.set("spark.sql.catalog.graft_mor", "graft.sql.GraftCatalog")
