@@ -7,6 +7,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Open-session state carried across micro-batches (one per user). */
 final case class SessionState(sessionId: Long, startUs: Long, lastUs: Long, n: Long)
 
+/** Per-key dimension history for the streaming as-of join: (ts, value)
+  * versions sorted ascending, pruned to the retention window. */
+final case class AsofDimState(versions: List[(Long, String)])
+
+/** One tagged input row of the streaming as-of join union. */
+final case class AsofIn(key: Long, tsUs: Long, isDim: Boolean,
+    eventVal: Double, dimVal: String)
+
+/** An event enriched with the as-of dimension version (None = no version at
+  * or before the event's time had been seen when the event was processed). */
+final case class AsofOut(key: Long, event_ts_us: Long, event_val: Double,
+    dim_ts_us: Option[Long], dim_val: Option[String])
+
 /** A closed session emitted downstream. */
 final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
 
@@ -70,6 +83,68 @@ object StreamingOps {
    * `processAllAvailable` never settles). Unbounded production streams should
    * keep the default.
    */
+  /**
+   * Streaming as-of enrichment (the streaming twin of
+   * graft.ops.JoinOps.asofJoin): each event picks up the NEWEST dimension
+   * version with the same key and `dim.ts <= event.ts` (inclusive, DuckDB/kdb
+   * ASOF semantics) among the versions seen so far. Dimension history lives
+   * in keyed state as a sorted version list, pruned to `retentionUs` behind
+   * the newest event processed for that key (the newest version is always
+   * kept, so a slow dimension never un-enriches a fast event stream).
+   *
+   * Semantics under disorder (documented, not hidden): events are matched
+   * against versions AS CAPTURED when their micro-batch is processed —
+   * append-mode output is immutable, so a dimension update that arrives
+   * AFTER an event was emitted does not retro-correct it. Within one
+   * micro-batch, rows are processed in event-time order with dims-before-
+   * events at ties, so intra-batch disorder IS repaired. That is the standard
+   * stream-enrichment contract (Flink's temporal join with an aggressive
+   * watermark degenerates to the same behavior).
+   *
+   * Scale posture: one shuffle on the key; state per key is O(versions within
+   * retention), not O(events); both inputs flow through the same
+   * flatMapGroupsWithState operator (no buffering of the event stream).
+   */
+  def asofEnrichStream(
+      events: Dataset[(Long, Long, Double)],
+      dims: Dataset[(Long, Long, String)],
+      retentionUs: Long = 3600L * 1000000L): Dataset[AsofOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tagged =
+      events.map { case (k, ts, v) => AsofIn(k, ts, isDim = false, v, null) }
+        .unionByName(dims.map { case (k, ts, dv) => AsofIn(k, ts, isDim = true, 0.0, dv) })
+    tagged.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: Long, it: Iterator[AsofIn], state: GroupState[AsofDimState]) =>
+        // event-time order, dims before events at the same timestamp (inclusive)
+        val rows = it.toArray.sortBy(r => (r.tsUs, !r.isDim))
+        var versions = state.getOption.map(_.versions).getOrElse(Nil)
+        var maxEventTs = Long.MinValue
+        val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+        rows.foreach { r =>
+          if (r.isDim) {
+            // insert in ts order (appends in the common in-order case)
+            val (before, after) = versions.partition(_._1 <= r.tsUs)
+            versions = before ::: ((r.tsUs, r.dimVal) :: after)
+          } else {
+            maxEventTs = math.max(maxEventTs, r.tsUs)
+            val m = versions.takeWhile(_._1 <= r.tsUs).lastOption
+            out += AsofOut(key, r.tsUs, r.eventVal, m.map(_._1), m.map(_._2))
+          }
+        }
+        // prune history behind the newest event, always keeping the latest
+        // version at-or-before the horizon (future events may still need it)
+        if (maxEventTs != Long.MinValue && versions.nonEmpty) {
+          val horizon = maxEventTs - retentionUs
+          val (old, recent) = versions.partition(_._1 < horizon)
+          versions = old.lastOption.toList ::: recent
+        }
+        if (versions.nonEmpty) state.update(AsofDimState(versions)) else state.remove()
+        out.iterator
+    }
+  }
+
   def sessionizeStream(events: Dataset[(Long, Long)], gapUs: Long,
       idleTimeout: Option[String] = Some("30 minutes")): Dataset[SessionOut] = {
     val spark = events.sparkSession

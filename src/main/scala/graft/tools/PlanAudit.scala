@@ -30,7 +30,12 @@ object PlanAudit {
       "x3_neardup_lsh", "x1_exact_dedup_documents",
       "x7_except", "x7_intersect", "x7_running_total",
       "x7_ntile_percent_rank", "x7_first_last_order", "x7_monthly_revenue",
-      "x7_exists_correlated")
+      "x7_exists_correlated",
+      // round 5: temporal joins must stay off the nested-loop path; the new
+      // star joins should broadcast every dimension side
+      "j3_asof_join", "j3_asof_forward", "j4_range_join",
+      "x7_q7_volume_shipping", "x7_q8_market_share", "x7_q10_returned_items",
+      "x4_tfidf", "x3_kmeans_assign", "x1_stratified_sample")
 
     audited.foreach { name =>
       val df = Registry.byName(name).fn(spark, sfDir)

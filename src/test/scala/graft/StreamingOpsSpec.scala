@@ -49,6 +49,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment: events pick the newest dim version <= ts") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[(Long, Long, Double)]   // (key, tsUs, value)
+    val dims = MemoryStream[(Long, Long, String)]  // (key, tsUs, dimVal)
+    val q = StreamingOps.asofEnrichStream(evs.toDS(), dims.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two dim versions + events around them, deliberately
+      // interleaved out of order WITHIN the batch (intra-batch repair)
+      dims.addData((1L, 50L, "v2"), (1L, 10L, "v1"), (2L, 5L, "w1"))
+      evs.addData((1L, 60L, 6.0), (1L, 20L, 2.0), (1L, 5L, 0.5), (2L, 5L, 1.0))
+      q.processAllAvailable()
+      // batch 2: event after a later version arrives in a later batch; the
+      // state carried v2 forward
+      dims.addData((1L, 100L, "v3"))
+      evs.addData((1L, 99L, 9.9), (1L, 100L, 10.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .as[(Long, Long, Double, Option[Long], Option[String])].collect()
+        .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+      assert(got((1L, 5L)) === ((None, None)))            // before any version
+      assert(got((1L, 20L)) === ((Some(10L), Some("v1"))))
+      assert(got((1L, 60L)) === ((Some(50L), Some("v2"))))
+      assert(got((2L, 5L)) === ((Some(5L), Some("w1"))))  // inclusive at ties
+      assert(got((1L, 99L)) === ((Some(50L), Some("v2")))) // v3 is in the future
+      assert(got((1L, 100L)) === ((Some(100L), Some("v3")))) // cross-batch state
+    } finally q.stop()
+  }
+
   test("stateful sessionization across micro-batches (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
