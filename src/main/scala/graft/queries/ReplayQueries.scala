@@ -176,6 +176,50 @@ object ReplayQueries {
              |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(12 AS BIGINT))
              |) AS t(version, batch_id, n_rows) ORDER BY version""".stripMargin)),
 
+    // Iceberg-style metadata tables through the SQL front door:
+    // `graft.db.t.history` (commit log) and `graft.db.t.files` (live file
+    // inventory with partition/stats) — how the reference's runbook inspects
+    // table state without scanning data. Oracles pin the invariant columns.
+    Q("cdc_metadata_history_sql",
+      (s, _) => {
+        val cat = s"graft_mh${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mh").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"SELECT version, batch_id, n_rows FROM $cat.db.retail.history ORDER BY version")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),
+             |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
+             |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(12 AS BIGINT))
+             |) AS t(version, batch_id, n_rows) ORDER BY version""".stripMargin)),
+
+    Q("cdc_metadata_files_sql",
+      (s, _) => {
+        val cat = s"graft_mf${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mf").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"""SELECT partition, CAST(SUM(n_rows) AS BIGINT) AS n
+                  FROM $cat.db.retail.files WHERE kind = 'data'
+                  GROUP BY partition ORDER BY partition""")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('cart', CAST(2 AS BIGINT)), ('like', CAST(4 AS BIGINT)),
+             |  ('list', CAST(3 AS BIGINT)), ('purchase', CAST(1 AS BIGINT)),
+             |  ('visit', CAST(2 AS BIGINT))
+             |) AS t(partition, n) ORDER BY partition""".stripMargin)),
+
     // SQL MERGE INTO (the reference's verbatim hot-path statements,
     // `spark_sql_merge_into_iceberg.py:118-122,133-136`) applied through the
     // GraftExtensions rule/strategy: scenario1 via the pipeline, then

@@ -73,8 +73,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
     val root = rootOf(ident)
-    if (!TransactionalTable.exists(root))
+    if (!TransactionalTable.exists(root)) {
+      // Iceberg-style metadata tables: `graft.db.t.history` parses as
+      // namespace [db, t] + name "history" — serve the parent table's
+      // metadata when the suffix names one (see MetadataTables).
+      val ns = ident.namespace().toSeq
+      val meta = ident.name().toLowerCase(java.util.Locale.ROOT)
+      if (ns.length >= 2 && MetadataTables.Names(meta)) {
+        val parentRoot = (warehouse +: ns).mkString("/")
+        if (TransactionalTable.exists(parentRoot))
+          return MetadataTables.load(TransactionalTable.open(spark, parentRoot),
+            s"$catalogName.${ns.mkString(".")}", meta)
+      }
       throw new NoSuchTableException(ident)
+    }
     val t = TransactionalTable.open(spark, root)
     val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
     val entries = snap.files.map(f =>

@@ -1,0 +1,102 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.TransactionalTable
+
+/**
+ * Iceberg-style SQL metadata tables (`table.history`, `table.snapshots`,
+ * `table.files`) resolved through the DSv2 catalog:
+ *
+ *   SELECT * FROM graft.db.retail.history
+ *
+ * The reference inspects the same metadata through Iceberg's Glue-registered
+ * metadata tables / the console (`README.md:507-513` verifies commits by
+ * querying the table's state). Rows are computed driver-side from the
+ * manifests at resolution time — metadata is O(versions + files) and never
+ * touches data, so the scan is a single local partition.
+ */
+object MetadataTables {
+
+  val Names: Set[String] = Set("history", "snapshots", "files")
+
+  private val historySchema = StructType(Seq(
+    StructField("version", LongType), StructField("batch_id", LongType),
+    StructField("n_files", LongType), StructField("n_rows", LongType),
+    StructField("n_bytes", LongType)))
+
+  private val filesSchema = StructType(Seq(
+    StructField("path", StringType), StructField("partition", StringType),
+    StructField("pk_min", LongType), StructField("pk_max", LongType),
+    StructField("n_rows", LongType), StructField("n_bytes", LongType),
+    StructField("kind", StringType)))
+
+  /** Build the metadata table `metaName` for the table at `root`. */
+  def load(t: TransactionalTable, qualified: String, metaName: String): Table =
+    metaName match {
+      case "history" | "snapshots" =>
+        val rows = (0L to t.currentVersion).flatMap { v =>
+          scala.util.Try(t.snapshotAt(v)).toOption.map { s => // expired → absent
+            Array[Any](s.version, s.batchId, s.files.size.toLong,
+              s.rowCount, s.files.map(_.bytes).sum)
+          }
+        }
+        new LocalRowsTable(s"$qualified.$metaName", historySchema, rows)
+      case "files" =>
+        val s = t.snapshot
+        val rows = s.files.map(f =>
+          Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes, "data")) ++
+          s.deletes.map(d =>
+            Array[Any](d.path, null, d.pkMin, d.pkMax, d.rows, d.bytes, s"${d.kind}-deletes"))
+        new LocalRowsTable(s"$qualified.files", filesSchema, rows)
+      case other =>
+        throw new IllegalArgumentException(s"unknown metadata table $other")
+    }
+}
+
+/** Read-only DSv2 table over driver-computed rows (metadata-scale only):
+  * one local input partition, values pre-converted to Catalyst form. */
+private[sql] class LocalRowsTable(tableName: String, tableSchema: StructType,
+    rows: Seq[Array[Any]]) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tableSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(LocalRowsPartition(rows.map(_.toIndexedSeq).toIndexedSeq))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new LocalRowsReaderFactory
+    }
+}
+
+private[sql] final case class LocalRowsPartition(rows: IndexedSeq[IndexedSeq[Any]])
+  extends InputPartition
+
+private[sql] class LocalRowsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[LocalRowsPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(rows(i).map {
+          case s: String => UTF8String.fromString(s)
+          case v => v.asInstanceOf[AnyRef]
+        }.toArray[Any])
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -13,7 +13,13 @@ import org.apache.spark.sql.types.StructType
  *  `pkMax` enable file skipping during MERGE (the Iceberg-manifest idea,
  *  reference `spark_sql_merge_into_iceberg.py:51-63` delegates this to Iceberg). */
 final case class DataFile(path: String, partition: Option[String], pkMin: Long, pkMax: Long,
-    rows: Long, bytes: Long)
+    rows: Long, bytes: Long,
+    /** Base64 bitset of a PK Bloom filter (small files only, see
+      * TransactionalTable.BloomMaxRows): prunes files whose [pkMin, pkMax]
+      * overlaps a merge's keys but which contain NONE of them — the common
+      * case under continuous CDC, where every file's min/max span converges
+      * to the whole key domain and range pruning alone stops helping. */
+    bloom: Option[String] = None)
 
 /** A merge-on-read delete file (Iceberg v2 shapes, natively):
  *   - kind="equality": parquet of (pk, _dseq) key rows; a delete row masks any
@@ -136,7 +142,8 @@ final class TransactionalTable private (
       f.get("pkMin").asLong(), f.get("pkMax").asLong(), f.get("rows").asLong(),
       // pre-`bytes` manifests: stat once on read (local legacy only)
       if (f.has("bytes")) f.get("bytes").asLong()
-      else Files.size(Paths.get(f.get("path").asText())))
+      else Files.size(Paths.get(f.get("path").asText())),
+      if (f.has("bloom")) Some(f.get("bloom").asText()) else None)
 
   /** Load one immutable manifest chunk (cached globally by path — chunks are
     * write-once, so the cache never goes stale). */
@@ -398,7 +405,17 @@ final class TransactionalTable private (
         snap.files.filter(f => f.pkMax >= lo && f.pkMin <= hi)
       } else {
         val sorted = keys.sorted
-        snap.files.filter(f => overlaps(sorted, f.pkMin, f.pkMax))
+        snap.files.filter { f =>
+          overlaps(sorted, f.pkMin, f.pkMax) && (f.bloom match {
+            // Bloom refinement: range overlap alone keeps every file once CDC
+            // churn has spread each file's [min,max] across the key domain;
+            // the bitset knocks out files that contain none of the keys.
+            case Some(b64) =>
+              val words = bloomWords(b64)
+              keysInRange(sorted, f.pkMin, f.pkMax).exists(bloomContains(words, _))
+            case None => true
+          })
+        }
       }
     (affected, oversized)
   }
@@ -556,11 +573,50 @@ final class TransactionalTable private (
     // tasks×partitions part files, and ~20 ms of sequential open() each would
     // put an O(files) serial section back into the commit path.
     import scala.collection.parallel.CollectionConverters._
-    parts.par.map { p =>
+    val statted = parts.par.map { p =>
       val (rows, mn, mx) = pkFooterStats(p)
       DataFile(p.toString, partitionFromPath(outDir, p), mn, mx, rows, Files.size(p))
     }.seq.toSeq.filter(_.rows > 0)
+    val blooms = buildBlooms(statted.filter(_.rows <= BloomMaxRows).map(_.path))
+    statted.map(f => f.copy(bloom = blooms.get(f.path)))
   }
+
+  /**
+   * PK Bloom filters for freshly written SMALL files (one 8 KiB bitset each,
+   * k=5): one distributed pass over just the PK column of the new files
+   * (columnar read — a few % of the bytes just written), partial bitsets
+   * OR-merged per file. Big files skip the bloom (it would saturate and the
+   * manifest would bloat); their min/max range keeps pruning them. RDD
+   * mapPartitions is deliberate here: building per-file bitsets is per-row
+   * imperative work with no relational shape.
+   */
+  private def buildBlooms(paths: Seq[String]): Map[String, String] =
+    if (paths.isEmpty) Map.empty
+    else {
+      val pkName = pk
+      val pkField = StructType(Seq(schema(pk)))
+      val partials = spark.read.schema(pkField).parquet(paths: _*)
+        .select(col("_metadata.file_path").as("f"), col(pkName).cast("long").as("k"))
+        .rdd.mapPartitions { it =>
+          val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+          it.foreach { r =>
+            if (!r.isNullAt(1)) {
+              val words = acc.getOrElseUpdate(r.getString(0), new Array[Long](BloomBits / 64))
+              bloomSet(words, r.getLong(1))
+            }
+          }
+          acc.iterator
+        }
+        .reduceByKey { (a, b) => var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a }
+        .collectAsMap()
+      partials.map { case (uri, words) =>
+        // _metadata.file_path is a URI; manifest paths are plain
+        val plain = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
+        val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
+        words.foreach(bytes.putLong)
+        plain -> java.util.Base64.getEncoder.encodeToString(bytes.array())
+      }.toMap
+    }
 
   /** Row count + PK min/max straight from a written file's parquet footer.
     * Stats are exact for integral types; a file whose PK stats are absent
@@ -657,12 +713,42 @@ final class TransactionalTable private (
     }
   }
 
+  /**
+   * Sort-order rewrite (Iceberg `rewrite_data_files` with a sort order): the
+   * WHOLE table is range-repartitioned on (partition, pk) into `targetFiles`
+   * output slices, so every rewritten file covers a DISJOINT pk range.
+   *
+   * Why it matters at 100 TB: continuous CDC writes each micro-batch's keys
+   * wherever they land, so after a day every file's [pkMin, pkMax] spans the
+   * whole key domain and min/max manifest pruning degrades to "touch every
+   * file". After a clustered rewrite the ranges are disjoint, and a merge
+   * touching k keys rewrites O(k/keysPerFile) files instead of all of them.
+   * Pending MOR deletes are folded in the same pass. Time travel to older
+   * versions is unaffected (their manifests and files are untouched).
+   */
+  def compactClustered(targetFiles: Int = 0): Unit = synchronized {
+    require(targetFiles >= 0, "targetFiles must be >= 0 (0 = session default)")
+    retryingCommit("compactClustered") { snap =>
+      if (snap.files.nonEmpty) {
+        val data = scanWithDeletes(snap.files, snap.deletes)
+        val rangeCols = partitionCol.map(col).toSeq :+ col(pk)
+        val packed =
+          if (targetFiles > 0) data.repartitionByRange(targetFiles, rangeCols: _*)
+          else data.repartitionByRange(rangeCols: _*)
+        val newVersion = snap.version + 1
+        val newFiles = writeDataFiles(packed, commitDir(newVersion), seq = newVersion)
+        commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
+      }
+    }
+  }
+
   private def dataFileJson(f: DataFile): com.fasterxml.jackson.databind.node.ObjectNode = {
     val o = mapper.createObjectNode()
     o.put("path", f.path)
     f.partition match { case Some(p) => o.put("partition", p); case None => o.putNull("partition") }
     o.put("pkMin", f.pkMin); o.put("pkMax", f.pkMax); o.put("rows", f.rows)
     o.put("bytes", f.bytes)
+    f.bloom.foreach(b => o.put("bloom", b))
     o
   }
 
@@ -849,6 +935,61 @@ object TransactionalTable {
       if (sortedKeys(m) >= lo) { pos = m; b = m - 1 } else a = m + 1
     }
     pos < sortedKeys.length && sortedKeys(pos) <= hi
+  }
+
+  /** The sorted keys falling within [lo, hi] (binary-searched slice view). */
+  private[table] def keysInRange(sortedKeys: Array[Long], lo: Long, hi: Long): Seq[Long] = {
+    var a = 0; var b = sortedKeys.length - 1; var pos = sortedKeys.length
+    while (a <= b) {
+      val m = (a + b) >>> 1
+      if (sortedKeys(m) >= lo) { pos = m; b = m - 1 } else a = m + 1
+    }
+    val from = pos
+    var to = from
+    while (to < sortedKeys.length && sortedKeys(to) <= hi) to += 1
+    sortedKeys.view.slice(from, to).toSeq
+  }
+
+  // --- PK Bloom filter (fixed 2^16 bits, k=5; deterministic splitmix64
+  // double-hashing so writer and reader never disagree) ---
+  val BloomBits = 1 << 16
+  val BloomHashes = 5
+  /** Files above this row count skip the bloom: at 8 KiB the bitset would
+    * saturate (fp → 1) and the manifest would carry dead weight. */
+  val BloomMaxRows = 8192L
+
+  private[table] def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private[table] def bloomSet(words: Array[Long], key: Long): Unit = {
+    val h1 = splitmix64(key); val h2 = splitmix64(h1) | 1L
+    var i = 0
+    while (i < BloomHashes) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, BloomBits).toInt
+      words(pos >>> 6) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
+  private[table] def bloomContains(words: Array[Long], key: Long): Boolean = {
+    val h1 = splitmix64(key); val h2 = splitmix64(h1) | 1L
+    var i = 0
+    while (i < BloomHashes) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, BloomBits).toInt
+      if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  private[table] def bloomWords(b64: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(buf.getLong)
   }
 
   /** input_file_name() yields URL-encoded URIs; decode via URI so table roots

@@ -139,6 +139,28 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables: history/snapshots/files resolve through SQL") {
+    warehouse
+    val hist = spark.sql(
+      "SELECT version, batch_id, n_rows FROM graft_cs.db.retail.history ORDER BY version")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hist === Seq((0L, -1L, 0L), (1L, 0L, 10L), (2L, 1L, 12L)))
+    // snapshots is an alias of history
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_cs.db.retail.snapshots")
+      .as[Long].head() === 3L)
+    // files: per-partition row totals match the golden end-state devices
+    val byPart = spark.sql(
+      """SELECT partition, CAST(SUM(n_rows) AS BIGINT) AS n
+        |FROM graft_cs.db.retail.files WHERE kind = 'data'
+        |GROUP BY partition ORDER BY partition""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    val want = CdcFixtures.expectedEndState.groupBy(_._3) // partitioned by event
+      .map { case (ev, rows) => (ev, rows.size.toLong) }.toSeq.sortBy(_._1)
+    assert(byPart === want)
+    // an unknown suffix is still a missing table, not a metadata hit
+    intercept[Exception] { spark.sql("SELECT * FROM graft_cs.db.retail.bogus").collect() }
+  }
+
   test("SHOW TABLES; INSERT INTO appends through the engine commit path") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN graft_cs.db").select("tableName")

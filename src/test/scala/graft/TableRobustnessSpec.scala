@@ -119,6 +119,58 @@ class TableRobustnessSpec extends SparkSpec {
       "manifest paths must be real filesystem paths")
   }
 
+  test("bloom pruning: overlapping-range files without the key are not rewritten") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
+    val root = tmpDir("ttable-bloom")
+    val t = TransactionalTable.create(spark, root, schema, "id")
+    import spark.implicits._
+    // two files with fully-overlapping [min,max] but disjoint key sets
+    t.append((0L until 100L by 2).map((_, 0L)).toDF("id", "v").coalesce(1)) // evens
+    t.append((1L until 100L by 2).map((_, 1L)).toDF("id", "v").coalesce(1)) // odds
+    val Seq(fEven, fOdd) = t.snapshot.files.sortBy(_.pkMin).toSeq
+    assert(fEven.bloom.isDefined && fOdd.bloom.isDefined)
+    assert(fEven.pkMin <= fOdd.pkMax && fOdd.pkMin <= fEven.pkMax,
+      "test premise: ranges overlap, min/max alone cannot separate the files")
+    // merge an EVEN key: the odd file must be carried untouched (bloom miss),
+    // the even file rewritten
+    t.merge(Seq((2L, 99L)).toDF("id", "v"), spark.emptyDataset[Long].toDF("id"), batchId = 0)
+    val after = t.snapshot.files.map(_.path).toSet
+    assert(after.contains(fOdd.path), "odd file was rewritten despite bloom miss")
+    assert(!after.contains(fEven.path), "even file must have been rewritten")
+    val got = t.scan().as[(Long, Long)].collect().toMap
+    assert(got.size === 100 && got(2L) === 99L && got(3L) === 1L)
+    // bloom round-trips the manifest: a fresh handle prunes identically
+    val t2 = TransactionalTable.open(spark, root)
+    assert(t2.snapshot.files.forall(_.bloom.isDefined))
+  }
+
+  test("compactClustered: disjoint pk ranges per file; data and travel intact") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
+    val root = tmpDir("ttable-cluster")
+    val t = TransactionalTable.create(spark, root, schema, "id")
+    import spark.implicits._
+    // 3 interleaved appends: every file spans nearly the whole key domain,
+    // so min/max pruning would touch all of them
+    (0 until 3).foreach { b =>
+      t.append((0L until 300L).filter(_ % 3 == b).map(k => (k, b.toLong)).toDF("id", "v"))
+    }
+    val before = t.scan().orderBy("id").as[(Long, Long)].collect().toSeq
+    val pre = t.snapshot.files
+    assert(pre.combinations(2).exists { case Seq(a, b) =>
+      a.pkMin <= b.pkMax && b.pkMin <= a.pkMax
+    }, "test premise: pre-rewrite files must overlap in pk range")
+    t.compactClustered(targetFiles = 4)
+    val files = t.snapshot.files.sortBy(_.pkMin)
+    assert(files.size === 4)
+    files.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.pkMax < b.pkMin, s"overlap: [${a.pkMin},${a.pkMax}] vs [${b.pkMin},${b.pkMax}]")
+    }
+    assert(t.scan().orderBy("id").as[(Long, Long)].collect().toSeq === before)
+    assert(t.scanAt(1).count() === 100) // time travel intact
+  }
+
   test("orphaned manifest from a crashed commit is replaced on retry") {
     val root = tmpDir("ttable-orphan")
     val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
