@@ -82,6 +82,36 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /**
+   * Benchmark decontamination: for each (corpus doc, benchmark doc) pair, the
+   * CONTAINMENT of the benchmark's n-gram set in the document —
+   * |sh(doc) ∩ sh(bench)| / |sh(bench)| — kept when ≥ `threshold`. This is
+   * the asymmetric cousin of Jaccard used to purge eval-set leakage from
+   * training corpora: a long document that embeds a short benchmark item has
+   * low Jaccard but containment ≈ 1.
+   *
+   * Scale shape: the benchmark is the small side by construction (an eval
+   * suite, not a corpus) — its distinct shingle set is broadcast; the corpus
+   * is scanned ONCE (explode → broadcast-join → one hash agg on (doc,
+   * bench)). No corpus self-join, no shuffle of the corpus by shingle.
+   */
+  def containmentPairs(corpus: DataFrame, benchmark: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    val corpSh = corpus.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingles(col(textCol), n)).as("sh")).distinct()
+    val benchSh = benchmark.select(col(idCol).as("bench_id"),
+      explode(TextOps.shingles(col(textCol), n)).as("sh")).distinct()
+    val benchSizes = benchSh.groupBy("bench_id").agg(count(lit(1)).as("bn"))
+    val inter = corpSh.join(broadcast(benchSh), "sh")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+    inter.join(broadcast(benchSizes), "bench_id")
+      .select(col("doc_id"), col("bench_id"), col("n_common"),
+        (col("n_common").cast("double") / col("bn").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** MinHash signature: `numPerm` salted-xxhash64 minima over the doc's
     * shingle set (one column of array<long>). */
   def minhashSignature(textCol: Column, n: Int = 3, numPerm: Int = 32): Column = {

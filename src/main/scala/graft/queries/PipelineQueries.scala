@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{SimilarityOps, TextOps}
+import graft.ops.{DedupOps, SequenceOps, SimilarityOps, TextOps}
 
 /**
  * Training-data-pipeline queries beyond the X1–X6 core: corpus-level TF-IDF
@@ -76,6 +76,65 @@ object PipelineQueries {
              |WHERE doc_id % (CASE WHEN lang = 'en' THEN 2
              |                     WHEN lang = 'de' THEN 5 ELSE 10 END) = 0
              |ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing for pretraining: documents laid end to end in doc_id
+    // order and cut into 4096-token bins (a doc's bin = where its first token
+    // lands). The global running total comes from SequenceOps.prefixSum —
+    // range shuffle + per-partition windows + broadcast offsets, NO
+    // single-partition global window. Oracle: DuckDB's running-sum window.
+    Q("x4_pack_sequences",
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        SequenceOps.packBins(toks, "doc_id", "n_tokens", capacity = 4096L,
+            numPartitions = 8)
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, CAST(len($DuckToks) AS BIGINT) AS n_tokens FROM documents),
+             |cum AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+             |  FROM toks)
+             |SELECT (c - n_tokens) // 4096 AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM cum GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Benchmark decontamination: 3-gram containment of each "benchmark" doc
+    // (doc_id < 20 stands in for the eval set) inside each corpus doc —
+    // catches eval leakage that Jaccard misses (long doc ⊇ short benchmark).
+    // Benchmark shingles broadcast; corpus scanned once.
+    Q("x2_contamination",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        DedupOps.containmentPairs(
+          corpus = docs.filter(col("doc_id") >= 20),
+          benchmark = docs.filter(col("doc_id") < 20),
+          threshold = 0.5)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
+             |corp AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+             |bsz AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS bn FROM bench GROUP BY 1),
+             |inter AS (SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_common
+             |          FROM corp c JOIN bench b USING (s) GROUP BY 1, 2)
+             |SELECT i.doc_id, i.bench_id, i.n_common,
+             |  CAST(i.n_common AS DOUBLE) / CAST(b.bn AS DOUBLE) AS containment
+             |FROM inter i JOIN bsz b USING (bench_id)
+             |WHERE CAST(i.n_common AS DOUBLE) / CAST(b.bn AS DOUBLE) >= 0.5
+             |ORDER BY doc_id, bench_id""".stripMargin)),
 
     // K-means assignment step: nearest (max-cosine) of k=8 fixed centroids
     // (the 8 lowest-vec_id embeddings — deterministic seeding, same rule as

@@ -35,6 +35,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh === exact) // verified candidates carry the exact jaccard values
   }
 
+  test("containmentPairs: embedded benchmark found at ~1.0; jaccard would miss it") {
+    val bench = Seq((100L, "the secret benchmark question about spark internals")).toDF("doc_id", "text")
+    val long = (1 to 40).map(i => s"filler$i").mkString(" ") +
+      " the secret benchmark question about spark internals " +
+      (41 to 80).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq((1L, long), (2L, "entirely unrelated content here with many words")).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(corpus, bench, threshold = 0.5)
+      .select($"doc_id", $"bench_id", $"containment").as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq === Seq((1L, 100L)))
+    assert(got.head._3 === 1.0) // every benchmark shingle appears in doc 1
+    // the same planted pair is BELOW any useful jaccard threshold (long doc)
+    val jac = DedupOps.jaccardPairs(corpus.unionByName(bench), threshold = 0.3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(!jac.contains((1L, 100L)))
+  }
+
   test("maxDocFreq skew guard drops ubiquitous shingles") {
     val idx = DedupOps.shingleIndex(corpus, maxDocFreq = Some(2))
     // the shared fox-shingles appear in docs 1,2,5 (> 2) and must be gone
