@@ -176,6 +176,59 @@ object ReplayQueries {
              |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(12 AS BIGINT))
              |) AS t(version, batch_id, n_rows) ORDER BY version""".stripMargin)),
 
+    // Row-level SQL beyond MERGE (Iceberg v2's DELETE/UPDATE surface): golden
+    // replay, then a SQL statement against the live table, then the end
+    // state. Oracles: the golden 12-row end state with the statement's
+    // algebra applied to the literal VALUES.
+    Q("cdc_sql_delete_where",
+      (s, _) => {
+        val cat = s"graft_dw${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_dw").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"DELETE FROM $cat.db.retail WHERE event = 'like'")
+        s.sql(s"SELECT trans_id, customer_id, event, amount FROM $cat.db.retail ORDER BY trans_id")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState.filter(_._3 != "like")
+          .map { case (id, cust, ev, _, amt, _, _) =>
+            s"(CAST($id AS BIGINT), '$cust', '$ev', $amt)"
+          }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, customer_id, event, amount) ORDER BY trans_id""".stripMargin
+      }),
+
+    Q("cdc_sql_update_where",
+      (s, _) => {
+        val cat = s"graft_uw${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_uw").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"UPDATE $cat.db.retail SET amount = amount + 100 WHERE event = 'cart'")
+        s.sql(s"SELECT trans_id, event, amount FROM $cat.db.retail ORDER BY trans_id")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) =>
+            val a = if (ev == "cart") amt + 100 else amt
+            s"(CAST($id AS BIGINT), '$ev', $a)"
+          }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
+      }),
+
     // Iceberg-style metadata tables through the SQL front door:
     // `graft.db.t.history` (commit log) and `graft.db.t.files` (live file
     // inventory with partition/stats) — how the reference's runbook inspects

@@ -71,6 +71,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF ts` time travel — Catalyst passes MICROseconds since
+    * epoch; resolve to the greatest snapshot committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!TransactionalTable.exists(root)) throw new NoSuchTableException(ident)
+    val t = TransactionalTable.open(spark, root)
+    loadAt(ident, Some(t.versionAt(timestamp / 1000L)))
+  }
+
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
     val root = rootOf(ident)
     if (!TransactionalTable.exists(root)) {

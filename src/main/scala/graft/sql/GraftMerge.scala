@@ -30,6 +30,10 @@ import graft.table.TransactionalTable
  * name-identical explicit assignments, on a PK-equality condition):
  *  - WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *  → upsert
  *  - WHEN MATCHED THEN DELETE                                         → delete
+ * plus the standalone row-level statements (Iceberg v2's remaining write
+ * surface): `DELETE FROM t WHERE c` and `UPDATE t SET ... WHERE c`, both
+ * lowered onto the same merge kernels (delete keys / updated-row upserts
+ * scanned snapshot-consistently from the target itself).
  * The merge itself is the engine's copy-on-write
  * `TransactionalTable.merge` — file-pruned anti-join + union, atomic snapshot
  * commit.
@@ -176,6 +180,57 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               "INSERT INTO a VERSION AS OF relation is not allowed")
           GraftAppendCommand(g.root, query)
         case None => a
+      }
+
+    // Row-level SQL beyond MERGE (Iceberg v2's remaining write surface):
+    // `DELETE FROM t WHERE c` routes the matching keys through the engine's
+    // delete merge; `UPDATE t SET ... WHERE c` scans the matching rows with
+    // assignments applied and routes them through the upsert merge (the
+    // source is a subset of existing rows, so NOT MATCHED never fires).
+    // Sources scan the target relation itself — snapshot-consistent, and a
+    // MOR-pending relation inside them is rewritten delete-aware by
+    // GraftMorScanRule (which runs after this rule).
+    case d @ DeleteFromTable(target, cond) if d.childrenResolved =>
+      graftTarget(target) match {
+        case Some(g) =>
+          if (g.pinnedVersion.nonEmpty)
+            throw new UnsupportedOperationException(
+              "DELETE FROM a VERSION AS OF relation is not allowed")
+          val pk = TransactionalTable.open(spark, g.root).pk
+          val pkAttr = target.output.find(_.name.equalsIgnoreCase(pk)).getOrElse(
+            throw new IllegalStateException(s"pk $pk not in ${target.output}"))
+          GraftMergeCommand(g.root, Project(Seq(pkAttr), Filter(cond, target)),
+            isDelete = true, pk)
+        case None => d
+      }
+
+    case u @ UpdateTable(target, assignments, cond) if u.childrenResolved =>
+      graftTarget(target) match {
+        case Some(g) =>
+          if (g.pinnedVersion.nonEmpty)
+            throw new UnsupportedOperationException(
+              "UPDATE a VERSION AS OF relation is not allowed")
+          val pk = TransactionalTable.open(spark, g.root).pk
+          val byName = assignments.map {
+            case Assignment(k: Attribute, v) => k.name.toLowerCase(java.util.Locale.ROOT) -> v
+            case Assignment(k, _) => throw new UnsupportedOperationException(
+              s"UPDATE of nested field $k not supported (top-level columns only)")
+          }.toMap
+          byName.get(pk.toLowerCase(java.util.Locale.ROOT)).foreach {
+            case a: Attribute if a.name.equalsIgnoreCase(pk) => () // identity: harmless
+            case _ => throw new UnsupportedOperationException(
+              s"UPDATE must not reassign the primary key $pk (delete + insert instead)")
+          }
+          val projList = target.output.map { attr =>
+            byName.get(attr.name.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(v) =>
+                org.apache.spark.sql.catalyst.expressions.Alias(v, attr.name)()
+              case None => attr
+            }
+          }
+          val filtered = cond.map(Filter(_, target)).getOrElse(target)
+          GraftMergeCommand(g.root, Project(projList, filtered), isDelete = false, pk)
+        case None => u
       }
   }
 }

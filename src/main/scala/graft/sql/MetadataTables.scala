@@ -29,7 +29,7 @@ object MetadataTables {
   private val historySchema = StructType(Seq(
     StructField("version", LongType), StructField("batch_id", LongType),
     StructField("n_files", LongType), StructField("n_rows", LongType),
-    StructField("n_bytes", LongType)))
+    StructField("n_bytes", LongType), StructField("committed_at_ms", LongType)))
 
   private val filesSchema = StructType(Seq(
     StructField("path", StringType), StructField("partition", StringType),
@@ -44,7 +44,7 @@ object MetadataTables {
         val rows = (0L to t.currentVersion).flatMap { v =>
           scala.util.Try(t.snapshotAt(v)).toOption.map { s => // expired → absent
             Array[Any](s.version, s.batchId, s.files.size.toLong,
-              s.rowCount, s.files.map(_.bytes).sum)
+              s.rowCount, s.files.map(_.bytes).sum, s.committedAtMs)
           }
         }
         new LocalRowsTable(s"$qualified.$metaName", historySchema, rows)

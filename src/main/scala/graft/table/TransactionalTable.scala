@@ -39,7 +39,10 @@ object DeleteFile {
 /** A committed table version. `batchId` fences replays (T4): re-committing an
  *  already-applied streaming batch is a no-op. */
 final case class Snapshot(version: Long, batchId: Long, files: Seq[DataFile],
-    deletes: Seq[DeleteFile] = Seq.empty) {
+    deletes: Seq[DeleteFile] = Seq.empty,
+    /** Wall-clock commit time (ms) — drives `TIMESTAMP AS OF` time travel;
+      * 0 for pre-upgrade manifests (always eligible). */
+    committedAtMs: Long = 0L) {
   /** Exact only when no merge-on-read deletes are pending. */
   def rowCount: Long = files.map(_.rows).sum
 }
@@ -186,7 +189,20 @@ final class TransactionalTable private (
           d.get("rows").asLong(), d.get("bytes").asLong(),
           if (d.has("kind")) d.get("kind").asText() else DeleteFile.Equality)
       }.toSeq
-    Snapshot(node.get("version").asLong(), node.get("batchId").asLong(), files, deletes)
+    Snapshot(node.get("version").asLong(), node.get("batchId").asLong(), files, deletes,
+      if (node.has("committedAtMs")) node.get("committedAtMs").asLong() else 0L)
+  }
+
+  /** Greatest committed version whose commit time is at or before `tsMs`
+    * (Iceberg's timestamp→snapshot resolution). Expired versions are skipped;
+    * throws when the timestamp predates every retained commit. */
+  def versionAt(tsMs: Long): Long = {
+    val vs = (0L to currentVersion)
+      .filter(v => Files.exists(manifestDir.resolve(s"v$v.json")))
+      .filter(v => snapshotAt(v).committedAtMs <= tsMs)
+    if (vs.isEmpty) throw new IllegalArgumentException(
+      s"no retained snapshot at or before timestamp $tsMs (root=$root)")
+    vs.max
   }
 
   /** Full-table scan of the current snapshot (delete-file-aware). */
@@ -815,6 +831,8 @@ final class TransactionalTable private (
     val chunkRefs = planChunks(s)
     val node = mapper.createObjectNode()
     node.put("version", s.version); node.put("batchId", s.batchId)
+    node.put("committedAtMs",
+      if (s.committedAtMs > 0) s.committedAtMs else System.currentTimeMillis())
     val arr = node.putArray("chunks")
     chunkRefs.foreach { case (p, n) =>
       val o = mapper.createObjectNode(); o.put("path", p); o.put("n", n); arr.add(o)

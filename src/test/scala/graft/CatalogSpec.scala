@@ -139,6 +139,29 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF time travel resolves to the snapshot live at that time") {
+    val w = tmpDir("graft-tt-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_tt", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tt.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val t = TransactionalTable.create(spark, s"$w/db/retail", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    Thread.sleep(5)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario2Lines, batchId = 1)
+    assert(t.versionAt(betweenMs) === 1L)
+    val ts = new java.sql.Timestamp(betweenMs)
+    val n = spark.sql(
+      s"SELECT COUNT(*) AS c FROM graft_tt.db.retail TIMESTAMP AS OF '$ts'")
+      .as[Long].head()
+    assert(n === 10L) // the post-batch-0 snapshot, not the 12-row current one
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_tt.db.retail").as[Long].head() === 12L)
+    // before the first commit → loud error, not an empty table
+    intercept[Exception] { t.versionAt(0L) }
+  }
+
   test("metadata tables: history/snapshots/files resolve through SQL") {
     warehouse
     val hist = spark.sql(

@@ -120,6 +120,13 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"IVF recall too low: $recall")
+
+    // exhaustive-probe invariant: nprobe = cells degenerates to the exact
+    // brute force — recall 1 by construction, any shortfall is a cell-routing
+    // bug, not an approximation artifact
+    val full = SimilarityOps.ivfTopK(vecs, queries, k = 3, dim = 16, cells = 4, nprobe = 4)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(full === exact, "nprobe=cells must equal exact cosineTopK")
   }
 
   test("nearDupPairs: planted duplicate found at cos ~1") {

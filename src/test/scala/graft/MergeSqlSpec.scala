@@ -54,6 +54,54 @@ class MergeSqlSpec extends SparkSpec {
       "ad-hoc SQL MERGE advanced the stream replay fence")
   }
 
+  /** Catalog instances are cached by name per session — unique name per test
+    * so the warehouse binding is fresh (same pattern as ReplayQueries). */
+  private def freshCatalog(): (String, String) = {
+    val cat = s"graft_ms${System.nanoTime()}"
+    val w = tmpDir("graft-merge-warehouse")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val t = TransactionalTable.create(spark, s"$w/db/retail", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    (cat, s"$w/db/retail")
+  }
+
+  test("DELETE FROM ... WHERE routes through the transactional delete merge") {
+    val (cat, root) = freshCatalog()
+    val nLike = TransactionalTable.open(spark, root).scan()
+      .filter($"event" === "like").count()
+    assert(nLike > 0, "test premise: some 'like' rows exist in the v1 state")
+    spark.sql(s"DELETE FROM $cat.db.retail WHERE event = 'like'")
+    val t = TransactionalTable.open(spark, root)
+    val left = t.scan().select($"trans_id", $"event").as[(Long, String)].collect()
+    assert(!left.exists(_._2 == "like"))
+    assert(left.length === 10 - nLike)
+    // the commit went through the engine (new snapshot version)
+    assert(t.currentVersion === 2L)
+    // DELETE matching nothing still leaves the data intact
+    spark.sql(s"DELETE FROM $cat.db.retail WHERE trans_id = -42")
+    assert(TransactionalTable.open(spark, root).scan().count() === left.length)
+  }
+
+  test("UPDATE ... SET ... WHERE routes through the transactional upsert merge") {
+    val (cat, root) = freshCatalog()
+    spark.sql(
+      s"UPDATE $cat.db.retail SET amount = amount + 100 WHERE event = 'cart'")
+    val t = TransactionalTable.open(spark, root)
+    val got = t.scan().select($"trans_id", $"event", $"amount")
+      .as[(Long, String, Int)].collect()
+    assert(got.length === 10) // row count unchanged — update, not insert
+    assert(got.filter(_._2 == "cart").forall(_._3 > 100))
+    assert(got.filter(_._2 != "cart").forall(_._3 <= 100))
+    // reassigning the PK is rejected loudly
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.db.retail SET trans_id = trans_id + 1")
+    }
+    assert(e.getMessage.contains("primary key"))
+  }
+
   test("partial explicit assignments are rejected (would clobber unassigned cols)") {
     freshTable()
     Seq((19L, 123)).toDF("trans_id", "amount").createOrReplaceTempView("part_src")
