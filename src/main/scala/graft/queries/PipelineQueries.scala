@@ -58,7 +58,8 @@ object PipelineQueries {
              |SELECT doc_id, rnk, term, tf, df FROM (
              |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
              |  FROM scored) t
-             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+      headline = true),
 
     // Stratified downsampling: per-language keep rates (1/2 en, 1/5 de, 1/10
     // rest) via a deterministic modulo predicate — the reproducible
@@ -105,7 +106,8 @@ object PipelineQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             |FROM cum GROUP BY 1 ORDER BY bin""".stripMargin)),
+             |FROM cum GROUP BY 1 ORDER BY bin""".stripMargin),
+      headline = true),
 
     // Benchmark decontamination: 3-gram containment of each "benchmark" doc
     // (doc_id < 20 stands in for the eval set) inside each corpus doc —
@@ -134,7 +136,36 @@ object PipelineQueries {
              |  CAST(i.n_common AS DOUBLE) / CAST(b.bn AS DOUBLE) AS containment
              |FROM inter i JOIN bsz b USING (bench_id)
              |WHERE CAST(i.n_common AS DOUBLE) / CAST(b.bn AS DOUBLE) >= 0.5
-             |ORDER BY doc_id, bench_id""".stripMargin)),
+             |ORDER BY doc_id, bench_id""".stripMargin),
+      headline = true),
+
+    // Repetition ratio (quality signal: boilerplate/spam has a dominant
+    // term): max term count / total tokens per doc. Two hash aggs, exact
+    // integer counts, one final exact-int division to double.
+    Q("x4_repetition_ratio",
+      (s, d) => {
+        val tf = Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        tf.groupBy("doc_id")
+          .agg(max(col("cnt")).as("max_term_count"),
+            sum(col("cnt")).as("n_tokens"),
+            count(lit(1)).as("n_distinct_terms"))
+          .select(col("doc_id"), col("max_term_count"), col("n_tokens"),
+            col("n_distinct_terms"),
+            (col("max_term_count").cast("double") / col("n_tokens").cast("double"))
+              .as("repetition_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tf AS (
+             |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+             |    SELECT doc_id, unnest($DuckToks) AS term FROM documents) t
+             |  GROUP BY 1, 2)
+             |SELECT doc_id, max(cnt) AS max_term_count,
+             |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+             |  CAST(max(cnt) AS DOUBLE) / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS repetition_ratio
+             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // K-means assignment step: nearest (max-cosine) of k=8 fixed centroids
     // (the 8 lowest-vec_id embeddings — deterministic seeding, same rule as

@@ -52,6 +52,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def rootOf(ident: Identifier): String =
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
 
+  /** Table root on disk for an identifier (used by the CTAS command to open
+    * the freshly created table through the engine API). */
+  private[sql] def tableRoot(ident: Identifier): String = rootOf(ident)
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
     if (!Files.isDirectory(dir)) Array.empty

@@ -58,6 +58,20 @@ final case class GraftAppendCommand(root: String, source: LogicalPlan) extends U
     copy(source = newChild)
 }
 
+/** `CREATE TABLE graft.db.t AS SELECT ...` — create through the catalog, then
+  * one transactional append of the query result (non-atomic CTAS like Spark's
+  * own non-staging path, but the data lands via the engine's manifest commit). */
+final case class GraftCtasCommand(
+    catalog: GraftCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+    properties: Map[String, String],
+    query: LogicalPlan) extends UnaryCommand {
+  override def child: LogicalPlan = query
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftCtasCommand =
+    copy(query = newChild)
+}
+
 class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def stripped(plan: LogicalPlan): LogicalPlan = plan match {
@@ -204,6 +218,15 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => d
       }
 
+    case ctas: CreateTableAsSelect if ctas.childrenResolved =>
+      ctas.name match {
+        case org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+            cat: GraftCatalog, ident) =>
+          GraftCtasCommand(cat, ident, ctas.partitioning,
+            ctas.tableSpec.properties, ctas.query)
+        case _ => ctas
+      }
+
     case u @ UpdateTable(target, assignments, cond) if u.childrenResolved =>
       graftTarget(target) match {
         case Some(g) =>
@@ -277,12 +300,27 @@ final case class GraftAppendExec(cmd: GraftAppendCommand) extends LeafExecNode {
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
 }
 
+final case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val df = org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.query)
+    import scala.jdk.CollectionConverters._
+    cmd.catalog.createTable(cmd.ident, df.schema, cmd.partitioning.toArray,
+      cmd.properties.asJava)
+    TransactionalTable.open(session, cmd.catalog.tableRoot(cmd.ident)).append(df)
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
 class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case cmd: GraftMergeCommand =>
       GraftMergeExec(cmd) :: Nil
     case cmd: GraftAppendCommand =>
       GraftAppendExec(cmd) :: Nil
+    case cmd: GraftCtasCommand =>
+      GraftCtasExec(cmd) :: Nil
     case _ => Nil
   }
 }

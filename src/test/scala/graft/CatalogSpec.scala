@@ -162,6 +162,28 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { t.versionAt(0L) }
   }
 
+  test("CREATE TABLE AS SELECT lands through the engine commit path") {
+    val w = tmpDir("graft-ctas-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_ct", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ct.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("ctas_src")
+    spark.sql(
+      """CREATE TABLE graft_ct.db.derived
+        |TBLPROPERTIES ('pk' = 'id')
+        |AS SELECT id, grp, v * 2 AS v2 FROM ctas_src""".stripMargin)
+    // readable through SQL, and a REAL engine table (manifest + snapshot v1)
+    val got = spark.sql("SELECT id, grp, v2 FROM graft_ct.db.derived ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a", 20L), (2L, "b", 40L), (3L, "a", 60L)))
+    val t = TransactionalTable.open(spark, s"$w/db/derived")
+    assert(t.pk === "id" && t.currentVersion === 1L)
+    // and the usual write surface works on it afterwards
+    spark.sql("INSERT INTO graft_ct.db.derived VALUES (4, 'c', 80)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_ct.db.derived").as[Long].head() === 4L)
+  }
+
   test("metadata tables: history/snapshots/files resolve through SQL") {
     warehouse
     val hist = spark.sql(
