@@ -19,13 +19,21 @@ object TextOps {
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Word n-gram shingles (default 3) — the unit for Jaccard/MinHash near-dup
-   *  (X2). Returns the DISTINCT shingle set per document. */
+   *  (X2). Returns the DISTINCT shingle set per document, first-occurrence
+   *  order. Native codegen kernel (graft.functions.Shingles): one pass, no
+   *  per-shingle interpreted lambda — bit-identical to [[shinglesHof]]. */
   def shingles(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    GraftShims.column(graft.functions.Shingles(GraftShims.expression(tokens(text)), n))
+  }
+
+  /** The declarative HOF twin of [[shingles]] — kept as the equivalence
+   *  oracle for the native kernel (and as the shape a pure-built-ins user
+   *  would write). Zip n shifted views of the token array and concat each
+   *  tuple: 4× faster than per-position slice() lambdas (measured at sf0.1),
+   *  but still one interpreted lambda dispatch per shingle. */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val t = tokens(text)
-    // Zip n shifted views of the token array and concat each tuple: 4× faster
-    // than per-position slice() lambdas (measured at sf0.1 — nested-HOF
-    // slices are interpreted and allocate a subarray per shingle; the zip
-    // form materializes n slices once per document).
     val m = size(t) - (n - 1)
     val z = arrays_zip((1 to n).map(j => slice(t, lit(j), m)): _*)
     val grams = transform(z, s =>
