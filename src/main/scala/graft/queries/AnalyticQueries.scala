@@ -125,6 +125,34 @@ object AnalyticQueries {
          |ORDER BY revenue DESC, c.c_custkey
          |LIMIT 20""".stripMargin),
 
+    // TPC-H Q12-shaped priority buckets: conditional counts after a
+    // fact-to-fact join under a pushed date range (lineitem has no shipmode
+    // column in this fixture; returnflag plays the grouping role).
+    sqlQ("x7_q12_priority_buckets",
+      """SELECT l.l_returnflag,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin),
+
+    // TPC-H Q14-shaped promo revenue share: conditional DECIMAL sums divided
+    // only after exact aggregation (bit-identical double ratio).
+    sqlQ("x7_q14_promo_share",
+      """SELECT
+        |  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |           THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_share,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin),
+
     // TPC-H Q6-shaped selective aggregate (predicate pushdown showcase).
     sqlQ("x7_q6_forecast_revenue",
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -84,6 +84,26 @@ object StreamingOps {
    * keep the default.
    */
   /**
+   * Watermarked stream-stream inner join (attribution shape): each left event
+   * pairs with right events of the same key whose time falls in
+   * [left.ts, left.ts + joinWindow]. Both sides carry watermarks and the join
+   * condition bounds event-time distance, so Spark's state store retains each
+   * side only for watermark + window — bounded state on unbounded streams
+   * (an unbounded-condition stream-stream join would buffer forever).
+   * Columns: left (l_id, key, ts), right (r_id, key, ts).
+   */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      joinWindow: String = "1 hour", lateness: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(r, expr(
+      s"""l.key = r.key AND
+         |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $joinWindow""".stripMargin))
+      .select(col("l.l_id"), col("r.r_id"), col("l.key"),
+        col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+  }
+
+  /**
    * Streaming as-of enrichment (the streaming twin of
    * graft.ops.JoinOps.asofJoin): each event picks up the NEWEST dimension
    * version with the same key and `dim.ts <= event.ts` (inclusive, DuckDB/kdb

@@ -49,6 +49,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream interval join pairs within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, Long, Timestamp)]
+    val rmem = MemoryStream[(Long, Long, Timestamp)]
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val q = StreamingOps.intervalJoinStreams(
+        lmem.toDF().toDF("l_id", "key", "ts"),
+        rmem.toDF().toDF("r_id", "key", "ts"),
+        joinWindow = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lmem.addData((1L, 7L, t(0)), (2L, 7L, t(30)), (3L, 9L, t(0)))
+      rmem.addData(
+        (100L, 7L, t(5)),   // joins 1 (within 10 min)
+        (101L, 7L, t(20)),  // joins nothing (after 1's window, before 2)
+        (102L, 7L, t(35)),  // joins 2
+        (103L, 8L, t(0)))   // wrong key
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select($"l_id", $"r_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L), (2L, 102L)))
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment: events pick the newest dim version <= ts") {
     implicit val sqlCtx = spark.sqlContext
     val evs = MemoryStream[(Long, Long, Double)]   // (key, tsUs, value)
