@@ -35,7 +35,9 @@ object PlanAudit {
       // star joins should broadcast every dimension side
       "j3_asof_join", "j3_asof_forward", "j4_range_join",
       "x7_q7_volume_shipping", "x7_q8_market_share", "x7_q10_returned_items",
-      "x4_tfidf", "x3_kmeans_assign", "x1_stratified_sample")
+      "x7_q12_priority_buckets", "x7_q14_promo_share",
+      "x4_tfidf", "x4_pack_sequences", "x2_contamination",
+      "x3_kmeans_assign", "x1_stratified_sample")
 
     audited.foreach { name =>
       val df = Registry.byName(name).fn(spark, sfDir)
