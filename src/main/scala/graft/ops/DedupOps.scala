@@ -112,6 +112,53 @@ object DedupOps {
       .orderBy("doc_id", "bench_id")
   }
 
+  /**
+   * Near-dup CLUSTERING: collapse a pair list (doc_a, doc_b) into connected
+   * components, labeling every member with its component's minimum doc id —
+   * the step that turns pairwise similarity into "keep one canonical doc per
+   * duplicate group" (pairs alone over-delete: a~b, b~c must drop b AND c,
+   * keeping only a).
+   *
+   * Iterative min-label propagation (the standard large-scale CC shape, same
+   * loop GraphX/Pregel run): each round, every node takes the min of its own
+   * label and its neighbors' labels; converges in O(component diameter)
+   * rounds — near-dup clusters are tiny-diameter, so 3-5 rounds in practice.
+   * Each round is one join + one aggregation on the edge list; the driver
+   * only checks a scalar convergence count. `maxIters` bounds pathological
+   * chains; the loop exits early on fixpoint.
+   */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // undirected: propagate both ways
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    try {
+      // localCheckpoint each round: materializes AND truncates lineage — an
+      // iterative DataFrame loop otherwise accretes a plan whose depth grows
+      // per round (re-planning cost explodes, and any cache miss replays the
+      // whole history).
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+        val next = labels.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        it += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+        .orderBy("doc_id")
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** MinHash signature: `numPerm` salted-xxhash64 minima over the doc's
     * shingle set (one column of array<long>). */
   def minhashSignature(textCol: Column, n: Int = 3, numPerm: Int = 32): Column = {

@@ -167,6 +167,38 @@ object PipelineQueries {
              |  CAST(max(cnt) AS DOUBLE) / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS repetition_ratio
              |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Near-dup CLUSTERING: jaccard pairs at 0.5 → connected components →
+    // every clustered doc labeled with its component's min doc id (the
+    // "keep one canonical doc per duplicate group" step; pairwise dropping
+    // over-deletes on chains). Spark: iterative min-label propagation;
+    // oracle: DuckDB recursive CTE computing the same closure.
+    Q("x1_dedup_clusters",
+      (s, d) => DedupOps.dedupClusters(
+        DedupOps.jaccardPairs(Tables.load(s, d, "documents"), threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))),
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT doc_a, doc_b FROM inter
+             |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+             |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |          UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT a, a FROM edges
+             |  UNION
+             |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+             |SELECT id AS doc_id, min(r) AS canonical_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // K-means assignment step: nearest (max-cosine) of k=8 fixed centroids
     // (the 8 lowest-vec_id embeddings — deterministic seeding, same rule as
     // IVF's hash-stride sampling degenerates to on this fixture). One corpus

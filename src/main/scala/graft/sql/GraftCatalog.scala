@@ -71,9 +71,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     loadAt(ident, None)
 
-  /** `VERSION AS OF n` time travel (Catalyst calls this overload). */
+  /** `VERSION AS OF n` time travel — also accepts a TAG name
+    * (`VERSION AS OF 'prod'`, Iceberg ref semantics). */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, Some(version.toLong))
+    version.toLongOption match {
+      case Some(v) => loadAt(ident, Some(v))
+      case None =>
+        val root = rootOf(ident)
+        if (!TransactionalTable.exists(root)) throw new NoSuchTableException(ident)
+        val t = TransactionalTable.open(spark, root)
+        val v = t.tags.getOrElse(version, throw new IllegalArgumentException(
+          s"no tag '$version' on ${ident.name()} (tags: ${t.tags.keys.mkString(", ")})"))
+        loadAt(ident, Some(v))
+    }
 
   /** `TIMESTAMP AS OF ts` time travel — Catalyst passes MICROseconds since
     * epoch; resolve to the greatest snapshot committed at or before it. */

@@ -270,20 +270,57 @@ final class TransactionalTable private (
     if (s.deletes.isEmpty) s.rowCount else scan().count()
   }
 
+  // --- Named snapshot refs (Iceberg tags): human-readable pointers to
+  // versions, resolvable via `VERSION AS OF 'name'`, protected from expiry ---
+  private def refsPath = Paths.get(root, "_refs.json")
+
+  /** Current tag → version map (empty when no refs file exists). */
+  def tags: Map[String, Long] =
+    if (!Files.exists(refsPath)) Map.empty
+    else {
+      val node = mapper.readTree(Files.readAllBytes(refsPath))
+      node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }
+
+  /** Tag a committed version (default: the current one). Overwrites an
+    * existing tag of the same name. Atomic last-writer-wins on the refs file
+    * (refs are operator metadata, not part of the commit protocol). */
+  def createTag(name: String, version: Long = -1L): Unit = synchronized {
+    val v = if (version >= 0) version else currentVersion
+    require(Files.exists(manifestDir.resolve(s"v$v.json")),
+      s"cannot tag version $v: no such retained snapshot")
+    writeRefs(tags + (name -> v))
+  }
+
+  def dropTag(name: String): Unit = synchronized { writeRefs(tags - name) }
+
+  private def writeRefs(refs: Map[String, Long]): Unit = {
+    val node = mapper.createObjectNode()
+    refs.foreach { case (k, v) => node.put(k, v) }
+    val tmp = Paths.get(root, "_refs.json.tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(node),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, refsPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /**
    * Expire old snapshots (Iceberg `expire_snapshots` parity): keep the last
-   * `keepLast` versions, delete older manifests and any data/delete file no
-   * kept snapshot references. Time travel remains valid within the kept
-   * window; storage stops growing without bound under continuous CDC.
+   * `keepLast` versions plus every TAGGED version, delete older manifests and
+   * any data/delete file no kept snapshot references. Time travel remains
+   * valid within the kept window and at tags; storage stops growing without
+   * bound under continuous CDC.
    */
   def expireSnapshots(keepLast: Int = 2): Unit = synchronized {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val current = currentVersion
     val cutoff = current - keepLast + 1
     if (cutoff <= 0) return
-    val kept = (cutoff to current).map(snapshotAt)
+    val tagged = tags.values.toSet
+    val keptVersions = ((cutoff to current) ++ tagged.filter(_ < cutoff)).distinct.sorted
+    val kept = keptVersions.map(snapshotAt)
     val referenced = kept.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
-    (0L until cutoff).foreach { v =>
+    (0L until cutoff).filterNot(tagged).foreach { v =>
       val m = manifestDir.resolve(s"v$v.json")
       if (Files.exists(m)) {
         val snap = snapshotAt(v)
@@ -302,7 +339,7 @@ final class TransactionalTable private (
     // (expired versions' exclusive chunks, plus crash-orphaned chunks).
     val chunksDir = manifestDir.resolve("chunks")
     if (Files.isDirectory(chunksDir)) {
-      val live = (cutoff to current).flatMap(chunkPathsOf).toSet
+      val live = keptVersions.flatMap(chunkPathsOf).toSet
       val s = Files.list(chunksDir)
       try s.iterator().asScala
         .filterNot(p => live.contains(p.toString))

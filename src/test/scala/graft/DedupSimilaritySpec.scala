@@ -51,6 +51,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!jac.contains((1L, 100L)))
   }
 
+  test("dedupClusters: chains collapse to one component, min id canonical") {
+    // components: {1,2,5} (chain 1-2, 2-5), {7,9}, {3,4} via 4-3
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L), (4L, 3L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L, 3L -> 3L, 4L -> 3L))
+    // a longer chain still converges (diameter > 2)
+    val chain = (0L until 12L).sliding(2).map(s => (s(1), s(0))).toSeq.toDF("doc_a", "doc_b")
+    val got2 = DedupOps.dedupClusters(chain).as[(Long, Long)].collect()
+    assert(got2.forall(_._2 === 0L))
+  }
+
   test("maxDocFreq skew guard drops ubiquitous shingles") {
     val idx = DedupOps.shingleIndex(corpus, maxDocFreq = Some(2))
     // the shared fox-shingles appear in docs 1,2,5 (> 2) and must be gone

@@ -119,6 +119,37 @@ class TableRobustnessSpec extends SparkSpec {
       "manifest paths must be real filesystem paths")
   }
 
+  test("snapshot tags: VERSION AS OF 'name' resolves; tagged versions survive expiry") {
+    val w = tmpDir("graft-tag-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_tag", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tag.warehouse", w)
+    Files.createDirectories(Paths.get(s"$w/db"))
+    val t = TransactionalTable.create(spark, s"$w/db/retail", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    t.createTag("after-batch0") // tags the current version (1)
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario2Lines, batchId = 1)
+    t.compact(minFileRows = 1L << 20) // extra versions so expiry has work
+    assert(t.tags === Map("after-batch0" -> 1L))
+    import spark.implicits._
+    val n = spark.sql(
+      "SELECT COUNT(*) AS c FROM graft_tag.db.retail VERSION AS OF 'after-batch0'")
+      .as[Long].head()
+    assert(n === 10L)
+    // expiry keeps the tagged snapshot even outside the keepLast window
+    t.expireSnapshots(keepLast = 1)
+    assert(Files.exists(Paths.get(s"$w/db/retail", "manifest", "v1.json")))
+    assert(t.scanAt(1).count() === 10) // still fully scannable
+    assert(!Files.exists(Paths.get(s"$w/db/retail", "manifest", "v0.json")))
+    // dropping the tag makes it expirable; unknown tag errors loudly
+    t.dropTag("after-batch0")
+    t.expireSnapshots(keepLast = 1)
+    assert(!Files.exists(Paths.get(s"$w/db/retail", "manifest", "v1.json")))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_tag.db.retail VERSION AS OF 'nope'").collect()
+    }
+  }
+
   test("bloom pruning: overlapping-range files without the key are not rewritten") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
