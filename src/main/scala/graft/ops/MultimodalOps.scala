@@ -94,4 +94,21 @@ object MultimodalOps {
   def documentFeatures(docs: DataFrame, partitions: Int = 32): DataFrame =
     decodeFeatures(asRecords(repartitionBySize(fromDocuments(docs), partitions)))
       .toDF()
+
+  /**
+   * Frame sampling: explode each payload into its every-`frameStride`-th byte
+   * as (media_id, frame_idx, frame_byte) rows — the video-frame-sample shape
+   * (a real codec would emit decoded frames here; the byte stand-in keeps the
+   * exploded row layout, batching, and downstream schema identical). Output
+   * cardinality is Σ ceil(n_bytes / stride), so the stride is the row-blowup
+   * knob at scale.
+   */
+  def sampleFrames(media: Dataset[MediaRecord], frameStride: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      Range(0, r.content.length, frameStride).map(i =>
+        (r.media_id, (i / frameStride).toLong, (r.content(i) & 0xff).toLong))
+    }.toDF("media_id", "frame_idx", "frame_byte")
+  }
 }

@@ -153,6 +153,19 @@ object AnalyticQueries {
         |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l.l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin),
 
+    // TPC-H Q19-shaped disjunctive predicates: an OR-of-ANDs across both join
+    // sides — exercises Catalyst's CNF conversion / partial pushdown of
+    // disjunctions into each scan.
+    sqlQ("x7_q19_disjunctive",
+      s"""SELECT $RevenueExpr AS revenue, COUNT(*) AS n
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity BETWEEN 1 AND 11)
+         |   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+         |       AND l.l_quantity BETWEEN 10 AND 20)
+         |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 50
+         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
     // TPC-H Q6-shaped selective aggregate (predicate pushdown showcase).
     sqlQ("x7_q6_forecast_revenue",
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -362,6 +362,23 @@ object ExtQueries {
              |  CAST((octet_length(encode(text)) + 4095) // 4096 AS INTEGER) AS n_frames
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // X5: frame sampling — every-256th payload byte exploded to
+    // (media_id, frame_idx, frame_byte) rows through the typed Dataset path
+    // (the video frame-sample shape; ASCII fixture ⇒ byte = code point, so
+    // DuckDB recomputes the sampled bytes exactly).
+    Q("x5_frame_sample",
+      (s, d) => MultimodalOps.sampleFrames(
+          MultimodalOps.asRecords(MultimodalOps.fromDocuments(
+            Tables.load(s, d, "documents"))), frameStride = 256)
+        .orderBy("media_id", "frame_idx"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    unnest(range(0, (octet_length(encode(text)) + 255) // 256)) AS fi
+             |  FROM documents)
+             |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+             |  CAST(unicode(text[CAST(fi * 256 + 1 AS INTEGER)]) AS BIGINT) AS frame_byte
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
+
     // X4: BPE-ish token counting — letter runs, single digits, single
     // punctuation (the GPT-2-style pre-tokenizer shape); identical regex
     // semantics in Java and RE2 for this class-only pattern.

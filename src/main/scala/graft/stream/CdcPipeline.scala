@@ -114,8 +114,15 @@ object CdcPipeline {
       /** MERGE strategy per batch: CopyOnWrite (read-optimized) or
         * MergeOnRead (write-optimized; pair with `compactEvery` so pending
         * delete files are folded on a cadence). */
-      mode: graft.table.MergeMode = graft.table.MergeMode.CopyOnWrite): StreamingQuery = {
-    val source = spark.readStream.schema(Cdc.envelopeSchema).json(inputDir)
+      mode: graft.table.MergeMode = graft.table.MergeMode.CopyOnWrite,
+      /** Per-trigger intake cap (the Kinesis `maxFetchRecordsPerShard` /
+        * rate-limit analogue, bounding batch size — and therefore merge
+        * memory — during catch-up from a deep backlog). 0 = unbounded. */
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val reader0 = spark.readStream.schema(Cdc.envelopeSchema)
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
+    val source = reader.json(inputDir)
     val envelopes = startingPosition match {
       case StartingPosition.TrimHorizon => source
       case StartingPosition.Latest =>

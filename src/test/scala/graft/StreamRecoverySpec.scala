@@ -92,6 +92,23 @@ class StreamRecoverySpec extends SparkSpec {
       CdcFixtures.expectedEndState.map(_._1))
   }
 
+  test("maxFilesPerTrigger=1 splits a backlog into multiple bounded batches") {
+    val work = tmpDir("stream-maxfiles")
+    val input = s"$work/input"
+    Files.createDirectories(Paths.get(input))
+    val t = TransactionalTable.create(spark, s"$work/table", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcFixtures.write(input, "batch1.jsonl", CdcFixtures.scenario1Lines)
+    CdcFixtures.write(input, "batch2.jsonl", CdcFixtures.scenario2Lines)
+    val q = CdcPipeline.start(spark, input, t, s"$work/ckpt",
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    // same golden end state, but the backlog was consumed one file per batch
+    assert(t.scan().select($"trans_id").as[Long].collect().sorted.toSeq ===
+      CdcFixtures.expectedEndState.map(_._1))
+    assert(t.snapshot.batchId >= 1L, "expected at least two micro-batches")
+  }
+
   test("streaming in merge-on-read mode reaches the golden end state") {
     val work = tmpDir("stream-mor")
     val input = s"$work/input"
