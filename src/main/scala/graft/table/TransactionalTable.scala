@@ -348,6 +348,57 @@ final class TransactionalTable private (
     }
   }
 
+  /**
+   * Delete data files no RETAINED manifest references (Iceberg
+   * `remove_orphan_files` parity). Orphans arise from commit attempts that
+   * lost the optimistic race or crashed mid-write (each attempt writes to a
+   * unique directory precisely so a loser cannot clobber a winner — the cost
+   * is that its files linger). Only files older than `olderThanMs` are
+   * removed, so an IN-FLIGHT writer's not-yet-committed files are never
+   * swept. Returns the number of files deleted.
+   */
+  def removeOrphanFiles(olderThanMs: Long = 3600000L): Long = synchronized {
+    if (!Files.isDirectory(dataDir)) return 0L
+    // Every path referenced by ANY retained manifest. Data files are
+    // referenced per part-file; delete files are referenced by directory.
+    val refs = scala.collection.mutable.HashSet.empty[String]
+    val ms = Files.list(manifestDir)
+    val versions = try ms.iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }.toSeq
+    finally ms.close()
+    versions.foreach { v =>
+      val s = snapshotAt(v)
+      s.files.foreach(f => refs += f.path)
+      s.deletes.foreach(d => refs += d.path)
+    }
+    def referenced(p: Path): Boolean =
+      refs.contains(p.toString) ||
+        Iterator.iterate(p.getParent)(_.getParent).takeWhile(_ != null)
+          .takeWhile(_.startsWith(dataDir)).exists(d => refs.contains(d.toString))
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var deleted = 0L
+    val walk = Files.walk(dataDir)
+    val doomed = try walk.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(referenced)
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .toVector
+    finally walk.close()
+    doomed.foreach { p => Files.deleteIfExists(p); deleted += 1 }
+    // sweep now-empty directories (bottom-up)
+    val walk2 = Files.walk(dataDir)
+    try walk2.iterator().asScala.toSeq.reverse
+      .filter(p => p != dataDir && Files.isDirectory(p))
+      .foreach { d =>
+        val s = Files.list(d)
+        val empty = try !s.iterator().hasNext finally s.close()
+        if (empty) Files.deleteIfExists(d)
+      }
+    finally walk2.close()
+    deleted
+  }
+
   /** Snapshot history (Iceberg's `table.snapshots` parity), manifest-only:
     * one row per committed version with its fencing batchId and stats. */
   def history(): DataFrame = {

@@ -119,6 +119,34 @@ class TableRobustnessSpec extends SparkSpec {
       "manifest paths must be real filesystem paths")
   }
 
+  test("removeOrphanFiles: sweeps aged unreferenced files, spares live + fresh") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
+    val root = tmpDir("ttable-orphanfiles")
+    val t = TransactionalTable.create(spark, root, schema, "id")
+    import spark.implicits._
+    t.append(Seq((1L, 1L), (2L, 2L)).toDF("id", "v"))
+    // simulate a beaten/crashed commit attempt: an unreferenced data dir
+    val orphanDir = Paths.get(root, "data", "v9-deadbeef")
+    Files.createDirectories(orphanDir)
+    val aged = orphanDir.resolve("part-orphan.parquet")
+    Files.write(aged, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000))
+    val fresh = orphanDir.resolve("part-inflight.parquet")
+    Files.write(fresh, Array[Byte](4, 5, 6))
+    assert(t.removeOrphanFiles(olderThanMs = 3600000) === 1L)
+    assert(!Files.exists(aged), "aged orphan must be swept")
+    assert(Files.exists(fresh), "fresh (possibly in-flight) file must survive")
+    // live data untouched — scans still answer
+    assert(t.scan().count() === 2L)
+    // second pass with zero grace sweeps the rest (incl. unreferenced
+    // committer artifacts like _SUCCESS/.crc) and the now-empty dir
+    assert(t.removeOrphanFiles(olderThanMs = -1) >= 1L)
+    assert(!Files.exists(fresh) && !Files.exists(orphanDir))
+    assert(t.scan().count() === 2L)
+  }
+
   test("snapshot tags: VERSION AS OF 'name' resolves; tagged versions survive expiry") {
     val w = tmpDir("graft-tag-warehouse")
     spark.conf.set("spark.sql.catalog.graft_tag", "graft.sql.GraftCatalog")
