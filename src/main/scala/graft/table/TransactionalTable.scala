@@ -19,7 +19,13 @@ final case class DataFile(path: String, partition: Option[String], pkMin: Long, 
       * overlaps a merge's keys but which contain NONE of them — the common
       * case under continuous CDC, where every file's min/max span converges
       * to the whole key domain and range pruning alone stops helping. */
-    bloom: Option[String] = None)
+    bloom: Option[String] = None,
+    /** Per-column [min,max] for the table's OTHER integral/timestamp columns
+      * (lower-cased names; timestamps as epoch µs) — Iceberg column-stats
+      * parity: SQL predicates on non-PK columns prune whole files at plan
+      * time (ManifestFileIndex). Extracted from the same footer read that
+      * yields the PK stats, so it costs nothing extra at commit. */
+    stats: Map[String, (Long, Long)] = Map.empty)
 
 /** A merge-on-read delete file (Iceberg v2 shapes, natively):
  *   - kind="equality": parquet of (pk, _dseq) key rows; a delete row masks any
@@ -146,7 +152,11 @@ final class TransactionalTable private (
       // pre-`bytes` manifests: stat once on read (local legacy only)
       if (f.has("bytes")) f.get("bytes").asLong()
       else Files.size(Paths.get(f.get("path").asText())),
-      if (f.has("bloom")) Some(f.get("bloom").asText()) else None)
+      if (f.has("bloom")) Some(f.get("bloom").asText()) else None,
+      if (!f.has("stats")) Map.empty
+      else f.get("stats").properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+      }.toMap)
 
   /** Load one immutable manifest chunk (cached globally by path — chunks are
     * write-once, so the cache never goes stale). */
@@ -678,8 +688,9 @@ final class TransactionalTable private (
     // put an O(files) serial section back into the commit path.
     import scala.collection.parallel.CollectionConverters._
     val statted = parts.par.map { p =>
-      val (rows, mn, mx) = pkFooterStats(p)
-      DataFile(p.toString, partitionFromPath(outDir, p), mn, mx, rows, Files.size(p))
+      val (rows, mn, mx, colStats) = fileFooterStats(p)
+      DataFile(p.toString, partitionFromPath(outDir, p), mn, mx, rows, Files.size(p),
+        stats = colStats)
     }.seq.toSeq.filter(_.rows > 0)
     val blooms = buildBlooms(statted.filter(_.rows <= BloomMaxRows).map(_.path))
     statted.map(f => f.copy(bloom = blooms.get(f.path)))
@@ -722,24 +733,61 @@ final class TransactionalTable private (
       }.toMap
     }
 
+  /** Table columns (besides the PK) whose footer stats are worth carrying in
+    * the manifest: integral + timestamp (both stored as parquet INT32/INT64,
+    * so footer min/max unbox to Long exactly). STRICT val, not lazy: a lazy
+    * val initializer locks the instance monitor, and this is read from
+    * parallel-collection workers while a `synchronized` mutation holds that
+    * monitor — lazy here deadlocks the commit path. */
+  private val statsCols: Seq[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.collect {
+      case f if !f.name.equalsIgnoreCase(pk) && (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType => true
+        case _ => false
+      }) => f.name
+    }.toSeq
+  }
+
   /** Row count + PK min/max straight from a written file's parquet footer.
     * Stats are exact for integral types; a file whose PK stats are absent
     * (all-null column) gets the never-prunable full range — conservative,
     * not silently prunable-to-nothing. */
-  private def pkFooterStats(file: Path): (Long, Long, Long) = {
+  private def pkFooterStats(file: Path): (Long, Long, Long) =
+    { val (r, mn, mx, _) = fileFooterStats(file, withColStats = false); (r, mn, mx) }
+
+  /** pkFooterStats plus per-column min/max for [[statsCols]] (same single
+    * footer read). Columns whose stats are absent or non-numeric (e.g. INT96
+    * timestamps from foreign writers) are simply omitted — absent stats mean
+    * "never prunable", the conservative direction. */
+  private def fileFooterStats(file: Path, withColStats: Boolean = true)
+      : (Long, Long, Long, Map[String, (Long, Long)]) = {
     val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri), spark.sessionState.newHadoopConf())
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      val pkStats = blocks.flatMap(_.getColumns.asScala
-        .find(_.getPath.toDotString == pk).map(_.getStatistics))
-        .filter(s => s != null && s.hasNonNullValue)
-      if (pkStats.isEmpty) (rows, Long.MinValue, Long.MaxValue)
-      else (rows,
-        pkStats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
-        pkStats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+      def statsOf(name: String): Seq[org.apache.parquet.column.statistics.Statistics[_]] =
+        blocks.flatMap(_.getColumns.asScala
+          .find(_.getPath.toDotString == name).map(_.getStatistics))
+          .filter(s => s != null && s.hasNonNullValue).toSeq
+      def range(ss: Seq[org.apache.parquet.column.statistics.Statistics[_]])
+          : Option[(Long, Long)] = {
+        val nums = ss.flatMap(s => (s.genericGetMin, s.genericGetMax) match {
+          case (a: Number, b: Number) => Some((a.longValue, b.longValue))
+          case _ => None // non-numeric physical type: skip, never mis-prune
+        })
+        if (nums.isEmpty || nums.length != ss.length) None
+        else Some((nums.map(_._1).min, nums.map(_._2).max))
+      }
+      val (pkMin, pkMax) = range(statsOf(pk)).getOrElse((Long.MinValue, Long.MaxValue))
+      val colStats =
+        if (!withColStats) Map.empty[String, (Long, Long)]
+        else statsCols.flatMap { c =>
+          range(statsOf(c)).map(c.toLowerCase(java.util.Locale.ROOT) -> _)
+        }.toMap
+      (rows, pkMin, pkMax, colStats)
     } finally reader.close()
   }
 
@@ -853,6 +901,12 @@ final class TransactionalTable private (
     o.put("pkMin", f.pkMin); o.put("pkMax", f.pkMax); o.put("rows", f.rows)
     o.put("bytes", f.bytes)
     f.bloom.foreach(b => o.put("bloom", b))
+    if (f.stats.nonEmpty) {
+      val st = o.putObject("stats")
+      f.stats.foreach { case (c, (mn, mx)) =>
+        val arr = st.putArray(c); arr.add(mn); arr.add(mx)
+      }
+    }
     o
   }
 

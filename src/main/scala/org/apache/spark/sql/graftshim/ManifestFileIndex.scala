@@ -14,10 +14,11 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Manifest entry mirror (path + partition value + PK min/max + size) — kept
-  * dependency-free of graft.table to avoid a package cycle. */
+/** Manifest entry mirror (path + partition value + PK min/max + size +
+  * per-column [min,max] stats, lower-cased names) — kept dependency-free of
+  * graft.table to avoid a package cycle. */
 final case class ManifestEntry(path: String, partition: Option[String], pkMin: Long,
-    pkMax: Long, bytes: Long)
+    pkMax: Long, bytes: Long, stats: Map[String, (Long, Long)] = Map.empty)
 
 /**
  * A FileIndex fed from the TransactionalTable MANIFEST instead of a directory
@@ -73,33 +74,62 @@ class ManifestFileIndex(
     case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall(v => noEq(e, a.name, v.asInstanceOf[Literal].value))
 
-    case GreaterThan(a: Attribute, Literal(v, _)) if isPk(a.name) => e.pkMax <= toLong(v)
-    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if isPk(a.name) => e.pkMax < toLong(v)
-    case LessThan(a: Attribute, Literal(v, _)) if isPk(a.name) => e.pkMin >= toLong(v)
-    case LessThanOrEqual(a: Attribute, Literal(v, _)) if isPk(a.name) => e.pkMin > toLong(v)
-    case GreaterThan(Literal(v, _), a: Attribute) if isPk(a.name) => e.pkMin >= toLong(v)
-    case GreaterThanOrEqual(Literal(v, _), a: Attribute) if isPk(a.name) => e.pkMin > toLong(v)
-    case LessThan(Literal(v, _), a: Attribute) if isPk(a.name) => e.pkMax <= toLong(v)
-    case LessThanOrEqual(Literal(v, _), a: Attribute) if isPk(a.name) => e.pkMax < toLong(v)
+    // Range pruning on ANY column with manifest [min,max] stats — the PK
+    // always has them; other integral/timestamp columns carry theirs in
+    // `stats` (Iceberg column-stats parity).
+    case GreaterThan(a: Attribute, Literal(v, _)) =>
+      check(e, a.name, v)((mn, mx, l) => mx <= l)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
+      check(e, a.name, v)((mn, mx, l) => mx < l)
+    case LessThan(a: Attribute, Literal(v, _)) =>
+      check(e, a.name, v)((mn, mx, l) => mn >= l)
+    case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
+      check(e, a.name, v)((mn, mx, l) => mn > l)
+    case GreaterThan(Literal(v, _), a: Attribute) =>
+      check(e, a.name, v)((mn, mx, l) => mn >= l)
+    case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
+      check(e, a.name, v)((mn, mx, l) => mn > l)
+    case LessThan(Literal(v, _), a: Attribute) =>
+      check(e, a.name, v)((mn, mx, l) => mx <= l)
+    case LessThanOrEqual(Literal(v, _), a: Attribute) =>
+      check(e, a.name, v)((mn, mx, l) => mx < l)
 
     case _ => false
   }
 
   private def isPk(name: String): Boolean = name.equalsIgnoreCase(pk)
   private def isPart(name: String): Boolean = partCol.exists(_.equalsIgnoreCase(name))
-  private def toLong(v: Any): Long = v match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case s: Short => s.toLong
-    case b: Byte => b.toLong
-    case other => other.toString.toLong
+
+  /** [min,max] for `name` when the manifest tracks it (PK always; others via
+    * per-file stats). */
+  private def rangeOf(e: ManifestEntry, name: String): Option[(Long, Long)] =
+    if (isPk(name)) Some((e.pkMin, e.pkMax))
+    else e.stats.get(name.toLowerCase(java.util.Locale.ROOT))
+
+  /** Applies `impossible(min, max, literal)` when both a tracked range and a
+    * numeric literal exist; anything else → not provably unmatchable. */
+  private def check(e: ManifestEntry, name: String, v: Any)(
+      impossible: (Long, Long, Long) => Boolean): Boolean =
+    (rangeOf(e, name), toLongOpt(v)) match {
+      case (Some((mn, mx)), Some(l)) => impossible(mn, mx, l)
+      case _ => false
+    }
+
+  private def toLongOpt(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
   }
 
   private def noEq(e: ManifestEntry, colName: String, v: Any): Boolean =
     if (v == null) false
-    else if (isPk(colName)) { val l = toLong(v); l < e.pkMin || l > e.pkMax }
     else if (isPart(colName)) e.partition.exists(_ != strOf(v))
-    else false
+    else (rangeOf(e, colName), toLongOpt(v)) match {
+      case (Some((mn, mx)), Some(l)) => l < mn || l > mx
+      case _ => false
+    }
 
   private def strOf(v: Any): String = v match {
     case u: UTF8String => u.toString

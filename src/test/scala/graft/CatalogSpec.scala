@@ -78,6 +78,39 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("column-stats pruning: non-PK predicates skip out-of-range files") {
+    import org.apache.spark.sql.types._
+    val w = tmpDir("graft-colstats-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_cst", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cst.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("amount", IntegerType), StructField("ts", TimestampType)))
+    val t = TransactionalTable.create(spark, s"$w/db/m", schema, "id")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two files with overlapping PK ranges but disjoint amount/ts ranges
+    t.append(Seq((1L, 10, ts("2024-01-01 00:00:00")), (3L, 20, ts("2024-01-02 00:00:00")))
+      .toDF("id", "amount", "ts").coalesce(1))
+    t.append(Seq((2L, 500, ts("2024-06-01 00:00:00")), (4L, 600, ts("2024-06-02 00:00:00")))
+      .toDF("id", "amount", "ts").coalesce(1))
+    val lowFile = t.snapshot.files.find(_.stats.get("amount").exists(_._2 <= 20)).get
+    assert(lowFile.stats.contains("amount") && lowFile.stats.contains("ts"),
+      "manifest must carry non-PK column stats")
+    // destroy the low-amount file: only column-stats pruning saves these
+    java.nio.file.Files.delete(java.nio.file.Paths.get(lowFile.path))
+    val hi = spark.sql("SELECT id FROM graft_cst.db.m WHERE amount > 100 ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(hi === Seq(2L, 4L), "amount-range pruning must skip the destroyed file")
+    val recent = spark.sql(
+      "SELECT id FROM graft_cst.db.m WHERE ts >= TIMESTAMP '2024-05-01 00:00:00' ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(recent === Seq(2L, 4L), "timestamp-range pruning must skip the destroyed file")
+    // a predicate the destroyed file COULD match still needs it → loud error
+    intercept[Exception] {
+      spark.sql("SELECT id FROM graft_cst.db.m WHERE amount < 100").collect()
+    }
+  }
+
   test("COUNT(*) is answered from the manifest, not a data scan") {
     warehouse
     val df = spark.sql("SELECT COUNT(*) AS c FROM graft_cs.db.retail")

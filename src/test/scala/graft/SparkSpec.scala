@@ -13,6 +13,11 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT64 micros (not legacy INT96): footer min/max for timestamp
+      // columns then unbox to Long, so manifests carry ts stats — same
+      // setting the Verify/Bench mains use. INT96 writers still work; their
+      // files just carry no ts stats (never-prunable, conservative).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
