@@ -166,6 +166,46 @@ object AnalyticQueries {
          |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 50
          |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin),
 
+    // TPC-H Q15-shaped top supplier: per-supplier revenue vs the max revenue
+    // (scalar subquery over a derived aggregate, exact DECIMAL math so the
+    // max comparison is bit-stable).
+    sqlQ("x7_q15_top_supplier",
+      s"""WITH rev AS (
+         |  SELECT s.s_suppkey, s.s_name, $RevenueExpr AS total_revenue
+         |  FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+         |  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY s.s_suppkey, s.s_name)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin),
+
+    // TPC-H Q17-shaped small-quantity revenue: lineitems below 20% of their
+    // part's average quantity (correlated aggregate via a pre-joined
+    // per-part average — the decorrelated plan shape Catalyst produces).
+    sqlQ("x7_q17_small_quantity",
+      """WITH avgq AS (
+        |  SELECT l_partkey, CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS aq
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN avgq a ON a.l_partkey = l.l_partkey
+        |WHERE l.l_quantity < 0.2 * a.aq""".stripMargin),
+
+    // TPC-H Q18-shaped large orders: customers whose orders exceed a total
+    // quantity threshold (HAVING over a join-key aggregate, then re-join).
+    sqlQ("x7_q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, b.sum_qty
+        |FROM big b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY b.sum_qty DESC, o.o_orderkey
+        |LIMIT 20""".stripMargin),
+
     // TPC-H Q6-shaped selective aggregate (predicate pushdown showcase).
     sqlQ("x7_q6_forecast_revenue",
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
