@@ -114,7 +114,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
     val entries = snap.files.map(f =>
       org.apache.spark.sql.graftshim.ManifestEntry(f.path, f.partition, f.pkMin, f.pkMax,
-        f.bytes, f.stats))
+        f.bytes, f.stats, f.bloom))
     // Pending merge-on-read deletes: the relation is flagged and rewritten by
     // GraftMorScanRule into the delete-aware anti-join plan — SQL reads work
     // whatever the table's write mode (the reference's product promise:

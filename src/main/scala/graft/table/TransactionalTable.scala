@@ -727,9 +727,7 @@ final class TransactionalTable private (
       partials.map { case (uri, words) =>
         // _metadata.file_path is a URI; manifest paths are plain
         val plain = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
-        val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
-        words.foreach(bytes.putLong)
-        plain -> java.util.Base64.getEncoder.encodeToString(bytes.array())
+        plain -> graft.util.Bloom.encode(words)
       }.toMap
     }
 
@@ -1110,47 +1108,19 @@ object TransactionalTable {
     sortedKeys.view.slice(from, to).toSeq
   }
 
-  // --- PK Bloom filter (fixed 2^16 bits, k=5; deterministic splitmix64
-  // double-hashing so writer and reader never disagree) ---
-  val BloomBits = 1 << 16
-  val BloomHashes = 5
+  // --- PK Bloom filter: bit-math shared with the SQL planner via
+  // graft.util.Bloom (fixed 2^16 bits, k=5, deterministic) ---
+  val BloomBits: Int = graft.util.Bloom.Bits
   /** Files above this row count skip the bloom: at 8 KiB the bitset would
     * saturate (fp → 1) and the manifest would carry dead weight. */
   val BloomMaxRows = 8192L
 
-  private[table] def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
-  private[table] def bloomSet(words: Array[Long], key: Long): Unit = {
-    val h1 = splitmix64(key); val h2 = splitmix64(h1) | 1L
-    var i = 0
-    while (i < BloomHashes) {
-      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, BloomBits).toInt
-      words(pos >>> 6) |= 1L << (pos & 63)
-      i += 1
-    }
-  }
-
-  private[table] def bloomContains(words: Array[Long], key: Long): Boolean = {
-    val h1 = splitmix64(key); val h2 = splitmix64(h1) | 1L
-    var i = 0
-    while (i < BloomHashes) {
-      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, BloomBits).toInt
-      if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
-      i += 1
-    }
-    true
-  }
-
-  private[table] def bloomWords(b64: String): Array[Long] = {
-    val bytes = java.util.Base64.getDecoder.decode(b64)
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(buf.getLong)
-  }
+  private[table] def bloomSet(words: Array[Long], key: Long): Unit =
+    graft.util.Bloom.set(words, key)
+  private[table] def bloomContains(words: Array[Long], key: Long): Boolean =
+    graft.util.Bloom.contains(words, key)
+  private[table] def bloomWords(b64: String): Array[Long] =
+    graft.util.Bloom.decode(b64)
 
   /** input_file_name() yields URL-encoded URIs; decode via URI so table roots
     * containing spaces/%/non-ASCII round-trip (plain prefix-stripping would

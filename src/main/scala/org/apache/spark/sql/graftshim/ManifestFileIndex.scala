@@ -15,10 +15,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Manifest entry mirror (path + partition value + PK min/max + size +
-  * per-column [min,max] stats, lower-cased names) — kept dependency-free of
-  * graft.table to avoid a package cycle. */
+  * per-column [min,max] stats (lower-cased names) + optional PK bloom) —
+  * kept dependency-free of graft.table to avoid a package cycle
+  * (graft.util.Bloom is a shared leaf). */
 final case class ManifestEntry(path: String, partition: Option[String], pkMin: Long,
-    pkMax: Long, bytes: Long, stats: Map[String, (Long, Long)] = Map.empty)
+    pkMax: Long, bytes: Long, stats: Map[String, (Long, Long)] = Map.empty,
+    bloom: Option[String] = None) {
+  /** Decoded lazily ONCE per entry — point-lookup queries probe it per file. */
+  lazy val bloomBits: Option[Array[Long]] = bloom.map(graft.util.Bloom.decode)
+}
 
 /**
  * A FileIndex fed from the TransactionalTable MANIFEST instead of a directory
@@ -127,7 +132,12 @@ class ManifestFileIndex(
     if (v == null) false
     else if (isPart(colName)) e.partition.exists(_ != strOf(v))
     else (rangeOf(e, colName), toLongOpt(v)) match {
-      case (Some((mn, mx)), Some(l)) => l < mn || l > mx
+      case (Some((mn, mx)), Some(l)) =>
+        l < mn || l > mx ||
+          // PK point lookup: the bloom can rule the file out even when its
+          // [min,max] span covers the key (the post-churn common case) —
+          // the same bitset merge-time pruning uses, now on the SQL path.
+          (isPk(colName) && e.bloomBits.exists(!graft.util.Bloom.contains(_, l)))
       case _ => false
     }
 

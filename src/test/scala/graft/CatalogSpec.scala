@@ -111,6 +111,30 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("bloom pruning on the SQL path: point lookups skip range-overlapping files") {
+    import org.apache.spark.sql.types._
+    val w = tmpDir("graft-bloomsql-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_bs", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_bs.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
+    val t = TransactionalTable.create(spark, s"$w/db/m", schema, "id")
+    // two files with FULLY overlapping [min,max] but disjoint key sets —
+    // range stats alone cannot separate them, only the bloom can
+    t.append((0L until 100L by 2).map((_, 0L)).toDF("id", "v").coalesce(1)) // evens
+    t.append((1L until 100L by 2).map((_, 1L)).toDF("id", "v").coalesce(1)) // odds
+    val Seq(fEven, fOdd) = t.snapshot.files.sortBy(_.pkMin).toSeq
+    assert(fEven.bloom.isDefined && fOdd.bloom.isDefined)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(fOdd.path))
+    // even-key point lookup: must answer without touching the destroyed odd file
+    val got = spark.sql("SELECT v FROM graft_bs.db.m WHERE id = 42").as[Long].collect().toSeq
+    assert(got === Seq(0L), "bloom-pruned point lookup must skip the destroyed file")
+    // an odd key genuinely needs the destroyed file → loud error, not empty
+    intercept[Exception] {
+      spark.sql("SELECT v FROM graft_bs.db.m WHERE id = 43").collect()
+    }
+  }
+
   test("COUNT(*) is answered from the manifest, not a data scan") {
     warehouse
     val df = spark.sql("SELECT COUNT(*) AS c FROM graft_cs.db.retail")
