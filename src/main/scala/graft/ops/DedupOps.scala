@@ -213,34 +213,37 @@ object DedupOps {
 
   /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxDist` (default 3).
-   * Pigeonhole banding: the 64-bit sketch splits into 4 chunks of 16 bits;
+   * Pigeonhole banding: the 60-bit sketch splits into 4 chunks of 15 bits;
    * any pair within distance 3 agrees on ≥1 chunk, so candidates come from a
-   * join on (chunk index, chunk value) — never n².
+   * join on (chunk index, chunk value) — never n². Token hashes are
+   * [[TextOps.md5Hash60]] (60 bits, md5-derived) rather than xxhash64, so the
+   * whole sketch — per-bit majorities, banding, Hamming distances — is
+   * DuckDB-recomputable and the query is driver-oracled end to end.
    */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // Sketch construction is fully vectorized: explode token hashes, sum the
     // per-bit contributions with bitwise column math in ONE codegen'd hash
     // aggregation (map-side partial combine ships ≤1 row per doc per task),
-    // then assemble the 64-bit majority sketch. The previous form folded a
+    // then assemble the 60-bit majority sketch. The previous form folded a
     // 64-step interpreted HOF with a nested filter per bit — O(64·tokens)
     // lambda dispatch per document; this is the same sketch bit-for-bit
     // (sum of (h>>i)&1 ≡ count of set bits; ties break identically on
     // 2·count >= n). Docs with zero tokens drop out via the explode.
     val exploded = docs.select(col(idCol).as("doc_id"),
-      explode(transform(TextOps.tokens(col(textCol)), t => xxhash64(t))).as("h"))
-    val bitSums = (0 until 64).map(i =>
+      explode(transform(TextOps.tokens(col(textCol)), t => TextOps.md5Hash60(t))).as("h"))
+    val bitSums = (0 until 60).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"_b$i"))
     val counted = exploded.groupBy("doc_id")
       .agg(count(lit(1)).as("_n"), bitSums: _*)
-    val sketch = (0 until 64).map { i =>
+    val sketch = (0 until 60).map { i =>
       when(col(s"_b$i") * 2 >= col("_n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val withSim = counted.select(col("doc_id"), sketch.as("simhash"))
 
     val chunked = withSim.select(col("doc_id"), col("simhash"),
         explode(expr(
-          "transform(sequence(0, 3), c -> named_struct('band', c, 'chunk', (simhash >> (c * 16)) & 65535))"
+          "transform(sequence(0, 3), c -> named_struct('band', c, 'chunk', (simhash >> (c * 15)) & 32767))"
         )).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.chunk").as("chunk"))
 

@@ -77,6 +77,27 @@ object SimilarityOps {
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** ±1 hyperplanes derived from md5 instead of scala Random: the sign for
+    * (table, bit, dim) is +1 iff the first md5 hex digit of "t_b_i" is < 8.
+    * md5 is public arithmetic any engine reproduces bit-for-bit, so an
+    * EXTERNAL oracle (DuckDB) can rebuild the exact planes → signatures →
+    * candidate sets → the approximate result itself. This is what lets
+    * [[annTopK]] be hash-verified by the driver as an approximate query,
+    * rather than only spot-checked for plausibility. */
+  private[graft] def md5Sign(t: Int, b: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t}_${b}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+  private[graft] def md5Planes(dim: Int, nBits: Int, table: Int): Seq[Seq[Double]] =
+    Seq.tabulate(nBits)(b => Seq.tabulate(dim)(i => md5Sign(table, b, i)))
+
+  /** Signature of a double-vector column against explicit ±1 planes. */
+  def planesSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /**
    * Approximate cosine top-k: candidates share at least one of `tables`
    * random-hyperplane signatures with the query (LSH OR-construction), then
@@ -90,7 +111,7 @@ object SimilarityOps {
     def withSignatures(df: DataFrame, id: String, v: String): DataFrame = {
       val sigs = array((0 until tables).map { t =>
         struct(lit(t).as("table"),
-          hyperplaneSignature(col(v), dim, nBits, seed = 0x5eed0000L + t).as("sig"))
+          planesSignature(col(v), md5Planes(dim, nBits, t)).as("sig"))
       }: _*)
       df.select(col(id), col(v), explode(sigs).as("ts"))
         .select(col(id), col(v), col("ts.table").as("table"), col("ts.sig").as("sig"))
@@ -134,7 +155,9 @@ object SimilarityOps {
    */
   private[graft] def seedCandidates(c: DataFrame, cells: Int, n: Long): DataFrame = {
     val stride = math.max(1L, n / cells)
-    c.filter(pmod(xxhash64(col("neighbor_id")), lit(stride)) === 0)
+    // md5Hash60 (not xxhash64) so the seed-vector choice — and therefore the
+    // whole quantizer — is reproducible by the DuckDB oracle.
+    c.filter(pmod(TextOps.md5Hash60(col("neighbor_id")), lit(stride)) === 0)
       .orderBy("neighbor_id")
       .limit(cells)
       .select("cv")
@@ -175,10 +198,13 @@ object SimilarityOps {
 
     // --- assign corpus, probe cells, score exactly within candidates ---
     val assigned = c.withColumn("cell", cellOf(col("cv")))
+    // cent.indices, not (0 until cells): hash-stride seeding can yield fewer
+    // than `cells` centroids, and zip_with over unequal lengths would pad
+    // with null structs (nondeterministic probe order).
     val probes = q.withColumn("_sims", simsTo(col("qv")))
       .withColumn("cell", explode(slice(
         transform(array_sort(zip_with(col("_sims"),
-            typedlit((0 until cells).toList),
+            typedlit(cent.indices.toList),
             (s, i) => struct((-s).as("negs"), i.as("i")))),
           p => p.getField("i")),
         1, nprobe)))

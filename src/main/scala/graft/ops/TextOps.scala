@@ -18,6 +18,14 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** 60-bit content hash from the top 15 hex chars of md5 — chosen over
+   *  xxhash64 wherever the output is driver-oracled: md5 is bit-identical in
+   *  every engine (DuckDB: `CAST('0x'||substring(md5(x),1,15) AS BIGINT)`),
+   *  and 15 hex chars keep the value positive in a signed 64-bit column on
+   *  both sides. Uniformity is md5's; 60 bits ≈ collision at ~2^30 docs. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Word n-gram shingles (default 3) — the unit for Jaccard/MinHash near-dup
    *  (X2). Returns the DISTINCT shingle set per document, first-occurrence
    *  order. Native codegen kernel (graft.functions.Shingles): one pass, no
@@ -105,15 +113,16 @@ object TextOps {
   }
 
   /**
-   * Document fingerprint: 64-bit content hash (xxhash64 of the full text) plus
-   * a MinHash-style rolling signature — the minimum xxhash64 over the
-   * document's word-3-gram shingles. Equal fingerprints ⇒ near-certain exact
-   * duplicate; equal min-shingle-hash is a 1-band LSH candidate signal.
-   * Spark-only (hash functions are engine-specific → no DuckDB oracle).
+   * Document fingerprint: 60-bit content hash ([[md5Hash60]] of the full text)
+   * plus a MinHash-style rolling signature — the minimum [[md5Hash60]] over
+   * the document's word-3-gram shingles (NULL when the doc has <3 tokens).
+   * Equal fingerprints ⇒ near-certain exact duplicate; equal min-shingle-hash
+   * is a 1-band LSH candidate signal. md5-based rather than xxhash64 so the
+   * exact hash values are DuckDB-recomputable (driver-oracled end to end).
    */
   def fingerprint(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(
       col(idCol),
-      xxhash64(col(textCol)).as("content_hash"),
-      array_min(transform(shingles(col(textCol)), s => xxhash64(s))).as("min_shingle_hash"))
+      md5Hash60(col(textCol)).as("content_hash"),
+      array_min(transform(shingles(col(textCol)), s => md5Hash60(s))).as("min_shingle_hash"))
 }

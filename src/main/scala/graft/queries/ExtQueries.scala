@@ -188,11 +188,21 @@ object ExtQueries {
              |  length(lower(translate(text, '.,!?;:''"()-', ''))) AS n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // X4: 64-bit content + min-shingle-hash fingerprint. Engine-specific hash
-    // (xxhash64) → no SQL oracle; the driver records a rows-only check.
+    // X4: 60-bit content + min-shingle-hash fingerprint. md5-derived (15 hex
+    // chars → positive signed BIGINT both engines), so the exact hash VALUES
+    // are recomputed by DuckDB and the query is fully hash-oracled.
     Q("x4_fingerprint",
       (s, d) => TextOps.fingerprint(Tables.load(s, d, "documents")).orderBy("doc_id"),
-      None),
+      Some(s"""WITH toks AS (SELECT doc_id, text, $DuckToks AS w FROM documents),
+              |sh AS (SELECT doc_id, text,
+              |         CASE WHEN len(w) >= 3
+              |              THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              |              ELSE CAST([] AS VARCHAR[]) END AS sgl
+              |       FROM toks)
+              |SELECT doc_id,
+              |  CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS content_hash,
+              |  list_min(list_transform(sgl, s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT))) AS min_shingle_hash
+              |FROM sh ORDER BY doc_id""".stripMargin)),
 
     // X2: exact n-gram Jaccard near-dup pairs via inverted shingle index.
     Q("x2_jaccard_pairs",
@@ -207,10 +217,25 @@ object ExtQueries {
       (s, d) => DedupOps.minhashLshPairs(Tables.load(s, d, "documents"), threshold = 0.5),
       Some(duckJaccardSql(0.5))),
 
-    // X2: SimHash Hamming-≤3 pairs (engine-specific hash → rows-only check).
+    // X2: SimHash Hamming-≤3 pairs. The 60-bit sketch is built from md5
+    // token hashes, so DuckDB rebuilds the identical sketches (per-bit
+    // majorities), bands, candidate pairs and Hamming distances — the
+    // approximate sketch output itself is hash-oracled.
     Q("x2_simhash_pairs",
       (s, d) => DedupOps.simhashPairs(Tables.load(s, d, "documents")),
-      None),
+      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+              |th AS (SELECT doc_id, CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+              |       FROM (SELECT doc_id, unnest(w) AS t FROM toks) u),
+              |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              |         FROM th, range(60) r(b) GROUP BY doc_id, b),
+              |sk AS (SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+              |       FROM bits GROUP BY doc_id),
+              |ch AS (SELECT doc_id, simhash, c AS band, (simhash >> CAST(c * 15 AS INTEGER)) & 32767 AS chunk
+              |       FROM sk, range(4) r(c)),
+              |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+              |      FROM ch a JOIN ch b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+              |FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // X2: the Jaccard skew cap EXERCISED under oracle — maxDocFreq=4 drops
     // non-discriminative shingles (df 5-8 at this SF) before pair expansion,
@@ -254,25 +279,73 @@ object ExtQueries {
              |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
       headline = true),
 
-    // X3: LSH-bucketed approximate top-k (the 100 TB path; approximate →
-    // rows-only check).
+    // X3: LSH-bucketed approximate top-k (the 100 TB path). The hyperplanes
+    // are md5-derived (SimilarityOps.md5Planes), so the oracle REBUILDS the
+    // approximate pipeline itself — planes → signatures → (table, sig)
+    // candidate buckets → exact cosine → top-k — and hash-matches the
+    // approximate answer, whatever its recall vs exact. Params (6 bits × 16
+    // tables) are the genuine scale settings, not recall-1-by-construction.
     Q("x3_ann_lsh_topk",
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
         SimilarityOps.annTopK(e, e.filter(col("vec_id") < 8), k = 5, dim = 64)
           .orderBy("qid", "rnk")
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |pl AS (SELECT t, b, list_transform(range(0, 64), i ->
+             |         CASE WHEN CAST(concat('0x', substring(md5(CAST(t AS VARCHAR) || '_' || CAST(b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) AS INTEGER) < 8
+             |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS p
+             |       FROM range(16) r1(t), range(6) r2(b)),
+             |sg AS (SELECT e.vec_id, pl.t,
+             |         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN (CAST(1 AS BIGINT) << CAST(pl.b AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+             |       FROM e, pl GROUP BY e.vec_id, pl.t),
+             |cand AS (SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS nid
+             |         FROM sg qs JOIN sg cs ON qs.t = cs.t AND qs.sig = cs.sig
+             |         WHERE qs.vec_id < 8 AND cs.vec_id <> qs.vec_id),
+             |sc AS (SELECT c.qid, c.nid,
+             |         list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+             |       FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid)
+             |SELECT qid, nid AS neighbor_id, rnk FROM (
+             |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM sc) z
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
-    // X3: IVF-bucketed approximate top-k (coarse-quantizer scale path;
-    // approximate → rows-only check).
+    // X3: IVF-bucketed approximate top-k (coarse-quantizer scale path).
+    // Registered with iters=0 — the seeded quantizer, cell assignment, probe
+    // selection and in-cell exact scoring are all md5/exact-double math that
+    // DuckDB replays bit-for-bit. (Lloyd refinement stays engine-side: a
+    // distributed avg is not bit-reproducible across engines; it is covered
+    // by DedupSimilaritySpec instead.)
     Q("x3_ann_ivf_topk",
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
-        SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, dim = 64)
+        SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, dim = 64, iters = 0)
           .orderBy("qid", "rnk")
       },
-      None),
+      Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+             |e AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e0),
+             |nn AS (SELECT COUNT(*) AS n FROM e),
+             |seeds0 AS (SELECT vec_id FROM e, nn
+             |           WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % GREATEST(1, n // 16) = 0
+             |           ORDER BY vec_id LIMIT 16),
+             |seeds AS (SELECT vec_id FROM seeds0
+             |          UNION ALL
+             |          SELECT vec_id FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16) f
+             |          WHERE (SELECT COUNT(*) FROM seeds0) = 0),
+             |cent AS (SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cell, e.v AS cv
+             |         FROM seeds s JOIN e ON e.vec_id = s.vec_id),
+             |asg AS (SELECT vec_id, cell FROM (
+             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+             |          FROM e, cent c) z WHERE rn = 1),
+             |pr AS (SELECT vec_id AS qid, cell FROM (
+             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+             |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 4),
+             |sc AS (SELECT pr.qid, a.vec_id AS nid, list_dot_product(qe.v, ae.v) AS cos
+             |       FROM pr JOIN asg a ON a.cell = pr.cell
+             |       JOIN e qe ON qe.vec_id = pr.qid JOIN e ae ON ae.vec_id = a.vec_id
+             |       WHERE a.vec_id <> pr.qid)
+             |SELECT qid, nid AS neighbor_id, rnk FROM (
+             |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM sc) z
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
     // X3: embedding near-dup pairs above cosine 0.4 (brute force; exact).
     Q("x3_embedding_neardup",

@@ -72,10 +72,12 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("simhashPairs: exact dup at distance 0; near-dup within 3; unrelated absent") {
     // SimHash bit majorities are only stable for long-enough documents: use
-    // ~100-token docs where a single changed token moves few bit votes.
-    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
-    val oneOff = ((1 to 99).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
-    val other = (1 to 100).map(i => s"other$i").mkString(" ")
+    // ~150-token docs where a single changed token moves few bit votes
+    // (with the md5-derived 60-bit token hashes this fixture lands at
+    // Hamming distance 1; the 100-token variant sat at 4).
+    val base = (1 to 150).map(i => s"tok$i").mkString(" ")
+    val oneOff = ((1 to 149).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val other = (1 to 150).map(i => s"other$i").mkString(" ")
     val docs = Seq((1L, base), (2L, oneOff), (3L, other), (5L, base)).toDF("doc_id", "text")
     val got = DedupOps.simhashPairs(docs)
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
@@ -164,7 +166,13 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("ivf seeding is a distributed filter: no Window, no single-partition sort") {
-    val c = vecs.select($"vec_id".as("neighbor_id"),
+    // Parquet-backed input: a LocalRelation would let ConvertToLocalRelation
+    // evaluate the hash filter at optimize time and (when ≤`cells` rows
+    // survive) EliminateLimits erase the limit — the asserted plan shape
+    // only exists over a real scan, which is what production sees.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfseed").toString
+    vecs.write.mode("overwrite").parquet(dir)
+    val c = spark.read.parquet(dir).select($"vec_id".as("neighbor_id"),
       SimilarityOps.asDouble($"embedding").as("cv"))
     val plan = SimilarityOps.seedCandidates(c, cells = 4, n = 40L)
       .queryExecution.executedPlan.toString
