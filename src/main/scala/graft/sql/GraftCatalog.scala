@@ -120,7 +120,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // whatever the table's write mode (the reference's product promise:
     // Athena reads the live Iceberg v2 table, `README.md:507-513`).
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      t.schema, entries, spark, root, version, t.pk, t.partitionCol,
+      // Time travel reads under the schema that version was committed with
+      // (pre-DROP snapshots keep their column); live reads use the live schema.
+      version.map(t.schemaAt).getOrElse(t.schema),
+      entries, spark, root, version, t.pk, t.partitionCol,
       loadedVersion = snap.version, morPending = snap.deletes.nonEmpty,
       rowCount = snap.rowCount)
   }
@@ -156,9 +159,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case add: TableChange.AddColumn =>
         throw new UnsupportedOperationException(
           s"nested ADD COLUMN not supported: ${add.fieldNames().mkString(".")}")
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        t = t.dropColumn(del.fieldNames().head)
+      case del: TableChange.DeleteColumn =>
+        throw new UnsupportedOperationException(
+          s"nested DROP COLUMN not supported: ${del.fieldNames().mkString(".")}")
       case other =>
         throw new UnsupportedOperationException(
-          s"unsupported ALTER TABLE change: $other (ADD COLUMN only)")
+          s"unsupported ALTER TABLE change: $other (ADD/DROP COLUMN only)")
     }
     loadTable(ident)
   }

@@ -39,7 +39,10 @@ class GraftMorScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case r: DataSourceV2Relation if morPending(r) =>
       val g = r.table.asInstanceOf[GraftSqlTable]
       val t = TransactionalTable.open(spark, g.root)
-      val scan = t.scanAt(g.loadedVersion)
+      // The relation's schema (live for plain reads, snapshot-stamped for
+      // time travel) drives the rewrite — never re-derive it here, or an
+      // ALTER between resolution and rewrite could skew the column set.
+      val scan = t.scanAt(g.loadedVersion, r.table.schema())
       val analyzed = org.apache.spark.sql.graftshim.GraftShims.planOf(scan)
       Project(
         analyzed.output.zip(r.output).map { case (n, o) =>

@@ -218,9 +218,29 @@ final class TransactionalTable private (
   /** Full-table scan of the current snapshot (delete-file-aware). */
   def scan(): DataFrame = { val s = snapshot; scanWithDeletes(s.files, s.deletes) }
 
-  /** Time travel: scan an older committed version (delete-file-aware). */
-  def scanAt(version: Long): DataFrame =
-    { val s = snapshotAt(version); scanWithDeletes(s.files, s.deletes) }
+  /** Schema a version was committed under (Iceberg's per-snapshot schema-id
+    * resolution): every manifest records the table schema at commit time, so
+    * a DROP COLUMN later does not erase the column from history — and, like
+    * Iceberg, an ALTER issued after a version's commit is NOT visible when
+    * time-traveling to it (only live reads see the live `_table.json`
+    * schema). Pre-upgrade manifests (no schema stamp) fall back to the live
+    * schema. */
+  def schemaAt(version: Long): StructType = {
+    val node = mapper.readTree(Files.readAllBytes(manifestDir.resolve(s"v$version.json")))
+    if (!node.has("schemaJson")) schema
+    else org.apache.spark.sql.types.DataType.fromJson(node.get("schemaJson").asText())
+      .asInstanceOf[StructType]
+  }
+
+  /** Time travel: scan an older committed version (delete-file-aware), read
+    * under the schema that version was committed with. */
+  def scanAt(version: Long): DataFrame = scanAt(version, schemaAt(version))
+
+  /** [[scanAt]] under an explicit schema — the SQL MOR rewrite passes the
+    * RELATION's resolved schema so the substituted plan's columns always
+    * line up with the attributes already bound above it. */
+  def scanAt(version: Long, sch: StructType): DataFrame =
+    { val s = snapshotAt(version); scanWithDeletes(s.files, s.deletes, sch) }
 
   /** Partition-pruned scan: only files whose partition value passes `pred` are
    *  read at all (manifest-level pruning, ahead of Parquet row-group skipping). */
@@ -229,9 +249,9 @@ final class TransactionalTable private (
     scanWithDeletes(s.files.filter(f => pred(f.partition)), s.deletes)
   }
 
-  private def scanFiles(files: Seq[DataFile]): DataFrame =
-    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+  private def scanFiles(files: Seq[DataFile], sch: StructType = schema): DataFrame =
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    else spark.read.schema(sch).parquet(files.map(_.path): _*)
 
   /**
    * Delete-file-aware scan. When merge-on-read delete files are pending, data
@@ -241,13 +261,14 @@ final class TransactionalTable private (
    * with an OLDER stamp. The delete side is broadcast while small (bounded by
    * merge traffic between compactions).
    */
-  private def scanWithDeletes(files: Seq[DataFile], deletes: Seq[DeleteFile]): DataFrame =
-    if (deletes.isEmpty) scanFiles(files)
+  private def scanWithDeletes(files: Seq[DataFile], deletes: Seq[DeleteFile],
+      sch: StructType = schema): DataFrame =
+    if (deletes.isEmpty) scanFiles(files, sch)
     else if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     else {
       val (posDel, eqDel) = deletes.partition(_.kind == DeleteFile.Position)
-      val withSeq = schema.add("_seq", "long")
+      val withSeq = sch.add("_seq", "long")
       var data = spark.read.schema(withSeq).parquet(files.map(_.path): _*)
       if (posDel.nonEmpty) {
         // Positional masking: anti-join on (file, ordinal) via Spark's hidden
@@ -268,7 +289,7 @@ final class TransactionalTable private (
           col(pk) === col("_dpk") && col("_dseq") > coalesce(col("_seq"), lit(0L)),
           "left_anti")
       }
-      data.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      data.select(sch.fieldNames.map(col).toIndexedSeq: _*)
     }
 
   /** COUNT(*): metadata-only from manifest stats when no merge-on-read
@@ -628,6 +649,26 @@ final class TransactionalTable private (
       new TransactionalTable(spark, root, evolved, pk, partitionCol)
     }
 
+  /**
+   * ALTER TABLE ... DROP COLUMN — the mirror of [[addColumn]], zero data
+   * movement: the column simply leaves the table schema, and every read
+   * projects by schema, so files that still carry the bytes skip them at
+   * scan. Snapshots committed BEFORE the drop keep the column when
+   * time-traveled (each manifest records its commit-time schema —
+   * [[schemaAt]]), matching Iceberg's schema-id semantics. The PK and the
+   * partition column are load-bearing (pruning, delete keys, layout) and
+   * cannot be dropped.
+   */
+  def dropColumn(name: String): TransactionalTable = synchronized {
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(name)), s"no such column '$name'")
+    require(!name.equalsIgnoreCase(pk), s"cannot drop primary-key column '$pk'")
+    require(!partitionCol.exists(_.equalsIgnoreCase(name)),
+      s"cannot drop partition column '${partitionCol.get}'")
+    val evolved = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    writeTableMeta(root, evolved, pk, partitionCol)
+    new TransactionalTable(spark, root, evolved, pk, partitionCol)
+  }
+
   /** Conform a merge/append input to the table schema: columns the input
     * lacks are null-filled (post-evolution writers that predate the new
     * column keep working — Iceberg's optional-column semantics); extra
@@ -823,40 +864,75 @@ final class TransactionalTable private (
   }
 
   /**
+   * Roll back to an older committed snapshot (Iceberg `rollback_to_snapshot`
+   * parity): the target version's file/delete lists are re-committed as a
+   * NEW version — history is preserved (the bad commits stay time-travelable
+   * until expired, unlike a pointer rewind, which would orphan them and
+   * break "version numbers only grow" invariants elsewhere), tags keep
+   * meaning, and expiry keeps working. The rollback commit is pure metadata:
+   * no data file is read, moved or rewritten. `batchId` is NOT rolled back —
+   * the replay fence must keep its high-water mark, or a checkpointed
+   * stream's next delivery would double-apply batches that are now (again)
+   * missing from the table; re-delivery of those batches is exactly how a
+   * stream refills a rolled-back table.
+   */
+  def rollbackTo(version: Long): Unit = synchronized {
+    retryingCommit("rollback") { snap =>
+      require(version < snap.version,
+        s"rollback target $version is not older than current ${snap.version}")
+      require(Files.exists(manifestDir.resolve(s"v$version.json")),
+        s"cannot rollback to version $version: snapshot expired or never existed")
+      val old = snapshotAt(version)
+      commit(Snapshot(snap.version + 1, snap.batchId, old.files, old.deletes))
+    }
+  }
+
+  /**
    * Rewrite small files (bin-packing compaction). A 100 s CDC trigger accretes
    * ~864 commits/day of small files; without compaction scan fan-out grows
    * unboundedly (Iceberg ships `rewrite_data_files` for the same reason —
    * reference `spark_sql_merge_into_iceberg.py:51-63` leans on it implicitly).
    *
-   * Files with fewer than `minFileRows` rows are rewritten, one output file
-   * per partition value; larger files are carried untouched. Data is
-   * byte-identical, old versions stay time-travelable (their manifests and
-   * files are never deleted), and `batchId` is preserved so replay fencing is
-   * unaffected.
+   * Files with fewer than `minFileRows` rows are rewritten; larger files are
+   * carried untouched. Data is byte-identical, old versions stay
+   * time-travelable (their manifests and files are never deleted), and
+   * `batchId` is preserved so replay fencing is unaffected.
+   *
+   * Both rewrite paths range-repartition on (partition, pk) into
+   * ~`minFileRows`-row slices — the same shape as [[compactClustered]] —
+   * NEVER one-task-per-partition-value (`repartition(col(p))`/`coalesce(1)`
+   * funnels a hot partition through a single task: a guaranteed straggler,
+   * and a single giant output file, at 100 TB). Range slicing keeps each
+   * task bounded regardless of per-partition skew, and since the range keys
+   * lead with the partition column, a task's rows still land in few
+   * partition directories.
    */
   def compact(minFileRows: Long = 1L << 20): Unit = synchronized {
     retryingCommit("compact") { snap =>
+      def packed(df: DataFrame, totalRows: Long): DataFrame = {
+        val target = math.max(1L, (totalRows + minFileRows - 1) / minFileRows).toInt
+        val rangeCols = partitionCol.map(col).toSeq :+ col(pk)
+        df.repartitionByRange(target, rangeCols: _*)
+      }
       if (snap.deletes.nonEmpty) {
         // MOR maintenance: fold the pending delete files in — rewrite all data
         // with deletes applied, emerging as a pure-data snapshot.
-        val packed = partitionCol match {
-          case Some(p) => scanWithDeletes(snap.files, snap.deletes).repartition(col(p))
-          case None => scanWithDeletes(snap.files, snap.deletes).coalesce(1)
-        }
+        // (snap.rowCount ignores pending deletes — an over-estimate, which
+        // only errs toward one more, slightly smaller, output slice.)
+        val data = scanWithDeletes(snap.files, snap.deletes)
         val newVersion = snap.version + 1
-        val newFiles = writeDataFiles(packed, commitDir(newVersion), seq = newVersion)
+        val newFiles = writeDataFiles(packed(data, snap.rowCount),
+          commitDir(newVersion), seq = newVersion)
         commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
       } else {
         val small = snap.files.filter(_.rows < minFileRows)
         val needsWork = small.groupBy(_.partition).exists(_._2.size > 1)
         if (needsWork) {
           val keep = snap.files.filterNot(small.toSet)
-          val packed = partitionCol match {
-            case Some(p) => scanFiles(small).repartition(col(p)) // 1 task → 1 file per value
-            case None => scanFiles(small).coalesce(1)
-          }
           val newVersion = snap.version + 1
-          val newFiles = writeDataFiles(packed, commitDir(newVersion), seq = newVersion)
+          val newFiles = writeDataFiles(
+            packed(scanFiles(small), small.map(_.rows).sum),
+            commitDir(newVersion), seq = newVersion)
           commit(Snapshot(newVersion, snap.batchId, keep ++ newFiles))
         }
       }
@@ -973,6 +1049,10 @@ final class TransactionalTable private (
     node.put("version", s.version); node.put("batchId", s.batchId)
     node.put("committedAtMs",
       if (s.committedAtMs > 0) s.committedAtMs else System.currentTimeMillis())
+    // Commit-time schema stamp: time travel reads each version under the
+    // schema it was written with (schemaAt), so DROP COLUMN cannot rewrite
+    // history.
+    node.put("schemaJson", schema.json)
     val arr = node.putArray("chunks")
     chunkRefs.foreach { case (p, n) =>
       val o = mapper.createObjectNode(); o.put("path", p); o.put("n", n); arr.add(o)

@@ -187,13 +187,57 @@ class CatalogSpec extends SparkSpec {
     val v1 = spark.sql(
       "SELECT COUNT(*) AS c FROM graft_ev.db.retail VERSION AS OF 1").as[Long].head()
     assert(v1 === 10L)
-    // duplicate / unsupported changes fail loudly
+    // duplicate adds fail loudly
     intercept[Exception] {
       spark.sql("ALTER TABLE graft_ev.db.retail ADD COLUMN note STRING")
     }
+
+    // DROP COLUMN: the live schema loses the column with zero data movement…
+    val preDropVersion = TransactionalTable.open(spark, root).currentVersion
+    spark.sql("ALTER TABLE graft_ev.db.retail DROP COLUMN note")
+    val t3 = TransactionalTable.open(spark, root)
+    assert(!t3.schema.fieldNames.contains("note"))
+    assert(!spark.sql("SELECT * FROM graft_ev.db.retail").columns.contains("note"))
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_ev.db.retail").as[Long].head() === 13L)
+    // …but snapshots committed before the drop keep it (per-snapshot schema)
+    val travel = spark.sql(
+      s"SELECT trans_id, note FROM graft_ev.db.retail VERSION AS OF $preDropVersion")
+    assert(travel.columns.contains("note"))
+    assert(travel.filter($"note".isNotNull).count() === 1L)
+    // load-bearing columns are protected
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft_ev.db.retail DROP COLUMN note")
+      spark.sql("ALTER TABLE graft_ev.db.retail DROP COLUMN trans_id")
     }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_ev.db.retail DROP COLUMN event")
+    }
+  }
+
+  test("rollbackTo: re-points state as a new commit; history and fencing intact") {
+    val root = tmpDir("ttable-rollback")
+    val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
+      Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    val goodVersion = t.currentVersion
+    val goodState = t.scan().orderBy("trans_id").collect().toSeq
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario2Lines, batchId = 1)
+    val badVersion = t.currentVersion
+    assert(t.scan().count() !== goodState.size.toLong)
+
+    t.rollbackTo(goodVersion)
+    // rollback is a NEW commit: version grows, restored state equals the target
+    assert(t.currentVersion === badVersion + 1)
+    assert(t.scan().orderBy("trans_id").collect().toSeq === goodState)
+    // the rolled-back-over version stays time-travelable (history preserved)
+    assert(t.scanAt(badVersion).count() === 12L)
+    // the replay fence keeps its high-water mark: re-delivering batch 1 is
+    // how a stream refills the table, and it must still apply exactly once
+    assert(t.snapshot.batchId === 1L)
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario2Lines, batchId = 2)
+    assert(t.scan().count() === 12L)
+    // guards: only strictly-older, still-retained targets
+    intercept[IllegalArgumentException](t.rollbackTo(t.currentVersion))
+    intercept[IllegalArgumentException](t.rollbackTo(999L))
   }
 
   test("TIMESTAMP AS OF time travel resolves to the snapshot live at that time") {

@@ -97,6 +97,37 @@ class TableRobustnessSpec extends SparkSpec {
     assert(t.currentVersion === v)
   }
 
+  test("compact: MOR fold-in range-slices a hot partition across >1 file") {
+    val root = tmpDir("ttable-compact-skew")
+    val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
+      Some(Cdc.PartitionColumn))
+    // 1000 rows, ALL in one partition value — the skew case where the old
+    // repartition(col(partition)) fold-in funneled everything through one
+    // task and emitted one giant file.
+    val rows = (0L until 1000L).map(i =>
+      (i, s"c$i", "cart", "S", 1, "pc", new java.sql.Timestamp(0L)))
+      .toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*)
+    t.append(rows)
+    // a MOR merge leaves pending equality deletes → compact takes the fold-in path
+    val up = Seq((5L, "x", "cart", "S", 99, "pc", new java.sql.Timestamp(0L)))
+      .toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*)
+    t.merge(up, spark.emptyDataset[Long].toDF("trans_id"), batchId = 1,
+      mode = graft.table.MergeMode.MergeOnRead)
+    assert(t.snapshot.deletes.nonEmpty)
+
+    t.compact(minFileRows = 100L)
+    val after = t.snapshot
+    assert(after.deletes.isEmpty, "fold-in must clear the delete files")
+    assert(after.files.size > 1,
+      s"hot partition must be range-sliced into several files, got ${after.files.size}")
+    // disjoint pk ranges per slice (range repartition on (partition, pk))
+    val ranges = after.files.map(f => (f.pkMin, f.pkMax)).sortBy(_._1)
+    assert(ranges.sliding(2).forall { case Seq(a, b) => a._2 < b._1; case _ => true },
+      s"slices must cover disjoint pk ranges: $ranges")
+    val amounts = t.scan().select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+    assert(amounts.size === 1000 && amounts(5L) === 99)
+  }
+
   test("malformed rows (bad JSON / null pk) are dropped, batch still applies") {
     val root = tmpDir("ttable-nullpk")
     val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
