@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
  */
 object DedupOps {
 
+  /** Default doc-frequency cap for Jaccard's inverted index: shingles in more
+    * docs than this are dropped before pair expansion. Per-shingle work is
+    * df², so an uncapped boilerplate shingle ("all rights reserved …") in a
+    * web corpus expands to billions of pairs from a single index row — the
+    * one quadratic hazard in the otherwise-linear inverted-index shape. A
+    * shingle shared by >128 docs carries no near-dup signal anyway (it cannot
+    * push any pair over a 0.5 threshold on realistic doc sizes by itself, and
+    * discriminative shingles are rare by definition). Callers wanting exact
+    * uncapped semantics (small corpora, oracle parity) pass
+    * `maxDocFreq = None` explicitly. */
+  val DefaultMaxDocFreq = 128
+
   /** (id, shingle) inverted index — shingles are DISTINCT per doc (set
     * semantics; TextOps.shingles). `maxDocFreq` optionally drops
     * non-discriminative shingles occurring in more than that many docs — the
@@ -50,7 +62,7 @@ object DedupOps {
    */
   def jaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val exploded = docs.select(col(idCol).as("doc_id"),
       explode(TextOps.shingles(col(textCol), n)).as("sh"))
     val byShingle = exploded.groupBy("sh")

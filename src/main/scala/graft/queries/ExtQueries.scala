@@ -205,10 +205,14 @@ object ExtQueries {
               |FROM sh ORDER BY doc_id""".stripMargin)),
 
     // X2: exact n-gram Jaccard near-dup pairs via inverted shingle index.
+    // Explicit maxDocFreq=None: this is the EXACT-parity twin (the oracle is
+    // uncapped), kept for algebra verification; the production default caps
+    // df (DedupOps.DefaultMaxDocFreq) and the capped variant below is the
+    // headline the bench tracks.
     Q("x2_jaccard_pairs",
-      (s, d) => DedupOps.jaccardPairs(Tables.load(s, d, "documents"), threshold = 0.5),
-      Some(duckJaccardSql(0.5)),
-      headline = true),
+      (s, d) => DedupOps.jaccardPairs(Tables.load(s, d, "documents"), threshold = 0.5,
+        maxDocFreq = None),
+      Some(duckJaccardSql(0.5))),
 
     // X2: MinHash + banded LSH candidates, exact-verified at the same
     // threshold — same answer as the exact query, found without an
@@ -245,6 +249,8 @@ object ExtQueries {
     Q("x2_jaccard_capped",
       (s, d) => DedupOps.jaccardPairs(Tables.load(s, d, "documents"),
         threshold = 0.5, maxDocFreq = Some(4)),
+      headline = true,
+      oracle =
       Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
               |sh AS (SELECT DISTINCT doc_id,
               |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s

@@ -174,7 +174,11 @@ object PipelineQueries {
     // oracle: DuckDB recursive CTE computing the same closure.
     Q("x1_dedup_clusters",
       (s, d) => DedupOps.dedupClusters(
-        DedupOps.jaccardPairs(Tables.load(s, d, "documents"), threshold = 0.5)
+        // maxDocFreq=None: exact-parity twin of the DuckDB recursive-CTE
+        // closure below (uncapped); production clustering inherits the capped
+        // default via jaccardPairs.
+        DedupOps.jaccardPairs(Tables.load(s, d, "documents"), threshold = 0.5,
+            maxDocFreq = None)
           .select(col("doc_a"), col("doc_b"))),
       Some("""WITH RECURSIVE toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w

@@ -119,13 +119,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // GraftMorScanRule into the delete-aware anti-join plan — SQL reads work
     // whatever the table's write mode (the reference's product promise:
     // Athena reads the live Iceberg v2 table, `README.md:507-513`).
+    // Time travel reads under the schema that version was committed with
+    // (pre-DROP snapshots keep their column); live reads use the live schema.
+    val sch = version.map(t.schemaAt).getOrElse(t.schema)
+    // RENAME COLUMN bridge: when the resolved schema contains renamed columns,
+    // files written before the rename carry the old name — route the read
+    // through the engine's coalescing scan (GraftMorScanRule substitution),
+    // same machinery as pending MOR deletes. A pre-rename time-travel schema
+    // has no renamed columns and reads plainly.
+    val renPending = t.renames.nonEmpty && sch.fieldNames
+      .exists(f => t.renames.contains(f.toLowerCase(java.util.Locale.ROOT)))
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      // Time travel reads under the schema that version was committed with
-      // (pre-DROP snapshots keep their column); live reads use the live schema.
-      version.map(t.schemaAt).getOrElse(t.schema),
-      entries, spark, root, version, t.pk, t.partitionCol,
+      sch, entries, spark, root, version, t.pk, t.partitionCol,
       loadedVersion = snap.version, morPending = snap.deletes.nonEmpty,
-      rowCount = snap.rowCount)
+      rowCount = snap.rowCount, renamesPending = renPending)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -164,9 +171,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case del: TableChange.DeleteColumn =>
         throw new UnsupportedOperationException(
           s"nested DROP COLUMN not supported: ${del.fieldNames().mkString(".")}")
+      case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
+        t = t.renameColumn(rn.fieldNames().head, rn.newName())
+      case rn: TableChange.RenameColumn =>
+        throw new UnsupportedOperationException(
+          s"nested RENAME COLUMN not supported: ${rn.fieldNames().mkString(".")}")
       case other =>
         throw new UnsupportedOperationException(
-          s"unsupported ALTER TABLE change: $other (ADD/DROP COLUMN only)")
+          s"unsupported ALTER TABLE change: $other (ADD/DROP/RENAME COLUMN only)")
     }
     loadTable(ident)
   }
@@ -234,7 +246,11 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     val morPending: Boolean = false,
     /** exact row count from manifest stats (valid only when !morPending) —
       * lets GraftCountStarRule answer SELECT COUNT(*) without touching data */
-    val rowCount: Long = 0L)
+    val rowCount: Long = 0L,
+    /** true when the resolved schema contains RENAMEd columns whose old-name
+      * files may still be live; such relations are rewritten by
+      * GraftMorScanRule into the engine's coalescing scan */
+    val renamesPending: Boolean = false)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = tableName
@@ -242,14 +258,15 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    if (morPending)
+    if (morPending || renamesPending)
       // Only reachable when graft.sql.GraftExtensions is NOT registered (the
       // rewrite rule removes flagged relations during analysis). Fail loudly:
-      // a plain file scan would silently resurrect deleted rows.
+      // a plain file scan would silently resurrect deleted rows (MOR) or
+      // null out renamed columns for pre-rename files.
       throw new UnsupportedOperationException(
-        s"$tableName has pending merge-on-read delete files; register " +
-          "spark.sql.extensions=graft.sql.GraftExtensions (delete-aware SQL " +
-          "reads) or run compact()")
+        s"$tableName has pending merge-on-read delete files or renamed " +
+          "columns; register spark.sql.extensions=graft.sql.GraftExtensions " +
+          "(engine-aware SQL reads) or run compact()")
     org.apache.spark.sql.graftshim.ManifestFileIndex.scanBuilder(
       spark, tableSchema, entries, pk, partitionCol, options)
   }

@@ -30,13 +30,15 @@ import graft.table.TransactionalTable
  */
 class GraftMorScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def morPending(r: DataSourceV2Relation): Boolean = r.table match {
-    case g: GraftSqlTable => g.morPending
+  private def needsEngineScan(r: DataSourceV2Relation): Boolean = r.table match {
+    // Same substitution serves RENAMEd columns: the engine scan coalesces
+    // old-name files into the live column (TransactionalTable.readParquet).
+    case g: GraftSqlTable => g.morPending || g.renamesPending
     case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case r: DataSourceV2Relation if morPending(r) =>
+    case r: DataSourceV2Relation if needsEngineScan(r) =>
       val g = r.table.asInstanceOf[GraftSqlTable]
       val t = TransactionalTable.open(spark, g.root)
       // The relation's schema (live for plain reads, snapshot-stamped for

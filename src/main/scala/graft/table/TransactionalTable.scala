@@ -107,7 +107,12 @@ final class TransactionalTable private (
     val root: String,
     val schema: StructType,
     val pk: String,
-    val partitionCol: Option[String]) {
+    val partitionCol: Option[String],
+    /** RENAME COLUMN bookkeeping: lower-cased live column name → its former
+      * names, most recent first. Files written before a rename still carry
+      * the old name; the read path reads both and coalesces (see
+      * readParquet) — renames are metadata-only, zero data movement. */
+    val renames: Map[String, Seq[String]] = Map.empty) {
 
   import TransactionalTable._
 
@@ -251,7 +256,44 @@ final class TransactionalTable private (
 
   private def scanFiles(files: Seq[DataFile], sch: StructType = schema): DataFrame =
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    else spark.read.schema(sch).parquet(files.map(_.path): _*)
+    else readParquet(files.map(_.path), sch)
+
+  /** Rename-aware multi-file parquet read under `sch`: for every column with
+    * tracked former names ([[renames]]), the files are read with the old
+    * names as shadow fields and the output coalesces (new, old…) — a file
+    * written before the rename populates exactly one of them. `withPos`
+    * additionally surfaces `_gfile`/`_gpos` from the hidden `_metadata`
+    * struct BEFORE any projection (positional-delete masking needs them, and
+    * hidden-column resolution is only guaranteed on the scan relation
+    * itself). */
+  private def readParquet(paths: Seq[String], sch: StructType,
+      withPos: Boolean = false): DataFrame = {
+    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val renamed = sch.fields.flatMap(f => renames.get(lc(f.name)).map(f -> _)).toSeq
+    val posCols =
+      if (withPos) Seq(col("_metadata.file_path").as("_gfile"),
+        col("_metadata.row_index").as("_gpos"))
+      else Seq.empty
+    if (renamed.isEmpty) {
+      val raw = spark.read.schema(sch).parquet(paths: _*)
+      if (withPos) raw.select(col("*") +: posCols: _*) else raw
+    } else {
+      val present = sch.fieldNames.map(lc).toSet
+      val shadow = renamed.flatMap { case (f, olds) =>
+        olds.filterNot(o => present(lc(o)))
+          .map(o => org.apache.spark.sql.types.StructField(o, f.dataType, nullable = true))
+      }
+      val oldsByCur = renamed.map { case (f, olds) => lc(f.name) -> olds }.toMap
+      val outCols = sch.fields.map { f =>
+        oldsByCur.get(lc(f.name)) match {
+          case Some(olds) => coalesce((f.name +: olds).map(col).toIndexedSeq: _*).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq
+      spark.read.schema(StructType(sch.fields ++ shadow)).parquet(paths: _*)
+        .select(outCols ++ posCols: _*)
+    }
+  }
 
   /**
    * Delete-file-aware scan. When merge-on-read delete files are pending, data
@@ -269,15 +311,13 @@ final class TransactionalTable private (
     else {
       val (posDel, eqDel) = deletes.partition(_.kind == DeleteFile.Position)
       val withSeq = sch.add("_seq", "long")
-      var data = spark.read.schema(withSeq).parquet(files.map(_.path): _*)
+      var data = readParquet(files.map(_.path), withSeq, withPos = posDel.nonEmpty)
       if (posDel.nonEmpty) {
         // Positional masking: anti-join on (file, ordinal) via Spark's hidden
         // per-file metadata columns — no key comparison, no sequence logic.
         val pdRaw = spark.read.parquet(posDel.map(_.path): _*).select(col("_dfile"), col("_dpos"))
         val pd = if (posDel.map(_.rows).sum <= MaxCollectedKeys) broadcast(pdRaw) else pdRaw
         data = data
-          .withColumn("_gfile", col("_metadata.file_path"))
-          .withColumn("_gpos", col("_metadata.row_index"))
           .join(pd, col("_gfile") === col("_dfile") && col("_gpos") === col("_dpos"), "left_anti")
           .drop("_gfile", "_gpos")
       }
@@ -644,9 +684,13 @@ final class TransactionalTable private (
     synchronized {
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column '$name' already exists")
+      // Reusing a FORMER name of a live column would resurrect the old bytes
+      // still sitting in pre-rename files into the "new" column.
+      require(!renames.valuesIterator.flatten.exists(_.equalsIgnoreCase(name)),
+        s"'$name' is a former name of an existing column (rename history); pick another")
       val evolved = schema.add(name, dataType, nullable = true)
-      writeTableMeta(root, evolved, pk, partitionCol)
-      new TransactionalTable(spark, root, evolved, pk, partitionCol)
+      writeTableMeta(root, evolved, pk, partitionCol, renames)
+      new TransactionalTable(spark, root, evolved, pk, partitionCol, renames)
     }
 
   /**
@@ -665,8 +709,41 @@ final class TransactionalTable private (
     require(!partitionCol.exists(_.equalsIgnoreCase(name)),
       s"cannot drop partition column '${partitionCol.get}'")
     val evolved = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
-    writeTableMeta(root, evolved, pk, partitionCol)
-    new TransactionalTable(spark, root, evolved, pk, partitionCol)
+    val prunedRenames = renames - name.toLowerCase(java.util.Locale.ROOT)
+    writeTableMeta(root, evolved, pk, partitionCol, prunedRenames)
+    new TransactionalTable(spark, root, evolved, pk, partitionCol, prunedRenames)
+  }
+
+  /**
+   * ALTER TABLE ... RENAME COLUMN — metadata-only, zero data movement (the
+   * effect Iceberg gets from field-id name mapping): the live schema swaps
+   * the name, and reads bridge files still carrying the old name by reading
+   * both and coalescing ([[readParquet]] — a pre-rename file populates
+   * exactly one of the two). Snapshots committed BEFORE the rename keep the
+   * old name under time travel (per-snapshot schema stamps, [[schemaAt]]).
+   * The PK and partition column are load-bearing names (manifest stats,
+   * delete-file keys, directory layout) and cannot be renamed. Manifest
+   * column stats keyed under the old name simply stop matching SQL
+   * predicates on the new name — pruning degrades conservatively for
+   * pre-rename files and returns as they are rewritten.
+   */
+  def renameColumn(from: String, to: String): TransactionalTable = synchronized {
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(from)), s"no such column '$from'")
+    require(!from.equalsIgnoreCase(pk), s"cannot rename primary-key column '$pk'")
+    require(!partitionCol.exists(_.equalsIgnoreCase(from)),
+      s"cannot rename partition column '${partitionCol.getOrElse("")}'")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)), s"column '$to' already exists")
+    require(!renames.valuesIterator.flatten.exists(_.equalsIgnoreCase(to)),
+      s"'$to' is a former name of an existing column (rename history); pick another")
+    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val evolved = StructType(schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+    // Former-name chain carries over: a→b→c keeps [b, a] so files from every
+    // era still resolve.
+    val olds = from +: renames.getOrElse(lc(from), Seq.empty)
+    val newRenames = (renames - lc(from)) + (lc(to) -> olds)
+    writeTableMeta(root, evolved, pk, partitionCol, newRenames)
+    new TransactionalTable(spark, root, evolved, pk, partitionCol, newRenames)
   }
 
   /** Conform a merge/append input to the table schema: columns the input
@@ -1132,13 +1209,20 @@ object TransactionalTable {
     * point (addColumn): readers see either the old or the new schema, never
     * a torn file. */
   private[table] def writeTableMeta(root: String, schema: StructType, pk: String,
-      partitionCol: Option[String]): Unit = {
+      partitionCol: Option[String],
+      renames: Map[String, Seq[String]] = Map.empty): Unit = {
     val meta = mapper.createObjectNode()
     meta.put("schemaJson", schema.json)
     meta.put("pk", pk)
     partitionCol match {
       case Some(p) => meta.put("partitionCol", p)
       case None => meta.putNull("partitionCol")
+    }
+    if (renames.nonEmpty) {
+      val rn = meta.putObject("renames")
+      renames.foreach { case (cur, olds) =>
+        val arr = rn.putArray(cur); olds.foreach(arr.add)
+      }
     }
     val tmp = Paths.get(root, "_table.json.tmp")
     Files.write(tmp, mapper.writeValueAsBytes(meta),
@@ -1158,7 +1242,12 @@ object TransactionalTable {
       meta.get("schemaJson").asText()).asInstanceOf[StructType]
     val part = if (meta.get("partitionCol").isNull) None
       else Some(meta.get("partitionCol").asText())
-    new TransactionalTable(spark, root, schema, meta.get("pk").asText(), part)
+    val renames =
+      if (!meta.has("renames")) Map.empty[String, Seq[String]]
+      else meta.get("renames").properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      }.toMap
+    new TransactionalTable(spark, root, schema, meta.get("pk").asText(), part, renames)
   }
 
   def exists(root: String): Boolean = Files.exists(Paths.get(root, "_current"))

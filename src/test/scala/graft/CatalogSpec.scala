@@ -213,6 +213,69 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only, bridges old files; time travel keeps old name") {
+    val w = tmpDir("graft-rename-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_rn", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rn.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val root = s"$w/db/retail"
+    val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
+      Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    val preRenameVersion = t.currentVersion
+    val preSkus = spark.sql("SELECT trans_id, sku FROM graft_rn.db.retail")
+      .as[(Long, String)].collect().toMap
+
+    spark.sql("ALTER TABLE graft_rn.db.retail RENAME COLUMN sku TO product_sku")
+
+    // Live reads: new name, values from OLD-name files (coalesce bridge) —
+    // zero data movement happened.
+    val t2 = TransactionalTable.open(spark, root)
+    assert(t2.schema.fieldNames.contains("product_sku") &&
+      !t2.schema.fieldNames.contains("sku"))
+    val post = spark.sql("SELECT trans_id, product_sku FROM graft_rn.db.retail")
+      .as[(Long, String)].collect().toMap
+    assert(post === preSkus, "renamed column must carry every pre-rename value")
+
+    // A post-rename writer uses the new name; reads mix both file eras.
+    Seq((600L, "y", "visit", "NEWSKU-1", 7, "pc", new java.sql.Timestamp(0L)))
+      .toDF(t2.schema.fieldNames.toIndexedSeq: _*)
+      .createOrReplaceTempView("rn_src")
+    spark.sql(
+      """MERGE INTO graft_rn.db.retail t USING rn_src s ON t.trans_id = s.trans_id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val mixed = spark.sql("SELECT trans_id, product_sku FROM graft_rn.db.retail")
+      .as[(Long, String)].collect().toMap
+    assert(mixed(600L) === "NEWSKU-1" && mixed.size === preSkus.size + 1)
+    assert(preSkus.forall { case (k, v) => mixed(k) === v })
+
+    // Time travel to a pre-rename snapshot reads under the OLD name.
+    val travel = spark.sql(
+      s"SELECT trans_id, sku FROM graft_rn.db.retail VERSION AS OF $preRenameVersion")
+    assert(travel.columns.contains("sku"))
+    assert(travel.as[(Long, String)].collect().toMap === preSkus)
+
+    // Chained rename: files from BOTH earlier eras still resolve.
+    spark.sql("ALTER TABLE graft_rn.db.retail RENAME COLUMN product_sku TO item_sku")
+    val chained = spark.sql("SELECT trans_id, item_sku FROM graft_rn.db.retail")
+      .as[(Long, String)].collect().toMap
+    assert(chained === mixed)
+
+    // Load-bearing and colliding names are protected.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_rn.db.retail RENAME COLUMN trans_id TO id2")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_rn.db.retail RENAME COLUMN event TO kind")
+    }
+    intercept[Exception] { // former name reuse would resurrect old bytes
+      spark.sql("ALTER TABLE graft_rn.db.retail ADD COLUMN sku STRING")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_rn.db.retail RENAME COLUMN device TO amount")
+    }
+  }
+
   test("rollbackTo: re-points state as a new commit; history and fencing intact") {
     val root = tmpDir("ttable-rollback")
     val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
