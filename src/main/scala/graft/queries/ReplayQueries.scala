@@ -110,6 +110,82 @@ object ReplayQueries {
       },
       Some(endStateOracle)),
 
+    // GUARDED merge-on-read replay (T3 fix under the Iceberg-v2 write mode):
+    // the guard is resolved at write time against the pruned current slice —
+    // losing rows produce neither data nor delete entries. The golden
+    // scenarios arrive in op-ts order, so the end state must equal the
+    // faithful replay's.
+    Q("cdc_replay_guarded_mor_end_state",
+      (s, _) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_replay_gmor").toString
+        val t = TransactionalTable.create(s, root, Cdc.guardedTableSchema, Cdc.PrimaryKey,
+          Some(Cdc.PartitionColumn))
+        CdcPipeline.applyCdcBatchGuarded(t, Cdc.parse(CdcFixtures.scenario1Lines.toDS()), 0,
+          graft.table.MergeMode.MergeOnRead)
+        CdcPipeline.applyCdcBatchGuarded(t, Cdc.parse(CdcFixtures.scenario2Lines.toDS()), 1,
+          graft.table.MergeMode.MergeOnRead)
+        assert(t.snapshot.deletes.nonEmpty, "test premise: MOR deletes must be pending")
+        t.scan()
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+          .orderBy("trans_id")
+      },
+      Some(endStateOracle)),
+
+    // Snapshot ROLLBACK (Iceberg rollback_to_snapshot parity) as a driver-
+    // certified query: golden replay, then a catastrophic bad batch (deletes
+    // every row), then rollbackTo the pre-disaster version — a history-
+    // preserving NEW commit. The scan must answer the golden end state, and
+    // the replay fence must still hold its high-water mark (the corrected
+    // batch re-delivers under a later batchId).
+    Q("cdc_rollback_end_state",
+      (s, _) => {
+        val t = replay(s) // v1 = scenario1, v2 = scenario2 (golden end state)
+        val goodVersion = t.currentVersion
+        t.merge(t.scan().limit(0), t.scan().select(col(Cdc.PrimaryKey)), batchId = 2)
+        assert(t.scan().count() == 0L, "test premise: bad batch emptied the table")
+        t.rollbackTo(goodVersion)
+        assert(t.currentVersion == goodVersion + 2, "rollback must be a NEW commit")
+        assert(t.snapshot.batchId == 2L, "replay fence must keep its high-water mark")
+        t.scan()
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+          .orderBy("trans_id")
+      },
+      Some(endStateOracle)),
+
+    // DROP COLUMN + schema time travel as a driver-certified query: after the
+    // golden replay, `device` is dropped (metadata-only). The live read must
+    // lack the column while `VERSION AS OF` the pre-drop snapshot still
+    // carries it — the per-snapshot schema stamps (schemaAt) under oracle.
+    // Output: live columns joined with the time-traveled device values, plus
+    // the live schema's device-lessness as a literal.
+    Q("cdc_drop_column_travel",
+      (s, _) => {
+        val t = replay(s)
+        val preDrop = t.currentVersion
+        val t2 = t.dropColumn("device")
+        val live = t2.scan()
+        assert(!live.columns.contains("device"), "live schema must have lost the column")
+        val travel = t2.scanAt(preDrop).select(col("trans_id"), col("device"))
+        live.select(col("trans_id"), col("event"), col("amount"))
+          .join(travel, "trans_id")
+          .withColumn("live_has_device", lit(live.columns.contains("device")))
+          .orderBy("trans_id")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState.map { case (id, _, ev, _, amt, dev, _) =>
+          s"(CAST($id AS BIGINT), '$ev', $amt, '$dev', false)"
+        }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, event, amount, device, live_has_device)
+           |ORDER BY trans_id""".stripMargin
+      }),
+
     // Merge-on-read replay: same golden scenarios applied as Iceberg-v2-style
     // data + equality-delete files (no rewrite at merge time; the delete
     // anti-join runs at scan). Oracle: identical golden end state.

@@ -67,7 +67,8 @@ object CdcPipeline {
     * a row only replaces/removes stored data when its op timestamp is not
     * older — late events in later batches can no longer clobber newer rows.
     * The table must use `Cdc.guardedTableSchema` (persists `_op_ts`). */
-  def applyCdcBatchGuarded(table: TransactionalTable, envelopes: DataFrame, batchId: Long): Unit = {
+  def applyCdcBatchGuarded(table: TransactionalTable, envelopes: DataFrame, batchId: Long,
+      mode: graft.table.MergeMode = graft.table.MergeMode.CopyOnWrite): Unit = {
     val pkCol = col(Cdc.PrimaryKey)
     val bad = pkCol.isNull || col("_op").isNull
     val deduped = Cdc.latestPerKey(Cdc.flatten(envelopes)).persist()
@@ -79,7 +80,7 @@ object CdcPipeline {
         val valid = deduped.filter(!bad)
         val ups = Cdc.projectToTableGuarded(Cdc.upserts(valid))
         val dels = Cdc.deletes(valid).select(pkCol, col("_op_timestamp").as("_op_ts"))
-        table.merge(ups, dels, batchId, guardTs = Some("_op_ts"))
+        table.merge(ups, dels, batchId, mode, guardTs = Some("_op_ts"))
       }
     } finally deduped.unpersist()
   }

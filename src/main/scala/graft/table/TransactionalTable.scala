@@ -492,8 +492,10 @@ final class TransactionalTable private (
       /** When set, the merge is timestamp-GUARDED on this (table) column:
         * a source row only wins over the stored row if its ts is not older
         * (fixes the reference's last-batch-wins late-data anomaly, SURVEY
-        * §7.5.3). `deleteKeys` must then carry (pk, guardTs). CoW only —
-        * MOR equality deletes mask unconditionally by construction. */
+        * §7.5.3). `deleteKeys` must then carry (pk, guardTs). Under MOR
+        * modes the guard is resolved at write time against the pruned
+        * current slice (guardWinners) — deletes themselves still mask
+        * unconditionally, but only winning rows produce them. */
       guardTs: Option[String] = None): Unit = synchronized {
     retryingCommit("merge") { snap =>
       // T4: replayed batch — already committed (re-checked on every retry:
@@ -553,17 +555,50 @@ final class TransactionalTable private (
     val up = conformed(upserts).filter(col(pk).isNotNull)
     guardTs.foreach { ts =>
       require(schema.fieldNames.contains(ts), s"guard column $ts not in table schema")
-      require(mode == MergeMode.CopyOnWrite, "guarded merge requires CopyOnWrite")
     }
     val dels = guardTs match {
       case Some(ts) => deleteKeys.select(col(pk), col(ts)).filter(col(pk).isNotNull)
       case None => deleteKeys.select(col(pk)).filter(col(pk).isNotNull)
     }
-    mode match {
-      case MergeMode.CopyOnWrite => mergeCow(snap, up, dels, batchId, guardTs)
-      case MergeMode.MergeOnRead => mergeMor(snap, up, dels, batchId)
-      case MergeMode.MergeOnReadPositional => mergeMorPositional(snap, up, dels, batchId)
+    (mode, guardTs) match {
+      case (MergeMode.CopyOnWrite, _) => mergeCow(snap, up, dels, batchId, guardTs)
+      case (_, Some(ts)) =>
+        // Guarded merge-on-read: MOR equality deletes mask unconditionally by
+        // construction, so the guard must be resolved at WRITE time — read the
+        // matched keys' current guard column (PK-range-pruned files only, the
+        // same pruned read the positional path pays) and keep only source
+        // rows that win. The surviving winners then follow the plain MOR path.
+        val (winUp, winDels) = guardWinners(snap, up, dels, ts)
+        mode match {
+          case MergeMode.MergeOnRead => mergeMor(snap, winUp, winDels, batchId)
+          case _ => mergeMorPositional(snap, winUp, winDels, batchId)
+        }
+      case (MergeMode.MergeOnRead, None) => mergeMor(snap, up, dels, batchId)
+      case (MergeMode.MergeOnReadPositional, None) =>
+        mergeMorPositional(snap, up, dels, batchId)
     }
+  }
+
+  /** Timestamp-guard resolution for merge-on-read: split the batch into rows
+    * that WIN against the stored row (same algebra as Merge.applyGuarded —
+    * a source/delete row wins when the key is absent, the stored guard is
+    * null, or its own non-null guard is >= the stored one). Reads only the
+    * PK-range∧bloom-pruned slice of the table, delete-aware, so cost is
+    * O(files containing batch keys), not O(table). */
+  private def guardWinners(snap: Snapshot, up: DataFrame, dels: DataFrame,
+      ts: String): (DataFrame, DataFrame) = {
+    val keyDf = up.select(col(pk)).unionByName(dels.select(col(pk))).distinct()
+    val (affected, oversized) = affectedFiles(snap, keyDf.select(col(pk).cast("long")))
+    val curRaw = scanWithDeletes(affected, snap.deletes)
+      .select(col(pk).as("_cpk"), col(ts).as("_cts"))
+    // Post-merge invariant: ≤1 live row per key, so no dedup needed here.
+    val cur = if (oversized) curRaw else broadcast(curRaw)
+    def winners(side: DataFrame, sideTs: org.apache.spark.sql.Column): DataFrame =
+      side.join(cur, col(pk) === col("_cpk"), "left_outer")
+        .filter(col("_cpk").isNull ||
+          (sideTs.isNotNull && (col("_cts").isNull || sideTs >= col("_cts"))))
+        .drop("_cpk", "_cts")
+    (winners(up, col(ts)), winners(dels, col(ts)))
   }
 
   /** Files of `snap` that can contain any of the batch's keys, plus whether

@@ -47,6 +47,32 @@ class GuardedMergeSpec extends SparkSpec {
     assert(t.scan().select($"amount").as[Int].head() === 55)
   }
 
+  test("guarded merge under MERGE-ON-READ: write-time guard resolution") {
+    for ((mode, tag) <- Seq(graft.table.MergeMode.MergeOnRead -> "gmor",
+        graft.table.MergeMode.MergeOnReadPositional -> "gmorpos")) {
+      val t = TransactionalTable.create(spark, tmpDir(tag), Cdc.guardedTableSchema,
+        Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+      def replay(l: String, b: Long): Unit =
+        CdcPipeline.applyCdcBatchGuarded(t, Cdc.parse(Seq(l).toDS()), b, mode)
+      replay(fresh, 0)
+      replay(late, 1) // older ts → must NOT clobber (loser writes no delete/data)
+      assert(t.scan().select($"amount").as[Int].head() === 100, s"$tag: late update clobbered")
+      replay(lateDelete, 2) // older-ts delete → must NOT delete
+      assert(t.scan().count() === 1, s"$tag: late delete removed the row")
+      replay(freshDelete, 3) // newer-ts delete → deletes
+      assert(t.scan().count() === 0, s"$tag: fresh delete did not remove")
+      // insert after guarded delete works (no live target row → source wins)
+      replay(line(1, 55, "2023-01-16T12:00:00.000001Z", "insert", 5), 4)
+      assert(t.scan().select($"amount").as[Int].head() === 55, s"$tag: reinsert lost")
+      // premise: this really exercised the MOR path (delete files pending)
+      assert(t.snapshot.deletes.nonEmpty, s"$tag: expected pending delete files")
+      // compaction folds the guard history away without changing the answer
+      t.compact()
+      assert(t.snapshot.deletes.isEmpty)
+      assert(t.scan().select($"amount").as[Int].head() === 55, s"$tag: compaction changed state")
+    }
+  }
+
   test("guarded equals faithful when events arrive in ts order") {
     val ordered = Seq(
       line(1, 10, "2023-01-16T06:00:00.000001Z", "insert", 1),
