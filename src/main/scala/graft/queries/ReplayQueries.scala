@@ -349,6 +349,75 @@ object ReplayQueries {
              |  ('visit', CAST(2 AS BIGINT))
              |) AS t(partition, n) ORDER BY partition""".stripMargin)),
 
+    // HIDDEN PARTITIONING days(ts) (Iceberg partition-transform parity, the
+    // contract the reference's `PARTITIONED BY` DDL implies,
+    // `README.md:364-367`): a days(ts)-partitioned table is built from the
+    // events fixture through the SQL front door (CREATE + INSERT), then a
+    // ts-range aggregate runs through the catalog — partition derivation at
+    // write and transform-reversing file pruning at scan, all under oracle.
+    Q("cdc_days_partitioned_events",
+      (s, d) => {
+        val cat = s"graft_dp${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_dp").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        s.sql(s"""CREATE TABLE $cat.db.ev
+                  (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                   event_type STRING, value DOUBLE)
+                  PARTITIONED BY (days(ts)) TBLPROPERTIES ('pk'='event_id')""")
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("ev_src_dp")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src_dp")
+        val t = TransactionalTable.open(s, s"$warehouse/db/ev")
+        assert(t.snapshot.files.flatMap(_.partition).distinct.size > 1,
+          "test premise: multiple day partitions must exist")
+        s.sql(s"""SELECT event_type, COUNT(*) AS n,
+                    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+                  FROM $cat.db.ev
+                  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                    AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+                  GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-20 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // HIDDEN PARTITIONING bucket(n, col): a hash-bucketed table (xxhash64 mod
+    // n at write; point lookups prune to the literal's bucket at scan). The
+    // transform is invisible to results — the oracle is the plain filter.
+    Q("cdc_bucket_partitioned_lookup",
+      (s, d) => {
+        val cat = s"graft_bp${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_bp").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        s.sql(s"""CREATE TABLE $cat.db.ev
+                  (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                   event_type STRING, value DOUBLE)
+                  PARTITIONED BY (bucket(8, user_id)) TBLPROPERTIES ('pk'='event_id')""")
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("ev_src_bp")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src_bp")
+        val t = TransactionalTable.open(s, s"$warehouse/db/ev")
+        assert(t.snapshot.files.flatMap(_.partition).distinct.size > 1,
+          "test premise: multiple hash buckets must exist")
+        s.sql(s"""SELECT event_type, COUNT(*) AS n,
+                    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+                  FROM $cat.db.ev WHERE user_id = 7
+                  GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+             |FROM events WHERE user_id = 7
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // SQL MERGE INTO (the reference's verbatim hot-path statements,
     // `spark_sql_merge_into_iceberg.py:118-122,133-136`) applied through the
     // GraftExtensions rule/strategy: scenario1 via the pipeline, then

@@ -130,7 +130,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val renPending = t.renames.nonEmpty && sch.fieldNames
       .exists(f => t.renames.contains(f.toLowerCase(java.util.Locale.ROOT)))
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      sch, entries, spark, root, version, t.pk, t.partitionCol,
+      sch, entries, spark, root, version, t.pk, t.partitionSpec.map(_.desc),
       loadedVersion = snap.version, morPending = snap.deletes.nonEmpty,
       rowCount = snap.rowCount, renamesPending = renPending)
   }
@@ -138,19 +138,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val pk = Option(properties.get("pk")).getOrElse(schema.fieldNames.head)
-    // Silently dropping a transform would produce an unpartitioned table the
-    // user believes is partitioned — reject anything we don't implement.
-    val identities = partitions.toSeq.map {
-      case t if t.name == "identity" => t.references().head.fieldNames().mkString(".")
-      case t => throw new UnsupportedOperationException(
-        s"unsupported partition transform ${t.describe()}: identity transforms only")
+    // Hidden partitioning (Iceberg partition-spec parity): identity,
+    // days(ts), hours(ts), bucket(n, col). Silently dropping a transform
+    // would produce an unpartitioned table the user believes is partitioned —
+    // reject anything we don't implement.
+    def refOf(t: Transform): String = t.references().head.fieldNames().mkString(".")
+    val specs: Seq[graft.table.PartitionTransform] = partitions.toSeq.map { t =>
+      t.name match {
+        case "identity" => graft.table.PartitionTransform.Identity(refOf(t))
+        case "days" => graft.table.PartitionTransform.Days(refOf(t))
+        case "hours" => graft.table.PartitionTransform.Hours(refOf(t))
+        case "bucket" =>
+          val n = org.apache.spark.sql.graftshim.GraftShims.transformLiteralInt(t)
+            .getOrElse(throw new UnsupportedOperationException(
+              s"bucket transform needs a literal bucket count: ${t.describe()}"))
+          graft.table.PartitionTransform.Bucket(n, refOf(t))
+        case _ => throw new UnsupportedOperationException(
+          s"unsupported partition transform ${t.describe()}: " +
+            "identity/days/hours/bucket only")
+      }
     }
-    if (identities.length > 1)
+    if (specs.length > 1)
       throw new UnsupportedOperationException(
-        s"at most one partition column supported, got: ${identities.mkString(", ")}")
-    val partCol = identities.headOption
+        s"at most one partition transform supported, got: ${specs.mkString(", ")}")
     Files.createDirectories(Paths.get(rootOf(ident)).getParent)
-    TransactionalTable.create(spark, rootOf(ident), schema, pk, partCol)
+    TransactionalTable.createPartitioned(spark, rootOf(ident), schema, pk, specs.headOption)
     loadTable(ident)
   }
 
@@ -236,7 +248,7 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
       * even for MERGE */
     val pinnedVersion: Option[Long],
     pk: String,
-    partitionCol: Option[String],
+    partition: Option[org.apache.spark.sql.graftshim.PartitionTransformDesc],
     /** snapshot version this relation was resolved at (= pinnedVersion when
       * time-traveling, else the current version) — pins the MOR rewrite to
       * the same snapshot the file list came from */
@@ -268,6 +280,6 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
           "columns; register spark.sql.extensions=graft.sql.GraftExtensions " +
           "(engine-aware SQL reads) or run compact()")
     org.apache.spark.sql.graftshim.ManifestFileIndex.scanBuilder(
-      spark, tableSchema, entries, pk, partitionCol, options)
+      spark, tableSchema, entries, pk, partition, options)
   }
 }

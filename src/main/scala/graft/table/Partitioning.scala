@@ -1,0 +1,79 @@
+package graft.table
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.PartitionTransformDesc
+
+/**
+ * Hidden-partitioning transforms (Iceberg's partition-spec idea, natively):
+ * the table declares HOW a partition value derives from a source column, the
+ * write path computes it (`valueExpr` → the `_p` directory value), and scans
+ * prune files by reversing the transform on query predicates — the user
+ * never filters on a synthetic partition column. The reference's DDL implies
+ * exactly this contract (`'table_type'='iceberg'` + `PARTITIONED BY`,
+ * reference `README.md:364-367`).
+ *
+ * Temporal transforms use raw epoch-micros arithmetic (days = floor(µs/86.4e9),
+ * Iceberg's epoch-day semantics) rather than session-timezone date functions,
+ * so the partition value is timezone-independent and bit-stable across
+ * engines. Bucket uses Spark's `xxhash64` (seed 42); the scan-side twin
+ * (graftshim.PartitionPrune) calls the same Catalyst hash, so write and prune
+ * can never disagree.
+ */
+sealed trait PartitionTransform {
+  /** Source column the partition value derives from. */
+  def col: String
+  def kind: String
+  /** String-typed partition value expression for the `_p` write column. */
+  def valueExpr: Column
+  /** Dependency-free mirror handed to the SQL-side ManifestFileIndex. */
+  def desc: PartitionTransformDesc
+}
+
+object PartitionTransform {
+
+  val MicrosPerDay = 86400000000L
+  val MicrosPerHour = 3600000000L
+
+  /** Plain value partitioning — what the engine always supported. */
+  final case class Identity(col: String) extends PartitionTransform {
+    val kind = "identity"
+    def valueExpr: Column = org.apache.spark.sql.functions.col(col)
+    def desc: PartitionTransformDesc = PartitionTransformDesc(kind, col)
+  }
+
+  /** Epoch-day of a timestamp column (`PARTITIONED BY (days(ts))`). */
+  final case class Days(col: String) extends PartitionTransform {
+    val kind = "days"
+    def valueExpr: Column =
+      floor(unix_micros(org.apache.spark.sql.functions.col(col)) /
+        lit(MicrosPerDay.toDouble)).cast("long").cast("string")
+    def desc: PartitionTransformDesc = PartitionTransformDesc(kind, col)
+  }
+
+  /** Epoch-hour of a timestamp column (`PARTITIONED BY (hours(ts))`). */
+  final case class Hours(col: String) extends PartitionTransform {
+    val kind = "hours"
+    def valueExpr: Column =
+      floor(unix_micros(org.apache.spark.sql.functions.col(col)) /
+        lit(MicrosPerHour.toDouble)).cast("long").cast("string")
+    def desc: PartitionTransformDesc = PartitionTransformDesc(kind, col)
+  }
+
+  /** Hash bucket (`PARTITIONED BY (bucket(n, col))`): xxhash64 mod n. */
+  final case class Bucket(n: Int, col: String) extends PartitionTransform {
+    require(n > 0, s"bucket count must be positive, got $n")
+    val kind = "bucket"
+    def valueExpr: Column =
+      pmod(xxhash64(org.apache.spark.sql.functions.col(col)), lit(n.toLong)).cast("string")
+    def desc: PartitionTransformDesc = PartitionTransformDesc(kind, col, n)
+  }
+
+  def apply(kind: String, col: String, n: Int = 0): PartitionTransform = kind match {
+    case "identity" => Identity(col)
+    case "days" => Days(col)
+    case "hours" => Hours(col)
+    case "bucket" => Bucket(n, col)
+    case other => throw new IllegalArgumentException(s"unknown partition transform '$other'")
+  }
+}

@@ -107,7 +107,11 @@ final class TransactionalTable private (
     val root: String,
     val schema: StructType,
     val pk: String,
-    val partitionCol: Option[String],
+    /** Hidden-partitioning spec (Iceberg partition-transform parity):
+      * identity / days / hours / bucket. The write path derives the `_p`
+      * directory value via [[PartitionTransform.valueExpr]]; scans prune by
+      * reversing the transform on predicates (ManifestFileIndex). */
+    val partitionSpec: Option[PartitionTransform],
     /** RENAME COLUMN bookkeeping: lower-cased live column name → its former
       * names, most recent first. Files written before a rename still carry
       * the old name; the read path reads both and coalesces (see
@@ -127,8 +131,20 @@ final class TransactionalTable private (
       s"pk column '$pk' must be integral (byte/short/int/long), got ${dt.simpleString}: " +
         "per-file pkMin/pkMax stats and equality-delete keys are 64-bit")
   }
+  /** Source column of the partition transform (the column users filter on). */
+  def partitionCol: Option[String] = partitionSpec.map(_.col)
+
   partitionCol.foreach(p => require(schema.fieldNames.contains(p),
     s"partition column '$p' not in table schema"))
+  partitionSpec.foreach { spec =>
+    spec match {
+      case _: PartitionTransform.Days | _: PartitionTransform.Hours =>
+        require(schema(spec.col).dataType == org.apache.spark.sql.types.TimestampType,
+          s"temporal partition transform needs a timestamp column, " +
+            s"'${spec.col}' is ${schema(spec.col).dataType.simpleString}")
+      case _ => ()
+    }
+  }
 
   private def manifestDir = Paths.get(root, "manifest")
   private def pointerPath = Paths.get(root, "_current")
@@ -724,8 +740,8 @@ final class TransactionalTable private (
       require(!renames.valuesIterator.flatten.exists(_.equalsIgnoreCase(name)),
         s"'$name' is a former name of an existing column (rename history); pick another")
       val evolved = schema.add(name, dataType, nullable = true)
-      writeTableMeta(root, evolved, pk, partitionCol, renames)
-      new TransactionalTable(spark, root, evolved, pk, partitionCol, renames)
+      writeTableMeta(root, evolved, pk, partitionSpec, renames)
+      new TransactionalTable(spark, root, evolved, pk, partitionSpec, renames)
     }
 
   /**
@@ -745,8 +761,8 @@ final class TransactionalTable private (
       s"cannot drop partition column '${partitionCol.get}'")
     val evolved = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
     val prunedRenames = renames - name.toLowerCase(java.util.Locale.ROOT)
-    writeTableMeta(root, evolved, pk, partitionCol, prunedRenames)
-    new TransactionalTable(spark, root, evolved, pk, partitionCol, prunedRenames)
+    writeTableMeta(root, evolved, pk, partitionSpec, prunedRenames)
+    new TransactionalTable(spark, root, evolved, pk, partitionSpec, prunedRenames)
   }
 
   /**
@@ -777,8 +793,8 @@ final class TransactionalTable private (
     // era still resolve.
     val olds = from +: renames.getOrElse(lc(from), Seq.empty)
     val newRenames = (renames - lc(from)) + (lc(to) -> olds)
-    writeTableMeta(root, evolved, pk, partitionCol, newRenames)
-    new TransactionalTable(spark, root, evolved, pk, partitionCol, newRenames)
+    writeTableMeta(root, evolved, pk, partitionSpec, newRenames)
+    new TransactionalTable(spark, root, evolved, pk, partitionSpec, newRenames)
   }
 
   /** Conform a merge/append input to the table schema: columns the input
@@ -825,10 +841,13 @@ final class TransactionalTable private (
     // lookups skip row groups, not just whole files.
     val sortCols = partitionCol.map(col).toSeq :+ col(pk)
     val stamped = df.sortWithinPartitions(sortCols: _*).withColumn("_seq", lit(seq))
-    val writer = partitionCol match {
-      // `_p` duplicates the partition column so the data file keeps the real
-      // column (Hive-style partitionBy would strip it from the file).
-      case Some(p) => stamped.withColumn("_p", col(p)).write.partitionBy("_p")
+    val writer = partitionSpec match {
+      // `_p` is the TRANSFORM of the source column (identity → the value
+      // itself), so the data file keeps every real column (Hive-style
+      // partitionBy would strip it from the file) and hidden partitioning
+      // (days/hours/bucket) derives its directory value here — the write
+      // half of the Iceberg partition-spec contract.
+      case Some(spec) => stamped.withColumn("_p", spec.valueExpr).write.partitionBy("_p")
       case None => stamped.write
     }
     writer.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
@@ -1227,15 +1246,22 @@ object TransactionalTable {
   private[table] val MaxCachedChunks = 4096
 
   def create(spark: SparkSession, root: String, schema: StructType, pk: String,
-      partitionCol: Option[String] = None): TransactionalTable = {
+      partitionCol: Option[String] = None): TransactionalTable =
+    createPartitioned(spark, root, schema, pk,
+      partitionCol.map(PartitionTransform.Identity.apply))
+
+  /** [[create]] with a hidden-partitioning transform (days/hours/bucket —
+    * Iceberg partition-spec parity). */
+  def createPartitioned(spark: SparkSession, root: String, schema: StructType,
+      pk: String, partition: Option[PartitionTransform]): TransactionalTable = {
     if (exists(root))
       throw new IllegalStateException(s"table already exists at $root — use load/open")
-    val t = new TransactionalTable(spark, root, schema, pk, partitionCol)
+    val t = new TransactionalTable(spark, root, schema, pk, partition)
     Files.createDirectories(Paths.get(root))
     // Self-describing table: persist schema/pk/partitioning so catalogs
     // (graft.sql.GraftCatalog) and tools can open the table from its path
     // alone (what Iceberg keeps in table metadata files).
-    writeTableMeta(root, schema, pk, partitionCol)
+    writeTableMeta(root, schema, pk, partition)
     t.commit(Snapshot(0L, -1L, Seq.empty))
     t
   }
@@ -1244,14 +1270,25 @@ object TransactionalTable {
     * point (addColumn): readers see either the old or the new schema, never
     * a torn file. */
   private[table] def writeTableMeta(root: String, schema: StructType, pk: String,
-      partitionCol: Option[String],
+      partition: Option[PartitionTransform],
       renames: Map[String, Seq[String]] = Map.empty): Unit = {
     val meta = mapper.createObjectNode()
     meta.put("schemaJson", schema.json)
     meta.put("pk", pk)
-    partitionCol match {
-      case Some(p) => meta.put("partitionCol", p)
+    // Legacy field kept for older readers (identity semantics); the full
+    // transform lives in `partitionTransform`.
+    partition match {
+      case Some(p) => meta.put("partitionCol", p.col)
       case None => meta.putNull("partitionCol")
+    }
+    partition.foreach { p =>
+      val pt = meta.putObject("partitionTransform")
+      pt.put("kind", p.kind)
+      pt.put("col", p.col)
+      p match {
+        case PartitionTransform.Bucket(n, _) => pt.put("n", n)
+        case _ => ()
+      }
     }
     if (renames.nonEmpty) {
       val rn = meta.putObject("renames")
@@ -1268,15 +1305,21 @@ object TransactionalTable {
 
   def load(spark: SparkSession, root: String, schema: StructType, pk: String,
       partitionCol: Option[String] = None): TransactionalTable =
-    new TransactionalTable(spark, root, schema, pk, partitionCol)
+    new TransactionalTable(spark, root, schema, pk,
+      partitionCol.map(PartitionTransform.Identity.apply))
 
   /** Open a table from its path alone, using the persisted `_table.json`. */
   def open(spark: SparkSession, root: String): TransactionalTable = {
     val meta = mapper.readTree(Files.readAllBytes(Paths.get(root, "_table.json")))
     val schema = org.apache.spark.sql.types.DataType.fromJson(
       meta.get("schemaJson").asText()).asInstanceOf[StructType]
-    val part = if (meta.get("partitionCol").isNull) None
-      else Some(meta.get("partitionCol").asText())
+    val part =
+      if (meta.has("partitionTransform")) {
+        val pt = meta.get("partitionTransform")
+        Some(PartitionTransform(pt.get("kind").asText(), pt.get("col").asText(),
+          if (pt.has("n")) pt.get("n").asInt() else 0))
+      } else if (meta.get("partitionCol").isNull) None
+      else Some(PartitionTransform.Identity(meta.get("partitionCol").asText()))
     val renames =
       if (!meta.has("renames")) Map.empty[String, Seq[String]]
       else meta.get("renames").properties().asScala.map { e =>

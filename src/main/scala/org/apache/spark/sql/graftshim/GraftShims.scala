@@ -24,4 +24,14 @@ object GraftShims {
   /** Spark's Hive-style partition-path unescaper (`_p=a%20b` → `a b`). */
   def unescapePathName(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
+  /** First integer literal argument of a DSv2 Transform (the bucket count of
+    * `bucket(n, col)`). LiteralValue is `private[sql]`, hence shimmed here. */
+  def transformLiteralInt(t: org.apache.spark.sql.connector.expressions.Transform): Option[Int] =
+    t.arguments().collectFirst {
+      case org.apache.spark.sql.connector.expressions.LiteralValue(v: Integer, _) =>
+        v.intValue()
+      case org.apache.spark.sql.connector.expressions.LiteralValue(v: java.lang.Long, _) =>
+        v.intValue()
+    }
 }

@@ -39,7 +39,7 @@ class ManifestFileIndex(
     spark: SparkSession,
     entries: Seq[ManifestEntry],
     pk: String,
-    partCol: Option[String])
+    part: Option[PartitionTransformDesc])
   extends PartitioningAwareFileIndex(
     spark.asInstanceOf[classic.SparkSession], Map.empty, None,
     FileStatusCache.getOrCreate(spark.asInstanceOf[classic.SparkSession])) {
@@ -74,36 +74,61 @@ class ManifestFileIndex(
     case And(l, r) => provablyNoMatch(e, l) || provablyNoMatch(e, r)
     case Or(l, r) => provablyNoMatch(e, l) && provablyNoMatch(e, r)
 
-    case EqualTo(a: Attribute, Literal(v, _)) => noEq(e, a.name, v)
-    case EqualTo(Literal(v, _), a: Attribute) => noEq(e, a.name, v)
+    case EqualTo(a: Attribute, Literal(v, dt)) => noEq(e, a.name, v, dt)
+    case EqualTo(Literal(v, dt), a: Attribute) => noEq(e, a.name, v, dt)
     case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.forall(v => noEq(e, a.name, v.asInstanceOf[Literal].value))
+      vs.forall { l0 => val l = l0.asInstanceOf[Literal]; noEq(e, a.name, l.value, l.dataType) }
 
     // Range pruning on ANY column with manifest [min,max] stats — the PK
     // always has them; other integral/timestamp columns carry theirs in
-    // `stats` (Iceberg column-stats parity).
-    case GreaterThan(a: Attribute, Literal(v, _)) =>
-      check(e, a.name, v)((mn, mx, l) => mx <= l)
-    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
-      check(e, a.name, v)((mn, mx, l) => mx < l)
-    case LessThan(a: Attribute, Literal(v, _)) =>
-      check(e, a.name, v)((mn, mx, l) => mn >= l)
-    case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
-      check(e, a.name, v)((mn, mx, l) => mn > l)
-    case GreaterThan(Literal(v, _), a: Attribute) =>
-      check(e, a.name, v)((mn, mx, l) => mn >= l)
-    case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
-      check(e, a.name, v)((mn, mx, l) => mn > l)
-    case LessThan(Literal(v, _), a: Attribute) =>
-      check(e, a.name, v)((mn, mx, l) => mx <= l)
-    case LessThanOrEqual(Literal(v, _), a: Attribute) =>
-      check(e, a.name, v)((mn, mx, l) => mx < l)
+    // `stats` (Iceberg column-stats parity). Temporal hidden partitioning
+    // (days/hours) adds a second prune dimension: a range predicate on the
+    // partition SOURCE column rules out files whose partition ordinal lies
+    // wholly outside the literal's (the file's partition value IS its
+    // day/hour, so the comparison is exact at that granularity).
+    case GreaterThan(a: Attribute, Literal(v, dt)) =>
+      check(e, a.name, v)((mn, mx, l) => mx <= l) ||
+        partRange(e, a.name, v, dt)((p, l) => p < l)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) =>
+      check(e, a.name, v)((mn, mx, l) => mx < l) ||
+        partRange(e, a.name, v, dt)((p, l) => p < l)
+    case LessThan(a: Attribute, Literal(v, dt)) =>
+      check(e, a.name, v)((mn, mx, l) => mn >= l) ||
+        partRange(e, a.name, v, dt)((p, l) => p > l)
+    case LessThanOrEqual(a: Attribute, Literal(v, dt)) =>
+      check(e, a.name, v)((mn, mx, l) => mn > l) ||
+        partRange(e, a.name, v, dt)((p, l) => p > l)
+    case GreaterThan(Literal(v, dt), a: Attribute) =>
+      check(e, a.name, v)((mn, mx, l) => mn >= l) ||
+        partRange(e, a.name, v, dt)((p, l) => p > l)
+    case GreaterThanOrEqual(Literal(v, dt), a: Attribute) =>
+      check(e, a.name, v)((mn, mx, l) => mn > l) ||
+        partRange(e, a.name, v, dt)((p, l) => p > l)
+    case LessThan(Literal(v, dt), a: Attribute) =>
+      check(e, a.name, v)((mn, mx, l) => mx <= l) ||
+        partRange(e, a.name, v, dt)((p, l) => p < l)
+    case LessThanOrEqual(Literal(v, dt), a: Attribute) =>
+      check(e, a.name, v)((mn, mx, l) => mx < l) ||
+        partRange(e, a.name, v, dt)((p, l) => p < l)
 
     case _ => false
   }
 
   private def isPk(name: String): Boolean = name.equalsIgnoreCase(pk)
-  private def isPart(name: String): Boolean = partCol.exists(_.equalsIgnoreCase(name))
+  private def isPart(name: String): Boolean = part.exists(_.col.equalsIgnoreCase(name))
+
+  /** Temporal-partition range pruning: true when the file's partition
+    * ordinal provably fails `impossible(partOrdinal, literalOrdinal)`.
+    * Unordered transforms (bucket) and unparseable values never prune. */
+  private def partRange(e: ManifestEntry, name: String, v: Any,
+      dt: org.apache.spark.sql.types.DataType)(
+      impossible: (Long, Long) => Boolean): Boolean =
+    part.exists { d =>
+      isPart(name) && v != null && (for {
+        l <- PartitionPrune.ordinalOf(d, v, dt)
+        p <- e.partition.flatMap(PartitionPrune.partitionOrdinal(d, _))
+      } yield impossible(p, l)).getOrElse(false)
+    }
 
   /** [min,max] for `name` when the manifest tracks it (PK always; others via
     * per-file stats). */
@@ -128,9 +153,21 @@ class ManifestFileIndex(
     case _ => None
   }
 
-  private def noEq(e: ManifestEntry, colName: String, v: Any): Boolean =
+  private def noEq(e: ManifestEntry, colName: String, v: Any,
+      dt: org.apache.spark.sql.types.DataType): Boolean =
     if (v == null) false
-    else if (isPart(colName)) e.partition.exists(_ != strOf(v))
+    else if (isPart(colName))
+      // Transform-aware: derive the partition value the literal's rows MUST
+      // live in (identity → itself; days/hours → epoch ordinal; bucket →
+      // xxhash64 mod n) and prune files in any other partition. An
+      // underivable literal yields None → no prune. A stats-based prune on
+      // the same column may still apply below, so fall through on false.
+      part.flatMap(d => PartitionPrune.valueOf(d, v, dt))
+        .exists(expected => e.partition.exists(_ != expected)) ||
+        ((rangeOf(e, colName), toLongOpt(v)) match {
+          case (Some((mn, mx)), Some(l)) => l < mn || l > mx
+          case _ => false
+        })
     else (rangeOf(e, colName), toLongOpt(v)) match {
       case (Some((mn, mx)), Some(l)) =>
         l < mn || l > mx ||
@@ -150,7 +187,8 @@ class ManifestFileIndex(
 object ManifestFileIndex {
   /** Build a ParquetScanBuilder whose file listing is manifest-pruned. */
   def scanBuilder(spark: SparkSession, schema: StructType, entries: Seq[ManifestEntry],
-      pk: String, partCol: Option[String], options: CaseInsensitiveStringMap): ScanBuilder =
+      pk: String, part: Option[PartitionTransformDesc],
+      options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetScanBuilder(spark.asInstanceOf[classic.SparkSession],
-      new ManifestFileIndex(spark, entries, pk, partCol), schema, schema, options)
+      new ManifestFileIndex(spark, entries, pk, part), schema, schema, options)
 }
