@@ -55,6 +55,37 @@ object ReplayQueries {
       "AS t(trans_id) ORDER BY trans_id"
   }
 
+  /** String-PK golden replay over the events fixture (see the Q entries):
+    * batch 0 = every event keyed 'k<event_id>'; batch 1 = value-doubling
+    * updates for event_id%5=0 ∧ %7≠0 plus deletes for event_id%7=0. */
+  private def stringPkEndState(s: SparkSession, d: String,
+      mode: graft.table.MergeMode): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_spk").toString + "/t"
+    val sch = StructType(Seq(StructField("id", StringType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val t = TransactionalTable.create(s, root, sch, "id", None)
+    val ev = Tables.events(s, d).select(col("event_id"),
+      concat(lit("k"), col("event_id").cast("string")).as("id"),
+      col("event_type"), col("value"))
+    val noDeletes = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", StringType))))
+    t.merge(ev.drop("event_id"), noDeletes, batchId = 0, mode)
+    t.merge(
+      ev.filter(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+        .withColumn("value", col("value") * 2).drop("event_id"),
+      ev.filter(col("event_id") % 7 === 0).select(col("id")),
+      batchId = 1, mode)
+    t.scan().select(col("id"), col("event_type"), col("value"))
+  }
+
+  private val stringPkOracle: String =
+    """SELECT 'k' || CAST(event_id AS VARCHAR) AS id, event_type,
+      |  CASE WHEN event_id % 5 = 0 AND event_id % 7 <> 0
+      |       THEN value * 2 ELSE value END AS value
+      |FROM events WHERE event_id % 7 <> 0""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("cdc_replay_end_state", (s, _) => endStateDf(s), Some(endStateOracle),
@@ -417,6 +448,24 @@ object ReplayQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
              |FROM events WHERE user_id = 7
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // STRING PRIMARY KEYS (the DMS envelope's `partition-key-type:
+    // primary-key` does not promise integral keys, reference
+    // `gen_fake_cdc_data.py:33`): a golden replay against a string-PK table —
+    // batch 0 upserts every event under key 'k<event_id>'; batch 1 updates
+    // (value doubled) keys with event_id%5=0 ∧ %7≠0 and deletes keys with
+    // event_id%7=0. Manifest pruning runs in the xxhash64 key domain; the
+    // oracle recomputes the end state relationally.
+    Q("cdc_string_pk_end_state",
+      (s, d) => stringPkEndState(s, d, graft.table.MergeMode.CopyOnWrite),
+      Some(stringPkOracle)),
+
+    // Same replay under merge-on-read: batch 1 lands as data + an equality-
+    // delete file keyed by RAW string (exact masking, no hash in the join);
+    // the scan-side anti-join must produce the identical end state.
+    Q("cdc_string_pk_mor_end_state",
+      (s, d) => stringPkEndState(s, d, graft.table.MergeMode.MergeOnRead),
+      Some(stringPkOracle)),
 
     // SQL MERGE INTO (the reference's verbatim hot-path statements,
     // `spark_sql_merge_into_iceberg.py:118-122,133-136`) applied through the

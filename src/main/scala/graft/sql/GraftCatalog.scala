@@ -132,7 +132,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
       sch, entries, spark, root, version, t.pk, t.partitionSpec.map(_.desc),
       loadedVersion = snap.version, morPending = snap.deletes.nonEmpty,
-      rowCount = snap.rowCount, renamesPending = renPending)
+      rowCount = snap.rowCount, renamesPending = renPending,
+      pkHashed = t.pkIsString)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -262,7 +263,10 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     /** true when the resolved schema contains RENAMEd columns whose old-name
       * files may still be live; such relations are rewritten by
       * GraftMorScanRule into the engine's coalescing scan */
-    val renamesPending: Boolean = false)
+    val renamesPending: Boolean = false,
+    /** true when the table's PK is a string: manifest pkMin/pkMax/bloom live
+      * in the xxhash64 key domain (see TransactionalTable.pkIsString) */
+    val pkHashed: Boolean = false)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = tableName
@@ -280,6 +284,6 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
           "columns; register spark.sql.extensions=graft.sql.GraftExtensions " +
           "(engine-aware SQL reads) or run compact()")
     org.apache.spark.sql.graftshim.ManifestFileIndex.scanBuilder(
-      spark, tableSchema, entries, pk, partition, options)
+      spark, tableSchema, entries, pk, partition, options, pkHashed)
   }
 }

@@ -120,17 +120,43 @@ final class TransactionalTable private (
 
   import TransactionalTable._
 
-  // Fail fast at table-handle construction: manifest pruning and the MOR
-  // delete join key on `cast(pk as long)`; a non-integral PK would yield null
-  // stats that silently disable file pruning (lost updates), not an error.
+  // Fail fast at table-handle construction: a PK type outside the supported
+  // set would yield null stats that silently disable file pruning (lost
+  // updates), not an error.
   require(schema.fieldNames.contains(pk), s"pk column '$pk' not in table schema")
   schema(pk).dataType match {
     case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType => ()
     case dt => throw new IllegalArgumentException(
-      s"pk column '$pk' must be integral (byte/short/int/long), got ${dt.simpleString}: " +
-        "per-file pkMin/pkMax stats and equality-delete keys are 64-bit")
+      s"pk column '$pk' must be integral (byte/short/int/long) or string, " +
+        s"got ${dt.simpleString}")
   }
+
+  /**
+   * String primary keys (the DMS envelope's `partition-key-type: primary-key`
+   * does not promise integral keys — reference `gen_fake_cdc_data.py:33`):
+   * the manifest's 64-bit machinery (pkMin/pkMax ranges, blooms, sorted-key
+   * pruning) operates on a KEY DOMAIN — the raw value cast to long for
+   * integral PKs, `xxhash64(pk)` (seed 42, same Catalyst hash the SQL-side
+   * ManifestFileIndex and bucket transform use) for string PKs. Hash-domain
+   * pruning is conservative under collisions (a colliding file is read, never
+   * wrongly skipped); everything row-correct — merge joins, equality-delete
+   * masking, guard resolution — uses the raw column, so collisions can never
+   * lose or resurrect a row.
+   */
+  val pkIsString: Boolean =
+    schema(pk).dataType == org.apache.spark.sql.types.StringType
+
+  /** Key-domain mapping of a PK column (see [[pkIsString]]). */
+  private def pkKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (pkIsString) xxhash64(c) else c.cast("long")
+
+  /** PK column as stored in equality-delete files: raw for string PKs (the
+    * scan-side anti-join must be exact, not hash-domain), 64-bit for integral
+    * (unchanged layout). */
+  private def pkDeleteKey: org.apache.spark.sql.Column =
+    if (pkIsString) col(pk) else col(pk).cast("long")
   /** Source column of the partition transform (the column users filter on). */
   def partitionCol: Option[String] = partitionSpec.map(_.col)
 
@@ -604,7 +630,7 @@ final class TransactionalTable private (
   private def guardWinners(snap: Snapshot, up: DataFrame, dels: DataFrame,
       ts: String): (DataFrame, DataFrame) = {
     val keyDf = up.select(col(pk)).unionByName(dels.select(col(pk))).distinct()
-    val (affected, oversized) = affectedFiles(snap, keyDf.select(col(pk).cast("long")))
+    val (affected, oversized) = affectedFiles(snap, keyDf.select(pkKey(col(pk))))
     val curRaw = scanWithDeletes(affected, snap.deletes)
       .select(col(pk).as("_cpk"), col(ts).as("_cts"))
     // Post-merge invariant: ≤1 live row per key, so no dedup needed here.
@@ -651,8 +677,8 @@ final class TransactionalTable private (
     // Touched-key set. A CDC micro-batch is bounded by the trigger interval and
     // post-W1 has ≤1 row/key, so collecting keys is driver-safe (cap guarded);
     // past the cap we degrade to min/max-range pruning only.
-    val keyDf = up.select(col(pk).cast("long"))
-      .unionByName(dels.select(col(pk).cast("long")))
+    val keyDf = up.select(pkKey(col(pk)))
+      .unionByName(dels.select(pkKey(col(pk))))
       .distinct()
     val (affected, oversized) = affectedFiles(snap, keyDf)
 
@@ -681,8 +707,8 @@ final class TransactionalTable private (
     val newVersion = snap.version + 1
     // every batch key masks older images: upserted keys (superseded) and
     // deleted keys (removed)
-    val keyDf = up.select(col(pk).cast("long"))
-      .unionByName(dels.select(col(pk).cast("long"))).distinct()
+    val keyDf = up.select(pkDeleteKey)
+      .unionByName(dels.select(pkDeleteKey)).distinct()
     val delFile = writeDeleteFile(keyDf, commitDir(newVersion, "_deletes"), newVersion)
     val newFiles = writeDataFiles(up, commitDir(newVersion), seq = newVersion)
     commit(Snapshot(newVersion, batchId, snap.files ++ newFiles,
@@ -699,15 +725,15 @@ final class TransactionalTable private (
   private def mergeMorPositional(snap: Snapshot, up: DataFrame, dels: DataFrame,
       batchId: Long): Unit = {
     val newVersion = snap.version + 1
-    val keyDf = up.select(col(pk).cast("long").as("_mk"))
-      .unionByName(dels.select(col(pk).cast("long").as("_mk"))).distinct()
-    val (affected, oversized) = affectedFiles(snap, keyDf)
+    val keyDf = up.select(pkDeleteKey.as("_mk"))
+      .unionByName(dels.select(pkDeleteKey.as("_mk"))).distinct()
+    val (affected, oversized) = affectedFiles(snap, keyDf.select(pkKey(col("_mk"))))
     val delFile =
       if (affected.isEmpty) None
       else {
         val keysSide = if (oversized) keyDf else broadcast(keyDf)
         val positions = spark.read.schema(schema).parquet(affected.map(_.path): _*)
-          .select(col(pk).cast("long").as("_dk"),
+          .select(pkDeleteKey.as("_dk"),
             col("_metadata.file_path").as("_dfile"),
             col("_metadata.row_index").as("_dpos"))
           .join(keysSide, col("_dk") === col("_mk"))
@@ -864,8 +890,27 @@ final class TransactionalTable private (
       DataFile(p.toString, partitionFromPath(outDir, p), mn, mx, rows, Files.size(p),
         stats = colStats)
     }.seq.toSeq.filter(_.rows > 0)
-    val blooms = buildBlooms(statted.filter(_.rows <= BloomMaxRows).map(_.path))
-    statted.map(f => f.copy(bloom = blooms.get(f.path)))
+    // String PKs: parquet footer min/max are binary, not 64-bit — derive each
+    // fresh file's [pkMin, pkMax] in the xxhash64 key domain instead, with one
+    // columnar read of just the new files' PK column (same cost class as the
+    // bloom pass; conservative pruning under hash collisions, see pkIsString).
+    val ranged =
+      if (!pkIsString || statted.isEmpty) statted
+      else {
+        val pkField = StructType(Seq(schema(pk)))
+        val ranges = spark.read.schema(pkField).parquet(statted.map(_.path): _*)
+          .select(col("_metadata.file_path").as("f"), pkKey(col(pk)).as("k"))
+          .groupBy("f").agg(min("k").as("mn"), max("k").as("mx"))
+          .collect().map { r =>
+            val plain = try new java.net.URI(r.getString(0)).getPath
+              catch { case _: Exception => r.getString(0) }
+            plain -> ((r.getLong(1), r.getLong(2)))
+          }.toMap
+        statted.map(f => ranges.get(f.path)
+          .map { case (mn, mx) => f.copy(pkMin = mn, pkMax = mx) }.getOrElse(f))
+      }
+    val blooms = buildBlooms(ranged.filter(_.rows <= BloomMaxRows).map(_.path))
+    ranged.map(f => f.copy(bloom = blooms.get(f.path)))
   }
 
   /**
@@ -883,7 +928,7 @@ final class TransactionalTable private (
       val pkName = pk
       val pkField = StructType(Seq(schema(pk)))
       val partials = spark.read.schema(pkField).parquet(paths: _*)
-        .select(col("_metadata.file_path").as("f"), col(pkName).cast("long").as("k"))
+        .select(col("_metadata.file_path").as("f"), pkKey(col(pkName)).as("k"))
         .rdd.mapPartitions { it =>
           val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
           it.foreach { r =>

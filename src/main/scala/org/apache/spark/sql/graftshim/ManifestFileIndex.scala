@@ -39,7 +39,12 @@ class ManifestFileIndex(
     spark: SparkSession,
     entries: Seq[ManifestEntry],
     pk: String,
-    part: Option[PartitionTransformDesc])
+    part: Option[PartitionTransformDesc],
+    /** True when the table's PK is a string: manifest pkMin/pkMax/bloom live
+      * in the xxhash64 key domain (seed 42, matching the write side), so
+      * EQUALITY literals prune via their hash and range predicates on the PK
+      * never prune (a hash domain has no order). */
+    pkHashed: Boolean = false)
   extends PartitioningAwareFileIndex(
     spark.asInstanceOf[classic.SparkSession], Map.empty, None,
     FileStatusCache.getOrCreate(spark.asInstanceOf[classic.SparkSession])) {
@@ -137,10 +142,12 @@ class ManifestFileIndex(
     else e.stats.get(name.toLowerCase(java.util.Locale.ROOT))
 
   /** Applies `impossible(min, max, literal)` when both a tracked range and a
-    * numeric literal exist; anything else → not provably unmatchable. */
+    * numeric literal exist; anything else → not provably unmatchable. A
+    * hashed PK's range is ORDERLESS — never range-prune on it. */
   private def check(e: ManifestEntry, name: String, v: Any)(
       impossible: (Long, Long, Long) => Boolean): Boolean =
-    (rangeOf(e, name), toLongOpt(v)) match {
+    if (pkHashed && isPk(name)) false
+    else (rangeOf(e, name), toLongOpt(v)) match {
       case (Some((mn, mx)), Some(l)) => impossible(mn, mx, l)
       case _ => false
     }
@@ -168,7 +175,7 @@ class ManifestFileIndex(
           case (Some((mn, mx)), Some(l)) => l < mn || l > mx
           case _ => false
         })
-    else (rangeOf(e, colName), toLongOpt(v)) match {
+    else (rangeOf(e, colName), keyOf(colName, v, dt)) match {
       case (Some((mn, mx)), Some(l)) =>
         l < mn || l > mx ||
           // PK point lookup: the bloom can rule the file out even when its
@@ -176,6 +183,20 @@ class ManifestFileIndex(
           // the same bitset merge-time pruning uses, now on the SQL path.
           (isPk(colName) && e.bloomBits.exists(!graft.util.Bloom.contains(_, l)))
       case _ => false
+    }
+
+  /** Equality-literal key in the column's manifest domain: the numeric value
+    * itself, or — for a hashed string PK — the literal's xxhash64 (exactly
+    * the hash the write side stamped into pkMin/pkMax and the bloom, so an
+    * equality prune is sound; conservative under collisions). */
+  private def keyOf(colName: String, v: Any, dt: org.apache.spark.sql.types.DataType)
+      : Option[Long] =
+    toLongOpt(v).orElse {
+      if (pkHashed && isPk(colName)) v match {
+        case u: UTF8String =>
+          Some(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(u, dt, 42L))
+        case _ => None
+      } else None
     }
 
   private def strOf(v: Any): String = v match {
@@ -188,7 +209,7 @@ object ManifestFileIndex {
   /** Build a ParquetScanBuilder whose file listing is manifest-pruned. */
   def scanBuilder(spark: SparkSession, schema: StructType, entries: Seq[ManifestEntry],
       pk: String, part: Option[PartitionTransformDesc],
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap, pkHashed: Boolean = false): ScanBuilder =
     ParquetScanBuilder(spark.asInstanceOf[classic.SparkSession],
-      new ManifestFileIndex(spark, entries, pk, part), schema, schema, options)
+      new ManifestFileIndex(spark, entries, pk, part, pkHashed), schema, schema, options)
 }
