@@ -70,6 +70,14 @@ object CdcFixtures {
     p.toString
   }
 
+  /** Expected state after scenario 1 alone (the 10 inserts verbatim), same
+   *  tuple shape as [[expectedEndState]] — the "before" side of the golden
+   *  incremental diff. */
+  val expectedStateV1: Seq[(Long, String, String, String, Int, String, String)] =
+    insertOnly.map { case (id, cust, ev, sku, amt, dev, dt, _, _, _, _) =>
+      (id, cust, ev, sku, amt, dev, dt.replace("T", " ").stripSuffix("Z"))
+    }
+
   /** Expected final state after replaying scenario 1 then scenario 2:
    *  (trans_id, customer_id, event, sku, amount, device, trans_datetime-string). */
   val expectedEndState: Seq[(Long, String, String, String, Int, String, String)] = Seq(

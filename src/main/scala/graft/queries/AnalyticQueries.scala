@@ -385,6 +385,164 @@ object AnalyticQueries {
         |                AND CAST(o.o_totalprice AS DECIMAL(18,2)) > 300000)
         |ORDER BY c_custkey""".stripMargin),
 
+    // TPC-H Q4-shaped priority checking (the fixture has no commit/receipt
+    // dates; "late" = shipped >30 days after the order date): order counts by
+    // priority where a correlated EXISTS finds a late line — the classic
+    // semi-join-then-aggregate shape.
+    sqlQ("x7_q4_priority_check",
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND CAST(CAST(l.l_shipdate AS DATE)
+        |                         - CAST(o.o_orderdate AS DATE) AS BIGINT) > 30)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin),
+
+    // TPC-H Q9-shaped profit by nation/year (no partsupp in the fixture:
+    // retail price plays the supply-cost role — same 5-way star + two-term
+    // DECIMAL aggregate). The LIKE filter on part name reaches the part scan.
+    sqlQ("x7_q9_nation_margin",
+      """SELECT n.n_name AS nation,
+        |  CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        |           - CAST(p.p_retailprice AS DECIMAL(18,2))
+        |             * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS margin
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%a%'
+        |GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin),
+
+    // TPC-H Q11-shaped important parts (partsupp value → lineitem revenue):
+    // per-part revenue vs a global-total scalar subquery over the SAME CTE —
+    // the aggregate is computed once and reused exactly in both engines; the
+    // fraction compare happens in DOUBLE only after exact DECIMAL sums.
+    sqlQ("x7_q11_important_parts",
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(val AS DOUBLE) AS val
+        |FROM pv
+        |WHERE CAST(val AS DOUBLE) > CAST((SELECT SUM(val) FROM pv) AS DOUBLE) / 500
+        |ORDER BY val DESC, l_partkey""".stripMargin),
+
+    // TPC-H Q13-shaped customer order-count distribution: LEFT JOIN with an
+    // extra ON-clause predicate (kept on the join, NOT a WHERE — order-less
+    // customers must survive), then a second-level aggregate over the first.
+    sqlQ("x7_q13_order_distribution",
+      """WITH c_orders AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // TPC-H Q16-shaped supplier counts by part attributes (partsupp →
+    // lineitem pairs): COUNT(DISTINCT) per group behind a NOT IN subquery
+    // (planned as a null-aware anti join) and an IN-list pushed to the part
+    // scan.
+    sqlQ("x7_q16_supplier_counts",
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#3'
+        |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin),
+
+    // TPC-H Q2-shaped min-cost supplier (no partsupp: a supplier's min line
+    // price plays the supply-cost role): the signature correlated-MIN scalar
+    // subquery over the same derived table, region-filtered on the supplier
+    // side. Ties (several suppliers at the part's min) survive, identically
+    // in both engines.
+    sqlQ("x7_q2_min_cost_supplier",
+      """WITH costs AS (
+        |  SELECT l.l_partkey, l.l_suppkey, n.n_name,
+        |    MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS min_price
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE r.r_name = 'ASIA'
+        |  GROUP BY l.l_partkey, l.l_suppkey, n.n_name)
+        |SELECT c.l_partkey, c.l_suppkey, c.n_name, CAST(c.min_price AS DOUBLE) AS price
+        |FROM costs c
+        |WHERE c.l_partkey % 50 = 0
+        |  AND c.min_price = (SELECT MIN(c2.min_price) FROM costs c2
+        |                     WHERE c2.l_partkey = c.l_partkey)
+        |ORDER BY c.l_partkey, c.l_suppkey""".stripMargin),
+
+    // TPC-H Q20-shaped excess suppliers: nested IN over a grouped HAVING
+    // (suppliers who moved >50 units of any matching part) — the
+    // aggregate-inside-semi-join shape.
+    sqlQ("x7_q20_excess_suppliers",
+      """SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_name LIKE '%a%'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50)
+        |ORDER BY s.s_suppkey""".stripMargin),
+
+    // TPC-H Q21-shaped waiting suppliers (shipdate replaces the fixture's
+    // missing commit/receipt dates; "late" = shipped >60 days after order):
+    // the only-late-supplier-in-a-multi-supplier-order double-correlation —
+    // EXISTS plus NOT EXISTS self-joins against the same fact table.
+    sqlQ("x7_q21_waiting_suppliers",
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND CAST(CAST(l1.l_shipdate AS DATE)
+        |           - CAST(o.o_orderdate AS DATE) AS BIGINT) > 60
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND CAST(CAST(l3.l_shipdate AS DATE)
+        |                             - CAST(o.o_orderdate AS DATE) AS BIGINT) > 60)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin),
+
+    // TPC-H Q22-shaped global sales opportunity (no phone column: custkey%7
+    // plays the country code; "no orders" → "no recent orders", since at this
+    // SF every customer has ordered at least once and a vacuous anti-join
+    // would prove nothing): positive-balance customers above the global
+    // average balance with no order in the last window — derived-code
+    // grouping + scalar subquery + correlated anti join in one statement.
+    sqlQ("x7_q22_sales_opportunity",
+      """WITH potential AS (
+        |  SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |  WHERE c_acctbal > 0 AND c_custkey % 7 IN (1, 2, 3, 4, 5))
+        |SELECT cntrycode, COUNT(*) AS numcust, CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM potential p
+        |WHERE CAST(bal AS DOUBLE) >
+        |    (SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) FROM potential)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = p.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin),
+
     // Gap-based sessionization over events (DataFrame impl in EventOps; the
     // oracle states the same two-window definition in DuckDB SQL).
     Q("x7_sessionize",

@@ -55,6 +55,45 @@ object ReplayQueries {
       "AS t(trans_id) ORDER BY trans_id"
   }
 
+  /** Events-table replay for the changelog queries: batch 0 upserts every
+    * event keyed by event_id; batch 1 doubles `value` for event_id%5=0 ∧ %7≠0
+    * and deletes event_id%7=0 — then [[TransactionalTable.changes]] between
+    * the two commits. Long-PK twin of [[stringPkEndState]]'s scenario so the
+    * incremental diff is fully relational (sf-scalable oracle). */
+  private def eventsChangelog(s: SparkSession, d: String,
+      mode: graft.table.MergeMode): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_chg").toString + "/t"
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val t = TransactionalTable.create(s, root, sch, "event_id", None)
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val noDeletes = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType))))
+    t.merge(ev, noDeletes, batchId = 0, mode)
+    val v1 = t.currentVersion
+    t.merge(
+      ev.filter(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+        .withColumn("value", col("value") * 2),
+      ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+      batchId = 1, mode)
+    t.changes(v1, t.currentVersion)
+      .orderBy("event_id", "_change_type")
+  }
+
+  private val eventsChangelogOracle: String =
+    """SELECT * FROM (
+      |  SELECT event_id, event_type, value, 'delete' AS _change_type
+      |  FROM events WHERE event_id % 5 = 0 AND event_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT event_id, event_type, value * 2, 'insert'
+      |  FROM events WHERE event_id % 5 = 0 AND event_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT event_id, event_type, value, 'delete'
+      |  FROM events WHERE event_id % 7 = 0
+      |) t ORDER BY event_id, _change_type""".stripMargin
+
   /** String-PK golden replay over the events fixture (see the Q entries):
     * batch 0 = every event keyed 'k<event_id>'; batch 1 = value-doubling
     * updates for event_id%5=0 ∧ %7≠0 plus deletes for event_id%7=0. */
@@ -216,6 +255,59 @@ object ReplayQueries {
            |) AS t(trans_id, event, amount, device, live_has_device)
            |ORDER BY trans_id""".stripMargin
       }),
+
+    // INCREMENTAL CHANGELOG READ (Iceberg incremental scan /
+    // create_changelog_view parity — the "CDC out" counterpart of the MERGE
+    // sink): the golden replay's diff from the post-scenario1 snapshot to the
+    // end state. Updates surface as delete+insert pairs under the same PK;
+    // untouched keys (27, 28) must NOT appear even though CoW rewrote their
+    // files (carried-over rows cancel). Oracle: the hand-derived row diff of
+    // the two golden states.
+    Q("cdc_incremental_read",
+      (s, _) => {
+        val t = replay(s) // v1 = scenario1, v2 = scenario2
+        t.changes(1, t.currentVersion)
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"),
+            col("_change_type"))
+          .orderBy("trans_id", "_change_type")
+      },
+      Some {
+        val endByKey = CdcFixtures.expectedEndState.map(r => r._1 -> r).toMap
+        val v1ByKey = CdcFixtures.expectedStateV1.map(r => r._1 -> r).toMap
+        val dels = CdcFixtures.expectedStateV1
+          .filter(r => !endByKey.get(r._1).contains(r)).map(r => (r, "delete"))
+        val ins = CdcFixtures.expectedEndState
+          .filter(r => !v1ByKey.get(r._1).contains(r)).map(r => (r, "insert"))
+        val rows = (dels ++ ins)
+          .sortBy { case ((id, _, _, _, _, _, _), ct) => (id, ct) }
+          .map { case ((id, cust, ev, sku, amt, dev, dt), ct) =>
+            s"(CAST($id AS BIGINT), '$cust', '$ev', '$sku', $amt, '$dev', '$dt', '$ct')"
+          }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime,
+           |       _change_type)
+           |ORDER BY trans_id, _change_type""".stripMargin
+      }),
+
+    // Changelog at fixture scale (sf-scalable, relational oracle): batch 0
+    // loads every event, batch 1 doubles value for event_id%5=0 ∧ %7≠0 and
+    // deletes event_id%7=0; changes(v1, v2) must be exactly the update pairs
+    // plus the deletes — O(changed files): carried files outside the churn
+    // are never read.
+    Q("cdc_changes_events",
+      (s, d) => eventsChangelog(s, d, graft.table.MergeMode.CopyOnWrite),
+      Some(eventsChangelogOracle)),
+
+    // Same diff computed against a merge-on-read history: batch 1 landed as
+    // new data + an equality-delete file, so the before/after sides differ
+    // only via delete masking over PK-range-pruned carried files. The net
+    // changelog must be identical to the CoW run's.
+    Q("cdc_changes_events_mor",
+      (s, d) => eventsChangelog(s, d, graft.table.MergeMode.MergeOnRead),
+      Some(eventsChangelogOracle)),
 
     // Merge-on-read replay: same golden scenarios applied as Iceberg-v2-style
     // data + equality-delete files (no rewrite at merge time; the delete

@@ -383,6 +383,59 @@ final class TransactionalTable private (
     if (s.deletes.isEmpty) s.rowCount else scan().count()
   }
 
+  /**
+   * Incremental changelog read (Iceberg incremental scan /
+   * `create_changelog_view` parity — the "CDC out" counterpart of the MERGE
+   * sink the reference builds on Iceberg): the NET row-level diff from
+   * `fromVersion` to `toVersion` (both committed, retained snapshots), as the
+   * to-version schema plus a `_change_type` column ('insert' | 'delete'). An
+   * update surfaces as the delete of the old row image plus the insert of the
+   * new one under the same PK; a pure-compaction interval (identical logical
+   * rows) diffs to zero rows; `changes(0, v)` is the full state of `v` as
+   * inserts.
+   *
+   * Cost is O(changed files), never O(table): only files added or removed
+   * between the two snapshots are read, plus carried files that a NEW delete
+   * file might mask rows of — pruned by PK-range overlap for equality deletes
+   * and by the delete files' own recorded target paths for positional deletes
+   * (delete files are small, bounded by merge traffic between compactions).
+   * Rows present identically on both sides — CoW carry-over within a
+   * rewritten slice — cancel via EXCEPT ALL over the changed slice only, so a
+   * downstream consumer pays for the churn, not the table.
+   */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion must be <= toVersion $toVersion")
+    val fromSnap = snapshotAt(fromVersion)
+    val toSnap = snapshotAt(toVersion)
+    val sch = schemaAt(toVersion) // before-side files null-fill later-added columns
+    val fromPaths = fromSnap.files.map(_.path).toSet
+    val toPaths = toSnap.files.map(_.path).toSet
+    val added = toSnap.files.filterNot(f => fromPaths(f.path))
+    val removed = fromSnap.files.filterNot(f => toPaths(f.path))
+    val oldDeletePaths = fromSnap.deletes.map(_.path).toSet
+    val newDeletes = toSnap.deletes.filterNot(d => oldDeletePaths(d.path))
+    val carried = toSnap.files.filter(f => fromPaths(f.path))
+    val (newPos, newEq) = newDeletes.partition(_.kind == DeleteFile.Position)
+    // Positional deletes name their victim files outright — read the tiny
+    // delete files once and prune carried files to exactly those targets
+    // (their manifest pk range is the never-prunable full span, see
+    // writeDeleteFile, so range overlap would keep every carried file).
+    val posTargets: Set[String] =
+      if (newPos.isEmpty) Set.empty
+      else spark.read.parquet(newPos.map(_.path): _*)
+        .select(col("_dfile")).distinct().collect()
+        .map(r => stripScheme(r.getString(0))).toSet
+    val affectedCarried = carried.filter { f =>
+      newEq.exists(d => d.pkMin <= f.pkMax && d.pkMax >= f.pkMin) ||
+        posTargets.contains(stripScheme(f.path))
+    }
+    val before = scanWithDeletes(removed ++ affectedCarried, fromSnap.deletes, sch)
+    val after = scanWithDeletes(added ++ affectedCarried, toSnap.deletes, sch)
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   // --- Named snapshot refs (Iceberg tags): human-readable pointers to
   // versions, resolvable via `VERSION AS OF 'name'`, protected from expiry ---
   private def refsPath = Paths.get(root, "_refs.json")
