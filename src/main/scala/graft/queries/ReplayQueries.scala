@@ -94,6 +94,38 @@ object ReplayQueries {
       |  FROM events WHERE event_id % 7 = 0
       |) t ORDER BY event_id, _change_type""".stripMargin
 
+  /** Composite-PK replay over the events fixture: the table is keyed
+    * (event_type, event_id) — batch 0 loads every event; batch 1 doubles
+    * `value` for event_id%5=0 ∧ %7≠0 and deletes event_id%7=0, both keyed on
+    * the full pair. Merges join on both columns; manifest pruning runs in
+    * the xxhash64(event_type, event_id) key domain. */
+  private def compositePkEndState(s: SparkSession, d: String,
+      mode: graft.table.MergeMode): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_cpk").toString + "/t"
+    val sch = StructType(Seq(StructField("event_type", StringType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val t = TransactionalTable.create(s, root, sch, "event_type,event_id", None)
+    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"), col("value"))
+    val noDeletes = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_type", StringType),
+        StructField("event_id", LongType))))
+    t.merge(ev, noDeletes, batchId = 0, mode)
+    t.merge(
+      ev.filter(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+        .withColumn("value", col("value") * 2),
+      ev.filter(col("event_id") % 7 === 0).select(col("event_type"), col("event_id")),
+      batchId = 1, mode)
+    t.scan().select(col("event_type"), col("event_id"), col("value"))
+  }
+
+  private val compositePkOracle: String =
+    """SELECT event_type, event_id,
+      |  CASE WHEN event_id % 5 = 0 AND event_id % 7 <> 0
+      |       THEN value * 2 ELSE value END AS value
+      |FROM events WHERE event_id % 7 <> 0""".stripMargin
+
   /** String-PK golden replay over the events fixture (see the Q entries):
     * batch 0 = every event keyed 'k<event_id>'; batch 1 = value-doubling
     * updates for event_id%5=0 ∧ %7≠0 plus deletes for event_id%7=0. */
@@ -541,6 +573,47 @@ object ReplayQueries {
              |FROM events WHERE user_id = 7
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // PARTITION EVOLUTION (Iceberg spec-evolution parity): the first half of
+    // the events fixture lands under identity(event_type); the spec is then
+    // evolved to days(ts) through SQL and the second half lands under it.
+    // The ts-range aggregate must read era-0 files by value (their partition
+    // strings are event types, NOT day ordinals — mis-applying the current
+    // transform to them would wrongly prune everything) and prune era-1
+    // files by day. Oracle: the same aggregate over the raw events table.
+    Q("cdc_partition_evolution",
+      (s, d) => {
+        val cat = s"graft_pe${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_pe").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        s.sql(s"""CREATE TABLE $cat.db.ev
+                  (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                   event_type STRING, value DOUBLE)
+                  PARTITIONED BY (event_type) TBLPROPERTIES ('pk'='event_id')""")
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("ev_src_pe")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src_pe WHERE event_id % 2 = 0")
+        s.sql(s"ALTER TABLE $cat.db.ev SET TBLPROPERTIES ('partition'='days(ts)')")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src_pe WHERE event_id % 2 = 1")
+        val t = TransactionalTable.open(s, s"$warehouse/db/ev")
+        assert(t.snapshot.files.map(_.specId).distinct.size == 2,
+          "test premise: files from both partition-spec eras must exist")
+        s.sql(s"""SELECT event_type, COUNT(*) AS n,
+                    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+                  FROM $cat.db.ev
+                  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                    AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+                  GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-20 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // STRING PRIMARY KEYS (the DMS envelope's `partition-key-type:
     // primary-key` does not promise integral keys, reference
     // `gen_fake_cdc_data.py:33`): a golden replay against a string-PK table —
@@ -558,6 +631,20 @@ object ReplayQueries {
     Q("cdc_string_pk_mor_end_state",
       (s, d) => stringPkEndState(s, d, graft.table.MergeMode.MergeOnRead),
       Some(stringPkOracle)),
+
+    // COMPOSITE PRIMARY KEYS (pk = "event_type,event_id"): the same scenario
+    // keyed on a (string, long) pair — merges join on both columns, manifest
+    // ranges/blooms run in the xxhash64-of-both key domain. Oracle recomputes
+    // the end state relationally.
+    Q("cdc_composite_pk_end_state",
+      (s, d) => compositePkEndState(s, d, graft.table.MergeMode.CopyOnWrite),
+      Some(compositePkOracle)),
+
+    // Same under merge-on-read: the equality-delete file carries BOTH raw key
+    // columns and the scan-side anti-join matches on the full pair.
+    Q("cdc_composite_pk_mor_end_state",
+      (s, d) => compositePkEndState(s, d, graft.table.MergeMode.MergeOnRead),
+      Some(compositePkOracle)),
 
     // SQL MERGE INTO (the reference's verbatim hot-path statements,
     // `spark_sql_merge_into_iceberg.py:118-122,133-136`) applied through the

@@ -112,9 +112,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val t = TransactionalTable.open(spark, root)
     val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+    // Partition evolution: each file prunes under the transform of the spec
+    // it was WRITTEN with (its manifest specId), never the table's current one.
     val entries = snap.files.map(f =>
       org.apache.spark.sql.graftshim.ManifestEntry(f.path, f.partition, f.pkMin, f.pkMax,
-        f.bytes, f.stats, f.bloom))
+        f.bytes, f.stats, f.bloom, t.specOf(f.specId).map(_.desc)))
     // Pending merge-on-read deletes: the relation is flagged and rewritten by
     // GraftMorScanRule into the delete-aware anti-join plan — SQL reads work
     // whatever the table's write mode (the reference's product promise:
@@ -130,7 +132,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val renPending = t.renames.nonEmpty && sch.fieldNames
       .exists(f => t.renames.contains(f.toLowerCase(java.util.Locale.ROOT)))
     new GraftSqlTable(s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      sch, entries, spark, root, version, t.pk, t.partitionSpec.map(_.desc),
+      sch, entries, spark, root, version, t.pk,
       loadedVersion = snap.version, morPending = snap.deletes.nonEmpty,
       rowCount = snap.rowCount, renamesPending = renPending,
       pkHashed = t.pkIsString)
@@ -189,11 +191,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case rn: TableChange.RenameColumn =>
         throw new UnsupportedOperationException(
           s"nested RENAME COLUMN not supported: ${rn.fieldNames().mkString(".")}")
+      // Partition evolution through SQL (Spark's parser has no ADD PARTITION
+      // FIELD form for third-party catalogs, so the property route plays
+      // Iceberg's role): ALTER TABLE t SET TBLPROPERTIES
+      // ('partition'='days(ts)' | 'bucket(8, col)' | 'identity(col)' | 'none')
+      case sp: TableChange.SetProperty if sp.property() == "partition" =>
+        t = t.evolvePartitioning(parseTransform(sp.value()))
       case other =>
         throw new UnsupportedOperationException(
-          s"unsupported ALTER TABLE change: $other (ADD/DROP/RENAME COLUMN only)")
+          s"unsupported ALTER TABLE change: $other " +
+            "(ADD/DROP/RENAME COLUMN or SET TBLPROPERTIES('partition'=...) only)")
     }
     loadTable(ident)
+  }
+
+  /** Parse a partition-transform property value: `days(ts)`, `hours(ts)`,
+    * `bucket(8, col)`, `identity(col)` (or a bare column name), `none`. */
+  private def parseTransform(value: String): Option[graft.table.PartitionTransform] = {
+    val v = value.trim
+    if (v.equalsIgnoreCase("none")) None
+    else {
+      val fn = """(\w+)\s*\(\s*([^)]*)\s*\)""".r
+      Some(v match {
+        case fn("days", c) => graft.table.PartitionTransform.Days(c.trim)
+        case fn("hours", c) => graft.table.PartitionTransform.Hours(c.trim)
+        case fn("identity", c) => graft.table.PartitionTransform.Identity(c.trim)
+        case fn("bucket", args) => args.split(",").map(_.trim) match {
+          case Array(n, c) if n.forall(_.isDigit) =>
+            graft.table.PartitionTransform.Bucket(n.toInt, c)
+          case _ => throw new IllegalArgumentException(
+            s"bucket transform needs (count, column): '$v'")
+        }
+        case fn(other, _) => throw new UnsupportedOperationException(
+          s"unsupported partition transform '$other': identity/days/hours/bucket/none only")
+        case bare if bare.nonEmpty && !bare.contains("(") =>
+          graft.table.PartitionTransform.Identity(bare)
+        case _ => throw new IllegalArgumentException(s"cannot parse partition spec '$v'")
+      })
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -249,7 +284,6 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
       * even for MERGE */
     val pinnedVersion: Option[Long],
     pk: String,
-    partition: Option[org.apache.spark.sql.graftshim.PartitionTransformDesc],
     /** snapshot version this relation was resolved at (= pinnedVersion when
       * time-traveling, else the current version) — pins the MOR rewrite to
       * the same snapshot the file list came from */
@@ -284,6 +318,6 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
           "columns; register spark.sql.extensions=graft.sql.GraftExtensions " +
           "(engine-aware SQL reads) or run compact()")
     org.apache.spark.sql.graftshim.ManifestFileIndex.scanBuilder(
-      spark, tableSchema, entries, pk, partition, options, pkHashed)
+      spark, tableSchema, entries, pk, options, pkHashed)
   }
 }

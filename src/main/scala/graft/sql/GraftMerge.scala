@@ -210,11 +210,14 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (g.pinnedVersion.nonEmpty)
             throw new UnsupportedOperationException(
               "DELETE FROM a VERSION AS OF relation is not allowed")
-          val pk = TransactionalTable.open(spark, g.root).pk
-          val pkAttr = target.output.find(_.name.equalsIgnoreCase(pk)).getOrElse(
-            throw new IllegalStateException(s"pk $pk not in ${target.output}"))
-          GraftMergeCommand(g.root, Project(Seq(pkAttr), Filter(cond, target)),
-            isDelete = true, pk)
+          val t = TransactionalTable.open(spark, g.root)
+          // Composite PKs: project every key column — the engine's delete
+          // merge joins on all of them.
+          val pkAttrs = t.pkCols.map(c =>
+            target.output.find(_.name.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalStateException(s"pk $c not in ${target.output}")))
+          GraftMergeCommand(g.root, Project(pkAttrs, Filter(cond, target)),
+            isDelete = true, t.pk)
         case None => d
       }
 
@@ -233,16 +236,19 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (g.pinnedVersion.nonEmpty)
             throw new UnsupportedOperationException(
               "UPDATE a VERSION AS OF relation is not allowed")
-          val pk = TransactionalTable.open(spark, g.root).pk
+          val tt = TransactionalTable.open(spark, g.root)
+          val pk = tt.pk
           val byName = assignments.map {
             case Assignment(k: Attribute, v) => k.name.toLowerCase(java.util.Locale.ROOT) -> v
             case Assignment(k, _) => throw new UnsupportedOperationException(
               s"UPDATE of nested field $k not supported (top-level columns only)")
           }.toMap
-          byName.get(pk.toLowerCase(java.util.Locale.ROOT)).foreach {
-            case a: Attribute if a.name.equalsIgnoreCase(pk) => () // identity: harmless
-            case _ => throw new UnsupportedOperationException(
-              s"UPDATE must not reassign the primary key $pk (delete + insert instead)")
+          tt.pkCols.foreach { c =>
+            byName.get(c.toLowerCase(java.util.Locale.ROOT)).foreach {
+              case a: Attribute if a.name.equalsIgnoreCase(c) => () // identity: harmless
+              case _ => throw new UnsupportedOperationException(
+                s"UPDATE must not reassign the primary key $c (delete + insert instead)")
+            }
           }
           val projList = target.output.map { attr =>
             byName.get(attr.name.toLowerCase(java.util.Locale.ROOT)) match {
@@ -271,13 +277,14 @@ final case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
     // advance the replay fence, or a checkpointed stream resuming on the same
     // table would have its next batch silently fenced out as a replay.
     val empty = emptyLike(spark, t)
+    val pkSel = t.pkCols.map(col)
     (cmd.isDelete, cmd.guardTs) match {
-      case (true, None) => t.mergeAdhoc(empty, src.select(col(cmd.pk)))
-      case (false, None) => t.mergeAdhoc(src, empty.select(col(cmd.pk)))
+      case (true, None) => t.mergeAdhoc(empty, src.select(pkSel: _*))
+      case (false, None) => t.mergeAdhoc(src, empty.select(pkSel: _*))
       case (true, g @ Some(ts)) =>
-        t.mergeAdhoc(empty, src.select(col(cmd.pk), col(ts)), guardTs = g)
+        t.mergeAdhoc(empty, src.select(pkSel :+ col(ts): _*), guardTs = g)
       case (false, g @ Some(ts)) =>
-        t.mergeAdhoc(src, empty.select(col(cmd.pk), col(ts)), guardTs = g)
+        t.mergeAdhoc(src, empty.select(pkSel :+ col(ts): _*), guardTs = g)
     }
   }
 

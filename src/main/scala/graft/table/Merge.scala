@@ -32,6 +32,17 @@ object Merge {
     target.join(keys, Seq(pk), "left_anti")
   }
 
+  /** [[apply]] over a COMPOSITE key: the anti-join runs on all key columns
+    * (`USING`-style, so the join is a plain multi-column hash join). */
+  def composite(target: DataFrame, upserts: DataFrame, deleteKeys: DataFrame,
+      pks: Seq[String], broadcastKeys: Boolean = true): DataFrame = {
+    val keys = upserts.select(pks.map(col): _*)
+      .unionByName(deleteKeys.select(pks.map(col): _*)).distinct()
+    val touched = if (broadcastKeys) broadcast(keys) else keys
+    target.join(touched, pks, "left_anti")
+      .unionByName(upserts.select(target.columns.map(col).toIndexedSeq: _*))
+  }
+
   /**
    * Timestamp-GUARDED upsert+delete (the reference's T3 late-data anomaly
    * fixed, SURVEY §7.5.3: `WHEN MATCHED AND s.ts >= t.ts`): a source row only

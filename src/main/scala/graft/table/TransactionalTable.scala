@@ -25,7 +25,12 @@ final case class DataFile(path: String, partition: Option[String], pkMin: Long, 
       * parity: SQL predicates on non-PK columns prune whole files at plan
       * time (ManifestFileIndex). Extracted from the same footer read that
       * yields the PK stats, so it costs nothing extra at commit. */
-    stats: Map[String, (Long, Long)] = Map.empty)
+    stats: Map[String, (Long, Long)] = Map.empty,
+    /** Partition-spec id this file was written under (partition evolution,
+      * Iceberg spec-id parity): `partition` is the value of THAT spec's
+      * transform, so pruning must reverse the file's own spec, not the
+      * table's current one. 0 = the spec the table was created with. */
+    specId: Int = 0)
 
 /** A merge-on-read delete file (Iceberg v2 shapes, natively):
  *   - kind="equality": parquet of (pk, _dseq) key rows; a delete row masks any
@@ -116,49 +121,88 @@ final class TransactionalTable private (
       * names, most recent first. Files written before a rename still carry
       * the old name; the read path reads both and coalesces (see
       * readParquet) — renames are metadata-only, zero data movement. */
-    val renames: Map[String, Seq[String]] = Map.empty) {
+    val renames: Map[String, Seq[String]] = Map.empty,
+    /** PAST partition specs by id (partition evolution): files stamped with
+      * an older specId resolve their transform here; `partitionSpec` is the
+      * spec under `currentSpecId` that new writes use. Ids with no transform
+      * (the table was unpartitioned in that era) are simply absent. */
+    val pastSpecs: Map[Int, PartitionTransform] = Map.empty,
+    /** Spec id new files are stamped with (grows by 1 per evolution). */
+    val currentSpecId: Int = 0) {
 
   import TransactionalTable._
+
+  /** COMPOSITE primary keys: `pk` may be a comma-separated column list
+    * (`"customer_id,order_id"` — the DMS envelope's `primary-key` partition
+    * type does not promise a single column any more than it promises an
+    * integral one). Every row-correct operation joins on ALL member columns;
+    * the manifest's 64-bit machinery runs in the hashed key domain below. */
+  val pkCols: Seq[String] = pk.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   // Fail fast at table-handle construction: a PK type outside the supported
   // set would yield null stats that silently disable file pruning (lost
   // updates), not an error.
-  require(schema.fieldNames.contains(pk), s"pk column '$pk' not in table schema")
-  schema(pk).dataType match {
-    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-         org.apache.spark.sql.types.StringType => ()
-    case dt => throw new IllegalArgumentException(
-      s"pk column '$pk' must be integral (byte/short/int/long) or string, " +
-        s"got ${dt.simpleString}")
+  require(pkCols.nonEmpty, "pk column list is empty")
+  pkCols.foreach { c =>
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"pk column '$c' not in table schema")
+    schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"pk column '$c' must be integral (byte/short/int/long) or string, " +
+          s"got ${dt.simpleString}")
+    }
   }
 
   /**
-   * String primary keys (the DMS envelope's `partition-key-type: primary-key`
-   * does not promise integral keys — reference `gen_fake_cdc_data.py:33`):
-   * the manifest's 64-bit machinery (pkMin/pkMax ranges, blooms, sorted-key
-   * pruning) operates on a KEY DOMAIN — the raw value cast to long for
-   * integral PKs, `xxhash64(pk)` (seed 42, same Catalyst hash the SQL-side
-   * ManifestFileIndex and bucket transform use) for string PKs. Hash-domain
-   * pruning is conservative under collisions (a colliding file is read, never
-   * wrongly skipped); everything row-correct — merge joins, equality-delete
-   * masking, guard resolution — uses the raw column, so collisions can never
-   * lose or resurrect a row.
+   * Hashed key domains — string primary keys (the DMS envelope's
+   * `partition-key-type: primary-key` does not promise integral keys —
+   * reference `gen_fake_cdc_data.py:33`) and composite keys: the manifest's
+   * 64-bit machinery (pkMin/pkMax ranges, blooms, sorted-key pruning)
+   * operates on a KEY DOMAIN — the raw value cast to long for single integral
+   * PKs, `xxhash64(cols…)` (seed 42, same Catalyst hash the SQL-side
+   * ManifestFileIndex and bucket transform use) for string or composite PKs.
+   * Hash-domain pruning is conservative under collisions (a colliding file is
+   * read, never wrongly skipped); everything row-correct — merge joins,
+   * equality-delete masking, guard resolution — uses the raw column(s), so
+   * collisions can never lose or resurrect a row.
    */
-  val pkIsString: Boolean =
-    schema(pk).dataType == org.apache.spark.sql.types.StringType
+  val pkHashed: Boolean = pkCols.length > 1 ||
+    schema(pkCols.head).dataType == org.apache.spark.sql.types.StringType
 
-  /** Key-domain mapping of a PK column (see [[pkIsString]]). */
+  /** Kept name (SQL layer API): true when manifest pk stats are hash-domain. */
+  def pkIsString: Boolean = pkHashed
+
+  /** Key-domain expression over this table's PK column(s), resolved against
+    * whatever DataFrame it is selected from (see [[pkHashed]]). */
+  private def keyExpr: org.apache.spark.sql.Column =
+    if (pkHashed) xxhash64(pkCols.map(col): _*) else col(pk).cast("long")
+
+  /** Key-domain mapping of a SINGLE-column PK reference (callers that hold a
+    * differently-named column, e.g. a renamed key side). */
   private def pkKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    if (pkIsString) xxhash64(c) else c.cast("long")
+    if (pkHashed) xxhash64(c) else c.cast("long")
 
-  /** PK column as stored in equality-delete files: raw for string PKs (the
-    * scan-side anti-join must be exact, not hash-domain), 64-bit for integral
-    * (unchanged layout). */
+  /** PK columns as stored in equality-delete files: raw member columns for
+    * hashed-domain PKs (the scan-side anti-join must be exact, not
+    * hash-domain), a single 64-bit column for integral (unchanged layout). */
+  private def pkDeleteCols: Seq[org.apache.spark.sql.Column] =
+    if (pkHashed) pkCols.map(col) else Seq(col(pk).cast("long"))
   private def pkDeleteKey: org.apache.spark.sql.Column =
-    if (pkIsString) col(pk) else col(pk).cast("long")
+    if (pkHashed) col(pk) else col(pk).cast("long")
   /** Source column of the partition transform (the column users filter on). */
   def partitionCol: Option[String] = partitionSpec.map(_.col)
+
+  /** Every spec by id, current included. */
+  def allSpecs: Map[Int, PartitionTransform] =
+    pastSpecs ++ partitionSpec.map(currentSpecId -> _)
+
+  /** The transform a given file's `partition` value was derived under — the
+    * only transform it is sound to reverse when pruning that file. */
+  def specOf(id: Int): Option[PartitionTransform] =
+    if (id == currentSpecId) partitionSpec else pastSpecs.get(id)
 
   partitionCol.foreach(p => require(schema.fieldNames.contains(p),
     s"partition column '$p' not in table schema"))
@@ -203,7 +247,8 @@ final class TransactionalTable private (
       if (!f.has("stats")) Map.empty
       else f.get("stats").properties().asScala.map { e =>
         e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
-      }.toMap)
+      }.toMap,
+      if (f.has("specId")) f.get("specId").asInt() else 0)
 
   /** Load one immutable manifest chunk (cached globally by path — chunks are
     * write-once, so the cache never goes stale). */
@@ -290,10 +335,13 @@ final class TransactionalTable private (
     { val s = snapshotAt(version); scanWithDeletes(s.files, s.deletes, sch) }
 
   /** Partition-pruned scan: only files whose partition value passes `pred` are
-   *  read at all (manifest-level pruning, ahead of Parquet row-group skipping). */
+   *  read at all (manifest-level pruning, ahead of Parquet row-group skipping).
+   *  `pred` speaks the CURRENT spec's value language — files written under an
+   *  older spec (partition evolution) are conservatively kept. */
   def scanPartitions(pred: Option[String] => Boolean): DataFrame = {
     val s = snapshot
-    scanWithDeletes(s.files.filter(f => pred(f.partition)), s.deletes)
+    scanWithDeletes(
+      s.files.filter(f => f.specId != currentSpecId || pred(f.partition)), s.deletes)
   }
 
   private def scanFiles(files: Seq[DataFile], sch: StructType = schema): DataFrame =
@@ -364,11 +412,14 @@ final class TransactionalTable private (
           .drop("_gfile", "_gpos")
       }
       if (eqDel.nonEmpty) {
+        // Composite PKs: delete files carry every raw member column; the
+        // anti-join matches on all of them (exact, never hash-domain).
         val delRaw = spark.read.parquet(eqDel.map(_.path): _*)
-          .select(col(pk).as("_dpk"), col("_dseq"))
+          .select(pkCols.map(c => col(c).as(s"_d_$c")) :+ col("_dseq"): _*)
         val del = if (eqDel.map(_.rows).sum <= MaxCollectedKeys) broadcast(delRaw) else delRaw
+        val keyCond = pkCols.map(c => col(c) === col(s"_d_$c")).reduce(_ && _)
         data = data.join(del,
-          col(pk) === col("_dpk") && col("_dseq") > coalesce(col("_seq"), lit(0L)),
+          keyCond && col("_dseq") > coalesce(col("_seq"), lit(0L)),
           "left_anti")
       }
       data.select(sch.fieldNames.map(col).toIndexedSeq: _*)
@@ -647,13 +698,16 @@ final class TransactionalTable private (
     // Null-PK rows are dropped here by policy (defense in depth — the pipeline
     // already filters and counts them): a malformed CDC envelope must degrade
     // to an observable drop, not an NPE that wedges the stream on replay.
-    val up = conformed(upserts).filter(col(pk).isNotNull)
+    val pkNotNull = pkCols.map(col(_).isNotNull).reduce(_ && _)
+    val up = conformed(upserts).filter(pkNotNull)
     guardTs.foreach { ts =>
       require(schema.fieldNames.contains(ts), s"guard column $ts not in table schema")
+      require(pkCols.length == 1,
+        "timestamp-guarded merge supports single-column primary keys only")
     }
     val dels = guardTs match {
-      case Some(ts) => deleteKeys.select(col(pk), col(ts)).filter(col(pk).isNotNull)
-      case None => deleteKeys.select(col(pk)).filter(col(pk).isNotNull)
+      case Some(ts) => deleteKeys.select(col(pk), col(ts)).filter(pkNotNull)
+      case None => deleteKeys.select(pkCols.map(col): _*).filter(pkNotNull)
     }
     (mode, guardTs) match {
       case (MergeMode.CopyOnWrite, _) => mergeCow(snap, up, dels, batchId, guardTs)
@@ -683,7 +737,7 @@ final class TransactionalTable private (
   private def guardWinners(snap: Snapshot, up: DataFrame, dels: DataFrame,
       ts: String): (DataFrame, DataFrame) = {
     val keyDf = up.select(col(pk)).unionByName(dels.select(col(pk))).distinct()
-    val (affected, oversized) = affectedFiles(snap, keyDf.select(pkKey(col(pk))))
+    val (affected, oversized) = affectedFiles(snap, keyDf.select(keyExpr))
     val curRaw = scanWithDeletes(affected, snap.deletes)
       .select(col(pk).as("_cpk"), col(ts).as("_cts"))
     // Post-merge invariant: ≤1 live row per key, so no dedup needed here.
@@ -730,8 +784,8 @@ final class TransactionalTable private (
     // Touched-key set. A CDC micro-batch is bounded by the trigger interval and
     // post-W1 has ≤1 row/key, so collecting keys is driver-safe (cap guarded);
     // past the cap we degrade to min/max-range pruning only.
-    val keyDf = up.select(pkKey(col(pk)))
-      .unionByName(dels.select(pkKey(col(pk))))
+    val keyDf = up.select(keyExpr.as("_k"))
+      .unionByName(dels.select(keyExpr.as("_k")))
       .distinct()
     val (affected, oversized) = affectedFiles(snap, keyDf)
 
@@ -742,6 +796,8 @@ final class TransactionalTable private (
     // let Catalyst/AQE pick the join strategy there instead.
     val merged = guardTs match {
       case Some(ts) => Merge.applyGuarded(slice, up, dels, pk, ts, broadcastKeys = !oversized)
+      case None if pkCols.length > 1 =>
+        Merge.composite(slice, up, dels, pkCols, broadcastKeys = !oversized)
       case None => Merge(slice, up, dels, pk, broadcastKeys = !oversized)
     }
 
@@ -760,8 +816,8 @@ final class TransactionalTable private (
     val newVersion = snap.version + 1
     // every batch key masks older images: upserted keys (superseded) and
     // deleted keys (removed)
-    val keyDf = up.select(pkDeleteKey)
-      .unionByName(dels.select(pkDeleteKey)).distinct()
+    val keyDf = up.select(pkDeleteCols: _*)
+      .unionByName(dels.select(pkDeleteCols: _*)).distinct()
     val delFile = writeDeleteFile(keyDf, commitDir(newVersion, "_deletes"), newVersion)
     val newFiles = writeDataFiles(up, commitDir(newVersion), seq = newVersion)
     commit(Snapshot(newVersion, batchId, snap.files ++ newFiles,
@@ -778,18 +834,22 @@ final class TransactionalTable private (
   private def mergeMorPositional(snap: Snapshot, up: DataFrame, dels: DataFrame,
       batchId: Long): Unit = {
     val newVersion = snap.version + 1
-    val keyDf = up.select(pkDeleteKey.as("_mk"))
-      .unionByName(dels.select(pkDeleteKey.as("_mk"))).distinct()
-    val (affected, oversized) = affectedFiles(snap, keyDf.select(pkKey(col("_mk"))))
+    val mkCols = pkCols.map(c => s"_mk_$c")
+    val keyDf = up.select(pkCols.zip(mkCols).map { case (c, m) => col(c).as(m) }: _*)
+      .unionByName(dels.select(pkCols.zip(mkCols).map { case (c, m) => col(c).as(m) }: _*))
+      .distinct()
+    val mkKeyExpr = if (pkHashed) xxhash64(mkCols.map(col): _*) else col(mkCols.head).cast("long")
+    val (affected, oversized) = affectedFiles(snap, keyDf.select(mkKeyExpr))
     val delFile =
       if (affected.isEmpty) None
       else {
         val keysSide = if (oversized) keyDf else broadcast(keyDf)
+        val keyCond = pkCols.zip(mkCols).map { case (c, m) => col(c) === col(m) }.reduce(_ && _)
         val positions = spark.read.schema(schema).parquet(affected.map(_.path): _*)
-          .select(pkDeleteKey.as("_dk"),
+          .select(pkCols.map(col) ++ Seq(
             col("_metadata.file_path").as("_dfile"),
-            col("_metadata.row_index").as("_dpos"))
-          .join(keysSide, col("_dk") === col("_mk"))
+            col("_metadata.row_index").as("_dpos")): _*)
+          .join(keysSide, keyCond)
           .select("_dfile", "_dpos")
         writeDeleteFile(positions, commitDir(newVersion, "_deletes"), newVersion,
           kind = DeleteFile.Position)
@@ -819,8 +879,9 @@ final class TransactionalTable private (
       require(!renames.valuesIterator.flatten.exists(_.equalsIgnoreCase(name)),
         s"'$name' is a former name of an existing column (rename history); pick another")
       val evolved = schema.add(name, dataType, nullable = true)
-      writeTableMeta(root, evolved, pk, partitionSpec, renames)
-      new TransactionalTable(spark, root, evolved, pk, partitionSpec, renames)
+      writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId)
+      new TransactionalTable(spark, root, evolved, pk, partitionSpec, renames,
+        pastSpecs, currentSpecId)
     }
 
   /**
@@ -835,13 +896,15 @@ final class TransactionalTable private (
    */
   def dropColumn(name: String): TransactionalTable = synchronized {
     require(schema.fieldNames.exists(_.equalsIgnoreCase(name)), s"no such column '$name'")
-    require(!name.equalsIgnoreCase(pk), s"cannot drop primary-key column '$pk'")
+    require(!pkCols.exists(_.equalsIgnoreCase(name)),
+      s"cannot drop primary-key column '$name' (pk: $pk)")
     require(!partitionCol.exists(_.equalsIgnoreCase(name)),
       s"cannot drop partition column '${partitionCol.get}'")
     val evolved = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
     val prunedRenames = renames - name.toLowerCase(java.util.Locale.ROOT)
-    writeTableMeta(root, evolved, pk, partitionSpec, prunedRenames)
-    new TransactionalTable(spark, root, evolved, pk, partitionSpec, prunedRenames)
+    writeTableMeta(root, evolved, pk, partitionSpec, prunedRenames, pastSpecs, currentSpecId)
+    new TransactionalTable(spark, root, evolved, pk, partitionSpec, prunedRenames,
+      pastSpecs, currentSpecId)
   }
 
   /**
@@ -859,7 +922,8 @@ final class TransactionalTable private (
    */
   def renameColumn(from: String, to: String): TransactionalTable = synchronized {
     require(schema.fieldNames.exists(_.equalsIgnoreCase(from)), s"no such column '$from'")
-    require(!from.equalsIgnoreCase(pk), s"cannot rename primary-key column '$pk'")
+    require(!pkCols.exists(_.equalsIgnoreCase(from)),
+      s"cannot rename primary-key column '$from' (pk: $pk)")
     require(!partitionCol.exists(_.equalsIgnoreCase(from)),
       s"cannot rename partition column '${partitionCol.getOrElse("")}'")
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)), s"column '$to' already exists")
@@ -872,9 +936,41 @@ final class TransactionalTable private (
     // era still resolve.
     val olds = from +: renames.getOrElse(lc(from), Seq.empty)
     val newRenames = (renames - lc(from)) + (lc(to) -> olds)
-    writeTableMeta(root, evolved, pk, partitionSpec, newRenames)
-    new TransactionalTable(spark, root, evolved, pk, partitionSpec, newRenames)
+    writeTableMeta(root, evolved, pk, partitionSpec, newRenames, pastSpecs, currentSpecId)
+    new TransactionalTable(spark, root, evolved, pk, partitionSpec, newRenames,
+      pastSpecs, currentSpecId)
   }
+
+  /**
+   * PARTITION EVOLUTION (Iceberg spec-evolution parity): change how FUTURE
+   * files are partitioned — metadata-only, zero data movement. Existing files
+   * keep the partition values (and directory layout) of the spec they were
+   * written under; each file's manifest entry carries its spec id, and every
+   * prune path reverses the file's OWN transform ([[specOf]]) — a predicate
+   * is never tested against a partition value a different transform derived.
+   * Files written under older specs simply prune less precisely until
+   * [[compact]]/[[compactClustered]] rewrites them (rewrites stamp the
+   * current spec — compaction doubles as spec migration, like Iceberg's
+   * rewrite_data_files). Pass None to stop partitioning new writes.
+   */
+  def evolvePartitioning(next: Option[PartitionTransform]): TransactionalTable =
+    synchronized {
+      next.foreach { spec =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(spec.col)),
+          s"partition column '${spec.col}' not in table schema")
+        spec match {
+          case _: PartitionTransform.Days | _: PartitionTransform.Hours =>
+            require(schema(spec.col).dataType == org.apache.spark.sql.types.TimestampType,
+              s"temporal partition transform needs a timestamp column, " +
+                s"'${spec.col}' is ${schema(spec.col).dataType.simpleString}")
+          case _ => ()
+        }
+      }
+      val nextId = (allSpecs.keySet + currentSpecId).max + 1
+      val past = allSpecs // old current becomes a past spec
+      writeTableMeta(root, schema, pk, next, renames, past, nextId)
+      new TransactionalTable(spark, root, schema, pk, next, renames, past, nextId)
+    }
 
   /** Conform a merge/append input to the table schema: columns the input
     * lacks are null-filled (post-evolution writers that predate the new
@@ -918,7 +1014,7 @@ final class TransactionalTable private (
     // PK-sort within each task (no shuffle): clusters rows so parquet
     // row-group min/max stats on the key are tight — read-side point/range
     // lookups skip row groups, not just whole files.
-    val sortCols = partitionCol.map(col).toSeq :+ col(pk)
+    val sortCols = partitionCol.map(col).toSeq ++ pkCols.map(col)
     val stamped = df.sortWithinPartitions(sortCols: _*).withColumn("_seq", lit(seq))
     val writer = partitionSpec match {
       // `_p` is the TRANSFORM of the source column (identity → the value
@@ -941,18 +1037,19 @@ final class TransactionalTable private (
     val statted = parts.par.map { p =>
       val (rows, mn, mx, colStats) = fileFooterStats(p)
       DataFile(p.toString, partitionFromPath(outDir, p), mn, mx, rows, Files.size(p),
-        stats = colStats)
+        stats = colStats, specId = currentSpecId)
     }.seq.toSeq.filter(_.rows > 0)
-    // String PKs: parquet footer min/max are binary, not 64-bit — derive each
-    // fresh file's [pkMin, pkMax] in the xxhash64 key domain instead, with one
-    // columnar read of just the new files' PK column (same cost class as the
-    // bloom pass; conservative pruning under hash collisions, see pkIsString).
+    // String/composite PKs: parquet footer min/max are binary (or span
+    // several columns), not one 64-bit value — derive each fresh file's
+    // [pkMin, pkMax] in the xxhash64 key domain instead, with one columnar
+    // read of just the new files' PK column(s) (same cost class as the bloom
+    // pass; conservative pruning under hash collisions, see pkHashed).
     val ranged =
-      if (!pkIsString || statted.isEmpty) statted
+      if (!pkHashed || statted.isEmpty) statted
       else {
-        val pkField = StructType(Seq(schema(pk)))
+        val pkField = StructType(pkCols.map(schema(_)))
         val ranges = spark.read.schema(pkField).parquet(statted.map(_.path): _*)
-          .select(col("_metadata.file_path").as("f"), pkKey(col(pk)).as("k"))
+          .select(col("_metadata.file_path").as("f"), keyExpr.as("k"))
           .groupBy("f").agg(min("k").as("mn"), max("k").as("mx"))
           .collect().map { r =>
             val plain = try new java.net.URI(r.getString(0)).getPath
@@ -978,10 +1075,9 @@ final class TransactionalTable private (
   private def buildBlooms(paths: Seq[String]): Map[String, String] =
     if (paths.isEmpty) Map.empty
     else {
-      val pkName = pk
-      val pkField = StructType(Seq(schema(pk)))
+      val pkField = StructType(pkCols.map(schema(_)))
       val partials = spark.read.schema(pkField).parquet(paths: _*)
-        .select(col("_metadata.file_path").as("f"), pkKey(col(pkName)).as("k"))
+        .select(col("_metadata.file_path").as("f"), keyExpr.as("k"))
         .rdd.mapPartitions { it =>
           val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
           it.foreach { r =>
@@ -1140,7 +1236,7 @@ final class TransactionalTable private (
     retryingCommit("compact") { snap =>
       def packed(df: DataFrame, totalRows: Long): DataFrame = {
         val target = math.max(1L, (totalRows + minFileRows - 1) / minFileRows).toInt
-        val rangeCols = partitionCol.map(col).toSeq :+ col(pk)
+        val rangeCols = partitionCol.map(col).toSeq ++ pkCols.map(col)
         df.repartitionByRange(target, rangeCols: _*)
       }
       if (snap.deletes.nonEmpty) {
@@ -1155,7 +1251,14 @@ final class TransactionalTable private (
         commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
       } else {
         val small = snap.files.filter(_.rows < minFileRows)
-        val needsWork = small.groupBy(_.partition).exists(_._2.size > 1)
+        // Work to do when some partition bin holds several small files, or a
+        // small file still carries an older partition spec (partition
+        // evolution: rewriting re-derives `_p` under the current transform,
+        // so compaction doubles as spec migration — Iceberg's
+        // rewrite_data_files role). Bins are per (spec, value): equal value
+        // strings from different eras mean different things.
+        val needsWork = small.exists(_.specId != currentSpecId) ||
+          small.groupBy(f => (f.specId, f.partition)).exists(_._2.size > 1)
         if (needsWork) {
           val keep = snap.files.filterNot(small.toSet)
           val newVersion = snap.version + 1
@@ -1186,7 +1289,7 @@ final class TransactionalTable private (
     retryingCommit("compactClustered") { snap =>
       if (snap.files.nonEmpty) {
         val data = scanWithDeletes(snap.files, snap.deletes)
-        val rangeCols = partitionCol.map(col).toSeq :+ col(pk)
+        val rangeCols = partitionCol.map(col).toSeq ++ pkCols.map(col)
         val packed =
           if (targetFiles > 0) data.repartitionByRange(targetFiles, rangeCols: _*)
           else data.repartitionByRange(rangeCols: _*)
@@ -1203,6 +1306,7 @@ final class TransactionalTable private (
     f.partition match { case Some(p) => o.put("partition", p); case None => o.putNull("partition") }
     o.put("pkMin", f.pkMin); o.put("pkMax", f.pkMax); o.put("rows", f.rows)
     o.put("bytes", f.bytes)
+    if (f.specId != 0) o.put("specId", f.specId)
     f.bloom.foreach(b => o.put("bloom", b))
     if (f.stats.nonEmpty) {
       val st = o.putObject("stats")
@@ -1369,7 +1473,9 @@ object TransactionalTable {
     * a torn file. */
   private[table] def writeTableMeta(root: String, schema: StructType, pk: String,
       partition: Option[PartitionTransform],
-      renames: Map[String, Seq[String]] = Map.empty): Unit = {
+      renames: Map[String, Seq[String]] = Map.empty,
+      pastSpecs: Map[Int, PartitionTransform] = Map.empty,
+      currentSpecId: Int = 0): Unit = {
     val meta = mapper.createObjectNode()
     meta.put("schemaJson", schema.json)
     meta.put("pk", pk)
@@ -1379,14 +1485,22 @@ object TransactionalTable {
       case Some(p) => meta.put("partitionCol", p.col)
       case None => meta.putNull("partitionCol")
     }
-    partition.foreach { p =>
-      val pt = meta.putObject("partitionTransform")
-      pt.put("kind", p.kind)
-      pt.put("col", p.col)
+    def transformJson(target: com.fasterxml.jackson.databind.node.ObjectNode,
+        p: PartitionTransform): Unit = {
+      target.put("kind", p.kind)
+      target.put("col", p.col)
       p match {
-        case PartitionTransform.Bucket(n, _) => pt.put("n", n)
+        case PartitionTransform.Bucket(n, _) => target.put("n", n)
         case _ => ()
       }
+    }
+    partition.foreach(p => transformJson(meta.putObject("partitionTransform"), p))
+    // Partition evolution: spec ids of every PAST era that had a transform,
+    // plus the id new files are stamped with. Absent on never-evolved tables.
+    if (pastSpecs.nonEmpty || currentSpecId != 0) {
+      meta.put("currentSpecId", currentSpecId)
+      val sp = meta.putObject("pastSpecs")
+      pastSpecs.foreach { case (id, p) => transformJson(sp.putObject(id.toString), p) }
     }
     if (renames.nonEmpty) {
       val rn = meta.putObject("renames")
@@ -1423,7 +1537,16 @@ object TransactionalTable {
       else meta.get("renames").properties().asScala.map { e =>
         e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
       }.toMap
-    new TransactionalTable(spark, root, schema, meta.get("pk").asText(), part, renames)
+    val pastSpecs =
+      if (!meta.has("pastSpecs")) Map.empty[Int, PartitionTransform]
+      else meta.get("pastSpecs").properties().asScala.map { e =>
+        val pt = e.getValue
+        e.getKey.toInt -> PartitionTransform(pt.get("kind").asText(),
+          pt.get("col").asText(), if (pt.has("n")) pt.get("n").asInt() else 0)
+      }.toMap
+    val currentSpecId = if (meta.has("currentSpecId")) meta.get("currentSpecId").asInt() else 0
+    new TransactionalTable(spark, root, schema, meta.get("pk").asText(), part, renames,
+      pastSpecs, currentSpecId)
   }
 
   def exists(root: String): Boolean = Files.exists(Paths.get(root, "_current"))

@@ -20,7 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (graft.util.Bloom is a shared leaf). */
 final case class ManifestEntry(path: String, partition: Option[String], pkMin: Long,
     pkMax: Long, bytes: Long, stats: Map[String, (Long, Long)] = Map.empty,
-    bloom: Option[String] = None) {
+    bloom: Option[String] = None,
+    /** The transform THIS file's partition value was derived under (partition
+      * evolution: files of different eras carry different transforms; pruning
+      * reverses each file's own). None → no partition pruning for the file. */
+    part: Option[PartitionTransformDesc] = None) {
   /** Decoded lazily ONCE per entry — point-lookup queries probe it per file. */
   lazy val bloomBits: Option[Array[Long]] = bloom.map(graft.util.Bloom.decode)
 }
@@ -39,7 +43,6 @@ class ManifestFileIndex(
     spark: SparkSession,
     entries: Seq[ManifestEntry],
     pk: String,
-    part: Option[PartitionTransformDesc],
     /** True when the table's PK is a string: manifest pkMin/pkMax/bloom live
       * in the xxhash64 key domain (seed 42, matching the write side), so
       * EQUALITY literals prune via their hash and range predicates on the PK
@@ -120,7 +123,10 @@ class ManifestFileIndex(
   }
 
   private def isPk(name: String): Boolean = name.equalsIgnoreCase(pk)
-  private def isPart(name: String): Boolean = part.exists(_.col.equalsIgnoreCase(name))
+  /** The file's OWN transform, when the predicate column is its source —
+    * partition evolution means this is per-entry, never table-level. */
+  private def partOf(e: ManifestEntry, name: String): Option[PartitionTransformDesc] =
+    e.part.filter(_.col.equalsIgnoreCase(name))
 
   /** Temporal-partition range pruning: true when the file's partition
     * ordinal provably fails `impossible(partOrdinal, literalOrdinal)`.
@@ -128,8 +134,8 @@ class ManifestFileIndex(
   private def partRange(e: ManifestEntry, name: String, v: Any,
       dt: org.apache.spark.sql.types.DataType)(
       impossible: (Long, Long) => Boolean): Boolean =
-    part.exists { d =>
-      isPart(name) && v != null && (for {
+    partOf(e, name).exists { d =>
+      v != null && (for {
         l <- PartitionPrune.ordinalOf(d, v, dt)
         p <- e.partition.flatMap(PartitionPrune.partitionOrdinal(d, _))
       } yield impossible(p, l)).getOrElse(false)
@@ -163,13 +169,14 @@ class ManifestFileIndex(
   private def noEq(e: ManifestEntry, colName: String, v: Any,
       dt: org.apache.spark.sql.types.DataType): Boolean =
     if (v == null) false
-    else if (isPart(colName))
+    else if (partOf(e, colName).isDefined)
       // Transform-aware: derive the partition value the literal's rows MUST
       // live in (identity → itself; days/hours → epoch ordinal; bucket →
-      // xxhash64 mod n) and prune files in any other partition. An
-      // underivable literal yields None → no prune. A stats-based prune on
-      // the same column may still apply below, so fall through on false.
-      part.flatMap(d => PartitionPrune.valueOf(d, v, dt))
+      // xxhash64 mod n) under the FILE's own spec and prune files in any
+      // other partition. An underivable literal yields None → no prune. A
+      // stats-based prune on the same column may still apply below, so fall
+      // through on false.
+      partOf(e, colName).flatMap(d => PartitionPrune.valueOf(d, v, dt))
         .exists(expected => e.partition.exists(_ != expected)) ||
         ((rangeOf(e, colName), toLongOpt(v)) match {
           case (Some((mn, mx)), Some(l)) => l < mn || l > mx
@@ -208,8 +215,7 @@ class ManifestFileIndex(
 object ManifestFileIndex {
   /** Build a ParquetScanBuilder whose file listing is manifest-pruned. */
   def scanBuilder(spark: SparkSession, schema: StructType, entries: Seq[ManifestEntry],
-      pk: String, part: Option[PartitionTransformDesc],
-      options: CaseInsensitiveStringMap, pkHashed: Boolean = false): ScanBuilder =
+      pk: String, options: CaseInsensitiveStringMap, pkHashed: Boolean = false): ScanBuilder =
     ParquetScanBuilder(spark.asInstanceOf[classic.SparkSession],
-      new ManifestFileIndex(spark, entries, pk, part, pkHashed), schema, schema, options)
+      new ManifestFileIndex(spark, entries, pk, pkHashed), schema, schema, options)
 }

@@ -224,12 +224,13 @@ class CatalogSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, LessThan, Literal}
     import org.apache.spark.sql.graftshim.{ManifestEntry, ManifestFileIndex, PartitionTransformDesc}
     import org.apache.spark.sql.types._
-    def entry(p: String) = ManifestEntry(s"/nope/$p.parquet", Some(p),
-      Long.MinValue, Long.MaxValue, 100L, stats = Map.empty)
+    def entry(p: String, d: PartitionTransformDesc) = ManifestEntry(s"/nope/$p.parquet",
+      Some(p), Long.MinValue, Long.MaxValue, 100L, stats = Map.empty, part = Some(d))
+    val daysDesc = PartitionTransformDesc("days", "ts")
     val ts = AttributeReference("ts", TimestampType)()
     def microsOf(day: Long) = day * 86400000000L
-    val daysIdx = new ManifestFileIndex(spark, Seq(entry("19723"), entry("19725")),
-      "id", Some(PartitionTransformDesc("days", "ts")))
+    val daysIdx = new ManifestFileIndex(spark,
+      Seq(entry("19723", daysDesc), entry("19725", daysDesc)), "id")
     def kept(idx: ManifestFileIndex, e: org.apache.spark.sql.catalyst.expressions.Expression) =
       idx.listFiles(Nil, Seq(e)).head.files.map(_.getPath.getName).toSeq
     assert(kept(daysIdx, GreaterThanOrEqual(ts, Literal(microsOf(19725L), TimestampType)))
@@ -240,9 +241,9 @@ class CatalogSpec extends SparkSpec {
       === Seq("19723.parquet"))
     // bucket: equality prunes to the literal's hash bucket, ranges keep all
     val dev = AttributeReference("device", StringType)()
-    val buckets = (0 until 4).map(b => entry(b.toString))
-    val bIdx = new ManifestFileIndex(spark, buckets, "id",
-      Some(PartitionTransformDesc("bucket", "device", 4)))
+    val bucketDesc = PartitionTransformDesc("bucket", "device", 4)
+    val buckets = (0 until 4).map(b => entry(b.toString, bucketDesc))
+    val bIdx = new ManifestFileIndex(spark, buckets, "id")
     val lit = Literal(org.apache.spark.unsafe.types.UTF8String.fromString("dev-7"), StringType)
     val keptB = kept(bIdx, EqualTo(dev, lit))
     assert(keptB.size === 1, s"bucket equality must keep exactly one bucket, got $keptB")
