@@ -35,7 +35,9 @@ object MetadataTables {
     StructField("path", StringType), StructField("partition", StringType),
     StructField("pk_min", LongType), StructField("pk_max", LongType),
     StructField("n_rows", LongType), StructField("n_bytes", LongType),
-    StructField("kind", StringType)))
+    StructField("kind", StringType),
+    // partition evolution: the spec era each file was written under
+    StructField("spec_id", LongType)))
 
   /** Build the metadata table `metaName` for the table at `root`. */
   def load(t: TransactionalTable, qualified: String, metaName: String): Table =
@@ -51,9 +53,11 @@ object MetadataTables {
       case "files" =>
         val s = t.snapshot
         val rows = s.files.map(f =>
-          Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes, "data")) ++
+          Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes, "data",
+            f.specId.toLong)) ++
           s.deletes.map(d =>
-            Array[Any](d.path, null, d.pkMin, d.pkMax, d.rows, d.bytes, s"${d.kind}-deletes"))
+            Array[Any](d.path, null, d.pkMin, d.pkMax, d.rows, d.bytes, s"${d.kind}-deletes",
+              null))
         new LocalRowsTable(s"$qualified.files", filesSchema, rows)
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table $other")

@@ -37,7 +37,15 @@ object PlanAudit {
       "x7_q7_volume_shipping", "x7_q8_market_share", "x7_q10_returned_items",
       "x7_q12_priority_buckets", "x7_q14_promo_share",
       "x4_tfidf", "x4_pack_sequences", "x2_contamination",
-      "x3_kmeans_assign", "x1_stratified_sample")
+      "x3_kmeans_assign", "x1_stratified_sample",
+      // round 8: the rest of the TPC-H shapes (correlated/anti-join heavy —
+      // none may fall onto a cartesian path) + the changelog read (EXCEPT ALL
+      // over the changed slice; the carried-file scan must stay pruned)
+      "x7_q2_min_cost_supplier", "x7_q4_priority_check", "x7_q9_nation_margin",
+      "x7_q11_important_parts", "x7_q13_order_distribution",
+      "x7_q16_supplier_counts", "x7_q20_excess_suppliers",
+      "x7_q21_waiting_suppliers", "x7_q22_sales_opportunity",
+      "cdc_changes_events")
 
     audited.foreach { name =>
       val df = Registry.byName(name).fn(spark, sfDir)

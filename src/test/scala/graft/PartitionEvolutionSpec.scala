@@ -159,5 +159,10 @@ class PartitionEvolutionSpec extends SparkSpec {
     val t2 = TransactionalTable.open(spark, s"$w/db/e")
     assert(t2.partitionSpec === None)
     assert(t2.currentSpecId === 2)
+    // the files metadata table reports each file's spec era
+    spark.sql("INSERT INTO graft_ps.db.e VALUES (1, TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0)")
+    val specIds = spark.sql("SELECT spec_id FROM graft_ps.db.e.files WHERE kind = 'data'")
+      .as[Long].collect().toSeq
+    assert(specIds === Seq(2L), s"post-evolution write must carry spec 2, got $specIds")
   }
 }
