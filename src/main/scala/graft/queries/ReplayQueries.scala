@@ -24,11 +24,18 @@ object ReplayQueries {
 
   /** Fresh table in a temp dir, scenario1 as batch 0, scenario2 as batch 1. */
   private def replay(spark: SparkSession): TransactionalTable = {
+    val t = replay1(spark)
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario2Lines, batchId = 1)
+    t
+  }
+
+  /** Fresh table with only scenario1 applied (the WAP query stages scenario2
+    * on a branch). */
+  private def replay1(spark: SparkSession): TransactionalTable = {
     val root = Files.createTempDirectory("graft_replay").toString
     val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
       Some(Cdc.PartitionColumn))
     CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
-    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario2Lines, batchId = 1)
     t
   }
 
@@ -572,6 +579,28 @@ object ReplayQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
              |FROM events WHERE user_id = 7
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // WRITE-AUDIT-PUBLISH (Iceberg branch refs): scenario 2 is staged on an
+    // "audit" branch — main still answers the 10-row scenario-1 state while
+    // the branch holds the full golden end state — then published as ONE
+    // atomic metadata commit. The scan after publish must equal the golden
+    // end state, and the branch's replay fence must carry over.
+    Q("cdc_wap_publish",
+      (s, _) => {
+        val t = replay1(s) // main = scenario 1 only
+        val b = t.createBranch("audit")
+        CdcPipeline.replayLines(s, b, CdcFixtures.scenario2Lines, batchId = 1)
+        assert(t.scan().count() == 10L, "main must be unpublished (scenario 1 only)")
+        assert(b.scan().count() == 12L, "branch must hold the golden end state")
+        t.publish("audit")
+        assert(t.snapshot.batchId == 1L, "publish must carry the branch's fence")
+        t.scan()
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+          .orderBy("trans_id")
+      },
+      Some(endStateOracle)),
 
     // PARTITION EVOLUTION (Iceberg spec-evolution parity): the first half of
     // the events fixture lands under identity(event_type); the spec is then

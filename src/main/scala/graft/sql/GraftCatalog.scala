@@ -72,7 +72,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadAt(ident, None)
 
   /** `VERSION AS OF n` time travel — also accepts a TAG name
-    * (`VERSION AS OF 'prod'`, Iceberg ref semantics). */
+    * (`VERSION AS OF 'prod'`) or a BRANCH name (`VERSION AS OF 'audit'`
+    * reads the branch head, read-only — Iceberg ref semantics). */
   override def loadTable(ident: Identifier, version: String): Table =
     version.toLongOption match {
       case Some(v) => loadAt(ident, Some(v))
@@ -80,9 +81,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val root = rootOf(ident)
         if (!TransactionalTable.exists(root)) throw new NoSuchTableException(ident)
         val t = TransactionalTable.open(spark, root)
-        val v = t.tags.getOrElse(version, throw new IllegalArgumentException(
-          s"no tag '$version' on ${ident.name()} (tags: ${t.tags.keys.mkString(", ")})"))
-        loadAt(ident, Some(v))
+        t.tags.get(version) match {
+          case Some(v) => loadAt(ident, Some(v))
+          case None if t.listBranches.contains(version) =>
+            val snap = t.branch(version).snapshot
+            if (snap.deletes.nonEmpty || t.renames.nonEmpty)
+              throw new UnsupportedOperationException(
+                s"branch '$version' has pending merge-on-read deletes or renamed " +
+                  "columns; read it via TransactionalTable.branch or compact the branch")
+            val entries = snap.files.map(f =>
+              org.apache.spark.sql.graftshim.ManifestEntry(f.path, f.partition, f.pkMin,
+                f.pkMax, f.bytes, f.stats, f.bloom, t.specOf(f.specId).map(_.desc)))
+            new GraftSqlTable(
+              s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@$version",
+              t.schema, entries, spark, root, Some(snap.version), t.pk,
+              loadedVersion = snap.version, morPending = false,
+              rowCount = snap.rowCount, renamesPending = false,
+              pkHashed = t.pkIsString)
+          case None => throw new IllegalArgumentException(
+            s"no tag or branch '$version' on ${ident.name()} " +
+              s"(tags: ${t.tags.keys.mkString(", ")}; branches: ${t.listBranches.mkString(", ")})")
+        }
     }
 
   /** `TIMESTAMP AS OF ts` time travel — Catalyst passes MICROseconds since

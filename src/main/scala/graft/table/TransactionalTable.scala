@@ -128,7 +128,14 @@ final class TransactionalTable private (
       * (the table was unpartitioned in that era) are simply absent. */
     val pastSpecs: Map[Int, PartitionTransform] = Map.empty,
     /** Spec id new files are stamped with (grows by 1 per evolution). */
-    val currentSpecId: Int = 0) {
+    val currentSpecId: Int = 0,
+    /** When set, this handle operates on the named BRANCH lineage (Iceberg
+      * branch-ref parity): its own `_current` pointer and `v{N}.json`
+      * manifests under `manifest/branches/<name>/`, sharing the table's data
+      * files and schema. Every mutation/read API works against the branch;
+      * [[TransactionalTable.publish]] fast-forwards main to a branch head
+      * (write-audit-publish). */
+    val branchName: Option[String] = None) {
 
   import TransactionalTable._
 
@@ -216,9 +223,17 @@ final class TransactionalTable private (
     }
   }
 
-  private def manifestDir = Paths.get(root, "manifest")
-  private def pointerPath = Paths.get(root, "_current")
+  private def mainManifestDir = Paths.get(root, "manifest")
+  private def manifestDir = branchName match {
+    case Some(b) => mainManifestDir.resolve("branches").resolve(b)
+    case None => mainManifestDir
+  }
+  private def pointerPath = branchName match {
+    case Some(b) => manifestDir.resolve("_current")
+    case None => Paths.get(root, "_current")
+  }
   private def dataDir = Paths.get(root, "data")
+  private def branchesDir = mainManifestDir.resolve("branches")
 
   /** Per-attempt output directory for a commit's data/delete files. The nonce
     * makes concurrent attempts at the same version write DISJOINT paths — a
@@ -503,6 +518,7 @@ final class TransactionalTable private (
     * existing tag of the same name. Atomic last-writer-wins on the refs file
     * (refs are operator metadata, not part of the commit protocol). */
   def createTag(name: String, version: Long = -1L): Unit = synchronized {
+    require(branchName.isEmpty, "tags name MAIN versions; create them from the main handle")
     val v = if (version >= 0) version else currentVersion
     require(Files.exists(manifestDir.resolve(s"v$v.json")),
       s"cannot tag version $v: no such retained snapshot")
@@ -510,6 +526,101 @@ final class TransactionalTable private (
   }
 
   def dropTag(name: String): Unit = synchronized { writeRefs(tags - name) }
+
+  // --- Branches (Iceberg branch refs + write-audit-publish): a branch is a
+  // full fork of the table lineage — its own `_current` + manifests under
+  // manifest/branches/<name>/, SHARING data files and chunk files with main.
+  // Every table API (merge, scan, changes, compact, time travel) works on a
+  // branch handle; `publish` fast-forwards main to the branch head in one
+  // atomic commit. Branch creation is O(1) in data AND manifest bytes: the
+  // fork's v0 reuses the source manifest's chunk references verbatim. ---
+
+  private def validBranchName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid branch name '$name'")
+
+  /** Handle on an existing branch; all operations target its lineage. */
+  def branch(name: String): TransactionalTable = {
+    require(branchName.isEmpty, "nested branches are not supported")
+    validBranchName(name)
+    require(Files.exists(branchesDir.resolve(name).resolve("_current")),
+      s"no such branch '$name' (branches: ${listBranches.mkString(", ")})")
+    new TransactionalTable(spark, root, schema, pk, partitionSpec, renames,
+      pastSpecs, currentSpecId, Some(name))
+  }
+
+  /** Fork a branch at `fromVersion` (default: the current main snapshot).
+    * Pure metadata, O(1): the fork manifest reuses the source version's
+    * chunk references verbatim — no data or file-list bytes are copied.
+    * The branch KEEPS the source's version number and its commits continue
+    * from it (v, v+1, …): data-file `_seq` stamps equal the committing
+    * version, and equality-delete masking requires `_dseq > _seq` — a
+    * renumbered-to-zero fork would stamp new branch writes BELOW the forked
+    * files' seqs and silently stop masking them. */
+  def createBranch(name: String, fromVersion: Long = -1L): TransactionalTable =
+    synchronized {
+      require(branchName.isEmpty, "create branches from the main handle")
+      validBranchName(name)
+      val bdir = branchesDir.resolve(name)
+      require(!Files.exists(bdir.resolve("_current")), s"branch '$name' already exists")
+      val v = if (fromVersion >= 0) fromVersion else currentVersion
+      require(Files.exists(mainManifestDir.resolve(s"v$v.json")),
+        s"cannot branch from version $v: snapshot expired or never existed")
+      Files.createDirectories(bdir)
+      // Copy the source manifest verbatim — chunk paths are absolute, so the
+      // fork references the same immutable chunk files (expiry's chunk GC is
+      // branch-aware, see expireSnapshots).
+      Files.copy(mainManifestDir.resolve(s"v$v.json"), bdir.resolve(s"v$v.json"))
+      val tmp = Paths.get(bdir.resolve("_current").toString + ".tmp")
+      Files.write(tmp, v.toString.getBytes, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, bdir.resolve("_current"), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      branch(name)
+    }
+
+  def listBranches: Seq[String] =
+    if (!Files.isDirectory(branchesDir)) Seq.empty
+    else {
+      val s = Files.list(branchesDir)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_current")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+
+  /** Delete a branch's manifests and pointer. Data files the branch alone
+    * referenced become orphans (swept by [[removeOrphanFiles]] after the
+    * grace window); files shared with main are untouched. */
+  def dropBranch(name: String): Unit = synchronized {
+    require(branchName.isEmpty, "drop branches from the main handle")
+    validBranchName(name)
+    val bdir = branchesDir.resolve(name)
+    if (Files.exists(bdir))
+      Files.walk(bdir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  /**
+   * Write-audit-publish: atomically fast-forward MAIN to the branch's head
+   * state — one metadata commit, no data movement. The published commit
+   * carries the greater of the two batchId fences (streaming batches applied
+   * on the branch must stay fenced after publish; batches applied on main
+   * meanwhile must too). Optimistic like every commit: a concurrent main
+   * writer triggers recompute-and-retry against the fresh head.
+   */
+  def publish(name: String): Unit = synchronized {
+    require(branchName.isEmpty, "publish from the main handle")
+    val b = branch(name)
+    retryingCommit("publish") { snap =>
+      val head = b.snapshot
+      // The published version must EXCEED the branch head: published files
+      // carry `_seq` stamps up to head.version, and a later main delete file
+      // can only mask rows whose `_seq` is lower than its own committing
+      // version. Main's numbering may skip — every version walk filters on
+      // manifest existence.
+      commit(Snapshot(math.max(snap.version, head.version) + 1,
+        math.max(snap.batchId, head.batchId), head.files, head.deletes))
+    }
+  }
 
   private def writeRefs(refs: Map[String, Long]): Unit = {
     val node = mapper.createObjectNode()
@@ -529,14 +640,26 @@ final class TransactionalTable private (
    * bound under continuous CDC.
    */
   def expireSnapshots(keepLast: Int = 2): Unit = synchronized {
+    require(branchName.isEmpty, "expire snapshots from the main handle")
     require(keepLast >= 1, "must keep at least the current snapshot")
     val current = currentVersion
     val cutoff = current - keepLast + 1
     if (cutoff <= 0) return
     val tagged = tags.values.toSet
+    // Publish after branch divergence can skip main version numbers — keep
+    // only versions whose manifest actually exists.
     val keptVersions = ((cutoff to current) ++ tagged.filter(_ < cutoff)).distinct.sorted
+      .filter(v => Files.exists(manifestDir.resolve(s"v$v.json")))
     val kept = keptVersions.map(snapshotAt)
-    val referenced = kept.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
+    // Branch lineages pin their files and chunk refs: a branch forked before
+    // the cutoff must survive main's expiry untouched.
+    val branchKept: Seq[Snapshot] = listBranches.flatMap { b =>
+      val h = branch(b); (0L to h.currentVersion).flatMap(v =>
+        if (Files.exists(branchesDir.resolve(b).resolve(s"v$v.json")))
+          Some(h.snapshotAt(v)) else None)
+    }
+    val referenced = (kept ++ branchKept)
+      .flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
     (0L until cutoff).filterNot(tagged).foreach { v =>
       val m = manifestDir.resolve(s"v$v.json")
       if (Files.exists(m)) {
@@ -554,9 +677,16 @@ final class TransactionalTable private (
     }
     // Manifest-chunk GC: drop chunk files no remaining manifest references
     // (expired versions' exclusive chunks, plus crash-orphaned chunks).
+    // Branch manifests reference main chunk files (O(1) forks) — theirs are
+    // live too.
     val chunksDir = manifestDir.resolve("chunks")
     if (Files.isDirectory(chunksDir)) {
-      val live = keptVersions.flatMap(chunkPathsOf).toSet
+      val branchChunks = listBranches.flatMap { b =>
+        val h = branch(b); (0L to h.currentVersion).flatMap(v =>
+          if (Files.exists(branchesDir.resolve(b).resolve(s"v$v.json")))
+            h.chunkPathsOf(v) else Seq.empty)
+      }
+      val live = (keptVersions.flatMap(chunkPathsOf) ++ branchChunks).toSet
       val s = Files.list(chunksDir)
       try s.iterator().asScala
         .filterNot(p => live.contains(p.toString))
@@ -575,20 +705,27 @@ final class TransactionalTable private (
    * swept. Returns the number of files deleted.
    */
   def removeOrphanFiles(olderThanMs: Long = 3600000L): Long = synchronized {
+    require(branchName.isEmpty, "remove orphans from the main handle")
     if (!Files.isDirectory(dataDir)) return 0L
-    // Every path referenced by ANY retained manifest. Data files are
+    // Every path referenced by ANY retained manifest — main's AND every
+    // branch's (a file written on a branch is referenced only there until
+    // publish; sweeping it would destroy the branch). Data files are
     // referenced per part-file; delete files are referenced by directory.
     val refs = scala.collection.mutable.HashSet.empty[String]
-    val ms = Files.list(manifestDir)
-    val versions = try ms.iterator().asScala.map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }.toSeq
-    finally ms.close()
-    versions.foreach { v =>
-      val s = snapshotAt(v)
-      s.files.foreach(f => refs += f.path)
-      s.deletes.foreach(d => refs += d.path)
+    def collect(dir: Path, t: TransactionalTable): Unit = {
+      val ms = Files.list(dir)
+      val versions = try ms.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }.toSeq
+      finally ms.close()
+      versions.foreach { v =>
+        val s = t.snapshotAt(v)
+        s.files.foreach(f => refs += f.path)
+        s.deletes.foreach(d => refs += d.path)
+      }
     }
+    collect(manifestDir, this)
+    listBranches.foreach(b => collect(branchesDir.resolve(b), branch(b)))
     def referenced(p: Path): Boolean =
       refs.contains(p.toString) ||
         Iterator.iterate(p.getParent)(_.getParent).takeWhile(_ != null)
@@ -881,7 +1018,7 @@ final class TransactionalTable private (
       val evolved = schema.add(name, dataType, nullable = true)
       writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId)
       new TransactionalTable(spark, root, evolved, pk, partitionSpec, renames,
-        pastSpecs, currentSpecId)
+        pastSpecs, currentSpecId, branchName)
     }
 
   /**
@@ -904,7 +1041,7 @@ final class TransactionalTable private (
     val prunedRenames = renames - name.toLowerCase(java.util.Locale.ROOT)
     writeTableMeta(root, evolved, pk, partitionSpec, prunedRenames, pastSpecs, currentSpecId)
     new TransactionalTable(spark, root, evolved, pk, partitionSpec, prunedRenames,
-      pastSpecs, currentSpecId)
+      pastSpecs, currentSpecId, branchName)
   }
 
   /**
@@ -938,7 +1075,7 @@ final class TransactionalTable private (
     val newRenames = (renames - lc(from)) + (lc(to) -> olds)
     writeTableMeta(root, evolved, pk, partitionSpec, newRenames, pastSpecs, currentSpecId)
     new TransactionalTable(spark, root, evolved, pk, partitionSpec, newRenames,
-      pastSpecs, currentSpecId)
+      pastSpecs, currentSpecId, branchName)
   }
 
   /**
@@ -969,7 +1106,7 @@ final class TransactionalTable private (
       val nextId = (allSpecs.keySet + currentSpecId).max + 1
       val past = allSpecs // old current becomes a past spec
       writeTableMeta(root, schema, pk, next, renames, past, nextId)
-      new TransactionalTable(spark, root, schema, pk, next, renames, past, nextId)
+      new TransactionalTable(spark, root, schema, pk, next, renames, past, nextId, branchName)
     }
 
   /** Conform a merge/append input to the table schema: columns the input
@@ -1417,7 +1554,7 @@ final class TransactionalTable private (
       Files.deleteIfExists(mPath)
       Files.write(mPath, bytes, StandardOpenOption.CREATE_NEW)
     }
-    val tmp = Paths.get(root, s"_current.tmp")
+    val tmp = Paths.get(pointerPath.toString + ".tmp")
     Files.write(tmp, s.version.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
