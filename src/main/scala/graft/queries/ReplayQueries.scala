@@ -580,6 +580,47 @@ object ReplayQueries {
              |FROM events WHERE user_id = 7
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Z-ORDER rewrite (rewrite_data_files z-order strategy): the events
+    // fixture is loaded, z-ordered on (user_id, event_id), and answered
+    // through a 2-D box predicate — after the rewrite every file's manifest
+    // stats are tight in BOTH dimensions, so the scan plans only the files
+    // whose rectangles intersect the box (premise-asserted). Oracle: the
+    // plain relational aggregate.
+    Q("cdc_zorder_box_scan",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val root = Files.createTempDirectory("graft_zo").toString + "/t"
+        val sch = StructType(Seq(StructField("event_id", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val t = TransactionalTable.create(s, root, sch, "event_id", None)
+        val noDeletes = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_id", LongType))))
+        t.merge(Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+          noDeletes, batchId = 0)
+        t.compactZOrdered(Seq("user_id", "event_id"), targetFiles = 16)
+        val files = t.snapshot.files
+        val kept = files.filter { f =>
+          f.stats.get("user_id").exists(r => r._1 <= 60L && r._2 >= 30L) &&
+            f.pkMin <= 4000L && f.pkMax >= 2000L
+        }
+        assert(files.size > 4 && kept.size * 2 <= files.size,
+          s"z-order premise: the box must prune most files (${kept.size}/${files.size})")
+        t.scan()
+          .filter(col("user_id").between(30, 60) && col("event_id").between(2000, 4000))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(20,6)")).cast("double").as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+             |FROM events
+             |WHERE user_id BETWEEN 30 AND 60 AND event_id BETWEEN 2000 AND 4000
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // WRITE-AUDIT-PUBLISH (Iceberg branch refs): scenario 2 is staged on an
     // "audit" branch — main still answers the 10-row scenario-1 state while
     // the branch holds the full golden end state — then published as ONE

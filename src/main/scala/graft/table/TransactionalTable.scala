@@ -1437,6 +1437,72 @@ final class TransactionalTable private (
     }
   }
 
+  /**
+   * Z-ORDER rewrite (Iceberg `rewrite_data_files` with a z-order strategy):
+   * range-repartition the WHOLE table on the 2-D Morton code of `zCols`, so
+   * every output file covers a small rectangle of the (a, b) plane — after
+   * which the per-column min/max stats the manifest already carries are
+   * TIGHT in BOTH dimensions and ManifestFileIndex prunes 2-dimensional
+   * box predicates to the few files whose rectangles intersect.
+   *
+   * Why it matters at 100 TB: PK-clustered files prune PK predicates only;
+   * a dashboard's `WHERE user BETWEEN … AND ts BETWEEN …` touches every
+   * file. Z-ordering trades one full rewrite for per-query I/O proportional
+   * to the box's area fraction.
+   *
+   * The Morton key is built from codegen'd bitwise builtins
+   * ([[graft.functions.ZOrder]]); normalization ranges come from the
+   * manifest's own column stats when every file carries them (zero extra
+   * I/O) and fall back to one tiny agg over the columns otherwise. Pending
+   * MOR deletes are folded in; time travel to pre-rewrite versions is
+   * unaffected; rewritten files are stamped with the current partition spec.
+   */
+  def compactZOrdered(zCols: Seq[String], targetFiles: Int = 0): Unit = synchronized {
+    require(zCols.length == 2, s"z-order takes exactly two columns, got $zCols")
+    zCols.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"z-order column '$c' not in table schema"))
+    require(targetFiles >= 0, "targetFiles must be >= 0 (0 = session default)")
+    retryingCommit("compactZOrdered") { snap =>
+      if (snap.files.nonEmpty) {
+        // Global [min,max] per z column: manifest stats first (the PK's live
+        // in pkMin/pkMax unless hash-domain; others in per-file stats).
+        def manifestRange(c: String): Option[(Long, Long)] = {
+          val lc = c.toLowerCase(java.util.Locale.ROOT)
+          val per = snap.files.map { f =>
+            if (!pkHashed && pkCols.head.equalsIgnoreCase(c)) Some((f.pkMin, f.pkMax))
+            else f.stats.get(lc)
+          }
+          if (per.nonEmpty && per.forall(_.isDefined))
+            Some((per.map(_.get._1).min, per.map(_.get._2).max))
+          else None
+        }
+        val data = scanWithDeletes(snap.files, snap.deletes)
+        val Seq(a, b) = zCols
+        val ranges: Option[((Long, Long), (Long, Long))] =
+          (manifestRange(a), manifestRange(b)) match {
+            case (Some(ra), Some(rb)) => Some((ra, rb))
+            case _ =>
+              val r = data.agg(
+                min(col(a).cast("long")), max(col(a).cast("long")),
+                min(col(b).cast("long")), max(col(b).cast("long"))).collect().head
+              if (r.anyNull) None // a z column is all-NULL: nothing to cluster on
+              else Some(((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+          }
+        ranges.foreach { case ((aMin, aMax), (bMin, bMax)) =>
+          val z = graft.functions.ZOrder.zValue2(col(a), aMin, aMax, col(b), bMin, bMax)
+          val zed = data.withColumn("_z", z)
+          val packed =
+            if (targetFiles > 0) zed.repartitionByRange(targetFiles, col("_z"))
+            else zed.repartitionByRange(col("_z"))
+          val newVersion = snap.version + 1
+          val newFiles = writeDataFiles(packed.drop("_z"),
+            commitDir(newVersion), seq = newVersion)
+          commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
+        }
+      }
+    }
+  }
+
   private def dataFileJson(f: DataFile): com.fasterxml.jackson.databind.node.ObjectNode = {
     val o = mapper.createObjectNode()
     o.put("path", f.path)
