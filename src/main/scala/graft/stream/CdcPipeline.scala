@@ -119,8 +119,35 @@ object CdcPipeline {
       /** Per-trigger intake cap (the Kinesis `maxFetchRecordsPerShard` /
         * rate-limit analogue, bounding batch size — and therefore merge
         * memory — during catch-up from a deep backlog). 0 = unbounded. */
-      maxFilesPerTrigger: Int = 0): StreamingQuery = {
-    val reader0 = spark.readStream.schema(Cdc.envelopeSchema)
+      maxFilesPerTrigger: Int = 0,
+      /** Reference parity with `inferSchema=true` (`job:80`): infer the
+        * envelope schema from the records present at start instead of the
+        * pinned [[Cdc.envelopeSchema]]. Producer-added fields become visible
+        * to the stream (the kernel projects the ones it knows; extras ride
+        * along untouched). Guarded where the reference is not: the inferred
+        * shape must still carry the load-bearing `data`/`metadata` structs,
+        * and an EMPTY source falls back to the pinned schema rather than
+        * failing (a fresh Kinesis stream has nothing to sample). Off by
+        * default: pinned schemas are deterministic across restarts. */
+      inferSchema: Boolean = false): StreamingQuery = {
+    val envelopeSchema =
+      if (!inferSchema) Cdc.envelopeSchema
+      else {
+        val dir = java.nio.file.Paths.get(inputDir)
+        val nonEmpty = java.nio.file.Files.isDirectory(dir) && {
+          val s = java.nio.file.Files.list(dir)
+          try s.iterator().hasNext finally s.close()
+        }
+        if (!nonEmpty) Cdc.envelopeSchema
+        else {
+          val inferred = spark.read.json(inputDir).schema
+          val top = inferred.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          require(top.contains("data") && top.contains("metadata"),
+            s"inferred stream schema lacks the envelope's data/metadata structs: $inferred")
+          inferred
+        }
+      }
+    val reader0 = spark.readStream.schema(envelopeSchema)
     val reader = if (maxFilesPerTrigger > 0)
       reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
     val source = reader.json(inputDir)

@@ -153,4 +153,34 @@ class StreamRecoverySpec extends SparkSpec {
     // without compaction there would be 4 single-row files in 'cart'
     assert(t.snapshot.files.size < 4, s"files=${t.snapshot.files.map(_.rows)}")
   }
+
+  test("inferSchema=true samples the source like the reference; extra fields ride along") {
+    val work = tmpDir("stream-infer")
+    val input = s"$work/input"
+    Files.createDirectories(Paths.get(input))
+    val t = TransactionalTable.create(spark, s"$work/table", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    // producer-evolved envelopes: every line gains a field the pinned schema
+    // does not know; inference must surface it and the kernel must still land
+    // the golden end state
+    def evolved(lines: Seq[String]): Seq[String] =
+      lines.map(_.replaceFirst("\\{\"data\": \\{",
+        "{\"data\": {\"new_producer_field\": \"x\", "))
+    CdcFixtures.write(input, "b1.jsonl", evolved(CdcFixtures.scenario1Lines))
+    CdcFixtures.write(input, "b2.jsonl", evolved(CdcFixtures.scenario2Lines))
+    val q = CdcPipeline.start(spark, input, t, s"$work/ckpt",
+      trigger = Trigger.ProcessingTime("1 second"), inferSchema = true)
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    assert(t.scan().select($"trans_id").as[Long].collect().sorted.toSeq ===
+      CdcFixtures.expectedEndState.map(_._1))
+    // empty source: inference falls back to the pinned schema, stream starts
+    val input2 = s"$work/input2"
+    Files.createDirectories(Paths.get(input2))
+    val t2 = TransactionalTable.create(spark, s"$work/table2", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    val q2 = CdcPipeline.start(spark, input2, t2, s"$work/ckpt2",
+      trigger = Trigger.ProcessingTime("1 second"), inferSchema = true)
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    assert(t2.countRows === 0)
+  }
 }
