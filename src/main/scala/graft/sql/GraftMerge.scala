@@ -89,15 +89,28 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** PK-equality condition `t.pk = s.pk` (either side order). */
-  private def isPkEquality(cond: Expression, pk: String, target: LogicalPlan,
-      source: LogicalPlan): Boolean = cond match {
-    case EqualTo(a: Attribute, b: Attribute) =>
-      val (tSide, sSide) =
-        if (target.outputSet.contains(a)) (a, b) else (b, a)
-      target.outputSet.contains(tSide) && source.outputSet.contains(sSide) &&
-        tSide.name.equalsIgnoreCase(pk) && sSide.name.equalsIgnoreCase(pk)
-    case _ => false
+  /** PK-equality condition: `t.pk = s.pk` for single keys, a pure
+    * conjunction of `t.c = s.c` covering EVERY member for composite keys
+    * (any side order per conjunct). Extra conjuncts or missing members →
+    * false (a partial-key merge would silently mis-match rows). */
+  private def isPkEquality(cond: Expression, pkCols: Seq[String], target: LogicalPlan,
+      source: LogicalPlan): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val matchedCols = conjuncts(cond).map {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        val (tSide, sSide) =
+          if (target.outputSet.contains(a)) (a, b) else (b, a)
+        if (target.outputSet.contains(tSide) && source.outputSet.contains(sSide) &&
+          tSide.name.equalsIgnoreCase(sSide.name)) Some(tSide.name.toLowerCase)
+        else None
+      case _ => None
+    }
+    matchedCols.forall(_.isDefined) &&
+      matchedCols.flatten.toSet == pkCols.map(_.toLowerCase).toSet
   }
 
   private def identityAssignments(assigns: Seq[Assignment]): Boolean =
@@ -137,10 +150,12 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (g.pinnedVersion.nonEmpty)
             throw new UnsupportedOperationException(
               "MERGE INTO a VERSION AS OF relation is not allowed")
-          val pk = TransactionalTable.open(spark, g.root).pk
-          if (!isPkEquality(cond, pk, target, source))
+          val tOpen = TransactionalTable.open(spark, g.root)
+          val pk = tOpen.pk
+          if (!isPkEquality(cond, tOpen.pkCols, target, source))
             throw new UnsupportedOperationException(
-              s"graft MERGE requires ON target.$pk = source.$pk")
+              "graft MERGE requires ON equality over the full primary key: " +
+                tOpen.pkCols.map(c => s"t.$c = s.$c").mkString(" AND "))
           // Star actions may arrive verbatim or already star-expanded into
           // explicit per-column identity assignments (the analyzer expands
           // them before post-hoc rules run) — accept both, requiring expanded

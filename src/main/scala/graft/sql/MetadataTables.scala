@@ -29,7 +29,12 @@ object MetadataTables {
   private val historySchema = StructType(Seq(
     StructField("version", LongType), StructField("batch_id", LongType),
     StructField("n_files", LongType), StructField("n_rows", LongType),
-    StructField("n_bytes", LongType), StructField("committed_at_ms", LongType)))
+    StructField("n_bytes", LongType), StructField("committed_at_ms", LongType),
+    // Iceberg snapshot-summary parity: per-commit churn vs the previous
+    // retained version, derived by manifest diffing at resolution time
+    StructField("added_files", LongType), StructField("added_rows", LongType),
+    StructField("removed_files", LongType), StructField("removed_rows", LongType),
+    StructField("n_delete_files", LongType)))
 
   private val filesSchema = StructType(Seq(
     StructField("path", StringType), StructField("partition", StringType),
@@ -43,11 +48,18 @@ object MetadataTables {
   def load(t: TransactionalTable, qualified: String, metaName: String): Table =
     metaName match {
       case "history" | "snapshots" =>
-        val rows = (0L to t.currentVersion).flatMap { v =>
-          scala.util.Try(t.snapshotAt(v)).toOption.map { s => // expired → absent
-            Array[Any](s.version, s.batchId, s.files.size.toLong,
-              s.rowCount, s.files.map(_.bytes).sum, s.committedAtMs)
-          }
+        val snaps = (0L to t.currentVersion).flatMap(v =>
+          scala.util.Try(t.snapshotAt(v)).toOption) // expired → absent
+        val rows = snaps.zipWithIndex.map { case (s, i) =>
+          val parentFiles = if (i == 0) Seq.empty else snaps(i - 1).files
+          val pPaths = parentFiles.map(_.path).toSet
+          val paths = s.files.map(_.path).toSet
+          val added = s.files.filterNot(f => pPaths(f.path))
+          val removed = parentFiles.filterNot(f => paths(f.path))
+          Array[Any](s.version, s.batchId, s.files.size.toLong,
+            s.rowCount, s.files.map(_.bytes).sum, s.committedAtMs,
+            added.size.toLong, added.map(_.rows).sum,
+            removed.size.toLong, removed.map(_.rows).sum, s.deletes.size.toLong)
         }
         new LocalRowsTable(s"$qualified.$metaName", historySchema, rows)
       case "files" =>

@@ -753,16 +753,30 @@ final class TransactionalTable private (
     deleted
   }
 
-  /** Snapshot history (Iceberg's `table.snapshots` parity), manifest-only:
-    * one row per committed version with its fencing batchId and stats. */
+  /** Snapshot history (Iceberg's `table.snapshots` + snapshot-summary
+    * parity), manifest-only: one row per committed version with its fencing
+    * batchId, stats, and the per-commit CHURN — files/rows added and removed
+    * vs the previous retained version, derived by diffing the two manifests
+    * (file lists are already in memory; nothing new is stored). A CoW merge
+    * shows its rewrite amplification here; a MOR merge shows added files
+    * plus pending delete-file count; compaction shows removed ≈ added. */
   def history(): DataFrame = {
     import spark.implicits._
-    (0L to currentVersion)
+    val snaps = (0L to currentVersion)
       .filter(v => Files.exists(manifestDir.resolve(s"v$v.json"))) // expired are gone
-      .map { v =>
-        val s = snapshotAt(v)
-        (s.version, s.batchId, s.files.size.toLong, s.rowCount, s.files.map(_.bytes).sum)
-      }.toDF("version", "batch_id", "n_files", "n_rows", "n_bytes")
+      .map(snapshotAt)
+    snaps.zipWithIndex.map { case (s, i) =>
+      val parentFiles = if (i == 0) Seq.empty else snaps(i - 1).files
+      val pPaths = parentFiles.map(_.path).toSet
+      val paths = s.files.map(_.path).toSet
+      val added = s.files.filterNot(f => pPaths(f.path))
+      val removed = parentFiles.filterNot(f => paths(f.path))
+      (s.version, s.batchId, s.files.size.toLong, s.rowCount, s.files.map(_.bytes).sum,
+        added.size.toLong, added.map(_.rows).sum,
+        removed.size.toLong, removed.map(_.rows).sum,
+        s.deletes.size.toLong)
+    }.toDF("version", "batch_id", "n_files", "n_rows", "n_bytes",
+      "added_files", "added_rows", "removed_files", "removed_rows", "n_delete_files")
   }
 
   /**

@@ -467,6 +467,25 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM graft_cs.db.retail.bogus").collect() }
   }
 
+  test("snapshot summary: history reports per-commit churn (API and SQL)") {
+    warehouse
+    val t = TransactionalTable.open(spark,
+      spark.conf.get("spark.sql.catalog.graft_cs.warehouse") + "/db/retail")
+    val h = t.history().orderBy("version")
+      .select("version", "added_rows", "removed_rows", "n_delete_files")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(h.head === ((0L, 0L, 0L, 0L)))
+    assert(h(1) === ((1L, 10L, 0L, 0L)), "scenario 1: pure insert, no rewrite")
+    val (v2, a2, r2, d2) = h(2)
+    // scenario 2 under CoW: the rewrite amplification is visible (rows
+    // rewritten alongside the net +2), and no delete files pend
+    assert(v2 === 2L && a2 - r2 === 2L && r2 > 0L && d2 === 0L, s"got $h")
+    val sqlRow = spark.sql(
+      """SELECT added_rows, removed_rows FROM graft_cs.db.retail.history
+        |WHERE version = 1""".stripMargin).as[(Long, Long)].head()
+    assert(sqlRow === ((10L, 0L)))
+  }
+
   test("SHOW TABLES; INSERT INTO appends through the engine commit path") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN graft_cs.db").select("tableName")

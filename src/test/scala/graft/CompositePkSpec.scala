@@ -102,6 +102,36 @@ class CompositePkSpec extends SparkSpec {
     }
   }
 
+  test("SQL MERGE INTO over a composite key: full-key ON works, partial-key ON rejected") {
+    val w = tmpDir("cpk-merge-wh")
+    spark.conf.set("spark.sql.catalog.graft_cpm", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cpm.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val t = TransactionalTable.create(spark, s"$w/db/m", sch, "region,id")
+    t.merge(Seq(("eu", 1L, 1.0), ("us", 1L, 2.0)).toDF("region", "id", "v"),
+      noDel, batchId = 0)
+    Seq(("eu", 1L, 10.0), ("ap", 3L, 30.0)).toDF("region", "id", "v")
+      .createOrReplaceTempView("cpk_src")
+    spark.sql("""MERGE INTO graft_cpm.db.m t USING cpk_src s
+                 ON t.region = s.region AND t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(state(TransactionalTable.open(spark, s"$w/db/m")) ===
+      Set(("eu", 1L, 10.0), ("us", 1L, 2.0), ("ap", 3L, 30.0)),
+      "the shared-id twin (us,1) must be untouched by the (eu,1) update")
+    Seq(("us", 1L)).toDF("region", "id").createOrReplaceTempView("cpk_del")
+    spark.sql("""MERGE INTO graft_cpm.db.m t USING cpk_del s
+                 ON t.region = s.region AND t.id = s.id
+                 WHEN MATCHED THEN DELETE""")
+    assert(state(TransactionalTable.open(spark, s"$w/db/m")) ===
+      Set(("eu", 1L, 10.0), ("ap", 3L, 30.0)))
+    // a partial-key ON would silently mis-match — must be rejected loudly
+    val ex = intercept[UnsupportedOperationException] {
+      spark.sql("""MERGE INTO graft_cpm.db.m t USING cpk_src s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(ex.getMessage.contains("full primary key"))
+  }
+
   test("guarded merge on a composite key is rejected loudly") {
     val s2 = StructType(sch.fields :+ StructField("ts", TimestampType))
     val t = TransactionalTable.create(spark, tmpDir("cpk-guard") + "/t", s2, "region,id")
