@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.TransactionalTable
+
+/**
+ * Streaming reads FROM a transactional table (Iceberg's Spark streaming-read
+ * parity — the consumption side of the MERGE sink):
+ *
+ *   spark.readStream.format("graft-table")
+ *     .option("path", tableRoot)
+ *     [.option("startingVersion", 0)]        // default: the version at start
+ *     [.option("skipNonAppends", true)]      // default: fail on rewrites
+ *     .load()
+ *
+ * A micro-batch source whose OFFSETS ARE TABLE VERSIONS: each micro-batch is
+ * exactly the set of data files appended by the commits in (start, end] —
+ * planning is manifest-only, and the per-batch scan delegates to Spark's own
+ * vectorized Parquet batch over just those files, so a consumer pays for the
+ * churn, never the table. Streaming semantics are APPEND-ONLY, like
+ * Iceberg's: a commit that removes or rewrites files (CoW merge, compaction)
+ * or adds delete files (MOR merge) cannot be represented as emitted rows —
+ * the stream fails loudly by default, or skips such commits whole when
+ * `skipNonAppends=true` (Iceberg's streaming-skip-overwrite-snapshots).
+ * Restart resumes from the checkpointed version offset; replays are exact
+ * because manifests and data files are immutable.
+ */
+final class GraftTableSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-table source requires .option(\"path\", tableRoot)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TransactionalTable.open(SparkSession.active, rootOf(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftStreamTable(properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("graft-table source requires a path")), schema)
+}
+
+private[sources] final class GraftStreamTable(root: String, tableSchema: StructType)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-table `$root`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tableSchema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftTableMicroBatchStream(root, tableSchema,
+          Option(options.get("startingVersion")).map(_.toLong),
+          options.getBoolean("skipNonAppends", false))
+    }
+}
+
+/** A committed table version as a streaming offset. */
+final case class VersionOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+private[sources] final class GraftTableMicroBatchStream(
+    root: String,
+    tableSchema: StructType,
+    startingVersion: Option[Long],
+    skipNonAppends: Boolean) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  // Handles are cheap (manifests are read per call, pointer per
+  // currentVersion); reopening per use also picks up schema evolution.
+  private def table: TransactionalTable = TransactionalTable.open(spark, root)
+
+  override def initialOffset(): Offset =
+    VersionOffset(startingVersion.getOrElse(table.currentVersion))
+
+  override def latestOffset(): Offset = VersionOffset(table.currentVersion)
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** The inner per-interval batch (built in planInputPartitions, whose
+    * factory createReaderFactory then hands out — Spark drives the two calls
+    * per micro-batch in that order on one thread). */
+  private var currentBatch: Batch = _
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val t = table
+    val (s, e) = (start.asInstanceOf[VersionOffset].version,
+      end.asInstanceOf[VersionOffset].version)
+    // Versions in (s, e] — numbering may hole after a branch publish.
+    val versions = (s to e).filter(v => t.manifestExists(v))
+    require(versions.headOption.contains(s),
+      s"streaming offset $s has been expired from $root — cannot resume exactly; " +
+        "restart with a fresh checkpoint (or retain more snapshots)")
+    val added = versions.sliding(2).collect { case Seq(p, v) =>
+      val prev = t.snapshotAt(p); val cur = t.snapshotAt(v)
+      val prevPaths = prev.files.map(_.path).toSet
+      val curPaths = cur.files.map(_.path).toSet
+      val addedFiles = cur.files.filterNot(f => prevPaths(f.path))
+      val removed = prev.files.exists(f => !curPaths(f.path))
+      val newDeletes = cur.deletes.map(_.path).toSet != prev.deletes.map(_.path).toSet
+      if (removed || newDeletes) {
+        if (!skipNonAppends) throw new UnsupportedOperationException(
+          s"version $v of $root is not append-only (rewrites or delete files); " +
+            "streaming reads emit appended rows only — set " +
+            "option(\"skipNonAppends\", true) to skip such commits, or consume " +
+            "net changelogs via TransactionalTable.changes")
+        Seq.empty // skip the whole non-append commit
+      } else addedFiles
+    }.flatten.toSeq
+    val entries = added.map(f => org.apache.spark.sql.graftshim.ManifestEntry(
+      f.path, f.partition, f.pkMin, f.pkMax, f.bytes, f.stats, f.bloom))
+    currentBatch = org.apache.spark.sql.graftshim.ManifestFileIndex
+      .scanBuilder(spark, tableSchema, entries, t.pk, CaseInsensitiveStringMap.empty(),
+        t.pkIsString)
+      .build().toBatch
+    currentBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    currentBatch.createReaderFactory()
+}

@@ -248,6 +248,10 @@ final class TransactionalTable private (
 
   def currentVersion: Long = new String(Files.readAllBytes(pointerPath)).trim.toLong
 
+  /** True when `version`'s manifest is retained (streaming offsets, tools). */
+  def manifestExists(version: Long): Boolean =
+    Files.exists(manifestDir.resolve(s"v$version.json"))
+
   def snapshot: Snapshot = snapshotAt(currentVersion)
 
   private def parseDataFile(f: com.fasterxml.jackson.databind.JsonNode): DataFile =

@@ -1,0 +1,88 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.table.TransactionalTable
+
+/** Streaming reads FROM the table (graft-table source): offsets are table
+  * versions, each micro-batch is the appended files of the committed
+  * interval, restarts resume from the checkpointed version, and non-append
+  * commits fail loudly or skip per option.
+  */
+class TableStreamReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sch = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def noDel = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+    StructType(Seq(StructField("id", LongType))))
+
+  /** Run the stream until drained, collecting (id, v) rows via foreachBatch
+    * (the memory sink refuses checkpoint recovery; foreachBatch supports it). */
+  private def drain(root: String, ckpt: String,
+      extra: Map[String, String] = Map.empty): Seq[(Long, String)] = {
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    var reader = spark.readStream.format("graft-table").option("path", root)
+    extra.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        df.select("id", "v").collect().foreach(r => acc.add((r.getLong(0), r.getString(1))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try { q.processAllAvailable() } finally { q.stop(); q.awaitTermination() }
+    acc.iterator().asScala.toSeq
+  }
+
+  test("appends stream as micro-batches; checkpointed restart delivers only new commits") {
+    val root = tmpDir("tsr") + "/t"
+    val ckpt = tmpDir("tsr-ckpt")
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.append(Seq(1L -> "a", 2L -> "b").toDF("id", "v"))
+    val got1 = drain(root, ckpt, Map("startingVersion" -> "0")).map(_._1).toSet
+    assert(got1 === Set(1L, 2L), "startingVersion=0 streams the existing state")
+
+    // two more commits while the stream is down; restart from the SAME
+    // checkpoint must deliver exactly them
+    t.append(Seq(3L -> "c").toDF("id", "v"))
+    t.append(Seq(4L -> "d").toDF("id", "v"))
+    val got2 = drain(root, ckpt).map(_._1).toSet
+    assert(got2 === Set(3L, 4L), s"restart must deliver only the new commits, got $got2")
+  }
+
+  test("default start position is the table tip: only future commits stream") {
+    val root = tmpDir("tsr-tip") + "/t"
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.append(Seq(1L -> "pre").toDF("id", "v"))
+    val ckpt = tmpDir("tsr-tip-ckpt")
+    val first = drain(root, ckpt) // no startingVersion
+    assert(first.isEmpty, "tip start sees nothing yet")
+    t.append(Seq(2L -> "post").toDF("id", "v"))
+    val second = drain(root, ckpt)
+    assert(second.map(_._2) === Seq("post"))
+  }
+
+  test("non-append commits fail loudly by default and are skipped with skipNonAppends") {
+    val root = tmpDir("tsr-rw") + "/t"
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.append(Seq(1L -> "a", 2L -> "b").toDF("id", "v"))
+    // CoW merge rewrites a file — not representable as appended rows
+    t.merge(Seq(1L -> "A").toDF("id", "v"), noDel, batchId = 5)
+    intercept[Exception] {
+      drain(root, tmpDir("tsr-rw-ckpt1"), Map("startingVersion" -> "0"))
+    }
+    // with skipNonAppends: the rewrite commit is skipped whole, later pure
+    // appends still stream
+    t.append(Seq(9L -> "z").toDF("id", "v"))
+    val got = drain(root, tmpDir("tsr-rw-ckpt2"),
+      Map("startingVersion" -> "0", "skipNonAppends" -> "true")).map(_._1).toSet
+    assert(got === Set(1L, 2L, 9L),
+      s"initial appends + later append stream; the rewrite commit is skipped, got $got")
+  }
+}
