@@ -580,6 +580,33 @@ object ReplayQueries {
              |FROM events WHERE user_id = 7
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // STORED PROCEDURES (Iceberg CALL catalog.system.* parity): the golden
+    // replay maintained entirely through the SQL runbook — tag the good
+    // state, take a catastrophic bad batch, CALL rollback_to_snapshot, then
+    // CALL compact — and the scan must still answer the golden end state.
+    Q("cdc_procedures_maintenance",
+      (s, _) => {
+        val cat = s"graft_pc${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_pc").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        val good = s.sql(s"CALL $cat.system.create_tag('db.retail', 'good', -1)")
+          .collect().head.getLong(0)
+        t.merge(t.scan().limit(0), t.scan().select(col(Cdc.PrimaryKey)), batchId = 2)
+        assert(t.scan().count() == 0L, "test premise: bad batch emptied the table")
+        s.sql(s"CALL $cat.system.rollback_to_snapshot('db.retail', $good)").collect()
+        s.sql(s"CALL $cat.system.compact('db.retail', ${1L << 20})").collect()
+        s.sql(s"SELECT trans_id, customer_id, event, sku, amount, device, " +
+          "date_format(trans_datetime, 'yyyy-MM-dd HH:mm:ss') AS trans_datetime " +
+          s"FROM $cat.db.retail ORDER BY trans_id")
+      },
+      Some(endStateOracle)),
+
     // Z-ORDER rewrite (rewrite_data_files z-order strategy): the events
     // fixture is loaded, z-ordered on (user_id, event_id), and answered
     // through a 2-D box predicate — after the rewrite every file's manifest

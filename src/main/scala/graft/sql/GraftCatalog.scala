@@ -34,7 +34,7 @@ import graft.table.TransactionalTable
  * other write forms are rejected — there is no path that bypasses the
  * manifest.
  */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -224,30 +224,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  /** Parse a partition-transform property value: `days(ts)`, `hours(ts)`,
-    * `bucket(8, col)`, `identity(col)` (or a bare column name), `none`. */
-  private def parseTransform(value: String): Option[graft.table.PartitionTransform] = {
-    val v = value.trim
-    if (v.equalsIgnoreCase("none")) None
-    else {
-      val fn = """(\w+)\s*\(\s*([^)]*)\s*\)""".r
-      Some(v match {
-        case fn("days", c) => graft.table.PartitionTransform.Days(c.trim)
-        case fn("hours", c) => graft.table.PartitionTransform.Hours(c.trim)
-        case fn("identity", c) => graft.table.PartitionTransform.Identity(c.trim)
-        case fn("bucket", args) => args.split(",").map(_.trim) match {
-          case Array(n, c) if n.forall(_.isDigit) =>
-            graft.table.PartitionTransform.Bucket(n.toInt, c)
-          case _ => throw new IllegalArgumentException(
-            s"bucket transform needs (count, column): '$v'")
-        }
-        case fn(other, _) => throw new UnsupportedOperationException(
-          s"unsupported partition transform '$other': identity/days/hours/bucket/none only")
-        case bare if bare.nonEmpty && !bare.contains("(") =>
-          graft.table.PartitionTransform.Identity(bare)
-        case _ => throw new IllegalArgumentException(s"cannot parse partition spec '$v'")
-      })
-    }
+  private def parseTransform(value: String): Option[graft.table.PartitionTransform] =
+    GraftCatalog.parseTransformSpec(value)
+
+  // --- Stored procedures (Iceberg `CALL catalog.system.…` parity): the
+  // table-maintenance surface — rollback, expiry, orphan sweep, the three
+  // compaction strategies, branches/tags, partition evolution. ---
+
+  /** Open `db.tbl` through this catalog's warehouse (procedure arguments). */
+  private[sql] def openByName(table: String): TransactionalTable = {
+    val parts = table.split("\\.")
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'db.tbl', got '$table'")
+    val ident = Identifier.of(parts.init, parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    TransactionalTable.open(spark, rootOf(ident))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"procedures live in the 'system' namespace: CALL $catalogName.system.<name>(...)")
+    GraftProcedures.load(this, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name()}' (have: ${GraftProcedures.names.mkString(", ")})"))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -283,6 +287,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException
+}
+
+object GraftCatalog {
+  /** Parse a partition-transform spec: `days(ts)`, `hours(ts)`,
+    * `bucket(8, col)`, `identity(col)` (or a bare column name), `none`. */
+  def parseTransformSpec(value: String): Option[graft.table.PartitionTransform] = {
+    val v = value.trim
+    if (v.equalsIgnoreCase("none")) None
+    else {
+      val fn = """(\w+)\s*\(\s*([^)]*)\s*\)""".r
+      Some(v match {
+        case fn("days", c) => graft.table.PartitionTransform.Days(c.trim)
+        case fn("hours", c) => graft.table.PartitionTransform.Hours(c.trim)
+        case fn("identity", c) => graft.table.PartitionTransform.Identity(c.trim)
+        case fn("bucket", args) => args.split(",").map(_.trim) match {
+          case Array(n, c) if n.forall(_.isDigit) =>
+            graft.table.PartitionTransform.Bucket(n.toInt, c)
+          case _ => throw new IllegalArgumentException(
+            s"bucket transform needs (count, column): '$v'")
+        }
+        case fn(other, _) => throw new UnsupportedOperationException(
+          s"unsupported partition transform '$other': identity/days/hours/bucket/none only")
+        case bare if bare.nonEmpty && !bare.contains("(") =>
+          graft.table.PartitionTransform.Identity(bare)
+        case _ => throw new IllegalArgumentException(s"cannot parse partition spec '$v'")
+      })
+    }
+  }
 }
 
 /**

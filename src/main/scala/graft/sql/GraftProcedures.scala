@@ -1,0 +1,151 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.TransactionalTable
+
+/**
+ * Table-maintenance stored procedures (Iceberg `CALL catalog.system.…`
+ * parity) over the DSv2 procedure API:
+ *
+ *   CALL graft.system.rollback_to_snapshot('db.t', 3)
+ *   CALL graft.system.expire_snapshots('db.t', 2)
+ *   CALL graft.system.remove_orphan_files('db.t', 3600000)
+ *   CALL graft.system.compact('db.t', 1048576)
+ *   CALL graft.system.compact_clustered('db.t', 8)
+ *   CALL graft.system.compact_zordered('db.t', 'a', 'b', 8)
+ *   CALL graft.system.create_branch('db.t', 'audit')
+ *   CALL graft.system.publish_branch('db.t', 'audit')
+ *   CALL graft.system.create_tag('db.t', 'prod', -1)
+ *   CALL graft.system.evolve_partitioning('db.t', 'days(ts)')
+ *
+ * Each returns one result row so operators see what happened (versions,
+ * counts) without a follow-up query — the runbook surface the reference gets
+ * from Iceberg's Spark procedures.
+ */
+object GraftProcedures {
+
+  private val S = StringType
+  private val L = LongType
+  private val I = IntegerType
+
+  private final case class Spec(
+      params: Seq[(String, DataType)],
+      result: StructType,
+      body: (GraftCatalog, InternalRow) => Seq[Any])
+
+  /** One engine op exposed as an Unbound+Bound procedure with a single-row
+    * LocalScan result. */
+  private final class P(procName: String, spec: Spec, cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      spec.params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
+    override def isDeterministic: Boolean = false // mutates table state
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = spec.body(cat, input).map {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(InternalRow.fromSeq(out))
+        override def readSchema(): StructType = spec.result
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private def open(cat: GraftCatalog, args: InternalRow): TransactionalTable =
+    cat.openByName(args.getUTF8String(0).toString)
+
+  private def row(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, dt) => StructField(n, dt) })
+
+  private val specs: Map[String, Spec] = Map(
+
+    "rollback_to_snapshot" -> Spec(
+      Seq("table" -> S, "version" -> L),
+      row("previous_version" -> L, "current_version" -> L),
+      (c, a) => {
+        val t = open(c, a); val prev = t.currentVersion
+        t.rollbackTo(a.getLong(1)); Seq(prev, t.currentVersion)
+      }),
+
+    "expire_snapshots" -> Spec(
+      Seq("table" -> S, "keep_last" -> I),
+      row("retained_versions" -> L),
+      (c, a) => {
+        val t = open(c, a); t.expireSnapshots(a.getInt(1))
+        Seq((0L to t.currentVersion).count(t.manifestExists).toLong)
+      }),
+
+    "remove_orphan_files" -> Spec(
+      Seq("table" -> S, "older_than_ms" -> L),
+      row("deleted_files" -> L),
+      (c, a) => Seq(open(c, a).removeOrphanFiles(a.getLong(1)))),
+
+    "compact" -> Spec(
+      Seq("table" -> S, "min_file_rows" -> L),
+      row("files_before" -> L, "files_after" -> L),
+      (c, a) => {
+        val t = open(c, a); val before = t.snapshot.files.size.toLong
+        t.compact(a.getLong(1)); Seq(before, t.snapshot.files.size.toLong)
+      }),
+
+    "compact_clustered" -> Spec(
+      Seq("table" -> S, "target_files" -> I),
+      row("files_after" -> L),
+      (c, a) => {
+        val t = open(c, a); t.compactClustered(a.getInt(1))
+        Seq(t.snapshot.files.size.toLong)
+      }),
+
+    "compact_zordered" -> Spec(
+      Seq("table" -> S, "col_a" -> S, "col_b" -> S, "target_files" -> I),
+      row("files_after" -> L),
+      (c, a) => {
+        val t = open(c, a)
+        t.compactZOrdered(Seq(a.getUTF8String(1).toString, a.getUTF8String(2).toString),
+          a.getInt(3))
+        Seq(t.snapshot.files.size.toLong)
+      }),
+
+    "create_branch" -> Spec(
+      Seq("table" -> S, "name" -> S),
+      row("fork_version" -> L),
+      (c, a) => Seq(open(c, a).createBranch(a.getUTF8String(1).toString).currentVersion)),
+
+    "publish_branch" -> Spec(
+      Seq("table" -> S, "name" -> S),
+      row("published_version" -> L),
+      (c, a) => {
+        val t = open(c, a); t.publish(a.getUTF8String(1).toString); Seq(t.currentVersion)
+      }),
+
+    "create_tag" -> Spec(
+      Seq("table" -> S, "name" -> S, "version" -> L),
+      row("tagged_version" -> L),
+      (c, a) => {
+        val t = open(c, a); t.createTag(a.getUTF8String(1).toString, a.getLong(2))
+        Seq(t.tags(a.getUTF8String(1).toString))
+      }),
+
+    "evolve_partitioning" -> Spec(
+      Seq("table" -> S, "spec" -> S),
+      row("current_spec_id" -> L),
+      (c, a) => {
+        val t = open(c, a)
+        Seq(t.evolvePartitioning(
+          GraftCatalog.parseTransformSpec(a.getUTF8String(1).toString)).currentSpecId.toLong)
+      }))
+
+  def names: Seq[String] = specs.keys.toSeq.sorted
+
+  def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
+    specs.get(name.toLowerCase(java.util.Locale.ROOT)).map(new P(name, _, cat))
+}

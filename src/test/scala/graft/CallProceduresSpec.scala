@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.table.TransactionalTable
+
+/** Stored procedures (CALL graft.system.*): the Iceberg-style maintenance
+  * runbook through SQL — each call mutates the table via the engine commit
+  * path and returns a one-row result describing what happened.
+  */
+class CallProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sch = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def mkWarehouse(cat: String): String = {
+    val w = tmpDir(s"proc-wh-$cat")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    w
+  }
+
+  private def noDel = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+    StructType(Seq(StructField("id", LongType))))
+
+  test("rollback_to_snapshot / create_tag / expire_snapshots round-trip") {
+    val w = mkWarehouse("gp1")
+    val t = TransactionalTable.create(spark, s"$w/db/t", sch, "id")
+    t.append(Seq(1L -> "a").toDF("id", "v"))
+    t.append(Seq(2L -> "b").toDF("id", "v"))
+    val tagged = spark.sql("CALL gp1.system.create_tag('db.t', 'good', -1)")
+      .as[Long].head()
+    assert(tagged === 2L)
+    t.append(Seq(3L -> "c").toDF("id", "v")) // the "bad" commit
+    val rb = spark.sql("CALL gp1.system.rollback_to_snapshot('db.t', 2)")
+      .as[(Long, Long)].head()
+    assert(rb === ((3L, 4L)), "rollback is a NEW commit on top of v3")
+    assert(TransactionalTable.open(spark, s"$w/db/t").scan().count() === 2L)
+    val retained = spark.sql("CALL gp1.system.expire_snapshots('db.t', 2)")
+      .as[Long].head()
+    assert(retained >= 2L && retained <= 3L, s"keepLast=2 plus the tag, got $retained")
+  }
+
+  test("compact / compact_clustered / compact_zordered / remove_orphan_files") {
+    val w = mkWarehouse("gp2")
+    val t = TransactionalTable.create(spark, s"$w/db/t",
+      StructType(Seq(StructField("id", LongType), StructField("x", LongType),
+        StructField("y", LongType))), "id")
+    (0 until 3).foreach(i => t.append(
+      (0L until 64L).map(j => (i * 64L + j, j % 8, j / 8)).toDF("id", "x", "y"),
+      batchId = i))
+    val Seq((before, after)) = spark.sql("CALL gp2.system.compact('db.t', 1048576)")
+      .as[(Long, Long)].collect().toSeq
+    assert(before > after, s"compaction must shrink the file count ($before -> $after)")
+    val clustered = spark.sql("CALL gp2.system.compact_clustered('db.t', 4)")
+      .as[Long].head()
+    assert(clustered === 4L)
+    val zed = spark.sql("CALL gp2.system.compact_zordered('db.t', 'x', 'y', 4)")
+      .as[Long].head()
+    assert(zed >= 1L)
+    val swept = spark.sql("CALL gp2.system.remove_orphan_files('db.t', 0)").as[Long].head()
+    assert(swept >= 0L)
+    assert(TransactionalTable.open(spark, s"$w/db/t").scan().count() === 192L)
+  }
+
+  test("create_branch / publish_branch; evolve_partitioning; unknown procedure fails") {
+    val w = mkWarehouse("gp3")
+    val t = TransactionalTable.create(spark, s"$w/db/t",
+      StructType(Seq(StructField("id", LongType), StructField("ts", TimestampType),
+        StructField("v", StringType))), "id")
+    t.append(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("id", "ts", "v"))
+    val fork = spark.sql("CALL gp3.system.create_branch('db.t', 'wip')").as[Long].head()
+    assert(fork === 1L)
+    t.branch("wip").append(
+      Seq((2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "b")).toDF("id", "ts", "v"))
+    val pub = spark.sql("CALL gp3.system.publish_branch('db.t', 'wip')").as[Long].head()
+    assert(pub === 3L, "publish jumps past the branch head (1 -> max(1,2)+1)")
+    assert(TransactionalTable.open(spark, s"$w/db/t").scan().count() === 2L)
+    val specId = spark.sql("CALL gp3.system.evolve_partitioning('db.t', 'days(ts)')")
+      .as[Long].head()
+    assert(specId === 1L)
+    assert(TransactionalTable.open(spark, s"$w/db/t").partitionSpec ===
+      Some(graft.table.PartitionTransform.Days("ts")))
+    intercept[Exception] { spark.sql("CALL gp3.system.no_such_proc('db.t')").collect() }
+  }
+}
