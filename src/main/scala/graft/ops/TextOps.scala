@@ -125,4 +125,27 @@ object TextOps {
       col(idCol),
       md5Hash60(col(textCol)).as("content_hash"),
       array_min(transform(shingles(col(textCol)), s => md5Hash60(s))).as("min_shingle_hash"))
+
+  // PII scrub patterns: dialect-portable regexes — explicit ASCII character
+  // classes only (no shorthand escapes, no lookaround), so Java (Spark) and
+  // RE2 (DuckDB) match byte-identically and the scrub is oracle-checkable.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val Ipv4Pattern = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+  /**
+   * PII scrubbing for training corpora: redact emails, phone numbers and
+   * IPv4 addresses to stable placeholder tokens. One projection — three
+   * codegen'd `regexp_replace`s back to back, no UDF, fully parallel; at
+   * 100 TB this is a map-only pass with zero shuffle. `had_pii` lets a
+   * pipeline route scrubbed docs for audit without a second scan.
+   */
+  def scrubPii(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+    df.select(col(idCol), clean.as("clean"), (clean =!= col(textCol)).as("had_pii"))
+  }
 }

@@ -188,6 +188,40 @@ object ExtQueries {
              |  length(lower(translate(text, '.,!?;:''"()-', ''))) AS n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // X4: PII scrubbing (emails / phone numbers / IPv4 → placeholder tokens)
+    // — the standard pretraining-corpus redaction pass, as one map-only
+    // projection of three chained regexp_replace's (no UDF, zero shuffle).
+    // The fixture corpus carries no digits at all, so the PII is
+    // SYNTHESIZED deterministically from doc_id on both sides — the oracle
+    // rebuilds the identical dirty text and must produce byte-identical
+    // redactions (the regexes use explicit ASCII classes only, so Java and
+    // RE2 agree; DuckDB needs the 'g' flag for replace-all parity).
+    Q("x4_scrub_pii",
+      (s, d) => {
+        val raw = Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(lit("contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com call 555-867-5309 from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".99 "),
+            substring(col("text"), 1, 40)).as("text"))
+        TextOps.scrubPii(raw).orderBy("doc_id")
+      },
+      Some(s"""WITH raw AS (
+              |  SELECT doc_id,
+              |    'contact user' || CAST(doc_id AS VARCHAR)
+              |      || '@mail.example.com call 555-867-5309 from 10.0.'
+              |      || CAST(doc_id % 256 AS VARCHAR) || '.99 '
+              |      || substring(text, 1, 40) AS text
+              |  FROM documents),
+              |scrubbed AS (
+              |  SELECT doc_id, text,
+              |    regexp_replace(regexp_replace(regexp_replace(text,
+              |      '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+              |      '${TextOps.PhonePattern}', '<PHONE>', 'g'),
+              |      '${TextOps.Ipv4Pattern}', '<IP>', 'g') AS clean
+              |  FROM raw)
+              |SELECT doc_id, clean, clean <> text AS had_pii
+              |FROM scrubbed ORDER BY doc_id""".stripMargin)),
+
     // X4: 60-bit content + min-shingle-hash fingerprint. md5-derived (15 hex
     // chars → positive signed BIGINT both engines), so the exact hash VALUES
     // are recomputed by DuckDB and the query is fully hash-oracled.

@@ -58,4 +58,13 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Boolean)].head()
     assert(r === ((6L, 2L, 2.0 / 6.0, true)))
   }
+
+  test("scrubPii: redacts emails/phones/IPs, leaves clean text untouched") {
+    val out = TextOps.scrubPii(docs(
+        (1L, "mail a.b%c@sub.host.org or call 555-123-4567 via 192.168.0.1 now"),
+        (2L, "nothing sensitive here")))
+      .as[(Long, String, Boolean)].collect().map { case (k, v, b) => k -> ((v, b)) }.toMap
+    assert(out(1L) === (("mail <EMAIL> or call <PHONE> via <IP> now", true)))
+    assert(out(2L) === (("nothing sensitive here", false)))
+  }
 }
