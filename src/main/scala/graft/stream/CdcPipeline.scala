@@ -44,7 +44,13 @@ object CdcPipeline {
    *  a CDC pipeline is undebuggable. The count costs one pass over the
    *  already-persisted deduped batch. */
   def applyCdcBatch(table: TransactionalTable, envelopes: DataFrame, batchId: Long,
-      mode: graft.table.MergeMode = graft.table.MergeMode.CopyOnWrite): Unit = {
+      mode: graft.table.MergeMode = graft.table.MergeMode.CopyOnWrite,
+      /** Dead-letter queue: when set, malformed rows (null pk/op after
+        * flatten — unparseable JSON, DMS control records) are APPENDED here
+        * as JSON lines with their batch id, instead of only being counted.
+        * Quarantine-and-continue is the DMS error-handling posture: the
+        * stream never wedges on poison input, and nothing is silently lost. */
+      dlqDir: Option[String] = None): Unit = {
     val pkCol = col(Cdc.PrimaryKey)
     val bad = pkCol.isNull || col("_op").isNull
     val deduped = Cdc.latestPerKey(Cdc.flatten(envelopes)).persist()
@@ -52,8 +58,12 @@ object CdcPipeline {
       // F4 gate + malformed-row count in ONE action over the cached batch.
       val stats = deduped.agg(count(lit(1)).as("n"), count(when(bad, 1)).as("nbad")).head()
       val (total, dropped) = (stats.getLong(0), stats.getLong(1))
-      if (dropped > 0)
+      if (dropped > 0) {
         System.err.println(s"[cdc] batch $batchId: dropped $dropped malformed row(s) (null pk/op)")
+        dlqDir.foreach(d => deduped.filter(bad)
+          .withColumn("_dlq_batch_id", lit(batchId))
+          .write.mode("append").json(d))
+      }
       if (total - dropped > 0) {
         val valid = deduped.filter(!bad)
         val ups = Cdc.projectToTable(Cdc.upserts(valid))
@@ -129,7 +139,9 @@ object CdcPipeline {
         * and an EMPTY source falls back to the pinned schema rather than
         * failing (a fresh Kinesis stream has nothing to sample). Off by
         * default: pinned schemas are deterministic across restarts. */
-      inferSchema: Boolean = false): StreamingQuery = {
+      inferSchema: Boolean = false,
+      /** Dead-letter directory for malformed envelopes (see applyCdcBatch). */
+      dlqDir: Option[String] = None): StreamingQuery = {
     val envelopeSchema =
       if (!inferSchema) Cdc.envelopeSchema
       else {
@@ -167,7 +179,7 @@ object CdcPipeline {
           !element_at(split(input_file_name(), "/"), -1).isin(pre: _*))
     }
     val fn: (Dataset[Row], Long) => Unit = (df, batchId) => {
-      applyCdcBatch(table, df.toDF(), batchId, mode)
+      applyCdcBatch(table, df.toDF(), batchId, mode, dlqDir)
       // Periodic bin-packing: a 100 s trigger accretes ~864 commits/day of
       // small files; without a compaction cadence scan fan-out grows without
       // bound. 0 disables (reference-faithful default — Iceberg handles this

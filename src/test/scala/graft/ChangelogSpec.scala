@@ -94,6 +94,30 @@ class ChangelogSpec extends SparkSpec {
       "diff after destroying untouched carried files: they were never planned")
   }
 
+  test("property: before-state + changelog reproduces the after-state, any interval") {
+    val t = mk("chg-prop")
+    val rnd = new scala.util.Random(42)
+    for (b <- 0 until 5) {
+      val ups = Seq.fill(rnd.nextInt(8) + 1)(
+        (rnd.nextInt(30).toLong + 1, s"b$b-${rnd.nextInt(100)}")).distinct
+      val upKeys = ups.map(_._1).toSet
+      val dels = Seq.fill(rnd.nextInt(4))(rnd.nextInt(30).toLong + 1)
+        .distinct.filterNot(upKeys) // post-W1 contract: disjoint key sets
+      t.merge(ups.toDF("id", "v"), dels.toDF("id"), batchId = b.toLong)
+    }
+    val cur = t.currentVersion
+    def stateAt(v: Long): Set[(Long, String)] =
+      t.scanAt(v).select("id", "v").as[(Long, String)].collect().toSet
+    for (from <- 0L to cur; to <- from to cur) {
+      val d = t.changes(from, to).select("id", "v", "_change_type")
+        .as[(Long, String, String)].collect()
+      val ins = d.collect { case (i, v, "insert") => (i, v) }.toSet
+      val del = d.collect { case (i, v, "delete") => (i, v) }.toSet
+      assert((stateAt(from) -- del) ++ ins === stateAt(to),
+        s"interval [$from, $to] must reconstruct")
+    }
+  }
+
   test("changes sees later-added columns null-filled on the before side") {
     val t = mk("chg-schema")
     t.merge(rows(1L -> "a"), noDel, batchId = 0)

@@ -154,6 +154,24 @@ class StreamRecoverySpec extends SparkSpec {
     assert(t.snapshot.files.size < 4, s"files=${t.snapshot.files.map(_.rows)}")
   }
 
+  test("malformed envelopes quarantine to the dead-letter queue; the stream continues") {
+    val work = tmpDir("stream-dlq")
+    val input = s"$work/input"
+    val dlq = s"$work/dlq"
+    Files.createDirectories(Paths.get(input))
+    val t = TransactionalTable.create(spark, s"$work/table", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcFixtures.write(input, "b1.jsonl",
+      CdcFixtures.scenario1Lines :+ """this is not json at all""")
+    val q = CdcPipeline.start(spark, input, t, s"$work/ckpt",
+      trigger = Trigger.ProcessingTime("1 second"), dlqDir = Some(dlq))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    assert(t.countRows === 10, "the good rows must land despite the poison line")
+    val quarantined = spark.read.json(dlq)
+    assert(quarantined.count() === 1L)
+    assert(quarantined.columns.contains("_dlq_batch_id"))
+  }
+
   test("inferSchema=true samples the source like the reference; extra fields ride along") {
     val work = tmpDir("stream-infer")
     val input = s"$work/input"
