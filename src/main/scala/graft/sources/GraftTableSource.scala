@@ -69,7 +69,8 @@ private[sources] final class GraftStreamTable(root: String, tableSchema: StructT
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new GraftTableMicroBatchStream(root, tableSchema,
           Option(options.get("startingVersion")).map(_.toLong),
-          options.getBoolean("skipNonAppends", false))
+          options.getBoolean("skipNonAppends", false),
+          Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
     }
 }
 
@@ -82,7 +83,14 @@ private[sources] final class GraftTableMicroBatchStream(
     root: String,
     tableSchema: StructType,
     startingVersion: Option[Long],
-    skipNonAppends: Boolean) extends MicroBatchStream {
+    skipNonAppends: Boolean,
+    /** Per-trigger version cap (Iceberg's streaming rate-limit analogue):
+      * bounds each catch-up micro-batch to N commits' worth of files — and
+      * therefore bounds batch memory — when resuming against a deep backlog.
+      * None = drain to the tip every trigger. */
+    maxVersionsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
   // Handles are cheap (manifests are read per call, pointer per
@@ -93,6 +101,19 @@ private[sources] final class GraftTableMicroBatchStream(
     VersionOffset(startingVersion.getOrElse(table.currentVersion))
 
   override def latestOffset(): Offset = VersionOffset(table.currentVersion)
+
+  // Admission control: cap each micro-batch at maxVersionsPerTrigger commits.
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val tip = table.currentVersion
+    maxVersionsPerTrigger match {
+      case Some(cap) =>
+        VersionOffset(math.min(tip, start.asInstanceOf[VersionOffset].version + cap))
+      case None => VersionOffset(tip)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = VersionOffset(table.currentVersion)
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.trim.toLong)
 

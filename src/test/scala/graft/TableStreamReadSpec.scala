@@ -68,6 +68,26 @@ class TableStreamReadSpec extends SparkSpec {
     assert(second.map(_._2) === Seq("post"))
   }
 
+  test("maxVersionsPerTrigger bounds catch-up batches to N commits each") {
+    val root = tmpDir("tsr-cap") + "/t"
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    (1 to 4).foreach(i => t.append(Seq(i.toLong -> s"v$i").toDF("id", "v"), batchId = i))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+      .load().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batches.add(df.count()); ()
+      }
+      .option("checkpointLocation", tmpDir("tsr-cap-ckpt"))
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try { q.processAllAvailable() } finally { q.stop(); q.awaitTermination() }
+    val sizes = batches.iterator().asScala.toSeq.filter(_ > 0)
+    assert(sizes.sum === 4L, s"all four appended rows must arrive, got $sizes")
+    assert(sizes.forall(_ === 1L),
+      s"each micro-batch must carry exactly one commit's rows, got $sizes")
+  }
+
   test("non-append commits fail loudly by default and are skipped with skipNonAppends") {
     val root = tmpDir("tsr-rw") + "/t"
     val t = TransactionalTable.create(spark, root, sch, "id")
