@@ -65,6 +65,22 @@ class ZOrderSpec extends SparkSpec {
     assert(n === 256L, "box query must plan only the box-intersecting files")
   }
 
+  test("z-order composes with hidden partitioning: rewrite keeps directory layout") {
+    val root = tmpDir("zorder-part") + "/t"
+    val t = TransactionalTable.createPartitioned(spark, root,
+      StructType(sch.fields :+ StructField("cat", StringType)), "id",
+      Some(graft.table.PartitionTransform.Identity("cat")))
+    t.merge((0L until 1024L).map(i => (i, i % 32, i / 32, i.toDouble,
+      if (i % 2 == 0) "even" else "odd")).toDF("id", "x", "y", "v", "cat"),
+      noDel, batchId = 0)
+    t.compactZOrdered(Seq("x", "y"), targetFiles = 8)
+    val files = t.snapshot.files
+    assert(files.flatMap(_.partition).toSet === Set("even", "odd"),
+      "rewritten files must keep the partition spec's directory values")
+    assert(t.scan().filter(col("cat") === "even").count() === 512L)
+    assert(t.scan().filter(col("x") <= 7 && col("y") <= 7).count() === 8L * 8L)
+  }
+
   test("manifest-stats normalization: no extra scan needed, MOR deletes folded") {
     val t = TransactionalTable.create(spark, tmpDir("zorder-mor") + "/t", sch, "id")
     grid(t)
