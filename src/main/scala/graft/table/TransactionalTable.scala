@@ -292,6 +292,14 @@ final class TransactionalTable private (
   }
 
   def snapshotAt(version: Long): Snapshot = {
+    // A raw NoSuchFileException here surfaces verbatim to SQL users
+    // (`VERSION AS OF n` on an expired or publish-skipped version) — name
+    // the actual failure and the retained range instead.
+    if (!Files.exists(manifestDir.resolve(s"v$version.json")))
+      throw new IllegalArgumentException(
+        s"no snapshot v$version at $root${branchName.fold("")(b => s" (branch $b)")}: " +
+          "expired, publish-skipped, or never committed " +
+          s"(current version: ${currentVersion})")
     val node = mapper.readTree(Files.readAllBytes(manifestDir.resolve(s"v$version.json")))
     val files =
       if (node.has("chunks")) {
