@@ -511,6 +511,29 @@ object ReplayQueries {
              |  ('visit', CAST(2 AS BIGINT))
              |) AS t(partition, n) ORDER BY partition""".stripMargin)),
 
+    // Metadata-only MIN/MAX/COUNT (GraftCountStarRule manifest fold — Iceberg
+    // column-stats parity): the whole answer comes from manifest footer stats,
+    // zero data files opened (CatalogSpec asserts the LocalTableScan plan).
+    // Oracle = the same aggregates over the golden replayed end state.
+    Q("cdc_metadata_minmax_sql",
+      (s, _) => {
+        val cat = s"graft_mm${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mm").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"""SELECT COUNT(*) AS n, MIN(trans_id) AS min_id,
+                  MAX(trans_id) AS max_id, MAX(amount) AS max_amount
+                  FROM $cat.db.retail""")
+      },
+      Some(s"""SELECT COUNT(*) AS n, MIN(trans_id) AS min_id,
+              |MAX(trans_id) AS max_id, MAX(amount) AS max_amount
+              |FROM ($endStateOracle) t""".stripMargin)),
+
     // HIDDEN PARTITIONING days(ts) (Iceberg partition-transform parity, the
     // contract the reference's `PARTITIONED BY` DDL implies,
     // `README.md:364-367`): a days(ts)-partitioned table is built from the

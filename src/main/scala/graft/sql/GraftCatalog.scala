@@ -334,7 +334,7 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     /** Some(v) when resolved via VERSION AS OF — such relations are read-only
       * even for MERGE */
     val pinnedVersion: Option[Long],
-    pk: String,
+    val pk: String,
     /** snapshot version this relation was resolved at (= pinnedVersion when
       * time-traveling, else the current version) — pins the MOR rewrite to
       * the same snapshot the file list came from */

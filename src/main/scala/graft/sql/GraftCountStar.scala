@@ -1,56 +1,111 @@
 package graft.sql
 
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
 
 /**
- * Metadata-only `SELECT COUNT(*)` over graft catalog tables — what Iceberg's
+ * Metadata-only aggregates over graft catalog tables — what Iceberg's
  * manifests give Athena for the reference's own verification query
  * (`README.md:507-513`: `SELECT COUNT(*) FROM retail_trans_iceberg`): the
- * manifest already knows the exact row count, so an unfiltered count never
- * needs to open a single data file.
+ * manifest already knows the exact row count and per-file column [min,max]
+ * stats, so an unfiltered COUNT(*)/MIN/MAX never needs to open a data file.
  *
- * An ungrouped Aggregate whose every output is a bare `COUNT(*)`/`COUNT(lit)`
- * (no DISTINCT, no FILTER clause, no grouping, nothing between it and the
+ * An ungrouped Aggregate whose EVERY output is a bare `COUNT(*)`/`COUNT(lit)`
+ * or a `MIN(col)`/`MAX(col)` over a manifest-stat-covered column (no
+ * DISTINCT, no FILTER clause, no grouping, nothing between it and the
  * relation except attribute-only projections) over a [[GraftSqlTable]] with
  * no pending merge-on-read deletes is folded to a [[LocalRelation]] holding
- * the manifest count of the snapshot the relation resolved at (so
- * `VERSION AS OF` counts stay snapshot-exact). With pending deletes the
- * count depends on the anti-join → no rewrite (GraftMorScanRule has already
+ * the manifest answer of the snapshot the relation resolved at (so
+ * `VERSION AS OF` answers stay snapshot-exact). With pending deletes the
+ * answer depends on the anti-join → no rewrite (GraftMorScanRule has already
  * substituted the relation by then, so this rule never even sees it).
+ *
+ * MIN/MAX folding is conservative — a bound is used only when it is PROVEN
+ * exact:
+ *  - every live file carries a [min,max] for the column (the PK always does,
+ *    unless its footer stats degraded to the never-prunable sentinel range;
+ *    other integral/date/timestamp columns carry theirs in per-file stats —
+ *    a file whose column was all-null or skipped has no entry → no fold);
+ *  - a hashed (string/composite) PK's range is ORDERLESS → never folded;
+ *  - parquet footer min/max ignore nulls, exactly like SQL MIN/MAX, so
+ *    min-of-mins / max-of-maxes over all files is the exact answer;
+ *  - an empty snapshot folds to NULL (and COUNT to 0), per SQL semantics.
  */
 class GraftCountStarRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def manifestCount(plan: LogicalPlan): Option[Long] = plan match {
+  private def tableOf(plan: LogicalPlan): Option[GraftSqlTable] = plan match {
     case Project(ps, child) if ps.forall(_.isInstanceOf[Attribute]) =>
-      manifestCount(child)
+      tableOf(child)
     case r: DataSourceV2Relation => r.table match {
-      case g: GraftSqlTable if !g.morPending => Some(g.rowCount)
+      case g: GraftSqlTable if !g.morPending && !g.renamesPending => Some(g)
       case _ => None
     }
     case _ => None
   }
 
-  private def isBareCountStar(e: NamedExpression): Boolean = e match {
+  /** Manifest-exact internal-row value for one aggregate output, when
+    * provable. `Some(null)` is a REAL fold (MIN/MAX of an empty table);
+    * `None` means "cannot prove — leave the plan alone". */
+  private def foldValue(g: GraftSqlTable, e: NamedExpression): Option[Any] = e match {
     case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty &&
         ae.mode == Complete =>
       ae.aggregateFunction match {
-        case Count(Seq(Literal(v, _))) => v != null // COUNT(NULL) counts nothing
-        case _ => false
+        case Count(Seq(Literal(v, _))) if v != null => Some(g.rowCount)
+        case Min(a: Attribute) => statBound(g, a, isMin = true)
+        case Max(a: Attribute) => statBound(g, a, isMin = false)
+        case _ => None
       }
-    case _ => false
+    case _ => None
+  }
+
+  private def statBound(g: GraftSqlTable, a: Attribute, isMin: Boolean): Option[Any] = {
+    val supported = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
+      case _ => false
+    }
+    if (!supported) return None
+    if (g.entries.isEmpty || g.rowCount == 0L) return Some(null)
+    val isPk = a.name.equalsIgnoreCase(g.pk)
+    val ranges: Option[Seq[(Long, Long)]] =
+      if (isPk) {
+        if (g.pkHashed) None // hash key domain has no order
+        else {
+          val rs = g.entries.map(e => (e.pkMin, e.pkMax))
+          // Absent footer stats degrade a file to the full-range sentinel —
+          // conservative for pruning, but NOT a real bound: refuse the fold.
+          if (rs.exists { case (mn, mx) => mn == Long.MinValue && mx == Long.MaxValue }) None
+          else Some(rs)
+        }
+      } else {
+        val key = a.name.toLowerCase(Locale.ROOT)
+        val rs = g.entries.map(_.stats.get(key))
+        if (rs.exists(_.isEmpty)) None else Some(rs.map(_.get))
+      }
+    ranges.map { rs =>
+      val v = if (isMin) rs.map(_._1).min else rs.map(_._2).max
+      a.dataType match {
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case IntegerType | DateType => v.toInt // dates: epoch days as Int
+        case _ => v // longs; timestamps: epoch µs as Long
+      }
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg @ Aggregate(Nil, exprs, child, _)
-        if exprs.nonEmpty && exprs.forall(isBareCountStar) &&
-          manifestCount(child).isDefined =>
-      val n = manifestCount(child).get
-      LocalRelation(agg.output, Seq(InternalRow.fromSeq(exprs.map(_ => n))))
+    case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty && tableOf(child).isDefined =>
+      val g = tableOf(child).get
+      val vals = exprs.map(e => foldValue(g, e))
+      if (vals.forall(_.isDefined))
+        LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals.map(_.get))))
+      else agg
   }
 }

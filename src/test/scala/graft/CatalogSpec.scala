@@ -152,6 +152,35 @@ class CatalogSpec extends SparkSpec {
     assert(filtered.as[Long].head() === 2L)
   }
 
+  test("MIN/MAX are answered from manifest column stats, not a data scan") {
+    warehouse
+    val df = spark.sql(
+      "SELECT COUNT(*) AS c, MIN(trans_id) AS mn, MAX(trans_id) AS mx, " +
+        "MAX(amount) AS ma FROM graft_cs.db.retail")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected manifest-folded agg in:\n$plan")
+    assert(!plan.contains("Parquet"), s"min/max must not scan files:\n$plan")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)) === ((12L, 19L, 47L, 85)))
+    // snapshot-exact under time travel
+    assert(spark.sql("SELECT MAX(trans_id) AS mx FROM graft_cs.db.retail VERSION AS OF 1")
+      .as[Long].head() === 35L)
+    // a string column has no manifest range — data scan, still correct
+    val s = spark.sql("SELECT MIN(event) AS e FROM graft_cs.db.retail")
+    assert(!s.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(s.as[String].head() === "cart")
+    // a WHERE clause disables the fold (bounds depend on data)
+    val filtered = spark.sql(
+      "SELECT MAX(trans_id) AS mx FROM graft_cs.db.retail WHERE event = 'cart'")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(filtered.as[Long].head() === 30L)
+    // timestamps fold too (footer INT64 µs ≡ catalyst micros)
+    val ts = spark.sql("SELECT MIN(trans_datetime) AS t FROM graft_cs.db.retail")
+    assert(ts.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(ts.selectExpr("date_format(t, 'yyyy-MM-dd HH:mm:ss')").as[String].head()
+      === "2023-01-16 06:00:02")
+  }
+
   test("hidden partitioning days(ts): DDL + write-side derivation + destroyed-file pruning") {
     val w = tmpDir("graft-hp-warehouse")
     spark.conf.set("spark.sql.catalog.graft_hp", "graft.sql.GraftCatalog")
