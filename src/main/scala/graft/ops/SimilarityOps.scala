@@ -219,6 +219,35 @@ object SimilarityOps {
   }
 
   /**
+   * Recall@k certificate for the Lloyd-refined IVF path ([[ivfTopK]] with
+   * `iters > 0` — the configuration the 100 TB plan actually runs, which the
+   * DuckDB oracle cannot replay bit-for-bit: a distributed mean is not
+   * reproducible across engines). Instead of the approximate answer itself,
+   * the driver-checkable surface is its QUALITY BOUND: recall of the refined
+   * IVF top-k against the exact cosine top-k, thresholded. One output row
+   * `(queries, k, recall_ok)` — `queries` is data-derived (oracled exactly);
+   * `recall_ok` is the premise assert: any quality regression of the refined
+   * quantizer (seeding, Lloyd step, probe selection) flips it and fails the
+   * round's hash compare. Everything runs as one distributed plan — the
+   * exact side is a broadcast cross join, the join on (qid, neighbor)
+   * a leftsemi over two k·|queries|-row sides.
+   */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      minRecall: Double, cells: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val approx = ivfTopK(corpus, queries, k, dim, cells, nprobe, iters, idCol, vecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val exact = cosineTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("qid", "neighbor_id"), "leftsemi")
+    queries.agg(count(lit(1)).cast("long").as("queries"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("queries"), lit(k).as("k"),
+        (col("n_hit") >= col("n_exact") * lit(minRecall)).as("recall_ok"))
+  }
+
+  /**
    * All corpus pairs with cosine above `threshold` (embedding near-dup
    * detection). Brute force (n² scored pairs) — correct at verification scale;
    * kept as the oracle twin of [[nearDupLshPairs]], which is the plan to run

@@ -387,6 +387,24 @@ object ExtQueries {
              |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM sc) z
              |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+    // X3: recall certificate for the LLOYD-REFINED IVF path (iters=3 — the
+    // configuration the 100 TB plan actually runs; x3_ann_ivf_topk oracles
+    // the iters=0 pipeline bit-for-bit, but a distributed mean is not
+    // reproducible cross-engine, so the refined path's driver surface is its
+    // quality bound instead). Measured recall@5 (IvfRecallProbe): 0.90 /
+    // 0.675 / 0.60 at sf0.001/0.01/0.1 — the 0.5 threshold certifies the
+    // refined quantizer with ≥4-hit margin at every fixture scale; any
+    // regression in seeding, the Lloyd step, or probe selection flips the
+    // boolean and fails the hash compare. `queries` is data-derived.
+    Q("x3_ivf_recall",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        SimilarityOps.ivfRecall(e, e.filter(col("vec_id") < 8), k = 5, dim = 64,
+          minRecall = 0.5, nprobe = 6, iters = 3)
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS queries, CAST(5 AS INT) AS k,
+             |true AS recall_ok FROM embeddings WHERE vec_id < 8""".stripMargin)),
+
     // X3: embedding near-dup pairs above cosine 0.4 (brute force; exact).
     Q("x3_embedding_neardup",
       (s, d) => SimilarityOps.nearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.4),
