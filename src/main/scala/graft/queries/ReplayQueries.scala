@@ -295,6 +295,27 @@ object ReplayQueries {
            |ORDER BY trans_id""".stripMargin
       }),
 
+    // TYPE WIDENING (Iceberg type-promotion parity): replay scenario1, widen
+    // amount int→long (metadata-only, zero data movement), replay scenario2 —
+    // pre-widen INT32 files and post-widen files answer ONE scan under the
+    // widened schema (Spark 4 Parquet widening promotion); time travel keeps
+    // the narrow type (CatalogSpec). Oracle: golden end state, amount BIGINT.
+    Q("cdc_widen_column_end_state",
+      (s, _) => {
+        val t = replay1(s)
+        val t2 = t.widenColumn("amount", org.apache.spark.sql.types.LongType)
+        CdcPipeline.replayLines(s, t2, CdcFixtures.scenario2Lines, batchId = 1)
+        t2.scan()
+          .select(col("trans_id"), col("amount"))
+          .orderBy("trans_id")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState.map { case (id, _, _, _, amt, _, _) =>
+          s"(CAST($id AS BIGINT), CAST($amt AS BIGINT))"
+        }.mkString(", ")
+        s"SELECT * FROM (VALUES $rows) AS t(trans_id, amount) ORDER BY trans_id"
+      }),
+
     // INCREMENTAL CHANGELOG READ (Iceberg incremental scan /
     // create_changelog_view parity — the "CDC out" counterpart of the MERGE
     // sink): the golden replay's diff from the post-scenario1 snapshot to the

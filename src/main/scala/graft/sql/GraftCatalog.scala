@@ -210,6 +210,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case rn: TableChange.RenameColumn =>
         throw new UnsupportedOperationException(
           s"nested RENAME COLUMN not supported: ${rn.fieldNames().mkString(".")}")
+      case up: TableChange.UpdateColumnType if up.fieldNames().length == 1 =>
+        t = t.widenColumn(up.fieldNames().head, up.newDataType())
+      case up: TableChange.UpdateColumnType =>
+        throw new UnsupportedOperationException(
+          s"nested ALTER COLUMN TYPE not supported: ${up.fieldNames().mkString(".")}")
       // Partition evolution through SQL (Spark's parser has no ADD PARTITION
       // FIELD form for third-party catalogs, so the property route plays
       // Iceberg's role): ALTER TABLE t SET TBLPROPERTIES

@@ -1071,6 +1071,45 @@ final class TransactionalTable private (
   }
 
   /**
+   * ALTER TABLE ... ALTER COLUMN TYPE — Iceberg type-promotion parity: the
+   * lossless primitive widenings (byte/short/int→long chain, float→double).
+   * Metadata-only, zero data movement: Spark 4's Parquet readers perform
+   * widening type promotion at scan, so files written with the narrow
+   * physical type read directly under the widened schema (the effect
+   * Iceberg gets from its promotion rules at schema-id resolution).
+   * Snapshots committed BEFORE the widen keep the narrow type under time
+   * travel (per-snapshot schema stamps, [[schemaAt]]). Manifest column
+   * stats already live in the Long domain, so file pruning is unaffected.
+   * The PK and partition source column are load-bearing (delete-file key
+   * schemas, partition-value derivation) and cannot be retyped.
+   */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): TransactionalTable =
+    synchronized {
+      import org.apache.spark.sql.types._
+      val f = schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(s"no such column '$name'"))
+      require(!pkCols.exists(_.equalsIgnoreCase(name)),
+        s"cannot retype primary-key column '$name' (pk: $pk)")
+      require(!partitionCol.exists(_.equalsIgnoreCase(name)),
+        s"cannot retype partition column '${partitionCol.getOrElse("")}'")
+      val widens = (f.dataType, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      require(widens,
+        s"unsupported type change for '$name': ${f.dataType.simpleString} → " +
+          s"${to.simpleString} (lossless widenings only: byte/short/int→long, float→double)")
+      val evolved = StructType(schema.fields.map(x =>
+        if (x.name.equalsIgnoreCase(name)) x.copy(dataType = to) else x))
+      writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId)
+      new TransactionalTable(spark, root, evolved, pk, partitionSpec, renames,
+        pastSpecs, currentSpecId, branchName)
+    }
+
+  /**
    * ALTER TABLE ... RENAME COLUMN — metadata-only, zero data movement (the
    * effect Iceberg gets from field-id name mapping): the live schema swaps
    * the name, and reads bridge files still carrying the old name by reading

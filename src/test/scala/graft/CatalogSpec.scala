@@ -339,6 +339,52 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER COLUMN TYPE widening: int→long metadata-only; both file eras in one scan") {
+    val w = tmpDir("graft-widen-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_wd", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_wd.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val root = s"$w/db/retail"
+    val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
+      Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+    val preWiden = TransactionalTable.open(spark, root).currentVersion
+
+    spark.sql("ALTER TABLE graft_wd.db.retail ALTER COLUMN amount TYPE BIGINT")
+    assert(TransactionalTable.open(spark, root).schema("amount").dataType
+      === org.apache.spark.sql.types.LongType)
+
+    // pre-widen INT32 files read directly under the widened schema
+    val live = spark.sql("SELECT amount FROM graft_wd.db.retail WHERE trans_id = 28")
+    assert(live.schema("amount").dataType === org.apache.spark.sql.types.LongType)
+    assert(live.as[Long].head() === 1L)
+    // post-widen merge (narrow-typed batch, the pipeline's original shape):
+    // both eras answer one scan
+    CdcPipeline.replayLines(spark, TransactionalTable.open(spark, root),
+      CdcFixtures.scenario2Lines, batchId = 1)
+    val got = spark.sql(
+      "SELECT trans_id, amount FROM graft_wd.db.retail ORDER BY trans_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 12 && got(19L) === 39L && got(41L) === 5L)
+    // time travel reads the PRE-widen snapshot under its narrow schema
+    val travel = spark.sql(
+      s"SELECT amount FROM graft_wd.db.retail VERSION AS OF $preWiden")
+    assert(travel.schema("amount").dataType === org.apache.spark.sql.types.IntegerType)
+    // narrowing and load-bearing columns are rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wd.db.retail ALTER COLUMN amount TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wd.db.retail ALTER COLUMN customer_id TYPE BIGINT")
+    }
+    // PK guard at the engine API (a same-type SQL change no-ops upstream,
+    // so the require is only reachable through the API)
+    intercept[Exception] {
+      TransactionalTable.open(spark, root)
+        .widenColumn("trans_id", org.apache.spark.sql.types.LongType)
+    }
+  }
+
   test("ALTER TABLE RENAME COLUMN: metadata-only, bridges old files; time travel keeps old name") {
     val w = tmpDir("graft-rename-warehouse")
     spark.conf.set("spark.sql.catalog.graft_rn", "graft.sql.GraftCatalog")
