@@ -295,6 +295,51 @@ object ReplayQueries {
            |ORDER BY trans_id""".stripMargin
       }),
 
+    // STREAMING SINK REPLAY (writeStream.format("graft-table")): the golden
+    // scenarios delivered through the v1 sink — one transactional merge per
+    // epoch, epoch id as the replay fence. Rows enter pre-deduped (the
+    // pipeline's post-W1 shape; fixture-size driver collect, test scale
+    // only) with a _deleted routing flag. Oracle: identical golden end state.
+    Q("cdc_sink_replay_end_state",
+      (s, _) => {
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val root = Files.createTempDirectory("graft_sink").toString + "/t"
+        TransactionalTable.create(s, root, Cdc.tableSchema, Cdc.PrimaryKey,
+          Some(Cdc.PartitionColumn))
+        type R = (Long, String, String, String, Int, String, java.sql.Timestamp, Boolean)
+        def rowsOf(lines: Seq[String]): Seq[R] = {
+          val d = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+          val ups = Cdc.projectToTable(Cdc.upserts(d)).collect().map(r => (
+            r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+            r.getInt(4), r.getString(5), r.getTimestamp(6), false)).toSeq
+          val dels = Cdc.deletes(d).select(col(Cdc.PrimaryKey)).collect()
+            .map(r => (r.getLong(0), "", "", "", 0, "",
+              new java.sql.Timestamp(0L), true)).toSeq
+          ups ++ dels
+        }
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+          (Long, String, String, String, Int, String, java.sql.Timestamp, Boolean)]
+        val q = mem.toDF()
+          .toDF("trans_id", "customer_id", "event", "sku", "amount", "device",
+            "trans_datetime", "_deleted")
+          .writeStream.format("graft-table").option("path", root)
+          .option("checkpointLocation", Files.createTempDirectory("graft_sink_ck").toString)
+          .option("deleteCol", "_deleted").outputMode("update").start()
+        try {
+          mem.addData(rowsOf(CdcFixtures.scenario1Lines): _*)
+          q.processAllAvailable()
+          mem.addData(rowsOf(CdcFixtures.scenario2Lines): _*)
+          q.processAllAvailable()
+        } finally { q.stop(); q.awaitTermination() }
+        TransactionalTable.open(s, root).scan()
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+          .orderBy("trans_id")
+      },
+      Some(endStateOracle)),
+
     // TYPE WIDENING (Iceberg type-promotion parity): replay scenario1, widen
     // amount int→long (metadata-only, zero data movement), replay scenario2 —
     // pre-widen INT32 files and post-widen files answer ONE scan under the

@@ -37,7 +37,8 @@ import graft.table.TransactionalTable
  * Restart resumes from the checkpointed version offset; replays are exact
  * because manifests and data files are immutable.
  */
-final class GraftTableSource extends TableProvider with DataSourceRegister {
+final class GraftTableSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-table"
 
@@ -52,6 +53,108 @@ final class GraftTableSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table =
     new GraftStreamTable(properties.asScala.getOrElse("path",
       throw new IllegalArgumentException("graft-table source requires a path")), schema)
+
+  /**
+   * Streaming writes INTO the table — the production-side twin of the
+   * streaming read (Iceberg `writeStream.format("iceberg")` parity):
+   *
+   *   df.writeStream.format("graft-table")
+   *     .option("path", tableRoot)
+   *     .outputMode("append" | "update")
+   *     [.option("mode", "append" | "merge")]        // default per output mode
+   *     [.option("mergeMode", "cow" | "mor" | "morpos")]
+   *     [.option("deleteCol", "_deleted")]           // bool col routes deletes
+   *     .option("checkpointLocation", ...)
+   *     .start()
+   *
+   * Served through DataStreamWriter's v1 `StreamSinkProvider` path (the
+   * provider's DSv2 table advertises no STREAMING_WRITE, so Spark falls back
+   * here — the read capabilities of the same format are untouched). The
+   * target table must already exist: schema and PK are table-level contracts,
+   * like `INSERT INTO`. Exactly-once: each micro-batch commits with its
+   * epoch id as the batchId replay fence, so a restarted query re-delivering
+   * a committed epoch is a no-op — the same T4 idempotence the CDC
+   * pipeline's foreachBatch merge uses, now behind a one-line sink API.
+   */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val p = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val root = p.getOrElse("path",
+      throw new IllegalArgumentException("graft-table sink requires .option(\"path\", tableRoot)"))
+    require(TransactionalTable.exists(root),
+      s"graft-table sink target does not exist: $root — create the table first " +
+        "(schema and primary key are table-level contracts)")
+    require(partitionColumns.isEmpty,
+      "partitioning is fixed at table creation; drop partitionBy() on the writer")
+    require(outputMode != OutputMode.Complete(),
+      "graft-table sink supports Append (append) and Update (merge) output modes")
+    val mode = p.getOrElse("mode",
+      if (outputMode == OutputMode.Update()) "merge" else "append")
+    require(mode == "append" || mode == "merge", s"unknown sink mode '$mode'")
+    val mergeMode = p.getOrElse("mergemode", "cow") match {
+      case "cow" => graft.table.MergeMode.CopyOnWrite
+      case "mor" => graft.table.MergeMode.MergeOnRead
+      case "morpos" => graft.table.MergeMode.MergeOnReadPositional
+      case other => throw new IllegalArgumentException(
+        s"unknown mergeMode '$other' (cow | mor | morpos)")
+    }
+    new GraftTableSink(root, mode, mergeMode, p.get("deletecol"))
+  }
+}
+
+/** V1 streaming sink: one transactional engine commit per micro-batch. */
+private[sources] final class GraftTableSink(root: String, mode: String,
+    mergeMode: graft.table.MergeMode, deleteCol: Option[String])
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+  import org.apache.spark.sql.graftshim.GraftShims
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // Materialize the micro-batch ONCE: the engine merge makes several passes
+    // (file pruning, the write, footer stats) and the streaming plan must not
+    // be re-executed per pass.
+    val rdd = GraftShims.toInternalRdd(data).map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val df = GraftShims.internalCreateDataFrame(spark, rdd, data.schema)
+      val t = TransactionalTable.open(spark, root)
+      // Align to the table schema by name (casts cover widened tables fed by
+      // narrow-typed streams); every table column must be present.
+      def aligned(d: DataFrame): DataFrame = {
+        val present = d.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        t.schema.fields.foreach(f => require(
+          present.contains(f.name.toLowerCase(java.util.Locale.ROOT)),
+          s"sink batch is missing table column '${f.name}'"))
+        d.select(t.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+          .toIndexedSeq: _*)
+      }
+      mode match {
+        case "append" =>
+          require(deleteCol.isEmpty, "deleteCol requires mode=merge")
+          t.append(aligned(df), batchId)
+        case "merge" =>
+          val (ups, dels) = deleteCol match {
+            case Some(c) =>
+              require(df.columns.exists(_.equalsIgnoreCase(c)),
+                s"deleteCol '$c' not present in the stream")
+              val isDel = coalesce(col(c).cast("boolean"), lit(false))
+              (aligned(df.filter(not(isDel))),
+                df.filter(isDel).select(t.pkCols.map(col): _*))
+            case None =>
+              (aligned(df), spark.createDataFrame(
+                spark.sparkContext.emptyRDD[Row],
+                StructType(t.pkCols.map(c => t.schema(c)))))
+          }
+          t.merge(ups, dels, batchId, mergeMode)
+      }
+    } finally { rdd.unpersist(); () }
+  }
 }
 
 private[sources] final class GraftStreamTable(root: String, tableSchema: StructType)

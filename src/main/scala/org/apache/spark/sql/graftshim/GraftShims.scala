@@ -25,6 +25,20 @@ object GraftShims {
   def unescapePathName(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
+  /** InternalRow RDD of a DataFrame's physical plan (streaming sink
+    * materialization: rows must be copied + cached so the micro-batch plan
+    * executes once, not once per engine pass). */
+  def toInternalRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd
+
+  /** Rebuild a batch DataFrame over an InternalRow RDD (`internalCreateDataFrame`
+    * is `private[sql]`). */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** First integer literal argument of a DSv2 Transform (the bucket count of
     * `bucket(n, col)`). LiteralValue is `private[sql]`, hence shimmed here. */
   def transformLiteralInt(t: org.apache.spark.sql.connector.expressions.Transform): Option[Int] =
