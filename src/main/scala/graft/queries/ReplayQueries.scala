@@ -295,6 +295,83 @@ object ReplayQueries {
            |ORDER BY trans_id""".stripMargin
       }),
 
+    // INSERT OVERWRITE (Iceberg static/dynamic overwrite parity): replay the
+    // golden scenarios, then replace the 'cart' partition with one summary
+    // row in a single atomic commit — untouched partitions carry their files
+    // by identity, the pre-overwrite snapshot stays time-travelable. Oracle:
+    // the golden end state minus cart rows plus the replacement.
+    Q("cdc_insert_overwrite_partition",
+      (s, _) => {
+        val cat = s"graft_io${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_io").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(
+          s"""INSERT OVERWRITE $cat.db.retail PARTITION (event = 'cart')
+             |SELECT 1000L, 'c1000', 'SKU1000', 5, 'pc',
+             |       TIMESTAMP '2023-01-16 12:00:00'""".stripMargin)
+        s.sql(s"""SELECT trans_id, event, amount FROM $cat.db.retail
+                  ORDER BY trans_id""")
+      },
+      Some {
+        val kept = CdcFixtures.expectedEndState.filter(_._3 != "cart")
+          .map { case (id, _, ev, _, amt, _, _) => s"(CAST($id AS BIGINT), '$ev', $amt)" }
+        val rows = (kept :+ "(CAST(1000 AS BIGINT), 'cart', 5)").mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
+      }),
+
+    // RUNTIME FILTERING (DSv2 SupportsRuntimeV2Filtering — Iceberg
+    // SparkBatchQueryScan.filter parity): a dim-filtered fact join where the
+    // broadcast build side's key set arrives as an IN runtime filter and
+    // prunes fact FILES before the probe scan plans. The premise is proved
+    // destructively: every 'visit'-partition file is deleted from disk, so
+    // the query can only succeed if join-time pruning kept the scan away
+    // from them; the plan is asserted to carry the dynamic-pruning filter.
+    // Oracle: the cart/like rows of the scenario-1 state.
+    Q("cdc_runtime_filter_join",
+      (s, _) => {
+        import s.implicits._
+        val cat = s"graft_rf${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_rf").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        t.snapshot.files.filter(_.partition.contains("visit"))
+          .foreach(f => Files.delete(java.nio.file.Paths.get(f.path)))
+        val dimSch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tag",
+            org.apache.spark.sql.types.StringType)))
+        val dim = TransactionalTable.create(s, s"$warehouse/db/dim", dimSch, "event")
+        dim.append(Seq(("cart", "keep"), ("like", "keep"), ("visit", "drop"))
+          .toDF("event", "tag"))
+        val df = s.sql(
+          s"""SELECT f.trans_id, f.event FROM $cat.db.retail f
+             |JOIN $cat.db.dim d ON f.event = d.event
+             |WHERE d.tag = 'keep' ORDER BY f.trans_id""".stripMargin)
+        assert(df.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
+          "premise: the fact scan must carry the dim key set as a runtime filter")
+        df
+      },
+      Some {
+        val rows = CdcFixtures.expectedStateV1
+          .filter(r => r._3 == "cart" || r._3 == "like")
+          .map { case (id, _, ev, _, _, _, _) => s"(CAST($id AS BIGINT), '$ev')" }
+          .mkString(", ")
+        s"SELECT * FROM (VALUES $rows) AS t(trans_id, event) ORDER BY trans_id"
+      }),
+
     // STREAMING SINK REPLAY (writeStream.format("graft-table")): the golden
     // scenarios delivered through the v1 sink — one transactional merge per
     // epoch, epoch id as the replay fence. Rows enter pre-deduped (the
@@ -985,10 +1062,13 @@ object ReplayQueries {
           .select(col("col_name"), col("data_type"))
           .orderBy("col_name")
       },
+      // 'event' appears twice: once as a column, once under DESCRIBE's
+      // "# Partition Information" section (the table reports its partition
+      // transform through DSv2 `partitioning()` — Iceberg DESCRIBE parity).
       Some("""SELECT * FROM (VALUES
              |  ('amount', 'int'), ('customer_id', 'string'), ('device', 'string'),
-             |  ('event', 'string'), ('sku', 'string'), ('trans_datetime', 'timestamp'),
-             |  ('trans_id', 'bigint')
+             |  ('event', 'string'), ('event', 'string'), ('sku', 'string'),
+             |  ('trans_datetime', 'timestamp'), ('trans_id', 'bigint')
              |) AS t(col_name, data_type) ORDER BY col_name""".stripMargin)),
 
     // Scale-up CDC replay over the events fixture (sf-scalable, full

@@ -154,7 +154,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       sch, entries, spark, root, version, t.pk,
       loadedVersion = snap.version, morPending = snap.deletes.nonEmpty,
       rowCount = snap.rowCount, renamesPending = renPending,
-      pkHashed = t.pkIsString)
+      pkHashed = t.pkIsString, partSpec = t.partitionSpec)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -356,11 +356,24 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     val renamesPending: Boolean = false,
     /** true when the table's PK is a string: manifest pkMin/pkMax/bloom live
       * in the xxhash64 key domain (see TransactionalTable.pkIsString) */
-    val pkHashed: Boolean = false)
+    val pkHashed: Boolean = false,
+    /** the table's CURRENT partition transform — reported as DSv2
+      * partitioning so `INSERT OVERWRITE ... PARTITION (...)` and dynamic
+      * partition overwrite resolve against it */
+    val partSpec: Option[graft.table.PartitionTransform] = None)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    partSpec.toArray.map {
+      case graft.table.PartitionTransform.Identity(c) => Expressions.identity(c)
+      case graft.table.PartitionTransform.Days(c) => Expressions.days(c)
+      case graft.table.PartitionTransform.Hours(c) => Expressions.hours(c)
+      case graft.table.PartitionTransform.Bucket(n, c) => Expressions.bucket(n, c)
+    }
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -373,7 +386,9 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
         s"$tableName has pending merge-on-read delete files or renamed " +
           "columns; register spark.sql.extensions=graft.sql.GraftExtensions " +
           "(engine-aware SQL reads) or run compact()")
-    org.apache.spark.sql.graftshim.ManifestFileIndex.scanBuilder(
-      spark, tableSchema, entries, pk, options, pkHashed)
+    // Stats-reporting + runtime-filtering scan: exact numRows/sizeInBytes
+    // from the manifest, and join-time whole-file pruning (GraftScan).
+    org.apache.spark.sql.graftshim.GraftScanBuilder(
+      spark, tableSchema, entries, pk, options, pkHashed, rowCount)
   }
 }

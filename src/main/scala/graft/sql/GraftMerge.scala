@@ -58,6 +58,15 @@ final case class GraftAppendCommand(root: String, source: LogicalPlan) extends U
     copy(source = newChild)
 }
 
+/** `INSERT OVERWRITE graft.db.t [PARTITION (...)] ...` — full-table, static-
+  * partition, or dynamic-partition replacement as ONE engine commit. */
+final case class GraftOverwriteCommand(root: String, source: LogicalPlan,
+    staticPartitions: Option[Seq[String]], dynamic: Boolean) extends UnaryCommand {
+  override def child: LogicalPlan = source
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftOverwriteCommand =
+    copy(source = newChild)
+}
+
 /** `CREATE TABLE graft.db.t AS SELECT ...` — create through the catalog, then
   * one transactional append of the query result (non-atomic CTAS like Spark's
   * own non-staging path, but the data lands via the engine's manifest commit). */
@@ -88,6 +97,12 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
 
   /** PK-equality condition: `t.pk = s.pk` for single keys, a pure
     * conjunction of `t.c = s.c` covering EVERY member for composite keys
@@ -211,6 +226,70 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => a
       }
 
+    // INSERT OVERWRITE (static mode): deleteExpr is TrueLiteral (whole
+    // table) or the PARTITION clause's equality on the partition source
+    // column — reversed through the table's CURRENT transform into the
+    // manifest partition value it names.
+    case o: OverwriteByExpression if o.childrenResolved =>
+      graftTarget(o.table) match {
+        case Some(g) =>
+          if (g.pinnedVersion.nonEmpty)
+            throw new UnsupportedOperationException(
+              "INSERT OVERWRITE a VERSION AS OF relation is not allowed")
+          o.deleteExpr match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(true, _) =>
+              GraftOverwriteCommand(g.root, o.query, None, dynamic = false)
+            case expr =>
+              val desc = g.partSpec.map(_.desc).getOrElse(
+                throw new UnsupportedOperationException(
+                  "partition-scoped INSERT OVERWRITE on an unpartitioned table"))
+              // PARTITION (col = v) arrives as a (null-safe) equality whose
+              // value side may be Cast-wrapped — any foldable side counts.
+              def litOf(e: Expression): Option[(Any, org.apache.spark.sql.types.DataType)] =
+                e match {
+                  case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+                    Some((l.value, l.dataType))
+                  case c if c.foldable => Some((c.eval(null), c.dataType))
+                  case _ => None
+                }
+              def eqSides(e: Expression): Option[(Attribute, Any,
+                  org.apache.spark.sql.types.DataType)] = e match {
+                case EqualTo(a: Attribute, r) => litOf(r).map(v => (a, v._1, v._2))
+                case EqualTo(l, a: Attribute) => litOf(l).map(v => (a, v._1, v._2))
+                case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+                    a: Attribute, r) => litOf(r).map(v => (a, v._1, v._2))
+                case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+                    l, a: Attribute) => litOf(l).map(v => (a, v._1, v._2))
+                case _ => None
+              }
+              val vals = conjuncts(expr).map { c =>
+                eqSides(c).filter(_._1.name.equalsIgnoreCase(desc.col)) match {
+                  case Some((attr, v, dt)) =>
+                    org.apache.spark.sql.graftshim.PartitionPrune.valueOf(desc, v, dt)
+                      .getOrElse(throw new UnsupportedOperationException(
+                        s"cannot derive a partition value from ${attr.name} = $v"))
+                  case None => throw new UnsupportedOperationException(
+                    s"INSERT OVERWRITE supports the whole table or PARTITION " +
+                      s"equality on '${desc.col}' only, got: $c")
+                }
+              }
+              GraftOverwriteCommand(g.root, o.query, Some(vals), dynamic = false)
+          }
+        case None => o
+      }
+
+    // INSERT OVERWRITE (spark.sql.sources.partitionOverwriteMode=dynamic):
+    // replace exactly the partitions the written rows touch.
+    case o: OverwritePartitionsDynamic if o.childrenResolved =>
+      graftTarget(o.table) match {
+        case Some(g) =>
+          if (g.pinnedVersion.nonEmpty)
+            throw new UnsupportedOperationException(
+              "INSERT OVERWRITE a VERSION AS OF relation is not allowed")
+          GraftOverwriteCommand(g.root, o.query, None, dynamic = true)
+        case None => o
+      }
+
     // Row-level SQL beyond MERGE (Iceberg v2's remaining write surface):
     // `DELETE FROM t WHERE c` routes the matching keys through the engine's
     // delete merge; `UPDATE t SET ... WHERE c` scans the matching rows with
@@ -322,6 +401,17 @@ final case class GraftAppendExec(cmd: GraftAppendCommand) extends LeafExecNode {
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
 }
 
+final case class GraftOverwriteExec(cmd: GraftOverwriteCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val t = TransactionalTable.open(session, cmd.root)
+    t.overwrite(org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.source),
+      cmd.staticPartitions, cmd.dynamic)
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
 final case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
   override def output: Seq[Attribute] = Nil
   override def executeCollect(): Array[InternalRow] = { run; Array.empty }
@@ -341,6 +431,8 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
       GraftMergeExec(cmd) :: Nil
     case cmd: GraftAppendCommand =>
       GraftAppendExec(cmd) :: Nil
+    case cmd: GraftOverwriteCommand =>
+      GraftOverwriteExec(cmd) :: Nil
     case cmd: GraftCtasCommand =>
       GraftCtasExec(cmd) :: Nil
     case _ => Nil

@@ -1199,6 +1199,60 @@ final class TransactionalTable private (
     }
   }
 
+  /**
+   * INSERT OVERWRITE parity (Iceberg static/dynamic overwrite): replace the
+   * whole table or whole partitions in ONE atomic commit — old snapshots
+   * stay time-travelable, readers of the prior version are undisturbed.
+   *
+   *  - `staticPartitions = None, dynamic = false`: full-table overwrite —
+   *    the new snapshot holds only the written files (pending delete files
+   *    are cleared; nothing they masked survives).
+   *  - `staticPartitions = Some(vals)`: replace exactly those partition
+   *    values; rows landing OUTSIDE them abort the commit (checked against
+   *    the written files' manifest partitions — cheap, pre-commit).
+   *  - `dynamic = true`: replace exactly the partitions the written rows
+   *    touch (Spark's `partitionOverwriteMode=dynamic` semantics).
+   *
+   * Partition-scoped overwrites compare manifest partition VALUES, so every
+   * live file must carry the current partition spec — under partition
+   * evolution, older-spec files could silently retain rows that belong to a
+   * replaced partition. Compact first (rewrites stamp the current spec).
+   * SQL-path op: the commit keeps the snapshot's batchId (never advances
+   * the streaming replay fence, same as mergeAdhoc).
+   */
+  def overwrite(rows: DataFrame, staticPartitions: Option[Seq[String]] = None,
+      dynamic: Boolean = false): Unit = synchronized {
+    require(!(staticPartitions.nonEmpty && dynamic),
+      "static partition values and dynamic mode are mutually exclusive")
+    retryingCommit("overwrite") { snap =>
+      val newVersion = snap.version + 1
+      val newFiles = writeDataFiles(conformed(rows), commitDir(newVersion), seq = newVersion)
+      if (staticPartitions.isEmpty && !dynamic) {
+        commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
+      } else {
+        require(partitionCol.isDefined,
+          "partition-scoped overwrite requires a partitioned table")
+        require(snap.files.forall(_.specId == currentSpecId),
+          "partition-scoped overwrite needs every file on the current partition " +
+            "spec; run compact() to migrate older-spec files first")
+        val replaced: Set[String] =
+          if (dynamic) newFiles.flatMap(_.partition).toSet
+          else {
+            val vals = staticPartitions.get.toSet
+            val stray = newFiles.flatMap(_.partition).toSet -- vals
+            require(stray.isEmpty,
+              s"overwrite rows land outside the overwritten partitions: " +
+                s"${stray.mkString(", ")}")
+            vals
+          }
+        val carried = snap.files.filterNot(_.partition.exists(replaced))
+        // Equality deletes mask only rows with an OLDER _seq; carried files
+        // keep theirs, new files are newer than every pending delete.
+        commit(Snapshot(newVersion, snap.batchId, carried ++ newFiles, snap.deletes))
+      }
+    }
+  }
+
   /** Write rows as self-contained Parquet, directory-bucketed by partition value,
    *  and return their manifest entries (path + partition + PK min/max stats).
    *  Rows are stamped with the committing version (`_seq`) so merge-on-read

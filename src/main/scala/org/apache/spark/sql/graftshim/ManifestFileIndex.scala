@@ -69,12 +69,47 @@ class ManifestFileIndex(
   override def sizeInBytes: Long = withStatus.map(_._2.getLen).sum
   override def inputFiles: Array[String] = entries.map(_.path).toArray
 
+  /** Runtime (join-time) entry filter installed by [[GraftScan.filter]] —
+    * DSv2 runtime filtering: a broadcast join's build-side key set arrives as
+    * an IN predicate after planning, and whole files provably outside it are
+    * dropped before the batch re-plans. Identity function until then. */
+  @volatile private var runtimeKeep: ManifestEntry => Boolean = _ => true
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept = withStatus.collect {
-      case (e, s) if !dataFilters.exists(f => provablyNoMatch(e, f)) => s
+      case (e, s) if runtimeKeep(e) && !dataFilters.exists(f => provablyNoMatch(e, f)) => s
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+
+  /** Columns a runtime filter can prune files by: the PK (manifest ranges +
+    * blooms), any column with per-file [min,max] stats, and each entry's
+    * partition source column (transform-reversing prune). */
+  def prunableColumns: Seq[String] =
+    (Seq(pk) ++ entries.flatMap(_.stats.keys) ++ entries.flatMap(_.part.map(_.col))).distinct
+
+  /** Install a runtime filter from DSv2 join predicates (IN / = on a
+    * prunable column). Returns true when a usable predicate was found. A
+    * file survives if ANY value could match — exactly [[noEq]]'s negation,
+    * so runtime pruning and static pruning can never disagree. */
+  def applyRuntimeFilter(
+      preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{LiteralValue, NamedReference}
+    val keeps = preds.toSeq.flatMap { p =>
+      (p.name, p.children.toSeq) match {
+        case ("IN", (f: NamedReference) +: vs) if vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[LiteralValue[_]]) =>
+          val colName = f.fieldNames.mkString(".")
+          val lits = vs.map(_.asInstanceOf[LiteralValue[_]])
+          Some((e: ManifestEntry) => lits.exists(l => !noEq(e, colName, l.value, l.dataType)))
+        case ("=", Seq(f: NamedReference, l: LiteralValue[_])) =>
+          Some((e: ManifestEntry) => !noEq(e, f.fieldNames.mkString("."), l.value, l.dataType))
+        case _ => None
+      }
+    }
+    if (keeps.nonEmpty) runtimeKeep = e => keeps.forall(k => k(e))
+    keeps.nonEmpty
   }
 
   /** True only when `f` can contain NO row satisfying `expr`. */

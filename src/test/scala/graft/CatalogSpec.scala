@@ -181,6 +181,51 @@ class CatalogSpec extends SparkSpec {
       === "2023-01-16 06:00:02")
   }
 
+  test("DSv2 scan reports exact manifest statistics (rowCount + bytes)") {
+    warehouse
+    val st = spark.sql("SELECT * FROM graft_cs.db.retail")
+      .queryExecution.optimizedPlan.stats
+    assert(st.rowCount.contains(BigInt(12)),
+      s"exact manifest row count must reach the planner, got ${st.rowCount}")
+    assert(st.sizeInBytes > 0)
+  }
+
+  test("runtime filtering: a broadcast join prunes fact files by the dim key set") {
+    val w = tmpDir("graft-rf-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_rf", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rf.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val t = TransactionalTable.create(spark, s"$w/db/retail", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcPipeline.replayLines(spark, t, CdcFixtures.scenario1Lines, batchId = 0)
+
+    // destroy every file of the 'visit' partition: only join-time pruning
+    // (the broadcast dim's key set arriving as an IN runtime filter) can
+    // keep the scan from opening it — there is no static fact-side filter
+    val destroyed = t.snapshot.files.filter(_.partition.contains("visit"))
+    assert(destroyed.nonEmpty, "test premise: a visit-partition file exists")
+    destroyed.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+
+    // the dim must be a REAL source: a literal VALUES view constant-folds to
+    // a LocalRelation and leaves no selective filter for DPP to latch onto
+    val dimSch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    val dim = TransactionalTable.create(spark, s"$w/db/dim", dimSch, "event")
+    dim.append(Seq(("cart", "keep"), ("like", "keep"), ("visit", "drop"))
+      .toDF("event", "tag"))
+    val df = spark.sql(
+      """SELECT f.trans_id FROM graft_rf.db.retail f
+        |JOIN graft_rf.db.dim d ON f.event = d.event WHERE d.tag = 'keep'""".stripMargin)
+    val got = df.as[Long].collect().sorted.toSeq
+    assert(got === Seq(21L, 23L, 27L, 30L, 33L, 35L),
+      "runtime-filtered join must return exactly the cart/like rows")
+    assert(df.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
+      "the fact scan must carry the dim key set as a runtime filter")
+  }
+
   test("hidden partitioning days(ts): DDL + write-side derivation + destroyed-file pruning") {
     val w = tmpDir("graft-hp-warehouse")
     spark.conf.set("spark.sql.catalog.graft_hp", "graft.sql.GraftCatalog")

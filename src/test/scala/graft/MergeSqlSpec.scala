@@ -156,6 +156,57 @@ class MergeSqlSpec extends SparkSpec {
     assert(ids.contains(19L) && !ids.contains(21L))
   }
 
+  test("INSERT OVERWRITE: full table, static partition, dynamic mode — one commit each") {
+    val (cat, root) = freshCatalog()
+    def t = TransactionalTable.open(spark, root)
+    val preVersion = t.currentVersion
+
+    // static PARTITION overwrite: replace exactly the 'cart' partition;
+    // every other partition's files are carried by identity
+    val otherFiles = t.snapshot.files.filterNot(_.partition.contains("cart"))
+      .map(_.path).toSet
+    spark.sql(
+      s"""INSERT OVERWRITE $cat.db.retail PARTITION (event = 'cart')
+        |SELECT 700L, 'c700', 'SKU0', 1, 'pc', TIMESTAMP '2023-01-16 09:00:00'""".stripMargin)
+    val afterStatic = t
+    val ids = afterStatic.scan().select($"trans_id").as[Long].collect().sorted.toSeq
+    assert(ids.contains(700L) && !ids.exists(Set(21L, 23L, 30L, 33L)),
+      s"cart rows must be replaced, got $ids")
+    assert(ids.size === 7, "non-cart rows survive") // 10 - 4 cart + 1 new
+    assert(afterStatic.snapshot.files.filterNot(_.partition.contains("cart"))
+      .map(_.path).toSet === otherFiles, "untouched partitions carry their files")
+    // rows outside the declared partition abort
+    intercept[Exception] {
+      spark.sql(
+        s"""INSERT OVERWRITE $cat.db.retail PARTITION (event = 'cart')
+          |SELECT 701L, 'c', 'visit', 'S', 1, 'pc', TIMESTAMP '2023-01-16 09:00:00'""".stripMargin)
+    }
+
+    // dynamic mode: only the partitions present in the new rows are replaced
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(
+        s"""INSERT OVERWRITE $cat.db.retail
+          |SELECT 800L, 'c800', 'visit', 'SKU8', 8, 'pc',
+          |       TIMESTAMP '2023-01-16 09:30:00'""".stripMargin)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val afterDyn = t.scan().select($"trans_id", $"event").as[(Long, String)]
+      .collect().toMap
+    assert(afterDyn(800L) === "visit" && !afterDyn.contains(19L),
+      "visit partition replaced") // 19 was the only visit row
+    assert(afterDyn.contains(700L) && afterDyn.contains(28L),
+      "other partitions untouched in dynamic mode")
+
+    // full overwrite (static mode, no PARTITION clause): table replaced whole
+    spark.sql(
+      s"""INSERT OVERWRITE $cat.db.retail
+        |SELECT 900L, 'c900', 'purchase', 'SKU9', 9, 'mobile',
+        |       TIMESTAMP '2023-01-16 10:00:00'""".stripMargin)
+    assert(t.scan().select($"trans_id").as[Long].collect().toSeq === Seq(900L))
+    // history preserved: the pre-overwrite snapshot still time-travels
+    assert(t.scanAt(preVersion).count() === 10L)
+  }
+
   test("unsupported MERGE shapes and version-pinned targets are rejected") {
     freshTable()
     Seq((1L, 1)).toDF("trans_id", "x").createOrReplaceTempView("bad_src")
