@@ -193,22 +193,35 @@ private[sources] final class GraftTableMicroBatchStream(
       * None = drain to the tip every trigger. */
     maxVersionsPerTrigger: Option[Long] = None)
   extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
   // Handles are cheap (manifests are read per call, pointer per
   // currentVersion); reopening per use also picks up schema evolution.
   private def table: TransactionalTable = TransactionalTable.open(spark, root)
 
+  /** Trigger.AvailableNow (the backfill pattern: drain everything committed
+    * at start, then stop): the tip version is pinned here and every
+    * subsequent micro-batch is bounded by it — commits landing while the
+    * drain runs wait for the next run, which resumes from the checkpoint. */
+  @volatile private var availableTip: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTip = Some(table.currentVersion)
+
+  private def tipNow: Long =
+    availableTip.getOrElse(table.currentVersion)
+
   override def initialOffset(): Offset =
     VersionOffset(startingVersion.getOrElse(table.currentVersion))
 
-  override def latestOffset(): Offset = VersionOffset(table.currentVersion)
+  override def latestOffset(): Offset = VersionOffset(tipNow)
 
   // Admission control: cap each micro-batch at maxVersionsPerTrigger commits.
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val tip = table.currentVersion
+    val tip = tipNow
     maxVersionsPerTrigger match {
       case Some(cap) =>
         VersionOffset(math.min(tip, start.asInstanceOf[VersionOffset].version + cap))
@@ -216,7 +229,7 @@ private[sources] final class GraftTableMicroBatchStream(
     }
   }
 
-  override def reportLatestOffset(): Offset = VersionOffset(table.currentVersion)
+  override def reportLatestOffset(): Offset = VersionOffset(tipNow)
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.trim.toLong)
 

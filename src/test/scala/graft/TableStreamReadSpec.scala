@@ -56,6 +56,37 @@ class TableStreamReadSpec extends SparkSpec {
     assert(got2 === Set(3L, 4L), s"restart must deliver only the new commits, got $got2")
   }
 
+  test("Trigger.AvailableNow drains to the start-time tip and stops") {
+    val root = tmpDir("tsr-an") + "/t"
+    val ckpt = tmpDir("tsr-an-ckpt")
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.append(Seq(1L -> "a").toDF("id", "v"))
+    t.append(Seq(2L -> "b").toDF("id", "v"))
+
+    def drainAvailableNow(): Seq[Long] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft-table").option("path", root)
+        .option("startingVersion", "0")
+        // one commit per micro-batch: the drain takes several batches, all
+        // bounded by the pinned start-time tip
+        .option("maxVersionsPerTrigger", "1")
+        .load().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          df.select("id").collect().foreach(r => acc.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "AvailableNow query must stop by itself")
+      acc.iterator().asScala.toSeq
+    }
+    assert(drainAvailableNow().sorted === Seq(1L, 2L),
+      "first drain delivers everything committed at start")
+    // nothing new: an AvailableNow restart terminates with zero rows
+    assert(drainAvailableNow() === Seq.empty)
+    t.append(Seq(3L -> "c").toDF("id", "v"))
+    assert(drainAvailableNow() === Seq(3L), "next run resumes from the checkpoint")
+  }
+
   test("default start position is the table tip: only future commits stream") {
     val root = tmpDir("tsr-tip") + "/t"
     val t = TransactionalTable.create(spark, root, sch, "id")
