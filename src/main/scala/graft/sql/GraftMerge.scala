@@ -290,6 +290,18 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => o
       }
 
+    // TRUNCATE TABLE: a full overwrite with an empty source — one commit,
+    // the pre-truncate snapshot stays time-travelable.
+    case tr @ TruncateTable(rt: org.apache.spark.sql.catalyst.analysis.ResolvedTable) =>
+      rt.table match {
+        case g: GraftSqlTable =>
+          GraftOverwriteCommand(g.root,
+            LocalRelation(
+              org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(g.schema())),
+            None, dynamic = false)
+        case _ => tr
+      }
+
     // Row-level SQL beyond MERGE (Iceberg v2's remaining write surface):
     // `DELETE FROM t WHERE c` routes the matching keys through the engine's
     // delete merge; `UPDATE t SET ... WHERE c` scans the matching rows with

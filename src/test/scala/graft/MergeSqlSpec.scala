@@ -207,6 +207,20 @@ class MergeSqlSpec extends SparkSpec {
     assert(t.scanAt(preVersion).count() === 10L)
   }
 
+  test("TRUNCATE TABLE empties the table in one commit; history survives") {
+    val (cat, root) = freshCatalog()
+    val pre = TransactionalTable.open(spark, root).currentVersion
+    spark.sql(s"TRUNCATE TABLE $cat.db.retail")
+    val t = TransactionalTable.open(spark, root)
+    assert(t.scan().count() === 0L)
+    assert(t.currentVersion === pre + 1, "truncate is one engine commit")
+    assert(t.scanAt(pre).count() === 10L, "pre-truncate snapshot time-travels")
+    // empty table stays fully usable
+    spark.sql(s"INSERT INTO $cat.db.retail SELECT 5L, 'c', 'visit', 'S', 1, 'pc', " +
+      "TIMESTAMP '2023-01-16 13:00:00'")
+    assert(TransactionalTable.open(spark, root).scan().count() === 1L)
+  }
+
   test("unsupported MERGE shapes and version-pinned targets are rejected") {
     freshTable()
     Seq((1L, 1)).toDF("trans_id", "x").createOrReplaceTempView("bad_src")
