@@ -224,6 +224,28 @@ class CatalogSpec extends SparkSpec {
       "runtime-filtered join must return exactly the cart/like rows")
     assert(df.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
       "the fact scan must carry the dim key set as a runtime filter")
+
+    // PK path: the runtime IN filter prunes by manifest PK range ∧ bloom too.
+    // A far-key commit lands in its own file; destroy it; a join keyed to the
+    // low range must never open it.
+    val far = TransactionalTable.open(spark, s"$w/db/retail")
+    far.append(Seq((1000000L, "z", "visit", "Z", 1, "pc",
+      new java.sql.Timestamp(0L))).toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*))
+    val farFiles = far.snapshot.files.filter(_.pkMin >= 1000000L)
+    assert(farFiles.nonEmpty, "test premise: the far key got its own file")
+    farFiles.foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    val keys = TransactionalTable.create(spark, s"$w/db/keys",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType))), "id")
+    keys.append(Seq((21L, "keep"), (27L, "keep"), (999L, "drop")).toDF("id", "tag"))
+    val pkJoin = spark.sql(
+      """SELECT f.trans_id FROM graft_rf.db.retail f
+        |JOIN graft_rf.db.keys k ON f.trans_id = k.id WHERE k.tag = 'keep'""".stripMargin)
+    assert(pkJoin.as[Long].collect().sorted.toSeq === Seq(21L, 27L),
+      "PK-keyed runtime filter must skip the destroyed far-range file")
   }
 
   test("hidden partitioning days(ts): DDL + write-side derivation + destroyed-file pruning") {
