@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -18,6 +19,39 @@ import org.apache.spark.sql.functions._
  * No UDFs: shingling/hashing are higher-order functions + xxhash64.
  */
 object DedupOps {
+
+  /**
+   * Per-group cap — corpus diversity ("at most k docs per source/domain/
+   * language"): keep k rows per group, chosen deterministically by the
+   * md5-derived hash of the id, so the selection is reproducible across
+   * engines (the DuckDB oracle replays it bit-for-bit) and across runs.
+   *
+   * Scale shape: the per-group ranking window runs over a HASH-PREFILTERED
+   * candidate set, never the raw group. Group counts come from one
+   * map-side-combinable aggregate (broadcast back); a group of n rows
+   * admits only hashes below ~8k/n of the hash space — expected 8k
+   * candidates, P[fewer than k] < e^-4k — so a skewed group (one domain =
+   * half the corpus) never funnels its full volume through a single window
+   * partition. For n ≤ 8k the bound is the whole range: small groups rank
+   * exactly as-is. The bound arithmetic is plain IEEE-double + floor,
+   * identical in both engines.
+   */
+  def capPerGroup(docs: DataFrame, groupCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    val hashSpace = (1L << 60).toDouble // md5Hash60 range
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val bound = floor(least(lit(1.0), lit(8.0 * k) / col("_n")) * lit(hashSpace))
+      .cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(idCol))
+    docs.select(col(idCol), col(groupCol))
+      .withColumn("_h", TextOps.md5Hash60(col(idCol)))
+      .join(broadcast(counts), Seq(groupCol))
+      .filter(col("_h") < bound)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col(groupCol), col("rk"))
+  }
 
   /** Default doc-frequency cap for Jaccard's inverted index: shingles in more
     * docs than this are dropped before pair expansion. Per-shingle work is

@@ -73,6 +73,26 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some("SELECT doc_id FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id")),
 
+    // X1: per-source cap (corpus diversity — at most k docs per source/
+    // domain; DedupOps.capPerGroup). Selection = first k by md5 hash order,
+    // ranked over a hash-prefiltered candidate set (the skew-safe 100 TB
+    // shape); the oracle replays hash, bound, and ranking bit-for-bit.
+    Q("x1_cap_per_source",
+      (s, d) => DedupOps.capPerGroup(Tables.load(s, d, "documents"),
+          groupCol = "source", k = 5)
+        .orderBy("source", "doc_id"),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+             |h AS (SELECT doc_id, source,
+             |        CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+             |      FROM documents),
+             |cand AS (SELECT h.doc_id, h.source, h._h FROM h JOIN c USING (source)
+             |         WHERE h._h < CAST(FLOOR(LEAST(1.0, 40.0 / c.n) * 1152921504606846976.0) AS BIGINT))
+             |SELECT doc_id, source, rk FROM (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (PARTITION BY source ORDER BY _h, doc_id) AS rk
+             |  FROM cand) z
+             |WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin)),
+
     // X4: corpus length distribution — exact percentiles of the document
     // token count (linear-interpolation definition is identical in Spark's
     // percentile and DuckDB's quantile_cont).

@@ -165,6 +165,37 @@ class DedupSimilaritySpec extends SparkSpec {
       !physical.contains("CartesianProduct"), physical.take(2000))
   }
 
+  test("capPerGroup: hash-prefiltered ranking equals the naive window; prefilter prunes") {
+    // skewed groups: 'big' has 2000 rows, 'small' has 6
+    val docs = spark.range(2006).select(col("id").as("doc_id"),
+      when(col("id") < 2000, "big").otherwise("small").as("source"))
+    val k = 3
+    val got = DedupOps.capPerGroup(docs, "source", k, idCol = "doc_id")
+      .select($"doc_id", $"source", $"rk").as[(Long, String, Int)].collect().toSet
+
+    // naive reference: full per-group window over the same hash order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("_h", "doc_id")
+    val naive = docs.withColumn("_h", graft.ops.TextOps.md5Hash60($"doc_id"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .select($"doc_id", $"source", $"rk").as[(Long, String, Int)].collect().toSet
+    assert(got === naive, "prefilter must not change the selected rows")
+    assert(got.count(_._2 == "big") === k && got.count(_._2 == "small") === k)
+
+    // the scale premise: the big group's candidate set is a small fraction
+    // of the group (bound ≈ 8k/n of the hash space), the small group is
+    // ranked whole
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("_n"))
+    val bound = floor(least(lit(1.0), lit(8.0 * k) / col("_n")) *
+      lit((1L << 60).toDouble)).cast("long")
+    val cands = docs.withColumn("_h", graft.ops.TextOps.md5Hash60($"doc_id"))
+      .join(broadcast(counts), "source").filter($"_h" < bound)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(cands("small") === 6L, "small groups pass the prefilter whole")
+    assert(cands("big") < 200L,
+      s"big group must be pruned to ~8k candidates, got ${cands("big")}")
+  }
+
   test("ivf seeding is a distributed filter: no Window, no single-partition sort") {
     // Parquet-backed input: a LocalRelation would let ConvertToLocalRelation
     // evaluate the hash filter at optimize time and (when ≤`cells` rows
