@@ -101,13 +101,14 @@ final class GraftTableSource extends TableProvider with DataSourceRegister
       case other => throw new IllegalArgumentException(
         s"unknown mergeMode '$other' (cow | mor | morpos)")
     }
-    new GraftTableSink(root, mode, mergeMode, p.get("deletecol"))
+    new GraftTableSink(root, mode, mergeMode, p.get("deletecol"), p.get("writerid"))
   }
 }
 
 /** V1 streaming sink: one transactional engine commit per micro-batch. */
 private[sources] final class GraftTableSink(root: String, mode: String,
-    mergeMode: graft.table.MergeMode, deleteCol: Option[String])
+    mergeMode: graft.table.MergeMode, deleteCol: Option[String],
+    explicitWriterId: Option[String])
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   import org.apache.spark.sql.{DataFrame, Row}
@@ -116,6 +117,14 @@ private[sources] final class GraftTableSink(root: String, mode: String,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
+    // Fence DOMAIN = this query's id (stable across restarts of the same
+    // checkpoint; fresh checkpoint → fresh domain), overridable via
+    // option("writerId"). Independent streams writing one table each keep
+    // their own exactly-once fence and never silently drop each other's
+    // epochs — the multi-writer trap a single global fence would create.
+    val writerId = Some(explicitWriterId
+      .orElse(Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")))
+      .getOrElse("graft-sink"))
     // Materialize the micro-batch ONCE: the engine merge makes several passes
     // (file pruning, the write, footer stats) and the streaming plan must not
     // be re-executed per pass.
@@ -137,7 +146,7 @@ private[sources] final class GraftTableSink(root: String, mode: String,
       mode match {
         case "append" =>
           require(deleteCol.isEmpty, "deleteCol requires mode=merge")
-          t.append(aligned(df), batchId)
+          t.append(aligned(df), batchId, writerId)
         case "merge" =>
           val (ups, dels) = deleteCol match {
             case Some(c) =>
@@ -151,7 +160,7 @@ private[sources] final class GraftTableSink(root: String, mode: String,
                 spark.sparkContext.emptyRDD[Row],
                 StructType(t.pkCols.map(c => t.schema(c)))))
           }
-          t.merge(ups, dels, batchId, mergeMode)
+          t.merge(ups, dels, batchId, mergeMode, writerId = writerId)
       }
     } finally { rdd.unpersist(); () }
   }

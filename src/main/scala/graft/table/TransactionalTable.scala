@@ -53,7 +53,14 @@ final case class Snapshot(version: Long, batchId: Long, files: Seq[DataFile],
     deletes: Seq[DeleteFile] = Seq.empty,
     /** Wall-clock commit time (ms) — drives `TIMESTAMP AS OF` time travel;
       * 0 for pre-upgrade manifests (always eligible). */
-    committedAtMs: Long = 0L) {
+    committedAtMs: Long = 0L,
+    /** Per-writer replay fences (Delta txnAppId / Iceberg WAP-id analogue):
+      * independent streaming writers each fence their OWN epoch sequence, so
+      * a second query with a fresh checkpoint (epochs restarting at 0) is
+      * never silently dropped by another stream's global `batchId`. Keyed by
+      * the streaming query id (or an explicit writerId option). Inherited
+      * across every commit — see commit(). */
+    writerFences: Map[String, Long] = Map.empty) {
   /** Exact only when no merge-on-read deletes are pending. */
   def rowCount: Long = files.map(_.rows).sum
 }
@@ -319,8 +326,16 @@ final class TransactionalTable private (
           if (d.has("kind")) d.get("kind").asText() else DeleteFile.Equality)
       }.toSeq
     Snapshot(node.get("version").asLong(), node.get("batchId").asLong(), files, deletes,
-      if (node.has("committedAtMs")) node.get("committedAtMs").asLong() else 0L)
+      if (node.has("committedAtMs")) node.get("committedAtMs").asLong() else 0L,
+      writerFencesOf(node))
   }
+
+  /** Per-writer fence map of a manifest node (absent on older manifests). */
+  private def writerFencesOf(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Long] =
+    if (!node.has("writerFences")) Map.empty
+    else node.get("writerFences").properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
 
   /** Greatest committed version whose commit time is at or before `tsMs`
     * (Iceberg's timestamp→snapshot resolution). Expired versions are skipped;
@@ -805,14 +820,33 @@ final class TransactionalTable private (
         * modes the guard is resolved at write time against the pruned
         * current slice (guardWinners) — deletes themselves still mask
         * unconditionally, but only winning rows produce them. */
-      guardTs: Option[String] = None): Unit = synchronized {
+      guardTs: Option[String] = None,
+      /** Fence domain: None = the table's global streaming fence (the CDC
+        * pipeline's domain); Some(w) = this writer's OWN fence — independent
+        * streams each replay-protect their own epoch sequence and never
+        * fence each other out (Delta txnAppId semantics). A writer-fenced
+        * commit leaves the global batchId untouched. */
+      writerId: Option[String] = None): Unit = synchronized {
     retryingCommit("merge") { snap =>
       // T4: replayed batch — already committed (re-checked on every retry:
       // the concurrent winner may have been this very batch's other attempt)
-      if (batchId > snap.batchId)
-        doMerge(snap, upserts, deleteKeys, batchId, mode, guardTs)
+      val fenced = writerId match {
+        case Some(w) => batchId <= snap.writerFences.getOrElse(w, -1L)
+        case None => batchId <= snap.batchId
+      }
+      if (!fenced) {
+        pendingWriterFence = writerId.map(_ -> batchId)
+        try doMerge(snap, upserts, deleteKeys,
+          if (writerId.isDefined) snap.batchId else batchId, mode, guardTs)
+        finally pendingWriterFence = None
+      }
     }
   }
+
+  /** Thread-confined (merge/append are synchronized and commit() runs on the
+    * calling thread): the per-writer fence update the in-flight commit must
+    * persist. Cleared in the caller's finally. */
+  private var pendingWriterFence: Option[(String, Long)] = None
 
   /**
    * Optimistic-concurrency driver for every mutation: run `body` against the
@@ -1186,15 +1220,24 @@ final class TransactionalTable private (
     }.toIndexedSeq: _*)
   }
 
-  /** Bulk append (bootstrap / initial load): no key matching, pure add. */
-  def append(rows: DataFrame, batchId: Long = -1L): Unit = synchronized {
+  /** Bulk append (bootstrap / initial load): no key matching, pure add.
+    * `writerId` selects the fence domain — see [[merge]]. */
+  def append(rows: DataFrame, batchId: Long = -1L,
+      writerId: Option[String] = None): Unit = synchronized {
     retryingCommit("append") { snap =>
-      if (!(batchId >= 0 && batchId <= snap.batchId)) {
+      val fenced = writerId match {
+        case Some(w) => batchId >= 0 && batchId <= snap.writerFences.getOrElse(w, -1L)
+        case None => batchId >= 0 && batchId <= snap.batchId
+      }
+      if (!fenced) {
         val newVersion = snap.version + 1
         val newFiles = writeDataFiles(conformed(rows),
           commitDir(newVersion), seq = newVersion)
-        commit(Snapshot(newVersion, math.max(batchId, snap.batchId),
+        pendingWriterFence = writerId.map(_ -> batchId)
+        try commit(Snapshot(newVersion,
+          if (writerId.isDefined) snap.batchId else math.max(batchId, snap.batchId),
           snap.files ++ newFiles, snap.deletes))
+        finally pendingWriterFence = None
       }
     }
   }
@@ -1720,6 +1763,22 @@ final class TransactionalTable private (
         o.put("rows", d.rows); o.put("bytes", d.bytes); o.put("kind", d.kind)
         darr.add(o)
       }
+    }
+    // Per-writer replay fences: inherit the parent's map (fences only ever
+    // grow — a compaction or rollback must never wipe another stream's
+    // progress), then fold in this commit's update. Fences-only parent read:
+    // no chunk loads.
+    val inheritedFences =
+      if (s.writerFences.nonEmpty) s.writerFences
+      else if (Files.exists(pointerPath))
+        try writerFencesOf(mapper.readTree(
+          Files.readAllBytes(manifestDir.resolve(s"v$currentVersion.json"))))
+        catch { case _: Exception => Map.empty[String, Long] }
+      else Map.empty[String, Long]
+    val effectiveFences = inheritedFences ++ pendingWriterFence
+    if (effectiveFences.nonEmpty) {
+      val fo = node.putObject("writerFences")
+      effectiveFences.foreach { case (k, v) => fo.put(k, v) }
     }
     val mPath = manifestDir.resolve(s"v${s.version}.json")
     val bytes = mapper.writeValueAsBytes(node)

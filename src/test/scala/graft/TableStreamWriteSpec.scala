@@ -96,6 +96,33 @@ class TableStreamWriteSpec extends SparkSpec {
       === Seq(1L -> "a2", 2L -> "b"))
   }
 
+  test("independent streams fence independently: a second query's epoch 0 still lands") {
+    val root = tmpDir("tsw-mw") + "/t"
+    TransactionalTable.create(spark, root, sch, "id")
+    implicit val sqlCtx = spark.sqlContext
+
+    // stream A commits epochs 0 and 1
+    val a = MemoryStream[(Long, String)]
+    a.addData(1L -> "a")
+    val qa = startSink(a, root, tmpDir("tsw-mw-ca"), "append")
+    try {
+      qa.processAllAvailable()
+      a.addData(2L -> "b")
+      qa.processAllAvailable()
+    } finally { qa.stop(); qa.awaitTermination() }
+
+    // stream B: FRESH checkpoint, epochs restart at 0 — with a single global
+    // fence this batch would be silently dropped; per-writer fences land it
+    val b = MemoryStream[(Long, String)]
+    b.addData(3L -> "c")
+    val qb = startSink(b, root, tmpDir("tsw-mw-cb"), "append")
+    try { qb.processAllAvailable() } finally { qb.stop(); qb.awaitTermination() }
+
+    assert(TransactionalTable.open(spark, root).scan().select("id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L),
+      "each stream must keep its own exactly-once fence")
+  }
+
   test("sink contract: missing table, Complete mode, partitionBy are rejected") {
     val root = tmpDir("tsw-rej") + "/t"
     // missing table fails at sink creation, not first batch
