@@ -29,19 +29,24 @@ object DedupOps {
    * Scale shape: the per-group ranking window runs over a HASH-PREFILTERED
    * candidate set, never the raw group. Group counts come from one
    * map-side-combinable aggregate (broadcast back); a group of n rows
-   * admits only hashes below ~8k/n of the hash space — expected 8k
-   * candidates, P[fewer than k] < e^-4k — so a skewed group (one domain =
-   * half the corpus) never funnels its full volume through a single window
-   * partition. For n ≤ 8k the bound is the whole range: small groups rank
-   * exactly as-is. The bound arithmetic is plain IEEE-double + floor,
-   * identical in both engines.
+   * admits only hashes below ~32k/n of the hash space — expected 32k
+   * candidates. The margin is sized for the CONTRACT, not just the mean:
+   * the group's true top-k-by-hash all fall under the bound unless fewer
+   * than k of n uniform hashes land in a 32k/n slice, P ≈ P[Poisson(32k)
+   * < k] ≤ e^-32 even at k=1 — negligible across any real number of
+   * groups (a thinner 8k bound would silently drop ~e^-8 ≈ 3·10⁻⁴ of
+   * k=1 groups). A skewed group (one domain = half the corpus) still
+   * never funnels its full volume through a single window partition. For
+   * n ≤ 32k the bound is the whole range: small groups rank exactly
+   * as-is. The bound arithmetic is plain IEEE-double + floor, identical
+   * in both engines.
    */
   def capPerGroup(docs: DataFrame, groupCol: String, k: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(k > 0, s"cap must be positive, got $k")
     val hashSpace = (1L << 60).toDouble // md5Hash60 range
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
-    val bound = floor(least(lit(1.0), lit(8.0 * k) / col("_n")) * lit(hashSpace))
+    val bound = floor(least(lit(1.0), lit(32.0 * k) / col("_n")) * lit(hashSpace))
       .cast("long")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(idCol))
     docs.select(col(idCol), col(groupCol))

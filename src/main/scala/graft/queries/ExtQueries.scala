@@ -86,7 +86,7 @@ object ExtQueries {
              |        CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
              |      FROM documents),
              |cand AS (SELECT h.doc_id, h.source, h._h FROM h JOIN c USING (source)
-             |         WHERE h._h < CAST(FLOOR(LEAST(1.0, 40.0 / c.n) * 1152921504606846976.0) AS BIGINT))
+             |         WHERE h._h < CAST(FLOOR(LEAST(1.0, 160.0 / c.n) * 1152921504606846976.0) AS BIGINT))
              |SELECT doc_id, source, rk FROM (
              |  SELECT doc_id, source,
              |         row_number() OVER (PARTITION BY source ORDER BY _h, doc_id) AS rk

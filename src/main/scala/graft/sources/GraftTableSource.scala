@@ -101,6 +101,8 @@ final class GraftTableSource extends TableProvider with DataSourceRegister
       case other => throw new IllegalArgumentException(
         s"unknown mergeMode '$other' (cow | mor | morpos)")
     }
+    require(!(mode == "append" && p.contains("deletecol")),
+      "deleteCol requires mode=merge (append mode has no delete routing)")
     new GraftTableSink(root, mode, mergeMode, p.get("deletecol"), p.get("writerid"))
   }
 }
@@ -145,7 +147,6 @@ private[sources] final class GraftTableSink(root: String, mode: String,
       }
       mode match {
         case "append" =>
-          require(deleteCol.isEmpty, "deleteCol requires mode=merge")
           t.append(aligned(df), batchId, writerId)
         case "merge" =>
           val (ups, dels) = deleteCol match {
@@ -238,7 +239,10 @@ private[sources] final class GraftTableMicroBatchStream(
     }
   }
 
-  override def reportLatestOffset(): Offset = VersionOffset(tipNow)
+  // Metrics report the TRUE tip (not the AvailableNow-pinned one): during a
+  // long backfill drain, progress/lag monitoring must see commits landing
+  // behind the pin even though batch planning is bounded by it.
+  override def reportLatestOffset(): Offset = VersionOffset(table.currentVersion)
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.trim.toLong)
 

@@ -97,7 +97,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               t.schema, entries, spark, root, Some(snap.version), t.pk,
               loadedVersion = snap.version, morPending = false,
               rowCount = snap.rowCount, renamesPending = false,
-              pkHashed = t.pkIsString)
+              pkHashed = t.pkIsString, partSpec = t.partitionSpec)
           case None => throw new IllegalArgumentException(
             s"no tag or branch '$version' on ${ident.name()} " +
               s"(tags: ${t.tags.keys.mkString(", ")}; branches: ${t.listBranches.mkString(", ")})")

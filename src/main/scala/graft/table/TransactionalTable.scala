@@ -848,6 +848,11 @@ final class TransactionalTable private (
     * persist. Cleared in the caller's finally. */
   private var pendingWriterFence: Option[(String, Long)] = None
 
+  /** Thread-confined twin: the parent snapshot's fence map, set by
+    * retryingCommit around each attempt so commit() inherits without a
+    * second manifest read. */
+  private var pendingParentFences: Option[Map[String, Long]] = None
+
   /**
    * Optimistic-concurrency driver for every mutation: run `body` against the
    * freshest snapshot; if the commit loses the race to another writer
@@ -863,7 +868,15 @@ final class TransactionalTable private (
     var attempt = 0
     var done = false
     while (!done) {
-      try { body(snapshot); done = true }
+      try {
+        val snap = snapshot
+        // Hand the parent's writer-fence map to commit() so it never has to
+        // re-read the parent manifest (every mutation path builds its new
+        // Snapshot without fences; inheritance happens at commit).
+        pendingParentFences = Some(snap.writerFences)
+        try { body(snap); done = true }
+        finally pendingParentFences = None
+      }
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -1766,15 +1779,18 @@ final class TransactionalTable private (
     }
     // Per-writer replay fences: inherit the parent's map (fences only ever
     // grow — a compaction or rollback must never wipe another stream's
-    // progress), then fold in this commit's update. Fences-only parent read:
-    // no chunk loads.
+    // progress), then fold in this commit's update. The parent map rides in
+    // from retryingCommit; commits outside that path (create, publish edge
+    // cases) fall back to a fences-only parent read — no chunk loads.
     val inheritedFences =
       if (s.writerFences.nonEmpty) s.writerFences
-      else if (Files.exists(pointerPath))
-        try writerFencesOf(mapper.readTree(
-          Files.readAllBytes(manifestDir.resolve(s"v$currentVersion.json"))))
-        catch { case _: Exception => Map.empty[String, Long] }
-      else Map.empty[String, Long]
+      else pendingParentFences.getOrElse {
+        if (Files.exists(pointerPath))
+          try writerFencesOf(mapper.readTree(
+            Files.readAllBytes(manifestDir.resolve(s"v$currentVersion.json"))))
+          catch { case _: Exception => Map.empty[String, Long] }
+        else Map.empty[String, Long]
+      }
     val effectiveFences = inheritedFences ++ pendingWriterFence
     if (effectiveFences.nonEmpty) {
       val fo = node.putObject("writerFences")

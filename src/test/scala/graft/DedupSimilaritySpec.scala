@@ -186,14 +186,14 @@ class DedupSimilaritySpec extends SparkSpec {
     // of the group (bound ≈ 8k/n of the hash space), the small group is
     // ranked whole
     val counts = docs.groupBy("source").agg(count(lit(1)).as("_n"))
-    val bound = floor(least(lit(1.0), lit(8.0 * k) / col("_n")) *
+    val bound = floor(least(lit(1.0), lit(32.0 * k) / col("_n")) *
       lit((1L << 60).toDouble)).cast("long")
     val cands = docs.withColumn("_h", graft.ops.TextOps.md5Hash60($"doc_id"))
       .join(broadcast(counts), "source").filter($"_h" < bound)
       .groupBy("source").count().as[(String, Long)].collect().toMap
     assert(cands("small") === 6L, "small groups pass the prefilter whole")
-    assert(cands("big") < 200L,
-      s"big group must be pruned to ~8k candidates, got ${cands("big")}")
+    assert(cands("big") < 400L,
+      s"big group must be pruned to ~32k candidates, got ${cands("big")}")
   }
 
   test("ivf seeding is a distributed filter: no Window, no single-partition sort") {
