@@ -47,6 +47,36 @@ class ConcurrencySpec extends SparkSpec {
     (0 until writers).foreach(i => assert(got(i * 100L) === i.toLong))
   }
 
+  test("racing writer-fenced streams: every writer's fence survives the race") {
+    val root = fresh()
+    val writers = 4
+    // each "stream" commits epochs 0 and 1 under its OWN fence domain,
+    // racing the others — optimistic retries must re-inherit the freshest
+    // fence map, never wipe another writer's progress
+    runAll(writers) { i =>
+      val t = TransactionalTable.open(spark, root)
+      (0L to 1L).foreach { epoch =>
+        t.merge(Seq((i * 100L + epoch, i.toLong)).toDF("id", "v"),
+          spark.emptyDataset[Long].toDF("id"), batchId = epoch,
+          writerId = Some(s"w$i"))
+      }
+    }
+    val t = TransactionalTable.open(spark, root)
+    val fences = t.snapshot.writerFences
+    (0 until writers).foreach(i => assert(fences.get(s"w$i").contains(1L),
+      s"writer w$i's fence lost in the race: $fences"))
+    assert(t.scan().count() === writers * 2L)
+    // replay of a committed epoch is a no-op in its own domain only
+    val replayer = TransactionalTable.open(spark, root)
+    replayer.merge(Seq((999L, 9L)).toDF("id", "v"),
+      spark.emptyDataset[Long].toDF("id"), batchId = 1L, writerId = Some("w0"))
+    assert(replayer.scan().count() === writers * 2L, "replayed epoch must be fenced")
+    replayer.merge(Seq((999L, 9L)).toDF("id", "v"),
+      spark.emptyDataset[Long].toDF("id"), batchId = 1L, writerId = Some("fresh"))
+    assert(TransactionalTable.open(spark, root).scan().count() === writers * 2L + 1,
+      "a new writer's same-numbered epoch must land")
+  }
+
   test("same-key writers serialize: one value survives, none lost mid-air") {
     val root = fresh()
     runAll(3) { i =>
