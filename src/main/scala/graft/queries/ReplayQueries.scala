@@ -295,6 +295,47 @@ object ReplayQueries {
            |ORDER BY trans_id""".stripMargin
       }),
 
+    // FULL-SYNC MERGE (Iceberg/Delta `WHEN NOT MATCHED BY SOURCE THEN
+    // DELETE`): after the golden replay, sync the table to a source that
+    // keeps only trans_id < 30 (amounts +1000) and adds key 500 — matched
+    // rows update, the new key inserts, every other key deletes, all in ONE
+    // engine commit. Oracle: derived from the golden end state.
+    Q("cdc_sql_merge_full_sync",
+      (s, _) => {
+        import s.implicits._
+        val cat = s"graft_fs${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_fs").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        val src = CdcFixtures.expectedEndState.filter(_._1 < 30L)
+          .map { case (id, cust, ev, sku, amt, dev, _) =>
+            (id, cust, ev, sku, amt + 1000, dev, new java.sql.Timestamp(0L))
+          } :+ ((500L, "c500", "cart", "SKU5", 5, "pc", new java.sql.Timestamp(0L)))
+        src.toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*)
+          .createOrReplaceTempView("fs_src")
+        s.sql(
+          s"""MERGE INTO $cat.db.retail t USING fs_src s ON t.trans_id = s.trans_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        s.sql(s"SELECT trans_id, event, amount FROM $cat.db.retail ORDER BY trans_id")
+      },
+      Some {
+        val kept = CdcFixtures.expectedEndState.filter(_._1 < 30L)
+          .map { case (id, _, ev, _, amt, _, _) =>
+            s"(CAST($id AS BIGINT), '$ev', ${amt + 1000})"
+          }
+        val rows = (kept :+ "(CAST(500 AS BIGINT), 'cart', 5)").mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
+      }),
+
     // INSERT OVERWRITE (Iceberg static/dynamic overwrite parity): replay the
     // golden scenarios, then replace the 'cart' partition with one summary
     // row in a single atomic commit — untouched partitions carry their files

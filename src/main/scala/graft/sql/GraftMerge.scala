@@ -45,7 +45,11 @@ final case class GraftMergeCommand(
     pk: String,
     /** Timestamp-guarded merge (`WHEN MATCHED AND s.<ts> >= t.<ts>`): the
       * engine's T3 late-data fix (SURVEY §7.5.3), reachable from SQL. */
-    guardTs: Option[String] = None) extends UnaryCommand {
+    guardTs: Option[String] = None,
+    /** Full-sync MERGE (`WHEN NOT MATCHED BY SOURCE THEN DELETE`): besides
+      * upserting every source row, delete the target keys the source no
+      * longer carries — upserts + anti-join delete keys in ONE commit. */
+    syncDeleteUnmatched: Boolean = false) extends UnaryCommand {
   override def child: LogicalPlan = source
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
     copy(source = newChild)
@@ -158,8 +162,9 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case m @ MergeIntoTable(target, source, cond, matched, notMatched, Seq(), false)
-        if m.childrenResolved =>
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, nmbs, false)
+        if m.childrenResolved &&
+          (nmbs.isEmpty || nmbs == Seq(DeleteAction(None))) =>
       graftTarget(target) match {
         case Some(g) =>
           if (g.pinnedVersion.nonEmpty)
@@ -191,10 +196,11 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           def reject(): Nothing = throw new UnsupportedOperationException(
             "graft MERGE supports UPDATE SET * + INSERT * (upsert), DELETE, " +
-              "their s.ts >= t.ts guarded forms, or explicit identity " +
-              "assignments covering every target column")
-          (matched, notMatched) match {
-            case (Seq(u), Seq(i)) if starUpdateCond(u).isDefined && starInsert(i) =>
+              "their s.ts >= t.ts guarded forms, explicit identity " +
+              "assignments covering every target column, or the full-sync " +
+              "form with WHEN NOT MATCHED BY SOURCE THEN DELETE")
+          (matched, notMatched, nmbs) match {
+            case (Seq(u), Seq(i), Seq()) if starUpdateCond(u).isDefined && starInsert(i) =>
               starUpdateCond(u).get match {
                 case None =>
                   GraftMergeCommand(g.root, source, isDelete = false, pk)
@@ -204,10 +210,17 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     guardTs = guardColumn(c, target, source))
                 case _ => reject()
               }
-            case (Seq(DeleteAction(None)), Seq()) =>
+            // Full sync (Iceberg/Delta WHEN NOT MATCHED BY SOURCE THEN
+            // DELETE): upsert every source row AND delete target keys the
+            // source no longer carries — one engine commit.
+            case (Seq(u), Seq(i), Seq(DeleteAction(None)))
+                if starUpdateCond(u).contains(None) && starInsert(i) =>
+              GraftMergeCommand(g.root, source, isDelete = false, pk,
+                syncDeleteUnmatched = true)
+            case (Seq(DeleteAction(None)), Seq(), Seq()) =>
               GraftMergeCommand(g.root, source, isDelete = true, pk)
             // Timestamp-guarded delete: WHEN MATCHED AND s.ts >= t.ts THEN DELETE
-            case (Seq(DeleteAction(Some(c))), Seq())
+            case (Seq(DeleteAction(Some(c))), Seq(), Seq())
                 if guardColumn(c, target, source).isDefined =>
               GraftMergeCommand(g.root, source, isDelete = true, pk,
                 guardTs = guardColumn(c, target, source))
@@ -384,7 +397,15 @@ final case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
     // table would have its next batch silently fenced out as a replay.
     val empty = emptyLike(spark, t)
     val pkSel = t.pkCols.map(col)
-    (cmd.isDelete, cmd.guardTs) match {
+    if (cmd.syncDeleteUnmatched) {
+      // Full sync: delete keys = current table keys the source lacks
+      // (anti-join; manifest-pruned scan), committed together with the
+      // upserts. Statement-level snapshot semantics: the key diff is read
+      // at execution start, same consistency class as UPDATE/DELETE FROM.
+      val unmatched = t.scan().select(pkSel: _*)
+        .join(src.select(pkSel: _*), t.pkCols.toSeq, "left_anti")
+      t.mergeAdhoc(src, unmatched)
+    } else (cmd.isDelete, cmd.guardTs) match {
       case (true, None) => t.mergeAdhoc(empty, src.select(pkSel: _*))
       case (false, None) => t.mergeAdhoc(src, empty.select(pkSel: _*))
       case (true, g @ Some(ts)) =>

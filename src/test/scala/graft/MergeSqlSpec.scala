@@ -207,6 +207,28 @@ class MergeSqlSpec extends SparkSpec {
     assert(t.scanAt(preVersion).count() === 10L)
   }
 
+  test("MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE (full sync, one commit)") {
+    val (cat, root) = freshCatalog()
+    val pre = TransactionalTable.open(spark, root).currentVersion
+    // source keeps 19 (updated) and introduces 500; every other key must go
+    Seq(
+      (19L, "826787813308", "visit", "DK2617NXBK", 999, "tablet", new java.sql.Timestamp(0L)),
+      (500L, "c500", "cart", "SKU5", 5, "pc", new java.sql.Timestamp(0L)))
+      .toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*)
+      .createOrReplaceTempView("sync_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.retail t USING sync_src s ON t.trans_id = s.trans_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val t = TransactionalTable.open(spark, root)
+    val got = t.scan().select($"trans_id", $"amount").as[(Long, Int)]
+      .collect().toMap
+    assert(got === Map(19L -> 999, 500L -> 5),
+      s"full sync must leave exactly the source keys, got $got")
+    assert(t.currentVersion === pre + 1, "upserts and sync-deletes land as ONE commit")
+  }
+
   test("TRUNCATE TABLE empties the table in one commit; history survives") {
     val (cat, root) = freshCatalog()
     val pre = TransactionalTable.open(spark, root).currentVersion
