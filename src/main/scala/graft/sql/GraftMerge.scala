@@ -483,5 +483,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer: manifest-answered COUNT(*) (Iceberg-manifest parity).
     ext.injectOptimizerRule(s => new GraftCountStarRule(s))
     ext.injectPlannerStrategy(s => new GraftMergeStrategy(s))
+    // The native codegen kernels as SQL functions — whole-stage-codegen'd in
+    // pure SQL exactly as in the DataFrame API (no UDF boundary):
+    //   graft_dot(a, b)         dot product of two double arrays
+    //   graft_shingles(tokens, n) distinct n-gram shingles over a token
+    //                             array (split/tokenize first), first-occurrence order
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(arrayA, arrayB)")
+        graft.functions.DotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.functions.Shingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => graft.functions.Shingles(text, 3)
+        case Seq(text, n) if n.foldable =>
+          graft.functions.Shingles(text, n.eval(null) match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long => l.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_shingles n must be an integer literal, got $other")
+          })
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles(tokens[, n]) — n must be an integer literal")
+      }))
   }
 }

@@ -45,4 +45,18 @@ class DotProductSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("graft_dot / graft_shingles are callable from pure SQL (codegen kernels)") {
+    import spark.implicits._
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .as[Double].head()
+    assert(d === 32.0)
+    val sh = spark.sql("SELECT graft_shingles(array('a','b','c','d'), 3) AS s")
+      .as[Seq[String]].head()
+    assert(sh === Seq("a b c", "b c d"))
+    // default n = 3
+    assert(spark.sql("SELECT graft_shingles(array('a','b','c','d')) AS s")
+      .as[Seq[String]].head() === Seq("a b c", "b c d"))
+  }
 }
