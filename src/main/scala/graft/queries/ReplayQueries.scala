@@ -695,6 +695,29 @@ object ReplayQueries {
              |  ('visit', CAST(2 AS BIGINT))
              |) AS t(partition, n) ORDER BY partition""".stripMargin)),
 
+    // Iceberg `partitions` metadata-table parity: per-partition row totals of
+    // the live snapshot, computed from manifests alone (file counts vary with
+    // shuffle parallelism, so the oracle pins the invariant columns).
+    Q("cdc_metadata_partitions_sql",
+      (s, _) => {
+        val cat = s"graft_mp${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mp").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"""SELECT partition, n_rows FROM $cat.db.retail.partitions
+                  ORDER BY partition""")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('cart', CAST(2 AS BIGINT)), ('like', CAST(4 AS BIGINT)),
+             |  ('list', CAST(3 AS BIGINT)), ('purchase', CAST(1 AS BIGINT)),
+             |  ('visit', CAST(2 AS BIGINT))
+             |) AS t(partition, n_rows) ORDER BY partition""".stripMargin)),
+
     // Metadata-only MIN/MAX/COUNT (GraftCountStarRule manifest fold — Iceberg
     // column-stats parity): the whole answer comes from manifest footer stats,
     // zero data files opened (CatalogSpec asserts the LocalTableScan plan).

@@ -24,7 +24,7 @@ import graft.table.TransactionalTable
  */
 object MetadataTables {
 
-  val Names: Set[String] = Set("history", "snapshots", "files")
+  val Names: Set[String] = Set("history", "snapshots", "files", "partitions", "refs")
 
   private val historySchema = StructType(Seq(
     StructField("version", LongType), StructField("batch_id", LongType),
@@ -43,6 +43,15 @@ object MetadataTables {
     StructField("kind", StringType),
     // partition evolution: the spec era each file was written under
     StructField("spec_id", LongType)))
+
+  private val partitionsSchema = StructType(Seq(
+    StructField("partition", StringType), StructField("spec_id", LongType),
+    StructField("n_files", LongType), StructField("n_rows", LongType),
+    StructField("n_bytes", LongType)))
+
+  private val refsSchema = StructType(Seq(
+    StructField("name", StringType), StructField("type", StringType),
+    StructField("version", LongType)))
 
   /** Build the metadata table `metaName` for the table at `root`. */
   def load(t: TransactionalTable, qualified: String, metaName: String): Table =
@@ -71,6 +80,27 @@ object MetadataTables {
             Array[Any](d.path, null, d.pkMin, d.pkMax, d.rows, d.bytes, s"${d.kind}-deletes",
               null))
         new LocalRowsTable(s"$qualified.files", filesSchema, rows)
+      // Iceberg `partitions` parity: per-(partition value, spec era) file and
+      // row totals of the LIVE snapshot — where CoW amplification, MOR skew,
+      // and spec-migration progress become visible without touching data.
+      case "partitions" =>
+        val s = t.snapshot
+        val rows = s.files.groupBy(f => (f.partition, f.specId)).toSeq
+          .sortBy { case ((p, sid), _) => (p.getOrElse(""), sid) }
+          .map { case ((p, sid), fs) =>
+            Array[Any](p.orNull, sid.toLong, fs.size.toLong,
+              fs.map(_.rows).sum, fs.map(_.bytes).sum)
+          }
+        new LocalRowsTable(s"$qualified.partitions", partitionsSchema, rows)
+      // Iceberg `refs` parity: every named ref — main, branches, tags — with
+      // the version it points at.
+      case "refs" =>
+        val rows =
+          (Seq(("main", "branch", t.currentVersion)) ++
+            t.listBranches.sorted.map(b => (b, "branch", t.branch(b).currentVersion)) ++
+            t.tags.toSeq.sortBy(_._1).map { case (n, v) => (n, "tag", v) })
+            .map { case (n, k, v) => Array[Any](n, k, v) }
+        new LocalRowsTable(s"$qualified.refs", refsSchema, rows)
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table $other")
     }

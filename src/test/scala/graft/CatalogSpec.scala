@@ -605,6 +605,16 @@ class CatalogSpec extends SparkSpec {
     val want = CdcFixtures.expectedEndState.groupBy(_._3) // partitioned by event
       .map { case (ev, rows) => (ev, rows.size.toLong) }.toSeq.sortBy(_._1)
     assert(byPart === want)
+    // partitions: the same per-partition totals, directly (Iceberg parity)
+    val parts = spark.sql(
+      """SELECT partition, n_rows FROM graft_cs.db.retail.partitions
+        |ORDER BY partition""".stripMargin).as[(String, Long)].collect().toSeq
+    assert(parts === want)
+    // refs: main is always present, pointing at the current version
+    val refs = spark.sql(
+      "SELECT name, type, version FROM graft_cs.db.retail.refs")
+      .as[(String, String, Long)].collect().toSeq
+    assert(refs.contains(("main", "branch", 2L)), s"refs missing main: $refs")
     // an unknown suffix is still a missing table, not a metadata hit
     intercept[Exception] { spark.sql("SELECT * FROM graft_cs.db.retail.bogus").collect() }
   }
