@@ -229,13 +229,26 @@ private[sources] final class GraftTableMicroBatchStream(
   override def latestOffset(): Offset = VersionOffset(tipNow)
 
   // Admission control: cap each micro-batch at maxVersionsPerTrigger commits.
+  // The capped end is clamped to a RETAINED version: version numbering can
+  // hole after a branch publish, and committing a hole as the checkpoint
+  // offset would wedge the next resume (its baseline manifest never existed).
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val tip = tipNow
+    val s = start.asInstanceOf[VersionOffset].version
     maxVersionsPerTrigger match {
-      case Some(cap) =>
-        VersionOffset(math.min(tip, start.asInstanceOf[VersionOffset].version + cap))
-      case None => VersionOffset(tip)
+      case Some(cap) if s + cap < tip =>
+        val t = table
+        val target = s + cap
+        // greatest retained version in (s, target]; if that window is all
+        // holes, jump to the first retained version above it (bounded by
+        // tip, which is always retained) so the stream still progresses —
+        // a hole-only batch would otherwise stall forever.
+        val end = (target to (s + 1) by -1L).find(t.manifestExists)
+          .orElse(((target + 1) to tip).find(t.manifestExists))
+          .getOrElse(s)
+        VersionOffset(end)
+      case _ => VersionOffset(tip)
     }
   }
 
@@ -258,11 +271,24 @@ private[sources] final class GraftTableMicroBatchStream(
     val t = table
     val (s, e) = (start.asInstanceOf[VersionOffset].version,
       end.asInstanceOf[VersionOffset].version)
-    // Versions in (s, e] — numbering may hole after a branch publish.
-    val versions = (s to e).filter(v => t.manifestExists(v))
-    require(versions.headOption.contains(s),
-      s"streaming offset $s has been expired from $root — cannot resume exactly; " +
-        "restart with a fresh checkpoint (or retain more snapshots)")
+    // Versions in (s, e] — numbering may hole after a branch publish. The
+    // baseline (consumed-through) version s may itself be missing in two
+    // ways: EXPIRED (s below the table's expiry floor — unrecoverable, the
+    // consumed/unconsumed boundary is gone) or a HOLE a pre-clamp checkpoint
+    // committed (recoverable: a hole never held files, so the true boundary
+    // is the greatest retained version below it).
+    val baseline: Long =
+      if (t.manifestExists(s)) s
+      else {
+        require(s >= t.expiryFloor,
+          s"streaming offset $s has been expired from $root — cannot resume exactly; " +
+            "restart with a fresh checkpoint (or retain more snapshots)")
+        (s - 1 to t.expiryFloor by -1L).find(t.manifestExists).getOrElse(
+          throw new IllegalStateException(
+            s"streaming offset $s of $root: no retained version at or below it — " +
+              "manifest store is corrupt or fully expired"))
+      }
+    val versions = baseline +: (s + 1 to e).filter(v => t.manifestExists(v))
     val added = versions.sliding(2).collect { case Seq(p, v) =>
       val prev = t.snapshotAt(p); val cur = t.snapshotAt(v)
       val prevPaths = prev.files.map(_.path).toSet

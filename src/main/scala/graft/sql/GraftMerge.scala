@@ -256,6 +256,20 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               val desc = g.partSpec.map(_.desc).getOrElse(
                 throw new UnsupportedOperationException(
                   "partition-scoped INSERT OVERWRITE on an unpartitioned table"))
+              // Static PARTITION (col = v) replaces the whole DERIVED
+              // partition. Under a non-identity transform (bucket/days/hours)
+              // that is a superset of `col = v`: every row sharing v's
+              // bucket/day would be dropped while only the inserted rows
+              // replace them — silent deletion of non-matching rows. Iceberg
+              // restricts static PARTITION overwrite to identity fields for
+              // the same reason; dynamic mode and full-table stay available.
+              if (desc.kind != "identity")
+                throw new UnsupportedOperationException(
+                  s"static INSERT OVERWRITE PARTITION requires an identity " +
+                    s"partition transform; table is partitioned by " +
+                    s"${desc.kind}(${desc.col}) — use dynamic overwrite mode " +
+                    "(spark.sql.sources.partitionOverwriteMode=dynamic) or a " +
+                    "full-table INSERT OVERWRITE instead")
               // PARTITION (col = v) arrives as a (null-safe) equality whose
               // value side may be Cast-wrapped — any foldable side counts.
               def litOf(e: Expression): Option[(Any, org.apache.spark.sql.types.DataType)] =

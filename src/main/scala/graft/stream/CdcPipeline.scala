@@ -60,9 +60,14 @@ object CdcPipeline {
       val (total, dropped) = (stats.getLong(0), stats.getLong(1))
       if (dropped > 0) {
         System.err.println(s"[cdc] batch $batchId: dropped $dropped malformed row(s) (null pk/op)")
+        // Idempotent per batch: each batch overwrites ITS OWN Hive-style
+        // partition directory, so a restarted query re-delivering an
+        // already-committed batch (the table merge is fenced to a no-op)
+        // replaces its quarantine records instead of duplicating them.
+        // `spark.read.json(dlqDir)` still yields `_dlq_batch_id` — recovered
+        // from the directory name as a partition column.
         dlqDir.foreach(d => deduped.filter(bad)
-          .withColumn("_dlq_batch_id", lit(batchId))
-          .write.mode("append").json(d))
+          .write.mode("overwrite").json(s"$d/_dlq_batch_id=$batchId"))
       }
       if (total - dropped > 0) {
         val valid = deduped.filter(!bad)

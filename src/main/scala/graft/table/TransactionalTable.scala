@@ -259,6 +259,17 @@ final class TransactionalTable private (
   def manifestExists(version: Long): Boolean =
     Files.exists(manifestDir.resolve(s"v$version.json"))
 
+  /** Smallest version that can only be missing due to a publish numbering
+    * hole, never expiry: versions BELOW the floor may have been swept by
+    * [[expireSnapshots]] (0 when expiry never ran — every missing manifest
+    * is then a hole). Untagged-version caveat does not arise: the floor is
+    * the expiry cutoff, and tagged survivors below it only ADD retained
+    * manifests, never holes. */
+  def expiryFloor: Long = {
+    val p = Paths.get(root, "_expiry_floor")
+    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong else 0L
+  }
+
   def snapshot: Snapshot = snapshotAt(currentVersion)
 
   private def parseDataFile(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
@@ -629,23 +640,70 @@ final class TransactionalTable private (
   /**
    * Write-audit-publish: atomically fast-forward MAIN to the branch's head
    * state — one metadata commit, no data movement. The published commit
-   * carries the greater of the two batchId fences (streaming batches applied
-   * on the branch must stay fenced after publish; batches applied on main
-   * meanwhile must too). Optimistic like every commit: a concurrent main
-   * writer triggers recompute-and-retry against the fresh head.
+   * carries the greater of the two batchId fences AND the per-key max of the
+   * two writer-fence maps (streaming batches applied on the branch must stay
+   * fenced after publish; batches applied on main meanwhile must too).
+   *
+   * Fast-forward is REFUSED when main has diverged — i.e. main's current
+   * version is neither the branch's fork point nor the result of this
+   * branch's own last publish (Iceberg `fast_forward` refuses on
+   * non-ancestry for the same reason: the branch head does not contain the
+   * concurrent main commit, so fast-forwarding would silently discard it).
+   * `force = true` overrides and replaces main's state wholesale. A main
+   * commit racing the publish itself lands first via the optimistic retry
+   * loop, then trips the same divergence check on the recompute.
    */
-  def publish(name: String): Unit = synchronized {
+  def publish(name: String, force: Boolean = false): Unit = synchronized {
     require(branchName.isEmpty, "publish from the main handle")
     val b = branch(name)
+    val bdir = branchesDir.resolve(name)
+    // The fork point is the smallest manifest in the branch dir (createBranch
+    // copies v<fork>.json; branch commits continue from fork+1). A prior
+    // publish of THIS branch records the main version it produced, so
+    // publish → keep committing on the branch → publish again stays legal.
+    def publishBase: Set[Long] = {
+      val s = Files.list(bdir)
+      val fork = try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }
+        .foldLeft(Long.MaxValue)(math.min)
+      finally s.close()
+      val published = bdir.resolve("_published")
+      val last =
+        if (Files.exists(published))
+          Some(new String(Files.readAllBytes(published)).trim.toLong)
+        else None
+      Set(fork) ++ last
+    }
     retryingCommit("publish") { snap =>
+      if (!force && !publishBase.contains(snap.version))
+        throw new IllegalStateException(
+          s"publish('$name'): main is at version ${snap.version}, which is neither " +
+            s"the branch fork point nor this branch's last published version " +
+            s"(${publishBase.toSeq.sorted.mkString("/")}) — a commit landed on main " +
+            "after the fork and fast-forwarding would discard it. Rebase the branch " +
+            "(re-fork and re-apply) or publish(name, force = true) to replace main.")
       val head = b.snapshot
+      // Per-writer replay fences: union of both lineages, per-key max —
+      // branch-applied streaming batches stay fenced after publish, and so
+      // do batches another stream applied to main meanwhile.
+      val fences = (snap.writerFences.keySet ++ head.writerFences.keySet).map { k =>
+        k -> math.max(snap.writerFences.getOrElse(k, -1L),
+          head.writerFences.getOrElse(k, -1L))
+      }.toMap
       // The published version must EXCEED the branch head: published files
       // carry `_seq` stamps up to head.version, and a later main delete file
       // can only mask rows whose `_seq` is lower than its own committing
       // version. Main's numbering may skip — every version walk filters on
       // manifest existence.
-      commit(Snapshot(math.max(snap.version, head.version) + 1,
-        math.max(snap.batchId, head.batchId), head.files, head.deletes))
+      val newVersion = math.max(snap.version, head.version) + 1
+      commit(Snapshot(newVersion, math.max(snap.batchId, head.batchId),
+        head.files, head.deletes, writerFences = fences))
+      val tmp = Paths.get(bdir.resolve("_published").toString + ".tmp")
+      Files.write(tmp, newVersion.toString.getBytes, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, bdir.resolve("_published"), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -672,6 +730,18 @@ final class TransactionalTable private (
     val current = currentVersion
     val cutoff = current - keepLast + 1
     if (cutoff <= 0) return
+    // Persist the expiry floor FIRST (monotone max): versions below it may
+    // have been expired; a missing manifest AT or ABOVE it can only be a
+    // publish numbering hole. Streaming resume uses this to tell a wedged
+    // hole-offset apart from a genuinely expired one (writing before the
+    // deletes keeps the floor conservative across a crash mid-expiry).
+    if (cutoff > expiryFloor) {
+      val tmp = Paths.get(root, "_expiry_floor.tmp")
+      Files.write(tmp, cutoff.toString.getBytes, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, Paths.get(root, "_expiry_floor"), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     val tagged = tags.values.toSet
     // Publish after branch divergence can skip main version numbers — keep
     // only versions whose manifest actually exists.
@@ -1429,14 +1499,15 @@ final class TransactionalTable private (
     * Stats are exact for integral types; a file whose PK stats are absent
     * (all-null column) gets the never-prunable full range — conservative,
     * not silently prunable-to-nothing. */
-  private def pkFooterStats(file: Path): (Long, Long, Long) =
-    { val (r, mn, mx, _) = fileFooterStats(file, withColStats = false); (r, mn, mx) }
+  private def pkFooterStats(file: Path, keyCol: String = pk): (Long, Long, Long) =
+    { val (r, mn, mx, _) = fileFooterStats(file, withColStats = false, keyCol); (r, mn, mx) }
 
   /** pkFooterStats plus per-column min/max for [[statsCols]] (same single
     * footer read). Columns whose stats are absent or non-numeric (e.g. INT96
     * timestamps from foreign writers) are simply omitted — absent stats mean
     * "never prunable", the conservative direction. */
-  private def fileFooterStats(file: Path, withColStats: Boolean = true)
+  private def fileFooterStats(file: Path, withColStats: Boolean = true,
+      keyCol: String = pk)
       : (Long, Long, Long, Map[String, (Long, Long)]) = {
     val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri), spark.sessionState.newHadoopConf())
@@ -1457,7 +1528,7 @@ final class TransactionalTable private (
         if (nums.isEmpty || nums.length != ss.length) None
         else Some((nums.map(_._1).min, nums.map(_._2).max))
       }
-      val (pkMin, pkMax) = range(statsOf(pk)).getOrElse((Long.MinValue, Long.MaxValue))
+      val (pkMin, pkMax) = range(statsOf(keyCol)).getOrElse((Long.MinValue, Long.MaxValue))
       val colStats =
         if (!withColStats) Map.empty[String, (Long, Long)]
         else statsCols.flatMap { c =>
@@ -1482,16 +1553,28 @@ final class TransactionalTable private (
     * is empty. The manifest entry's path is the written directory (delete
     * sets are small; part-file granularity isn't needed). For positional
     * files the pk stats degrade to the never-prunable full range (no pk
-    * column), which is conservative and correct. */
+    * column), which is conservative and correct.
+    *
+    * Hashed PKs (string/composite): data-file pkMin/pkMax live in the
+    * xxhash64 domain, so the delete file's range must too, or changes()'s
+    * carried-file pruning degrades to O(table) — the raw key columns'
+    * footer stats are non-numeric. An extra `_dhash` column is written in
+    * the same pass (keyExpr, identical to the data-file ranging hash) and
+    * the footer stats are read from IT; the anti-join in scanWithDeletes
+    * still matches on the raw member columns, exact as before. */
   private def writeDeleteFile(keys: DataFrame, outDir: Path, seq: Long,
       kind: String = DeleteFile.Equality): Option[DeleteFile] = {
-    keys.withColumn("_dseq", lit(seq)).write.mode("overwrite").parquet(outDir.toString)
+    val hashRanged = kind == DeleteFile.Equality && pkHashed
+    val out = keys.withColumn("_dseq", lit(seq))
+    (if (hashRanged) out.withColumn("_dhash", keyExpr) else out)
+      .write.mode("overwrite").parquet(outDir.toString)
     // Stats from footers, like writeDataFiles (an empty key set writes no
     // part files → None).
     val parts = Files.walk(outDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq
-    val stats = parts.map(pkFooterStats).filter(_._1 > 0)
+    val statCol = if (hashRanged) "_dhash" else pk
+    val stats = parts.map(p => pkFooterStats(p, statCol)).filter(_._1 > 0)
     if (stats.isEmpty) None
     else {
       val bytes = parts.map(Files.size).sum

@@ -110,15 +110,53 @@ class BranchSpec extends SparkSpec {
     }
   }
 
-  test("concurrent main writer: publish retries and lands after it") {
+  test("concurrent main writer: publish refuses on divergence, force replaces") {
     val t = mk("br-race")
     val b = t.createBranch("late")
     b.merge(Seq(3L -> "c").toDF("id", "v"), noDel, batchId = 1)
-    // main advances AFTER the branch forked — publish must still commit (WAP
-    // replaces state; the fence keeps the larger batchId)
+    // main advances AFTER the branch forked — the branch head no longer
+    // contains main's history, so fast-forward must refuse (Iceberg
+    // fast_forward parity) instead of silently discarding a2.
     t.merge(Seq(1L -> "a2").toDF("id", "v"), noDel, batchId = 2)
-    t.publish("late")
+    val e = intercept[IllegalStateException] { t.publish("late") }
+    assert(e.getMessage.contains("diverge") || e.getMessage.contains("discard"))
+    assert(state(t) === Set(("a2", 1L), ("b", 2L)), "refused publish left main intact")
+    // explicit override: WAP replaces state; the fence keeps the larger batchId
+    t.publish("late", force = true)
     assert(state(t) === Set(("a", 1L), ("b", 2L), ("c", 3L)))
     assert(t.snapshot.batchId === 2L, "fence keeps the max of both lineages")
+  }
+
+  test("publish merges per-writer fences from both lineages (per-key max)") {
+    val t = mk("br-fences")
+    val b = t.createBranch("wap")
+    // a streaming writer applies epochs 0..2 on the BRANCH, a different
+    // writer applies epoch 5 on MAIN before the branch publishes
+    b.merge(Seq(3L -> "c").toDF("id", "v"), noDel, batchId = 2L,
+      writerId = Some("writer-branch"))
+    t.merge(Seq(4L -> "d").toDF("id", "v"), noDel, batchId = 5L,
+      writerId = Some("writer-main"))
+    val e = intercept[IllegalStateException] { t.publish("wap") }
+    assert(e.getMessage.nonEmpty)
+    t.publish("wap", force = true)
+    val f = t.snapshot.writerFences
+    assert(f === Map("writer-branch" -> 2L, "writer-main" -> 5L),
+      s"published fences must be the per-key max of both lineages, got $f")
+    // replay of the branch writer's epoch 2 against published main is a no-op
+    t.merge(Seq(3L -> "STALE").toDF("id", "v"), noDel, batchId = 2L,
+      writerId = Some("writer-branch"))
+    assert(state(t).contains(("c", 3L)), "replayed epoch must stay fenced after publish")
+  }
+
+  test("publish then keep committing on the branch then publish again is legal") {
+    val t = mk("br-repub")
+    val b = t.createBranch("iter")
+    b.merge(Seq(3L -> "c").toDF("id", "v"), noDel, batchId = 1)
+    t.publish("iter")
+    assert(state(t) === Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    // branch keeps evolving; main's head is exactly the last publish → legal
+    b.merge(Seq(4L -> "d").toDF("id", "v"), noDel, batchId = 2)
+    t.publish("iter")
+    assert(state(t) === Set(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
   }
 }

@@ -207,6 +207,43 @@ class MergeSqlSpec extends SparkSpec {
     assert(t.scanAt(preVersion).count() === 10L)
   }
 
+  test("static PARTITION overwrite on a non-identity transform is rejected") {
+    val cat = s"graft_iow${System.nanoTime()}"
+    val w = tmpDir("graft-iow-warehouse")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    // bucket(4, device): PARTITION (device = 'dev-1') would replace the whole
+    // BUCKET dev-1 hashes into — silently deleting every other device sharing
+    // it. The statement must be rejected, not widened.
+    spark.sql(
+      s"""CREATE TABLE $cat.db.ev (event_id BIGINT, device STRING, val INT)
+         |PARTITIONED BY (bucket(4, device)) TBLPROPERTIES ('pk'='event_id')""".stripMargin)
+    val devices = (0 until 16).map(i => (i.toLong, s"dev-$i", i * 10))
+    devices.toDF("event_id", "device", "val").createOrReplaceTempView("iow_src")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT * FROM iow_src")
+    // the SQL PARTITION clause is already blocked by the analyzer (device is
+    // a transform source, not a partition column); the DataFrameWriterV2
+    // condition API is the route that reaches the static-overwrite rule
+    val e = intercept[Exception] {
+      Seq((100L, "dev-1", 999)).toDF("event_id", "device", "val")
+        .writeTo(s"$cat.db.ev").overwrite($"device" === "dev-1")
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("identity")), s"got $e")
+    // nothing was deleted by the refused statement
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ev").head().getLong(0) === 16L)
+    // full-table overwrite and dynamic mode remain available on such tables
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(s"INSERT OVERWRITE $cat.db.ev SELECT 100L, 'dev-1', 999")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val vals = spark.sql(s"SELECT val FROM $cat.db.ev WHERE device = 'dev-1'")
+      .collect().map(_.getInt(0)).toSet
+    assert(vals === Set(999), "dynamic overwrite replaced dev-1's bucket")
+  }
+
   test("MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE (full sync, one commit)") {
     val (cat, root) = freshCatalog()
     val pre = TransactionalTable.open(spark, root).currentVersion

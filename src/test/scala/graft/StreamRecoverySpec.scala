@@ -170,6 +170,17 @@ class StreamRecoverySpec extends SparkSpec {
     val quarantined = spark.read.json(dlq)
     assert(quarantined.count() === 1L)
     assert(quarantined.columns.contains("_dlq_batch_id"))
+    // Redelivery of an already-committed batch (restart replay): the table
+    // merge is fenced to a no-op AND the quarantine records must not
+    // duplicate — the DLQ write overwrites the batch's own partition.
+    import spark.implicits._
+    CdcPipeline.applyCdcBatch(t,
+      graft.cdc.Cdc.parse(
+        (CdcFixtures.scenario1Lines :+ """this is not json at all""").toDS()),
+      batchId = 0, dlqDir = Some(dlq))
+    assert(t.countRows === 10, "fenced replay must not change the table")
+    assert(spark.read.json(dlq).count() === 1L,
+      "replayed batch must not duplicate DLQ records")
   }
 
   test("inferSchema=true samples the source like the reference; extra fields ride along") {

@@ -82,6 +82,27 @@ class StringPkSpec extends SparkSpec {
     }
   }
 
+  test("equality delete files carry hash-domain key ranges (selective changes pruning)") {
+    val t = TransactionalTable.create(spark, tmpDir("spk-drange"), sch, "id", None)
+    t.merge(rows("k", 8), noDeletes, batchId = 0, MergeMode.MergeOnRead)
+    t.merge(rows("z", 0), Seq("k5").toDF("id"), batchId = 1, MergeMode.MergeOnRead)
+    // deletes accrete in commit order — .last is batch 1's file ({k5} only;
+    // batch 0's masks all eight upserted keys)
+    val d = t.snapshot.deletes.last
+    assert(d.kind === "equality")
+    // the range must be the xxhash64 of exactly {k5}, not the full-span
+    // sentinel raw string stats degrade to — otherwise changes() treats
+    // EVERY carried file as affected (O(table), the documented O(changed))
+    val h = spark.range(1).select(xxhash64(lit("k5"))).head().getLong(0)
+    assert(d.pkMin === h && d.pkMax === h,
+      s"delete range must be hash-domain [$h,$h], got [${d.pkMin},${d.pkMax}]")
+    // and the delete masks correctly end-to-end
+    assert(!t.scan().select($"id").as[String].collect().contains("k5"))
+    val diff = t.changes(1, 2).select($"id", $"_change_type").as[(String, String)]
+      .collect().toSet
+    assert(diff === Set(("k5", "delete")), s"changelog stays exact, got $diff")
+  }
+
   test("guarded merge resolves winners by raw string key") {
     val gsch = sch.add("ts", TimestampType)
     val t = TransactionalTable.create(spark, tmpDir("spk-guard"), gsch, "id", None)

@@ -119,6 +119,48 @@ class TableStreamReadSpec extends SparkSpec {
       s"each micro-batch must carry exactly one commit's rows, got $sizes")
   }
 
+  test("maxVersionsPerTrigger never checkpoints a publish numbering hole") {
+    val root = tmpDir("tsr-hole") + "/t"
+    val ckpt = tmpDir("tsr-hole-ckpt")
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.append(Seq(1L -> "a").toDF("id", "v")) // main v1
+    val got1 = drain(root, ckpt,
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1")).map(_._1).toSet
+    assert(got1 === Set(1L))
+    // publish skips main version numbers: branch forks at v1, commits v2,
+    // publish lands main at v3 — v2 is a hole in MAIN's numbering
+    val b = t.createBranch("wap")
+    b.append(Seq(2L -> "b").toDF("id", "v"))
+    t.publish("wap")
+    assert(!t.manifestExists(2L) && t.manifestExists(3L),
+      "premise: publish must have skipped main v2")
+    t.append(Seq(3L -> "c").toDF("id", "v")) // main v4
+    // resume with cap=1: start=1, start+cap=2 is the hole — the capped end
+    // must clamp/jump to a retained version, never wedge the checkpoint
+    val got2 = drain(root, ckpt, Map("maxVersionsPerTrigger" -> "1")).map(_._1).toSet
+    assert(got2 === Set(2L, 3L), s"stream must cross the hole and deliver both commits, got $got2")
+    // and a further restart keeps working (the checkpointed offset is retained)
+    t.append(Seq(4L -> "d").toDF("id", "v"))
+    val got3 = drain(root, ckpt, Map("maxVersionsPerTrigger" -> "1")).map(_._1).toSet
+    assert(got3 === Set(4L))
+  }
+
+  test("resume below the expiry floor fails with the expiry message") {
+    val root = tmpDir("tsr-exp") + "/t"
+    val ckpt = tmpDir("tsr-exp-ckpt")
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.append(Seq(1L -> "a").toDF("id", "v"))
+    drain(root, ckpt, Map("startingVersion" -> "0")) // checkpoint at v1
+    (2 to 6).foreach(i => t.append(Seq(i.toLong -> s"v$i").toDF("id", "v"), batchId = i))
+    t.expireSnapshots(keepLast = 2)
+    assert(t.expiryFloor === 5L, s"floor records the cutoff, got ${t.expiryFloor}")
+    val e = intercept[Exception] { drain(root, ckpt) }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Seq.empty else x +: causes(x.getCause)
+    assert(causes(e).exists(c => c.getMessage != null && c.getMessage.contains("expired")),
+      s"must fail with the expiry message, got $e")
+  }
+
   test("non-append commits fail loudly by default and are skipped with skipNonAppends") {
     val root = tmpDir("tsr-rw") + "/t"
     val t = TransactionalTable.create(spark, root, sch, "id")
