@@ -163,8 +163,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, nmbs, false)
-        if m.childrenResolved &&
-          (nmbs.isEmpty || nmbs == Seq(DeleteAction(None))) =>
+        if m.childrenResolved =>
       graftTarget(target) match {
         case Some(g) =>
           if (g.pinnedVersion.nonEmpty)
@@ -194,11 +193,6 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               identityAssignments(as) && coversAllColumns(as, g.schema())
             case _ => false
           }
-          def reject(): Nothing = throw new UnsupportedOperationException(
-            "graft MERGE supports UPDATE SET * + INSERT * (upsert), DELETE, " +
-              "their s.ts >= t.ts guarded forms, explicit identity " +
-              "assignments covering every target column, or the full-sync " +
-              "form with WHEN NOT MATCHED BY SOURCE THEN DELETE")
           (matched, notMatched, nmbs) match {
             case (Seq(u), Seq(i), Seq()) if starUpdateCond(u).isDefined && starInsert(i) =>
               starUpdateCond(u).get match {
@@ -208,7 +202,8 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 case Some(c) if guardColumn(c, target, source).isDefined =>
                   GraftMergeCommand(g.root, source, isDelete = false, pk,
                     guardTs = guardColumn(c, target, source))
-                case _ => reject()
+                case Some(_) =>
+                  buildGeneral(g, target, source, cond, matched, notMatched, nmbs)
               }
             // Full sync (Iceberg/Delta WHEN NOT MATCHED BY SOURCE THEN
             // DELETE): upsert every source row AND delete target keys the
@@ -224,7 +219,10 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 if guardColumn(c, target, source).isDefined =>
               GraftMergeCommand(g.root, source, isDelete = true, pk,
                 guardTs = guardColumn(c, target, source))
-            case _ => reject()
+            // Everything else: the general N-clause matcher (first matching
+            // clause wins — Iceberg/Delta semantics).
+            case _ =>
+              buildGeneral(g, target, source, cond, matched, notMatched, nmbs)
           }
         case None => m
       }
