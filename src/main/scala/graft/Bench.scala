@@ -41,27 +41,37 @@ object Bench {
     // a production job takes: AQE headroom for the analytic tier, small
     // fixed partitions for the streaming tier.
     val aqeHeadroom = (cpus.toInt * 8).toString
-    val streamingTier = Set("cdc_events_replay", "cdc_replay_end_state",
-      "cdc_replay_mor_end_state", "j1_merge_upsert")
-    def timedRun(name: String, fn: () => Long): Double = {
+    // A query that THROWS must never read as a (fast) wall time: failures are
+    // recorded per query, reported as -1 in the JSON with the exception in an
+    // "errors" map, and the bench exits nonzero.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timedRun(q: graft.queries.Q, fn: () => Long): Double = {
+      // Tier comes from the query definition (Q.streaming), not a name set.
       spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        if (streamingTier(name)) cpus else aqeHeadroom)
+        if (q.streaming) cpus else aqeHeadroom)
       val t0 = System.nanoTime()
-      try fn() catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          failures.put(q.name, (e.getClass.getName + ": " +
+            String.valueOf(e.getMessage)).replaceAll("[\"\\\\\n\r\t]", " ").take(300))
+          Double.NaN
+      }
+    }
+    def minOk(times: Seq[Double]): Double = {
+      val ok = times.filterNot(_.isNaN)
+      if (ok.isEmpty) -1.0 else ok.min
     }
     // Warm the JVM/session once (codegen + parquet footer caches) so per-query
     // numbers measure the query, not first-touch initialization.
-    Registry.headlines.headOption.foreach(q => q.fn(spark, sfDir).count())
+    Registry.headlines.headOption.foreach(q =>
+      try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
     val results = Registry.headlines.map { q =>
-      val times = (1 to runs).map { _ =>
-        timedRun(q.name, () => q.fn(spark, sfDir).count())
-      }
-      q.name -> times.min
+      q.name -> minOk((1 to runs).map(_ => timedRun(q, () => q.fn(spark, sfDir).count())))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
 
     // Second scale point: a 10×-sharded copy (~sf1 from sf0.1) so the
     // comparison measures plans, not the local-mode scheduling floor, and any
@@ -78,21 +88,28 @@ object Bench {
       else {
         val dir = graft.tools.ScaledData.materialize(spark, sfDir, scaleCopies)
         val rs = Registry.headlines.filterNot(q => scaleInvariant(q.name)).map { q =>
-          val times = (1 to scaleRuns).map { _ =>
-            timedRun(q.name, () => q.fn(spark, dir).count())
-          }
-          q.name -> times.min
+          q.name -> minOk((1 to scaleRuns).map(_ =>
+            timedRun(q, () => q.fn(spark, dir).count())))
         }
         graft.tools.ScaledData.delete(dir)
         val sq = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         s""","scaled":{"copies":$scaleCopies,"base_sf":"$sfDir","total":${rs.map(_._2).sum},"runs_per_query":$scaleRuns,"queries":$sq}"""
       }
 
+    val errJson =
+      if (failures.isEmpty) ""
+      else failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$scaledJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$errJson$scaledJson}"""
     println(line)
     // Belt and braces for log-prefix-mangled stdout: the same line on disk.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"BENCH FAILURES (${failures.size}): " +
+        failures.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -129,7 +129,7 @@ object EventQueries {
              |  SELECT event_id, user_id, value + 1 AS value FROM events
              |  WHERE event_id % 10 BETWEEN 3 AND 6
              |) AS t ORDER BY event_id""".stripMargin),
-      headline = true),
+      headline = true, streaming = true),
 
     // J2: MERGE delete join kernel (anti), `job:133-136`.
     Q("j2_merge_delete",

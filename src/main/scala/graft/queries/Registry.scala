@@ -15,7 +15,13 @@ final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    /** Micro-batch/stream-replay shaped: the bench keeps the native shuffle
+      * partition count for these instead of the analytic AQE-headroom split
+      * (many small checkpointed batches — 8× headroom is pure per-stage task
+      * overhead there). A property of the query, not of the bench harness,
+      * so renamed/added queries can't silently fall into the wrong tier. */
+    streaming: Boolean = false)
 
 /** The full driver-visible query inventory (SURVEY.md §2 ids in names). */
 object Registry {

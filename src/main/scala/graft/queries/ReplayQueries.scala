@@ -167,7 +167,7 @@ object ReplayQueries {
   val all: Seq[Q] = Seq(
 
     Q("cdc_replay_end_state", (s, _) => endStateDf(s), Some(endStateOracle),
-      headline = true),
+      headline = true, streaming = true),
 
     // Time travel: the snapshot committed after batch 0 still answers with the
     // 10 originally-inserted keys (version 1 = post-scenario1 commit).
@@ -335,6 +335,61 @@ object ReplayQueries {
            |  $rows
            |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
       }),
+
+    // General N-clause SQL MERGE (Iceberg/Delta parity: clauses evaluated in
+    // statement order, FIRST matching clause wins; conditional, partial, and
+    // non-star assignments). Target = events keys with event_id%10<5, source =
+    // keys 3..6 with value+1: the overlap (3,4) exercises every MATCHED clause
+    // tier, 5..6 the conditional INSERT, and unmatched target rows stay put.
+    // Scales with sfDir — at sf0.1 this is a ~60k-row general merge.
+    Q("cdc_sql_merge_multi_clause",
+      (s, d) => {
+        val cat = s"graft_mc${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mc").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val ev = Tables.events(s, d)
+        val target = ev.filter(col("event_id") % 10 < 5)
+          .select("event_id", "user_id", "value")
+        val t = TransactionalTable.create(s, s"$warehouse/db/evt", target.schema,
+          "event_id", None)
+        t.append(target)
+        ev.filter(col("event_id") % 10 >= 3 && col("event_id") % 10 <= 6)
+          .select(col("event_id"), col("user_id"), (col("value") + 1).as("value"))
+          .createOrReplaceTempView("mc_src")
+        s.sql(
+          s"""MERGE INTO $cat.db.evt t USING mc_src s ON t.event_id = s.event_id
+             |WHEN MATCHED AND s.value >= 50 THEN UPDATE SET t.value = s.value * 2
+             |WHEN MATCHED AND s.value < 10 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET t.user_id = -1
+             |WHEN NOT MATCHED AND s.user_id % 2 = 0 THEN
+             |  INSERT (event_id, user_id, value) VALUES (s.event_id, s.user_id, s.value)
+             |""".stripMargin)
+        s.sql(s"SELECT event_id, user_id, value FROM $cat.db.evt ORDER BY event_id")
+      },
+      Some("""WITH t0 AS (
+             |  SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 5),
+             |s0 AS (
+             |  SELECT event_id, user_id, value + 1 AS value FROM events
+             |  WHERE event_id % 10 BETWEEN 3 AND 6),
+             |m AS (
+             |  SELECT t.event_id, t.user_id AS t_user, t.value AS t_val, s.value AS s_val
+             |  FROM t0 t JOIN s0 s USING (event_id))
+             |SELECT event_id, user_id, value FROM (
+             |  SELECT event_id, t_user AS user_id, s_val * 2 AS value FROM m
+             |  WHERE s_val >= 50
+             |  UNION ALL
+             |  SELECT event_id, CAST(-1 AS BIGINT) AS user_id, t_val AS value FROM m
+             |  WHERE s_val < 50 AND s_val >= 10
+             |  UNION ALL
+             |  SELECT t.event_id, t.user_id, t.value FROM t0 t
+             |  WHERE NOT EXISTS (SELECT 1 FROM s0 s WHERE s.event_id = t.event_id)
+             |  UNION ALL
+             |  SELECT s.event_id, s.user_id, s.value FROM s0 s
+             |  WHERE NOT EXISTS (SELECT 1 FROM t0 t WHERE t.event_id = s.event_id)
+             |    AND s.user_id % 2 = 0
+             |) ORDER BY event_id""".stripMargin)),
 
     // INSERT OVERWRITE (Iceberg static/dynamic overwrite parity): replay the
     // golden scenarios, then replace the 'cart' partition with one summary
@@ -556,7 +611,7 @@ object ReplayQueries {
           .orderBy("trans_id")
       },
       Some(endStateOracle),
-      headline = true),
+      headline = true, streaming = true),
 
     // Positional-delete merge-on-read replay: same golden scenarios, but each
     // merge resolves masked rows to (file, row-ordinal) at write time (Iceberg
@@ -1151,5 +1206,5 @@ object ReplayQueries {
              |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS trans_dt
              |FROM ranked WHERE rn = 1 AND event_type <> 'error'
              |ORDER BY trans_id""".stripMargin),
-      headline = true))
+      headline = true, streaming = true))
 }

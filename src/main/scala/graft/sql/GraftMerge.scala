@@ -3,7 +3,9 @@ package graft.sql
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Dataset, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, CaseWhen,
+  Cast, EqualTo, Expression, IsNotNull, IsNull, Literal}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.ClassicConversions._
@@ -53,6 +55,26 @@ final case class GraftMergeCommand(
   override def child: LogicalPlan = source
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
     copy(source = newChild)
+}
+
+/**
+ * General N-clause `MERGE INTO` (Iceberg/Delta semantics: clauses evaluated in
+ * statement order, FIRST matching clause wins, rows matching no clause are
+ * untouched). `staged` is a fully-resolved logical plan — an outer join of
+ * target and source on the PK condition, projected to one row image per
+ * target column plus a `__graft_merge_action` discriminator (`U`psert,
+ * `I`nsert, `D`elete, or NULL = no-op). The exec node splits the staged rows
+ * into upserts and delete keys and commits both through ONE
+ * `mergeAdhoc` snapshot — same transactional guarantees as the star-form
+ * fast paths, which remain separate because they skip the join entirely
+ * (the merge kernel's file-pruned anti-join is cheaper than a general
+ * outer join when the row image is just "take the source row").
+ */
+final case class GraftGeneralMergeCommand(root: String, staged: LogicalPlan)
+    extends UnaryCommand {
+  override def child: LogicalPlan = staged
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftGeneralMergeCommand =
+    copy(staged = newChild)
 }
 
 /** `INSERT INTO graft.db.t ...` — transactional append through the engine. */
@@ -161,6 +183,127 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /**
+   * General N-clause MERGE lowering (first-matching-clause-wins). Builds ONE
+   * staged logical plan:
+   *
+   *   Project(row-image CaseWhen per target column :+ action CaseWhen,
+   *     Join(target+marker, source+marker, <narrowest join type>, pkCond))
+   *
+   * - The join type narrows with the clause set: no NOT MATCHED BY SOURCE →
+   *   target-only rows are no-ops, so they need not flow through the join at
+   *   all (RIGHT OUTER keeps just source rows + their matches); no NOT
+   *   MATCHED → LEFT OUTER; only MATCHED clauses → INNER. At 100 TB this is
+   *   the difference between joining the batch against the table and
+   *   re-materializing the whole table through a full outer join.
+   * - Clause precedence is exactly CaseWhen's first-true-branch semantics:
+   *   branches are emitted in statement order within each row kind, and the
+   *   kinds (matched / source-only / target-only) are mutually exclusive.
+   * - A clause condition evaluating to NULL does not fire (CaseWhen treats
+   *   non-true as not-taken) — ANSI MERGE semantics.
+   * - UPDATE keeps unassigned columns from the target row; INSERT fills
+   *   unassigned columns with NULL; values cast to the target column type.
+   */
+  private def buildGeneral(g: GraftSqlTable, tOpen: TransactionalTable,
+      target: LogicalPlan, source: LogicalPlan, cond: Expression,
+      matched: Seq[MergeAction], notMatched: Seq[MergeAction],
+      nmbs: Seq[MergeAction]): LogicalPlan = {
+    val pkLower = tOpen.pkCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    def castTo(v: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
+      if (v.dataType == dt) v else Cast(v, dt, tz)
+
+    // Star actions may survive un-expanded on this path; expand to identity
+    // by-name assignments (target col = source col).
+    def starAssigns(kind: String): Seq[Assignment] = target.output.map { tAttr =>
+      val sAttr = source.output.find(_.name.equalsIgnoreCase(tAttr.name)).getOrElse(
+        throw new UnsupportedOperationException(
+          s"MERGE $kind * requires source column ${tAttr.name}"))
+      Assignment(tAttr, sAttr)
+    }
+
+    def assignMap(assigns: Seq[Assignment], clause: String): Map[String, Expression] =
+      assigns.map {
+        case Assignment(k: Attribute, v) =>
+          val kn = k.name.toLowerCase(java.util.Locale.ROOT)
+          if (clause == "UPDATE" && pkLower.contains(kn)) v match {
+            case a: Attribute if a.name.equalsIgnoreCase(k.name) => () // identity: harmless
+            case _ => throw new UnsupportedOperationException(
+              s"MERGE must not reassign primary key ${k.name} (delete + insert instead)")
+          }
+          kn -> v
+        case Assignment(k, _) => throw new UnsupportedOperationException(
+          s"MERGE assignment to nested field $k not supported (top-level columns only)")
+      }.toMap
+
+    // Row images aligned to target.output (= table schema) order.
+    def updateRow(assigns: Seq[Assignment]): Seq[Expression] = {
+      val m = assignMap(assigns, "UPDATE")
+      target.output.map(a => m.get(a.name.toLowerCase(java.util.Locale.ROOT))
+        .map(castTo(_, a.dataType)).getOrElse(a))
+    }
+    def insertRow(assigns: Seq[Assignment]): Seq[Expression] = {
+      val m = assignMap(assigns, "INSERT")
+      target.output.map(a => m.get(a.name.toLowerCase(java.util.Locale.ROOT))
+        .map(castTo(_, a.dataType)).getOrElse(Literal(null, a.dataType)))
+    }
+    // DELETE: emit the target row image — the exec extracts PK columns from it.
+    val deleteRow: Seq[Expression] = target.output
+
+    // Row-kind markers: non-null PKs are not guaranteed at this layer, so
+    // side-presence is detected via literal marker columns, not PK nullness.
+    val tMark = Alias(Literal(true), "__t_exists")()
+    val sMark = Alias(Literal(true), "__s_exists")()
+    val matchedKind = And(IsNotNull(tMark.toAttribute), IsNotNull(sMark.toAttribute))
+    val srcOnlyKind = IsNull(tMark.toAttribute)
+    val tgtOnlyKind = IsNull(sMark.toAttribute)
+    def kindCond(kind: Expression, c: Option[Expression]): Expression =
+      c.map(And(kind, _)).getOrElse(kind)
+
+    final case class Branch(cond: Expression, action: String, row: Seq[Expression])
+    val branches: Seq[Branch] =
+      matched.map {
+        case UpdateStarAction(c) =>
+          Branch(kindCond(matchedKind, c), "U", updateRow(starAssigns("UPDATE SET")))
+        case UpdateAction(c, as, _) => Branch(kindCond(matchedKind, c), "U", updateRow(as))
+        case DeleteAction(c) => Branch(kindCond(matchedKind, c), "D", deleteRow)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN MATCHED action: $other")
+      } ++ notMatched.map {
+        case InsertStarAction(c) =>
+          Branch(kindCond(srcOnlyKind, c), "I", insertRow(starAssigns("INSERT")))
+        case InsertAction(c, as) => Branch(kindCond(srcOnlyKind, c), "I", insertRow(as))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED action: $other")
+      } ++ nmbs.map {
+        case UpdateAction(c, as, _) => Branch(kindCond(tgtOnlyKind, c), "U", updateRow(as))
+        case DeleteAction(c) => Branch(kindCond(tgtOnlyKind, c), "D", deleteRow)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+      }
+
+    val joinType =
+      if (notMatched.nonEmpty && nmbs.nonEmpty) FullOuter
+      else if (notMatched.nonEmpty) RightOuter
+      else if (nmbs.nonEmpty) LeftOuter
+      else Inner
+    val joined = Join(
+      Project(target.output :+ tMark, target),
+      Project(source.output :+ sMark, source),
+      joinType, Some(cond), JoinHint.NONE)
+
+    val outCols = target.output.zipWithIndex.map { case (attr, i) =>
+      Alias(
+        CaseWhen(branches.map(b => (b.cond, b.row(i))), Literal(null, attr.dataType)),
+        attr.name)()
+    }
+    val action = Alias(
+      CaseWhen(branches.map(b => (b.cond, Literal(b.action))), Literal(null,
+        org.apache.spark.sql.types.StringType)),
+      GraftGeneralMergeExec.ActionCol)()
+    GraftGeneralMergeCommand(g.root, Project(outCols :+ action, joined))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, nmbs, false)
         if m.childrenResolved =>
@@ -203,7 +346,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   GraftMergeCommand(g.root, source, isDelete = false, pk,
                     guardTs = guardColumn(c, target, source))
                 case Some(_) =>
-                  buildGeneral(g, target, source, cond, matched, notMatched, nmbs)
+                  buildGeneral(g, tOpen, target, source, cond, matched, notMatched, nmbs)
               }
             // Full sync (Iceberg/Delta WHEN NOT MATCHED BY SOURCE THEN
             // DELETE): upsert every source row AND delete target keys the
@@ -222,7 +365,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // Everything else: the general N-clause matcher (first matching
             // clause wins — Iceberg/Delta semantics).
             case _ =>
-              buildGeneral(g, target, source, cond, matched, notMatched, nmbs)
+              buildGeneral(g, tOpen, target, source, cond, matched, notMatched, nmbs)
           }
         case None => m
       }
@@ -436,6 +579,60 @@ final case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
   }
 }
 
+object GraftGeneralMergeExec {
+  /** Discriminator column the staged plan carries: U/I/D, NULL = no-op. */
+  val ActionCol = "__graft_merge_action"
+}
+
+final case class GraftGeneralMergeExec(cmd: GraftGeneralMergeCommand) extends LeafExecNode {
+  import GraftGeneralMergeExec.ActionCol
+  override def output: Seq[Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+
+  private lazy val run: Unit = {
+    val spark = session
+    val t = TransactionalTable.open(spark, cmd.root)
+    val pkSel = t.pkCols.map(col)
+    // The optimizer has already run over `staged` (it is this command's
+    // child): re-planning it through ofRows re-analyzes the fragment, and
+    // CheckAnalysis rejects optimizer-injected artifacts like
+    // DynamicPruningSubquery. Those are pure optimizations — strip them and
+    // let the fresh plan re-derive its own (the re-optimization pass will
+    // re-insert DPP/runtime filters where they help).
+    val cleaned = cmd.staged.transformAllExpressions {
+      case _: org.apache.spark.sql.catalyst.expressions.DynamicPruning =>
+        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral
+    }
+    // One join pass feeds three consumers (cardinality check, upserts,
+    // deletes) — persist the affected rows only (no-op rows are dropped
+    // before materialization, so the cache holds O(touched), not O(table)).
+    val staged = org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, cleaned)
+      .filter(col(ActionCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ANSI/Delta/Iceberg cardinality rule: a target row matched by more
+      // than one source row (or two INSERTs landing the same key) is
+      // nondeterministic — fail loudly instead of committing either answer.
+      val dup = staged
+        .filter(t.pkCols.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(pkSel: _*).count().filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          "MERGE cardinality violation: multiple source rows match target key " +
+            t.pkCols.zipWithIndex.map { case (c, i) => s"$c=${dup.head.get(i)}" }
+              .mkString(", "))
+      val upserts = staged.filter(col(ActionCol) =!= "D").drop(ActionCol)
+      val delKeys = staged.filter(col(ActionCol) === "D").select(pkSel: _*)
+      t.mergeAdhoc(upserts, delKeys)
+    } finally staged.unpersist()
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    run
+    sparkContext.emptyRDD
+  }
+}
+
 final case class GraftAppendExec(cmd: GraftAppendCommand) extends LeafExecNode {
   override def output: Seq[Attribute] = Nil
   override def executeCollect(): Array[InternalRow] = { run; Array.empty }
@@ -474,6 +671,8 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case cmd: GraftMergeCommand =>
       GraftMergeExec(cmd) :: Nil
+    case cmd: GraftGeneralMergeCommand =>
+      GraftGeneralMergeExec(cmd) :: Nil
     case cmd: GraftAppendCommand =>
       GraftAppendExec(cmd) :: Nil
     case cmd: GraftOverwriteCommand =>

@@ -102,17 +102,25 @@ class MergeSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("primary key"))
   }
 
-  test("partial explicit assignments are rejected (would clobber unassigned cols)") {
-    freshTable()
-    Seq((19L, 123)).toDF("trans_id", "amount").createOrReplaceTempView("part_src")
-    val e = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO graft_ms.db.retail t USING part_src s ON t.trans_id = s.trans_id
-          |WHEN MATCHED THEN UPDATE SET t.amount = s.amount
-          |WHEN NOT MATCHED THEN INSERT (trans_id, amount) VALUES (s.trans_id, s.amount)""".stripMargin)
-    }
-    assert(e.getMessage.contains("covering every target column") ||
-      e.getMessage.contains("graft MERGE supports"), e.getMessage)
+  test("partial assignments route through the general merge: unassigned cols preserved") {
+    val (cat, root) = freshCatalog()
+    Seq((19L, 123), (555L, 55)).toDF("trans_id", "amount")
+      .createOrReplaceTempView("part_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.retail t USING part_src s ON t.trans_id = s.trans_id
+         |WHEN MATCHED THEN UPDATE SET t.amount = s.amount
+         |WHEN NOT MATCHED THEN INSERT (trans_id, amount) VALUES (s.trans_id, s.amount)""".stripMargin)
+    val t = TransactionalTable.open(spark, root)
+    val rows = t.scan()
+      .select($"trans_id", $"amount", $"customer_id", $"event")
+      .as[(Long, Int, String, String)].collect().map(r => r._1 -> r).toMap
+    // matched: amount updated, every other column keeps its target value
+    assert(rows(19L)._2 === 123)
+    assert(rows(19L)._3 === "826787813308", "unassigned customer_id was clobbered")
+    assert(rows(19L)._4 != null, "unassigned event was clobbered")
+    // not matched: inserted with unassigned columns NULL
+    assert(rows(555L)._2 === 55 && rows(555L)._3 == null && rows(555L)._4 == null)
+    assert(t.countRows === 11)
   }
 
   test("guarded MERGE (WHEN MATCHED AND s.ts >= t.ts) through SQL") {
@@ -278,6 +286,97 @@ class MergeSqlSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.db.retail SELECT 5L, 'c', 'visit', 'S', 1, 'pc', " +
       "TIMESTAMP '2023-01-16 13:00:00'")
     assert(TransactionalTable.open(spark, root).scan().count() === 1L)
+  }
+
+  test("general MERGE: conditional clauses, first matching clause wins") {
+    val (cat, root) = freshCatalog()
+    // key 19 matches BOTH the 'big' clause and the catch-all UPDATE — first
+    // clause must win (amount*10, not -1). key 6 hits the DELETE clause.
+    // key 21 falls through to the catch-all. 900 passes the INSERT condition,
+    // 901 fails it (no-op).
+    Seq(
+      (19L, "big", 5), (6L, "del", 0), (21L, "other", 9),
+      (900L, "new", 500), (901L, "new", 50))
+      .toDF("trans_id", "tag", "amount").createOrReplaceTempView("gen_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.retail t USING gen_src s ON t.trans_id = s.trans_id
+         |WHEN MATCHED AND s.tag = 'big' THEN UPDATE SET t.amount = s.amount * 10
+         |WHEN MATCHED AND s.tag = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.amount = -1
+         |WHEN NOT MATCHED AND s.amount > 100 THEN
+         |  INSERT (trans_id, amount) VALUES (s.trans_id, s.amount)""".stripMargin)
+    val t = TransactionalTable.open(spark, root)
+    val rows = t.scan().select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+    assert(rows(19L) === 50, "first-matching-clause precedence violated")
+    assert(!rows.contains(6L), "conditional DELETE clause did not fire")
+    assert(rows(21L) === -1, "catch-all MATCHED clause did not fire")
+    assert(rows(900L) === 500, "conditional INSERT did not fire")
+    assert(!rows.contains(901L), "INSERT fired despite false condition")
+    assert(rows.size === 10) // 10 - 1 deleted + 1 inserted
+    // general merges are ad-hoc: the stream replay fence must not advance
+    assert(t.snapshot.batchId === 0L,
+      "general SQL MERGE advanced the stream replay fence")
+  }
+
+  test("general MERGE: NOT MATCHED BY SOURCE UPDATE with condition") {
+    val (cat, root) = freshCatalog()
+    Seq((19L, 777)).toDF("trans_id", "amount").createOrReplaceTempView("nmbs_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.retail t USING nmbs_src s ON t.trans_id = s.trans_id
+         |WHEN MATCHED THEN UPDATE SET t.amount = s.amount
+         |WHEN NOT MATCHED BY SOURCE AND t.trans_id = 6 THEN
+         |  UPDATE SET t.device = 'flagged'""".stripMargin)
+    val rows = TransactionalTable.open(spark, root).scan()
+      .select($"trans_id", $"amount", $"device").as[(Long, Int, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows(19L)._2 === 777)
+    assert(rows(6L)._3 === "flagged", "NOT MATCHED BY SOURCE UPDATE did not fire")
+    assert(rows.size === 10, "row count changed on an update-only merge")
+    assert(rows.count(_._2._3 == "flagged") === 1,
+      "NOT MATCHED BY SOURCE condition ignored")
+  }
+
+  test("general MERGE: conditional UPDATE SET * routes through the general path") {
+    val (cat, root) = freshCatalog()
+    Seq(
+      (19L, "c19", "visit", "SKU19", 4242, "pc", new java.sql.Timestamp(0L)),
+      (902L, "c902", "cart", "SKU902", 9, "pc", new java.sql.Timestamp(0L)))
+      .toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*)
+      .createOrReplaceTempView("condstar_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.retail t USING condstar_src s ON t.trans_id = s.trans_id
+         |WHEN MATCHED AND s.amount > 100 THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = TransactionalTable.open(spark, root).scan()
+      .select($"trans_id", $"amount", $"customer_id").as[(Long, Int, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows(19L)._2 === 4242 && rows(19L)._3 === "c19")
+    assert(rows(902L)._2 === 9, "INSERT * arm of the conditional-star merge")
+    assert(rows.size === 11)
+  }
+
+  test("general MERGE: cardinality violation (two source rows, one target key) fails") {
+    val (cat, _) = freshCatalog()
+    Seq((19L, 1), (19L, 2)).toDF("trans_id", "amount")
+      .createOrReplaceTempView("dup_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.db.retail t USING dup_src s ON t.trans_id = s.trans_id
+           |WHEN MATCHED AND s.amount > 0 THEN UPDATE SET t.amount = s.amount""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality"), e.getMessage)
+  }
+
+  test("general MERGE: reassigning the primary key is rejected") {
+    val (cat, _) = freshCatalog()
+    Seq((19L, 1)).toDF("trans_id", "amount").createOrReplaceTempView("pkre_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.db.retail t USING pkre_src s ON t.trans_id = s.trans_id
+           |WHEN MATCHED AND s.amount > 0 THEN
+           |  UPDATE SET t.trans_id = s.trans_id + 1""".stripMargin)
+    }
+    assert(e.getMessage.contains("primary key"), e.getMessage)
   }
 
   test("unsupported MERGE shapes and version-pinned targets are rejected") {
