@@ -284,9 +284,13 @@ private[sources] final class GraftTableMicroBatchStream(
           s"streaming offset $s has been expired from $root — cannot resume exactly; " +
             "restart with a fresh checkpoint (or retain more snapshots)")
         (s - 1 to t.expiryFloor by -1L).find(t.manifestExists).getOrElse(
+          // Reachable when the whole window below s is publish holes with the
+          // true boundary expired below the floor — an expiry condition, not
+          // store corruption; tell the operator the recovery that applies.
           throw new IllegalStateException(
-            s"streaming offset $s of $root: no retained version at or below it — " +
-              "manifest store is corrupt or fully expired"))
+            s"streaming offset $s of $root: no retained version at or below " +
+              "it — the offset has effectively been expired; restart with a " +
+              "fresh checkpoint (or retain more snapshots)"))
       }
     val versions = baseline +: (s + 1 to e).filter(v => t.manifestExists(v))
     val added = versions.sliding(2).collect { case Seq(p, v) =>

@@ -34,7 +34,8 @@ import graft.table.TransactionalTable
  * other write forms are rejected — there is no path that bypasses the
  * manifest.
  */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -68,6 +69,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def tableExists(ident: Identifier): Boolean =
     TransactionalTable.exists(rootOf(ident))
 
+  // FunctionCatalog (storage-partitioned joins): Spark resolves the table's
+  // bucket(n, col) transform here to decide scan co-partitioning.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  /** The snapshot's file list as SQL-layer manifest entries — LAZY when the
+    * manifest is chunked: the returned [[org.apache.spark.sql.graftshim.LazyManifest]]
+    * carries chunk-level stats so planning (ManifestFileIndex) prunes whole
+    * chunks before loading an entry; resolving the table materializes
+    * NOTHING. Partition evolution rides along per chunk: partition values
+    * decode under the chunk's own (uniform) spec, per-file specs after load. */
+  private def lazyEntries(t: TransactionalTable, snap: graft.table.Snapshot)
+      : Seq[org.apache.spark.sql.graftshim.ManifestEntry] = {
+    import org.apache.spark.sql.graftshim.{EntryChunk, LazyManifest, ManifestEntry}
+    def toEntry(f: graft.table.DataFile): ManifestEntry =
+      ManifestEntry(f.path, f.partition, f.pkMin, f.pkMax, f.bytes, f.stats, f.bloom,
+        t.specOf(f.specId).map(_.desc))
+    snap.files match {
+      case mf: graft.table.ManifestFiles =>
+        new LazyManifest(mf.chunks.map { c =>
+          EntryChunk(c.count, c.pkMin, c.pkMax, c.bytes,
+            c.partitions, c.specId.flatMap(t.specOf).map(_.desc), c.stats,
+            () => mf.load(c).map(toEntry))
+        })
+      case s => s.map(toEntry)
+    }
+  }
+
   override def loadTable(ident: Identifier): Table =
     loadAt(ident, None)
 
@@ -89,9 +121,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               throw new UnsupportedOperationException(
                 s"branch '$version' has pending merge-on-read deletes or renamed " +
                   "columns; read it via TransactionalTable.branch or compact the branch")
-            val entries = snap.files.map(f =>
-              org.apache.spark.sql.graftshim.ManifestEntry(f.path, f.partition, f.pkMin,
-                f.pkMax, f.bytes, f.stats, f.bloom, t.specOf(f.specId).map(_.desc)))
+            val entries = lazyEntries(t, snap)
             new GraftSqlTable(
               s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@$version",
               t.schema, entries, spark, root, Some(snap.version), t.pk,
@@ -133,9 +163,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
     // Partition evolution: each file prunes under the transform of the spec
     // it was WRITTEN with (its manifest specId), never the table's current one.
-    val entries = snap.files.map(f =>
-      org.apache.spark.sql.graftshim.ManifestEntry(f.path, f.partition, f.pkMin, f.pkMax,
-        f.bytes, f.stats, f.bloom, t.specOf(f.specId).map(_.desc)))
+    val entries = lazyEntries(t, snap)
     // Pending merge-on-read deletes: the relation is flagged and rewritten by
     // GraftMorScanRule into the delete-aware anti-join plan — SQL reads work
     // whatever the table's write mode (the reference's product promise:
@@ -389,6 +417,24 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     // Stats-reporting + runtime-filtering scan: exact numRows/sizeInBytes
     // from the manifest, and join-time whole-file pruning (GraftScan).
     org.apache.spark.sql.graftshim.GraftScanBuilder(
-      spark, tableSchema, entries, pk, options, pkHashed, rowCount)
+      spark, tableSchema, entries, pk, options, pkHashed, rowCount, bucketSpecForSpj)
+  }
+
+  /** Storage-partitioned-join eligibility, decided from chunk METADATA alone:
+    * the table's current spec is `bucket(n, col)` AND every manifest chunk
+    * proves its files were written under that same spec (uniform spec id,
+    * partition values present). Any pre-evolution or unpartitioned file
+    * disables SPJ — a scan must never claim a partitioning its files don't
+    * have (wrong join results); it degrades to a normal shuffle join. */
+  private def bucketSpecForSpj: Option[(Int, String)] = partSpec match {
+    case Some(graft.table.PartitionTransform.Bucket(n, c)) => entries match {
+      case lm: org.apache.spark.sql.graftshim.LazyManifest
+          if lm.chunkList.forall(ch => ch.partitions.isDefined &&
+            ch.part.exists(d => d.kind == "bucket" && d.n == n &&
+              d.col.equalsIgnoreCase(c))) && lm.nonEmpty =>
+        Some((n, c))
+      case _ => None
+    }
+    case _ => None
   }
 }

@@ -49,7 +49,13 @@ object CdcPipeline {
         * flatten — unparseable JSON, DMS control records) are APPENDED here
         * as JSON lines with their batch id, instead of only being counted.
         * Quarantine-and-continue is the DMS error-handling posture: the
-        * stream never wedges on poison input, and nothing is silently lost. */
+        * stream never wedges on poison input, and nothing is silently lost.
+        * Layout: `<dlqDir>/data/_dlq_batch_id=<n>/...` — read with
+        * `spark.read.json(s"$dlqDir/data")`. The partitioned tree lives
+        * under its own `data/` root so a dlqDir that predates it (flat
+        * part-files from the earlier layout) never mixes flat files and
+        * partition directories in one listing, which would fail Spark's
+        * partition discovery with 'conflicting directory structures'. */
       dlqDir: Option[String] = None): Unit = {
     val pkCol = col(Cdc.PrimaryKey)
     val bad = pkCol.isNull || col("_op").isNull
@@ -67,7 +73,7 @@ object CdcPipeline {
         // `spark.read.json(dlqDir)` still yields `_dlq_batch_id` — recovered
         // from the directory name as a partition column.
         dlqDir.foreach(d => deduped.filter(bad)
-          .write.mode("overwrite").json(s"$d/_dlq_batch_id=$batchId"))
+          .write.mode("overwrite").json(s"$d/data/_dlq_batch_id=$batchId"))
       }
       if (total - dropped > 0) {
         val valid = deduped.filter(!bad)

@@ -61,8 +61,12 @@ final case class Snapshot(version: Long, batchId: Long, files: Seq[DataFile],
       * the streaming query id (or an explicit writerId option). Inherited
       * across every commit — see commit(). */
     writerFences: Map[String, Long] = Map.empty) {
-  /** Exact only when no merge-on-read deletes are pending. */
-  def rowCount: Long = files.map(_.rows).sum
+  /** Exact only when no merge-on-read deletes are pending. Chunked manifests
+    * answer from chunk-level stats — no entry is loaded. */
+  def rowCount: Long = files match {
+    case mf: ManifestFiles => mf.totalRows.getOrElse(mf.map(_.rows).sum)
+    case s => s.map(_.rows).sum
+  }
 }
 
 /** MERGE physical strategy. CopyOnWrite rewrites PK-affected files at commit
@@ -293,6 +297,7 @@ final class TransactionalTable private (
     val cached = chunkCache.get(path)
     if (cached != null) cached
     else {
+      chunkLoads.incrementAndGet()
       val node = mapper.readTree(Files.readAllBytes(Paths.get(path)))
       val files = node.get("files").elements().asScala.map(parseDataFile).toIndexedSeq
       if (chunkCache.size > MaxCachedChunks) chunkCache.clear()
@@ -319,14 +324,29 @@ final class TransactionalTable private (
           "expired, publish-skipped, or never committed " +
           s"(current version: ${currentVersion})")
     val node = mapper.readTree(Files.readAllBytes(manifestDir.resolve(s"v$version.json")))
-    val files =
+    val files: Seq[DataFile] =
       if (node.has("chunks")) {
         // Chunked manifest: the file list lives in immutable chunk files the
         // commit path reuses across versions (O(delta) commits — see commit()).
-        // Loaded in parallel: a million-file table is ~2 000 chunks.
-        val paths = node.get("chunks").elements().asScala.map(_.get("path").asText()).toSeq
-        import scala.collection.parallel.CollectionConverters._
-        paths.par.map(loadChunk).seq.toSeq.flatten
+        // Materialization is LAZY (ManifestFiles): chunk-level stats answer
+        // length/rowCount and let planners load only range-matching chunks;
+        // a full traversal still loads everything in parallel.
+        val refs = node.get("chunks").elements().asScala.map { c =>
+          ChunkRef(c.get("path").asText(), c.get("n").asInt(),
+            if (c.has("pkMin")) c.get("pkMin").asLong() else Long.MinValue,
+            if (c.has("pkMax")) c.get("pkMax").asLong() else Long.MaxValue,
+            if (c.has("rows")) c.get("rows").asLong() else -1L,
+            if (c.has("bytes")) c.get("bytes").asLong() else -1L,
+            if (c.has("parts"))
+              Some(c.get("parts").elements().asScala.map(_.asText()).toSeq)
+            else None,
+            if (c.has("spec")) Some(c.get("spec").asInt()) else None,
+            if (!c.has("stats")) Map.empty
+            else c.get("stats").properties().asScala.map { e =>
+              e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+            }.toMap)
+        }.toSeq
+        new ManifestFiles(refs, loadChunk)
       } else // legacy inline manifest
         node.get("files").elements().asScala.map(parseDataFile).toSeq
     val deletes =
@@ -675,8 +695,26 @@ final class TransactionalTable private (
         else None
       Set(fork) ++ last
     }
+    // Crash recovery for the marker write below: the `_published` marker
+    // lands AFTER the publish commit, so a crash between the two leaves main
+    // at the published version while the branch lacks the marker. Such a
+    // main head is STATE-IDENTICAL to a branch version — recognize it by
+    // comparing file/delete path sets against recent retained branch
+    // manifests (metadata-only; publishes are rare) instead of refusing a
+    // legitimate re-publish and pushing the operator to force=true, which
+    // would bypass real divergence detection.
+    def stateMatchesBranch(snap: Snapshot): Boolean = {
+      val mainFiles = snap.files.map(_.path).toSet
+      val mainDeletes = snap.deletes.map(_.path).toSet
+      (b.currentVersion to math.max(0L, b.currentVersion - 64) by -1L)
+        .view.filter(b.manifestExists).exists { v =>
+          val bs = b.snapshotAt(v)
+          bs.files.map(_.path).toSet == mainFiles &&
+            bs.deletes.map(_.path).toSet == mainDeletes
+        }
+    }
     retryingCommit("publish") { snap =>
-      if (!force && !publishBase.contains(snap.version))
+      if (!force && !publishBase.contains(snap.version) && !stateMatchesBranch(snap))
         throw new IllegalStateException(
           s"publish('$name'): main is at version ${snap.version}, which is neither " +
             s"the branch fork point nor this branch's last published version " +
@@ -1032,8 +1070,16 @@ final class TransactionalTable private (
 
   /** Files of `snap` that can contain any of the batch's keys, plus whether
    *  the key set blew past the collect cap (→ callers should not broadcast).
-   *  Exact key-set pruning under the cap; [min,max]-range pruning past it. */
+   *  Exact key-set pruning under the cap; [min,max]-range pruning past it.
+   *  Chunked manifests prune at CHUNK granularity first (the chunk's pk
+   *  range must overlap the keys before any of its entries is loaded) — a
+   *  merge against a 10⁷-file table plans over the few chunks its keys can
+   *  live in, not the whole manifest. */
   private def affectedFiles(snap: Snapshot, keyDf: DataFrame): (Seq[DataFile], Boolean) = {
+    def candidates(keep: ChunkRef => Boolean): Seq[DataFile] = snap.files match {
+      case mf: ManifestFiles => mf.loadWhere(keep)
+      case s => s
+    }
     val keys = keyDf.limit(MaxCollectedKeys + 1).collect().map(_.getLong(0))
     val oversized = keys.length > MaxCollectedKeys
     val affected =
@@ -1041,10 +1087,11 @@ final class TransactionalTable private (
       else if (oversized) {
         val Array(lo, hi) = keyDf.agg(min(keyDf.columns.head), max(keyDf.columns.head))
           .collect().head match { case r => Array(r.getLong(0), r.getLong(1)) }
-        snap.files.filter(f => f.pkMax >= lo && f.pkMin <= hi)
+        candidates(c => c.pkMax >= lo && c.pkMin <= hi)
+          .filter(f => f.pkMax >= lo && f.pkMin <= hi)
       } else {
         val sorted = keys.sorted
-        snap.files.filter { f =>
+        candidates(c => overlaps(sorted, c.pkMin, c.pkMax)).filter { f =>
           overlaps(sorted, f.pkMin, f.pkMax) && (f.bloom match {
             // Bloom refinement: range overlap alone keeps every file once CDC
             // churn has spread each file's [min,max] across the key domain;
@@ -1801,7 +1848,7 @@ final class TransactionalTable private (
    * into the rewrite pool once more than [[SmallChunkFoldThreshold]] of them
    * accumulate, so chunk count stays O(files/ChunkSize), not O(commits).
    */
-  private def planChunks(s: Snapshot): Seq[(String, Int)] = {
+  private def planChunks(s: Snapshot): Seq[ChunkRef] = {
     val byPath = s.files.map(f => f.path -> f).toMap
     val parentChunks: Seq[String] =
       if (s.version == 0 || !Files.exists(manifestDir.resolve(s"v${s.version - 1}.json")))
@@ -1814,11 +1861,14 @@ final class TransactionalTable private (
     }
     val (small, big) = reusable.partition(_._2.length < ChunkSize / 2)
     val kept = if (small.length > SmallChunkFoldThreshold) big else reusable
-    val keptPaths = kept.map { case (p, fs) => (p, fs.length) }
+    // Chunk-level stats (pk range, partitions, merged column stats) computed
+    // from the in-memory entries — reused chunks were loaded for the reuse
+    // check anyway, fresh chunks are in hand.
+    val keptRefs = kept.map { case (p, fs) => ChunkRef.of(p, fs) }
     val coveredPaths = kept.iterator.flatMap(_._2).map(_.path).toSet
     val remaining = s.files.filterNot(f => coveredPaths.contains(f.path))
-    val fresh = remaining.grouped(ChunkSize).map(g => (writeChunk(g), g.length)).toSeq
-    keptPaths ++ fresh
+    val fresh = remaining.grouped(ChunkSize).map(g => ChunkRef.of(writeChunk(g), g)).toSeq
+    keptRefs ++ fresh
   }
 
   /** Durably write the manifest, then atomically swap the current pointer.
@@ -1848,8 +1898,22 @@ final class TransactionalTable private (
     // history.
     node.put("schemaJson", schema.json)
     val arr = node.putArray("chunks")
-    chunkRefs.foreach { case (p, n) =>
-      val o = mapper.createObjectNode(); o.put("path", p); o.put("n", n); arr.add(o)
+    chunkRefs.foreach { c =>
+      val o = mapper.createObjectNode()
+      o.put("path", c.path); o.put("n", c.count)
+      o.put("pkMin", c.pkMin); o.put("pkMax", c.pkMax)
+      o.put("rows", c.rows); o.put("bytes", c.bytes)
+      c.partitions.foreach { ps =>
+        val pa = o.putArray("parts"); ps.foreach(pa.add)
+      }
+      c.specId.foreach(sid => o.put("spec", sid))
+      if (c.stats.nonEmpty) {
+        val so = o.putObject("stats")
+        c.stats.foreach { case (k, (mn, mx)) =>
+          val a = so.putArray(k); a.add(mn); a.add(mx)
+        }
+      }
+      arr.add(o)
     }
     if (s.deletes.nonEmpty) {
       val darr = node.putArray("deletes")
@@ -1926,6 +1990,9 @@ object TransactionalTable {
   private[table] val chunkCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
   private[table] val MaxCachedChunks = 4096
+  /** Cache-miss chunk loads — observability for the "pruned planning loads
+    * only matching chunks" guarantee (asserted by ManifestShardingSpec). */
+  val chunkLoads = new java.util.concurrent.atomic.AtomicLong()
 
   def create(spark: SparkSession, root: String, schema: StructType, pk: String,
       partitionCol: Option[String] = None): TransactionalTable =

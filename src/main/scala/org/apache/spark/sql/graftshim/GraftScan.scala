@@ -2,11 +2,15 @@ package org.apache.spark.sql.graftshim
 
 import java.util.OptionalLong
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.SupportsReportPartitioning
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,12 +39,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * recomputed per `planInputPartitions` call, so installing the runtime
  * filter on the shared [[ManifestFileIndex]] is all the re-planning needs.
  */
-final class GraftScan(inner: ParquetScan, index: ManifestFileIndex, rowCount: Long)
-  extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+final class GraftScan(inner: ParquetScan, index: ManifestFileIndex, rowCount: Long,
+    /** `Some((n, col))` when the table is bucket-partitioned under ONE spec
+      * for every live file: the scan then reports KeyGroupedPartitioning over
+      * `bucket(n, col)` and plans one keyed input partition per bucket —
+      * storage-partitioned joins (SPJ): two co-bucketed tables joining on the
+      * bucket column need NO shuffle exchange (Iceberg's SPJ design). */
+    bucketSpec: Option[(Int, String)] = None)
+  extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
+  with SupportsReportPartitioning {
+
+  /** SPJ applies only when the (column-pruned) output still carries the
+    * bucket column — Spark resolves the reported transform against the scan
+    * output, and an unresolvable reference would fail the query rather than
+    * degrade. */
+  private def activeBucketSpec: Option[(Int, String)] = bucketSpec.filter { case (_, c) =>
+    inner.readSchema().fieldNames.exists(_.equalsIgnoreCase(c))
+  }
+
+  override def outputPartitioning(): Partitioning = activeBucketSpec match {
+    case Some((n, col)) =>
+      new KeyGroupedPartitioning(Array(Expressions.bucket(n, col)), n)
+    case None => new UnknownPartitioning(0)
+  }
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = "Graft " + inner.description()
-  override def toBatch: Batch = inner.toBatch
+  override def toBatch: Batch =
+    if (activeBucketSpec.isDefined) new GraftKeyedBatch(inner.toBatch)
+    else inner.toBatch
   override def supportedCustomMetrics(): Array[CustomMetric] = inner.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[CustomTaskMetric] = inner.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
@@ -68,6 +95,46 @@ final class GraftScan(inner: ParquetScan, index: ManifestFileIndex, rowCount: Lo
   }
 }
 
+/** A [[FilePartition]] that also names its bucket — Spark groups
+  * key-carrying partitions into catalyst KeyGroupedPartitioning, the basis
+  * of exchange-free co-bucketed joins. */
+final class KeyedFilePartition(index0: Int, files0: Array[PartitionedFile],
+    key: InternalRow) extends FilePartition(index0, files0) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/**
+ * Regroups the inner ParquetScan's planned files into ONE input partition
+ * per bucket, keyed by the bucket id parsed from the file path's `_p=<id>`
+ * directory (the write path stamps every data file into its bucket
+ * directory, so the id is planning metadata — no file is opened). Falls
+ * back to the inner partitions verbatim if any file lacks a bucket id
+ * (partitions then carry no keys and Spark plans a normal shuffle join).
+ */
+private[graftshim] final class GraftKeyedBatch(inner: Batch) extends Batch {
+  private val BucketDir = ".*/_p=([0-9]+)/[^/]*$".r
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = inner.planInputPartitions()
+    val files = Array.newBuilder[PartitionedFile]
+    parts.foreach {
+      case fp: FilePartition => files ++= fp.files
+      case _ => return parts
+    }
+    val keyed = files.result().map { f =>
+      f.filePath.toString match {
+        case BucketDir(b) => (b.toInt, f)
+        case _ => return parts
+      }
+    }
+    keyed.groupBy(_._1).toArray.sortBy(_._1).zipWithIndex.map {
+      case ((b, fs), i) => new KeyedFilePartition(i, fs.map(_._2), InternalRow(b))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = inner.createReaderFactory()
+}
+
 /** Delegating builder: pushdown (column pruning, catalyst filters,
   * aggregates) forwards to the wrapped [[ParquetScanBuilder]]; `build()`
   * wraps the result in [[GraftScan]]. Composition, not inheritance —
@@ -76,7 +143,7 @@ final class GraftScan(inner: ParquetScan, index: ManifestFileIndex, rowCount: Lo
   * into the scan the row count no longer describes the scan OUTPUT, so the
   * wrap (and its stats) is skipped — the plain ParquetScan passes through. */
 final class GraftScanBuilder(inner: ParquetScanBuilder, index: ManifestFileIndex,
-    rowCount: Long)
+    rowCount: Long, bucketSpec: Option[(Int, String)] = None)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -85,7 +152,8 @@ final class GraftScanBuilder(inner: ParquetScanBuilder, index: ManifestFileIndex
   private var aggPushed = false
 
   override def build(): Scan =
-    if (aggPushed) inner.build() else new GraftScan(inner.build(), index, rowCount)
+    if (aggPushed) inner.build()
+    else new GraftScan(inner.build(), index, rowCount, bucketSpec)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
@@ -114,11 +182,13 @@ object GraftScanBuilder {
     * SQL catalog's batch read path). `rowCount < 0` = unknown. */
   def apply(spark: org.apache.spark.sql.SparkSession, schema: StructType,
       entries: Seq[ManifestEntry], pk: String, options: CaseInsensitiveStringMap,
-      pkHashed: Boolean, rowCount: Long): ScanBuilder = {
-    val index = new ManifestFileIndex(spark, entries, pk, pkHashed)
+      pkHashed: Boolean, rowCount: Long,
+      bucketSpec: Option[(Int, String)] = None): ScanBuilder = {
+    val index = new ManifestFileIndex(spark, ManifestFileIndex.chunksOf(entries),
+      pk, pkHashed)
     new GraftScanBuilder(
       ParquetScanBuilder(spark.asInstanceOf[classic.SparkSession], index,
         schema, schema, options),
-      index, rowCount)
+      index, rowCount, bucketSpec)
   }
 }

@@ -29,6 +29,59 @@ final case class ManifestEntry(path: String, partition: Option[String], pkMin: L
   lazy val bloomBits: Option[Array[Long]] = bloom.map(graft.util.Bloom.decode)
 }
 
+/** One manifest chunk as the SQL layer sees it: chunk-level aggregate stats
+  * (enough to prune the WHOLE chunk against pushed filters) plus a deferred
+  * entry loader. Sentinel ranges (`Long.MinValue..MaxValue`, `bytes = -1`)
+  * mark stat-less legacy chunks — they overlap everything and always load. */
+final case class EntryChunk(
+    count: Int,
+    pkMin: Long,
+    pkMax: Long,
+    bytes: Long,
+    /** Distinct partition values of the chunk's files (uniform spec only). */
+    partitions: Option[Seq[String]],
+    /** The transform those partition values were derived under. */
+    part: Option[PartitionTransformDesc],
+    /** Chunk-merged column [min,max] (intersection of per-file stats). */
+    stats: Map[String, (Long, Long)],
+    load: () => Seq[ManifestEntry])
+
+object EntryChunk {
+  /** Wrap already-materialized entries (streaming micro-batches, legacy
+    * manifests): stats merge from the in-memory entries, load is free. */
+  def eager(entries: Seq[ManifestEntry], pkHashed: Boolean = false): EntryChunk = {
+    val statKeys =
+      if (entries.isEmpty) Set.empty[String]
+      else entries.iterator.map(_.stats.keySet).reduce(_ intersect _)
+    val merged = statKeys.iterator.map { k =>
+      k -> ((entries.iterator.map(_.stats(k)._1).min,
+        entries.iterator.map(_.stats(k)._2).max))
+    }.toMap
+    EntryChunk(entries.length,
+      if (entries.isEmpty) Long.MinValue else entries.iterator.map(_.pkMin).min,
+      if (entries.isEmpty) Long.MaxValue else entries.iterator.map(_.pkMax).max,
+      entries.iterator.map(_.bytes).sum, None, None, merged, () => entries)
+  }
+}
+
+/** A lazily-chunked `Seq[ManifestEntry]`: metadata answers (length, isEmpty)
+  * come from chunk counts; full traversal loads every chunk. Carried by
+  * GraftSqlTable so planning (ManifestFileIndex) can reach the chunk
+  * structure while entry-shaped consumers (metadata-only COUNT/MIN/MAX
+  * folds) keep working unchanged. */
+final class LazyManifest(val chunkList: Seq[EntryChunk])
+    extends scala.collection.immutable.Seq[ManifestEntry] {
+  private lazy val all: IndexedSeq[ManifestEntry] = {
+    import scala.collection.parallel.CollectionConverters._
+    if (chunkList.lengthCompare(2) < 0) chunkList.flatMap(_.load()).toIndexedSeq
+    else chunkList.par.map(_.load()).seq.flatten.toIndexedSeq
+  }
+  override def length: Int = chunkList.iterator.map(_.count).sum
+  override def isEmpty: Boolean = !chunkList.exists(_.count > 0)
+  override def apply(i: Int): ManifestEntry = all(i)
+  override def iterator: Iterator[ManifestEntry] = all.iterator
+}
+
 /**
  * A FileIndex fed from the TransactionalTable MANIFEST instead of a directory
  * listing: `listFiles` prunes by per-file partition value and PK min/max
@@ -38,10 +91,16 @@ final case class ManifestEntry(path: String, partition: Option[String], pkMin: L
  * of the engine API's merge-time file skipping, and what Iceberg's manifests
  * provide Athena in the reference. Conservative: a file is skipped only when
  * a conjunct PROVES it cannot contain a matching row.
+ *
+ * Pruning is TWO-LEVEL (Iceberg's manifest-list → manifest layering): pushed
+ * and runtime filters first rule out whole CHUNKS by chunk-level stats —
+ * without loading a single entry — then rule out files of the surviving
+ * chunks entry by entry. A point lookup against a 10⁷-file table touches
+ * O(matching chunks) of driver memory, not the whole manifest.
  */
 class ManifestFileIndex(
     spark: SparkSession,
-    entries: Seq[ManifestEntry],
+    val chunks: Seq[EntryChunk],
     pk: String,
     /** True when the table's PK is a string: manifest pkMin/pkMax/bloom live
       * in the xxhash64 key domain (seed 42, matching the write side), so
@@ -54,45 +113,79 @@ class ManifestFileIndex(
 
   // Statuses come from manifest metadata alone — listing/planning a scan
   // touches NO data file (the same property Iceberg manifests give planners).
-  private val withStatus: Seq[(ManifestEntry, FileStatus)] =
-    entries.map(e => e -> new FileStatus(
-      e.bytes, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path)))
+  private def statusOf(e: ManifestEntry): FileStatus =
+    new FileStatus(e.bytes, false, 1, 128L * 1024 * 1024, 0L, new Path(e.path))
+
+  /** Full materialization — metadata surfaces that genuinely need every
+    * entry (leafFiles, inputFiles). Planning (listFiles) does NOT use it. */
+  private lazy val allEntries: Seq[ManifestEntry] = {
+    import scala.collection.parallel.CollectionConverters._
+    if (chunks.lengthCompare(2) < 0) chunks.flatMap(_.load())
+    else chunks.par.map(_.load()).seq.flatten
+  }
 
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
   override def leafFiles: LinkedHashMap[Path, FileStatus] =
-    LinkedHashMap(withStatus.map { case (_, s) => s.getPath -> s }: _*)
+    LinkedHashMap(allEntries.map(e => new Path(e.path) -> statusOf(e)): _*)
   override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
-    withStatus.map(_._2).groupBy(_.getPath.getParent)
+    allEntries.map(statusOf).groupBy(_.getPath.getParent)
       .view.mapValues(_.toArray).toMap
-  override def rootPaths: Seq[Path] = withStatus.map(_._2.getPath)
+  override def rootPaths: Seq[Path] = allEntries.map(e => new Path(e.path))
   override def refresh(): Unit = ()
-  override def sizeInBytes: Long = withStatus.map(_._2.getLen).sum
-  override def inputFiles: Array[String] = entries.map(_.path).toArray
+  override def sizeInBytes: Long =
+    if (chunks.forall(_.bytes >= 0)) chunks.iterator.map(_.bytes).sum
+    else allEntries.map(_.bytes).sum
+  override def inputFiles: Array[String] = allEntries.map(_.path).toArray
 
-  /** Runtime (join-time) entry filter installed by [[GraftScan.filter]] —
+  /** Runtime (join-time) filters installed by [[GraftScan.filter]] —
     * DSv2 runtime filtering: a broadcast join's build-side key set arrives as
     * an IN predicate after planning, and whole files provably outside it are
-    * dropped before the batch re-plans. Identity function until then. */
+    * dropped before the batch re-plans. Identity functions until then; the
+    * chunk-level twin prunes whole chunks before their entries load. */
   @volatile private var runtimeKeep: ManifestEntry => Boolean = _ => true
+  @volatile private var runtimeKeepChunk: EntryChunk => Boolean = _ => true
+
+  /** The chunk reduced to synthetic per-partition entries carrying its
+    * chunk-wide stats: a chunk provably holds no match only if EVERY such
+    * entry is unmatchable (a chunk is a union of hypothetical files, one per
+    * partition value, each spanning the chunk's pk/stat ranges). No bloom,
+    * no per-file tightness — strictly more conservative than entry pruning. */
+  private def chunkEntries(c: EntryChunk): Seq[ManifestEntry] = {
+    val base = ManifestEntry("", None, c.pkMin, c.pkMax,
+      math.max(c.bytes, 0L), c.stats, None, None)
+    c.partitions match {
+      case Some(ps) if c.part.isDefined && ps.nonEmpty =>
+        ps.map(p => base.copy(partition = Some(p), part = c.part))
+      case _ => Seq(base)
+    }
+  }
+
+  private def chunkNoMatch(c: EntryChunk, f: Expression): Boolean =
+    chunkEntries(c).forall(e => provablyNoMatch(e, f))
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = withStatus.collect {
-      case (e, s) if runtimeKeep(e) && !dataFilters.exists(f => provablyNoMatch(e, f)) => s
-    }
-    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    val kept = chunks.iterator
+      .filter(c => runtimeKeepChunk(c) &&
+        !dataFilters.exists(f => chunkNoMatch(c, f)))
+      .flatMap(_.load())
+      .filter(e => runtimeKeep(e) && !dataFilters.exists(f => provablyNoMatch(e, f)))
+      .map(statusOf).toArray
+    Seq(PartitionDirectory(InternalRow.empty, kept))
   }
 
   /** Columns a runtime filter can prune files by: the PK (manifest ranges +
-    * blooms), any column with per-file [min,max] stats, and each entry's
-    * partition source column (transform-reversing prune). */
+    * blooms), any column with chunk-level [min,max] stats, and the partition
+    * source columns (transform-reversing prune) — all answerable from chunk
+    * metadata without loading entries. */
   def prunableColumns: Seq[String] =
-    (Seq(pk) ++ entries.flatMap(_.stats.keys) ++ entries.flatMap(_.part.map(_.col))).distinct
+    (Seq(pk) ++ chunks.flatMap(_.stats.keys) ++ chunks.flatMap(_.part.map(_.col))).distinct
 
   /** Install a runtime filter from DSv2 join predicates (IN / = on a
     * prunable column). Returns true when a usable predicate was found. A
     * file survives if ANY value could match — exactly [[noEq]]'s negation,
-    * so runtime pruning and static pruning can never disagree. */
+    * so runtime pruning and static pruning can never disagree; a chunk
+    * survives if ANY of its synthetic per-partition entries could match. */
   def applyRuntimeFilter(
       preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
     import org.apache.spark.sql.connector.expressions.{LiteralValue, NamedReference}
@@ -108,7 +201,10 @@ class ManifestFileIndex(
         case _ => None
       }
     }
-    if (keeps.nonEmpty) runtimeKeep = e => keeps.forall(k => k(e))
+    if (keeps.nonEmpty) {
+      runtimeKeep = e => keeps.forall(k => k(e))
+      runtimeKeepChunk = c => chunkEntries(c).exists(e => keeps.forall(k => k(e)))
+    }
     keeps.nonEmpty
   }
 
@@ -248,9 +344,17 @@ class ManifestFileIndex(
 }
 
 object ManifestFileIndex {
+  /** Entry-shaped input to chunk structure: a [[LazyManifest]] exposes its
+    * real chunks (two-level pruning); anything else becomes one eager chunk
+    * with merged stats (small in-memory lists — streaming batches). */
+  def chunksOf(entries: Seq[ManifestEntry]): Seq[EntryChunk] = entries match {
+    case lm: LazyManifest => lm.chunkList
+    case s => Seq(EntryChunk.eager(s))
+  }
+
   /** Build a ParquetScanBuilder whose file listing is manifest-pruned. */
   def scanBuilder(spark: SparkSession, schema: StructType, entries: Seq[ManifestEntry],
       pk: String, options: CaseInsensitiveStringMap, pkHashed: Boolean = false): ScanBuilder =
     ParquetScanBuilder(spark.asInstanceOf[classic.SparkSession],
-      new ManifestFileIndex(spark, entries, pk, pkHashed), schema, schema, options)
+      new ManifestFileIndex(spark, chunksOf(entries), pk, pkHashed), schema, schema, options)
 }

@@ -159,4 +159,27 @@ class BranchSpec extends SparkSpec {
     t.publish("iter")
     assert(state(t) === Set(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
   }
+
+  test("publish recovers from a crash between the commit and the marker write") {
+    val t = mk("br-crash")
+    val b = t.createBranch("wap")
+    b.merge(Seq(3L -> "c").toDF("id", "v"), noDel, batchId = 1)
+    t.publish("wap")
+    // Simulate the crash window: the publish commit landed on main but the
+    // branch's `_published` marker was lost before reaching disk.
+    val marker = java.nio.file.Paths.get(t.root, "manifest", "branches", "wap", "_published")
+    assert(java.nio.file.Files.exists(marker), "test premise: marker exists after publish")
+    java.nio.file.Files.delete(marker)
+    // A later legitimate publish must recognize main's head as this branch's
+    // own published state (identical file set) — no force needed.
+    b.merge(Seq(4L -> "d").toDF("id", "v"), noDel, batchId = 2)
+    t.publish("wap")
+    assert(state(t) === Set(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
+    // ... while a genuinely diverged main still refuses
+    val b2 = t.createBranch("wap2")
+    b2.merge(Seq(5L -> "e").toDF("id", "v"), noDel, batchId = 3)
+    t.merge(Seq(9L -> "x").toDF("id", "v"), noDel, batchId = 9) // main diverges
+    val e = intercept[IllegalStateException] { t.publish("wap2") }
+    assert(e.getMessage.contains("fast-forwarding would discard"), e.getMessage)
+  }
 }

@@ -325,8 +325,8 @@ class CatalogSpec extends SparkSpec {
     val daysDesc = PartitionTransformDesc("days", "ts")
     val ts = AttributeReference("ts", TimestampType)()
     def microsOf(day: Long) = day * 86400000000L
-    val daysIdx = new ManifestFileIndex(spark,
-      Seq(entry("19723", daysDesc), entry("19725", daysDesc)), "id")
+    val daysIdx = new ManifestFileIndex(spark, ManifestFileIndex.chunksOf(
+      Seq(entry("19723", daysDesc), entry("19725", daysDesc))), "id")
     def kept(idx: ManifestFileIndex, e: org.apache.spark.sql.catalyst.expressions.Expression) =
       idx.listFiles(Nil, Seq(e)).head.files.map(_.getPath.getName).toSeq
     assert(kept(daysIdx, GreaterThanOrEqual(ts, Literal(microsOf(19725L), TimestampType)))
@@ -339,7 +339,7 @@ class CatalogSpec extends SparkSpec {
     val dev = AttributeReference("device", StringType)()
     val bucketDesc = PartitionTransformDesc("bucket", "device", 4)
     val buckets = (0 until 4).map(b => entry(b.toString, bucketDesc))
-    val bIdx = new ManifestFileIndex(spark, buckets, "id")
+    val bIdx = new ManifestFileIndex(spark, ManifestFileIndex.chunksOf(buckets), "id")
     val lit = Literal(org.apache.spark.unsafe.types.UTF8String.fromString("dev-7"), StringType)
     val keptB = kept(bIdx, EqualTo(dev, lit))
     assert(keptB.size === 1, s"bucket equality must keep exactly one bucket, got $keptB")

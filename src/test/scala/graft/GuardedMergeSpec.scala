@@ -73,6 +73,47 @@ class GuardedMergeSpec extends SparkSpec {
     }
   }
 
+  test("guarded merge reads only key-affected files: destroyed-file proof, all modes") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    for ((mode, tag) <- Seq(
+        graft.table.MergeMode.CopyOnWrite -> "gdf-cow",
+        graft.table.MergeMode.MergeOnRead -> "gdf-mor",
+        graft.table.MergeMode.MergeOnReadPositional -> "gdf-pos")) {
+      val t = TransactionalTable.create(spark, tmpDir(tag), Cdc.guardedTableSchema,
+        Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+      def replay(ls: Seq[String], b: Long): Unit =
+        CdcPipeline.applyCdcBatchGuarded(t, Cdc.parse(ls.toDS()), b, mode)
+      // two files with disjoint key ranges: ids 1-5, then ids 1001-1005
+      replay((1L to 5L).map(i => line(i, 10, "2023-01-16T06:00:00.000001Z", "insert", i)), 0)
+      val v1Paths = t.snapshot.files.map(_.path).toSet
+      replay((1001L to 1005L).map(i =>
+        line(i, 20, "2023-01-16T06:00:00.000001Z", "insert", i)), 1)
+      val bFiles = t.snapshot.files.filterNot(f => v1Paths.contains(f.path))
+      assert(bFiles.nonEmpty, s"$tag: expected a second data file")
+      // Destroy the 1001-1005 file(s): ANY read of them now throws. The
+      // guarded merges below touch only ids 1-2, so both the merge slice and
+      // the guard-resolution read (guardWinners for MOR) must prune them —
+      // the batch-bounded join claim as an executable proof.
+      val backups = bFiles.map { f =>
+        val bak = Paths.get(f.path + ".bak")
+        Files.copy(Paths.get(f.path), bak, StandardCopyOption.REPLACE_EXISTING)
+        Files.delete(Paths.get(f.path)); f.path -> bak
+      }
+      replay(Seq(line(1, 77, "2023-01-16T10:00:00.000001Z", "update", 100)), 2)
+      replay(Seq(line(1, 5, "2023-01-16T05:00:00.000001Z", "update", 101)), 3) // late: loses
+      replay(Seq(line(2, 0, "2023-01-16T11:00:00.000001Z", "delete", 102)), 4)
+      // restore the destroyed file(s) and verify the full end state
+      backups.foreach { case (orig, bak) =>
+        Files.move(bak, Paths.get(orig), StandardCopyOption.REPLACE_EXISTING)
+      }
+      val got = t.scan().select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+      assert(got(1L) === 77, s"$tag: fresh guarded update lost")
+      assert(!got.contains(2L), s"$tag: guarded delete did not apply")
+      assert((1001L to 1005L).forall(i => got(i) === 20), s"$tag: unaffected file changed")
+      assert(got.size === 4 + 5, s"$tag: unexpected row count")
+    }
+  }
+
   test("guarded equals faithful when events arrive in ts order") {
     val ordered = Seq(
       line(1, 10, "2023-01-16T06:00:00.000001Z", "insert", 1),

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.table.{ChunkRef, DataFile, ManifestFiles, TransactionalTable}
+
+/**
+ * Sharded-manifest planning: a large table's manifest is chunked with
+ * chunk-level stats, and PLANNING must touch only the chunks a query's
+ * predicates can match — never the whole file list. The fixture below is a
+ * hand-written 100 000-file manifest (200 chunks × 500 files) whose data
+ * files do not exist on disk: any code path that materializes entries
+ * loads chunk JSON (observable via TransactionalTable.chunkLoads), and any
+ * path that touches DATA fails loudly.
+ */
+class ManifestShardingSpec extends SparkSpec {
+
+  private val NChunks = 200
+  private val FilesPerChunk = 500
+  private val RowsPerFile = 100L
+
+  /** Write a synthetic chunked manifest: file k (global) covers pk range
+    * [k*100, k*100+99] and stats v in [k*10, k*10+9]. */
+  private def writeSyntheticTable(root: String): Unit = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "bigint").add("v", "bigint").add("event", "string")
+    Files.createDirectories(Paths.get(root, "manifest", "chunks"))
+    val tableMeta =
+      s"""{"schemaJson":${com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+        .textNode(schema.json).toString},"pk":"id","partitionCol":null}"""
+    Files.writeString(Paths.get(root, "_table.json"), tableMeta)
+    val chunkRefs = new StringBuilder
+    for (c <- 0 until NChunks) {
+      val sb = new StringBuilder("""{"files":[""")
+      for (i <- 0 until FilesPerChunk) {
+        val k = c.toLong * FilesPerChunk + i
+        if (i > 0) sb.append(',')
+        sb.append(s"""{"path":"/nonexistent/f$k.parquet","partition":null,""")
+        sb.append(s""""pkMin":${k * 100},"pkMax":${k * 100 + 99},"rows":$RowsPerFile,""")
+        sb.append(s""""bytes":1000,"stats":{"v":[${k * 10},${k * 10 + 9}]}}""")
+      }
+      sb.append("]}")
+      val p = Paths.get(root, "manifest", "chunks", s"c-$c.json")
+      Files.writeString(p, sb.toString)
+      val lo = c.toLong * FilesPerChunk * 100
+      val hi = (c.toLong * FilesPerChunk + FilesPerChunk - 1) * 100 + 99
+      val vLo = c.toLong * FilesPerChunk * 10
+      val vHi = (c.toLong * FilesPerChunk + FilesPerChunk - 1) * 10 + 9
+      if (c > 0) chunkRefs.append(',')
+      chunkRefs.append(s"""{"path":"$p","n":$FilesPerChunk,"pkMin":$lo,"pkMax":$hi,""")
+      chunkRefs.append(s""""rows":${FilesPerChunk * RowsPerFile},"bytes":${FilesPerChunk * 1000L},""")
+      chunkRefs.append(s""""stats":{"v":[$vLo,$vHi]}}""")
+    }
+    val manifest =
+      s"""{"version":1,"batchId":-1,"committedAtMs":1,"chunks":[$chunkRefs]}"""
+    Files.writeString(Paths.get(root, "manifest", "v1.json"), manifest)
+    Files.writeString(Paths.get(root, "_current"), "1")
+  }
+
+  private def loadsDuring[A](body: => A): (A, Long) = {
+    val before = TransactionalTable.chunkLoads.get()
+    val r = body
+    (r, TransactionalTable.chunkLoads.get() - before)
+  }
+
+  test("metadata answers (rowCount, length, isEmpty) load zero chunks") {
+    val root = tmpDir("graft-shard") + "/t"
+    writeSyntheticTable(root)
+    val t = TransactionalTable.open(spark, root)
+    val (snap, loads) = loadsDuring(t.snapshot)
+    assert(loads === 0L, "opening a snapshot materialized manifest chunks")
+    val (rc, loads2) = loadsDuring(snap.rowCount)
+    assert(rc === NChunks.toLong * FilesPerChunk * RowsPerFile)
+    assert(loads2 === 0L, "rowCount materialized manifest chunks")
+    val (n, loads3) = loadsDuring(snap.files.length)
+    assert(n === NChunks * FilesPerChunk)
+    assert(loads3 === 0L, "length materialized manifest chunks")
+  }
+
+  test("SQL point-lookup planning over 100k files loads only the matching chunk") {
+    val root0 = tmpDir("graft-shardsql")
+    val root = s"$root0/db/shard"
+    writeSyntheticTable(root)
+    val cat = s"graft_shard${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root0)
+    // key 5_000_042 lives in global file 50_000 → chunk 100, and only there
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.sql(s"SELECT id, v FROM $cat.db.shard WHERE id = 5000042")
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b
+      }.head
+      val (parts, loads) = loadsDuring(scan.inputPartitions)
+      assert(loads <= 2L,
+        s"point-lookup planning loaded $loads chunks (expected ≤ 2 of $NChunks)")
+      // ... and the surviving file set is the single file that can hold the key
+      val files = parts.flatMap {
+        case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+          f.files.map(_.urlEncodedPath)
+      }
+      assert(files.length === 1, s"expected 1 candidate file, got ${files.length}")
+      assert(files.head.contains("f50000"), files.head)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+  }
+
+  test("range predicate on a stats column prunes chunks before entries load") {
+    val root0 = tmpDir("graft-shardrange")
+    val root = s"$root0/db/shard"
+    writeSyntheticTable(root)
+    val cat = s"graft_shardr${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root0)
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // v in [999_000, 1_001_000) spans the chunk-99/chunk-100 boundary
+      val df = spark.sql(
+        s"SELECT id FROM $cat.db.shard WHERE v >= 999000 AND v < 1001000")
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b
+      }.head
+      val (parts, loads) = loadsDuring(scan.inputPartitions)
+      assert(loads <= 3L,
+        s"range planning loaded $loads chunks (expected ≤ 3 of $NChunks)")
+      val nFiles = parts.map {
+        case f: org.apache.spark.sql.execution.datasources.FilePartition => f.files.length
+        case _ => 0
+      }.sum
+      // 2 000 v-units / 10 per file = ~200 files (+1 boundary)
+      assert(nFiles > 0 && nFiles <= 202, s"kept $nFiles files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+  }
+
+  test("ManifestFiles.loadWhere loads only chunks passing the predicate") {
+    var loaded = List.empty[String]
+    val chunks = (0 until 10).map { c =>
+      ChunkRef(s"chunk$c", 2, pkMin = c * 100L, pkMax = c * 100L + 99,
+        rows = 20L, bytes = 200L)
+    }
+    val mf = new ManifestFiles(chunks, p => {
+      loaded ::= p
+      Seq(DataFile(s"$p/a", None, 0L, 1L, 10L, 100L),
+        DataFile(s"$p/b", None, 2L, 3L, 10L, 100L))
+    })
+    assert(mf.length === 20 && mf.totalRows.contains(200L) && loaded.isEmpty)
+    val hit = mf.loadWhere(c => c.pkMax >= 350 && c.pkMin <= 450)
+    assert(loaded.toSet === Set("chunk3", "chunk4"), loaded)
+    assert(hit.length === 4)
+  }
+}

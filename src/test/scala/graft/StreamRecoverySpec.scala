@@ -167,7 +167,10 @@ class StreamRecoverySpec extends SparkSpec {
       trigger = Trigger.ProcessingTime("1 second"), dlqDir = Some(dlq))
     q.processAllAvailable(); q.stop(); q.awaitTermination()
     assert(t.countRows === 10, "the good rows must land despite the poison line")
-    val quarantined = spark.read.json(dlq)
+    // mixed-era safety: a flat pre-layout file in dlqDir must not break
+    // reading the partitioned data/ tree
+    Files.writeString(Paths.get(dlq, "legacy-flat.json"), """{"old":1}""")
+    val quarantined = spark.read.json(s"$dlq/data")
     assert(quarantined.count() === 1L)
     assert(quarantined.columns.contains("_dlq_batch_id"))
     // Redelivery of an already-committed batch (restart replay): the table
@@ -179,7 +182,7 @@ class StreamRecoverySpec extends SparkSpec {
         (CdcFixtures.scenario1Lines :+ """this is not json at all""").toDS()),
       batchId = 0, dlqDir = Some(dlq))
     assert(t.countRows === 10, "fenced replay must not change the table")
-    assert(spark.read.json(dlq).count() === 1L,
+    assert(spark.read.json(s"$dlq/data").count() === 1L,
       "replayed batch must not duplicate DLQ records")
   }
 
