@@ -295,10 +295,23 @@ private[sources] final class GraftTableMicroBatchStream(
     val versions = baseline +: (s + 1 to e).filter(v => t.manifestExists(v))
     val added = versions.sliding(2).collect { case Seq(p, v) =>
       val prev = t.snapshotAt(p); val cur = t.snapshotAt(v)
-      val prevPaths = prev.files.map(_.path).toSet
-      val curPaths = cur.files.map(_.path).toSet
-      val addedFiles = cur.files.filterNot(f => prevPaths(f.path))
-      val removed = prev.files.exists(f => !curPaths(f.path))
+      // Chunk-level diff when both manifests are chunked: shared chunks are
+      // immutable and identical, so only the SYMMETRIC-DIFFERENCE chunks need
+      // their entries loaded — the per-batch diff costs O(churn) manifest
+      // reads, not two full materializations (at 10⁷ files, the difference
+      // between a streaming trigger reading KBs and reading GBs of metadata).
+      val (prevSide, curSide) = (prev.files, cur.files) match {
+        case (pm: graft.table.ManifestFiles, cm: graft.table.ManifestFiles) =>
+          val pChunks = pm.chunks.map(_.path).toSet
+          val cChunks = cm.chunks.map(_.path).toSet
+          (pm.loadWhere(ch => !cChunks.contains(ch.path)),
+            cm.loadWhere(ch => !pChunks.contains(ch.path)))
+        case (pf, cf) => (pf, cf)
+      }
+      val prevPaths = prevSide.map(_.path).toSet
+      val curPaths = curSide.map(_.path).toSet
+      val addedFiles = curSide.filterNot(f => prevPaths(f.path))
+      val removed = prevSide.exists(f => !curPaths(f.path))
       val newDeletes = cur.deletes.map(_.path).toSet != prev.deletes.map(_.path).toSet
       if (removed || newDeletes) {
         if (!skipNonAppends) throw new UnsupportedOperationException(

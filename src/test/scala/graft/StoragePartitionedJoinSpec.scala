@@ -70,6 +70,25 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY the bucket column aggregates without a shuffle exchange") {
+    val w = tmpDir("spj-agg-wh")
+    Files.createDirectories(Paths.get(s"$w/db"))
+    val cat = s"graft_spja${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    mkTable(s"$w/db/a", 8, (1L to 300L).map(i => (i, i * 3)))
+    withSpj {
+      val df = spark.sql(
+        s"SELECT id, sum(v) AS sv FROM $cat.db.a GROUP BY id")
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"bucket-keyed aggregation shuffled:\n${df.queryExecution.executedPlan}")
+      assert(df.count() === 300)
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct shuffle join") {
     val w = tmpDir("spj-mm-wh")
     Files.createDirectories(Paths.get(s"$w/db"))
