@@ -92,4 +92,28 @@ final class ManifestFiles(val chunks: Seq[ChunkRef], loader: String => Seq[DataF
 
   /** Entries of one chunk (lazy per-chunk access for the SQL layer). */
   def load(c: ChunkRef): Seq[DataFile] = loader(c.path)
+
+  /** The file list minus `removed`, WITHOUT materializing clean chunks:
+    * chunks passing `mayContain` (a conservative pk-overlap test) load and
+    * filter exactly; the rest ride along lazily. The commit path uses this
+    * so a merge's carried-file list costs O(dirty chunks) loads, not a full
+    * manifest materialization. */
+  def withoutLazy(removed: Set[String], mayContain: ChunkRef => Boolean): Seq[DataFile] = {
+    val (dirty, clean) = chunks.partition(mayContain)
+    new AppendedFiles(new ManifestFiles(clean, loader),
+      dirty.flatMap(c => loader(c.path)).filterNot(f => removed.contains(f.path)))
+  }
+}
+
+/** Lazy two-part file list (`base ++ extra` without forcing `base`): commit
+  * paths build their post-mutation Snapshot with this so constructing the
+  * snapshot never loads manifest chunks — `length` and emptiness answer from
+  * part metadata; only a full traversal materializes. */
+final class AppendedFiles(base: Seq[DataFile], extra: Seq[DataFile])
+    extends scala.collection.immutable.Seq[DataFile] {
+  override def length: Int = base.length + extra.length
+  override def isEmpty: Boolean = base.isEmpty && extra.isEmpty
+  override def apply(i: Int): DataFile =
+    if (i < base.length) base(i) else extra(i - base.length)
+  override def iterator: Iterator[DataFile] = base.iterator ++ extra.iterator
 }

@@ -308,10 +308,30 @@ final class TransactionalTable private (
 
   /** Chunk paths referenced by a version's manifest (empty for legacy inline
     * manifests). Manifest-JSON-only — no chunk is opened. */
-  private def chunkPathsOf(version: Long): Seq[String] = {
+  private def chunkPathsOf(version: Long): Seq[String] =
+    chunkRefsOf(version).map(_.path)
+
+  private def parseChunkRef(c: com.fasterxml.jackson.databind.JsonNode): ChunkRef =
+    ChunkRef(c.get("path").asText(), c.get("n").asInt(),
+      if (c.has("pkMin")) c.get("pkMin").asLong() else Long.MinValue,
+      if (c.has("pkMax")) c.get("pkMax").asLong() else Long.MaxValue,
+      if (c.has("rows")) c.get("rows").asLong() else -1L,
+      if (c.has("bytes")) c.get("bytes").asLong() else -1L,
+      if (c.has("parts"))
+        Some(c.get("parts").elements().asScala.map(_.asText()).toSeq)
+      else None,
+      if (c.has("spec")) Some(c.get("spec").asInt()) else None,
+      if (!c.has("stats")) Map.empty
+      else c.get("stats").properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+      }.toMap)
+
+  /** Chunk refs (with stats) of a version's manifest — JSON-only, no chunk
+    * is opened. Empty for legacy inline manifests. */
+  private def chunkRefsOf(version: Long): Seq[ChunkRef] = {
     val node = mapper.readTree(Files.readAllBytes(manifestDir.resolve(s"v$version.json")))
     if (!node.has("chunks")) Seq.empty
-    else node.get("chunks").elements().asScala.map(_.get("path").asText()).toSeq
+    else node.get("chunks").elements().asScala.map(parseChunkRef).toSeq
   }
 
   def snapshotAt(version: Long): Snapshot = {
@@ -331,21 +351,7 @@ final class TransactionalTable private (
         // Materialization is LAZY (ManifestFiles): chunk-level stats answer
         // length/rowCount and let planners load only range-matching chunks;
         // a full traversal still loads everything in parallel.
-        val refs = node.get("chunks").elements().asScala.map { c =>
-          ChunkRef(c.get("path").asText(), c.get("n").asInt(),
-            if (c.has("pkMin")) c.get("pkMin").asLong() else Long.MinValue,
-            if (c.has("pkMax")) c.get("pkMax").asLong() else Long.MaxValue,
-            if (c.has("rows")) c.get("rows").asLong() else -1L,
-            if (c.has("bytes")) c.get("bytes").asLong() else -1L,
-            if (c.has("parts"))
-              Some(c.get("parts").elements().asScala.map(_.asText()).toSeq)
-            else None,
-            if (c.has("spec")) Some(c.get("spec").asInt()) else None,
-            if (!c.has("stats")) Map.empty
-            else c.get("stats").properties().asScala.map { e =>
-              e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
-            }.toMap)
-        }.toSeq
+        val refs = node.get("chunks").elements().asScala.map(parseChunkRef).toSeq
         new ManifestFiles(refs, loadChunk)
       } else // legacy inline manifest
         node.get("files").elements().asScala.map(parseDataFile).toSeq
@@ -1131,10 +1137,20 @@ final class TransactionalTable private (
     val newVersion = snap.version + 1
     val newFiles = writeDataFiles(merged, commitDir(newVersion), seq = newVersion)
 
-    val carried = snap.files.filterNot(affected.toSet)
+    // Carried files stay LAZY for chunked manifests: clean chunks (pk range
+    // disjoint from every rewritten file) ride by reference; only dirty
+    // chunks load — commit metadata cost is O(churn), not O(table).
+    val affectedPaths = affected.map(_.path).toSet
+    val carried = snap.files match {
+      case mf: ManifestFiles => mf.withoutLazy(affectedPaths,
+        c => affected.exists(f => f.pkMax >= c.pkMin && f.pkMin <= c.pkMax))
+      case s => s.filterNot(f => affectedPaths.contains(f.path))
+    }
     // delete files are carried: they may still mask carried data files
     // (rewritten files got a fresh seq and are immune)
-    commit(Snapshot(newVersion, batchId, carried ++ newFiles, snap.deletes))
+    pendingChunkHint = Some((affected, newFiles))
+    commit(Snapshot(newVersion, batchId, new AppendedFiles(carried, newFiles),
+      snap.deletes))
   }
 
   /** Merge-on-read: write the batch as new data + one equality-delete file;
@@ -1147,7 +1163,8 @@ final class TransactionalTable private (
       .unionByName(dels.select(pkDeleteCols: _*)).distinct()
     val delFile = writeDeleteFile(keyDf, commitDir(newVersion, "_deletes"), newVersion)
     val newFiles = writeDataFiles(up, commitDir(newVersion), seq = newVersion)
-    commit(Snapshot(newVersion, batchId, snap.files ++ newFiles,
+    pendingChunkHint = Some((Seq.empty, newFiles))
+    commit(Snapshot(newVersion, batchId, new AppendedFiles(snap.files, newFiles),
       snap.deletes ++ delFile.toSeq))
   }
 
@@ -1182,7 +1199,8 @@ final class TransactionalTable private (
           kind = DeleteFile.Position)
       }
     val newFiles = writeDataFiles(up, commitDir(newVersion), seq = newVersion)
-    commit(Snapshot(newVersion, batchId, snap.files ++ newFiles,
+    pendingChunkHint = Some((Seq.empty, newFiles))
+    commit(Snapshot(newVersion, batchId, new AppendedFiles(snap.files, newFiles),
       snap.deletes ++ delFile.toSeq))
   }
 
@@ -1364,9 +1382,10 @@ final class TransactionalTable private (
         val newFiles = writeDataFiles(conformed(rows),
           commitDir(newVersion), seq = newVersion)
         pendingWriterFence = writerId.map(_ -> batchId)
+        pendingChunkHint = Some((Seq.empty, newFiles))
         try commit(Snapshot(newVersion,
           if (writerId.isDefined) snap.batchId else math.max(batchId, snap.batchId),
-          snap.files ++ newFiles, snap.deletes))
+          new AppendedFiles(snap.files, newFiles), snap.deletes))
         finally pendingWriterFence = None
       }
     }
@@ -1848,13 +1867,63 @@ final class TransactionalTable private (
    * into the rewrite pool once more than [[SmallChunkFoldThreshold]] of them
    * accumulate, so chunk count stays O(files/ChunkSize), not O(commits).
    */
+  /** Removed/added file hint for [[planChunks]], set by mutation entry
+    * points that know their exact delta (append, the three merges): clean
+    * parent chunks are then reused BY REFERENCE — stats carried from the
+    * parent manifest, zero chunk loads — and only chunks whose pk range
+    * overlaps a removed file load for the exact check. Commit metadata cost
+    * becomes O(churn), the Iceberg manifest-reuse property. Entry points
+    * without a hint (overwrite, compact, publish, rollback) take the
+    * load-and-verify path below. */
+  private var pendingChunkHint: Option[(Seq[DataFile], Seq[DataFile])] = None
+
   private def planChunks(s: Snapshot): Seq[ChunkRef] = {
-    val byPath = s.files.map(f => f.path -> f).toMap
-    val parentChunks: Seq[String] =
+    val parentRefs: Seq[ChunkRef] =
       if (s.version == 0 || !Files.exists(manifestDir.resolve(s"v${s.version - 1}.json")))
         Seq.empty
-      else chunkPathsOf(s.version - 1)
-    val reusable = parentChunks.flatMap { p =>
+      else chunkRefsOf(s.version - 1)
+    val hint = pendingChunkHint
+    pendingChunkHint = None // consumed — never leaks into an unrelated commit
+    hint match {
+      case Some((removedFiles, addedFiles)) =>
+        // Hinted path. Soundness: snapshot = parent − removed + added, and a
+        // chunk ⊆ parent whose pk range misses every removed file contains
+        // no removed file — it survives verbatim. Stat-less legacy refs have
+        // sentinel full ranges → always dirty → always verified by load.
+        val dirtyTest: ChunkRef => Boolean = c =>
+          removedFiles.exists(f => f.pkMax >= c.pkMin && f.pkMin <= c.pkMax)
+        val (dirty, clean) = parentRefs.filter(_.count > 0).partition(dirtyTest)
+        val removedPaths = removedFiles.map(_.path).toSet
+        // Dirty chunks load (cache-hot — the merge's own planning just read
+        // them): untouched ones are kept, the rest contribute survivors.
+        val (touched, untouchedDirty) = dirty.map(c => c -> loadChunk(c.path))
+          .partition { case (_, fs) => fs.exists(f => removedPaths.contains(f.path)) }
+        val keptRefs0 = clean ++ untouchedDirty.map(_._1)
+        val (small, big) = keptRefs0.partition(_.count < ChunkSize / 2)
+        val fold = small.length > SmallChunkFoldThreshold
+        val kept = if (fold) big else keptRefs0
+        val survivors =
+          touched.flatMap(_._2).filterNot(f => removedPaths.contains(f.path)) ++
+            (if (fold) small.flatMap(c => loadChunk(c.path)) else Seq.empty)
+        val remaining = survivors ++ addedFiles
+        val fresh = remaining.grouped(ChunkSize).map(g => ChunkRef.of(writeChunk(g), g)).toSeq
+        // Safety net: the planned chunks must account for EXACTLY the
+        // snapshot's files — an inconsistent hint falls back to the
+        // load-and-verify path rather than committing a wrong manifest.
+        if (kept.iterator.map(_.count).sum + fresh.iterator.map(_.count).sum
+            != s.files.length)
+          planChunksVerified(s, parentRefs)
+        else kept ++ fresh
+      case None => planChunksVerified(s, parentRefs)
+    }
+  }
+
+  /** Hint-free chunk planning: load every parent chunk and keep those whose
+    * files ALL survive into the snapshot. O(parent chunks) loads — correct
+    * for any mutation shape, the fallback for unhinted commits. */
+  private def planChunksVerified(s: Snapshot, parentRefs: Seq[ChunkRef]): Seq[ChunkRef] = {
+    val byPath = s.files.map(f => f.path -> f).toMap
+    val reusable = parentRefs.map(_.path).flatMap { p =>
       val files = loadChunk(p)
       if (files.nonEmpty && files.forall(f => byPath.contains(f.path))) Some(p -> files)
       else None
