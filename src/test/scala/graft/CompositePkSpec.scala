@@ -132,6 +132,31 @@ class CompositePkSpec extends SparkSpec {
     assert(ex.getMessage.contains("full primary key"))
   }
 
+  test("general N-clause MERGE over a composite key: clause precedence per full key") {
+    val w = tmpDir("cpk-gen-wh")
+    val cat = s"graft_cpg${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val t = TransactionalTable.create(spark, s"$w/db/g", sch, "region,id")
+    t.merge(Seq(("eu", 1L, 1.0), ("us", 1L, 2.0), ("eu", 2L, 5.0))
+      .toDF("region", "id", "v"), noDel, batchId = 0)
+    Seq(("eu", 1L, 100.0), ("us", 1L, 0.5), ("ap", 3L, 30.0), ("ap", 4L, -1.0))
+      .toDF("region", "id", "v").createOrReplaceTempView("cpk_gen_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.g t USING cpk_gen_src s
+         |ON t.region = s.region AND t.id = s.id
+         |WHEN MATCHED AND s.v >= 50 THEN UPDATE SET t.v = s.v + 1
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.v > 0 THEN
+         |  INSERT (region, id, v) VALUES (s.region, s.id, s.v)""".stripMargin)
+    assert(state(TransactionalTable.open(spark, s"$w/db/g")) ===
+      Set(("eu", 1L, 101.0), // first clause wins on (eu,1)
+        ("eu", 2L, 5.0),     // untouched (not in source)
+        ("ap", 3L, 30.0)),   // conditional insert; (us,1) deleted, (ap,4) no-op
+      "composite-key general merge end state")
+  }
+
   test("guarded merge on a composite key is rejected loudly") {
     val s2 = StructType(sch.fields :+ StructField("ts", TimestampType))
     val t = TransactionalTable.create(spark, tmpDir("cpk-guard") + "/t", s2, "region,id")

@@ -355,6 +355,39 @@ class MergeSqlSpec extends SparkSpec {
     assert(rows.size === 11)
   }
 
+  test("general MERGE against a MOR-pending target reads delete-aware") {
+    // The staged outer join scans the target relation itself; with pending
+    // merge-on-read delete files, GraftMorScanRule (which runs AFTER the
+    // merge rule) must rewrite that embedded scan delete-aware, or the
+    // general merge would resurrect masked rows into its row images.
+    val cat = s"graft_gmor${System.nanoTime()}"
+    val w = tmpDir("graft-gmor-wh")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val root = s"$w/db/retail"
+    val t = TransactionalTable.create(spark, root, Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    CdcPipeline.applyCdcBatch(t, Cdc.parse(CdcFixtures.scenario1Lines.toDS()), 0,
+      graft.table.MergeMode.MergeOnRead)
+    CdcPipeline.applyCdcBatch(t, Cdc.parse(CdcFixtures.scenario2Lines.toDS()), 1,
+      graft.table.MergeMode.MergeOnRead)
+    assert(t.snapshot.deletes.nonEmpty, "test premise: MOR delete files pending")
+    val before = t.scan().select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+    Seq((19L, 123), (555L, 55)).toDF("trans_id", "amount")
+      .createOrReplaceTempView("gmor_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.retail t USING gmor_src s ON t.trans_id = s.trans_id
+         |WHEN MATCHED THEN UPDATE SET t.amount = s.amount
+         |WHEN NOT MATCHED THEN INSERT (trans_id, amount) VALUES (s.trans_id, s.amount)""".stripMargin)
+    val rows = TransactionalTable.open(spark, root).scan()
+      .select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+    assert(rows(19L) === 123)
+    assert(rows(555L) === 55)
+    assert(rows.size === before.size + 1,
+      "a masked row was resurrected (or a live row lost) through the MOR merge")
+  }
+
   test("general MERGE: cardinality violation (two source rows, one target key) fails") {
     val (cat, _) = freshCatalog()
     Seq((19L, 1), (19L, 2)).toDF("trans_id", "amount")

@@ -89,6 +89,32 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("SPJ holds with AQE enabled (the production configuration)") {
+    val w = tmpDir("spj-aqe-wh")
+    Files.createDirectories(Paths.get(s"$w/db"))
+    val cat = s"graft_spjq${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    mkTable(s"$w/db/a", 8, (1L to 200L).map(i => (i, i)))
+    mkTable(s"$w/db/b", 8, (1L to 200L).map(i => (i, i * 2)))
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        s"SELECT a.id, b.v FROM $cat.db.a a JOIN $cat.db.b b ON a.id = b.id")
+      assert(df.count() === 200) // execute first: AQE finalizes the plan
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("Exchange"),
+        s"AQE-final plan still shuffles the co-bucketed join:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct shuffle join") {
     val w = tmpDir("spj-mm-wh")
     Files.createDirectories(Paths.get(s"$w/db"))
