@@ -428,8 +428,11 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     * have (wrong join results); it degrades to a normal shuffle join. */
   private def bucketSpecForSpj: Option[(Int, String)] = partSpec match {
     case Some(graft.table.PartitionTransform.Bucket(n, c)) => entries match {
+      // Uniform-spec proof only — the per-chunk partition VALUE list (capped
+      // for chunk pruning) is irrelevant here; bucket ids come from the file
+      // paths at batch planning.
       case lm: org.apache.spark.sql.graftshim.LazyManifest
-          if lm.chunkList.forall(ch => ch.partitions.isDefined &&
+          if lm.chunkList.forall(ch =>
             ch.part.exists(d => d.kind == "bucket" && d.n == n &&
               d.col.equalsIgnoreCase(c))) && lm.nonEmpty =>
         Some((n, c))

@@ -44,15 +44,22 @@ object ChunkRef {
       k -> ((files.iterator.map(_.stats(k)._1).min, files.iterator.map(_.stats(k)._2).max))
     }.toMap
     val specIds = files.iterator.map(_.specId).toSeq.distinct
-    val parts =
-      if (specIds.length == 1 && files.forall(_.partition.isDefined)) {
-        val vs = files.iterator.flatMap(_.partition).toSeq.distinct
-        if (vs.length <= PartitionCap) Some(vs) else None
-      } else None
+    // The uniform spec id is recorded INDEPENDENTLY of the value list: SPJ
+    // eligibility needs only "every file in this chunk was written under
+    // spec S" — a 256-bucket table must not lose exchange-free joins just
+    // because its per-chunk value list blew the cap below.
+    val uniformSpec =
+      if (specIds.length == 1 && files.forall(_.partition.isDefined))
+        Some(specIds.head)
+      else None
+    val parts = uniformSpec.flatMap { _ =>
+      val vs = files.iterator.flatMap(_.partition).toSeq.distinct
+      if (vs.length <= PartitionCap) Some(vs) else None
+    }
     ChunkRef(path, files.length,
       files.iterator.map(_.pkMin).min, files.iterator.map(_.pkMax).max,
       files.iterator.map(_.rows).sum, files.iterator.map(_.bytes).sum,
-      parts, parts.map(_ => specIds.head), merged)
+      parts, uniformSpec, merged)
   }
 }
 

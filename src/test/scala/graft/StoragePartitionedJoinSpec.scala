@@ -89,6 +89,28 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("SPJ holds past the chunk partition-value cap (32 buckets > cap 16)") {
+    val w = tmpDir("spj-big-wh")
+    Files.createDirectories(Paths.get(s"$w/db"))
+    val cat = s"graft_spjb${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    assert(32 > graft.table.ChunkRef.PartitionCap, "test premise")
+    mkTable(s"$w/db/a", 32, (1L to 300L).map(i => (i, i)))
+    mkTable(s"$w/db/b", 32, (1L to 300L).map(i => (i, i * 2)))
+    withSpj {
+      val df = spark.sql(
+        s"SELECT a.id, b.v FROM $cat.db.a a JOIN $cat.db.b b ON a.id = b.id")
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"32-bucket join shuffled (spec id lost past the value cap?):\n" +
+          df.queryExecution.executedPlan)
+      assert(df.count() === 300)
+    }
+  }
+
   test("SPJ holds with AQE enabled (the production configuration)") {
     val w = tmpDir("spj-aqe-wh")
     Files.createDirectories(Paths.get(s"$w/db"))
