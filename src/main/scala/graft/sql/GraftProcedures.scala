@@ -21,6 +21,7 @@ import graft.table.TransactionalTable
  *   CALL graft.system.create_branch('db.t', 'audit')
  *   CALL graft.system.publish_branch('db.t', 'audit')
  *   CALL graft.system.create_tag('db.t', 'prod', -1)
+ *   CALL graft.system.rewrite_manifests('db.t')
  *   CALL graft.system.evolve_partitioning('db.t', 'days(ts)')
  *
  * Each returns one result row so operators see what happened (versions,
@@ -133,6 +134,14 @@ object GraftProcedures {
       (c, a) => {
         val t = open(c, a); t.createTag(a.getUTF8String(1).toString, a.getLong(2))
         Seq(t.tags(a.getUTF8String(1).toString))
+      }),
+
+    "rewrite_manifests" -> Spec(
+      Seq("table" -> S),
+      row("chunks_before" -> L, "chunks_after" -> L),
+      (c, a) => {
+        val (before, after) = open(c, a).rewriteManifests()
+        Seq(before, after)
       }),
 
     "evolve_partitioning" -> Spec(

@@ -1877,7 +1877,34 @@ final class TransactionalTable private (
     * load-and-verify path below. */
   private var pendingChunkHint: Option[(Seq[DataFile], Seq[DataFile])] = None
 
+  /** Set by [[rewriteManifests]]: skip parent-chunk reuse entirely and
+    * repack every file into full-sized, stat-carrying chunks. */
+  private var pendingRepack: Boolean = false
+
+  /**
+   * Iceberg `rewrite_manifests` parity: repack the manifest into full-sized
+   * chunks with freshly computed chunk-level stats — METADATA-ONLY (no data
+   * file is read or written; the snapshot's file list is unchanged). Heals
+   * two forms of metadata debt: chunk fragmentation from many small commits
+   * (each commit adds a small chunk; reads pay per-chunk I/O) and stat-less
+   * legacy chunk refs, whose sentinel ranges disable chunk-level pruning.
+   * Returns (chunks before, chunks after). The pre-rewrite snapshot stays
+   * time-travelable like any other commit.
+   */
+  def rewriteManifests(): (Long, Long) = synchronized {
+    val before = chunkRefsOf(currentVersion).length.toLong
+    retryingCommit("rewriteManifests") { snap =>
+      pendingRepack = true
+      try commit(Snapshot(snap.version + 1, snap.batchId,
+        snap.files.toIndexedSeq, snap.deletes))
+      finally pendingRepack = false
+    }
+    (before, chunkRefsOf(currentVersion).length.toLong)
+  }
+
   private def planChunks(s: Snapshot): Seq[ChunkRef] = {
+    if (pendingRepack)
+      return s.files.grouped(ChunkSize).map(g => ChunkRef.of(writeChunk(g), g)).toSeq
     val parentRefs: Seq[ChunkRef] =
       if (s.version == 0 || !Files.exists(manifestDir.resolve(s"v${s.version - 1}.json")))
         Seq.empty

@@ -66,6 +66,31 @@ class CallProceduresSpec extends SparkSpec {
     assert(TransactionalTable.open(spark, s"$w/db/t").scan().count() === 192L)
   }
 
+  test("rewrite_manifests repacks fragmented chunks; state and history intact") {
+    val w = mkWarehouse("gp4")
+    val root = s"$w/db/t"
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    // 6 tiny commits → 6 single-file chunks of metadata debt (below the
+    // automatic small-chunk fold threshold, which self-heals past 8)
+    (1L to 6L).foreach(i => t.append(Seq(i -> s"v$i").toDF("id", "v").coalesce(1)))
+    t.append((7L to 10L).map(i => i -> s"v$i").toDF("id", "v").coalesce(1))
+    val (before, after) = spark.sql("CALL gp4.system.rewrite_manifests('db.t')")
+      .as[(Long, Long)].head()
+    assert(before >= 5L, s"premise: fragmented manifest, got $before chunks")
+    assert(after === 1L, s"repack must yield one full-size chunk, got $after")
+    val t2 = TransactionalTable.open(spark, root)
+    // metadata-only: file list identical, data untouched, rowCount from stats
+    assert(t2.snapshot.files.map(_.path).toSet ===
+      t2.snapshotAt(t2.currentVersion - 1).files.map(_.path).toSet)
+    assert(t2.snapshot.rowCount === 10L)
+    assert(t2.scan().as[(Long, String)].collect().toMap.apply(7L) === "v7")
+    // pre-rewrite history still travels
+    assert(t2.scanAt(3).count() === 3L)
+    // and merging on the repacked manifest stays correct
+    t2.merge(Seq(3L -> "vv").toDF("id", "v"), noDel, batchId = 0)
+    assert(t2.scan().as[(Long, String)].collect().toMap.apply(3L) === "vv")
+  }
+
   test("create_branch / publish_branch; evolve_partitioning; unknown procedure fails") {
     val w = mkWarehouse("gp3")
     val t = TransactionalTable.create(spark, s"$w/db/t",
