@@ -1,5 +1,7 @@
 package graft.sql
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
@@ -21,6 +23,7 @@ import graft.table.TransactionalTable
  *   CALL graft.system.create_branch('db.t', 'audit')
  *   CALL graft.system.publish_branch('db.t', 'audit')
  *   CALL graft.system.create_tag('db.t', 'prod', -1)
+ *   CALL graft.system.add_files('db.t', '/data/existing_parquet_dir')
  *   CALL graft.system.rewrite_manifests('db.t')
  *   CALL graft.system.evolve_partitioning('db.t', 'days(ts)')
  *
@@ -134,6 +137,24 @@ object GraftProcedures {
       (c, a) => {
         val t = open(c, a); t.createTag(a.getUTF8String(1).toString, a.getLong(2))
         Seq(t.tags(a.getUTF8String(1).toString))
+      }),
+
+    "add_files" -> Spec(
+      Seq("table" -> S, "path" -> S),
+      row("added_files" -> L, "added_rows" -> L),
+      (c, a) => {
+        val t = open(c, a)
+        val p = java.nio.file.Paths.get(a.getUTF8String(1).toString)
+        val files =
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.walk(p).iterator().asScala
+              .filter(f => java.nio.file.Files.isRegularFile(f) &&
+                f.getFileName.toString.endsWith(".parquet") &&
+                !f.getFileName.toString.startsWith("."))
+              .map(_.toString).toSeq.sorted
+          else Seq(p.toString)
+        val (nf, nr) = t.addFiles(files)
+        Seq(nf, nr)
       }),
 
     "rewrite_manifests" -> Spec(

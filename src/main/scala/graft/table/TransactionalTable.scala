@@ -1445,6 +1445,69 @@ final class TransactionalTable private (
     }
   }
 
+  /**
+   * Iceberg `add_files` parity: REGISTER existing Parquet files into the
+   * table in ONE metadata commit — manifest entries built from each file's
+   * footer (row count, PK range, column stats), zero bytes of data moved or
+   * rewritten. The 100 TB migration path: adopting an existing lake into
+   * the table costs footer reads, not a rewrite.
+   *
+   * Semantics and guards:
+   *  - unpartitioned tables only: an external file carries no `_p` value,
+   *    and partition-scoped operations (overwrite, partition pruning)
+   *    assume every live file declares its partition.
+   *  - every PK column must exist in the file's schema (a missing key would
+   *    scan as NULL rows); other table columns missing from a file read as
+   *    NULLs — Spark's standard missing-column semantics.
+   *  - registered files have no `_seq` stamp and read as commit-epoch 0
+   *    (`scanWithDeletes` coalesces), so every LATER delete file masks them
+   *    correctly; merges rewrite them copy-on-write like any other file
+   *    (the external original is dropped from the manifest, never deleted).
+   *  - a path already in the manifest is rejected (double-registration
+   *    would double-count rows).
+   * Returns (files added, rows added).
+   */
+  def addFiles(paths: Seq[String]): (Long, Long) = synchronized {
+    require(paths.nonEmpty, "add_files: no files given")
+    require(partitionSpec.isEmpty,
+      "add_files supports unpartitioned tables only (external files carry " +
+        "no partition value; partition-scoped operations would mis-prune)")
+    val pkLower = pkCols.map(_.toLowerCase(java.util.Locale.ROOT))
+    val entries = paths.map { f =>
+      val p = Paths.get(f)
+      require(Files.isRegularFile(p), s"add_files: not a file: $f")
+      val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), spark.sessionState.newHadoopConf())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
+      val fileCols = try reader.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.map(_.getName.toLowerCase(java.util.Locale.ROOT)).toSet
+      finally reader.close()
+      val missing = pkLower.filterNot(fileCols.contains)
+      require(missing.isEmpty,
+        s"add_files: $f lacks primary-key column(s) ${missing.mkString(", ")}")
+      val (rows, mn, mx, colStats) = fileFooterStats(p)
+      DataFile(p.toString, None, mn, mx, rows, Files.size(p),
+        bloom = None, stats = colStats, specId = currentSpecId)
+    }
+    retryingCommit("addFiles") { snap =>
+      // Double-registration check over pk-overlapping chunks only (a
+      // re-added file's range overlaps its own manifest entry) — the
+      // manifest is never fully materialized.
+      val live = (snap.files match {
+        case mf: ManifestFiles => mf.loadWhere(c =>
+          entries.exists(e => e.pkMax >= c.pkMin && e.pkMin <= c.pkMax))
+        case s => s
+      }).map(_.path).toSet
+      val dup = entries.map(_.path).filter(live.contains)
+      require(dup.isEmpty,
+        s"add_files: already registered: ${dup.take(3).mkString(", ")}")
+      pendingChunkHint = Some((Seq.empty, entries))
+      commit(Snapshot(snap.version + 1, snap.batchId,
+        new AppendedFiles(snap.files, entries), snap.deletes))
+    }
+    (entries.length.toLong, entries.map(_.rows).sum)
+  }
+
   /** Write rows as self-contained Parquet, directory-bucketed by partition value,
    *  and return their manifest entries (path + partition + PK min/max stats).
    *  Rows are stamped with the committing version (`_seq`) so merge-on-read

@@ -91,6 +91,37 @@ class CallProceduresSpec extends SparkSpec {
     assert(t2.scan().as[(Long, String)].collect().toMap.apply(3L) === "vv")
   }
 
+  test("add_files registers external parquet: zero data movement, then merges/deletes work") {
+    val w = mkWarehouse("gp5")
+    val root = s"$w/db/t"
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.append(Seq(1L -> "own").toDF("id", "v"))
+    // external data written OUTSIDE the table by a foreign job
+    val ext = tmpDir("gp5-external")
+    (2L to 6L).map(i => i -> s"ext$i").toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(ext)
+    val (nf, nr) = spark.sql(s"CALL gp5.system.add_files('db.t', '$ext')")
+      .as[(Long, Long)].head()
+    assert(nf === 1L && nr === 5L)
+    val t2 = TransactionalTable.open(spark, root)
+    assert(t2.snapshot.rowCount === 6L, "registered rows must count via manifest stats")
+    assert(t2.scan().as[(Long, String)].collect().toMap.apply(4L) === "ext4")
+    // the registered file was never copied: still exactly where it was
+    assert(t2.snapshot.files.exists(_.path.startsWith(ext)),
+      "add_files must register in place, not rewrite")
+    // double registration is rejected (checked while the file is still live)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL gp5.system.add_files('db.t', '$ext')")
+    }
+    assert(e.getMessage.contains("already registered"), e.getMessage)
+    // row-level ops treat registered rows like any others (CoW rewrites the
+    // external file's slice into table-owned storage; the original survives
+    // on disk, just unreferenced)
+    t2.merge(Seq(4L -> "upd").toDF("id", "v"), Seq(5L).toDF("id"), batchId = 0)
+    val after = t2.scan().as[(Long, String)].collect().toMap
+    assert(after(4L) === "upd" && !after.contains(5L) && after(2L) === "ext2")
+  }
+
   test("create_branch / publish_branch; evolve_partitioning; unknown procedure fails") {
     val w = mkWarehouse("gp3")
     val t = TransactionalTable.create(spark, s"$w/db/t",
