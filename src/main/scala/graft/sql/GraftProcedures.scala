@@ -24,6 +24,7 @@ import graft.table.TransactionalTable
  *   CALL graft.system.publish_branch('db.t', 'audit')
  *   CALL graft.system.create_tag('db.t', 'prod', -1)
  *   CALL graft.system.add_files('db.t', '/data/existing_parquet_dir')
+ *   CALL graft.system.cherrypick_snapshot('db.t', 5)
  *   CALL graft.system.rewrite_manifests('db.t')
  *   CALL graft.system.evolve_partitioning('db.t', 'days(ts)')
  *
@@ -137,6 +138,14 @@ object GraftProcedures {
       (c, a) => {
         val t = open(c, a); t.createTag(a.getUTF8String(1).toString, a.getLong(2))
         Seq(t.tags(a.getUTF8String(1).toString))
+      }),
+
+    "cherrypick_snapshot" -> Spec(
+      Seq("table" -> S, "version" -> L),
+      row("applied_version" -> L, "current_version" -> L),
+      (c, a) => {
+        val t = open(c, a); t.cherrypick(a.getLong(1))
+        Seq(a.getLong(1), t.currentVersion)
       }),
 
     "add_files" -> Spec(

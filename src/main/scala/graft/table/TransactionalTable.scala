@@ -566,6 +566,32 @@ final class TransactionalTable private (
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  /**
+   * Iceberg `cherrypick_snapshot` parity, generalized to any commit shape:
+   * re-apply ONE version's net row-level delta onto the CURRENT head as a
+   * fresh commit — the redo half of rollback (roll back past a bad commit,
+   * then cherry-pick the good commits above it). The delta is
+   * `changes(version-1, version)`: inserted row images become upserts,
+   * deleted row images whose PK is not re-inserted become delete keys, and
+   * the pair is applied through ONE `mergeAdhoc` commit (ad-hoc: the
+   * streaming replay fence never advances). Requires both endpoint
+   * manifests retained.
+   */
+  def cherrypick(version: Long): Unit = synchronized {
+    require(version >= 1, s"cherrypick: need version >= 1, got $version")
+    require(manifestExists(version) && manifestExists(version - 1),
+      s"cherrypick: versions ${version - 1} and $version must both be retained")
+    val delta = changes(version - 1, version).persist()
+    try {
+      val ups = delta.filter(col("_change_type") === "insert").drop("_change_type")
+      val insKeys = ups.select(pkCols.map(col): _*)
+      val delKeys = delta.filter(col("_change_type") === "delete")
+        .select(pkCols.map(col): _*)
+        .join(insKeys, pkCols, "left_anti")
+      mergeAdhoc(ups, delKeys)
+    } finally delta.unpersist()
+  }
+
   // --- Named snapshot refs (Iceberg tags): human-readable pointers to
   // versions, resolvable via `VERSION AS OF 'name'`, protected from expiry ---
   private def refsPath = Paths.get(root, "_refs.json")

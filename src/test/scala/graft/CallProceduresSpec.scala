@@ -122,6 +122,26 @@ class CallProceduresSpec extends SparkSpec {
     assert(after(4L) === "upd" && !after.contains(5L) && after(2L) === "ext2")
   }
 
+  test("cherrypick_snapshot redoes one commit's delta after a rollback") {
+    val w = mkWarehouse("gp6")
+    val root = s"$w/db/t"
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.append(Seq(1L -> "a", 2L -> "b").toDF("id", "v"))            // v1
+    t.merge(Seq(2L -> "B2", 3L -> "c").toDF("id", "v"), noDel, 0)  // v2: bad
+    t.merge(Seq(4L -> "d").toDF("id", "v"), Seq(1L).toDF("id"), 1) // v3: good
+    // roll back past the bad v2, then cherry-pick ONLY v3's delta
+    spark.sql("CALL gp6.system.rollback_to_snapshot('db.t', 1)")
+    val (applied, cur) = spark
+      .sql("CALL gp6.system.cherrypick_snapshot('db.t', 3)")
+      .as[(Long, Long)].head()
+    assert(applied === 3L && cur === 5L)
+    val got = TransactionalTable.open(spark, root).scan()
+      .as[(Long, String)].collect().toMap
+    // v1 state {1->a, 2->b} + v3 delta {delete 1, insert 4->d}; v2's update
+    // of 2 and insert of 3 must NOT reappear
+    assert(got === Map(2L -> "b", 4L -> "d"), got.toString)
+  }
+
   test("create_branch / publish_branch; evolve_partitioning; unknown procedure fails") {
     val w = mkWarehouse("gp3")
     val t = TransactionalTable.create(spark, s"$w/db/t",
