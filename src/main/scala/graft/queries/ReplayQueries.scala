@@ -653,6 +653,60 @@ object ReplayQueries {
              |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(12 AS BIGINT))
              |) AS t(version, batch_id, n_rows) ORDER BY version""".stripMargin)),
 
+    // add_files (Iceberg parity): events rows written to EXTERNAL parquet by
+    // a "foreign" job, registered into a fresh table with zero data movement
+    // (manifest entries from footer stats), then row-level SQL over the
+    // registered files. Oracle: the same subset algebra in DuckDB.
+    Q("cdc_add_files_state",
+      (s, d) => {
+        val cat = s"graft_af${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_af").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val ext = Files.createTempDirectory("graft_af_external").toString
+        val sub = Tables.events(s, d).filter(col("event_id") % 7 === 0)
+          .select("event_id", "user_id", "value")
+        sub.coalesce(2).write.mode("overwrite").parquet(ext)
+        TransactionalTable.create(s, s"$warehouse/db/evt", sub.schema, "event_id", None)
+        s.sql(s"CALL $cat.system.add_files('db.evt', '$ext')")
+        s.sql(s"DELETE FROM $cat.db.evt WHERE event_id % 14 = 0")
+        s.sql(s"SELECT event_id, user_id, value FROM $cat.db.evt ORDER BY event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_id % 7 = 0 AND event_id % 14 <> 0
+             |ORDER BY event_id""".stripMargin)),
+
+    // cherrypick_snapshot: roll back past a "bad" merge, then redo only the
+    // later good commit's net delta. Oracle: base rows + the good commit's
+    // algebra, with the bad commit's effects absent.
+    Q("cdc_cherrypick_state",
+      (s, d) => {
+        val cat = s"graft_cp${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_cp").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val ev = Tables.events(s, d)
+        val base = ev.filter(col("event_id") % 10 === 0)
+          .select("event_id", "user_id", "value")
+        val t = TransactionalTable.create(s, s"$warehouse/db/evt", base.schema,
+          "event_id", None)
+        t.append(base) // v1
+        // v2 (bad): clobber every base value
+        t.merge(base.select(col("event_id"), col("user_id"),
+          (col("value") * 0).as("value")), base.select("event_id").limit(0), 1)
+        // v3 (good): insert a disjoint key range
+        t.merge(ev.filter(col("event_id") % 10 === 3)
+          .select("event_id", "user_id", "value"), base.select("event_id").limit(0), 2)
+        s.sql(s"CALL $cat.system.rollback_to_snapshot('db.evt', 1)")
+        s.sql(s"CALL $cat.system.cherrypick_snapshot('db.evt', 3)")
+        s.sql(s"SELECT event_id, user_id, value FROM $cat.db.evt ORDER BY event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_id % 10 IN (0, 3)
+             |ORDER BY event_id""".stripMargin)),
+
     // Row-level SQL beyond MERGE (Iceberg v2's DELETE/UPDATE surface): golden
     // replay, then a SQL statement against the live table, then the end
     // state. Oracles: the golden 12-row end state with the statement's
