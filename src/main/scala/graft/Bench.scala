@@ -93,7 +93,10 @@ object Bench {
         }
         graft.tools.ScaledData.delete(dir)
         val sq = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        s""","scaled":{"copies":$scaleCopies,"base_sf":"$sfDir","total":${rs.map(_._2).sum},"runs_per_query":$scaleRuns,"queries":$sq}"""
+        // -1.0 failure sentinels are excluded like the base total — a failed
+        // query must not subtract from the reported wall time.
+        val sTotal = rs.map(_._2).filter(_ >= 0).sum
+        s""","scaled":{"copies":$scaleCopies,"base_sf":"$sfDir","total":$sTotal,"runs_per_query":$scaleRuns,"queries":$sq}"""
       }
 
     val errJson =

@@ -155,13 +155,15 @@ object GraftProcedures {
         val t = open(c, a)
         val p = java.nio.file.Paths.get(a.getUTF8String(1).toString)
         val files =
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.walk(p).iterator().asScala
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.iterator().asScala
               .filter(f => java.nio.file.Files.isRegularFile(f) &&
                 f.getFileName.toString.endsWith(".parquet") &&
                 !f.getFileName.toString.startsWith("."))
               .map(_.toString).toSeq.sorted
-          else Seq(p.toString)
+            finally s.close()
+          } else Seq(p.toString)
         val (nf, nr) = t.addFiles(files)
         Seq(nf, nr)
       }),

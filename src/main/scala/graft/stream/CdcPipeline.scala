@@ -70,8 +70,8 @@ object CdcPipeline {
         // partition directory, so a restarted query re-delivering an
         // already-committed batch (the table merge is fenced to a no-op)
         // replaces its quarantine records instead of duplicating them.
-        // `spark.read.json(dlqDir)` still yields `_dlq_batch_id` — recovered
-        // from the directory name as a partition column.
+        // Read with `spark.read.json(s"$dlqDir/data")` — `_dlq_batch_id`
+        // is recovered from the directory name as a partition column.
         dlqDir.foreach(d => deduped.filter(bad)
           .write.mode("overwrite").json(s"$d/data/_dlq_batch_id=$batchId"))
       }

@@ -736,12 +736,18 @@ final class TransactionalTable private (
     // legitimate re-publish and pushing the operator to force=true, which
     // would bypass real divergence detection.
     def stateMatchesBranch(snap: Snapshot): Boolean = {
-      val mainFiles = snap.files.map(_.path).toSet
-      val mainDeletes = snap.deletes.map(_.path).toSet
-      (b.currentVersion to math.max(0L, b.currentVersion - 64) by -1L)
+      // Metadata-only pre-filter (chunked manifests answer length from chunk
+      // counts — no entry loads): only a candidate with the SAME file and
+      // delete-file counts pays the path-set comparison, so the common
+      // genuinely-diverged case rejects without materializing anything.
+      lazy val mainFiles = snap.files.map(_.path).toSet
+      lazy val mainDeletes = snap.deletes.map(_.path).toSet
+      (b.currentVersion to math.max(0L, b.currentVersion - 16) by -1L)
         .view.filter(b.manifestExists).exists { v =>
           val bs = b.snapshotAt(v)
-          bs.files.map(_.path).toSet == mainFiles &&
+          bs.files.length == snap.files.length &&
+            bs.deletes.length == snap.deletes.length &&
+            bs.files.map(_.path).toSet == mainFiles &&
             bs.deletes.map(_.path).toSet == mainDeletes
         }
     }
@@ -1015,7 +1021,15 @@ final class TransactionalTable private (
         // Snapshot without fences; inheritance happens at commit).
         pendingParentFences = Some(snap.writerFences)
         try { body(snap); done = true }
-        finally pendingParentFences = None
+        finally {
+          pendingParentFences = None
+          // A commit can throw BEFORE planChunks consumes the chunk hint
+          // (the version pre-check, the CREATE_NEW race) — a hint left over
+          // from an aborted attempt must never leak into a different
+          // commit's chunk planning.
+          pendingChunkHint = None
+          pendingRepack = false
+        }
       }
       catch {
         case e: ConcurrentCommitException =>
@@ -1502,16 +1516,12 @@ final class TransactionalTable private (
     val entries = paths.map { f =>
       val p = Paths.get(f)
       require(Files.isRegularFile(p), s"add_files: not a file: $f")
-      val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.toUri), spark.sessionState.newHadoopConf())
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
-      val fileCols = try reader.getFooter.getFileMetaData.getSchema.getFields
-        .asScala.map(_.getName.toLowerCase(java.util.Locale.ROOT)).toSet
-      finally reader.close()
+      // ONE footer read per file: stats and the schema check share it —
+      // at 10⁵ registered files the metadata cost is 10⁵ opens, not 2×.
+      val (rows, mn, mx, colStats, fileCols) = fileFooterStats(p)
       val missing = pkLower.filterNot(fileCols.contains)
       require(missing.isEmpty,
         s"add_files: $f lacks primary-key column(s) ${missing.mkString(", ")}")
-      val (rows, mn, mx, colStats) = fileFooterStats(p)
       DataFile(p.toString, None, mn, mx, rows, Files.size(p),
         bloom = None, stats = colStats, specId = currentSpecId)
     }
@@ -1572,7 +1582,7 @@ final class TransactionalTable private (
     // put an O(files) serial section back into the commit path.
     import scala.collection.parallel.CollectionConverters._
     val statted = parts.par.map { p =>
-      val (rows, mn, mx, colStats) = fileFooterStats(p)
+      val (rows, mn, mx, colStats, _) = fileFooterStats(p)
       DataFile(p.toString, partitionFromPath(outDir, p), mn, mx, rows, Files.size(p),
         stats = colStats, specId = currentSpecId)
     }.seq.toSeq.filter(_.rows > 0)
@@ -1655,15 +1665,17 @@ final class TransactionalTable private (
     * (all-null column) gets the never-prunable full range — conservative,
     * not silently prunable-to-nothing. */
   private def pkFooterStats(file: Path, keyCol: String = pk): (Long, Long, Long) =
-    { val (r, mn, mx, _) = fileFooterStats(file, withColStats = false, keyCol); (r, mn, mx) }
+    { val (r, mn, mx, _, _) = fileFooterStats(file, withColStats = false, keyCol); (r, mn, mx) }
 
-  /** pkFooterStats plus per-column min/max for [[statsCols]] (same single
-    * footer read). Columns whose stats are absent or non-numeric (e.g. INT96
-    * timestamps from foreign writers) are simply omitted — absent stats mean
-    * "never prunable", the conservative direction. */
+  /** pkFooterStats plus per-column min/max for [[statsCols]] and the file's
+    * lower-cased column names (same single footer read — addFiles uses the
+    * names for its schema guard without a second open). Columns whose stats
+    * are absent or non-numeric (e.g. INT96 timestamps from foreign writers)
+    * are simply omitted — absent stats mean "never prunable", the
+    * conservative direction. */
   private def fileFooterStats(file: Path, withColStats: Boolean = true,
       keyCol: String = pk)
-      : (Long, Long, Long, Map[String, (Long, Long)]) = {
+      : (Long, Long, Long, Map[String, (Long, Long)], Set[String]) = {
     val input = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri), spark.sessionState.newHadoopConf())
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(input)
@@ -1689,7 +1701,9 @@ final class TransactionalTable private (
         else statsCols.flatMap { c =>
           range(statsOf(c)).map(c.toLowerCase(java.util.Locale.ROOT) -> _)
         }.toMap
-      (rows, pkMin, pkMax, colStats)
+      val fieldNames = reader.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.map(_.getName.toLowerCase(java.util.Locale.ROOT)).toSet
+      (rows, pkMin, pkMax, colStats, fieldNames)
     } finally reader.close()
   }
 

@@ -49,12 +49,16 @@ final class GraftScan(inner: ParquetScan, index: ManifestFileIndex, rowCount: Lo
   extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
   with SupportsReportPartitioning {
 
-  /** SPJ applies only when the (column-pruned) output still carries the
-    * bucket column — Spark resolves the reported transform against the scan
-    * output, and an unresolvable reference would fail the query rather than
-    * degrade. */
+  /** SPJ applies only when (a) the session opted into DSv2 bucketing —
+    * with the conf off Spark ignores the reported partitioning, and keyed
+    * per-bucket planning would only collapse the scan to `n` unsplittable
+    * tasks for zero benefit — and (b) the (column-pruned) output still
+    * carries the bucket column: Spark resolves the reported transform
+    * against the scan output, and an unresolvable reference would fail the
+    * query rather than degrade. */
   private def activeBucketSpec: Option[(Int, String)] = bucketSpec.filter { case (_, c) =>
-    inner.readSchema().fieldNames.exists(_.equalsIgnoreCase(c))
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+      inner.readSchema().fieldNames.exists(_.equalsIgnoreCase(c))
   }
 
   override def outputPartitioning(): Partitioning = activeBucketSpec match {
@@ -82,10 +86,27 @@ final class GraftScan(inner: ParquetScan, index: ManifestFileIndex, rowCount: Lo
     // Spark resolves these against the COLUMN-PRUNED relation output — a
     // prunable column not in this scan's projection would fail resolution
     // (join keys are always projected, so nothing of value is lost).
+    // Besides the chunk-advertised columns, every stats-ELIGIBLE schema
+    // column (integral/timestamp/date — the types the write path extracts
+    // footer stats for) is advertised: chunk-merged stats are the
+    // intersection of per-file keys, so a column tracked by most-but-not-all
+    // files would otherwise vanish from advertising and lose the per-entry
+    // pruning those files still support. Over-advertising is safe — a file
+    // without stats for a filtered column simply never prunes.
+    val statEligible = inner.readSchema().fields.collect {
+      case f if (f.dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType =>
+          true
+        case _ => false
+      }) => f.name
+    }
     val out = inner.readSchema().fieldNames
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    index.prunableColumns
-      .filter(c => out.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    (index.prunableColumns ++ statEligible)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+      .filter(out.contains)
       .map(Expressions.column).toArray
   }
 

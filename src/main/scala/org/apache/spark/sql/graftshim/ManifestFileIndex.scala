@@ -49,7 +49,7 @@ final case class EntryChunk(
 object EntryChunk {
   /** Wrap already-materialized entries (streaming micro-batches, legacy
     * manifests): stats merge from the in-memory entries, load is free. */
-  def eager(entries: Seq[ManifestEntry], pkHashed: Boolean = false): EntryChunk = {
+  def eager(entries: Seq[ManifestEntry]): EntryChunk = {
     val statKeys =
       if (entries.isEmpty) Set.empty[String]
       else entries.iterator.map(_.stats.keySet).reduce(_ intersect _)
