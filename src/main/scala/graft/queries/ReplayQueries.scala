@@ -1260,5 +1260,34 @@ object ReplayQueries {
              |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS trans_dt
              |FROM ranked WHERE rn = 1 AND event_type <> 'error'
              |ORDER BY trans_id""".stripMargin),
-      headline = true, streaming = true))
+      headline = true, streaming = true),
+
+    // Write-distribution surface (Iceberg write.distribution-mode parity):
+    // bulk-load lineitem into a hash-distributed, l_returnflag-partitioned
+    // engine table — the pre-write shuffle clusters each partition value
+    // onto one task, so the commit writes ONE file per value instead of
+    // tasks×values small files (file-count proof in WriteDistributionSpec)
+    // — then aggregate back through the catalog SQL path. Oracle: the same
+    // aggregate straight over the parquet fixture.
+    Q("cdc_hash_distributed_write",
+      (s, d) => {
+        val cat = s"graft_wd${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_wd").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val li = Tables.load(s, d, "lineitem")
+        val t = TransactionalTable.createPartitioned(s, s"$warehouse/db/li",
+          li.schema, "l_orderkey,l_linenumber",
+          Some(graft.table.PartitionTransform.Identity("l_returnflag")))
+        t.setWriteDistribution("hash")
+        t.append(li)
+        s.sql(
+          s"""SELECT l_returnflag, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM $cat.db.li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 }

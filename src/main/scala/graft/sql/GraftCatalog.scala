@@ -249,10 +249,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // ('partition'='days(ts)' | 'bucket(8, col)' | 'identity(col)' | 'none')
       case sp: TableChange.SetProperty if sp.property() == "partition" =>
         t = t.evolvePartitioning(parseTransform(sp.value()))
+      // Write-distribution mode (Iceberg write.distribution-mode parity):
+      // ALTER TABLE t SET TBLPROPERTIES('write.distribution'='none|hash|range')
+      case sp: TableChange.SetProperty if sp.property() == "write.distribution" =>
+        t.setWriteDistribution(sp.value())
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other " +
-            "(ADD/DROP/RENAME COLUMN or SET TBLPROPERTIES('partition'=...) only)")
+            "(ADD/DROP/RENAME COLUMN or SET TBLPROPERTIES('partition'=...|" +
+            "'write.distribution'=...) only)")
     }
     loadTable(ident)
   }

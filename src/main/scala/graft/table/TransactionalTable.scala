@@ -1396,6 +1396,35 @@ final class TransactionalTable private (
       new TransactionalTable(spark, root, schema, pk, next, renames, past, nextId, branchName)
     }
 
+  /** Iceberg `write.distribution-mode` parity: how rows are CLUSTERED to
+    * tasks before a data-file write. `none` (the default) writes each task's
+    * rows where they sit — a batch spanning P partition values across T
+    * tasks can fan out to T×P small files, fine for streaming micro-batches
+    * (small churn, no extra shuffle per trigger) but the small-files problem
+    * at bulk scale. `hash` shuffles on the partition-transform value so each
+    * value is written by exactly one task — one file per partition value per
+    * commit. `range` range-shuffles on (partition value, pk): hot partition
+    * values stay splittable across tasks AND every file covers a disjoint
+    * key range, the tightest stats for read-side pruning. Table metadata
+    * (`_table.json`, shared by all handles including branches); settable via
+    * `ALTER TABLE graft.db.t SET TBLPROPERTIES('write.distribution'='hash')`. */
+  def setWriteDistribution(mode: String): Unit = synchronized {
+    require(Set("none", "hash", "range")(mode),
+      s"write.distribution must be none|hash|range, got '$mode'")
+    val p = Paths.get(root, "_table.json")
+    val meta = mapper.readTree(Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    meta.put("writeDistribution", mode)
+    val tmp = Paths.get(root, "_table.json.tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(meta),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(root, "_table.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current write-distribution mode (see [[setWriteDistribution]]). */
+  def writeDistribution: String = TransactionalTable.readWriteDistribution(root)
+
   /** Conform a merge/append input to the table schema: columns the input
     * lacks are null-filled (post-evolution writers that predate the new
     * column keep working — Iceberg's optional-column semantics); extra
@@ -1558,11 +1587,21 @@ final class TransactionalTable private (
    *  every byte just written (exactly why Iceberg builds manifests from file
    *  metadata). */
   private def writeDataFiles(df: DataFrame, outDir: Path, seq: Long): Seq[DataFile] = {
+    // Optional pre-write clustering (see setWriteDistribution): `hash`
+    // guarantees one file per partition value per commit, `range` disjoint
+    // per-file key ranges. Under `none` the shuffle-free path below stands.
+    val distributed = (writeDistribution, partitionSpec) match {
+      case ("hash", Some(spec)) => df.repartition(spec.valueExpr)
+      case ("range", Some(spec)) =>
+        df.repartitionByRange((spec.valueExpr +: pkCols.map(col)): _*)
+      case ("range", None) => df.repartitionByRange(pkCols.map(col): _*)
+      case _ => df // `none`, or `hash` on an unpartitioned table (no cluster key)
+    }
     // PK-sort within each task (no shuffle): clusters rows so parquet
     // row-group min/max stats on the key are tight — read-side point/range
     // lookups skip row groups, not just whole files.
     val sortCols = partitionCol.map(col).toSeq ++ pkCols.map(col)
-    val stamped = df.sortWithinPartitions(sortCols: _*).withColumn("_seq", lit(seq))
+    val stamped = distributed.sortWithinPartitions(sortCols: _*).withColumn("_seq", lit(seq))
     val writer = partitionSpec match {
       // `_p` is the TRANSFORM of the source column (identity → the value
       // itself), so the data file keeps every real column (Hive-style
@@ -2254,11 +2293,32 @@ object TransactionalTable {
         val arr = rn.putArray(cur); olds.foreach(arr.add)
       }
     }
+    // write.distribution is orthogonal metadata owned by
+    // setWriteDistribution — a schema/partition-evolution rewrite of
+    // _table.json must carry it forward, not silently reset it to `none`.
+    val existingMeta = Paths.get(root, "_table.json")
+    if (Files.exists(existingMeta)) {
+      val old = mapper.readTree(Files.readAllBytes(existingMeta))
+      if (old.has("writeDistribution"))
+        meta.put("writeDistribution", old.get("writeDistribution").asText())
+    }
     val tmp = Paths.get(root, "_table.json.tmp")
     Files.write(tmp, mapper.writeValueAsBytes(meta),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, Paths.get(root, "_table.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The table's write-distribution mode (`none` when unset / pre-feature
+    * tables). Read from `_table.json` so every handle — branches, evolved
+    * copies — observes an ALTER immediately. */
+  private[table] def readWriteDistribution(root: String): String = {
+    val p = Paths.get(root, "_table.json")
+    if (!Files.exists(p)) "none"
+    else {
+      val meta = mapper.readTree(Files.readAllBytes(p))
+      if (meta.has("writeDistribution")) meta.get("writeDistribution").asText() else "none"
+    }
   }
 
   def load(spark: SparkSession, root: String, schema: StructType, pk: String,

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.table.TransactionalTable
+
+/** Write-distribution modes (Iceberg `write.distribution-mode` parity):
+  * pre-write clustering so a partitioned bulk commit does not fan out to
+  * tasks×partitions small files. See TransactionalTable.setWriteDistribution.
+  */
+class WriteDistributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("cat", StringType),
+    StructField("v", IntegerType)))
+
+  /** 8-task input spanning 4 category values — under `none` the writer may
+    * produce up to 8×4 files; under `hash` exactly one per value. */
+  private def input = (0L until 400L).map(i => (i, s"c${i % 4}", i.toInt))
+    .toDF("id", "cat", "v").repartition(8)
+
+  test("hash mode: one file per partition value per commit") {
+    val root = tmpDir("wd-hash")
+    val t = TransactionalTable.create(spark, root, schema, "id", Some("cat"))
+    t.setWriteDistribution("hash")
+    assert(t.writeDistribution === "hash")
+    t.append(input)
+    val files = t.snapshot.files
+    assert(files.length === 4,
+      s"hash distribution must write one file per partition value, got ${files.length}")
+    assert(files.flatMap(_.partition).distinct.sorted === Seq("c0", "c1", "c2", "c3"))
+    // clustering must not change WHAT is written
+    assert(t.scan().select("id", "cat", "v").orderBy("id").as[(Long, String, Int)].collect().toSeq ===
+      (0L until 400L).map(i => (i, s"c${i % 4}", i.toInt)))
+  }
+
+  test("none mode fans out, hash mode does not (the small-files contrast)") {
+    val root = tmpDir("wd-none")
+    val t = TransactionalTable.create(spark, root, schema, "id", Some("cat"))
+    t.append(input) // default `none`
+    assert(t.snapshot.files.length > 4,
+      "control: an 8-task 4-value batch under `none` must produce >4 files " +
+        s"(got ${t.snapshot.files.length}) — otherwise the hash test proves nothing")
+  }
+
+  test("range mode on an unpartitioned table: disjoint per-file pk ranges") {
+    val root = tmpDir("wd-range")
+    val t = TransactionalTable.create(spark, root, schema, "id", None)
+    t.setWriteDistribution("range")
+    // shuffled input: without the range exchange, per-file pk ranges overlap
+    t.append(input.orderBy(rand(seed = 7)).repartition(8))
+    val ranges = t.snapshot.files.map(f => (f.pkMin, f.pkMax)).sortBy(_._1)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file pk ranges must be disjoint under range mode: $ranges")
+      case _ => ()
+    }
+    assert(t.scan().select("id", "cat", "v").orderBy("id").as[(Long, String, Int)].collect().toSeq ===
+      (0L until 400L).map(i => (i, s"c${i % 4}", i.toInt)))
+  }
+
+  test("SQL surface: ALTER TABLE SET TBLPROPERTIES('write.distribution')") {
+    val w = tmpDir("wd-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_wdist", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_wdist.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    spark.sql(
+      """CREATE TABLE graft_wdist.db.ev (event_id BIGINT, cat STRING, val INT)
+        |PARTITIONED BY (cat) TBLPROPERTIES ('pk'='event_id')""".stripMargin)
+    spark.sql(
+      "ALTER TABLE graft_wdist.db.ev SET TBLPROPERTIES('write.distribution'='hash')")
+    val t = TransactionalTable.open(spark, s"$w/db/ev")
+    assert(t.writeDistribution === "hash")
+    (0 until 64).map(i => (i.toLong, s"k${i % 3}", i))
+      .toDF("event_id", "cat", "val").repartition(8)
+      .createOrReplaceTempView("wd_src")
+    spark.sql("INSERT INTO graft_wdist.db.ev SELECT * FROM wd_src")
+    val t2 = TransactionalTable.open(spark, s"$w/db/ev")
+    assert(t2.snapshot.files.length === 3, "one file per `cat` value under hash mode")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_wdist.db.ev").as[Long].head() === 64L)
+    // bad mode rejected loudly
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_wdist.db.ev SET TBLPROPERTIES('write.distribution'='zorder')"))
+    assert(e.getMessage.contains("none|hash|range"))
+  }
+
+  test("schema evolution carries the mode forward (metadata rewrite keeps it)") {
+    val root = tmpDir("wd-evolve")
+    val t = TransactionalTable.create(spark, root, schema, "id", Some("cat"))
+    t.setWriteDistribution("range")
+    val t2 = t.addColumn("extra", IntegerType)
+    assert(t2.writeDistribution === "range",
+      "addColumn rewrites _table.json and must preserve write.distribution")
+    assert(TransactionalTable.open(spark, root).writeDistribution === "range")
+  }
+}
