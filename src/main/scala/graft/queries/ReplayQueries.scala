@@ -613,6 +613,37 @@ object ReplayQueries {
       Some(endStateOracle),
       headline = true, streaming = true),
 
+    // Targeted delete fold (fold_deletes, Iceberg rewrite_position_deletes
+    // role): MOR replay leaves equality-delete files pending; the fold
+    // rewrites ONLY the data files those deletes can mask (pk-range∧bloom
+    // pruned), clears the delete set, and the end state — now readable with
+    // no delete anti-join at all — must still match the golden oracle.
+    Q("cdc_fold_deletes_state",
+      (s, _) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_fold").toString
+        val t = TransactionalTable.create(s, root, Cdc.tableSchema, Cdc.PrimaryKey,
+          Some(Cdc.PartitionColumn))
+        def applyB(lines: Seq[String], b: Long): Unit = {
+          val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+          t.merge(Cdc.projectToTable(Cdc.upserts(deduped)),
+            Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)), b,
+            graft.table.MergeMode.MergeOnRead)
+        }
+        applyB(CdcFixtures.scenario1Lines, 0)
+        applyB(CdcFixtures.scenario2Lines, 1)
+        assert(t.snapshot.deletes.nonEmpty, "test premise: deletes pending")
+        val (_, folded) = t.foldDeletes()
+        assert(folded > 0L && t.snapshot.deletes.isEmpty,
+          "fold must consume the pending delete files")
+        t.scan()
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+          .orderBy("trans_id")
+      },
+      Some(endStateOracle)),
+
     // Positional-delete merge-on-read replay: same golden scenarios, but each
     // merge resolves masked rows to (file, row-ordinal) at write time (Iceberg
     // v2 position deletes) — the scan side then filters with a key-free

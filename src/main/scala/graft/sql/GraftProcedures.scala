@@ -18,6 +18,7 @@ import graft.table.TransactionalTable
  *   CALL graft.system.expire_snapshots('db.t', 2)
  *   CALL graft.system.remove_orphan_files('db.t', 3600000)
  *   CALL graft.system.compact('db.t', 1048576)
+ *   CALL graft.system.fold_deletes('db.t')
  *   CALL graft.system.compact_clustered('db.t', 8)
  *   CALL graft.system.compact_zordered('db.t', 'a', 'b', 8)
  *   CALL graft.system.create_branch('db.t', 'audit')
@@ -100,6 +101,14 @@ object GraftProcedures {
       (c, a) => {
         val t = open(c, a); val before = t.snapshot.files.size.toLong
         t.compact(a.getLong(1)); Seq(before, t.snapshot.files.size.toLong)
+      }),
+
+    "fold_deletes" -> Spec(
+      Seq("table" -> S),
+      row("rewritten_files" -> L, "folded_delete_files" -> L),
+      (c, a) => {
+        val (rw, folded) = open(c, a).foldDeletes()
+        Seq(rw, folded)
       }),
 
     "compact_clustered" -> Spec(

@@ -1875,6 +1875,81 @@ final class TransactionalTable private (
   }
 
   /**
+   * Targeted MOR delete fold (Iceberg `rewrite_position_deletes` role, taken
+   * to its conclusion): apply the pending delete files to ONLY the data
+   * files they can actually mask and clear the delete set. Victim selection
+   * is exact where possible and conservative otherwise — positional deletes
+   * name their victim files outright (read the tiny delete files once);
+   * equality deletes prune candidates by pk-range ∧ bloom through the same
+   * [[affectedFiles]] path merges use. Every untouched file rides into the
+   * new snapshot BY REFERENCE (clean manifest chunks are never loaded on the
+   * equality path), so the commit is O(affected files + dirty chunks).
+   *
+   * Why this exists next to [[compact]]: `compact()` folds deletes too, but
+   * rewrites the whole table. At 100 TB a day of CDC deletes touches a small
+   * fraction of files — rewriting those few files restores metadata-only
+   * COUNT(*) and delete-join-free scans at a cost proportional to the
+   * damage, not the table. A delete set that masks nothing (victims already
+   * compacted away) is dropped in a pure-metadata commit.
+   *
+   * Returns (data files rewritten, delete files folded). Time travel to
+   * pre-fold versions still applies the old deletes (their files and
+   * manifests are untouched).
+   */
+  def foldDeletes(): (Long, Long) = synchronized {
+    var result = (0L, 0L)
+    retryingCommit("foldDeletes") { snap =>
+      result = (0L, 0L)
+      if (snap.deletes.nonEmpty) {
+        val (posDel, eqDel) = snap.deletes.partition(_.kind == DeleteFile.Position)
+        // Positional victims: exact file paths from the delete files' _dfile
+        // column (bounded: delete files are small, bounded by merge traffic
+        // between folds).
+        val posTargets: Set[String] =
+          if (posDel.isEmpty) Set.empty
+          else spark.read.parquet(posDel.map(_.path): _*)
+            .select(col("_dfile")).distinct().collect()
+            .map(r => stripScheme(r.getString(0))).toSet
+        // Equality victims: key-set prune (range ∧ bloom; degrades to
+        // range-only past the collect cap) — the merge path's machinery.
+        val eqAffected: Seq[DataFile] =
+          if (eqDel.isEmpty) Seq.empty
+          else affectedFiles(snap,
+            spark.read.parquet(eqDel.map(_.path): _*).select(keyExpr.as("_k")).distinct())._1
+        val eqPaths = eqAffected.map(_.path).toSet
+        // Path membership can't prune chunks (refs carry ranges, not member
+        // paths) — resolving positional victims costs one full metadata pass,
+        // paid only when positional deletes are pending.
+        val posAffected: Seq[DataFile] =
+          if (posTargets.isEmpty) Seq.empty
+          else snap.files.iterator
+            .filter(f => posTargets.contains(stripScheme(f.path)) && !eqPaths.contains(f.path))
+            .toSeq
+        val affected = eqAffected ++ posAffected
+        val newVersion = snap.version + 1
+        if (affected.isEmpty) {
+          // masks nothing — drop the delete set, zero data movement
+          commit(Snapshot(newVersion, snap.batchId, snap.files, Seq.empty))
+        } else {
+          val folded = scanWithDeletes(affected, snap.deletes)
+          val newFiles = writeDataFiles(folded, commitDir(newVersion), seq = newVersion)
+          val affectedPaths = affected.map(_.path).toSet
+          val carried = snap.files match {
+            case mf: ManifestFiles => mf.withoutLazy(affectedPaths,
+              c => affected.exists(f => f.pkMax >= c.pkMin && f.pkMin <= c.pkMax))
+            case s => s.filterNot(f => affectedPaths.contains(f.path))
+          }
+          pendingChunkHint = Some((affected, newFiles))
+          commit(Snapshot(newVersion, snap.batchId,
+            new AppendedFiles(carried, newFiles), Seq.empty))
+        }
+        result = (affected.length.toLong, snap.deletes.length.toLong)
+      }
+    }
+    result
+  }
+
+  /**
    * Sort-order rewrite (Iceberg `rewrite_data_files` with a sort order): the
    * WHOLE table is range-repartitioned on (partition, pk) into `targetFiles`
    * output slices, so every rewritten file covers a DISJOINT pk range.
