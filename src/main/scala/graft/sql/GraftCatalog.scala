@@ -253,11 +253,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // ALTER TABLE t SET TBLPROPERTIES('write.distribution'='none|hash|range')
       case sp: TableChange.SetProperty if sp.property() == "write.distribution" =>
         t.setWriteDistribution(sp.value())
+      // Rolling-writer file cap (Iceberg write.target-file-size-bytes role,
+      // in rows): ALTER TABLE t SET TBLPROPERTIES('write.max-records-per-file'='N')
+      case sp: TableChange.SetProperty if sp.property() == "write.max-records-per-file" =>
+        t.setMaxRecordsPerFile(java.lang.Long.parseLong(sp.value()))
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other " +
             "(ADD/DROP/RENAME COLUMN or SET TBLPROPERTIES('partition'=...|" +
-            "'write.distribution'=...) only)")
+            "'write.distribution'=...|'write.max-records-per-file'=...) only)")
     }
     loadTable(ident)
   }

@@ -1411,19 +1411,52 @@ final class TransactionalTable private (
   def setWriteDistribution(mode: String): Unit = synchronized {
     require(Set("none", "hash", "range")(mode),
       s"write.distribution must be none|hash|range, got '$mode'")
+    updateTableMeta(_.put("writeDistribution", mode))
+  }
+
+  /** Current write-distribution mode (see [[setWriteDistribution]]). */
+  def writeDistribution: String = TransactionalTable.readWriteDistribution(root)
+
+  /** Target file size as a row cap (Iceberg `write.target-file-size-bytes`
+    * in the engine's stat currency, rows): every data-file write rolls to a
+    * new part file past `n` rows — Spark's native `maxRecordsPerFile` rolling
+    * writer, zero extra shuffle. The complement to `hash` distribution: hash
+    * clusters each partition value onto ONE task, which without a cap means
+    * one unbounded file for a hot value; with the cap the hot value rolls
+    * into ceil(rows/n) bounded files (still zero small files for cold
+    * values). 0 clears the cap. Settable via `ALTER TABLE t SET
+    * TBLPROPERTIES('write.max-records-per-file'='5000000')`. */
+  def setMaxRecordsPerFile(n: Long): Unit = synchronized {
+    require(n >= 0, s"write.max-records-per-file must be >= 0, got $n")
+    updateTableMeta(m =>
+      if (n == 0) { m.remove("maxRecordsPerFile"); () } else m.put("maxRecordsPerFile", n))
+  }
+
+  /** Current per-file row cap; 0 = uncapped (see [[setMaxRecordsPerFile]]). */
+  def maxRecordsPerFile: Long = {
+    val p = Paths.get(root, "_table.json")
+    if (!Files.exists(p)) 0L
+    else {
+      val meta = mapper.readTree(Files.readAllBytes(p))
+      if (meta.has("maxRecordsPerFile")) meta.get("maxRecordsPerFile").asLong() else 0L
+    }
+  }
+
+  /** Read-modify-atomic-rewrite of `_table.json` for writer-behavior
+    * properties (orthogonal to schema/partition metadata, which own their
+    * own rewrite path and carry these keys forward). */
+  private def updateTableMeta(
+      f: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
     val p = Paths.get(root, "_table.json")
     val meta = mapper.readTree(Files.readAllBytes(p))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    meta.put("writeDistribution", mode)
+    f(meta)
     val tmp = Paths.get(root, "_table.json.tmp")
     Files.write(tmp, mapper.writeValueAsBytes(meta),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, Paths.get(root, "_table.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
-
-  /** Current write-distribution mode (see [[setWriteDistribution]]). */
-  def writeDistribution: String = TransactionalTable.readWriteDistribution(root)
 
   /** Conform a merge/append input to the table schema: columns the input
     * lacks are null-filled (post-evolution writers that predate the new
@@ -1611,7 +1644,13 @@ final class TransactionalTable private (
       case Some(spec) => stamped.withColumn("_p", spec.valueExpr).write.partitionBy("_p")
       case None => stamped.write
     }
-    writer.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
+    // Rolling writer (see setMaxRecordsPerFile): bounds every part file even
+    // when `hash` distribution funnels a hot partition value through one task.
+    val capped = maxRecordsPerFile match {
+      case n if n > 0 => writer.option("maxRecordsPerFile", n)
+      case _ => writer
+    }
+    capped.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
     if (!Files.isDirectory(outDir)) return Seq.empty
     val parts = Files.walk(outDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
@@ -2368,14 +2407,16 @@ object TransactionalTable {
         val arr = rn.putArray(cur); olds.foreach(arr.add)
       }
     }
-    // write.distribution is orthogonal metadata owned by
-    // setWriteDistribution — a schema/partition-evolution rewrite of
-    // _table.json must carry it forward, not silently reset it to `none`.
+    // Writer-behavior properties are orthogonal metadata owned by their
+    // setters — a schema/partition-evolution rewrite of _table.json must
+    // carry them forward, not silently reset them to defaults.
     val existingMeta = Paths.get(root, "_table.json")
     if (Files.exists(existingMeta)) {
       val old = mapper.readTree(Files.readAllBytes(existingMeta))
       if (old.has("writeDistribution"))
         meta.put("writeDistribution", old.get("writeDistribution").asText())
+      if (old.has("maxRecordsPerFile"))
+        meta.put("maxRecordsPerFile", old.get("maxRecordsPerFile").asLong())
     }
     val tmp = Paths.get(root, "_table.json.tmp")
     Files.write(tmp, mapper.writeValueAsBytes(meta),

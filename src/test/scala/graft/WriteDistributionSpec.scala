@@ -87,13 +87,54 @@ class WriteDistributionSpec extends SparkSpec {
     assert(e.getMessage.contains("none|hash|range"))
   }
 
+  test("max-records-per-file: hash mode's hot value rolls into bounded files") {
+    val root = tmpDir("wd-cap")
+    val t = TransactionalTable.create(spark, root, schema, "id", Some("cat"))
+    t.setWriteDistribution("hash")
+    t.setMaxRecordsPerFile(30)
+    assert(t.maxRecordsPerFile === 30L)
+    t.append(input) // 400 rows over 4 values = 100 rows/value, cap 30 → 4 files each
+    val files = t.snapshot.files
+    assert(files.forall(_.rows <= 30L),
+      s"every file must respect the cap, got ${files.map(_.rows)}")
+    val byValue = files.groupBy(_.partition)
+    assert(byValue.size === 4 && byValue.values.forall(_.size === 4),
+      s"100 rows/value at cap 30 rolls to 4 files per value, got ${byValue.view.mapValues(_.size).toMap}")
+    assert(t.scan().count() === 400L)
+    // clearing the cap restores one file per value
+    t.setMaxRecordsPerFile(0)
+    t.append(input)
+    val second = t.snapshot.files.filterNot(files.toSet)
+    assert(second.length === 4, s"uncapped hash append writes 4 files, got ${second.length}")
+  }
+
+  test("SQL surface: TBLPROPERTIES('write.max-records-per-file')") {
+    val w = tmpDir("wd-cap-wh")
+    spark.conf.set("spark.sql.catalog.graft_wcap", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_wcap.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    spark.sql(
+      """CREATE TABLE graft_wcap.db.t (id BIGINT, v INT)
+        |TBLPROPERTIES ('pk'='id')""".stripMargin)
+    spark.sql(
+      "ALTER TABLE graft_wcap.db.t SET TBLPROPERTIES('write.max-records-per-file'='25')")
+    val t = TransactionalTable.open(spark, s"$w/db/t")
+    assert(t.maxRecordsPerFile === 25L)
+    t.append((0L until 100L).map(i => (i, i.toInt)).toDF("id", "v").coalesce(1))
+    assert(t.snapshot.files.length === 4 && t.snapshot.files.forall(_.rows <= 25L),
+      s"one 100-row task at cap 25 rolls to 4 files, got ${t.snapshot.files.map(_.rows)}")
+  }
+
   test("schema evolution carries the mode forward (metadata rewrite keeps it)") {
     val root = tmpDir("wd-evolve")
     val t = TransactionalTable.create(spark, root, schema, "id", Some("cat"))
     t.setWriteDistribution("range")
+    t.setMaxRecordsPerFile(1000)
     val t2 = t.addColumn("extra", IntegerType)
     assert(t2.writeDistribution === "range",
       "addColumn rewrites _table.json and must preserve write.distribution")
     assert(TransactionalTable.open(spark, root).writeDistribution === "range")
+    assert(TransactionalTable.open(spark, root).maxRecordsPerFile === 1000L,
+      "addColumn must also preserve write.max-records-per-file")
   }
 }
