@@ -391,6 +391,54 @@ object ReplayQueries {
              |    AND s.user_id % 2 = 0
              |) ORDER BY event_id""".stripMargin)),
 
+    // MERGE WITH SCHEMA EVOLUTION (Iceberg/Delta): the source carries a
+    // column the target lacks — the merge ADDS it (nullable, zero data
+    // movement), matched rows take source values, unmatched target rows
+    // null-fill, and new keys insert with the full evolved row. Oracle:
+    // the same outer-join semantics in plain SQL over the orders fixture.
+    Q("cdc_sql_merge_schema_evolution",
+      (s, d) => {
+        val cat = s"graft_se${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_se").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val ord = Tables.load(s, d, "orders")
+        val target = ord.filter(col("o_orderkey") % 4 < 2)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/ord", target.schema,
+          "o_orderkey", None)
+        t.append(target)
+        ord.filter(col("o_orderkey") % 4 >= 1 && col("o_orderkey") % 4 <= 2)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice").cast("double") * 2).as("o_totalprice"),
+            col("o_orderpriority").as("o_tier"))
+          .createOrReplaceTempView("se_src")
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.ord t USING se_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice, o_tier
+                 |FROM $cat.db.ord ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""WITH t0 AS (
+             |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 4 < 2),
+             |s0 AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(o_totalprice AS DOUBLE) * 2 AS o_totalprice,
+             |    o_orderpriority AS o_tier
+             |  FROM orders WHERE o_orderkey % 4 BETWEEN 1 AND 2)
+             |SELECT
+             |  COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             |  COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+             |  COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+             |  s.o_tier
+             |FROM t0 t FULL OUTER JOIN s0 s ON t.o_orderkey = s.o_orderkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // INSERT OVERWRITE (Iceberg static/dynamic overwrite parity): replay the
     // golden scenarios, then replace the 'cart' partition with one summary
     // row in a single atomic commit — untouched partitions carry their files

@@ -305,14 +305,30 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case m @ MergeIntoTable(target, source, cond, matched, notMatched, nmbs, false)
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, nmbs, evolve)
         if m.childrenResolved =>
       graftTarget(target) match {
         case Some(g) =>
           if (g.pinnedVersion.nonEmpty)
             throw new UnsupportedOperationException(
               "MERGE INTO a VERSION AS OF relation is not allowed")
-          val tOpen = TransactionalTable.open(spark, g.root)
+          // MERGE WITH SCHEMA EVOLUTION (Iceberg/Delta): source-only columns
+          // are ADDED to the target (nullable; old files null-fill at read —
+          // the engine's zero-data-movement addColumn) before the merge
+          // routes normally. The star commands conform the source against
+          // the table's CURRENT schema at execution, so evolved columns flow
+          // through without touching the resolved plan's old attributes.
+          val tOpen = {
+            val t0 = TransactionalTable.open(spark, g.root)
+            if (!evolve) t0
+            else {
+              val have = t0.schema.fieldNames
+                .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+              source.output
+                .filterNot(a => have(a.name.toLowerCase(java.util.Locale.ROOT)))
+                .foldLeft(t0)((t, a) => t.addColumn(a.name, a.dataType))
+            }
+          }
           val pk = tOpen.pk
           if (!isPkEquality(cond, tOpen.pkCols, target, source))
             throw new UnsupportedOperationException(
@@ -336,6 +352,17 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               identityAssignments(as) && coversAllColumns(as, g.schema())
             case _ => false
           }
+          // The general matcher builds row images over the resolved target
+          // attributes — under WITH SCHEMA EVOLUTION those predate the
+          // just-added columns, so evolved values would silently drop;
+          // star commands conform at execution and are safe.
+          def general(): LogicalPlan = {
+            if (evolve) throw new UnsupportedOperationException(
+              "MERGE WITH SCHEMA EVOLUTION supports star-form clause lists " +
+                "(UPDATE SET * / INSERT * / DELETE); for general clause " +
+                "merges run ALTER TABLE ... ADD COLUMN first")
+            buildGeneral(g, tOpen, target, source, cond, matched, notMatched, nmbs)
+          }
           (matched, notMatched, nmbs) match {
             case (Seq(u), Seq(i), Seq()) if starUpdateCond(u).isDefined && starInsert(i) =>
               starUpdateCond(u).get match {
@@ -346,7 +373,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   GraftMergeCommand(g.root, source, isDelete = false, pk,
                     guardTs = guardColumn(c, target, source))
                 case Some(_) =>
-                  buildGeneral(g, tOpen, target, source, cond, matched, notMatched, nmbs)
+                  general()
               }
             // Full sync (Iceberg/Delta WHEN NOT MATCHED BY SOURCE THEN
             // DELETE): upsert every source row AND delete target keys the
@@ -365,7 +392,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // Everything else: the general N-clause matcher (first matching
             // clause wins — Iceberg/Delta semantics).
             case _ =>
-              buildGeneral(g, tOpen, target, source, cond, matched, notMatched, nmbs)
+              general()
           }
         case None => m
       }
