@@ -19,6 +19,7 @@ import graft.table.TransactionalTable
  *   CALL graft.system.remove_orphan_files('db.t', 3600000)
  *   CALL graft.system.compact('db.t', 1048576)
  *   CALL graft.system.fold_deletes('db.t')
+ *   CALL graft.system.create_changelog_view('db.t', 1, 3, 'my_changes')
  *   CALL graft.system.compact_clustered('db.t', 8)
  *   CALL graft.system.compact_zordered('db.t', 'a', 'b', 8)
  *   CALL graft.system.create_branch('db.t', 'audit')
@@ -101,6 +102,22 @@ object GraftProcedures {
       (c, a) => {
         val t = open(c, a); val before = t.snapshot.files.size.toLong
         t.compact(a.getLong(1)); Seq(before, t.snapshot.files.size.toLong)
+      }),
+
+    // Iceberg `create_changelog_view` parity: register the engine's
+    // incremental row-level diff (insert/delete images with `_change_type`,
+    // carried-over CoW rows cancelled) as a temp view for plain SQL.
+    //   CALL graft.system.create_changelog_view('db.t', 1, 3, 'my_changes')
+    //   SELECT * FROM my_changes WHERE _change_type = 'insert'
+    "create_changelog_view" -> Spec(
+      Seq("table" -> S, "from_version" -> L, "to_version" -> L, "view_name" -> S),
+      row("view_name" -> S, "changed_rows" -> L),
+      (c, a) => {
+        val t = open(c, a)
+        val view = a.getUTF8String(3).toString
+        val df = t.changes(a.getLong(1), a.getLong(2))
+        df.createOrReplaceTempView(view)
+        Seq(view, df.count())
       }),
 
     "fold_deletes" -> Spec(

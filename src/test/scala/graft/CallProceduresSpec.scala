@@ -163,4 +163,25 @@ class CallProceduresSpec extends SparkSpec {
       Some(graft.table.PartitionTransform.Days("ts")))
     intercept[Exception] { spark.sql("CALL gp3.system.no_such_proc('db.t')").collect() }
   }
+
+  test("create_changelog_view: the incremental diff is queryable as plain SQL") {
+    // gp7, not gp4: Spark caches the catalog PLUGIN INSTANCE per name, so
+    // reusing a name from an earlier test would silently resolve against the
+    // first test's warehouse path, not the fresh one set by mkWarehouse.
+    val w = mkWarehouse("gp7")
+    val t = TransactionalTable.create(spark, s"$w/db/t", sch, "id")
+    t.append(Seq(1L -> "a", 2L -> "b").toDF("id", "v"), batchId = 0)
+    t.merge(Seq(2L -> "B2", 3L -> "c").toDF("id", "v"), noDel, batchId = 1)
+    val Seq((view, rows)) =
+      spark.sql("CALL gp7.system.create_changelog_view('db.t', 1, 2, 'gp4_changes')")
+        .as[(String, Long)].collect().toSeq
+    assert(view === "gp4_changes")
+    assert(rows === 3L, "update of key 2 = delete+insert pair, plus insert of 3")
+    val got = spark.sql(
+      "SELECT id, v, _change_type FROM gp4_changes ORDER BY id, _change_type")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((2L, "b", "delete"), (2L, "B2", "insert"), (3L, "c", "insert")))
+    // untouched key 1 must not appear even though CoW rewrote its file
+    assert(!got.exists(_._1 == 1L))
+  }
 }
