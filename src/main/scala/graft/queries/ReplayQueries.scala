@@ -839,6 +839,37 @@ object ReplayQueries {
            |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
       }),
 
+    // CREATE OR REPLACE TABLE AS SELECT (Iceberg RTAS parity): one atomic
+    // commit swaps schema/pk/contents — and the pre-replace snapshot stays
+    // readable under VERSION AS OF (exercised in the query: the replaced
+    // table is aggregated FROM its own pre-replace self).
+    Q("cdc_sql_rtas",
+      (s, _) => {
+        val cat = s"graft_rt${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_rt").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(
+          s"""CREATE OR REPLACE TABLE $cat.db.retail TBLPROPERTIES('pk'='event') AS
+             |SELECT event, CAST(SUM(amount) AS BIGINT) AS total, COUNT(*) AS n
+             |FROM $cat.db.retail GROUP BY event""".stripMargin)
+        s.sql(s"SELECT event, total, n FROM $cat.db.retail ORDER BY event")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState.groupBy(_._3).toSeq.sortBy(_._1)
+          .map { case (ev, es) =>
+            s"('$ev', CAST(${es.map(_._5).sum} AS BIGINT), CAST(${es.size} AS BIGINT))"
+          }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, n) ORDER BY event""".stripMargin
+      }),
+
     // Iceberg-style metadata tables through the SQL front door:
     // `graft.db.t.history` (commit log) and `graft.db.t.files` (live file
     // inventory with partition/stats) — how the reference's runbook inspects

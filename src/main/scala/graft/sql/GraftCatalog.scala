@@ -188,31 +188,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val pk = Option(properties.get("pk")).getOrElse(schema.fieldNames.head)
-    // Hidden partitioning (Iceberg partition-spec parity): identity,
-    // days(ts), hours(ts), bucket(n, col). Silently dropping a transform
-    // would produce an unpartitioned table the user believes is partitioned —
-    // reject anything we don't implement.
-    def refOf(t: Transform): String = t.references().head.fieldNames().mkString(".")
-    val specs: Seq[graft.table.PartitionTransform] = partitions.toSeq.map { t =>
-      t.name match {
-        case "identity" => graft.table.PartitionTransform.Identity(refOf(t))
-        case "days" => graft.table.PartitionTransform.Days(refOf(t))
-        case "hours" => graft.table.PartitionTransform.Hours(refOf(t))
-        case "bucket" =>
-          val n = org.apache.spark.sql.graftshim.GraftShims.transformLiteralInt(t)
-            .getOrElse(throw new UnsupportedOperationException(
-              s"bucket transform needs a literal bucket count: ${t.describe()}"))
-          graft.table.PartitionTransform.Bucket(n, refOf(t))
-        case _ => throw new UnsupportedOperationException(
-          s"unsupported partition transform ${t.describe()}: " +
-            "identity/days/hours/bucket only")
-      }
-    }
-    if (specs.length > 1)
-      throw new UnsupportedOperationException(
-        s"at most one partition transform supported, got: ${specs.mkString(", ")}")
     Files.createDirectories(Paths.get(rootOf(ident)).getParent)
-    TransactionalTable.createPartitioned(spark, rootOf(ident), schema, pk, specs.headOption)
+    TransactionalTable.createPartitioned(spark, rootOf(ident), schema, pk,
+      GraftCatalog.toPartitionSpec(partitions))
     loadTable(ident)
   }
 
@@ -332,6 +310,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 }
 
 object GraftCatalog {
+  /** DSv2 `Transform`s → the engine's partition spec (CREATE/REPLACE TABLE).
+    * Hidden partitioning (Iceberg partition-spec parity): identity, days(ts),
+    * hours(ts), bucket(n, col). Silently dropping a transform would produce
+    * an unpartitioned table the user believes is partitioned — reject
+    * anything we don't implement. */
+  private[sql] def toPartitionSpec(
+      partitions: Array[Transform]): Option[graft.table.PartitionTransform] = {
+    def refOf(t: Transform): String = t.references().head.fieldNames().mkString(".")
+    val specs: Seq[graft.table.PartitionTransform] = partitions.toSeq.map { t =>
+      t.name match {
+        case "identity" => graft.table.PartitionTransform.Identity(refOf(t))
+        case "days" => graft.table.PartitionTransform.Days(refOf(t))
+        case "hours" => graft.table.PartitionTransform.Hours(refOf(t))
+        case "bucket" =>
+          val n = org.apache.spark.sql.graftshim.GraftShims.transformLiteralInt(t)
+            .getOrElse(throw new UnsupportedOperationException(
+              s"bucket transform needs a literal bucket count: ${t.describe()}"))
+          graft.table.PartitionTransform.Bucket(n, refOf(t))
+        case _ => throw new UnsupportedOperationException(
+          s"unsupported partition transform ${t.describe()}: " +
+            "identity/days/hours/bucket only")
+      }
+    }
+    if (specs.length > 1)
+      throw new UnsupportedOperationException(
+        s"at most one partition transform supported, got: ${specs.mkString(", ")}")
+    specs.headOption
+  }
+
   /** Parse a partition-transform spec: `days(ts)`, `hours(ts)`,
     * `bucket(8, col)`, `identity(col)` (or a bare column name), `none`. */
   def parseTransformSpec(value: String): Option[graft.table.PartitionTransform] = {

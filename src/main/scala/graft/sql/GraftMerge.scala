@@ -107,6 +107,24 @@ final case class GraftCtasCommand(
     copy(query = newChild)
 }
 
+/** `[CREATE OR] REPLACE TABLE graft.db.t AS SELECT ...` — RTAS. On an
+  * existing table this is ONE atomic engine commit
+  * ([[graft.table.TransactionalTable.replaceWith]]): schema, pk, partition
+  * spec and contents swap together, prior snapshots stay time-travelable
+  * (Iceberg replace semantics). On a missing table it degrades to CTAS when
+  * `orCreate` (CREATE OR REPLACE), and fails like Spark otherwise. */
+final case class GraftRtasCommand(
+    catalog: GraftCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+    properties: Map[String, String],
+    query: LogicalPlan,
+    orCreate: Boolean) extends UnaryCommand {
+  override def child: LogicalPlan = query
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftRtasCommand =
+    copy(query = newChild)
+}
+
 class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def stripped(plan: LogicalPlan): LogicalPlan = plan match {
@@ -531,6 +549,15 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => ctas
       }
 
+    case rtas: ReplaceTableAsSelect if rtas.childrenResolved =>
+      rtas.name match {
+        case org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+            cat: GraftCatalog, ident) =>
+          GraftRtasCommand(cat, ident, rtas.partitioning,
+            rtas.tableSpec.properties, rtas.query, rtas.orCreate)
+        case _ => rtas
+      }
+
     case u @ UpdateTable(target, assignments, cond) if u.childrenResolved =>
       graftTarget(target) match {
         case Some(g) =>
@@ -694,6 +721,35 @@ final case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
 }
 
+final case class GraftRtasExec(cmd: GraftRtasCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val df = org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.query)
+    val root = cmd.catalog.tableRoot(cmd.ident)
+    if (!TransactionalTable.exists(root)) {
+      if (!cmd.orCreate)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(cmd.ident)
+      import scala.jdk.CollectionConverters._
+      cmd.catalog.createTable(cmd.ident, df.schema, cmd.partitioning.toArray,
+        cmd.properties.asJava)
+      TransactionalTable.open(session, root).append(df)
+    } else {
+      val existing = TransactionalTable.open(session, root)
+      // PK precedence: explicit TBLPROPERTIES('pk'=...) > the existing pk when
+      // the new schema still carries every member column > first column.
+      val pk = cmd.properties.get("pk").getOrElse {
+        val keep = existing.pkCols.forall(c =>
+          df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        if (keep) existing.pk else df.schema.fieldNames.head
+      }
+      existing.replaceWith(df, df.schema, pk,
+        GraftCatalog.toPartitionSpec(cmd.partitioning.toArray))
+    }
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
 class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case cmd: GraftMergeCommand =>
@@ -706,6 +762,8 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
       GraftOverwriteExec(cmd) :: Nil
     case cmd: GraftCtasCommand =>
       GraftCtasExec(cmd) :: Nil
+    case cmd: GraftRtasCommand =>
+      GraftRtasExec(cmd) :: Nil
     case _ => Nil
   }
 }

@@ -1029,6 +1029,7 @@ final class TransactionalTable private (
           // commit's chunk planning.
           pendingChunkHint = None
           pendingRepack = false
+          pendingReplaceStamp = false
         }
       }
       catch {
@@ -1545,6 +1546,59 @@ final class TransactionalTable private (
         commit(Snapshot(newVersion, snap.batchId, carried ++ newFiles, snap.deletes))
       }
     }
+  }
+
+  /**
+   * CREATE OR REPLACE TABLE AS SELECT (Iceberg RTAS parity,
+   * `SparkCatalog.stageReplace` semantics): atomically swap the table's
+   * schema, primary key, partition spec AND full contents in ONE commit,
+   * while the version chain — and with it time travel — survives: the
+   * pre-replace snapshot reads under its own schema stamp ([[schemaAt]]),
+   * exactly like Iceberg keeps prior snapshots across a replace.
+   *
+   * Atomicity: the manifest commit IS the replace. The commit stamps the
+   * new schema (as every commit does) plus the new pk/partition spec in a
+   * `replace` node; `_table.json` is rewritten AFTER the commit and is
+   * thereby demoted to a cache — a crash between the two leaves a
+   * `_replace_pending` marker that [[TransactionalTable.open]] heals from
+   * the manifest stamp (age-gated, same pattern as orphaned manifest
+   * claims). Readers pinned to older versions are undisturbed: data files
+   * are immutable and the old manifests stay in place.
+   *
+   * Fresh-table semantics for everything forward-looking: pending MOR
+   * deletes are cleared (nothing they masked survives a full replace),
+   * rename history and past partition specs reset, the streaming replay
+   * fence map carries over (fences only ever grow — a replace must not
+   * cause a checkpointed stream to re-apply a fenced batch). Branches
+   * would keep referencing the old pk/schema domain, so an active branch
+   * rejects the replace — drop or publish branches first.
+   */
+  def replaceWith(rows: DataFrame, newSchema: StructType, newPk: String,
+      newSpec: Option[PartitionTransform]): TransactionalTable = synchronized {
+    require(branchName.isEmpty, "REPLACE TABLE operates on main, not a branch")
+    require(listBranches.isEmpty,
+      s"cannot replace a table with active branches (${listBranches.mkString(", ")}): " +
+        "their heads would reference the replaced schema/pk — publish or drop them first")
+    // Validates pk (type + presence) and the transform's source column.
+    val nt = new TransactionalTable(spark, root, newSchema, newPk, newSpec)
+    val marker = Paths.get(root, ReplacePendingMarker)
+    Files.write(marker, Array.emptyByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    nt.retryingCommit("replace") { snap =>
+      val newVersion = snap.version + 1
+      val newFiles = nt.writeDataFiles(nt.conformed(rows),
+        nt.commitDir(newVersion), seq = newVersion)
+      // Nothing of the parent manifest survives a full replace: skip chunk
+      // reuse entirely and write fresh full-sized chunks (pendingRepack),
+      // stamping the replace metadata for crash healing.
+      nt.pendingRepack = true
+      nt.pendingReplaceStamp = true
+      nt.commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
+    }
+    writeTableMeta(root, newSchema, newPk, newSpec,
+      metaVersion = Some(nt.currentVersion))
+    Files.deleteIfExists(marker)
+    nt
   }
 
   /**
@@ -2137,6 +2191,12 @@ final class TransactionalTable private (
     * repack every file into full-sized, stat-carrying chunks. */
   private var pendingRepack: Boolean = false
 
+  /** Set by [[replaceWith]]: stamp the commit's manifest with the new
+    * pk/partition spec (`replace` node) so a crash before the `_table.json`
+    * rewrite is healable from the manifest alone (see
+    * [[TransactionalTable.healReplace]]). */
+  private var pendingReplaceStamp: Boolean = false
+
   /**
    * Iceberg `rewrite_manifests` parity: repack the manifest into full-sized
    * chunks with freshly computed chunk-level stats — METADATA-ONLY (no data
@@ -2249,6 +2309,21 @@ final class TransactionalTable private (
     // schema it was written with (schemaAt), so DROP COLUMN cannot rewrite
     // history.
     node.put("schemaJson", schema.json)
+    if (pendingReplaceStamp) {
+      // RTAS crash healing: the manifest carries everything _table.json
+      // would — pk and partition spec (schema is stamped above) — so the
+      // commit alone fully defines the replaced table.
+      val r = node.putObject("replace")
+      r.put("pk", pk)
+      partitionSpec.foreach { p =>
+        val pt = r.putObject("partitionTransform")
+        pt.put("kind", p.kind); pt.put("col", p.col)
+        p match {
+          case PartitionTransform.Bucket(n, _) => pt.put("n", n)
+          case _ => ()
+        }
+      }
+    }
     val arr = node.putArray("chunks")
     chunkRefs.foreach { c =>
       val o = mapper.createObjectNode()
@@ -2374,7 +2449,8 @@ object TransactionalTable {
       partition: Option[PartitionTransform],
       renames: Map[String, Seq[String]] = Map.empty,
       pastSpecs: Map[Int, PartitionTransform] = Map.empty,
-      currentSpecId: Int = 0): Unit = {
+      currentSpecId: Int = 0,
+      metaVersion: Option[Long] = None): Unit = {
     val meta = mapper.createObjectNode()
     meta.put("schemaJson", schema.json)
     meta.put("pk", pk)
@@ -2417,7 +2493,14 @@ object TransactionalTable {
         meta.put("writeDistribution", old.get("writeDistribution").asText())
       if (old.has("maxRecordsPerFile"))
         meta.put("maxRecordsPerFile", old.get("maxRecordsPerFile").asLong())
+      // RTAS watermark: the replace-commit version this meta is synced to.
+      // Carried forward by every later ALTER so the heal check
+      // (metaVersion < replace version ⇒ stale cache) can never regress
+      // below a replace that already reached _table.json.
+      if (metaVersion.isEmpty && old.has("metaVersion"))
+        meta.put("metaVersion", old.get("metaVersion").asLong())
     }
+    metaVersion.foreach(v => meta.put("metaVersion", v))
     val tmp = Paths.get(root, "_table.json.tmp")
     Files.write(tmp, mapper.writeValueAsBytes(meta),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -2442,8 +2525,51 @@ object TransactionalTable {
     new TransactionalTable(spark, root, schema, pk,
       partitionCol.map(PartitionTransform.Identity.apply))
 
+  /** Crash marker a [[TransactionalTable.replaceWith]] leaves between its
+    * commit and the `_table.json` rewrite; [[healReplace]] consumes it. */
+  private[table] val ReplacePendingMarker = "_replace_pending"
+
+  /** RTAS crash recovery: when a `_replace_pending` marker survived (the
+    * replace committed but crashed before rewriting `_table.json`), rebuild
+    * the meta cache from the head manifest's `replace` stamp. Age-gated
+    * like orphaned manifest claims: a FRESH marker belongs to an in-flight
+    * replace and is left alone — its owner finishes (or crashes, and the
+    * next open past the grace window heals). Idempotent and race-safe: the
+    * meta rewrite is an atomic move, and `metaVersion` ordering makes a
+    * late heal of an already-synced meta a no-op. */
+  private def healReplace(root: String): Unit = {
+    val marker = Paths.get(root, ReplacePendingMarker)
+    if (!Files.exists(marker)) return
+    val ageMs = try System.currentTimeMillis() - Files.getLastModifiedTime(marker).toMillis
+      catch { case _: java.nio.file.NoSuchFileException => return }
+    if (ageMs < OrphanManifestGraceMs) return
+    val ptr = Paths.get(root, "_current")
+    if (Files.exists(ptr)) {
+      val v = new String(Files.readAllBytes(ptr)).trim.toLong
+      val mf = Paths.get(root, "manifest", s"v$v.json")
+      if (Files.exists(mf)) {
+        val node = mapper.readTree(Files.readAllBytes(mf))
+        val metaNode = mapper.readTree(Files.readAllBytes(Paths.get(root, "_table.json")))
+        val synced = if (metaNode.has("metaVersion")) metaNode.get("metaVersion").asLong else -1L
+        if (node.has("replace") && synced < v) {
+          val r = node.get("replace")
+          val sch = org.apache.spark.sql.types.DataType.fromJson(
+            node.get("schemaJson").asText()).asInstanceOf[StructType]
+          val part = if (!r.has("partitionTransform")) None else {
+            val pt = r.get("partitionTransform")
+            Some(PartitionTransform(pt.get("kind").asText(), pt.get("col").asText(),
+              if (pt.has("n")) pt.get("n").asInt() else 0))
+          }
+          writeTableMeta(root, sch, r.get("pk").asText(), part, metaVersion = Some(v))
+        }
+      }
+    }
+    Files.deleteIfExists(marker)
+  }
+
   /** Open a table from its path alone, using the persisted `_table.json`. */
   def open(spark: SparkSession, root: String): TransactionalTable = {
+    healReplace(root)
     val meta = mapper.readTree(Files.readAllBytes(Paths.get(root, "_table.json")))
     val schema = org.apache.spark.sql.types.DataType.fromJson(
       meta.get("schemaJson").asText()).asInstanceOf[StructType]
