@@ -814,6 +814,34 @@ object ReplayQueries {
            |) AS t(trans_id, customer_id, event, amount) ORDER BY trans_id""".stripMargin
       }),
 
+    // DELETE with an IN-subquery condition (self-referential: the doomed key
+    // set is computed from the table itself, snapshot-consistently) — the
+    // row-level SQL surface beyond simple predicates.
+    Q("cdc_sql_delete_subquery",
+      (s, _) => {
+        val cat = s"graft_dsq${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_dsq").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"""DELETE FROM $cat.db.retail WHERE trans_id IN
+                  (SELECT trans_id FROM $cat.db.retail WHERE event = 'like')""")
+        s.sql(s"SELECT trans_id, event, amount FROM $cat.db.retail ORDER BY trans_id")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState.filter(_._3 != "like")
+          .map { case (id, _, ev, _, amt, _, _) =>
+            s"(CAST($id AS BIGINT), '$ev', $amt)"
+          }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
+      }),
+
     Q("cdc_sql_update_where",
       (s, _) => {
         val cat = s"graft_uw${System.nanoTime()}"
@@ -913,6 +941,33 @@ object ReplayQueries {
              |  ('list', CAST(3 AS BIGINT)), ('purchase', CAST(1 AS BIGINT)),
              |  ('visit', CAST(2 AS BIGINT))
              |) AS t(partition, n) ORDER BY partition""".stripMargin)),
+
+    // Iceberg `manifests` metadata-table parity: the chunked-manifest layer's
+    // chunk refs (the "manifest list" view) — chunk stats only, no entry
+    // loads. Chunk/file counts vary with shuffle parallelism, so the oracle
+    // pins the layer's invariants: total rows and the live pk envelope.
+    Q("cdc_metadata_manifests_sql",
+      (s, _) => {
+        val cat = s"graft_mc${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mc").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"""SELECT CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                         CAST(MIN(pk_min) AS BIGINT) AS pk_lo,
+                         CAST(MAX(pk_max) AS BIGINT) AS pk_hi
+                  FROM $cat.db.retail.manifests""")
+      },
+      Some {
+        val ids = CdcFixtures.expectedEndState.map(_._1)
+        s"""SELECT CAST(${CdcFixtures.expectedEndState.size} AS BIGINT) AS n_rows,
+           |       CAST(${ids.min} AS BIGINT) AS pk_lo,
+           |       CAST(${ids.max} AS BIGINT) AS pk_hi""".stripMargin
+      }),
 
     // Iceberg `partitions` metadata-table parity: per-partition row totals of
     // the live snapshot, computed from manifests alone (file counts vary with

@@ -24,7 +24,8 @@ import graft.table.TransactionalTable
  */
 object MetadataTables {
 
-  val Names: Set[String] = Set("history", "snapshots", "files", "partitions", "refs")
+  val Names: Set[String] =
+    Set("history", "snapshots", "files", "partitions", "refs", "manifests")
 
   private val historySchema = StructType(Seq(
     StructField("version", LongType), StructField("batch_id", LongType),
@@ -52,6 +53,15 @@ object MetadataTables {
   private val refsSchema = StructType(Seq(
     StructField("name", StringType), StructField("type", StringType),
     StructField("version", LongType)))
+
+  private val manifestsSchema = StructType(Seq(
+    StructField("path", StringType), StructField("n_files", LongType),
+    StructField("n_rows", LongType), StructField("n_bytes", LongType),
+    StructField("pk_min", LongType), StructField("pk_max", LongType),
+    StructField("spec_id", LongType),
+    // comma-joined distinct partition values; NULL when mixed-spec or the
+    // per-chunk list blew ChunkRef.PartitionCap
+    StructField("partitions", StringType)))
 
   /** Build the metadata table `metaName` for the table at `root`. */
   def load(t: TransactionalTable, qualified: String, metaName: String): Table =
@@ -101,6 +111,24 @@ object MetadataTables {
             t.tags.toSeq.sortBy(_._1).map { case (n, v) => (n, "tag", v) })
             .map { case (n, k, v) => Array[Any](n, k, v) }
         new LocalRowsTable(s"$qualified.refs", refsSchema, rows)
+      // Iceberg `manifests` parity over the engine's chunked manifest layer:
+      // one row per chunk with the chunk-level stats planning prunes by
+      // (pk range, row/byte totals, partition-value summary) — the
+      // manifest-list view, answered WITHOUT loading any chunk's entries.
+      case "manifests" =>
+        val rows = (t.snapshot.files match {
+          case mf: graft.table.ManifestFiles => mf.chunks
+          case s => Seq(graft.table.ChunkRef.of("(inline)", s))
+        }).map { c =>
+          Array[Any](c.path, c.count.toLong,
+            if (c.rows >= 0) c.rows else null,
+            if (c.bytes >= 0) c.bytes else null,
+            if (c.pkMin != Long.MinValue) c.pkMin else null,
+            if (c.pkMax != Long.MaxValue) c.pkMax else null,
+            c.specId.map(_.toLong).orNull,
+            c.partitions.map(_.mkString(",")).orNull)
+        }
+        new LocalRowsTable(s"$qualified.manifests", manifestsSchema, rows)
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table $other")
     }

@@ -85,6 +85,39 @@ class MergeSqlSpec extends SparkSpec {
     assert(TransactionalTable.open(spark, root).scan().count() === left.length)
   }
 
+  test("DELETE/UPDATE with subquery conditions (IN / EXISTS / scalar)") {
+    val (cat, root) = freshCatalog()
+    // scalar subquery in an UPDATE condition (on the full 10-row state,
+    // where amounts genuinely vary around their mean)
+    val pre = TransactionalTable.open(spark, root)
+      .scan().select($"trans_id", $"amount").as[(Long, Int)].collect()
+    val avg = pre.map(_._2).sum.toDouble / pre.length
+    val expectZeroed = pre.filter(_._2 > avg).map(_._1).toSet
+    assert(expectZeroed.nonEmpty, "test premise: some rows sit above the mean")
+    spark.sql(
+      s"""UPDATE $cat.db.retail SET amount = 0
+         |WHERE amount > (SELECT AVG(amount) FROM $cat.db.retail)""".stripMargin)
+    val zeroed = TransactionalTable.open(spark, root)
+      .scan().filter($"amount" === 0).select($"trans_id").as[Long].collect().toSet
+    assert(zeroed === expectZeroed)
+
+    Seq(19L, 21L).toDF("id").createOrReplaceTempView("doomed_ids")
+    spark.sql(
+      s"DELETE FROM $cat.db.retail WHERE trans_id IN (SELECT id FROM doomed_ids)")
+    val afterIn = TransactionalTable.open(spark, root)
+      .scan().select($"trans_id").as[Long].collect().toSet
+    assert(!afterIn.contains(19L) && !afterIn.contains(21L) && afterIn.size === 8)
+
+    // correlated EXISTS
+    Seq("cart").toDF("ev").createOrReplaceTempView("doomed_events")
+    spark.sql(
+      s"""DELETE FROM $cat.db.retail t
+         |WHERE EXISTS (SELECT 1 FROM doomed_events d WHERE d.ev = t.event)""".stripMargin)
+    val afterExists = TransactionalTable.open(spark, root)
+      .scan().select($"event").as[String].collect()
+    assert(!afterExists.contains("cart"))
+  }
+
   test("UPDATE ... SET ... WHERE routes through the transactional upsert merge") {
     val (cat, root) = freshCatalog()
     spark.sql(
