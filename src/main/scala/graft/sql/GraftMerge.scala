@@ -592,6 +592,35 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+private[graft] object GraftWriteValidation {
+  /** Snapshot version of the first scan of `root` inside `plan`, searching
+    * subquery expressions too. A write whose source reads its own target
+    * computed that source against THIS pinned snapshot — the engine refuses
+    * to blind-retry past it (serializable isolation; see
+    * [[graft.table.CommitConflictException]]). `None` = the source is
+    * independent of the target and recompute-and-retry is sound. */
+  def selfReadVersion(plan: LogicalPlan, root: String): Option[Long] = {
+    var found: Option[Long] = None
+    def visit(p: LogicalPlan): Unit = p.foreach { n =>
+      n match {
+        case r: DataSourceV2Relation => r.table match {
+          case g: GraftSqlTable if g.root == root && found.isEmpty =>
+            found = Some(g.loadedVersion)
+          case _ => ()
+        }
+        case _ => ()
+      }
+      n.expressions.foreach(_.foreach {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          visit(s.plan)
+        case _ => ()
+      })
+    }
+    visit(plan)
+    found
+  }
+}
+
 final case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
   override def output: Seq[Attribute] = Nil
 
@@ -606,21 +635,33 @@ final case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
     // table would have its next batch silently fenced out as a replay.
     val empty = emptyLike(spark, t)
     val pkSel = t.pkCols.map(col)
+    // Serializable isolation: a source that scans the target itself (DELETE
+    // FROM / UPDATE lowering, self-referential MERGE sources) pins the file
+    // list — a concurrent commit must fail the statement, not be silently
+    // overwritten by a stale recompute.
+    val expected = GraftWriteValidation.selfReadVersion(cmd.source, cmd.root)
     if (cmd.syncDeleteUnmatched) {
       // Full sync: delete keys = current table keys the source lacks
       // (anti-join; manifest-pruned scan), committed together with the
       // upserts. Statement-level snapshot semantics: the key diff is read
-      // at execution start, same consistency class as UPDATE/DELETE FROM.
+      // at execution start, same consistency class as UPDATE/DELETE FROM —
+      // and the unmatched-keys scan below pins the snapshot it reads, so
+      // the commit validates against it.
+      val syncExpected = expected.orElse(Some(t.currentVersion))
       val unmatched = t.scan().select(pkSel: _*)
         .join(src.select(pkSel: _*), t.pkCols.toSeq, "left_anti")
-      t.mergeAdhoc(src, unmatched)
+      t.mergeAdhoc(src, unmatched, expectedVersion = syncExpected)
     } else (cmd.isDelete, cmd.guardTs) match {
-      case (true, None) => t.mergeAdhoc(empty, src.select(pkSel: _*))
-      case (false, None) => t.mergeAdhoc(src, empty.select(pkSel: _*))
+      case (true, None) =>
+        t.mergeAdhoc(empty, src.select(pkSel: _*), expectedVersion = expected)
+      case (false, None) =>
+        t.mergeAdhoc(src, empty.select(pkSel: _*), expectedVersion = expected)
       case (true, g @ Some(ts)) =>
-        t.mergeAdhoc(empty, src.select(pkSel :+ col(ts): _*), guardTs = g)
+        t.mergeAdhoc(empty, src.select(pkSel :+ col(ts): _*), guardTs = g,
+          expectedVersion = expected)
       case (false, g @ Some(ts)) =>
-        t.mergeAdhoc(src, empty.select(pkSel :+ col(ts): _*), guardTs = g)
+        t.mergeAdhoc(src, empty.select(pkSel :+ col(ts): _*), guardTs = g,
+          expectedVersion = expected)
     }
   }
 
@@ -677,7 +718,9 @@ final case class GraftGeneralMergeExec(cmd: GraftGeneralMergeCommand) extends Le
               .mkString(", "))
       val upserts = staged.filter(col(ActionCol) =!= "D").drop(ActionCol)
       val delKeys = staged.filter(col(ActionCol) === "D").select(pkSel: _*)
-      t.mergeAdhoc(upserts, delKeys)
+      // The staged join always reads the target — serializable validation.
+      t.mergeAdhoc(upserts, delKeys,
+        expectedVersion = GraftWriteValidation.selfReadVersion(cmd.staged, cmd.root))
     } finally staged.unpersist()
   }
 
@@ -703,7 +746,8 @@ final case class GraftOverwriteExec(cmd: GraftOverwriteCommand) extends LeafExec
   private lazy val run: Unit = {
     val t = TransactionalTable.open(session, cmd.root)
     t.overwrite(org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.source),
-      cmd.staticPartitions, cmd.dynamic)
+      cmd.staticPartitions, cmd.dynamic,
+      expectedVersion = GraftWriteValidation.selfReadVersion(cmd.source, cmd.root))
   }
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
 }
@@ -744,7 +788,8 @@ final case class GraftRtasExec(cmd: GraftRtasCommand) extends LeafExecNode {
         if (keep) existing.pk else df.schema.fieldNames.head
       }
       existing.replaceWith(df, df.schema, pk,
-        GraftCatalog.toPartitionSpec(cmd.partitioning.toArray))
+        GraftCatalog.toPartitionSpec(cmd.partitioning.toArray),
+        expectedVersion = GraftWriteValidation.selfReadVersion(cmd.query, root))
     }
   }
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }

@@ -79,6 +79,13 @@ final case class Snapshot(version: Long, batchId: Long, files: Seq[DataFile],
  *  Mutation entry points catch this and retry against the fresh snapshot. */
 final class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
 
+/** Serializable-isolation validation failure (Iceberg ValidationException
+  * parity): the table advanced past the snapshot a write's SOURCE was
+  * computed from, so retrying would commit stale data — the statement must
+  * be re-run against the new state. Distinct from
+  * [[ConcurrentCommitException]], which is the retryable CAS race. */
+final class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
 sealed trait MergeMode
 object MergeMode {
   case object CopyOnWrite extends MergeMode
@@ -1052,11 +1059,29 @@ final class TransactionalTable private (
    */
   def mergeAdhoc(upserts: DataFrame, deleteKeys: DataFrame,
       mode: MergeMode = MergeMode.CopyOnWrite,
-      guardTs: Option[String] = None): Unit = synchronized {
+      guardTs: Option[String] = None,
+      expectedVersion: Option[Long] = None): Unit = synchronized {
     retryingCommit("mergeAdhoc") { snap =>
+      validateUnchanged(snap, expectedVersion, "MERGE/DELETE/UPDATE")
       doMerge(snap, upserts, deleteKeys, snap.batchId, mode, guardTs)
     }
   }
+
+  /** Serializable-isolation gate (Iceberg validation parity): a write whose
+    * SOURCE reads this table pins the file list at analysis; if the table
+    * advanced since, a blind retry would commit data computed from a stale
+    * snapshot — a silent lost update. Fail loudly instead; the caller
+    * re-runs the statement against the live state. Writes with independent
+    * sources pass `None` and keep the recompute-and-retry behavior (their
+    * retry closures re-derive everything from the fresh snapshot). */
+  private def validateUnchanged(snap: Snapshot, expectedVersion: Option[Long],
+      op: String): Unit =
+    expectedVersion.foreach { ev =>
+      if (snap.version != ev) throw new CommitConflictException(
+        s"$op: serializable validation failed — the source was computed against " +
+          s"snapshot v$ev but the table is now at v${snap.version} (a concurrent " +
+          s"commit landed); re-run the statement (root=$root)")
+    }
 
   private def doMerge(snap: Snapshot, upserts: DataFrame, deleteKeys: DataFrame,
       batchId: Long, mode: MergeMode, guardTs: Option[String]): Unit = {
@@ -1516,10 +1541,12 @@ final class TransactionalTable private (
    * the streaming replay fence, same as mergeAdhoc).
    */
   def overwrite(rows: DataFrame, staticPartitions: Option[Seq[String]] = None,
-      dynamic: Boolean = false): Unit = synchronized {
+      dynamic: Boolean = false,
+      expectedVersion: Option[Long] = None): Unit = synchronized {
     require(!(staticPartitions.nonEmpty && dynamic),
       "static partition values and dynamic mode are mutually exclusive")
     retryingCommit("overwrite") { snap =>
+      validateUnchanged(snap, expectedVersion, "INSERT OVERWRITE")
       val newVersion = snap.version + 1
       val newFiles = writeDataFiles(conformed(rows), commitDir(newVersion), seq = newVersion)
       if (staticPartitions.isEmpty && !dynamic) {
@@ -1574,7 +1601,8 @@ final class TransactionalTable private (
    * rejects the replace — drop or publish branches first.
    */
   def replaceWith(rows: DataFrame, newSchema: StructType, newPk: String,
-      newSpec: Option[PartitionTransform]): TransactionalTable = synchronized {
+      newSpec: Option[PartitionTransform],
+      expectedVersion: Option[Long] = None): TransactionalTable = synchronized {
     require(branchName.isEmpty, "REPLACE TABLE operates on main, not a branch")
     require(listBranches.isEmpty,
       s"cannot replace a table with active branches (${listBranches.mkString(", ")}): " +
@@ -1585,6 +1613,7 @@ final class TransactionalTable private (
     Files.write(marker, Array.emptyByteArray,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     nt.retryingCommit("replace") { snap =>
+      validateUnchanged(snap, expectedVersion, "REPLACE TABLE")
       val newVersion = snap.version + 1
       val newFiles = nt.writeDataFiles(nt.conformed(rows),
         nt.commitDir(newVersion), seq = newVersion)

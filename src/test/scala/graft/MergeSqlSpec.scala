@@ -118,6 +118,36 @@ class MergeSqlSpec extends SparkSpec {
     assert(!afterExists.contains("cart"))
   }
 
+  test("serializable isolation: a stale self-read write conflicts instead of retrying") {
+    val (cat, root) = freshCatalog()
+    val t = TransactionalTable.open(spark, root)
+    val v0 = t.currentVersion
+    // the doomed-key set reads the table itself — pinned at v0
+    val selfRead = t.scan().filter($"event" === "like").select($"trans_id")
+    // a concurrent writer lands a commit before our delete does
+    Seq((888L, "c888", "visit", "SKU", 1, "pc", new java.sql.Timestamp(0L)))
+      .toDF(Cdc.tableSchema.fieldNames.toIndexedSeq: _*)
+      .createOrReplaceTempView("conc_src")
+    spark.sql(s"INSERT INTO $cat.db.retail SELECT * FROM conc_src")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+    val e = intercept[graft.table.CommitConflictException] {
+      t.mergeAdhoc(empty, selfRead, expectedVersion = Some(v0))
+    }
+    assert(e.getMessage.contains("serializable"), e.getMessage)
+    // nothing was committed by the failed attempt
+    assert(TransactionalTable.open(spark, root).currentVersion === v0 + 1)
+
+    // the SQL layer wires the detection: a DELETE FROM's lowered source scans
+    // the target, and the analyzer-resolved plan carries its pinned version
+    val plan = spark.sql(s"SELECT trans_id FROM $cat.db.retail WHERE event = 'like'")
+      .queryExecution.analyzed
+    assert(graft.sql.GraftWriteValidation.selfReadVersion(plan, root) === Some(v0 + 1))
+    // and an independent source reports no pin
+    val indep = spark.sql("SELECT 1 AS x").queryExecution.analyzed
+    assert(graft.sql.GraftWriteValidation.selfReadVersion(indep, root) === None)
+  }
+
   test("UPDATE ... SET ... WHERE routes through the transactional upsert merge") {
     val (cat, root) = freshCatalog()
     spark.sql(
