@@ -867,6 +867,34 @@ object ReplayQueries {
            |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
       }),
 
+    // write.sort-order (Iceberg WRITE ORDERED BY role): declared order
+    // changes FILE LAYOUT only — results are identical, which is exactly
+    // what the oracle pins (plus the stats-tightness effect is asserted in
+    // WriteDistributionSpec).
+    Q("cdc_sql_sort_order",
+      (s, _) => {
+        val cat = s"graft_so${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_so").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        s.sql(s"ALTER TABLE $cat.db.retail SET TBLPROPERTIES(" +
+          "'write.sort-order'='trans_datetime desc, amount')")
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"SELECT trans_id, event, amount FROM $cat.db.retail ORDER BY trans_id")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => s"(CAST($id AS BIGINT), '$ev', $amt)" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
+      }),
+
     // CREATE OR REPLACE TABLE AS SELECT (Iceberg RTAS parity): one atomic
     // commit swaps schema/pk/contents — and the pre-replace snapshot stays
     // readable under VERSION AS OF (exercised in the query: the replaced

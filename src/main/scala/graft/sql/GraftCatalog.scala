@@ -235,11 +235,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // in rows): ALTER TABLE t SET TBLPROPERTIES('write.max-records-per-file'='N')
       case sp: TableChange.SetProperty if sp.property() == "write.max-records-per-file" =>
         t.setMaxRecordsPerFile(java.lang.Long.parseLong(sp.value()))
+      // Write sort-order (Iceberg `ALTER TABLE ... WRITE ORDERED BY` role):
+      // ALTER TABLE t SET TBLPROPERTIES('write.sort-order'='ts desc, amount')
+      case sp: TableChange.SetProperty if sp.property() == "write.sort-order" =>
+        t.setSortOrder(sp.value())
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other " +
             "(ADD/DROP/RENAME COLUMN or SET TBLPROPERTIES('partition'=...|" +
-            "'write.distribution'=...|'write.max-records-per-file'=...) only)")
+            "'write.distribution'=...|'write.max-records-per-file'=...|" +
+            "'write.sort-order'=...) only)")
     }
     loadTable(ident)
   }

@@ -1458,6 +1458,57 @@ final class TransactionalTable private (
       if (n == 0) { m.remove("maxRecordsPerFile"); () } else m.put("maxRecordsPerFile", n))
   }
 
+  /** Iceberg `write.sort-order` parity (`ALTER TABLE ... WRITE ORDERED BY`):
+    * the within-file row order of every future data-file write. Spec is a
+    * comma list of `col [asc|desc]`. Replaces the default PK clustering in
+    * [[writeDataFiles]] — a task-local sort, NO extra shuffle — so parquet
+    * row-group min/max stats are tight on the columns queries actually
+    * range-filter (e.g. a timestamp), the Iceberg sort-order read-skipping
+    * story. The PK is appended as a tiebreaker when absent so key-range
+    * pruning for merges never degrades. Empty string clears the order.
+    * Settable via `ALTER TABLE t SET TBLPROPERTIES('write.sort-order'=
+    * 'trans_datetime desc, amount')`. */
+  def setSortOrder(spec: String): Unit = synchronized {
+    val s = spec.trim
+    if (s.isEmpty) updateTableMeta(m => { m.remove("sortOrder"); () })
+    else {
+      parseSortOrder(s) // validates column existence + direction tokens
+      updateTableMeta(_.put("sortOrder", s))
+    }
+  }
+
+  /** Current write sort-order spec; empty = default PK clustering. */
+  def sortOrder: String = {
+    val p = Paths.get(root, "_table.json")
+    if (!Files.exists(p)) ""
+    else {
+      val meta = mapper.readTree(Files.readAllBytes(p))
+      if (meta.has("sortOrder")) meta.get("sortOrder").asText() else ""
+    }
+  }
+
+  /** `"col [asc|desc], ..."` → sort Columns, validated against the schema.
+    * `lenient` (the WRITE path) drops terms whose column left the schema
+    * (DROP COLUMN / REPLACE after the order was set) instead of failing the
+    * write — the order degrades, the data never becomes unwritable. */
+  private def parseSortOrder(spec: String,
+      lenient: Boolean = false): Seq[org.apache.spark.sql.Column] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { term =>
+      def resolved(c: String): Option[String] = {
+        val ok = schema.fieldNames.exists(_.equalsIgnoreCase(c))
+        if (!ok && !lenient) throw new IllegalArgumentException(
+          s"write.sort-order column '$c' not in table schema")
+        if (ok) Some(c) else None
+      }
+      term.split("\\s+").toSeq match {
+        case Seq(c) => resolved(c).map(col)
+        case Seq(c, dir) if dir.equalsIgnoreCase("asc") || dir.equalsIgnoreCase("desc") =>
+          resolved(c).map(x => if (dir.equalsIgnoreCase("desc")) col(x).desc else col(x))
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse write.sort-order term '$term' (want: col [asc|desc])")
+      }
+    }
+
   /** Current per-file row cap; 0 = uncapped (see [[setMaxRecordsPerFile]]). */
   def maxRecordsPerFile: Long = {
     val p = Paths.get(root, "_table.json")
@@ -1713,10 +1764,14 @@ final class TransactionalTable private (
       case ("range", None) => df.repartitionByRange(pkCols.map(col): _*)
       case _ => df // `none`, or `hash` on an unpartitioned table (no cluster key)
     }
-    // PK-sort within each task (no shuffle): clusters rows so parquet
-    // row-group min/max stats on the key are tight — read-side point/range
-    // lookups skip row groups, not just whole files.
-    val sortCols = partitionCol.map(col).toSeq ++ pkCols.map(col)
+    // Within-task sort (no shuffle): default PK clustering for tight key
+    // stats; a declared write.sort-order replaces it (PK appended as
+    // tiebreaker) so row-group min/max are tight on the query-hot columns.
+    val sortCols = sortOrder match {
+      case "" => partitionCol.map(col).toSeq ++ pkCols.map(col)
+      case s =>
+        partitionCol.map(col).toSeq ++ parseSortOrder(s, lenient = true) ++ pkCols.map(col)
+    }
     val stamped = distributed.sortWithinPartitions(sortCols: _*).withColumn("_seq", lit(seq))
     val writer = partitionSpec match {
       // `_p` is the TRANSFORM of the source column (identity → the value
@@ -2522,6 +2577,8 @@ object TransactionalTable {
         meta.put("writeDistribution", old.get("writeDistribution").asText())
       if (old.has("maxRecordsPerFile"))
         meta.put("maxRecordsPerFile", old.get("maxRecordsPerFile").asLong())
+      if (old.has("sortOrder"))
+        meta.put("sortOrder", old.get("sortOrder").asText())
       // RTAS watermark: the replace-commit version this meta is synced to.
       // Carried forward by every later ALTER so the heal check
       // (metaVersion < replace version ⇒ stale cache) can never regress

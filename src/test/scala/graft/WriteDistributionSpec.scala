@@ -125,6 +125,63 @@ class WriteDistributionSpec extends SparkSpec {
       s"one 100-row task at cap 25 rolls to 4 files, got ${t.snapshot.files.map(_.rows)}")
   }
 
+  test("write.sort-order: rows within each file follow the declared order") {
+    val root = tmpDir("wd-sort")
+    val t = TransactionalTable.create(spark, root, schema, "id", None)
+    t.setSortOrder("v desc")
+    assert(t.sortOrder === "v desc")
+    // deliberately scrambled input: without the order, file row order is
+    // insertion order (ids ascending → v ascending)
+    t.append((0L until 300L).map(i => (i, s"c${i % 4}", i.toInt)).toDF("id", "cat", "v")
+      .coalesce(2))
+    t.snapshot.files.foreach { f =>
+      val vs = spark.read.parquet(f.path).select($"v").as[Int].collect().toSeq
+      assert(vs === vs.sorted(Ordering[Int].reverse),
+        s"file ${f.path} not sorted v desc: ${vs.take(8)}...")
+    }
+    // content unchanged
+    assert(t.scan().count() === 300)
+
+    // invalid specs rejected at set time
+    intercept[IllegalArgumentException](t.setSortOrder("nope desc"))
+    intercept[IllegalArgumentException](t.setSortOrder("v sideways"))
+    // clearing restores default pk clustering
+    t.setSortOrder("")
+    assert(t.sortOrder === "")
+  }
+
+  test("write.sort-order survives a dropped column (lenient write, no wedge)") {
+    val root = tmpDir("wd-sort-drop")
+    val t = TransactionalTable.create(spark, root, schema, "id", None)
+    t.setSortOrder("v desc, cat")
+    val t2 = t.dropColumn("v") // the leading sort column vanishes
+    t2.append((0L until 50L).map(i => (i, s"c${i % 4}")).toDF("id", "cat"))
+    assert(t2.scan().count() === 50, "write must degrade, not fail")
+    // surviving term still applies within files
+    t2.snapshot.files.foreach { f =>
+      val cs = spark.read.parquet(f.path).select($"cat").as[String].collect().toSeq
+      assert(cs === cs.sorted, s"surviving sort term 'cat' not applied")
+    }
+  }
+
+  test("SQL surface: TBLPROPERTIES('write.sort-order')") {
+    val w = tmpDir("wd-sort-wh")
+    spark.conf.set("spark.sql.catalog.graft_wso", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_wso.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    spark.sql(
+      """CREATE TABLE graft_wso.db.t (id BIGINT, ts BIGINT, v INT)
+        |TBLPROPERTIES ('pk'='id')""".stripMargin)
+    spark.sql("ALTER TABLE graft_wso.db.t SET TBLPROPERTIES('write.sort-order'='ts desc')")
+    val t = TransactionalTable.open(spark, s"$w/db/t")
+    assert(t.sortOrder === "ts desc")
+    t.append((0L until 100L).map(i => (i, (i * 37) % 100, i.toInt))
+      .toDF("id", "ts", "v").coalesce(1))
+    val f = t.snapshot.files.head
+    val ts = spark.read.parquet(f.path).select($"ts").as[Long].collect().toSeq
+    assert(ts === ts.sorted(Ordering[Long].reverse))
+  }
+
   test("schema evolution carries the mode forward (metadata rewrite keeps it)") {
     val root = tmpDir("wd-evolve")
     val t = TransactionalTable.create(spark, root, schema, "id", Some("cat"))
