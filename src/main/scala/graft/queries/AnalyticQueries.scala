@@ -10,9 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  * Each query is ONE SQL string executed verbatim by both `spark.sql` and the
  * driver's DuckDB oracle — the dialect subset used (ANSI joins, window
- * functions, DECIMAL casts, CAST(... AS STRING)) parses identically in both.
- * Money math is done in DECIMAL (exact, order-independent) and cast to DOUBLE
- * only at the end so the float output is bit-identical across engines.
+ * functions, CAST(... AS STRING)) parses identically in both.
+ * Money math must be exact and order-independent for the bit-identical
+ * float compare. The SCAN-DOMINATED aggregates (Q1, the shared revenue
+ * expression) do it in INTEGER CENTS — `ROUND(x*100)` per row, summed as
+ * BIGINT, divided back once at the end; identical IEEE per-row math in
+ * both engines, but the hot sum is codegen'd LONG instead of Spark's
+ * wide-decimal path. The remaining queries keep DECIMAL(18,2) sums (their
+ * cost sits in joins, not the money aggregate).
  *
  * Scale notes (100 TB posture): every query is declarative — Catalyst does
  * pushdown/pruning; the star joins broadcast the dimension side under AQE
@@ -22,8 +27,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object AnalyticQueries {
 
+  /** Revenue in integer ten-thousandths: cents(price) × percent-complement
+    * (100 − hundredths(discount)) — the exact 4-dp product DECIMAL(18,2)
+    * multiplication gives, summed as a plain BIGINT. Both engines do the
+    * identical per-row IEEE round and the identical final cast/divide, so
+    * the double output is bit-identical — at a codegen'd long-sum cost. */
   private val RevenueExpr =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+      "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0"
 
   private def sqlQ(name: String, sql: String, headline: Boolean = false): Q =
     Q(name,
@@ -35,8 +46,8 @@ object AnalyticQueries {
     // TPC-H Q1-shaped pricing summary over lineitem.
     sqlQ("x7_q1_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
          |  $RevenueExpr AS sum_disc_price,
          |  COUNT(*) AS count_order
          |FROM lineitem
