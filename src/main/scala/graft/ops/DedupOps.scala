@@ -58,6 +58,45 @@ object DedupOps {
       .select(col(idCol), col(groupCol), col("rk"))
   }
 
+  /**
+   * Temperature-scaled mixture sampling (the multilingual-LM data-mixing
+   * move: sample sources with probability ∝ (n_s/N)^α, α<1 flattening the
+   * distribution so low-resource groups are up-weighted relative to their
+   * share). `frac` is the overall target fraction of the corpus; each
+   * group's keep-rate is `min(1, frac·N·p_s/n_s)` with p_s the normalized
+   * tempered share. Selection is DETERMINISTIC — keep iff
+   * md5Hash60(id)/2^60 < rate — so the sample is reproducible across runs
+   * and engines (md5 is bit-identical everywhere; same convention as
+   * [[capPerGroup]]).
+   *
+   * 100 TB shape: one tiny per-group count aggregate (|groups| rows),
+   * broadcast back, then a map-only filter over the corpus — zero wide
+   * shuffles, no per-group window. Rates above 1 saturate (a group never
+   * yields more docs than it has — standard α-sampling-without-replacement
+   * behavior; upsampling beyond 1× is a repeat-at-read concern, not a
+   * materialization one).
+   */
+  def temperatureSample(docs: DataFrame, groupCol: String, alpha: Double,
+      frac: Double, idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val hashSpace = (1L << 60).toDouble // md5Hash60 range
+    val wAll = Window.partitionBy() // |groups| rows — never corpus-wide
+    // NB: column names must differ case-INsensitively ("_n" vs "_N" would
+    // silently collide under spark.sql.caseSensitive=false).
+    val rates = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_tot", sum(col("_n")).over(wAll))
+      .withColumn("_p", pow(col("_n").cast("double") / col("_tot").cast("double"), alpha))
+      .withColumn("_rate",
+        least(lit(1.0),
+          lit(frac) * col("_tot").cast("double") * (col("_p") / sum(col("_p")).over(wAll))
+            / col("_n").cast("double")))
+      .select(col(groupCol), col("_rate"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(TextOps.md5Hash60(col(idCol)).cast("double") < col("_rate") * lit(hashSpace))
+      .drop("_rate")
+  }
+
   /** Default doc-frequency cap for Jaccard's inverted index: shingles in more
     * docs than this are dropped before pair expansion. Per-shingle work is
     * df², so an uncapped boilerplate shingle ("all rights reserved …") in a

@@ -93,6 +93,29 @@ object ExtQueries {
              |  FROM cand) z
              |WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin)),
 
+    // X1: temperature-scaled mixture sampling (multilingual-LM data mixing:
+    // keep-rate per source ∝ (n_s/N)^α, α=0.5 flattening the source
+    // distribution; DedupOps.temperatureSample). Selection is the md5-hash
+    // threshold — deterministic, replayed bit-for-bit by the oracle.
+    Q("x1_temperature_sample",
+      (s, d) => DedupOps.temperatureSample(Tables.load(s, d, "documents"),
+          groupCol = "source", alpha = 0.5, frac = 0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+             |          FROM documents GROUP BY source),
+             |r AS (SELECT source, n, SUM(n) OVER () AS tot,
+             |        pow(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 0.5) AS p
+             |      FROM c),
+             |rr AS (SELECT source,
+             |         LEAST(1.0, 0.5 * CAST(tot AS DOUBLE) * (p / SUM(p) OVER ())
+             |                      / CAST(n AS DOUBLE)) AS rate
+             |       FROM r)
+             |SELECT d.doc_id, d.source FROM documents d JOIN rr USING (source)
+             |WHERE CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+             |           AS BIGINT) AS DOUBLE) < rate * 1152921504606846976.0
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // X4: corpus length distribution — exact percentiles of the document
     // token count (linear-interpolation definition is identical in Spark's
     // percentile and DuckDB's quantile_cont).

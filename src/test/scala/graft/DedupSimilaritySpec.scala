@@ -213,4 +213,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(2000))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
+
+  test("temperatureSample: alpha<1 flattens — small groups saturate, big ones thin") {
+    import graft.ops.DedupOps
+    val docs = ((0L until 90L).map(i => (i, "big")) ++ (100L until 110L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    // alpha=0.5, frac=0.5: q=(0.9,0.1) → p∝(0.949,0.316) → pnorm=(0.75,0.25)
+    // rates: big min(1, 50·0.75/90)=0.417, small min(1, 50·0.25/10)=1.0
+    val kept = DedupOps.temperatureSample(docs, "source", alpha = 0.5, frac = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("small") === 10L, "saturated small group must be kept whole")
+    assert(kept("big") > 20L && kept("big") < 55L,
+      s"big group should thin to ~37.5 (rate 0.417), got ${kept("big")}")
+    // determinism: the same call yields the same selection
+    val again = DedupOps.temperatureSample(docs, "source", alpha = 0.5, frac = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val first = DedupOps.temperatureSample(docs, "source", alpha = 0.5, frac = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === first)
+  }
 }
