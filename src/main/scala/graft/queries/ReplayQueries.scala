@@ -970,6 +970,29 @@ object ReplayQueries {
              |  ('visit', CAST(2 AS BIGINT))
              |) AS t(partition, n) ORDER BY partition""".stripMargin)),
 
+    // Partition-filtered COUNT(*) answered from manifest stats alone
+    // (Iceberg metadata-aggregate parity): an identity-partition filter
+    // selects whole files, so per-file row counts ARE the answer — zero
+    // data I/O (plan + chunk-load proofs in CatalogSpec/ManifestShardingSpec).
+    Q("cdc_count_partition_sql",
+      (s, _) => {
+        val cat = s"graft_cp${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_cp").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"""SELECT COUNT(*) AS n_cart_like FROM $cat.db.retail
+                  WHERE event IN ('cart', 'like')""")
+      },
+      Some {
+        val n = CdcFixtures.expectedEndState.count(e => e._3 == "cart" || e._3 == "like")
+        s"SELECT CAST($n AS BIGINT) AS n_cart_like"
+      }),
+
     // Iceberg `manifests` metadata-table parity: the chunked-manifest layer's
     // chunk refs (the "manifest list" view) — chunk stats only, no entry
     // loads. Chunk/file counts vary with shuffle parallelism, so the oracle

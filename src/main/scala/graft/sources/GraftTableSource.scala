@@ -323,7 +323,7 @@ private[sources] final class GraftTableMicroBatchStream(
       } else addedFiles
     }.flatten.toSeq
     val entries = added.map(f => org.apache.spark.sql.graftshim.ManifestEntry(
-      f.path, f.partition, f.pkMin, f.pkMax, f.bytes, f.stats, f.bloom))
+      f.path, f.partition, f.pkMin, f.pkMax, f.bytes, f.stats, f.bloom, rows = f.rows))
     currentBatch = org.apache.spark.sql.graftshim.ManifestFileIndex
       .scanBuilder(spark, tableSchema, entries, t.pk, CaseInsensitiveStringMap.empty(),
         t.pkIsString)

@@ -88,13 +88,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     import org.apache.spark.sql.graftshim.{EntryChunk, LazyManifest, ManifestEntry}
     def toEntry(f: graft.table.DataFile): ManifestEntry =
       ManifestEntry(f.path, f.partition, f.pkMin, f.pkMax, f.bytes, f.stats, f.bloom,
-        t.specOf(f.specId).map(_.desc))
+        t.specOf(f.specId).map(_.desc), rows = f.rows)
     snap.files match {
       case mf: graft.table.ManifestFiles =>
         new LazyManifest(mf.chunks.map { c =>
           EntryChunk(c.count, c.pkMin, c.pkMax, c.bytes,
             c.partitions, c.specId.flatMap(t.specOf).map(_.desc), c.stats,
-            () => mf.load(c).map(toEntry))
+            () => mf.load(c).map(toEntry), rows = c.rows)
         })
       case s => s.map(toEntry)
     }

@@ -100,6 +100,101 @@ class GraftCountStarRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** True when `e` is a foldable ungrouped COUNT(*)/COUNT(lit). */
+  private def isCountStar(e: NamedExpression): Boolean = e match {
+    case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty &&
+        ae.mode == Complete =>
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) if v != null => true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /**
+   * Partition-filtered COUNT(*) from manifest stats alone (Iceberg
+   * metadata-aggregate parity): `SELECT COUNT(*) FROM t WHERE p = 'v'` where
+   * `p` is the table's IDENTITY partition column is a per-partition row-count
+   * sum — the filter selects whole files, so the manifest's exact per-file
+   * counts ARE the answer. Chunk-level: a chunk whose (uniform-spec) value
+   * list is entirely inside / outside the wanted set contributes its stat
+   * total / zero WITHOUT loading; only straddling chunks load. Conservative:
+   * any file off the current identity spec, a stat-less sentinel, or an
+   * unsupported predicate shape leaves the plan alone.
+   */
+  private def filteredCount(g: GraftSqlTable,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val pcol = g.partSpec match {
+      case Some(graft.table.PartitionTransform.Identity(c)) => c
+      case _ => return None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def isPart(a: Expression): Boolean = a match {
+      case at: Attribute => at.name.equalsIgnoreCase(pcol)
+      case _ => false
+    }
+    def valueOf(l: Literal): Option[String] = l.dataType match {
+      case StringType => Option(l.value).map(_.toString)
+      case ByteType | ShortType | IntegerType | LongType => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    // Exactly one value-constraining conjunct on the partition column (plus
+    // any IsNotNull the optimizer added alongside it); anything else → bail.
+    var wanted: Option[Set[String]] = None
+    conjuncts(cond).foreach {
+      case IsNotNull(a) if isPart(a) => ()
+      case EqualTo(a, l: Literal) if isPart(a) =>
+        if (wanted.nonEmpty) return None
+        wanted = valueOf(l).map(Set(_)); if (wanted.isEmpty) return None
+      case EqualTo(l: Literal, a) if isPart(a) =>
+        if (wanted.nonEmpty) return None
+        wanted = valueOf(l).map(Set(_)); if (wanted.isEmpty) return None
+      case In(a, vs) if isPart(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        if (wanted.nonEmpty) return None
+        val decoded = vs.map(v => valueOf(v.asInstanceOf[Literal]))
+        if (decoded.exists(_.isEmpty)) return None
+        wanted = Some(decoded.flatten.toSet)
+      case InSet(a, vs) if isPart(a) =>
+        if (wanted.nonEmpty) return None
+        // InSet holds Catalyst values (UTF8String / boxed integrals)
+        wanted = Some(vs.filter(_ != null).map(_.toString))
+      case _ => return None
+    }
+    val values = wanted.getOrElse(return None)
+    def identityCurrent(d: Option[org.apache.spark.sql.graftshim.PartitionTransformDesc])
+        : Boolean = d.exists(x => x.kind == "identity" && x.col.equalsIgnoreCase(pcol))
+    def entrySum(es: Seq[org.apache.spark.sql.graftshim.ManifestEntry]): Option[Long] = {
+      var s = 0L
+      es.foreach { e =>
+        if (!identityCurrent(e.part) || e.rows < 0) return None
+        if (e.partition.exists(values)) s += e.rows
+      }
+      Some(s)
+    }
+    g.entries match {
+      case lm: org.apache.spark.sql.graftshim.LazyManifest =>
+        var s = 0L
+        lm.chunkList.foreach { c =>
+          c.partitions match {
+            case Some(ps) if identityCurrent(c.part) && c.rows >= 0 &&
+                ps.forall(values) => s += c.rows // wholly inside — stat total
+            case Some(ps) if identityCurrent(c.part) && !ps.exists(values) =>
+              () // wholly outside — contributes nothing, never loads
+            case _ => entrySum(c.load()) match { // straddling / stat-less
+              case Some(x) => s += x
+              case None => return None
+            }
+          }
+        }
+        Some(s)
+      case es => entrySum(es)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty && tableOf(child).isDefined =>
       val g = tableOf(child).get
@@ -107,5 +202,24 @@ class GraftCountStarRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (vals.forall(_.isDefined))
         LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals.map(_.get))))
       else agg
+    case agg @ Aggregate(Nil, exprs, child, _)
+        if exprs.nonEmpty && exprs.forall(isCountStar) && filterAndTable(child).isDefined =>
+      val (cond, g) = filterAndTable(child).get
+      filteredCount(g, cond) match {
+        case Some(n) =>
+          LocalRelation(agg.output, Seq(InternalRow.fromSeq(exprs.map(_ => n))))
+        case None => agg
+      }
   }
+
+  /** Peel attribute-only Projects to a single Filter directly over the
+    * relation (column pruning interleaves Projects on both sides of it). */
+  private def filterAndTable(plan: LogicalPlan)
+      : Option[(org.apache.spark.sql.catalyst.expressions.Expression, GraftSqlTable)] =
+    plan match {
+      case Project(ps, child) if ps.forall(_.isInstanceOf[Attribute]) => filterAndTable(child)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        tableOf(child).map(g => (cond, g))
+      case _ => None
+    }
 }

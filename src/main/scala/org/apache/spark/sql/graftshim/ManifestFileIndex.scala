@@ -24,7 +24,10 @@ final case class ManifestEntry(path: String, partition: Option[String], pkMin: L
     /** The transform THIS file's partition value was derived under (partition
       * evolution: files of different eras carry different transforms; pruning
       * reverses each file's own). None → no partition pruning for the file. */
-    part: Option[PartitionTransformDesc] = None) {
+    part: Option[PartitionTransformDesc] = None,
+    /** Exact row count (manifest stat); -1 when unknown (synthetic entries).
+      * Feeds the partition-filtered COUNT(*) metadata fold. */
+    rows: Long = -1L) {
   /** Decoded lazily ONCE per entry — point-lookup queries probe it per file. */
   lazy val bloomBits: Option[Array[Long]] = bloom.map(graft.util.Bloom.decode)
 }
@@ -44,7 +47,10 @@ final case class EntryChunk(
     part: Option[PartitionTransformDesc],
     /** Chunk-merged column [min,max] (intersection of per-file stats). */
     stats: Map[String, (Long, Long)],
-    load: () => Seq[ManifestEntry])
+    load: () => Seq[ManifestEntry],
+    /** Exact chunk row total (manifest stat); -1 = stat-less legacy chunk
+      * (the filtered-count fold loads such chunks and sums per-entry). */
+    rows: Long = -1L)
 
 object EntryChunk {
   /** Wrap already-materialized entries (streaming micro-batches, legacy
@@ -60,7 +66,8 @@ object EntryChunk {
     EntryChunk(entries.length,
       if (entries.isEmpty) Long.MinValue else entries.iterator.map(_.pkMin).min,
       if (entries.isEmpty) Long.MaxValue else entries.iterator.map(_.pkMax).max,
-      entries.iterator.map(_.bytes).sum, None, None, merged, () => entries)
+      entries.iterator.map(_.bytes).sum, None, None, merged, () => entries,
+      rows = if (entries.forall(_.rows >= 0)) entries.iterator.map(_.rows).sum else -1L)
   }
 }
 

@@ -145,11 +145,26 @@ class CatalogSpec extends SparkSpec {
     // snapshot-exact under time travel
     assert(spark.sql("SELECT COUNT(*) AS c FROM graft_cs.db.retail VERSION AS OF 1")
       .as[Long].head() === 10L)
-    // a WHERE clause disables the fold (count depends on data)
+    // a filter on the IDENTITY partition column selects whole files, so the
+    // count is still a manifest fold (per-file row sums — Iceberg
+    // metadata-aggregate parity), including IN lists
     val filtered = spark.sql(
       "SELECT COUNT(*) AS c FROM graft_cs.db.retail WHERE event = 'cart'")
-    assert(!filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"partition-filtered count must fold:\n${filtered.queryExecution.executedPlan}")
     assert(filtered.as[Long].head() === 2L)
+    val inList = spark.sql(
+      "SELECT COUNT(*) AS c FROM graft_cs.db.retail WHERE event IN ('cart', 'like')")
+    assert(inList.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(inList.as[Long].head() === 6L)
+    // a NON-partition filter depends on data — no fold
+    val byAmount = spark.sql(
+      "SELECT COUNT(*) AS c FROM graft_cs.db.retail WHERE amount > 50")
+    assert(!byAmount.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // a mixed filter (partition AND data column) — no fold either
+    val mixed = spark.sql(
+      "SELECT COUNT(*) AS c FROM graft_cs.db.retail WHERE event = 'cart' AND amount > 0")
+    assert(!mixed.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
   test("MIN/MAX are answered from manifest column stats, not a data scan") {

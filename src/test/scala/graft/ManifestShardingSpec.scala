@@ -135,6 +135,65 @@ class ManifestShardingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
   }
 
+  /** Partitioned twin of [[writeSyntheticTable]]: identity(event), chunk c
+    * holds only partition value `e{c % 10}` (20 chunks per value). */
+  private def writeSyntheticPartitioned(root: String): Unit = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "bigint").add("v", "bigint").add("event", "string")
+    Files.createDirectories(Paths.get(root, "manifest", "chunks"))
+    val tableMeta =
+      s"""{"schemaJson":${com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+        .textNode(schema.json).toString},"pk":"id","partitionCol":"event",""" +
+        """"partitionTransform":{"kind":"identity","col":"event"}}"""
+    Files.writeString(Paths.get(root, "_table.json"), tableMeta)
+    val chunkRefs = new StringBuilder
+    for (c <- 0 until NChunks) {
+      val ev = s"e${c % 10}"
+      val sb = new StringBuilder("""{"files":[""")
+      for (i <- 0 until FilesPerChunk) {
+        val k = c.toLong * FilesPerChunk + i
+        if (i > 0) sb.append(',')
+        sb.append(s"""{"path":"/nonexistent/f$k.parquet","partition":"$ev",""")
+        sb.append(s""""pkMin":${k * 100},"pkMax":${k * 100 + 99},"rows":$RowsPerFile,""")
+        sb.append(s""""bytes":1000}""")
+      }
+      sb.append("]}")
+      val p = Paths.get(root, "manifest", "chunks", s"c-$c.json")
+      Files.writeString(p, sb.toString)
+      val lo = c.toLong * FilesPerChunk * 100
+      val hi = (c.toLong * FilesPerChunk + FilesPerChunk - 1) * 100 + 99
+      if (c > 0) chunkRefs.append(',')
+      chunkRefs.append(s"""{"path":"$p","n":$FilesPerChunk,"pkMin":$lo,"pkMax":$hi,""")
+      chunkRefs.append(s""""rows":${FilesPerChunk * RowsPerFile},"bytes":${FilesPerChunk * 1000L},""")
+      chunkRefs.append(s""""parts":["$ev"],"spec":0}""")
+    }
+    val manifest =
+      s"""{"version":1,"batchId":-1,"committedAtMs":1,"chunks":[$chunkRefs]}"""
+    Files.writeString(Paths.get(root, "manifest", "v1.json"), manifest)
+    Files.writeString(Paths.get(root, "_current"), "1")
+  }
+
+  test("partition-filtered COUNT(*) over 100k files: manifest fold, zero chunk loads") {
+    val root0 = tmpDir("graft-shardcnt")
+    val root = s"$root0/db/shard"
+    writeSyntheticPartitioned(root)
+    val cat = s"graft_shardc${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root0)
+    // every chunk is single-valued → wholly inside or outside the wanted set;
+    // the fold must answer from chunk stats without loading ONE entry (and
+    // the data files don't exist, so any scan attempt fails loudly)
+    val df = spark.sql(s"SELECT COUNT(*) AS c FROM $cat.db.shard WHERE event = 'e3'")
+    val (n, loads) = loadsDuring(df.collect().head.getLong(0))
+    assert(n === 20L * FilesPerChunk * RowsPerFile, s"got $n")
+    assert(loads === 0L, s"filtered count fold loaded $loads chunks")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // IN list spanning two values
+    val df2 = spark.sql(
+      s"SELECT COUNT(*) AS c FROM $cat.db.shard WHERE event IN ('e1', 'e7')")
+    assert(df2.collect().head.getLong(0) === 40L * FilesPerChunk * RowsPerFile)
+  }
+
   test("ManifestFiles.loadWhere loads only chunks passing the predicate") {
     var loaded = List.empty[String]
     val chunks = (0 until 10).map { c =>
