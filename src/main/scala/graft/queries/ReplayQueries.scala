@@ -985,12 +985,15 @@ object ReplayQueries {
           Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
         CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
         CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
-        s.sql(s"""SELECT COUNT(*) AS n_cart_like FROM $cat.db.retail
-                  WHERE event IN ('cart', 'like')""")
+        s.sql(s"""SELECT COUNT(*) AS n_cart_like, MIN(trans_id) AS lo,
+                         MAX(trans_id) AS hi
+                  FROM $cat.db.retail WHERE event IN ('cart', 'like')""")
       },
       Some {
-        val n = CdcFixtures.expectedEndState.count(e => e._3 == "cart" || e._3 == "like")
-        s"SELECT CAST($n AS BIGINT) AS n_cart_like"
+        val m = CdcFixtures.expectedEndState.filter(e => e._3 == "cart" || e._3 == "like")
+        s"""SELECT CAST(${m.size} AS BIGINT) AS n_cart_like,
+           |       CAST(${m.map(_._1).min} AS BIGINT) AS lo,
+           |       CAST(${m.map(_._1).max} AS BIGINT) AS hi""".stripMargin
       }),
 
     // Iceberg `manifests` metadata-table parity: the chunked-manifest layer's

@@ -414,6 +414,29 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  /** Surfaced by `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`: the
+    * engine's table metadata and the resolved snapshot's vitals — the quick
+    * operational look Iceberg users get from table properties. */
+  override def properties(): java.util.Map[String, String] = {
+    val t = TransactionalTable.open(spark, root)
+    val m = new java.util.HashMap[String, String]()
+    m.put("pk", pk)
+    partSpec.foreach {
+      case graft.table.PartitionTransform.Bucket(n, c) => m.put("partition", s"bucket($n, $c)")
+      case p => m.put("partition", s"${p.kind}(${p.col})")
+    }
+    m.put("format", "parquet")
+    m.put("snapshot-version", loadedVersion.toString)
+    m.put("row-count", rowCount.toString)
+    m.put("file-count", entries.length.toString)
+    if (t.writeDistribution != "none") m.put("write.distribution", t.writeDistribution)
+    if (t.maxRecordsPerFile > 0)
+      m.put("write.max-records-per-file", t.maxRecordsPerFile.toString)
+    if (t.sortOrder.nonEmpty) m.put("write.sort-order", t.sortOrder)
+    m
+  }
+
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     partSpec.toArray.map {

@@ -100,30 +100,46 @@ class GraftCountStarRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** True when `e` is a foldable ungrouped COUNT(*)/COUNT(lit). */
-  private def isCountStar(e: NamedExpression): Boolean = e match {
+  /** Shape of one filtered-fold output: COUNT(*), or MIN/MAX of a
+    * stat-covered column (the attribute plus direction). */
+  private sealed trait FoldKind
+  private case object FoldCount extends FoldKind
+  private final case class FoldBound(a: Attribute, isMin: Boolean) extends FoldKind
+
+  /** Classify an ungrouped aggregate output for the FILTERED fold; None =
+    * unsupported shape. Same restrictions as [[statBound]]: integral/date/
+    * timestamp attributes only, hashed PK bounds are orderless → refused. */
+  private def foldKind(g: GraftSqlTable, e: NamedExpression): Option[FoldKind] = e match {
     case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty &&
         ae.mode == Complete =>
       ae.aggregateFunction match {
-        case Count(Seq(Literal(v, _))) if v != null => true
-        case _ => false
+        case Count(Seq(Literal(v, _))) if v != null => Some(FoldCount)
+        case Min(a: Attribute) => boundKind(g, a, isMin = true)
+        case Max(a: Attribute) => boundKind(g, a, isMin = false)
+        case _ => None
       }
-    case _ => false
+    case _ => None
+  }
+
+  private def boundKind(g: GraftSqlTable, a: Attribute, isMin: Boolean): Option[FoldKind] = {
+    val supported = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
+      case _ => false
+    }
+    if (!supported) None
+    else if (a.name.equalsIgnoreCase(g.pk) && g.pkHashed) None
+    else Some(FoldBound(a, isMin))
   }
 
   /**
-   * Partition-filtered COUNT(*) from manifest stats alone (Iceberg
-   * metadata-aggregate parity): `SELECT COUNT(*) FROM t WHERE p = 'v'` where
-   * `p` is the table's IDENTITY partition column is a per-partition row-count
-   * sum — the filter selects whole files, so the manifest's exact per-file
-   * counts ARE the answer. Chunk-level: a chunk whose (uniform-spec) value
-   * list is entirely inside / outside the wanted set contributes its stat
-   * total / zero WITHOUT loading; only straddling chunks load. Conservative:
-   * any file off the current identity spec, a stat-less sentinel, or an
-   * unsupported predicate shape leaves the plan alone.
+   * Parse a filter into the wanted IDENTITY-partition value set (Iceberg
+   * metadata-aggregate parity — the filter must select WHOLE files for
+   * manifest stats to be the exact answer). Supported: one equality/IN/
+   * InSet conjunct on the partition column plus any IsNotNull the optimizer
+   * added alongside; anything else → None, the plan stays untouched.
    */
-  private def filteredCount(g: GraftSqlTable,
-      cond: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] = {
+  private def partitionValues(g: GraftSqlTable,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Option[Set[String]] = {
     import org.apache.spark.sql.catalyst.expressions._
     val pcol = g.partSpec match {
       case Some(graft.table.PartitionTransform.Identity(c)) => c
@@ -142,8 +158,6 @@ class GraftCountStarRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case ByteType | ShortType | IntegerType | LongType => Option(l.value).map(_.toString)
       case _ => None
     }
-    // Exactly one value-constraining conjunct on the partition column (plus
-    // any IsNotNull the optimizer added alongside it); anything else → bail.
     var wanted: Option[Set[String]] = None
     conjuncts(cond).foreach {
       case IsNotNull(a) if isPart(a) => ()
@@ -164,35 +178,73 @@ class GraftCountStarRule(spark: SparkSession) extends Rule[LogicalPlan] {
         wanted = Some(vs.filter(_ != null).map(_.toString))
       case _ => return None
     }
-    val values = wanted.getOrElse(return None)
+    wanted
+  }
+
+  /** One pass over the manifest accumulating the row total plus [min,max]
+    * of each requested column over the files whose identity-partition value
+    * is in `values`. Wholly-inside chunks contribute their chunk-level
+    * stats without loading; wholly-outside chunks are skipped; straddling
+    * or stat-uncertain chunks load and accumulate per entry. Returns
+    * (rows, per-column bound) — None when any needed stat is unavailable
+    * or any file is off the current identity spec. */
+  private def foldOverMatching(g: GraftSqlTable, values: Set[String],
+      bounds: Seq[FoldBound]): Option[(Long, Map[String, (Long, Long)])] = {
+    val pcol = g.partSpec match {
+      case Some(graft.table.PartitionTransform.Identity(c)) => c
+      case _ => return None
+    }
     def identityCurrent(d: Option[org.apache.spark.sql.graftshim.PartitionTransformDesc])
         : Boolean = d.exists(x => x.kind == "identity" && x.col.equalsIgnoreCase(pcol))
-    def entrySum(es: Seq[org.apache.spark.sql.graftshim.ManifestEntry]): Option[Long] = {
-      var s = 0L
-      es.foreach { e =>
-        if (!identityCurrent(e.part) || e.rows < 0) return None
-        if (e.partition.exists(values)) s += e.rows
-      }
-      Some(s)
+    val pkName = g.pk.toLowerCase(Locale.ROOT)
+    val needed: Seq[String] = bounds.map(_.a.name.toLowerCase(Locale.ROOT)).distinct
+    var rows = 0L
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def mergeBound(key: String, mn: Long, mx: Long): Unit = acc.get(key) match {
+      case Some((a, b)) => acc(key) = (math.min(a, mn), math.max(b, mx))
+      case None => acc(key) = (mn, mx)
     }
-    g.entries match {
+    // Accumulate one matching unit (file or wholly-inside chunk); false = a
+    // needed stat is missing. Availability is checked BEFORE any mutation so
+    // a refused chunk can fall back to its per-entry stats without double
+    // counting.
+    def addUnit(unitRows: Long, pkMin: Long, pkMax: Long,
+        stats: Map[String, (Long, Long)]): Boolean = {
+      if (unitRows < 0) return false
+      val available = needed.forall { key =>
+        if (key == pkName && !g.pkHashed)
+          !(pkMin == Long.MinValue && pkMax == Long.MaxValue) // sentinel range
+        else stats.contains(key)
+      }
+      if (!available) return false
+      rows += unitRows
+      needed.foreach { key =>
+        if (key == pkName && !g.pkHashed) mergeBound(key, pkMin, pkMax)
+        else { val (mn, mx) = stats(key); mergeBound(key, mn, mx) }
+      }
+      true
+    }
+    def entryPass(es: Seq[org.apache.spark.sql.graftshim.ManifestEntry]): Boolean =
+      es.forall { e =>
+        if (!identityCurrent(e.part)) false
+        else if (!e.partition.exists(values)) true
+        else addUnit(e.rows, e.pkMin, e.pkMax, e.stats)
+      }
+    val ok = g.entries match {
       case lm: org.apache.spark.sql.graftshim.LazyManifest =>
-        var s = 0L
-        lm.chunkList.foreach { c =>
+        lm.chunkList.forall { c =>
           c.partitions match {
-            case Some(ps) if identityCurrent(c.part) && c.rows >= 0 &&
-                ps.forall(values) => s += c.rows // wholly inside — stat total
             case Some(ps) if identityCurrent(c.part) && !ps.exists(values) =>
-              () // wholly outside — contributes nothing, never loads
-            case _ => entrySum(c.load()) match { // straddling / stat-less
-              case Some(x) => s += x
-              case None => return None
-            }
+              true // wholly outside — contributes nothing, never loads
+            case Some(ps) if identityCurrent(c.part) && ps.forall(values) &&
+                c.rows >= 0 && addUnit(c.rows, c.pkMin, c.pkMax, c.stats) =>
+              true // wholly inside — chunk-level stats, zero loads
+            case _ => entryPass(c.load()) // straddling / stat-less / mixed
           }
         }
-        Some(s)
-      case es => entrySum(es)
+      case es => entryPass(es)
     }
+    if (ok) Some((rows, acc.toMap)) else None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -202,14 +254,37 @@ class GraftCountStarRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (vals.forall(_.isDefined))
         LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals.map(_.get))))
       else agg
+    // Partition-filtered COUNT/MIN/MAX: the identity-partition filter
+    // selects whole files, so per-file (and wholly-inside per-chunk) stats
+    // are the exact answer — zero data I/O, straddling chunks load alone.
     case agg @ Aggregate(Nil, exprs, child, _)
-        if exprs.nonEmpty && exprs.forall(isCountStar) && filterAndTable(child).isDefined =>
+        if exprs.nonEmpty && filterAndTable(child).isDefined =>
       val (cond, g) = filterAndTable(child).get
-      filteredCount(g, cond) match {
-        case Some(n) =>
-          LocalRelation(agg.output, Seq(InternalRow.fromSeq(exprs.map(_ => n))))
-        case None => agg
-      }
+      val kinds = exprs.map(e => foldKind(g, e))
+      val folded: Option[LogicalPlan] =
+        if (!kinds.forall(_.isDefined)) None
+        else partitionValues(g, cond).flatMap { values =>
+          val bounds = kinds.flatten.collect { case b: FoldBound => b }
+          foldOverMatching(g, values, bounds).map { case (n, bmap) =>
+            val vals: Seq[Any] = kinds.flatten.map {
+              case FoldCount => n
+              case FoldBound(a, isMin) =>
+                if (n == 0L) null
+                else {
+                  val (mn, mx) = bmap(a.name.toLowerCase(Locale.ROOT))
+                  val v = if (isMin) mn else mx
+                  a.dataType match {
+                    case ByteType => v.toByte
+                    case ShortType => v.toShort
+                    case IntegerType | DateType => v.toInt
+                    case _ => v
+                  }
+                }
+            }
+            LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals)))
+          }
+        }
+      folded.getOrElse(agg)
   }
 
   /** Peel attribute-only Projects to a single Filter directly over the

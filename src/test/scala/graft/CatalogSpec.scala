@@ -184,11 +184,25 @@ class CatalogSpec extends SparkSpec {
     val s = spark.sql("SELECT MIN(event) AS e FROM graft_cs.db.retail")
     assert(!s.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     assert(s.as[String].head() === "cart")
-    // a WHERE clause disables the fold (bounds depend on data)
+    // an IDENTITY-partition filter selects whole files → MIN/MAX still fold
+    // from the matching files' manifest stats (mixed COUNT+MAX too)
     val filtered = spark.sql(
-      "SELECT MAX(trans_id) AS mx FROM graft_cs.db.retail WHERE event = 'cart'")
-    assert(!filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"))
-    assert(filtered.as[Long].head() === 30L)
+      "SELECT COUNT(*) AS c, MAX(trans_id) AS mx FROM graft_cs.db.retail " +
+        "WHERE event = 'cart'")
+    assert(filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"partition-filtered MAX must fold:\n${filtered.queryExecution.executedPlan}")
+    assert(filtered.as[(Long, Long)].head() === ((2L, 30L)))
+    // a non-partition filter still scans
+    val byData = spark.sql(
+      "SELECT MAX(trans_id) AS mx FROM graft_cs.db.retail WHERE amount > 50")
+    assert(!byData.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // empty matching partition set → NULL bound, 0 count, still folded
+    val none = spark.sql(
+      "SELECT COUNT(*) AS c, MAX(trans_id) AS mx FROM graft_cs.db.retail " +
+        "WHERE event = 'no_such_event'")
+    assert(none.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val nr = none.head()
+    assert(nr.getLong(0) === 0L && nr.isNullAt(1))
     // timestamps fold too (footer INT64 µs ≡ catalyst micros)
     val ts = spark.sql("SELECT MIN(trans_datetime) AS t FROM graft_cs.db.retail")
     assert(ts.queryExecution.executedPlan.toString.contains("LocalTableScan"))

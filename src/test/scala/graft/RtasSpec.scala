@@ -139,6 +139,22 @@ class RtasSpec extends SparkSpec {
     assert(nt.countRows === 9)
   }
 
+  test("DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface engine metadata") {
+    val (cat, w) = freshCatalog()
+    seedRetail(w)
+    spark.sql(s"ALTER TABLE $cat.db.retail SET TBLPROPERTIES(" +
+      "'write.sort-order'='trans_datetime desc')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.db.retail")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("pk") === Cdc.PrimaryKey)
+    assert(props("partition") === s"identity(${Cdc.PartitionColumn})")
+    assert(props("row-count") === "10")
+    assert(props("write.sort-order") === "trans_datetime desc")
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.db.retail")
+      .collect().map(_.getString(0))
+    assert(desc.contains("trans_id"), desc.mkString(", "))
+  }
+
   test("crash between commit and meta rewrite heals from the manifest stamp on open") {
     val (cat, w) = freshCatalog()
     seedRetail(w)
