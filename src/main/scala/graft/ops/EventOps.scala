@@ -25,7 +25,8 @@ object EventOps {
   def sessionize(events: DataFrame, gapSeconds: Long,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
-    val us = unix_micros(col(tsCol))
+    // cast tolerates TIMESTAMP_NTZ inputs (identity under the UTC session tz)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     val brk = when(us - lag(us, 1).over(byUser) > gapSeconds * 1000000L, 1L).otherwise(0L)
     events
       .withColumn("_brk", brk)

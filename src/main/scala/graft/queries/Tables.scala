@@ -23,16 +23,22 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /**
-   * `events` with `ts` normalized to a microsecond TimestampType. The fixture
-   * stores parquet TIMESTAMP(NANOS), which Spark reads as raw Long nanos under
-   * `spark.sql.legacy.parquet.nanosAsLong=true` (Spark's TimestampType is
-   * microseconds; the fixture values are microsecond-clean, verified).
+   * `events` with `ts` normalized to a microsecond TimestampType. Fixture
+   * generations have shipped this column three ways: parquet TIMESTAMP(NANOS)
+   * (read as raw Long nanos under `spark.sql.legacy.parquet.nanosAsLong=true`),
+   * TIMESTAMP(MICROS) without the UTC-adjusted flag (read as TIMESTAMP_NTZ in
+   * Spark 4), and plain UTC-adjusted micros. All three normalize to the same
+   * TimestampType values here (session timezone is pinned to UTC, so the
+   * NTZ→LTZ cast is the identity on the epoch value, matching DuckDB).
    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   private val registered =

@@ -46,7 +46,7 @@ object PartitionTransform {
   final case class Days(col: String) extends PartitionTransform {
     val kind = "days"
     def valueExpr: Column =
-      floor(unix_micros(org.apache.spark.sql.functions.col(col)) /
+      floor(unix_micros(org.apache.spark.sql.functions.col(col).cast("timestamp")) /
         lit(MicrosPerDay.toDouble)).cast("long").cast("string")
     def desc: PartitionTransformDesc = PartitionTransformDesc(kind, col)
   }
@@ -55,7 +55,7 @@ object PartitionTransform {
   final case class Hours(col: String) extends PartitionTransform {
     val kind = "hours"
     def valueExpr: Column =
-      floor(unix_micros(org.apache.spark.sql.functions.col(col)) /
+      floor(unix_micros(org.apache.spark.sql.functions.col(col).cast("timestamp")) /
         lit(MicrosPerHour.toDouble)).cast("long").cast("string")
     def desc: PartitionTransformDesc = PartitionTransformDesc(kind, col)
   }
