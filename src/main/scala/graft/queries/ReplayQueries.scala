@@ -926,6 +926,40 @@ object ReplayQueries {
            |) AS t(event, total, n) ORDER BY event""".stripMargin
       }),
 
+    // Persisted SQL views (Iceberg-view parity): CREATE VIEW through the
+    // graft catalog (versioned metadata JSON in the warehouse), then a read
+    // through the view — with a REPLACE in between pinning that the read
+    // resolves the CURRENT definition, plus a view-over-view hop.
+    Q("cdc_sql_view",
+      (s, _) => {
+        val cat = s"graft_vq${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_vq").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE VIEW $cat.db.per_event AS " +
+          s"SELECT event, amount FROM $cat.db.retail")
+        s.sql(s"CREATE OR REPLACE VIEW $cat.db.per_event AS " +
+          s"SELECT event, CAST(SUM(amount) AS BIGINT) AS total, COUNT(*) AS n " +
+          s"FROM $cat.db.retail GROUP BY event")
+        s.sql(s"CREATE VIEW $cat.db.busy (event, total, n) AS " +
+          s"SELECT event, total, n FROM $cat.db.per_event WHERE n >= 1")
+        s.sql(s"SELECT event, total, n FROM $cat.db.busy ORDER BY event")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState.groupBy(_._3).toSeq.sortBy(_._1)
+          .map { case (ev, es) =>
+            s"('$ev', CAST(${es.map(_._5).sum} AS BIGINT), CAST(${es.size} AS BIGINT))"
+          }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, n) ORDER BY event""".stripMargin
+      }),
+
     // Iceberg-style metadata tables through the SQL front door:
     // `graft.db.t.history` (commit log) and `graft.db.t.files` (live file
     // inventory with partition/stats) — how the reference's runbook inspects

@@ -35,7 +35,7 @@ import graft.table.TransactionalTable
  * manifest.
  */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-    with FunctionCatalog {
+    with FunctionCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -76,6 +76,77 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  // ---------------------------------------------------------------------
+  // ViewCatalog (persisted SQL views, Iceberg-view parity): versioned view
+  // metadata JSON in the warehouse, resolved through GraftViewRule on read.
+  // ---------------------------------------------------------------------
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = Paths.get((warehouse +: namespace).mkString("/"))
+    if (!Files.isDirectory(dir)) Array.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => GraftViewStore.exists(p.toString))
+      .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
+      .toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViewStore.exists(rootOf(ident))
+
+  override def loadView(ident: Identifier): View =
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    else GraftViewStore.connectorView(ident, rootOf(ident))
+
+  override def createView(info: ViewInfo): View = {
+    val root = rootOf(info.ident())
+    if (viewExists(info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
+    if (tableExists(info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(info.ident())
+    GraftViewStore.write(root, GraftViewStore.metaForDefinition(
+      None, GraftViewStore.versionFromInfo(info), info.properties().asScala.toMap))
+    loadView(info.ident())
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val root = rootOf(info.ident())
+    if (tableExists(info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(info.ident())
+    val prior =
+      if (GraftViewStore.exists(root)) Some(GraftViewStore.load(root))
+      else if (orCreate) None
+      else throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident())
+    GraftViewStore.write(root, GraftViewStore.metaForDefinition(
+      prior, GraftViewStore.versionFromInfo(info), info.properties().asScala.toMap))
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val root = rootOf(ident)
+    if (!GraftViewStore.exists(root))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val meta = GraftViewStore.load(root)
+    val props = changes.foldLeft(meta.properties) {
+      case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
+      case (p, r: ViewChange.RemoveProperty) => p - r.property()
+      case (p, _) => p
+    }
+    GraftViewStore.write(root, meta.copy(properties = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViewStore.drop(rootOf(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!GraftViewStore.exists(rootOf(oldIdent)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (GraftViewStore.exists(rootOf(newIdent)) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    GraftViewStore.rename(rootOf(oldIdent), rootOf(newIdent))
+  }
 
   /** The snapshot's file list as SQL-layer manifest entries — LAZY when the
     * manifest is chunked: the returned [[org.apache.spark.sql.graftshim.LazyManifest]]

@@ -809,6 +809,18 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
       GraftCtasExec(cmd) :: Nil
     case cmd: GraftRtasCommand =>
       GraftRtasExec(cmd) :: Nil
+    case cmd: GraftCreateViewCommand =>
+      GraftCreateViewExec(cmd) :: Nil
+    case cmd: GraftAlterViewAsCommand =>
+      GraftAlterViewAsExec(cmd) :: Nil
+    case cmd: GraftDropViewCommand =>
+      GraftDropViewExec(cmd) :: Nil
+    case cmd: GraftShowViewsCommand =>
+      GraftShowViewsExec(cmd) :: Nil
+    case cmd: GraftSetViewPropsCommand =>
+      GraftSetViewPropsExec(cmd) :: Nil
+    case cmd: GraftRenameViewCommand =>
+      GraftRenameViewExec(cmd) :: Nil
     case _ => Nil
   }
 }
@@ -816,6 +828,11 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
 /** `spark.sql.extensions=graft.sql.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Persisted-view SQL (Iceberg-view parity): DDL intercepted at the
+    // parser (Spark 4.1 has no native v2-view exec; see GraftViews.scala),
+    // reads expanded in the resolution fixed-point.
+    ext.injectParser((s, delegate) => new GraftSqlParser(s, delegate))
+    ext.injectResolutionRule(s => new GraftViewRule(s))
     ext.injectPostHocResolutionRule(s => new GraftMergeRule(s))
     // AFTER the merge rule (injection order is execution order): write
     // targets become engine commands first; remaining MOR-pending relations

@@ -1,0 +1,648 @@
+package graft.sql
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewChange, ViewInfo}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * Persisted SQL views for [[GraftCatalog]] — the engine-side half of the
+ * Iceberg-view surface the reference gets from Glue (Athena `CREATE VIEW`
+ * over the Iceberg catalog; Iceberg view spec stores versioned view metadata
+ * JSON in the warehouse). A view is a directory in the warehouse namespace
+ * holding a single `_view.json`:
+ *
+ * {{{
+ * { "formatVersion": 1,
+ *   "currentVersionId": 2,
+ *   "properties": {"comment": "..."},
+ *   "versions": [ {"versionId": 1, "sql": "SELECT ...",
+ *                  "currentCatalog": "graft", "currentNamespace": ["db"],
+ *                  "schema": <StructType.json>,
+ *                  "queryColumnNames": [...], "columnAliases": [...],
+ *                  "columnComments": [...]} , ... ] }
+ * }}}
+ *
+ * Iceberg-parity choices: REPLACE/ALTER ... AS appends a new version (the
+ * definition history is retained, like Iceberg's view versions); property
+ * changes rewrite properties only; all writes are atomic tmp+ATOMIC_MOVE so
+ * readers never observe a torn file. The stored `currentCatalog` and
+ * `currentNamespace` pin the name-resolution context of the defining
+ * session, so unqualified table names in the view SQL keep meaning the same
+ * tables when the view is read under a different current catalog/namespace
+ * (see [[GraftViewRead.qualify]]).
+ */
+object GraftViewStore {
+
+  private val mapper = new ObjectMapper()
+
+  val FileName = "_view.json"
+
+  def exists(root: String): Boolean = Files.exists(Paths.get(root, FileName))
+
+  /** One stored view definition version. */
+  final case class VersionMeta(
+      versionId: Int,
+      sql: String,
+      currentCatalog: String,
+      currentNamespace: Seq[String],
+      schema: StructType,
+      queryColumnNames: Seq[String],
+      columnAliases: Seq[String],
+      columnComments: Seq[Option[String]])
+
+  final case class ViewMeta(
+      currentVersionId: Int,
+      versions: Seq[VersionMeta],
+      properties: Map[String, String]) {
+    def current: VersionMeta = versions.find(_.versionId == currentVersionId).getOrElse(
+      throw new IllegalStateException(
+        s"view metadata corrupt: currentVersionId=$currentVersionId not in " +
+          s"versions ${versions.map(_.versionId).mkString("[", ",", "]")}"))
+  }
+
+  def load(root: String): ViewMeta = {
+    val node = mapper.readTree(Files.readAllBytes(Paths.get(root, FileName)))
+    val versions = node.get("versions").elements().asScala.map { v =>
+      VersionMeta(
+        versionId = v.get("versionId").asInt(),
+        sql = v.get("sql").asText(),
+        currentCatalog = v.get("currentCatalog").asText(),
+        currentNamespace = v.get("currentNamespace").elements().asScala.map(_.asText()).toSeq,
+        schema = DataType.fromJson(v.get("schema").asText()).asInstanceOf[StructType],
+        queryColumnNames = v.get("queryColumnNames").elements().asScala.map(_.asText()).toSeq,
+        columnAliases = v.get("columnAliases").elements().asScala.map(_.asText()).toSeq,
+        columnComments = v.get("columnComments").elements().asScala
+          .map(c => if (c.isNull) None else Some(c.asText())).toSeq)
+    }.toSeq
+    val props = Option(node.get("properties")).map { p =>
+      p.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    ViewMeta(node.get("currentVersionId").asInt(), versions, props)
+  }
+
+  def write(root: String, meta: ViewMeta): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("formatVersion", 1)
+    node.put("currentVersionId", meta.currentVersionId)
+    val props = node.putObject("properties")
+    meta.properties.foreach { case (k, v) => props.put(k, v) }
+    val arr = node.putArray("versions")
+    meta.versions.foreach { v => writeVersion(arr, v) }
+    val dir = Paths.get(root)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "_view", ".tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    Files.move(tmp, dir.resolve(FileName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeVersion(arr: ArrayNode, v: VersionMeta): Unit = {
+    val n = arr.addObject()
+    n.put("versionId", v.versionId)
+    n.put("sql", v.sql)
+    n.put("currentCatalog", v.currentCatalog)
+    val ns = n.putArray("currentNamespace"); v.currentNamespace.foreach(ns.add)
+    n.put("schema", v.schema.json)
+    val q = n.putArray("queryColumnNames"); v.queryColumnNames.foreach(q.add)
+    val a = n.putArray("columnAliases"); v.columnAliases.foreach(a.add)
+    val c = n.putArray("columnComments")
+    v.columnComments.foreach { case Some(s) => c.add(s); case None => c.addNull() }
+    ()
+  }
+
+  /** Append a new definition version (create starts at 1). */
+  def metaForDefinition(prior: Option[ViewMeta], v: VersionMeta,
+      properties: Map[String, String]): ViewMeta = prior match {
+    case None => ViewMeta(1, Seq(v.copy(versionId = 1)), properties)
+    case Some(m) =>
+      val next = m.versions.map(_.versionId).max + 1
+      // REPLACE semantics for properties: the new statement's properties win
+      // wholesale (Iceberg REPLACE VIEW resets properties).
+      ViewMeta(next, m.versions :+ v.copy(versionId = next), properties)
+  }
+
+  def drop(root: String): Boolean = {
+    val p = Paths.get(root, FileName)
+    if (!Files.exists(p)) false
+    else {
+      Files.delete(p)
+      // remove the now-empty view dir (ignore failure: files written by
+      // others are left alone)
+      try Files.deleteIfExists(Paths.get(root)) catch { case _: Exception => () }
+      true
+    }
+  }
+
+  def rename(oldRoot: String, newRoot: String): Unit = {
+    val to = Paths.get(newRoot)
+    Files.createDirectories(to.getParent)
+    Files.move(Paths.get(oldRoot), to, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Materialize the connector [[View]] for an identifier rooted at `root`. */
+  def connectorView(ident: Identifier, root: String): View = {
+    val meta = load(root)
+    val cur = meta.current
+    new View {
+      override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
+      override def query(): String = cur.sql
+      override def currentCatalog(): String = cur.currentCatalog
+      override def currentNamespace(): Array[String] = cur.currentNamespace.toArray
+      override def schema(): StructType = cur.schema
+      override def queryColumnNames(): Array[String] = cur.queryColumnNames.toArray
+      override def columnAliases(): Array[String] = cur.columnAliases.toArray
+      override def columnComments(): Array[String] =
+        cur.columnComments.map(_.orNull).toArray
+      override def properties(): java.util.Map[String, String] = meta.properties.asJava
+    }
+  }
+
+  /** VersionMeta from Spark's catalog-API [[ViewInfo]] (createView path). */
+  def versionFromInfo(info: ViewInfo): VersionMeta = {
+    val n = info.schema().fields.length
+    VersionMeta(
+      versionId = 1,
+      sql = info.sql(),
+      currentCatalog = info.currentCatalog(),
+      currentNamespace = info.currentNamespace().toSeq,
+      schema = info.schema(),
+      queryColumnNames =
+        if (info.queryColumnNames() == null || info.queryColumnNames().isEmpty)
+          info.schema().fieldNames.toSeq
+        else info.queryColumnNames().toSeq,
+      columnAliases =
+        if (info.columnAliases() == null || info.columnAliases().isEmpty)
+          info.schema().fieldNames.toSeq
+        else info.columnAliases().toSeq,
+      columnComments =
+        if (info.columnComments() == null || info.columnComments().isEmpty)
+          Seq.fill(n)(None)
+        else info.columnComments().toSeq.map(Option(_)))
+  }
+}
+
+// ---------------------------------------------------------------------------
+// SQL surface. Spark 4.1 ships the DSv2 ViewCatalog API but no analyzer or
+// exec support: ResolveSessionCatalog unconditionally rejects view DDL on a
+// non-session catalog ("MISSING_CATALOG_ABILITY.VIEWS") BEFORE any injected
+// resolution rule can run. So — exactly like Iceberg's Spark extensions — the
+// DDL is intercepted one stage earlier, at the PARSER: GraftSqlParser
+// delegates everything to Spark's parser, then rewrites top-level view DDL
+// whose identifier lands in a GraftCatalog into engine command nodes (the
+// rewrite is pure pattern-matching on the parsed plan; session-catalog DDL
+// passes through untouched). Reads need no parser help: an unresolved
+// relation naming a stored view is expanded by GraftViewRule inside the
+// analyzer's resolution fixed-point.
+// ---------------------------------------------------------------------------
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StructType
+
+/** Name-resolution shared by the parser rewrite and the read rule. */
+object GraftViewResolution {
+
+  /** Resolve multipart name `parts` to (catalogName, catalog, namespace,
+    * name) when it lands in a GraftCatalog; None → not ours, leave native.
+    * Mirrors Spark's own lookup order: explicit catalog prefix first, then
+    * the current catalog + current namespace for short names. */
+  def target(spark: SparkSession, parts: Seq[String])
+      : Option[(String, GraftCatalog, Seq[String], String)] = {
+    val cm = spark.sessionState.catalogManager
+    if (parts.isEmpty) None
+    else if (parts.length >= 2 && cm.isCatalogRegistered(parts.head)) {
+      cm.catalog(parts.head) match {
+        case g: GraftCatalog => Some((parts.head, g, parts.tail.init, parts.last))
+        case _ => None
+      }
+    } else if (parts.head.equalsIgnoreCase("global_temp")) None
+    else cm.currentCatalog match {
+      case g: GraftCatalog =>
+        // temp views shadow catalog objects for single-part names
+        val isTemp = parts.length == 1 &&
+          spark.sessionState.catalog.getRawTempView(parts.head).isDefined
+        if (isTemp) None
+        else {
+          val ns = if (parts.length >= 2) parts.init else cm.currentNamespace.toSeq
+          Some((cm.currentCatalog.name, g, ns, parts.last))
+        }
+      case _ => None
+    }
+  }
+
+  def viewRoot(g: GraftCatalog, ns: Seq[String], name: String): String =
+    g.tableRoot(org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name))
+
+  /** Expand a stored view into its (recursively expanded) parsed plan:
+    * parse the stored SQL, qualify unqualified table names against the
+    * DEFINING session's catalog/namespace, expand nested graft views with
+    * cycle detection, re-apply the declared column aliases, and wrap in a
+    * SubqueryAlias carrying the view's full name (so `v.col` qualifies). */
+  def expand(spark: SparkSession, parts: Seq[String], seen: Set[String])
+      : Option[LogicalPlan] =
+    target(spark, parts).flatMap { case (catName, g, ns, name) =>
+      val root = viewRoot(g, ns, name)
+      if (!GraftViewStore.exists(root)) None
+      else {
+        val fullName = (catName +: ns :+ name).mkString(".")
+        if (seen.contains(fullName.toLowerCase(java.util.Locale.ROOT)))
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "RECURSIVE_VIEW",
+            messageParameters = Map("viewIdent" -> fullName,
+              "newPath" -> (seen.mkString(" -> ") + s" -> $fullName")))
+        val cur = GraftViewStore.load(root).current
+        val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
+        val qualified = qualifyNames(spark, parsed, cur.currentCatalog, cur.currentNamespace)
+        val nextSeen = seen + fullName.toLowerCase(java.util.Locale.ROOT)
+        val expanded = qualified.transformDownWithSubqueries {
+          case u @ UnresolvedRelation(p2, _, false) =>
+            expand(spark, p2, nextSeen).getOrElse(u)
+        }
+        val aliased =
+          if (cur.columnAliases.nonEmpty) UnresolvedSubqueryColumnAliases(cur.columnAliases, expanded)
+          else expanded
+        Some(SubqueryAlias(catName +: ns :+ name, aliased))
+      }
+    }
+
+  /** Qualify unqualified table references in a view body against the context
+    * the view was DEFINED under (stored currentCatalog/currentNamespace), so
+    * the body keeps meaning the same tables regardless of the reading
+    * session's current catalog. CTE names stay untouched. */
+  private def qualifyNames(spark: SparkSession, plan: LogicalPlan,
+      cat: String, ns: Seq[String]): LogicalPlan = {
+    val cm = spark.sessionState.catalogManager
+    val cteNames = plan.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    plan.transformDownWithSubqueries {
+      case u @ UnresolvedRelation(Seq(one), _, false)
+          if !cteNames.contains(one.toLowerCase(java.util.Locale.ROOT)) =>
+        u.copy(multipartIdentifier = (cat +: ns) :+ one)
+      case u @ UnresolvedRelation(parts, _, false)
+          if parts.length > 1 && !parts.head.equalsIgnoreCase("global_temp") &&
+            !cm.isCatalogRegistered(parts.head) =>
+        u.copy(multipartIdentifier = cat +: parts)
+    }
+  }
+}
+
+/** Read-side analyzer rule: expands unresolved relations that name stored
+  * graft views. Runs inside the resolution fixed-point, so the expanded body
+  * (plain tables + engine relations) resolves on subsequent iterations. */
+class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u @ UnresolvedRelation(parts, _, false) =>
+      GraftViewResolution.expand(spark, parts, Set.empty).getOrElse(u)
+  }
+}
+
+// --------------------------- logical commands ------------------------------
+
+final case class GraftCreateViewCommand(
+    catalogName: String, ns: Seq[String], viewName: String,
+    userColumns: Seq[(String, Option[String])],
+    comment: Option[String], properties: Map[String, String],
+    originalText: String, query: LogicalPlan,
+    allowExisting: Boolean, replace: Boolean) extends UnaryCommand {
+  override def child: LogicalPlan = query
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftCreateViewCommand =
+    copy(query = newChild)
+}
+
+final case class GraftAlterViewAsCommand(
+    catalogName: String, ns: Seq[String], viewName: String,
+    originalText: String, query: LogicalPlan) extends UnaryCommand {
+  override def child: LogicalPlan = query
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftAlterViewAsCommand =
+    copy(query = newChild)
+}
+
+final case class GraftDropViewCommand(
+    catalogName: String, ns: Seq[String], viewName: String,
+    ifExists: Boolean) extends LeafCommand
+
+final case class GraftShowViewsCommand(
+    catalogName: String, ns: Seq[String], pattern: Option[String],
+    override val output: Seq[Attribute]) extends LeafCommand
+
+final case class GraftSetViewPropsCommand(
+    catalogName: String, ns: Seq[String], viewName: String,
+    set: Map[String, String], unset: Seq[String]) extends LeafCommand
+
+final case class GraftRenameViewCommand(
+    catalogName: String, ns: Seq[String], viewName: String,
+    newNs: Seq[String], newName: String) extends LeafCommand
+
+// ------------------------------- parser ------------------------------------
+
+/** Delegating parser that rewrites parsed view DDL targeting a GraftCatalog
+  * into the engine's command nodes (see file header for why the parser is
+  * the only injection point early enough). */
+class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+
+  private def graftTarget(parts: Seq[String]) = GraftViewResolution.target(spark, parts)
+
+  private def partsOf(child: LogicalPlan): Option[Seq[String]] = child match {
+    case UnresolvedIdentifier(parts, _) => Some(parts)
+    case v: UnresolvedView => Some(v.multipartIdentifier)
+    case t: UnresolvedTableOrView => Some(t.multipartIdentifier)
+    case _ => None
+  }
+
+  /** A persisted definition outlives the session: reject bodies naming
+    * session-temporary views (Iceberg parity). Parse-time is the only stage
+    * where the raw names are still visible — a Dataset-backed temp view
+    * resolves straight to its plan, leaving nothing to detect later. */
+  private def rejectTempRefs(viewName: String, query: LogicalPlan): Unit = {
+    val cteNames = query.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    val catalog = spark.sessionState.catalog
+    val temp = query.collectWithSubqueries {
+      case UnresolvedRelation(Seq(one), _, _)
+          if !cteNames.contains(one.toLowerCase(java.util.Locale.ROOT)) &&
+            catalog.getRawTempView(one).isDefined => one
+      case UnresolvedRelation(Seq(db, one), _, _)
+          if db.equalsIgnoreCase("global_temp") &&
+            catalog.getRawGlobalTempView(one).isDefined => one
+    }
+    if (temp.nonEmpty)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_TEMP_OBJ_REFERENCE",
+        messageParameters = Map(
+          "obj" -> "VIEW", "objName" -> viewName,
+          "tempObj" -> "VIEW", "tempObjName" -> temp.head))
+  }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case c @ CreateView(child, cols, comment, _, props, Some(text), query, allowExisting, replace, _) =>
+      partsOf(child).flatMap(graftTarget) match {
+        case Some((cat, _, ns, name)) =>
+          rejectTempRefs(name, query)
+          GraftCreateViewCommand(cat, ns, name, cols, comment, props, text,
+            query, allowExisting, replace)
+        case None => c
+      }
+    case a @ AlterViewAs(child, text, query) =>
+      partsOf(child).flatMap(graftTarget) match {
+        case Some((cat, _, ns, name)) =>
+          rejectTempRefs(name, query)
+          GraftAlterViewAsCommand(cat, ns, name, text, query)
+        case None => a
+      }
+    case d @ DropView(child, ifExists) =>
+      partsOf(child).flatMap(graftTarget) match {
+        // only claim names that exist as graft views (or targets under a
+        // graft catalog): DROP VIEW on a session temp view must stay native
+        case Some((cat, g, ns, name)) => GraftDropViewCommand(cat, ns, name, ifExists)
+        case None => d
+      }
+    case s @ SetViewProperties(child, props) =>
+      partsOf(child).flatMap(graftTarget) match {
+        case Some((cat, _, ns, name)) => GraftSetViewPropsCommand(cat, ns, name, props, Nil)
+        case None => s
+      }
+    case u @ UnsetViewProperties(child, keys, _) =>
+      partsOf(child).flatMap(graftTarget) match {
+        case Some((cat, _, ns, name)) => GraftSetViewPropsCommand(cat, ns, name, Map.empty, keys)
+        case None => u
+      }
+    case r @ RenameTable(child, newName, true) =>
+      partsOf(child).flatMap(graftTarget) match {
+        case Some((cat, g, ns, name)) if GraftViewStore.exists(GraftViewResolution.viewRoot(g, ns, name)) =>
+          val (newNs, newLeaf) = graftTarget(newName) match {
+            case Some((cat2, _, ns2, n2)) if cat2 == cat => (ns2, n2)
+            case _ =>
+              if (newName.length == 1) (ns, newName.head)
+              else (newName.init, newName.last)
+          }
+          GraftRenameViewCommand(cat, ns, name, newNs, newLeaf)
+        case _ => r
+      }
+    case sv @ ShowViews(child, pattern, output) =>
+      val nsParts = child match {
+        case UnresolvedNamespace(parts, _) => Some(parts)
+        case _ => None
+      }
+      nsParts match {
+        case Some(parts) =>
+          val cm = spark.sessionState.catalogManager
+          val resolved: Option[(String, Seq[String])] =
+            if (parts.nonEmpty && cm.isCatalogRegistered(parts.head)) {
+              cm.catalog(parts.head) match {
+                case _: GraftCatalog => Some((parts.head, parts.tail))
+                case _ => None
+              }
+            } else if (parts.isEmpty) {
+              cm.currentCatalog match {
+                case _: GraftCatalog =>
+                  Some((cm.currentCatalog.name, cm.currentNamespace.toSeq))
+                case _ => None
+              }
+            } else cm.currentCatalog match {
+              case _: GraftCatalog => Some((cm.currentCatalog.name, parts))
+              case _ => None
+            }
+          resolved match {
+            case Some((cat, ns)) => GraftShowViewsCommand(cat, ns, pattern, output)
+            case None => sv
+          }
+        case None => sv
+      }
+    case other => other
+  }
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+// ------------------------------ exec nodes ---------------------------------
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{ViewCatalog => V2ViewCatalog}
+import org.apache.spark.sql.execution.LeafExecNode
+import org.apache.spark.unsafe.types.UTF8String
+
+private object GraftViewExec {
+  def catalogOf(session: SparkSession, name: String): GraftCatalog =
+    session.sessionState.catalogManager.catalog(name) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalStateException(
+        s"catalog $name is not a GraftCatalog (got ${other.getClass.getName})")
+    }
+
+  def ident(ns: Seq[String], name: String): Identifier =
+    Identifier.of(ns.toArray, name)
+
+  /** Reject view bodies that capture session-temporary state (Iceberg does
+    * the same): a persisted definition outlives the session, so a body
+    * pinned to a temp view would silently change meaning or break. */
+  def rejectTempRefs(viewName: String, analyzed: LogicalPlan): Unit = {
+    val tmp = analyzed.collectWithSubqueries {
+      case v: org.apache.spark.sql.catalyst.plans.logical.View if v.isTempView =>
+        v.desc.identifier.table
+    }
+    if (tmp.nonEmpty)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_TEMP_OBJ_REFERENCE",
+        messageParameters = Map(
+          "obj" -> "VIEW", "objName" -> viewName,
+          "tempObj" -> "VIEW", "tempObjName" -> tmp.head))
+  }
+}
+
+final case class GraftCreateViewExec(cmd: GraftCreateViewCommand) extends LeafExecNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
+    val id = GraftViewExec.ident(cmd.ns, cmd.viewName)
+    val exists = cat.viewExists(id)
+    if (exists && cmd.allowExisting && !cmd.replace) ()   // CREATE VIEW IF NOT EXISTS
+    else {
+      val df = org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.query)
+      GraftViewExec.rejectTempRefs(cmd.viewName, df.queryExecution.analyzed)
+      val schema = df.schema
+      if (cmd.userColumns.nonEmpty && cmd.userColumns.length != schema.fields.length)
+        throw new IllegalArgumentException(
+          s"CREATE VIEW ${cmd.viewName}: declared ${cmd.userColumns.length} columns " +
+            s"but the query produces ${schema.fields.length}")
+      val aliases =
+        if (cmd.userColumns.nonEmpty) cmd.userColumns.map(_._1)
+        else schema.fieldNames.toSeq
+      val comments =
+        if (cmd.userColumns.nonEmpty) cmd.userColumns.map(_._2)
+        else Seq.fill(schema.fields.length)(None: Option[String])
+      val cm = session.sessionState.catalogManager
+      val props = cmd.properties ++
+        cmd.comment.map(c => V2ViewCatalog.PROP_COMMENT -> c)
+      val version = GraftViewStore.VersionMeta(
+        versionId = 1,
+        sql = cmd.originalText,
+        currentCatalog = cm.currentCatalog.name,
+        currentNamespace = cm.currentNamespace.toSeq,
+        schema = schema,
+        queryColumnNames = schema.fieldNames.toSeq,
+        columnAliases = aliases,
+        columnComments = comments)
+      val root = cat.tableRoot(id)
+      if (cat.tableExists(id))
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(id)
+      if (exists && !cmd.replace)
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(id)
+      val prior = if (exists) Some(GraftViewStore.load(root)) else None
+      GraftViewStore.write(root, GraftViewStore.metaForDefinition(prior, version, props))
+    }
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
+final case class GraftAlterViewAsExec(cmd: GraftAlterViewAsCommand) extends LeafExecNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
+    val id = GraftViewExec.ident(cmd.ns, cmd.viewName)
+    val root = cat.tableRoot(id)
+    if (!GraftViewStore.exists(root))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(id)
+    val df = org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.query)
+    GraftViewExec.rejectTempRefs(cmd.viewName, df.queryExecution.analyzed)
+    val cm = session.sessionState.catalogManager
+    val prior = GraftViewStore.load(root)
+    val version = GraftViewStore.VersionMeta(
+      versionId = 1,
+      sql = cmd.originalText,
+      currentCatalog = cm.currentCatalog.name,
+      currentNamespace = cm.currentNamespace.toSeq,
+      schema = df.schema,
+      queryColumnNames = df.schema.fieldNames.toSeq,
+      columnAliases = df.schema.fieldNames.toSeq,
+      columnComments = Seq.fill(df.schema.fields.length)(None))
+    // ALTER ... AS keeps properties (only the definition changes)
+    GraftViewStore.write(root,
+      GraftViewStore.metaForDefinition(Some(prior), version, prior.properties))
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
+final case class GraftDropViewExec(cmd: GraftDropViewCommand) extends LeafExecNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
+    val id = GraftViewExec.ident(cmd.ns, cmd.viewName)
+    if (!cat.dropView(id) && !cmd.ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(id)
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
+final case class GraftShowViewsExec(cmd: GraftShowViewsCommand) extends LeafExecNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = cmd.output
+  override def executeCollect(): Array[InternalRow] = rows.toArray
+  private lazy val rows: Seq[InternalRow] = {
+    val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
+    val names = cat.listViews(cmd.ns: _*).map(_.name()).toSeq.sorted
+    val filtered = cmd.pattern match {
+      case Some(p) => org.apache.spark.sql.catalyst.util.StringUtils.filterPattern(names, p)
+      case None => names
+    }
+    filtered.map { n =>
+      InternalRow(UTF8String.fromString(cmd.ns.mkString(".")), UTF8String.fromString(n), false)
+    }
+  }
+  override protected def doExecute(): RDD[InternalRow] = sparkContext.parallelize(rows, 1)
+}
+
+final case class GraftSetViewPropsExec(cmd: GraftSetViewPropsCommand) extends LeafExecNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
+    val id = GraftViewExec.ident(cmd.ns, cmd.viewName)
+    val changes: Seq[ViewChange] =
+      cmd.set.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+        cmd.unset.map(ViewChange.removeProperty)
+    cat.alterView(id, changes: _*)
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
+final case class GraftRenameViewExec(cmd: GraftRenameViewCommand) extends LeafExecNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
+    cat.renameView(GraftViewExec.ident(cmd.ns, cmd.viewName),
+      GraftViewExec.ident(cmd.newNs, cmd.newName))
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}

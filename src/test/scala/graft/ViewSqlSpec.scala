@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.connector.catalog.Identifier
+
+import graft.sql.{GraftCatalog, GraftViewStore}
+import graft.table.TransactionalTable
+
+/** Persisted SQL views (Iceberg-view parity): DDL through the SQL front door
+  * (parser-intercepted — Spark 4.1 has no native v2-view path), reads expanded
+  * in the analyzer, versioned metadata on disk, catalog-API surface. */
+class ViewSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fresh catalog + warehouse with a `db.t(id, v)` base table of 3 rows. */
+  private def fresh(): (String, String) = {
+    val cat = s"graft_vw${System.nanoTime()}"
+    val w = tmpDir("graft-view-warehouse")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    Files.createDirectories(Paths.get(s"$w/db"))
+    TransactionalTable.create(spark, s"$w/db/t",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"), "id", None)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20), (3, 30)")
+    (cat, w)
+  }
+
+  test("CREATE VIEW + SELECT, projection/filter through the view") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.doubled AS SELECT id, v * 2 AS v2 FROM $cat.db.t")
+    val rows = spark.sql(s"SELECT v2 FROM $cat.db.doubled WHERE id >= 2 ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(rows === Seq(40L, 60L))
+  }
+
+  test("user column list aliases the query output (and joins by position)") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.named (key, double_v) AS " +
+      s"SELECT id, v * 2 FROM $cat.db.t")
+    val df = spark.sql(s"SELECT key, double_v FROM $cat.db.named ORDER BY key")
+    assert(df.columns.toSeq === Seq("key", "double_v"))
+    assert(df.as[(Long, Long)].collect().toSeq === Seq((1L, 20L), (2L, 40L), (3L, 60L)))
+  }
+
+  test("view over view expands recursively") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.v1 AS SELECT id, v * 2 AS v2 FROM $cat.db.t")
+    spark.sql(s"CREATE VIEW $cat.db.v2 AS SELECT sum(v2) AS s FROM $cat.db.v1")
+    assert(spark.sql(s"SELECT s FROM $cat.db.v2").as[Long].head() === 120L)
+  }
+
+  test("CREATE OR REPLACE appends a version; definition history retained") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.r AS SELECT id FROM $cat.db.t")
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.db.r AS SELECT v FROM $cat.db.t")
+    val meta = GraftViewStore.load(s"$w/db/r")
+    assert(meta.currentVersionId === 2 && meta.versions.map(_.versionId) === Seq(1, 2))
+    assert(spark.sql(s"SELECT * FROM $cat.db.r ORDER BY v").columns.toSeq === Seq("v"))
+    // ALTER VIEW ... AS appends another version, keeps properties
+    spark.sql(s"ALTER VIEW $cat.db.r SET TBLPROPERTIES('team'='core')")
+    spark.sql(s"ALTER VIEW $cat.db.r AS SELECT id, v FROM $cat.db.t")
+    val meta2 = GraftViewStore.load(s"$w/db/r")
+    assert(meta2.currentVersionId === 3 && meta2.properties("team") === "core")
+  }
+
+  test("SHOW VIEWS lists and patterns; DROP removes; IF EXISTS tolerated") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.alpha AS SELECT id FROM $cat.db.t")
+    spark.sql(s"CREATE VIEW $cat.db.beta AS SELECT id FROM $cat.db.t")
+    val all = spark.sql(s"SHOW VIEWS IN $cat.db").select("viewName")
+      .as[String].collect().toSet
+    assert(all === Set("alpha", "beta"))
+    val filtered = spark.sql(s"SHOW VIEWS IN $cat.db LIKE 'al*'").select("viewName")
+      .as[String].collect().toSet
+    assert(filtered === Set("alpha"))
+    spark.sql(s"DROP VIEW $cat.db.alpha")
+    spark.sql(s"DROP VIEW IF EXISTS $cat.db.alpha") // second drop: no error
+    intercept[Exception](spark.sql(s"DROP VIEW $cat.db.alpha"))
+    assert(spark.sql(s"SHOW VIEWS IN $cat.db").count() === 1)
+  }
+
+  test("RENAME VIEW moves the definition") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.old AS SELECT id FROM $cat.db.t")
+    spark.sql(s"ALTER VIEW $cat.db.old RENAME TO $cat.db.fresh")
+    assert(!GraftViewStore.exists(s"$w/db/old") && GraftViewStore.exists(s"$w/db/fresh"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.fresh").as[Long].head() === 3L)
+  }
+
+  test("TBLPROPERTIES set/unset round-trip through the catalog API") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.p TBLPROPERTIES('a'='1','b'='2') AS SELECT id FROM $cat.db.t")
+    spark.sql(s"ALTER VIEW $cat.db.p SET TBLPROPERTIES('b'='3','c'='4')")
+    spark.sql(s"ALTER VIEW $cat.db.p UNSET TBLPROPERTIES('a')")
+    val g = spark.sessionState.catalogManager.catalog(cat).asInstanceOf[GraftCatalog]
+    val v = g.loadView(Identifier.of(Array("db"), "p"))
+    val props = v.properties()
+    assert(props.get("b") === "3" && props.get("c") === "4" && !props.containsKey("a"))
+  }
+
+  test("recursive view cycle is detected, not an analyzer hang") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.c1 AS SELECT id FROM $cat.db.t")
+    spark.sql(s"CREATE VIEW $cat.db.c2 AS SELECT id FROM $cat.db.c1")
+    // close the loop: c1 now reads c2 (the replace analyzes against OLD c1,
+    // so creation succeeds; the cycle exists only for subsequent reads)
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.db.c1 AS SELECT id FROM $cat.db.c2")
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.c1").collect())
+    assert(e.getMessage.toLowerCase.contains("recursive"))
+  }
+
+  test("view body referencing a temp view is rejected at CREATE") {
+    val (cat, _) = fresh()
+    Seq((1L, 2L)).toDF("x", "y").createOrReplaceTempView("ephemeral_src")
+    val e = intercept[Exception](
+      spark.sql(s"CREATE VIEW $cat.db.bad AS SELECT * FROM ephemeral_src"))
+    assert(e.getMessage.contains("ephemeral_src") || e.getMessage.contains("TEMP"))
+  }
+
+  test("stored resolution context: unqualified names resolve against the defining namespace") {
+    val (cat, _) = fresh()
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name
+    try {
+      spark.sql(s"USE $cat.db")
+      spark.sql("CREATE VIEW ctx_view AS SELECT id, v FROM t") // unqualified base table
+      spark.sql(s"USE spark_catalog")
+      // read under a DIFFERENT current catalog — body must still find graft db.t
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.ctx_view").as[Long].head() === 3L)
+    } finally spark.sql(s"USE $prevCat")
+  }
+
+  test("persistence: a second catalog instance over the same warehouse sees the view") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.persisted AS SELECT sum(v) AS s FROM $cat.db.t")
+    val cat2 = s"graft_vw2_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat2", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat2.warehouse", w)
+    assert(spark.sql(s"SELECT s FROM $cat2.db.persisted").as[Long].head() === 60L)
+    val g2 = spark.sessionState.catalogManager.catalog(cat2).asInstanceOf[GraftCatalog]
+    assert(g2.listViews("db").map(_.name()).toSet === Set("persisted"))
+  }
+
+  test("views and tables are distinct namespaces: name collisions rejected") {
+    val (cat, _) = fresh()
+    intercept[Exception](
+      spark.sql(s"CREATE VIEW $cat.db.t AS SELECT 1 AS one")) // table t exists
+    spark.sql(s"CREATE VIEW $cat.db.vv AS SELECT id FROM $cat.db.t")
+    // SHOW TABLES must not list the view; SHOW VIEWS must not list the table
+    val tables = spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")
+      .as[String].collect().toSet
+    assert(tables.contains("t") && !tables.contains("vv"))
+    val views = spark.sql(s"SHOW VIEWS IN $cat.db").select("viewName")
+      .as[String].collect().toSet
+    assert(views === Set("vv"))
+  }
+
+  test("view reads are snapshot-live: new commits to the base table show through") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.live AS SELECT sum(v) AS s FROM $cat.db.t")
+    assert(spark.sql(s"SELECT s FROM $cat.db.live").as[Long].head() === 60L)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40)")
+    assert(spark.sql(s"SELECT s FROM $cat.db.live").as[Long].head() === 100L)
+  }
+}
