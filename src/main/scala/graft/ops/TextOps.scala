@@ -140,6 +140,64 @@ object TextOps {
    * 100 TB this is a map-only pass with zero shuffle. `had_pii` lets a
    * pipeline route scrubbed docs for audit without a second scan.
    */
+  /**
+   * X4/E83: corpus bigram-LM rarity scoring — the classic LM-based quality
+   * filter (docs whose n-grams the corpus LM finds improbable are outliers:
+   * boilerplate, garbled text, wrong-language contamination), reduced to
+   * deterministic integer statistics so it is exactly oracle-able.
+   *
+   * Per document: `n_bigrams` distinct word bigrams, `n_rare` of them with
+   * corpus document-frequency ≤ `rareDf`, and `rarity = n_rare / n_bigrams`
+   * (one integer division — no transcendental math, so every engine agrees
+   * bit-for-bit; for a true log-probability score see [[bigramLogProb]]).
+   *
+   * Scale shape: explode to (doc, bigram) pairs → ONE shuffle on the bigram
+   * to count df (partial aggregation first: distinct-per-doc pairs combine
+   * map-side) → shuffle join pairs⋈df on the same key (co-partitioned, AQE
+   * handles hot bigrams) → per-doc hash agg. No broadcast of the bigram
+   * vocabulary (it is corpus-sized; at 100 TB it must stay distributed).
+   */
+  def bigramRarity(df: DataFrame, rareDf: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bi = df.select(col(idCol), explode(shingles(col(textCol), 2)).as("bigram"))
+    val dfCounts = bi.groupBy("bigram").agg(count(lit(1)).as("df"))
+    bi.join(dfCounts, "bigram")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rarity", col("n_rare").cast("double") / col("n_bigrams"))
+  }
+
+  /**
+   * True bigram language-model score: mean Laplace-smoothed conditional log
+   * probability of each document's token stream under the corpus bigram
+   * model, the standard perplexity-based quality signal. Bigram/unigram
+   * counts here use OCCURRENCES (posexplode of the token array, not the
+   * distinct shingle set). Same two-shuffle shape as [[bigramRarity]]; the
+   * unigram table rides the same shuffle key (bigram prefix). Library
+   * surface (transcendental output → ScalaTest-verified, not hash-oracled).
+   */
+  def bigramLogProb(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("next", lead(col("tok"), 1).over(w))
+      .where(col("next").isNotNull)
+      .select(col(idCol), col("tok").as("w1"), col("next").as("w2"))
+    val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val uniCounts = bi.groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    val vocab = bi.select("w2").distinct().count()
+    bi.join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .withColumn("lp", log((col("c_bi") + lit(1.0)) / (col("c_uni") + lit(vocab.toDouble))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(col("lp")).as("mean_log_prob"))
+  }
+
   def scrubPii(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val clean = regexp_replace(
       regexp_replace(

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps, VariantOps}
 
 /**
  * [EXT] LLM-data-pipeline operators (SURVEY.md §2.11, X1–X6) registered as
@@ -164,6 +164,70 @@ object ExtQueries {
         .orderBy("k"),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
              |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // X6/E82: native VARIANT over the same JSON payload — parse once, typed
+    // codegen'd path extraction (no JSON re-parse per access). Oracle is the
+    // plain-JSON equivalent: the variant roundtrip must be value-identical.
+    Q("x6_variant_get",
+      (s, d) => VariantOps.shred(
+          VariantOps.parse(Tables.load(s, d, "events"), "props"),
+          "var", Seq(("k", "$.k", "bigint")))
+        .select(col("event_id"), col("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // X6/E82: shredding hot paths of a NESTED variant into typed columns
+    // (struct → JSON → VARIANT → typed paths must be lossless).
+    Q("x6_variant_shred",
+      (s, d) => {
+        val src = Tables.load(s, d, "orders")
+          .withColumn("j", to_json(struct(
+            col("o_custkey").as("cust"),
+            struct(col("o_orderpriority").as("prio"),
+              col("o_orderstatus").as("status")).as("meta"))))
+        VariantOps.shred(VariantOps.parse(src, "j"), "var", Seq(
+            ("cust", "$.cust", "bigint"),
+            ("prio", "$.meta.prio", "string"),
+            ("status", "$.meta.status", "string")))
+          .select(col("o_orderkey"), col("cust"), col("prio"), col("status"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS cust,
+             |  o_orderpriority AS prio, o_orderstatus AS status
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // X6/E82: key-value fan-out of a variant object (variant_explode), typed
+    // leaf extraction on the exploded value.
+    Q("x6_variant_explode",
+      (s, d) => VariantOps.explodeFields(
+          VariantOps.parse(Tables.load(s, d, "events"), "props"), "var",
+          keep = Seq("event_id"))
+        .select(col("event_id"), col("key"),
+          expr("variant_get(value, '$', 'bigint')").as("value"))
+        .orderBy("event_id", "key"),
+      Some("""SELECT event_id, key, CAST(v AS BIGINT) AS value FROM (
+             |  SELECT event_id, unnest(json_keys(props)) AS key,
+             |    unnest(list_transform(json_keys(props),
+             |      kk -> json_extract_string(props, '$.' || kk))) AS v
+             |  FROM events)
+             |ORDER BY event_id, key""".stripMargin)),
+
+    // X4/E83: corpus bigram-LM rarity — the deterministic integer form of
+    // LM-based quality filtering (see TextOps.bigramRarity scaladoc).
+    Q("x4_bigram_rarity",
+      (s, d) => TextOps.bigramRarity(Tables.load(s, d, "documents"), rareDf = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+              |bi AS (SELECT DISTINCT doc_id,
+              |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+              |       FROM toks WHERE len(w) >= 2),
+              |dfq AS (SELECT bigram, COUNT(*) AS df FROM bi GROUP BY 1)
+              |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+              |  CAST(SUM(CASE WHEN dfq.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+              |  CAST(SUM(CASE WHEN dfq.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rarity
+              |FROM bi b JOIN dfq USING (bigram) GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+      headline = true),
 
     // X4: per-document token statistics.
     Q("x4_doc_stats",

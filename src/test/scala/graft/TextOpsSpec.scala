@@ -59,6 +59,54 @@ class TextOpsSpec extends SparkSpec {
     assert(r === ((6L, 2L, 2.0 / 6.0, true)))
   }
 
+  test("bigramRarity: integer stats + exact ratio; common bigrams not rare") {
+    // "a b" appears in 3 docs (df=3 > rareDf=2); every other bigram df=1
+    val r = TextOps.bigramRarity(docs(
+        (1L, "a b c"), (2L, "a b d"), (3L, "a b"), (4L, "x y")), rareDf = 2)
+      .select($"doc_id", $"n_bigrams", $"n_rare", $"rarity")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(r(1L) === ((2L, 1L, 0.5)))   // "a b"(df3), "b c"(df1 rare)
+    assert(r(2L) === ((2L, 1L, 0.5)))
+    assert(r(3L) === ((1L, 0L, 0.0)))
+    assert(r(4L) === ((1L, 1L, 1.0)))
+  }
+
+  test("bigramLogProb: hand-computed Laplace-smoothed mean log prob") {
+    // corpus: doc1 "a b a b" → bigrams ab, ba, ab ; doc2 "a b" → ab
+    // c(ab)=3, c(ba)=1 ; prefix counts: c(a·)=3, c(b·)=1 ; vocab(w2)={a,b} V=2
+    val out = TextOps.bigramLogProb(docs((1L, "a b a b"), (2L, "a b")))
+      .select($"doc_id", $"n_bigrams", $"mean_log_prob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val pAb = math.log((3.0 + 1) / (3.0 + 2))   // P(b|a)
+    val pBa = math.log((1.0 + 1) / (1.0 + 2))   // P(a|b)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - (2 * pAb + pBa) / 3) < 1e-12)
+    assert(out(2L) === ((1L, pAb)) || math.abs(out(2L)._2 - pAb) < 1e-12)
+  }
+
+  test("variant ops: parse/shred/explode/inferSchema round-trip") {
+    import graft.ops.VariantOps
+    val df = Seq(
+        (1L, """{"k": 5, "tag": "x", "nest": {"d": 7}}"""),
+        (2L, """{"k": 9, "tag": "y", "nest": {"d": 1}}"""))
+      .toDF("id", "j")
+    val shredded = VariantOps.shred(VariantOps.parse(df, "j"), "var",
+        Seq(("k", "$.k", "bigint"), ("tag", "$.tag", "string"), ("d", "$.nest.d", "int")))
+      .select($"id", $"k", $"tag", $"d")
+      .as[(Long, Long, String, Int)].collect().toSet
+    assert(shredded === Set((1L, 5L, "x", 7), (2L, 9L, "y", 1)))
+    val kv = VariantOps.explodeFields(VariantOps.parse(df, "j"), "var", keep = Seq("id"))
+      .select($"id", $"key").as[(Long, String)].collect().toSet
+    assert(kv === Set((1L, "k"), (1L, "tag"), (1L, "nest"),
+      (2L, "k"), (2L, "tag"), (2L, "nest")))
+    val schema = VariantOps.inferSchema(VariantOps.parse(df, "j"), "var")
+    assert(schema.contains("k") && schema.contains("nest"))
+    // invalid JSON: parse throws, tryParse nulls
+    val bad = Seq((1L, "{not json")).toDF("id", "j")
+    intercept[Exception](VariantOps.parse(bad, "j").collect())
+    assert(VariantOps.tryParse(bad, "j").where($"var".isNull).count() === 1)
+  }
+
   test("scrubPii: redacts emails/phones/IPs, leaves clean text untouched") {
     val out = TextOps.scrubPii(docs(
         (1L, "mail a.b%c@sub.host.org or call 555-123-4567 via 192.168.0.1 now"),
