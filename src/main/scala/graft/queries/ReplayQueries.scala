@@ -1057,6 +1057,36 @@ object ReplayQueries {
            |       CAST(${ids.max} AS BIGINT) AS pk_hi""".stripMargin
       }),
 
+    // Iceberg `delete_files` metadata-table parity: the MOR delete-file
+    // inventory (what one watches to schedule compaction). Two MOR batches →
+    // one equality-delete file each: batch 0 deletes its 10 upsert keys
+    // (delete-before-insert), batch 1 its 12 upserts + 1 true delete = 13.
+    Q("cdc_metadata_delete_files_sql",
+      (s, _) => {
+        val cat = s"graft_md${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_md").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        def applyMor(lines: Seq[String], b: Long): Unit = {
+          import s.implicits._
+          val d = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+          t.merge(Cdc.projectToTable(Cdc.upserts(d)),
+            Cdc.deletes(d).select(org.apache.spark.sql.functions.col(Cdc.PrimaryKey)),
+            b, graft.table.MergeMode.MergeOnRead)
+        }
+        applyMor(CdcFixtures.scenario1Lines, 0)
+        applyMor(CdcFixtures.scenario2Lines, 1)
+        s.sql(s"""SELECT kind, n_rows FROM $cat.db.retail.delete_files
+                  ORDER BY n_rows""")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('equality-deletes', CAST(10 AS BIGINT)),
+             |  ('equality-deletes', CAST(13 AS BIGINT))
+             |) AS t(kind, n_rows) ORDER BY n_rows""".stripMargin)),
+
     // Iceberg `partitions` metadata-table parity: per-partition row totals of
     // the live snapshot, computed from manifests alone (file counts vary with
     // shuffle parallelism, so the oracle pins the invariant columns).

@@ -25,7 +25,8 @@ import graft.table.TransactionalTable
 object MetadataTables {
 
   val Names: Set[String] =
-    Set("history", "snapshots", "files", "partitions", "refs", "manifests")
+    Set("history", "snapshots", "files", "partitions", "refs", "manifests",
+      "delete_files", "all_files")
 
   private val historySchema = StructType(Seq(
     StructField("version", LongType), StructField("batch_id", LongType),
@@ -44,6 +45,13 @@ object MetadataTables {
     StructField("kind", StringType),
     // partition evolution: the spec era each file was written under
     StructField("spec_id", LongType)))
+
+  private val allFilesSchema = StructType(Seq(
+    StructField("path", StringType), StructField("partition", StringType),
+    StructField("pk_min", LongType), StructField("pk_max", LongType),
+    StructField("n_rows", LongType), StructField("n_bytes", LongType),
+    StructField("spec_id", LongType),
+    StructField("first_version", LongType), StructField("last_version", LongType)))
 
   private val partitionsSchema = StructType(Seq(
     StructField("partition", StringType), StructField("spec_id", LongType),
@@ -93,6 +101,35 @@ object MetadataTables {
       // Iceberg `partitions` parity: per-(partition value, spec era) file and
       // row totals of the LIVE snapshot — where CoW amplification, MOR skew,
       // and spec-migration progress become visible without touching data.
+      // Iceberg `delete_files` parity: just the MOR delete-file inventory of
+      // the live snapshot (eq/pos), the table one watches to decide when to
+      // fold (compact) — `files` interleaves these with data files.
+      case "delete_files" =>
+        val rows = t.snapshot.deletes.map(d =>
+          Array[Any](d.path, null, d.pkMin, d.pkMax, d.rows, d.bytes,
+            s"${d.kind}-deletes", null))
+        new LocalRowsTable(s"$qualified.delete_files", filesSchema, rows)
+      // Iceberg `all_files` parity: every data file reachable from ANY
+      // retained snapshot, deduped by path, with the version range it was
+      // live in — the orphan-analysis / compaction-planning view.
+      case "all_files" =>
+        val snaps = (0L to t.currentVersion).flatMap(v =>
+          scala.util.Try(t.snapshotAt(v)).toOption)
+        val byPath = scala.collection.mutable.LinkedHashMap
+          .empty[String, (graft.table.DataFile, Long, Long)]
+        snaps.foreach { s =>
+          s.files.foreach { f =>
+            byPath.get(f.path) match {
+              case None => byPath(f.path) = (f, s.version, s.version)
+              case Some((f0, first, _)) => byPath(f.path) = (f0, first, s.version)
+            }
+          }
+        }
+        val rows = byPath.values.toSeq.map { case (f, first, last) =>
+          Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes,
+            f.specId.toLong, first, last)
+        }
+        new LocalRowsTable(s"$qualified.all_files", allFilesSchema, rows)
       case "partitions" =>
         val s = t.snapshot
         val rows = s.files.groupBy(f => (f.partition, f.specId)).toSeq

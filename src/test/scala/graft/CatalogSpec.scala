@@ -681,4 +681,46 @@ class CatalogSpec extends SparkSpec {
       spark.conf.get("spark.sql.catalog.graft_cs.warehouse") + "/db/retail")
     assert(t.countRows === 13)
   }
+
+  test("metadata tables: delete_files (MOR inventory) and all_files (retained reach)") {
+    val cat = s"graft_cs_af${System.nanoTime()}"
+    val w = tmpDir("graft-warehouse-af")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val t = TransactionalTable.create(spark, s"$w/db/retail", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    def applyMor(lines: Seq[String], b: Long): Unit = {
+      val d = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+      t.merge(Cdc.projectToTable(Cdc.upserts(d)),
+        Cdc.deletes(d).select(org.apache.spark.sql.functions.col(Cdc.PrimaryKey)),
+        b, graft.table.MergeMode.MergeOnRead)
+    }
+    applyMor(CdcFixtures.scenario1Lines, 0)
+    applyMor(CdcFixtures.scenario2Lines, 1)
+    // scenario 2 deletes key 6 and upserts over existing keys → MOR wrote
+    // delete files instead of rewriting batch-0 data
+    val del = spark.sql(
+      s"SELECT kind, n_rows FROM $cat.db.retail.delete_files")
+      .as[(String, Long)].collect().toSeq
+    assert(del.nonEmpty && del.forall(_._1 == "equality-deletes"), s"unexpected: $del")
+    // delete_files ⊂ files (same rows flagged *-deletes there)
+    val filesDel = spark.sql(
+      s"SELECT COUNT(*) AS c FROM $cat.db.retail.files WHERE kind LIKE '%-deletes'")
+      .as[Long].head()
+    assert(filesDel === del.size.toLong)
+    // all_files: every data file of every retained snapshot, deduped, with
+    // its live version range; batch-0 files span version 1 → current
+    val af = spark.sql(
+      s"""SELECT path, first_version, last_version FROM $cat.db.retail.all_files""")
+      .as[(String, Long, Long)].collect().toSeq
+    val live = spark.sql(
+      s"SELECT path FROM $cat.db.retail.files WHERE kind = 'data'")
+      .as[String].collect().toSet
+    assert(live.subsetOf(af.map(_._1).toSet), "all_files missing live files")
+    assert(af.exists(f => f._2 === 1L && f._3 === t.currentVersion),
+      "batch-0 MOR files should stay live from v1 to current")
+    // sanity: all_files row count >= live files (historical reach)
+    assert(af.size >= live.size)
+  }
 }
