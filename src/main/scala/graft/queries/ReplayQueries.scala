@@ -1057,6 +1057,37 @@ object ReplayQueries {
            |       CAST(${ids.max} AS BIGINT) AS pk_hi""".stripMargin
       }),
 
+    // Materialized view end-to-end: CREATE MV over the replayed table, let
+    // the base advance (stale), CALL refresh_mv (atomic storage replace),
+    // read through the MV — values must equal querying the base directly.
+    Q("cdc_sql_mv",
+      (s, _) => {
+        val cat = s"graft_mv${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mv").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.by_event AS " +
+          s"SELECT event, CAST(SUM(amount) AS BIGINT) AS total, COUNT(*) AS n " +
+          s"FROM $cat.db.retail GROUP BY event")
+        // base advances → MV stale; refresh recomputes atomically
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CALL $cat.system.refresh_mv('db.by_event')").collect()
+        s.sql(s"SELECT event, total, n FROM $cat.db.by_event ORDER BY event")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState.groupBy(_._3).toSeq.sortBy(_._1)
+          .map { case (ev, es) =>
+            s"('$ev', CAST(${es.map(_._5).sum} AS BIGINT), CAST(${es.size} AS BIGINT))"
+          }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, n) ORDER BY event""".stripMargin
+      }),
+
     // Iceberg `delete_files` metadata-table parity: the MOR delete-file
     // inventory (what one watches to schedule compaction). Two MOR batches →
     // one equality-delete file each: batch 0 deletes its 10 upsert keys

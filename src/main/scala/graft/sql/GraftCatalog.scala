@@ -328,6 +328,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   // compaction strategies, branches/tags, partition evolution. ---
 
   /** Open `db.tbl` through this catalog's warehouse (procedure arguments). */
+  /** View directory for a 'db.view' procedure argument (refresh_mv/mv_status). */
+  private[sql] def viewRootByName(view: String): String = {
+    val parts = view.split("\\.")
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"procedure view argument must be 'db.view', got '$view'")
+    val ident = Identifier.of(parts.init, parts.last)
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    rootOf(ident)
+  }
+
   private[sql] def openByName(table: String): TransactionalTable = {
     val parts = table.split("\\.")
     require(parts.length >= 1 && parts.forall(_.nonEmpty),

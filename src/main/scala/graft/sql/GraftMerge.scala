@@ -821,6 +821,8 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
       GraftSetViewPropsExec(cmd) :: Nil
     case cmd: GraftRenameViewCommand =>
       GraftRenameViewExec(cmd) :: Nil
+    case cmd: GraftCreateMaterializedViewCommand =>
+      GraftCreateMaterializedViewExec(cmd) :: Nil
     case _ => Nil
   }
 }

@@ -209,6 +209,68 @@ object GraftProcedures {
         val t = open(c, a)
         Seq(t.evolvePartitioning(
           GraftCatalog.parseTransformSpec(a.getUTF8String(1).toString)).currentSpecId.toLong)
+      }),
+
+    // Materialized-view maintenance (GraftViews.scala): staleness-checked
+    // atomic recompute of the MV's storage table.
+    "refresh_mv" -> Spec(
+      Seq("view" -> S),
+      row("view" -> S, "refreshed" -> BooleanType, "reason" -> S,
+        "storage_version" -> L),
+      (c, a) => {
+        val name = a.getUTF8String(0).toString
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = c.viewRootByName(name)
+        val meta = GraftViewStore.load(root)
+        require(meta.materialized, s"$name is a plain view, not materialized")
+        val staleSources = meta.sourceVersions.filter { case (r, v) =>
+          !TransactionalTable.exists(r) ||
+            TransactionalTable.open(spark, r).currentVersion != v
+        }
+        val storageRoot = GraftViewStore.storageRoot(root)
+        if (!meta.externalSources && staleSources.isEmpty) {
+          Seq(name, false, "fresh",
+            TransactionalTable.open(spark, storageRoot).currentVersion)
+        } else {
+          val cur = meta.current
+          val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
+          val qualified = GraftViewResolution.qualifyNames(
+            spark, parsed, cur.currentCatalog, cur.currentNamespace)
+          val df0 = org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, qualified)
+          val df = if (df0.columns.toSeq != cur.columnAliases)
+            df0.toDF(cur.columnAliases: _*) else df0
+          val storage = TransactionalTable.open(spark, storageRoot)
+          val replaced = storage.replaceWith(df, df.schema, storage.pk,
+            storage.partitionSpec)
+          val (sources, external) =
+            GraftViewResolution.engineSources(df.queryExecution.analyzed)
+          GraftViewStore.write(root,
+            meta.copy(sourceVersions = sources, externalSources = external))
+          val reason =
+            if (meta.externalSources) "external sources"
+            else s"stale: ${staleSources.keys.toSeq.sorted.mkString(",")}"
+          Seq(name, true, reason, replaced.currentVersion)
+        }
+      }),
+
+    "mv_status" -> Spec(
+      Seq("view" -> S),
+      row("view" -> S, "fresh" -> BooleanType, "stale_sources" -> S,
+        "n_sources" -> L),
+      (c, a) => {
+        val name = a.getUTF8String(0).toString
+        val spark = org.apache.spark.sql.SparkSession.active
+        val meta = GraftViewStore.load(c.viewRootByName(name))
+        require(meta.materialized, s"$name is a plain view, not materialized")
+        val stale = meta.sourceVersions.filter { case (r, v) =>
+          !TransactionalTable.exists(r) ||
+            TransactionalTable.open(spark, r).currentVersion != v
+        }.keys.toSeq.sorted
+        val fresh = !meta.externalSources && stale.isEmpty
+        val staleDesc =
+          (if (meta.externalSources) Seq("(external)") else Nil) ++ stale
+        Seq(name, fresh, staleDesc.mkString(","),
+          meta.sourceVersions.size.toLong)
       }))
 
   def names: Seq[String] = specs.keys.toSeq.sorted

@@ -59,7 +59,16 @@ object GraftViewStore {
   final case class ViewMeta(
       currentVersionId: Int,
       versions: Seq[VersionMeta],
-      properties: Map[String, String]) {
+      properties: Map[String, String],
+      /** Materialized view: reads route to the storage table at
+        * `<viewRoot>/_storage` instead of expanding the SQL. */
+      materialized: Boolean = false,
+      /** MV bookkeeping: engine-source table root → snapshot version the
+        * current materialization was computed from (staleness detection). */
+      sourceVersions: Map[String, Long] = Map.empty,
+      /** MV reads non-engine sources (external parquet, temp data): version
+        * bookkeeping can't prove freshness, refresh always recomputes. */
+      externalSources: Boolean = false) {
     def current: VersionMeta = versions.find(_.versionId == currentVersionId).getOrElse(
       throw new IllegalStateException(
         s"view metadata corrupt: currentVersionId=$currentVersionId not in " +
@@ -83,13 +92,25 @@ object GraftViewStore {
     val props = Option(node.get("properties")).map { p =>
       p.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
-    ViewMeta(node.get("currentVersionId").asInt(), versions, props)
+    val sourceVersions = Option(node.get("sourceVersions")).map { p =>
+      p.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    ViewMeta(node.get("currentVersionId").asInt(), versions, props,
+      materialized = Option(node.get("materialized")).exists(_.asBoolean()),
+      sourceVersions = sourceVersions,
+      externalSources = Option(node.get("externalSources")).exists(_.asBoolean()))
   }
 
   def write(root: String, meta: ViewMeta): Unit = {
     val node = mapper.createObjectNode()
     node.put("formatVersion", 1)
     node.put("currentVersionId", meta.currentVersionId)
+    if (meta.materialized) {
+      node.put("materialized", true)
+      node.put("externalSources", meta.externalSources)
+      val sv = node.putObject("sourceVersions")
+      meta.sourceVersions.foreach { case (k, v) => sv.put(k, v) }
+    }
     val props = node.putObject("properties")
     meta.properties.foreach { case (k, v) => props.put(k, v) }
     val arr = node.putArray("versions")
@@ -127,11 +148,25 @@ object GraftViewStore {
       ViewMeta(next, m.versions :+ v.copy(versionId = next), properties)
   }
 
+  /** Storage-table root of a materialized view (nested inside the view dir,
+    * so it is never enumerated by listTables). */
+  def storageRoot(root: String): String = s"$root/_storage"
+
   def drop(root: String): Boolean = {
     val p = Paths.get(root, FileName)
     if (!Files.exists(p)) false
     else {
+      val materialized = load(root).materialized
       Files.delete(p)
+      if (materialized) {
+        // a materialized view owns its storage table: delete it with the view
+        val storage = Paths.get(storageRoot(root))
+        if (Files.exists(storage)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(storage).iterator().asScala.toSeq.reverse
+            .foreach(f => Files.deleteIfExists(f))
+        }
+      }
       // remove the now-empty view dir (ignore failure: files written by
       // others are left alone)
       try Files.deleteIfExists(Paths.get(root)) catch { case _: Exception => () }
@@ -244,6 +279,41 @@ object GraftViewResolution {
   def viewRoot(g: GraftCatalog, ns: Seq[String], name: String): String =
     g.tableRoot(org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name))
 
+  /** Engine sources of an ANALYZED plan: graft table root → the snapshot
+    * version the relation was pinned at, plus whether any non-engine leaf
+    * source exists (external parquet, local data, MOR-rewritten scans) —
+    * those make MV staleness unprovable, so refresh always recomputes. */
+  private[sql] def engineSources(plan: LogicalPlan): (Map[String, Long], Boolean) = {
+    val roots = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var external = false
+    def record(table: org.apache.spark.sql.connector.catalog.Table): Unit = table match {
+      case g: GraftSqlTable =>
+        if (!roots.contains(g.root)) roots(g.root) = g.loadedVersion
+      case _ => external = true
+    }
+    def visit(p: LogicalPlan): Unit = p.foreach { n =>
+      n match {
+        // pre-optimizer form (fresh analysis) and post-pushdown form (a plan
+        // taken from an executing command, where V2ScanRelationPushDown
+        // already ran) both appear depending on the call site
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          record(r.table)
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          record(r.relation.table)
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          external = true
+        case _ => ()
+      }
+      n.expressions.foreach(_.foreach {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          visit(s.plan)
+        case _ => ()
+      })
+    }
+    visit(plan)
+    (roots.toMap, external)
+  }
+
   /** Expand a stored view into its (recursively expanded) parsed plan:
     * parse the stored SQL, qualify unqualified table names against the
     * DEFINING session's catalog/namespace, expand nested graft views with
@@ -261,18 +331,29 @@ object GraftViewResolution {
             errorClass = "RECURSIVE_VIEW",
             messageParameters = Map("viewIdent" -> fullName,
               "newPath" -> (seen.mkString(" -> ") + s" -> $fullName")))
-        val cur = GraftViewStore.load(root).current
-        val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
-        val qualified = qualifyNames(spark, parsed, cur.currentCatalog, cur.currentNamespace)
-        val nextSeen = seen + fullName.toLowerCase(java.util.Locale.ROOT)
-        val expanded = qualified.transformDownWithSubqueries {
-          case u @ UnresolvedRelation(p2, _, false) =>
-            expand(spark, p2, nextSeen).getOrElse(u)
+        val meta = GraftViewStore.load(root)
+        if (meta.materialized) {
+          // MV reads hit the storage table, not the definition: the engine's
+          // own scan (stats, MOR handling, pruning) wrapped under the view's
+          // name. Resolved subtree → later analyzer iterations leave it alone.
+          val storage = graft.table.TransactionalTable.open(
+            spark, GraftViewStore.storageRoot(root))
+          Some(SubqueryAlias(catName +: ns :+ name,
+            storage.scan().queryExecution.analyzed))
+        } else {
+          val cur = meta.current
+          val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
+          val qualified = qualifyNames(spark, parsed, cur.currentCatalog, cur.currentNamespace)
+          val nextSeen = seen + fullName.toLowerCase(java.util.Locale.ROOT)
+          val expanded = qualified.transformDownWithSubqueries {
+            case u @ UnresolvedRelation(p2, _, false) =>
+              expand(spark, p2, nextSeen).getOrElse(u)
+          }
+          val aliased =
+            if (cur.columnAliases.nonEmpty) UnresolvedSubqueryColumnAliases(cur.columnAliases, expanded)
+            else expanded
+          Some(SubqueryAlias(catName +: ns :+ name, aliased))
         }
-        val aliased =
-          if (cur.columnAliases.nonEmpty) UnresolvedSubqueryColumnAliases(cur.columnAliases, expanded)
-          else expanded
-        Some(SubqueryAlias(catName +: ns :+ name, aliased))
       }
     }
 
@@ -280,7 +361,7 @@ object GraftViewResolution {
     * the view was DEFINED under (stored currentCatalog/currentNamespace), so
     * the body keeps meaning the same tables regardless of the reading
     * session's current catalog. CTE names stay untouched. */
-  private def qualifyNames(spark: SparkSession, plan: LogicalPlan,
+  private[sql] def qualifyNames(spark: SparkSession, plan: LogicalPlan,
       cat: String, ns: Seq[String]): LogicalPlan = {
     val cm = spark.sessionState.catalogManager
     val cteNames = plan.collectWithSubqueries {
@@ -292,10 +373,17 @@ object GraftViewResolution {
         u.copy(multipartIdentifier = (cat +: ns) :+ one)
       case u @ UnresolvedRelation(parts, _, false)
           if parts.length > 1 && !parts.head.equalsIgnoreCase("global_temp") &&
-            !cm.isCatalogRegistered(parts.head) =>
+            !cm.isCatalogRegistered(parts.head) &&
+            !(parts.length == 2 && isDataSourceName(parts.head)) =>
         u.copy(multipartIdentifier = cat +: parts)
     }
   }
+
+  /** `format.\`path\`` direct-file relations (parquet.\`/data\`, json.\`…\`)
+    * must NOT be namespace-qualified — ResolveSQLOnFile claims them as-is. */
+  private def isDataSourceName(name: String): Boolean =
+    scala.util.Try(org.apache.spark.sql.execution.datasources.DataSource
+      .lookupDataSource(name, org.apache.spark.sql.internal.SQLConf.get)).isSuccess
 }
 
 /** Read-side analyzer rule: expands unresolved relations that name stored
@@ -405,6 +493,19 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           rejectTempRefs(name, query)
           GraftAlterViewAsCommand(cat, ns, name, text, query)
         case None => a
+      }
+    case m @ CreateMaterializedViewAsSelect(child, columns, partitioning,
+        tableSpec, query, originalText, ifNotExists) =>
+      partsOf(child).flatMap(graftTarget) match {
+        case Some((cat, _, ns, name)) =>
+          rejectTempRefs(name, query)
+          val props = tableSpec match {
+            case u: UnresolvedTableSpec => u.properties
+            case _ => Map.empty[String, String]
+          }
+          GraftCreateMaterializedViewCommand(cat, ns, name,
+            columns.map(_.name), partitioning, props, originalText, query, ifNotExists)
+        case None => m
       }
     case d @ DropView(child, ifExists) =>
       partsOf(child).flatMap(graftTarget) match {
@@ -643,6 +744,71 @@ final case class GraftRenameViewExec(cmd: GraftRenameViewCommand) extends LeafEx
     val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
     cat.renameView(GraftViewExec.ident(cmd.ns, cmd.viewName),
       GraftViewExec.ident(cmd.newNs, cmd.newName))
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
+// ------------------------- materialized views ------------------------------
+
+/** `CREATE MATERIALIZED VIEW cat.db.mv [(cols)] [PARTITIONED BY ...]
+  * [TBLPROPERTIES(...)] AS SELECT ...` — Iceberg-MV-shaped: a stored view
+  * definition plus an engine storage table the reads route to. Refresh is
+  * `CALL cat.system.refresh_mv('db.mv')` — atomic storage replaceWith, with
+  * a staleness short-circuit from recorded source snapshot versions. */
+final case class GraftCreateMaterializedViewCommand(
+    catalogName: String, ns: Seq[String], viewName: String,
+    userColumnNames: Seq[String],
+    partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+    properties: Map[String, String],
+    originalText: String, query: LogicalPlan,
+    ifNotExists: Boolean) extends UnaryCommand {
+  override def child: LogicalPlan = query
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftCreateMaterializedViewCommand =
+    copy(query = newChild)
+}
+
+final case class GraftCreateMaterializedViewExec(cmd: GraftCreateMaterializedViewCommand)
+    extends LeafExecNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
+    val id = GraftViewExec.ident(cmd.ns, cmd.viewName)
+    val root = cat.tableRoot(id)
+    if (GraftViewStore.exists(root)) {
+      if (!cmd.ifNotExists)
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(id)
+    } else if (cat.tableExists(id)) {
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(id)
+    } else {
+      val df0 = org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.query)
+      if (cmd.userColumnNames.nonEmpty &&
+          cmd.userColumnNames.length != df0.schema.fields.length)
+        throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW ${cmd.viewName}: declared " +
+            s"${cmd.userColumnNames.length} columns but the query produces " +
+            s"${df0.schema.fields.length}")
+      val df = if (cmd.userColumnNames.nonEmpty) df0.toDF(cmd.userColumnNames: _*) else df0
+      val (sources, external) =
+        GraftViewResolution.engineSources(df.queryExecution.analyzed)
+      val pk = cmd.properties.getOrElse("pk", df.schema.fieldNames.head)
+      val spec = GraftCatalog.toPartitionSpec(cmd.partitioning.toArray)
+      val storage = graft.table.TransactionalTable.createPartitioned(
+        session, GraftViewStore.storageRoot(root), df.schema, pk, spec)
+      storage.append(df)
+      val cm = session.sessionState.catalogManager
+      val version = GraftViewStore.VersionMeta(
+        versionId = 1, sql = cmd.originalText,
+        currentCatalog = cm.currentCatalog.name,
+        currentNamespace = cm.currentNamespace.toSeq,
+        schema = df.schema,
+        queryColumnNames = df.schema.fieldNames.toSeq,
+        columnAliases = df.schema.fieldNames.toSeq,
+        columnComments = Seq.fill(df.schema.fields.length)(None))
+      GraftViewStore.write(root, GraftViewStore.ViewMeta(
+        currentVersionId = 1, versions = Seq(version), properties = cmd.properties,
+        materialized = true, sourceVersions = sources, externalSources = external))
+    }
   }
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
 }

@@ -155,6 +155,64 @@ class ViewSqlSpec extends SparkSpec {
     assert(views === Set("vv"))
   }
 
+  test("materialized view: create, read from storage, staleness, refresh") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mv AS " +
+      s"SELECT id, v * 10 AS v10 FROM $cat.db.t")
+    // reads hit the storage table
+    assert(spark.sql(s"SELECT v10 FROM $cat.db.mv ORDER BY id")
+      .as[Long].collect().toSeq === Seq(100L, 200L, 300L))
+    val meta = GraftViewStore.load(s"$w/db/mv")
+    assert(meta.materialized && !meta.externalSources)
+    assert(meta.sourceVersions.size === 1 && meta.sourceVersions.head._2 === 1L)
+    // fresh: refresh is a no-op
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.mv')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r1 === ((false, "fresh")))
+    // base table advances → MV is STALE but keeps serving the materialization
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.mv").as[Long].head() === 3L)
+    val st = spark.sql(s"CALL $cat.system.mv_status('db.mv')")
+      .select("fresh", "n_sources").as[(Boolean, Long)].head()
+    assert(st === ((false, 1L)))
+    // refresh recomputes atomically; status flips back to fresh
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.mv')")
+      .select("refreshed").as[Boolean].head()
+    assert(r2 === true)
+    assert(spark.sql(s"SELECT v10 FROM $cat.db.mv ORDER BY id")
+      .as[Long].collect().toSeq === Seq(100L, 200L, 300L, 400L))
+    assert(spark.sql(s"CALL $cat.system.mv_status('db.mv')")
+      .select("fresh").as[Boolean].head() === true)
+  }
+
+  test("materialized view: column list, SHOW VIEWS, DROP removes storage") {
+    val (cat, w) = fresh()
+    // MV grammar takes TYPED column definitions (CREATE TABLE-shaped)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.agg (event_total BIGINT, n BIGINT) AS " +
+      s"SELECT CAST(SUM(v) AS BIGINT), COUNT(*) FROM $cat.db.t")
+    assert(spark.sql(s"SELECT event_total, n FROM $cat.db.agg")
+      .as[(Long, Long)].head() === ((60L, 3L)))
+    // listed alongside plain views
+    assert(spark.sql(s"SHOW VIEWS IN $cat.db").select("viewName")
+      .as[String].collect().toSet === Set("agg"))
+    assert(graft.table.TransactionalTable.exists(s"$w/db/agg/_storage"))
+    spark.sql(s"DROP VIEW $cat.db.agg")
+    assert(!Files.exists(Paths.get(s"$w/db/agg")))
+  }
+
+  test("materialized view over a non-engine source is always refreshable (external)") {
+    val (cat, w) = fresh()
+    val ext = tmpDir("mv-ext-src")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.mode("overwrite").parquet(ext)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.extmv AS " +
+      s"SELECT k, s FROM parquet.`$ext`")
+    assert(GraftViewStore.load(s"$w/db/extmv").externalSources)
+    // freshness unprovable → refresh recomputes every time
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.extmv')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r === ((true, "external sources")))
+  }
+
   test("view reads are snapshot-live: new commits to the base table show through") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE VIEW $cat.db.live AS SELECT sum(v) AS s FROM $cat.db.t")
