@@ -236,20 +236,30 @@ object GraftProcedures {
           val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
           val qualified = GraftViewResolution.qualifyNames(
             spark, parsed, cur.currentCatalog, cur.currentNamespace)
-          val df0 = org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, qualified)
-          val df = if (df0.columns.toSeq != cur.columnAliases)
-            df0.toDF(cur.columnAliases: _*) else df0
           val storage = TransactionalTable.open(spark, storageRoot)
-          val replaced = storage.replaceWith(df, df.schema, storage.pk,
-            storage.partitionSpec)
-          val (sources, external) =
-            GraftViewResolution.engineSources(df.queryExecution.analyzed)
-          GraftViewStore.write(root,
-            meta.copy(sourceVersions = sources, externalSources = external))
-          val reason =
-            if (meta.externalSources) "external sources"
-            else s"stale: ${staleSources.keys.toSeq.sorted.mkString(",")}"
-          Seq(name, true, reason, replaced.currentVersion)
+          GraftMvRefresh.tryIncremental(spark, meta, qualified, storage) match {
+            case Some((nRows, newVersion, srcRoot)) =>
+              // append-only interval over a row-preserving definition:
+              // appended the transformed inserts in one commit — O(new data)
+              GraftViewStore.write(root,
+                meta.copy(sourceVersions = meta.sourceVersions + (srcRoot -> newVersion)))
+              Seq(name, true, s"incremental: +$nRows rows",
+                TransactionalTable.open(spark, storageRoot).currentVersion)
+            case None =>
+              val df0 = org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, qualified)
+              val df = if (df0.columns.toSeq != cur.columnAliases)
+                df0.toDF(cur.columnAliases: _*) else df0
+              val replaced = storage.replaceWith(df, df.schema, storage.pk,
+                storage.partitionSpec)
+              val (sources, external) =
+                GraftViewResolution.engineSources(df.queryExecution.analyzed)
+              GraftViewStore.write(root,
+                meta.copy(sourceVersions = sources, externalSources = external))
+              val reason =
+                if (meta.externalSources) "external sources"
+                else s"stale: ${staleSources.keys.toSeq.sorted.mkString(",")}"
+              Seq(name, true, reason, replaced.currentVersion)
+          }
         }
       }),
 

@@ -812,3 +812,101 @@ final case class GraftCreateMaterializedViewExec(cmd: GraftCreateMaterializedVie
   }
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
 }
+
+/**
+ * Incremental MV refresh (the 100 TB path — full recompute of a large MV on
+ * every refresh is exactly the cost materialization is meant to remove).
+ * Eligible when BOTH hold:
+ *
+ *  1. Definition shape: a Project/Filter chain over exactly ONE engine
+ *     source (no joins/aggregates/distinct/windows/CTEs — row-preserving,
+ *     so new-source-rows → new-view-rows independently of old data);
+ *  2. Data movement: the source interval since the recorded snapshot is
+ *     APPEND-ONLY (`changes(v0, v1)` carries no delete images).
+ *
+ * Then refresh = apply the definition to the interval's insert images and
+ * APPEND to storage in one commit — cost O(new data). Any miss (shape,
+ * deletes in the interval, expired baseline snapshot, schema drift) falls
+ * back to the full atomic recompute.
+ */
+private[sql] object GraftMvRefresh {
+
+  import org.apache.spark.sql.functions.{col => fcol}
+
+  /** The single source's name parts when the PARSED plan is a
+    * Project/Filter/alias chain over one relation; None otherwise. NOTE:
+    * the parser emits aggregate queries as Project too (GlobalAggregates
+    * runs in the analyzer), so this alone is not sufficient — see
+    * [[rowPreservingShape]]. */
+  private def spfSource(plan: LogicalPlan): Option[Seq[String]] = plan match {
+    case Project(_, c) => spfSource(c)
+    case Filter(_, c) => spfSource(c)
+    case SubqueryAlias(_, c) => spfSource(c)
+    case UnresolvedRelation(parts, _, false) => Some(parts)
+    case _ => None
+  }
+
+  /** Row-preserving proof on the ANALYZED plan: only there do aggregates
+    * surface as Aggregate, windows as Window, DISTINCT as Aggregate — a
+    * parsed-plan check would wave `SELECT SUM(v) FROM t` through as a
+    * Project. */
+  private def rowPreservingShape(analyzed: LogicalPlan): Boolean = analyzed match {
+    case Project(_, c) => rowPreservingShape(c)
+    case Filter(_, c) => rowPreservingShape(c)
+    case SubqueryAlias(_, c) => rowPreservingShape(c)
+    case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+    case _ => false
+  }
+
+  /** Try the incremental path: Some((appendedRows, newSourceVersion, root))
+    * after committing the append; None → caller runs the full recompute. */
+  def tryIncremental(spark: SparkSession, meta: GraftViewStore.ViewMeta,
+      qualified: LogicalPlan,
+      storage: graft.table.TransactionalTable): Option[(Long, Long, String)] = {
+    if (meta.externalSources) return None
+    val single = spfSource(qualified)
+    // the chain match must account for the WHOLE tree: a subquery expression
+    // anywhere means a second relation feeds the view
+    val allRels = qualified.collectWithSubqueries { case u: UnresolvedRelation => u }
+    if (single.isEmpty || allRels.size != 1) return None
+    val analyzedShape = scala.util.Try(
+      org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, qualified)
+        .queryExecution.analyzed).toOption
+    if (!analyzedShape.exists(rowPreservingShape)) return None
+    val parts = single.get
+    GraftViewResolution.target(spark, parts).flatMap { case (_, g, ns, nm) =>
+      val root = g.tableRoot(
+        org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, nm))
+      meta.sourceVersions.get(root).flatMap { v0 =>
+        scala.util.Try {
+          val t = graft.table.TransactionalTable.open(spark, root)
+          val v1 = t.currentVersion
+          if (v1 == v0) None
+          else {
+            val delta = t.changes(v0, v1) // throws if v0 expired → full refresh
+            if (!delta.where(fcol("_change_type") === "delete").isEmpty) None
+            else {
+              val inserts = delta.where(fcol("_change_type") === "insert")
+                .drop("_change_type")
+              val substituted = qualified.transformDownWithSubqueries {
+                case _: UnresolvedRelation => inserts.queryExecution.analyzed
+              }
+              val out0 = org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, substituted)
+              val aliases = meta.current.columnAliases
+              val out = if (out0.columns.toSeq != aliases) out0.toDF(aliases: _*) else out0
+              val sameSchema =
+                out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+                  storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
+              if (!sameSchema) None
+              else {
+                val n = out.count()
+                if (n > 0) storage.append(out)
+                Some((n, v1, root))
+              }
+            }
+          }
+        }.toOption.flatten
+      }
+    }
+  }
+}

@@ -213,6 +213,54 @@ class ViewSqlSpec extends SparkSpec {
     assert(r === ((true, "external sources")))
   }
 
+  test("materialized view: append-only interval refreshes INCREMENTALLY (no full recompute)") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.inc AS " +
+      s"SELECT id, v * 2 AS v2 FROM $cat.db.t WHERE v >= 20")
+    assert(spark.sql(s"SELECT v2 FROM $cat.db.inc ORDER BY id")
+      .as[Long].collect().toSeq === Seq(40L, 60L))
+    val storageV0 = graft.table.TransactionalTable
+      .open(spark, s"$w/db/inc/_storage").currentVersion
+    // two append-only commits: one passes the filter, one doesn't
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (5, 5)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.inc')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true)
+    assert(r._2.startsWith("incremental"), s"expected incremental path, got: ${r._2}")
+    assert(spark.sql(s"SELECT v2 FROM $cat.db.inc ORDER BY id")
+      .as[Long].collect().toSeq === Seq(40L, 60L, 80L))
+    // incremental = ONE append commit on storage, not a table replace
+    val storage = graft.table.TransactionalTable.open(spark, s"$w/db/inc/_storage")
+    assert(storage.currentVersion === storageV0 + 1)
+    // and status is fresh again
+    assert(spark.sql(s"CALL $cat.system.mv_status('db.inc')")
+      .select("fresh").as[Boolean].head() === true)
+  }
+
+  test("materialized view: delete in the interval forces the full recompute path") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.incd AS " +
+      s"SELECT id, v FROM $cat.db.t")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 2")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.incd')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true && r._2.startsWith("stale"), s"got: $r")
+    assert(spark.sql(s"SELECT id FROM $cat.db.incd ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+  }
+
+  test("materialized view: aggregate definition always uses the full recompute path") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.inca AS " +
+      s"SELECT CAST(SUM(v) AS BIGINT) AS s FROM $cat.db.t")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.inca')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true && r._2.startsWith("stale"), s"got: $r")
+    assert(spark.sql(s"SELECT s FROM $cat.db.inca").as[Long].head() === 100L)
+  }
+
   test("view reads are snapshot-live: new commits to the base table show through") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE VIEW $cat.db.live AS SELECT sum(v) AS s FROM $cat.db.t")
