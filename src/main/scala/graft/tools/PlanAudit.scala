@@ -45,7 +45,11 @@ object PlanAudit {
       "x7_q11_important_parts", "x7_q13_order_distribution",
       "x7_q16_supplier_counts", "x7_q20_excess_suppliers",
       "x7_q21_waiting_suppliers", "x7_q22_sales_opportunity",
-      "cdc_changes_events")
+      "cdc_changes_events",
+      // round 10: the bigram-df self-join must reuse the shuffled bigram
+      // exchange (one scan feeding both the df count and the join probe),
+      // and the variant path extractions must stay in one codegen stage
+      "x4_bigram_rarity", "x6_variant_get", "x6_variant_shred")
 
     audited.foreach { name =>
       val df = Registry.byName(name).fn(spark, sfDir)
