@@ -823,6 +823,8 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
       GraftRenameViewExec(cmd) :: Nil
     case cmd: GraftCreateMaterializedViewCommand =>
       GraftCreateMaterializedViewExec(cmd) :: Nil
+    case cmd: GraftShowCreateViewCommand =>
+      GraftShowCreateViewExec(cmd) :: Nil
     case _ => Nil
   }
 }

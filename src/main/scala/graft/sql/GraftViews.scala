@@ -433,6 +433,10 @@ final case class GraftRenameViewCommand(
     catalogName: String, ns: Seq[String], viewName: String,
     newNs: Seq[String], newName: String) extends LeafCommand
 
+final case class GraftShowCreateViewCommand(
+    catalogName: String, ns: Seq[String], viewName: String,
+    override val output: Seq[Attribute]) extends LeafCommand
+
 // ------------------------------- parser ------------------------------------
 
 /** Delegating parser that rewrites parsed view DDL targeting a GraftCatalog
@@ -535,6 +539,15 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           }
           GraftRenameViewCommand(cat, ns, name, newNs, newLeaf)
         case _ => r
+      }
+    // SHOW CREATE TABLE on a graft VIEW: reconstruct the CREATE statement
+    // from the stored current definition (tables keep Spark's native path).
+    case sc @ ShowCreateTable(child, _, output) =>
+      partsOf(child).flatMap(graftTarget) match {
+        case Some((cat, g, ns, name))
+            if GraftViewStore.exists(GraftViewResolution.viewRoot(g, ns, name)) =>
+          GraftShowCreateViewCommand(cat, ns, name, output)
+        case _ => sc
       }
     case sv @ ShowViews(child, pattern, output) =>
       val nsParts = child match {
@@ -735,6 +748,30 @@ final case class GraftSetViewPropsExec(cmd: GraftSetViewPropsCommand) extends Le
     cat.alterView(id, changes: _*)
   }
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
+final case class GraftShowCreateViewExec(cmd: GraftShowCreateViewCommand) extends LeafExecNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = cmd.output
+  override def executeCollect(): Array[InternalRow] = Array(InternalRow(UTF8String.fromString(stmt)))
+  private lazy val stmt: String = {
+    val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
+    val root = cat.tableRoot(GraftViewExec.ident(cmd.ns, cmd.viewName))
+    val meta = GraftViewStore.load(root)
+    val cur = meta.current
+    val full = (cmd.catalogName +: cmd.ns :+ cmd.viewName).mkString(".")
+    val kind = if (meta.materialized) "MATERIALIZED VIEW" else "VIEW"
+    val cols =
+      if (cur.columnAliases == cur.queryColumnNames) ""
+      else cur.columnAliases.mkString(" (", ", ", ")")
+    val props =
+      if (meta.properties.isEmpty) ""
+      else meta.properties.toSeq.sorted
+        .map { case (k, v) => s"'$k' = '$v'" }
+        .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+    s"CREATE $kind $full$cols$props\nAS ${cur.sql}\n"
+  }
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(executeCollect().toSeq, 1)
 }
 
 final case class GraftRenameViewExec(cmd: GraftRenameViewCommand) extends LeafExecNode {

@@ -261,6 +261,21 @@ class ViewSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT s FROM $cat.db.inca").as[Long].head() === 100L)
   }
 
+  test("SHOW CREATE TABLE reconstructs view and MV definitions") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.scv (a, b) TBLPROPERTIES('team'='core') AS " +
+      s"SELECT id, v FROM $cat.db.t")
+    val stmt = spark.sql(s"SHOW CREATE TABLE $cat.db.scv").as[String].head()
+    assert(stmt.startsWith(s"CREATE VIEW $cat.db.scv (a, b)"))
+    assert(stmt.contains("'team' = 'core'") && stmt.contains(s"AS SELECT id, v FROM $cat.db.t"))
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.scm AS SELECT id FROM $cat.db.t")
+    assert(spark.sql(s"SHOW CREATE TABLE $cat.db.scm").as[String].head()
+      .startsWith(s"CREATE MATERIALIZED VIEW $cat.db.scm"))
+    // plain tables keep Spark's native SHOW CREATE path
+    assert(spark.sql(s"SHOW CREATE TABLE $cat.db.t").as[String].head()
+      .startsWith(s"CREATE TABLE $cat.db.t"))
+  }
+
   test("view reads are snapshot-live: new commits to the base table show through") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE VIEW $cat.db.live AS SELECT sum(v) AS s FROM $cat.db.t")
