@@ -198,6 +198,61 @@ object TextOps {
         avg(col("lp")).as("mean_log_prob"))
   }
 
+  /**
+   * X4/E87: repetition quality signals (the Gopher/RefinedWeb filtering
+   * rules): per document —
+   *
+   *  - `n_lines`, `n_distinct_lines`, `frac_dup_lines` (1 − distinct/total),
+   *    `frac_dup_line_chars` (chars in lines occurring >1× / all line chars)
+   *  - `top_bigram`, `top_bigram_count`, `frac_top_bigram_chars` (chars
+   *    covered by the most frequent word bigram WITH multiplicity)
+   *
+   * Repetitious documents (boilerplate, templated spam, decode loops) light
+   * up on exactly these; every ratio is ONE integer division so the oracle
+   * matches bit-for-bit. Tie-break for the top bigram is the lexicographic
+   * max of (count, chars, bigram) — deterministic on both engines.
+   *
+   * Scale shape: two explode→groupBy legs, each shuffling on a well-spread
+   * composite key ((doc, line) / (doc, bigram)), re-aggregated per doc and
+   * joined on doc_id; bigram multiplicity comes from a map-only `zip_with`
+   * of two shifted token-array views (no window, no per-doc sort).
+   */
+  def repetitionStats(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    val lineCounts = df.select(id, explode(lines).as("line"))
+      .groupBy(id, col("line")).agg(count(lit(1)).as("cnt"))
+    val lineStats = lineCounts.groupBy(id).agg(
+      sum(col("cnt")).as("n_lines"),
+      count(lit(1)).as("n_distinct_lines"),
+      sum(col("cnt") * length(col("line"))).as("line_chars"),
+      sum(when(col("cnt") > 1, col("cnt") * length(col("line"))).otherwise(0L))
+        .as("dup_line_chars"))
+    val toks = tokens(col(textCol))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bigramTop = df.select(id, explode(bigrams).as("bigram"))
+      .groupBy(id, col("bigram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(id).agg(max(struct(
+        col("cnt"),
+        (col("cnt") * length(col("bigram"))).as("chars"),
+        col("bigram"))).as("top"))
+    lineStats.join(bigramTop, Seq(idCol), "left")
+      .select(id,
+        col("n_lines"), col("n_distinct_lines"),
+        ((col("n_lines") - col("n_distinct_lines")).cast("double") / col("n_lines"))
+          .as("frac_dup_lines"),
+        (col("dup_line_chars").cast("double") / col("line_chars"))
+          .as("frac_dup_line_chars"),
+        col("top.bigram").as("top_bigram"),
+        col("top.cnt").as("top_bigram_count"),
+        (col("top.chars").cast("double") / col("line_chars"))
+          .as("frac_top_bigram_chars"))
+  }
+
   def scrubPii(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val clean = regexp_replace(
       regexp_replace(

@@ -229,6 +229,42 @@ object ExtQueries {
               |FROM bi b JOIN dfq USING (bigram) GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
       headline = true),
 
+    // X4/E87: Gopher-style repetition quality signals — duplicate-line
+    // fractions + most-frequent-bigram char coverage, all single-division
+    // ratios (bit-exact across engines); deterministic (cnt, chars, bigram)
+    // lexicographic tie-break for the top bigram.
+    Q("x4_repetition_stats",
+      (s, d) => TextOps.repetitionStats(Tables.load(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some(s"""WITH lines AS (
+              |  SELECT doc_id, l, COUNT(*) AS cnt FROM (
+              |    SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS l
+              |    FROM documents) GROUP BY 1, 2),
+              |ls AS (
+              |  SELECT doc_id,
+              |    CAST(SUM(cnt) AS BIGINT) AS n_lines,
+              |    CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+              |    CAST(SUM(cnt * length(l)) AS BIGINT) AS line_chars,
+              |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(l) ELSE 0 END) AS BIGINT) AS dup_line_chars
+              |  FROM lines GROUP BY 1),
+              |toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+              |bi AS (
+              |  SELECT doc_id, b, COUNT(*) AS cnt FROM (
+              |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+              |    FROM toks WHERE len(w) >= 2) GROUP BY 1, 2),
+              |bt AS (
+              |  SELECT doc_id, b AS top_bigram, cnt AS top_bigram_count,
+              |    cnt * length(b) AS top_chars
+              |  FROM bi QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+              |      ORDER BY cnt DESC, cnt * length(b) DESC, b DESC) = 1)
+              |SELECT ls.doc_id, n_lines, n_distinct_lines,
+              |  CAST(n_lines - n_distinct_lines AS DOUBLE) / n_lines AS frac_dup_lines,
+              |  CAST(dup_line_chars AS DOUBLE) / line_chars AS frac_dup_line_chars,
+              |  top_bigram, CAST(top_bigram_count AS BIGINT) AS top_bigram_count,
+              |  CAST(top_chars AS DOUBLE) / line_chars AS frac_top_bigram_chars
+              |FROM ls LEFT JOIN bt ON ls.doc_id = bt.doc_id
+              |ORDER BY ls.doc_id""".stripMargin)),
+
     // X4: per-document token statistics.
     Q("x4_doc_stats",
       (s, d) => TextOps.docStats(Tables.load(s, d, "documents")).orderBy("doc_id"),

@@ -107,6 +107,25 @@ class TextOpsSpec extends SparkSpec {
     assert(VariantOps.tryParse(bad, "j").where($"var".isNull).count() === 1)
   }
 
+  test("repetitionStats: duplicate-line fractions and top-bigram coverage") {
+    val out = TextOps.repetitionStats(docs(
+        // 4 lines, "spam spam" twice (8 chars each), "ok" once, "fine" once
+        (1L, "spam spam\nok\nspam spam\nfine"),
+        // no repetition at all
+        (2L, "all distinct words here")))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double, String, Long, Double)].collect()
+    val d1 = out(0)
+    assert(d1._2 === 4L && d1._3 === 3L)              // 4 lines, 3 distinct
+    assert(d1._4 === 1.0 / 4.0)                       // frac_dup_lines
+    val lineChars1 = 2 * 9 + 2 + 4                    // "spam spam"×2, "ok", "fine"
+    assert(d1._5 === (2.0 * 9) / lineChars1)          // dup-line chars
+    assert(d1._6 === "spam spam" && d1._7 === 2L)     // top bigram ×2
+    assert(d1._8 === (2.0 * 9) / lineChars1)
+    val d2 = out(1)
+    assert(d2._4 === 0.0 && d2._5 === 0.0 && d2._7 === 1L)
+  }
+
   test("scrubPii: redacts emails/phones/IPs, leaves clean text untouched") {
     val out = TextOps.scrubPii(docs(
         (1L, "mail a.b%c@sub.host.org or call 555-123-4567 via 192.168.0.1 now"),
