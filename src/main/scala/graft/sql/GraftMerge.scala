@@ -825,6 +825,8 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
       GraftCreateMaterializedViewExec(cmd) :: Nil
     case cmd: GraftShowCreateViewCommand =>
       GraftShowCreateViewExec(cmd) :: Nil
+    case cmd: GraftDescribeViewCommand =>
+      GraftDescribeViewExec(cmd) :: Nil
     case _ => Nil
   }
 }

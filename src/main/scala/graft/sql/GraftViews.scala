@@ -437,6 +437,10 @@ final case class GraftShowCreateViewCommand(
     catalogName: String, ns: Seq[String], viewName: String,
     override val output: Seq[Attribute]) extends LeafCommand
 
+final case class GraftDescribeViewCommand(
+    catalogName: String, ns: Seq[String], viewName: String,
+    isExtended: Boolean, override val output: Seq[Attribute]) extends LeafCommand
+
 // ------------------------------- parser ------------------------------------
 
 /** Delegating parser that rewrites parsed view DDL targeting a GraftCatalog
@@ -539,6 +543,15 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           }
           GraftRenameViewCommand(cat, ns, name, newNs, newLeaf)
         case _ => r
+      }
+    // DESCRIBE [EXTENDED] on a graft VIEW: columns from the stored schema
+    // (tables keep Spark's native DSv2 path).
+    case d @ DescribeRelation(child, _, isExtended, output) =>
+      partsOf(child).flatMap(graftTarget) match {
+        case Some((cat, g, ns, name))
+            if GraftViewStore.exists(GraftViewResolution.viewRoot(g, ns, name)) =>
+          GraftDescribeViewCommand(cat, ns, name, isExtended, output)
+        case _ => d
       }
     // SHOW CREATE TABLE on a graft VIEW: reconstruct the CREATE statement
     // from the stored current definition (tables keep Spark's native path).
@@ -772,6 +785,39 @@ final case class GraftShowCreateViewExec(cmd: GraftShowCreateViewCommand) extend
   }
   override protected def doExecute(): RDD[InternalRow] =
     sparkContext.parallelize(executeCollect().toSeq, 1)
+}
+
+final case class GraftDescribeViewExec(cmd: GraftDescribeViewCommand) extends LeafExecNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = cmd.output
+  override def executeCollect(): Array[InternalRow] = rows.toArray
+  private lazy val rows: Seq[InternalRow] = {
+    def r(a: String, b: String, c: String) = InternalRow(
+      UTF8String.fromString(a), UTF8String.fromString(b),
+      if (c == null) null else UTF8String.fromString(c))
+    val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
+    val root = cat.tableRoot(GraftViewExec.ident(cmd.ns, cmd.viewName))
+    val meta = GraftViewStore.load(root)
+    val cur = meta.current
+    val cols = cur.schema.fields.zipWithIndex.map { case (f, i) =>
+      r(cur.columnAliases.lift(i).getOrElse(f.name), f.dataType.simpleString,
+        cur.columnComments.lift(i).flatten.orNull)
+    }.toSeq
+    if (!cmd.isExtended) cols
+    else cols ++ Seq(
+      r("", "", ""),
+      r("# Detailed View Information", "", ""),
+      r("Name", (cmd.catalogName +: cmd.ns :+ cmd.viewName).mkString("."), ""),
+      r("Type", if (meta.materialized) "MATERIALIZED VIEW" else "VIEW", ""),
+      r("View Text", cur.sql, ""),
+      r("View Catalog and Namespace",
+        (cur.currentCatalog +: cur.currentNamespace).mkString("."), ""),
+      r("View Version", meta.currentVersionId.toString, ""),
+      r("View Properties",
+        meta.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("[", ", ", "]"), ""))
+  }
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(rows, 1)
 }
 
 final case class GraftRenameViewExec(cmd: GraftRenameViewCommand) extends LeafExecNode {

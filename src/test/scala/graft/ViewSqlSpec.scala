@@ -276,6 +276,23 @@ class ViewSqlSpec extends SparkSpec {
       .startsWith(s"CREATE TABLE $cat.db.t"))
   }
 
+  test("DESCRIBE [EXTENDED] works on views and materialized views") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.dv (a COMMENT 'the id', b) AS SELECT id, v FROM $cat.db.t")
+    val cols = spark.sql(s"DESCRIBE $cat.db.dv")
+      .select("col_name", "data_type", "comment")
+      .as[(String, String, String)].collect().toSeq
+    assert(cols === Seq(("a", "bigint", "the id"), ("b", "bigint", null)))
+    val ext = spark.sql(s"DESCRIBE EXTENDED $cat.db.dv")
+      .select("col_name", "data_type").as[(String, String)].collect().toMap
+    assert(ext("Type") === "VIEW")
+    assert(ext("View Text").contains("SELECT id, v FROM"))
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.dm AS SELECT id FROM $cat.db.t")
+    assert(spark.sql(s"DESCRIBE EXTENDED $cat.db.dm")
+      .select("col_name", "data_type").as[(String, String)].collect().toMap
+      .apply("Type") === "MATERIALIZED VIEW")
+  }
+
   test("view reads are snapshot-live: new commits to the base table show through") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE VIEW $cat.db.live AS SELECT sum(v) AS s FROM $cat.db.t")
