@@ -26,7 +26,7 @@ object MetadataTables {
 
   val Names: Set[String] =
     Set("history", "snapshots", "files", "partitions", "refs", "manifests",
-      "delete_files", "all_files")
+      "delete_files", "all_files", "entries")
 
   private val historySchema = StructType(Seq(
     StructField("version", LongType), StructField("batch_id", LongType),
@@ -45,6 +45,11 @@ object MetadataTables {
     StructField("kind", StringType),
     // partition evolution: the spec era each file was written under
     StructField("spec_id", LongType)))
+
+  private val entriesSchema = StructType(Seq(
+    StructField("status", LongType), StructField("added_version", LongType),
+    StructField("path", StringType), StructField("kind", StringType),
+    StructField("n_rows", LongType), StructField("n_bytes", LongType)))
 
   private val allFilesSchema = StructType(Seq(
     StructField("path", StringType), StructField("partition", StringType),
@@ -101,6 +106,29 @@ object MetadataTables {
       // Iceberg `partitions` parity: per-(partition value, spec era) file and
       // row totals of the LIVE snapshot — where CoW amplification, MOR skew,
       // and spec-migration progress become visible without touching data.
+      // Iceberg `entries` parity (status-annotated manifest entries of the
+      // LIVE snapshot): every current data/delete file with the status it
+      // carries relative to the parent snapshot (1=added this version,
+      // 0=existing carry-over) and the version that first added it.
+      case "entries" =>
+        val snaps = (0L to t.currentVersion).flatMap(v =>
+          scala.util.Try(t.snapshotAt(v)).toOption)
+        val firstSeen = scala.collection.mutable.HashMap.empty[String, Long]
+        snaps.foreach(s => s.files.foreach(f =>
+          if (!firstSeen.contains(f.path)) firstSeen(f.path) = s.version))
+        val cur = t.snapshot
+        val parentPaths = snaps.takeRight(2) match {
+          case Seq(parent, c) if c.version == cur.version => parent.files.map(_.path).toSet
+          case _ => Set.empty[String]
+        }
+        val rows = cur.files.map { f =>
+          Array[Any](if (parentPaths(f.path)) 0L else 1L,
+            firstSeen.getOrElse(f.path, cur.version),
+            f.path, "data", f.rows, f.bytes)
+        } ++ cur.deletes.map { d =>
+          Array[Any](null, null, d.path, s"${d.kind}-deletes", d.rows, d.bytes)
+        }
+        new LocalRowsTable(s"$qualified.entries", entriesSchema, rows)
       // Iceberg `delete_files` parity: just the MOR delete-file inventory of
       // the live snapshot (eq/pos), the table one watches to decide when to
       // fold (compact) — `files` interleaves these with data files.

@@ -722,5 +722,15 @@ class CatalogSpec extends SparkSpec {
       "batch-0 MOR files should stay live from v1 to current")
     // sanity: all_files row count >= live files (historical reach)
     assert(af.size >= live.size)
+    // entries: status 1 = added by the CURRENT commit, 0 = carried from the
+    // parent; batch-0 files carry over under MOR (never rewritten)
+    val entries = spark.sql(
+      s"SELECT status, added_version FROM $cat.db.retail.entries WHERE kind = 'data'")
+      .as[(java.lang.Long, java.lang.Long)].collect().toSeq
+    assert(entries.nonEmpty)
+    assert(entries.exists(e => e._1 == 0L && e._2 == 1L),
+      s"expected carried batch-0 entries, got $entries")
+    assert(entries.exists(e => e._1 == 1L && e._2 == 2L),
+      s"expected entries added at v2, got $entries")
   }
 }
