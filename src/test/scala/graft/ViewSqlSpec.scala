@@ -293,6 +293,33 @@ class ViewSqlSpec extends SparkSpec {
       .apply("Type") === "MATERIALIZED VIEW")
   }
 
+  test("DSv2 ViewCatalog API: createView/replaceView/rename/drop round-trip") {
+    import org.apache.spark.sql.connector.catalog.ViewInfo
+    import org.apache.spark.sql.types.StructType
+    val (cat, _) = fresh()
+    val g = spark.sessionState.catalogManager.catalog(cat).asInstanceOf[GraftCatalog]
+    val id = Identifier.of(Array("db"), "api_v")
+    val schema = StructType.fromDDL("id BIGINT")
+    val info = new ViewInfo(id, s"SELECT id FROM $cat.db.t", cat, Array("db"),
+      schema, Array("id"), Array("id"), Array(null),
+      java.util.Collections.singletonMap("k", "v"))
+    val v = g.createView(info)
+    assert(v.query() === s"SELECT id FROM $cat.db.t" && v.properties().get("k") === "v")
+    intercept[Exception](g.createView(info)) // already exists
+    // SQL reads resolve the API-created view
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.api_v").as[Long].head() === 3L)
+    // replaceView appends a definition version
+    val info2 = new ViewInfo(id, s"SELECT v FROM $cat.db.t", cat, Array("db"),
+      StructType.fromDDL("v BIGINT"), Array("v"), Array("v"), Array(null),
+      java.util.Collections.emptyMap())
+    g.replaceView(info2, false)
+    assert(g.loadView(id).query() === s"SELECT v FROM $cat.db.t")
+    val id2 = Identifier.of(Array("db"), "api_v2")
+    g.renameView(id, id2)
+    assert(!g.viewExists(id) && g.viewExists(id2))
+    assert(g.dropView(id2) && !g.dropView(id2))
+  }
+
   test("view reads are snapshot-live: new commits to the base table show through") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE VIEW $cat.db.live AS SELECT sum(v) AS s FROM $cat.db.t")
