@@ -960,11 +960,19 @@ private[sql] object GraftMvRefresh {
     GraftViewResolution.target(spark, parts).flatMap { case (_, g, ns, nm) =>
       val root = g.tableRoot(
         org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, nm))
-      meta.sourceVersions.get(root).flatMap { v0 =>
+      meta.sourceVersions.get(root).flatMap { v0meta =>
         scala.util.Try {
           val t = graft.table.TransactionalTable.open(spark, root)
           val v1 = t.currentVersion
-          if (v1 == v0) None
+          // The storage table's writer fence is the TRUE high-water mark: the
+          // append below commits (batchId = source version, writerId = this
+          // view) atomically with the data, so a crash between the append and
+          // the _view.json update — or a concurrent refresh — can never
+          // double-apply an interval: the fence heals/blocks it.
+          val writerId = s"mv-incr:$root"
+          val v0 = math.max(v0meta,
+            storage.snapshot.writerFences.getOrElse(writerId, -1L))
+          if (v1 == v0) Some((0L, v1, root)) // data already there; heal meta only
           else {
             val delta = t.changes(v0, v1) // throws if v0 expired → full refresh
             if (!delta.where(fcol("_change_type") === "delete").isEmpty) None
@@ -983,7 +991,7 @@ private[sql] object GraftMvRefresh {
               if (!sameSchema) None
               else {
                 val n = out.count()
-                if (n > 0) storage.append(out)
+                storage.append(out, batchId = v1, writerId = Some(writerId))
                 Some((n, v1, root))
               }
             }

@@ -238,6 +238,31 @@ class ViewSqlSpec extends SparkSpec {
       .select("fresh").as[Boolean].head() === true)
   }
 
+  test("incremental refresh is crash/replay safe: the storage fence prevents double-apply") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.fen AS SELECT id, v FROM $cat.db.t")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.fen')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.fen").as[Long].head() === 4L)
+    // simulate a crash BETWEEN the storage append and the _view.json update:
+    // rewind the recorded source versions to their pre-refresh values
+    val root = s"$w/db/fen"
+    val meta = GraftViewStore.load(root)
+    GraftViewStore.write(root,
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+    // replayed refresh must heal via the fence, NOT re-append the interval
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.fen')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r2._2.startsWith("incremental: +0"), s"expected fence heal, got $r2")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.fen").as[Long].head() === 4L,
+      "fence failed: interval applied twice")
+    // and the healed metadata makes the next refresh a clean no-op
+    assert(spark.sql(s"CALL $cat.system.refresh_mv('db.fen')")
+      .select("refreshed").as[Boolean].head() === false)
+  }
+
   test("materialized view: delete in the interval forces the full recompute path") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.incd AS " +
