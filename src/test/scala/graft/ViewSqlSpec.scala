@@ -318,6 +318,20 @@ class ViewSqlSpec extends SparkSpec {
       .apply("Type") === "MATERIALIZED VIEW")
   }
 
+  test("materialized view: PARTITIONED BY flows to the storage table and survives refresh") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.pm PARTITIONED BY (bucket(4, id)) " +
+      s"TBLPROPERTIES('pk'='id') AS SELECT id, v FROM $cat.db.t")
+    val storage = graft.table.TransactionalTable.open(spark, s"$w/db/pm/_storage")
+    assert(storage.pk === "id")
+    assert(storage.partitionSpec.exists(_.desc.kind == "bucket"))
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40)")
+    spark.sql(s"CALL $cat.system.refresh_mv('db.pm')").collect()
+    val after = graft.table.TransactionalTable.open(spark, s"$w/db/pm/_storage")
+    assert(after.partitionSpec.exists(_.desc.kind == "bucket"), "refresh dropped the spec")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.pm").as[Long].head() === 4L)
+  }
+
   test("DSv2 ViewCatalog API: createView/replaceView/rename/drop round-trip") {
     import org.apache.spark.sql.connector.catalog.ViewInfo
     import org.apache.spark.sql.types.StructType
