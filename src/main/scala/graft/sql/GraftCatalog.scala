@@ -363,6 +363,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = Paths.get(rootOf(ident))
+    if (GraftViewStore.exists(root.toString))
+      // DROP TABLE on a view must not silently destroy it (or an MV's
+      // owned storage) — the wrong-statement error Spark itself gives
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_COMMAND_FOR_OBJECT_TYPE",
+        messageParameters = Map(
+          "alternative" -> "DROP VIEW", "operation" -> "DROP TABLE",
+          "foundType" -> "VIEW", "requiredType" -> "EXTERNAL or MANAGED",
+          "objectName" -> ident.toString))
     if (!Files.exists(root)) false
     else {
       Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)

@@ -141,6 +141,16 @@ class ViewSqlSpec extends SparkSpec {
     assert(g2.listViews("db").map(_.name()).toSet === Set("persisted"))
   }
 
+  test("DROP TABLE on a view refuses instead of destroying it") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.keep AS SELECT id FROM $cat.db.t")
+    val e = intercept[Exception](spark.sql(s"DROP TABLE $cat.db.keep"))
+    assert(e.getMessage.contains("DROP VIEW"), s"got: ${e.getMessage}")
+    // nothing was deleted — view and its storage intact, reads still work
+    assert(GraftViewStore.exists(s"$w/db/keep"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.keep").as[Long].head() === 3L)
+  }
+
   test("views and tables are distinct namespaces: name collisions rejected") {
     val (cat, _) = fresh()
     intercept[Exception](
