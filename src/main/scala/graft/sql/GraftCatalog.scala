@@ -258,6 +258,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (viewExists(ident))
+      // a table created at a view's path would co-locate _table.json with
+      // _view.json — one name, two objects, both surfaces broken
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val pk = Option(properties.get("pk")).getOrElse(schema.fieldNames.head)
     Files.createDirectories(Paths.get(rootOf(ident)).getParent)
     TransactionalTable.createPartitioned(spark, rootOf(ident), schema, pk,

@@ -149,6 +149,10 @@ class ViewSqlSpec extends SparkSpec {
     // nothing was deleted — view and its storage intact, reads still work
     assert(GraftViewStore.exists(s"$w/db/keep"))
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.keep").as[Long].head() === 3L)
+    // and CREATE TABLE at the view's name is rejected, not co-located
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.db.keep (x BIGINT) TBLPROPERTIES('pk'='x')"))
+    assert(GraftViewStore.exists(s"$w/db/keep"))
   }
 
   test("views and tables are distinct namespaces: name collisions rejected") {
