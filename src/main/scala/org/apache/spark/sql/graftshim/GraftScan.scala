@@ -80,6 +80,39 @@ final class GraftScan(inner: ParquetScan, index: ManifestFileIndex, rowCount: Lo
     override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(1L, index.sizeInBytes))
     override def numRows(): OptionalLong =
       if (rowCount >= 0L) OptionalLong.of(rowCount) else OptionalLong.empty()
+    // Column [min,max] from chunk-merged manifest stats (zero entry loads):
+    // under CBO this feeds range-predicate selectivity and join-size
+    // estimates. Values are Catalyst-internal representations (Long micros
+    // for timestamps, Int days for dates) — exactly what the stats layer
+    // stores from parquet footers at write time.
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.types._
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val ranges = index.columnRanges
+      inner.readSchema().fields.foreach { f =>
+        ranges.get(f.name.toLowerCase(java.util.Locale.ROOT)).foreach { case (lo, hi) =>
+          val conv: Option[(AnyRef, AnyRef)] = f.dataType match {
+            case LongType | TimestampType => Some((Long.box(lo), Long.box(hi)))
+            case IntegerType | DateType => Some((Int.box(lo.toInt), Int.box(hi.toInt)))
+            case ShortType => Some((Short.box(lo.toShort), Short.box(hi.toShort)))
+            case ByteType => Some((Byte.box(lo.toByte), Byte.box(hi.toByte)))
+            case _ => None
+          }
+          conv.foreach { case (minV, maxV) =>
+            m.put(Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def min(): java.util.Optional[Object] = java.util.Optional.of(minV)
+                override def max(): java.util.Optional[Object] = java.util.Optional.of(maxV)
+              })
+          }
+        }
+      }
+      m
+    }
   }
 
   override def filterAttributes(): Array[NamedReference] = {

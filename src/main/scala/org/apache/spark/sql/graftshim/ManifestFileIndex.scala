@@ -188,6 +188,31 @@ class ManifestFileIndex(
   def prunableColumns: Seq[String] =
     (Seq(pk) ++ chunks.flatMap(_.stats.keys) ++ chunks.flatMap(_.part.map(_.col))).distinct
 
+  /** Table-wide [min,max] per column, merged from chunk-level stats —
+    * O(chunks) metadata, zero entry loads. Only columns EVERY chunk tracks
+    * qualify (a chunk without the stat would make the range partial); the
+    * PK rides its dedicated pkMin/pkMax range unless hash-domain (string
+    * PKs have no value order in the manifest). Feeds the scan's reported
+    * column statistics (CBO range selectivity). */
+  def columnRanges: Map[String, (Long, Long)] = {
+    val fromStats =
+      if (chunks.isEmpty) Map.empty[String, (Long, Long)]
+      else {
+        val common = chunks.iterator.map(_.stats.keySet).reduce(_ intersect _)
+        common.iterator.map { k =>
+          k -> ((chunks.iterator.map(_.stats(k)._1).min,
+            chunks.iterator.map(_.stats(k)._2).max))
+        }.toMap
+      }
+    val pkRange =
+      if (!pkHashed && chunks.nonEmpty &&
+          chunks.forall(c => c.pkMin != Long.MinValue && c.pkMax != Long.MaxValue))
+        Map(pk.toLowerCase(java.util.Locale.ROOT) ->
+          ((chunks.iterator.map(_.pkMin).min, chunks.iterator.map(_.pkMax).max)))
+      else Map.empty[String, (Long, Long)]
+    pkRange ++ fromStats
+  }
+
   /** Install a runtime filter from DSv2 join predicates (IN / = on a
     * prunable column). Returns true when a usable predicate was found. A
     * file survives if ANY value could match — exactly [[noEq]]'s negation,

@@ -722,6 +722,27 @@ class CatalogSpec extends SparkSpec {
       "batch-0 MOR files should stay live from v1 to current")
     // sanity: all_files row count >= live files (historical reach)
     assert(af.size >= live.size)
+    // scan-reported column statistics: chunk-merged [min,max] surfaces
+    // through DSv2 estimateStatistics (CBO range selectivity food). The MOR
+    // table above reads through the delete-aware rewrite, so probe the CoW
+    // fixture table's plain V2 scan instead.
+    warehouse
+    val scanRel = spark.sql(s"SELECT trans_id, amount FROM graft_cs.db.retail")
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+    val colStats = scanRel.scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    import scala.jdk.CollectionConverters._
+    val byName = colStats.asScala.map { case (k, v) => k.describe() -> v }
+    assert(byName.contains("trans_id"), s"missing pk stats: ${byName.keys}")
+    val pkStats = byName("trans_id")
+    val ids = spark.sql("SELECT trans_id FROM graft_cs.db.retail")
+      .as[Long].collect()
+    assert(pkStats.min().get().asInstanceOf[Long] === ids.min)
+    assert(pkStats.max().get().asInstanceOf[Long] === ids.max)
+
     // entries: status 1 = added by the CURRENT commit, 0 = carried from the
     // parent; batch-0 files carry over under MOR (never rewritten)
     val entries = spark.sql(
