@@ -343,7 +343,13 @@ object GraftViewResolution {
         } else {
           val cur = meta.current
           val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
-          val qualified = qualifyNames(spark, parsed, cur.currentCatalog, cur.currentNamespace)
+          val scoped = qualifyNames(spark, parsed, cur.currentCatalog, cur.currentNamespace)
+          // The analyzer's Substitution batch ran BEFORE this rule (it is a
+          // Resolution-batch rule), so a body injected here would keep its
+          // raw UnresolvedWith forever — apply CTE substitution explicitly
+          // (the remaining pieces, CTE-ref/ordinal/window resolution, live
+          // in the Resolution batch and hit the plan on later iterations).
+          val qualified = org.apache.spark.sql.catalyst.analysis.CTESubstitution(scoped)
           val nextSeen = seen + fullName.toLowerCase(java.util.Locale.ROOT)
           val expanded = qualified.transformDownWithSubqueries {
             case u @ UnresolvedRelation(p2, _, false) =>
@@ -360,23 +366,40 @@ object GraftViewResolution {
   /** Qualify unqualified table references in a view body against the context
     * the view was DEFINED under (stored currentCatalog/currentNamespace), so
     * the body keeps meaning the same tables regardless of the reading
-    * session's current catalog. CTE names stay untouched. */
+    * session's current catalog. CTE names shadow LEXICALLY: a name is only
+    * skipped where its CTE is in scope — inside the CTE's own body (absent
+    * WITH RECURSIVE) the same name still means the base table, and each CTE
+    * definition sees only the CTEs declared before it. */
   private[sql] def qualifyNames(spark: SparkSession, plan: LogicalPlan,
       cat: String, ns: Seq[String]): LogicalPlan = {
     val cm = spark.sessionState.catalogManager
-    val cteNames = plan.collectWithSubqueries {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
-    }.flatten.toSet
-    plan.transformDownWithSubqueries {
-      case u @ UnresolvedRelation(Seq(one), _, false)
-          if !cteNames.contains(one.toLowerCase(java.util.Locale.ROOT)) =>
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def walk(p: LogicalPlan, scope: Set[String]): LogicalPlan = p match {
+      case w: UnresolvedWith =>
+        var seen = scope
+        val rels = w.cteRelations.map { case (name, sub, opt) =>
+          val bodyScope = if (w.allowRecursion) seen + lc(name) else seen
+          val q = walk(sub, bodyScope).asInstanceOf[SubqueryAlias]
+          seen = seen + lc(name)
+          (name, q, opt)
+        }
+        w.copy(child = walk(w.child, seen), cteRelations = rels)
+      case u @ UnresolvedRelation(Seq(one), _, false) if !scope.contains(lc(one)) =>
         u.copy(multipartIdentifier = (cat +: ns) :+ one)
       case u @ UnresolvedRelation(parts, _, false)
           if parts.length > 1 && !parts.head.equalsIgnoreCase("global_temp") &&
             !cm.isCatalogRegistered(parts.head) &&
             !(parts.length == 2 && isDataSourceName(parts.head)) =>
         u.copy(multipartIdentifier = cat +: parts)
+      case other =>
+        other.mapChildren(walk(_, scope)) match {
+          case mapped => mapped.transformExpressions {
+            case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+              se.withNewPlan(walk(se.plan, scope))
+          }
+        }
     }
+    walk(plan, Set.empty)
   }
 
   /** `format.\`path\`` direct-file relations (parquet.\`/data\`, json.\`…\`)

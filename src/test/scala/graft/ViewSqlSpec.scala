@@ -373,6 +373,34 @@ class ViewSqlSpec extends SparkSpec {
     assert(g.dropView(id2) && !g.dropView(id2))
   }
 
+  test("view body CTE whose name shadows the base table stays unqualified") {
+    val (cat, _) = fresh()
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name
+    try {
+      spark.sql(s"USE $cat.db")
+      // CTE `t` shadows the base table `t`: inside the CTE body, `t` is the
+      // real table (qualified against the defining namespace); the outer
+      // SELECT's `t` is the CTE and must NOT be catalog-qualified
+      spark.sql("CREATE VIEW cte_view AS " +
+        "WITH t AS (SELECT id, v * 100 AS v100 FROM t WHERE id <= 2) " +
+        "SELECT sum(v100) AS s FROM t")
+      spark.sql("USE spark_catalog")
+      assert(spark.sql(s"SELECT s FROM $cat.db.cte_view").as[Long].head() === 3000L)
+    } finally spark.sql(s"USE $prevCat")
+  }
+
+  test("view body with CTE + GROUP BY ordinal + ORDER BY ordinal + UNION resolves") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.fancy AS " +
+      s"WITH base AS (SELECT id % 2 AS parity, v FROM $cat.db.t) " +
+      s"SELECT parity, CAST(SUM(v) AS BIGINT) AS s FROM base GROUP BY 1 " +
+      s"UNION ALL SELECT CAST(9 AS BIGINT), CAST(0 AS BIGINT)")
+    val rows = spark.sql(s"SELECT parity, s FROM $cat.db.fancy ORDER BY 1")
+      .as[(Long, Long)].collect().toSeq
+    // parity 0 → v=20; parity 1 → v=10+30=40; plus the (9, 0) union arm
+    assert(rows === Seq((0L, 20L), (1L, 40L), (9L, 0L)))
+  }
+
   test("view reads are snapshot-live: new commits to the base table show through") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE VIEW $cat.db.live AS SELECT sum(v) AS s FROM $cat.db.t")
