@@ -211,6 +211,19 @@ object GraftProcedures {
           GraftCatalog.parseTransformSpec(a.getUTF8String(1).toString)).currentSpecId.toLong)
       }),
 
+    // Partition-scoped bin-pack: pay exactly the compaction debt of the
+    // named partitions, every other file carried by reference.
+    "compact_partitions" -> Spec(
+      Seq("table" -> S, "partitions" -> S, "min_file_rows" -> L),
+      row("files_rewritten" -> L, "files_written" -> L),
+      (c, a) => {
+        val values = a.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val (rewritten, written) =
+          open(c, a).compactPartitions(values, a.getLong(2))
+        Seq(rewritten.toLong, written.toLong)
+      }),
+
     // Materialized-view maintenance (GraftViews.scala): staleness-checked
     // atomic recompute of the MV's storage table.
     "refresh_mv" -> Spec(

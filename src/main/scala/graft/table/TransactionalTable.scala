@@ -2052,6 +2052,46 @@ final class TransactionalTable private (
   }
 
   /**
+   * Partition-scoped bin-pack (Iceberg `rewrite_data_files ... WHERE` role):
+   * rewrite ONLY the files whose current-spec partition value is in
+   * `values`, carrying every other file into the new snapshot BY REFERENCE —
+   * cost O(selected files), not O(table). At 100 TB compaction debt is
+   * concentrated in the partitions a day's ingest touched; this is the knob
+   * that pays exactly that debt. Pre-evolution files are skipped (their
+   * value strings mean something else under the old transform — the
+   * full `compact()` migrates those). Requires a delete-free snapshot
+   * (fold_deletes first): an equality delete may mask rows in UNSELECTED
+   * files, so folding here would change their content silently.
+   *
+   * Returns (files rewritten, files written); (0, 0) = nothing to do.
+   */
+  def compactPartitions(values: Seq[String],
+      minFileRows: Long = 1L << 20): (Int, Int) = synchronized {
+    require(values.nonEmpty, "compactPartitions needs at least one partition value")
+    var result = (0, 0)
+    retryingCommit("compactPartitions") { snap =>
+      require(snap.deletes.isEmpty,
+        "table has pending merge-on-read delete files; run " +
+          "CALL system.fold_deletes (or compact) first")
+      val selected = snap.files.filter(f =>
+        f.specId == currentSpecId && f.partition.exists(values.contains))
+      if (selected.size > 1) {
+        val keep = snap.files.filterNot(selected.toSet)
+        val newVersion = snap.version + 1
+        val target = math.max(1L,
+          (selected.map(_.rows).sum + minFileRows - 1) / minFileRows).toInt
+        val rangeCols = partitionCol.map(col).toSeq ++ pkCols.map(col)
+        val newFiles = writeDataFiles(
+          scanFiles(selected).repartitionByRange(target, rangeCols: _*),
+          commitDir(newVersion), seq = newVersion)
+        result = (selected.size, newFiles.size)
+        commit(Snapshot(newVersion, snap.batchId, keep ++ newFiles))
+      } else result = (0, 0)
+    }
+    result
+  }
+
+  /**
    * Targeted MOR delete fold (Iceberg `rewrite_position_deletes` role, taken
    * to its conclusion): apply the pending delete files to ONLY the data
    * files they can actually mask and clear the delete set. Victim selection

@@ -66,6 +66,38 @@ class CallProceduresSpec extends SparkSpec {
     assert(TransactionalTable.open(spark, s"$w/db/t").scan().count() === 192L)
   }
 
+  test("compact_partitions rewrites only the named partitions' files") {
+    val w = mkWarehouse("gpcp")
+    val t = TransactionalTable.create(spark, s"$w/db/t",
+      StructType(Seq(StructField("id", LongType), StructField("p", StringType))),
+      "id", Some("p"))
+    // 3 appends × 2 partitions → several small files per partition value
+    (0 until 3).foreach(i => t.append(
+      (0L until 20L).map(j => (i * 20L + j, if (j % 2 == 0) "hot" else "cold"))
+        .toDF("id", "p"),
+      batchId = i))
+    val beforeFiles = TransactionalTable.open(spark, s"$w/db/t").snapshot.files
+    val coldBefore = beforeFiles.filter(_.partition.contains("cold")).map(_.path).toSet
+    val hotBefore = beforeFiles.filter(_.partition.contains("hot")).map(_.path).toSet
+    assert(hotBefore.size > 1, "fixture should fragment the hot partition")
+    val Seq((rewritten, written)) =
+      spark.sql("CALL gpcp.system.compact_partitions('db.t', 'hot', 1048576)")
+        .as[(Long, Long)].collect().toSeq
+    assert(rewritten === hotBefore.size.toLong && written < rewritten)
+    val afterFiles = TransactionalTable.open(spark, s"$w/db/t").snapshot.files
+    // cold files untouched (same paths, carried by reference); hot rewritten
+    assert(afterFiles.filter(_.partition.contains("cold")).map(_.path).toSet === coldBefore)
+    assert(afterFiles.filter(_.partition.contains("hot")).map(_.path).toSet
+      .intersect(hotBefore).isEmpty)
+    // contents identical
+    assert(TransactionalTable.open(spark, s"$w/db/t").scan().count() === 60L)
+    // second call: nothing left to do
+    val Seq((r2, w2)) =
+      spark.sql("CALL gpcp.system.compact_partitions('db.t', 'hot', 1048576)")
+        .as[(Long, Long)].collect().toSeq
+    assert(r2 === 0L && w2 === 0L)
+  }
+
   test("rewrite_manifests repacks fragmented chunks; state and history intact") {
     val w = mkWarehouse("gp4")
     val root = s"$w/db/t"
