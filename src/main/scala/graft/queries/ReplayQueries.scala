@@ -1088,6 +1088,70 @@ object ReplayQueries {
            |) AS t(event, total, n) ORDER BY event""".stripMargin
       }),
 
+    // Incremental MV refresh end-to-end (E86): a row-preserving MV over the
+    // replayed table, advanced by an APPEND-ONLY interval (plain INSERT), is
+    // refreshed through the incremental path (transform-the-inserts +
+    // fenced append) — contents must equal querying the base directly.
+    Q("cdc_sql_mv_incremental",
+      (s, _) => {
+        val cat = s"graft_mi${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mi").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.big_events AS " +
+          s"SELECT trans_id, event, amount FROM $cat.db.retail WHERE amount >= 20")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'visit', 'SKU500', 555, 'pc', NULL), " +
+          "(501, 'c501', 'cart', 'SKU501', 5, 'pc', NULL)") // 5 < 20: filtered out
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.big_events')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental"),
+          s"expected the incremental path, got '$refreshed'")
+        s.sql(s"SELECT trans_id, event, amount FROM $cat.db.big_events ORDER BY trans_id")
+      },
+      Some {
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) }
+          .filter(_._3 >= 20) :+ ((500L, "visit", 555)))
+          .sortBy(_._1)
+          .map { case (id, ev, amt) => s"(CAST($id AS BIGINT), '$ev', $amt)" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
+      }),
+
+    // Partition-scoped compaction (E89): bin-pack ONE partition's files,
+    // carry the rest by reference — table contents must be bit-identical.
+    Q("cdc_compact_partitions_state",
+      (s, _) => {
+        val cat = s"graft_cp${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_cp").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CALL $cat.system.compact_partitions('db.retail', 'visit,cart', 1048576)")
+          .collect()
+        s.sql(s"SELECT trans_id, event, amount FROM $cat.db.retail ORDER BY trans_id")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => s"(CAST($id AS BIGINT), '$ev', $amt)" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
+      }),
+
     // Iceberg `delete_files` metadata-table parity: the MOR delete-file
     // inventory (what one watches to schedule compaction). Two MOR batches →
     // one equality-delete file each: batch 0 deletes its 10 upsert keys
