@@ -49,7 +49,8 @@ object PlanAudit {
       // round 10: the bigram-df self-join must reuse the shuffled bigram
       // exchange (one scan feeding both the df count and the join probe),
       // and the variant path extractions must stay in one codegen stage
-      "x4_bigram_rarity", "x6_variant_get", "x6_variant_shred")
+      "x4_bigram_rarity", "x6_variant_get", "x6_variant_shred",
+      "x4_repetition_stats")
 
     audited.foreach { name =>
       val df = Registry.byName(name).fn(spark, sfDir)
