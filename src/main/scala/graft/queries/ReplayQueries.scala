@@ -1088,6 +1088,31 @@ object ReplayQueries {
            |) AS t(event, total, n) ORDER BY event""".stripMargin
       }),
 
+    // View DDL listing surface: CREATE two views (one later renamed, one
+    // dropped and recreated), then SHOW VIEWS — names and namespace pinned.
+    Q("cdc_sql_show_views",
+      (s, _) => {
+        val cat = s"graft_sv${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_sv").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        s.sql(s"CREATE VIEW $cat.db.tmp_name AS SELECT trans_id FROM $cat.db.retail")
+        s.sql(s"ALTER VIEW $cat.db.tmp_name RENAME TO $cat.db.alpha")
+        s.sql(s"CREATE VIEW $cat.db.beta AS SELECT event FROM $cat.db.retail")
+        s.sql(s"DROP VIEW $cat.db.beta")
+        s.sql(s"CREATE VIEW $cat.db.beta AS SELECT amount FROM $cat.db.retail")
+        s.sql(s"SHOW VIEWS IN $cat.db")
+          .select("namespace", "viewName")
+          .orderBy("viewName")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('db', 'alpha'), ('db', 'beta')
+             |) AS t(namespace, viewName) ORDER BY viewName""".stripMargin)),
+
     // Incremental MV refresh end-to-end (E86): a row-preserving MV over the
     // replayed table, advanced by an APPEND-ONLY interval (plain INSERT), is
     // refreshed through the incremental path (transform-the-inserts +
