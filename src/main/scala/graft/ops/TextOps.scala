@@ -230,9 +230,13 @@ object TextOps {
       sum(when(col("cnt") > 1, col("cnt") * length(col("line"))).otherwise(0L))
         .as("dup_line_chars"))
     val toks = tokens(col(textCol))
+    // slice's length argument must be >= 0: an empty/whitespace-only document
+    // tokenizes to [] and size-1 = -1 would throw INVALID_PARAMETER_VALUE —
+    // clamp so such documents just yield zero bigrams.
+    val bigramLen = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
+      slice(toks, lit(1), bigramLen),
+      slice(toks, lit(2), bigramLen),
       (a, b) => concat(a, lit(" "), b))
     val bigramTop = df.select(id, explode(bigrams).as("bigram"))
       .groupBy(id, col("bigram")).agg(count(lit(1)).as("cnt"))

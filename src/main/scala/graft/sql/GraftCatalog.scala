@@ -101,12 +101,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def createView(info: ViewInfo): View = {
     val root = rootOf(info.ident())
-    if (viewExists(info.ident()))
-      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
     if (tableExists(info.ident()))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(info.ident())
-    GraftViewStore.write(root, GraftViewStore.metaForDefinition(
-      None, GraftViewStore.versionFromInfo(info), info.properties().asScala.toMap))
+    GraftViewStore.mutate(root) {
+      case Some(_) =>
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
+      case None => GraftViewStore.metaForDefinition(
+        None, GraftViewStore.versionFromInfo(info), info.properties().asScala.toMap)
+    }
     loadView(info.ident())
   }
 
@@ -114,26 +116,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val root = rootOf(info.ident())
     if (tableExists(info.ident()))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(info.ident())
-    val prior =
-      if (GraftViewStore.exists(root)) Some(GraftViewStore.load(root))
-      else if (orCreate) None
-      else throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident())
-    GraftViewStore.write(root, GraftViewStore.metaForDefinition(
-      prior, GraftViewStore.versionFromInfo(info), info.properties().asScala.toMap))
+    GraftViewStore.mutate(root) { prior =>
+      if (prior.isEmpty && !orCreate)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident())
+      GraftViewStore.metaForDefinition(
+        prior, GraftViewStore.versionFromInfo(info), info.properties().asScala.toMap)
+    }
     loadView(info.ident())
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
     val root = rootOf(ident)
-    if (!GraftViewStore.exists(root))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    val meta = GraftViewStore.load(root)
-    val props = changes.foldLeft(meta.properties) {
-      case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
-      case (p, r: ViewChange.RemoveProperty) => p - r.property()
-      case (p, _) => p
+    GraftViewStore.mutate(root) {
+      case None =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+      case Some(meta) =>
+        val props = changes.foldLeft(meta.properties) {
+          case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
+          case (p, r: ViewChange.RemoveProperty) => p - r.property()
+          case (p, _) => p
+        }
+        meta.copy(properties = props)
     }
-    GraftViewStore.write(root, meta.copy(properties = props))
     loadView(ident)
   }
 

@@ -254,8 +254,12 @@ object GraftProcedures {
             case Some((nRows, newVersion, srcRoot)) =>
               // append-only interval over a row-preserving definition:
               // appended the transformed inserts in one commit — O(new data)
-              GraftViewStore.write(root,
-                meta.copy(sourceVersions = meta.sourceVersions + (srcRoot -> newVersion)))
+              GraftViewStore.mutate(root) {
+                case Some(m) =>
+                  m.copy(sourceVersions = m.sourceVersions + (srcRoot -> newVersion))
+                case None => throw new IllegalStateException(
+                  s"materialized view $name dropped during refresh")
+              }
               Seq(name, true, s"incremental: +$nRows rows",
                 TransactionalTable.open(spark, storageRoot).currentVersion)
             case None =>
@@ -266,8 +270,12 @@ object GraftProcedures {
                 storage.partitionSpec)
               val (sources, external) =
                 GraftViewResolution.engineSources(df.queryExecution.analyzed)
-              GraftViewStore.write(root,
-                meta.copy(sourceVersions = sources, externalSources = external))
+              GraftViewStore.mutate(root) {
+                case Some(m) =>
+                  m.copy(sourceVersions = sources, externalSources = external)
+                case None => throw new IllegalStateException(
+                  s"materialized view $name dropped during refresh")
+              }
               val reason =
                 if (meta.externalSources) "external sources"
                 else s"stale: ${staleSources.keys.toSeq.sorted.mkString(",")}"

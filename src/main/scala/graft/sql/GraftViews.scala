@@ -75,8 +75,10 @@ object GraftViewStore {
           s"versions ${versions.map(_.versionId).mkString("[", ",", "]")}"))
   }
 
-  def load(root: String): ViewMeta = {
-    val node = mapper.readTree(Files.readAllBytes(Paths.get(root, FileName)))
+  def load(root: String): ViewMeta = parse(Files.readAllBytes(Paths.get(root, FileName)))
+
+  private def parse(bytes: Array[Byte]): ViewMeta = {
+    val node = mapper.readTree(bytes)
     val versions = node.get("versions").elements().asScala.map { v =>
       VersionMeta(
         versionId = v.get("versionId").asInt(),
@@ -99,6 +101,50 @@ object GraftViewStore {
       materialized = Option(node.get("materialized")).exists(_.asBoolean()),
       sourceVersions = sourceVersions,
       externalSources = Option(node.get("externalSources")).exists(_.asBoolean()))
+  }
+
+  /** JVM-local per-root locks for the CAS in [[mutate]]. Cross-process, the
+    * ATOMIC_MOVE still prevents torn reads; the residual cross-process
+    * check-to-move window is the same one Iceberg's HadoopCatalog accepts. */
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def lockFor(root: String): AnyRef = rootLocks.computeIfAbsent(
+    Paths.get(root).toAbsolutePath.normalize.toString, _ => new AnyRef)
+
+  private def currentBytes(root: String): Option[Array[Byte]] = {
+    val p = Paths.get(root, FileName)
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  /**
+   * Compare-and-swap read-modify-write of `_view.json` — the view-metadata
+   * analogue of the table layer's `retryingCommit`. `f` sees the CURRENT
+   * meta (None if absent) and returns the replacement; the write only lands
+   * if the file is byte-identical to what `f` observed, else the mutation is
+   * recomputed against the fresh state and retried. Two concurrent DDLs
+   * (e.g. SET TBLPROPERTIES racing REPLACE VIEW) therefore serialize instead
+   * of silently losing one writer's update. Exceptions thrown by `f`
+   * (existence guards etc.) propagate unchanged.
+   */
+  def mutate(root: String, maxAttempts: Int = 5)(f: Option[ViewMeta] => ViewMeta): ViewMeta = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val observed = currentBytes(root)
+      val next = f(observed.map(parse))
+      val committed = lockFor(root).synchronized {
+        val now = currentBytes(root)
+        val unchanged = (observed, now) match {
+          case (None, None) => true
+          case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+          case _ => false
+        }
+        if (unchanged) write(root, next)
+        unchanged
+      }
+      if (committed) return next
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"view metadata at $root kept changing across $maxAttempts CAS attempts")
   }
 
   def write(root: String, meta: ViewMeta): Unit = {
@@ -141,6 +187,16 @@ object GraftViewStore {
   def metaForDefinition(prior: Option[ViewMeta], v: VersionMeta,
       properties: Map[String, String]): ViewMeta = prior match {
     case None => ViewMeta(1, Seq(v.copy(versionId = 1)), properties)
+    case Some(m) if m.materialized =>
+      // A plain-view definition rewrite over a materialized view would
+      // silently drop the MV flags: reads would re-expand the SQL while the
+      // _storage table is orphaned forever (drop() only deletes storage when
+      // the loaded meta says materialized) and refresh_mv/mv_status would
+      // start failing. Refuse instead of corrupting.
+      throw new UnsupportedOperationException(
+        "cannot REPLACE or ALTER ... AS a MATERIALIZED VIEW; use " +
+          "CALL system.refresh_mv to refresh it, or DROP VIEW then " +
+          "CREATE MATERIALIZED VIEW to change its definition")
     case Some(m) =>
       val next = m.versions.map(_.versionId).max + 1
       // REPLACE semantics for properties: the new statement's properties win
@@ -559,6 +615,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       partsOf(child).flatMap(graftTarget) match {
         case Some((cat, g, ns, name)) if GraftViewStore.exists(GraftViewResolution.viewRoot(g, ns, name)) =>
           val (newNs, newLeaf) = graftTarget(newName) match {
+            // A 1-part target is namespace-less: keep the SOURCE view's
+            // namespace (a same-catalog rename must not silently adopt the
+            // session's currentNamespace and move the view across dbs).
+            case Some((cat2, _, _, n2)) if cat2 == cat && newName.length == 1 => (ns, n2)
             case Some((cat2, _, ns2, n2)) if cat2 == cat => (ns2, n2)
             case _ =>
               if (newName.length == 1) (ns, newName.head)
@@ -707,8 +767,11 @@ final case class GraftCreateViewExec(cmd: GraftCreateViewCommand) extends LeafEx
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(id)
       if (exists && !cmd.replace)
         throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(id)
-      val prior = if (exists) Some(GraftViewStore.load(root)) else None
-      GraftViewStore.write(root, GraftViewStore.metaForDefinition(prior, version, props))
+      GraftViewStore.mutate(root) { prior =>
+        if (prior.isDefined && !cmd.replace)
+          throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(id)
+        GraftViewStore.metaForDefinition(prior, version, props)
+      }
     }
   }
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
@@ -726,7 +789,6 @@ final case class GraftAlterViewAsExec(cmd: GraftAlterViewAsCommand) extends Leaf
     val df = org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.query)
     GraftViewExec.rejectTempRefs(cmd.viewName, df.queryExecution.analyzed)
     val cm = session.sessionState.catalogManager
-    val prior = GraftViewStore.load(root)
     val version = GraftViewStore.VersionMeta(
       versionId = 1,
       sql = cmd.originalText,
@@ -737,8 +799,11 @@ final case class GraftAlterViewAsExec(cmd: GraftAlterViewAsCommand) extends Leaf
       columnAliases = df.schema.fieldNames.toSeq,
       columnComments = Seq.fill(df.schema.fields.length)(None))
     // ALTER ... AS keeps properties (only the definition changes)
-    GraftViewStore.write(root,
-      GraftViewStore.metaForDefinition(Some(prior), version, prior.properties))
+    GraftViewStore.mutate(root) {
+      case None =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(id)
+      case Some(cur) => GraftViewStore.metaForDefinition(Some(cur), version, cur.properties)
+    }
   }
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
 }

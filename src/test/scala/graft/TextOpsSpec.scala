@@ -126,6 +126,23 @@ class TextOpsSpec extends SparkSpec {
     assert(d2._4 === 0.0 && d2._5 === 0.0 && d2._7 === 1L)
   }
 
+  test("repetitionStats: empty / whitespace-only / single-token docs don't crash") {
+    // empty token arrays used to feed slice(toks, 1, size-1) a length of -1
+    // (INVALID_PARAMETER_VALUE at runtime); the clamp yields zero bigrams.
+    val out = TextOps.repetitionStats(docs(
+        (1L, ""),               // no lines, no tokens
+        (2L, "   \n  \n"),      // whitespace-only lines
+        (3L, "solo"),           // one token: no bigram
+        (4L, "two words")))     // exactly one bigram
+      .orderBy("doc_id").collect()
+    // docs with no non-empty lines produce no line rows and drop out;
+    // the load-bearing assertion is that nothing throws and the single-token
+    // doc reports a null top bigram.
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId.contains(3L) && byId(3L).isNullAt(5)) // top_bigram null
+    assert(byId(4L).getString(5) === "two words" && byId(4L).getLong(6) === 1L)
+  }
+
   test("scrubPii: redacts emails/phones/IPs, leaves clean text untouched") {
     val out = TextOps.scrubPii(docs(
         (1L, "mail a.b%c@sub.host.org or call 555-123-4567 via 192.168.0.1 now"),

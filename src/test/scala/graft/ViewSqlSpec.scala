@@ -88,6 +88,60 @@ class ViewSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.fresh").as[Long].head() === 3L)
   }
 
+  test("REPLACE / ALTER ... AS on a materialized view refuses (no silent demotion)") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.m AS SELECT id, v FROM $cat.db.t")
+    val e1 = intercept[Exception](
+      spark.sql(s"CREATE OR REPLACE VIEW $cat.db.m AS SELECT id FROM $cat.db.t"))
+    assert(e1.getMessage.contains("MATERIALIZED"))
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER VIEW $cat.db.m AS SELECT id FROM $cat.db.t"))
+    assert(e2.getMessage.contains("MATERIALIZED"))
+    // still a working MV: flags intact, storage intact, refresh still runs
+    val meta = GraftViewStore.load(s"$w/db/m")
+    assert(meta.materialized && meta.sourceVersions.nonEmpty)
+    assert(graft.table.TransactionalTable.exists(s"$w/db/m/_storage"))
+    assert(spark.sql(s"CALL $cat.system.refresh_mv('db.m')")
+      .select("refreshed").as[Boolean].head() === false) // fresh → no-op
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.m").as[Long].head() === 3L)
+  }
+
+  test("view metadata writes are CAS-guarded: a racing writer's update is not lost") {
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.cas AS SELECT id FROM $cat.db.t")
+    val root = s"$w/db/cas"
+    // Simulate a concurrent DDL: on the first attempt, after `f` observed the
+    // state, another writer lands a property update. The CAS must detect the
+    // change and recompute `f` against the fresh state.
+    var attempts = 0
+    GraftViewStore.mutate(root) { cur =>
+      attempts += 1
+      if (attempts == 1) {
+        val sneak = GraftViewStore.load(root)
+        GraftViewStore.write(root, sneak.copy(properties = sneak.properties + ("racer" -> "yes")))
+      }
+      val m = cur.get
+      m.copy(properties = m.properties + ("mine" -> "yes"))
+    }
+    assert(attempts === 2)
+    val fin = GraftViewStore.load(root)
+    assert(fin.properties.get("racer") === Some("yes") && fin.properties.get("mine") === Some("yes"))
+  }
+
+  test("single-part RENAME keeps the source view's namespace") {
+    val (cat, w) = fresh()
+    Files.createDirectories(Paths.get(s"$w/db2"))
+    spark.sql(s"CREATE VIEW $cat.db.sv AS SELECT id FROM $cat.db.t")
+    // current namespace is a DIFFERENT db of the same catalog: the 1-part
+    // target must not adopt it and silently move the view across namespaces
+    spark.sql(s"USE $cat.db2")
+    try spark.sql(s"ALTER VIEW $cat.db.sv RENAME TO sv2")
+    finally spark.sql("USE spark_catalog.default")
+    assert(GraftViewStore.exists(s"$w/db/sv2"), "renamed view stays in db")
+    assert(!GraftViewStore.exists(s"$w/db2/sv2"), "must not move to current namespace")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.sv2").as[Long].head() === 3L)
+  }
+
   test("TBLPROPERTIES set/unset round-trip through the catalog API") {
     val (cat, w) = fresh()
     spark.sql(s"CREATE VIEW $cat.db.p TBLPROPERTIES('a'='1','b'='2') AS SELECT id FROM $cat.db.t")
