@@ -99,12 +99,44 @@ object Bench {
         s""","scaled":{"copies":$scaleCopies,"base_sf":"$sfDir","total":$sTotal,"runs_per_query":$scaleRuns,"queries":$sq}"""
       }
 
+    // "Within 2x of DuckDB" as a COMPUTED column: tools/check.py --times-out
+    // records per-query DuckDB oracle wall times (tools/oracle_times_<sf>.json,
+    // committed per round); when the file matches this run's sf dir, the JSON
+    // carries oracle_sec and ratio_vs_duckdb. Ratios are emitted only for
+    // queries whose oracle actually reads the sf tables (sf_bound) — engine-
+    // only replays compare against a VALUES literal and have no meaningful
+    // DuckDB twin. Oracle times are floored at 1ms so the local scheduling
+    // floor doesn't divide by ~0.
+    val sfBase = sfDir.stripSuffix("/").split('/').last
+    val oraclePath = java.nio.file.Paths.get(s"tools/oracle_times_$sfBase.json")
+    val oracleJson =
+      if (!java.nio.file.Files.exists(oraclePath)) ""
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(oraclePath))
+        val times = node.get("times")
+        val entries = results.flatMap { case (name, sec) =>
+          Option(times.get(name)).map { t =>
+            (name, sec, t.get("sec").asDouble(), t.get("sf_bound").asBoolean())
+          }
+        }
+        if (entries.isEmpty) ""
+        else {
+          val os = entries.map { case (n, _, o, _) => "\"" + n + "\":" + o }
+            .mkString("{", ",", "}")
+          val ratios = entries.filter(e => e._4 && e._2 >= 0).map { case (n, s, o, _) =>
+            "\"" + n + "\":" + (math.rint(s / math.max(o, 0.001) * 100) / 100)
+          }.mkString("{", ",", "}")
+          s""","oracle_sec":$os,"ratio_vs_duckdb":$ratios"""
+        }
+      } catch { case _: Exception => "" }
+
     val errJson =
       if (failures.isEmpty) ""
       else failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$errJson$scaledJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$errJson$scaledJson$oracleJson}"""
     println(line)
     // Belt and braces for log-prefix-mangled stdout: the same line on disk.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)

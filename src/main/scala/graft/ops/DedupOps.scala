@@ -218,6 +218,23 @@ object DedupOps {
    * chains; the loop exits early on fixpoint.
    */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val (labels, converged, iters) = dedupClustersStatus(pairs, maxIters)
+    // A partial clustering is a WRONG answer silently shaped like a right
+    // one (two docs of one component under different canonical ids) — fail
+    // the budget loudly; callers that want best-effort labels use
+    // dedupClustersStatus and inspect the flag.
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge within $maxIters rounds ($iters ran): " +
+        "a component's diameter exceeds the budget — raise maxIters or use " +
+        "dedupClustersStatus for best-effort labels")
+    labels
+  }
+
+  /** [[dedupClusters]] with the convergence status exposed:
+    * (labels, converged, roundsRun). Non-strict — a non-converged result is
+    * returned as-is with `converged = false`. */
+  def dedupClustersStatus(pairs: DataFrame, maxIters: Int = 20)
+      : (DataFrame, Boolean, Int) = {
     // undirected: propagate both ways
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -244,8 +261,8 @@ object DedupOps {
         converged = changed == 0
         it += 1
       }
-      labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
-        .orderBy("doc_id")
+      (labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+        .orderBy("doc_id"), converged, it)
     } finally edges.unpersist(blocking = false)
   }
 

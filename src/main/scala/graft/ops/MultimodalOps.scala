@@ -20,13 +20,15 @@ final case class MediaFeatures(
  * columns with typed metadata, plus a batched decode / feature-extract /
  * frame-sample stage.
  *
- * The decode kernel itself is a STUB: real codecs (JPEG/PNG/ffmpeg) are not in
- * this container, so `decodeFeatures` runs a deterministic fake decoder
- * (byte-histogram features + stride frame sampling). Everything around it —
- * the schema, the `Dataset[MediaRecord]` encoder, per-partition batched
- * iteration (`mapPartitions`, the JVM analogue of `mapInPandas` batches), and
- * size-aware repartitioning — is real and tested; swapping in a codec touches
- * only the marked function.
+ * The decode kernel is REAL for images: [[ImageCodec]] hand-parses the
+ * container headers (PNG/JPEG/GIF/BMP) and fully decodes pixels through the
+ * JDK's built-in `javax.imageio` readers — no native libraries, so it runs
+ * in any executor container. Non-image payloads (text/audio/video, whose
+ * codecs genuinely aren't in this container) fall back to the deterministic
+ * byte-statistics decoder, keeping every record decodable. The plumbing —
+ * schema, `Dataset[MediaRecord]` encoder, per-partition batched iteration
+ * (`mapPartitions`, the JVM analogue of `mapInPandas` batches), size-aware
+ * repartitioning — is shared by both paths.
  */
 object MultimodalOps {
 
@@ -40,11 +42,10 @@ object MultimodalOps {
       length(col("text")).cast("int").as("width"),
       lit(1).as("height"))
 
-  /** ======== STUB DECODER ========
-    * Deterministic fake standing in for a real codec. Pure function of the
-    * payload bytes: 16-bin byte histogram (L1-normalized) as the "feature",
-    * mean byte value, and every-`frameStride`-th byte as a sampled "frame". */
-  private def fakeDecode(r: MediaRecord, frameStride: Int): MediaFeatures = {
+  /** Byte-statistics decoder — the fallback for payloads with no JVM codec
+    * (text/audio/video): 16-bin byte histogram (L1-normalized) as the
+    * feature, mean byte value, every-`frameStride`-th byte as a "frame". */
+  private def byteDecode(r: MediaRecord, frameStride: Int): MediaFeatures = {
     val bytes = r.content
     val n = bytes.length
     val hist = new Array[Float](16)
@@ -72,7 +73,34 @@ object MultimodalOps {
   def decodeFeatures(media: Dataset[MediaRecord], frameStride: Int = 4096): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(fakeDecode(_, frameStride)))
+    media.mapPartitions(_.map { r =>
+      // Real pixel decode when the payload IS an image (header-probed);
+      // byte statistics otherwise. Both emit the same fixed feature shape.
+      ImageCodec.decode(r.content) match {
+        case Some(img) => MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+          img.meanLuma, 1, img.lumaHist)
+        case None => byteDecode(r, frameStride)
+      }
+    })
+  }
+
+  /** Image-table decode: full typed output of the REAL codec (container
+    * format + true dimensions + exact pixel statistics + 8×8 thumbnail) for
+    * rows whose payload parses as an image; non-images are dropped. Same
+    * batched `mapPartitions` shape as [[decodeFeatures]]. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map { d =>
+          (id, d.meta.format, d.meta.width, d.meta.height, d.meanLuma,
+            d.channelMeans(0), d.channelMeans(1), d.channelMeans(2), d.thumb)
+        }
+      })
+      .toDF("media_id", "format", "width", "height", "mean_luma",
+        "mean_r", "mean_g", "mean_b", "thumb")
   }
 
   /** Byte-balanced repartitioning ahead of decode: range-partition on a

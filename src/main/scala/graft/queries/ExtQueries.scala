@@ -653,6 +653,46 @@ object ExtQueries {
              |  CAST(unicode(text[CAST(fi * 256 + 1 AS INTEGER)]) AS BIGINT) AS frame_byte
              |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // X5: REAL image decode — PNG/BMP payloads synthesized in-memory with the
+    // JDK's ImageIO writer, then decoded DISTRIBUTED through the engine's
+    // pure-JVM ImageCodec (hand-parsed container headers + javax.imageio
+    // pixel decode; no native codecs). Constant-color fixtures make every
+    // pixel statistic a closed-form integer, so the oracle pins exact values
+    // computed from real image bytes.
+    Q("x5_decode_real",
+      (s, _) => {
+        import s.implicits._
+        def img(w: Int, h: Int, r: Int, g: Int, b: Int, fmt: String): Array[Byte] = {
+          val bi = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (r << 16) | (g << 8) | b
+          for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgb)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(bi, fmt, bos)
+          bos.toByteArray
+        }
+        val media = Seq(
+          (1L, img(10, 6, 32, 64, 96, "png")),
+          (2L, img(3, 7, 200, 10, 50, "png")),
+          (3L, img(5, 5, 255, 255, 255, "bmp"))).toDF("media_id", "content")
+        MultimodalOps.decodeImages(media)
+          .select(col("media_id"), col("format"), col("width"), col("height"),
+            col("mean_luma").cast("long").as("luma"),
+            col("mean_r").cast("long").as("r"),
+            col("mean_g").cast("long").as("g"),
+            col("mean_b").cast("long").as("b"))
+          .orderBy("media_id")
+      },
+      // BT.601 integer luma of a constant (r,g,b) image:
+      // (77r + 150g + 29b) >> 8 — 58, 71, 255 for the three fixtures
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'png', 10, 6, CAST(58 AS BIGINT),
+             |   CAST(32 AS BIGINT), CAST(64 AS BIGINT), CAST(96 AS BIGINT)),
+             |  (2, 'png', 3, 7, 71, 200, 10, 50),
+             |  (3, 'bmp', 5, 5, 255, 255, 255, 255)
+             |) AS t(media_id, format, width, height, luma, r, g, b)
+             |ORDER BY media_id""".stripMargin)),
+
     // X4: BPE-ish token counting — letter runs, single digits, single
     // punctuation (the GPT-2-style pre-tokenizer shape); identical regex
     // semantics in Java and RE2 for this class-only pattern.

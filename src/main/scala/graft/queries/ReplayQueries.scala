@@ -1004,6 +1004,67 @@ object ReplayQueries {
              |  ('visit', CAST(2 AS BIGINT))
              |) AS t(partition, n) ORDER BY partition""".stripMargin)),
 
+    // Distributed entry-level metadata tables (round-11 scale path): the
+    // driver plans CHUNK REFS only; entries stream through an executor-side
+    // chunk scan and a groupBy(path) aggregation (GraftMetadataScanRule).
+    // Under MOR, batch-0 files are never rewritten, so per-status row sums
+    // are parallelism-independent: carried (status 0) = scenario-1's 10 net
+    // rows, added (status 1) = scenario-2's 10 net upsert images.
+    Q("cdc_metadata_entries_sql",
+      (s, _) => {
+        import s.implicits._
+        val cat = s"graft_me${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_me").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        def applyB(lines: Seq[String], b: Long): Unit = {
+          val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+          t.merge(Cdc.projectToTable(Cdc.upserts(deduped)),
+            Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)), b,
+            graft.table.MergeMode.MergeOnRead)
+        }
+        applyB(CdcFixtures.scenario1Lines, 0)
+        applyB(CdcFixtures.scenario2Lines, 1)
+        s.sql(s"""SELECT status, CAST(SUM(n_rows) AS BIGINT) AS rows_total
+                  FROM $cat.db.retail.entries WHERE kind = 'data'
+                  GROUP BY status ORDER BY status""")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
+             |  (CAST(1 AS BIGINT), CAST(10 AS BIGINT))
+             |) AS t(status, rows_total) ORDER BY status""".stripMargin)),
+
+    // all_files (retained reach, distributed): every data file of every
+    // retained snapshot deduped by path with its live version range — under
+    // MOR no file is ever removed, so the totals are exact fixture numbers.
+    Q("cdc_metadata_all_files_sql",
+      (s, _) => {
+        import s.implicits._
+        val cat = s"graft_ma${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_ma").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        def applyB(lines: Seq[String], b: Long): Unit = {
+          val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+          t.merge(Cdc.projectToTable(Cdc.upserts(deduped)),
+            Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)), b,
+            graft.table.MergeMode.MergeOnRead)
+        }
+        applyB(CdcFixtures.scenario1Lines, 0)
+        applyB(CdcFixtures.scenario2Lines, 1)
+        s.sql(s"""SELECT CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+                         MIN(first_version) AS first_v, MAX(last_version) AS last_v
+                  FROM $cat.db.retail.all_files""")
+      },
+      Some("""SELECT CAST(20 AS BIGINT) AS rows_total,
+             |       CAST(1 AS BIGINT) AS first_v, CAST(2 AS BIGINT) AS last_v""".stripMargin)),
+
     // Partition-filtered COUNT(*) answered from manifest stats alone
     // (Iceberg metadata-aggregate parity): an identity-partition filter
     // selects whole files, so per-file row counts ARE the answer — zero

@@ -1,0 +1,197 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.DataFile
+
+/**
+ * Distributed (manifest-fed) entry-level metadata scans — the scale path for
+ * `table.files` / `table.entries` / `table.all_files`.
+ *
+ * The driver-side `LocalRowsTable` materialization of every manifest entry
+ * (the pre-round-11 implementation) is a driver-memory and latency wall at
+ * 10⁵–10⁷ files; Iceberg serves these tables as distributed metadata scans
+ * over its manifests (reference composes the same machinery via
+ * `job:59`'s Iceberg extensions). Here each input partition is ONE manifest
+ * chunk: planning ships only chunk refs (path + retained-version range,
+ * already resolved from manifest JSON with zero entry loads), and the chunk's
+ * entries are parsed executor-side by [[ChunkJson]]. Chunk files live under
+ * the table root, i.e. on the same shared storage as the data files, so
+ * executors can read them wherever the data itself is readable.
+ *
+ * `files` is served directly (each live file appears in exactly one chunk —
+ * no cross-chunk work). `entries` / `all_files` need a per-path aggregate
+ * across the retained history (first/last referencing version), which is a
+ * genuine shuffle: those resolve to a [[DistributedMetaTable]] placeholder
+ * that [[GraftMetadataScanRule]] substitutes during analysis with a
+ * `groupBy(path).agg(min/max)` plan over the raw chunk scan — Spark does the
+ * aggregation, the driver never holds an entry.
+ */
+object ChunkJson {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Test-observable parse counter (per-JVM; in local mode executor-side
+    * parses tick it too, so specs can assert "planning parses zero chunks,
+    * execution parses exactly the matching ones"). */
+  val parses = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Parse one immutable manifest chunk file — executor-side twin of the
+    * engine's private `TransactionalTable.parseDataFile` chunk loader (kept
+    * in sync by `DistributedMetadataSpec`'s content-equality tests). */
+  def parse(path: String): IndexedSeq[DataFile] = {
+    import scala.jdk.CollectionConverters._
+    parses.incrementAndGet()
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    node.get("files").elements().asScala.map { f =>
+      DataFile(
+        f.get("path").asText(),
+        if (f.get("partition").isNull) None else Some(f.get("partition").asText()),
+        f.get("pkMin").asLong(), f.get("pkMax").asLong(), f.get("rows").asLong(),
+        if (f.has("bytes")) f.get("bytes").asLong()
+        else java.nio.file.Files.size(java.nio.file.Paths.get(f.get("path").asText())),
+        if (f.has("bloom")) Some(f.get("bloom").asText()) else None,
+        if (!f.has("stats")) Map.empty
+        else f.get("stats").properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+        }.toMap,
+        if (f.has("specId")) f.get("specId").asInt() else 0)
+    }.toIndexedSeq
+  }
+}
+
+/** One manifest chunk = one input partition. `firstRef`/`lastRef` are the
+  * min/max RETAINED snapshot versions whose manifests reference this chunk
+  * (driver-computed from manifest JSON chunk-ref lists alone). Since data
+  * file paths are write-once and a live file's chunk is always referenced by
+  * the snapshot it is live in, `min/max` over a path's chunk occurrences IS
+  * the path's retained live version range. `inParent` records whether the
+  * PARENT retained snapshot references this chunk — `entries.status` needs
+  * exact parent membership, which (first, last) alone loses when a rollback
+  * re-adds files after a gap. */
+final case class ChunkSlicePartition(chunkPath: String, firstRef: Long, lastRef: Long,
+    inParent: Boolean = false)
+  extends InputPartition
+
+/** Raw per-entry row emission modes. */
+object ChunkEntryMode {
+  /** `files` schema rows: (path, partition, pk_min, pk_max, n_rows, n_bytes,
+    * kind, spec_id). */
+  val Files = "files"
+  /** history-scan rows feeding entries/all_files aggregation: (path,
+    * partition, pk_min, pk_max, n_rows, n_bytes, kind, spec_id, first_ref,
+    * last_ref). */
+  val Hist = "hist"
+
+  val HistSchema: StructType = StructType(Seq(
+    StructField("path", StringType), StructField("partition", StringType),
+    StructField("pk_min", LongType), StructField("pk_max", LongType),
+    StructField("n_rows", LongType), StructField("n_bytes", LongType),
+    StructField("kind", StringType), StructField("spec_id", LongType),
+    StructField("first_ref", LongType), StructField("last_ref", LongType),
+    StructField("in_parent", LongType)))
+
+  private[sql] def rowOf(mode: String, f: DataFile, p: ChunkSlicePartition): Array[Any] = {
+    val base = Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes,
+      "data", f.specId.toLong)
+    if (mode == Files) base
+    else base ++ Array[Any](p.firstRef, p.lastRef, if (p.inParent) 1L else 0L)
+  }
+}
+
+/**
+ * DSv2 table whose partitions are manifest chunks (plus one local partition
+ * for rows the driver already holds: MOR delete inventories and legacy
+ * inline-manifest files, both resident in the manifest JSON itself).
+ */
+class ChunkEntriesTable(tableName: String, tableSchema: StructType, mode: String,
+    slices: Seq[ChunkSlicePartition], inline: Seq[Array[Any]])
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tableSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val chunkParts: Array[InputPartition] = slices.toArray
+        if (inline.isEmpty) chunkParts
+        else chunkParts :+ LocalRowsPartition(inline.map(_.toIndexedSeq).toIndexedSeq)
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new ChunkEntriesReaderFactory(mode)
+    }
+}
+
+private[sql] class ChunkEntriesReaderFactory(mode: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: ChunkSlicePartition =>
+        new PartitionReader[InternalRow] {
+          private lazy val rows = ChunkJson.parse(p.chunkPath)
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = new GenericInternalRow(
+            ChunkEntryMode.rowOf(mode, rows(i), p).map {
+              case s: String => UTF8String.fromString(s)
+              case v => v.asInstanceOf[AnyRef]
+            }.toArray[Any])
+          override def close(): Unit = ()
+        }
+      case other => new LocalRowsReaderFactory().createReader(other)
+    }
+}
+
+/**
+ * Placeholder for the aggregated metadata tables (`entries`, `all_files`):
+ * carries the raw chunk-scan table plus the aggregation parameters;
+ * [[GraftMetadataScanRule]] substitutes it during analysis with the
+ * distributed `groupBy(path)` plan. Its own scan is a correctness-preserving
+ * driver-side fallback (chunk loads + local aggregation — old behavior) for
+ * sessions running without the engine's extensions.
+ */
+class DistributedMetaTable(tableName: String, tableSchema: StructType,
+    val kind: String, val raw: ChunkEntriesTable, val currentVersion: Long)
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Fallback only (no-extensions sessions): materialize the raw rows driver-
+    * side and aggregate locally — the exact pre-distribution behavior. */
+  private lazy val fallbackRows: Seq[Array[Any]] = {
+    val raws = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    raw.newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
+      .planInputPartitions().foreach {
+        case p: ChunkSlicePartition =>
+          ChunkJson.parse(p.chunkPath).foreach(f => raws += ChunkEntryMode.rowOf(ChunkEntryMode.Hist, f, p))
+        case LocalRowsPartition(rows) => rows.foreach(r => raws += r.toArray)
+        case other => throw new IllegalStateException(s"unexpected partition $other")
+      }
+    GraftMetadataScanRule.aggregateLocally(kind, raws.toSeq, currentVersion)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tableSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(LocalRowsPartition(fallbackRows.map(_.toIndexedSeq).toIndexedSeq))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new LocalRowsReaderFactory
+    }
+}

@@ -844,6 +844,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // targets become engine commands first; remaining MOR-pending relations
     // (plain reads, merge sources) get the delete-aware substitution.
     ext.injectPostHocResolutionRule(s => new GraftMorScanRule(s))
+    // Distributed entry-level metadata tables: `entries`/`all_files`
+    // placeholders become groupBy(path) plans over the chunk-partitioned
+    // raw scan (driver plans chunk refs, never entries).
+    ext.injectPostHocResolutionRule(s => new GraftMetadataScanRule(s))
     // Optimizer: manifest-answered COUNT(*) (Iceberg-manifest parity).
     ext.injectOptimizerRule(s => new GraftCountStarRule(s))
     ext.injectPlannerStrategy(s => new GraftMergeStrategy(s))

@@ -77,7 +77,10 @@ object GraftViewStore {
 
   def load(root: String): ViewMeta = parse(Files.readAllBytes(Paths.get(root, FileName)))
 
-  private def parse(bytes: Array[Byte]): ViewMeta = {
+  private[sql] def rawBytes(root: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(root, FileName))
+
+  private[sql] def parse(bytes: Array[Byte]): ViewMeta = {
     val node = mapper.readTree(bytes)
     val versions = node.get("versions").elements().asScala.map { v =>
       VersionMeta(
@@ -370,6 +373,29 @@ object GraftViewResolution {
     (roots.toMap, external)
   }
 
+  /** Analyzed-definition cache: (view root → (definition md5, meta, the
+    * parsed + qualified + CTE-substituted body)). The resolution fixed-point
+    * re-enters [[expand]] on every read of a view-heavy plan; re-reading the
+    * small `_view.json` validates freshness (content hash — a REPLACE/ALTER
+    * changes it), while the expensive SQL parse + name qualification is
+    * reused. Entries hand out deep CLONES so the cached tree is never
+    * mutated by analyzer tags. Caveat (documented): qualification consults
+    * the global data-source registry and catalog registrations; a catalog
+    * registered after caching that shadows a multi-part prefix inside the
+    * body is only observed once the definition changes — the same staleness
+    * window Iceberg's view cache accepts. */
+  private val planCache =
+    new java.util.LinkedHashMap[String, (String, GraftViewStore.ViewMeta, LogicalPlan)](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, GraftViewStore.ViewMeta, LogicalPlan)])
+          : Boolean = size > 64
+    }
+
+  /** Test-observable: number of cache-miss definition builds (SQL parse +
+    * qualify). */
+  val planBuilds = new java.util.concurrent.atomic.AtomicLong()
+
   /** Expand a stored view into its (recursively expanded) parsed plan:
     * parse the stored SQL, qualify unqualified table names against the
     * DEFINING session's catalog/namespace, expand nested graft views with
@@ -387,7 +413,13 @@ object GraftViewResolution {
             errorClass = "RECURSIVE_VIEW",
             messageParameters = Map("viewIdent" -> fullName,
               "newPath" -> (seen.mkString(" -> ") + s" -> $fullName")))
-        val meta = GraftViewStore.load(root)
+        val bytes = GraftViewStore.rawBytes(root)
+        val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+        val cached = planCache.synchronized {
+          Option(planCache.get(root)).filter(_._1 == digest)
+        }
+        val meta = cached.map(_._2).getOrElse(GraftViewStore.parse(bytes))
         if (meta.materialized) {
           // MV reads hit the storage table, not the definition: the engine's
           // own scan (stats, MOR handling, pruning) wrapped under the view's
@@ -398,14 +430,20 @@ object GraftViewResolution {
             storage.scan().queryExecution.analyzed))
         } else {
           val cur = meta.current
-          val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
-          val scoped = qualifyNames(spark, parsed, cur.currentCatalog, cur.currentNamespace)
-          // The analyzer's Substitution batch ran BEFORE this rule (it is a
-          // Resolution-batch rule), so a body injected here would keep its
-          // raw UnresolvedWith forever — apply CTE substitution explicitly
-          // (the remaining pieces, CTE-ref/ordinal/window resolution, live
-          // in the Resolution batch and hit the plan on later iterations).
-          val qualified = org.apache.spark.sql.catalyst.analysis.CTESubstitution(scoped)
+          val qualified = cached.map(_._3.clone().asInstanceOf[LogicalPlan]).getOrElse {
+            planBuilds.incrementAndGet()
+            val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
+            val scoped = qualifyNames(spark, parsed, cur.currentCatalog, cur.currentNamespace)
+            // The analyzer's Substitution batch ran BEFORE this rule (it is a
+            // Resolution-batch rule), so a body injected here would keep its
+            // raw UnresolvedWith forever — apply CTE substitution explicitly
+            // (the remaining pieces, CTE-ref/ordinal/window resolution, live
+            // in the Resolution batch and hit the plan on later iterations).
+            val q = org.apache.spark.sql.catalyst.analysis.CTESubstitution(scoped)
+            planCache.synchronized { planCache.put(root, (digest, meta, q)); () }
+            // hand out a clone too: the pristine original stays in the cache
+            q.clone().asInstanceOf[LogicalPlan]
+          }
           val nextSeen = seen + fullName.toLowerCase(java.util.Locale.ROOT)
           val expanded = qualified.transformDownWithSubqueries {
             case u @ UnresolvedRelation(p2, _, false) =>

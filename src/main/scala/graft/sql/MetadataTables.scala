@@ -76,6 +76,55 @@ object MetadataTables {
     // per-chunk list blew ChunkRef.PartitionCap
     StructField("partitions", StringType)))
 
+  /** Retained-history chunk slices for the distributed entries/all_files
+    * scans: every DISTINCT chunk across retained snapshots with the min/max
+    * version referencing it — resolved from manifest JSON chunk-ref lists
+    * alone (zero chunk loads, O(versions × chunk refs) driver work). Files
+    * of legacy inline manifests (already resident in the JSON) come back as
+    * local HistSchema rows with driver-computed ranges. */
+  private def histSlices(t: TransactionalTable)
+      : (Seq[ChunkSlicePartition], Seq[Array[Any]]) = {
+    val snaps = (0L to t.currentVersion).flatMap(v =>
+      scala.util.Try(t.snapshotAt(v)).toOption)
+    // the parent retained snapshot of the current version (entries.status
+    // means "carried from parent"; exact membership, not a range test —
+    // rollback re-adds must grade as added)
+    val parentV = snaps.map(_.version).filter(_ < t.currentVersion).lastOption
+    val chunkRange = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Boolean)]
+    val inlineRange = scala.collection.mutable.LinkedHashMap
+      .empty[String, (graft.table.DataFile, Long, Long, Boolean)]
+    snaps.foreach { s =>
+      val isParent = parentV.contains(s.version)
+      s.files match {
+        case mf: graft.table.ManifestFiles =>
+          mf.chunks.foreach { c =>
+            chunkRange.get(c.path) match {
+              case None => chunkRange(c.path) = (s.version, s.version, isParent)
+              case Some((first, _, inPar)) =>
+                chunkRange(c.path) = (first, s.version, inPar || isParent)
+            }
+          }
+        case sq =>
+          sq.foreach { f =>
+            inlineRange.get(f.path) match {
+              case None => inlineRange(f.path) = (f, s.version, s.version, isParent)
+              case Some((f0, first, _, inPar)) =>
+                inlineRange(f.path) = (f0, first, s.version, inPar || isParent)
+            }
+          }
+      }
+    }
+    val slices = chunkRange.toSeq.map { case (p, (first, last, inPar)) =>
+      ChunkSlicePartition(p, first, last, inPar)
+    }
+    val inlineRows = inlineRange.values.toSeq.map { case (f, first, last, inPar) =>
+      Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes,
+        "data", f.specId.toLong, first, last, if (inPar) 1L else 0L)
+    }
+    (slices, inlineRows)
+  }
+
   /** Build the metadata table `metaName` for the table at `root`. */
   def load(t: TransactionalTable, qualified: String, metaName: String): Table =
     metaName match {
@@ -94,15 +143,27 @@ object MetadataTables {
             removed.size.toLong, removed.map(_.rows).sum, s.deletes.size.toLong)
         }
         new LocalRowsTable(s"$qualified.$metaName", historySchema, rows)
+      // `files` is a DISTRIBUTED chunk scan (one input partition per manifest
+      // chunk, entries parsed executor-side): planning ships chunk refs only,
+      // so a 10⁷-file table's file inventory streams instead of materializing
+      // on the driver. MOR delete inventories and legacy inline manifests are
+      // already resident in the manifest JSON — they ride in one local
+      // partition at zero extra cost.
       case "files" =>
         val s = t.snapshot
-        val rows = s.files.map(f =>
-          Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes, "data",
-            f.specId.toLong)) ++
-          s.deletes.map(d =>
-            Array[Any](d.path, null, d.pkMin, d.pkMax, d.rows, d.bytes, s"${d.kind}-deletes",
-              null))
-        new LocalRowsTable(s"$qualified.files", filesSchema, rows)
+        val (slices, inlineData) = s.files match {
+          case mf: graft.table.ManifestFiles =>
+            (mf.chunks.map(c => ChunkSlicePartition(c.path, 0L, 0L)), Seq.empty[Array[Any]])
+          case sq =>
+            (Seq.empty[ChunkSlicePartition], sq.map(f =>
+              Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes,
+                "data", f.specId.toLong)))
+        }
+        val delRows = s.deletes.map(d =>
+          Array[Any](d.path, null, d.pkMin, d.pkMax, d.rows, d.bytes, s"${d.kind}-deletes",
+            null))
+        new ChunkEntriesTable(s"$qualified.files", filesSchema, ChunkEntryMode.Files,
+          slices, inlineData ++ delRows)
       // Iceberg `partitions` parity: per-(partition value, spec era) file and
       // row totals of the LIVE snapshot — where CoW amplification, MOR skew,
       // and spec-migration progress become visible without touching data.
@@ -110,25 +171,23 @@ object MetadataTables {
       // LIVE snapshot): every current data/delete file with the status it
       // carries relative to the parent snapshot (1=added this version,
       // 0=existing carry-over) and the version that first added it.
+      // `entries` and `all_files` need a per-path min/max over the retained
+      // history; the driver walks manifest JSON chunk-ref lists ONLY (first/
+      // last version referencing each chunk) and hands Spark a chunk-
+      // partitioned raw scan + groupBy(path) via GraftMetadataScanRule's
+      // substitution — no entry is ever materialized driver-side. Legacy
+      // inline-manifest snapshots (files resident in the JSON) contribute a
+      // local partition with driver-computed ranges.
       case "entries" =>
-        val snaps = (0L to t.currentVersion).flatMap(v =>
-          scala.util.Try(t.snapshotAt(v)).toOption)
-        val firstSeen = scala.collection.mutable.HashMap.empty[String, Long]
-        snaps.foreach(s => s.files.foreach(f =>
-          if (!firstSeen.contains(f.path)) firstSeen(f.path) = s.version))
+        val (slices, inlineRows) = histSlices(t)
         val cur = t.snapshot
-        val parentPaths = snaps.takeRight(2) match {
-          case Seq(parent, c) if c.version == cur.version => parent.files.map(_.path).toSet
-          case _ => Set.empty[String]
-        }
-        val rows = cur.files.map { f =>
-          Array[Any](if (parentPaths(f.path)) 0L else 1L,
-            firstSeen.getOrElse(f.path, cur.version),
-            f.path, "data", f.rows, f.bytes)
-        } ++ cur.deletes.map { d =>
-          Array[Any](null, null, d.path, s"${d.kind}-deletes", d.rows, d.bytes)
-        }
-        new LocalRowsTable(s"$qualified.entries", entriesSchema, rows)
+        val delRows = cur.deletes.map(d =>
+          Array[Any](d.path, null, d.pkMin, d.pkMax, d.rows, d.bytes,
+            s"${d.kind}-deletes", null, cur.version, cur.version, 0L))
+        val raw = new ChunkEntriesTable(s"$qualified.entries_raw",
+          ChunkEntryMode.HistSchema, ChunkEntryMode.Hist, slices, inlineRows ++ delRows)
+        new DistributedMetaTable(s"$qualified.entries", entriesSchema, "entries",
+          raw, t.currentVersion)
       // Iceberg `delete_files` parity: just the MOR delete-file inventory of
       // the live snapshot (eq/pos), the table one watches to decide when to
       // fold (compact) — `files` interleaves these with data files.
@@ -141,23 +200,11 @@ object MetadataTables {
       // retained snapshot, deduped by path, with the version range it was
       // live in — the orphan-analysis / compaction-planning view.
       case "all_files" =>
-        val snaps = (0L to t.currentVersion).flatMap(v =>
-          scala.util.Try(t.snapshotAt(v)).toOption)
-        val byPath = scala.collection.mutable.LinkedHashMap
-          .empty[String, (graft.table.DataFile, Long, Long)]
-        snaps.foreach { s =>
-          s.files.foreach { f =>
-            byPath.get(f.path) match {
-              case None => byPath(f.path) = (f, s.version, s.version)
-              case Some((f0, first, _)) => byPath(f.path) = (f0, first, s.version)
-            }
-          }
-        }
-        val rows = byPath.values.toSeq.map { case (f, first, last) =>
-          Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes,
-            f.specId.toLong, first, last)
-        }
-        new LocalRowsTable(s"$qualified.all_files", allFilesSchema, rows)
+        val (slices, inlineRows) = histSlices(t)
+        val raw = new ChunkEntriesTable(s"$qualified.all_files_raw",
+          ChunkEntryMode.HistSchema, ChunkEntryMode.Hist, slices, inlineRows)
+        new DistributedMetaTable(s"$qualified.all_files", allFilesSchema, "all_files",
+          raw, t.currentVersion)
       case "partitions" =>
         val s = t.snapshot
         val rows = s.files.groupBy(f => (f.partition, f.specId)).toSeq

@@ -63,6 +63,14 @@ object CdcEventsReplay {
     val maxId = events.agg(max("event_id")).head().getLong(0)
     val t = TransactionalTable.create(spark, root, Cdc.tableSchema, Cdc.PrimaryKey,
       Some(Cdc.PartitionColumn))
+    // Production posture for a CDC table partitioned by a low-cardinality
+    // value column (the reference's PARTITIONED BY event): hash write
+    // distribution → one file per partition value per commit. Without it,
+    // every CoW commit writes tasks×values small files (measured 128 after
+    // 4 batches at sf0.1), and each one pays footer-stat + bloom read-back
+    // and inflates every later merge's affected set — the measured cost was
+    // 2.3 s/batch vs 1.0 s/batch with hash distribution (ReplayProbe).
+    t.setWriteDistribution("hash")
     val step = maxId / nBatches + 1
     val times = (0 until nBatches).map { i =>
       val batch = events.filter(

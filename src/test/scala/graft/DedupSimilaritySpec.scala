@@ -63,6 +63,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got2.forall(_._2 === 0L))
   }
 
+  test("dedupClusters: a too-small iteration budget fails loudly, not partially") {
+    // a diameter-11 chain cannot converge in 2 min-propagation rounds
+    val chain = (0L until 12L).sliding(2).map(s => (s(1), s(0))).toSeq.toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](DedupOps.dedupClusters(chain, maxIters = 2))
+    assert(e.getMessage.contains("did not converge"))
+    // the status variant returns the best-effort labels with the flag down
+    val (labels, converged, iters) = DedupOps.dedupClustersStatus(chain, maxIters = 2)
+    assert(!converged && iters === 2)
+    assert(labels.count() === 12L) // partial labels still cover every node
+    // and with budget restored the same input converges
+    val (_, ok, _) = DedupOps.dedupClustersStatus(chain, maxIters = 20)
+    assert(ok)
+  }
+
   test("maxDocFreq skew guard drops ubiquitous shingles") {
     val idx = DedupOps.shingleIndex(corpus, maxDocFreq = Some(2))
     // the shared fox-shingles appear in docs 1,2,5 (> 2) and must be gone

@@ -114,6 +114,63 @@ class GuardedMergeSpec extends SparkSpec {
     }
   }
 
+  test("guarded full-outer join is batch-bounded: plan assert (no table-wide SMJ)") {
+    import scala.collection.mutable.ArrayBuffer
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // two files with disjoint pk ranges; the guarded merge touches low keys
+    // only — the FO join's target side must scan 1 of the 2 files
+    val t = TransactionalTable.create(spark, tmpDir("gplan"), Cdc.guardedTableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    def replay(ls: Seq[String], b: Long): Unit =
+      CdcPipeline.applyCdcBatchGuarded(t, Cdc.parse(ls.toDS()), b,
+        graft.table.MergeMode.CopyOnWrite)
+    replay((1L to 5L).map(i => line(i, 10, "2023-01-16T06:00:00.000001Z", "insert", i)), 0)
+    replay((1001L to 1005L).map(i =>
+      line(i, 20, "2023-01-16T06:00:00.000001Z", "insert", i)), 1)
+    assert(t.snapshot.files.size >= 2, "need at least two disjoint-range files")
+    val captured = ArrayBuffer.empty[QueryExecution]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured.synchronized { captured += qe }
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.listenerManager.register(listener)
+    try {
+      replay(Seq(line(1, 77, "2023-01-16T10:00:00.000001Z", "update", 100)), 2)
+      // listener events are delivered asynchronously — wait for the FO join
+      def foJoins: Seq[SortMergeJoinExec] = captured.synchronized {
+        captured.toSeq.flatMap(_.executedPlan.collect {
+          case j: SortMergeJoinExec
+              if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
+        })
+      }
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (foJoins.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val joins = foJoins
+      assert(joins.nonEmpty, "expected a full-outer SortMergeJoin in the guarded merge")
+      // every parquet scan under the join read at most ONE of the two files:
+      // a regression to a table-wide join would pull both ranges in
+      val scans = joins.flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      })
+      assert(scans.nonEmpty, "expected a parquet scan under the full-outer join")
+      scans.foreach { f =>
+        val nFiles = f.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+        assert(nFiles >= 0L && nFiles <= 1L,
+          s"guarded join scanned $nFiles files — table-wide join regression")
+      }
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+    }
+    // end state unchanged by the instrumentation
+    val got = t.scan().select($"trans_id", $"amount").as[(Long, Int)].collect().toMap
+    assert(got(1L) === 77 && (1001L to 1005L).forall(i => got(i) === 20))
+  }
+
   test("guarded equals faithful when events arrive in ts order") {
     val ordered = Seq(
       line(1, 10, "2023-01-16T06:00:00.000001Z", "insert", 1),

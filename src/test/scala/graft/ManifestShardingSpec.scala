@@ -194,6 +194,53 @@ class ManifestShardingSpec extends SparkSpec {
     assert(df2.collect().head.getLong(0) === 40L * FilesPerChunk * RowsPerFile)
   }
 
+  test("entry-level metadata tables over 100k files: driver plans chunk refs, entries stream") {
+    val root0 = tmpDir("graft-shardmeta")
+    val root = s"$root0/db/shard"
+    writeSyntheticTable(root)
+    val cat = s"graft_shardm${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root0)
+    val df = spark.sql(
+      s"""SELECT COUNT(*) AS c, SUM(n_rows) AS r
+         |FROM $cat.db.shard.entries WHERE kind = 'data'""".stripMargin)
+    // Resolution + planning must materialize ZERO entries driver-side: no
+    // engine chunk loads, no raw chunk parses — the driver ships chunk refs.
+    val p0 = graft.sql.ChunkJson.parses.get()
+    val l0 = TransactionalTable.chunkLoads.get()
+    val optimized = df.queryExecution.optimizedPlan
+    assert(graft.sql.ChunkJson.parses.get() - p0 === 0L, "planning parsed chunk JSON")
+    assert(TransactionalTable.chunkLoads.get() - l0 === 0L, "planning loaded chunks")
+    // plan shape: the substituted aggregate reads the chunk-partitioned raw
+    // scan — one input partition per chunk, not a LocalRows driver dump
+    val scanRel = optimized.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scanRel.nonEmpty && scanRel.forall(
+      _.relation.table.isInstanceOf[graft.sql.ChunkEntriesTable]),
+      s"expected ChunkEntriesTable scan, got ${scanRel.map(_.relation.table.getClass)}")
+    // execution streams the 100k entries through executor tasks
+    val row = df.collect().head
+    assert(row.getLong(0) === NChunks.toLong * FilesPerChunk)
+    assert(row.getLong(1) === NChunks.toLong * FilesPerChunk * RowsPerFile)
+    assert(graft.sql.ChunkJson.parses.get() - p0 >= NChunks.toLong,
+      "execution should parse every chunk (task-side)")
+    // all_files agrees (same raw scan, per-path version range)
+    val af = spark.sql(
+      s"""SELECT COUNT(*) AS c, MIN(first_version) AS f, MAX(last_version) AS l
+         |FROM $cat.db.shard.all_files""".stripMargin).collect().head
+    assert(af.getLong(0) === NChunks.toLong * FilesPerChunk)
+    assert(af.getLong(1) === 1L && af.getLong(2) === 1L)
+    // `files` is served directly from chunk partitions (no substitution)
+    val filesDf = spark.sql(s"SELECT SUM(n_rows) AS r FROM $cat.db.shard.files")
+    val filesRel = filesDf.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(filesRel.nonEmpty && filesRel.forall(
+      _.relation.table.isInstanceOf[graft.sql.ChunkEntriesTable]))
+    assert(filesDf.collect().head.getLong(0) === NChunks.toLong * FilesPerChunk * RowsPerFile)
+  }
+
   test("ManifestFiles.loadWhere loads only chunks passing the predicate") {
     var loaded = List.empty[String]
     val chunks = (0 until 10).map { c =>

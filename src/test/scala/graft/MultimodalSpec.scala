@@ -41,4 +41,63 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.sum - 1.0f) < 1e-5)
     assert(f('x'.toInt >> 4) === 1.0f) // all bytes land in one bin
   }
+
+  // ---- real image codec (ImageCodec: hand-parsed headers + ImageIO pixels) ----
+
+  private def mkImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("ImageCodec.probe parses real PNG/JPEG/GIF/BMP headers exactly") {
+    import graft.ops.ImageCodec
+    val png = ImageCodec.probe(mkImage(13, 9, 0x336699, "png")).get
+    assert(png.format === "png" && png.width === 13 && png.height === 9 && png.channels === 3)
+    val jpg = ImageCodec.probe(mkImage(31, 17, 0x808080, "jpg")).get
+    assert(jpg.format === "jpeg" && jpg.width === 31 && jpg.height === 17 && jpg.channels === 3)
+    val gif = ImageCodec.probe(mkImage(7, 5, 0xff0000, "gif")).get
+    assert(gif.format === "gif" && gif.width === 7 && gif.height === 5)
+    val bmp = ImageCodec.probe(mkImage(4, 11, 0x010203, "bmp")).get
+    assert(bmp.format === "bmp" && bmp.width === 4 && bmp.height === 11)
+    // text payloads (even 'BM'-prefixed ones) never decode as images
+    assert(ImageCodec.probe("plain old text, nothing binary here".getBytes).isEmpty)
+    assert(ImageCodec.decode("BMoreover this text starts with BM..".getBytes).isEmpty)
+  }
+
+  test("ImageCodec.decode: exact pixel statistics on constant-color images") {
+    import graft.ops.ImageCodec
+    // rgb(32,64,96): BT.601 integer luma = (77*32 + 150*64 + 29*96) >> 8 = 58
+    val d = ImageCodec.decode(mkImage(10, 6, (32 << 16) | (64 << 8) | 96, "png")).get
+    assert(d.meta.width === 10 && d.meta.height === 6)
+    assert(d.meanLuma === 58.0)
+    assert(d.channelMeans.toSeq === Seq(32.0, 64.0, 96.0))
+    assert(d.lumaHist(58 >> 4) === 1.0f && math.abs(d.lumaHist.sum - 1.0f) < 1e-5)
+    // thumbnail: with h=6 < 8 some grid rows receive no pixels (0f); every
+    // POPULATED cell averages the constant. A >=8x8 image fills all 64.
+    assert(d.thumb.forall(v => v === 58.0f || v === 0.0f) && d.thumb.contains(58.0f))
+    val big = ImageCodec.decode(mkImage(16, 16, (32 << 16) | (64 << 8) | 96, "png")).get
+    assert(big.thumb.forall(_ === 58.0f))
+  }
+
+  test("decodeFeatures routes images through the real codec, text through bytes") {
+    val png = mkImage(8, 8, (32 << 16) | (64 << 8) | 96, "png")
+    val media = Seq(
+      (1L, "image", png, 8, 8),
+      (2L, "text", "hello".getBytes("UTF-8"), 5, 1))
+      .toDF("media_id", "kind", "content", "width", "height")
+    val f = MultimodalOps.decodeFeatures(MultimodalOps.asRecords(media))
+      .toDF().select($"media_id", $"byte_mean").as[(Long, Double)].collect().toMap
+    assert(f(1L) === 58.0, "image payload must yield pixel luma, not byte stats")
+    assert(f(2L) === "hello".getBytes.map(_ & 0xff).sum.toDouble / 5, "text stays byte path")
+    // distributed image decode with typed output
+    val imgs = MultimodalOps.decodeImages(media)
+    val row = imgs.filter($"media_id" === 1)
+      .select($"format", $"width", $"height", $"mean_r").as[(String, Int, Int, Double)].head()
+    assert(row === (("png", 8, 8, 32.0)))
+    assert(imgs.count() === 1L) // the text row is not an image
+  }
 }

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.connector.catalog.Identifier
 
-import graft.sql.{GraftCatalog, GraftViewStore}
+import graft.sql.{GraftCatalog, GraftViewResolution, GraftViewStore}
 import graft.table.TransactionalTable
 
 /** Persisted SQL views (Iceberg-view parity): DDL through the SQL front door
@@ -126,6 +126,22 @@ class ViewSqlSpec extends SparkSpec {
     assert(attempts === 2)
     val fin = GraftViewStore.load(root)
     assert(fin.properties.get("racer") === Some("yes") && fin.properties.get("mine") === Some("yes"))
+  }
+
+  test("analyzed view definitions are cached: repeat reads skip the parse, DDL invalidates") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE VIEW $cat.db.cv AS SELECT id, v FROM $cat.db.t")
+    spark.sql(s"SELECT * FROM $cat.db.cv").collect() // first read: builds + caches
+    val b0 = GraftViewResolution.planBuilds.get()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.cv").as[Long].head() === 3L)
+    assert(spark.sql(s"SELECT v FROM $cat.db.cv WHERE id = 1").as[Long].head() === 10L)
+    assert(GraftViewResolution.planBuilds.get() === b0,
+      "cached definition was re-parsed on a repeat read")
+    // a definition change rewrites _view.json → content hash misses → rebuild
+    spark.sql(s"ALTER VIEW $cat.db.cv AS SELECT id FROM $cat.db.t")
+    assert(spark.sql(s"SELECT * FROM $cat.db.cv").columns.toSeq === Seq("id"))
+    assert(GraftViewResolution.planBuilds.get() > b0,
+      "definition change must invalidate the cached plan")
   }
 
   test("single-part RENAME keeps the source view's namespace") {

@@ -7,7 +7,7 @@ rows by value). Dev tooling only — the Scala library has no Python dependency.
 Usage: python3 tools/check.py <sf|sfDir> [verifyOutDir=/tmp/vout]
 e.g.   python3 tools/check.py sf0.01
 """
-import json, sys, math
+import json, sys, math, time
 import duckdb
 import pandas as pd
 
@@ -29,16 +29,28 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def sf_bound(sql: str) -> bool:
+    """True when the oracle actually reads the fixture tables (a VALUES-only
+    oracle times ~0 in DuckDB and would make the engine/oracle ratio
+    meaningless — those queries exercise engine-only machinery)."""
+    low = sql.lower()
+    return any(f" {t}" in low or f"'{t}" in low for t in TABLES)
+
+
+def main(sf_dir: str, out_dir: str, times_out: str | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
+    times: dict[str, dict] = {}
     for name, sql in sorted(oracle.items()):
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
+            t0 = time.perf_counter()
             want = con.execute(sql).fetchdf()
+            times[name] = {"sec": round(time.perf_counter() - t0, 6),
+                           "sf_bound": sf_bound(sql)}
             g, w = norm(got), norm(want)
             cols = list(g.columns) == list(w.columns)
             rows = len(g) == len(w)
@@ -58,12 +70,26 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_bad += 1
             print(f"ERR  {name}: {type(e).__name__}: {str(e)[:300]}")
     print(f"\n{len(oracle) - n_bad}/{len(oracle)} oracle-matched")
+    if times_out:
+        # Per-query DuckDB oracle wall time, keyed by sf dir basename. Bench
+        # (graft.Bench) merges the matching file into its JSON as oracle_sec
+        # + ratio so "within 2x of DuckDB" is a computed column.
+        payload = {"sf": sf_dir.rstrip("/").split("/")[-1], "times": times}
+        with open(times_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"oracle times -> {times_out}")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    sf = args[0]
     if not sf.startswith("/"):
         sf = f"/root/testdata/{sf}"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
-    sys.exit(main(sf, out))
+    out = args[1] if len(args) > 1 else "/tmp/vout"
+    times_out = None
+    for fl in flags:
+        if fl.startswith("--times-out="):
+            times_out = fl.split("=", 1)[1]
+    sys.exit(main(sf, out, times_out))
