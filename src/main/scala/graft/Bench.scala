@@ -105,8 +105,12 @@ object Bench {
     // carries oracle_sec and ratio_vs_duckdb. Ratios are emitted only for
     // queries whose oracle actually reads the sf tables (sf_bound) — engine-
     // only replays compare against a VALUES literal and have no meaningful
-    // DuckDB twin. Oracle times are floored at 1ms so the local scheduling
-    // floor doesn't divide by ~0.
+    // DuckDB twin — and whose engine side is a QUERY, not a streaming
+    // pipeline (a 4-commit checkpointed replay vs DuckDB's one window query
+    // is a freshness metric, not a per-query ratio; PERF.md frames those
+    // against the reference's 100 s trigger instead). Oracle times are
+    // floored at 1ms so the local scheduling floor doesn't divide by ~0.
+    val streamingTier = Registry.headlines.filter(_.streaming).map(_.name).toSet
     val sfBase = sfDir.stripSuffix("/").split('/').last
     val oraclePath = java.nio.file.Paths.get(s"tools/oracle_times_$sfBase.json")
     val oracleJson =
@@ -124,9 +128,11 @@ object Bench {
         else {
           val os = entries.map { case (n, _, o, _) => "\"" + n + "\":" + o }
             .mkString("{", ",", "}")
-          val ratios = entries.filter(e => e._4 && e._2 >= 0).map { case (n, s, o, _) =>
-            "\"" + n + "\":" + (math.rint(s / math.max(o, 0.001) * 100) / 100)
-          }.mkString("{", ",", "}")
+          val ratios = entries
+            .filter(e => e._4 && e._2 >= 0 && !streamingTier(e._1))
+            .map { case (n, s, o, _) =>
+              "\"" + n + "\":" + (math.rint(s / math.max(o, 0.001) * 100) / 100)
+            }.mkString("{", ",", "}")
           s""","oracle_sec":$os,"ratio_vs_duckdb":$ratios"""
         }
       } catch { case _: Exception => "" }

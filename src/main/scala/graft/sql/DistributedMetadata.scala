@@ -76,7 +76,13 @@ object ChunkJson {
   * exact parent membership, which (first, last) alone loses when a rollback
   * re-adds files after a gap. */
 final case class ChunkSlicePartition(chunkPath: String, firstRef: Long, lastRef: Long,
-    inParent: Boolean = false)
+    inParent: Boolean = false,
+    /** Chunk-ref stats for planning-time pruning (sentinels = stat-less
+      * legacy chunk → never pruned): the chunk's entries have pk_min/pk_max
+      * inside [pkMin, pkMax], and `parts` (when present) is the complete
+      * partition-value list. */
+    pkMin: Long = Long.MinValue, pkMax: Long = Long.MaxValue,
+    parts: Option[Seq[String]] = None)
   extends InputPartition
 
 /** Raw per-entry row emission modes. */
@@ -110,7 +116,7 @@ object ChunkEntryMode {
  * for rows the driver already holds: MOR delete inventories and legacy
  * inline-manifest files, both resident in the manifest JSON itself).
  */
-class ChunkEntriesTable(tableName: String, tableSchema: StructType, mode: String,
+class ChunkEntriesTable(tableName: String, tableSchema: StructType, val mode: String,
     slices: Seq[ChunkSlicePartition], inline: Seq[Array[Any]])
   extends Table with SupportsRead {
 
@@ -120,18 +126,59 @@ class ChunkEntriesTable(tableName: String, tableSchema: StructType, mode: String
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with SupportsPushDownFilters with Scan with Batch {
+      private var kept: Seq[ChunkSlicePartition] = slices
+      // PRUNE-only pushdown: chunks whose ref stats cannot match any
+      // conjunct are dropped at planning; every filter is still evaluated
+      // post-scan (pushedFilters stays empty), so pruning only has to be
+      // conservative. A metadata query like `files WHERE partition = 'x'`
+      // or `WHERE kind LIKE '%-deletes'` over a 10⁷-file table then opens
+      // O(matching chunks), not all of them.
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        kept = slices.filter(s => filters.forall(f => ChunkEntriesTable.mayMatch(s, f)))
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
       override def build(): Scan = this
       override def readSchema(): StructType = tableSchema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
-        val chunkParts: Array[InputPartition] = slices.toArray
+        val chunkParts: Array[InputPartition] = kept.toArray
         if (inline.isEmpty) chunkParts
         else chunkParts :+ LocalRowsPartition(inline.map(_.toIndexedSeq).toIndexedSeq)
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new ChunkEntriesReaderFactory(mode)
     }
+}
+
+object ChunkEntriesTable {
+  import org.apache.spark.sql.sources._
+
+  /** Conservative chunk-level test: false ONLY when no entry of the chunk
+    * can satisfy `f`. Chunk rows always have kind='data' and non-sentinel
+    * pk bounds inside the ref's [pkMin, pkMax]. */
+  private[sql] def mayMatch(s: ChunkSlicePartition, f: Filter): Boolean = f match {
+    case EqualTo("kind", v) => v == "data"
+    case In("kind", vs) => vs.contains("data")
+    // `kind LIKE '%-deletes'` etc. arrive as string matchers
+    case StringStartsWith("kind", v) => "data".startsWith(v)
+    case StringEndsWith("kind", v) => "data".endsWith(v)
+    case StringContains("kind", v) => "data".contains(v)
+    case EqualTo("partition", v) => s.parts.forall(_.contains(String.valueOf(v)))
+    case In("partition", vs) =>
+      s.parts.forall(p => vs.map(String.valueOf).exists(p.contains))
+    case EqualTo(c @ ("pk_min" | "pk_max"), v: Long) => s.pkMin <= v && v <= s.pkMax
+    case GreaterThan("pk_min" | "pk_max", v: Long) => s.pkMax > v
+    case GreaterThanOrEqual("pk_min" | "pk_max", v: Long) => s.pkMax >= v
+    case LessThan("pk_min" | "pk_max", v: Long) => s.pkMin < v
+    case LessThanOrEqual("pk_min" | "pk_max", v: Long) => s.pkMin <= v
+    case And(l, r) => mayMatch(s, l) && mayMatch(s, r)
+    case Or(l, r) => mayMatch(s, l) || mayMatch(s, r)
+    case _ => true // unknown shape: keep (filters re-evaluate post-scan)
+  }
 }
 
 private[sql] class ChunkEntriesReaderFactory(mode: String) extends PartitionReaderFactory {
@@ -177,7 +224,7 @@ class DistributedMetaTable(tableName: String, tableSchema: StructType,
     raw.newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
       .planInputPartitions().foreach {
         case p: ChunkSlicePartition =>
-          ChunkJson.parse(p.chunkPath).foreach(f => raws += ChunkEntryMode.rowOf(ChunkEntryMode.Hist, f, p))
+          ChunkJson.parse(p.chunkPath).foreach(f => raws += ChunkEntryMode.rowOf(raw.mode, f, p))
         case LocalRowsPartition(rows) => rows.foreach(r => raws += r.toArray)
         case other => throw new IllegalStateException(s"unexpected partition $other")
       }

@@ -46,6 +46,12 @@ class GraftMetadataScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 .cast("bigint").as("status"),
               when(col("kind") === "data", col("first_v")).as("added_version"),
               col("path"), col("kind"), col("n_rows"), col("n_bytes"))
+        case "partitions" =>
+          raw.groupBy(col("partition"), col("spec_id"))
+            .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+              sum(col("n_bytes")).as("n_bytes"))
+            .select(col("partition"), col("spec_id"), col("n_files"),
+              col("n_rows"), col("n_bytes"))
         case other =>
           throw new IllegalStateException(s"unknown distributed metadata kind $other")
       }
@@ -87,6 +93,14 @@ object GraftMetadataScanRule {
               r(0), r(6), r(4), r(5)))
           }
         }.toSeq
+      case "partitions" =>
+        // FILES-schema rows: (path, partition, pk_min, pk_max, n_rows,
+        // n_bytes, kind, spec_id)
+        raws.groupBy(r => (r(1), r(7))).toSeq.map { case ((p, sid), fs) =>
+          Array[Any](p, sid, fs.size.toLong,
+            fs.iterator.map(_(4).asInstanceOf[Long]).sum,
+            fs.iterator.map(_(5).asInstanceOf[Long]).sum)
+        }
       case other =>
         throw new IllegalStateException(s"unknown distributed metadata kind $other")
     }

@@ -92,6 +92,8 @@ object MetadataTables {
     val parentV = snaps.map(_.version).filter(_ < t.currentVersion).lastOption
     val chunkRange = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Long, Boolean)]
+    val chunkStats = scala.collection.mutable.HashMap
+      .empty[String, (Long, Long, Option[Seq[String]])]
     val inlineRange = scala.collection.mutable.LinkedHashMap
       .empty[String, (graft.table.DataFile, Long, Long, Boolean)]
     snaps.foreach { s =>
@@ -99,6 +101,7 @@ object MetadataTables {
       s.files match {
         case mf: graft.table.ManifestFiles =>
           mf.chunks.foreach { c =>
+            chunkStats(c.path) = (c.pkMin, c.pkMax, c.partitions)
             chunkRange.get(c.path) match {
               case None => chunkRange(c.path) = (s.version, s.version, isParent)
               case Some((first, _, inPar)) =>
@@ -116,7 +119,9 @@ object MetadataTables {
       }
     }
     val slices = chunkRange.toSeq.map { case (p, (first, last, inPar)) =>
-      ChunkSlicePartition(p, first, last, inPar)
+      val (mn, mx, parts) = chunkStats.getOrElse(p,
+        (Long.MinValue, Long.MaxValue, None: Option[Seq[String]]))
+      ChunkSlicePartition(p, first, last, inPar, pkMin = mn, pkMax = mx, parts = parts)
     }
     val inlineRows = inlineRange.values.toSeq.map { case (f, first, last, inPar) =>
       Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes,
@@ -131,16 +136,48 @@ object MetadataTables {
       case "history" | "snapshots" =>
         val snaps = (0L to t.currentVersion).flatMap(v =>
           scala.util.Try(t.snapshotAt(v)).toOption) // expired → absent
+        // Per-version churn by CHUNK diffing: commits reuse clean chunks by
+        // reference, so only the chunks unique to one side load — O(churn)
+        // entry loads per version pair, never O(files). (Within one
+        // manifest chunks hold disjoint file sets, so a path in a cur-only
+        // chunk lives in the parent iff it is in a parent-only chunk.)
+        def sideOnly(a: Seq[graft.table.DataFile], b: Seq[graft.table.DataFile])
+            : (Seq[graft.table.DataFile], Seq[graft.table.DataFile]) = (a, b) match {
+          case (am: graft.table.ManifestFiles, bm: graft.table.ManifestFiles) =>
+            val aPaths = am.chunks.map(_.path).toSet
+            val bPaths = bm.chunks.map(_.path).toSet
+            (am.loadWhere(c => !bPaths.contains(c.path)),
+              bm.loadWhere(c => !aPaths.contains(c.path)))
+          case _ => (a, b) // inline legacy manifests are already materialized
+        }
+        def totalBytes(fs: Seq[graft.table.DataFile]): Long = fs match {
+          case mf: graft.table.ManifestFiles =>
+            mf.totalBytes.getOrElse(mf.iterator.map(_.bytes).sum)
+          case s => s.iterator.map(_.bytes).sum
+        }
+        def totalRows(fs: Seq[graft.table.DataFile]): Long = fs match {
+          case mf: graft.table.ManifestFiles =>
+            mf.totalRows.getOrElse(mf.iterator.map(_.rows).sum)
+          case s => s.iterator.map(_.rows).sum
+        }
         val rows = snaps.zipWithIndex.map { case (s, i) =>
-          val parentFiles = if (i == 0) Seq.empty else snaps(i - 1).files
-          val pPaths = parentFiles.map(_.path).toSet
-          val paths = s.files.map(_.path).toSet
-          val added = s.files.filterNot(f => pPaths(f.path))
-          val removed = parentFiles.filterNot(f => paths(f.path))
+          val (addedN, addedRows, removedN, removedRows) =
+            if (i == 0)
+              // earliest retained snapshot: everything counts as added —
+              // answered from chunk stats, zero loads
+              (s.files.size.toLong, totalRows(s.files), 0L, 0L)
+            else {
+              val (pOnly, cOnly) = sideOnly(snaps(i - 1).files, s.files)
+              val pPaths = pOnly.map(_.path).toSet
+              val cPaths = cOnly.map(_.path).toSet
+              val added = cOnly.filterNot(f => pPaths(f.path))
+              val removed = pOnly.filterNot(f => cPaths(f.path))
+              (added.size.toLong, added.map(_.rows).sum,
+                removed.size.toLong, removed.map(_.rows).sum)
+            }
           Array[Any](s.version, s.batchId, s.files.size.toLong,
-            s.rowCount, s.files.map(_.bytes).sum, s.committedAtMs,
-            added.size.toLong, added.map(_.rows).sum,
-            removed.size.toLong, removed.map(_.rows).sum, s.deletes.size.toLong)
+            s.rowCount, totalBytes(s.files), s.committedAtMs,
+            addedN, addedRows, removedN, removedRows, s.deletes.size.toLong)
         }
         new LocalRowsTable(s"$qualified.$metaName", historySchema, rows)
       // `files` is a DISTRIBUTED chunk scan (one input partition per manifest
@@ -153,7 +190,9 @@ object MetadataTables {
         val s = t.snapshot
         val (slices, inlineData) = s.files match {
           case mf: graft.table.ManifestFiles =>
-            (mf.chunks.map(c => ChunkSlicePartition(c.path, 0L, 0L)), Seq.empty[Array[Any]])
+            (mf.chunks.map(c => ChunkSlicePartition(c.path, 0L, 0L,
+              pkMin = c.pkMin, pkMax = c.pkMax, parts = c.partitions)),
+              Seq.empty[Array[Any]])
           case sq =>
             (Seq.empty[ChunkSlicePartition], sq.map(f =>
               Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes,
@@ -205,15 +244,25 @@ object MetadataTables {
           ChunkEntryMode.HistSchema, ChunkEntryMode.Hist, slices, inlineRows)
         new DistributedMetaTable(s"$qualified.all_files", allFilesSchema, "all_files",
           raw, t.currentVersion)
+      // `partitions` also aggregates over every live entry — distributed via
+      // the same substitution (groupBy(partition, spec_id) over the chunk
+      // scan); data files only, matching the original driver-side grouping.
       case "partitions" =>
         val s = t.snapshot
-        val rows = s.files.groupBy(f => (f.partition, f.specId)).toSeq
-          .sortBy { case ((p, sid), _) => (p.getOrElse(""), sid) }
-          .map { case ((p, sid), fs) =>
-            Array[Any](p.orNull, sid.toLong, fs.size.toLong,
-              fs.map(_.rows).sum, fs.map(_.bytes).sum)
-          }
-        new LocalRowsTable(s"$qualified.partitions", partitionsSchema, rows)
+        val (slices, inlineData) = s.files match {
+          case mf: graft.table.ManifestFiles =>
+            (mf.chunks.map(c => ChunkSlicePartition(c.path, 0L, 0L,
+              pkMin = c.pkMin, pkMax = c.pkMax, parts = c.partitions)),
+              Seq.empty[Array[Any]])
+          case sq =>
+            (Seq.empty[ChunkSlicePartition], sq.map(f =>
+              Array[Any](f.path, f.partition.orNull, f.pkMin, f.pkMax, f.rows, f.bytes,
+                "data", f.specId.toLong)))
+        }
+        val raw = new ChunkEntriesTable(s"$qualified.partitions_raw", filesSchema,
+          ChunkEntryMode.Files, slices, inlineData)
+        new DistributedMetaTable(s"$qualified.partitions", partitionsSchema, "partitions",
+          raw, t.currentVersion)
       // Iceberg `refs` parity: every named ref — main, branches, tags — with
       // the version it points at.
       case "refs" =>

@@ -50,7 +50,13 @@ object PlanAudit {
       // exchange (one scan feeding both the df count and the join probe),
       // and the variant path extractions must stay in one codegen stage
       "x4_bigram_rarity", "x6_variant_get", "x6_variant_shred",
-      "x4_repetition_stats")
+      "x4_repetition_stats",
+      // round 11: distributed metadata tables — the entries/all_files
+      // aggregation must read the ChunkEntriesTable scan (never a LocalRows
+      // driver dump), and the real-image decode keeps its batched
+      // mapPartitions shape
+      "cdc_metadata_entries_sql", "cdc_metadata_all_files_sql",
+      "x5_decode_real")
 
     audited.foreach { name =>
       val df = Registry.byName(name).fn(spark, sfDir)

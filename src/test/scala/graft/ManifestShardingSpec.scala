@@ -239,6 +239,68 @@ class ManifestShardingSpec extends SparkSpec {
     assert(filesRel.nonEmpty && filesRel.forall(
       _.relation.table.isInstanceOf[graft.sql.ChunkEntriesTable]))
     assert(filesDf.collect().head.getLong(0) === NChunks.toLong * FilesPerChunk * RowsPerFile)
+    // `history` answers from chunk STATS + chunk-path diffing: zero loads,
+    // zero parses over the 100k files (added counts = chunk-ref totals)
+    val p1 = graft.sql.ChunkJson.parses.get()
+    val l1 = TransactionalTable.chunkLoads.get()
+    val hist = spark.sql(
+      s"SELECT version, n_files, n_rows, added_files, added_rows FROM $cat.db.shard.history")
+      .collect()
+    assert(hist.length === 1)
+    assert(hist.head.getLong(1) === NChunks.toLong * FilesPerChunk)
+    assert(hist.head.getLong(3) === NChunks.toLong * FilesPerChunk)
+    assert(hist.head.getLong(4) === NChunks.toLong * FilesPerChunk * RowsPerFile)
+    assert(graft.sql.ChunkJson.parses.get() - p1 === 0L, "history parsed chunk JSON")
+    assert(TransactionalTable.chunkLoads.get() - l1 === 0L, "history loaded chunks")
+  }
+
+  test("partitions metadata table is a distributed aggregation over chunk scans") {
+    val root0 = tmpDir("graft-shardpart")
+    val root = s"$root0/db/shard"
+    writeSyntheticPartitioned(root)
+    val cat = s"graft_shardp${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root0)
+    val df = spark.sql(
+      s"SELECT partition, n_files, n_rows FROM $cat.db.shard.partitions ORDER BY partition")
+    val p0 = graft.sql.ChunkJson.parses.get()
+    val optimized = df.queryExecution.optimizedPlan
+    assert(graft.sql.ChunkJson.parses.get() - p0 === 0L, "planning parsed chunk JSON")
+    assert(optimized.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.forall(_.relation.table.isInstanceOf[graft.sql.ChunkEntriesTable]))
+    val rows = df.collect()
+    assert(rows.length === 10) // e0..e9
+    assert(rows.forall(r => r.getLong(1) === 20L * FilesPerChunk &&
+      r.getLong(2) === 20L * FilesPerChunk * RowsPerFile))
+  }
+
+  test("metadata-scan filter pushdown prunes chunks at planning") {
+    val root0 = tmpDir("graft-shardpush")
+    val root = s"$root0/db/shard"
+    writeSyntheticPartitioned(root) // 200 chunks, chunk c holds only e{c%10}
+    val cat = s"graft_shardf${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root0)
+    def parsesOf(sql: String): (Long, Long) = {
+      val p0 = graft.sql.ChunkJson.parses.get()
+      val n = spark.sql(sql).collect().head.getLong(0)
+      (n, graft.sql.ChunkJson.parses.get() - p0)
+    }
+    // partition equality: 20 of 200 chunks hold e3
+    val (n1, c1) = parsesOf(
+      s"SELECT COUNT(*) AS c FROM $cat.db.shard.files WHERE partition = 'e3'")
+    assert(n1 === 20L * FilesPerChunk)
+    assert(c1 <= 20L, s"partition filter parsed $c1 chunks (expected <= 20)")
+    // delete-inventory query: every chunk row is kind='data' -> 0 parses
+    val (n2, c2) = parsesOf(
+      s"SELECT COUNT(*) AS c FROM $cat.db.shard.files WHERE kind LIKE '%-deletes'")
+    assert(n2 === 0L && c2 === 0L, s"deletes filter parsed $c2 chunks")
+    // pk-range predicate on the entry bounds
+    val (n3, c3) = parsesOf(
+      s"SELECT COUNT(*) AS c FROM $cat.db.shard.files WHERE pk_min >= 9900000")
+    assert(n3 > 0L)
+    assert(c3 <= 3L, s"pk-range filter parsed $c3 chunks")
   }
 
   test("ManifestFiles.loadWhere loads only chunks passing the predicate") {
