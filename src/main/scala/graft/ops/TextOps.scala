@@ -62,6 +62,47 @@ object TextOps {
       aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("long").as("sum_token_len"))
   }
 
+  /**
+   * Gopher/C4-style per-document quality signals — the rule set corpus
+   * filters threshold on (Rae et al. Gopher §A1.1, Raffel et al. C4):
+   * mean token length, fraction of purely-alphabetic tokens, English
+   * stopword fraction, symbol-to-token ratio (# and ellipsis), and the
+   * bullet-line / ellipsis-line fractions. One map-only projection of
+   * codegen'd higher-order functions — zero shuffles at any scale; ratios
+   * are double divisions of exact integers (bit-equal across engines).
+   * Empty docs yield NULL ratios (never a divide-by-zero Inf/NaN).
+   */
+  def qualitySignals(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nToks = size(t).cast("long")
+    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    val nLines = size(lines).cast("long")
+    val enStop = LangMarkers.toMap.apply("en")
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0L, num.cast("double") / den.cast("double"))
+    df.select(
+      col(idCol),
+      nToks.as("n_tokens"),
+      ratio(aggregate(t, lit(0L), (a, x) => a + length(x)), nToks).as("mean_token_len"),
+      ratio(size(filter(t, x => x.rlike("^[A-Za-z]+$"))).cast("long"), nToks)
+        .as("frac_alpha_tokens"),
+      ratio(size(filter(t, x => enStop.map(m => x === m).reduce(_ || _))).cast("long"),
+        nToks).as("stopword_frac"),
+      // '#' + horizontal-ellipsis occurrences per token (the Gopher
+      // symbol-to-word ratio; '...' counts via its '…'-normalized form only
+      // when present as the single char — three dots are line-end signals
+      // below, not symbols)
+      ratio(length(col(textCol)) - length(regexp_replace(col(textCol), "[#…]", "")),
+        nToks).as("symbol_to_token"),
+      ratio(size(filter(lines, l =>
+        l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("long"),
+        nLines).as("frac_bullet_lines"),
+      ratio(size(filter(lines, l =>
+        l.endsWith("...") || l.endsWith("…"))).cast("long"), nLines)
+        .as("frac_ellipsis_lines"))
+  }
+
   /** Corpus term frequencies: top-k terms (count desc, term asc). */
   def termFrequency(df: DataFrame, textCol: String = "text", k: Int = 20): DataFrame =
     df.select(explode(tokens(col(textCol))).as("term"))

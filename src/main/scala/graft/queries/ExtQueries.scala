@@ -276,6 +276,40 @@ object ExtQueries {
               |FROM toks ORDER BY doc_id""".stripMargin),
       headline = true),
 
+    // X4: Gopher/C4 quality-rule signals — mean token length, alpha-token
+    // and English-stopword fractions, symbol-to-token ratio, bullet/ellipsis
+    // line fractions. Map-only (zero shuffles at any scale); every ratio is
+    // a double division of exact integers, so DuckDB matches bit-for-bit.
+    Q("x4_quality_signals",
+      (s, d) => TextOps.qualitySignals(Tables.load(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, text, $DuckToks AS w,
+             |    list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(w) AS n_tokens,
+             |  CASE WHEN len(w) > 0 THEN
+             |    CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+             |  END AS mean_token_len,
+             |  CASE WHEN len(w) > 0 THEN
+             |    CAST(len(list_filter(w, t -> regexp_full_match(t, '[A-Za-z]+'))) AS DOUBLE) / len(w)
+             |  END AS frac_alpha_tokens,
+             |  CASE WHEN len(w) > 0 THEN
+             |    CAST(len(list_filter(w, t -> t IN ('the','a','is','and','of'))) AS DOUBLE) / len(w)
+             |  END AS stopword_frac,
+             |  CASE WHEN len(w) > 0 THEN
+             |    CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE) / len(w)
+             |  END AS symbol_to_token,
+             |  CASE WHEN len(ls) > 0 THEN
+             |    CAST(len(list_filter(ls, l -> starts_with(l, '-') OR starts_with(l, '*')
+             |      OR starts_with(l, '•'))) AS DOUBLE) / len(ls)
+             |  END AS frac_bullet_lines,
+             |  CASE WHEN len(ls) > 0 THEN
+             |    CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE) / len(ls)
+             |  END AS frac_ellipsis_lines
+             |FROM base ORDER BY doc_id""".stripMargin)),
+
     // X4: corpus term frequencies (top 20).
     Q("x4_term_frequency",
       (s, d) => TextOps.termFrequency(Tables.load(s, d, "documents")),

@@ -229,8 +229,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       if (ns.length >= 2 && MetadataTables.Names(meta)) {
         val parentRoot = (warehouse +: ns).mkString("/")
         if (TransactionalTable.exists(parentRoot))
+          // `version` rides along: `t.files VERSION AS OF n` answers with
+          // snapshot n's inventory, not the live one
           return MetadataTables.load(TransactionalTable.open(spark, parentRoot),
-            s"$catalogName.${ns.mkString(".")}", meta)
+            s"$catalogName.${ns.mkString(".")}", meta, version)
       }
       throw new NoSuchTableException(ident)
     }

@@ -77,19 +77,20 @@ object MetadataTables {
     StructField("partitions", StringType)))
 
   /** Retained-history chunk slices for the distributed entries/all_files
-    * scans: every DISTINCT chunk across retained snapshots with the min/max
-    * version referencing it — resolved from manifest JSON chunk-ref lists
-    * alone (zero chunk loads, O(versions × chunk refs) driver work). Files
-    * of legacy inline manifests (already resident in the JSON) come back as
-    * local HistSchema rows with driver-computed ranges. */
-  private def histSlices(t: TransactionalTable)
+    * scans: every DISTINCT chunk across retained snapshots (up to `upTo` —
+    * time travel scopes the reach) with the min/max version referencing it —
+    * resolved from manifest JSON chunk-ref lists alone (zero chunk loads,
+    * O(versions × chunk refs) driver work). Files of legacy inline manifests
+    * (already resident in the JSON) come back as local HistSchema rows with
+    * driver-computed ranges. */
+  private def histSlices(t: TransactionalTable, upTo: Long)
       : (Seq[ChunkSlicePartition], Seq[Array[Any]]) = {
-    val snaps = (0L to t.currentVersion).flatMap(v =>
+    val snaps = (0L to upTo).flatMap(v =>
       scala.util.Try(t.snapshotAt(v)).toOption)
-    // the parent retained snapshot of the current version (entries.status
-    // means "carried from parent"; exact membership, not a range test —
-    // rollback re-adds must grade as added)
-    val parentV = snaps.map(_.version).filter(_ < t.currentVersion).lastOption
+    // the parent retained snapshot of the scoped head (entries.status means
+    // "carried from parent"; exact membership, not a range test — rollback
+    // re-adds must grade as added)
+    val parentV = snaps.map(_.version).filter(_ < upTo).lastOption
     val chunkRange = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Long, Boolean)]
     val chunkStats = scala.collection.mutable.HashMap
@@ -130,11 +131,18 @@ object MetadataTables {
     (slices, inlineRows)
   }
 
-  /** Build the metadata table `metaName` for the table at `root`. */
-  def load(t: TransactionalTable, qualified: String, metaName: String): Table =
+  /** Build the metadata table `metaName` for the table at `root`.
+    * `version` scopes the answer for time travel (`t.files VERSION AS OF n`
+    * = the file inventory OF snapshot n; history/all_files restrict their
+    * walk to versions ≤ n) — without it a travel read would silently serve
+    * the live state. `refs` stays live (named refs are not versioned). */
+  def load(t: TransactionalTable, qualified: String, metaName: String,
+      version: Option[Long] = None): Table = {
+    val head = version.getOrElse(t.currentVersion)
+    def headSnap = t.snapshotAt(head)
     metaName match {
       case "history" | "snapshots" =>
-        val snaps = (0L to t.currentVersion).flatMap(v =>
+        val snaps = (0L to head).flatMap(v =>
           scala.util.Try(t.snapshotAt(v)).toOption) // expired → absent
         // Per-version churn by CHUNK diffing: commits reuse clean chunks by
         // reference, so only the chunks unique to one side load — O(churn)
@@ -187,7 +195,7 @@ object MetadataTables {
       // already resident in the manifest JSON — they ride in one local
       // partition at zero extra cost.
       case "files" =>
-        val s = t.snapshot
+        val s = headSnap
         val (slices, inlineData) = s.files match {
           case mf: graft.table.ManifestFiles =>
             (mf.chunks.map(c => ChunkSlicePartition(c.path, 0L, 0L,
@@ -218,20 +226,20 @@ object MetadataTables {
       // inline-manifest snapshots (files resident in the JSON) contribute a
       // local partition with driver-computed ranges.
       case "entries" =>
-        val (slices, inlineRows) = histSlices(t)
-        val cur = t.snapshot
+        val (slices, inlineRows) = histSlices(t, head)
+        val cur = headSnap
         val delRows = cur.deletes.map(d =>
           Array[Any](d.path, null, d.pkMin, d.pkMax, d.rows, d.bytes,
             s"${d.kind}-deletes", null, cur.version, cur.version, 0L))
         val raw = new ChunkEntriesTable(s"$qualified.entries_raw",
           ChunkEntryMode.HistSchema, ChunkEntryMode.Hist, slices, inlineRows ++ delRows)
         new DistributedMetaTable(s"$qualified.entries", entriesSchema, "entries",
-          raw, t.currentVersion)
+          raw, head)
       // Iceberg `delete_files` parity: just the MOR delete-file inventory of
       // the live snapshot (eq/pos), the table one watches to decide when to
       // fold (compact) — `files` interleaves these with data files.
       case "delete_files" =>
-        val rows = t.snapshot.deletes.map(d =>
+        val rows = headSnap.deletes.map(d =>
           Array[Any](d.path, null, d.pkMin, d.pkMax, d.rows, d.bytes,
             s"${d.kind}-deletes", null))
         new LocalRowsTable(s"$qualified.delete_files", filesSchema, rows)
@@ -239,16 +247,16 @@ object MetadataTables {
       // retained snapshot, deduped by path, with the version range it was
       // live in — the orphan-analysis / compaction-planning view.
       case "all_files" =>
-        val (slices, inlineRows) = histSlices(t)
+        val (slices, inlineRows) = histSlices(t, head)
         val raw = new ChunkEntriesTable(s"$qualified.all_files_raw",
           ChunkEntryMode.HistSchema, ChunkEntryMode.Hist, slices, inlineRows)
         new DistributedMetaTable(s"$qualified.all_files", allFilesSchema, "all_files",
-          raw, t.currentVersion)
+          raw, head)
       // `partitions` also aggregates over every live entry — distributed via
       // the same substitution (groupBy(partition, spec_id) over the chunk
       // scan); data files only, matching the original driver-side grouping.
       case "partitions" =>
-        val s = t.snapshot
+        val s = headSnap
         val (slices, inlineData) = s.files match {
           case mf: graft.table.ManifestFiles =>
             (mf.chunks.map(c => ChunkSlicePartition(c.path, 0L, 0L,
@@ -262,7 +270,7 @@ object MetadataTables {
         val raw = new ChunkEntriesTable(s"$qualified.partitions_raw", filesSchema,
           ChunkEntryMode.Files, slices, inlineData)
         new DistributedMetaTable(s"$qualified.partitions", partitionsSchema, "partitions",
-          raw, t.currentVersion)
+          raw, head)
       // Iceberg `refs` parity: every named ref — main, branches, tags — with
       // the version it points at.
       case "refs" =>
@@ -277,7 +285,7 @@ object MetadataTables {
       // (pk range, row/byte totals, partition-value summary) — the
       // manifest-list view, answered WITHOUT loading any chunk's entries.
       case "manifests" =>
-        val rows = (t.snapshot.files match {
+        val rows = (headSnap.files match {
           case mf: graft.table.ManifestFiles => mf.chunks
           case s => Seq(graft.table.ChunkRef.of("(inline)", s))
         }).map { c =>
@@ -293,6 +301,7 @@ object MetadataTables {
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table $other")
     }
+  }
 }
 
 /** Read-only DSv2 table over driver-computed rows (metadata-scale only):

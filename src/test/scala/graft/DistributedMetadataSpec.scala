@@ -47,6 +47,32 @@ class DistributedMetadataSpec extends SparkSpec {
     assert(filesRows === internal)
   }
 
+  test("metadata tables honor VERSION AS OF (travel reads never serve the live state)") {
+    val (cat, _, t) = fresh("tt")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20)") // v1
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 30)")          // v2
+    // files of snapshot 1: only the v1 rows
+    val f1 = spark.sql(
+      s"SELECT SUM(n_rows) AS r FROM $cat.db.t.files VERSION AS OF 1 WHERE kind = 'data'")
+      .as[Long].head()
+    assert(f1 === 2L, "files AS OF 1 must show snapshot 1's inventory")
+    assert(spark.sql(
+      s"SELECT SUM(n_rows) AS r FROM $cat.db.t.files WHERE kind = 'data'")
+      .as[Long].head() === 3L)
+    // history AS OF 1 stops at version 1
+    val h1 = spark.sql(s"SELECT MAX(version) AS v FROM $cat.db.t.history VERSION AS OF 1")
+      .as[Long].head()
+    assert(h1 === 1L)
+    // entries AS OF 1: everything added at v1 (v0 is the empty create)
+    val e1 = spark.sql(
+      s"SELECT status, added_version FROM $cat.db.t.entries VERSION AS OF 1 WHERE kind = 'data'")
+      .as[(Long, Long)].collect().toSeq
+    assert(e1.nonEmpty && e1.forall(e => e._1 === 1L && e._2 === 1L), e1.toString)
+    // partitions AS OF 1 aggregates snapshot 1 only
+    assert(spark.sql(s"SELECT SUM(n_rows) AS r FROM $cat.db.t.partitions VERSION AS OF 1")
+      .as[Long].head() === 2L)
+  }
+
   test("entries after rollback: re-added files grade as ADDED (parent membership, not age)") {
     val (cat, _, t) = fresh("rb")
     spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20)") // v1: files A

@@ -143,6 +143,24 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(4L).getString(5) === "two words" && byId(4L).getLong(6) === 1L)
   }
 
+  test("qualitySignals: Gopher-rule ratios, hand-computed; empty doc yields NULLs") {
+    val out = TextOps.qualitySignals(docs(
+        // tokens: -, the, fox2, runs, #, ... (6); lines: bullet + ellipsis
+        (1L, "- the fox2\nruns # ...\n"),
+        (2L, "")))
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) === 6L)
+    assert(r1.getDouble(2) === 16.0 / 6)  // mean token len (1+3+4+4+1+3)/6
+    assert(r1.getDouble(3) === 2.0 / 6)   // alpha: the, runs
+    assert(r1.getDouble(4) === 1.0 / 6)   // stopword: the
+    assert(r1.getDouble(5) === 1.0 / 6)   // symbols: one '#'
+    assert(r1.getDouble(6) === 0.5)       // bullet line
+    assert(r1.getDouble(7) === 0.5)       // ellipsis line
+    val r2 = out(1)
+    assert(r2.getLong(1) === 0L && r2.isNullAt(2) && r2.isNullAt(6))
+  }
+
   test("scrubPii: redacts emails/phones/IPs, leaves clean text untouched") {
     val out = TextOps.scrubPii(docs(
         (1L, "mail a.b%c@sub.host.org or call 555-123-4567 via 192.168.0.1 now"),
