@@ -1851,9 +1851,20 @@ final class TransactionalTable private (
           }
           acc.iterator
         }
-        .reduceByKey { (a, b) => var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a }
-        .collectAsMap()
-      partials.map { case (uri, words) =>
+        .collect()
+      // Driver-side OR-merge instead of a reduceByKey: the payload is one
+      // 8 KiB bitset per (file, touching partition) and a small file is read
+      // by ~one partition, so this is O(files × 8 KiB) — while reduceByKey
+      // added a whole shuffle STAGE to every commit (one of the few
+      // per-commit constants visible in the streaming bench's batch floor).
+      val merged = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+      partials.foreach { case (uri, words) =>
+        merged.get(uri) match {
+          case Some(a) => var i = 0; while (i < a.length) { a(i) |= words(i); i += 1 }
+          case None => merged(uri) = words
+        }
+      }
+      merged.map { case (uri, words) =>
         // _metadata.file_path is a URI; manifest paths are plain
         val plain = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
         plain -> graft.util.Bloom.encode(words)

@@ -108,6 +108,32 @@ class ConcurrencySpec extends SparkSpec {
     (15 until 20).foreach(k => assert(got(k.toLong) === -1L))
   }
 
+  test("merge racing full-table compaction: both land, no row lost or resurrected") {
+    val root = fresh()
+    val seed = TransactionalTable.open(spark, root)
+    // several commits → several small files for the compactor to bin-pack
+    (0 until 4).foreach { b =>
+      val rows = (b * 200 until (b + 1) * 200).map(i => (i.toLong, 0L)).toDF("id", "v")
+      seed.mergeAdhoc(rows, spark.emptyDataset[Long].toDF("id"))
+    }
+    runAll(2) { i =>
+      val t = TransactionalTable.open(spark, root) // own handle per racer
+      if (i == 0) t.compact()
+      else {
+        val ups = (0L until 50L).map(k => (k, 9L)).toDF("id", "v")
+        val dels = (750L until 760L).toDF("id")
+        t.mergeAdhoc(ups, dels)
+      }
+    }
+    val t = TransactionalTable.open(spark, root)
+    assert(t.currentVersion === 6L, "compaction and merge must each commit once")
+    val got = t.scan().as[(Long, Long)].collect().toMap
+    assert(got.size === 800 - 10, "deletes lost in the race")
+    (0L until 50L).foreach(k => assert(got(k) === 9L, s"update to $k lost"))
+    (750L until 760L).foreach(k => assert(!got.contains(k), s"deleted $k resurrected"))
+    assert(got.count(_._2 == 0L) === 800 - 50 - 10)
+  }
+
   test("a losing attempt never clobbers a winner's committed data files") {
     val root = fresh()
     runAll(4) { i =>
