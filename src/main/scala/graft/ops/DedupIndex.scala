@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.table.TransactionalTable
+
+/**
+ * Persistent near-duplicate index — INCREMENTAL corpus dedup, the production
+ * posture at 100 TB: the corpus is not re-paired from scratch per ingest;
+ * instead the LSH state (SimHash band buckets, [[DedupOps.simhashBands]])
+ * lives in a transactional engine table, and each new batch is (1) filtered
+ * against the index, (2) self-deduped, (3) its survivors' bands appended in
+ * ONE replay-fenced commit. Cost per batch: O(batch bands ⋈ index) — a plain
+ * equi-join on well-spread (band, chunk) keys — never O(corpus²), and a
+ * crashed/replayed batch is exactly-once (the table's batchId fence turns
+ * the re-append into a no-op while the returned kept-set is recomputed
+ * deterministically).
+ *
+ * Dedup rules (deterministic, DuckDB-recomputable bit-for-bit since every
+ * hash is md5-derived):
+ *  - a batch doc is a CORPUS dup if any of its 4 band chunks already exists
+ *    in the index (Hamming-≤3 candidate ⇒ drop — the at-scale route-to-drop
+ *    posture; exact-dup docs share all 4 bands and always hit);
+ *  - among the remaining batch docs, a doc is an IN-BATCH dup if any of its
+ *    bands is shared with a surviving doc of smaller doc_id.
+ */
+object DedupIndex {
+
+  /** Index row: one per (kept doc, band). `sig_id` (md5-60 of "doc:band")
+    * is the synthetic primary key — band buckets themselves repeat. */
+  val Schema: StructType = StructType(Seq(
+    StructField("sig_id", LongType), StructField("band", LongType),
+    StructField("chunk", LongType), StructField("doc_id", LongType)))
+
+  def create(spark: SparkSession, root: String): TransactionalTable =
+    TransactionalTable.create(spark, root, Schema, pk = "sig_id", partitionCol = None)
+
+  def open(spark: SparkSession, root: String): TransactionalTable =
+    TransactionalTable.open(spark, root)
+
+  /**
+   * Filter `docs` against the index + self-dedup, append the survivors'
+   * band signatures as batch `batchId` (replay-fenced), and return the kept
+   * doc ids. Safe to call from `foreachBatch`.
+   */
+  def appendBatch(index: TransactionalTable, docs: DataFrame, batchId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bands = DedupOps.simhashBands(DedupOps.simhashSketch(docs, idCol, textCol))
+      .select(col("doc_id"), col("band"), col("chunk"))
+    // (1) corpus filter: any band hit in the index drops the doc. The index
+    // side is the big one — plain shuffle join on the spread (band, chunk)
+    // key; the batch side is a micro-batch. Self-matches (same doc_id) are
+    // excluded so a REPLAYED batch — whose own survivors' bands are already
+    // committed — recomputes the identical kept set instead of grading every
+    // original survivor a dup of itself (the fence makes the re-append a
+    // no-op; this makes the returned result deterministic too).
+    val idx = index.scan()
+      .select(col("band"), col("chunk"), col("doc_id").as("_idx_doc"))
+    val corpusDup = bands.join(idx,
+        bands("band") === idx("band") && bands("chunk") === idx("chunk") &&
+          bands("doc_id") =!= col("_idx_doc"), "left_semi")
+      .select("doc_id").distinct()
+    val cand = bands.join(corpusDup, Seq("doc_id"), "left_anti")
+    // (2) in-batch: smaller doc_id in a shared bucket wins
+    val inBatchDup = cand.as("a").join(cand.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("b.doc_id") < col("a.doc_id"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val keptIds = cand.select("doc_id").distinct()
+      .join(inBatchDup, Seq("doc_id"), "left_anti")
+      .persist()
+    try {
+      keptIds.count() // pin the kept set before the index advances
+      // (3) one fenced commit of the survivors' bands
+      val rows = cand.join(keptIds, Seq("doc_id"), "left_semi")
+        .select(
+          TextOps.md5Hash60(concat_ws(":", col("doc_id"), col("band"))).as("sig_id"),
+          col("band"), col("chunk"), col("doc_id"))
+      import spark.implicits._
+      index.merge(rows, spark.emptyDataset[Long].toDF("sig_id"), batchId)
+      keptIds.orderBy("doc_id")
+    } finally keptIds.unpersist(blocking = false)
+  }
+}

@@ -327,16 +327,14 @@ object DedupOps {
    * whole sketch — per-bit majorities, banding, Hamming distances — is
    * DuckDB-recomputable and the query is driver-oracled end to end.
    */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+  /** The 60-bit majority SimHash sketch per document (md5 token hashes, so
+    * every bit is DuckDB-recomputable). Construction is fully vectorized:
+    * explode token hashes, sum the per-bit contributions with bitwise
+    * column math in ONE codegen'd hash aggregation (map-side partial
+    * combine ships ≤1 row per doc per task), then assemble the sketch.
+    * Docs with zero tokens drop out via the explode. */
+  def simhashSketch(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // Sketch construction is fully vectorized: explode token hashes, sum the
-    // per-bit contributions with bitwise column math in ONE codegen'd hash
-    // aggregation (map-side partial combine ships ≤1 row per doc per task),
-    // then assemble the 60-bit majority sketch. The previous form folded a
-    // 64-step interpreted HOF with a nested filter per bit — O(64·tokens)
-    // lambda dispatch per document; this is the same sketch bit-for-bit
-    // (sum of (h>>i)&1 ≡ count of set bits; ties break identically on
-    // 2·count >= n). Docs with zero tokens drop out via the explode.
     val exploded = docs.select(col(idCol).as("doc_id"),
       explode(transform(TextOps.tokens(col(textCol)), t => TextOps.md5Hash60(t))).as("h"))
     val bitSums = (0 until 60).map(i =>
@@ -346,13 +344,22 @@ object DedupOps {
     val sketch = (0 until 60).map { i =>
       when(col(s"_b$i") * 2 >= col("_n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val withSim = counted.select(col("doc_id"), sketch.as("simhash"))
+    counted.select(col("doc_id"), sketch.as("simhash"))
+  }
 
-    val chunked = withSim.select(col("doc_id"), col("simhash"),
+  /** Pigeonhole banding of the sketch: 4 chunks of 15 bits — any pair
+    * within Hamming distance 3 agrees on ≥1 chunk. */
+  def simhashBands(sketches: DataFrame): DataFrame =
+    sketches.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), c -> named_struct('band', c, 'chunk', (simhash >> (c * 15)) & 32767))"
         )).as("x"))
-      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.chunk").as("chunk"))
+      .select(col("doc_id"), col("simhash"), col("x.band").cast("long").as("band"),
+        col("x.chunk").as("chunk"))
+
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunked = simhashBands(simhashSketch(docs, idCol, textCol))
 
     chunked.as("a").join(chunked.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&

@@ -452,6 +452,43 @@ object ExtQueries {
               |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
               |FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // X2: INCREMENTAL corpus dedup — the persistent LSH index as an engine
+    // table (DedupIndex): even-id docs populate the index (batch 0,
+    // self-deduped), odd-id docs are filtered against it then self-deduped
+    // (batch 1); output = batch-1 survivors. Every hash is md5-derived, so
+    // DuckDB replays the sketches, the banding, and both dedup rules
+    // bit-for-bit — the full incremental pipeline is oracled, including the
+    // two replay-fenced table commits it rides on.
+    Q("x2_dedup_index",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val root = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString + "/idx"
+        val index = graft.ops.DedupIndex.create(s, root)
+        graft.ops.DedupIndex.appendBatch(index, docs.filter(col("doc_id") % 2 === 0), 0)
+        graft.ops.DedupIndex.appendBatch(index, docs.filter(col("doc_id") % 2 === 1), 1)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+             |th AS (SELECT doc_id, CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+             |       FROM (SELECT doc_id, unnest(w) AS t FROM toks) u),
+             |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |         FROM th, range(60) r(b) GROUP BY doc_id, b),
+             |sk AS (SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+             |       FROM bits GROUP BY doc_id),
+             |ch AS (SELECT doc_id, c AS band, (simhash >> CAST(c * 15 AS INTEGER)) & 32767 AS chunk
+             |       FROM sk, range(4) r(c)),
+             |e AS (SELECT * FROM ch WHERE doc_id % 2 = 0),
+             |o AS (SELECT * FROM ch WHERE doc_id % 2 = 1),
+             |e_dup AS (SELECT DISTINCT a.doc_id FROM e a
+             |          JOIN e b ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id < a.doc_id),
+             |e_kept AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM e_dup)),
+             |o_cdup AS (SELECT DISTINCT a.doc_id FROM o a
+             |           JOIN e_kept i ON i.band = a.band AND i.chunk = a.chunk),
+             |cand AS (SELECT * FROM o WHERE doc_id NOT IN (SELECT doc_id FROM o_cdup)),
+             |o_bdup AS (SELECT DISTINCT a.doc_id FROM cand a
+             |           JOIN cand b ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id < a.doc_id)
+             |SELECT doc_id FROM (SELECT DISTINCT doc_id FROM cand)
+             |WHERE doc_id NOT IN (SELECT doc_id FROM o_bdup) ORDER BY doc_id""".stripMargin)),
+
     // X2: the Jaccard skew cap EXERCISED under oracle — maxDocFreq=4 drops
     // non-discriminative shingles (df 5-8 at this SF) before pair expansion,
     // the guard that bounds per-shingle blowup at web scale. The oracle

@@ -77,6 +77,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ok)
   }
 
+  test("DedupIndex: incremental LSH dedup against a persistent engine table") {
+    import graft.ops.DedupIndex
+    val root = tmpDir("dedup-index")
+    val index = DedupIndex.create(spark, root)
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "something completely different entirely unrelated content right here"))
+      .toDF("doc_id", "text")
+    assert(DedupIndex.appendBatch(index, b0, 0).as[Long].collect().toSeq === Seq(1L, 2L))
+    assert(index.scan().count() === 8L) // 2 docs x 4 bands
+    val b1 = Seq(
+      // near-dup of doc 1 (one word changed): shares >=1 simhash band
+      (10L, "the quick brown fox jumps over the lazy cat again and again today"),
+      // exact dup of doc 2: shares all 4 bands
+      (11L, "something completely different entirely unrelated content right here"),
+      // fresh
+      (12L, "catalyst plans tungsten codegen parquet row groups and bloom filters"))
+      .toDF("doc_id", "text")
+    val k1 = DedupIndex.appendBatch(index, b1, 1).as[Long].collect().toSeq
+    assert(k1 === Seq(12L), s"expected only the fresh doc kept, got $k1")
+    val rowsAfter = index.scan().count()
+    assert(rowsAfter === 12L) // + doc 12's 4 bands
+    // replayed batch: fence no-ops the append AND the kept set recomputes
+    // identically (self-matches excluded from the corpus filter)
+    assert(DedupIndex.appendBatch(index, b1, 1).as[Long].collect().toSeq === Seq(12L))
+    assert(index.scan().count() === rowsAfter, "replay must not grow the index")
+    // in-batch dups: two identical fresh docs in one batch -> smaller id wins
+    val b2 = Seq(
+      (20L, "brand new paragraph with wholly original vocabulary throughout it"),
+      (21L, "brand new paragraph with wholly original vocabulary throughout it"))
+      .toDF("doc_id", "text")
+    assert(DedupIndex.appendBatch(index, b2, 2).as[Long].collect().toSeq === Seq(20L))
+  }
+
   test("maxDocFreq skew guard drops ubiquitous shingles") {
     val idx = DedupOps.shingleIndex(corpus, maxDocFreq = Some(2))
     // the shared fox-shingles appear in docs 1,2,5 (> 2) and must be gone
