@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.table.DataFile
+import graft.table.{ChunkJson, DataFile}
 
 /**
  * Distributed (manifest-fed) entry-level metadata scans — the scale path for
@@ -33,39 +33,6 @@ import graft.table.DataFile
  * `groupBy(path).agg(min/max)` plan over the raw chunk scan — Spark does the
  * aggregation, the driver never holds an entry.
  */
-object ChunkJson {
-
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
-  /** Test-observable parse counter (per-JVM; in local mode executor-side
-    * parses tick it too, so specs can assert "planning parses zero chunks,
-    * execution parses exactly the matching ones"). */
-  val parses = new java.util.concurrent.atomic.AtomicLong()
-
-  /** Parse one immutable manifest chunk file — executor-side twin of the
-    * engine's private `TransactionalTable.parseDataFile` chunk loader (kept
-    * in sync by `DistributedMetadataSpec`'s content-equality tests). */
-  def parse(path: String): IndexedSeq[DataFile] = {
-    import scala.jdk.CollectionConverters._
-    parses.incrementAndGet()
-    val node = mapper.readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
-    node.get("files").elements().asScala.map { f =>
-      DataFile(
-        f.get("path").asText(),
-        if (f.get("partition").isNull) None else Some(f.get("partition").asText()),
-        f.get("pkMin").asLong(), f.get("pkMax").asLong(), f.get("rows").asLong(),
-        if (f.has("bytes")) f.get("bytes").asLong()
-        else java.nio.file.Files.size(java.nio.file.Paths.get(f.get("path").asText())),
-        if (f.has("bloom")) Some(f.get("bloom").asText()) else None,
-        if (!f.has("stats")) Map.empty
-        else f.get("stats").properties().asScala.map { e =>
-          e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
-        }.toMap,
-        if (f.has("specId")) f.get("specId").asInt() else 0)
-    }.toIndexedSeq
-  }
-}
-
 /** One manifest chunk = one input partition. `firstRef`/`lastRef` are the
   * min/max RETAINED snapshot versions whose manifests reference this chunk
   * (driver-computed from manifest JSON chunk-ref lists alone). Since data

@@ -891,7 +891,16 @@ final class TransactionalTable private (
     // branch's (a file written on a branch is referenced only there until
     // publish; sweeping it would destroy the branch). Data files are
     // referenced per part-file; delete files are referenced by directory.
-    val refs = scala.collection.mutable.HashSet.empty[String]
+    //
+    // DISTRIBUTED sweep (Iceberg's remove_orphan_files action shape): the
+    // driver holds only chunk PATHS + inline/delete refs (O(chunks +
+    // versions)); chunk entries resolve executor-side (ChunkJson), the data
+    // dir is listed in parallel (one task per commit directory), and the
+    // reference anti-join is a Spark job — at 10⁷ files neither the
+    // reference set nor the listing ever materializes on the driver. Only
+    // the ORPHAN list (normally tiny) is collected, for deletion.
+    val chunkPaths = scala.collection.mutable.LinkedHashSet.empty[String]
+    val directRefs = scala.collection.mutable.HashSet.empty[String]
     def collect(dir: Path, t: TransactionalTable): Unit = {
       val ms = Files.list(dir)
       val versions = try ms.iterator().asScala.map(_.getFileName.toString)
@@ -900,36 +909,82 @@ final class TransactionalTable private (
       finally ms.close()
       versions.foreach { v =>
         val s = t.snapshotAt(v)
-        s.files.foreach(f => refs += f.path)
-        s.deletes.foreach(d => refs += d.path)
+        s.files match {
+          case mf: ManifestFiles => mf.chunks.foreach(c => chunkPaths += c.path)
+          case sq => sq.foreach(f => directRefs += f.path)
+        }
+        s.deletes.foreach(d => directRefs += d.path)
       }
     }
     collect(manifestDir, this)
     listBranches.foreach(b => collect(branchesDir.resolve(b), branch(b)))
-    def referenced(p: Path): Boolean =
-      refs.contains(p.toString) ||
-        Iterator.iterate(p.getParent)(_.getParent).takeWhile(_ != null)
-          .takeWhile(_.startsWith(dataDir)).exists(d => refs.contains(d.toString))
+    import spark.implicits._
+    val refDf = {
+      val fromChunks =
+        if (chunkPaths.isEmpty) spark.emptyDataset[String].toDF("ref")
+        else spark.sparkContext
+          .parallelize(chunkPaths.toSeq, math.min(64, chunkPaths.size))
+          .flatMap(p => ChunkJson.parse(p).map(_.path)).toDF("ref")
+      fromChunks.unionByName(directRefs.toSeq.toDF("ref")).distinct()
+    }
+    // parallel listing, one shard per top-level entry of the data dir
+    // (per-attempt commit directories — O(versions·attempts), driver-safe)
+    val top = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.map(_.toString).toVector finally s.close()
+    }
+    if (top.isEmpty) return 0L
     val cutoff = System.currentTimeMillis() - olderThanMs
+    val dataDirStr = dataDir.toString
+    val candidates = spark.sparkContext
+      .parallelize(top, math.min(64, top.size))
+      .flatMap { d =>
+        import scala.jdk.CollectionConverters._
+        import java.nio.file.{Files => NF}
+        val p = java.nio.file.Paths.get(d)
+        val files =
+          if (NF.isRegularFile(p)) Vector(p)
+          else {
+            val w = NF.walk(p)
+            try w.iterator().asScala.filter(NF.isRegularFile(_)).toVector
+            finally w.close()
+          }
+        files.iterator
+          .filter(f => NF.getLastModifiedTime(f).toMillis < cutoff)
+          .map { f =>
+            // the path + every ancestor dir inside the data dir: a file is
+            // referenced directly (data part) or via its directory (delete
+            // files are referenced by dir)
+            val probes = Iterator.iterate(f)(_.getParent)
+              .takeWhile(a => a != null && a.toString.startsWith(dataDirStr) &&
+                a.toString != dataDirStr)
+              .map(_.toString).toSeq
+            (f.toString, probes)
+          }
+      }.toDF("path", "probes")
+    val referenced = candidates
+      .select(col("path"), explode(col("probes")).as("ref"))
+      .join(refDf, Seq("ref"), "left_semi")
+      .select("path").distinct()
+    val doomed = candidates.join(referenced, Seq("path"), "left_anti")
+      .select("path").as[String].collect()
     var deleted = 0L
-    val walk = Files.walk(dataDir)
-    val doomed = try walk.iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .filterNot(referenced)
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .toVector
-    finally walk.close()
-    doomed.foreach { p => Files.deleteIfExists(p); deleted += 1 }
-    // sweep now-empty directories (bottom-up)
-    val walk2 = Files.walk(dataDir)
-    try walk2.iterator().asScala.toSeq.reverse
-      .filter(p => p != dataDir && Files.isDirectory(p))
-      .foreach { d =>
+    doomed.foreach { p =>
+      if (Files.deleteIfExists(Paths.get(p))) deleted += 1
+    }
+    // sweep now-empty ancestor dirs of the deleted files (bottom-up; bounded
+    // by deletions — no second full walk)
+    val parents = doomed.iterator
+      .flatMap(p => Iterator.iterate(Paths.get(p).getParent)(_.getParent)
+        .takeWhile(a => a != null && a.startsWith(dataDir) && a != dataDir))
+      .toSeq.distinct.sortBy(-_.getNameCount)
+    parents.foreach { d =>
+      if (Files.isDirectory(d)) {
         val s = Files.list(d)
         val empty = try !s.iterator().hasNext finally s.close()
         if (empty) Files.deleteIfExists(d)
       }
-    finally walk2.close()
+    }
     deleted
   }
 

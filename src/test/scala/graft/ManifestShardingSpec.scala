@@ -206,10 +206,10 @@ class ManifestShardingSpec extends SparkSpec {
          |FROM $cat.db.shard.entries WHERE kind = 'data'""".stripMargin)
     // Resolution + planning must materialize ZERO entries driver-side: no
     // engine chunk loads, no raw chunk parses — the driver ships chunk refs.
-    val p0 = graft.sql.ChunkJson.parses.get()
+    val p0 = graft.table.ChunkJson.parses.get()
     val l0 = TransactionalTable.chunkLoads.get()
     val optimized = df.queryExecution.optimizedPlan
-    assert(graft.sql.ChunkJson.parses.get() - p0 === 0L, "planning parsed chunk JSON")
+    assert(graft.table.ChunkJson.parses.get() - p0 === 0L, "planning parsed chunk JSON")
     assert(TransactionalTable.chunkLoads.get() - l0 === 0L, "planning loaded chunks")
     // plan shape: the substituted aggregate reads the chunk-partitioned raw
     // scan — one input partition per chunk, not a LocalRows driver dump
@@ -223,7 +223,7 @@ class ManifestShardingSpec extends SparkSpec {
     val row = df.collect().head
     assert(row.getLong(0) === NChunks.toLong * FilesPerChunk)
     assert(row.getLong(1) === NChunks.toLong * FilesPerChunk * RowsPerFile)
-    assert(graft.sql.ChunkJson.parses.get() - p0 >= NChunks.toLong,
+    assert(graft.table.ChunkJson.parses.get() - p0 >= NChunks.toLong,
       "execution should parse every chunk (task-side)")
     // all_files agrees (same raw scan, per-path version range)
     val af = spark.sql(
@@ -241,7 +241,7 @@ class ManifestShardingSpec extends SparkSpec {
     assert(filesDf.collect().head.getLong(0) === NChunks.toLong * FilesPerChunk * RowsPerFile)
     // `history` answers from chunk STATS + chunk-path diffing: zero loads,
     // zero parses over the 100k files (added counts = chunk-ref totals)
-    val p1 = graft.sql.ChunkJson.parses.get()
+    val p1 = graft.table.ChunkJson.parses.get()
     val l1 = TransactionalTable.chunkLoads.get()
     val hist = spark.sql(
       s"SELECT version, n_files, n_rows, added_files, added_rows FROM $cat.db.shard.history")
@@ -250,7 +250,7 @@ class ManifestShardingSpec extends SparkSpec {
     assert(hist.head.getLong(1) === NChunks.toLong * FilesPerChunk)
     assert(hist.head.getLong(3) === NChunks.toLong * FilesPerChunk)
     assert(hist.head.getLong(4) === NChunks.toLong * FilesPerChunk * RowsPerFile)
-    assert(graft.sql.ChunkJson.parses.get() - p1 === 0L, "history parsed chunk JSON")
+    assert(graft.table.ChunkJson.parses.get() - p1 === 0L, "history parsed chunk JSON")
     assert(TransactionalTable.chunkLoads.get() - l1 === 0L, "history loaded chunks")
   }
 
@@ -263,9 +263,9 @@ class ManifestShardingSpec extends SparkSpec {
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root0)
     val df = spark.sql(
       s"SELECT partition, n_files, n_rows FROM $cat.db.shard.partitions ORDER BY partition")
-    val p0 = graft.sql.ChunkJson.parses.get()
+    val p0 = graft.table.ChunkJson.parses.get()
     val optimized = df.queryExecution.optimizedPlan
-    assert(graft.sql.ChunkJson.parses.get() - p0 === 0L, "planning parsed chunk JSON")
+    assert(graft.table.ChunkJson.parses.get() - p0 === 0L, "planning parsed chunk JSON")
     assert(optimized.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
     }.forall(_.relation.table.isInstanceOf[graft.sql.ChunkEntriesTable]))
@@ -283,9 +283,9 @@ class ManifestShardingSpec extends SparkSpec {
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root0)
     def parsesOf(sql: String): (Long, Long) = {
-      val p0 = graft.sql.ChunkJson.parses.get()
+      val p0 = graft.table.ChunkJson.parses.get()
       val n = spark.sql(sql).collect().head.getLong(0)
-      (n, graft.sql.ChunkJson.parses.get() - p0)
+      (n, graft.table.ChunkJson.parses.get() - p0)
     }
     // partition equality: 20 of 200 chunks hold e3
     val (n1, c1) = parsesOf(

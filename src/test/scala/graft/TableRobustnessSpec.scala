@@ -178,6 +178,34 @@ class TableRobustnessSpec extends SparkSpec {
     assert(t.scan().count() === 2L)
   }
 
+  test("removeOrphanFiles resolves references executor-side: zero driver chunk loads") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
+    val root = tmpDir("ttable-orphandist")
+    val t = TransactionalTable.create(spark, root, schema, "id")
+    import spark.implicits._
+    t.append((1L to 50L).map(i => (i, i)).toDF("id", "v"))
+    t.append((51L to 100L).map(i => (i, i)).toDF("id", "v"))
+    val stray = Paths.get(root, "data", "v7-beefcafe")
+    Files.createDirectories(stray)
+    val aged = stray.resolve("part-orphan.parquet")
+    Files.write(aged, Array[Byte](9))
+    Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000))
+    // open a FRESH handle (no warm chunk cache) so the reference resolution
+    // is observable: the driver must touch chunk REFS only, entries parse in
+    // executor tasks (ChunkJson) — the distributed-sweep contract
+    val t2 = TransactionalTable.open(spark, root)
+    val l0 = TransactionalTable.chunkLoads.get()
+    val p0 = graft.table.ChunkJson.parses.get()
+    assert(t2.removeOrphanFiles(olderThanMs = 3600000) === 1L)
+    assert(TransactionalTable.chunkLoads.get() - l0 === 0L,
+      "orphan sweep loaded chunk entries on the driver")
+    assert(graft.table.ChunkJson.parses.get() - p0 >= 1L,
+      "expected executor-side chunk parses for the reference set")
+    assert(!Files.exists(aged) && t2.scan().count() === 100L)
+  }
+
   test("snapshot tags: VERSION AS OF 'name' resolves; tagged versions survive expiry") {
     val w = tmpDir("graft-tag-warehouse")
     spark.conf.set("spark.sql.catalog.graft_tag", "graft.sql.GraftCatalog")
