@@ -838,23 +838,57 @@ final class TransactionalTable private (
         if (Files.exists(branchesDir.resolve(b).resolve(s"v$v.json")))
           Some(h.snapshotAt(v)) else None)
     }
-    val referenced = (kept ++ branchKept)
-      .flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
-    (0L until cutoff).filterNot(tagged).foreach { v =>
-      val m = manifestDir.resolve(s"v$v.json")
-      if (Files.exists(m)) {
-        val snap = snapshotAt(v)
-        (snap.files.map(_.path) ++ snap.deletes.map(_.path))
-          .filterNot(referenced)
-          .foreach { p =>
-            val path = Paths.get(p)
-            if (Files.isDirectory(path))
-              Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-            else Files.deleteIfExists(path)
-          }
-        Files.delete(m)
+    // Reference resolution by CHUNK IDENTITY + a distributed anti-join (the
+    // same shape as removeOrphanFiles): the driver holds chunk paths and the
+    // inline/delete refs only. Expired-version files living in a chunk a
+    // KEPT manifest also references are live by construction (zero loads);
+    // only the chunks EXCLUSIVE to expired versions parse — executor-side —
+    // and their paths anti-join the kept reference scan. O(chunks) driver
+    // memory, never O(files).
+    val keptChunkPaths = scala.collection.mutable.LinkedHashSet.empty[String]
+    val keptDirect = scala.collection.mutable.HashSet.empty[String]
+    (kept ++ branchKept).foreach { s =>
+      s.files match {
+        case mf: ManifestFiles => mf.chunks.foreach(c => keptChunkPaths += c.path)
+        case sq => sq.foreach(f => keptDirect += f.path)
+      }
+      s.deletes.foreach(d => keptDirect += d.path)
+    }
+    val expiredVersions = (0L until cutoff).filterNot(tagged)
+      .filter(v => Files.exists(manifestDir.resolve(s"v$v.json")))
+    val expChunkPaths = scala.collection.mutable.LinkedHashSet.empty[String]
+    val expDirect = scala.collection.mutable.HashSet.empty[String]
+    expiredVersions.foreach { v =>
+      val snap = snapshotAt(v)
+      snap.files match {
+        case mf: ManifestFiles => mf.chunks.foreach(c => expChunkPaths += c.path)
+        case sq => sq.foreach(f => expDirect += f.path)
+      }
+      snap.deletes.foreach(d => expDirect += d.path)
+    }
+    val exclusiveChunks = (expChunkPaths -- keptChunkPaths).toSeq
+    val directCandidates = (expDirect -- keptDirect).toSeq
+    if (exclusiveChunks.nonEmpty || directCandidates.nonEmpty) {
+      import spark.implicits._
+      def pathsOf(chunks: Seq[String], direct: Seq[String]) = {
+        val fromChunks =
+          if (chunks.isEmpty) spark.emptyDataset[String].toDF("p")
+          else spark.sparkContext.parallelize(chunks, math.min(64, chunks.size))
+            .flatMap(p => ChunkJson.parse(p).map(_.path)).toDF("p")
+        fromChunks.unionByName(direct.toDF("p")).distinct()
+      }
+      val candidates = pathsOf(exclusiveChunks, directCandidates)
+      val keptRefs = pathsOf(keptChunkPaths.toSeq, keptDirect.toSeq)
+      val doomed = candidates.join(keptRefs, Seq("p"), "left_anti")
+        .as[String].collect()
+      doomed.foreach { p =>
+        val path = Paths.get(p)
+        if (Files.isDirectory(path))
+          Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        else Files.deleteIfExists(path)
       }
     }
+    expiredVersions.foreach(v => Files.delete(manifestDir.resolve(s"v$v.json")))
     // Manifest-chunk GC: drop chunk files no remaining manifest references
     // (expired versions' exclusive chunks, plus crash-orphaned chunks).
     // Branch manifests reference main chunk files (O(1) forks) — theirs are
