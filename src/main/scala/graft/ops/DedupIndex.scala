@@ -48,8 +48,11 @@ object DedupIndex {
   def appendBatch(index: TransactionalTable, docs: DataFrame, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
+    // The sketch aggregation (60 bitwise sums over exploded token hashes) is
+    // the expensive leg — cache it: the filter, the self-join, and the
+    // append all reuse the one computation.
     val bands = DedupOps.simhashBands(DedupOps.simhashSketch(docs, idCol, textCol))
-      .select(col("doc_id"), col("band"), col("chunk"))
+      .select(col("doc_id"), col("band"), col("chunk")).persist()
     // (1) corpus filter: any band hit in the index drops the doc. The index
     // side is the big one — plain shuffle join on the spread (band, chunk)
     // key; the batch side is a micro-batch. Self-matches (same doc_id) are
@@ -63,17 +66,18 @@ object DedupIndex {
         bands("band") === idx("band") && bands("chunk") === idx("chunk") &&
           bands("doc_id") =!= col("_idx_doc"), "left_semi")
       .select("doc_id").distinct()
-    val cand = bands.join(corpusDup, Seq("doc_id"), "left_anti")
-    // (2) in-batch: smaller doc_id in a shared bucket wins
-    val inBatchDup = cand.as("a").join(cand.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("b.doc_id") < col("a.doc_id"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val keptIds = cand.select("doc_id").distinct()
-      .join(inBatchDup, Seq("doc_id"), "left_anti")
-      .persist()
+    val cand = bands.join(corpusDup, Seq("doc_id"), "left_anti").persist()
     try {
-      keptIds.count() // pin the kept set before the index advances
+      // (2) in-batch: smaller doc_id in a shared bucket wins
+      val inBatchDup = cand.as("a").join(cand.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("b.doc_id") < col("a.doc_id"), "left_semi")
+        .select(col("doc_id")).distinct()
+      // materialized + lineage-truncated: the returned kept set must not
+      // recompute against the index AFTER the append below advances it
+      val keptIds = cand.select("doc_id").distinct()
+        .join(inBatchDup, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       // (3) one fenced commit of the survivors' bands
       val rows = cand.join(keptIds, Seq("doc_id"), "left_semi")
         .select(
@@ -82,6 +86,9 @@ object DedupIndex {
       import spark.implicits._
       index.merge(rows, spark.emptyDataset[Long].toDF("sig_id"), batchId)
       keptIds.orderBy("doc_id")
-    } finally keptIds.unpersist(blocking = false)
+    } finally {
+      cand.unpersist(blocking = false)
+      bands.unpersist(blocking = false)
+    }
   }
 }

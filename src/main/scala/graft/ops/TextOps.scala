@@ -23,7 +23,15 @@ object TextOps {
    *  every engine (DuckDB: `CAST('0x'||substring(md5(x),1,15) AS BIGINT)`),
    *  and 15 hex chars keep the value positive in a signed 64-bit column on
    *  both sides. Uniformity is md5's; 60 bits ≈ collision at ~2^30 docs. */
-  def md5Hash60(c: Column): Column =
+  def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    GraftShims.column(graft.functions.Md5Hash60(
+      GraftShims.expression(c.cast("string"))))
+  }
+
+  /** Built-in-chain twin of [[md5Hash60]] — kept for the bit-equality spec
+    * (the native kernel must never drift from the oracle formula). */
+  private[graft] def md5Hash60Chain(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Word n-gram shingles (default 3) — the unit for Jaccard/MinHash near-dup

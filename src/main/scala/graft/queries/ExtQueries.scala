@@ -308,7 +308,8 @@ object ExtQueries {
              |  CASE WHEN len(ls) > 0 THEN
              |    CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE) / len(ls)
              |  END AS frac_ellipsis_lines
-             |FROM base ORDER BY doc_id""".stripMargin)),
+             |FROM base ORDER BY doc_id""".stripMargin),
+      headline = true),
 
     // X4: corpus term frequencies (top 20).
     Q("x4_term_frequency",
@@ -487,7 +488,11 @@ object ExtQueries {
              |o_bdup AS (SELECT DISTINCT a.doc_id FROM cand a
              |           JOIN cand b ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id < a.doc_id)
              |SELECT doc_id FROM (SELECT DISTINCT doc_id FROM cand)
-             |WHERE doc_id NOT IN (SELECT doc_id FROM o_bdup) ORDER BY doc_id""".stripMargin)),
+             |WHERE doc_id NOT IN (SELECT doc_id FROM o_bdup) ORDER BY doc_id""".stripMargin),
+      // micro-batch pipeline (2 fenced table commits), not an analytic
+      // query: native shuffle partitions, and the DuckDB wall-clock ratio
+      // is a freshness comparison, not a per-query one
+      headline = true, streaming = true),
 
     // X2: the Jaccard skew cap EXERCISED under oracle — maxDocFreq=4 drops
     // non-discriminative shingles (df 5-8 at this SF) before pair expansion,

@@ -546,13 +546,25 @@ final class TransactionalTable private (
     val fromSnap = snapshotAt(fromVersion)
     val toSnap = snapshotAt(toVersion)
     val sch = schemaAt(toVersion) // before-side files null-fill later-added columns
-    val fromPaths = fromSnap.files.map(_.path).toSet
-    val toPaths = toSnap.files.map(_.path).toSet
-    val added = toSnap.files.filterNot(f => fromPaths(f.path))
-    val removed = fromSnap.files.filterNot(f => toPaths(f.path))
+    // CHUNK-IDENTITY diff (commits reuse clean chunks by reference): only
+    // the chunks unique to one endpoint load — the interval's added/removed
+    // file lists cost O(churn) entry loads, never O(table). Within one
+    // manifest chunks hold disjoint file sets, so a path in a to-only chunk
+    // lives at `from` iff it is in a from-only chunk.
+    val (fromOnly, toOnly) = (fromSnap.files, toSnap.files) match {
+      case (am: ManifestFiles, bm: ManifestFiles) =>
+        val aP = am.chunks.map(_.path).toSet
+        val bP = bm.chunks.map(_.path).toSet
+        (am.loadWhere(c => !bP.contains(c.path)), bm.loadWhere(c => !aP.contains(c.path)))
+      case (a, b) => (a: Seq[DataFile], b: Seq[DataFile]) // legacy inline
+    }
+    val fromOnlyPaths = fromOnly.map(_.path).toSet
+    val toOnlyPaths = toOnly.map(_.path).toSet
+    val added = toOnly.filterNot(f => fromOnlyPaths(f.path))
+    val addedPaths = added.map(_.path).toSet
+    val removed = fromOnly.filterNot(f => toOnlyPaths(f.path))
     val oldDeletePaths = fromSnap.deletes.map(_.path).toSet
     val newDeletes = toSnap.deletes.filterNot(d => oldDeletePaths(d.path))
-    val carried = toSnap.files.filter(f => fromPaths(f.path))
     val (newPos, newEq) = newDeletes.partition(_.kind == DeleteFile.Position)
     // Positional deletes name their victim files outright — read the tiny
     // delete files once and prune carried files to exactly those targets
@@ -563,10 +575,25 @@ final class TransactionalTable private (
       else spark.read.parquet(newPos.map(_.path): _*)
         .select(col("_dfile")).distinct().collect()
         .map(r => stripScheme(r.getString(0))).toSet
-    val affectedCarried = carried.filter { f =>
+    // Carried files the interval's NEW deletes can touch. A carried file is
+    // any `to` file that is not newly added; with chunked manifests only
+    // chunks whose pk range overlaps a new equality delete load (positional
+    // targets are named by PATH, which chunk stats cannot prune — those
+    // intervals fall back to the full carried walk, exactly the pre-rewrite
+    // cost).
+    def touched(f: DataFile): Boolean =
       newEq.exists(d => d.pkMin <= f.pkMax && d.pkMax >= f.pkMin) ||
         posTargets.contains(stripScheme(f.path))
-    }
+    val affectedCarried: Seq[DataFile] =
+      if (newEq.isEmpty && posTargets.isEmpty) Seq.empty
+      else toSnap.files match {
+        case mf: ManifestFiles =>
+          val keep: ChunkRef => Boolean =
+            if (posTargets.nonEmpty) _ => true
+            else c => newEq.exists(d => d.pkMin <= c.pkMax && d.pkMax >= c.pkMin)
+          mf.loadWhere(keep).filter(f => !addedPaths.contains(f.path) && touched(f))
+        case sq => sq.filter(f => !addedPaths.contains(f.path) && touched(f))
+      }
     val before = scanWithDeletes(removed ++ affectedCarried, fromSnap.deletes, sch)
     val after = scanWithDeletes(added ++ affectedCarried, toSnap.deletes, sch)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
@@ -749,12 +776,26 @@ final class TransactionalTable private (
       // genuinely-diverged case rejects without materializing anything.
       lazy val mainFiles = snap.files.map(_.path).toSet
       lazy val mainDeletes = snap.deletes.map(_.path).toSet
+      // chunk-identity fast path: immutable chunk files with the same paths
+      // hold the same entries, so equal chunk sets prove equal file sets
+      // WITHOUT loading an entry (the normal publish-match case — branch
+      // manifests reference main's chunk files verbatim)
+      lazy val mainChunks: Option[Set[String]] = snap.files match {
+        case mf: ManifestFiles => Some(mf.chunks.map(_.path).toSet)
+        case _ => None
+      }
       (b.currentVersion to math.max(0L, b.currentVersion - 16) by -1L)
         .view.filter(b.manifestExists).exists { v =>
           val bs = b.snapshotAt(v)
           bs.files.length == snap.files.length &&
-            bs.deletes.length == snap.deletes.length &&
-            bs.files.map(_.path).toSet == mainFiles &&
+            bs.deletes.length == snap.deletes.length && {
+              val chunkEqual = (mainChunks, bs.files) match {
+                case (Some(mc), bm: ManifestFiles) =>
+                  if (bm.chunks.map(_.path).toSet == mc) Some(true) else None
+                case _ => None
+              }
+              chunkEqual.getOrElse(bs.files.map(_.path).toSet == mainFiles)
+            } &&
             bs.deletes.map(_.path).toSet == mainDeletes
         }
     }
@@ -1034,16 +1075,39 @@ final class TransactionalTable private (
     val snaps = (0L to currentVersion)
       .filter(v => Files.exists(manifestDir.resolve(s"v$v.json"))) // expired are gone
       .map(snapshotAt)
+    // per-version churn by CHUNK diffing (see MetadataTables.history):
+    // shared chunks contribute nothing, only chunks unique to one side of a
+    // version pair load — O(churn) per pair, never O(files); totals answer
+    // from chunk stats.
+    def sideOnly(a: Seq[DataFile], b: Seq[DataFile]): (Seq[DataFile], Seq[DataFile]) =
+      (a, b) match {
+        case (am: ManifestFiles, bm: ManifestFiles) =>
+          val aP = am.chunks.map(_.path).toSet
+          val bP = bm.chunks.map(_.path).toSet
+          (am.loadWhere(c => !bP.contains(c.path)), bm.loadWhere(c => !aP.contains(c.path)))
+        case _ => (a, b)
+      }
+    def totals(fs: Seq[DataFile]): (Long, Long) = fs match {
+      case mf: ManifestFiles =>
+        (mf.totalBytes.getOrElse(mf.iterator.map(_.bytes).sum),
+          mf.totalRows.getOrElse(mf.iterator.map(_.rows).sum))
+      case s => (s.iterator.map(_.bytes).sum, s.iterator.map(_.rows).sum)
+    }
     snaps.zipWithIndex.map { case (s, i) =>
-      val parentFiles = if (i == 0) Seq.empty else snaps(i - 1).files
-      val pPaths = parentFiles.map(_.path).toSet
-      val paths = s.files.map(_.path).toSet
-      val added = s.files.filterNot(f => pPaths(f.path))
-      val removed = parentFiles.filterNot(f => paths(f.path))
-      (s.version, s.batchId, s.files.size.toLong, s.rowCount, s.files.map(_.bytes).sum,
-        added.size.toLong, added.map(_.rows).sum,
-        removed.size.toLong, removed.map(_.rows).sum,
-        s.deletes.size.toLong)
+      val (bytes, rowsTotal) = totals(s.files)
+      val (addedN, addedRows, removedN, removedRows) =
+        if (i == 0) (s.files.size.toLong, rowsTotal, 0L, 0L)
+        else {
+          val (pOnly, cOnly) = sideOnly(snaps(i - 1).files, s.files)
+          val pPaths = pOnly.map(_.path).toSet
+          val cPaths = cOnly.map(_.path).toSet
+          val added = cOnly.filterNot(f => pPaths(f.path))
+          val removed = pOnly.filterNot(f => cPaths(f.path))
+          (added.size.toLong, added.map(_.rows).sum,
+            removed.size.toLong, removed.map(_.rows).sum)
+        }
+      (s.version, s.batchId, s.files.size.toLong, s.rowCount, bytes,
+        addedN, addedRows, removedN, removedRows, s.deletes.size.toLong)
     }.toDF("version", "batch_id", "n_files", "n_rows", "n_bytes",
       "added_files", "added_rows", "removed_files", "removed_rows", "n_delete_files")
   }
