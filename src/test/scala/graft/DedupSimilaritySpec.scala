@@ -103,12 +103,15 @@ class DedupSimilaritySpec extends SparkSpec {
     // identically (self-matches excluded from the corpus filter)
     assert(DedupIndex.appendBatch(index, b1, 1).as[Long].collect().toSeq === Seq(12L))
     assert(index.scan().count() === rowsAfter, "replay must not grow the index")
-    // in-batch dups: two identical fresh docs in one batch -> smaller id wins
+    // in-batch dups: two identical fresh docs in one batch -> smaller id
+    // wins; a zero-token doc has no sketch and is kept bandless
     val b2 = Seq(
       (20L, "brand new paragraph with wholly original vocabulary throughout it"),
-      (21L, "brand new paragraph with wholly original vocabulary throughout it"))
+      (21L, "brand new paragraph with wholly original vocabulary throughout it"),
+      (22L, "   "))
       .toDF("doc_id", "text")
-    assert(DedupIndex.appendBatch(index, b2, 2).as[Long].collect().toSeq === Seq(20L))
+    assert(DedupIndex.appendBatch(index, b2, 2).as[Long].collect().toSeq.sorted
+      === Seq(20L, 22L))
   }
 
   test("maxDocFreq skew guard drops ubiquitous shingles") {
