@@ -186,7 +186,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case Some(v) => loadAt(ident, Some(v))
       case None =>
         val root = rootOf(ident)
-        if (!TransactionalTable.exists(root)) throw new NoSuchTableException(ident)
+        if (!TransactionalTable.exists(root)) {
+          // metadata-table suffix with a TAG ref: `t.files VERSION AS OF
+          // 'prod'` resolves the tag against the parent table and scopes
+          // the metadata answer to it
+          val ns = ident.namespace().toSeq
+          val meta = ident.name().toLowerCase(java.util.Locale.ROOT)
+          if (ns.length >= 2 && MetadataTables.Names(meta)) {
+            val parentRoot = (warehouse +: ns).mkString("/")
+            if (TransactionalTable.exists(parentRoot)) {
+              val parent = TransactionalTable.open(spark, parentRoot)
+              parent.tags.get(version) match {
+                case Some(v) =>
+                  return MetadataTables.load(parent,
+                    s"$catalogName.${ns.mkString(".")}", meta, Some(v))
+                case None => throw new IllegalArgumentException(
+                  s"no tag '$version' on ${ns.mkString(".")} " +
+                    s"(tags: ${parent.tags.keys.mkString(", ")})")
+              }
+            }
+          }
+          throw new NoSuchTableException(ident)
+        }
         val t = TransactionalTable.open(spark, root)
         t.tags.get(version) match {
           case Some(v) => loadAt(ident, Some(v))

@@ -71,6 +71,14 @@ class DistributedMetadataSpec extends SparkSpec {
     // partitions AS OF 1 aggregates snapshot 1 only
     assert(spark.sql(s"SELECT SUM(n_rows) AS r FROM $cat.db.t.partitions VERSION AS OF 1")
       .as[Long].head() === 2L)
+    // TAG refs resolve against the parent table and scope the answer
+    t.createTag("first", 1L)
+    assert(spark.sql(
+      s"SELECT SUM(n_rows) AS r FROM $cat.db.t.files VERSION AS OF 'first' WHERE kind = 'data'")
+      .as[Long].head() === 2L)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.db.t.files VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("no tag"))
   }
 
   test("entries after rollback: re-added files grade as ADDED (parent membership, not age)") {
