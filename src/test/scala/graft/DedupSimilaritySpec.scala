@@ -114,6 +114,44 @@ class DedupSimilaritySpec extends SparkSpec {
       === Seq(20L, 22L))
   }
 
+  test("DedupIndex inside a checkpointed foreachBatch stream: restart-safe, incremental") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.DedupIndex
+    val in = tmpDir("dedup-stream-in")
+    val cp = tmpDir("dedup-stream-cp")
+    val index = DedupIndex.create(spark, tmpDir("dedup-stream-idx") + "/idx")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .json(in)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          DedupIndex.appendBatch(index, df, bid); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.write(Paths.get(in, "b0.json"), Seq(
+      """{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"}""",
+      """{"doc_id": 2, "text": "one two three four five six seven eight nine"}""")
+      .mkString("", "\n", "\n").getBytes)
+    runOnce()
+    assert(index.scan().count() === 8L) // 2 docs x 4 bands
+    // second run resumes from the checkpoint: only the NEW file processes;
+    // the exact dup of doc 1 drops, the fresh doc lands
+    Files.write(Paths.get(in, "b1.json"), Seq(
+      """{"doc_id": 10, "text": "alpha beta gamma delta epsilon zeta eta theta"}""",
+      """{"doc_id": 12, "text": "totally different words appear in this sentence here"}""")
+      .mkString("", "\n", "\n").getBytes)
+    runOnce()
+    val ids = index.scan().select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 12L), s"index doc set: $ids")
+    assert(index.scan().count() === 12L)
+  }
+
   test("maxDocFreq skew guard drops ubiquitous shingles") {
     val idx = DedupOps.shingleIndex(corpus, maxDocFreq = Some(2))
     // the shared fox-shingles appear in docs 1,2,5 (> 2) and must be gone
