@@ -9,6 +9,10 @@ final case class DecodedImage(
     meta: ImageMeta, meanLuma: Double, channelMeans: Array[Double],
     lumaHist: Array[Float], thumb: Array[Float])
 
+/** One decoded frame of a multi-frame container (animated GIF): the
+  * video-frame-sampling unit. */
+final case class FrameStats(frameIdx: Int, width: Int, height: Int, meanLuma: Double)
+
 /**
  * Pure-JVM image codec (X5's decode kernel, de-stubbed): header PROBING is
  * hand-parsed from the real container formats (PNG IHDR, JPEG SOF marker
@@ -86,6 +90,72 @@ object ImageCodec {
       catch { case _: Exception => null }
     if (img == null) None
     else {
+      val (w, h, meanLuma, chans, histF, thumb) = pixelStats(img)
+      Some(DecodedImage(meta.copy(width = w, height = h), meanLuma, chans, histF, thumb))
+    }
+  }
+
+  /** Per-frame decode of a MULTI-frame container (animated GIF — the one
+    * video-like format with a pure-JVM codec). Each frame is fully pixel-
+    * decoded; single-frame formats yield one entry. Frames whose pixels the
+    * reader cannot produce are skipped (truncated trailers). */
+  def frames(bytes: Array[Byte]): Seq[FrameStats] = probe(bytes) match {
+    case None => Seq.empty
+    case Some(_) =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          val n = try reader.getNumImages(true) catch { case _: Exception => 1 }
+          val out = Seq.newBuilder[FrameStats]
+          var i = 0
+          while (i < math.max(1, n)) {
+            val img = try reader.read(i) catch { case _: Exception => null }
+            if (img != null) {
+              val (w, h, meanLuma, _, _, _) = pixelStats(img)
+              out += FrameStats(i, w, h, meanLuma)
+            }
+            i += 1
+          }
+          reader.dispose()
+          out.result()
+        }
+      } finally iis.close()
+  }
+
+  /** Serialize constant-color frames as an ANIMATED GIF via the JDK's GIF
+    * writer (fixture builder — the writer twin of [[frames]], used by specs
+    * and the oracle query; single solid colors survive palettization
+    * exactly). */
+  def writeGifAnimation(w: Int, h: Int, frameColors: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameColors.foreach { rgb =>
+        val bi = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgb)
+        writer.writeToSequence(new javax.imageio.IIOImage(bi, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Exact pixel statistics of one decoded frame: (width, height, BT.601
+    * mean luma, per-channel means, 16-bin luma histogram, 8×8 thumbnail). */
+  private def pixelStats(img: java.awt.image.BufferedImage)
+      : (Int, Int, Double, Array[Double], Array[Float], Array[Float]) = {
       val w = img.getWidth
       val h = img.getHeight
       val n = w.toLong * h
@@ -119,14 +189,12 @@ object ImageCodec {
       val thumb = new Array[Float](64)
       i = 0
       while (i < 64) { thumb(i) = if (tCnt(i) == 0) 0f else (tSum(i) / tCnt(i)).toFloat; i += 1 }
-      Some(DecodedImage(
-        meta.copy(width = w, height = h),
+      (w, h,
         if (n == 0) 0.0 else sumY.toDouble / n,
         Array(
           if (n == 0) 0.0 else sumR.toDouble / n,
           if (n == 0) 0.0 else sumG.toDouble / n,
           if (n == 0) 0.0 else sumB.toDouble / n),
-        histF, thumb))
-    }
+        histF, thumb)
   }
 }

@@ -20,15 +20,19 @@ final case class MediaFeatures(
  * columns with typed metadata, plus a batched decode / feature-extract /
  * frame-sample stage.
  *
- * The decode kernel is REAL for images: [[ImageCodec]] hand-parses the
- * container headers (PNG/JPEG/GIF/BMP) and fully decodes pixels through the
- * JDK's built-in `javax.imageio` readers — no native libraries, so it runs
- * in any executor container. Non-image payloads (text/audio/video, whose
- * codecs genuinely aren't in this container) fall back to the deterministic
- * byte-statistics decoder, keeping every record decodable. The plumbing —
- * schema, `Dataset[MediaRecord]` encoder, per-partition batched iteration
+ * The decode kernels are REAL for images, audio, and multi-frame video
+ * stand-ins: [[ImageCodec]] hand-parses the container headers
+ * (PNG/JPEG/GIF/BMP) and fully decodes pixels through the JDK's built-in
+ * `javax.imageio` readers (including per-frame decode of animated GIFs, the
+ * one multi-frame format with a pure-JVM codec); [[WavCodec]] hand-parses
+ * RIFF/WAVE and decodes PCM samples with plain integer arithmetic. No
+ * native libraries anywhere, so both run in any executor container. Other
+ * payloads (plain text; compressed audio/video whose codecs genuinely
+ * aren't in this container) fall back to the deterministic byte-statistics
+ * decoder, keeping every record decodable. The plumbing — schema,
+ * `Dataset[MediaRecord]` encoder, per-partition batched iteration
  * (`mapPartitions`, the JVM analogue of `mapInPandas` batches), size-aware
- * repartitioning — is shared by both paths.
+ * repartitioning — is shared by all paths.
  */
 object MultimodalOps {
 
@@ -74,14 +78,59 @@ object MultimodalOps {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { r =>
-      // Real pixel decode when the payload IS an image (header-probed);
-      // byte statistics otherwise. Both emit the same fixed feature shape.
+      // Real pixel decode when the payload IS an image (header-probed), real
+      // PCM decode when it is a WAV; byte statistics otherwise. All three
+      // emit the same fixed feature shape.
       ImageCodec.decode(r.content) match {
         case Some(img) => MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
           img.meanLuma, 1, img.lumaHist)
-        case None => byteDecode(r, frameStride)
+        case None => WavCodec.decode(r.content) match {
+          case Some(a) => MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+            a.meanAbs, math.min(Int.MaxValue.toLong, a.meta.nFrames).toInt, a.ampHist)
+          case None => byteDecode(r, frameStride)
+        }
       }
     })
+  }
+
+  /** Audio-table decode: full typed output of the REAL PCM codec (format
+    * header + exact sample statistics) for rows whose payload parses as a
+    * PCM WAV; non-audio rows are dropped. Same batched `mapPartitions`
+    * shape as [[decodeFeatures]]. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        WavCodec.decode(bytes).map { a =>
+          (id, a.meta.channels, a.meta.sampleRate, a.meta.bitsPerSample,
+            a.meta.nFrames, a.durationMs, a.meanAbs, a.rms, a.peak.toLong,
+            a.zeroCrossings)
+        }
+      })
+      .toDF("media_id", "channels", "sample_rate", "bits", "n_frames",
+        "duration_ms", "mean_abs", "rms", "peak", "zero_crossings")
+  }
+
+  /** REAL video-frame sampling: decode each payload's frames (animated GIF —
+    * the one multi-frame format with a pure-JVM codec) and keep every
+    * `stride`-th frame with its exact mean luma. Non-multi-frame payloads
+    * contribute their single frame at index 0; undecodable rows are dropped.
+    * Output cardinality is Σ ceil(n_frames / stride) — the same row-blowup
+    * knob as the byte-stride stand-in. */
+  def sampleRealFrames(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.frames(bytes).iterator
+          .filter(_.frameIdx % stride == 0)
+          .map(f => (id, f.frameIdx.toLong, f.width, f.height, f.meanLuma))
+      })
+      .toDF("media_id", "frame_idx", "width", "height", "mean_luma")
   }
 
   /** Image-table decode: full typed output of the REAL codec (container

@@ -773,6 +773,70 @@ object ExtQueries {
              |) AS t(media_id, format, width, height, luma, r, g, b)
              |ORDER BY media_id""".stripMargin)),
 
+    // X5: REAL audio decode — RIFF/WAVE payloads built by the codec's writer
+    // twin, then PCM-decoded DISTRIBUTED through the engine's pure-JVM
+    // WavCodec (hand-parsed container chunks + integer sample arithmetic; no
+    // javax.sound service discovery). Closed-form waveforms (alternating /
+    // constant) make every statistic exact, so the oracle pins values
+    // computed from real WAV bytes.
+    Q("x5_audio_real",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.WavCodec
+        // 1 s mono square wave at ±2000; 10 ms stereo constant (L=+1000,
+        // R=-1000); 10 ms 8-bit mono constant at +64
+        val square = WavCodec.write(
+          Array.tabulate(8000)(i => if (i % 2 == 0) 2000 else -2000), 1, 8000, 16)
+        val stereo = WavCodec.write(
+          Array.tabulate(882)(i => if (i % 2 == 0) 1000 else -1000), 2, 44100, 16)
+        val mono8 = WavCodec.write(Array.fill(160)(64), 1, 16000, 8)
+        val media = Seq((1L, square), (2L, stereo), (3L, mono8))
+          .toDF("media_id", "content")
+        MultimodalOps.decodeAudio(media).orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 1, 8000, 16, CAST(8000 AS BIGINT),
+             |   CAST(1000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE),
+             |   CAST(2000 AS BIGINT), CAST(7999 AS BIGINT)),
+             |  (2, 2, 44100, 16, 441, 10.0, 1000.0, 1000.0, 1000, 0),
+             |  (3, 1, 16000, 8, 160, 10.0, 64.0, 64.0, 64, 0)
+             |) AS t(media_id, channels, sample_rate, bits, n_frames, duration_ms,
+             |       mean_abs, rms, peak, zero_crossings)
+             |ORDER BY media_id""".stripMargin)),
+
+    // X5: REAL video-frame sampling — an ANIMATED GIF (the one multi-frame
+    // container with a pure-JVM codec) decoded frame-by-frame through
+    // ImageCodec, keeping every 2nd frame with its exact mean luma; a
+    // single-frame PNG contributes frame 0. Constant-color frames survive
+    // GIF palettization exactly, so the oracle pins per-frame statistics.
+    Q("x5_video_frames_real",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageCodec
+        val gif = ImageCodec.writeGifAnimation(6, 4, Seq(
+          (10 << 16) | (20 << 8) | 30, 0xc8c8c8, 0x0000ff, 0xff0000, 0x00ff00))
+        val png = {
+          val bi = new java.awt.image.BufferedImage(
+            10, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 6; x <- 0 until 10) bi.setRGB(x, y, (32 << 16) | (64 << 8) | 96)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(bi, "png", bos)
+          bos.toByteArray
+        }
+        val media = Seq((1L, gif), (2L, png)).toDF("media_id", "content")
+        MultimodalOps.sampleRealFrames(media, stride = 2)
+          .orderBy("media_id", "frame_idx")
+      },
+      // BT.601 integer luma of the sampled constant frames: gif frames
+      // 0/2/4 → 18/28/149, png frame 0 → 58
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 6, 4, CAST(18.0 AS DOUBLE)),
+             |  (1, 2, 6, 4, 28.0),
+             |  (1, 4, 6, 4, 149.0),
+             |  (2, 0, 10, 6, 58.0)
+             |) AS t(media_id, frame_idx, width, height, mean_luma)
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // X4: BPE-ish token counting — letter runs, single digits, single
     // punctuation (the GPT-2-style pre-tokenizer shape); identical regex
     // semantics in Java and RE2 for this class-only pattern.

@@ -100,4 +100,87 @@ class MultimodalSpec extends SparkSpec {
     assert(row === (("png", 8, 8, 32.0)))
     assert(imgs.count() === 1L) // the text row is not an image
   }
+
+  // ---- real audio codec (WavCodec: hand-parsed RIFF + PCM arithmetic) ----
+
+  test("WavCodec: exact round-trip statistics, 8/16-bit, mono/stereo") {
+    import graft.ops.WavCodec
+    // 16-bit mono square wave: every stat closed-form
+    val sq = WavCodec.decode(WavCodec.write(
+      Array.tabulate(1000)(i => if (i % 2 == 0) 2000 else -2000), 1, 8000, 16)).get
+    assert(sq.meta === graft.ops.WavMeta(1, 8000, 16, 1000))
+    assert(sq.meanAbs === 2000.0 && sq.rms === 2000.0 && sq.peak === 2000)
+    assert(sq.zeroCrossings === 999L && sq.durationMs === 125.0)
+    // stereo: zero crossings count channel 0 only
+    val st = WavCodec.decode(WavCodec.write(
+      Array.tabulate(20)(i => if (i % 2 == 0) 1000 else -1000), 2, 44100, 16)).get
+    assert(st.meta.channels === 2 && st.meta.nFrames === 10L)
+    assert(st.zeroCrossings === 0L && st.meanAbs === 1000.0)
+    // 8-bit: stored unsigned, centered on decode
+    val m8 = WavCodec.decode(WavCodec.write(Array.fill(16)(-5), 1, 8000, 8)).get
+    assert(m8.meta.bitsPerSample === 8 && m8.meanAbs === 5.0 && m8.peak === 5)
+    // histogram is L1-normalized and lands in the right bin
+    assert(math.abs(m8.ampHist.sum - 1.0f) < 1e-5)
+    assert(m8.ampHist((-5 + 128) >> 4) === 1.0f)
+  }
+
+  test("WavCodec refuses non-PCM / malformed payloads instead of misdecoding") {
+    import graft.ops.WavCodec
+    assert(WavCodec.probe("RIFFxxxxWAVE but then garbage follows here".getBytes).isEmpty)
+    assert(WavCodec.probe("definitely not audio content at all!!!!!!!!!!".getBytes).isEmpty)
+    // a valid WAV with the format code flipped to 2 (ADPCM) must refuse
+    val ok = WavCodec.write(Array.fill(64)(100), 1, 8000, 16)
+    ok(20) = 2 // audioFormat LE16 at offset 20
+    assert(WavCodec.probe(ok).isEmpty)
+    // truncated data chunk (declared size past the payload) must refuse
+    val trunc = WavCodec.write(Array.fill(64)(100), 1, 8000, 16).dropRight(8)
+    assert(WavCodec.probe(trunc).isEmpty)
+  }
+
+  test("decodeAudio + decodeFeatures route WAV payloads through the PCM codec") {
+    import graft.ops.WavCodec
+    val wav = WavCodec.write(Array.tabulate(500)(i => if (i % 2 == 0) 300 else -300), 1, 8000, 16)
+    val media = Seq(
+      (1L, "audio", wav, 0, 0),
+      (2L, "text", "hello".getBytes("UTF-8"), 5, 1))
+      .toDF("media_id", "kind", "content", "width", "height")
+    val a = MultimodalOps.decodeAudio(media)
+    assert(a.count() === 1L) // text is not audio
+    val r = a.select($"sample_rate", $"n_frames", $"mean_abs", $"zero_crossings")
+      .as[(Int, Long, Double, Long)].head()
+    assert(r === ((8000, 500L, 300.0, 499L)))
+    // the generic feature path picks the PCM decode for the WAV row
+    val f = MultimodalOps.decodeFeatures(MultimodalOps.asRecords(media))
+      .toDF().select($"media_id", $"byte_mean", $"n_frames")
+      .as[(Long, Double, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(f(1L) === ((300.0, 500)))
+  }
+
+  // ---- real multi-frame decode (animated GIF as the video stand-in) ----
+
+  test("ImageCodec.frames: exact per-frame stats of an animated GIF") {
+    import graft.ops.ImageCodec
+    val gif = ImageCodec.writeGifAnimation(6, 4, Seq(
+      (10 << 16) | (20 << 8) | 30, 0xc8c8c8, 0x0000ff))
+    val fs = ImageCodec.frames(gif)
+    assert(fs.map(_.frameIdx) === Seq(0, 1, 2))
+    assert(fs.forall(f => f.width === 6 && f.height === 4))
+    assert(fs.map(_.meanLuma) === Seq(18.0, 200.0, 28.0))
+    // a single-frame PNG yields exactly one frame
+    val one = ImageCodec.frames(mkImage(5, 5, 0xffffff, "png"))
+    assert(one.map(f => (f.frameIdx, f.meanLuma)) === Seq((0, 255.0)))
+    // non-image payloads yield nothing
+    assert(ImageCodec.frames("not an image at all, sorry".getBytes).isEmpty)
+  }
+
+  test("sampleRealFrames: distributed frame sampling with stride") {
+    import graft.ops.ImageCodec
+    val gif = ImageCodec.writeGifAnimation(6, 4, Seq(
+      (10 << 16) | (20 << 8) | 30, 0xc8c8c8, 0x0000ff, 0xff0000, 0x00ff00))
+    val media = Seq((1L, gif)).toDF("media_id", "content")
+    val fs = MultimodalOps.sampleRealFrames(media, stride = 2)
+      .select($"frame_idx", $"mean_luma").as[(Long, Double)].collect().sortBy(_._1)
+    assert(fs.toSeq === Seq((0L, 18.0), (2L, 28.0), (4L, 149.0)))
+  }
 }
