@@ -203,6 +203,66 @@ object DedupOps {
   }
 
   /**
+   * Cross-document repeated-SPAN detection — the distributed shape of
+   * suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+   * Data Makes Language Models Better"): exact duplicated passages are
+   * found at sub-document granularity, so boilerplate shared by otherwise
+   * distinct documents (licenses, headers, templated paragraphs) is
+   * locatable and removable without dropping whole documents.
+   *
+   * Construction: every length-`window` token window is fingerprinted
+   * (md5-60 of the joined tokens — a deterministic stand-in for a rolling
+   * hash, DuckDB-recomputable); a window duplicated ACROSS documents
+   * (fingerprint seen in >1 distinct doc) marks its token range; per
+   * document, overlapping/adjacent marked ranges merge into maximal spans.
+   * Within-document repeats alone do NOT mark (they are compression, not
+   * cross-corpus contamination).
+   *
+   * Scale shape: one explode (O(tokens) rows), ONE hash shuffle on the
+   * fingerprint for the distinct-doc count (map-side combine; the inverted
+   * index never expands into pairs — unlike Jaccard there is no df² term),
+   * a semi-join back (reusing the fingerprint exchange), and a per-document
+   * window for the span merge (partitioned by doc_id — well spread, no
+   * global sort). Output: (doc_id, span_start, span_end, n_windows) with
+   * 0-based inclusive token positions.
+   */
+  def duplicateSpans(docs: DataFrame, window: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val nWins = size(col("toks")) - (window - 1)
+    // guard: sequence(0, -1) DESCENDS in Spark — short docs must yield an
+    // empty index list, not a [0, -1] one
+    val idxs = when(nWins > 0, sequence(lit(0), nWins - 1))
+      .otherwise(array().cast("array<int>"))
+    val wins = docs
+      .select(col(idCol).cast("long").as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(transform(idxs, i => struct(
+        i.as("start"),
+        TextOps.md5Hash60(concat_ws(" ", slice(col("toks"), i + 1, lit(window))))
+          .as("wkey")))).as("w"))
+      .select(col("doc_id"), col("w.start").cast("long").as("start"), col("w.wkey").as("wkey"))
+    val dupKeys = wins.groupBy("wkey")
+      .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") > 1)
+    val marked = wins.join(dupKeys.select("wkey"), Seq("wkey"), "left_semi")
+      .select(col("doc_id"), col("start"), (col("start") + lit(window - 1)).as("end"))
+    // gaps-and-islands span merge: a window starts a NEW span iff it begins
+    // past every previous window's end + 1 (adjacent coverage merges)
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val prevMaxEnd = max(col("end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = marked
+      .withColumn("new_span",
+        when(prevMaxEnd.isNull || col("start") > prevMaxEnd + 1, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+    spans.select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /**
    * Near-dup CLUSTERING: collapse a pair list (doc_a, doc_b) into connected
    * components, labeling every member with its component's minimum doc id —
    * the step that turns pairwise similarity into "keep one canonical doc per

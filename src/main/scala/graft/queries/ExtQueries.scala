@@ -433,6 +433,38 @@ object ExtQueries {
       (s, d) => DedupOps.minhashLshPairs(Tables.load(s, d, "documents"), threshold = 0.5),
       Some(duckJaccardSql(0.5))),
 
+    // X2: cross-document repeated SPANS — suffix-array-style substring dedup
+    // (Lee et al. 2022) at window granularity: length-6 token windows
+    // fingerprinted, windows seen in >1 distinct doc mark their ranges,
+    // overlapping/adjacent ranges merge per doc (gaps-and-islands). The
+    // oracle groups by the RAW window text where the engine groups by its
+    // md5-60 fingerprint — identical equivalence classes, so spans match
+    // exactly. Within-doc-only repeats stay unmarked on both sides.
+    Q("x2_dup_spans",
+      (s, d) => DedupOps.duplicateSpans(Tables.load(s, d, "documents"), window = 6),
+      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+              |wx AS (SELECT doc_id,
+              |         unnest(list_transform(range(0, greatest(len(w) - 5, 0)),
+              |           i -> struct_pack(s := i,
+              |                 k := array_to_string(list_slice(w, CAST(i + 1 AS INTEGER), CAST(i + 6 AS INTEGER)), ' ')))) AS x
+              |       FROM toks),
+              |wins AS (SELECT doc_id, CAST(x.s AS BIGINT) AS st, x.k AS wkey FROM wx),
+              |dupk AS (SELECT wkey FROM wins GROUP BY wkey HAVING COUNT(DISTINCT doc_id) > 1),
+              |d AS (SELECT doc_id, st, st + 5 AS en FROM wins WHERE wkey IN (SELECT wkey FROM dupk)),
+              |m AS (SELECT doc_id, st, en,
+              |        CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              |          OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              |        THEN 1 ELSE 0 END AS new_span FROM d),
+              |g AS (SELECT doc_id, st, en,
+              |        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY st
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+              |      FROM m)
+              |SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end,
+              |  COUNT(*) AS n_windows
+              |FROM g GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin)),
+
     // X2: SimHash Hamming-≤3 pairs. The 60-bit sketch is built from md5
     // token hashes, so DuckDB rebuilds the identical sketches (per-bit
     // majorities), bands, candidate pairs and Hamming distances — the

@@ -152,6 +152,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(index.scan().count() === 12L)
   }
 
+  test("duplicateSpans: cross-doc windows merge to maximal spans; within-doc repeats don't mark") {
+    // docs 10/11 share a 7-token run ("alpha beta gamma delta epsilon zeta eta")
+    // at different offsets; doc 12 repeats ITS OWN 4-gram twice (no cross-doc
+    // match); doc 13 is unrelated; doc 14 is too short to have a window.
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta tail one two"),
+      (11L, "head words alpha beta gamma delta epsilon zeta eta"),
+      (12L, "red green blue cyan stop red green blue cyan stop"),
+      (13L, "nothing in common with anything else written here at all"),
+      (14L, "too short")).toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpans(docs, window = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 10: windows 0..3 all inside the shared run → one span [0,6]
+    // doc 11: run starts at token 2 → one span [2,8]
+    // docs 12/13/14: nothing (within-doc repeat alone must not mark)
+    assert(spans === Seq((10L, 0L, 6L, 4L), (11L, 2L, 8L, 4L)))
+    // non-adjacent duplicated regions stay separate spans
+    val gapped = Seq(
+      (20L, "alpha beta gamma delta QQ RR SS TT red green blue cyan"),
+      (21L, "alpha beta gamma delta xx yy zz ww red green blue cyan"))
+      .toDF("doc_id", "text")
+    val g = DedupOps.duplicateSpans(gapped, window = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(g === Seq((20L, 0L, 3L, 1L), (20L, 8L, 11L, 1L),
+      (21L, 0L, 3L, 1L), (21L, 8L, 11L, 1L)))
+  }
+
   test("maxDocFreq skew guard drops ubiquitous shingles") {
     val idx = DedupOps.shingleIndex(corpus, maxDocFreq = Some(2))
     // the shared fox-shingles appear in docs 1,2,5 (> 2) and must be gone
