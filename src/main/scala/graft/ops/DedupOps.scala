@@ -263,6 +263,37 @@ object DedupOps {
   }
 
   /**
+   * Span REMOVAL — the cleaning half of substring dedup: drop every token
+   * inside a [[duplicateSpans]] span and re-join the survivors. Documents
+   * with no duplicated span pass through unchanged (left join + null
+   * guard); `n_removed` counts dropped tokens, so the caller can threshold
+   * (e.g. drop documents that became mostly empty).
+   *
+   * Scale shape: the span list per doc is tiny (merged maximal spans), so
+   * the join back to the corpus is a plain equi-join on doc_id and the
+   * token filtering is one codegen'd higher-order function pass — map-only
+   * beyond [[duplicateSpans]]'s own shuffles.
+   */
+  def removeDuplicateSpans(docs: DataFrame, window: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, window, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    val toksIdx = transform(TextOps.tokens(col("text")),
+      (t, i) => struct(t.as("t"), i.cast("long").as("i")))
+    val kept = filter(toksIdx, s => !exists(col("sp"),
+      r => r("span_start") <= s("i") && s("i") <= r("span_end")))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(kept, s => s("t"))).as("clean_text"),
+        (size(toksIdx) - size(kept)).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * Near-dup CLUSTERING: collapse a pair list (doc_a, doc_b) into connected
    * components, labeling every member with its component's minimum doc id —
    * the step that turns pairwise similarity into "keep one canonical doc per

@@ -33,6 +33,35 @@ object ExtQueries {
        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB-side cross-doc duplicated spans at window=6 (mirrors
+    * DedupOps.duplicateSpans; groups by the RAW window text where the
+    * engine uses its md5-60 fingerprint — identical equivalence classes).
+    * Ends with the `spans` CTE: (doc_id, span_id, span_start, span_end,
+    * n_windows). */
+  private val duckSpansCte: String =
+    s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+       |wx AS (SELECT doc_id,
+       |         unnest(list_transform(range(0, greatest(len(w) - 5, 0)),
+       |           i -> struct_pack(s := i,
+       |                 k := array_to_string(list_slice(w, CAST(i + 1 AS INTEGER), CAST(i + 6 AS INTEGER)), ' ')))) AS x
+       |       FROM toks),
+       |wins AS (SELECT doc_id, CAST(x.s AS BIGINT) AS st, x.k AS wkey FROM wx),
+       |dupk AS (SELECT wkey FROM wins GROUP BY wkey HAVING COUNT(DISTINCT doc_id) > 1),
+       |d AS (SELECT doc_id, st, st + 5 AS en FROM wins WHERE wkey IN (SELECT wkey FROM dupk)),
+       |m AS (SELECT doc_id, st, en,
+       |        CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |          OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |        THEN 1 ELSE 0 END AS new_span FROM d),
+       |g AS (SELECT doc_id, st, en,
+       |        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY st
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |      FROM m),
+       |spans AS (SELECT doc_id, span_id, MIN(st) AS span_start, MAX(en) AS span_end,
+       |            COUNT(*) AS n_windows
+       |          FROM g GROUP BY doc_id, span_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // X1: exact dedup — keep the lowest doc_id per identical text (deterministic,
@@ -442,28 +471,34 @@ object ExtQueries {
     // exactly. Within-doc-only repeats stay unmarked on both sides.
     Q("x2_dup_spans",
       (s, d) => DedupOps.duplicateSpans(Tables.load(s, d, "documents"), window = 6),
-      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
-              |wx AS (SELECT doc_id,
-              |         unnest(list_transform(range(0, greatest(len(w) - 5, 0)),
-              |           i -> struct_pack(s := i,
-              |                 k := array_to_string(list_slice(w, CAST(i + 1 AS INTEGER), CAST(i + 6 AS INTEGER)), ' ')))) AS x
-              |       FROM toks),
-              |wins AS (SELECT doc_id, CAST(x.s AS BIGINT) AS st, x.k AS wkey FROM wx),
-              |dupk AS (SELECT wkey FROM wins GROUP BY wkey HAVING COUNT(DISTINCT doc_id) > 1),
-              |d AS (SELECT doc_id, st, st + 5 AS en FROM wins WHERE wkey IN (SELECT wkey FROM dupk)),
-              |m AS (SELECT doc_id, st, en,
-              |        CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st
-              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-              |          OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st
-              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-              |        THEN 1 ELSE 0 END AS new_span FROM d),
-              |g AS (SELECT doc_id, st, en,
-              |        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY st
-              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-              |      FROM m)
-              |SELECT doc_id, MIN(st) AS span_start, MAX(en) AS span_end,
-              |  COUNT(*) AS n_windows
-              |FROM g GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin)),
+      Some(s"""$duckSpansCte
+              |SELECT doc_id, span_start, span_end, n_windows
+              |FROM spans ORDER BY doc_id, span_start""".stripMargin),
+      headline = true),
+
+    // X2: span REMOVAL — the cleaning half of substring dedup: tokens inside
+    // any duplicated span drop, survivors re-join with single spaces;
+    // span-free documents pass through (normalized) with n_removed = 0.
+    Q("x2_remove_spans",
+      (s, d) => DedupOps.removeDuplicateSpans(Tables.load(s, d, "documents"), window = 6),
+      Some(s"""$duckSpansCte,
+              |sp AS (SELECT doc_id, list(struct_pack(a := span_start, b := span_end)) AS sps
+              |       FROM spans GROUP BY doc_id),
+              |base AS (SELECT doc_id, $DuckToks AS w FROM documents),
+              |j AS (SELECT b.doc_id, b.w,
+              |        COALESCE(s.sps, CAST([] AS STRUCT(a BIGINT, b BIGINT)[])) AS sps
+              |      FROM base b LEFT JOIN sp s USING (doc_id)),
+              |k AS (SELECT doc_id,
+              |        list_filter(
+              |          list_transform(range(1, len(w) + 1),
+              |            i -> struct_pack(t := w[CAST(i AS INTEGER)], p := CAST(i - 1 AS BIGINT))),
+              |          e -> len(list_filter(sps, r -> r.a <= e.p AND e.p <= r.b)) = 0) AS kept,
+              |        len(w) AS n
+              |      FROM j)
+              |SELECT doc_id,
+              |  COALESCE(array_to_string(list_transform(kept, e -> e.t), ' '), '') AS clean_text,
+              |  CAST(n - len(kept) AS BIGINT) AS n_removed
+              |FROM k ORDER BY doc_id""".stripMargin)),
 
     // X2: SimHash Hamming-≤3 pairs. The 60-bit sketch is built from md5
     // token hashes, so DuckDB rebuilds the identical sketches (per-bit

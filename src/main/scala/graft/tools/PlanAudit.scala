@@ -56,7 +56,10 @@ object PlanAudit {
       // driver dump), and the real-image decode keeps its batched
       // mapPartitions shape
       "cdc_metadata_entries_sql", "cdc_metadata_all_files_sql",
-      "x5_decode_real")
+      "x5_decode_real",
+      // round 11 second half: the span detector's fingerprint exchange must
+      // be shuffled once (semi-join reuse), with no pair expansion
+      "x2_dup_spans")
 
     audited.foreach { name =>
       val df = Registry.byName(name).fn(spark, sfDir)

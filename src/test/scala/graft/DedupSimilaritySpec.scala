@@ -179,6 +179,27 @@ class DedupSimilaritySpec extends SparkSpec {
       (21L, 0L, 3L, 1L), (21L, 8L, 11L, 1L)))
   }
 
+  test("removeDuplicateSpans: span tokens drop, survivors re-join, clean docs pass through") {
+    val docs = Seq(
+      (20L, "alpha beta gamma delta QQ RR SS TT red green blue cyan"),
+      (21L, "alpha beta gamma delta xx yy zz ww red green blue cyan"),
+      (22L, "untouched words that appear nowhere else in this corpus"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.removeDuplicateSpans(docs, window = 4)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (20L, "QQ RR SS TT", 8L),
+      (21L, "xx yy zz ww", 8L),
+      (22L, "untouched words that appear nowhere else in this corpus", 0L)))
+    // a document that is ENTIRELY a duplicated span cleans to empty, not null
+    val full = Seq(
+      (30L, "one two three four five six"),
+      (31L, "one two three four five six")).toDF("doc_id", "text")
+    val cleaned = DedupOps.removeDuplicateSpans(full, window = 4)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(cleaned === Seq((30L, "", 6L), (31L, "", 6L)))
+  }
+
   test("maxDocFreq skew guard drops ubiquitous shingles") {
     val idx = DedupOps.shingleIndex(corpus, maxDocFreq = Some(2))
     // the shared fox-shingles appear in docs 1,2,5 (> 2) and must be gone
