@@ -44,7 +44,9 @@ object WavCodec {
     while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(pos)
       val size = le32(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // long arithmetic: a hostile 32-bit size must refuse, not overflow
+      // into a negative sum that slips past the bounds check and crashes
+      if (size < 0 || pos.toLong + 8L + size > bytes.length) return None
       id match {
         case "fmt " if size >= 16 =>
           fmt = Some((le16(pos + 8), le16(pos + 10), le32(pos + 12),

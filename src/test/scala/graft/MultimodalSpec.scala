@@ -135,6 +135,11 @@ class MultimodalSpec extends SparkSpec {
     // truncated data chunk (declared size past the payload) must refuse
     val trunc = WavCodec.write(Array.fill(64)(100), 1, 8000, 16).dropRight(8)
     assert(WavCodec.probe(trunc).isEmpty)
+    // hostile chunk size near Int.MaxValue must refuse, not overflow past
+    // the bounds check and crash
+    val hostile = WavCodec.write(Array.fill(64)(100), 1, 8000, 16)
+    hostile(16) = -1; hostile(17) = -1; hostile(18) = -1; hostile(19) = 0x7f // fmt size = 0x7fffffff
+    assert(WavCodec.probe(hostile).isEmpty)
   }
 
   test("decodeAudio + decodeFeatures route WAV payloads through the PCM codec") {
