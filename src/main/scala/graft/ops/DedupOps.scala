@@ -97,6 +97,45 @@ object DedupOps {
       .drop("_rate")
   }
 
+  /**
+   * Budgeted mixture sampling — the data-MIXING stage: given per-source
+   * target TOKEN shares (the mixture spec a training run is built from) and
+   * a global token budget, each source keeps the deterministic hash-sample
+   * fraction that lands its expected token contribution on
+   * `budget · weight_s`: rate_s = min(1, budget·w_s / tokens_s). Sources
+   * absent from the spec are dropped; a source too small for its share
+   * saturates at 1 (sampling-without-replacement semantics, as
+   * [[temperatureSample]] — upsampling is a repeat-at-read concern).
+   * Weights are used AS-GIVEN (the caller normalizes) so the rate
+   * arithmetic is reproducible to the bit in any engine.
+   *
+   * 100 TB shape: one map-side-combinable per-source token aggregate
+   * (|sources| rows, broadcast back), then a map-only keep-iff
+   * md5Hash60(id) < rate·2⁶⁰ filter — zero wide shuffles.
+   */
+  def mixtureBudgetSample(docs: DataFrame, weights: Seq[(String, Double)],
+      tokenBudget: Long, groupCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val hashSpace = (1L << 60).toDouble // md5Hash60 range
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(groupCol).as("_grp"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = weights.foldLeft(lit(null).cast("double")) { case (acc, (src, wt)) =>
+      when(col("_grp") === src, lit(wt)).otherwise(acc)
+    }
+    val rates = base.groupBy("_grp").agg(sum(col("n_tokens")).as("_srctoks"))
+      .withColumn("_w", w)
+      .withColumn("_rate", when(col("_w").isNull, lit(0.0)).otherwise(
+        least(lit(1.0),
+          lit(tokenBudget.toDouble) * col("_w") / col("_srctoks").cast("double"))))
+      .select(col("_grp"), col("_rate"))
+    base.join(broadcast(rates), Seq("_grp"))
+      .filter(TextOps.md5Hash60(col("doc_id")).cast("double") < col("_rate") * lit(hashSpace))
+      .select(col("doc_id"), col("_grp").as(groupCol), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Default doc-frequency cap for Jaccard's inverted index: shingles in more
     * docs than this are dropped before pair expansion. Per-shingle work is
     * df², so an uncapped boilerplate shingle ("all rights reserved …") in a

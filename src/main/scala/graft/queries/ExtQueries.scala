@@ -145,6 +145,32 @@ object ExtQueries {
              |           AS BIGINT) AS DOUBLE) < rate * 1152921504606846976.0
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // X1: budgeted MIXTURE sampling — the data-mixing stage: per-source
+    // target token shares + a global token budget → deterministic per-source
+    // hash-sample rates min(1, budget·w/src_tokens). Binary-exact weights
+    // (0.5/0.25/0.125) keep the rate arithmetic bit-equal across engines;
+    // sources outside the spec drop.
+    Q("x1_mixture_budget",
+      (s, d) => DedupOps.mixtureBudgetSample(Tables.load(s, d, "documents"),
+        weights = Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125),
+        tokenBudget = 2000),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+             |            CAST(len($DuckToks) AS BIGINT) AS n_tokens FROM documents),
+             |st AS (SELECT source, SUM(n_tokens) AS srctoks FROM t GROUP BY source),
+             |r AS (SELECT source,
+             |        CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+             |                    WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.125 END AS w,
+             |        srctoks FROM st),
+             |rr AS (SELECT source,
+             |         CASE WHEN w IS NULL THEN 0.0
+             |              ELSE LEAST(1.0, 2000.0 * w / CAST(srctoks AS DOUBLE)) END AS rate
+             |       FROM r)
+             |SELECT t.doc_id, t.source, t.n_tokens
+             |FROM t JOIN rr USING (source)
+             |WHERE CAST(CAST(concat('0x', substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))
+             |           AS BIGINT) AS DOUBLE) < rate * 1152921504606846976.0
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // X4: corpus length distribution — exact percentiles of the document
     // token count (linear-interpolation definition is identical in Spark's
     // percentile and DuckDB's quantile_cont).

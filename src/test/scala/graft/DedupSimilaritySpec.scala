@@ -351,6 +351,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("mixtureBudgetSample: rates follow the spec, saturate at 1, unknown sources drop") {
+    val docs = (1L to 40L).map { i =>
+      val src = if (i <= 20) "big" else if (i <= 30) "small" else "other"
+      (i, src, Seq.fill(10)("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // big: 200 tokens, small: 100, other: unweighted. budget 160:
+    // big rate = 160*0.5/200 = 0.4; small = 160*0.5/100 = 0.8
+    val got = DedupOps.mixtureBudgetSample(docs,
+      weights = Seq("big" -> 0.5, "small" -> 0.5), tokenBudget = 160)
+      .as[(Long, String, Long)].collect()
+    assert(got.forall(_._3 == 10L))
+    assert(!got.exists(_._2 == "other"), "unweighted source must drop")
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // deterministic hash sample: exact membership is fixed; rough rate check
+    assert(bySrc.getOrElse("big", 0) > 0 && bySrc.getOrElse("big", 0) < 20)
+    assert(bySrc.getOrElse("small", 0) > 0)
+    // a huge budget saturates every weighted source at rate 1
+    val all = DedupOps.mixtureBudgetSample(docs,
+      weights = Seq("big" -> 0.5, "small" -> 0.5), tokenBudget = 1000000)
+      .as[(Long, String, Long)].collect()
+    assert(all.length === 30)
+    // determinism
+    val again = DedupOps.mixtureBudgetSample(docs,
+      weights = Seq("big" -> 0.5, "small" -> 0.5), tokenBudget = 160)
+      .as[(Long, String, Long)].collect()
+    assert(again.map(_._1).toSeq === got.map(_._1).toSeq)
+  }
+
   test("temperatureSample: alpha<1 flattens — small groups saturate, big ones thin") {
     import graft.ops.DedupOps
     val docs = ((0L until 90L).map(i => (i, "big")) ++ (100L until 110L).map(i => (i, "small")))
