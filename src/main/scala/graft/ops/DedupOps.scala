@@ -263,13 +263,15 @@ object DedupOps {
    * birthday collisions at 10⁷ windows), not its values — DuckDB groups by
    * the raw window text.
    *
-   * Scale shape: one explode (O(tokens) rows), ONE hash shuffle on the
-   * fingerprint for the distinct-doc count (map-side combine; the inverted
-   * index never expands into pairs — unlike Jaccard there is no df² term),
-   * a semi-join back (reusing the fingerprint exchange), and a per-document
-   * window for the span merge (partitioned by doc_id — well spread, no
-   * global sort). Output: (doc_id, span_start, span_end, n_windows) with
-   * 0-based inclusive token positions.
+   * Scale shape: the window index is exploded and shuffled on the
+   * fingerprint twice — once map-side-combined into the per-key min/max
+   * doc aggregate (≤1 row per key per task crosses the wire), once as the
+   * semi-join probe — co-partitioned, so the join itself is local; the
+   * inverted index never expands into pairs (unlike Jaccard there is no
+   * df² term, and no per-key occurrence list that a hot boilerplate window
+   * would blow up). Span merge is a per-document window (partitioned by
+   * doc_id — well spread, no global sort). Output: (doc_id, span_start,
+   * span_end, n_windows) with 0-based inclusive token positions.
    */
   def duplicateSpans(docs: DataFrame, window: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -291,8 +293,12 @@ object DedupOps {
         aggregate(slice(col("toks"), i + 1, lit(window)), lit(0L), combine).as("wkey"))))
         .as("w"))
       .select(col("doc_id"), col("w.start").cast("long").as("start"), col("w.wkey").as("wkey"))
+    // cross-doc test as min≠max (NOT countDistinct, which would pay an
+    // extra pre-shuffle on (wkey, doc_id)): map-side partials combine and
+    // one wkey exchange carries ≤1 row per key per task
     val dupKeys = wins.groupBy("wkey")
-      .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") > 1)
+      .agg(min(col("doc_id")).as("_d0"), max(col("doc_id")).as("_d1"))
+      .where(col("_d0") =!= col("_d1"))
     val marked = wins.join(dupKeys.select("wkey"), Seq("wkey"), "left_semi")
       .select(col("doc_id"), col("start"), (col("start") + lit(window - 1)).as("end"))
     // gaps-and-islands span merge: a window starts a NEW span iff it begins

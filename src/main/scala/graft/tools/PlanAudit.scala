@@ -57,8 +57,9 @@ object PlanAudit {
       // mapPartitions shape
       "cdc_metadata_entries_sql", "cdc_metadata_all_files_sql",
       "x5_decode_real",
-      // round 11 second half: the span detector's fingerprint exchange must
-      // be shuffled once (semi-join reuse), with no pair expansion
+      // round 11 second half: the span detector's dup-key aggregate and
+      // semi-join probe stay co-partitioned on the fingerprint, with no
+      // pair expansion (exchange-count assert in DedupSimilaritySpec)
       "x2_dup_spans")
 
     audited.foreach { name =>

@@ -351,6 +351,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("duplicateSpans at scale (no broadcast): co-partitioned SMJ, map-combined agg, no extra exchange") {
+    // Force the at-scale join path (under default thresholds AQE broadcasts
+    // the tiny dup-key set instead; this pins the plan the query degrades
+    // to at corpus scale): the dup-key aggregate must combine map-side on
+    // wkey alone — min≠max, NOT a countDistinct, whose (wkey, doc_id)
+    // pre-shuffle would add a third full exchange of the window index —
+    // and the semi-join must be a co-partitioned SMJ, never a
+    // cartesian/BNLJ.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta tail one two"),
+        (11L, "head words alpha beta gamma delta epsilon zeta eta"),
+        (13L, "nothing in common with anything else written here at all"))
+        .toDF("doc_id", "text")
+      val df = DedupOps.duplicateSpans(docs, window = 4)
+      assert(df.as[(Long, Long, Long, Long)].collect().toSeq ===
+        Seq((10L, 0L, 6L, 4L), (11L, 2L, 8L, 4L)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftSemi"))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+      val wkeyExchanges = "Exchange hashpartitioning\\(wkey".r.findAllIn(plan).length
+      assert(wkeyExchanges === 2,
+        s"expected exactly 2 wkey exchanges (probe + map-combined agg), got $wkeyExchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("mixtureBudgetSample: rates follow the spec, saturate at 1, unknown sources drop") {
     val docs = (1L to 40L).map { i =>
       val src = if (i <= 20) "big" else if (i <= 30) "small" else "other"
