@@ -43,9 +43,12 @@ object SequenceOps {
       if (np <= 1) Array.empty[Double]
       else df.stat.approxQuantile(orderCol,
         (1 until np).map(_.toDouble / np).toArray, 0.001).distinct.sorted
-    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col(orderCol).cast("double") > c, 1).otherwise(0)
-    }
+    // bucket id = #cuts below the value — ONE array HOF, not an np-deep
+    // when-chain (which at real-scale partition counts (1000+) would nest
+    // past Janino's method-size comfort and fall out of codegen)
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(typedLit(cuts.toSeq), c => col(orderCol).cast("double") > c))
     val ranged = df.withColumn("_gpid", bucket)
     // Phase 1: per-bucket sums — np longs to the driver, not data.
     val partials = ranged.groupBy(col("_gpid"))
