@@ -35,11 +35,14 @@ object VariantOps {
     df.withColumn(out, try_parse_json(col(jsonCol)))
 
   /** Typed path extraction: `(outName, path, sqlType)` triples, e.g.
-    * `("k", "$.k", "bigint")`. Each becomes a typed top-level column. */
+    * `("k", "$.k", "bigint")`. Each becomes a typed top-level column.
+    * Column-API form of `variant_get` — paths are plain string ARGUMENTS,
+    * never spliced into SQL text (a path containing a quote is data, not a
+    * parse error). */
   def shred(df: DataFrame, varCol: String,
       fields: Seq[(String, String, String)]): DataFrame =
     fields.foldLeft(df) { case (d, (name, path, tpe)) =>
-      d.withColumn(name, expr(s"variant_get($varCol, '$path', '$tpe')"))
+      d.withColumn(name, variant_get(col(varCol), path, tpe))
     }
 
   /** Key-value fan-out of a variant object: one row per top-level field,
