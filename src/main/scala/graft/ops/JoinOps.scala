@@ -115,7 +115,11 @@ object JoinOps {
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val p = points.withColumn("_gbin", floor(col(pointCol) / binWidth))
-    val iv = intervals.withColumn("_gbin",
+    // degenerate/invalid intervals (end <= start) admit no point; dropping
+    // them BEFORE the explode matters because sequence(hi, lo) DESCENDS in
+    // Spark — a malformed interval would otherwise fan out junk bin rows
+    // (span/binWidth of them) that only die at the residual filter
+    val iv = intervals.where(col(endCol) > col(startCol)).withColumn("_gbin",
       explode(sequence(
         floor(col(startCol) / binWidth),
         floor((col(endCol) - 1) / binWidth))))

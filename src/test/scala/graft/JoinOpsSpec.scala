@@ -90,6 +90,11 @@ class JoinOpsSpec extends SparkSpec {
       .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
     assert(got === want)
     assert(got.distinct === got) // each qualifying pair meets in exactly one bin
+    // degenerate (empty) and inverted intervals admit nothing — and are
+    // dropped BEFORE the bin explode (sequence(hi, lo) descends in Spark;
+    // an inverted interval would otherwise fan out junk bin rows)
+    val bad = Seq((9L, 50L, 50L), (10L, 300L, 0L)).toDF("iid", "lo", "hi")
+    assert(JoinOps.rangeJoinBinned(pts, bad, "x", "lo", "hi", 64L).count() === 0L)
   }
 
   test("rangeJoinBinned plan is an equi-join on the bin id") {
