@@ -1212,6 +1212,48 @@ object ReplayQueries {
            |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
       }),
 
+    // Aggregate MV maintenance (E108): a GROUP BY SUM/COUNT/MIN/MAX view
+    // refreshes by merging per-group DELTAS of the append-only interval —
+    // only changed groups rewrite (reason must say incremental-agg, and the
+    // final per-event totals must equal the full recompute's).
+    Q("cdc_sql_mv_agg",
+      (s, _) => {
+        val cat = s"graft_ma2${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_ma2").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.event_totals AS " +
+          s"SELECT event, SUM(amount) AS total, COUNT(*) AS n, MAX(amount) AS mx " +
+          s"FROM $cat.db.retail GROUP BY event")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'visit', 'SKU500', 555, 'pc', NULL), " +
+          "(501, 'c501', 'cart', 'SKU501', 5, 'pc', NULL)")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.event_totals')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-agg"),
+          s"expected the aggregate delta-merge path, got '$refreshed'")
+        s.sql(s"SELECT event, total, n, mx FROM $cat.db.event_totals ORDER BY event")
+      },
+      Some {
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) } ++
+          Seq((500L, "visit", 555), (501L, "cart", 5)))
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (ev, rs) =>
+            s"('$ev', CAST(${rs.map(_._3.toLong).sum} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT), ${rs.map(_._3).max})"
+          }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, n, mx) ORDER BY event""".stripMargin
+      }),
+
     // Partition-scoped compaction (E89): bin-pack ONE partition's files,
     // carry the rest by reference — table contents must be bit-identical.
     Q("cdc_compact_partitions_state",

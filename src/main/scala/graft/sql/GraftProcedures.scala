@@ -251,16 +251,17 @@ object GraftProcedures {
             spark, parsed, cur.currentCatalog, cur.currentNamespace)
           val storage = TransactionalTable.open(spark, storageRoot)
           GraftMvRefresh.tryIncremental(spark, meta, qualified, storage) match {
-            case Some((nRows, newVersion, srcRoot)) =>
-              // append-only interval over a row-preserving definition:
-              // appended the transformed inserts in one commit — O(new data)
+            case Some((label, _, newVersion, srcRoot)) =>
+              // append-only interval: row-preserving definitions appended
+              // the transformed inserts (O(new data)); aggregate
+              // definitions merged per-group deltas (O(delta groups))
               GraftViewStore.mutate(root) {
                 case Some(m) =>
                   m.copy(sourceVersions = m.sourceVersions + (srcRoot -> newVersion))
                 case None => throw new IllegalStateException(
                   s"materialized view $name dropped during refresh")
               }
-              Seq(name, true, s"incremental: +$nRows rows",
+              Seq(name, true, label,
                 TransactionalTable.open(spark, storageRoot).currentVersion)
             case None =>
               val df0 = org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, qualified)

@@ -626,6 +626,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           rejectTempRefs(name, query)
           val props = tableSpec match {
             case u: UnresolvedTableSpec => u.properties
+            // Spark 4.1 parses a property-only spec straight to the
+            // RESOLVED TableSpec — dropping it here silently lost
+            // TBLPROPERTIES (e.g. the MV's 'pk')
+            case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec => t.properties
             case _ => Map.empty[String, String]
           }
           GraftCreateMaterializedViewCommand(cat, ns, name,
@@ -1025,18 +1029,29 @@ final case class GraftCreateMaterializedViewExec(cmd: GraftCreateMaterializedVie
 /**
  * Incremental MV refresh (the 100 TB path — full recompute of a large MV on
  * every refresh is exactly the cost materialization is meant to remove).
- * Eligible when BOTH hold:
+ * Eligible when the definition reads exactly ONE engine source AND the
+ * source interval since the recorded snapshot is APPEND-ONLY
+ * (`changes(v0, v1)` carries no delete images), in one of two shapes:
  *
- *  1. Definition shape: a Project/Filter chain over exactly ONE engine
- *     source (no joins/aggregates/distinct/windows/CTEs — row-preserving,
- *     so new-source-rows → new-view-rows independently of old data);
- *  2. Data movement: the source interval since the recorded snapshot is
- *     APPEND-ONLY (`changes(v0, v1)` carries no delete images).
+ *  1. ROW-PRESERVING (Project/Filter chain — no joins/aggregates/distinct/
+ *     windows/CTEs): new source rows map to new view rows independently of
+ *     old data → apply the definition to the interval's insert images and
+ *     APPEND in one commit. Cost O(new data).
+ *  2. AGGREGATE MAINTENANCE (`GROUP BY keys` + SUM/COUNT/MIN/MAX, the
+ *     classic incremental-view-maintenance algebra): the same aggregate
+ *     over the interval's inserts yields per-group DELTAS, combined into
+ *     storage group-by-group (sum/count add; min/max fold via
+ *     least/greatest — sound precisely BECAUSE the interval is
+ *     append-only, no retractions) and MERGEd on the group key. Only
+ *     changed groups rewrite — cost O(delta groups), not O(view). Requires
+ *     the storage PK to be exactly the group-key columns (declare
+ *     TBLPROPERTIES('pk'='k1,k2') for multi-key MVs). AVG / DISTINCT
+ *     aggregates / FILTER clauses / HAVING / expressions OVER aggregates
+ *     (`sum(x)+1`) are not delta-decomposable from stored finals and fall
+ *     back.
  *
- * Then refresh = apply the definition to the interval's insert images and
- * APPEND to storage in one commit — cost O(new data). Any miss (shape,
- * deletes in the interval, expired baseline snapshot, schema drift) falls
- * back to the full atomic recompute.
+ * Any miss (shape, deletes in the interval, expired baseline snapshot,
+ * schema drift, PK≠group keys) falls back to the full atomic recompute.
  */
 private[sql] object GraftMvRefresh {
 
@@ -1051,6 +1066,10 @@ private[sql] object GraftMvRefresh {
     case Project(_, c) => spfSource(c)
     case Filter(_, c) => spfSource(c)
     case SubqueryAlias(_, c) => spfSource(c)
+    // GROUP BY parses straight to Aggregate (only global aggregates hide
+    // under Project until the analyzer); the aggregate-maintenance shape
+    // check happens on the ANALYZED plan — here we only locate the source
+    case a: Aggregate => spfSource(a.child)
     case UnresolvedRelation(parts, _, false) => Some(parts)
     case _ => None
   }
@@ -1067,11 +1086,74 @@ private[sql] object GraftMvRefresh {
     case _ => false
   }
 
-  /** Try the incremental path: Some((appendedRows, newSourceVersion, root))
-    * after committing the append; None → caller runs the full recompute. */
+  /** Aggregate-maintenance shape on the ANALYZED plan: `Aggregate` over a
+    * row-preserving chain, optionally under a rename-only Project, where
+    * every output column is either a deterministic group expression or a
+    * bare whitelisted aggregate (SUM/COUNT/MIN/MAX — the delta-decomposable
+    * algebra; no DISTINCT, no FILTER clause, no arithmetic over the
+    * aggregate, no HAVING above it). Returns (group output names, aggregate
+    * output name → kind) in OUTER (post-rename) names. */
+  private[sql] def aggShape(analyzed: LogicalPlan): Option[(Seq[String], Seq[(String, String)])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // peel rename-only Projects / aliases; anything else above the
+    // Aggregate (a Filter = HAVING, a computed projection) disqualifies
+    def peel(p: LogicalPlan, rename: Map[String, String])
+        : Option[(Aggregate, Map[String, String])] = p match {
+      case SubqueryAlias(_, c) => peel(c, rename)
+      case Project(projs, c) =>
+        val pairs = projs.map {
+          case a: Attribute => Some(a.name -> a.name)
+          case Alias(a: Attribute, out) => Some(a.name -> out)
+          case _ => None
+        }
+        if (pairs.exists(_.isEmpty)) None
+        else peel(c, pairs.flatten.map { case (in, out) =>
+          in -> rename.getOrElse(out, out) }.toMap)
+      case a: Aggregate => Some((a, rename))
+      case _ => None
+    }
+    peel(analyzed, Map.empty).flatMap { case (agg, rename) =>
+      if (agg.groupingExpressions.isEmpty) return None // global agg: no key to merge on
+      if (!rowPreservingShape(agg.child)) return None
+      def outName(n: String): String = rename.getOrElse(n, n)
+      // renames must cover every aggregate output exactly once (a dropped or
+      // duplicated column makes the storage merge ambiguous)
+      if (rename.nonEmpty && (rename.size != agg.aggregateExpressions.size ||
+          rename.values.toSeq.distinct.size != rename.size)) return None
+      val groups = Seq.newBuilder[String]
+      val aggs = Seq.newBuilder[(String, String)]
+      val ok = agg.aggregateExpressions.forall { ne =>
+        val hasAgg = ne.exists(_.isInstanceOf[AggregateExpression])
+        if (!hasAgg) { // group expression (analyzer guarantees it is one)
+          if (!ne.deterministic) false
+          else { groups += outName(ne.name); true }
+        } else ne match {
+          case Alias(ae: AggregateExpression, out)
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            val kind = ae.aggregateFunction match {
+              case _: Sum => Some("sum")
+              case _: Count => Some("count")
+              case _: Min => Some("min")
+              case _: Max => Some("max")
+              case _ => None
+            }
+            kind.foreach(k => aggs += (outName(out) -> k))
+            kind.isDefined
+          case _ => false // arithmetic over an aggregate, or unnamed shape
+        }
+      }
+      val g = groups.result()
+      if (ok && g.nonEmpty) Some((g, aggs.result())) else None
+    }
+  }
+
+  /** Try the incremental path: Some((label, affectedRows, newSourceVersion,
+    * root)) after committing; None → caller runs the full recompute. */
   def tryIncremental(spark: SparkSession, meta: GraftViewStore.ViewMeta,
       qualified: LogicalPlan,
-      storage: graft.table.TransactionalTable): Option[(Long, Long, String)] = {
+      storage: graft.table.TransactionalTable): Option[(String, Long, Long, String)] = {
     if (meta.externalSources) return None
     val single = spfSource(qualified)
     // the chain match must account for the WHOLE tree: a subquery expression
@@ -1081,7 +1163,26 @@ private[sql] object GraftMvRefresh {
     val analyzedShape = scala.util.Try(
       org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, qualified)
         .queryExecution.analyzed).toOption
-    if (!analyzedShape.exists(rowPreservingShape)) return None
+    if (analyzedShape.isEmpty) return None
+    val rowShape = analyzedShape.exists(rowPreservingShape)
+    val aggInfo = if (rowShape) None else analyzedShape.flatMap(aggShape)
+    if (!rowShape && aggInfo.isEmpty) return None
+    // aggregate maintenance merges ON the group key: the storage PK must BE
+    // the group-key column set, else replacing rows by PK is not replacing
+    // groups
+    val aliases = meta.current.columnAliases
+    val aggResolved = aggInfo.map { case (g, ks) =>
+      // outer names come from the analyzed plan; the stored columnAliases
+      // rename positionally — map through when they differ
+      val analyzedNames = analyzedShape.get.output.map(_.name)
+      val alias: Map[String, String] =
+        if (analyzedNames == aliases) Map.empty
+        else analyzedNames.zip(aliases).toMap
+      (g.map(n => alias.getOrElse(n, n)), ks.map { case (n, k) => alias.getOrElse(n, n) -> k })
+    }
+    aggResolved.foreach { case (g, _) =>
+      if (storage.pkCols.toSet != g.toSet) return None
+    }
     val parts = single.get
     GraftViewResolution.target(spark, parts).flatMap { case (_, g, ns, nm) =>
       val root = g.tableRoot(
@@ -1091,14 +1192,15 @@ private[sql] object GraftMvRefresh {
           val t = graft.table.TransactionalTable.open(spark, root)
           val v1 = t.currentVersion
           // The storage table's writer fence is the TRUE high-water mark: the
-          // append below commits (batchId = source version, writerId = this
-          // view) atomically with the data, so a crash between the append and
+          // commit below (batchId = source version, writerId = this view)
+          // lands atomically with the data, so a crash between the commit and
           // the _view.json update — or a concurrent refresh — can never
           // double-apply an interval: the fence heals/blocks it.
           val writerId = s"mv-incr:$root"
           val v0 = math.max(v0meta,
             storage.snapshot.writerFences.getOrElse(writerId, -1L))
-          if (v1 == v0) Some((0L, v1, root)) // data already there; heal meta only
+          // data already there (fence ahead of recorded meta); heal meta only
+          if (v1 == v0) Some(("incremental: +0 rows (fence-healed)", 0L, v1, root))
           else {
             val delta = t.changes(v0, v1) // throws if v0 expired → full refresh
             if (!delta.where(fcol("_change_type") === "delete").isEmpty) None
@@ -1109,21 +1211,74 @@ private[sql] object GraftMvRefresh {
                 case _: UnresolvedRelation => inserts.queryExecution.analyzed
               }
               val out0 = org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, substituted)
-              val aliases = meta.current.columnAliases
               val out = if (out0.columns.toSeq != aliases) out0.toDF(aliases: _*) else out0
               val sameSchema =
                 out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
                   storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
               if (!sameSchema) None
-              else {
-                val n = out.count()
-                storage.append(out, batchId = v1, writerId = Some(writerId))
-                Some((n, v1, root))
+              else aggResolved match {
+                case None =>
+                  val n = out.count()
+                  storage.append(out, batchId = v1, writerId = Some(writerId))
+                  Some((s"incremental: +$n rows", n, v1, root))
+                case Some((groupCols, aggCols)) =>
+                  Some(mergeAggDelta(spark, storage, out, groupCols, aggCols,
+                    v1, writerId, root))
               }
             }
           }
         }.toOption.flatten
       }
     }
+  }
+
+  /** Combine per-group deltas into storage and MERGE on the group key —
+    * only groups present in the delta rewrite. */
+  private def mergeAggDelta(spark: SparkSession,
+      storage: graft.table.TransactionalTable,
+      delta: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], aggCols: Seq[(String, String)],
+      v1: Long, writerId: String, root: String): (String, Long, Long, String) = {
+    import org.apache.spark.sql.functions.{greatest, least, when}
+    val d = delta.alias("d")
+    // Storage is the BIG side: restrict it to the delta's groups with a
+    // semi-join FIRST (AQE broadcasts the delta-key set in the common case →
+    // map-only storage scan, and the engine's runtime file pruning drops
+    // whole storage files from the broadcast PK set), then combine the two
+    // now-delta-sized frames. A direct d⟕storage left join would instead
+    // shuffle the whole MV on every refresh (left-outer cannot build on the
+    // big probe side).
+    val dKeys = delta.select(groupCols.map(fcol): _*).alias("k")
+    val semiCond = groupCols.map(c => fcol(s"s.$c") <=> fcol(s"k.$c")).reduce(_ && _)
+    val sSub = storage.scan().alias("s").join(dKeys, semiCond, "left_semi").alias("s")
+    // null-safe key equality: a NULL group key is a real group
+    val keyCond = groupCols.map(c => fcol(s"d.$c") <=> fcol(s"s.$c")).reduce(_ && _)
+    val combinedCols =
+      groupCols.map(c => fcol(s"d.$c").as(c)) ++
+        aggCols.map { case (c, kind) =>
+          val dc = fcol(s"d.$c"); val sc = fcol(s"s.$c")
+          val tpe = storage.schema(c).dataType
+          (kind match {
+            // SUM/COUNT add; a NULL side means "no non-null contributions" —
+            // take the other (COUNT is never null). least/greatest skip
+            // nulls natively, and folding MIN/MAX with new-rows-only deltas
+            // is sound because the interval is append-only (no retractions).
+            case "sum" | "count" =>
+              when(sc.isNull, dc).when(dc.isNull, sc).otherwise(dc + sc)
+            case "min" => least(dc, sc)
+            case "max" => greatest(dc, sc)
+            case other => throw new IllegalStateException(s"unexpected agg kind $other")
+          }).cast(tpe).as(c)
+        }
+    val combined = d.join(sSub, keyCond, "left").select(combinedCols: _*)
+      // align to the storage column ORDER (merge aligns by position for
+      // the write path's schema checks)
+      .select(storage.schema.fieldNames.map(fcol).toIndexedSeq: _*)
+    val nGroups = combined.count()
+    val emptyDeletes = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(storage.pkCols.map(storage.schema(_))))
+    storage.merge(combined, emptyDeletes, batchId = v1, writerId = Some(writerId))
+    (s"incremental-agg: $nGroups groups merged", nGroups, v1, root)
   }
 }

@@ -347,6 +347,110 @@ class ViewSqlSpec extends SparkSpec {
       .select("refreshed").as[Boolean].head() === false)
   }
 
+  /** fresh() + a grouped source table `db.ev(id, grp, v)`. */
+  private def freshGrouped(): (String, String) = {
+    val (cat, w) = fresh()
+    TransactionalTable.create(spark, s"$w/db/ev",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, grp STRING, v BIGINT"),
+      "id", None)
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (1,'a',10),(2,'a',20),(3,'b',5)")
+    (cat, w)
+  }
+
+  test("aggregate MV: append-only interval refreshes by per-group delta MERGE") {
+    val (cat, w) = freshGrouped()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.gagg AS " +
+      s"SELECT grp, SUM(v) AS sv, COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx " +
+      s"FROM $cat.db.ev GROUP BY grp")
+    assert(spark.sql(s"SELECT * FROM $cat.db.gagg ORDER BY grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq ===
+      Seq(("a", 30L, 2L, 10L, 20L), ("b", 5L, 1L, 5L, 5L)))
+    val storageV0 = TransactionalTable.open(spark, s"$w/db/gagg/_storage").currentVersion
+    // grow an existing group, add a new one; group 'b' untouched
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',7),(5,'c',100)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.gagg')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true)
+    assert(r._2.startsWith("incremental-agg"), s"expected aggregate delta merge, got: $r")
+    assert(spark.sql(s"SELECT * FROM $cat.db.gagg ORDER BY grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq ===
+      Seq(("a", 37L, 3L, 7L, 20L), ("b", 5L, 1L, 5L, 5L), ("c", 100L, 1L, 100L, 100L)))
+    // ONE merge commit on storage, not a replace
+    assert(TransactionalTable.open(spark, s"$w/db/gagg/_storage").currentVersion
+      === storageV0 + 1)
+    assert(spark.sql(s"CALL $cat.system.mv_status('db.gagg')")
+      .select("fresh").as[Boolean].head() === true)
+    // a second refresh with no new source commits is a clean no-op
+    assert(spark.sql(s"CALL $cat.system.refresh_mv('db.gagg')")
+      .select("refreshed").as[Boolean].head() === false)
+  }
+
+  test("aggregate MV: delta merge is replay-fenced like the row-preserving path") {
+    val (cat, w) = freshGrouped()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.fagg AS " +
+      s"SELECT grp, SUM(v) AS sv FROM $cat.db.ev GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',7)")
+    assert(spark.sql(s"CALL $cat.system.refresh_mv('db.fagg')")
+      .select("reason").as[String].head().startsWith("incremental-agg"))
+    // crash between storage merge and _view.json update: rewind recorded
+    // source versions — the replayed refresh must fence, not double-add
+    val root = s"$w/db/fagg"
+    val meta = GraftViewStore.load(root)
+    GraftViewStore.write(root,
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.fagg')")
+      .select("reason").as[String].head()
+    assert(r2.contains("+0") || r2.contains("fence"), s"expected fence heal, got $r2")
+    assert(spark.sql(s"SELECT sv FROM $cat.db.fagg WHERE grp = 'a'")
+      .as[Long].head() === 37L, "fence failed: delta applied twice")
+  }
+
+  test("aggregate MV: AVG and HAVING shapes fall back to the full recompute") {
+    val (cat, _) = freshGrouped()
+    // AVG is not delta-decomposable from the stored final
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.avgmv AS " +
+      s"SELECT grp, AVG(v) AS av FROM $cat.db.ev GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',40)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.avgmv')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("stale"), s"AVG must take the full path, got: $r1")
+    assert(spark.sql(s"SELECT av FROM $cat.db.avgmv WHERE grp = 'a'")
+      .as[Double].head() === (10.0 + 20 + 40) / 3)
+    // HAVING: a group can CROSS the threshold when the delta lands — the
+    // absent stored row makes delta-merge wrong, so it must go full
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.havmv AS " +
+      s"SELECT grp, SUM(v) AS sv FROM $cat.db.ev GROUP BY grp HAVING SUM(v) > 10")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (5,'b',6)")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.havmv')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("stale"), s"HAVING must take the full path, got: $r2")
+    // b was 5 (filtered out), now 11 — only the full recompute finds it
+    assert(spark.sql(s"SELECT sv FROM $cat.db.havmv WHERE grp = 'b'")
+      .as[Long].head() === 11L)
+  }
+
+  test("aggregate MV: composite group key with declared composite pk merges incrementally") {
+    val (cat, w) = freshGrouped()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.cagg " +
+      s"TBLPROPERTIES('pk'='grp,parity') AS " +
+      s"SELECT grp, id % 2 AS parity, SUM(v) AS sv FROM $cat.db.ev GROUP BY grp, id % 2")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',7)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.cagg')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-agg"), s"expected delta merge, got: $r")
+    // a/even was (2,'a',20) = 20, now + (4,'a',7) = 27
+    assert(spark.sql(s"SELECT sv FROM $cat.db.cagg WHERE grp = 'a' AND parity = 0")
+      .as[Long].head() === 27L)
+    // default single-column pk on a 2-key group must NOT take the delta
+    // path (merging on a partial key replaces the wrong rows) — falls back
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.cagg2 AS " +
+      s"SELECT grp, id % 2 AS parity, SUM(v) AS sv FROM $cat.db.ev GROUP BY grp, id % 2")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (6,'c',1)")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.cagg2')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("stale"), s"pk!=group keys must go full, got: $r2")
+  }
+
   test("materialized view: delete in the interval forces the full recompute path") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.incd AS " +
