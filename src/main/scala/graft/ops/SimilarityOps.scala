@@ -300,4 +300,33 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
   }
+
+  /**
+   * Johnson–Lindenstrauss RANDOM PROJECTION to `k` dimensions — the
+   * dimensionality-reduction step ahead of an ANN index or a cheap
+   * first-pass similarity filter (±1 sign matrix, Achlioptas 2003: JL
+   * guarantees hold with the database-friendly sign projection, no
+   * Gaussians needed). The sign matrix is derived per (i, j) cell from
+   * md5-60 parity — deterministic, engine-recomputable — materialized ONCE
+   * driver-side (k·d doubles) and shipped as an array literal; per row the
+   * projection is k ordered folds over zip_with products, fully codegen'd,
+   * map-only at any scale. Output: (id, out_dim, value) exploded rows, the
+   * layout a downstream index builder consumes. Fold order is the array
+   * order on both engines, so values are bit-exact.
+   */
+  def randomProjection(df: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && dim > 0, "k and dim must be positive")
+    import org.apache.spark.unsafe.types.UTF8String
+    val signs: Seq[Seq[Double]] = Seq.tabulate(k, dim) { (i, j) =>
+      if (graft.functions.Md5Hash60.hash(UTF8String.fromString(s"$i:$j")) % 2 == 0) 1.0
+      else -1.0
+    }
+    val v = asDouble(col(vecCol))
+    val projected = transform(typedlit(signs), row =>
+      aggregate(zip_with(v, row, (x, s) => x * s), lit(0.0), (acc, x) => acc + x))
+    df.select(col(idCol), posexplode(projected).as(Seq("out_dim", "value")))
+      .select(col(idCol), col("out_dim").cast("long").as("out_dim"), col("value"))
+      .orderBy(idCol, "out_dim")
+  }
 }

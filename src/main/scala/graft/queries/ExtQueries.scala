@@ -778,6 +778,26 @@ object ExtQueries {
              |  (list_max(v) - list_min(v)) / 255.0 AS scale
              |FROM e ORDER BY vec_id""".stripMargin)),
 
+    // X3: Johnson–Lindenstrauss random projection to 8 dims (±1 sign matrix
+    // from md5-60 parity — Achlioptas-style, deterministic): the
+    // dimensionality-reduction step ahead of an ANN index. Both engines fold
+    // the products in array order (Spark aggregate / DuckDB list_reduce with
+    // a prepended 0.0), so every projected value is bit-exact.
+    Q("x3_random_projection",
+      (s, d) => SimilarityOps.randomProjection(
+        Tables.load(s, d, "embeddings").filter(col("vec_id") < 100), k = 8, dim = 64),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id < 100),
+             |p AS (SELECT vec_id, CAST(i AS BIGINT) AS out_dim,
+             |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(range(1, 65), j ->
+             |            v[CAST(j AS INTEGER)] *
+             |            (CASE WHEN CAST(concat('0x', substring(md5(CAST(i AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+             |                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+             |          (a, b) -> a + b) AS value
+             |      FROM e, range(8) r(i))
+             |SELECT vec_id, out_dim, value FROM p ORDER BY vec_id, out_dim""".stripMargin)),
+
     // X5: multimodal binary column + typed metadata (payload stays opaque;
     // metadata prunable without reading payload pages).
     Q("x5_binary_meta",

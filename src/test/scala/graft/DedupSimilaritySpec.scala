@@ -280,6 +280,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full === exact, "nprobe=cells must equal exact cosineTopK")
   }
 
+  test("randomProjection: deterministic ±1 projection, exact linearity, fixed shape") {
+    val vecs = Seq(
+      (1L, Array.tabulate(16)(i => (i + 1).toFloat)),
+      (2L, Array.tabulate(16)(i => 2f * (i + 1))), // exactly 2 × vec 1
+      (3L, Array.tabulate(16)(_ => 0f)))
+      .toDF("vec_id", "embedding")
+    val p = SimilarityOps.randomProjection(vecs, k = 4, dim = 16)
+      .as[(Long, Long, Double)].collect()
+    assert(p.length === 12) // 3 vectors × 4 output dims
+    val byVec = p.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // power-of-two scaling commutes with IEEE rounding: proj(2v) == 2·proj(v) EXACTLY
+    assert(byVec(2L) === byVec(1L).map(_ * 2.0))
+    assert(byVec(3L) === Seq(0.0, 0.0, 0.0, 0.0))
+    // deterministic across invocations (the sign matrix is md5-derived)
+    val again = SimilarityOps.randomProjection(vecs, k = 4, dim = 16)
+      .as[(Long, Long, Double)].collect()
+    assert(again.toSeq === p.toSeq)
+  }
+
   test("nearDupPairs: planted duplicate found at cos ~1") {
     val dup = vecs.filter($"vec_id" === 2).select(lit(102L).as("vec_id"), $"embedding")
     val got = SimilarityOps.nearDupPairs(vecs.unionByName(dup), threshold = 0.99)
