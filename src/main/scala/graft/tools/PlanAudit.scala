@@ -59,8 +59,10 @@ object PlanAudit {
       "x5_decode_real",
       // round 11 second half: the span detector's dup-key aggregate and
       // semi-join probe stay co-partitioned on the fingerprint, with no
-      // pair expansion (exchange-count assert in DedupSimilaritySpec)
-      "x2_dup_spans")
+      // pair expansion (exchange-count assert in DedupSimilaritySpec); the
+      // mixture sampler is one broadcast agg + a map-only filter; the
+      // random projection is pure map-side codegen
+      "x2_dup_spans", "x1_mixture_budget", "x3_random_projection")
 
     audited.foreach { name =>
       val df = Registry.byName(name).fn(spark, sfDir)
