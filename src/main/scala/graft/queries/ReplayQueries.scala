@@ -1254,6 +1254,54 @@ object ReplayQueries {
            |) AS t(event, total, n, mx) ORDER BY event""".stripMargin
       }),
 
+    // Transparent MV rewrite (E110): with the view opted in, the RAW
+    // aggregate query over the source is answered from the FRESH MV's
+    // storage (plan must lose its Aggregate), bit-identical to computing
+    // from source; after a source commit the stale MV must NOT serve —
+    // the same query falls back to the source until refresh_mv.
+    Q("cdc_sql_mv_rewrite",
+      (s, _) => {
+        val cat = s"graft_mr${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mr").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        val q = s"SELECT event, SUM(amount) AS total, COUNT(*) AS n " +
+          s"FROM $cat.db.retail GROUP BY event"
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.ev_tot AS $q")
+        try {
+          s.conf.set(graft.sql.GraftMvRewriteRule.ConfKey, s"$cat.db.ev_tot")
+          val accel = s.sql(q)
+          require(!accel.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+            "fresh MV must answer the exact-match aggregate (no Aggregate in plan)")
+          // staleness: a new commit makes the MV ineligible — the SAME query
+          // must recompute from source (plan has its Aggregate back)
+          s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+            "(500, 'c500', 'visit', 'SKU500', 555, 'pc', NULL)")
+          val fallback = s.sql(q)
+          require(fallback.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+            "stale MV must not serve old data")
+          fallback.orderBy("event")
+        } finally s.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
+      },
+      Some {
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) } :+
+          ((500L, "visit", 555)))
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (ev, rs) =>
+            s"('$ev', CAST(${rs.map(_._3.toLong).sum} AS BIGINT), CAST(${rs.size} AS BIGINT))"
+          }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, n) ORDER BY event""".stripMargin
+      }),
+
     // Partition-scoped compaction (E89): bin-pack ONE partition's files,
     // carry the rest by reference — table contents must be bit-identical.
     Q("cdc_compact_partitions_state",

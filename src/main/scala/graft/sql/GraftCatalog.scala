@@ -537,6 +537,21 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
 
+  /** VALUE equality on (root, snapshot version, schema, rewrite-pending
+    * flags): two loads of the same table at the same snapshot read the same
+    * data — the contract `LogicalPlan.sameResult` (and with it Spark's
+    * CacheManager plan matching and the MV-rewrite rule) needs across
+    * independently analyzed queries. Entries/stats derive from the pinned
+    * snapshot, so they are not part of the identity. */
+  override def equals(other: Any): Boolean = other match {
+    case t: GraftSqlTable =>
+      t.root == root && t.loadedVersion == loadedVersion &&
+        t.schema() == schema() && t.pinnedVersion == pinnedVersion &&
+        t.morPending == morPending && t.renamesPending == renamesPending
+    case _ => false
+  }
+  override def hashCode(): Int = (root, loadedVersion).hashCode()
+
   /** Surfaced by `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`: the
     * engine's table metadata and the resolved snapshot's vitals — the quick
     * operational look Iceberg users get from table properties. */

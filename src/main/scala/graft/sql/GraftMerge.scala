@@ -848,6 +848,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // placeholders become groupBy(path) plans over the chunk-partitioned
     // raw scan (driver plans chunk refs, never entries).
     ext.injectPostHocResolutionRule(s => new GraftMetadataScanRule(s))
+    // Opt-in transparent MV rewrite (spark.graft.mv.rewrite): exact-match
+    // fresh-view substitution, after every other read rewrite so both the
+    // query and the cached definition see the same final relation shapes.
+    ext.injectPostHocResolutionRule(s => new GraftMvRewriteRule(s))
     // Optimizer: manifest-answered COUNT(*) (Iceberg-manifest parity).
     ext.injectOptimizerRule(s => new GraftCountStarRule(s))
     ext.injectPlannerStrategy(s => new GraftMergeStrategy(s))

@@ -1282,3 +1282,136 @@ private[sql] object GraftMvRefresh {
     (s"incremental-agg: $nGroups groups merged", nGroups, v1, root)
   }
 }
+
+/**
+ * Transparent materialized-view REWRITE (the exact-match tier of
+ * Calcite/Oracle-style query acceleration): a query subtree that computes
+ * EXACTLY what a FRESH materialized view stores is replaced with a scan of
+ * the view's storage table — the user keeps writing queries against the
+ * source, and a maintained MV silently answers them.
+ *
+ * Deliberately conservative:
+ *  - OPT-IN per session: `spark.graft.mv.rewrite` lists the candidate views
+ *    (`cat.db.mv,...`); unset → the rule is a no-op with zero overhead.
+ *    An explicit candidate list is the Oracle/Calcite posture — planning
+ *    cost and rewrite surprise stay under operator control.
+ *  - Only a FRESH view rewrites: every recorded source version must equal
+ *    the source's current version (the same staleness check refresh_mv
+ *    uses). A stale or externally-sourced MV never silently serves old data
+ *    — the query falls through to the source, which is always correct.
+ *  - Only an EXACT match rewrites: `LogicalPlan.sameResult` on analyzed
+ *    plans (Spark's own CacheManager matching — canonicalized exprIds,
+ *    alias-name-insensitive, position-correlated outputs). Containment
+ *    rewriting (query = aggregation OVER the view) is out of scope.
+ *
+ * The definition's analyzed plan is cached by content digest (same idiom as
+ * the view-definition cache); freshness re-checks per query from manifest
+ * pointers (cheap). Requires [[GraftSqlTable]]'s value equality — two
+ * independent loads of one table at one snapshot must compare equal for
+ * sameResult to hold across separately analyzed plans.
+ */
+class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftMvRewriteRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val conf = spark.conf.get(ConfKey, "")
+    if (conf.trim.isEmpty || !plan.resolved) return plan
+    // re-entrancy guard: analyzing a candidate's DEFINITION runs the full
+    // analyzer (this rule included) — without the guard that recurses
+    // unboundedly, and a fresh definition would even match ITSELF
+    if (analyzing.get()) return plan
+    val candidates = conf.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .flatMap(resolveCandidate)
+    if (candidates.isEmpty) return plan
+    plan.resolveOperatorsUp {
+      case p if p.resolved =>
+        // cheap pre-gates (node class + width) keep the canonicalization
+        // cost of sameResult off every node of every query
+        candidates.find(c =>
+          p.getClass == c.defPlan.getClass &&
+            p.schema.length == c.defPlan.schema.length &&
+            p.sameResult(c.defPlan)) match {
+          case Some(c) =>
+            val storagePlan = c.storageScan().queryExecution.analyzed
+            // position-correlated outputs (sameResult contract): alias the
+            // storage columns back to the query subtree's names/exprIds
+            Project(
+              p.output.zip(storagePlan.output).map { case (o, n) =>
+                org.apache.spark.sql.catalyst.expressions.Alias(n, o.name)(
+                  exprId = o.exprId, qualifier = o.qualifier)
+              },
+              storagePlan)
+          case None => p
+        }
+    }
+  }
+
+  private final case class Candidate(
+      defPlan: LogicalPlan, storageScan: () => org.apache.spark.sql.DataFrame)
+
+  private def resolveCandidate(name: String): Option[Candidate] = try {
+    val parts = name.split("\\.").toSeq
+    if (parts.length < 3) {
+      logWarning(s"$ConfKey entry '$name' is not cat.db.view — skipped"); return None
+    }
+    val cat = spark.sessionState.catalogManager.catalog(parts.head) match {
+      case g: GraftCatalog => g
+      case _ => logWarning(s"$ConfKey entry '$name': not a graft catalog"); return None
+    }
+    val root = GraftViewResolution.viewRoot(cat, parts.tail.init, parts.last)
+    if (!GraftViewStore.exists(root)) {
+      logWarning(s"$ConfKey entry '$name': no such view"); return None
+    }
+    val bytes = GraftViewStore.rawBytes(root)
+    val meta = GraftViewStore.parse(bytes)
+    if (!meta.materialized || meta.externalSources) return None
+    // freshness: every recorded source is exactly at its recorded version
+    val fresh = meta.sourceVersions.nonEmpty && meta.sourceVersions.forall {
+      case (r, v) =>
+        graft.table.TransactionalTable.exists(r) &&
+          graft.table.TransactionalTable.open(spark, r).currentVersion == v
+    }
+    if (!fresh) return None
+    val digest = java.util.Arrays.hashCode(bytes)
+    // definition analysis is the expensive leg — cache by content
+    val defPlan = defCache.synchronized {
+      Option(defCache.get(root)).filter(_._1 == digest).map(_._2)
+    }.getOrElse {
+      val cur = meta.current
+      analyzing.set(true)
+      val analyzed = try {
+        val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
+        val qualified = GraftViewResolution.qualifyNames(
+          spark, parsed, cur.currentCatalog, cur.currentNamespace)
+        org.apache.spark.sql.graftshim.GraftShims.ofRows(spark,
+          org.apache.spark.sql.catalyst.analysis.CTESubstitution(qualified))
+          .queryExecution.analyzed
+      } finally analyzing.set(false)
+      defCache.synchronized { defCache.put(root, (digest, analyzed)); () }
+      analyzed
+    }
+    val storage = graft.table.TransactionalTable.open(
+      spark, GraftViewStore.storageRoot(root))
+    Some(Candidate(defPlan, () => storage.scan()))
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      logWarning(s"$ConfKey entry '$name' skipped: ${e.getMessage}")
+      None
+  }
+}
+
+object GraftMvRewriteRule {
+  /** Comma-separated fully-qualified MV names eligible for rewrite. */
+  val ConfKey = "spark.graft.mv.rewrite"
+  /** True while a candidate definition is being analyzed on this thread. */
+  private val analyzing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  /** (view root → (meta digest, analyzed definition)). */
+  private val defCache =
+    new java.util.LinkedHashMap[String, (Int, LogicalPlan)](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, (Int, LogicalPlan)])
+          : Boolean = size > 32
+    }
+}

@@ -451,6 +451,42 @@ class ViewSqlSpec extends SparkSpec {
     assert(r2.startsWith("stale"), s"pk!=group keys must go full, got: $r2")
   }
 
+  test("transparent MV rewrite: a fresh MV answers the raw aggregate query") {
+    val (cat, w) = freshGrouped()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.rwagg AS " +
+      s"SELECT grp, SUM(v) AS sv FROM $cat.db.ev GROUP BY grp")
+    val q = s"SELECT grp, SUM(v) AS sv FROM $cat.db.ev GROUP BY grp"
+    // rewritten = the aggregation vanished (the MV's stored result needs no
+    // Aggregate) and the scan is the storage table's parquet relation
+    def storageReads(sql: String): Boolean = {
+      val plan = spark.sql(sql).queryExecution.optimizedPlan.toString
+      !plan.contains("Aggregate")
+    }
+    try {
+      // conf unset: no rewrite
+      assert(!storageReads(q), "must not rewrite without opt-in")
+      spark.conf.set(graft.sql.GraftMvRewriteRule.ConfKey, s"$cat.db.rwagg")
+      // fresh MV + exact match: the aggregate reads storage, results equal
+      assert(storageReads(q), "fresh MV must answer the exact-match query")
+      assert(spark.sql(q).as[(String, Long)].collect().sortBy(_._1).toSeq ===
+        Seq(("a", 30L), ("b", 5L)))
+      // a DIFFERENT query (extra filter) must NOT be claimed
+      assert(!storageReads(
+        s"SELECT grp, SUM(v) AS sv FROM $cat.db.ev WHERE v > 5 GROUP BY grp"),
+        "non-matching query must not rewrite")
+      // stale MV: source advanced → falls back to the source (correct data)
+      spark.sql(s"INSERT INTO $cat.db.ev VALUES (9,'a',100)")
+      assert(!storageReads(q), "stale MV must not serve old data")
+      assert(spark.sql(q).as[(String, Long)].collect().sortBy(_._1).toSeq ===
+        Seq(("a", 130L), ("b", 5L)))
+      // refresh → fresh again → rewrites again, with the merged totals
+      spark.sql(s"CALL $cat.system.refresh_mv('db.rwagg')")
+      assert(storageReads(q), "refreshed MV must rewrite again")
+      assert(spark.sql(q).as[(String, Long)].collect().sortBy(_._1).toSeq ===
+        Seq(("a", 130L), ("b", 5L)))
+    } finally spark.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
+  }
+
   test("materialized view: delete in the interval forces the full recompute path") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.incd AS " +
