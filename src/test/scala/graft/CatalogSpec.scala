@@ -32,6 +32,32 @@ class CatalogSpec extends SparkSpec {
     assert(cnt === 12L)
   }
 
+  test("CacheManager matches independent reads of one snapshot; a commit breaks the match") {
+    // GraftSqlTable's VALUE equality (root, snapshot version): caching one
+    // read must accelerate a separately analyzed identical read, and a new
+    // commit must MISS the cache (version-in-identity), never serve stale.
+    val cat = s"graft_cs_cc${System.nanoTime()}"
+    val w = tmpDir("graft-warehouse-cc")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    TransactionalTable.create(spark, s"$w/db/t",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"), "id", None)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20)")
+    val a = spark.sql(s"SELECT id, v FROM $cat.db.t")
+    a.cache(); a.collect()
+    try {
+      val b = spark.sql(s"SELECT id, v FROM $cat.db.t")
+      assert(b.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "independent read of the same snapshot must hit the cache")
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 30)")
+      val c = spark.sql(s"SELECT id, v FROM $cat.db.t")
+      assert(!c.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "a new commit must MISS the cache, not serve the old snapshot")
+      assert(c.count() === 3L)
+    } finally a.unpersist()
+  }
+
   test("VERSION AS OF time travel through SQL") {
     warehouse
     val v1 = spark.sql("SELECT trans_id FROM graft_cs.db.retail VERSION AS OF 1 ORDER BY trans_id")
