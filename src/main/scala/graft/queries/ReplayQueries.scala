@@ -1278,6 +1278,14 @@ object ReplayQueries {
           val accel = s.sql(q)
           require(!accel.queryExecution.optimizedPlan.toString.contains("Aggregate"),
             "fresh MV must answer the exact-match aggregate (no Aggregate in plan)")
+          // roll-up tier: the GLOBAL aggregate re-aggregates the MV (sum of
+          // sums, sum of counts) — the source relation must not be scanned
+          val global = s.sql(s"SELECT SUM(amount) AS total, COUNT(*) AS n " +
+            s"FROM $cat.db.retail")
+          require(!global.queryExecution.optimizedPlan.toString.contains("db.retail"),
+            "global aggregate must roll up from the MV, not scan the source")
+          val gRow = global.collect().head
+          require(gRow.getLong(1) == 12L, s"roll-up count wrong: $gRow")
           // staleness: a new commit makes the MV ineligible — the SAME query
           // must recompute from source (plan has its Aggregate back)
           s.sql(s"INSERT INTO $cat.db.retail VALUES " +

@@ -1342,9 +1342,102 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   exprId = o.exprId, qualifier = o.qualifier)
               },
               storagePlan)
-          case None => p
+          case None => p match {
+            // ROLL-UP tier: a coarser GROUP BY over the same input re-
+            // aggregates the MV instead of the source
+            case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+              candidates.view.flatMap(c => rollup(agg, c)).headOption.getOrElse(p)
+            case _ => p
+          }
         }
     }
+  }
+
+  /**
+   * Roll-up rewrite (the aggregation-containment tier): a query that groups
+   * the SAME input by a SUBSET of a candidate MV's group keys, computing
+   * SUM/COUNT/MIN/MAX the MV also stores, is answered by RE-AGGREGATING the
+   * MV — SUM of sums, SUM of counts, MIN of mins, MAX of maxes (the roll-up
+   * algebra; COUNT becomes SUM over the stored per-group counts). Global
+   * aggregates (empty query grouping) roll up too, with COUNT coalesced to
+   * 0 for the empty-storage case. Requirements, all checked structurally:
+   * identical child plans (canonicalized), every query grouping expression
+   * and aggregate input matched against the MV's OUTPUTS by semantic
+   * equality after rebasing the query-child attributes onto the MV child's
+   * (position-correlated — same canonical child), no DISTINCT/FILTER on
+   * either side, AVG and any unmatched expression fall through to the
+   * source.
+   */
+  private def rollup(q: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      c: Candidate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val m = c.defPlan match { case a: Aggregate => a; case _ => return None }
+    if (q.child.canonicalized != m.child.canonicalized) return None
+    if (q.groupingExpressions.size >= m.groupingExpressions.size) return None
+    // rebase query-child attribute references onto the MV child's output
+    // (children are canonically identical ⇒ outputs correspond by position)
+    val q2m: Map[ExprId, Attribute] =
+      q.child.output.zip(m.child.output).map { case (a, b) => a.exprId -> b }.toMap
+    def rebase(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference => q2m.getOrElse(a.exprId, a)
+    }
+    def stripAlias(e: Expression): Expression = e match {
+      case Alias(x, _) => x
+      case x => x
+    }
+    val storagePlan = c.storageScan().queryExecution.analyzed
+    val mOut: Seq[(NamedExpression, Attribute)] =
+      m.aggregateExpressions.zip(storagePlan.output)
+    def isAggOut(ne: NamedExpression) = ne.exists(_.isInstanceOf[AggregateExpression])
+    // match a rebased query expression against an MV GROUP output's column
+    def groupCol(target: Expression): Option[Attribute] = mOut.collectFirst {
+      case (mo, attr) if !isAggOut(mo) && stripAlias(mo).semanticEquals(target) => attr
+    }
+    // every query grouping expression must be exposed by the MV
+    val groupAttrs = q.groupingExpressions.map(g => groupCol(rebase(g)))
+    if (groupAttrs.exists(_.isEmpty)) return None
+    def cleanAgg(ae: AggregateExpression): Boolean = !ae.isDistinct && ae.filter.isEmpty
+    // build each query output on top of the storage columns
+    val outputs = q.aggregateExpressions.map { ne =>
+      if (!isAggOut(ne)) {
+        groupCol(rebase(stripAlias(ne))).map(attr =>
+          Alias(attr, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier))
+      } else ne match {
+        case Alias(ae: AggregateExpression, name) if cleanAgg(ae) =>
+          val fn = ae.aggregateFunction
+          val rebasedArgs = fn.children.map(rebase)
+          // the MV output storing the SAME aggregate of the SAME input
+          val matched = mOut.collectFirst {
+            case (Alias(mae: AggregateExpression, _), attr)
+                if cleanAgg(mae) && mae.aggregateFunction.getClass == fn.getClass &&
+                  mae.aggregateFunction.children.size == rebasedArgs.size &&
+                  mae.aggregateFunction.children.zip(rebasedArgs)
+                    .forall { case (a, b) => a.semanticEquals(b) } => attr
+          }
+          matched.flatMap { attr =>
+            val reAgg: Option[Expression] = fn match {
+              case _: Sum => Some(AggregateExpression(Sum(attr), Complete, isDistinct = false))
+              case _: Count =>
+                val s = AggregateExpression(Sum(attr), Complete, isDistinct = false)
+                // a GLOBAL count over empty storage must be 0, not NULL
+                Some(if (q.groupingExpressions.isEmpty)
+                  Coalesce(Seq(s, Literal(0L))) else s)
+              case _: Min => Some(AggregateExpression(Min(attr), Complete, isDistinct = false))
+              case _: Max => Some(AggregateExpression(Max(attr), Complete, isDistinct = false))
+              case _ => None
+            }
+            reAgg.map { e =>
+              val typed = if (e.dataType == ne.dataType) e else Cast(e, ne.dataType)
+              Alias(typed, name)(exprId = ne.exprId, qualifier = ne.qualifier)
+            }
+          }
+        case _ => None // AVG, expression over an aggregate, distinct, filter
+      }
+    }
+    if (outputs.exists(_.isEmpty)) return None
+    Some(Aggregate(groupAttrs.map(_.get), outputs.map(_.get), storagePlan))
   }
 
   private final case class Candidate(

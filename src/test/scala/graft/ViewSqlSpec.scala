@@ -487,6 +487,48 @@ class ViewSqlSpec extends SparkSpec {
     } finally spark.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
   }
 
+  test("MV roll-up rewrite: coarser GROUP BY re-aggregates the MV, not the source") {
+    val (cat, w) = freshGrouped()
+    // finer-grained MV: (grp, parity) with the decomposable aggregate set
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.fine " +
+      s"TBLPROPERTIES('pk'='grp,parity') AS " +
+      s"SELECT grp, id % 2 AS parity, SUM(v) AS sv, COUNT(*) AS n, " +
+      s"MIN(v) AS mn, MAX(v) AS mx FROM $cat.db.ev GROUP BY grp, id % 2")
+    def srcScanned(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan.toString.contains("db.ev")
+    try {
+      spark.conf.set(graft.sql.GraftMvRewriteRule.ConfKey, s"$cat.db.fine")
+      // coarser grouping: answered by re-aggregating the MV
+      val q1 = s"SELECT grp, SUM(v) AS sv, COUNT(*) AS n, MIN(v) AS mn, " +
+        s"MAX(v) AS mx FROM $cat.db.ev GROUP BY grp"
+      assert(!srcScanned(q1), "roll-up must read the MV, not the source")
+      assert(spark.sql(q1).as[(String, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq ===
+        Seq(("a", 30L, 2L, 10L, 20L), ("b", 5L, 1L, 5L, 5L)))
+      // GLOBAL aggregate rolls up too (count via sum-of-counts)
+      val q2 = s"SELECT SUM(v) AS sv, COUNT(*) AS n FROM $cat.db.ev"
+      assert(!srcScanned(q2), "global roll-up must read the MV")
+      assert(spark.sql(q2).as[(Long, Long)].head() === ((35L, 3L)))
+      // AVG is not stored → falls through to the source (and is correct)
+      val q3 = s"SELECT grp, AVG(v) AS av FROM $cat.db.ev GROUP BY grp"
+      assert(srcScanned(q3), "AVG cannot roll up from sums-only storage")
+      // grouping by a column the MV does not expose → source
+      val q4 = s"SELECT id % 3 AS trip, SUM(v) AS sv FROM $cat.db.ev GROUP BY id % 3"
+      assert(srcScanned(q4), "unexposed group key cannot roll up")
+      // staleness: a new commit disables the roll-up until refresh
+      spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',40)")
+      assert(srcScanned(q1), "stale MV must not serve roll-ups")
+      assert(spark.sql(q1).as[(String, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq ===
+        Seq(("a", 70L, 3L, 10L, 40L), ("b", 5L, 1L, 5L, 5L)))
+      spark.sql(s"CALL $cat.system.refresh_mv('db.fine')")
+      assert(!srcScanned(q1), "refreshed MV rolls up again")
+      assert(spark.sql(q1).as[(String, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq ===
+        Seq(("a", 70L, 3L, 10L, 40L), ("b", 5L, 1L, 5L, 5L)))
+    } finally spark.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
+  }
+
   test("materialized view: delete in the interval forces the full recompute path") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.incd AS " +
