@@ -529,6 +529,22 @@ class ViewSqlSpec extends SparkSpec {
     } finally spark.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
   }
 
+  test("MV rewrite composes under HAVING: the filter stays, the aggregate reads the MV") {
+    val (cat, _) = freshGrouped()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.hmv AS " +
+      s"SELECT grp, SUM(v) AS sv FROM $cat.db.ev GROUP BY grp")
+    try {
+      spark.conf.set(graft.sql.GraftMvRewriteRule.ConfKey, s"$cat.db.hmv")
+      // HAVING = Filter ABOVE the matched Aggregate: the inner exact match
+      // rewrites, the filter applies on top of the stored results
+      val q = s"SELECT grp, SUM(v) AS sv FROM $cat.db.ev GROUP BY grp HAVING SUM(v) > 10"
+      val df = spark.sql(q)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("db.ev"), "HAVING query must still read the MV")
+      assert(df.as[(String, Long)].collect().toSeq === Seq(("a", 30L)))
+    } finally spark.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
+  }
+
   test("materialized view: delete in the interval forces the full recompute path") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.incd AS " +
