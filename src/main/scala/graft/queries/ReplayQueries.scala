@@ -1254,6 +1254,50 @@ object ReplayQueries {
            |) AS t(event, total, n, mx) ORDER BY event""".stripMargin
       }),
 
+    // Aggregate MV RETRACTION (E111 — full IVM): an interval carrying
+    // deletes AND updates net-merges into a SUM/COUNT(+pairs) MV — updates
+    // (delete+insert changelog pairs) net exactly, a group whose COUNT(*)
+    // reaches zero leaves storage. The reason must name the retraction path.
+    Q("cdc_sql_mv_agg_retract",
+      (s, _) => {
+        val cat = s"graft_mar${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mar").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.etot AS " +
+          s"SELECT event, SUM(amount) AS total, COUNT(amount) AS na, COUNT(*) AS n " +
+          s"FROM $cat.db.retail GROUP BY event")
+        // churn: an UPDATE, a DELETE, and the DEATH of a whole group
+        s.sql(s"UPDATE $cat.db.retail SET amount = amount + 100 WHERE trans_id = 6")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE trans_id = 33")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE event = 'list'")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.etot')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-agg-retract"),
+          s"expected the retraction path, got '$refreshed'")
+        s.sql(s"SELECT event, total, na, n FROM $cat.db.etot ORDER BY event")
+      },
+      Some {
+        val after = CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) }
+          .map { case (id, ev, amt) => (id, ev, if (id == 6L) amt + 100 else amt) }
+          .filter { case (id, ev, _) => id != 33L && ev != "list" }
+        val rows = after.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (ev, rs) =>
+            s"('$ev', CAST(${rs.map(_._3.toLong).sum} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT), CAST(${rs.size} AS BIGINT))"
+          }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, na, n) ORDER BY event""".stripMargin
+      }),
+
     // Transparent MV rewrite (E110): with the view opted in, the RAW
     // aggregate query over the source is answered from the FRESH MV's
     // storage (plan must lose its Aggregate), bit-identical to computing

@@ -1093,7 +1093,16 @@ private[sql] object GraftMvRefresh {
     * algebra; no DISTINCT, no FILTER clause, no arithmetic over the
     * aggregate, no HAVING above it). Returns (group output names, aggregate
     * output name → kind) in OUTER (post-rename) names. */
-  private[sql] def aggShape(analyzed: LogicalPlan): Option[(Seq[String], Seq[(String, String)])] = {
+  /** One aggregate output of a maintainable MV definition: `kind` is the
+    * delta algebra (`sum`/`count`/`count_star`/`min`/`max`), `arg` the
+    * aggregate's input expression (None for COUNT(*)) — needed to pair each
+    * SUM(x) with its COUNT(x) under retraction. */
+  final case class AggOut(name: String, kind: String,
+      arg: Option[org.apache.spark.sql.catalyst.expressions.Expression]) {
+    def withName(n: String): AggOut = copy(name = n)
+  }
+
+  private[sql] def aggShape(analyzed: LogicalPlan): Option[(Seq[String], Seq[AggOut])] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
@@ -1123,7 +1132,7 @@ private[sql] object GraftMvRefresh {
       if (rename.nonEmpty && (rename.size != agg.aggregateExpressions.size ||
           rename.values.toSeq.distinct.size != rename.size)) return None
       val groups = Seq.newBuilder[String]
-      val aggs = Seq.newBuilder[(String, String)]
+      val aggs = Seq.newBuilder[AggOut]
       val ok = agg.aggregateExpressions.forall { ne =>
         val hasAgg = ne.exists(_.isInstanceOf[AggregateExpression])
         if (!hasAgg) { // group expression (analyzer guarantees it is one)
@@ -1133,13 +1142,17 @@ private[sql] object GraftMvRefresh {
           case Alias(ae: AggregateExpression, out)
               if !ae.isDistinct && ae.filter.isEmpty =>
             val kind = ae.aggregateFunction match {
-              case _: Sum => Some("sum")
-              case _: Count => Some("count")
-              case _: Min => Some("min")
-              case _: Max => Some("max")
+              case _: Sum => Some("sum" -> ae.aggregateFunction.children.headOption)
+              case c: Count if c.children.forall {
+                case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value != null
+                case _ => false
+              } => Some("count_star" -> None)
+              case _: Count => Some("count" -> ae.aggregateFunction.children.headOption)
+              case _: Min => Some("min" -> ae.aggregateFunction.children.headOption)
+              case _: Max => Some("max" -> ae.aggregateFunction.children.headOption)
               case _ => None
             }
-            kind.foreach(k => aggs += (outName(out) -> k))
+            kind.foreach { case (k, arg) => aggs += AggOut(outName(out), k, arg) }
             kind.isDefined
           case _ => false // arithmetic over an aggregate, or unnamed shape
         }
@@ -1178,7 +1191,7 @@ private[sql] object GraftMvRefresh {
       val alias: Map[String, String] =
         if (analyzedNames == aliases) Map.empty
         else analyzedNames.zip(aliases).toMap
-      (g.map(n => alias.getOrElse(n, n)), ks.map { case (n, k) => alias.getOrElse(n, n) -> k })
+      (g.map(n => alias.getOrElse(n, n)), ks.map(a => a.withName(alias.getOrElse(a.name, a.name))))
     }
     aggResolved.foreach { case (g, _) =>
       if (storage.pkCols.toSet != g.toSet) return None
@@ -1203,28 +1216,42 @@ private[sql] object GraftMvRefresh {
           if (v1 == v0) Some(("incremental: +0 rows (fence-healed)", 0L, v1, root))
           else {
             val delta = t.changes(v0, v1) // throws if v0 expired → full refresh
-            if (!delta.where(fcol("_change_type") === "delete").isEmpty) None
-            else {
-              val inserts = delta.where(fcol("_change_type") === "insert")
-                .drop("_change_type")
+            def applyDef(images: org.apache.spark.sql.DataFrame)
+                : org.apache.spark.sql.DataFrame = {
               val substituted = qualified.transformDownWithSubqueries {
-                case _: UnresolvedRelation => inserts.queryExecution.analyzed
+                case _: UnresolvedRelation => images.queryExecution.analyzed
               }
               val out0 = org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, substituted)
-              val out = if (out0.columns.toSeq != aliases) out0.toDF(aliases: _*) else out0
-              val sameSchema =
-                out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-                  storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
-              if (!sameSchema) None
-              else aggResolved match {
-                case None =>
-                  val n = out.count()
-                  storage.append(out, batchId = v1, writerId = Some(writerId))
-                  Some((s"incremental: +$n rows", n, v1, root))
-                case Some((groupCols, aggCols)) =>
-                  Some(mergeAggDelta(spark, storage, out, groupCols, aggCols,
-                    v1, writerId, root))
-              }
+              if (out0.columns.toSeq != aliases) out0.toDF(aliases: _*) else out0
+            }
+            val hasDeletes = !delta.where(fcol("_change_type") === "delete").isEmpty
+            val out = applyDef(
+              delta.where(fcol("_change_type") === "insert").drop("_change_type"))
+            val sameSchema =
+              out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+                storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
+            if (!sameSchema) None
+            else if (!hasDeletes) aggResolved match {
+              case None =>
+                val n = out.count()
+                storage.append(out, batchId = v1, writerId = Some(writerId))
+                Some((s"incremental: +$n rows", n, v1, root))
+              case Some((groupCols, aggCols)) =>
+                Some(mergeAggDelta(spark, storage, out, groupCols, aggCols,
+                  v1, writerId, root))
+            } else aggResolved match {
+              // RETRACTION path (the full IVM algebra): SUM/COUNT subtract
+              // delete-image aggregates; an update (delete+insert pair in
+              // the changelog) nets out exactly. Requires COUNT(*) (group
+              // zero-detection → row deletion) and a COUNT(x) beside every
+              // SUM(x) (SUM's null-when-no-non-null semantics under
+              // retraction). MIN/MAX cannot retract — full recompute.
+              case Some((groupCols, aggCols)) if retractEligible(aggCols) =>
+                val delOut = applyDef(
+                  delta.where(fcol("_change_type") === "delete").drop("_change_type"))
+                Some(mergeAggDeltaRetract(spark, storage, out, delOut, groupCols,
+                  aggCols, v1, writerId, root))
+              case _ => None
             }
           }
         }.toOption.flatten
@@ -1237,7 +1264,7 @@ private[sql] object GraftMvRefresh {
   private def mergeAggDelta(spark: SparkSession,
       storage: graft.table.TransactionalTable,
       delta: org.apache.spark.sql.DataFrame,
-      groupCols: Seq[String], aggCols: Seq[(String, String)],
+      groupCols: Seq[String], aggCols: Seq[AggOut],
       v1: Long, writerId: String, root: String): (String, Long, Long, String) = {
     import org.apache.spark.sql.functions.{greatest, least, when}
     val d = delta.alias("d")
@@ -1255,15 +1282,16 @@ private[sql] object GraftMvRefresh {
     val keyCond = groupCols.map(c => fcol(s"d.$c") <=> fcol(s"s.$c")).reduce(_ && _)
     val combinedCols =
       groupCols.map(c => fcol(s"d.$c").as(c)) ++
-        aggCols.map { case (c, kind) =>
+        aggCols.map { a =>
+          val c = a.name
           val dc = fcol(s"d.$c"); val sc = fcol(s"s.$c")
           val tpe = storage.schema(c).dataType
-          (kind match {
+          (a.kind match {
             // SUM/COUNT add; a NULL side means "no non-null contributions" —
             // take the other (COUNT is never null). least/greatest skip
             // nulls natively, and folding MIN/MAX with new-rows-only deltas
             // is sound because the interval is append-only (no retractions).
-            case "sum" | "count" =>
+            case "sum" | "count" | "count_star" =>
               when(sc.isNull, dc).when(dc.isNull, sc).otherwise(dc + sc)
             case "min" => least(dc, sc)
             case "max" => greatest(dc, sc)
@@ -1280,6 +1308,93 @@ private[sql] object GraftMvRefresh {
       org.apache.spark.sql.types.StructType(storage.pkCols.map(storage.schema(_))))
     storage.merge(combined, emptyDeletes, batchId = v1, writerId = Some(writerId))
     (s"incremental-agg: $nGroups groups merged", nGroups, v1, root)
+  }
+
+  /** Retraction eligibility: every aggregate is SUM/COUNT (MIN/MAX cannot
+    * un-see a deleted extremum), a COUNT(*) column exists (group-death
+    * detection → storage row deletion), and every SUM(x) has a COUNT(x)
+    * over the semantically-same input (SUM must return NULL when a group's
+    * last non-null x retracts — undecidable from the stored sum alone). */
+  private def retractEligible(aggCols: Seq[AggOut]): Boolean = {
+    val kindsOk = aggCols.forall(a => Set("sum", "count", "count_star")(a.kind))
+    val hasStar = aggCols.exists(_.kind == "count_star")
+    def countFor(arg: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      aggCols.exists(c => c.kind == "count" && c.arg.exists(_.semanticEquals(arg)))
+    val sumsCovered = aggCols.filter(_.kind == "sum")
+      .forall(s => s.arg.exists(countFor))
+    kindsOk && hasStar && sumsCovered
+  }
+
+  /**
+   * Retraction merge — the full incremental-view-maintenance step: per
+   * group, NEW = stored + Σ(insert images) − Σ(delete images) for SUM and
+   * COUNT (an update is a delete+insert pair in the net changelog and nets
+   * out exactly); a group whose COUNT(*) reaches zero is DELETED from
+   * storage; a SUM whose paired COUNT(x) reaches zero becomes NULL.
+   * Same scale shape as the append-only path (storage semi-filtered to the
+   * delta's keys, one fenced MERGE commit carrying upserts + deletes).
+   */
+  private def mergeAggDeltaRetract(spark: SparkSession,
+      storage: graft.table.TransactionalTable,
+      dIns: org.apache.spark.sql.DataFrame, dDel: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], aggCols: Seq[AggOut],
+      v1: Long, writerId: String, root: String): (String, Long, Long, String) = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    // net delta: full outer ins/del per group (a group may appear on either
+    // side only), both sides prefixed to dodge name collisions
+    def prefixed(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(df.columns.map(c => fcol(c).as(s"$p$c")).toIndexedSeq: _*)
+    val i = prefixed(dIns, "_gi_")
+    val x = prefixed(dDel, "_gx_")
+    val ioCond = groupCols.map(c => fcol(s"_gi_$c") <=> fcol(s"_gx_$c")).reduce(_ && _)
+    val net = i.join(x, ioCond, "full_outer")
+      .select(groupCols.map(c => coalesce(fcol(s"_gi_$c"), fcol(s"_gx_$c")).as(c)) ++
+        aggCols.flatMap(a => Seq(fcol(s"_gi_${a.name}"), fcol(s"_gx_${a.name}"))): _*)
+    val d = net.alias("d")
+    val dKeys = net.select(groupCols.map(fcol): _*).alias("k")
+    val semiCond = groupCols.map(c => fcol(s"s.$c") <=> fcol(s"k.$c")).reduce(_ && _)
+    val sSub = storage.scan().alias("s").join(dKeys, semiCond, "left_semi").alias("s")
+    val keyCond = groupCols.map(c => fcol(s"d.$c") <=> fcol(s"s.$c")).reduce(_ && _)
+    def z(c: org.apache.spark.sql.Column, tpe: org.apache.spark.sql.types.DataType) =
+      coalesce(c, lit(0).cast(tpe))
+    // counts first (sum null-guards reference them)
+    def newCountExpr(a: AggOut): org.apache.spark.sql.Column = {
+      val tpe = storage.schema(a.name).dataType
+      (z(fcol(s"s.${a.name}"), tpe) + z(fcol(s"d._gi_${a.name}"), tpe) -
+        z(fcol(s"d._gx_${a.name}"), tpe)).cast(tpe)
+    }
+    val countByArg: Map[String, AggOut] = aggCols.collect {
+      case a if a.kind == "count" && a.arg.isDefined =>
+        a.arg.get.canonicalized.toString -> a
+    }.toMap
+    val combinedCols = groupCols.map(c => fcol(s"d.$c").as(c)) ++ aggCols.map { a =>
+      val tpe = storage.schema(a.name).dataType
+      (a.kind match {
+        case "count" | "count_star" => newCountExpr(a)
+        case "sum" =>
+          val pairedCount = countByArg(a.arg.get.canonicalized.toString)
+          val raw = (z(fcol(s"s.${a.name}"), tpe) + z(fcol(s"d._gi_${a.name}"), tpe) -
+            z(fcol(s"d._gx_${a.name}"), tpe))
+          when(newCountExpr(pairedCount) === 0, lit(null)).otherwise(raw)
+        case other => throw new IllegalStateException(s"unexpected retract kind $other")
+      }).cast(tpe).as(a.name)
+    }
+    val starName = aggCols.find(_.kind == "count_star").get.name
+    val combined = d.join(sSub, keyCond, "left").select(combinedCols: _*)
+      .select(storage.schema.fieldNames.map(fcol).toIndexedSeq: _*)
+      .localCheckpoint(true) // one computation feeds the sanity check + both merge legs
+    // sanity: a negative row count means the baseline diverged from the
+    // interval (should be impossible under the fence) — refuse loudly
+    // rather than commit garbage
+    val nNeg = combined.where(fcol(starName) < 0).count()
+    if (nNeg > 0) throw new IllegalStateException(
+      s"retraction produced $nNeg negative group counts — baseline/interval mismatch")
+    val upserts = combined.where(fcol(starName) > 0)
+    val dead = combined.where(fcol(starName) === 0)
+      .select(storage.pkCols.map(fcol): _*)
+    val nGroups = combined.count()
+    storage.merge(upserts, dead, batchId = v1, writerId = Some(writerId))
+    (s"incremental-agg-retract: $nGroups groups net-merged", nGroups, v1, root)
   }
 }
 

@@ -545,6 +545,56 @@ class ViewSqlSpec extends SparkSpec {
     } finally spark.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
   }
 
+  test("aggregate MV retraction: deletes and updates net-merge; dead groups leave storage") {
+    val (cat, w) = freshGrouped()
+    // SUM(v) paired with COUNT(v) + COUNT(*) — the retraction-eligible shape
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.ragg AS " +
+      s"SELECT grp, SUM(v) AS sv, COUNT(v) AS nv, COUNT(*) AS n " +
+      s"FROM $cat.db.ev GROUP BY grp")
+    val storageV0 = TransactionalTable.open(spark, s"$w/db/ragg/_storage").currentVersion
+    // interval with churn: delete one of a's rows, UPDATE the other (via
+    // engine UPDATE = delete+insert in the changelog), kill group b
+    // entirely, and add a new group c
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 1")
+    spark.sql(s"UPDATE $cat.db.ev SET v = 25 WHERE id = 2")
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 3") // b's only row
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (7,'c',70)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.ragg')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true)
+    assert(r._2.startsWith("incremental-agg-retract"),
+      s"expected the retraction path, got: $r")
+    assert(spark.sql(s"SELECT grp, sv, nv, n FROM $cat.db.ragg ORDER BY grp")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("a", 25L, 1L, 1L), ("c", 70L, 1L, 1L)),
+      "group b must be DELETED from storage, a netted, c inserted")
+    // one fenced MERGE commit, not a replace
+    assert(TransactionalTable.open(spark, s"$w/db/ragg/_storage").currentVersion
+      === storageV0 + 1)
+    assert(spark.sql(s"CALL $cat.system.mv_status('db.ragg')")
+      .select("fresh").as[Boolean].head() === true)
+  }
+
+  test("aggregate MV retraction guards: MIN/MAX or missing COUNT pairs go full recompute") {
+    val (cat, _) = freshGrouped()
+    // MIN cannot retract
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.rmin AS " +
+      s"SELECT grp, MIN(v) AS mn, COUNT(*) AS n FROM $cat.db.ev GROUP BY grp")
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 2") // a's max; min survives but rule can't know
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.rmin')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("stale"), s"MIN under deletes must go full, got: $r1")
+    assert(spark.sql(s"SELECT mn FROM $cat.db.rmin WHERE grp = 'a'").as[Long].head() === 10L)
+    // SUM without a paired COUNT(v): the null-when-empty case is
+    // undecidable from the stored sum → full
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.rsum AS " +
+      s"SELECT grp, SUM(v) AS sv, COUNT(*) AS n FROM $cat.db.ev GROUP BY grp")
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 1")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.rsum')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("stale"), s"unpaired SUM under deletes must go full, got: $r2")
+  }
+
   test("materialized view: delete in the interval forces the full recompute path") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.incd AS " +
