@@ -1267,6 +1267,7 @@ private[sql] object GraftMvRefresh {
       groupCols: Seq[String], aggCols: Seq[AggOut],
       v1: Long, writerId: String, root: String): (String, Long, Long, String) = {
     import org.apache.spark.sql.functions.{greatest, least, when}
+    requireNonNullKeys(delta, groupCols)
     val d = delta.alias("d")
     // Storage is the BIG side: restrict it to the delta's groups with a
     // semi-join FIRST (AQE broadcasts the delta-key set in the common case →
@@ -1310,6 +1311,21 @@ private[sql] object GraftMvRefresh {
     (s"incremental-agg: $nGroups groups merged", nGroups, v1, root)
   }
 
+  /** A NULL group key cannot ride the incremental path: the storage MERGE
+    * matches rows by PK, and NULL never equals NULL there — the delta would
+    * silently not apply (found by test, not theory). Throwing here unwinds
+    * into `tryIncremental`'s Try → the refresh falls back to the full
+    * atomic recompute, which handles NULL groups fine (storage replace, no
+    * PK matching). Costs one action over the (delta-sized) frame. */
+  private def requireNonNullKeys(delta: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String]): Unit = {
+    val nNull = delta
+      .where(groupCols.map(c => fcol(c).isNull).reduce(_ || _)).count()
+    if (nNull > 0) throw new IllegalStateException(
+      s"$nNull NULL group-key rows in the interval delta — incremental " +
+        "aggregate maintenance requires non-null group keys; full recompute")
+  }
+
   /** Retraction eligibility: every aggregate is SUM/COUNT (MIN/MAX cannot
     * un-see a deleted extremum), a COUNT(*) column exists (group-death
     * detection → storage row deletion), and every SUM(x) has a COUNT(x)
@@ -1350,6 +1366,7 @@ private[sql] object GraftMvRefresh {
     val net = i.join(x, ioCond, "full_outer")
       .select(groupCols.map(c => coalesce(fcol(s"_gi_$c"), fcol(s"_gx_$c")).as(c)) ++
         aggCols.flatMap(a => Seq(fcol(s"_gi_${a.name}"), fcol(s"_gx_${a.name}"))): _*)
+    requireNonNullKeys(net, groupCols)
     val d = net.alias("d")
     val dKeys = net.select(groupCols.map(fcol): _*).alias("k")
     val semiCond = groupCols.map(c => fcol(s"s.$c") <=> fcol(s"k.$c")).reduce(_ && _)

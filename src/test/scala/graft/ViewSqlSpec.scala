@@ -595,6 +595,32 @@ class ViewSqlSpec extends SparkSpec {
     assert(r2.startsWith("stale"), s"unpaired SUM under deletes must go full, got: $r2")
   }
 
+  test("aggregate MV: NULL group keys force the full recompute (PK merge cannot match NULL)") {
+    // The storage MERGE matches rows by PK and NULL never equals NULL
+    // there — an incremental delta for a NULL group would silently not
+    // apply (caught by test). The guard must detect the NULL key at
+    // refresh time and take the full path, which handles NULL groups.
+    val (cat, _) = fresh()
+    val w2 = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    TransactionalTable.create(spark, s"$w2/db/ev",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, grp STRING, v BIGINT"),
+      "id", None)
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (1,'a',10),(2,NULL,20),(3,NULL,5)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.nagg AS " +
+      s"SELECT grp, SUM(v) AS sv, COUNT(*) AS n FROM $cat.db.ev GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,NULL,7)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.nagg')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("stale"), s"NULL group key must force the full path, got: $r")
+    assert(spark.sql(s"SELECT sv, n FROM $cat.db.nagg WHERE grp IS NULL")
+      .as[(Long, Long)].collect().toSeq === Seq((32L, 3L)))
+    // a NULL-free interval on the same MV still goes incremental
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (5,'a',1)")
+    assert(spark.sql(s"CALL $cat.system.refresh_mv('db.nagg')")
+      .select("reason").as[String].head().startsWith("incremental-agg"))
+    assert(spark.sql(s"SELECT sv FROM $cat.db.nagg WHERE grp = 'a'").as[Long].head() === 11L)
+  }
+
   test("materialized view: delete in the interval forces the full recompute path") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.incd AS " +
