@@ -575,6 +575,25 @@ class ViewSqlSpec extends SparkSpec {
       .select("fresh").as[Boolean].head() === true)
   }
 
+  test("aggregate MV retraction respects the definition's WHERE on both image sides") {
+    val (cat, _) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.wagg AS " +
+      s"SELECT grp, SUM(v) AS sv, COUNT(v) AS nv, COUNT(*) AS n " +
+      s"FROM $cat.db.ev WHERE v >= 10 GROUP BY grp")
+    // initial: only a's rows pass the filter
+    assert(spark.sql(s"SELECT grp, sv, n FROM $cat.db.wagg ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq === Seq(("a", 30L, 2L)))
+    // delete a filtered-OUT row (b,5): must retract NOTHING; delete a
+    // passing row (a,20): must retract from a
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 3")
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 2")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.wagg')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-agg-retract"), s"got: $r")
+    assert(spark.sql(s"SELECT grp, sv, n FROM $cat.db.wagg ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq === Seq(("a", 10L, 1L)))
+  }
+
   test("aggregate MV retraction guards: MIN/MAX or missing COUNT pairs go full recompute") {
     val (cat, _) = freshGrouped()
     // MIN cannot retract
