@@ -640,6 +640,31 @@ class ViewSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sv FROM $cat.db.nagg WHERE grp = 'a'").as[Long].head() === 11L)
   }
 
+  test("racing refresh_mv calls: the interval applies exactly once") {
+    val (cat, w) = freshGrouped()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.race AS " +
+      s"SELECT grp, SUM(v) AS sv FROM $cat.db.ev GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',7)")
+    // two concurrent refreshes of the SAME stale interval: the storage
+    // fence (batchId = source version) must make the loser a no-op — the
+    // delta lands exactly once, whatever the interleaving
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val fs = (1 to 2).map(_ => Future {
+      spark.sql(s"CALL $cat.system.refresh_mv('db.race')").collect()
+    })
+    try fs.foreach(Await.result(_, 120.seconds))
+    finally pool.shutdown()
+    assert(spark.sql(s"SELECT sv FROM $cat.db.race WHERE grp = 'a'")
+      .as[Long].head() === 37L, "racing refreshes double- or zero-applied the delta")
+    // and the table is consistently fresh afterwards
+    assert(spark.sql(s"CALL $cat.system.mv_status('db.race')")
+      .select("fresh").as[Boolean].head() === true)
+  }
+
   test("materialized view: delete in the interval forces the full recompute path") {
     val (cat, _) = fresh()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.incd AS " +
