@@ -83,6 +83,7 @@ object Bench {
     val scaleRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "1").toInt
     val scaleInvariant = Set("cdc_replay_end_state", "cdc_replay_mor_end_state",
       "j1_merge_upsert")
+    var scaledTotal = Double.NaN
     val scaledJson =
       if (scaleCopies <= 1) ""
       else {
@@ -96,6 +97,7 @@ object Bench {
         // -1.0 failure sentinels are excluded like the base total — a failed
         // query must not subtract from the reported wall time.
         val sTotal = rs.map(_._2).filter(_ >= 0).sum
+        scaledTotal = sTotal
         s""","scaled":{"copies":$scaleCopies,"base_sf":"$sfDir","total":$sTotal,"runs_per_query":$scaleRuns,"queries":$sq}"""
       }
 
@@ -113,29 +115,32 @@ object Bench {
     val streamingTier = Registry.headlines.filter(_.streaming).map(_.name).toSet
     val sfBase = sfDir.stripSuffix("/").split('/').last
     val oraclePath = java.nio.file.Paths.get(s"tools/oracle_times_$sfBase.json")
-    val oracleJson =
-      if (!java.nio.file.Files.exists(oraclePath)) ""
+    // (name, engineSec, oracleSec, sfBound) for every headline with a recorded
+    // DuckDB oracle time — shared by the full artifact and the compact line.
+    val oracleEntries: Seq[(String, Double, Double, Boolean)] =
+      if (!java.nio.file.Files.exists(oraclePath)) Nil
       else try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readAllBytes(oraclePath))
         val times = node.get("times")
-        val entries = results.flatMap { case (name, sec) =>
+        results.flatMap { case (name, sec) =>
           Option(times.get(name)).map { t =>
             (name, sec, t.get("sec").asDouble(), t.get("sf_bound").asBoolean())
           }
         }
-        if (entries.isEmpty) ""
-        else {
-          val os = entries.map { case (n, _, o, _) => "\"" + n + "\":" + o }
-            .mkString("{", ",", "}")
-          val ratios = entries
-            .filter(e => e._4 && e._2 >= 0 && !streamingTier(e._1))
-            .map { case (n, s, o, _) =>
-              "\"" + n + "\":" + (math.rint(s / math.max(o, 0.001) * 100) / 100)
-            }.mkString("{", ",", "}")
-          s""","oracle_sec":$os,"ratio_vs_duckdb":$ratios"""
-        }
-      } catch { case _: Exception => "" }
+      } catch { case _: Exception => Nil }
+    def ratioJson(entries: Seq[(String, Double, Double, Boolean)]): String = entries
+      .filter(e => e._4 && e._2 >= 0 && !streamingTier(e._1))
+      .map { case (n, s, o, _) =>
+        "\"" + n + "\":" + (math.rint(s / math.max(o, 0.001) * 100) / 100)
+      }.mkString("{", ",", "}")
+    val oracleJson =
+      if (oracleEntries.isEmpty) ""
+      else {
+        val os = oracleEntries.map { case (n, _, o, _) => "\"" + n + "\":" + o }
+          .mkString("{", ",", "}")
+        s""","oracle_sec":$os,"ratio_vs_duckdb":${ratioJson(oracleEntries)}"""
+      }
 
     val errJson =
       if (failures.isEmpty) ""
@@ -143,10 +148,40 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$errJson$scaledJson$oracleJson}"""
-    println(line)
-    // Belt and braces for log-prefix-mangled stdout: the same line on disk.
+    // The FULL artifact goes to disk (both paths committed / inspectable):
+    // round 11 proved the driver's stdout tail capture is a 2000-char window,
+    // and the full line (2.9k and growing ~100 chars per new headline) no
+    // longer fits, so "parsed" came back null. Stdout gets a COMPACT line
+    // instead — complete JSON, same key names the perf gate reads (queries /
+    // oracle_sec / ratio_vs_duckdb), times at 1 ms precision, oracle_sec
+    // restricted to ratio-bearing queries, scaled reduced to its total —
+    // sized to stay comfortably inside the window; full fidelity (raw nanos,
+    // per-query scaled map) lives in the file the compact line points at.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
+    } catch { case _: Exception => () }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val compactQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val compactOracle =
+      if (oracleEntries.isEmpty) ""
+      else {
+        val ratioBearing = oracleEntries.filter(e => e._4 && !streamingTier(e._1))
+        val os = ratioBearing.map { case (n, _, o, _) => "\"" + n + "\":" + r3(o) }
+          .mkString("{", ",", "}")
+        s""","oracle_sec":$os,"ratio_vs_duckdb":${ratioJson(ratioBearing)}"""
+      }
+    val compactScaled =
+      if (scaledTotal.isNaN) ""
+      else s""","scaled_total":${r3(scaledTotal)},"scaled_copies":$scaleCopies"""
+    val compactLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$errJson$compactScaled$compactOracle,"full":"BENCH_LAST.json"}"""
     spark.stop()
+    // Printed LAST, after the session shuts down, so no later stdout can push
+    // it out of the driver's tail window.
+    println(compactLine)
     if (failures.nonEmpty) {
       System.err.println(s"BENCH FAILURES (${failures.size}): " +
         failures.keys.mkString(", "))
