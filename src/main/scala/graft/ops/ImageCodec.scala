@@ -109,20 +109,24 @@ object ImageCodec {
         if (!readers.hasNext) Seq.empty
         else {
           val reader = readers.next()
-          reader.setInput(iis)
-          val n = try reader.getNumImages(true) catch { case _: Exception => 1 }
-          val out = Seq.newBuilder[FrameStats]
-          var i = 0
-          while (i < math.max(1, n)) {
-            val img = try reader.read(i) catch { case _: Exception => null }
-            if (img != null) {
-              val (w, h, meanLuma, _, _, _) = pixelStats(img)
-              out += FrameStats(i, w, h, meanLuma)
+          // dispose in finally: only Exception is caught per-frame, and an
+          // Error/unexpected throwable mid-loop must not leak the reader's
+          // native/heap resources (the iis has its own finally below)
+          try {
+            reader.setInput(iis)
+            val n = try reader.getNumImages(true) catch { case _: Exception => 1 }
+            val out = Seq.newBuilder[FrameStats]
+            var i = 0
+            while (i < math.max(1, n)) {
+              val img = try reader.read(i) catch { case _: Exception => null }
+              if (img != null) {
+                val (w, h, meanLuma, _, _, _) = pixelStats(img)
+                out += FrameStats(i, w, h, meanLuma)
+              }
+              i += 1
             }
-            i += 1
-          }
-          reader.dispose()
-          out.result()
+            out.result()
+          } finally reader.dispose()
         }
       } finally iis.close()
   }

@@ -135,7 +135,9 @@ object WavCodec {
       .putShort(bits.toShort)
     buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
     samples.foreach { v =>
-      if (bytesPer == 1) buf.put((v + 128).toByte)
+      // both depths SATURATE out-of-range input (unclamped 8-bit would wrap
+      // (v + 128).toByte into a different amplitude silently)
+      if (bytesPer == 1) buf.put((math.max(-128, math.min(127, v)) + 128).toByte)
       else buf.putShort(math.max(Short.MinValue, math.min(Short.MaxValue, v)).toShort)
     }
     buf.array()

@@ -1147,7 +1147,13 @@ private[sql] object GraftMvRefresh {
                 case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value != null
                 case _ => false
               } => Some("count_star" -> None)
-              case _: Count => Some("count" -> ae.aggregateFunction.children.headOption)
+              // arg only for single-arg COUNT: COUNT(a,b) recorded with
+              // arg=a would wrongly pair with SUM(a) in retractEligible and
+              // NULL the merged sum when COUNT(a,b) nets to 0 while non-null
+              // a values remain. arg=None keeps multi-arg COUNT mergeable
+              // (its delta algebra is still additive) but never pairable.
+              case c: Count => Some("count" ->
+                (if (c.children.size == 1) c.children.headOption else None))
               case _: Min => Some("min" -> ae.aggregateFunction.children.headOption)
               case _: Max => Some("max" -> ae.aggregateFunction.children.headOption)
               case _ => None
@@ -1598,7 +1604,11 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           graft.table.TransactionalTable.open(spark, r).currentVersion == v
     }
     if (!fresh) return None
-    val digest = java.util.Arrays.hashCode(bytes)
+    // SHA-256, not a 32-bit hash: a collision after a view redefinition
+    // would silently reuse a stale analyzed plan for the wrong definition
+    val digest: scala.collection.immutable.ArraySeq[Byte] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
     // definition analysis is the expensive leg — cache by content
     val defPlan = defCache.synchronized {
       Option(defCache.get(root)).filter(_._1 == digest).map(_._2)
@@ -1633,10 +1643,11 @@ object GraftMvRewriteRule {
   private val analyzing = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = false
   }
-  /** (view root → (meta digest, analyzed definition)). */
+  /** (view root → (SHA-256 of the metadata bytes, analyzed definition)). */
   private val defCache =
-    new java.util.LinkedHashMap[String, (Int, LogicalPlan)](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, (Int, LogicalPlan)])
+    new java.util.LinkedHashMap[String, (scala.collection.immutable.ArraySeq[Byte], LogicalPlan)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (scala.collection.immutable.ArraySeq[Byte], LogicalPlan)])
           : Boolean = size > 32
     }
 }

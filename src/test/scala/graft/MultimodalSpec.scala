@@ -124,6 +124,16 @@ class MultimodalSpec extends SparkSpec {
     assert(m8.ampHist((-5 + 128) >> 4) === 1.0f)
   }
 
+  test("WavCodec.write saturates out-of-range samples at both bit depths") {
+    import graft.ops.WavCodec
+    // 8-bit stores unsigned bytes: unclamped (300 + 128).toByte would WRAP
+    // to a different amplitude; it must saturate to [-128, 127] instead
+    val d8 = WavCodec.decode(WavCodec.write(Array(300, -300), 1, 8000, 8)).get
+    assert(d8.peak === 128 && d8.meanAbs === 127.5)
+    val d16 = WavCodec.decode(WavCodec.write(Array(40000, -40000), 1, 8000, 16)).get
+    assert(d16.peak === 32768 && d16.meanAbs === 32767.5)
+  }
+
   test("WavCodec refuses non-PCM / malformed payloads instead of misdecoding") {
     import graft.ops.WavCodec
     assert(WavCodec.probe("RIFFxxxxWAVE but then garbage follows here".getBytes).isEmpty)

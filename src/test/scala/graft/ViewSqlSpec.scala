@@ -614,6 +614,40 @@ class ViewSqlSpec extends SparkSpec {
     assert(r2.startsWith("stale"), s"unpaired SUM under deletes must go full, got: $r2")
   }
 
+  test("multi-arg COUNT(a,b) never pairs with SUM(a) for retraction") {
+    // COUNT(a,b) counts rows where BOTH are non-null; recording its arg as
+    // `a` would pair it with SUM(a), and a group whose COUNT(a,b) nets to 0
+    // while non-null `a` values remain would get its sum wrongly NULLed.
+    // The shape must take the full recompute instead.
+    val (cat, _) = fresh()
+    val w2 = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    TransactionalTable.create(spark, s"$w2/db/ab",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, grp STRING, a BIGINT, b BIGINT"), "id", None)
+    spark.sql(s"INSERT INTO $cat.db.ab VALUES (1,'g',10,1),(2,'g',20,NULL)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mab AS " +
+      s"SELECT grp, SUM(a) AS sa, COUNT(a, b) AS nab, COUNT(*) AS n " +
+      s"FROM $cat.db.ab GROUP BY grp")
+    assert(spark.sql(s"SELECT sa, nab, n FROM $cat.db.mab")
+      .as[(Long, Long, Long)].head() === ((30L, 1L, 2L)))
+    // delete the only row with both a,b non-null: COUNT(a,b) → 0, but
+    // SUM(a)=20 must SURVIVE (row 2 still has a non-null a)
+    spark.sql(s"DELETE FROM $cat.db.ab WHERE id = 1")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.mab')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("stale"), s"multi-arg COUNT under deletes must go full, got: $r")
+    assert(spark.sql(s"SELECT sa, nab, n FROM $cat.db.mab")
+      .as[(Option[Long], Long, Long)].head() === ((Some(20L), 0L, 1L)))
+    // append-only intervals still ride the incremental path: multi-arg
+    // COUNT's delta algebra is plain addition
+    spark.sql(s"INSERT INTO $cat.db.ab VALUES (3,'g',5,7)")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.mab')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-agg"), s"append interval should merge, got: $r2")
+    assert(spark.sql(s"SELECT sa, nab, n FROM $cat.db.mab")
+      .as[(Long, Long, Long)].head() === ((25L, 1L, 2L)))
+  }
+
   test("aggregate MV: NULL group keys force the full recompute (PK merge cannot match NULL)") {
     // The storage MERGE matches rows by PK and NULL never equals NULL
     // there — an incremental delta for a NULL group would silently not
