@@ -203,12 +203,13 @@ object DedupOps {
       .agg(count(lit(1)).as("n_common"))
     val jac = col("n_common").cast("double") /
       (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double")
+    // no final sort: the result is a pair SET (callers order if they
+    // present it); a global sort would add a range exchange + sampling job
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /**
@@ -226,10 +227,14 @@ object DedupOps {
    */
   def containmentPairs(corpus: DataFrame, benchmark: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    // NO distinct() on either side: the Shingles kernel already emits the
+    // DISTINCT shingle set per document, so (id, sh) pairs are unique by
+    // construction — a distinct here would re-shuffle the whole corpus
+    // pair stream just to remove nothing (was this query's widest exchange)
     val corpSh = corpus.select(col(idCol).as("doc_id"),
-      explode(TextOps.shingles(col(textCol), n)).as("sh")).distinct()
+      explode(TextOps.shingles(col(textCol), n)).as("sh"))
     val benchSh = benchmark.select(col(idCol).as("bench_id"),
-      explode(TextOps.shingles(col(textCol), n)).as("sh")).distinct()
+      explode(TextOps.shingles(col(textCol), n)).as("sh"))
     val benchSizes = benchSh.groupBy("bench_id").agg(count(lit(1)).as("bn"))
     val inter = corpSh.join(broadcast(benchSh), "sh")
       .groupBy(col("doc_id"), col("bench_id"))
@@ -238,7 +243,6 @@ object DedupOps {
       .select(col("doc_id"), col("bench_id"), col("n_common"),
         (col("n_common").cast("double") / col("bn").cast("double")).as("containment"))
       .filter(col("containment") >= threshold)
-      .orderBy("doc_id", "bench_id")
   }
 
   /**

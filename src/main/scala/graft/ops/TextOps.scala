@@ -43,6 +43,15 @@ object TextOps {
     GraftShims.column(graft.functions.Shingles(GraftShims.expression(tokens(text)), n))
   }
 
+  /** Per-document term frequencies: `array<struct<term,tf>>`, one entry per
+   *  distinct token, computed IN-ROW by the codegen kernel
+   *  (graft.functions.TermCounts) — the tf stage of TF-IDF without the
+   *  (doc_id, term) shuffle of the explode-then-groupBy form. */
+  def termCounts(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims
+    GraftShims.column(graft.functions.TermCounts(GraftShims.expression(tokens(text))))
+  }
+
   /** The declarative HOF twin of [[shingles]] — kept as the equivalence
    *  oracle for the native kernel (and as the shape a pure-built-ins user
    *  would write). Zip n shifted views of the token array and concat each

@@ -271,8 +271,7 @@ object ExtQueries {
     // X4/E83: corpus bigram-LM rarity — the deterministic integer form of
     // LM-based quality filtering (see TextOps.bigramRarity scaladoc).
     Q("x4_bigram_rarity",
-      (s, d) => TextOps.bigramRarity(Tables.load(s, d, "documents"), rareDf = 2)
-        .orderBy("doc_id"),
+      (s, d) => TextOps.bigramRarity(Tables.load(s, d, "documents"), rareDf = 2),
       Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
               |bi AS (SELECT DISTINCT doc_id,
               |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
@@ -281,7 +280,7 @@ object ExtQueries {
               |SELECT b.doc_id, COUNT(*) AS n_bigrams,
               |  CAST(SUM(CASE WHEN dfq.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
               |  CAST(SUM(CASE WHEN dfq.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rarity
-              |FROM bi b JOIN dfq USING (bigram) GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+              |FROM bi b JOIN dfq USING (bigram) GROUP BY b.doc_id""".stripMargin),
       headline = true),
 
     // X4/E87: Gopher-style repetition quality signals — duplicate-line
@@ -613,8 +612,7 @@ object ExtQueries {
               |SELECT doc_a, doc_b, n_common,
               |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
               |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-              |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
-              |ORDER BY doc_a, doc_b""".stripMargin)),
+              |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5""".stripMargin)),
 
     // X3: exact brute-force cosine top-5 for query vectors vec_id < 8.
     Q("x3_cosine_topk",

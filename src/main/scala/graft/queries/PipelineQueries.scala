@@ -11,8 +11,9 @@ import graft.ops.{DedupOps, SequenceOps, SimilarityOps, TextOps}
  * assignment over embeddings — the relevance / rebalancing / clustering trio
  * every large-scale corpus build runs.
  *
- * Scale notes: tfidf is two hash aggregations (term×doc, then term) plus an
- * equi-join on term — no cross join wider than the 1-row corpus count;
+ * Scale notes: tfidf counts tf in-row (TermCounts kernel — no token-level
+ * shuffle at all), aggregates df once on term, and broadcast-joins the term
+ * dictionary — no cross join wider than the 1-row corpus count;
  * stratified sampling is a narrow filter (no shuffle); cluster assignment
  * broadcasts k centroid rows and scans the corpus once (same shape as
  * SimilarityOps.cosineTopK).
@@ -33,19 +34,32 @@ object PipelineQueries {
     Q("x4_tfidf",
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        // tf IN-ROW (TermCounts kernel): a document's tokens all live in one
+        // row, so counting them never needs the (doc_id, term) shuffle the
+        // explode→groupBy form pays. The pairs leaving the kernel are
+        // already distinct per doc.
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.termCounts(col("text"))).as("tc"))
+          .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+        // df: the ONE wide exchange left (keyed by term, map-side partial
+        // agg over already-distinct pairs)
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        // term-dictionary join: vocabulary ≪ corpus, AQE picks broadcast here;
-        // the n_docs cross join is a 1-row literal either way
-        val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        // term-dictionary BROADCAST: distinct terms ≪ corpus (a BPE-ish
+        // vocabulary stays ~1e6 entries at any corpus scale), so the df leg
+        // ships to every executor and the scoring join is exchange-free —
+        // no skew cliff either, hot terms never concentrate on one task.
+        // The 1-row corpus count rides INSIDE the broadcast leg (df ⨯ n):
+        // one broadcast materialization instead of two sequential jobs.
+        val scored = tf.join(broadcast(df.crossJoin(n)), "term")
           .withColumn("tfidf",
             col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")))
         val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("term"))
+        // no final ORDER BY on either side: the correctness gate value-sorts
+        // rows before hashing, and a global sort of the output is pure
+        // presentation (a range exchange + sampling job locally)
         scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
           .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
-          .orderBy("doc_id", "rnk")
       },
       Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
              |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
@@ -58,7 +72,7 @@ object PipelineQueries {
              |SELECT doc_id, rnk, term, tf, df FROM (
              |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
              |  FROM scored) t
-             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+             |WHERE rnk <= 3""".stripMargin),
       headline = true),
 
     // Stratified downsampling: per-language keep rates (1/2 en, 1/5 de, 1/10
@@ -135,8 +149,7 @@ object PipelineQueries {
              |SELECT i.doc_id, i.bench_id, i.n_common,
              |  CAST(i.n_common AS DOUBLE) / CAST(b.bn AS DOUBLE) AS containment
              |FROM inter i JOIN bsz b USING (bench_id)
-             |WHERE CAST(i.n_common AS DOUBLE) / CAST(b.bn AS DOUBLE) >= 0.5
-             |ORDER BY doc_id, bench_id""".stripMargin),
+             |WHERE CAST(i.n_common AS DOUBLE) / CAST(b.bn AS DOUBLE) >= 0.5""".stripMargin),
       headline = true),
 
     // Repetition ratio (quality signal: boilerplate/spam has a dominant

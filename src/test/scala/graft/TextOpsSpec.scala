@@ -28,6 +28,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L).sorted === Seq("x y z", "y z x", "z x y"))
   }
 
+  test("termCounts: in-row tf equals explode+groupBy, first-occurrence order") {
+    val d = docs((1L, "a b a c b a"), (2L, ""), (3L, "solo"), (4L, "x x x"))
+    val got = d
+      .select($"doc_id", TextOps.termCounts($"text").as("tc"))
+      .as[(Long, Seq[(String, Long)])].collect().toMap
+    assert(got(1L) === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq(("solo", 1L)))
+    assert(got(4L) === Seq(("x", 3L)))
+    // equivalence with the declarative form over a wider corpus
+    val wide = docs((1 to 50).map(i =>
+      (i.toLong, Seq.fill(i % 7 + 1)(s"w${i % 5} t${i % 3} u").mkString(" "))): _*)
+    val kernel = wide
+      .select($"doc_id", explode(TextOps.termCounts($"text")).as("tc"))
+      .select($"doc_id", $"tc.term", $"tc.tf")
+      .as[(Long, String, Long)].collect().toSet
+    val declarative = wide
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(kernel === declarative)
+  }
+
   test("docStats: exact counts") {
     val r = TextOps.docStats(docs((1L, "aa b aa cccc")))
       .as[(Long, Long, Long, Long, Long, Long)].head()
