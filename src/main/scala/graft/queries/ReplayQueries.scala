@@ -1494,6 +1494,59 @@ object ReplayQueries {
              |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-20 00:00:00'
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // HIDDEN PARTITIONING months(ts) + partition EVOLUTION migration (the
+    // "port an existing Iceberg table with month(ts) partitioning" path):
+    // the first half of the fixture lands under days(ts), the table evolves
+    // to months(ts), the second half lands under the month spec — then a
+    // month-range aggregate answers across BOTH spec eras (per-entry
+    // transform reversal). The events fixture covers one calendar month, so
+    // the derived ts spreads it across ~5 months deterministically
+    // (event_id % 120 days) — the oracle applies the identical shift.
+    Q("cdc_month_partitioned_events",
+      (s, d) => {
+        val cat = s"graft_mp${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mp").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        s.sql(s"""CREATE TABLE $cat.db.ev
+                  (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                   event_type STRING, value DOUBLE)
+                  PARTITIONED BY (days(ts)) TBLPROPERTIES ('pk'='event_id')""")
+        Tables.events(s, d)
+          .select(col("event_id"),
+            expr("timestampadd(DAY, CAST(event_id % 120 AS INT), ts)").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("ev_src_mp")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src_mp WHERE event_id % 2 = 0")
+        s.sql(s"ALTER TABLE $cat.db.ev SET TBLPROPERTIES ('partition'='months(ts)')")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src_mp WHERE event_id % 2 = 1")
+        val t = TransactionalTable.open(s, s"$warehouse/db/ev")
+        assert(t.snapshot.files.map(_.specId).distinct.size == 2,
+          "test premise: files from both partition-spec eras must exist")
+        val monthParts = t.snapshot.files
+          .filter(_.specId == t.snapshot.files.map(_.specId).max)
+          .flatMap(_.partition).distinct
+        assert(monthParts.size > 1,
+          s"test premise: multiple month partitions must exist, got $monthParts")
+        s.sql(s"""SELECT event_type, COUNT(*) AS n,
+                    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+                  FROM $cat.db.ev
+                  WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+                    AND ts <  TIMESTAMP '2024-05-01 00:00:00'
+                  GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""WITH shifted AS (
+             |  SELECT event_type, value,
+             |    CAST(ts AS TIMESTAMP) + CAST(event_id % 120 AS BIGINT) * INTERVAL 1 DAY AS ts
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+             |FROM shifted
+             |WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+             |  AND ts <  TIMESTAMP '2024-05-01 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // HIDDEN PARTITIONING bucket(n, col): a hash-bucketed table (xxhash64 mod
     // n at write; point lookups prune to the literal's bucket at scan). The
     // transform is invisible to results — the oracle is the plain filter.

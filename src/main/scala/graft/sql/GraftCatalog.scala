@@ -450,14 +450,21 @@ object GraftCatalog {
         case "identity" => graft.table.PartitionTransform.Identity(refOf(t))
         case "days" => graft.table.PartitionTransform.Days(refOf(t))
         case "hours" => graft.table.PartitionTransform.Hours(refOf(t))
+        case "months" => graft.table.PartitionTransform.Months(refOf(t))
+        case "years" => graft.table.PartitionTransform.Years(refOf(t))
         case "bucket" =>
           val n = org.apache.spark.sql.graftshim.GraftShims.transformLiteralInt(t)
             .getOrElse(throw new UnsupportedOperationException(
               s"bucket transform needs a literal bucket count: ${t.describe()}"))
           graft.table.PartitionTransform.Bucket(n, refOf(t))
+        case "truncate" =>
+          val w = org.apache.spark.sql.graftshim.GraftShims.transformLiteralInt(t)
+            .getOrElse(throw new UnsupportedOperationException(
+              s"truncate transform needs a literal width: ${t.describe()}"))
+          graft.table.PartitionTransform.Truncate(w, refOf(t))
         case _ => throw new UnsupportedOperationException(
           s"unsupported partition transform ${t.describe()}: " +
-            "identity/days/hours/bucket only")
+            "identity/days/hours/months/years/bucket/truncate only")
       }
     }
     if (specs.length > 1)
@@ -476,6 +483,8 @@ object GraftCatalog {
       Some(v match {
         case fn("days", c) => graft.table.PartitionTransform.Days(c.trim)
         case fn("hours", c) => graft.table.PartitionTransform.Hours(c.trim)
+        case fn("months", c) => graft.table.PartitionTransform.Months(c.trim)
+        case fn("years", c) => graft.table.PartitionTransform.Years(c.trim)
         case fn("identity", c) => graft.table.PartitionTransform.Identity(c.trim)
         case fn("bucket", args) => args.split(",").map(_.trim) match {
           case Array(n, c) if n.forall(_.isDigit) =>
@@ -483,8 +492,15 @@ object GraftCatalog {
           case _ => throw new IllegalArgumentException(
             s"bucket transform needs (count, column): '$v'")
         }
+        case fn("truncate", args) => args.split(",").map(_.trim) match {
+          case Array(n, c) if n.forall(_.isDigit) =>
+            graft.table.PartitionTransform.Truncate(n.toInt, c)
+          case _ => throw new IllegalArgumentException(
+            s"truncate transform needs (width, column): '$v'")
+        }
         case fn(other, _) => throw new UnsupportedOperationException(
-          s"unsupported partition transform '$other': identity/days/hours/bucket/none only")
+          s"unsupported partition transform '$other': " +
+            "identity/days/hours/months/years/bucket/truncate/none only")
         case bare if bare.nonEmpty && !bare.contains("(") =>
           graft.table.PartitionTransform.Identity(bare)
         case _ => throw new IllegalArgumentException(s"cannot parse partition spec '$v'")
@@ -561,6 +577,8 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     m.put("pk", pk)
     partSpec.foreach {
       case graft.table.PartitionTransform.Bucket(n, c) => m.put("partition", s"bucket($n, $c)")
+      case graft.table.PartitionTransform.Truncate(w, c) =>
+        m.put("partition", s"truncate($w, $c)")
       case p => m.put("partition", s"${p.kind}(${p.col})")
     }
     m.put("format", "parquet")
@@ -580,7 +598,11 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
       case graft.table.PartitionTransform.Identity(c) => Expressions.identity(c)
       case graft.table.PartitionTransform.Days(c) => Expressions.days(c)
       case graft.table.PartitionTransform.Hours(c) => Expressions.hours(c)
+      case graft.table.PartitionTransform.Months(c) => Expressions.months(c)
+      case graft.table.PartitionTransform.Years(c) => Expressions.years(c)
       case graft.table.PartitionTransform.Bucket(n, c) => Expressions.bucket(n, c)
+      case graft.table.PartitionTransform.Truncate(w, c) =>
+        Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
     }
   }
   override def capabilities(): java.util.Set[TableCapability] =

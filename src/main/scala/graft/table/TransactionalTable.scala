@@ -1911,9 +1911,9 @@ final class TransactionalTable private (
     // guarantees one file per partition value per commit, `range` disjoint
     // per-file key ranges. Under `none` the shuffle-free path below stands.
     val distributed = (writeDistribution, partitionSpec) match {
-      case ("hash", Some(spec)) => df.repartition(spec.valueExpr)
+      case ("hash", Some(spec)) => df.repartition(spec.valueExprIn(df.schema))
       case ("range", Some(spec)) =>
-        df.repartitionByRange((spec.valueExpr +: pkCols.map(col)): _*)
+        df.repartitionByRange((spec.valueExprIn(df.schema) +: pkCols.map(col)): _*)
       case ("range", None) => df.repartitionByRange(pkCols.map(col): _*)
       case _ => df // `none`, or `hash` on an unpartitioned table (no cluster key)
     }
@@ -1932,7 +1932,7 @@ final class TransactionalTable private (
       // partitionBy would strip it from the file) and hidden partitioning
       // (days/hours/bucket) derives its directory value here — the write
       // half of the Iceberg partition-spec contract.
-      case Some(spec) => stamped.withColumn("_p", spec.valueExpr).write.partitionBy("_p")
+      case Some(spec) => stamped.withColumn("_p", spec.valueExprIn(df.schema)).write.partitionBy("_p")
       case None => stamped.write
     }
     // Rolling writer (see setMaxRecordsPerFile): bounds every part file even
@@ -2608,6 +2608,7 @@ final class TransactionalTable private (
         pt.put("kind", p.kind); pt.put("col", p.col)
         p match {
           case PartitionTransform.Bucket(n, _) => pt.put("n", n)
+          case PartitionTransform.Truncate(w, _) => pt.put("n", w)
           case _ => ()
         }
       }
@@ -2754,6 +2755,7 @@ object TransactionalTable {
       target.put("col", p.col)
       p match {
         case PartitionTransform.Bucket(n, _) => target.put("n", n)
+        case PartitionTransform.Truncate(w, _) => target.put("n", w)
         case _ => ()
       }
     }

@@ -34,12 +34,43 @@ object PartitionPrune {
     case _ => None
   }
 
+  /** Months-since-1970-01 ordinal of an epoch-micros value — UTC calendar
+    * via the epoch-day, the exact mirror of `PartitionTransform.utcDate`
+    * (java.time and Spark both use the proleptic Gregorian calendar). */
+  private def monthOrdinal(us: Long): Long = {
+    val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, MicrosPerDay))
+    (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1)
+  }
+
+  private def yearOrdinal(us: Long): Long = {
+    val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, MicrosPerDay))
+    (d.getYear - 1970).toLong
+  }
+
+  /** Integral value of a literal for the truncate transform. */
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
   /** Partition value string for an EQUALITY literal under the transform. */
   def valueOf(d: PartitionTransformDesc, v: Any, dt: DataType): Option[String] =
     d.kind match {
       case "identity" => Some(strOf(v))
       case "days" => microsOf(v, dt).map(us => Math.floorDiv(us, MicrosPerDay).toString)
       case "hours" => microsOf(v, dt).map(us => Math.floorDiv(us, MicrosPerHour).toString)
+      case "months" => microsOf(v, dt).map(us => monthOrdinal(us).toString)
+      case "years" => microsOf(v, dt).map(us => yearOrdinal(us).toString)
+      case "truncate" => v match {
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          // first-w-CHARS truncation (UTF8String.substring is code-point
+          // indexed, same as Spark's substring the write side uses)
+          Some(u.substring(0, d.n).toString)
+        case other => longOf(other).map(l => (l - Math.floorMod(l, d.n.toLong)).toString)
+      }
       case "bucket" =>
         try {
           val h = XxHash64Function.hash(v, dt, 42L)
@@ -48,20 +79,26 @@ object PartitionPrune {
       case _ => None
     }
 
-  /** For ORDERED (temporal) transforms: the partition ordinal of a literal,
-    * and of a file's partition value — lets range predicates on the source
-    * column prune by partition. None for unordered transforms (bucket) or
+  /** For ORDERED transforms (temporal + integral truncate): the partition
+    * ordinal of a literal, and of a file's partition value — lets range
+    * predicates on the source column prune by partition. None for unordered
+    * transforms (bucket), string truncate (not Long-ordinal-able), or
     * unparseable values. */
   def ordinalOf(d: PartitionTransformDesc, v: Any, dt: DataType): Option[Long] =
     d.kind match {
       case "days" => microsOf(v, dt).map(Math.floorDiv(_, MicrosPerDay))
       case "hours" => microsOf(v, dt).map(Math.floorDiv(_, MicrosPerHour))
+      case "months" => microsOf(v, dt).map(monthOrdinal)
+      case "years" => microsOf(v, dt).map(yearOrdinal)
+      // the ordinal is the truncated value itself: order-preserving, same
+      // granularity comparison semantics as the temporal ordinals
+      case "truncate" => longOf(v).map(l => l - Math.floorMod(l, d.n.toLong))
       case _ => None
     }
 
   def partitionOrdinal(d: PartitionTransformDesc, partition: String): Option[Long] =
     d.kind match {
-      case "days" | "hours" => partition.toLongOption
+      case "days" | "hours" | "months" | "years" | "truncate" => partition.toLongOption
       case _ => None
     }
 

@@ -339,6 +339,106 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("hidden partitioning months(ts)/years(ts): derivation + destroyed-file pruning") {
+    val w = tmpDir("graft-hm-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_hm", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_hm.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    spark.sql(
+      """CREATE TABLE graft_hm.db.ev (event_id BIGINT, ts TIMESTAMP, val INT)
+        |PARTITIONED BY (months(ts)) TBLPROPERTIES ('pk'='event_id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_hm.db.ev VALUES
+        |  (1, TIMESTAMP '2024-01-05 01:00:00', 10),
+        |  (2, TIMESTAMP '2024-01-31 23:00:00', 20),
+        |  (3, TIMESTAMP '2024-02-01 00:30:00', 30),
+        |  (4, TIMESTAMP '2024-03-15 05:00:00', 40),
+        |  (5, TIMESTAMP '1969-12-31 22:00:00', 50)""".stripMargin)
+    val t = TransactionalTable.open(spark, s"$w/db/ev")
+    // months since 1970-01: 2024-01 = 648, 2024-02 = 649, 2024-03 = 650,
+    // 1969-12 = -1 (pre-epoch floors DOWN, not toward zero)
+    assert(t.snapshot.files.flatMap(_.partition).distinct.sorted ===
+      Seq("-1", "648", "649", "650"))
+    // destroy January's file: only month pruning can answer later months
+    t.snapshot.files.filter(_.partition.contains("648"))
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    val later = spark.sql(
+      """SELECT event_id FROM graft_hm.db.ev
+        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' ORDER BY event_id""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(later === Seq(3L, 4L), "month-range pruning must skip the destroyed month")
+    val point = spark.sql(
+      "SELECT val FROM graft_hm.db.ev WHERE ts = TIMESTAMP '2024-03-15 05:00:00'")
+      .as[Int].collect().toSeq
+    assert(point === Seq(40), "ts-equality pruning must skip the destroyed month")
+    intercept[Exception] { // a scan that needs the destroyed month fails loudly
+      spark.sql("SELECT SUM(val) FROM graft_hm.db.ev").as[Long].head()
+    }
+    // years(ts): same table shape, year ordinals since 1970
+    spark.sql(
+      """CREATE TABLE graft_hm.db.ev2 (event_id BIGINT, ts TIMESTAMP, val INT)
+        |PARTITIONED BY (years(ts)) TBLPROPERTIES ('pk'='event_id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_hm.db.ev2 VALUES
+        |  (1, TIMESTAMP '2023-06-01 00:00:00', 1),
+        |  (2, TIMESTAMP '2024-06-01 00:00:00', 2)""".stripMargin)
+    val t2 = TransactionalTable.open(spark, s"$w/db/ev2")
+    assert(t2.snapshot.files.flatMap(_.partition).distinct.sorted === Seq("53", "54"))
+    t2.snapshot.files.filter(_.partition.contains("53"))
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    assert(spark.sql(
+      "SELECT val FROM graft_hm.db.ev2 WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'")
+      .as[Int].collect().toSeq === Seq(2), "year pruning must skip the destroyed year")
+  }
+
+  test("hidden partitioning truncate(w, col): integral floor-multiples and string prefixes prune") {
+    val w = tmpDir("graft-ht-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_ht", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ht.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    // integral truncate: val floors to the nearest multiple of 100
+    // (negatives floor DOWN — Iceberg truncate semantics)
+    spark.sql(
+      """CREATE TABLE graft_ht.db.t (id BIGINT, amount BIGINT, val INT)
+        |PARTITIONED BY (truncate(100, amount)) TBLPROPERTIES ('pk'='id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_ht.db.t VALUES
+        |  (1, 7, 10), (2, 142, 20), (3, 299, 30), (4, -5, 40)""".stripMargin)
+    val t = TransactionalTable.open(spark, s"$w/db/t")
+    assert(t.snapshot.files.flatMap(_.partition).distinct.sorted ===
+      Seq("-100", "0", "100", "200"))
+    // destroy every partition except amount=142's: equality AND range prune
+    t.snapshot.files.filterNot(_.partition.contains("100"))
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    assert(spark.sql("SELECT val FROM graft_ht.db.t WHERE amount = 142")
+      .as[Int].collect().toSeq === Seq(20), "truncate equality pruning")
+    assert(spark.sql(
+      "SELECT val FROM graft_ht.db.t WHERE amount >= 100 AND amount < 200")
+      .as[Int].collect().toSeq === Seq(20), "truncate range pruning (ordered transform)")
+    intercept[Exception] {
+      spark.sql("SELECT SUM(val) FROM graft_ht.db.t").as[Long].head()
+    }
+    // string truncate: first-w-chars prefix partitions; a non-PK string
+    // column has no stats, so only the transform can prune the lookup
+    spark.sql(
+      """CREATE TABLE graft_ht.db.s (id BIGINT, region STRING, val INT)
+        |PARTITIONED BY (truncate(2, region)) TBLPROPERTIES ('pk'='id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_ht.db.s VALUES
+        |  (1, 'eu-west-1', 10), (2, 'eu-north-1', 20),
+        |  (3, 'us-east-1', 30), (4, 'ap-south-1', 40)""".stripMargin)
+    val ts = TransactionalTable.open(spark, s"$w/db/s")
+    assert(ts.snapshot.files.flatMap(_.partition).distinct.sorted ===
+      Seq("ap", "eu", "us"))
+    ts.snapshot.files.filterNot(_.partition.contains("us"))
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    assert(spark.sql("SELECT val FROM graft_ht.db.s WHERE region = 'us-east-1'")
+      .as[Int].collect().toSeq === Seq(30), "string-prefix pruning must skip destroyed prefixes")
+    intercept[Exception] {
+      spark.sql("SELECT SUM(val) FROM graft_ht.db.s").as[Long].head()
+    }
+  }
+
   test("hidden partitioning bucket(n, col) on a stats-free string column prunes point lookups") {
     val w = tmpDir("graft-hb-warehouse")
     spark.conf.set("spark.sql.catalog.graft_hb", "graft.sql.GraftCatalog")
