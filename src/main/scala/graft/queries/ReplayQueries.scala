@@ -1354,6 +1354,67 @@ object ReplayQueries {
            |) AS t(event, total, n) ORDER BY event""".stripMargin
       }),
 
+    // MV rewrite FILTER-SUBSUMPTION tier (E110 extension): a query whose
+    // WHERE strictly narrows a fresh MV's WHERE is served by MV storage +
+    // the residual conjuncts — proven for both the aggregate shape
+    // (residual on the group key filters stored groups) and the
+    // row-preserving shape; a source commit reverts the same query to the
+    // source until refresh (stale fallback).
+    Q("cdc_sql_mv_rewrite_filter",
+      (s, _) => {
+        val cat = s"graft_mf${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mf").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.sig AS " +
+          s"SELECT event, SUM(amount) AS total, COUNT(*) AS n " +
+          s"FROM $cat.db.retail WHERE amount >= 5 GROUP BY event")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.sigrows AS " +
+          s"SELECT trans_id, event, amount FROM $cat.db.retail WHERE amount >= 5")
+        val q = s"SELECT event, SUM(amount) AS total, COUNT(*) AS n " +
+          s"FROM $cat.db.retail WHERE amount >= 5 AND event <> 'list' GROUP BY event"
+        try {
+          s.conf.set(graft.sql.GraftMvRewriteRule.ConfKey,
+            s"$cat.db.sig,$cat.db.sigrows")
+          // aggregate tier: MV storage + residual on the group key — the
+          // source relation must NOT appear in the plan
+          require(!s.sql(q).queryExecution.optimizedPlan.toString.contains("db.retail"),
+            "subsumed aggregate must read MV storage, not the source")
+          // row tier: residual on an exposed column over the row MV
+          val rq = s"SELECT trans_id, amount FROM $cat.db.retail " +
+            s"WHERE amount >= 5 AND event = 'cart'"
+          require(!s.sql(rq).queryExecution.optimizedPlan.toString.contains("db.retail"),
+            "subsumed row query must read MV storage, not the source")
+          require(s.sql(rq).collect().map(_.getLong(0)).sorted.toSeq == Seq(21L, 30L),
+            "row-tier residual must filter MV rows")
+          // stale fallback: a source commit reverts the SAME query to source
+          s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+            "(500, 'c500', 'visit', 'SKU500', 555, 'pc', NULL)")
+          require(s.sql(q).queryExecution.optimizedPlan.toString.contains("db.retail"),
+            "stale MV must not serve the subsumed query")
+          s.sql(q).orderBy("event")
+        } finally s.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
+      },
+      Some {
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) } :+
+          ((500L, "visit", 555)))
+          .filter { case (_, ev, amt) => amt >= 5 && ev != "list" }
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (ev, rs) =>
+            s"('$ev', CAST(${rs.map(_._3.toLong).sum} AS BIGINT), CAST(${rs.size} AS BIGINT))"
+          }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, n) ORDER BY event""".stripMargin
+      }),
+
     // Partition-scoped compaction (E89): bin-pack ONE partition's files,
     // carry the rest by reference — table contents must be bit-identical.
     Q("cdc_compact_partitions_state",

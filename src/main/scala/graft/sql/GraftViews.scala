@@ -1481,14 +1481,103 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               },
               storagePlan)
           case None => p match {
-            // ROLL-UP tier: a coarser GROUP BY over the same input re-
+            // ROLL-UP tier: a coarser GROUP BY over the same input (modulo
+            // a narrower WHERE — the filter-subsumption extension) re-
             // aggregates the MV instead of the source
             case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
               candidates.view.flatMap(c => rollup(agg, c)).headOption.getOrElse(p)
+            // FILTER-SUBSUMPTION tier (row-preserving): a query whose WHERE
+            // strictly narrows the MV's WHERE scans the MV + residual filter
+            case _: Filter | _: Project =>
+              candidates.view.flatMap(c => filterSubsume(p, c)).headOption.getOrElse(p)
             case _ => p
           }
         }
     }
+  }
+
+  private def splitConj(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  /** Conjuncts of a plan's top Filter (empty when unfiltered) + the core
+    * below it. */
+  private def splitFilter(p: LogicalPlan)
+      : (Seq[org.apache.spark.sql.catalyst.expressions.Expression], LogicalPlan) = p match {
+    case Filter(cond, child) => (splitConj(cond), child)
+    case other => (Nil, other)
+  }
+
+  /**
+   * Filter-subsumption rewrite for ROW-PRESERVING MVs (the third classic
+   * acceleration tier, after exact match and roll-up): a query whose WHERE
+   * conjunctively CONTAINS the MV definition's WHERE — i.e. strictly
+   * narrows it — is answered by scanning the MV's storage and applying only
+   * the RESIDUAL conjuncts, provided every residual conjunct and every
+   * query output is expressible over columns the MV exposes. Sound because
+   * the MV stores exactly the rows passing its own WHERE, and the residual
+   * re-derives the narrower set from those rows (conjunct-set containment —
+   * no general implication proving, the Calcite/Oracle practical subset).
+   */
+  private def filterSubsume(p: LogicalPlan, c: Candidate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // query side: [Project] over Filter over core (a bare Filter keeps its
+    // child's attributes as outputs)
+    val (qOuts, qConds, qCore) = p match {
+      case Project(pr, Filter(cond, core)) => (pr, splitConj(cond), core)
+      case Filter(cond, core) => (core.output, splitConj(cond), core)
+      case _ => return None
+    }
+    if (qConds.isEmpty) return None
+    // MV side: same shapes; an UNFILTERED projection MV subsumes any WHERE
+    val (mOuts: Seq[NamedExpression], mConds, mCore) = c.defPlan match {
+      case Project(pr, Filter(cond, core)) => (pr, splitConj(cond), core)
+      case Filter(cond, core) => (core.output, splitConj(cond), core)
+      case Project(pr, core) => (pr, Nil, core)
+      case _ => return None
+    }
+    if (qCore.canonicalized != mCore.canonicalized) return None
+    // rebase query-side attributes onto the MV core's (same canonical core
+    // ⇒ position-correlated outputs — the roll-up tier's machinery)
+    val q2m: Map[ExprId, Attribute] =
+      qCore.output.zip(mCore.output).map { case (a, b) => a.exprId -> b }.toMap
+    def rebase(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference => q2m.getOrElse(a.exprId, a)
+    }
+    val rebasedQ = qConds.map(rebase)
+    // every MV conjunct must appear among the query's (⇒ query ⊆ MV rows);
+    // the residual is whatever the query adds on top
+    if (!mConds.forall(mc => rebasedQ.exists(_.semanticEquals(mc)))) return None
+    val residual = rebasedQ.filterNot(qc => mConds.exists(qc.semanticEquals))
+    val storagePlan = c.storageScan().queryExecution.analyzed
+    val mOut: Seq[(Expression, Attribute)] =
+      mOuts.zip(storagePlan.output).map { case (mo, attr) =>
+        (mo match { case Alias(x, _) => x; case x => x }, attr) }
+    // express an MV-core-space expression over the storage columns: replace
+    // every (maximal) subexpression the MV exposes with its storage column;
+    // any surviving core attribute means the MV does not carry the column
+    def overStorage(e: Expression): Option[Expression] = {
+      val rewritten = e.transformDown {
+        case sub if mOut.exists(_._1.semanticEquals(sub)) =>
+          mOut.find(_._1.semanticEquals(sub)).get._2
+      }
+      val storageSet = AttributeSet(storagePlan.output)
+      if (rewritten.references.subsetOf(storageSet)) Some(rewritten) else None
+    }
+    val residual2 = residual.map(overStorage)
+    if (residual2.exists(_.isEmpty)) return None
+    val outputs2 = qOuts.map { ne =>
+      overStorage(rebase(ne match { case Alias(x, _) => x; case x => x }))
+        .map(e2 => Alias(e2, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier))
+    }
+    if (outputs2.exists(_.isEmpty)) return None
+    val filtered =
+      if (residual2.isEmpty) storagePlan
+      else Filter(residual2.map(_.get).reduce(And), storagePlan)
+    Some(Project(outputs2.map(_.get), filtered))
   }
 
   /**
@@ -1512,12 +1601,20 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val m = c.defPlan match { case a: Aggregate => a; case _ => return None }
-    if (q.child.canonicalized != m.child.canonicalized) return None
-    if (q.groupingExpressions.size >= m.groupingExpressions.size) return None
+    // FILTER SUBSUMPTION under the aggregate (the same conjunct-containment
+    // contract as the row-preserving tier): the query's WHERE must contain
+    // every MV WHERE conjunct; the residual — conjuncts the query adds —
+    // filters the STORED GROUPS, which is sound only when each residual
+    // conjunct is a function of the MV's group key (rows of one group agree
+    // on it), enforced below by requiring it to rewrite over GROUP outputs.
+    val (qConds, qCore) = splitFilter(q.child)
+    val (mConds, mCore) = splitFilter(m.child)
+    if (qCore.canonicalized != mCore.canonicalized) return None
     // rebase query-child attribute references onto the MV child's output
-    // (children are canonically identical ⇒ outputs correspond by position)
+    // (cores are canonically identical ⇒ outputs correspond by position;
+    // a Filter passes its child's attributes through unchanged)
     val q2m: Map[ExprId, Attribute] =
-      q.child.output.zip(m.child.output).map { case (a, b) => a.exprId -> b }.toMap
+      qCore.output.zip(mCore.output).map { case (a, b) => a.exprId -> b }.toMap
     def rebase(e: Expression): Expression = e.transformUp {
       case a: AttributeReference => q2m.getOrElse(a.exprId, a)
     }
@@ -1525,6 +1622,15 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(x, _) => x
       case x => x
     }
+    val rebasedConds = qConds.map(rebase)
+    if (!mConds.forall(mc => rebasedConds.exists(_.semanticEquals(mc)))) return None
+    val residual = rebasedConds.filterNot(qc => mConds.exists(qc.semanticEquals))
+    // pure roll-up must be strictly coarser (an identical-grain, identical-
+    // filter query is the exact tier's match); a residual filter makes the
+    // same grain legitimately narrower than the MV
+    if (residual.isEmpty &&
+      q.groupingExpressions.size >= m.groupingExpressions.size) return None
+    if (q.groupingExpressions.size > m.groupingExpressions.size) return None
     val storagePlan = c.storageScan().queryExecution.analyzed
     val mOut: Seq[(NamedExpression, Attribute)] =
       m.aggregateExpressions.zip(storagePlan.output)
@@ -1536,6 +1642,18 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // every query grouping expression must be exposed by the MV
     val groupAttrs = q.groupingExpressions.map(g => groupCol(rebase(g)))
     if (groupAttrs.exists(_.isEmpty)) return None
+    // each residual conjunct must rewrite over the MV's GROUP outputs alone
+    // (filtering stored groups on an aggregate column would not equal
+    // filtering source rows); substitute maximal matching subexpressions
+    val residualOverGroups: Seq[Option[Expression]] = residual.map { r =>
+      val rewritten = r.transformDown {
+        case sub if groupCol(sub).isDefined => groupCol(sub).get
+      }
+      if (rewritten.references.subsetOf(AttributeSet(storagePlan.output)))
+        Some(rewritten)
+      else None
+    }
+    if (residualOverGroups.exists(_.isEmpty)) return None
     def cleanAgg(ae: AggregateExpression): Boolean = !ae.isDistinct && ae.filter.isEmpty
     // build each query output on top of the storage columns
     val outputs = q.aggregateExpressions.map { ne =>
@@ -1575,7 +1693,10 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     if (outputs.exists(_.isEmpty)) return None
-    Some(Aggregate(groupAttrs.map(_.get), outputs.map(_.get), storagePlan))
+    val source =
+      if (residualOverGroups.isEmpty) storagePlan
+      else Filter(residualOverGroups.map(_.get).reduce(And), storagePlan)
+    Some(Aggregate(groupAttrs.map(_.get), outputs.map(_.get), source))
   }
 
   private final case class Candidate(

@@ -529,6 +529,73 @@ class ViewSqlSpec extends SparkSpec {
     } finally spark.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
   }
 
+  test("MV rewrite filter-subsumption: narrower WHERE reads the MV + residual") {
+    val (cat, _) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
+    // row-preserving MV with a WHERE
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.rows AS " +
+      s"SELECT id, grp, v FROM $cat.db.ev WHERE v >= 10")
+    // aggregate MV with a WHERE
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.agg AS " +
+      s"SELECT grp, SUM(v) AS sv, COUNT(*) AS n FROM $cat.db.ev WHERE v >= 10 GROUP BY grp")
+    def srcScanned(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan.toString.contains("db.ev")
+    try {
+      spark.conf.set(graft.sql.GraftMvRewriteRule.ConfKey,
+        s"$cat.db.rows,$cat.db.agg")
+      // row tier: query WHERE ⊇ MV WHERE, residual id <= 1 applies on top
+      val q1 = s"SELECT id, v FROM $cat.db.ev WHERE v >= 10 AND id <= 1"
+      assert(!srcScanned(q1), "subsumed row query must read the MV")
+      assert(spark.sql(q1).as[(Long, Long)].collect().toSeq === Seq((1L, 10L)))
+      // aggregate tier, SAME grain + residual on the group key
+      val q2 = s"SELECT grp, SUM(v) AS sv, COUNT(*) AS n FROM $cat.db.ev " +
+        s"WHERE v >= 10 AND grp = 'a' GROUP BY grp"
+      assert(!srcScanned(q2), "subsumed agg query must read the MV")
+      assert(spark.sql(q2).as[(String, Long, Long)].collect().toSeq ===
+        Seq(("a", 30L, 2L)))
+      // aggregate tier, COARSER grain + residual (roll-up ∘ subsumption)
+      val q3 = s"SELECT SUM(v) AS sv FROM $cat.db.ev WHERE v >= 10 AND grp = 'a'"
+      assert(!srcScanned(q3), "global agg with residual must read the MV")
+      assert(spark.sql(q3).as[Long].head() === 30L)
+      // with BOTH MVs listed, this query composes: the row MV serves the
+      // subsumed Filter BELOW the aggregate (count over MV rows + residual
+      // v < 15 = count over source rows — row-preserving, so sound)
+      val q4 = s"SELECT grp, COUNT(*) AS n FROM $cat.db.ev " +
+        s"WHERE v >= 10 AND v < 15 GROUP BY grp"
+      assert(!srcScanned(q4), "row MV should serve the filter under the aggregate")
+      assert(spark.sql(q4).as[(String, Long)].collect().toSeq === Seq(("a", 1L)))
+      // with ONLY the agg MV available, the same residual is on an
+      // AGGREGATED column — filtering stored groups would be wrong → source
+      spark.conf.set(graft.sql.GraftMvRewriteRule.ConfKey, s"$cat.db.agg")
+      assert(srcScanned(q4), "residual on an aggregated column must fall through")
+      assert(spark.sql(q4).as[(String, Long)].collect().toSeq === Seq(("a", 1L)))
+      spark.conf.set(graft.sql.GraftMvRewriteRule.ConfKey,
+        s"$cat.db.rows,$cat.db.agg")
+      // a WIDER query (missing the MV conjunct) must fall through
+      val q5 = s"SELECT id, v FROM $cat.db.ev WHERE id <= 2"
+      assert(srcScanned(q5), "non-subsumed WHERE must fall through")
+      assert(spark.sql(q5).as[(Long, Long)].collect().toSet ===
+        Set((1L, 10L), (2L, 20L)))
+      // row tier: a residual referencing a column the MV drops → source
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.narrow AS " +
+        s"SELECT id, v FROM $cat.db.ev WHERE v >= 10")
+      spark.conf.set(graft.sql.GraftMvRewriteRule.ConfKey, s"$cat.db.narrow")
+      val q6 = s"SELECT id FROM $cat.db.ev WHERE v >= 10 AND grp = 'a'"
+      assert(srcScanned(q6), "residual on an unexposed column must fall through")
+      assert(spark.sql(q6).as[Long].collect().toSet === Set(1L, 2L))
+      // staleness: a source commit disables the rewrite until refresh
+      spark.conf.set(graft.sql.GraftMvRewriteRule.ConfKey,
+        s"$cat.db.rows,$cat.db.agg")
+      spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',40)")
+      assert(srcScanned(q1), "stale MV must not serve the subsumed query")
+      assert(spark.sql(q2).as[(String, Long, Long)].collect().toSeq ===
+        Seq(("a", 70L, 3L)), "fallback recomputes from source")
+      spark.sql(s"CALL $cat.system.refresh_mv('db.agg')")
+      assert(!srcScanned(q2), "refreshed MV serves again")
+      assert(spark.sql(q2).as[(String, Long, Long)].collect().toSeq ===
+        Seq(("a", 70L, 3L)))
+    } finally spark.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
+  }
+
   test("MV rewrite composes under HAVING: the filter stays, the aggregate reads the MV") {
     val (cat, _) = freshGrouped()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.hmv AS " +
