@@ -44,9 +44,21 @@ object DedupIndex {
    * Filter `docs` against the index + self-dedup, append the survivors'
    * band signatures as batch `batchId` (replay-fenced), and return the kept
    * doc ids. Safe to call from `foreachBatch`.
+   *
+   * LIFECYCLE: the index grows by one data file (often more, one per
+   * shuffle partition with rows) per batch — unbounded ingest without
+   * maintenance makes the per-batch corpus join fan out over ever more
+   * small files, the same failure mode [[graft.stream.CdcPipeline]]
+   * documents for the CDC table. `compactEvery = k` bin-packs the index
+   * every k-th batch (same cadence contract as CdcPipeline's
+   * `compactEvery`): file count stays bounded by the compaction interval,
+   * per-batch join cost stays flat in batch count. Replay-safe — a
+   * re-delivered batch's merge is fenced to a no-op and re-compacting a
+   * compacted table is itself a no-op-sized rewrite.
    */
   def appendBatch(index: TransactionalTable, docs: DataFrame, batchId: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      compactEvery: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     // The sketch aggregation (60 bitwise sums over exploded token hashes) is
     // the expensive leg — cache it: the filter, the self-join, and the
@@ -90,6 +102,8 @@ object DedupIndex {
           col("band"), col("chunk"), col("doc_id"))
       import spark.implicits._
       index.merge(rows, spark.emptyDataset[Long].toDF("sig_id"), batchId)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        index.compact()
       keptIds.orderBy("doc_id")
     } finally {
       cand.unpersist(blocking = false)

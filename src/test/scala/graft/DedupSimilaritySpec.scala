@@ -114,6 +114,49 @@ class DedupSimilaritySpec extends SparkSpec {
       === Seq(20L, 22L))
   }
 
+  test("DedupIndex lifecycle: compaction cadence bounds files and keeps appendBatch flat") {
+    import graft.ops.DedupIndex
+    val index = DedupIndex.create(spark, tmpDir("dedup-index-life") + "/idx")
+    // 20 ingest batches: one fresh doc (distinct vocabulary per batch) plus
+    // one exact dup of batch 0's doc — the dup must KEEP dropping after any
+    // number of compactions (maintenance must preserve index content)
+    val dupText = "the persistent corpus keeps exactly one copy of this sentence"
+    // vocabulary chosen collision-free across all 20 batches (simhash bands
+    // are 15-bit chunks — random-vocab templates can land deterministic
+    // band collisions; this one was probed clean)
+    def batchDf(b: Int) = Seq(
+      (100L * b + 1, (1 to 12).map(k => s"batch${b}token${k}word").mkString(" ")),
+      (100L * b + 2, dupText))
+      .toDF("doc_id", "text")
+    assert(DedupIndex.appendBatch(index, batchDf(0), 0, compactEvery = 4)
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    val times = (1 to 19).map { b =>
+      val t0 = System.nanoTime()
+      val kept = DedupIndex.appendBatch(index, batchDf(b), b, compactEvery = 4)
+        .as[Long].collect().toSeq
+      assert(kept === Seq(100L * b + 1),
+        s"batch $b: fresh doc kept, batch-0 dup dropped (post-compaction) — got $kept")
+      (System.nanoTime() - t0) / 1e9
+    }
+    // content: every fresh doc's bands present exactly once, 20 + the one
+    // kept dup-source doc
+    assert(index.scan().select("doc_id").distinct().count() === 21L)
+    // file count is bounded by the compaction interval (≤ interval commits'
+    // files since the last bin-pack), NOT by total batch count — without
+    // the cadence this table holds ≥ 20 files after 20 commits
+    val nFiles = graft.table.TransactionalTable.open(spark, index.root)
+      .snapshot.files.length
+    assert(nFiles <= 8, s"compaction cadence must bound the file count, got $nFiles")
+    // flatness: per-batch wall time must not grow with batch count — the
+    // corpus join is O(batch ⋈ index) over a bounded file set. Generous 3×
+    // bound so VM noise cannot flake the spec; unbounded growth (the
+    // defect this guards) shows up as 5-10× by batch 19.
+    val first = times.slice(0, 5).sum / 5
+    val last = times.slice(14, 19).sum / 5
+    assert(last <= first * 3.0,
+      f"appendBatch wall time grew: first5=$first%.2fs last5=$last%.2fs")
+  }
+
   test("DedupIndex inside a checkpointed foreachBatch stream: restart-safe, incremental") {
     import java.nio.file.{Files, Paths}
     import graft.ops.DedupIndex
