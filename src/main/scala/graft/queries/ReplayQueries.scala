@@ -1639,6 +1639,53 @@ object ReplayQueries {
              |FROM events WHERE user_id = 7
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ANALYZE / NDV statistics (E112, completes the CBO food chain of
+    // E63/E88): CALL system.analyze runs one distributed HLL pass and the
+    // catalog scan serves distinctCount to the planner. The fixture's
+    // cardinalities (5 event types, 150 users at sf0.01) sit in the
+    // sketch's exact coupon regime, so the oracle is plain COUNT(DISTINCT);
+    // the query also proves the SERVING path by requiring the analyzed NDV
+    // in the scan's CBO attribute stats.
+    Q("cdc_analyze_ndv",
+      (s, d) => {
+        val cat = s"graft_nd${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_nd").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        s.sql(s"""CREATE TABLE $cat.db.ev
+                  (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                   event_type STRING, value DOUBLE)
+                  TBLPROPERTIES ('pk'='event_id')""")
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("ev_src_nd")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src_nd")
+        val r = s.sql(s"CALL $cat.system.analyze('db.ev', 'event_type,user_id')")
+          .collect().head
+        val ndvs = r.getString(1).split(",").zip(r.getString(2).split(","))
+          .map { case (c, n) => (c, n.toLong) }.toSeq
+        // serving proof: the scan's CBO stats carry the analyzed NDV
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.cbo.planStats.enabled", "true")
+          val st = s.sql(s"SELECT * FROM $cat.db.ev").queryExecution.optimizedPlan
+            .stats.attributeStats.find(_._1.name == "user_id").map(_._2)
+          require(st.exists(_.distinctCount.isDefined),
+            s"scan must report analyzed distinctCount to CBO, got $st")
+        } finally {
+          s.conf.unset("spark.sql.cbo.enabled")
+          s.conf.unset("spark.sql.cbo.planStats.enabled")
+        }
+        import s.implicits._
+        ndvs.toDF("col", "ndv").orderBy("col")
+      },
+      Some("""SELECT col, ndv FROM (
+             |  SELECT 'event_type' AS col, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv FROM events
+             |  UNION ALL
+             |  SELECT 'user_id' AS col, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv FROM events
+             |) t ORDER BY col""".stripMargin)),
+
     // STORED PROCEDURES (Iceberg CALL catalog.system.* parity): the golden
     // replay maintained entirely through the SQL runbook — tag the good
     // state, take a catastrophic bad batch, CALL rollback_to_snapshot, then

@@ -618,9 +618,11 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
           "columns; register spark.sql.extensions=graft.sql.GraftExtensions " +
           "(engine-aware SQL reads) or run compact()")
     // Stats-reporting + runtime-filtering scan: exact numRows/sizeInBytes
-    // from the manifest, and join-time whole-file pruning (GraftScan).
+    // from the manifest, column [min,max] + analyzed NDV for CBO, and
+    // join-time whole-file pruning (GraftScan).
     org.apache.spark.sql.graftshim.GraftScanBuilder(
-      spark, tableSchema, entries, pk, options, pkHashed, rowCount, bucketSpecForSpj)
+      spark, tableSchema, entries, pk, options, pkHashed, rowCount, bucketSpecForSpj,
+      graft.table.NdvStats.read(root).map(_._2).getOrElse(Map.empty))
   }
 
   /** Storage-partitioned-join eligibility, decided from chunk METADATA alone:

@@ -120,6 +120,21 @@ object GraftProcedures {
         Seq(view, df.count())
       }),
 
+    // ANALYZE (Iceberg puffin / ANALYZE TABLE parity): one distributed HLL
+    // pass over the current snapshot records per-column NDV; catalog scans
+    // then report distinctCount to CBO (equality selectivity, join sizing).
+    //   CALL graft.system.analyze('db.t', 'user_id,event_type')
+    "analyze" -> Spec(
+      Seq("table" -> S, "columns" -> S),
+      row("analyzed_version" -> L, "columns" -> S, "ndv" -> S),
+      (c, a) => {
+        val t = open(c, a)
+        val cols = a.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty)
+        val est = graft.table.NdvStats.analyze(t, cols.toSeq)
+        Seq(t.currentVersion, cols.mkString(","),
+          cols.map(cl => est(cl.toLowerCase(java.util.Locale.ROOT))).mkString(","))
+      }),
+
     "fold_deletes" -> Spec(
       Seq("table" -> S),
       row("rewritten_files" -> L, "folded_delete_files" -> L),

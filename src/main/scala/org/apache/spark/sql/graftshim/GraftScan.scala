@@ -45,7 +45,10 @@ final class GraftScan(inner: ParquetScan, index: ManifestFileIndex, rowCount: Lo
       * `bucket(n, col)` and plans one keyed input partition per bucket —
       * storage-partitioned joins (SPJ): two co-bucketed tables joining on the
       * bucket column need NO shuffle exchange (Iceberg's SPJ design). */
-    bucketSpec: Option[(Int, String)] = None)
+    bucketSpec: Option[(Int, String)] = None,
+    /** Lower-cased column → recorded HLL NDV (graft.table.NdvStats, the
+      * `CALL system.analyze` output) — feeds CBO's distinctCount. */
+    ndv: Map[String, Long] = Map.empty)
   extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
   with SupportsReportPartitioning {
 
@@ -94,21 +97,29 @@ final class GraftScan(inner: ParquetScan, index: ManifestFileIndex, rowCount: Lo
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       val ranges = index.columnRanges
       inner.readSchema().fields.foreach { f =>
-        ranges.get(f.name.toLowerCase(java.util.Locale.ROOT)).foreach { case (lo, hi) =>
-          val conv: Option[(AnyRef, AnyRef)] = f.dataType match {
+        val key = f.name.toLowerCase(java.util.Locale.ROOT)
+        val mm: Option[(AnyRef, AnyRef)] = ranges.get(key).flatMap { case (lo, hi) =>
+          f.dataType match {
             case LongType | TimestampType => Some((Long.box(lo), Long.box(hi)))
             case IntegerType | DateType => Some((Int.box(lo.toInt), Int.box(hi.toInt)))
             case ShortType => Some((Short.box(lo.toShort), Short.box(hi.toShort)))
             case ByteType => Some((Byte.box(lo.toByte), Byte.box(hi.toByte)))
             case _ => None
           }
-          conv.foreach { case (minV, maxV) =>
-            m.put(Expressions.column(f.name),
-              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                override def min(): java.util.Optional[Object] = java.util.Optional.of(minV)
-                override def max(): java.util.Optional[Object] = java.util.Optional.of(maxV)
-              })
-          }
+        }
+        // NDV is type-agnostic (string join keys get cardinality too); a
+        // column may carry either or both
+        val dc = ndv.get(key)
+        if (mm.isDefined || dc.isDefined) {
+          m.put(Expressions.column(f.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def min(): java.util.Optional[Object] =
+                mm.fold(java.util.Optional.empty[Object]())(v => java.util.Optional.of(v._1))
+              override def max(): java.util.Optional[Object] =
+                mm.fold(java.util.Optional.empty[Object]())(v => java.util.Optional.of(v._2))
+              override def distinctCount(): OptionalLong =
+                dc.fold(OptionalLong.empty())(OptionalLong.of)
+            })
         }
       }
       m
@@ -197,7 +208,8 @@ private[graftshim] final class GraftKeyedBatch(inner: Batch) extends Batch {
   * into the scan the row count no longer describes the scan OUTPUT, so the
   * wrap (and its stats) is skipped — the plain ParquetScan passes through. */
 final class GraftScanBuilder(inner: ParquetScanBuilder, index: ManifestFileIndex,
-    rowCount: Long, bucketSpec: Option[(Int, String)] = None)
+    rowCount: Long, bucketSpec: Option[(Int, String)] = None,
+    ndv: Map[String, Long] = Map.empty)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -207,7 +219,7 @@ final class GraftScanBuilder(inner: ParquetScanBuilder, index: ManifestFileIndex
 
   override def build(): Scan =
     if (aggPushed) inner.build()
-    else new GraftScan(inner.build(), index, rowCount, bucketSpec)
+    else new GraftScan(inner.build(), index, rowCount, bucketSpec, ndv)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
@@ -237,12 +249,13 @@ object GraftScanBuilder {
   def apply(spark: org.apache.spark.sql.SparkSession, schema: StructType,
       entries: Seq[ManifestEntry], pk: String, options: CaseInsensitiveStringMap,
       pkHashed: Boolean, rowCount: Long,
-      bucketSpec: Option[(Int, String)] = None): ScanBuilder = {
+      bucketSpec: Option[(Int, String)] = None,
+      ndv: Map[String, Long] = Map.empty): ScanBuilder = {
     val index = new ManifestFileIndex(spark, ManifestFileIndex.chunksOf(entries),
       pk, pkHashed)
     new GraftScanBuilder(
       ParquetScanBuilder(spark.asInstanceOf[classic.SparkSession], index,
         schema, schema, options),
-      index, rowCount, bucketSpec)
+      index, rowCount, bucketSpec, ndv)
   }
 }

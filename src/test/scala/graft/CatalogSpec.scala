@@ -471,6 +471,66 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("analyzed NDV feeds CBO: low-NDV filter flips the join to broadcast") {
+    val w = tmpDir("graft-ndv-warehouse")
+    spark.conf.set("spark.sql.catalog.graft_nv", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_nv.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    // fact table: 2000 rows, join-hot g has NDV 4, padding inflates bytes
+    spark.sql(
+      """CREATE TABLE graft_nv.db.f (id BIGINT, g BIGINT, pad STRING)
+        |TBLPROPERTIES ('pk'='id')""".stripMargin)
+    (0 until 2000).map(i => (i.toLong, (i % 4).toLong, s"pad-$i-" + ("x" * 64)))
+      .toDF("id", "g", "pad").createOrReplaceTempView("nv_src")
+    spark.sql("INSERT INTO graft_nv.db.f SELECT * FROM nv_src")
+    spark.sql(
+      """CREATE TABLE graft_nv.db.d (id BIGINT, tag STRING, pad STRING)
+        |TBLPROPERTIES ('pk'='id')""".stripMargin)
+    (0 until 2000).map(i => (i.toLong, s"t$i", s"dpd-$i-" + ("y" * 64)))
+      .toDF("id", "tag", "pad").createOrReplaceTempView("nv_src_d")
+    spark.sql("INSERT INTO graft_nv.db.d SELECT * FROM nv_src_d")
+    val fBytes = TransactionalTable.open(spark, s"$w/db/f").snapshot.files.map(_.bytes).sum
+    val q = """SELECT f.id, d.tag FROM graft_nv.db.f f
+              |JOIN graft_nv.db.d d ON f.id = d.id WHERE f.g = 1""".stripMargin
+    val cboKeys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.planStats.enabled")
+    try {
+      cboKeys.foreach(k => spark.conf.set(k, "true"))
+      // threshold between the FULL fact size and the g=1 quarter: without
+      // NDV the filter cannot be estimated and both sides stay above it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (fBytes / 2).toString)
+      def strategy(): String = {
+        val plan = spark.sql(q).queryExecution.sparkPlan.toString
+        if (plan.contains("BroadcastHashJoin")) "broadcast"
+        else if (plan.contains("SortMergeJoin")) "smj"
+        else plan
+      }
+      assert(strategy() === "smj",
+        "premise: without NDV stats the filtered fact side must not broadcast")
+      val res = spark.sql("CALL graft_nv.system.analyze('db.f', 'g')").collect().head
+      assert(res.getString(2) === "4", s"HLL NDV of a 4-value column must be 4: $res")
+      // the scan now reports distinctCount → CBO estimates g=1 at ~1/4 of
+      // the fact table → under the threshold → broadcast
+      assert(strategy() === "broadcast",
+        "analyzed NDV must flip the filtered fact side to a broadcast join")
+      // and the recorded stat is visible in the optimized plan's attribute
+      // stats (the planner's food, not just the file on disk): the bare
+      // scan reports 4; after the g=1 filter CBO narrows it to 1
+      val scanStat = spark.sql("SELECT * FROM graft_nv.db.f")
+        .queryExecution.optimizedPlan.stats
+        .attributeStats.find(_._1.name == "g").map(_._2)
+      assert(scanStat.exists(_.distinctCount.exists(_.toLong == 4L)),
+        s"scan attributeStats must carry distinctCount=4 for g, got $scanStat")
+      val filteredStat = spark.sql("SELECT * FROM graft_nv.db.f WHERE g = 1")
+        .queryExecution.optimizedPlan.stats
+        .attributeStats.find(_._1.name == "g").map(_._2)
+      assert(filteredStat.exists(_.distinctCount.exists(_.toLong == 1L)),
+        s"equality filter must narrow the NDV estimate to 1, got $filteredStat")
+    } finally {
+      cboKeys.foreach(spark.conf.unset)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ManifestFileIndex prunes by transform alone (entries without stats)") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, LessThan, Literal}
     import org.apache.spark.sql.graftshim.{ManifestEntry, ManifestFileIndex, PartitionTransformDesc}
