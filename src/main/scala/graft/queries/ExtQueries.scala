@@ -862,10 +862,16 @@ object ExtQueries {
           javax.imageio.ImageIO.write(bi, fmt, bos)
           bos.toByteArray
         }
+        // JPEG fixture: constant GRAY (128,128,128) — the JPEG zero level,
+        // so every 8×8 block is DC-only and the lossy round-trip is EXACT
+        // (chroma 0, luma uniform); this pins the SOF header-walk
+        // (format/width/height from the frame header, 16×9 spans block
+        // boundaries) AND the pixel path on real JPEG bytes.
         val media = Seq(
           (1L, img(10, 6, 32, 64, 96, "png")),
           (2L, img(3, 7, 200, 10, 50, "png")),
-          (3L, img(5, 5, 255, 255, 255, "bmp"))).toDF("media_id", "content")
+          (3L, img(5, 5, 255, 255, 255, "bmp")),
+          (4L, img(16, 9, 128, 128, 128, "jpg"))).toDF("media_id", "content")
         MultimodalOps.decodeImages(media)
           .select(col("media_id"), col("format"), col("width"), col("height"),
             col("mean_luma").cast("long").as("luma"),
@@ -880,7 +886,8 @@ object ExtQueries {
              |  (CAST(1 AS BIGINT), 'png', 10, 6, CAST(58 AS BIGINT),
              |   CAST(32 AS BIGINT), CAST(64 AS BIGINT), CAST(96 AS BIGINT)),
              |  (2, 'png', 3, 7, 71, 200, 10, 50),
-             |  (3, 'bmp', 5, 5, 255, 255, 255, 255)
+             |  (3, 'bmp', 5, 5, 255, 255, 255, 255),
+             |  (4, 'jpeg', 16, 9, 128, 128, 128, 128)
              |) AS t(media_id, format, width, height, luma, r, g, b)
              |ORDER BY media_id""".stripMargin)),
 
