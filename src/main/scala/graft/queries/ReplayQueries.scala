@@ -1641,11 +1641,12 @@ object ReplayQueries {
 
     // ANALYZE / NDV statistics (E112, completes the CBO food chain of
     // E63/E88): CALL system.analyze runs one distributed HLL pass and the
-    // catalog scan serves distinctCount to the planner. The fixture's
-    // cardinalities (5 event types, 150 users at sf0.01) sit in the
-    // sketch's exact coupon regime, so the oracle is plain COUNT(DISTINCT);
-    // the query also proves the SERVING path by requiring the analyzed NDV
-    // in the scan's CBO attribute stats.
+    // catalog scan serves distinctCount to the planner. Two oracle rows:
+    // the low-cardinality column (5 event types at every sf) stays in the
+    // sketch's exact coupon regime → exact COUNT(DISTINCT); the
+    // sf-growing user_id column oracles the HLL error contract instead
+    // (within 5% of exact). The query also proves the SERVING path by
+    // requiring the analyzed NDV in the scan's CBO attribute stats.
     Q("cdc_analyze_ndv",
       (s, d) => {
         val cat = s"graft_nd${System.nanoTime()}"
@@ -1663,8 +1664,17 @@ object ReplayQueries {
         s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src_nd")
         val r = s.sql(s"CALL $cat.system.analyze('db.ev', 'event_type,user_id')")
           .collect().head
-        val ndvs = r.getString(1).split(",").zip(r.getString(2).split(","))
-          .map { case (c, n) => (c, n.toLong) }.toSeq
+        val est = r.getString(1).split(",").zip(r.getString(2).split(","))
+          .map { case (c, n) => (c, n.toLong) }.toMap
+        // event_type (5 values) sits in the sketch's exact coupon regime at
+        // ANY sf — oracled as the exact COUNT(DISTINCT). user_id grows with
+        // sf past the exact regime, so its row oracles the HLL ERROR
+        // CONTRACT instead: within 5% of exact (lgK=12 ⇒ ~1.6% RSE)
+        val exactUsers = s.sql(s"SELECT COUNT(DISTINCT user_id) FROM $cat.db.ev")
+          .collect().head.getLong(0)
+        val userOk =
+          if (math.abs(est("user_id") - exactUsers) <= 0.05 * exactUsers) 1L else 0L
+        val ndvs = Seq(("event_type", est("event_type")), ("user_id_within_5pct", userOk))
         // serving proof: the scan's CBO stats carry the analyzed NDV
         try {
           s.conf.set("spark.sql.cbo.enabled", "true")
@@ -1683,7 +1693,7 @@ object ReplayQueries {
       Some("""SELECT col, ndv FROM (
              |  SELECT 'event_type' AS col, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv FROM events
              |  UNION ALL
-             |  SELECT 'user_id' AS col, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv FROM events
+             |  SELECT 'user_id_within_5pct' AS col, CAST(1 AS BIGINT) AS ndv
              |) t ORDER BY col""".stripMargin)),
 
     // STORED PROCEDURES (Iceberg CALL catalog.system.* parity): the golden
