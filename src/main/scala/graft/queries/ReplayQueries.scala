@@ -720,6 +720,39 @@ object ReplayQueries {
       },
       Some(endStateOracle)),
 
+    // Deletion-vector merge-on-read replay (Iceberg v3 DVs): masked rows
+    // land as one roaring-style bitmap per target data file — superseding
+    // merges union-replace so a file never carries more than one delete
+    // artifact — and the scan filters with a codegen'd O(1)-per-row probe
+    // instead of an anti-join. Oracle: identical golden end state.
+    Q("cdc_replay_dv_end_state",
+      (s, _) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_replay_dv").toString
+        val t = TransactionalTable.create(s, root, Cdc.tableSchema, Cdc.PrimaryKey,
+          Some(Cdc.PartitionColumn))
+        def applyB(lines: Seq[String], b: Long): Unit = {
+          val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+          t.merge(Cdc.projectToTable(Cdc.upserts(deduped)),
+            Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)), b,
+            graft.table.MergeMode.MergeOnReadVector)
+        }
+        applyB(CdcFixtures.scenario1Lines, 0)
+        applyB(CdcFixtures.scenario2Lines, 1)
+        assert(t.snapshot.deletes.nonEmpty &&
+          t.snapshot.deletes.forall(_.kind == graft.table.DeleteFile.Vector),
+          "test premise: deletion vectors must be pending")
+        val targets = t.snapshot.deletes.flatMap(_.target)
+        assert(targets.distinct.size == targets.size,
+          "DV invariant broken: more than one vector for a data file")
+        t.scan()
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+          .orderBy("trans_id")
+      },
+      Some(endStateOracle)),
+
     // Snapshot history (Iceberg `table.snapshots` parity) — manifest-only
     // metadata; bytes vary per run so the oracle pins the invariant columns.
     Q("cdc_table_history",

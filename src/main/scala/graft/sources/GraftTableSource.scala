@@ -62,7 +62,7 @@ final class GraftTableSource extends TableProvider with DataSourceRegister
    *     .option("path", tableRoot)
    *     .outputMode("append" | "update")
    *     [.option("mode", "append" | "merge")]        // default per output mode
-   *     [.option("mergeMode", "cow" | "mor" | "morpos")]
+   *     [.option("mergeMode", "cow" | "mor" | "morpos" | "morvec")]
    *     [.option("deleteCol", "_deleted")]           // bool col routes deletes
    *     .option("checkpointLocation", ...)
    *     .start()
@@ -98,8 +98,9 @@ final class GraftTableSource extends TableProvider with DataSourceRegister
       case "cow" => graft.table.MergeMode.CopyOnWrite
       case "mor" => graft.table.MergeMode.MergeOnRead
       case "morpos" => graft.table.MergeMode.MergeOnReadPositional
+      case "morvec" => graft.table.MergeMode.MergeOnReadVector
       case other => throw new IllegalArgumentException(
-        s"unknown mergeMode '$other' (cow | mor | morpos)")
+        s"unknown mergeMode '$other' (cow | mor | morpos | morvec)")
     }
     require(!(mode == "append" && p.contains("deletecol")),
       "deleteCol requires mode=merge (append mode has no delete routing)")

@@ -41,10 +41,22 @@ final case class DataFile(path: String, partition: Option[String], pkMin: Long, 
  *     positions pin concrete rows, and new data files (fresh paths) can never
  *     be referenced by an older delete file. */
 final case class DeleteFile(path: String, pkMin: Long, pkMax: Long, rows: Long, bytes: Long,
-    kind: String = DeleteFile.Equality)
+    kind: String = DeleteFile.Equality,
+    /** kind="vector" only (Iceberg v3 deletion vectors): the TARGET data
+      * file this bitmap masks, recorded verbatim as `_metadata.file_path`
+      * spells it (scheme included) so scan-side probes compare without
+      * normalization. INVARIANT: at most one live vector entry per target —
+      * a commit deleting more rows of the file writes old ∪ new and drops
+      * the superseded entry. `offset`/`length` locate this DV's blob inside
+      * `path` (one physical file per commit carries every target's blob —
+      * the puffin-file shape). `rows` is the bitmap's exact cardinality. */
+    target: Option[String] = None,
+    offset: Long = 0L,
+    length: Long = 0L)
 object DeleteFile {
   val Equality = "equality"
   val Position = "position"
+  val Vector = "vector"
 }
 
 /** A committed table version. `batchId` fences replays (T4): re-committing an
@@ -96,6 +108,14 @@ object MergeMode {
    *  (file, pos) with no key semantics. Write cost ≈ MOR + a pruned read;
    *  read cost ≈ CoW. Iceberg v2's position-delete trade, natively. */
   case object MergeOnReadPositional extends MergeMode
+  /** Merge-on-read with DELETION VECTORS (Iceberg v3's replacement for
+   *  positional delete files): masked rows resolve to (file, ordinal) at
+   *  write time like [[MergeOnReadPositional]], but land as one roaring-style
+   *  bitmap per target data file — superseding bitmaps union-replace, so a
+   *  file carries at most ONE delete artifact however many merges masked it,
+   *  and the scan side pays a codegen'd O(1)-per-row filter instead of an
+   *  anti-join. */
+  case object MergeOnReadVector extends MergeMode
 }
 
 /**
@@ -367,7 +387,10 @@ final class TransactionalTable private (
       else node.get("deletes").elements().asScala.map { d =>
         DeleteFile(d.get("path").asText(), d.get("pkMin").asLong(), d.get("pkMax").asLong(),
           d.get("rows").asLong(), d.get("bytes").asLong(),
-          if (d.has("kind")) d.get("kind").asText() else DeleteFile.Equality)
+          if (d.has("kind")) d.get("kind").asText() else DeleteFile.Equality,
+          if (d.has("target")) Some(d.get("target").asText()) else None,
+          if (d.has("off")) d.get("off").asLong() else 0L,
+          if (d.has("len")) d.get("len").asLong() else 0L)
       }.toSeq
     Snapshot(node.get("version").asLong(), node.get("batchId").asLong(), files, deletes,
       if (node.has("committedAtMs")) node.get("committedAtMs").asLong() else 0L,
@@ -485,17 +508,54 @@ final class TransactionalTable private (
     else if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     else {
-      val (posDel, eqDel) = deletes.partition(_.kind == DeleteFile.Position)
+      val (vecDel, rest) = deletes.partition(_.kind == DeleteFile.Vector)
+      val (posDel, eqDel) = rest.partition(_.kind == DeleteFile.Position)
       val withSeq = sch.add("_seq", "long")
-      var data = readParquet(files.map(_.path), withSeq, withPos = posDel.nonEmpty)
+      var data = readParquet(files.map(_.path), withSeq,
+        withPos = posDel.nonEmpty || vecDel.nonEmpty)
+      if (vecDel.nonEmpty) {
+        // Deletion vectors: one bitmap per target file (commit invariant).
+        // Small sets ride IN the plan as a codegen'd O(1)-per-row filter
+        // probe; a set past the broadcast bound expands executor-side into
+        // (file, pos) rows and takes the positional anti-join shape.
+        val blobs: Seq[(String, Array[Byte])] = vecDel.map { d =>
+          d.target.getOrElse(throw new IllegalStateException(
+            s"vector delete entry ${d.path} has no target")) -> readDvBlob(d)
+        }
+        val dvMaxBytes = spark.conf.getOption("spark.graft.dv.broadcastMaxBytes")
+          .map(_.toLong).getOrElse(DvBroadcastMaxBytes)
+        if (blobs.iterator.map(_._2.length.toLong).sum <= dvMaxBytes) {
+          val lookup = new graft.functions.DvLookup(blobs.toMap)
+          val probe = org.apache.spark.sql.graftshim.GraftShims.column(
+            graft.functions.DvContains(
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_gfile"),
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("_gpos"),
+              lookup))
+          data = data.where(!probe)
+        } else {
+          val parts = math.max(1, math.min(blobs.size, 32))
+          val rows = spark.sparkContext.parallelize(blobs, parts).flatMap {
+            case (f, b) => DeletionVector.deserialize(b).iterator
+              .map(p => org.apache.spark.sql.Row(f, p))
+          }
+          val dvSchema = StructType(Seq(
+            org.apache.spark.sql.types.StructField("_vfile",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("_vpos",
+              org.apache.spark.sql.types.LongType)))
+          data = data.join(spark.createDataFrame(rows, dvSchema),
+            col("_gfile") === col("_vfile") && col("_gpos") === col("_vpos"),
+            "left_anti")
+        }
+      }
       if (posDel.nonEmpty) {
         // Positional masking: anti-join on (file, ordinal) via Spark's hidden
         // per-file metadata columns — no key comparison, no sequence logic.
+        // (_gfile/_gpos fall away in the final schema projection.)
         val pdRaw = spark.read.parquet(posDel.map(_.path): _*).select(col("_dfile"), col("_dpos"))
         val pd = if (posDel.map(_.rows).sum <= MaxCollectedKeys) broadcast(pdRaw) else pdRaw
         data = data
           .join(pd, col("_gfile") === col("_dfile") && col("_gpos") === col("_dpos"), "left_anti")
-          .drop("_gfile", "_gpos")
       }
       if (eqDel.nonEmpty) {
         // Composite PKs: delete files carry every raw member column; the
@@ -563,18 +623,25 @@ final class TransactionalTable private (
     val added = toOnly.filterNot(f => fromOnlyPaths(f.path))
     val addedPaths = added.map(_.path).toSet
     val removed = fromOnly.filterNot(f => toOnlyPaths(f.path))
-    val oldDeletePaths = fromSnap.deletes.map(_.path).toSet
-    val newDeletes = toSnap.deletes.filterNot(d => oldDeletePaths(d.path))
-    val (newPos, newEq) = newDeletes.partition(_.kind == DeleteFile.Position)
+    // A vector entry is "new" when its (path, target, offset) identity is —
+    // a superseding DV shares neither path nor offset with the one it
+    // replaced, and an UNCHANGED entry carried across the interval masks
+    // nothing new.
+    val oldDeleteIds = fromSnap.deletes.map(d => (d.path, d.target, d.offset)).toSet
+    val newDeletes = toSnap.deletes.filterNot(d => oldDeleteIds((d.path, d.target, d.offset)))
+    val (newVec, restNew) = newDeletes.partition(_.kind == DeleteFile.Vector)
+    val (newPos, newEq) = restNew.partition(_.kind == DeleteFile.Position)
     // Positional deletes name their victim files outright — read the tiny
     // delete files once and prune carried files to exactly those targets
     // (their manifest pk range is the never-prunable full span, see
     // writeDeleteFile, so range overlap would keep every carried file).
+    // Vector entries are cheaper still: the target rides in the manifest.
     val posTargets: Set[String] =
-      if (newPos.isEmpty) Set.empty
-      else spark.read.parquet(newPos.map(_.path): _*)
-        .select(col("_dfile")).distinct().collect()
-        .map(r => stripScheme(r.getString(0))).toSet
+      (if (newPos.isEmpty) Set.empty[String]
+       else spark.read.parquet(newPos.map(_.path): _*)
+         .select(col("_dfile")).distinct().collect()
+         .map(r => stripScheme(r.getString(0))).toSet) ++
+        newVec.flatMap(_.target).map(stripScheme)
     // Carried files the interval's NEW deletes can touch. A carried file is
     // any `to` file that is not newly added; with chunked manifests only
     // chunks whose pk range overlaps a new equality delete load (positional
@@ -1263,11 +1330,14 @@ final class TransactionalTable private (
         val (winUp, winDels) = guardWinners(snap, up, dels, ts)
         mode match {
           case MergeMode.MergeOnRead => mergeMor(snap, winUp, winDels, batchId)
+          case MergeMode.MergeOnReadVector => mergeMorVector(snap, winUp, winDels, batchId)
           case _ => mergeMorPositional(snap, winUp, winDels, batchId)
         }
       case (MergeMode.MergeOnRead, None) => mergeMor(snap, up, dels, batchId)
       case (MergeMode.MergeOnReadPositional, None) =>
         mergeMorPositional(snap, up, dels, batchId)
+      case (MergeMode.MergeOnReadVector, None) =>
+        mergeMorVector(snap, up, dels, batchId)
     }
   }
 
@@ -1397,30 +1467,121 @@ final class TransactionalTable private (
   private def mergeMorPositional(snap: Snapshot, up: DataFrame, dels: DataFrame,
       batchId: Long): Unit = {
     val newVersion = snap.version + 1
+    val delFile = maskedPositions(snap, up, dels).flatMap(positions =>
+      writeDeleteFile(positions, commitDir(newVersion, "_deletes"), newVersion,
+        kind = DeleteFile.Position))
+    val newFiles = writeDataFiles(up, commitDir(newVersion), seq = newVersion)
+    pendingChunkHint = Some((Seq.empty, newFiles))
+    commit(Snapshot(newVersion, batchId, new AppendedFiles(snap.files, newFiles),
+      snap.deletes ++ delFile.toSeq))
+  }
+
+  /** (file, row-ordinal) of every stored row a batch's keys mask — the shared
+    * write-time resolution of the positional and vector MOR paths, reading
+    * only PK-range∧bloom-pruned files. None when no stored file can hold a
+    * batch key. */
+  private def maskedPositions(snap: Snapshot, up: DataFrame, dels: DataFrame)
+      : Option[DataFrame] = {
     val mkCols = pkCols.map(c => s"_mk_$c")
     val keyDf = up.select(pkCols.zip(mkCols).map { case (c, m) => col(c).as(m) }: _*)
       .unionByName(dels.select(pkCols.zip(mkCols).map { case (c, m) => col(c).as(m) }: _*))
       .distinct()
     val mkKeyExpr = if (pkHashed) xxhash64(mkCols.map(col): _*) else col(mkCols.head).cast("long")
     val (affected, oversized) = affectedFiles(snap, keyDf.select(mkKeyExpr))
-    val delFile =
-      if (affected.isEmpty) None
+    if (affected.isEmpty) None
+    else {
+      val keysSide = if (oversized) keyDf else broadcast(keyDf)
+      val keyCond = pkCols.zip(mkCols).map { case (c, m) => col(c) === col(m) }.reduce(_ && _)
+      Some(spark.read.schema(schema).parquet(affected.map(_.path): _*)
+        .select(pkCols.map(col) ++ Seq(
+          col("_metadata.file_path").as("_dfile"),
+          col("_metadata.row_index").as("_dpos")): _*)
+        .join(keysSide, keyCond)
+        .select("_dfile", "_dpos"))
+    }
+  }
+
+  /** Merge-on-read with DELETION VECTORS (Iceberg v3): the same write-time
+    * position resolution as [[mergeMorPositional]], but the masked ordinals
+    * land as one roaring-style bitmap per target data file. A target that
+    * already carries a DV gets old ∪ new and its superseded entry is dropped
+    * in the same commit — at most one delete artifact per file, ever, so
+    * scan cost never grows with merge count (v2 positional files accrete one
+    * per commit until folded).
+    *
+    * Per-file bitmaps are built executor-side (grouped by target; bounded by
+    * rows-per-file — the same bound any DV writer has) and only the
+    * serialized blobs collect: O(affected files × blob), the driver
+    * footprint Iceberg's DV commit coordination pays. */
+  private def mergeMorVector(snap: Snapshot, up: DataFrame, dels: DataFrame,
+      batchId: Long): Unit = {
+    val newVersion = snap.version + 1
+    val perFile: Seq[(String, Array[Byte])] = maskedPositions(snap, up, dels) match {
+      case None => Seq.empty
+      case Some(positions) =>
+        positions.groupBy(col("_dfile")).agg(collect_list(col("_dpos")).as("_ps"))
+          .rdd // per-partition imperative byte-packing, like the codec kernels
+          .map(r => (r.getString(0),
+            DeletionVector.fromPositions(r.getSeq[Long](1)).serialize))
+          .collect().toSeq
+    }
+    val dvEntries: Seq[DeleteFile] =
+      if (perFile.isEmpty) Seq.empty
       else {
-        val keysSide = if (oversized) keyDf else broadcast(keyDf)
-        val keyCond = pkCols.zip(mkCols).map { case (c, m) => col(c) === col(m) }.reduce(_ && _)
-        val positions = spark.read.schema(schema).parquet(affected.map(_.path): _*)
-          .select(pkCols.map(col) ++ Seq(
-            col("_metadata.file_path").as("_dfile"),
-            col("_metadata.row_index").as("_dpos")): _*)
-          .join(keysSide, keyCond)
-          .select("_dfile", "_dpos")
-        writeDeleteFile(positions, commitDir(newVersion, "_deletes"), newVersion,
-          kind = DeleteFile.Position)
+        val existing: Map[String, DeleteFile] = snap.deletes
+          .filter(_.kind == DeleteFile.Vector)
+          .flatMap(d => d.target.map(_ -> d)).toMap
+        val merged = perFile.sortBy(_._1).map { case (f, blob) =>
+          val dv = DeletionVector.deserialize(blob)
+          existing.get(f).foreach(old =>
+            dv.orInPlace(DeletionVector.deserialize(readDvBlob(old))))
+          f -> dv
+        }
+        writeDvFile(merged, commitDir(newVersion, "_deletes"))
       }
+    val superseded = dvEntries.flatMap(_.target).toSet
     val newFiles = writeDataFiles(up, commitDir(newVersion), seq = newVersion)
     pendingChunkHint = Some((Seq.empty, newFiles))
     commit(Snapshot(newVersion, batchId, new AppendedFiles(snap.files, newFiles),
-      snap.deletes ++ delFile.toSeq))
+      snap.deletes.filterNot(d =>
+        d.kind == DeleteFile.Vector && d.target.exists(superseded)) ++ dvEntries))
+  }
+
+  /** Write every (target, bitmap) blob of a commit into ONE physical DV file
+    * (the puffin-file shape) and return the per-target manifest entries.
+    * Targets are written in sorted order — the file bytes are a pure
+    * function of the delete set, so a replayed commit is byte-stable. */
+  private def writeDvFile(dvs: Seq[(String, DeletionVector)], dir: Path)
+      : Seq[DeleteFile] = {
+    Files.createDirectories(dir)
+    val path = dir.resolve("deletes.dv")
+    val out = Files.newOutputStream(path,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      var off = 0L
+      dvs.map { case (target, dv) =>
+        val blob = dv.serialize
+        out.write(blob)
+        val entry = DeleteFile(path.toString, Long.MinValue, Long.MaxValue,
+          dv.cardinality, blob.length.toLong, DeleteFile.Vector,
+          Some(target), off, blob.length.toLong)
+        off += blob.length
+        entry
+      }
+    } finally out.close()
+  }
+
+  /** Read one DV entry's blob slice out of its (possibly shared) file. */
+  private def readDvBlob(d: DeleteFile): Array[Byte] = {
+    val ch = Files.newByteChannel(Paths.get(d.path))
+    try {
+      ch.position(d.offset)
+      val buf = java.nio.ByteBuffer.allocate(d.length.toInt)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      require(!buf.hasRemaining,
+        s"truncated deletion vector ${d.path} @${d.offset}+${d.length}")
+      buf.array()
+    } finally ch.close()
   }
 
   /**
@@ -2282,15 +2443,18 @@ final class TransactionalTable private (
     retryingCommit("foldDeletes") { snap =>
       result = (0L, 0L)
       if (snap.deletes.nonEmpty) {
-        val (posDel, eqDel) = snap.deletes.partition(_.kind == DeleteFile.Position)
+        val (vecDel, restDel) = snap.deletes.partition(_.kind == DeleteFile.Vector)
+        val (posDel, eqDel) = restDel.partition(_.kind == DeleteFile.Position)
         // Positional victims: exact file paths from the delete files' _dfile
         // column (bounded: delete files are small, bounded by merge traffic
-        // between folds).
+        // between folds). Vector victims are named by the manifest entry
+        // itself — zero loads.
         val posTargets: Set[String] =
-          if (posDel.isEmpty) Set.empty
-          else spark.read.parquet(posDel.map(_.path): _*)
-            .select(col("_dfile")).distinct().collect()
-            .map(r => stripScheme(r.getString(0))).toSet
+          (if (posDel.isEmpty) Set.empty[String]
+           else spark.read.parquet(posDel.map(_.path): _*)
+             .select(col("_dfile")).distinct().collect()
+             .map(r => stripScheme(r.getString(0))).toSet) ++
+            vecDel.flatMap(_.target).map(stripScheme)
         // Equality victims: key-set prune (range ∧ bloom; degrades to
         // range-only past the collect cap) — the merge path's machinery.
         val eqAffected: Seq[DataFile] =
@@ -2637,6 +2801,9 @@ final class TransactionalTable private (
         val o = mapper.createObjectNode()
         o.put("path", d.path); o.put("pkMin", d.pkMin); o.put("pkMax", d.pkMax)
         o.put("rows", d.rows); o.put("bytes", d.bytes); o.put("kind", d.kind)
+        d.target.foreach { t =>
+          o.put("target", t); o.put("off", d.offset); o.put("len", d.length)
+        }
         darr.add(o)
       }
     }
@@ -2689,6 +2856,11 @@ object TransactionalTable {
   /** Above this many touched keys per batch we stop collecting the exact key set
    *  for file pruning and use the batch's [min,max] PK range instead. */
   val MaxCollectedKeys = 1 << 20
+  /** Above this many total serialized deletion-vector bytes the scan stops
+    * carrying the bitmaps in-plan (codegen filter probe) and expands them
+    * into an anti-join — the same broadcast-vs-shuffle bound the other
+    * delete kinds apply via [[MaxCollectedKeys]]. */
+  val DvBroadcastMaxBytes = 64L << 20
   /** Optimistic-concurrency knobs: retries per mutation, linear-backoff base,
     * and how long an un-pointed manifest claim must sit before it is presumed
     * crashed (total retry budget spans the grace window, so a crashed claim
