@@ -1923,6 +1923,41 @@ object ReplayQueries {
       },
       Some(endStateOracle)),
 
+    // Per-operation write strategy through TBLPROPERTIES (Iceberg
+    // write.merge.mode / write.delete.mode parity): the same reference MERGE
+    // statements, but the table is ALTERed to merge-on-read-vector first —
+    // both statements land deletion vectors instead of rewriting files, and
+    // the SQL read stays correct while they are pending. Oracle: identical
+    // golden end state.
+    Q("cdc_sql_write_modes",
+      (s, _) => {
+        val cat = s"graft_wm${System.nanoTime()}" // unique: catalogs cache by name
+        val warehouse = Files.createTempDirectory("graft_warehouse_wm").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        s.sql(s"ALTER TABLE $cat.db.retail SET TBLPROPERTIES(" +
+          "'write.merge.mode'='merge-on-read-vector')")
+        import s.implicits._
+        val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(CdcFixtures.scenario2Lines.toDS())))
+        Cdc.projectToTable(Cdc.upserts(deduped)).createOrReplaceTempView("wm_upserts")
+        Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)).createOrReplaceTempView("wm_deletes")
+        s.sql(s"""MERGE INTO $cat.db.retail t USING wm_upserts s ON t.trans_id = s.trans_id
+                  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"""MERGE INTO $cat.db.retail t USING wm_deletes s ON t.trans_id = s.trans_id
+                  WHEN MATCHED THEN DELETE""")
+        assert(t.snapshot.deletes.nonEmpty &&
+          t.snapshot.deletes.forall(_.kind == graft.table.DeleteFile.Vector),
+          "test premise: the SQL merges must have landed deletion vectors")
+        s.sql(s"SELECT trans_id, customer_id, event, sku, amount, device, " +
+          "date_format(trans_datetime, 'yyyy-MM-dd HH:mm:ss') AS trans_datetime " +
+          s"FROM $cat.db.retail ORDER BY trans_id")
+      },
+      Some(endStateOracle)),
+
     // DSv2 catalog front door: the same maintained table resolved through
     // `graft.<db>.<table>` SQL identifiers with VERSION AS OF time travel —
     // the engine's equivalent of the reference's Glue-catalog + Athena path

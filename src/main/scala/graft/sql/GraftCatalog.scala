@@ -291,8 +291,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val pk = Option(properties.get("pk")).getOrElse(schema.fieldNames.head)
     Files.createDirectories(Paths.get(rootOf(ident)).getParent)
-    TransactionalTable.createPartitioned(spark, rootOf(ident), schema, pk,
+    val t = TransactionalTable.createPartitioned(spark, rootOf(ident), schema, pk,
       GraftCatalog.toPartitionSpec(partitions))
+    // Write-strategy TBLPROPERTIES honored at CREATE, not just ALTER.
+    GraftCatalog.RowLevelModeProps.foreach { case (prop, op) =>
+      Option(properties.get(prop)).foreach(t.setRowLevelMode(op, _))
+    }
     loadTable(ident)
   }
 
@@ -341,12 +345,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // ALTER TABLE t SET TBLPROPERTIES('write.sort-order'='ts desc, amount')
       case sp: TableChange.SetProperty if sp.property() == "write.sort-order" =>
         t.setSortOrder(sp.value())
+      // Per-operation row-level write strategy (Iceberg write.merge.mode /
+      // write.delete.mode / write.update.mode parity): ALTER TABLE t SET
+      // TBLPROPERTIES('write.delete.mode'='merge-on-read' | ... )
+      case sp: TableChange.SetProperty
+          if GraftCatalog.RowLevelModeProps.contains(sp.property()) =>
+        t.setRowLevelMode(GraftCatalog.RowLevelModeProps(sp.property()), sp.value())
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other " +
             "(ADD/DROP/RENAME COLUMN or SET TBLPROPERTIES('partition'=...|" +
             "'write.distribution'=...|'write.max-records-per-file'=...|" +
-            "'write.sort-order'=...) only)")
+            "'write.sort-order'=...|'write.merge.mode'=...|" +
+            "'write.delete.mode'=...|'write.update.mode'=...) only)")
     }
     loadTable(ident)
   }
@@ -437,6 +448,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 }
 
 object GraftCatalog {
+  /** TBLPROPERTY name → engine row-level op, for the per-operation write
+    * strategy properties (Iceberg write.<op>.mode parity). */
+  private[sql] val RowLevelModeProps: Map[String, String] = Map(
+    "write.merge.mode" -> "merge",
+    "write.delete.mode" -> "delete",
+    "write.update.mode" -> "update")
+
   /** DSv2 `Transform`s → the engine's partition spec (CREATE/REPLACE TABLE).
     * Hidden partitioning (Iceberg partition-spec parity): identity, days(ts),
     * hours(ts), bucket(n, col). Silently dropping a transform would produce
@@ -589,6 +607,10 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     if (t.maxRecordsPerFile > 0)
       m.put("write.max-records-per-file", t.maxRecordsPerFile.toString)
     if (t.sortOrder.nonEmpty) m.put("write.sort-order", t.sortOrder)
+    GraftCatalog.RowLevelModeProps.foreach { case (prop, op) =>
+      val mode = t.rowLevelModeName(op)
+      if (mode != "copy-on-write") m.put(prop, mode)
+    }
     m
   }
 

@@ -51,7 +51,11 @@ final case class GraftMergeCommand(
     /** Full-sync MERGE (`WHEN NOT MATCHED BY SOURCE THEN DELETE`): besides
       * upserting every source row, delete the target keys the source no
       * longer carries — upserts + anti-join delete keys in ONE commit. */
-    syncDeleteUnmatched: Boolean = false) extends UnaryCommand {
+    syncDeleteUnmatched: Boolean = false,
+    /** The SQL statement kind this command lowers ("merge" | "delete" |
+      * "update") — selects the table's per-operation write mode
+      * (write.merge.mode / write.delete.mode / write.update.mode). */
+    op: String = "merge") extends UnaryCommand {
   override def child: LogicalPlan = source
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
     copy(source = newChild)
@@ -536,7 +540,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             target.output.find(_.name.equalsIgnoreCase(c)).getOrElse(
               throw new IllegalStateException(s"pk $c not in ${target.output}")))
           GraftMergeCommand(g.root, Project(pkAttrs, Filter(cond, target)),
-            isDelete = true, t.pk)
+            isDelete = true, t.pk, op = "delete")
         case None => d
       }
 
@@ -586,7 +590,8 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
           }
           val filtered = cond.map(Filter(_, target)).getOrElse(target)
-          GraftMergeCommand(g.root, Project(projList, filtered), isDelete = false, pk)
+          GraftMergeCommand(g.root, Project(projList, filtered), isDelete = false, pk,
+            op = "update")
         case None => u
       }
   }
@@ -640,6 +645,9 @@ final case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
     // list — a concurrent commit must fail the statement, not be silently
     // overwritten by a stale recompute.
     val expected = GraftWriteValidation.selfReadVersion(cmd.source, cmd.root)
+    // Per-operation write strategy (write.merge.mode / write.delete.mode /
+    // write.update.mode table properties); copy-on-write when unset.
+    val mode = t.rowLevelMode(cmd.op)
     if (cmd.syncDeleteUnmatched) {
       // Full sync: delete keys = current table keys the source lacks
       // (anti-join; manifest-pruned scan), committed together with the
@@ -650,17 +658,17 @@ final case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
       val syncExpected = expected.orElse(Some(t.currentVersion))
       val unmatched = t.scan().select(pkSel: _*)
         .join(src.select(pkSel: _*), t.pkCols.toSeq, "left_anti")
-      t.mergeAdhoc(src, unmatched, expectedVersion = syncExpected)
+      t.mergeAdhoc(src, unmatched, mode, expectedVersion = syncExpected)
     } else (cmd.isDelete, cmd.guardTs) match {
       case (true, None) =>
-        t.mergeAdhoc(empty, src.select(pkSel: _*), expectedVersion = expected)
+        t.mergeAdhoc(empty, src.select(pkSel: _*), mode, expectedVersion = expected)
       case (false, None) =>
-        t.mergeAdhoc(src, empty.select(pkSel: _*), expectedVersion = expected)
+        t.mergeAdhoc(src, empty.select(pkSel: _*), mode, expectedVersion = expected)
       case (true, g @ Some(ts)) =>
-        t.mergeAdhoc(empty, src.select(pkSel :+ col(ts): _*), guardTs = g,
+        t.mergeAdhoc(empty, src.select(pkSel :+ col(ts): _*), mode, guardTs = g,
           expectedVersion = expected)
       case (false, g @ Some(ts)) =>
-        t.mergeAdhoc(src, empty.select(pkSel :+ col(ts): _*), guardTs = g,
+        t.mergeAdhoc(src, empty.select(pkSel :+ col(ts): _*), mode, guardTs = g,
           expectedVersion = expected)
     }
   }
@@ -719,7 +727,8 @@ final case class GraftGeneralMergeExec(cmd: GraftGeneralMergeCommand) extends Le
       val upserts = staged.filter(col(ActionCol) =!= "D").drop(ActionCol)
       val delKeys = staged.filter(col(ActionCol) === "D").select(pkSel: _*)
       // The staged join always reads the target — serializable validation.
-      t.mergeAdhoc(upserts, delKeys,
+      // General merges honor write.merge.mode like the star form.
+      t.mergeAdhoc(upserts, delKeys, t.rowLevelMode("merge"),
         expectedVersion = GraftWriteValidation.selfReadVersion(cmd.staged, cmd.root))
     } finally staged.unpersist()
   }

@@ -1757,6 +1757,42 @@ final class TransactionalTable private (
   /** Current write-distribution mode (see [[setWriteDistribution]]). */
   def writeDistribution: String = TransactionalTable.readWriteDistribution(root)
 
+  /** Iceberg `write.merge.mode` / `write.delete.mode` / `write.update.mode`
+    * parity: the physical MERGE strategy each SQL row-level statement uses.
+    * `copy-on-write` (the default) rewrites PK-affected files at commit;
+    * `merge-on-read` defers to scan-time equality deletes;
+    * `merge-on-read-positional` / `merge-on-read-vector` are the engine's
+    * v2-positional and v3-deletion-vector shapes. Per-operation so a table
+    * can, e.g., keep MERGE read-optimized while high-churn DELETEs go
+    * write-optimized — exactly Iceberg's property split. Settable via
+    * `ALTER TABLE t SET TBLPROPERTIES('write.delete.mode'='merge-on-read')`. */
+  def setRowLevelMode(op: String, mode: String): Unit = synchronized {
+    require(TransactionalTable.RowLevelOps(op),
+      s"row-level op must be merge|delete|update, got '$op'")
+    TransactionalTable.parseMergeModeName(mode) // validates
+    updateTableMeta(m =>
+      if (mode == "copy-on-write") { m.remove(TransactionalTable.rowLevelKey(op)); () }
+      else m.put(TransactionalTable.rowLevelKey(op), mode))
+  }
+
+  /** The [[MergeMode]] SQL row-level statements of kind `op` should commit
+    * with (see [[setRowLevelMode]]); CopyOnWrite when unset. */
+  def rowLevelMode(op: String): MergeMode =
+    TransactionalTable.parseMergeModeName(rowLevelModeName(op))
+
+  /** The stored SQL-facing mode name for `op` (`copy-on-write` when unset). */
+  def rowLevelModeName(op: String): String = {
+    require(TransactionalTable.RowLevelOps(op),
+      s"row-level op must be merge|delete|update, got '$op'")
+    val p = Paths.get(root, "_table.json")
+    if (!Files.exists(p)) "copy-on-write"
+    else {
+      val meta = mapper.readTree(Files.readAllBytes(p))
+      val key = TransactionalTable.rowLevelKey(op)
+      if (meta.has(key)) meta.get(key).asText() else "copy-on-write"
+    }
+  }
+
   /** Target file size as a row cap (Iceberg `write.target-file-size-bytes`
     * in the engine's stat currency, rows): every data-file write rolls to a
     * new part file past `n` rows — Spark's native `maxRecordsPerFile` rolling
@@ -2970,6 +3006,24 @@ object TransactionalTable {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, Paths.get(root, "_table.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** SQL row-level operations whose write strategy is independently
+    * property-configurable (Iceberg's write.<op>.mode split). */
+  val RowLevelOps: Set[String] = Set("merge", "delete", "update")
+
+  private[table] def rowLevelKey(op: String): String = s"writeMode_$op"
+
+  /** SQL-facing mode name → engine [[MergeMode]] (Iceberg value vocabulary
+    * plus the engine's two finer merge-on-read shapes). */
+  def parseMergeModeName(v: String): MergeMode = v match {
+    case "copy-on-write" => MergeMode.CopyOnWrite
+    case "merge-on-read" => MergeMode.MergeOnRead
+    case "merge-on-read-positional" => MergeMode.MergeOnReadPositional
+    case "merge-on-read-vector" => MergeMode.MergeOnReadVector
+    case other => throw new IllegalArgumentException(
+      s"unknown write mode '$other' (copy-on-write | merge-on-read | " +
+        "merge-on-read-positional | merge-on-read-vector)")
   }
 
   /** The table's write-distribution mode (`none` when unset / pre-feature

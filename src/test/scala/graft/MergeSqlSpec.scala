@@ -492,4 +492,68 @@ class MergeSqlSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("version") ||
       e2.getMessage.toLowerCase.contains("syntax"), e2.getMessage)
   }
+
+  test("write.<op>.mode TBLPROPERTIES pick the row-level write strategy") {
+    import graft.table.DeleteFile
+    val (cat, root) = freshCatalog()
+    def t = TransactionalTable.open(spark, root)
+
+    // default: copy-on-write — DELETE leaves no delete files
+    spark.sql(s"DELETE FROM $cat.db.retail WHERE trans_id = 6")
+    assert(t.snapshot.deletes.isEmpty, "CoW delete produced delete files")
+
+    // write.delete.mode=merge-on-read-vector: DELETE lands a deletion vector
+    spark.sql(s"ALTER TABLE $cat.db.retail SET TBLPROPERTIES(" +
+      "'write.delete.mode'='merge-on-read-vector')")
+    spark.sql(s"DELETE FROM $cat.db.retail WHERE trans_id = 19")
+    assert(t.snapshot.deletes.nonEmpty &&
+      t.snapshot.deletes.forall(_.kind == DeleteFile.Vector),
+      s"expected vector deletes, got ${t.snapshot.deletes.map(_.kind)}")
+    // SQL reads stay correct while the DV is pending (MOR substitution)
+    assert(spark.sql(s"SELECT count(*) c FROM $cat.db.retail")
+      .first().getLong(0) === 8L)
+
+    // write.update.mode=merge-on-read: UPDATE masks via equality deletes,
+    // the delete strategy stays vector — per-operation independence
+    spark.sql(s"ALTER TABLE $cat.db.retail SET TBLPROPERTIES(" +
+      "'write.update.mode'='merge-on-read')")
+    spark.sql(s"UPDATE $cat.db.retail SET amount = 123 WHERE trans_id = 21")
+    assert(t.snapshot.deletes.exists(_.kind == DeleteFile.Equality),
+      "MOR update left no equality delete")
+    assert(spark.sql(
+      s"SELECT amount FROM $cat.db.retail WHERE trans_id = 21")
+      .first().getInt(0) === 123)
+
+    // write.merge.mode applies to MERGE INTO (star and general forms)
+    spark.sql(s"ALTER TABLE $cat.db.retail SET TBLPROPERTIES(" +
+      "'write.merge.mode'='merge-on-read-positional')")
+    Seq(23L).toDF("trans_id").createOrReplaceTempView("mode_del_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.retail tt USING mode_del_src s
+         |ON tt.trans_id = s.trans_id WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(t.snapshot.deletes.exists(_.kind == DeleteFile.Position),
+      "MOR-positional merge left no positional delete")
+    assert(spark.sql(s"SELECT count(*) c FROM $cat.db.retail")
+      .first().getLong(0) === 7L)
+
+    // properties surface in SHOW TBLPROPERTIES; bad values refuse loudly
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.db.retail")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.delete.mode").contains("merge-on-read-vector"))
+    assert(props.get("write.update.mode").contains("merge-on-read"))
+    assert(props.get("write.merge.mode").contains("merge-on-read-positional"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.retail SET TBLPROPERTIES(" +
+        "'write.delete.mode'='sideways')")
+    }
+    assert(e.getMessage.contains("unknown write mode"), e.getMessage)
+
+    // end state is the golden v1 rows minus keys 6, 19, 23 with 21's update —
+    // whatever mix of artifacts produced it
+    val rows = t.scan().select($"trans_id", $"amount").as[(Long, Int)]
+      .collect().toMap
+    assert(!rows.contains(6L) && !rows.contains(19L) && !rows.contains(23L))
+    assert(rows(21L) === 123)
+    assert(rows.size === 7)
+  }
 }
