@@ -753,6 +753,52 @@ object ReplayQueries {
       },
       Some(endStateOracle)),
 
+    // Row lineage through the golden CoW replay (Iceberg v3 `first_row_id`
+    // inheritance): every surviving key reports the commit that last changed
+    // it and whether its `_row_id` survived batch 2's CoW rewrites
+    // (updates keep identity; carried neighbors keep id AND stamp). Row-id
+    // VALUES are layout-dependent (file order), so the oracle pins the
+    // layout-INDEPENDENT lineage semantics; distinctness of the ids is an
+    // engine-side assert (fixture-scale collect, documented test-scale).
+    Q("cdc_row_lineage",
+      (s, _) => {
+        val root = Files.createTempDirectory("graft_replay_lineage").toString
+        val t = TransactionalTable.create(s, root, Cdc.tableSchema, Cdc.PrimaryKey,
+          Some(Cdc.PartitionColumn))
+        t.setRowLineage(true)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        val v1 = t.currentVersion
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        val now = t.scanLineage()
+          .select(col("trans_id"), col("_row_id"), col("_last_updated_seq"))
+        val ids = now.select("_row_id").collect().map(_.getLong(0))
+        assert(ids.distinct.length == ids.length,
+          s"row ids not unique: ${ids.sorted.mkString(",")}")
+        val old = t.scanLineage(v1)
+          .select(col("trans_id").as("tid1"), col("_row_id").as("rid1"))
+        now.join(old, col("trans_id") === col("tid1"), "left")
+          .select(col("trans_id"),
+            col("_last_updated_seq").as("last_updated_seq"),
+            when(col("rid1").isNotNull, lit(1L)).otherwise(lit(2L)).as("first_seen_seq"),
+            coalesce(col("_row_id") === col("rid1"), lit(true)).as("rid_stable"))
+          .orderBy("trans_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(19 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), true),
+             |  (CAST(21 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), true),
+             |  (CAST(24 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), true),
+             |  (CAST(27 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), true),
+             |  (CAST(28 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), true),
+             |  (CAST(30 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), true),
+             |  (CAST(35 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), true),
+             |  (CAST(37 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), true),
+             |  (CAST(38 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), true),
+             |  (CAST(41 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), true),
+             |  (CAST(43 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), true),
+             |  (CAST(47 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), true)
+             |) AS t(trans_id, last_updated_seq, first_seen_seq, rid_stable)
+             |ORDER BY trans_id""".stripMargin)),
+
     // Snapshot history (Iceberg `table.snapshots` parity) — manifest-only
     // metadata; bytes vary per run so the oracle pins the invariant columns.
     Q("cdc_table_history",
@@ -764,6 +810,43 @@ object ReplayQueries {
              |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
              |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(12 AS BIGINT))
              |) AS t(version, batch_id, n_rows) ORDER BY version""".stripMargin)),
+
+    // Column DEFAULT values (Iceberg v3): initial-default (pre-add files
+    // serve the ADD-time constant — the parquet reader distinguishes column
+    // ABSENCE from a stored NULL) vs write-default (what INSERTs omitting
+    // the column get; changeable via ALTER COLUMN SET DEFAULT without
+    // touching history), exercised through CREATE/ALTER/INSERT/UPDATE SQL
+    // with the defaults surviving a CoW rewrite. Oracle: the same algebra
+    // as CASE expressions over the raw events fixture.
+    Q("cdc_sql_default_values",
+      (s, d) => {
+        val cat = s"graft_dflt${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_dflt").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        Tables.registerViews(s, d)
+        s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, user_id BIGINT, " +
+          "value DOUBLE) TBLPROPERTIES('pk'='event_id')")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT event_id, user_id, value " +
+          "FROM events WHERE event_id % 11 = 0")
+        s.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN source STRING DEFAULT 'backfill'")
+        s.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN score BIGINT DEFAULT 100")
+        // write-default moves to 200; the frozen initial-default stays 100
+        s.sql(s"ALTER TABLE $cat.db.ev ALTER COLUMN score SET DEFAULT 200")
+        s.sql(s"INSERT INTO $cat.db.ev (event_id, user_id, value, source) " +
+          "SELECT event_id, user_id, value, 'live' FROM events " +
+          "WHERE event_id % 13 = 0 AND event_id % 11 <> 0")
+        // CoW rewrite must materialize the defaults for carried rows
+        s.sql(s"UPDATE $cat.db.ev SET value = value * 2 WHERE event_id % 22 = 0")
+        s.sql(s"SELECT event_id, value, source, score FROM $cat.db.ev ORDER BY event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_id % 22 = 0 THEN value * 2 ELSE value END AS value,
+             |  CASE WHEN event_id % 11 = 0 THEN 'backfill' ELSE 'live' END AS source,
+             |  CAST(CASE WHEN event_id % 11 = 0 THEN 100 ELSE 200 END AS BIGINT) AS score
+             |FROM events WHERE event_id % 11 = 0 OR event_id % 13 = 0
+             |ORDER BY event_id""".stripMargin)),
 
     // add_files (Iceberg parity): events rows written to EXTERNAL parquet by
     // a "foreign" job, registered into a fresh table with zero data movement

@@ -50,6 +50,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def name(): String = catalogName
 
+  /** Opt in to column DEFAULT values (Iceberg v3 default-value parity):
+    * Spark then ships `CREATE TABLE (c INT DEFAULT 5)` / `ALTER TABLE ADD
+    * COLUMN ... DEFAULT` to this catalog (CURRENT_DEFAULT/EXISTS_DEFAULT
+    * column metadata + TableChange.AddColumn.defaultValue) and resolves
+    * INSERTs that omit the column from the table's reported metadata. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def rootOf(ident: Identifier): String =
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
 
@@ -291,12 +301,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val pk = Option(properties.get("pk")).getOrElse(schema.fieldNames.head)
     Files.createDirectories(Paths.get(rootOf(ident)).getParent)
-    val t = TransactionalTable.createPartitioned(spark, rootOf(ident), schema, pk,
-      GraftCatalog.toPartitionSpec(partitions))
+    // Column DEFAULTs (Iceberg v3): freeze each CURRENT_DEFAULT into a
+    // constant-folded EXISTS_DEFAULT so the read path can serve it for files
+    // that predate the column (no-op when no defaults are declared).
+    val schemaWithDefaults = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .constantFoldCurrentDefaultsToExistDefaults(schema, "CREATE TABLE")
+    val t = TransactionalTable.createPartitioned(spark, rootOf(ident),
+      schemaWithDefaults, pk, GraftCatalog.toPartitionSpec(partitions))
     // Write-strategy TBLPROPERTIES honored at CREATE, not just ALTER.
     GraftCatalog.RowLevelModeProps.foreach { case (prop, op) =>
       Option(properties.get(prop)).foreach(t.setRowLevelMode(op, _))
     }
+    Option(properties.get("row.lineage"))
+      .foreach(v => t.setRowLineage(java.lang.Boolean.parseBoolean(v)))
     loadTable(ident)
   }
 
@@ -308,7 +325,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     var t = TransactionalTable.open(spark, rootOf(ident))
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        t = t.addColumn(add.fieldNames().head, add.dataType())
+        // DEFAULT clause (Iceberg v3 default values): freeze the constant-
+        // folded literal as the initial-default (EXISTS_DEFAULT — what files
+        // written before the column existed read back) and keep the original
+        // SQL as the write-default (CURRENT_DEFAULT — what INSERTs omitting
+        // the column get). Both ride as column metadata in the schema JSON.
+        val md = Option(add.defaultValue()) match {
+          case Some(dv) =>
+            val litSql = Option(dv.getValue)
+              .map(l => org.apache.spark.sql.catalyst.expressions
+                .Literal(l.value(), l.dataType()).sql)
+              .getOrElse(throw new UnsupportedOperationException(
+                s"ADD COLUMN DEFAULT must be a constant-foldable expression: ${dv.getSql}"))
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", Option(dv.getSql).getOrElse(litSql))
+              .putString("EXISTS_DEFAULT", litSql)
+              .build()
+          case None => org.apache.spark.sql.types.Metadata.empty
+        }
+        t = t.addColumn(add.fieldNames().head, add.dataType(), md)
       case add: TableChange.AddColumn =>
         throw new UnsupportedOperationException(
           s"nested ADD COLUMN not supported: ${add.fieldNames().mkString(".")}")
@@ -324,6 +359,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           s"nested RENAME COLUMN not supported: ${rn.fieldNames().mkString(".")}")
       case up: TableChange.UpdateColumnType if up.fieldNames().length == 1 =>
         t = t.widenColumn(up.fieldNames().head, up.newDataType())
+      // ALTER COLUMN c SET DEFAULT expr / DROP DEFAULT: write-default only —
+      // the initial-default stays frozen (see setColumnDefault).
+      case ud: TableChange.UpdateColumnDefaultValue if ud.fieldNames().length == 1 =>
+        t = t.setColumnDefault(ud.fieldNames().head,
+          Option(ud.newDefaultValue()).filter(_.nonEmpty))
       case up: TableChange.UpdateColumnType =>
         throw new UnsupportedOperationException(
           s"nested ALTER COLUMN TYPE not supported: ${up.fieldNames().mkString(".")}")
@@ -351,6 +391,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case sp: TableChange.SetProperty
           if GraftCatalog.RowLevelModeProps.contains(sp.property()) =>
         t.setRowLevelMode(GraftCatalog.RowLevelModeProps(sp.property()), sp.value())
+      // Row lineage (Iceberg v3 upgrade): ALTER TABLE t SET
+      // TBLPROPERTIES('row.lineage'='true') — one-way, see setRowLineage.
+      case sp: TableChange.SetProperty if sp.property() == "row.lineage" =>
+        t.setRowLineage(java.lang.Boolean.parseBoolean(sp.value()))
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other " +
@@ -611,6 +655,7 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
       val mode = t.rowLevelModeName(op)
       if (mode != "copy-on-write") m.put(prop, mode)
     }
+    if (t.rowLineageEnabled) m.put("row.lineage", "true")
     m
   }
 

@@ -51,5 +51,17 @@ class GraftMorScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
         },
         analyzed)
+    // `db.t.lineage` metadata table: the engine's row-lineage scan (delete-
+    // aware, inheritance-resolving), pinned to the relation's version.
+    case r: DataSourceV2Relation if r.table.isInstanceOf[LineageMetaTable] =>
+      val l = r.table.asInstanceOf[LineageMetaTable]
+      val t = TransactionalTable.open(spark, l.root)
+      val analyzed = org.apache.spark.sql.graftshim.GraftShims.planOf(
+        t.scanLineage(l.pinnedVersion))
+      Project(
+        analyzed.output.zip(r.output).map { case (n, o) =>
+          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        },
+        analyzed)
   }
 }

@@ -26,7 +26,7 @@ object MetadataTables {
 
   val Names: Set[String] =
     Set("history", "snapshots", "files", "partitions", "refs", "manifests",
-      "delete_files", "all_files", "entries")
+      "delete_files", "all_files", "entries", "lineage")
 
   private val historySchema = StructType(Seq(
     StructField("version", LongType), StructField("batch_id", LongType),
@@ -298,10 +298,38 @@ object MetadataTables {
             c.partitions.map(_.mkString(",")).orNull)
         }
         new LocalRowsTable(s"$qualified.manifests", manifestsSchema, rows)
+      // Row lineage (Iceberg v3 metadata columns, served as a metadata
+      // table): the snapshot's rows plus `_row_id` (stable identity) and
+      // `_last_updated_seq`. A placeholder relation — GraftMorScanRule
+      // substitutes the engine's lineage-resolving scan during analysis,
+      // version-pinned so `VERSION AS OF` composes.
+      case "lineage" =>
+        require(t.rowLineageEnabled,
+          s"$qualified: row lineage is not enabled (ALTER TABLE ... SET " +
+            "TBLPROPERTIES('row.lineage'='true'))")
+        val sch = t.schemaAt(head)
+          .add("_row_id", LongType).add("_last_updated_seq", LongType)
+        new LineageMetaTable(s"$qualified.lineage", sch, t.root, head)
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table $other")
     }
   }
+}
+
+/** Placeholder relation for `db.t.lineage`: carries the table root and the
+  * pinned version; [[GraftMorScanRule]] substitutes the engine's
+  * lineage-resolving scan during analysis (data-scale — it must never
+  * execute as a driver-side rows table). */
+private[sql] class LineageMetaTable(tableName: String, tableSchema: StructType,
+    val root: String, val pinnedVersion: Long) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      s"$tableName must be substituted by GraftMorScanRule — are the " +
+        "graft.sql.GraftExtensions installed on this session?")
 }
 
 /** Read-only DSv2 table over driver-computed rows (metadata-scale only):

@@ -37,7 +37,8 @@ object ChunkJson {
         else f.get("stats").properties().asScala.map { e =>
           e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
         }.toMap,
-        if (f.has("specId")) f.get("specId").asInt() else 0)
+        if (f.has("specId")) f.get("specId").asInt() else 0,
+        if (f.has("frid")) Some(f.get("frid").asLong()) else None)
     }.toIndexedSeq
   }
 }

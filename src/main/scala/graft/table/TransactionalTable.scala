@@ -30,7 +30,13 @@ final case class DataFile(path: String, partition: Option[String], pkMin: Long, 
       * Iceberg spec-id parity): `partition` is the value of THAT spec's
       * transform, so pruning must reverse the file's own spec, not the
       * table's current one. 0 = the spec the table was created with. */
-    specId: Int = 0)
+    specId: Int = 0,
+    /** Row-lineage base (Iceberg v3 `first_row_id`): rows of this file whose
+      * materialized `_rid` column is NULL inherit `firstRowId + row ordinal`
+      * as their `_row_id`. Assigned once at commit from the table-level
+      * next-row-id high-water mark; None on tables without `row.lineage` or
+      * files committed before it was enabled (their rows read NULL ids). */
+    firstRowId: Option[Long] = None)
 
 /** A merge-on-read delete file (Iceberg v2 shapes, natively):
  *   - kind="equality": parquet of (pk, _dseq) key rows; a delete row masks any
@@ -316,7 +322,8 @@ final class TransactionalTable private (
       else f.get("stats").properties().asScala.map { e =>
         e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
       }.toMap,
-      if (f.has("specId")) f.get("specId").asInt() else 0)
+      if (f.has("specId")) f.get("specId").asInt() else 0,
+      if (f.has("frid")) Some(f.get("frid").asLong()) else None)
 
   /** Load one immutable manifest chunk (cached globally by path — chunks are
     * write-once, so the cache never goes stale). */
@@ -503,16 +510,23 @@ final class TransactionalTable private (
    * merge traffic between compactions).
    */
   private def scanWithDeletes(files: Seq[DataFile], deletes: Seq[DeleteFile],
-      sch: StructType = schema): DataFrame =
-    if (deletes.isEmpty) scanFiles(files, sch)
+      sch: StructType = schema, withLineage: Boolean = false): DataFrame =
+    if (deletes.isEmpty && !withLineage) scanFiles(files, sch)
     else if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (withLineage) sch.add("_rid", "long").add("_lseq", "long") else sch)
     else {
       val (vecDel, rest) = deletes.partition(_.kind == DeleteFile.Vector)
       val (posDel, eqDel) = rest.partition(_.kind == DeleteFile.Position)
-      val withSeq = sch.add("_seq", "long")
+      // Lineage reads surface the materialized `_rid`/`_lseq` shadows (null
+      // in files that never went through a lineage-aware rewrite) plus the
+      // per-file ordinal the inheritance fallback needs.
+      val withSeq = {
+        val s = sch.add("_seq", "long")
+        if (withLineage) s.add("_rid", "long").add("_lseq", "long") else s
+      }
       var data = readParquet(files.map(_.path), withSeq,
-        withPos = posDel.nonEmpty || vecDel.nonEmpty)
+        withPos = posDel.nonEmpty || vecDel.nonEmpty || withLineage)
       if (vecDel.nonEmpty) {
         // Deletion vectors: one bitmap per target file (commit invariant).
         // Small sets ride IN the plan as a codegen'd O(1)-per-row filter
@@ -568,8 +582,48 @@ final class TransactionalTable private (
           keyCond && col("_dseq") > coalesce(col("_seq"), lit(0L)),
           "left_anti")
       }
-      data.select(sch.fieldNames.map(col).toIndexedSeq: _*)
+      if (withLineage) data = computedLineage(data, files)
+      val outCols = if (withLineage) sch.fieldNames ++ Seq("_rid", "_lseq")
+        else sch.fieldNames
+      data.select(outCols.map(col).toIndexedSeq: _*)
     }
+
+  /** Resolve row lineage on a positioned read (Iceberg v3 inheritance):
+    * `_rid` = the file's materialized id, else `firstRowId + row ordinal`;
+    * `_lseq` = the materialized last-updated stamp, else the row's own
+    * `_seq` commit stamp (a fresh row's last update IS its write). The
+    * per-file base rides in as a broadcast-joined local relation — one row
+    * per scanned file, the same cardinality the scan already planned. Files
+    * committed before lineage was enabled have no base and resolve NULL. */
+  private def computedLineage(data: DataFrame, files: Seq[DataFile]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, LongType, StringType}
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      files.map(f => org.apache.spark.sql.Row(
+        f.path, f.firstRowId.map(Long.box).orNull)).asJava
+    val fdf = spark.createDataFrame(rows, StructType(Seq(
+      StructField("_lf_path", StringType), StructField("_lf_frid", LongType))))
+    // _metadata.file_path (_gfile) is a URI; manifest paths are plain.
+    val plainFile = when(col("_gfile").startsWith("file:"),
+      regexp_replace(col("_gfile"), "^file:/*", "/")).otherwise(col("_gfile"))
+    data.join(broadcast(fdf), plainFile === col("_lf_path"), "left")
+      .withColumn("_rid", coalesce(col("_rid"), col("_lf_frid") + col("_gpos")))
+      .withColumn("_lseq", coalesce(col("_lseq"), col("_seq")))
+      .drop("_lf_path", "_lf_frid")
+  }
+
+  /** Row-lineage snapshot scan (requires [[setRowLineage]]): the table's rows
+    * plus `_row_id` (stable identity — survives CoW updates, compaction,
+    * fold) and `_last_updated_seq` (the commit sequence that last changed the
+    * row). NULL ids only on rows committed before lineage was enabled. */
+  def scanLineage(version: Long = -1L): DataFrame = {
+    require(rowLineageEnabled,
+      s"row lineage is not enabled on $root (ALTER TABLE ... SET TBLPROPERTIES('row.lineage'='true'))")
+    val s = if (version < 0) snapshot else snapshotAt(version)
+    scanWithDeletes(s.files, s.deletes, schemaAt(if (version < 0) currentVersion else version),
+      withLineage = true)
+      .withColumnRenamed("_rid", "_row_id")
+      .withColumnRenamed("_lseq", "_last_updated_seq")
+  }
 
   /** COUNT(*): metadata-only from manifest stats when no merge-on-read
    *  deletes are pending (what Iceberg gives Athena for the reference's
@@ -1413,14 +1467,35 @@ final class TransactionalTable private (
 
     // Pending MOR deletes must be applied to the rewritten slice, or a merge
     // would resurrect masked rows.
-    val slice = scanWithDeletes(affected, snap.deletes)
+    val lineage = rowLineageEnabled
+    val slice = scanWithDeletes(affected, snap.deletes, withLineage = lineage)
+    // Row lineage through CoW (Iceberg v3 MERGE semantics): carried rows keep
+    // their materialized `_rid`/`_lseq` (the slice computed them); an UPDATE
+    // keeps the target row's id but leaves `_lseq` NULL so it inherits the
+    // new commit's `_seq`; an INSERT leaves both NULL (id inherited from the
+    // new file's firstRowId). The id hand-off is one hash join of the small
+    // batch against the already-being-rewritten slice's (pk, _rid).
+    val upl =
+      if (!lineage) up
+      else {
+        // Two broadcast-shaped steps (an outer join can never build its
+        // preserved small side): semi-filter the slice to the batch's keys
+        // — output ≤ |batch| rows — then broadcast THAT into the left join.
+        val inh = slice.select((pkCols.map(col) :+ col("_rid").as("_inh_rid")): _*)
+        val keys = up.select(pkCols.map(col): _*)
+        val matched = inh.join(if (oversized) keys else broadcast(keys),
+          pkCols, "left_semi")
+        up.join(if (oversized) matched else broadcast(matched), pkCols, "left")
+          .withColumn("_rid", col("_inh_rid")).drop("_inh_rid")
+          .withColumn("_lseq", lit(null).cast("long"))
+      }
     // A key set past the collect cap is also past sensible broadcast size —
     // let Catalyst/AQE pick the join strategy there instead.
     val merged = guardTs match {
-      case Some(ts) => Merge.applyGuarded(slice, up, dels, pk, ts, broadcastKeys = !oversized)
+      case Some(ts) => Merge.applyGuarded(slice, upl, dels, pk, ts, broadcastKeys = !oversized)
       case None if pkCols.length > 1 =>
-        Merge.composite(slice, up, dels, pkCols, broadcastKeys = !oversized)
-      case None => Merge(slice, up, dels, pk, broadcastKeys = !oversized)
+        Merge.composite(slice, upl, dels, pkCols, broadcastKeys = !oversized)
+      case None => Merge(slice, upl, dels, pk, broadcastKeys = !oversized)
     }
 
     val newVersion = snap.version + 1
@@ -1596,6 +1671,18 @@ final class TransactionalTable private (
    * this instance keeps its pre-evolution schema.
    */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): TransactionalTable =
+    addColumn(name, dataType, org.apache.spark.sql.types.Metadata.empty)
+
+  /** [[addColumn]] carrying column METADATA — the vehicle for Iceberg v3
+    * default values: `CURRENT_DEFAULT` (the write-default Spark's INSERT
+    * resolution serves for omitted columns) and `EXISTS_DEFAULT` (the
+    * initial-default the parquet readers serve for files written BEFORE the
+    * column existed — the reader knows column PRESENCE, so a genuine NULL
+    * in a post-add file is never confused with absence). Both keys ride in
+    * the schema JSON (`_table.json` + per-version manifest stamps), so time
+    * travel serves each era's defaults. */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
+      metadata: org.apache.spark.sql.types.Metadata): TransactionalTable =
     synchronized {
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column '$name' already exists")
@@ -1603,7 +1690,32 @@ final class TransactionalTable private (
       // still sitting in pre-rename files into the "new" column.
       require(!renames.valuesIterator.flatten.exists(_.equalsIgnoreCase(name)),
         s"'$name' is a former name of an existing column (rename history); pick another")
-      val evolved = schema.add(name, dataType, nullable = true)
+      val evolved = schema.add(org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true, metadata))
+      writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId)
+      new TransactionalTable(spark, root, evolved, pk, partitionSpec, renames,
+        pastSpecs, currentSpecId, branchName)
+    }
+
+  /** `ALTER TABLE ... ALTER COLUMN c SET/DROP DEFAULT` (Iceberg v3
+    * write-default semantics): updates only `CURRENT_DEFAULT` — what future
+    * writes omitting the column get. The initial-default (`EXISTS_DEFAULT`,
+    * what pre-add files read back) is FROZEN at ADD COLUMN time: changing
+    * the write-default must never rewrite history. */
+  def setColumnDefault(name: String, defaultSql: Option[String]): TransactionalTable =
+    synchronized {
+      val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0, s"column '$name' not in table schema")
+      defaultSql.foreach(s =>
+        spark.sessionState.sqlParser.parseExpression(s)) // fail fast on syntax
+      val f = schema.fields(idx)
+      val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+      defaultSql match {
+        case Some(s) => mb.putString("CURRENT_DEFAULT", s)
+        case None => mb.remove("CURRENT_DEFAULT")
+      }
+      val fields = schema.fields.updated(idx, f.copy(metadata = mb.build()))
+      val evolved = StructType(fields)
       writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId)
       new TransactionalTable(spark, root, evolved, pk, partitionSpec, renames,
         pastSpecs, currentSpecId, branchName)
@@ -1793,6 +1905,29 @@ final class TransactionalTable private (
     }
   }
 
+  /** Iceberg v3 ROW LINEAGE switch (`TBLPROPERTIES('row.lineage'='true')`):
+    * once on, every commit records a table-level next-row-id high-water mark
+    * and each new data file gets a contiguous `firstRowId` range, so every
+    * row has a stable `_row_id` (inherited as firstRowId + ordinal unless a
+    * rewrite materialized it) and a `_last_updated_seq` (the commit sequence
+    * that last changed the row). Enabling is a metadata-only upgrade — files
+    * committed before it read NULL ids, exactly Iceberg's v2→v3 posture.
+    * Turning it off again is refused: readers may have recorded ids. */
+  def setRowLineage(on: Boolean): Unit = synchronized {
+    require(on || !rowLineageEnabled,
+      "row.lineage cannot be disabled once enabled (recorded row ids would dangle)")
+    updateTableMeta(_.put("rowLineage", on))
+  }
+
+  /** True when this table assigns + serves row lineage (see [[setRowLineage]]). */
+  def rowLineageEnabled: Boolean = {
+    val p = Paths.get(root, "_table.json")
+    Files.exists(p) && {
+      val meta = mapper.readTree(Files.readAllBytes(p))
+      meta.has("rowLineage") && meta.get("rowLineage").asBoolean()
+    }
+  }
+
   /** Target file size as a row cap (Iceberg `write.target-file-size-bytes`
     * in the engine's stat currency, rows): every data-file write rolls to a
     * new part file past `n` rows — Spark's native `maxRecordsPerFile` rolling
@@ -1886,13 +2021,17 @@ final class TransactionalTable private (
   }
 
   /** Conform a merge/append input to the table schema: columns the input
-    * lacks are null-filled (post-evolution writers that predate the new
-    * column keep working — Iceberg's optional-column semantics); extra
-    * columns are dropped by the projection. */
+    * lacks take their declared write-default (`CURRENT_DEFAULT` column
+    * metadata — Iceberg v3 default-value semantics) or NULL (post-evolution
+    * writers that predate the new column keep working — Iceberg's
+    * optional-column semantics); extra columns are dropped by the
+    * projection. */
   private def conformed(df: DataFrame): DataFrame = {
     val present = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     df.select(schema.fields.map { f =>
       if (present.contains(f.name.toLowerCase(java.util.Locale.ROOT))) col(f.name)
+      else if (f.metadata.contains("CURRENT_DEFAULT"))
+        expr(f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
   }
@@ -2083,9 +2222,21 @@ final class TransactionalTable private (
       val dup = entries.map(_.path).filter(live.contains)
       require(dup.isEmpty,
         s"add_files: already registered: ${dup.take(3).mkString(", ")}")
-      pendingChunkHint = Some((Seq.empty, entries))
+      // Row lineage: registered foreign files get inherited ids like any
+      // other new file (their rows have no materialized `_rid` column).
+      val lineaged =
+        if (!rowLineageEnabled) entries
+        else {
+          var next = nextRowIdOf(snap.version)
+          val a = entries.sortBy(_.path).map { f =>
+            val g = f.copy(firstRowId = Some(next)); next += f.rows; g
+          }
+          pendingNextRowId = Some(next)
+          a
+        }
+      pendingChunkHint = Some((Seq.empty, lineaged))
       commit(Snapshot(snap.version + 1, snap.batchId,
-        new AppendedFiles(snap.files, entries), snap.deletes))
+        new AppendedFiles(snap.files, lineaged), snap.deletes))
     }
     (entries.length.toLong, entries.map(_.rows).sum)
   }
@@ -2173,7 +2324,35 @@ final class TransactionalTable private (
           .map { case (mn, mx) => f.copy(pkMin = mn, pkMax = mx) }.getOrElse(f))
       }
     val blooms = buildBlooms(ranged.filter(_.rows <= BloomMaxRows).map(_.path))
-    ranged.map(f => f.copy(bloom = blooms.get(f.path)))
+    val bloomed = ranged.map(f => f.copy(bloom = blooms.get(f.path)))
+    if (!rowLineageEnabled) bloomed
+    else {
+      // Row lineage (Iceberg v3): reserve a contiguous `firstRowId` range per
+      // new file from the table's next-row-id high-water mark, in path order
+      // (part-file numbering — deterministic for a fixed input partitioning).
+      // The reservation is optimistic like the rest of the commit: a lost
+      // CAS race re-runs this whole write against the fresh snapshot.
+      var next = nextRowIdOf(if (Files.exists(pointerPath)) currentVersion else -1L)
+      val assigned = bloomed.sortBy(_.path).map { f =>
+        val g = f.copy(firstRowId = Some(next)); next += f.rows; g
+      }
+      pendingNextRowId = Some(next)
+      assigned
+    }
+  }
+
+  /** Row-lineage high-water mark of a committed version: the first `_row_id`
+    * the NEXT commit may assign. 0 for pre-lineage manifests or version < 0
+    * (empty table). Monotone non-decreasing across commits — rollback
+    * inherits the rolled-back-FROM mark, so discarded ids are never reused. */
+  private def nextRowIdOf(version: Long): Long = {
+    if (version < 0) return 0L
+    val p = manifestDir.resolve(s"v$version.json")
+    if (!Files.exists(p)) 0L
+    else {
+      val n = mapper.readTree(Files.readAllBytes(p))
+      if (n.has("nextRowId")) n.get("nextRowId").asLong() else 0L
+    }
   }
 
   /**
@@ -2385,7 +2564,8 @@ final class TransactionalTable private (
         // with deletes applied, emerging as a pure-data snapshot.
         // (snap.rowCount ignores pending deletes — an over-estimate, which
         // only errs toward one more, slightly smaller, output slice.)
-        val data = scanWithDeletes(snap.files, snap.deletes)
+        val data = scanWithDeletes(snap.files, snap.deletes,
+          withLineage = rowLineageEnabled)
         val newVersion = snap.version + 1
         val newFiles = writeDataFiles(packed(data, snap.rowCount),
           commitDir(newVersion), seq = newVersion)
@@ -2404,7 +2584,8 @@ final class TransactionalTable private (
           val keep = snap.files.filterNot(small.toSet)
           val newVersion = snap.version + 1
           val newFiles = writeDataFiles(
-            packed(scanFiles(small), small.map(_.rows).sum),
+            packed(scanWithDeletes(small, Seq.empty,
+              withLineage = rowLineageEnabled), small.map(_.rows).sum),
             commitDir(newVersion), seq = newVersion)
           commit(Snapshot(newVersion, snap.batchId, keep ++ newFiles))
         }
@@ -2443,7 +2624,8 @@ final class TransactionalTable private (
           (selected.map(_.rows).sum + minFileRows - 1) / minFileRows).toInt
         val rangeCols = partitionCol.map(col).toSeq ++ pkCols.map(col)
         val newFiles = writeDataFiles(
-          scanFiles(selected).repartitionByRange(target, rangeCols: _*),
+          scanWithDeletes(selected, Seq.empty, withLineage = rowLineageEnabled)
+            .repartitionByRange(target, rangeCols: _*),
           commitDir(newVersion), seq = newVersion)
         result = (selected.size, newFiles.size)
         commit(Snapshot(newVersion, snap.batchId, keep ++ newFiles))
@@ -2512,7 +2694,8 @@ final class TransactionalTable private (
           // masks nothing — drop the delete set, zero data movement
           commit(Snapshot(newVersion, snap.batchId, snap.files, Seq.empty))
         } else {
-          val folded = scanWithDeletes(affected, snap.deletes)
+          val folded = scanWithDeletes(affected, snap.deletes,
+            withLineage = rowLineageEnabled)
           val newFiles = writeDataFiles(folded, commitDir(newVersion), seq = newVersion)
           val affectedPaths = affected.map(_.path).toSet
           val carried = snap.files match {
@@ -2547,7 +2730,8 @@ final class TransactionalTable private (
     require(targetFiles >= 0, "targetFiles must be >= 0 (0 = session default)")
     retryingCommit("compactClustered") { snap =>
       if (snap.files.nonEmpty) {
-        val data = scanWithDeletes(snap.files, snap.deletes)
+        val data = scanWithDeletes(snap.files, snap.deletes,
+          withLineage = rowLineageEnabled)
         val rangeCols = partitionCol.map(col).toSeq ++ pkCols.map(col)
         val packed =
           if (targetFiles > 0) data.repartitionByRange(targetFiles, rangeCols: _*)
@@ -2598,7 +2782,8 @@ final class TransactionalTable private (
             Some((per.map(_.get._1).min, per.map(_.get._2).max))
           else None
         }
-        val data = scanWithDeletes(snap.files, snap.deletes)
+        val data = scanWithDeletes(snap.files, snap.deletes,
+          withLineage = rowLineageEnabled)
         val Seq(a, b) = zCols
         val ranges: Option[((Long, Long), (Long, Long))] =
           (manifestRange(a), manifestRange(b)) match {
@@ -2632,6 +2817,7 @@ final class TransactionalTable private (
     o.put("pkMin", f.pkMin); o.put("pkMax", f.pkMax); o.put("rows", f.rows)
     o.put("bytes", f.bytes)
     if (f.specId != 0) o.put("specId", f.specId)
+    f.firstRowId.foreach(r => o.put("frid", r))
     f.bloom.foreach(b => o.put("bloom", b))
     if (f.stats.nonEmpty) {
       val st = o.putObject("stats")
@@ -2674,6 +2860,13 @@ final class TransactionalTable private (
     * without a hint (overwrite, compact, publish, rollback) take the
     * load-and-verify path below. */
   private var pendingChunkHint: Option[(Seq[DataFile], Seq[DataFile])] = None
+
+  /** Row-lineage high-water mark this commit advances to, set by
+    * [[writeDataFiles]] when it reserved `firstRowId` ranges; consumed by
+    * [[commit]] (commits without new data inherit the parent's mark). Reset
+    * per attempt — a retried optimistic commit re-runs writeDataFiles
+    * against the fresh snapshot and re-reserves. */
+  private var pendingNextRowId: Option[Long] = None
 
   /** Set by [[rewriteManifests]]: skip parent-chunk reuse entirely and
     * repack every file into full-sized, stat-carrying chunks. */
@@ -2784,6 +2977,8 @@ final class TransactionalTable private (
     * of age is it treated as crashed and replaced — an in-flight winner's
     * manifest is never deleted. */
   private def commit(s: Snapshot): Unit = {
+    val pendingNrid = pendingNextRowId
+    pendingNextRowId = None // consumed — never leaks into an unrelated commit
     if (Files.exists(pointerPath) && currentVersion >= s.version && s.version > 0)
       throw new ConcurrentCommitException(
         s"version ${s.version} already committed (root=$root)")
@@ -2793,6 +2988,11 @@ final class TransactionalTable private (
     node.put("version", s.version); node.put("batchId", s.batchId)
     node.put("committedAtMs",
       if (s.committedAtMs > 0) s.committedAtMs else System.currentTimeMillis())
+    // Row-lineage high-water mark: advance to this commit's reservation (data
+    // writes) or inherit the parent's (metadata-only commits, rollback — ids
+    // of discarded rows are never reused). Monotone by max().
+    val nrid = math.max(pendingNrid.getOrElse(0L), nextRowIdOf(s.version - 1))
+    if (nrid > 0) node.put("nextRowId", nrid)
     // Commit-time schema stamp: time travel reads each version under the
     // schema it was written with (schemaAt), so DROP COLUMN cannot rewrite
     // history.
