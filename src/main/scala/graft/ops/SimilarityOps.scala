@@ -302,6 +302,50 @@ object SimilarityOps {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): SEMANTIC near-duplicate
+   * pruning over an embedding column — the pass that removes
+   * differently-worded copies exact/MinHash dedup cannot see.
+   *
+   * Shape, per the paper re-expressed relationally: (1) assign every vector
+   * to a coarse cluster (k fixed centroids — here the `cells` lowest-id
+   * vectors, the same deterministic seeding rule the IVF quantizer
+   * degenerates to, broadcast as k rows); (2) WITHIN each cluster only,
+   * score pairwise cosine (equi-join on the cell id — work is Σ|cell|²,
+   * never corpus², and cells shrink as k grows: k is the knob that bounds
+   * per-task work at 100 TB); (3) drop every vector that has a SMALLER-id
+   * neighbor above `threshold` in its cell (the paper keeps one
+   * representative per ε-group; lowest-id is the deterministic,
+   * non-recursive tie rule — SQL-expressible and engine-reproducible).
+   *
+   * Returns (vec_id, cid, kept) for every corpus vector — callers filter
+   * `kept` for the surviving corpus; the full triple is the auditable form.
+   */
+  def semDedup(corpus: DataFrame, threshold: Double, cells: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val cents = e.orderBy("vec_id").limit(cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"), col("v"))
+    // within-cell pairs above threshold; a dropped vector is any id_b with
+    // a smaller-id similar neighbor (left_semi keeps the plan shuffle-lean:
+    // one equi-join on cid, one semi-join back on the id)
+    val drops = assigned.alias("a")
+      .join(assigned.alias("b"), col("a.cid") === col("b.cid") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.v"), col("b.v")) > threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(drops.withColumn("_dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(!col("_dropped"), lit(true)).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /**
    * Johnson–Lindenstrauss RANDOM PROJECTION to `k` dimensions — the
    * dimensionality-reduction step ahead of an ANN index or a cheap
    * first-pass similarity filter (±1 sign matrix, Achlioptas 2003: JL

@@ -242,5 +242,31 @@ object PipelineQueries {
              |SELECT vec_id, cid FROM (
              |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
              |  FROM p) t
-             |WHERE rnk = 1 ORDER BY vec_id""".stripMargin)))
+             |WHERE rnk = 1 ORDER BY vec_id""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): semantic near-dup pruning — cluster to
+    // 8 deterministic cells, pairwise cosine WITHIN cells only (work is
+    // Σ|cell|², never corpus²; cell count is the 100 TB knob), drop any
+    // vector with a smaller-id neighbor above 0.4. Oracle replays the
+    // identical assignment + within-cell pair algebra.
+    Q("x3_semdedup",
+      (s, d) => SimilarityOps.semDedup(
+        Tables.load(s, d, "embeddings"), threshold = 0.4, cells = 8),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+             |p AS (SELECT e.vec_id, c.cid,
+             |        list_dot_product(e.v, c.cv) /
+             |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM (
+             |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+             |  FROM p) t WHERE rnk = 1),
+             |av AS (SELECT a.vec_id, a.cid, e.v FROM asg a JOIN e ON e.vec_id = a.vec_id),
+             |drops AS (SELECT DISTINCT b.vec_id
+             |  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.v, b.v) /
+             |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.4)
+             |SELECT av.vec_id, av.cid, (d.vec_id IS NULL) AS kept
+             |FROM av LEFT JOIN drops d ON av.vec_id = d.vec_id
+             |ORDER BY av.vec_id""".stripMargin)))
 }

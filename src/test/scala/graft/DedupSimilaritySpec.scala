@@ -349,6 +349,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2)).toSet === Set((2L, 102L)))
   }
 
+  test("semDedup: planted semantic duplicate drops (larger id); originals survive") {
+    // two planted near-copies of vector 2: ids 102 and 103 — all three land
+    // in the same cell (cos ~1 with each other ⇒ same nearest centroid);
+    // the smallest id (2) is the kept representative
+    val dup = vecs.filter($"vec_id" === 2)
+    val planted = vecs
+      .unionByName(dup.select(lit(102L).as("vec_id"), $"embedding"))
+      .unionByName(dup.select(lit(103L).as("vec_id"), $"embedding"))
+    val got = SimilarityOps.semDedup(planted, threshold = 0.95, cells = 4)
+      .as[(Long, Long, Boolean)].collect()
+    val kept = got.filter(_._3).map(_._1).toSet
+    val dropped = got.filterNot(_._3).map(_._1).toSet
+    assert(got.length === 42, "every input vector must appear exactly once")
+    assert(Set(102L, 103L).subsetOf(dropped), s"planted dups survived: $kept")
+    assert(kept.contains(2L), "the lowest-id representative must be kept")
+    // random 16-dim vectors almost never exceed cos 0.95 — nothing else drops
+    assert(dropped === Set(102L, 103L), s"unexpected drops: $dropped")
+  }
+
   test("nearDupLshPairs: equals brute force; plan has no theta-join") {
     val dup = vecs.filter($"vec_id" === 2).select(lit(102L).as("vec_id"), $"embedding")
     val corpus = vecs.unionByName(dup)
