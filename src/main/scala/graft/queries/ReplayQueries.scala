@@ -811,6 +811,56 @@ object ReplayQueries {
              |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(12 AS BIGINT))
              |) AS t(version, batch_id, n_rows) ORDER BY version""".stripMargin)),
 
+    // SCD2 type-2 history maintenance (the non-destructive twin of the
+    // reference's MERGE sink): the golden CDC replay lands every key's FULL
+    // version history as interval rows — updates close + reopen, deletes
+    // close (tombstone), inserts open. 20 rows = 10 originals (5 closed by
+    // updates, 3 by deletes, 2 still open) + 5 reopened + 5 new. Oracle:
+    // the hand-derived interval table as literal VALUES (FIXTURES.md §A).
+    Q("cdc_scd2_history",
+      (s, _) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_scd2").toString
+        val hist = graft.table.Scd2.create(s, root, Cdc.tableSchema, Cdc.PrimaryKey)
+        def applyB(lines: Seq[String], seq: Long, b: Long): Unit = {
+          val deduped = Cdc.latestPerKey(Cdc.flatten(Cdc.parse(lines.toDS())))
+          graft.table.Scd2.applyBatch(hist,
+            Cdc.projectToTable(Cdc.upserts(deduped)),
+            Cdc.deletes(deduped).select(col(Cdc.PrimaryKey)), Cdc.PrimaryKey,
+            seq = seq, batchId = b)
+        }
+        applyB(CdcFixtures.scenario1Lines, 1, 0)
+        applyB(CdcFixtures.scenario2Lines, 2, 1)
+        hist.scan().select(col("trans_id"), col("amount"),
+          col(graft.table.Scd2.ValidFrom).as("valid_from"),
+          col(graft.table.Scd2.ValidTo).as("valid_to"),
+          col(graft.table.Scd2.IsCurrent).as("is_current"))
+          .orderBy("trans_id", "valid_from")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(6 AS BIGINT),  CAST(1 AS INT),  CAST(1 AS BIGINT), CAST(2 AS BIGINT),    false),
+             |  (CAST(19 AS BIGINT), CAST(1 AS INT),  CAST(1 AS BIGINT), CAST(2 AS BIGINT),    false),
+             |  (CAST(19 AS BIGINT), CAST(39 AS INT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(21 AS BIGINT), CAST(77 AS INT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),    false),
+             |  (CAST(21 AS BIGINT), CAST(60 AS INT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(23 AS BIGINT), CAST(60 AS INT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),    false),
+             |  (CAST(24 AS BIGINT), CAST(1 AS INT),  CAST(1 AS BIGINT), CAST(2 AS BIGINT),    false),
+             |  (CAST(24 AS BIGINT), CAST(42 AS INT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(27 AS BIGINT), CAST(1 AS INT),  CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(28 AS BIGINT), CAST(1 AS INT),  CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(30 AS BIGINT), CAST(14 AS INT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),    false),
+             |  (CAST(30 AS BIGINT), CAST(67 AS INT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(33 AS BIGINT), CAST(78 AS INT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),    false),
+             |  (CAST(35 AS BIGINT), CAST(1 AS INT),  CAST(1 AS BIGINT), CAST(2 AS BIGINT),    false),
+             |  (CAST(35 AS BIGINT), CAST(85 AS INT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(37 AS BIGINT), CAST(1 AS INT),  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(38 AS BIGINT), CAST(1 AS INT),  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(41 AS BIGINT), CAST(5 AS INT),  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(43 AS BIGINT), CAST(1 AS INT),  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true),
+             |  (CAST(47 AS BIGINT), CAST(1 AS INT),  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true)
+             |) AS t(trans_id, amount, valid_from, valid_to, is_current)
+             |ORDER BY trans_id, valid_from""".stripMargin)),
+
     // Column DEFAULT values (Iceberg v3): initial-default (pre-add files
     // serve the ADD-time constant — the parquet reader distinguishes column
     // ABSENCE from a stored NULL) vs write-default (what INSERTs omitting
