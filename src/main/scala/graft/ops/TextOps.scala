@@ -216,14 +216,45 @@ object TextOps {
    * vocabulary (it is corpus-sized; at 100 TB it must stay distributed).
    */
   def bigramRarity(df: DataFrame, rareDf: Long = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    if (rareDf <= 2) bigramRarityOrderStat(df, rareDf, idCol, textCol)
+    else {
+      val bi = df.select(col(idCol), explode(shingles(col(textCol), 2)).as("bigram"))
+      val dfCounts = bi.groupBy("bigram").agg(count(lit(1)).as("df"))
+      bi.join(dfCounts, "bigram")
+        .groupBy(col(idCol))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("rarity", col("n_rare").cast("double") / col("n_bigrams"))
+    }
+
+  /** [[bigramRarity]] for `rareDf` ≤ 2 — the common configuration — via
+    * ORDER-STATISTICS membership recovery: a bigram with df ≤ 2 has its doc
+    * set exactly equal to {min(doc_id), max(doc_id)} (doc ids are distinct
+    * per bigram — Shingles emits per-doc distinct sets), so the df aggregate
+    * carries (count, min, max) and the rare docs EXPLODE back out of it —
+    * no join of the pair stream against the df table. The full pair stream
+    * crosses the network ONCE (the map-combined df aggregate) instead of
+    * three times (df agg + join probe + per-doc agg of every pair); the two
+    * remaining exchanges carry one row per rare-bigram-membership and one
+    * row per doc. `n_bigrams` never needed the shuffle at all: it is the
+    * in-row size of the distinct shingle set. */
+  private def bigramRarityOrderStat(df: DataFrame, rareDf: Long,
+      idCol: String, textCol: String): DataFrame = {
     val bi = df.select(col(idCol), explode(shingles(col(textCol), 2)).as("bigram"))
-    val dfCounts = bi.groupBy("bigram").agg(count(lit(1)).as("df"))
-    bi.join(dfCounts, "bigram")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
+    val stats = bi.groupBy("bigram").agg(count(lit(1)).as("df"),
+      min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))
+    val rareDocs = stats.filter(col("df") <= rareDf)
+      .select(explode(when(col("df") === 1L, array(col("_mn")))
+        .otherwise(array(col("_mn"), col("_mx")))).as(idCol))
+    val nRare = rareDocs.groupBy(idCol).agg(count(lit(1)).as("n_rare"))
+    val nBigrams = df
+      .select(col(idCol), size(shingles(col(textCol), 2)).as("n_bigrams"))
+      .filter(col("n_bigrams") > 0)
+    nBigrams.join(nRare, Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
       .withColumn("rarity", col("n_rare").cast("double") / col("n_bigrams"))
   }
 
