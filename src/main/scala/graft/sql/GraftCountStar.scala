@@ -247,6 +247,80 @@ class GraftCountStarRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ok) Some((rows, acc.toMap)) else None
   }
 
+  /** Per-identity-partition manifest fold (Iceberg "partitions metadata as
+    * an aggregate answer"): every file belongs to exactly ONE partition
+    * value, so `GROUP BY <identity partition column>` + COUNT/MIN/MAX is
+    * answerable from per-file stats alone — one row per live value, zero
+    * data I/O. Single-valued chunks contribute chunk-level stats without
+    * loading; mixed/straddling chunks load their entries. None = any file
+    * off the current identity spec or a needed stat missing. */
+  private def foldGrouped(g: GraftSqlTable, bounds: Seq[FoldBound])
+      : Option[Seq[(Option[String], Long, Map[String, (Long, Long)])]] = {
+    val pcol = g.partSpec match {
+      case Some(graft.table.PartitionTransform.Identity(c)) => c
+      case _ => return None
+    }
+    def identityCurrent(d: Option[org.apache.spark.sql.graftshim.PartitionTransformDesc])
+        : Boolean = d.exists(x => x.kind == "identity" && x.col.equalsIgnoreCase(pcol))
+    val pkName = g.pk.toLowerCase(Locale.ROOT)
+    val needed: Seq[String] = bounds.map(_.a.name.toLowerCase(Locale.ROOT)).distinct
+    val rows = scala.collection.mutable.LinkedHashMap
+      .empty[Option[String], (Long, scala.collection.mutable.Map[String, (Long, Long)])]
+    def addUnit(part: Option[String], unitRows: Long, pkMin: Long, pkMax: Long,
+        stats: Map[String, (Long, Long)]): Boolean = {
+      if (unitRows < 0) return false
+      val available = needed.forall { key =>
+        if (key == pkName && !g.pkHashed)
+          !(pkMin == Long.MinValue && pkMax == Long.MaxValue)
+        else stats.contains(key)
+      }
+      if (!available) return false
+      val (n, acc) = rows.getOrElseUpdate(part,
+        (0L, scala.collection.mutable.Map.empty[String, (Long, Long)]))
+      needed.foreach { key =>
+        val (mn, mx) =
+          if (key == pkName && !g.pkHashed) (pkMin, pkMax) else stats(key)
+        acc.get(key) match {
+          case Some((a, b)) => acc(key) = (math.min(a, mn), math.max(b, mx))
+          case None => acc(key) = (mn, mx)
+        }
+      }
+      rows(part) = (n + unitRows, acc)
+      true
+    }
+    def entryPass(es: Seq[org.apache.spark.sql.graftshim.ManifestEntry]): Boolean =
+      es.forall { e =>
+        identityCurrent(e.part) && addUnit(e.partition, e.rows, e.pkMin, e.pkMax, e.stats)
+      }
+    val ok = g.entries match {
+      case lm: org.apache.spark.sql.graftshim.LazyManifest =>
+        lm.chunkList.forall { c =>
+          c.partitions match {
+            case Some(Seq(one)) if identityCurrent(c.part) && c.rows >= 0 &&
+                addUnit(Some(one), c.rows, c.pkMin, c.pkMax, c.stats) =>
+              true // single-valued chunk — chunk-level stats, zero loads
+            case _ => entryPass(c.load())
+          }
+        }
+      case es => entryPass(es)
+    }
+    if (ok) Some(rows.toSeq.map { case (p, (n, acc)) => (p, n, acc.toMap) }) else None
+  }
+
+  /** Catalyst value for a stored identity-partition string under the
+    * grouping attribute's type; None = unsupported type (no fold). */
+  private def partValueOf(v: Option[String], dt: DataType): Option[Any] = v match {
+    case None => Some(null) // __HIVE_DEFAULT_PARTITION__: the NULL group
+    case Some(s) => dt match {
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case ByteType => scala.util.Try(s.toByte).toOption
+      case ShortType => scala.util.Try(s.toShort).toOption
+      case IntegerType => scala.util.Try(s.toInt).toOption
+      case LongType => scala.util.Try(s.toLong).toOption
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty && tableOf(child).isDefined =>
       val g = tableOf(child).get
@@ -254,6 +328,49 @@ class GraftCountStarRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (vals.forall(_.isDefined))
         LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals.map(_.get))))
       else agg
+    // GROUP BY the identity partition column: per-file stats are exact per
+    // group (a file holds exactly one partition value) — one LocalRelation
+    // row per live value, zero data I/O.
+    case agg @ Aggregate(Seq(ga: Attribute), exprs, child, _)
+        if exprs.nonEmpty && tableOf(child).isDefined &&
+          tableOf(child).get.partSpec.exists {
+            case graft.table.PartitionTransform.Identity(c) =>
+              c.equalsIgnoreCase(ga.name)
+            case _ => false
+          } =>
+      val g = tableOf(child).get
+      // classify outputs: the grouping attribute itself, or a foldable agg
+      val kinds: Seq[Option[Either[Unit, FoldKind]]] = exprs.map {
+        case a: Attribute if a.semanticEquals(ga) => Some(Left(()))
+        case e => foldKind(g, e).map(Right(_))
+      }
+      val folded: Option[LogicalPlan] =
+        if (!kinds.forall(_.isDefined)) None
+        else {
+          val bounds = kinds.flatten.collect { case Right(b: FoldBound) => b }
+          foldGrouped(g, bounds).flatMap { groups =>
+            val rows = groups.map { case (part, n, bmap) =>
+              partValueOf(part, ga.dataType).map { gv =>
+                InternalRow.fromSeq(kinds.flatten.map {
+                  case Left(()) => gv
+                  case Right(FoldCount) => n
+                  case Right(FoldBound(a, isMin)) =>
+                    val (mn, mx) = bmap(a.name.toLowerCase(Locale.ROOT))
+                    val v = if (isMin) mn else mx
+                    a.dataType match {
+                      case ByteType => v.toByte
+                      case ShortType => v.toShort
+                      case IntegerType | DateType => v.toInt
+                      case _ => v
+                    }
+                })
+              }
+            }
+            if (rows.exists(_.isEmpty)) None
+            else Some(LocalRelation(agg.output, rows.flatten))
+          }
+        }
+      folded.getOrElse(agg)
     // Partition-filtered COUNT/MIN/MAX: the identity-partition filter
     // selects whole files, so per-file (and wholly-inside per-chunk) stats
     // are the exact answer — zero data I/O, straddling chunks load alone.

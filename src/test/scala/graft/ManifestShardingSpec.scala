@@ -194,6 +194,30 @@ class ManifestShardingSpec extends SparkSpec {
     assert(df2.collect().head.getLong(0) === 40L * FilesPerChunk * RowsPerFile)
   }
 
+  test("GROUP BY partition COUNT/MIN/MAX over 100k files: per-group fold, zero chunk loads") {
+    val root0 = tmpDir("graft-shardgrp")
+    val root = s"$root0/db/shard"
+    writeSyntheticPartitioned(root)
+    val cat = s"graft_shardg${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root0)
+    // every chunk is single-valued → the grouped fold must answer from
+    // chunk stats without loading ONE entry (data files don't exist, so a
+    // scan attempt fails loudly)
+    val df = spark.sql(s"SELECT event, COUNT(*) AS c, MIN(id) AS lo, MAX(id) AS hi " +
+      s"FROM $cat.db.shard GROUP BY event")
+    val (rows, loads) = loadsDuring(df.collect())
+    assert(loads === 0L, s"grouped fold loaded $loads chunks")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(rows.length === 10)
+    val m = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // value e3: chunks 3, 13, ..., 193 (20 chunks × 500 files × 100 rows)
+    assert(m("e3")._1 === 20L * FilesPerChunk * RowsPerFile)
+    assert(m("e3")._2 === 3L * FilesPerChunk * 100) // first file of chunk 3
+    assert(m("e0")._2 === 0L)
+    assert(m("e9")._3 === (199L * FilesPerChunk + FilesPerChunk - 1) * 100 + 99)
+  }
+
   test("entry-level metadata tables over 100k files: driver plans chunk refs, entries stream") {
     val root0 = tmpDir("graft-shardmeta")
     val root = s"$root0/db/shard"
