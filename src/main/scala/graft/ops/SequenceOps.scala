@@ -83,4 +83,28 @@ object SequenceOps {
       capacity: Long, numPartitions: Int = 0): DataFrame =
     prefixSum(df, orderCol, sizeCol, numPartitions)
       .withColumn("bin", expr(s"(cumsum - $sizeCol) div $capacity"))
+
+  /**
+   * Deterministic GLOBAL SHUFFLE into training shards — the "write shuffled
+   * shards" step every pretraining pipeline runs before packing: examples
+   * must reach the trainer in a fixed pseudo-random order that is
+   * reproducible run-to-run (md5 of the key, not Math.random) and
+   * restartable mid-epoch (shard + position addresses any example).
+   *
+   * Scale shape: `shard = md5(key) mod nShards` is a map-only column; the
+   * position is a window PARTITIONED BY shard (each shard sorts locally
+   * after one hash exchange) — never a global `ORDER BY` through a single
+   * reducer. 100 TB into 10k shards = 10k independent ~10 GB local sorts.
+   * Returns the input plus (shard, pos) — pos is 0-based within the shard,
+   * ordered by (hash, key); the hash is dropped (recomputable).
+   */
+  def globalShuffle(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = graft.ops.TextOps.md5Hash60(col(keyCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("_h")
+  }
 }

@@ -302,6 +302,42 @@ object SimilarityOps {
   }
 
   /**
+   * INT8 scalar-quantized top-k (the memory-bound ANN path): each vector is
+   * quantized to 256 levels over its own [min, max] range (the params
+   * `x3_quantization_params` computes — 4 bytes/dim → 1, the difference
+   * between an in-memory and a spilling index at 100 TB), and scoring runs
+   * on the DEQUANTIZED values (min + q·scale): integer levels × two doubles
+   * per vector, so the approximate scores are deterministic and
+   * engine-reproducible — the oracle rebuilds the same quantize→dequantize→
+   * score pipeline, not a tolerance comparison. Shape = [[cosineTopK]]
+   * (broadcast queries, one corpus scan); all-constant vectors (range 0)
+   * quantize to level 0 and dequantize to the constant.
+   */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def dq(df: DataFrame, id: String, out: String): DataFrame = {
+      val v = asDouble(col(vecCol))
+      df.select(col(idCol).as(id), v.as("_v"))
+        .withColumn("_mn", array_min(col("_v")))
+        .withColumn("_sc", (array_max(col("_v")) - array_min(col("_v"))) / lit(255.0))
+        .select(col(id), transform(col("_v"), x =>
+          col("_mn") + least(greatest(
+            when(col("_sc") === 0.0, lit(0.0))
+              .otherwise(floor((x - col("_mn")) / col("_sc"))), lit(0.0)), lit(255.0))
+            * col("_sc")).as(out))
+    }
+    val c = dq(corpus, "neighbor_id", "cv")
+    val q = dq(queries, "qid", "qv")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rnk"))
+  }
+
+  /**
    * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
    * web-scale through semantic deduplication"): SEMANTIC near-duplicate
    * pruning over an embedding column — the pass that removes

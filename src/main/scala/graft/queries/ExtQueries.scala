@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps, VariantOps}
+import graft.ops.{DedupOps, MultimodalOps, SequenceOps, SimilarityOps, TextOps, VariantOps}
 
 /**
  * [EXT] LLM-data-pipeline operators (SURVEY.md §2.11, X1–X6) registered as
@@ -101,6 +101,23 @@ object ExtQueries {
         .select("doc_id")
         .orderBy("doc_id"),
       Some("SELECT doc_id FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id")),
+
+    // X1: deterministic GLOBAL SHUFFLE into training shards — the "write
+    // shuffled shards" step before packing: md5-pseudorandom, reproducible
+    // run-to-run, restartable by (shard, pos). Scale shape: map-only shard
+    // id + shard-PARTITIONED window (local sorts after one hash exchange),
+    // never a global ORDER BY through one reducer.
+    Q("x1_global_shuffle",
+      (s, d) => SequenceOps.globalShuffle(
+        Tables.load(s, d, "documents").select("doc_id"), "doc_id", nShards = 16)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos"),
+      Some("""WITH h AS (SELECT doc_id,
+             |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+             |  FROM documents)
+             |SELECT doc_id, CAST(_h % 16 AS INT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY _h % 16 ORDER BY _h, doc_id) - 1 AS INT) AS pos
+             |FROM h ORDER BY shard, pos""".stripMargin)),
 
     // X1: per-source cap (corpus diversity — at most k docs per source/
     // domain; DedupOps.capPerGroup). Selection = first k by md5 hash order,
@@ -632,6 +649,33 @@ object ExtQueries {
              |  FROM p) AS t
              |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
       headline = true),
+
+    // X3: INT8 scalar-quantized top-k — the memory-bound ANN path (4
+    // bytes/dim → 1). Scores run on DEQUANTIZED levels (min + q·scale), so
+    // the approximation itself is deterministic: the oracle rebuilds the
+    // identical quantize→dequantize→score pipeline, no tolerance compare.
+    Q("x3_quantized_topk",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        SimilarityOps.quantizedTopK(e, e.filter(col("vec_id") < 8), k = 5)
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |dq AS (SELECT vec_id,
+             |         list_transform(v, x -> mn + least(greatest(
+             |           CASE WHEN sc = 0.0 THEN 0.0 ELSE floor((x - mn) / sc) END,
+             |           0.0), 255.0) * sc) AS v
+             |       FROM (SELECT vec_id, v, list_min(v) AS mn,
+             |               (list_max(v) - list_min(v)) / 255.0 AS sc FROM e)),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM dq WHERE vec_id < 8),
+             |p AS (SELECT q.qid, dq.vec_id,
+             |        list_dot_product(q.qv, dq.v) /
+             |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(dq.v, dq.v))) AS cos
+             |      FROM q, dq WHERE dq.vec_id <> q.qid)
+             |SELECT qid, vec_id AS neighbor_id, rnk FROM (
+             |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+             |  FROM p) AS t
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
     // X3: LSH-bucketed approximate top-k (the 100 TB path). The hyperplanes
     // are md5-derived (SimilarityOps.md5Planes), so the oracle REBUILDS the
