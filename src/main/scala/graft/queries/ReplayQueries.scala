@@ -1257,6 +1257,40 @@ object ReplayQueries {
            |       CAST(${m.map(_._1).max} AS BIGINT) AS hi""".stripMargin
       }),
 
+    // Per-partition metadata fold: GROUP BY the identity partition column +
+    // COUNT/MIN/MAX answers from per-file manifest stats — one row per live
+    // partition value, zero data I/O (a file holds exactly ONE value, so
+    // per-file stats are exact per group). The engine asserts the fold
+    // actually happened (LocalTableScan, no file scan).
+    Q("cdc_group_by_partition_sql",
+      (s, _) => {
+        val cat = s"graft_gp${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_gp").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        val df = s.sql(s"""SELECT event, COUNT(*) AS n, MIN(trans_id) AS lo,
+                                 MAX(trans_id) AS hi
+                           FROM $cat.db.retail GROUP BY event ORDER BY event""")
+        assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+          "grouped partition fold did not engage — plan scans data")
+        df
+      },
+      Some {
+        val by = CdcFixtures.expectedEndState.groupBy(_._3).toSeq.sortBy(_._1)
+        val rows = by.map { case (ev, es) =>
+          s"('$ev', CAST(${es.size} AS BIGINT), CAST(${es.map(_._1).min} AS BIGINT), " +
+            s"CAST(${es.map(_._1).max} AS BIGINT))"
+        }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, n, lo, hi) ORDER BY event""".stripMargin
+      }),
+
     // Iceberg `manifests` metadata-table parity: the chunked-manifest layer's
     // chunk refs (the "manifest list" view) — chunk stats only, no entry
     // loads. Chunk/file counts vary with shuffle parallelism, so the oracle
