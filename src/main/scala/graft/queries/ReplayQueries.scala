@@ -803,13 +803,58 @@ object ReplayQueries {
     // metadata; bytes vary per run so the oracle pins the invariant columns.
     Q("cdc_table_history",
       (s, _) => replay(s).history()
-        .select(col("version"), col("batch_id"), col("n_rows"))
+        .select(col("version"), col("batch_id"), col("operation"), col("n_rows"))
         .orderBy("version"),
       Some("""SELECT * FROM (VALUES
-             |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),
-             |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
-             |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(12 AS BIGINT))
-             |) AS t(version, batch_id, n_rows) ORDER BY version""".stripMargin)),
+             |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), 'create', CAST(0 AS BIGINT)),
+             |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'merge', CAST(10 AS BIGINT)),
+             |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'merge', CAST(12 AS BIGINT))
+             |) AS t(version, batch_id, operation, n_rows) ORDER BY version""".stripMargin)),
+
+    // Lineage-carrying changelog (Iceberg v3 changelog shape): the golden
+    // interval's diff with `_row_id` attached — an UPDATE surfaces as a
+    // delete+insert pair sharing ONE row id (update_pair=true certifies it:
+    // 2 rows, 1 distinct id), while deletes/inserts are unpaired. Consumers
+    // track identity across updates instead of re-keying.
+    Q("cdc_changes_lineage",
+      (s, _) => {
+        import s.implicits._
+        val root = Files.createTempDirectory("graft_chg_lineage").toString
+        val t = TransactionalTable.create(s, root, Cdc.tableSchema, Cdc.PrimaryKey,
+          Some(Cdc.PartitionColumn))
+        t.setRowLineage(true)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        val v1 = t.currentVersion
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        val d = t.changesWithLineage(v1, t.currentVersion)
+        val pairs = d.groupBy("trans_id").agg(
+          countDistinct(col("_row_id")).as("_n_rids"), count(lit(1)).as("_n"))
+        d.join(pairs, "trans_id")
+          .select(col("trans_id"), col("_change_type"), col("amount"),
+            (col("_n_rids") === 1 && col("_n") === 2).as("update_pair"))
+          .orderBy("trans_id", "_change_type")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(6 AS BIGINT),  'delete', CAST(1 AS INT),  false),
+             |  (CAST(19 AS BIGINT), 'delete', CAST(1 AS INT),  true),
+             |  (CAST(19 AS BIGINT), 'insert', CAST(39 AS INT), true),
+             |  (CAST(21 AS BIGINT), 'delete', CAST(77 AS INT), true),
+             |  (CAST(21 AS BIGINT), 'insert', CAST(60 AS INT), true),
+             |  (CAST(23 AS BIGINT), 'delete', CAST(60 AS INT), false),
+             |  (CAST(24 AS BIGINT), 'delete', CAST(1 AS INT),  true),
+             |  (CAST(24 AS BIGINT), 'insert', CAST(42 AS INT), true),
+             |  (CAST(30 AS BIGINT), 'delete', CAST(14 AS INT), true),
+             |  (CAST(30 AS BIGINT), 'insert', CAST(67 AS INT), true),
+             |  (CAST(33 AS BIGINT), 'delete', CAST(78 AS INT), false),
+             |  (CAST(35 AS BIGINT), 'delete', CAST(1 AS INT),  true),
+             |  (CAST(35 AS BIGINT), 'insert', CAST(85 AS INT), true),
+             |  (CAST(37 AS BIGINT), 'insert', CAST(1 AS INT),  false),
+             |  (CAST(38 AS BIGINT), 'insert', CAST(1 AS INT),  false),
+             |  (CAST(41 AS BIGINT), 'insert', CAST(5 AS INT),  false),
+             |  (CAST(43 AS BIGINT), 'insert', CAST(1 AS INT),  false),
+             |  (CAST(47 AS BIGINT), 'insert', CAST(1 AS INT),  false)
+             |) AS t(trans_id, _change_type, amount, update_pair)
+             |ORDER BY trans_id, _change_type""".stripMargin)),
 
     // SCD2 type-2 history maintenance (the non-destructive twin of the
     // reference's MERGE sink): the golden CDC replay lands every key's FULL
@@ -860,6 +905,34 @@ object ReplayQueries {
              |  (CAST(47 AS BIGINT), CAST(1 AS INT),  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true)
              |) AS t(trans_id, amount, valid_from, valid_to, is_current)
              |ORDER BY trans_id, valid_from""".stripMargin)),
+
+    // TRUNCATE TABLE: a metadata-only empty-state commit (no write job) —
+    // pre-truncate snapshots stay time-travelable, the history stamps the
+    // operation, and the table is immediately writable again. Oracle: only
+    // the post-truncate wave survives.
+    Q("cdc_sql_truncate",
+      (s, d) => {
+        val cat = s"graft_tr${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_tr").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        Tables.registerViews(s, d)
+        s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, user_id BIGINT, " +
+          "value DOUBLE) TBLPROPERTIES('pk'='event_id')")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT event_id, user_id, value " +
+          "FROM events WHERE event_id % 5 = 0")
+        s.sql(s"TRUNCATE TABLE $cat.db.ev")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT event_id, user_id, value " +
+          "FROM events WHERE event_id % 7 = 0")
+        val ops = s.sql(s"SELECT operation FROM $cat.db.ev.history ORDER BY version")
+          .collect().map(_.getString(0)).toSeq
+        assert(ops.contains("truncate") && ops.last == "append",
+          s"unexpected history operations: $ops")
+        s.sql(s"SELECT event_id, user_id, value FROM $cat.db.ev ORDER BY event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_id % 7 = 0 ORDER BY event_id""".stripMargin)),
 
     // Column DEFAULT values (Iceberg v3): initial-default (pre-add files
     // serve the ADD-time constant — the parquet reader distinguishes column
@@ -1141,13 +1214,14 @@ object ReplayQueries {
           Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
         CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
         CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
-        s.sql(s"SELECT version, batch_id, n_rows FROM $cat.db.retail.history ORDER BY version")
+        s.sql(s"SELECT version, batch_id, operation, n_rows " +
+          s"FROM $cat.db.retail.history ORDER BY version")
       },
       Some("""SELECT * FROM (VALUES
-             |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),
-             |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
-             |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(12 AS BIGINT))
-             |) AS t(version, batch_id, n_rows) ORDER BY version""".stripMargin)),
+             |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), 'create', CAST(0 AS BIGINT)),
+             |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'merge', CAST(10 AS BIGINT)),
+             |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'merge', CAST(12 AS BIGINT))
+             |) AS t(version, batch_id, operation, n_rows) ORDER BY version""".stripMargin)),
 
     Q("cdc_metadata_files_sql",
       (s, _) => {

@@ -314,6 +314,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     Option(properties.get("row.lineage"))
       .foreach(v => t.setRowLineage(java.lang.Boolean.parseBoolean(v)))
+    properties.asScala.foreach { case (k, v) =>
+      if (k.startsWith(GraftCatalog.ParquetBloomPrefix))
+        t.setParquetBloom(k.stripPrefix(GraftCatalog.ParquetBloomPrefix),
+          java.lang.Boolean.parseBoolean(v))
+    }
     loadTable(ident)
   }
 
@@ -395,6 +400,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // TBLPROPERTIES('row.lineage'='true') — one-way, see setRowLineage.
       case sp: TableChange.SetProperty if sp.property() == "row.lineage" =>
         t.setRowLineage(java.lang.Boolean.parseBoolean(sp.value()))
+      // Per-column parquet bloom filters (Iceberg property name):
+      // ALTER TABLE t SET TBLPROPERTIES(
+      //   'write.parquet.bloom-filter-enabled.column.<col>'='true|false')
+      case sp: TableChange.SetProperty
+          if sp.property().startsWith(GraftCatalog.ParquetBloomPrefix) =>
+        t.setParquetBloom(sp.property().stripPrefix(GraftCatalog.ParquetBloomPrefix),
+          java.lang.Boolean.parseBoolean(sp.value()))
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other " +
@@ -492,6 +504,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 }
 
 object GraftCatalog {
+  /** Iceberg per-column parquet bloom-filter property prefix. */
+  private[sql] val ParquetBloomPrefix = "write.parquet.bloom-filter-enabled.column."
+
   /** TBLPROPERTY name → engine row-level op, for the per-operation write
     * strategy properties (Iceberg write.<op>.mode parity). */
   private[sql] val RowLevelModeProps: Map[String, String] = Map(
@@ -656,6 +671,8 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
       if (mode != "copy-on-write") m.put(prop, mode)
     }
     if (t.rowLineageEnabled) m.put("row.lineage", "true")
+    t.parquetBloomCols.foreach(c =>
+      m.put(s"${GraftCatalog.ParquetBloomPrefix}$c", "true"))
     m
   }
 

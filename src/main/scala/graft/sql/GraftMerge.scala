@@ -97,6 +97,11 @@ final case class GraftOverwriteCommand(root: String, source: LogicalPlan,
     copy(source = newChild)
 }
 
+/** `TRUNCATE TABLE` — metadata-only empty-state commit (see
+  * TransactionalTable.truncate). */
+final case class GraftTruncateCommand(root: String)
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafCommand
+
 /** `CREATE TABLE graft.db.t AS SELECT ...` — create through the catalog, then
   * one transactional append of the query result (non-atomic CTAS like Spark's
   * own non-staging path, but the data lands via the engine's manifest commit). */
@@ -507,15 +512,11 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => o
       }
 
-    // TRUNCATE TABLE: a full overwrite with an empty source — one commit,
-    // the pre-truncate snapshot stays time-travelable.
+    // TRUNCATE TABLE: a METADATA-ONLY empty-state commit (no empty write
+    // job) — data files stay for time travel, history stamps 'truncate'.
     case tr @ TruncateTable(rt: org.apache.spark.sql.catalyst.analysis.ResolvedTable) =>
       rt.table match {
-        case g: GraftSqlTable =>
-          GraftOverwriteCommand(g.root,
-            LocalRelation(
-              org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(g.schema())),
-            None, dynamic = false)
+        case g: GraftSqlTable => GraftTruncateCommand(g.root)
         case _ => tr
       }
 
@@ -761,6 +762,14 @@ final case class GraftOverwriteExec(cmd: GraftOverwriteCommand) extends LeafExec
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
 }
 
+final case class GraftTruncateExec(cmd: GraftTruncateCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit =
+    TransactionalTable.open(session, cmd.root).truncate()
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
 final case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
   override def output: Seq[Attribute] = Nil
   override def executeCollect(): Array[InternalRow] = { run; Array.empty }
@@ -814,6 +823,8 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
       GraftAppendExec(cmd) :: Nil
     case cmd: GraftOverwriteCommand =>
       GraftOverwriteExec(cmd) :: Nil
+    case cmd: GraftTruncateCommand =>
+      GraftTruncateExec(cmd) :: Nil
     case cmd: GraftCtasCommand =>
       GraftCtasExec(cmd) :: Nil
     case cmd: GraftRtasCommand =>

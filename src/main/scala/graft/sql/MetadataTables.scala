@@ -30,6 +30,8 @@ object MetadataTables {
 
   private val historySchema = StructType(Seq(
     StructField("version", LongType), StructField("batch_id", LongType),
+    // Iceberg snapshot-summary `operation` parity (merge/append/compact/…)
+    StructField("operation", StringType),
     StructField("n_files", LongType), StructField("n_rows", LongType),
     StructField("n_bytes", LongType), StructField("committed_at_ms", LongType),
     // Iceberg snapshot-summary parity: per-commit churn vs the previous
@@ -183,7 +185,8 @@ object MetadataTables {
               (added.size.toLong, added.map(_.rows).sum,
                 removed.size.toLong, removed.map(_.rows).sum)
             }
-          Array[Any](s.version, s.batchId, s.files.size.toLong,
+          Array[Any](s.version, s.batchId, t.operationOf(s.version).orNull,
+            s.files.size.toLong,
             s.rowCount, totalBytes(s.files), s.committedAtMs,
             addedN, addedRows, removedN, removedRows, s.deletes.size.toLong)
         }

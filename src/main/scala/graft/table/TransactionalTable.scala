@@ -654,7 +654,26 @@ final class TransactionalTable private (
    * rewritten slice — cancel via EXCEPT ALL over the changed slice only, so a
    * downstream consumer pays for the churn, not the table.
    */
-  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+  def changes(fromVersion: Long, toVersion: Long): DataFrame =
+    changesInternal(fromVersion, toVersion, withLineage = false)
+
+  /** [[changes]] carrying ROW LINEAGE (Iceberg v3 changelog shape): every
+    * diff row adds `_row_id` / `_last_updated_seq`, so an UPDATE surfaces as
+    * a delete+insert pair sharing the SAME `_row_id` — downstream consumers
+    * track row identity across updates instead of re-keying. Sound because
+    * maintenance rewrites MATERIALIZE lineage: a compaction-only interval's
+    * carried rows agree on (data, id, stamp) on both sides and cancel in the
+    * EXCEPT ALL exactly as without lineage. Requires [[setRowLineage]]. */
+  def changesWithLineage(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(rowLineageEnabled,
+      s"row lineage is not enabled on $root (ALTER TABLE ... SET TBLPROPERTIES('row.lineage'='true'))")
+    changesInternal(fromVersion, toVersion, withLineage = true)
+      .withColumnRenamed("_rid", "_row_id")
+      .withColumnRenamed("_lseq", "_last_updated_seq")
+  }
+
+  private def changesInternal(fromVersion: Long, toVersion: Long,
+      withLineage: Boolean): DataFrame = {
     require(fromVersion <= toVersion,
       s"changes: fromVersion $fromVersion must be <= toVersion $toVersion")
     val fromSnap = snapshotAt(fromVersion)
@@ -715,10 +734,22 @@ final class TransactionalTable private (
           mf.loadWhere(keep).filter(f => !addedPaths.contains(f.path) && touched(f))
         case sq => sq.filter(f => !addedPaths.contains(f.path) && touched(f))
       }
-    val before = scanWithDeletes(removed ++ affectedCarried, fromSnap.deletes, sch)
-    val after = scanWithDeletes(added ++ affectedCarried, toSnap.deletes, sch)
+    val before = scanWithDeletes(removed ++ affectedCarried, fromSnap.deletes, sch,
+      withLineage = withLineage)
+    val after = scanWithDeletes(added ++ affectedCarried, toSnap.deletes, sch,
+      withLineage = withLineage)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
+  /** `TRUNCATE TABLE` (SQL metadata-only truncation): one commit with an
+    * empty file list and no deletes — data files stay on disk for time
+    * travel (snapshot expiry reclaims them), the replay fence is untouched
+    * (truncation is an operator action, not a stream epoch). */
+  def truncate(): Unit = synchronized {
+    retryingCommit("truncate") { snap =>
+      commit(Snapshot(snap.version + 1, snap.batchId, Seq.empty, Seq.empty))
+    }
   }
 
   /**
@@ -1227,10 +1258,23 @@ final class TransactionalTable private (
           (added.size.toLong, added.map(_.rows).sum,
             removed.size.toLong, removed.map(_.rows).sum)
         }
-      (s.version, s.batchId, s.files.size.toLong, s.rowCount, bytes,
+      (s.version, s.batchId, operationOf(s.version).orNull,
+        s.files.size.toLong, s.rowCount, bytes,
         addedN, addedRows, removedN, removedRows, s.deletes.size.toLong)
-    }.toDF("version", "batch_id", "n_files", "n_rows", "n_bytes",
+    }.toDF("version", "batch_id", "operation", "n_files", "n_rows", "n_bytes",
       "added_files", "added_rows", "removed_files", "removed_rows", "n_delete_files")
+  }
+
+  /** Snapshot-summary OPERATION of a committed version (Iceberg snapshot
+    * summary parity — merge/append/compact/rollback/…); None for manifests
+    * written before the stamp existed. */
+  def operationOf(version: Long): Option[String] = {
+    val p = manifestDir.resolve(s"v$version.json")
+    if (!Files.exists(p)) None
+    else {
+      val n = mapper.readTree(Files.readAllBytes(p))
+      if (n.has("op")) Some(n.get("op").asText()) else None
+    }
   }
 
   /**
@@ -1301,8 +1345,10 @@ final class TransactionalTable private (
         // re-read the parent manifest (every mutation path builds its new
         // Snapshot without fences; inheritance happens at commit).
         pendingParentFences = Some(snap.writerFences)
+        pendingOp = Some(opName) // snapshot-summary operation stamp
         try { body(snap); done = true }
         finally {
+          pendingOp = None
           pendingParentFences = None
           // A commit can throw BEFORE planChunks consumes the chunk hint
           // (the version pre-check, the CREATE_NEW race) — a hint left over
@@ -2004,6 +2050,39 @@ final class TransactionalTable private (
     }
   }
 
+  /** Iceberg `write.parquet.bloom-filter-enabled.column.<col>` parity:
+    * every future data-file write emits a PARQUET-level bloom filter for
+    * `colName` (`parquet.bloom.filter.enabled#col` writer option) — row-group
+    * point-lookup skipping on NON-key columns, below the manifest layer (the
+    * engine's own manifest blooms cover the PK; this covers everything
+    * else, e.g. a UUID request-id probed by support tooling). Metadata-only:
+    * existing files are unaffected until rewritten. */
+  def setParquetBloom(colName: String, on: Boolean): Unit = synchronized {
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"bloom-filter column '$colName' not in table schema")
+    updateTableMeta { m =>
+      val cur = if (m.has("parquetBloomCols"))
+        m.get("parquetBloomCols").elements().asScala.map(_.asText()).toVector
+      else Vector.empty
+      val next =
+        if (on) (cur :+ colName).distinct
+        else cur.filterNot(_.equalsIgnoreCase(colName))
+      m.remove("parquetBloomCols")
+      if (next.nonEmpty) { val a = m.putArray("parquetBloomCols"); next.foreach(a.add) }
+    }
+  }
+
+  /** Columns with parquet bloom filters enabled (see [[setParquetBloom]]). */
+  def parquetBloomCols: Seq[String] = {
+    val p = Paths.get(root, "_table.json")
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val meta = mapper.readTree(Files.readAllBytes(p))
+      if (!meta.has("parquetBloomCols")) Seq.empty
+      else meta.get("parquetBloomCols").elements().asScala.map(_.asText()).toSeq
+    }
+  }
+
   /** Read-modify-atomic-rewrite of `_table.json` for writer-behavior
     * properties (orthogonal to schema/partition metadata, which own their
     * own rewrite path and carry these keys forward). */
@@ -2289,7 +2368,11 @@ final class TransactionalTable private (
       case n if n > 0 => writer.option("maxRecordsPerFile", n)
       case _ => writer
     }
-    capped.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
+    // Parquet-level bloom filters on declared columns (see setParquetBloom):
+    // row-group point-lookup skipping below the manifest layer.
+    val bloomed0 = parquetBloomCols.foldLeft(capped)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    bloomed0.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
     if (!Files.isDirectory(outDir)) return Seq.empty
     val parts = Files.walk(outDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
@@ -2868,6 +2951,13 @@ final class TransactionalTable private (
     * against the fresh snapshot and re-reserves. */
   private var pendingNextRowId: Option[Long] = None
 
+  /** Snapshot-summary OPERATION stamp (Iceberg snapshot summary parity):
+    * the mutation entry point's name (merge/append/compact/rollback/…), set
+    * by retryingCommit from the label it already carries and written into
+    * the manifest — the first thing an operator greps when a table's
+    * history needs explaining. */
+  private var pendingOp: Option[String] = None
+
   /** Set by [[rewriteManifests]]: skip parent-chunk reuse entirely and
     * repack every file into full-sized, stat-carrying chunks. */
   private var pendingRepack: Boolean = false
@@ -2993,6 +3083,7 @@ final class TransactionalTable private (
     // of discarded rows are never reused). Monotone by max().
     val nrid = math.max(pendingNrid.getOrElse(0L), nextRowIdOf(s.version - 1))
     if (nrid > 0) node.put("nextRowId", nrid)
+    pendingOp.foreach(op => node.put("op", op))
     // Commit-time schema stamp: time travel reads each version under the
     // schema it was written with (schemaAt), so DROP COLUMN cannot rewrite
     // history.
@@ -3135,7 +3226,8 @@ object TransactionalTable {
     // (graft.sql.GraftCatalog) and tools can open the table from its path
     // alone (what Iceberg keeps in table metadata files).
     writeTableMeta(root, schema, pk, partition)
-    t.commit(Snapshot(0L, -1L, Seq.empty))
+    t.pendingOp = Some("create")
+    try t.commit(Snapshot(0L, -1L, Seq.empty)) finally t.pendingOp = None
     t
   }
 

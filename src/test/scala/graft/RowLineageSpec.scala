@@ -132,6 +132,37 @@ class RowLineageSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.scanLineage())
   }
 
+  test("changesWithLineage: update = delete+insert pair sharing _row_id; compaction diffs empty") {
+    val t = fresh("ttable-lineage-cdc")
+    t.merge(up(1L -> "a", 2L -> "b", 3L -> "c"), noDels, batchId = 0)
+    val v1 = t.currentVersion
+    t.merge(up(2L -> "B", 9L -> "new"), Seq(3L).toDF("id"), batchId = 1)
+    val v2 = t.currentVersion
+    val d = t.changesWithLineage(v1, v2)
+      .select($"id", $"v", $"_row_id", $"_last_updated_seq", $"_change_type")
+      .as[(Long, String, Long, Long, String)].collect().toSet
+    val ridOf = rows(t) // post-change ids
+    val rid2 = ridOf(2L)._1
+    // the UPDATE of key 2: both sides of the pair carry the SAME row id
+    assert(d.filter(_._1 == 2L).map(r => (r._3, r._5)) ===
+      Set((rid2, "insert"), (rid2, "delete")))
+    assert(d.filter(_._1 == 2L).map(r => (r._2, r._5)) ===
+      Set(("b", "delete"), ("B", "insert")))
+    // the DELETE of key 3 surfaces its old identity once
+    assert(d.filter(_._1 == 3L).map(_._5) === Set("delete"))
+    // the INSERT of key 9 carries its fresh id and the new stamp
+    val ins9 = d.filter(_._1 == 9L)
+    assert(ins9.map(_._5) === Set("insert") && ins9.head._4 === v2)
+    // carried key 1 cancels (same data, id, stamp on both sides)
+    assert(!d.exists(_._1 == 1L))
+    // a compaction-only interval diffs to ZERO rows under lineage — the
+    // reason maintenance rewrites materialize ids
+    t.compact(minFileRows = 1000L)
+    assert(t.changesWithLineage(v2, t.currentVersion).count() === 0L)
+    // lineage-less twin still works and a lineage-less table refuses
+    assert(t.changes(v1, v2).count() === d.size)
+  }
+
   test("SQL surface: TBLPROPERTIES at CREATE, db.t.lineage table, time travel") {
     val cat = s"graft_rl${System.nanoTime()}"
     val warehouse = tmpDir("graft-rl-wh")
