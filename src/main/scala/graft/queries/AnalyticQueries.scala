@@ -257,6 +257,17 @@ object AnalyticQueries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
 
+    // Explicit GROUPING SETS with grouping() disambiguation (a stored NULL
+    // key vs a rolled-up one — the part CUBE/ROLLUP shorthand hides).
+    sqlQ("x7_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
     // HAVING over a grouped aggregate.
     sqlQ("x7_having",
       """SELECT o_custkey, COUNT(*) AS n_orders FROM orders

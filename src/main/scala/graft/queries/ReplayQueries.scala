@@ -906,6 +906,29 @@ object ReplayQueries {
              |) AS t(trans_id, amount, valid_from, valid_to, is_current)
              |ORDER BY trans_id, valid_from""".stripMargin)),
 
+    // FunctionCatalog md5_60 (SQL surface for the engine's deterministic
+    // hash kernel): SQL users reproduce every hash-gated decision — mod
+    // samples, shard ids, fingerprints — without the Scala API. The magic
+    // `invoke` keeps it codegen-inlined. Oracle: DuckDB's md5 chain.
+    Q("cdc_sql_md5_60",
+      (s, d) => {
+        val cat = s"graft_h${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_h").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        Tables.registerViews(s, d)
+        s.sql(s"""SELECT doc_id, $cat.db.md5_60(CAST(doc_id AS STRING)) AS h
+                  FROM documents
+                  WHERE $cat.db.md5_60(CAST(doc_id AS STRING)) % 10 = 3
+                  ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |FROM documents
+             |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 3
+             |ORDER BY doc_id""".stripMargin)),
+
     // TRUNCATE TABLE: a metadata-only empty-state commit (no write job) —
     // pre-truncate snapshots stay time-travelable, the history stamps the
     // operation, and the table is immediately writable again. Oracle: only

@@ -82,9 +82,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   // FunctionCatalog (storage-partitioned joins): Spark resolves the table's
   // bucket(n, col) transform here to decide scan co-partitioning.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array(Identifier.of(namespace, "bucket"), Identifier.of(namespace, "md5_60"))
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else if (ident.name().equalsIgnoreCase("md5_60")) GraftMd560Function
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // ---------------------------------------------------------------------

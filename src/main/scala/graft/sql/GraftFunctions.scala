@@ -29,6 +29,39 @@ object GraftBucketFunction extends UnboundFunction {
   }
 }
 
+/** SQL-callable `md5_60(str)` — the engine's deterministic sampling/
+  * sharding/fingerprint hash (graft.functions.Md5Hash60), exposed through
+  * the FunctionCatalog so SQL users can REPRODUCE every hash-gated decision
+  * (mod samples, shard ids, dedup fingerprints) without the engine API:
+  * `SELECT graft.system.md5_60(doc_id_str)`. The magic `invoke` method lets
+  * Spark inline the call in codegen (no InternalRow boxing per row). */
+object GraftMd560Function extends UnboundFunction {
+  override def name(): String = "md5_60"
+  override def description(): String =
+    "md5_60(str): first 60 bits of md5(str) as a non-negative BIGINT — " +
+      "the engine's deterministic sampling/sharding hash"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == org.apache.spark.sql.types.StringType,
+      s"md5_60 expects (string), got ${inputType.catalogString}")
+    GraftMd560Bound
+  }
+}
+
+case object GraftMd560Bound extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] =
+    Array(org.apache.spark.sql.types.StringType)
+  override def resultType(): DataType = org.apache.spark.sql.types.LongType
+  override def name(): String = "md5_60"
+  override def canonicalName(): String = "graft.md5_60(string)"
+  override def isResultNullable: Boolean = false
+  /** Codegen magic method (ScalarFunction.MAGIC_METHOD_NAME). */
+  def invoke(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    graft.functions.Md5Hash60.hash(s)
+  override def produceResult(input: InternalRow): java.lang.Long =
+    invoke(input.getUTF8String(0))
+}
+
 final case class GraftBucketBound(colType: DataType)
     extends ScalarFunction[java.lang.Integer] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
