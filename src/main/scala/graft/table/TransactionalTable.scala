@@ -597,12 +597,22 @@ final class TransactionalTable private (
     * committed before lineage was enabled have no base and resolve NULL. */
   private def computedLineage(data: DataFrame, files: Seq[DataFile]): DataFrame = {
     import org.apache.spark.sql.types.{StructField, LongType, StringType}
+    // _metadata.file_path (_gfile) is a URI: scheme-prefixed AND
+    // percent-ENCODED (a space is "%20"). Stripping the scheme on the scan
+    // side handles the prefix; encoding is handled on the BROADCAST side by
+    // keying each manifest file under both its plain path and its
+    // URI-raw-encoded form (java.net.URI — the same encoder Spark's file
+    // metadata uses), deduped so an ASCII-only path never joins twice.
+    // Decoding the column instead would need url_decode, which corrupts
+    // literal '+' in paths.
     val rows: java.util.List[org.apache.spark.sql.Row] =
-      files.map(f => org.apache.spark.sql.Row(
-        f.path, f.firstRowId.map(Long.box).orNull)).asJava
+      files.flatMap { f =>
+        val enc = try Paths.get(f.path).toUri.getRawPath catch { case _: Exception => f.path }
+        Set(f.path, enc).map(k =>
+          org.apache.spark.sql.Row(k, f.firstRowId.map(Long.box).orNull))
+      }.asJava
     val fdf = spark.createDataFrame(rows, StructType(Seq(
       StructField("_lf_path", StringType), StructField("_lf_frid", LongType))))
-    // _metadata.file_path (_gfile) is a URI; manifest paths are plain.
     val plainFile = when(col("_gfile").startsWith("file:"),
       regexp_replace(col("_gfile"), "^file:/*", "/")).otherwise(col("_gfile"))
     data.join(broadcast(fdf), plainFile === col("_lf_path"), "left")
@@ -1357,6 +1367,10 @@ final class TransactionalTable private (
           pendingChunkHint = None
           pendingRepack = false
           pendingReplaceStamp = false
+          // Same leak shape for the row-id reservation: an exception between
+          // writeDataFiles (which set it) and commit() (which consumes it)
+          // must not advance an unrelated commit's high-water mark.
+          pendingNextRowId = None
         }
       }
       catch {
@@ -1913,7 +1927,9 @@ final class TransactionalTable private (
   }
 
   /** Current write-distribution mode (see [[setWriteDistribution]]). */
-  def writeDistribution: String = TransactionalTable.readWriteDistribution(root)
+  def writeDistribution: String =
+    tableMeta.filter(_.has("writeDistribution"))
+      .map(_.get("writeDistribution").asText()).getOrElse("none")
 
   /** Iceberg `write.merge.mode` / `write.delete.mode` / `write.update.mode`
     * parity: the physical MERGE strategy each SQL row-level statement uses.
@@ -1938,17 +1954,36 @@ final class TransactionalTable private (
   def rowLevelMode(op: String): MergeMode =
     TransactionalTable.parseMergeModeName(rowLevelModeName(op))
 
+  /** (mtime, size)-validated cache of the parsed `_table.json`. The writer-
+    * behavior flags (rowLineageEnabled, parquetBloomCols, sortOrder, write
+    * modes, …) are consulted on every scan/merge/compaction/write, and
+    * re-reading + JSON-parsing the file per call put repeated driver-side
+    * file I/O on hot paths for values that change only via explicit ALTER.
+    * One stat() validates the cache; any ALTER rewrites the file atomically
+    * (new mtime/size), so other handles observe it on their next call. */
+  @volatile private var metaCache:
+      (java.nio.file.attribute.FileTime, Long, com.fasterxml.jackson.databind.JsonNode) = null
+  private def tableMeta: Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = Paths.get(root, "_table.json")
+    try {
+      val mt = Files.getLastModifiedTime(p)
+      val sz = Files.size(p)
+      val c = metaCache
+      if (c != null && c._1 == mt && c._2 == sz) Some(c._3)
+      else {
+        val node = mapper.readTree(Files.readAllBytes(p))
+        metaCache = (mt, sz, node)
+        Some(node)
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** The stored SQL-facing mode name for `op` (`copy-on-write` when unset). */
   def rowLevelModeName(op: String): String = {
     require(TransactionalTable.RowLevelOps(op),
       s"row-level op must be merge|delete|update, got '$op'")
-    val p = Paths.get(root, "_table.json")
-    if (!Files.exists(p)) "copy-on-write"
-    else {
-      val meta = mapper.readTree(Files.readAllBytes(p))
-      val key = TransactionalTable.rowLevelKey(op)
-      if (meta.has(key)) meta.get(key).asText() else "copy-on-write"
-    }
+    val key = TransactionalTable.rowLevelKey(op)
+    tableMeta.filter(_.has(key)).map(_.get(key).asText()).getOrElse("copy-on-write")
   }
 
   /** Iceberg v3 ROW LINEAGE switch (`TBLPROPERTIES('row.lineage'='true')`):
@@ -1956,23 +1991,43 @@ final class TransactionalTable private (
     * and each new data file gets a contiguous `firstRowId` range, so every
     * row has a stable `_row_id` (inherited as firstRowId + ordinal unless a
     * rewrite materialized it) and a `_last_updated_seq` (the commit sequence
-    * that last changed the row). Enabling is a metadata-only upgrade — files
-    * committed before it read NULL ids, exactly Iceberg's v2→v3 posture.
-    * Turning it off again is refused: readers may have recorded ids. */
+    * that last changed the row).
+    *
+    * Enabling on a non-empty table runs ONE metadata-only upgrade commit
+    * that assigns every EXISTING file its `firstRowId` range (Iceberg's v3
+    * upgrade posture): pre-upgrade rows acquire ids at enable time. This is
+    * what keeps the inheritance read sound — after the upgrade, a NULL
+    * materialized `_rid` in a rewritten file can only mean "row new to that
+    * file, inherit firstRowId + ordinal"; without it, a compaction of
+    * pre-upgrade rows would materialize NULL ids that the coalesce then
+    * silently re-invents as fresh ids (spurious changelog churn). The
+    * upgrade loads + repacks the full manifest — O(files) metadata, once.
+    * Turning lineage off again is refused: readers may have recorded ids. */
   def setRowLineage(on: Boolean): Unit = synchronized {
     require(on || !rowLineageEnabled,
       "row.lineage cannot be disabled once enabled (recorded row ids would dangle)")
+    if (on && !rowLineageEnabled && Files.exists(pointerPath)
+        && snapshot.files.nonEmpty) {
+      retryingCommit("enableLineage") { snap =>
+        var next = nextRowIdOf(snap.version)
+        val assigned = snap.files.toIndexedSeq.sortBy(_.path).map { f =>
+          if (f.firstRowId.isDefined) f
+          else { val g = f.copy(firstRowId = Some(next)); next += f.rows; g }
+        }
+        pendingNextRowId = Some(next)
+        // Full repack: the hint-free chunk planner reuses parent chunks by
+        // path identity, which would silently drop the new firstRowId fields.
+        pendingRepack = true
+        try commit(Snapshot(snap.version + 1, snap.batchId, assigned, snap.deletes))
+        finally pendingRepack = false
+      }
+    }
     updateTableMeta(_.put("rowLineage", on))
   }
 
   /** True when this table assigns + serves row lineage (see [[setRowLineage]]). */
-  def rowLineageEnabled: Boolean = {
-    val p = Paths.get(root, "_table.json")
-    Files.exists(p) && {
-      val meta = mapper.readTree(Files.readAllBytes(p))
-      meta.has("rowLineage") && meta.get("rowLineage").asBoolean()
-    }
-  }
+  def rowLineageEnabled: Boolean =
+    tableMeta.exists(m => m.has("rowLineage") && m.get("rowLineage").asBoolean())
 
   /** Target file size as a row cap (Iceberg `write.target-file-size-bytes`
     * in the engine's stat currency, rows): every data-file write rolls to a
@@ -2009,14 +2064,8 @@ final class TransactionalTable private (
   }
 
   /** Current write sort-order spec; empty = default PK clustering. */
-  def sortOrder: String = {
-    val p = Paths.get(root, "_table.json")
-    if (!Files.exists(p)) ""
-    else {
-      val meta = mapper.readTree(Files.readAllBytes(p))
-      if (meta.has("sortOrder")) meta.get("sortOrder").asText() else ""
-    }
-  }
+  def sortOrder: String =
+    tableMeta.filter(_.has("sortOrder")).map(_.get("sortOrder").asText()).getOrElse("")
 
   /** `"col [asc|desc], ..."` → sort Columns, validated against the schema.
     * `lenient` (the WRITE path) drops terms whose column left the schema
@@ -2041,14 +2090,9 @@ final class TransactionalTable private (
     }
 
   /** Current per-file row cap; 0 = uncapped (see [[setMaxRecordsPerFile]]). */
-  def maxRecordsPerFile: Long = {
-    val p = Paths.get(root, "_table.json")
-    if (!Files.exists(p)) 0L
-    else {
-      val meta = mapper.readTree(Files.readAllBytes(p))
-      if (meta.has("maxRecordsPerFile")) meta.get("maxRecordsPerFile").asLong() else 0L
-    }
-  }
+  def maxRecordsPerFile: Long =
+    tableMeta.filter(_.has("maxRecordsPerFile"))
+      .map(_.get("maxRecordsPerFile").asLong()).getOrElse(0L)
 
   /** Iceberg `write.parquet.bloom-filter-enabled.column.<col>` parity:
     * every future data-file write emits a PARQUET-level bloom filter for
@@ -2073,15 +2117,10 @@ final class TransactionalTable private (
   }
 
   /** Columns with parquet bloom filters enabled (see [[setParquetBloom]]). */
-  def parquetBloomCols: Seq[String] = {
-    val p = Paths.get(root, "_table.json")
-    if (!Files.exists(p)) Seq.empty
-    else {
-      val meta = mapper.readTree(Files.readAllBytes(p))
-      if (!meta.has("parquetBloomCols")) Seq.empty
-      else meta.get("parquetBloomCols").elements().asScala.map(_.asText()).toSeq
-    }
-  }
+  def parquetBloomCols: Seq[String] =
+    tableMeta.filter(_.has("parquetBloomCols"))
+      .map(_.get("parquetBloomCols").elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq.empty)
 
   /** Read-modify-atomic-rewrite of `_table.json` for writer-behavior
     * properties (orthogonal to schema/partition metadata, which own their

@@ -100,17 +100,43 @@ class RowLineageSpec extends SparkSpec {
     assert(rows(t) === preFold, "foldDeletes changed lineage")
   }
 
-  test("pre-lineage files read NULL ids; enabling is a metadata-only upgrade") {
+  test("enable on a non-empty table assigns ids to existing rows (v3 upgrade commit)") {
     val t = TransactionalTable.create(spark, tmpDir("ttable-latelineage"), sch, "id")
     t.merge(up(1L -> "a"), noDels, batchId = 0)
+    val vPre = t.currentVersion
     t.setRowLineage(true)
+    // the upgrade is ONE metadata-only commit (no data file written)
+    assert(t.currentVersion === vPre + 1, "upgrade did not commit exactly once")
     t.merge(up(2L -> "b"), noDels, batchId = 1)
     val m = t.scanLineage().select($"id", $"_row_id")
       .as[(Long, Option[Long])].collect().toMap
-    assert(m(1L).isEmpty, "pre-upgrade row invented an id")
-    assert(m(2L).isDefined)
+    assert(m(1L).contains(0L), "pre-upgrade row not assigned an id at enable time")
+    assert(m(2L).isDefined && m(2L) != m(1L))
     // disabling again is refused — readers may have recorded ids
     intercept[IllegalArgumentException](t.setRowLineage(false))
+  }
+
+  test("rewrites of pre-upgrade rows preserve their upgrade-assigned ids") {
+    // Regression: before the upgrade commit existed, a compaction/CoW of
+    // pre-lineage rows materialized NULL ids which the inheritance read then
+    // re-invented as firstRowId + ordinal — unstable identity + spurious
+    // changelog churn. With enable-time assignment, ids survive any rewrite.
+    val t = TransactionalTable.create(spark, tmpDir("ttable-upgrade-rw"), sch, "id")
+    t.merge(up(1L -> "a", 2L -> "b"), noDels, batchId = 0)
+    t.merge(up(3L -> "c"), noDels, batchId = 1)
+    t.setRowLineage(true)
+    val assigned = rows(t)
+    assert(assigned.values.map(_._1).toSeq.sorted === (0L until 3L))
+    val vUp = t.currentVersion
+    t.compact(minFileRows = 1000L)
+    assert(rows(t) === assigned, "compaction changed upgrade-assigned ids")
+    // a compaction-only interval after the upgrade diffs to ZERO under lineage
+    assert(t.changesWithLineage(vUp, t.currentVersion).count() === 0L)
+    // CoW update of a pre-upgrade row keeps its id
+    t.merge(up(2L -> "B!"), noDels, batchId = 2)
+    val after = rows(t)
+    assert(after(2L)._1 === assigned(2L)._1, "CoW update changed a pre-upgrade row's id")
+    assert(after(1L) === assigned(1L) && after(3L) === assigned(3L))
   }
 
   test("time travel reads lineage as of the old snapshot") {
