@@ -1104,6 +1104,47 @@ object ReplayQueries {
            |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
       }),
 
+    // Metadata-only DELETE for partition-covering predicates (Iceberg
+    // `canDeleteWhere` parity): `DELETE WHERE event_type IN (...)` on an
+    // identity-partitioned table drops the covered files as a pure metadata
+    // commit — asserted inline: zero data files written, history op
+    // 'delete', pre-delete snapshot still time-travelable. Oracle: the
+    // complement rows.
+    Q("cdc_sql_delete_partition",
+      (s, d) => {
+        val cat = s"graft_ddp${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_ddp").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        s.sql(s"""CREATE TABLE $cat.db.ev
+                  (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+                  PARTITIONED BY (event_type) TBLPROPERTIES ('pk'='event_id')""")
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("ev_src_ddp")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src_ddp")
+        val t = TransactionalTable.open(s, s"$warehouse/db/ev")
+        val before = t.snapshot.files.map(_.path).toSet
+        val vBefore = t.currentVersion
+        s.sql(s"DELETE FROM $cat.db.ev WHERE event_type IN ('error', 'signup')")
+        val after = TransactionalTable.open(s, s"$warehouse/db/ev")
+        assert(after.snapshot.files.map(_.path).toSet.subsetOf(before),
+          "partition DELETE must not write data files")
+        assert(after.operationOf(after.currentVersion).contains("delete"),
+          "history must stamp the delete")
+        assert(s.sql(s"SELECT count(*) FROM $cat.db.ev VERSION AS OF $vBefore")
+          .collect().head.getLong(0) > after.countRows,
+          "pre-delete snapshot must stay time-travelable")
+        s.sql(s"""SELECT event_type, COUNT(*) AS n,
+                    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+                  FROM $cat.db.ev GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+             |FROM events WHERE event_type NOT IN ('error', 'signup')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("cdc_sql_update_where",
       (s, _) => {
         val cat = s"graft_uw${System.nanoTime()}"

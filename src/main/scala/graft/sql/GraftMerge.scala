@@ -102,6 +102,24 @@ final case class GraftOverwriteCommand(root: String, source: LogicalPlan,
 final case class GraftTruncateCommand(root: String)
   extends org.apache.spark.sql.catalyst.plans.logical.LeafCommand
 
+/** `DELETE FROM t WHERE <partition membership>` (Iceberg `canDeleteWhere`
+  * parity): the predicate was classified as EXACT identity-partition
+  * membership (`values`), so the exec first attempts a METADATA-ONLY
+  * file-drop commit — no scan, no write job. When the table's snapshot
+  * turns out not metadata-decidable (files predating the current partition
+  * spec), it falls back to the ordinary key-scan + delete merge over
+  * `source` (the same `Project(pk, Filter(cond, target))` the generic
+  * DELETE lowers to). */
+final case class GraftDeleteWhereCommand(
+    root: String,
+    values: Seq[String],
+    source: LogicalPlan,
+    pk: String) extends UnaryCommand {
+  override def child: LogicalPlan = source
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftDeleteWhereCommand =
+    copy(source = newChild)
+}
+
 /** `CREATE TABLE graft.db.t AS SELECT ...` — create through the catalog, then
   * one transactional append of the query result (non-atomic CTAS like Spark's
   * own non-staging path, but the data lands via the engine's manifest commit). */
@@ -155,6 +173,42 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
+  }
+
+  /** Iceberg `canDeleteWhere` classification: Some(partition values) when
+    * `cond` is EXACTLY partition membership under the table's IDENTITY
+    * transform — a single equality or IN on the partition source column with
+    * foldable non-null values — so `DELETE FROM t WHERE cond` covers whole
+    * files and can commit as a metadata-only file drop. Only identity
+    * qualifies: under days/bucket/…, equality on the SOURCE column covers a
+    * strict subset of the derived partition's rows. Conservative by
+    * construction — extra conjuncts, other columns, null literals,
+    * non-identity transforms all return None and pay the ordinary merge. */
+  private def partitionDeleteValues(g: GraftSqlTable,
+      cond: Expression): Option[Seq[String]] = {
+    val desc = g.partSpec.map(_.desc).filter(_.kind == "identity")
+      .getOrElse(return None)
+    def litOf(e: Expression): Option[(Any, org.apache.spark.sql.types.DataType)] =
+      e match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal => Some((l.value, l.dataType))
+        case c if c.foldable => Some((c.eval(null), c.dataType))
+        case _ => None
+      }
+    def valueOf(v: (Any, org.apache.spark.sql.types.DataType)): Option[String] =
+      if (v._1 == null) None // `pcol = NULL` matches no row; merge handles it
+      else org.apache.spark.sql.graftshim.PartitionPrune.valueOf(desc, v._1, v._2)
+    def isPCol(a: Attribute): Boolean = a.name.equalsIgnoreCase(desc.col)
+    cond match {
+      case EqualTo(a: Attribute, r) if isPCol(a) =>
+        litOf(r).flatMap(valueOf).map(Seq(_))
+      case EqualTo(l, a: Attribute) if isPCol(a) =>
+        litOf(l).flatMap(valueOf).map(Seq(_))
+      case org.apache.spark.sql.catalyst.expressions.In(a: Attribute, vs)
+          if isPCol(a) && vs.nonEmpty =>
+        val mapped = vs.map(v => litOf(v).flatMap(valueOf))
+        if (mapped.forall(_.isDefined)) Some(mapped.map(_.get).distinct) else None
+      case _ => None
+    }
   }
 
   /** PK-equality condition: `t.pk = s.pk` for single keys, a pure
@@ -540,8 +594,15 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val pkAttrs = t.pkCols.map(c =>
             target.output.find(_.name.equalsIgnoreCase(c)).getOrElse(
               throw new IllegalStateException(s"pk $c not in ${target.output}")))
-          GraftMergeCommand(g.root, Project(pkAttrs, Filter(cond, target)),
-            isDelete = true, t.pk, op = "delete")
+          val mergeSrc = Project(pkAttrs, Filter(cond, target))
+          partitionDeleteValues(g, cond) match {
+            // Iceberg canDeleteWhere: the predicate IS partition membership —
+            // the exec drops fully-covered files as a metadata-only commit,
+            // with `mergeSrc` as the not-decidable fallback.
+            case Some(vals) => GraftDeleteWhereCommand(g.root, vals, mergeSrc, t.pk)
+            case None =>
+              GraftMergeCommand(g.root, mergeSrc, isDelete = true, t.pk, op = "delete")
+          }
         case None => d
       }
 
@@ -770,6 +831,27 @@ final case class GraftTruncateExec(cmd: GraftTruncateCommand) extends LeafExecNo
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
 }
 
+final case class GraftDeleteWhereExec(cmd: GraftDeleteWhereCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run; Array.empty }
+  private lazy val run: Unit = {
+    val t = TransactionalTable.open(session, cmd.root)
+    // Metadata-only file drop; None = this snapshot has files whose
+    // membership isn't metadata-decidable (pre-evolution spec) — fall back
+    // to the ordinary key-scan + delete merge, exactly GraftMergeExec's
+    // delete path (snapshot-pinned source, per-op write mode).
+    if (t.deletePartitions(cmd.values.toSet).isEmpty) {
+      val src = org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.source)
+      val empty = session.createDataFrame(
+        session.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+      t.mergeAdhoc(empty, src.select(t.pkCols.map(col): _*),
+        t.rowLevelMode("delete"),
+        expectedVersion = GraftWriteValidation.selfReadVersion(cmd.source, cmd.root))
+    }
+  }
+  override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
+}
+
 final case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
   override def output: Seq[Attribute] = Nil
   override def executeCollect(): Array[InternalRow] = { run; Array.empty }
@@ -825,6 +907,8 @@ class GraftMergeStrategy(spark: SparkSession) extends SparkStrategy {
       GraftOverwriteExec(cmd) :: Nil
     case cmd: GraftTruncateCommand =>
       GraftTruncateExec(cmd) :: Nil
+    case cmd: GraftDeleteWhereCommand =>
+      GraftDeleteWhereExec(cmd) :: Nil
     case cmd: GraftCtasCommand =>
       GraftCtasExec(cmd) :: Nil
     case cmd: GraftRtasCommand =>

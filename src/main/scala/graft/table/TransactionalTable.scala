@@ -763,6 +763,60 @@ final class TransactionalTable private (
   }
 
   /**
+   * Metadata-only DELETE for a partition-covering predicate (Iceberg
+   * `canDeleteWhere`/`deleteWhere` parity): drop every data file whose
+   * IDENTITY partition value is in `values` as a PURE metadata commit — no
+   * scan, no write job. On a 100 TB table, dropping a day's partition is
+   * O(touched manifest chunks), not a rewrite job: chunk partition-value
+   * lists let untouched chunks ride by reference, exactly like a merge's
+   * carried files. Data files stay on disk for time travel; positional/DV
+   * delete artifacts that targeted a dropped file are dropped with it
+   * (equality deletes may still mask carried files and are kept).
+   *
+   * Returns Some(files dropped) on success, or None when membership is NOT
+   * decidable from metadata alone — some candidate file predates the
+   * current partition spec (partition evolution: its rows' membership is
+   * unknown without reading them) or carries no partition value — in which
+   * case the caller falls back to the key-scan + merge path. The decision
+   * is made against the SAME snapshot the commit applies to, inside the
+   * optimistic-retry loop.
+   */
+  def deletePartitions(values: Set[String]): Option[Long] = synchronized {
+    require(partitionSpec.isDefined, "deletePartitions requires a partitioned table")
+    var result: Option[Long] = None
+    retryingCommit("delete") { snap =>
+      // Chunk-level triage: a chunk with a recorded partition list under the
+      // current spec that misses every value provably contains no matching
+      // file; everything else loads (O(touched chunks), cache-hot JSON).
+      val dirtyTest: ChunkRef => Boolean = c =>
+        !(c.specId.contains(currentSpecId) &&
+          c.partitions.exists(ps => !ps.exists(values)))
+      val touched: Seq[DataFile] = snap.files match {
+        case m: ManifestFiles => m.loadWhere(dirtyTest)
+        case s => s
+      }
+      if (touched.exists(f => f.specId != currentSpecId || f.partition.isEmpty)) {
+        result = None // straddling/evolved files: not metadata-decidable
+      } else {
+        val removed = touched.filter(_.partition.exists(values))
+        if (removed.isEmpty) result = Some(0L) // nothing matches: no-op, no commit
+        else {
+          val removedPaths = removed.map(_.path).toSet
+          val carried = snap.files match {
+            case m: ManifestFiles => m.withoutLazy(removedPaths, dirtyTest)
+            case s => s.filterNot(f => removedPaths.contains(f.path))
+          }
+          pendingChunkHint = Some((removed, Seq.empty))
+          commit(Snapshot(snap.version + 1, snap.batchId, carried,
+            snap.deletes.filterNot(d => d.target.exists(removedPaths))))
+          result = Some(removed.length.toLong)
+        }
+      }
+    }
+    result
+  }
+
+  /**
    * Iceberg `cherrypick_snapshot` parity, generalized to any commit shape:
    * re-apply ONE version's net row-level delta onto the CURRENT head as a
    * fresh commit — the redo half of rollback (roll back past a bad commit,

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.table.TransactionalTable
+
+/** Metadata-only DELETE for partition-covering predicates (Iceberg
+  * `canDeleteWhere` parity): `DELETE FROM t WHERE pcol = v` on an
+  * identity-partitioned table drops the covered files as a pure metadata
+  * commit — no scan, no write job — and falls back to the key-scan + merge
+  * for any predicate that does not exactly cover files. */
+class DeleteWhereSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCat(): (String, String) = {
+    n += 1
+    val cat = s"graft_dw$n"
+    val w = tmpDir(s"graft-dw$n-warehouse")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    Files.createDirectories(Paths.get(s"$w/db"))
+    (cat, w)
+  }
+
+  private def mkEvents(cat: String): Unit = {
+    spark.sql(
+      s"""CREATE TABLE $cat.db.ev (id BIGINT, event STRING, val INT)
+         |PARTITIONED BY (event) TBLPROPERTIES ('pk'='id')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.db.ev VALUES
+         |  (1, 'view', 10), (2, 'view', 20),
+         |  (3, 'click', 30), (4, 'click', 40),
+         |  (5, 'error', 50), (6, 'error', 60)""".stripMargin)
+  }
+
+  private def dataFilePaths(root: String): Set[String] =
+    TransactionalTable.open(spark, root).snapshot.files.map(_.path).toSet
+
+  test("partition-equality DELETE is a metadata-only file drop") {
+    val (cat, w) = freshCat()
+    mkEvents(cat)
+    val root = s"$w/db/ev"
+    val before = dataFilePaths(root)
+    val vBefore = TransactionalTable.open(spark, root).currentVersion
+
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE event = 'error'")
+
+    val t = TransactionalTable.open(spark, root)
+    // exactly one commit, stamped 'delete'
+    assert(t.currentVersion === vBefore + 1)
+    assert(t.operationOf(t.currentVersion).contains("delete"))
+    // ZERO data files written: the new snapshot is a subset of the old one
+    val after = dataFilePaths(root)
+    assert(after.subsetOf(before), "metadata-only DELETE wrote a data file")
+    assert((before -- after).nonEmpty, "no file was dropped")
+    // rows gone, others intact
+    assert(spark.sql(s"SELECT id FROM $cat.db.ev ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L))
+    // time travel intact: dropped files remain on disk for the old snapshot
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.ev VERSION AS OF $vBefore").as[Long].head() === 6L)
+  }
+
+  test("destroyed-file proof: the covered partition is never scanned") {
+    // The strongest form of "no scan, no write job": physically destroy the
+    // to-be-dropped partition's parquet before the DELETE. Any scan-based
+    // plan fails; the metadata-only drop cannot notice.
+    val (cat, w) = freshCat()
+    mkEvents(cat)
+    val root = s"$w/db/ev"
+    TransactionalTable.open(spark, root).snapshot.files
+      .filter(_.partition.contains("error"))
+      .foreach(f => Files.delete(Paths.get(f.path)))
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE event = 'error'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ev").as[Long].head() === 4L)
+  }
+
+  test("IN-list DELETE drops multiple partitions metadata-only") {
+    val (cat, w) = freshCat()
+    mkEvents(cat)
+    val root = s"$w/db/ev"
+    val before = dataFilePaths(root)
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE event IN ('click', 'error')")
+    assert(dataFilePaths(root).subsetOf(before))
+    assert(spark.sql(s"SELECT id FROM $cat.db.ev ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+  }
+
+  test("straddling predicate falls back to the key-scan merge") {
+    val (cat, w) = freshCat()
+    mkEvents(cat)
+    val root = s"$w/db/ev"
+    // covers only PART of the 'view' partition — must NOT drop whole files
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE event = 'view' AND val > 15")
+    val t = TransactionalTable.open(spark, root)
+    // the fallback is observable in the op stamp: the merge path commits as
+    // 'mergeAdhoc', the metadata-only drop as 'delete'
+    assert(t.operationOf(t.currentVersion).contains("mergeAdhoc"),
+      "straddling DELETE should have taken the merge path")
+    assert(spark.sql(s"SELECT id FROM $cat.db.ev ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 4L, 5L, 6L))
+    // the surviving same-partition row is untouched (file-level delete would
+    // have removed id=1 with its partition)
+    assert(spark.sql(s"SELECT val FROM $cat.db.ev WHERE event = 'view'")
+      .as[Int].collect().toSeq === Seq(10))
+    // non-partition-column predicate also merges
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE val = 30")
+    assert(spark.sql(s"SELECT id FROM $cat.db.ev ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("non-identity transform never takes the metadata path") {
+    val (cat, w) = freshCat()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.tev (id BIGINT, ts TIMESTAMP, val INT)
+         |PARTITIONED BY (days(ts)) TBLPROPERTIES ('pk'='id')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.db.tev VALUES
+         |  (1, TIMESTAMP '2024-01-01 01:00:00', 10),
+         |  (2, TIMESTAMP '2024-01-01 23:00:00', 20),
+         |  (3, TIMESTAMP '2024-01-02 01:00:00', 30)""".stripMargin)
+    // ts-equality covers a strict subset of the day partition's rows — the
+    // classifier must send it to the merge, deleting exactly one row
+    spark.sql(
+      s"DELETE FROM $cat.db.tev WHERE ts = TIMESTAMP '2024-01-01 01:00:00'")
+    assert(spark.sql(s"SELECT id FROM $cat.db.tev ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L, 3L))
+  }
+
+  test("deletePartitions API: not metadata-decidable under partition evolution") {
+    // files written under an older spec may contain matching rows — the
+    // metadata path must refuse (None) and leave the table untouched
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event",
+        org.apache.spark.sql.types.StringType)))
+    val t0 = TransactionalTable.create(spark, tmpDir("ttable-dw-evolve"), sch, "id")
+    t0.append(Seq((1L, "view"), (2L, "error")).toDF("id", "event"))
+    val t = t0.evolvePartitioning(
+      Some(graft.table.PartitionTransform.Identity("event")))
+    t.append(Seq((3L, "error")).toDF("id", "event"))
+    val vBefore = t.currentVersion
+    assert(t.deletePartitions(Set("error")).isEmpty,
+      "old-spec files are not metadata-decidable")
+    assert(t.currentVersion === vBefore, "refused drop must not commit")
+    // after compaction migrates every file to the current spec, it works
+    t.compact(minFileRows = 1000L)
+    assert(t.deletePartitions(Set("error")).contains(1L))
+    assert(t.scan().select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+}
