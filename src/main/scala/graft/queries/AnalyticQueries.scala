@@ -268,6 +268,44 @@ object AnalyticQueries {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
 
+    // PIVOT (Catalyst-native long→wide): per-priority order counts spread
+    // across status columns. Dialects differ (DuckDB's PIVOT is its own
+    // syntax), so the oracle states the same relation as FILTERed counts;
+    // COALESCE pins absent (priority, status) cells to 0 on both engines
+    // (Spark's pivot yields NULL for empty groups, DuckDB's count 0).
+    Q("x7_pivot",
+      (s, d) => { Tables.registerViews(s, d); s.sql(
+        """SELECT priority, COALESCE(f, 0) AS f, COALESCE(o, 0) AS o,
+          |  COALESCE(p, 0) AS p
+          |FROM (SELECT o_orderpriority AS priority, o_orderstatus AS status
+          |      FROM orders)
+          |PIVOT (COUNT(*) FOR status IN ('F' AS f, 'O' AS o, 'P' AS p))
+          |ORDER BY priority""".stripMargin) },
+      Some("""SELECT o_orderpriority AS priority,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+             |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+             |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY priority""".stripMargin)),
+
+    // UNPIVOT (wide→long): two customer measures stacked into (metric, val)
+    // rows — the inverse reshape, map-only at any scale. Oracle: the same
+    // relation as a UNION ALL (DuckDB's UNPIVOT syntax differs).
+    Q("x7_unpivot",
+      (s, d) => { Tables.registerViews(s, d); s.sql(
+        """SELECT c_custkey, metric, val
+          |FROM (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+          |        CAST(c_custkey % 7 AS DOUBLE) AS code
+          |      FROM customer)
+          |UNPIVOT (val FOR metric IN (acctbal, code))
+          |ORDER BY c_custkey, metric""".stripMargin) },
+      Some("""SELECT c_custkey, 'acctbal' AS metric,
+             |  CAST(c_acctbal AS DOUBLE) AS val FROM customer
+             |UNION ALL
+             |SELECT c_custkey, 'code' AS metric,
+             |  CAST(c_custkey % 7 AS DOUBLE) AS val FROM customer
+             |ORDER BY c_custkey, metric""".stripMargin)),
+
     // HAVING over a grouped aggregate.
     sqlQ("x7_having",
       """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
