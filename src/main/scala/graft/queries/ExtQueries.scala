@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, MultimodalOps, SequenceOps, SimilarityOps, TextOps, VariantOps}
+import graft.ops.{AnnIndex, DedupOps, MultimodalOps, SequenceOps, SimilarityOps, TextOps, VariantOps}
 
 /**
  * [EXT] LLM-data-pipeline operators (SURVEY.md §2.11, X1–X6) registered as
@@ -728,6 +728,52 @@ object ExtQueries {
              |seeds AS (SELECT vec_id FROM seeds0
              |          UNION ALL
              |          SELECT vec_id FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16) f
+             |          WHERE (SELECT COUNT(*) FROM seeds0) = 0),
+             |cent AS (SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cell, e.v AS cv
+             |         FROM seeds s JOIN e ON e.vec_id = s.vec_id),
+             |asg AS (SELECT vec_id, cell FROM (
+             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+             |          FROM e, cent c) z WHERE rn = 1),
+             |pr AS (SELECT vec_id AS qid, cell FROM (
+             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+             |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 4),
+             |sc AS (SELECT pr.qid, a.vec_id AS nid, list_dot_product(qe.v, ae.v) AS cos
+             |       FROM pr JOIN asg a ON a.cell = pr.cell
+             |       JOIN e qe ON qe.vec_id = pr.qid JOIN e ae ON ae.vec_id = a.vec_id
+             |       WHERE a.vec_id <> pr.qid)
+             |SELECT qid, nid AS neighbor_id, rnk FROM (
+             |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM sc) z
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+    // X3: PERSISTENT ANN index (AnnIndex — the similarity twin of the dedup
+    // index): frozen md5-seeded centroids + partitioned assignment table
+    // built across THREE replay-fenced incremental batches with compaction
+    // cadence, then a partition-pruned probe. Deterministic end-to-end, so
+    // the oracle rebuilds the whole flow — batch-0 seed choice → frozen
+    // centroids → assignment → probe cells → in-cell exact scoring — and
+    // hash-matches the approximate answer itself.
+    Q("x3_ann_index",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val root = java.nio.file.Files.createTempDirectory("graft_ann_index")
+          .toString + "/idx"
+        val h = AnnIndex.create(s, root, e.filter(col("vec_id") % 3 === 0),
+          cells = 16)
+        (0 until 3).foreach(b => AnnIndex.appendBatch(h,
+          e.filter(col("vec_id") % 3 === b), batchId = b, compactEvery = 2))
+        AnnIndex.probe(AnnIndex.open(s, root), e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 4).orderBy("qid", "rnk")
+      },
+      Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+             |e AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e0),
+             |b0 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+             |nn AS (SELECT COUNT(*) AS n FROM b0),
+             |seeds0 AS (SELECT vec_id FROM b0, nn
+             |           WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % GREATEST(1, n // 16) = 0
+             |           ORDER BY vec_id LIMIT 16),
+             |seeds AS (SELECT vec_id FROM seeds0
+             |          UNION ALL
+             |          SELECT vec_id FROM (SELECT vec_id FROM b0 ORDER BY vec_id LIMIT 16) f
              |          WHERE (SELECT COUNT(*) FROM seeds0) = 0),
              |cent AS (SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cell, e.v AS cv
              |         FROM seeds s JOIN e ON e.vec_id = s.vec_id),
