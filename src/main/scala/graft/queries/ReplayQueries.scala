@@ -618,6 +618,63 @@ object ReplayQueries {
            |ORDER BY trans_id, _change_type""".stripMargin
       }),
 
+    // CHANGELOG STREAMING SOURCE (`option("mode","cdc")` — Delta CDF /
+    // Iceberg changelog-scan parity, the STREAMED form of the incremental
+    // read above): a graft-table readStream in cdc mode consumes the golden
+    // replay's scenario-2 interval as a micro-batch of insert/delete images.
+    // Same hand-derived oracle as cdc_incremental_read — the streamed batch
+    // must equal the batch changelog exactly. (Fixture-scale driver collect:
+    // the stream's sink gathers ≤18 golden rows for re-emission as a query
+    // result; production consumers keep the rows distributed.)
+    Q("cdc_stream_changes",
+      (s, _) => {
+        import s.implicits._
+        val t = replay(s) // v1 = scenario1, v2 = scenario2
+        val root = t.root
+        val ckpt = Files.createTempDirectory("graft_stream_changes_ckpt").toString
+        val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, String, String, String, Int, String, String, String)]()
+        val q = s.readStream.format("graft-table").option("path", root)
+          .option("mode", "cdc").option("startingVersion", "1")
+          .load().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            df.select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+              col("amount"), col("device"),
+              date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss"),
+              col("_change_type")).collect().foreach(r =>
+                acc.add((r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+                  r.getInt(4), r.getString(5), r.getString(6), r.getString(7))))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(120000), "cdc stream did not drain in time")
+        import scala.jdk.CollectionConverters._
+        acc.iterator().asScala.toSeq
+          .toDF("trans_id", "customer_id", "event", "sku", "amount", "device",
+            "trans_datetime", "_change_type")
+          .orderBy("trans_id", "_change_type")
+      },
+      Some {
+        val endByKey = CdcFixtures.expectedEndState.map(r => r._1 -> r).toMap
+        val v1ByKey = CdcFixtures.expectedStateV1.map(r => r._1 -> r).toMap
+        val dels = CdcFixtures.expectedStateV1
+          .filter(r => !endByKey.get(r._1).contains(r)).map(r => (r, "delete"))
+        val ins = CdcFixtures.expectedEndState
+          .filter(r => !v1ByKey.get(r._1).contains(r)).map(r => (r, "insert"))
+        val rows = (dels ++ ins)
+          .sortBy { case ((id, _, _, _, _, _, _), ct) => (id, ct) }
+          .map { case ((id, cust, ev, sku, amt, dev, dt), ct) =>
+            s"(CAST($id AS BIGINT), '$cust', '$ev', '$sku', $amt, '$dev', '$dt', '$ct')"
+          }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime,
+           |       _change_type)
+           |ORDER BY trans_id, _change_type""".stripMargin
+      }),
+
     // Changelog at fixture scale (sf-scalable, relational oracle): batch 0
     // loads every event, batch 1 doubles value for event_id%5=0 ∧ %7≠0 and
     // deletes event_id%7=0; changes(v1, v2) must be exactly the update pairs
@@ -1144,6 +1201,42 @@ object ReplayQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
              |FROM events WHERE event_type NOT IN ('error', 'signup')
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // STORED VARIANT column + shredding (Iceberg v3): CREATE TABLE (v
+    // VARIANT) with a declared hot path, INSERT parse_json'd event props,
+    // row-level DELETE (the CoW rewrite must keep the shred invariant), then
+    // read the typed path from the SHREDDED side-columns — asserted inline
+    // to never touch the variant binary (parquet ReadSchema prunes to the
+    // typed column). Oracle: DuckDB's json_extract over the same source.
+    Q("cdc_variant_column",
+      (s, d) => {
+        val cat = s"graft_var${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_var").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        Tables.registerViews(s, d)
+        s.sql(s"""CREATE TABLE $cat.db.ev (event_id BIGINT, v VARIANT)
+                  TBLPROPERTIES('pk'='event_id', 'variant.shred.v'='k:$$.k:bigint')""")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT event_id, parse_json(props) " +
+          "FROM events WHERE event_id % 5 = 0")
+        s.sql(s"DELETE FROM $cat.db.ev WHERE event_id % 10 = 0")
+        val t = TransactionalTable.open(s, s"$warehouse/db/ev")
+        val sh = t.scanShredded("v")
+        val plan = sh.queryExecution.executedPlan.toString
+        assert(plan.contains("_sh_v_k") && !plan.contains("v#"),
+          s"shredded scan must read the typed side-column only:\n$plan")
+        // the typed-get over the binary and the shredded read must agree
+        val viaBinary = s.sql(s"SELECT event_id, variant_get(v, '$$.k', 'bigint') " +
+          s"AS k FROM $cat.db.ev").collect().map(r => (r.getLong(0), r.get(1))).toSet
+        assert(sh.collect().map(r => (r.getLong(0), r.get(1))).toSet == viaBinary,
+          "shredded side-columns diverge from the variant binary")
+        sh.orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events WHERE event_id % 5 = 0 AND event_id % 10 <> 0
+             |ORDER BY event_id""".stripMargin)),
 
     Q("cdc_sql_update_where",
       (s, _) => {

@@ -23,6 +23,7 @@ import graft.table.TransactionalTable
  *     .option("path", tableRoot)
  *     [.option("startingVersion", 0)]        // default: the version at start
  *     [.option("skipNonAppends", true)]      // default: fail on rewrites
+ *     [.option("mode", "cdc")]               // changelog rows, not appends
  *     .load()
  *
  * A micro-batch source whose OFFSETS ARE TABLE VERSIONS: each micro-batch is
@@ -36,6 +37,20 @@ import graft.table.TransactionalTable
  * `skipNonAppends=true` (Iceberg's streaming-skip-overwrite-snapshots).
  * Restart resumes from the checkpointed version offset; replays are exact
  * because manifests and data files are immutable.
+ *
+ * CHANGELOG MODE (`option("mode", "cdc")` — Delta CDF / Iceberg
+ * changelog-scan parity, the streamed form of `TransactionalTable.changes`):
+ * each micro-batch emits the interval's NET row-level diff as the table
+ * schema plus `_change_type` ('insert' | 'delete') — an update is the
+ * delete of the old image plus the insert of the new one, a compaction-only
+ * interval diffs to zero rows, and rewrites/MOR deletes are first-class
+ * instead of fail-or-skip. When the table has ROW LINEAGE enabled, every
+ * diff row additionally carries `_row_id`/`_last_updated_seq`, so the
+ * update pair shares ONE stable id (changesWithLineage's batch shape,
+ * streamed). The per-batch diff is computed with the chunk-identity
+ * machinery (O(churn) metadata + changed-file reads, never O(table)) and
+ * spilled under the stream's checkpoint scratch so executor task retries
+ * replay the exact batch; spills are dropped on offset commit.
  */
 final class GraftTableSource extends TableProvider with DataSourceRegister
   with org.apache.spark.sql.sources.StreamSinkProvider {
@@ -46,8 +61,12 @@ final class GraftTableSource extends TableProvider with DataSourceRegister
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-table source requires .option(\"path\", tableRoot)"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TransactionalTable.open(SparkSession.active, rootOf(options)).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val t = TransactionalTable.open(SparkSession.active, rootOf(options))
+    if (Option(options.get("mode")).contains("cdc"))
+      GraftTableSource.cdcSchema(t.schema, t.rowLineageEnabled)
+    else t.schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -105,6 +124,18 @@ final class GraftTableSource extends TableProvider with DataSourceRegister
     require(!(mode == "append" && p.contains("deletecol")),
       "deleteCol requires mode=merge (append mode has no delete routing)")
     new GraftTableSink(root, mode, mergeMode, p.get("deletecol"), p.get("writerid"))
+  }
+}
+
+private[sources] object GraftTableSource {
+  /** Changelog-mode read schema: the table's columns plus `_change_type`,
+    * plus the lineage pair when the table assigns row lineage. */
+  def cdcSchema(sch: StructType, lineage: Boolean): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val base = StructType(sch.fields :+ StructField("_change_type", StringType))
+    if (!lineage) base
+    else StructType(base.fields ++ Seq(
+      StructField("_row_id", LongType), StructField("_last_updated_seq", LongType)))
   }
 }
 
@@ -184,7 +215,9 @@ private[sources] final class GraftStreamTable(root: String, tableSchema: StructT
         new GraftTableMicroBatchStream(root, tableSchema,
           Option(options.get("startingVersion")).map(_.toLong),
           options.getBoolean("skipNonAppends", false),
-          Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+          Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+          cdcMode = Option(options.get("mode")).contains("cdc"),
+          checkpointLocation = checkpointLocation)
     }
 }
 
@@ -202,7 +235,11 @@ private[sources] final class GraftTableMicroBatchStream(
       * bounds each catch-up micro-batch to N commits' worth of files — and
       * therefore bounds batch memory — when resuming against a deep backlog.
       * None = drain to the tip every trigger. */
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    /** Changelog mode: micro-batches are the interval's net insert/delete
+      * images (plus lineage ids when enabled), not appended files. */
+    cdcMode: Boolean = false,
+    checkpointLocation: String = "")
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -260,7 +297,34 @@ private[sources] final class GraftTableMicroBatchStream(
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.trim.toLong)
 
-  override def commit(end: Offset): Unit = ()
+  /** The checkpoint location as a local path (Spark hands it over as a
+    * `file:` URI; java.nio would treat that as a relative name). */
+  private def cdcSpillRoot: java.nio.file.Path = {
+    val p = if (checkpointLocation.startsWith("file:"))
+      new java.net.URI(checkpointLocation).getPath
+    else checkpointLocation
+    java.nio.file.Paths.get(p, "_graft_cdc")
+  }
+
+  /** Offset commit: in cdc mode, drop the spilled diff batches whose end
+    * version is consumed — the checkpoint scratch stays bounded by in-flight
+    * batches, not stream lifetime. */
+  override def commit(end: Offset): Unit = if (cdcMode) {
+    val e = end.asInstanceOf[VersionOffset].version
+    val dir = cdcSpillRoot
+    if (java.nio.file.Files.isDirectory(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala.toSeq.foreach { p =>
+        // spill dirs are "<s>_<e>"; crashed writes leave "<s>_<e>.tmpN"
+        p.getFileName.toString.split("_") match {
+          case Array(_, hi) if scala.util.Try(hi.split("\\.")(0).toLong)
+              .toOption.exists(_ <= e) =>
+            graft.util.Fs.deleteRecursively(p)
+          case _ => ()
+        }
+      }
+    }
+  }
   override def stop(): Unit = ()
 
   /** The inner per-interval batch (built in planInputPartitions, whose
@@ -293,6 +357,7 @@ private[sources] final class GraftTableMicroBatchStream(
               "it — the offset has effectively been expired; restart with a " +
               "fresh checkpoint (or retain more snapshots)"))
       }
+    if (cdcMode) return planCdcBatch(t, baseline, e)
     val versions = baseline +: (s + 1 to e).filter(v => t.manifestExists(v))
     val added = versions.sliding(2).collect { case Seq(p, v) =>
       val prev = t.snapshotAt(p); val cur = t.snapshotAt(v)
@@ -325,6 +390,49 @@ private[sources] final class GraftTableMicroBatchStream(
     }.flatten.toSeq
     val entries = added.map(f => org.apache.spark.sql.graftshim.ManifestEntry(
       f.path, f.partition, f.pkMin, f.pkMax, f.bytes, f.stats, f.bloom, rows = f.rows))
+    currentBatch = org.apache.spark.sql.graftshim.ManifestFileIndex
+      .scanBuilder(spark, tableSchema, entries, t.pk, CaseInsensitiveStringMap.empty(),
+        t.pkIsString)
+      .build().toBatch
+    currentBatch.planInputPartitions()
+  }
+
+  /** Changelog micro-batch: the interval's NET diff via the chunk-identity
+    * changelog (O(churn) metadata + changed-file reads), selected into the
+    * augmented read schema and spilled under the checkpoint scratch —
+    * executor task retries re-read the identical batch instead of
+    * re-running the diff, and a restarted driver re-plans it idempotently
+    * (overwrite). Spills are dropped on offset commit. */
+  private def planCdcBatch(t: TransactionalTable, s: Long,
+      e: Long): Array[InputPartition] = {
+    import org.apache.spark.sql.functions.col
+    val dir = cdcSpillRoot.resolve(s"${s}_$e")
+    // WRITE-ONCE spill with an atomic publish: Spark may re-plan the same
+    // interval (query re-analysis, restarts) while a prior plan's tasks are
+    // still reading — an in-place overwrite would orphan their file list
+    // mid-read. A published interval is reused verbatim (the diff is
+    // deterministic for fixed versions: manifests and data are immutable).
+    if (s < e && !java.nio.file.Files.isDirectory(dir)) {
+      val diff = if (t.rowLineageEnabled) t.changesWithLineage(s, e) else t.changes(s, e)
+      val tmp = dir.resolveSibling(s"${dir.getFileName}.tmp${System.nanoTime()}")
+      diff.select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try java.nio.file.Files.move(tmp, dir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.io.IOException => graft.util.Fs.deleteRecursively(tmp) }
+    }
+    val entries =
+      if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => org.apache.spark.sql.graftshim.ManifestEntry(
+            p.toString, None, Long.MinValue, Long.MaxValue,
+            java.nio.file.Files.size(p)))
+          .toSeq
+      }
     currentBatch = org.apache.spark.sql.graftshim.ManifestFileIndex
       .scanBuilder(spark, tableSchema, entries, t.pk, CaseInsensitiveStringMap.empty(),
         t.pkIsString)

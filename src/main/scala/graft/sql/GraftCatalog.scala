@@ -319,6 +319,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       if (k.startsWith(GraftCatalog.ParquetBloomPrefix))
         t.setParquetBloom(k.stripPrefix(GraftCatalog.ParquetBloomPrefix),
           java.lang.Boolean.parseBoolean(v))
+      if (k.startsWith(GraftCatalog.VariantShredPrefix))
+        t.setVariantShred(k.stripPrefix(GraftCatalog.VariantShredPrefix),
+          GraftCatalog.parseShredSpec(v))
     }
     loadTable(ident)
   }
@@ -408,6 +411,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           if sp.property().startsWith(GraftCatalog.ParquetBloomPrefix) =>
         t.setParquetBloom(sp.property().stripPrefix(GraftCatalog.ParquetBloomPrefix),
           java.lang.Boolean.parseBoolean(sp.value()))
+      // Variant shredding (Iceberg v3 variant + shredded sub-columns):
+      // ALTER TABLE t SET TBLPROPERTIES(
+      //   'variant.shred.<col>'='name:$.path:bigint, other:$.x.y:string')
+      // — declares typed side-columns for hot paths; '' clears. Declaring on
+      // a non-empty table rewrites live data files (see setVariantShred).
+      case sp: TableChange.SetProperty
+          if sp.property().startsWith(GraftCatalog.VariantShredPrefix) =>
+        t.setVariantShred(sp.property().stripPrefix(GraftCatalog.VariantShredPrefix),
+          GraftCatalog.parseShredSpec(sp.value()))
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other " +
@@ -507,6 +519,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 object GraftCatalog {
   /** Iceberg per-column parquet bloom-filter property prefix. */
   private[sql] val ParquetBloomPrefix = "write.parquet.bloom-filter-enabled.column."
+
+  /** Variant shredding property prefix: `variant.shred.<col>`. */
+  private[sql] val VariantShredPrefix = "variant.shred."
+
+  /** Parse `'name:$.path:type, ...'` into (name, path, type) triples —
+    * first and last colon split, so a path may itself contain colons. */
+  private[sql] def parseShredSpec(v: String): Seq[(String, String, String)] =
+    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { term =>
+      val i = term.indexOf(':'); val j = term.lastIndexOf(':')
+      require(i > 0 && j > i, s"cannot parse shred term '$term' (want name:$$.path:type)")
+      (term.substring(0, i).trim, term.substring(i + 1, j).trim,
+        term.substring(j + 1).trim)
+    }
 
   /** TBLPROPERTY name → engine row-level op, for the per-operation write
     * strategy properties (Iceberg write.<op>.mode parity). */
@@ -674,6 +699,10 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     if (t.rowLineageEnabled) m.put("row.lineage", "true")
     t.parquetBloomCols.foreach(c =>
       m.put(s"${GraftCatalog.ParquetBloomPrefix}$c", "true"))
+    t.variantShred.foreach { case (c, fields) =>
+      m.put(s"${GraftCatalog.VariantShredPrefix}$c",
+        fields.map { case (n, p, tp) => s"$n:$p:$tp" }.mkString(", "))
+    }
     m
   }
 

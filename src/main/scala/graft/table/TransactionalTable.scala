@@ -2170,6 +2170,112 @@ final class TransactionalTable private (
     }
   }
 
+  // --- Stored VARIANT + shredded sub-columns (Iceberg v3 variant parity) ---
+
+  /** Declared variant shred specs: variant column (lower-cased) →
+    * (fieldName, path, sqlType) triples (see [[setVariantShred]]). */
+  def variantShred: Map[String, Seq[(String, String, String)]] =
+    tableMeta.filter(_.has("variantShred")).map { m =>
+      m.get("variantShred").properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map { a =>
+          (a.get(0).asText(), a.get(1).asText(), a.get(2).asText())
+        }.toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Physical side-column name a shredded field lands under in data files. */
+  private[table] def shredPhysical(varCol: String, name: String): String =
+    s"_sh_${varCol.toLowerCase(java.util.Locale.ROOT)}_${name.toLowerCase(java.util.Locale.ROOT)}"
+
+  /**
+   * SHREDDING for a stored VARIANT column (the engine form of Parquet/
+   * Iceberg v3 variant shredding): each declared hot path is materialized as
+   * a typed PHYSICAL side-column (`variant_get(v, path, type)`) in every
+   * data file [[writeDataFiles]] produces, while the logical schema — and
+   * every ordinary scan — keeps only the variant itself (side-columns are
+   * invisible: scans read under the logical schema, so parquet column
+   * pruning never touches them). [[scanShredded]] is the payoff: a typed
+   * read that decodes ONLY the plain typed columns, never the variant
+   * binary.
+   *
+   * Declaring shredding on a table that already has data REWRITES the live
+   * data files (one full-rewrite commit, Iceberg's `rewrite_data_files`
+   * posture for re-shredding) so the invariant "every live file carries the
+   * side-columns" holds and the shredded read is always exact. Pre-shred
+   * snapshots stay time-travelable; `fields = Seq.empty` clears the spec
+   * (future writes stop materializing — old side-columns are ignored).
+   */
+  def setVariantShred(varCol: String,
+      fields: Seq[(String, String, String)]): Unit = synchronized {
+    val lc = varCol.toLowerCase(java.util.Locale.ROOT)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(varCol)).getOrElse(
+      throw new IllegalArgumentException(s"variant column '$varCol' not in table schema"))
+    require(f.dataType == org.apache.spark.sql.types.VariantType,
+      s"column '$varCol' is ${f.dataType.simpleString}, not VARIANT")
+    fields.foreach { case (name, _, tpe) =>
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"shred field '$name' collides with a table column")
+      org.apache.spark.sql.types.DataType.fromDDL(tpe) // validates the type
+    }
+    require(fields.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.length
+      == fields.length, "duplicate shred field names")
+    updateTableMeta { m =>
+      val cur = if (m.has("variantShred"))
+        m.get("variantShred").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else m.putObject("variantShred")
+      cur.remove(lc)
+      if (fields.nonEmpty) {
+        val arr = cur.putArray(lc)
+        fields.foreach { case (n, p, t) =>
+          val a = arr.addArray(); a.add(n); a.add(p); a.add(t)
+        }
+      }
+      if (cur.isEmpty) { m.remove("variantShred"); () }
+    }
+    if (fields.nonEmpty && Files.exists(pointerPath) && snapshot.files.nonEmpty)
+      rewriteAllFiles("shred")
+  }
+
+  /** Full-rewrite commit (every live file, deletes folded in) — the
+    * materialization step behind [[setVariantShred]] on a non-empty table. */
+  private def rewriteAllFiles(opName: String): Unit =
+    retryingCommit(opName) { snap =>
+      val data = scanWithDeletes(snap.files, snap.deletes,
+        withLineage = rowLineageEnabled)
+      val newVersion = snap.version + 1
+      val target = math.max(1L, (snap.rowCount + (1L << 20) - 1) / (1L << 20)).toInt
+      val rangeCols = partitionCol.map(col).toSeq ++ pkCols.map(col)
+      val newFiles = writeDataFiles(data.repartitionByRange(target, rangeCols: _*),
+        commitDir(newVersion), seq = newVersion)
+      commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
+    }
+
+  /**
+   * Typed read of a variant column's SHREDDED fields: primary key column(s)
+   * plus each declared field under its declared name — served entirely from
+   * the plain typed side-columns ([[setVariantShred]]'s invariant makes this
+   * exact), so the scan's parquet ReadSchema never includes the variant
+   * binary. Pending MOR deletes are applied as in any scan. This is the
+   * pruning contract of variant shredding: probing one hot path of a 100 TB
+   * variant column costs one narrow typed column, not a binary decode of
+   * every row.
+   */
+  def scanShredded(varCol: String): DataFrame = {
+    val lc = varCol.toLowerCase(java.util.Locale.ROOT)
+    val fields = variantShred.getOrElse(lc, throw new IllegalArgumentException(
+      s"no shred spec declared for variant column '$varCol' (setVariantShred)"))
+    val s = snapshot
+    val shredFields = fields.map { case (n, _, t) =>
+      org.apache.spark.sql.types.StructField(shredPhysical(lc, n),
+        org.apache.spark.sql.types.DataType.fromDDL(t))
+    }
+    val sch = StructType(pkCols.map(schema(_)) ++ shredFields)
+    scanWithDeletes(s.files, s.deletes, sch)
+      .select(pkCols.map(col) ++ fields.map { case (n, _, _) =>
+        col(shredPhysical(lc, n)).as(n)
+      }: _*)
+  }
+
   /** Columns with parquet bloom filters enabled (see [[setParquetBloom]]). */
   def parquetBloomCols: Seq[String] =
     tableMeta.filter(_.has("parquetBloomCols"))
@@ -2426,7 +2532,19 @@ final class TransactionalTable private (
    *  scale, the difference between reading KBs of footers and re-scanning
    *  every byte just written (exactly why Iceberg builds manifests from file
    *  metadata). */
-  private def writeDataFiles(df: DataFrame, outDir: Path, seq: Long): Seq[DataFile] = {
+  private def writeDataFiles(df0: DataFrame, outDir: Path, seq: Long): Seq[DataFile] = {
+    // Variant shredding (see setVariantShred): materialize each declared hot
+    // path as a typed physical side-column — map-only, codegen'd variant_get
+    // over the already-in-hand rows; the logical schema is untouched.
+    val df = variantShred.foldLeft(df0) { case (d, (vcol, fields)) =>
+      d.columns.find(_.equalsIgnoreCase(vcol)) match {
+        case Some(actual) => fields.foldLeft(d) { case (d2, (name, path, tpe)) =>
+          d2.withColumn(shredPhysical(vcol, name),
+            org.apache.spark.sql.functions.variant_get(col(actual), path, tpe))
+        }
+        case None => d
+      }
+    }
     // Optional pre-write clustering (see setWriteDistribution): `hash`
     // guarantees one file per partition value per commit, `range` disjoint
     // per-file key ranges. Under `none` the shuffle-free path below stands.

@@ -178,4 +178,75 @@ class TableStreamReadSpec extends SparkSpec {
     assert(got === Set(1L, 2L, 9L),
       s"initial appends + later append stream; the rewrite commit is skipped, got $got")
   }
+
+  /** Drain a cdc-mode stream, collecting (id, v, _change_type). */
+  private def drainCdc(root: String, ckpt: String,
+      extra: Map[String, String] = Map.empty): Seq[(Long, String, String)] = {
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    var reader = spark.readStream.format("graft-table").option("path", root)
+      .option("mode", "cdc")
+    extra.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        df.select("id", "v", "_change_type").collect()
+          .foreach(r => acc.add((r.getLong(0), r.getString(1), r.getString(2))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try { q.processAllAvailable() } finally { q.stop(); q.awaitTermination() }
+    acc.iterator().asScala.toSeq
+  }
+
+  test("cdc mode: updates stream as delete+insert pairs; checkpointed resume") {
+    val root = tmpDir("tsr-cdc") + "/t"
+    val ckpt = tmpDir("tsr-cdc-ckpt")
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.append(Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("id", "v"))
+    val got1 = drainCdc(root, ckpt, Map("startingVersion" -> "0")).toSet
+    assert(got1 === Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")),
+      s"initial state streams as inserts, got $got1")
+
+    // while the stream is down: a CoW merge updating key 2 and deleting key 3
+    // — exactly what append mode fails/skips on — streams as the net diff
+    t.merge(Seq(2L -> "B").toDF("id", "v"), Seq(3L).toDF("id"), batchId = 1)
+    val got2 = drainCdc(root, ckpt).toSet
+    assert(got2 === Set((2L, "b", "delete"), (2L, "B", "insert"), (3L, "c", "delete")),
+      s"resume must deliver the update pair + the delete image, got $got2")
+
+    // a compaction-only interval diffs to zero changelog rows
+    t.compact(minFileRows = 1000L)
+    assert(drainCdc(root, ckpt).isEmpty, "compaction must not produce changes")
+
+    // and a later plain insert streams as its insert image
+    t.merge(Seq(9L -> "z").toDF("id", "v"), noDel.select($"id"), batchId = 2)
+    assert(drainCdc(root, ckpt).toSet === Set((9L, "z", "insert")))
+  }
+
+  test("cdc mode with row lineage: the update pair shares one _row_id") {
+    val root = tmpDir("tsr-cdcrl") + "/t"
+    val ckpt = tmpDir("tsr-cdcrl-ckpt")
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.setRowLineage(true)
+    t.append(Seq(1L -> "a", 2L -> "b").toDF("id", "v"))
+    drainCdc(root, ckpt, Map("startingVersion" -> "0")) // consume the inserts
+    t.merge(Seq(2L -> "B").toDF("id", "v"), noDel.select($"id"), batchId = 1)
+
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft-table").option("path", root)
+      .option("mode", "cdc").load().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        df.select("id", "_change_type", "_row_id").collect()
+          .foreach(r => acc.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try { q.processAllAvailable() } finally { q.stop(); q.awaitTermination() }
+    val rows = acc.iterator().asScala.toSeq
+    assert(rows.map(r => (r._1, r._2)).toSet === Set((2L, "delete"), (2L, "insert")),
+      s"update must stream as a pair, got $rows")
+    assert(rows.map(_._3).distinct.size === 1,
+      s"the pair must share ONE stable _row_id, got $rows")
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.table.{MergeMode, TransactionalTable}
+
+/** Stored VARIANT columns (Iceberg v3): engine tables persist variant
+  * binary, serve typed gets, evolve schema, time travel — and SHRED declared
+  * hot paths into typed physical side-columns so a typed read never decodes
+  * the variant binary ([[TransactionalTable.setVariantShred]]). */
+class VariantColumnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sch = StructType(Seq(
+    StructField("id", LongType), StructField("v", VariantType)))
+
+  private def mk(prefix: String): TransactionalTable =
+    TransactionalTable.create(spark, tmpDir(prefix), sch, "id")
+
+  private def rows(pairs: (Long, String)*) =
+    pairs.toDF("id", "js").select(col("id"), parse_json(col("js")).as("v"))
+
+  private def noDel = spark.emptyDataset[Long].toDF("id")
+
+  test("variant column: write, scan, typed get, time travel") {
+    val t = mk("ttable-var")
+    t.merge(rows(1L -> """{"a": 10, "b": "x"}""", 2L -> """{"a": 20, "b": "y"}"""),
+      noDel, batchId = 0)
+    val got = t.scan()
+      .select(col("id"), variant_get(col("v"), "$.a", "bigint").as("a"),
+        variant_get(col("v"), "$.b", "string").as("b"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10L, "x"), (2L, 20L, "y")))
+    val v1 = t.currentVersion
+    // CoW update rewrites the variant binary losslessly
+    t.merge(rows(2L -> """{"a": 99, "b": "z", "c": true}"""), noDel, batchId = 1)
+    assert(t.scan().select(variant_get(col("v"), "$.a", "bigint"))
+      .as[Long].collect().sorted.toSeq === Seq(10L, 99L))
+    // time travel reads the old binary under the old snapshot
+    assert(t.scanAt(v1).select(variant_get(col("v"), "$.a", "bigint"))
+      .as[Long].collect().sorted.toSeq === Seq(10L, 20L))
+  }
+
+  test("shredding declared at create: typed reads never touch the variant binary") {
+    val t = mk("ttable-var-shred")
+    t.setVariantShred("v", Seq(("a", "$.a", "bigint"), ("b", "$.b", "string")))
+    t.merge(rows(1L -> """{"a": 1, "b": "x"}""", 2L -> """{"a": 2, "b": "y"}"""),
+      noDel, batchId = 0)
+    // ordinary scans are untouched: logical schema has no side-columns
+    assert(t.scan().columns.toSeq === Seq("id", "v"))
+    val sh = t.scanShredded("v")
+    assert(sh.columns.toSeq === Seq("id", "a", "b"))
+    assert(sh.as[(Long, Long, String)].collect().sortBy(_._1).toSeq ===
+      Seq((1L, 1L, "x"), (2L, 2L, "y")))
+    // PRUNING PROOF: the physical plan's parquet read schema contains the
+    // typed side-columns and NOT the variant column
+    val plan = sh.queryExecution.executedPlan.toString
+    assert(plan.contains("_sh_v_a"), s"shredded column missing from plan:\n$plan")
+    assert(!plan.contains("v: variant") && !plan.contains("v#"),
+      s"variant binary must not be read by the shredded scan:\n$plan")
+  }
+
+  test("declaring shredding on existing data rewrites files; merges keep the invariant") {
+    val t = mk("ttable-var-late")
+    t.merge(rows(1L -> """{"a": 1}""", 2L -> """{"a": 2}"""), noDel, batchId = 0)
+    val vBefore = t.currentVersion
+    t.setVariantShred("v", Seq(("a", "$.a", "bigint")))
+    assert(t.currentVersion === vBefore + 1, "late shred must rewrite in one commit")
+    assert(t.operationOf(t.currentVersion).contains("shred"))
+    assert(t.scanShredded("v").select("a").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L))
+    // a CoW merge after the declaration regenerates side-columns
+    t.merge(rows(2L -> """{"a": 22}""", 3L -> """{"a": 3}"""), noDel, batchId = 1)
+    assert(t.scanShredded("v").select("a").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 22L))
+    // missing path shreds to NULL, not an error
+    t.merge(rows(4L -> """{"b": "only"}"""), noDel, batchId = 2)
+    assert(t.scanShredded("v").filter(col("id") === 4L)
+      .select("a").collect().head.isNullAt(0))
+  }
+
+  test("MOR deletes are applied by the shredded scan") {
+    val t = mk("ttable-var-mor")
+    t.setVariantShred("v", Seq(("a", "$.a", "bigint")))
+    t.merge(rows(1L -> """{"a": 1}""", 2L -> """{"a": 2}"""), noDel, batchId = 0)
+    t.merge(rows(), Seq(1L).toDF("id"), batchId = 1, mode = MergeMode.MergeOnRead)
+    assert(t.scanShredded("v").select("id", "a").as[(Long, Long)].collect().toSeq ===
+      Seq((2L, 2L)))
+  }
+
+  test("SQL surface: CREATE with VARIANT + shred property, DML, SHOW TBLPROPERTIES") {
+    val cat = s"graft_var${System.nanoTime()}"
+    val w = tmpDir("graft-var-wh")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    spark.sql(s"""CREATE TABLE $cat.db.t (id BIGINT, v VARIANT)
+      TBLPROPERTIES('pk'='id', 'variant.shred.v'='a:$$.a:bigint, b:$$.b:string')""")
+    spark.sql(s"""INSERT INTO $cat.db.t
+      SELECT 1L, parse_json('{"a": 7, "b": "x"}')
+      UNION ALL SELECT 2L, parse_json('{"a": 8, "b": "y"}')""")
+    assert(spark.sql(
+      s"SELECT id, variant_get(v, '$$.a', 'bigint') AS a FROM $cat.db.t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 7L), (2L, 8L)))
+    // row-level SQL over the variant table (CoW rewrite keeps the invariant)
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 1")
+    val t = TransactionalTable.open(spark, s"$w/db/t")
+    assert(t.scanShredded("v").select("id", "a").as[(Long, Long)].collect().toSeq ===
+      Seq((2L, 8L)))
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("variant.shred.v").contains("a:$.a:bigint, b:$.b:string"))
+    // schema evolution: a second variant column arrives nullable
+    spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN w VARIANT")
+    assert(spark.sql(s"SELECT w FROM $cat.db.t").collect().head.isNullAt(0))
+  }
+}
