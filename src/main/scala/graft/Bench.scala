@@ -66,9 +66,30 @@ object Bench {
     // numbers measure the query, not first-touch initialization.
     Registry.headlines.headOption.foreach(q =>
       try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
+    // Streaming-tier freshness: the batch kernels record per-batch wall time
+    // into BatchStats; collect it per query (across the min-of-N runs) and
+    // publish p50/p95 — the number the ratio exclusion policy promises
+    // (seconds per micro-batch vs the reference's 100 s trigger).
+    val batchSec = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    graft.util.BatchStats.drain() // discard warm-up noise
     val results = Registry.headlines.map { q =>
-      q.name -> minOk((1 to runs).map(_ => timedRun(q, () => q.fn(spark, sfDir).count())))
+      val r = q.name -> minOk((1 to runs).map(_ =>
+        timedRun(q, () => q.fn(spark, sfDir).count())))
+      val recorded = graft.util.BatchStats.drain().map(_._2)
+      if (q.streaming && recorded.nonEmpty) batchSec.put(q.name, recorded)
+      r
     }
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1).max(0))
+    }
+    val batchJson =
+      if (batchSec.isEmpty) ""
+      else batchSec.map { case (n, xs) =>
+        "\"" + n + "\":{\"p50\":" + (math.rint(pct(xs, 0.5) * 1000) / 1000) +
+          ",\"p95\":" + (math.rint(pct(xs, 0.95) * 1000) / 1000) +
+          ",\"n\":" + xs.length + "}"
+      }.mkString(""","batch_sec":{""", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -100,6 +121,31 @@ object Bench {
         scaledTotal = sTotal
         s""","scaled":{"copies":$scaleCopies,"base_sf":"$sfDir","total":$sTotal,"runs_per_query":$scaleRuns,"queries":$sq}"""
       }
+
+    // HIGH scale point (30× by default) for the HEAVY subset only: replaces
+    // extrapolation with measurement on the queries whose absolute cost
+    // dominates the round — any superlinear per-query factor
+    // (sec@30× / sec@1×  vs  copies) is a plan bug, not noise, at this size.
+    val hiCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI_COPIES", "30").toInt
+    val heavy = Seq("cdc_events_replay", "x2_dedup_index", "x2_dup_spans",
+      "x4_tfidf", "x7_q5_revenue_by_nation")
+    val baseSec = results.toMap
+    var hiJson = ""
+    if (hiCopies > 1) {
+      val dir = graft.tools.ScaledData.materialize(spark, sfDir, hiCopies)
+      val rs = Registry.headlines.filter(q => heavy.contains(q.name)).map { q =>
+        q.name -> timedRun(q, () => q.fn(spark, dir).count())
+      }
+      graft.tools.ScaledData.delete(dir)
+      val sq = rs.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+        .mkString("{", ",", "}")
+      val factors = rs.map { case (k, v) =>
+        val b = baseSec.getOrElse(k, Double.NaN)
+        val f = if (v >= 0 && b > 0) math.rint(v / b * 100) / 100 else -1.0
+        "\"" + k + "\":" + f
+      }.mkString("{", ",", "}")
+      hiJson = s""","scaled_hi":{"copies":$hiCopies,"queries":$sq,"factors":$factors}"""
+    }
 
     // "Within 2x of DuckDB" as a COMPUTED column: tools/check.py --times-out
     // records per-query DuckDB oracle wall times (tools/oracle_times_<sf>.json,
@@ -147,7 +193,7 @@ object Bench {
       else failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$errJson$scaledJson$oracleJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$errJson$scaledJson$hiJson$batchJson$oracleJson}"""
     // The FULL artifact goes to disk (both paths committed / inspectable):
     // round 11 proved the driver's stdout tail capture is a 2000-char window,
     // and the full line (2.9k and growing ~100 chars per new headline) no
@@ -177,7 +223,7 @@ object Bench {
       if (scaledTotal.isNaN) ""
       else s""","scaled_total":${r3(scaledTotal)},"scaled_copies":$scaleCopies"""
     val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$errJson$compactScaled$compactOracle,"full":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$errJson$compactScaled$hiJson$batchJson$compactOracle,"full":"BENCH_LAST.json"}"""
     spark.stop()
     // Printed LAST, after the session shuts down, so no later stdout can push
     // it out of the driver's tail window.

@@ -104,7 +104,8 @@ object AnnIndex {
    */
   def appendBatch(h: Handle, vecs: DataFrame, batchId: Long,
       compactEvery: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = graft.util.BatchStats.timed("ann_index_batch") {
     val spark = vecs.sparkSession
     val cent = h.centroidVectors
     val rows = vecs

@@ -58,7 +58,14 @@ object DedupIndex {
    */
   def appendBatch(index: TransactionalTable, docs: DataFrame, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text",
-      compactEvery: Int = 0): DataFrame = {
+      compactEvery: Int = 0): DataFrame =
+    graft.util.BatchStats.timed("dedup_index_batch") {
+      appendBatchInner(index, docs, batchId, idCol, textCol, compactEvery)
+    }
+
+  private def appendBatchInner(index: TransactionalTable, docs: DataFrame,
+      batchId: Long, idCol: String, textCol: String,
+      compactEvery: Int): DataFrame = {
     val spark = docs.sparkSession
     // The sketch aggregation (60 bitwise sums over exploded token hashes) is
     // the expensive leg — cache it: the filter, the self-join, and the

@@ -56,7 +56,16 @@ object CdcPipeline {
         * part-files from the earlier layout) never mixes flat files and
         * partition directories in one listing, which would fail Spark's
         * partition discovery with 'conflicting directory structures'. */
-      dlqDir: Option[String] = None): Unit = {
+      dlqDir: Option[String] = None): Unit =
+    // Freshness instrumentation: the per-batch wall time IS this pipeline's
+    // operative metric (vs the reference's 100 s trigger) — see BatchStats.
+    graft.util.BatchStats.timed("cdc_batch") {
+      applyCdcBatchInner(table, envelopes, batchId, mode, dlqDir)
+    }
+
+  private def applyCdcBatchInner(table: TransactionalTable, envelopes: DataFrame,
+      batchId: Long, mode: graft.table.MergeMode,
+      dlqDir: Option[String]): Unit = {
     val pkCol = col(Cdc.PrimaryKey)
     val bad = pkCol.isNull || col("_op").isNull
     val deduped = Cdc.latestPerKey(Cdc.flatten(envelopes)).persist()
