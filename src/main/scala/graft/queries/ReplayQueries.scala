@@ -1226,11 +1226,20 @@ object ReplayQueries {
         val plan = sh.queryExecution.executedPlan.toString
         assert(plan.contains("_sh_v_k") && !plan.contains("v#"),
           s"shredded scan must read the typed side-column only:\n$plan")
-        // the typed-get over the binary and the shredded read must agree
-        val viaBinary = s.sql(s"SELECT event_id, variant_get(v, '$$.k', 'bigint') " +
-          s"AS k FROM $cat.db.ev").collect().map(r => (r.getLong(0), r.get(1))).toSet
+        // the typed-get over the BINARY (engine scan — the SQL surface is
+        // transparently rewritten by GraftShredScanRule, so the binary twin
+        // must come from the rule-free engine path) and the shredded read
+        // must agree
+        val viaBinary = t.scan()
+          .select(col("event_id"), variant_get(col("v"), "$.k", "bigint").as("k"))
+          .collect().map(r => (r.getLong(0), r.get(1))).toSet
         assert(sh.collect().map(r => (r.getLong(0), r.get(1))).toSet == viaBinary,
           "shredded side-columns diverge from the variant binary")
+        // and the SQL surface IS rewritten to the side-column
+        val sqlPlan = s.sql(s"SELECT event_id, variant_get(v, '$$.k', 'bigint') " +
+          s"AS k FROM $cat.db.ev").queryExecution.executedPlan.toString
+        assert(sqlPlan.contains("_sh_v_k"),
+          s"SQL variant_get over the shredded table must rewrite:\n$sqlPlan")
         sh.orderBy("event_id")
       },
       Some("""SELECT event_id,

@@ -291,7 +291,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       sch, entries, spark, root, version, t.pk,
       loadedVersion = snap.version, morPending = snap.deletes.nonEmpty,
       rowCount = snap.rowCount, renamesPending = renPending,
-      pkHashed = t.pkIsString, partSpec = t.partitionSpec)
+      pkHashed = t.pkIsString, partSpec = t.partitionSpec,
+      shredSpecs = t.variantShred)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -650,7 +651,11 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     /** the table's CURRENT partition transform — reported as DSv2
       * partitioning so `INSERT OVERWRITE ... PARTITION (...)` and dynamic
       * partition overwrite resolve against it */
-    val partSpec: Option[graft.table.PartitionTransform] = None)
+    val partSpec: Option[graft.table.PartitionTransform] = None,
+    /** declared variant shred specs (variant col → (name, path, type)) —
+      * lets GraftShredScanRule serve `variant_get` from the typed
+      * side-columns without re-opening the table per resolution pass */
+    val shredSpecs: Map[String, Seq[(String, String, String)]] = Map.empty)
   extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = tableName

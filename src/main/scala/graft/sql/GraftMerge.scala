@@ -944,6 +944,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((s, delegate) => new GraftSqlParser(s, delegate))
     ext.injectResolutionRule(s => new GraftViewRule(s))
     ext.injectPostHocResolutionRule(s => new GraftMergeRule(s))
+    // Variant-shredding rewrite BEFORE the MOR substitution: a shredded
+    // read is delete-aware itself, and once either rule consumes the
+    // relation the other no longer matches.
+    ext.injectPostHocResolutionRule(s => new GraftShredScanRule(s))
     // AFTER the merge rule (injection order is execution order): write
     // targets become engine commands first; remaining MOR-pending relations
     // (plain reads, merge sources) get the delete-aware substitution.

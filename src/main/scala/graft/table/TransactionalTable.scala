@@ -2184,7 +2184,7 @@ final class TransactionalTable private (
     }.getOrElse(Map.empty)
 
   /** Physical side-column name a shredded field lands under in data files. */
-  private[table] def shredPhysical(varCol: String, name: String): String =
+  private[graft] def shredPhysical(varCol: String, name: String): String =
     s"_sh_${varCol.toLowerCase(java.util.Locale.ROOT)}_${name.toLowerCase(java.util.Locale.ROOT)}"
 
   /**

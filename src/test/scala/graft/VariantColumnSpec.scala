@@ -89,6 +89,54 @@ class VariantColumnSpec extends SparkSpec {
       Seq((2L, 2L)))
   }
 
+  test("transparent rewrite: SQL variant_get over a shredded table reads the side-column") {
+    val cat = s"graft_vsr${System.nanoTime()}"
+    val w = tmpDir("graft-vsr-wh")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    spark.sql(s"""CREATE TABLE $cat.db.t (id BIGINT, v VARIANT)
+      TBLPROPERTIES('pk'='id', 'variant.shred.v'='a:$$.a:bigint')""")
+    spark.sql(s"""INSERT INTO $cat.db.t
+      SELECT 1L, parse_json('{"a": 7, "b": "x"}')
+      UNION ALL SELECT 2L, parse_json('{"a": 8, "b": "y"}')
+      UNION ALL SELECT 3L, parse_json('{"b": "z"}')""")
+
+    // declared path + type: rewritten — plan reads _sh_v_a, never the binary
+    val q = spark.sql(
+      s"SELECT id, variant_get(v, '$$.a', 'bigint') AS a FROM $cat.db.t ORDER BY id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("_sh_v_a"), s"rewrite did not engage:\n$plan")
+    assert(!plan.contains("variant_get") && !plan.toLowerCase.contains("variantget"),
+      s"binary decode survived the rewrite:\n$plan")
+    assert(q.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq === Seq((1L, Some(7L)), (2L, Some(8L)), (3L, None)))
+
+    // WHERE on the shredded path rewrites too
+    val f = spark.sql(
+      s"SELECT id FROM $cat.db.t WHERE variant_get(v, '$$.a', 'bigint') > 7")
+    assert(f.queryExecution.executedPlan.toString.contains("_sh_v_a"))
+    assert(f.as[Long].collect().toSeq === Seq(2L))
+
+    // aggregate over the shredded path
+    val ag = spark.sql(
+      s"SELECT SUM(variant_get(v, '$$.a', 'bigint')) AS s FROM $cat.db.t")
+    assert(ag.queryExecution.executedPlan.toString.contains("_sh_v_a"))
+    assert(ag.as[Long].head() === 15L)
+
+    // UNDECLARED path: falls back to the binary decode, still correct
+    val nb = spark.sql(
+      s"SELECT variant_get(v, '$$.b', 'string') AS b FROM $cat.db.t ORDER BY id")
+    assert(!nb.queryExecution.executedPlan.toString.contains("_sh_v_b"))
+    assert(nb.as[String].collect().toSeq === Seq("x", "y", "z"))
+
+    // DECLARED path at a DIFFERENT target type: not provably the same value
+    val dt = spark.sql(
+      s"SELECT variant_get(v, '$$.a', 'string') AS a FROM $cat.db.t WHERE id = 1")
+    assert(!dt.queryExecution.executedPlan.toString.contains("_sh_v_a"))
+    assert(dt.as[String].head() === "7")
+  }
+
   test("SQL surface: CREATE with VARIANT + shred property, DML, SHOW TBLPROPERTIES") {
     val cat = s"graft_var${System.nanoTime()}"
     val w = tmpDir("graft-var-wh")
