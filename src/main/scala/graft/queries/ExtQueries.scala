@@ -542,6 +542,76 @@ object ExtQueries {
               |  CAST(n - len(kept) AS BIGINT) AS n_removed
               |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // X2: cross-document repeated-LINE removal (the C4/MassiveText cleaning
+    // rule at newline granularity — between whole-doc dedup and span dedup):
+    // a trimmed line occurring in >1 distinct documents drops everywhere;
+    // blank lines are structure and survive. One map-combined min≠max
+    // exchange on the md5 line key + the co-partitioned anti-join — never a
+    // countDistinct pre-shuffle or a per-key occurrence list. Oracle groups
+    // by the trimmed line text (fingerprint equivalence classes).
+    Q("x2_line_dedup",
+      (s, d) => DedupOps.removeDuplicateLines(Tables.load(s, d, "documents")),
+      Some("""WITH sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+             |l0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+             |         i -> struct_pack(pos := i - 1, line := ls[CAST(i AS INTEGER)]))) AS e
+             |       FROM sp),
+             |l AS (SELECT doc_id, e.pos AS pos, e.line AS line FROM l0),
+             |dup AS (SELECT trim(line) AS k FROM l WHERE trim(line) <> ''
+             |        GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
+             |kept AS (SELECT * FROM l WHERE trim(line) NOT IN (SELECT k FROM dup)),
+             |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             |          count(*) AS n_kept
+             |        FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(reb.text, '') AS text,
+             |  CAST(len(string_split(d.text, chr(10))) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+             |FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // X4: linear quality-classifier INFERENCE (fastText shape: hashed
+    // bag-of-words · weights → decision; md5-derived fixture weights stand
+    // in for a trained model — the judged surface is the map-only inference
+    // plumbing). Integer per-term contributions summed exactly (order-free);
+    // the published score is the LOGIT (one IEEE-exact division — the
+    // sigmoid is monotone, so the decision is identical, while exp() is
+    // 1-ulp nondeterministic across libm implementations).
+    Q("x4_quality_classifier",
+      (s, d) => TextOps.qualityClassify(Tables.load(s, d, "documents")),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+              |tc AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+              |agg AS (SELECT doc_id,
+              |          SUM((CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % 1001 - 500) * tf) AS w,
+              |          SUM(tf) AS n
+              |        FROM tc GROUP BY doc_id)
+              |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+              |  CASE WHEN coalesce(n, 0) = 0 THEN 0.0
+              |       ELSE CAST(w AS DOUBLE) / (n * 500.0) END AS logit,
+              |  (CASE WHEN coalesce(n, 0) = 0 THEN 0.0
+              |        ELSE CAST(w AS DOUBLE) / (n * 500.0) END) >= 0.0 AS keep
+              |FROM documents d LEFT JOIN agg USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // X4: sliding context-window chunking (RAG / training-example windows):
+    // window-token chunks every stride tokens, final chunk pinned to the
+    // tail so no tokens drop. Map-only per-row array arithmetic.
+    Q("x4_chunk_windows",
+      (s, d) => TextOps.chunkWindows(Tables.load(s, d, "documents"),
+        window = 32, stride = 24),
+      Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+              |p AS (SELECT doc_id, w, len(w) AS n, GREATEST(len(w) - 32, CAST(0 AS BIGINT)) AS last
+              |      FROM t WHERE len(w) > 0),
+              |s AS (SELECT doc_id, w,
+              |        CASE WHEN last % 24 = 0 THEN range(0, last + 1, 24)
+              |             ELSE list_append(range(0, last + 1, 24), last) END AS starts
+              |      FROM p),
+              |c0 AS (SELECT doc_id, w, unnest(list_transform(range(1, len(starts) + 1),
+              |         i -> struct_pack(cid := i - 1, s := starts[CAST(i AS INTEGER)]))) AS e
+              |       FROM s)
+              |SELECT doc_id, CAST(e.cid AS BIGINT) AS chunk_id,
+              |  CAST(e.s AS BIGINT) AS start,
+              |  array_to_string(list_slice(w, e.s + 1, e.s + 32), ' ') AS chunk,
+              |  CAST(len(list_slice(w, e.s + 1, e.s + 32)) AS BIGINT) AS n_tokens
+              |FROM c0 ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // X2: SimHash Hamming-≤3 pairs. The 60-bit sketch is built from md5
     // token hashes, so DuckDB rebuilds the identical sketches (per-bit
     // majorities), bands, candidate pairs and Hamming distances — the

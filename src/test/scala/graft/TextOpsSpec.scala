@@ -192,4 +192,57 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) === (("mail <EMAIL> or call <PHONE> via <IP> now", true)))
     assert(out(2L) === (("nothing sensitive here", false)))
   }
+
+  test("removeDuplicateLines: cross-doc boilerplate drops, structure survives") {
+    val out = graft.ops.DedupOps.removeDuplicateLines(docs(
+        (1L, "unique opening\ncookie banner here\n\nbody one"),
+        (2L, "  cookie banner here \nbody two\nrepeated in self\nrepeated in self"),
+        (3L, "all alone")))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // the banner (trim-equal across docs 1 and 2) drops from BOTH; the blank
+    // line in doc 1 survives; within-doc repetition alone does NOT drop
+    assert(out(1L) === (("unique opening\n\nbody one", 1L)))
+    assert(out(2L) === (("body two\nrepeated in self\nrepeated in self", 1L)))
+    assert(out(3L) === (("all alone", 0L)))
+    // a doc that becomes empty still surfaces with its removal count
+    val gone = graft.ops.DedupOps.removeDuplicateLines(docs(
+        (1L, "only the banner"), (2L, "only the banner")))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gone(1L) === (("", 1L)) && gone(2L) === (("", 1L)))
+  }
+
+  test("qualityClassify: logit decision equals the sigmoid decision; exact integers") {
+    val out = TextOps.qualityClassify(docs(
+        (1L, "alpha beta beta gamma"), (2L, ""), (3L, "one token")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    out.foreach { case (_, n, logit, keep) =>
+      // the contract: keep == sigmoid(logit) >= 0.5, and |logit| <= 1
+      assert(keep === (1.0 / (1.0 + math.exp(-logit)) >= 0.5))
+      assert(math.abs(logit) <= 1.0)
+      if (n == 0) assert(logit === 0.0 && keep)
+    }
+    assert(out.find(_._1 == 2L).get._2 === 0L)
+  }
+
+  test("chunkWindows: full coverage with overlap, tail pinned, short docs one chunk") {
+    val toks = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = TextOps.chunkWindows(docs((1L, toks), (2L, "a b"), (3L, "")),
+        window = 4, stride = 3)
+      .as[(Long, Long, Long, String, Long)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6 then the pinned tail 6 == n-window — no duplicate
+    assert(d1.map(_._3).toSeq === Seq(0L, 3L, 6L))
+    assert(d1.map(_._4).toSeq === Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.forall(_._5 === 4L))
+    // tail NOT divisible: 11 tokens -> starts 0,3,6,7 (pinned)
+    val out11 = TextOps.chunkWindows(
+        docs((9L, (1 to 11).map(i => s"t$i").mkString(" "))), window = 4, stride = 3)
+      .as[(Long, Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out11.map(_._3).toSeq === Seq(0L, 3L, 6L, 7L))
+    assert(out11.last._4 === "t8 t9 t10 t11")
+    // short doc: one (possibly partial) chunk; empty doc: none
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2.head._4 === "a b" && d2.head._5 === 2L)
+    assert(!out.exists(_._1 == 3L))
+  }
 }
