@@ -91,6 +91,16 @@ object GraftProcedures {
         Seq((0L to t.currentVersion).count(t.manifestExists).toLong)
       }),
 
+    // Age-based retention (Iceberg expire_snapshots(older_than => ts)):
+    //   CALL graft.system.expire_snapshots_older_than('db.t', <epoch_ms>, 1)
+    "expire_snapshots_older_than" -> Spec(
+      Seq("table" -> S, "older_than_ms" -> L, "keep_last" -> I),
+      row("retained_versions" -> L),
+      (c, a) => {
+        val t = open(c, a); t.expireSnapshotsOlderThan(a.getLong(1), a.getInt(2))
+        Seq((0L to t.currentVersion).count(t.manifestExists).toLong)
+      }),
+
     "remove_orphan_files" -> Spec(
       Seq("table" -> S, "older_than_ms" -> L),
       row("deleted_files" -> L),

@@ -1067,8 +1067,30 @@ final class TransactionalTable private (
   def expireSnapshots(keepLast: Int = 2): Unit = synchronized {
     require(branchName.isEmpty, "expire snapshots from the main handle")
     require(keepLast >= 1, "must keep at least the current snapshot")
+    expireBelow(currentVersion - keepLast + 1)
+  }
+
+  /** Iceberg `expire_snapshots(older_than => ts)` parity: expire every
+    * snapshot committed strictly BEFORE `tsMillis` (retention by AGE — the
+    * production cadence: "keep a week of time travel"), while always
+    * retaining the `keepLast` most recent versions and every tagged one
+    * whatever their age. Same machinery as [[expireSnapshots]]: the age
+    * boundary just picks the version cutoff. */
+  def expireSnapshotsOlderThan(tsMillis: Long, keepLast: Int = 1): Unit = synchronized {
+    require(branchName.isEmpty, "expire snapshots from the main handle")
+    require(keepLast >= 1, "must keep at least the current snapshot")
     val current = currentVersion
-    val cutoff = current - keepLast + 1
+    // smallest version young enough to retain; everything below expires
+    val byAge = (0L to current).find(v =>
+      Files.exists(manifestDir.resolve(s"v$v.json")) &&
+        snapshotAt(v).committedAtMs >= tsMillis).getOrElse(current)
+    expireBelow(math.min(byAge, current - keepLast + 1))
+  }
+
+  /** Shared expiry kernel: delete manifests below `cutoff` (tags always
+    * survive) and any file no kept snapshot references. */
+  private def expireBelow(cutoff: Long): Unit = {
+    val current = currentVersion
     if (cutoff <= 0) return
     // Persist the expiry floor FIRST (monotone max): versions below it may
     // have been expired; a missing manifest AT or ABOVE it can only be a

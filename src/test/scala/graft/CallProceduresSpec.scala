@@ -44,6 +44,33 @@ class CallProceduresSpec extends SparkSpec {
     assert(retained >= 2L && retained <= 3L, s"keepLast=2 plus the tag, got $retained")
   }
 
+  test("expire_snapshots_older_than: age-based retention, tags and keep_last survive") {
+    val w = mkWarehouse("gpe")
+    val t = TransactionalTable.create(spark, s"$w/db/t", sch, "id")
+    t.append(Seq(1L -> "a").toDF("id", "v")) // v1
+    t.append(Seq(2L -> "b").toDF("id", "v")) // v2
+    spark.sql("CALL gpe.system.create_tag('db.t', 'pin', 1)")
+    Thread.sleep(20)
+    val boundary = System.currentTimeMillis()
+    Thread.sleep(20)
+    t.append(Seq(3L -> "c").toDF("id", "v")) // v3, after the boundary
+    // age boundary expires v0/v2 (committed before); v1 survives via the
+    // tag, v3 is young
+    val retained = spark.sql(
+      s"CALL gpe.system.expire_snapshots_older_than('db.t', ${boundary}L, 1)")
+      .as[Long].head()
+    assert(retained === 2L, s"want tagged v1 + young v3, got $retained")
+    val h = TransactionalTable.open(spark, s"$w/db/t")
+    assert(!h.manifestExists(0L) && h.manifestExists(1L) &&
+      !h.manifestExists(2L) && h.manifestExists(3L))
+    assert(h.scan().count() === 3L, "current state intact after expiry")
+    // a boundary in the future still keeps keep_last young versions
+    val retained2 = spark.sql(
+      s"CALL gpe.system.expire_snapshots_older_than('db.t', ${boundary + 3600000}L, 1)")
+      .as[Long].head()
+    assert(retained2 === 2L, "keep_last + tag floor holds against a future boundary")
+  }
+
   test("compact / compact_clustered / compact_zordered / remove_orphan_files") {
     val w = mkWarehouse("gp2")
     val t = TransactionalTable.create(spark, s"$w/db/t",
