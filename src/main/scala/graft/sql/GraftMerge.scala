@@ -186,8 +186,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * non-identity transforms all return None and pay the ordinary merge. */
   private def partitionDeleteValues(g: GraftSqlTable,
       cond: Expression): Option[Seq[String]] = {
-    val desc = g.partSpec.map(_.desc).filter(_.kind == "identity")
-      .getOrElse(return None)
+    val desc = g.partSpec.map(_.desc).getOrElse(return None)
     def litOf(e: Expression): Option[(Any, org.apache.spark.sql.types.DataType)] =
       e match {
         case l: org.apache.spark.sql.catalyst.expressions.Literal => Some((l.value, l.dataType))
@@ -198,15 +197,49 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (v._1 == null) None // `pcol = NULL` matches no row; merge handles it
       else org.apache.spark.sql.graftshim.PartitionPrune.valueOf(desc, v._1, v._2)
     def isPCol(a: Attribute): Boolean = a.name.equalsIgnoreCase(desc.col)
-    cond match {
-      case EqualTo(a: Attribute, r) if isPCol(a) =>
-        litOf(r).flatMap(valueOf).map(Seq(_))
-      case EqualTo(l, a: Attribute) if isPCol(a) =>
-        litOf(l).flatMap(valueOf).map(Seq(_))
-      case org.apache.spark.sql.catalyst.expressions.In(a: Attribute, vs)
-          if isPCol(a) && vs.nonEmpty =>
-        val mapped = vs.map(v => litOf(v).flatMap(valueOf))
-        if (mapped.forall(_.isDefined)) Some(mapped.map(_.get).distinct) else None
+    desc.kind match {
+      case "identity" => cond match {
+        case EqualTo(a: Attribute, r) if isPCol(a) =>
+          litOf(r).flatMap(valueOf).map(Seq(_))
+        case EqualTo(l, a: Attribute) if isPCol(a) =>
+          litOf(l).flatMap(valueOf).map(Seq(_))
+        case org.apache.spark.sql.catalyst.expressions.In(a: Attribute, vs)
+            if isPCol(a) && vs.nonEmpty =>
+          val mapped = vs.map(v => litOf(v).flatMap(valueOf))
+          if (mapped.forall(_.isDefined)) Some(mapped.map(_.get).distinct) else None
+        case _ => None
+      }
+      // Temporal transforms (days/hours): a HALF-OPEN range on the source
+      // column whose BOTH bounds sit exactly on partition boundaries covers
+      // whole derived partitions — `DELETE WHERE ts >= D AND ts < D+n` is
+      // "drop those days" as a metadata commit (Iceberg's strict-projection
+      // canDeleteWhere for temporal specs). Anything not boundary-exact —
+      // `<=` upper bounds, mid-day timestamps, one-sided ranges — merges.
+      case "days" | "hours" =>
+        import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+        def ord(e: Expression): Option[Long] = litOf(e).filter(_._1 != null)
+          .flatMap(v => org.apache.spark.sql.graftshim.PartitionPrune
+            .exactBoundaryOrdinal(desc, v._1, v._2))
+        // (lowerOrdinal inclusive) from `col >= lit` / `lit <= col`
+        def lower(e: Expression): Option[Long] = e match {
+          case GreaterThanOrEqual(a: Attribute, r) if isPCol(a) => ord(r)
+          case LessThanOrEqual(l, a: Attribute) if isPCol(a) => ord(l)
+          case _ => None
+        }
+        // (upperOrdinal exclusive) from `col < lit` / `lit > col`
+        def upper(e: Expression): Option[Long] = e match {
+          case LessThan(a: Attribute, r) if isPCol(a) => ord(r)
+          case GreaterThan(l, a: Attribute) if isPCol(a) => ord(l)
+          case _ => None
+        }
+        cond match {
+          case org.apache.spark.sql.catalyst.expressions.And(x, y) =>
+            val range = lower(x).zip(upper(y)).headOption
+              .orElse(lower(y).zip(upper(x)).headOption)
+            range.filter { case (lo, hi) => lo < hi && hi - lo <= 100000 }
+              .map { case (lo, hi) => (lo until hi).map(_.toString) }
+          case _ => None
+        }
       case _ => None
     }
   }

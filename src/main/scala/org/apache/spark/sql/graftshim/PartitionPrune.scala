@@ -47,6 +47,20 @@ object PartitionPrune {
     (d.getYear - 1970).toLong
   }
 
+  /** For days/hours: Some(ordinal) iff the literal sits EXACTLY on a
+    * partition boundary. The metadata-only DELETE range classification
+    * needs boundary EXACTNESS — `ts >= D` covers whole day partitions only
+    * when D is midnight — where ordinary pruning only needs the floor
+    * ordinal ([[ordinalOf]]). */
+  def exactBoundaryOrdinal(d: PartitionTransformDesc, v: Any,
+      dt: DataType): Option[Long] = d.kind match {
+    case "days" => microsOf(v, dt).filter(us => Math.floorMod(us, MicrosPerDay) == 0L)
+      .map(Math.floorDiv(_, MicrosPerDay))
+    case "hours" => microsOf(v, dt).filter(us => Math.floorMod(us, MicrosPerHour) == 0L)
+      .map(Math.floorDiv(_, MicrosPerHour))
+    case _ => None
+  }
+
   /** Integral value of a literal for the truncate transform. */
   private def longOf(v: Any): Option[Long] = v match {
     case l: Long => Some(l)

@@ -110,6 +110,44 @@ class DeleteWhereSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(1L, 4L, 5L, 6L))
   }
 
+  test("days(ts) boundary-exact range DELETE drops whole day partitions metadata-only") {
+    val (cat, w) = freshCat()
+    spark.sql(
+      s"""CREATE TABLE $cat.db.tev (id BIGINT, ts TIMESTAMP, val INT)
+         |PARTITIONED BY (days(ts)) TBLPROPERTIES ('pk'='id')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.db.tev VALUES
+         |  (1, TIMESTAMP '2024-01-01 01:00:00', 10),
+         |  (2, TIMESTAMP '2024-01-01 23:00:00', 20),
+         |  (3, TIMESTAMP '2024-01-02 01:00:00', 30),
+         |  (4, TIMESTAMP '2024-01-03 05:00:00', 40),
+         |  (5, TIMESTAMP '2024-01-04 09:00:00', 50)""".stripMargin)
+    val root = s"$w/db/tev"
+    // destroy the two covered days' files: a scan-based DELETE would fail
+    TransactionalTable.open(spark, root).snapshot.files
+      .filter(f => f.partition.exists(p => p == "19723" || p == "19724"))
+      .foreach(f => Files.delete(Paths.get(f.path)))
+    spark.sql(
+      s"""DELETE FROM $cat.db.tev
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND ts <  TIMESTAMP '2024-01-03 00:00:00'""".stripMargin)
+    val t = TransactionalTable.open(spark, root)
+    assert(t.operationOf(t.currentVersion).contains("delete"))
+    assert(spark.sql(s"SELECT id FROM $cat.db.tev ORDER BY id")
+      .as[Long].collect().toSeq === Seq(4L, 5L))
+    // a NON-boundary bound must take the merge (covers part of a day);
+    // deleting exactly one row proves the row-level path ran
+    spark.sql(
+      s"""DELETE FROM $cat.db.tev
+         |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+         |  AND ts <  TIMESTAMP '2024-01-03 06:00:00'""".stripMargin)
+    val t2 = TransactionalTable.open(spark, root)
+    assert(t2.operationOf(t2.currentVersion).contains("mergeAdhoc"),
+      "mid-day upper bound must not take the metadata path")
+    assert(spark.sql(s"SELECT id FROM $cat.db.tev ORDER BY id")
+      .as[Long].collect().toSeq === Seq(5L))
+  }
+
   test("non-identity transform never takes the metadata path") {
     val (cat, w) = freshCat()
     spark.sql(
