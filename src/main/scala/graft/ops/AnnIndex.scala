@@ -87,6 +87,10 @@ object AnnIndex {
     }.toSeq.toDF("cell", "cv"))
     val asg = TransactionalTable.create(spark, s"$root/assignments",
       AssignSchema, pk = "vec_id", partitionCol = Some("cell"))
+    // One file per CELL per batch (not tasks × cells): the probe's partition
+    // pruning then opens nprobe files per un-compacted batch, and the
+    // compaction cadence has cells× less small-file debt to pay.
+    asg.setWriteDistribution("hash")
     Handle(asg, cent)
   }
 

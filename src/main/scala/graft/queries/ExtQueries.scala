@@ -565,7 +565,8 @@ object ExtQueries {
              |SELECT d.doc_id, coalesce(reb.text, '') AS text,
              |  CAST(len(string_split(d.text, chr(10))) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
              |FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin)),
+             |ORDER BY d.doc_id""".stripMargin),
+      headline = true),
 
     // X4: linear quality-classifier INFERENCE (fastText shape: hashed
     // bag-of-words · weights → decision; md5-derived fixture weights stand
