@@ -166,6 +166,40 @@ class DeleteWhereSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(2L, 3L))
   }
 
+  test("property: metadata path and merge path agree on every partition subset") {
+    // The metadata-only drop must be indistinguishable from the row-level
+    // merge for ANY covered predicate — same end state, only the commit
+    // shape differs. Deterministic sweep over all partition subsets.
+    val (cat, w) = freshCat()
+    mkEvents(cat)
+    val all = Seq("view", "click", "error")
+    val base = spark.sql(s"SELECT id, event, val FROM $cat.db.ev").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    all.toSet.subsets().filter(_.nonEmpty).foreach { subset =>
+      val (c2, w2) = freshCat()
+      mkEvents(c2)
+      val inList = subset.map(v => s"'$v'").mkString(", ")
+      spark.sql(s"DELETE FROM $c2.db.ev WHERE event IN ($inList)")
+      val tMeta = TransactionalTable.open(spark, s"$w2/db/ev")
+      assert(tMeta.operationOf(tMeta.currentVersion).contains("delete"),
+        s"subset $subset must take the metadata path")
+      val got = spark.sql(s"SELECT id, event, val FROM $c2.db.ev").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      // merge-path twin: a straddling conjunct forces the row-level merge
+      val (c3, w3) = freshCat()
+      mkEvents(c3)
+      spark.sql(s"DELETE FROM $c3.db.ev WHERE event IN ($inList) AND val > -999")
+      val tMerge = TransactionalTable.open(spark, s"$w3/db/ev")
+      assert(tMerge.operationOf(tMerge.currentVersion).contains("mergeAdhoc"),
+        s"twin for $subset must take the merge path")
+      val want = spark.sql(s"SELECT id, event, val FROM $c3.db.ev").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got === want, s"paths disagree for subset $subset")
+      assert(got === base.filterNot(r => subset.contains(r._2)))
+      val _ = (w, w3)
+    }
+  }
+
   test("deletePartitions API: not metadata-decidable under partition evolution") {
     // files written under an older spec may contain matching rows — the
     // metadata path must refuse (None) and leave the table untouched
