@@ -395,6 +395,30 @@ object TextOps {
   }
 
   /**
+   * Quality-filter FUNNEL — a composed cleaning pipeline WITH its audit
+   * trail (the C4/Gopher operational shape: every production corpus report
+   * says how many documents each rule dropped, not just what survived).
+   * Stages are named row-level predicates evaluated IN ORDER in one
+   * map-only pass: `dropped_at` = the FIRST failing stage's name, NULL =
+   * document kept. A NULL predicate value counts as FAIL (quality unknown
+   * ⇒ drop — the conservative posture for a training corpus). One scan at
+   * any scale; the funnel report is a single tiny groupBy over the labels.
+   */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val label = coalesce(stages.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    } :+ lit(null).cast("string"): _*)
+    df.select(col(idCol), label.as("dropped_at")).orderBy(idCol)
+  }
+
+  /** The funnel's report: documents dropped per stage + kept (NULL row). */
+  def funnelReport(labeled: DataFrame): DataFrame =
+    labeled.groupBy("dropped_at").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("dropped_at").asc_nulls_last)
+
+  /**
    * Context-window CHUNKING (the RAG / training-example windowing step):
    * split each document's token stream into `window`-token chunks every
    * `stride` tokens (overlap = window − stride), plus a final chunk pinned

@@ -314,6 +314,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     GraftCatalog.RowLevelModeProps.foreach { case (prop, op) =>
       Option(properties.get(prop)).foreach(t.setRowLevelMode(op, _))
     }
+    Option(properties.get("write.distribution")).foreach(t.setWriteDistribution)
+    Option(properties.get("write.sort-order")).foreach(t.setSortOrder)
+    Option(properties.get("write.max-records-per-file"))
+      .foreach(v => t.setMaxRecordsPerFile(java.lang.Long.parseLong(v)))
     Option(properties.get("row.lineage"))
       .foreach(v => t.setRowLineage(java.lang.Boolean.parseBoolean(v)))
     properties.asScala.foreach { case (k, v) =>

@@ -224,6 +224,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out.find(_._1 == 2L).get._2 === 0L)
   }
 
+  test("filterFunnel: first failing stage labels; NULL predicate drops; report sums") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val df = docs((1L, "keep"), (2L, "failA"), (3L, "failB"), (4L, "failBoth"),
+      (5L, "nullpred"))
+    val labeled = TextOps.filterFunnel(df, Seq(
+      "a" -> (!col("text").contains("failA") && !col("text").contains("failBoth")),
+      "b" -> (!col("text").contains("failB") && !col("text").contains("failBoth")),
+      // a predicate evaluating to NULL counts as FAIL
+      "c" -> when(col("text") === "nullpred", lit(null).cast("boolean")).otherwise(lit(true))))
+    val m = labeled.collect().map(r =>
+      r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m === Map(1L -> None, 2L -> Some("a"), 3L -> Some("b"),
+      4L -> Some("a"), 5L -> Some("c")))
+    val rep = TextOps.funnelReport(labeled).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(rep === Map(Some("a") -> 2L, Some("b") -> 1L, Some("c") -> 1L, None -> 1L))
+  }
+
   test("chunkWindows: full coverage with overlap, tail pinned, short docs one chunk") {
     val toks = (1 to 10).map(i => s"t$i").mkString(" ")
     val out = TextOps.chunkWindows(docs((1L, toks), (2L, "a b"), (3L, "")),
