@@ -57,9 +57,14 @@ object AnnIndex {
     array(cent.map(ct => SimilarityOps.dot(v, typedlit(ct))): _*)
 
   /** argmax cell = first position of the max similarity (deterministic ties),
-    * identical to the `ivfTopK` assignment rule. */
+    * identical to the `ivfTopK` assignment rule. The sims array materializes
+    * ONCE inside a lambda binding — embedding `simsTo` in both
+    * `array_position` and `array_max` would evaluate the k×dim dot products
+    * twice per ingested vector. */
   private def cellOf(v: Column, cent: Seq[Seq[Double]]): Column =
-    (array_position(simsTo(v, cent), array_max(simsTo(v, cent))) - 1).cast("long")
+    // transform over a 1-element array = a let-binding in pure Column algebra
+    element_at(transform(array(simsTo(v, cent)),
+      s => (array_position(s, array_max(s)) - 1).cast("long")), 1)
 
   /**
    * Create the index tables and train the quantizer from `seedVecs` (the

@@ -419,7 +419,15 @@ private[sources] final class GraftTableMicroBatchStream(
         .write.mode("overwrite").parquet(tmp.toString)
       try java.nio.file.Files.move(tmp, dir,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.io.IOException => graft.util.Fs.deleteRecursively(tmp) }
+      catch {
+        case e: java.io.IOException =>
+          graft.util.Fs.deleteRecursively(tmp)
+          // Only the lost-race case (a concurrent planner published first)
+          // is benign. Any other move failure must FAIL the batch: falling
+          // through with no spill dir would plan zero partitions and commit
+          // the offset — the interval's changelog rows silently lost.
+          if (!java.nio.file.Files.isDirectory(dir)) throw e
+      }
     }
     val entries =
       if (!java.nio.file.Files.isDirectory(dir)) Seq.empty

@@ -269,6 +269,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new NoSuchTableException(ident)
     }
     val t = TransactionalTable.open(spark, root)
+    // Shred specs are read BEFORE the snapshot pointer: if an ALTER declaring
+    // shredding lands in between, we pair an old spec with the new (already-
+    // rewritten) snapshot — the rule simply doesn't rewrite and the query
+    // reads the variant binary, correct but unaccelerated. The other order
+    // pairs a NEW spec with a pre-rewrite snapshot whose files lack the
+    // side-columns, and the rewrite would read absent columns as NULL.
+    val shredSpecsAtLoad = t.variantShred
     val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
     // Partition evolution: each file prunes under the transform of the spec
     // it was WRITTEN with (its manifest specId), never the table's current one.
@@ -292,7 +299,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       loadedVersion = snap.version, morPending = snap.deletes.nonEmpty,
       rowCount = snap.rowCount, renamesPending = renPending,
       pkHashed = t.pkIsString, partSpec = t.partitionSpec,
-      shredSpecs = t.variantShred)
+      shredSpecs = shredSpecsAtLoad)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -529,14 +536,38 @@ object GraftCatalog {
   private[sql] val VariantShredPrefix = "variant.shred."
 
   /** Parse `'name:$.path:type, ...'` into (name, path, type) triples —
-    * first and last colon split, so a path may itself contain colons. */
-  private[sql] def parseShredSpec(v: String): Seq[(String, String, String)] =
-    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { term =>
+    * first and last colon split, so a path may itself contain colons. Terms
+    * split on commas at bracket depth 0 only, so comma-bearing target types
+    * — `decimal(10,2)`, `struct<a:int,b:string>`, `map<string,int>` — parse
+    * (and round-trip through SHOW TBLPROPERTIES' `, `-joined form). */
+  private[graft] def parseShredSpec(v: String): Seq[(String, String, String)] = {
+    val terms = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    v.foreach {
+      case c @ ('(' | '<') => depth += 1; cur += c
+      case c @ (')' | '>') => depth -= 1; cur += c
+      case ',' if depth == 0 => terms += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    terms += cur.result()
+    terms.iterator.map(_.trim).filter(_.nonEmpty).toSeq.map { term =>
       val i = term.indexOf(':'); val j = term.lastIndexOf(':')
       require(i > 0 && j > i, s"cannot parse shred term '$term' (want name:$$.path:type)")
-      (term.substring(0, i).trim, term.substring(i + 1, j).trim,
-        term.substring(j + 1).trim)
+      // The type may carry internal colons (struct<a:int>): re-find the last
+      // colon at depth 0 so struct fields don't truncate the type.
+      var k = -1; var d = 0
+      term.zipWithIndex.foreach {
+        case ('(' | '<', _) => d += 1
+        case (')' | '>', _) => d -= 1
+        case (':', idx) => if (d == 0) k = idx
+        case _ =>
+      }
+      require(k > i, s"cannot parse shred term '$term' (want name:$$.path:type)")
+      (term.substring(0, i).trim, term.substring(i + 1, k).trim,
+        term.substring(k + 1).trim)
     }
+  }
 
   /** TBLPROPERTY name → engine row-level op, for the per-operation write
     * strategy properties (Iceberg write.<op>.mode parity). */

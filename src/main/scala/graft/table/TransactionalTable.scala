@@ -605,10 +605,18 @@ final class TransactionalTable private (
     // metadata uses), deduped so an ASCII-only path never joins twice.
     // Decoding the column instead would need url_decode, which corrupts
     // literal '+' in paths.
+    // Plain paths win globally: a file's ENCODED alias is dropped when it
+    // equals ANY file's plain path (e.g. '/a b' encodes to '/a%20b' while a
+    // sibling is literally named '/a%20b') — otherwise that key would match
+    // two broadcast rows and the left join would duplicate the scanned rows
+    // and hand one copy the wrong firstRowId base.
+    val plainPaths = files.iterator.map(_.path).toSet
     val rows: java.util.List[org.apache.spark.sql.Row] =
       files.flatMap { f =>
         val enc = try Paths.get(f.path).toUri.getRawPath catch { case _: Exception => f.path }
-        Set(f.path, enc).map(k =>
+        val keys = if (enc == f.path || plainPaths.contains(enc)) Set(f.path)
+          else Set(f.path, enc)
+        keys.map(k =>
           org.apache.spark.sql.Row(k, f.firstRowId.map(Long.box).orNull))
       }.asJava
     val fdf = spark.createDataFrame(rows, StructType(Seq(
@@ -2030,28 +2038,34 @@ final class TransactionalTable private (
   def rowLevelMode(op: String): MergeMode =
     TransactionalTable.parseMergeModeName(rowLevelModeName(op))
 
-  /** (mtime, size)-validated cache of the parsed `_table.json`. The writer-
+  /** Content-validated cache of the parsed `_table.json`. The writer-
     * behavior flags (rowLineageEnabled, parquetBloomCols, sortOrder, write
     * modes, …) are consulted on every scan/merge/compaction/write, and
-    * re-reading + JSON-parsing the file per call put repeated driver-side
-    * file I/O on hot paths for values that change only via explicit ALTER.
-    * One stat() validates the cache; any ALTER rewrites the file atomically
-    * (new mtime/size), so other handles observe it on their next call. */
+    * JSON-parsing the file per call put repeated driver-side object churn
+    * on hot paths for values that change only via explicit ALTER. The file
+    * is tiny (~1 KiB): each call re-reads the raw bytes and byte-compares
+    * against the cache — exact (immune to mtime granularity / same-size
+    * rewrites, unlike a stat-based check) — and re-parses only on change.
+    * Only ABSENCE maps to None; a corrupt or unreadable file propagates —
+    * silently degrading to defaults would drop declared write modes /
+    * shred specs and produce wrong data, not a crash. */
   @volatile private var metaCache:
-      (java.nio.file.attribute.FileTime, Long, com.fasterxml.jackson.databind.JsonNode) = null
+      (Array[Byte], com.fasterxml.jackson.databind.JsonNode) = null
   private def tableMeta: Option[com.fasterxml.jackson.databind.JsonNode] = {
     val p = Paths.get(root, "_table.json")
-    try {
-      val mt = Files.getLastModifiedTime(p)
-      val sz = Files.size(p)
-      val c = metaCache
-      if (c != null && c._1 == mt && c._2 == sz) Some(c._3)
-      else {
-        val node = mapper.readTree(Files.readAllBytes(p))
-        metaCache = (mt, sz, node)
-        Some(node)
+    val bytes =
+      try Files.readAllBytes(p)
+      catch {
+        case _: java.nio.file.NoSuchFileException => return None
+        case _: java.io.FileNotFoundException => return None
       }
-    } catch { case _: java.io.IOException => None }
+    val c = metaCache
+    if (c != null && java.util.Arrays.equals(c._1, bytes)) Some(c._2)
+    else {
+      val node = mapper.readTree(bytes)
+      metaCache = (bytes, node)
+      Some(node)
+    }
   }
 
   /** The stored SQL-facing mode name for `op` (`copy-on-write` when unset). */
@@ -2082,8 +2096,16 @@ final class TransactionalTable private (
   def setRowLineage(on: Boolean): Unit = synchronized {
     require(on || !rowLineageEnabled,
       "row.lineage cannot be disabled once enabled (recorded row ids would dangle)")
-    if (on && !rowLineageEnabled && Files.exists(pointerPath)
-        && snapshot.files.nonEmpty) {
+    // Flag FIRST, upgrade commit second: once the flag is visible, any
+    // concurrent writer's (retried) commit assigns its new files firstRowId
+    // ranges itself, so the upgrade commit below can never race a flag-blind
+    // writer into landing id-less files after the upgrade (the old
+    // commit-then-flag order had exactly that window). The upgrade is an
+    // idempotent REPAIR — it runs whenever any live file lacks an id — so a
+    // crash between the flag flip and the commit is healed by re-calling.
+    updateTableMeta(_.put("rowLineage", on))
+    if (on && Files.exists(pointerPath)
+        && snapshot.files.exists(_.firstRowId.isEmpty)) {
       retryingCommit("enableLineage") { snap =>
         var next = nextRowIdOf(snap.version)
         val assigned = snap.files.toIndexedSeq.sortBy(_.path).map { f =>
@@ -2098,7 +2120,6 @@ final class TransactionalTable private (
         finally pendingRepack = false
       }
     }
-    updateTableMeta(_.put("rowLineage", on))
   }
 
   /** True when this table assigns + serves row lineage (see [[setRowLineage]]). */
@@ -2241,21 +2262,29 @@ final class TransactionalTable private (
     }
     require(fields.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.length
       == fields.length, "duplicate shred field names")
-    updateTableMeta { m =>
-      val cur = if (m.has("variantShred"))
-        m.get("variantShred").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      else m.putObject("variantShred")
-      cur.remove(lc)
-      if (fields.nonEmpty) {
-        val arr = cur.putArray(lc)
-        fields.foreach { case (n, p, t) =>
-          val a = arr.addArray(); a.add(n); a.add(p); a.add(t)
+    val prev = variantShred.get(lc) // for rollback if the rewrite fails
+    def putSpec(spec: Option[Seq[(String, String, String)]]): Unit =
+      updateTableMeta { m =>
+        val cur = if (m.has("variantShred"))
+          m.get("variantShred").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        else m.putObject("variantShred")
+        cur.remove(lc)
+        spec.filter(_.nonEmpty).foreach { fs =>
+          val arr = cur.putArray(lc)
+          fs.foreach { case (n, p, t) =>
+            val a = arr.addArray(); a.add(n); a.add(p); a.add(t)
+          }
         }
+        if (cur.isEmpty) { m.remove("variantShred"); () }
       }
-      if (cur.isEmpty) { m.remove("variantShred"); () }
-    }
+    putSpec(Some(fields))
+    // The spec must be live BEFORE the rewrite (writeDataFiles reads it to
+    // materialize the side-columns), but a live spec whose files lack the
+    // columns would make shredded reads serve NULLs — so a failed/interrupted
+    // rewrite rolls the spec back to its previous value and rethrows.
     if (fields.nonEmpty && Files.exists(pointerPath) && snapshot.files.nonEmpty)
-      rewriteAllFiles("shred")
+      try rewriteAllFiles("shred")
+      catch { case e: Throwable => putSpec(prev); throw e }
   }
 
   /** Full-rewrite commit (every live file, deletes folded in) — the
@@ -3549,18 +3578,6 @@ object TransactionalTable {
     case other => throw new IllegalArgumentException(
       s"unknown write mode '$other' (copy-on-write | merge-on-read | " +
         "merge-on-read-positional | merge-on-read-vector)")
-  }
-
-  /** The table's write-distribution mode (`none` when unset / pre-feature
-    * tables). Read from `_table.json` so every handle — branches, evolved
-    * copies — observes an ALTER immediately. */
-  private[table] def readWriteDistribution(root: String): String = {
-    val p = Paths.get(root, "_table.json")
-    if (!Files.exists(p)) "none"
-    else {
-      val meta = mapper.readTree(Files.readAllBytes(p))
-      if (meta.has("writeDistribution")) meta.get("writeDistribution").asText() else "none"
-    }
   }
 
   def load(spark: SparkSession, root: String, schema: StructType, pk: String,
