@@ -136,6 +136,43 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /**
+   * Epoch-weighted UPSAMPLING — the repeat-at-read half of data mixing
+   * ([[mixtureBudgetSample]] handles the subsample-only half): per-source
+   * epoch factors f ≥ 0 emit each document ⌊f⌋ full copies plus one
+   * fractional copy iff md5Hash60(doc_id) < frac(f)·2⁶⁰ — the SAME
+   * documents carry the fractional epoch in every run, never a random
+   * residue (the training-recipe posture: "3.5 epochs of wiki" must mean
+   * one reproducible row set). Output carries `epoch` (0-based copy index)
+   * so a downstream shard shuffle can de-correlate copies (feed
+   * (doc_id, epoch) to [[SequenceOps.globalShuffle]]'s key). Sources absent
+   * from the spec default to factor 1.0 (pass 0.0 to drop a source).
+   *
+   * 100 TB shape: ZERO shuffles — the factor spec folds in as a literal
+   * CASE chain (|spec| is the mixture recipe, always tiny) and the copy
+   * fan-out is a map-only explode(sequence): row count scales by the mean
+   * factor, work stays embarrassingly parallel. Factors should be
+   * binary-exact fractions (x.0, x.25, x.5) when bit-reproducibility across
+   * engines matters; any double works within one engine.
+   */
+  def upsampleEpochs(docs: DataFrame, epochs: Seq[(String, Double)],
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(epochs.forall(_._2 >= 0), s"epoch factors must be >= 0: $epochs")
+    val hashSpace = (1L << 60).toDouble // md5Hash60 range
+    val f = epochs.foldLeft(lit(1.0)) { case (acc, (src, fac)) =>
+      when(col(groupCol) === src, lit(fac)).otherwise(acc)
+    }
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(groupCol), f.as("_f"))
+      .withColumn("n_copies",
+        floor(col("_f")).cast("long") +
+          when(TextOps.md5Hash60(col("doc_id")).cast("double") <
+            (col("_f") - floor(col("_f"))) * lit(hashSpace), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col(groupCol),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+  }
+
   /** Default doc-frequency cap for Jaccard's inverted index: shingles in more
     * docs than this are dropped before pair expansion. Per-shingle work is
     * df², so an uncapped boilerplate shingle ("all rights reserved …") in a

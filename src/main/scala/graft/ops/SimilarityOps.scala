@@ -382,6 +382,43 @@ object SimilarityOps {
   }
 
   /**
+   * Approximate k-NEAREST-NEIGHBOR GRAPH over an embedding column — the
+   * substrate for graph-based curation (connected-component semantic dedup,
+   * label propagation, diversity-aware selection): for every vector, its
+   * top-`k` cosine neighbors WITHIN its coarse cell. Same deterministic
+   * cell machinery as [[semDedup]] (the `cells` lowest-id vectors are the
+   * centroids, broadcast; assignment = argmax cosine with (cos desc, cid)
+   * tie-rank), so the work is Σ|cell|² — never corpus² — and the cell count
+   * is the knob bounding per-task work at 100 TB. Edges never cross cells
+   * (the approximation; raise `cells` resolution or re-run on a JL
+   * projection for recall). Output (vec_id, neighbor_id, rnk) keeps the
+   * cosine VALUE out, like [[cosineTopK]]'s oracle convention — ranking is
+   * engine-exact, the raw double is 1-ulp-fragile.
+   */
+  def knnGraph(corpus: DataFrame, k: Int, cells: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val cents = e.orderBy("vec_id").limit(cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(wAsg)).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"), col("v"))
+    val wTop = Window.partitionBy(col("a.vec_id"))
+      .orderBy(desc("cos"), col("b.vec_id"))
+    assigned.alias("a")
+      .join(assigned.alias("b"), col("a.cid") === col("b.cid") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /**
    * Johnson–Lindenstrauss RANDOM PROJECTION to `k` dimensions — the
    * dimensionality-reduction step ahead of an ANN index or a cheap
    * first-pass similarity filter (±1 sign matrix, Achlioptas 2003: JL

@@ -268,5 +268,81 @@ object PipelineQueries {
              |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.4)
              |SELECT av.vec_id, av.cid, (d.vec_id IS NULL) AS kept
              |FROM av LEFT JOIN drops d ON av.vec_id = d.vec_id
-             |ORDER BY av.vec_id""".stripMargin)))
+             |ORDER BY av.vec_id""".stripMargin)),
+
+    // X1: epoch-weighted UPSAMPLING — the repeat-at-read half of data
+    // mixing ("3.5 epochs of wiki"): floor(f) full copies per doc plus a
+    // deterministic md5-gated fractional copy; map-only explode, zero
+    // shuffles. Binary-exact factors keep frac arithmetic bit-equal.
+    Q("x1_upsample_epochs",
+      (s, d) => DedupOps.upsampleEpochs(Tables.load(s, d, "documents"),
+          epochs = Seq("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0))
+        .orderBy("doc_id", "epoch"),
+      Some("""WITH f AS (SELECT doc_id, source,
+             |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+             |              WHEN 'src2' THEN 0.0 ELSE 1.0 END AS fac FROM documents),
+             |c AS (SELECT doc_id, source,
+             |        CAST(floor(fac) AS BIGINT)
+             |        + CASE WHEN CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |                 AS BIGINT) AS DOUBLE) < (fac - floor(fac)) * 1152921504606846976.0
+             |          THEN 1 ELSE 0 END AS n
+             |      FROM f)
+             |SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS epoch
+             |FROM c WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin)),
+
+    // X4: CCNet head/middle/tail quality sharding — per-language tertile
+    // cutoffs (explicit percentile_disc rule over a deterministic hash
+    // sample; rate 1.0 here) on the oracle-exact bigram-rarity score, then
+    // a broadcast map-only bucket assignment.
+    Q("x4_quality_buckets",
+      (s, d) => TextOps.qualityBuckets(Tables.load(s, d, "documents"),
+          buckets = 3, sampleRate = 1.0)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+             |bi AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+             |       FROM toks WHERE len(w) >= 2),
+             |dfq AS (SELECT bigram, COUNT(*) AS df FROM bi GROUP BY 1),
+             |sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             |         CAST(SUM(CASE WHEN dfq.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             |         CAST(SUM(CASE WHEN dfq.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rarity
+             |       FROM bi b JOIN dfq USING (bigram) GROUP BY b.doc_id),
+             |wl AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rarity, doc_id) AS rn,
+             |         COUNT(*) OVER (PARTITION BY lang) AS n FROM wl),
+             |cut AS (SELECT lang, rarity AS c
+             |        FROM rk CROSS JOIN (SELECT unnest([1, 2]) AS k) ks
+             |        WHERE rn = (k * n + 2) // 3),
+             |cuts AS (SELECT lang, list_sort(list(c)) AS cs FROM cut GROUP BY lang)
+             |SELECT w.doc_id, w.lang, w.n_bigrams, w.n_rare, w.rarity,
+             |  CAST(1 + len(list_filter(cs, x -> w.rarity > x)) AS BIGINT) AS bucket
+             |FROM wl w JOIN cuts USING (lang) ORDER BY w.doc_id""".stripMargin)),
+
+    // X3: approximate k-NN GRAPH — top-3 within-cell cosine neighbors per
+    // vector (graph substrate for component-based semantic dedup / label
+    // propagation); same deterministic 8-cell machinery as x3_semdedup, so
+    // the oracle replays assignment → within-cell ranking exactly.
+    Q("x3_knn_graph",
+      (s, d) => SimilarityOps.knnGraph(Tables.load(s, d, "embeddings"),
+          k = 3, cells = 8)
+        .orderBy("vec_id", "rnk"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+             |p AS (SELECT e.vec_id, c.cid,
+             |        list_dot_product(e.v, c.cv) /
+             |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+             |      FROM e, c),
+             |asg AS (SELECT vec_id, cid FROM (
+             |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+             |  FROM p) t WHERE rnk = 1),
+             |av AS (SELECT a.vec_id, a.cid, e.v FROM asg a JOIN e ON e.vec_id = a.vec_id),
+             |pr AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+             |         list_dot_product(a.v, b.v) /
+             |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+             |       FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+             |SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
+             |  SELECT vec_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM pr) t
+             |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin)))
 }
