@@ -488,6 +488,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again.map(_._1).toSeq === got.map(_._1).toSeq)
   }
 
+  test("upsampleEpochs: floor copies + deterministic fractional copy; 0 drops; default 1") {
+    val docs = (1L to 40L).map { i =>
+      val src = if (i <= 10) "wiki" else if (i <= 20) "web" else if (i <= 30) "junk" else "other"
+      (i, src)
+    }.toDF("doc_id", "source")
+    val up = DedupOps.upsampleEpochs(docs,
+      epochs = Seq("wiki" -> 2.5, "web" -> 1.0, "junk" -> 0.0))
+      .as[(Long, String, Long)].collect().toSeq
+    val byDoc = up.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    // junk drops entirely
+    assert(!up.exists(_._2 == "junk"))
+    // web and unspec'd sources emit exactly one copy at epoch 0
+    (11L to 20L).foreach(i => assert(byDoc(i) === Seq(0L)))
+    (31L to 40L).foreach(i => assert(byDoc(i) === Seq(0L)))
+    // wiki docs get 2 or 3 copies; epochs are a contiguous 0-based range
+    val wikiCounts = (1L to 10L).map(i => byDoc(i).length)
+    assert(wikiCounts.forall(n => n == 2 || n == 3))
+    (1L to 10L).foreach(i => assert(byDoc(i) === (0L until byDoc(i).length.toLong)))
+    // expected fractional share ~0.5 — on 10 docs just require both outcomes
+    assert(wikiCounts.distinct.sorted === Seq(2, 3))
+    // determinism: identical membership on re-run
+    val again = DedupOps.upsampleEpochs(docs,
+      epochs = Seq("wiki" -> 2.5, "web" -> 1.0, "junk" -> 0.0))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(again.sorted === up.sorted)
+  }
+
+  test("knnGraph: no self-edges, k-bounded, edges stay in-cell, dup ranks first") {
+    val dim = 4
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val vecs = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)), // centroids (cells = 2)
+      (2L, v(0.9, 0.1, 0, 0)), (3L, v(0.9, 0.1, 0, 0)), // exact dups, cell 0
+      (4L, v(0.1, 0.9, 0, 0)), (5L, v(0, 0.8, 0.2, 0))) // cell 1
+      .toDF("vec_id", "embedding")
+    val g = SimilarityOps.knnGraph(vecs, k = 2, cells = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(g.forall { case (a, b, _) => a != b }, "self edge")
+    g.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.length <= 2)
+      assert(es.map(_._3).sorted === (1L to es.length.toLong))
+    }
+    // exact duplicates are each other's rank-1 neighbor
+    assert(g.contains((2L, 3L, 1L)) && g.contains((3L, 2L, 1L)))
+    // cell locality: cell-0 members {0,2,3} never link to cell-1 {1,4,5}
+    val cell0 = Set(0L, 2L, 3L)
+    g.foreach { case (a, b, _) =>
+      assert(cell0.contains(a) === cell0.contains(b), s"cross-cell edge $a->$b")
+    }
+  }
+
   test("temperatureSample: alpha<1 flattens — small groups saturate, big ones thin") {
     import graft.ops.DedupOps
     val docs = ((0L until 90L).map(i => (i, "big")) ++ (100L until 110L).map(i => (i, "small")))

@@ -242,6 +242,35 @@ class TextOpsSpec extends SparkSpec {
     assert(rep === Map(Some("a") -> 2L, Some("b") -> 1L, Some("c") -> 1L, None -> 1L))
   }
 
+  test("qualityBuckets: per-lang tertiles from explicit rank rule; ties land low; per-lang independence") {
+    // doc i: 2 shared bigrams (df = all docs -> not rare) + m unique ones
+    // (df = 1 -> rare): rarity = m/(m+2), strictly increasing in m.
+    def doc(id: Long, lang: String, m: Int): (Long, String, String) =
+      (id, lang, ("aa bb cc" +: (1 to m).map(j => s"u${id}x$j")).mkString(" "))
+    val docs = (
+      (1 to 6).map(i => doc(i.toLong, "en", i - 1)) ++      // rarity 0 .. 5/7
+      (7 to 9).map(i => doc(i.toLong, "fr", i))             // 3 fr docs
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.TextOps.qualityBuckets(docs, buckets = 3)
+      .select("doc_id", "lang", "rarity", "bucket")
+      .as[(Long, String, Double, Long)].collect().sortBy(_._1).toSeq
+    // en, n=6: cutoffs at ranks ceil(k*6/3) = 2, 4 -> buckets 1,1,2,2,3,3
+    assert(got.filter(_._2 == "en").map(_._4) === Seq(1L, 1L, 2L, 2L, 3L, 3L))
+    // fr, n=3: cutoffs at ranks 1, 2 -> buckets 1,2,3 (ties-land-low rule)
+    assert(got.filter(_._2 == "fr").map(_._4) === Seq(1L, 2L, 3L))
+    // bucket is monotone in rarity within each lang
+    got.groupBy(_._2).values.foreach { g =>
+      val byRarity = g.sortBy(_._3)
+      assert(byRarity.map(_._4) === byRarity.map(_._4).sorted)
+    }
+    // sampled cutoffs: rate < 1 still deterministic and monotone
+    val s1 = graft.ops.TextOps.qualityBuckets(docs, buckets = 3, sampleRate = 0.6)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val s2 = graft.ops.TextOps.qualityBuckets(docs, buckets = 3, sampleRate = 0.6)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(s1 === s2)
+  }
+
   test("chunkWindows: full coverage with overlap, tail pinned, short docs one chunk") {
     val toks = (1 to 10).map(i => s"t$i").mkString(" ")
     val out = TextOps.chunkWindows(docs((1L, toks), (2L, "a b"), (3L, "")),
