@@ -675,6 +675,43 @@ object ReplayQueries {
            |ORDER BY trans_id, _change_type""".stripMargin
       }),
 
+    // MEDALLION CHAIN (the E134 consumer pattern end-to-end): bronze = the
+    // golden replay table; a cdc-mode readStream from version 0 feeds
+    // foreachBatch merges into an independent SILVER engine table — per
+    // batch, keys with an insert image upsert and delete-only keys delete
+    // (the net-apply rule for a net-diff changelog). Silver must converge to
+    // the same 12-row golden end state as bronze: the changelog stream is
+    // proven a lossless replication transport, not just a feed of images.
+    Q("cdc_silver_chain",
+      (s, _) => {
+        val bronze = replay(s) // v1 = scenario1, v2 = scenario2
+        val silverRoot = Files.createTempDirectory("graft_silver").toString
+        val silver = TransactionalTable.create(s, silverRoot, Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        val ckpt = Files.createTempDirectory("graft_silver_ckpt").toString
+        val q = s.readStream.format("graft-table").option("path", bronze.root)
+          .option("mode", "cdc").option("startingVersion", "0")
+          .load().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              bid: Long) =>
+            val ins = df.filter(col("_change_type") === "insert").drop("_change_type")
+            val delOnly = df.filter(col("_change_type") === "delete")
+              .select(col(Cdc.PrimaryKey))
+              .join(ins.select(col(Cdc.PrimaryKey)), Seq(Cdc.PrimaryKey), "left_anti")
+            silver.merge(ins, delOnly, bid)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(120000), "silver chain did not drain in time")
+        silver.scan()
+          .select(col("trans_id"), col("customer_id"), col("event"), col("sku"),
+            col("amount"), col("device"),
+            date_format(col("trans_datetime"), "yyyy-MM-dd HH:mm:ss").as("trans_datetime"))
+          .orderBy("trans_id")
+      },
+      Some(endStateOracle)),
+
     // Changelog at fixture scale (sf-scalable, relational oracle): batch 0
     // loads every event, batch 1 doubles value for event_id%5=0 ∧ %7≠0 and
     // deletes event_id%7=0; changes(v1, v2) must be exactly the update pairs

@@ -223,6 +223,48 @@ class TableStreamReadSpec extends SparkSpec {
     assert(drainCdc(root, ckpt).toSet === Set((9L, "z", "insert")))
   }
 
+  test("cdc mode silver chain: downstream merges converge across restarts, no double-apply") {
+    val root = tmpDir("tsr-chain") + "/bronze"
+    val silverRoot = tmpDir("tsr-chain") + "/silver"
+    val ckpt = tmpDir("tsr-chain-ckpt")
+    val bronze = TransactionalTable.create(spark, root, sch, "id")
+    val silver = TransactionalTable.create(spark, silverRoot, sch, "id")
+    def applyBatches(): Unit = {
+      val q = spark.readStream.format("graft-table").option("path", root)
+        .option("mode", "cdc").option("startingVersion", "0")
+        .load().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], bid: Long) =>
+          val ins = df.filter($"_change_type" === "insert").drop("_change_type")
+          val delOnly = df.filter($"_change_type" === "delete").select($"id")
+            .join(ins.select($"id"), Seq("id"), "left_anti")
+          silver.merge(ins, delOnly, bid)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("1 second")).start()
+      try { q.processAllAvailable() } finally { q.stop(); q.awaitTermination() }
+    }
+    bronze.append(Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("id", "v"))
+    applyBatches() // run 1: initial state
+    assert(silver.scan().as[(Long, String)].collect().toSet ===
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    val silverV1 = silver.currentVersion
+    // stream down: update, delete, insert land on bronze
+    bronze.merge(Seq(2L -> "B", 4L -> "d").toDF("id", "v"), Seq(3L).toDF("id"),
+      batchId = 1)
+    applyBatches() // run 2: restart from the checkpoint, one interval batch
+    assert(silver.scan().as[(Long, String)].collect().toSet ===
+      Set(1L -> "a", 2L -> "B", 4L -> "d"))
+    // restart with NOTHING new: the replay fence + offsets mean no new commit
+    val vAfter = silver.currentVersion
+    applyBatches() // run 3: no-op
+    assert(silver.currentVersion === vAfter,
+      "an already-applied interval must not re-commit on restart")
+    assert(vAfter > silverV1)
+    assert(silver.scan().as[(Long, String)].collect().toSet ===
+      Set(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
+
   test("cdc mode with row lineage: the update pair shares one _row_id") {
     val root = tmpDir("tsr-cdcrl") + "/t"
     val ckpt = tmpDir("tsr-cdcrl-ckpt")
