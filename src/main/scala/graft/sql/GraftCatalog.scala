@@ -325,6 +325,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     Option(properties.get("write.sort-order")).foreach(t.setSortOrder)
     Option(properties.get("write.max-records-per-file"))
       .foreach(v => t.setMaxRecordsPerFile(java.lang.Long.parseLong(v)))
+    Option(properties.get("write.auto-compact.min-files")).foreach { v =>
+      val rows = Option(properties.get("write.auto-compact.target-rows"))
+        .map(java.lang.Long.parseLong).getOrElse(1L << 20)
+      t.setAutoCompact(Integer.parseInt(v), rows)
+    }
     Option(properties.get("row.lineage"))
       .foreach(v => t.setRowLineage(java.lang.Boolean.parseBoolean(v)))
     properties.asScala.foreach { case (k, v) =>
@@ -406,6 +411,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // ALTER TABLE t SET TBLPROPERTIES('write.sort-order'='ts desc, amount')
       case sp: TableChange.SetProperty if sp.property() == "write.sort-order" =>
         t.setSortOrder(sp.value())
+      // Auto-compaction (Delta optimize-on-write posture): ALTER TABLE t SET
+      // TBLPROPERTIES('write.auto-compact.min-files'='N') — '0' disables;
+      // 'write.auto-compact.target-rows' tunes the small-file threshold.
+      case sp: TableChange.SetProperty
+          if sp.property() == "write.auto-compact.min-files" =>
+        t.setAutoCompact(Integer.parseInt(sp.value()),
+          t.autoCompact.map(_._2).getOrElse(1L << 20))
+      case sp: TableChange.SetProperty
+          if sp.property() == "write.auto-compact.target-rows" =>
+        t.setAutoCompact(t.autoCompact.map(_._1).getOrElse(
+          throw new IllegalArgumentException(
+            "set write.auto-compact.min-files before target-rows")),
+          java.lang.Long.parseLong(sp.value()))
       // Per-operation row-level write strategy (Iceberg write.merge.mode /
       // write.delete.mode / write.update.mode parity): ALTER TABLE t SET
       // TBLPROPERTIES('write.delete.mode'='merge-on-read' | ... )
@@ -732,6 +750,10 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     if (t.maxRecordsPerFile > 0)
       m.put("write.max-records-per-file", t.maxRecordsPerFile.toString)
     if (t.sortOrder.nonEmpty) m.put("write.sort-order", t.sortOrder)
+    t.autoCompact.foreach { case (n, rows) =>
+      m.put("write.auto-compact.min-files", n.toString)
+      m.put("write.auto-compact.target-rows", rows.toString)
+    }
     GraftCatalog.RowLevelModeProps.foreach { case (prop, op) =>
       val mode = t.rowLevelModeName(op)
       if (mode != "copy-on-write") m.put(prop, mode)

@@ -1406,6 +1406,7 @@ final class TransactionalTable private (
         finally pendingWriterFence = None
       }
     }
+    maybeAutoCompact()
   }
 
   /** Thread-confined (merge/append are synchronized and commit() runs on the
@@ -2141,6 +2142,66 @@ final class TransactionalTable private (
       if (n == 0) { m.remove("maxRecordsPerFile"); () } else m.put("maxRecordsPerFile", n))
   }
 
+  /** AUTO-COMPACTION switch (Delta optimize-on-write posture, opt-in via
+    * `TBLPROPERTIES('write.auto-compact.min-files'='N')`): after every
+    * merge/append commit, if ~N or more small data files have accreted the
+    * table immediately bin-packs THE PARTITIONS CARRYING THEM (never the
+    * whole table — O(debt), the same scope [[compactPartitions]] gives a
+    * manual operator). `targetRows` is the small-file threshold AND the
+    * packed output size (`write.auto-compact.target-rows`, default 2²⁰ —
+    * [[compact]]'s default). minFiles 0 disables. The streaming pipeline's
+    * cadence knobs ([[graft.ops.DedupIndex]]-style `compactEvery`) count
+    * batches; this counts FILES — the right currency when per-batch file
+    * fan-out varies with partition spread. */
+  def setAutoCompact(minFiles: Int, targetRows: Long = 1L << 20): Unit = synchronized {
+    require(minFiles >= 0, s"auto-compact min-files must be >= 0, got $minFiles")
+    require(targetRows > 0, s"auto-compact target-rows must be positive, got $targetRows")
+    updateTableMeta { m =>
+      if (minFiles == 0) { m.remove("autoCompactMinFiles"); m.remove("autoCompactTargetRows"); () }
+      else { m.put("autoCompactMinFiles", minFiles); m.put("autoCompactTargetRows", targetRows); () }
+    }
+  }
+
+  /** (minFiles, targetRows) when auto-compaction is enabled. */
+  def autoCompact: Option[(Int, Long)] =
+    tableMeta.filter(_.has("autoCompactMinFiles")).map { m =>
+      (m.get("autoCompactMinFiles").asInt(),
+        if (m.has("autoCompactTargetRows")) m.get("autoCompactTargetRows").asLong()
+        else 1L << 20)
+    }.filter(_._1 > 0)
+
+  /** Post-commit auto-compaction trigger (see [[setAutoCompact]]) — called
+    * only from [[merge]]/[[append]] (maintenance commits never re-trigger).
+    * Small-file debt is estimated from CHUNK STATS ALONE — a chunk whose
+    * mean file size is below target is counted small — O(chunks) driver
+    * arithmetic, zero manifest-entry loads on the no-op path (the 864
+    * commits/day case pays one Seq traversal, not an entry parse). Debt in
+    * identity-spec partitions compacts via [[compactPartitions]] (touched
+    * partitions only); debt outside per-chunk partition lists (wide chunks,
+    * pre-evolution files, unpartitioned tables) falls back to [[compact]],
+    * which bounds its own work to small files. Pending MOR deletes skip the
+    * pass entirely (partition-scoped rewrites under equality deletes are
+    * unsound — [[compactPartitions]] would refuse anyway). */
+  private def maybeAutoCompact(): Unit = autoCompact.foreach { case (minFiles, target) =>
+    val s = snapshot
+    if (s.deletes.nonEmpty) return
+    val (nSmall, parts, allPartitioned) = s.files match {
+      case mf: ManifestFiles =>
+        val small = mf.chunks.filter(c =>
+          c.count > 0 && c.rows >= 0 && c.rows / c.count < target)
+        (small.map(_.count).sum,
+          small.flatMap(c => c.partitions.filter(_ => c.specId.contains(currentSpecId))
+            .getOrElse(Seq.empty)).distinct,
+          small.forall(c => c.specId.contains(currentSpecId) && c.partitions.isDefined))
+      case files => (files.count(_.rows < target), Seq.empty[String], false)
+    }
+    if (nSmall >= minFiles) {
+      if (allPartitioned && parts.nonEmpty && partitionSpec.isDefined)
+        compactPartitions(parts, target)
+      else compact(target)
+    }
+  }
+
   /** Iceberg `write.sort-order` parity (`ALTER TABLE ... WRITE ORDERED BY`):
     * the within-file row order of every future data-file write. Spec is a
     * comma list of `col [asc|desc]`. Replaces the default PK clustering in
@@ -2386,6 +2447,7 @@ final class TransactionalTable private (
         finally pendingWriterFence = None
       }
     }
+    maybeAutoCompact()
   }
 
   /**

@@ -38,6 +38,56 @@ class TablePropsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT id FROM $cat.db.t").as[Long].collect().toSeq === Seq(9L))
   }
 
+  test("auto-compaction: small-file debt triggers partition-scoped bin-pack; data exact") {
+    val root = tmpDir("ttable-autoc") + "/t"
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    val t = TransactionalTable.create(spark, root, sch, "id", partitionCol = Some("p"))
+    t.setAutoCompact(minFiles = 6, targetRows = 1000L)
+    assert(t.autoCompact === Some((6, 1000L)))
+    // 10 tiny merges across 2 partitions: without auto-compact ~20 small
+    // files accrete; the trigger must bin-pack along the way
+    (0 until 10).foreach { i =>
+      t.merge(Seq((i.toLong, "a"), (i + 100L, "b")).toDF("id", "p"),
+        spark.emptyDataset[Long].toDF("id"), batchId = i.toLong)
+    }
+    val files = t.snapshot.files
+    assert(files.size < 10, s"auto-compaction must bound file count, got ${files.size}")
+    // a maintenance commit actually ran (operation stamped in history)
+    val ops = (1L to t.currentVersion).flatMap(v => t.operationOf(v))
+    assert(ops.exists(o => o.startsWith("compact")), s"no compaction in $ops")
+    // data exact after the interleaved compactions
+    assert(t.scan().select("id").as[Long].collect().sorted.toSeq ===
+      ((0L until 10L) ++ (100L until 110L)).sorted)
+    // replay fence intact: re-sending an old batch is a no-op
+    val v = t.currentVersion
+    t.merge(Seq((999L, "a")).toDF("id", "p"),
+      spark.emptyDataset[Long].toDF("id"), batchId = 3L)
+    assert(t.currentVersion === v, "fenced replay must not commit")
+    // disable: property cleared, no further compactions
+    t.setAutoCompact(0)
+    assert(t.autoCompact.isEmpty)
+  }
+
+  test("auto-compaction via SQL TBLPROPERTIES: bounded files, property round-trips") {
+    val cat = freshCat()
+    spark.sql(s"""CREATE TABLE $cat.db.ac (id BIGINT, v STRING)
+      TBLPROPERTIES('pk'='id', 'write.auto-compact.min-files'='5',
+                    'write.auto-compact.target-rows'='1000')""")
+    (0 until 9).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.db.ac VALUES ($i, 'x$i')"))
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.db.ac").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.auto-compact.min-files").contains("5"))
+    assert(props.get("write.auto-compact.target-rows").contains("1000"))
+    val t = TransactionalTable.open(spark,
+      s"${spark.conf.get(s"spark.sql.catalog.$cat.warehouse")}/db/ac")
+    assert(t.snapshot.files.size < 9,
+      s"SQL-declared auto-compaction must bound files, got ${t.snapshot.files.size}")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.db.ac").collect().head.getLong(0) === 9L)
+  }
+
   test("parquet bloom property: footer carries the filter; reads stay correct") {
     val cat = freshCat()
     spark.sql(s"CREATE TABLE $cat.db.b (id BIGINT, req STRING) TBLPROPERTIES(" +
