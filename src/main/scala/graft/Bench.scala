@@ -128,7 +128,7 @@ object Bench {
     // (sec@30× / sec@1×  vs  copies) is a plan bug, not noise, at this size.
     val hiCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI_COPIES", "30").toInt
     val heavy = Seq("cdc_events_replay", "x2_dedup_index", "x2_dup_spans",
-      "x4_tfidf", "x7_q5_revenue_by_nation")
+      "x4_tfidf", "x7_q5_revenue_by_nation", "x2_line_dedup")
     val baseSec = results.toMap
     var hiJson = ""
     if (hiCopies > 1) {
