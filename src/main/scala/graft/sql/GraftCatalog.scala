@@ -325,11 +325,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     Option(properties.get("write.sort-order")).foreach(t.setSortOrder)
     Option(properties.get("write.max-records-per-file"))
       .foreach(v => t.setMaxRecordsPerFile(java.lang.Long.parseLong(v)))
-    Option(properties.get("write.auto-compact.min-files")).foreach { v =>
-      val rows = Option(properties.get("write.auto-compact.target-rows"))
-        .map(java.lang.Long.parseLong).getOrElse(1L << 20)
-      t.setAutoCompact(Integer.parseInt(v), rows)
-    }
+    Option(properties.get("write.auto-compact.target-rows"))
+      .foreach(v => t.setAutoCompactTargetRows(java.lang.Long.parseLong(v)))
+    Option(properties.get("write.auto-compact.min-files"))
+      .foreach(v => t.setAutoCompactMinFiles(Integer.parseInt(v)))
     Option(properties.get("row.lineage"))
       .foreach(v => t.setRowLineage(java.lang.Boolean.parseBoolean(v)))
     properties.asScala.foreach { case (k, v) =>
@@ -414,16 +413,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // Auto-compaction (Delta optimize-on-write posture): ALTER TABLE t SET
       // TBLPROPERTIES('write.auto-compact.min-files'='N') — '0' disables;
       // 'write.auto-compact.target-rows' tunes the small-file threshold.
+      // Each property stands alone (any statement order; a lone target-rows
+      // is stored inert until min-files activates the trigger).
       case sp: TableChange.SetProperty
           if sp.property() == "write.auto-compact.min-files" =>
-        t.setAutoCompact(Integer.parseInt(sp.value()),
-          t.autoCompact.map(_._2).getOrElse(1L << 20))
+        t.setAutoCompactMinFiles(Integer.parseInt(sp.value()))
       case sp: TableChange.SetProperty
           if sp.property() == "write.auto-compact.target-rows" =>
-        t.setAutoCompact(t.autoCompact.map(_._1).getOrElse(
-          throw new IllegalArgumentException(
-            "set write.auto-compact.min-files before target-rows")),
-          java.lang.Long.parseLong(sp.value()))
+        t.setAutoCompactTargetRows(java.lang.Long.parseLong(sp.value()))
       // Per-operation row-level write strategy (Iceberg write.merge.mode /
       // write.delete.mode / write.update.mode parity): ALTER TABLE t SET
       // TBLPROPERTIES('write.delete.mode'='merge-on-read' | ... )
@@ -750,8 +747,12 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
     if (t.maxRecordsPerFile > 0)
       m.put("write.max-records-per-file", t.maxRecordsPerFile.toString)
     if (t.sortOrder.nonEmpty) m.put("write.sort-order", t.sortOrder)
-    t.autoCompact.foreach { case (n, rows) =>
+    t.autoCompact.foreach { case (n, _) =>
       m.put("write.auto-compact.min-files", n.toString)
+    }
+    if (t.autoCompactTargetRows != (1L << 20))
+      m.put("write.auto-compact.target-rows", t.autoCompactTargetRows.toString)
+    else t.autoCompact.foreach { case (_, rows) =>
       m.put("write.auto-compact.target-rows", rows.toString)
     }
     GraftCatalog.RowLevelModeProps.foreach { case (prop, op) =>

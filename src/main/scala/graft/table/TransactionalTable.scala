@@ -605,17 +605,28 @@ final class TransactionalTable private (
     // metadata uses), deduped so an ASCII-only path never joins twice.
     // Decoding the column instead would need url_decode, which corrupts
     // literal '+' in paths.
-    // Plain paths win globally: a file's ENCODED alias is dropped when it
-    // equals ANY file's plain path (e.g. '/a b' encodes to '/a%20b' while a
-    // sibling is literally named '/a%20b') — otherwise that key would match
-    // two broadcast rows and the left join would duplicate the scanned rows
-    // and hand one copy the wrong firstRowId base.
-    val plainPaths = files.iterator.map(_.path).toSet
+    // ENCODED keys win on collision: `_metadata.file_path` presents paths in
+    // percent-ENCODED form, so when one file's encoded form equals ANOTHER
+    // file's plain path (e.g. '/a b' encodes to '/a%20b' while a sibling is
+    // literally named '/a%20b'), a scanned key '/a%20b' can only mean the
+    // space-bearing file — the literal sibling's own scan key is its
+    // DOUBLY-encoded form '/a%2520b'. The colliding file therefore drops its
+    // plain alias (never its encoded one); keeping both would double-join,
+    // and preferring plain would hand the rows the wrong firstRowId base.
+    def encode(p: String): String =
+      try Paths.get(p).toUri.getRawPath catch { case _: Exception => p }
+    // Every encoded form that DIFFERS from its plain path. A file whose
+    // plain path appears here drops its plain alias (its own encoded form
+    // necessarily differs again — a '%'-bearing path always re-encodes —
+    // so it stays uniquely reachable).
+    val encodedForms: Set[String] = files.iterator
+      .map(f => (f.path, encode(f.path)))
+      .collect { case (p, e) if e != p => e }.toSet
     val rows: java.util.List[org.apache.spark.sql.Row] =
       files.flatMap { f =>
-        val enc = try Paths.get(f.path).toUri.getRawPath catch { case _: Exception => f.path }
-        val keys = if (enc == f.path || plainPaths.contains(enc)) Set(f.path)
-          else Set(f.path, enc)
+        val enc = encode(f.path)
+        val keys = if (encodedForms.contains(f.path)) Set(enc)
+          else Set(f.path, enc) // Set dedupes the common enc == plain case
         keys.map(k =>
           org.apache.spark.sql.Row(k, f.firstRowId.map(Long.box).orNull))
       }.asJava
@@ -1404,10 +1415,17 @@ final class TransactionalTable private (
         try doMerge(snap, upserts, deleteKeys,
           if (writerId.isDefined) snap.batchId else batchId, mode, guardTs)
         finally pendingWriterFence = None
+        pendingAutoCompact = true
       }
     }
     maybeAutoCompact()
   }
+
+  /** Set when a merge/append actually committed (a FENCED replay must stay
+    * version-stable: no maintenance commit may ride on a no-op replay);
+    * consumed by [[maybeAutoCompact]]. Thread-confined like the other
+    * pending flags (merge/append are synchronized). */
+  private var pendingAutoCompact: Boolean = false
 
   /** Thread-confined (merge/append are synchronized and commit() runs on the
     * calling thread): the per-writer fence update the in-flight commit must
@@ -2162,13 +2180,33 @@ final class TransactionalTable private (
     }
   }
 
+  /** Independently tune the small-file threshold — each property stands
+    * alone (the SQL surfaces set them in either order; a lone target-rows
+    * is stored inert until min-files activates the trigger). */
+  def setAutoCompactTargetRows(targetRows: Long): Unit = synchronized {
+    require(targetRows > 0, s"auto-compact target-rows must be positive, got $targetRows")
+    updateTableMeta { m => m.put("autoCompactTargetRows", targetRows); () }
+  }
+
+  /** Only the min-files switch — preserves any stored target-rows. */
+  def setAutoCompactMinFiles(minFiles: Int): Unit = synchronized {
+    require(minFiles >= 0, s"auto-compact min-files must be >= 0, got $minFiles")
+    updateTableMeta { m =>
+      if (minFiles == 0) { m.remove("autoCompactMinFiles"); () }
+      else { m.put("autoCompactMinFiles", minFiles); () }
+    }
+  }
+
+  /** The stored target-rows threshold, active or not (default 2²⁰). */
+  def autoCompactTargetRows: Long =
+    tableMeta.filter(_.has("autoCompactTargetRows"))
+      .map(_.get("autoCompactTargetRows").asLong()).getOrElse(1L << 20)
+
   /** (minFiles, targetRows) when auto-compaction is enabled. */
   def autoCompact: Option[(Int, Long)] =
-    tableMeta.filter(_.has("autoCompactMinFiles")).map { m =>
-      (m.get("autoCompactMinFiles").asInt(),
-        if (m.has("autoCompactTargetRows")) m.get("autoCompactTargetRows").asLong()
-        else 1L << 20)
-    }.filter(_._1 > 0)
+    tableMeta.filter(_.has("autoCompactMinFiles"))
+      .map(m => (m.get("autoCompactMinFiles").asInt(), autoCompactTargetRows))
+      .filter(_._1 > 0)
 
   /** Post-commit auto-compaction trigger (see [[setAutoCompact]]) — called
     * only from [[merge]]/[[append]] (maintenance commits never re-trigger).
@@ -2182,23 +2220,39 @@ final class TransactionalTable private (
     * which bounds its own work to small files. Pending MOR deletes skip the
     * pass entirely (partition-scoped rewrites under equality deletes are
     * unsound — [[compactPartitions]] would refuse anyway). */
-  private def maybeAutoCompact(): Unit = autoCompact.foreach { case (minFiles, target) =>
-    val s = snapshot
-    if (s.deletes.nonEmpty) return
-    val (nSmall, parts, allPartitioned) = s.files match {
-      case mf: ManifestFiles =>
-        val small = mf.chunks.filter(c =>
-          c.count > 0 && c.rows >= 0 && c.rows / c.count < target)
-        (small.map(_.count).sum,
-          small.flatMap(c => c.partitions.filter(_ => c.specId.contains(currentSpecId))
-            .getOrElse(Seq.empty)).distinct,
-          small.forall(c => c.specId.contains(currentSpecId) && c.partitions.isDefined))
-      case files => (files.count(_.rows < target), Seq.empty[String], false)
-    }
-    if (nSmall >= minFiles) {
-      if (allPartitioned && parts.nonEmpty && partitionSpec.isDefined)
-        compactPartitions(parts, target)
-      else compact(target)
+  private def maybeAutoCompact(): Unit = {
+    val fired = pendingAutoCompact
+    pendingAutoCompact = false
+    if (!fired) return // fenced replay: no maintenance on a no-op (version-stable)
+    autoCompact.foreach { case (minFiles, target) =>
+      // Maintenance must never fail the user's WRITE — the data is already
+      // committed when this runs. Concurrent-writer races (e.g. a MOR delete
+      // landing between our check and compactPartitions' own) and transient
+      // job failures are logged and left for the next trigger.
+      try {
+        val s = snapshot
+        if (s.deletes.isEmpty) {
+          val (nSmall, parts, allPartitioned) = s.files match {
+            case mf: ManifestFiles =>
+              val small = mf.chunks.filter(c =>
+                c.count > 0 && c.rows >= 0 && c.rows / c.count < target)
+              (small.map(_.count).sum,
+                small.flatMap(c => c.partitions.filter(_ => c.specId.contains(currentSpecId))
+                  .getOrElse(Seq.empty)).distinct,
+                small.forall(c => c.specId.contains(currentSpecId) && c.partitions.isDefined))
+            case files => (files.count(_.rows < target), Seq.empty[String], false)
+          }
+          if (nSmall >= minFiles) {
+            if (allPartitioned && parts.nonEmpty && partitionSpec.isDefined)
+              compactPartitions(parts, target)
+            else compact(target)
+          }
+        }
+      } catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"auto-compaction skipped on $root: ${e.getMessage}")
+      }
     }
   }
 
@@ -2323,7 +2377,20 @@ final class TransactionalTable private (
     }
     require(fields.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.length
       == fields.length, "duplicate shred field names")
-    val prev = variantShred.get(lc) // for rollback if the rewrite fails
+    // Additive-only on a live column: every retained field must keep its
+    // exact (path, type). A change that drops or retypes a field would leave
+    // stale-spec readers (a loadTable that captured spec A) pairing A with
+    // post-rewrite files whose A-columns are GONE — silent NULLs. Clearing
+    // ('' → empty) is the explicit operator escape hatch; it does not
+    // rewrite, and readers holding the old spec still find their columns in
+    // the untouched files.
+    if (fields.nonEmpty)
+      variantShred.getOrElse(lc, Seq.empty).foreach { case (n, p0, t0) =>
+        require(fields.exists { case (n2, p2, t2) =>
+          n2.equalsIgnoreCase(n) && p2 == p0 && t2.equalsIgnoreCase(t0) },
+          s"shred spec change for '$varCol' must keep field '$n' ($p0:$t0) — " +
+            "specs are additive-only on a live column (clear with '' first)")
+      }
     def putSpec(spec: Option[Seq[(String, String, String)]]): Unit =
       updateTableMeta { m =>
         val cur = if (m.has("variantShred"))
@@ -2338,15 +2405,28 @@ final class TransactionalTable private (
         }
         if (cur.isEmpty) { m.remove("variantShred"); () }
       }
-    putSpec(Some(fields))
-    // The spec must be live BEFORE the rewrite (writeDataFiles reads it to
-    // materialize the side-columns), but a live spec whose files lack the
-    // columns would make shredded reads serve NULLs — so a failed/interrupted
-    // rewrite rolls the spec back to its previous value and rethrows.
-    if (fields.nonEmpty && Files.exists(pointerPath) && snapshot.files.nonEmpty)
+    if (fields.nonEmpty && Files.exists(pointerPath) && snapshot.files.nonEmpty) {
+      // Materialize BEFORE the spec goes live: the rewrite runs under a
+      // PENDING spec only this handle's write path sees, so a concurrent
+      // shredded read can never plan side-columns that aren't on disk yet
+      // (it sees no spec and stays on the binary — correct, unaccelerated).
+      // A failed rewrite leaves no live spec, nothing to roll back. After
+      // the flip, heal the flip window: a commit that raced between rewrite
+      // and flip wrote without the columns — one rewrite under the now-live
+      // spec covers it (from here on every writer materializes itself).
+      pendingShredSpec = Some(variantShred + (lc -> fields))
       try rewriteAllFiles("shred")
-      catch { case e: Throwable => putSpec(prev); throw e }
+      finally pendingShredSpec = None
+      val vRewritten = currentVersion
+      putSpec(Some(fields))
+      if (currentVersion != vRewritten) rewriteAllFiles("shred")
+    } else putSpec(Some(fields))
   }
+
+  /** Thread-confined (setVariantShred is synchronized): the not-yet-live
+    * shred spec the materializing rewrite writes under — see the window
+    * argument in [[setVariantShred]]. */
+  private var pendingShredSpec: Option[Map[String, Seq[(String, String, String)]]] = None
 
   /** Full-rewrite commit (every live file, deletes folded in) — the
     * materialization step behind [[setVariantShred]] on a non-empty table. */
@@ -2445,6 +2525,7 @@ final class TransactionalTable private (
           if (writerId.isDefined) snap.batchId else math.max(batchId, snap.batchId),
           new AppendedFiles(snap.files, newFiles), snap.deletes))
         finally pendingWriterFence = None
+        pendingAutoCompact = true
       }
     }
     maybeAutoCompact()
@@ -2649,14 +2730,15 @@ final class TransactionalTable private (
     // Variant shredding (see setVariantShred): materialize each declared hot
     // path as a typed physical side-column — map-only, codegen'd variant_get
     // over the already-in-hand rows; the logical schema is untouched.
-    val df = variantShred.foldLeft(df0) { case (d, (vcol, fields)) =>
-      d.columns.find(_.equalsIgnoreCase(vcol)) match {
-        case Some(actual) => fields.foldLeft(d) { case (d2, (name, path, tpe)) =>
-          d2.withColumn(shredPhysical(vcol, name),
-            org.apache.spark.sql.functions.variant_get(col(actual), path, tpe))
+    val df = pendingShredSpec.getOrElse(variantShred).foldLeft(df0) {
+      case (d, (vcol, fields)) =>
+        d.columns.find(_.equalsIgnoreCase(vcol)) match {
+          case Some(actual) => fields.foldLeft(d) { case (d2, (name, path, tpe)) =>
+            d2.withColumn(shredPhysical(vcol, name),
+              org.apache.spark.sql.functions.variant_get(col(actual), path, tpe))
+          }
+          case None => d
         }
-        case None => d
-      }
     }
     // Optional pre-write clustering (see setWriteDistribution): `hash`
     // guarantees one file per partition value per commit, `range` disjoint
@@ -3002,9 +3084,10 @@ final class TransactionalTable private (
 
   /**
    * Partition-scoped bin-pack (Iceberg `rewrite_data_files ... WHERE` role):
-   * rewrite ONLY the files whose current-spec partition value is in
-   * `values`, carrying every other file into the new snapshot BY REFERENCE —
-   * cost O(selected files), not O(table). At 100 TB compaction debt is
+   * rewrite ONLY the SMALL files (rows < `minFileRows`) whose current-spec
+   * partition value is in `values`, carrying every other file into the new
+   * snapshot BY REFERENCE — cost O(selected files), not O(table), and
+   * already-packed outputs of earlier passes are never re-rewritten. At 100 TB compaction debt is
    * concentrated in the partitions a day's ingest touched; this is the knob
    * that pays exactly that debt. Pre-evolution files are skipped (their
    * value strings mean something else under the old transform — the
@@ -3022,8 +3105,14 @@ final class TransactionalTable private (
       require(snap.deletes.isEmpty,
         "table has pending merge-on-read delete files; run " +
           "CALL system.fold_deletes (or compact) first")
+      // SMALL files only (rows < minFileRows), matching [[compact]]: a hot
+      // partition under steady small merges must pay O(new debt) per pass,
+      // never re-rewrite the target-sized outputs of previous passes
+      // (all-files selection would make bytes-rewritten quadratic in the
+      // partition's growth under an auto-compact cadence).
       val selected = snap.files.filter(f =>
-        f.specId == currentSpecId && f.partition.exists(values.contains))
+        f.specId == currentSpecId && f.partition.exists(values.contains) &&
+          f.rows < minFileRows)
       if (selected.size > 1) {
         val keep = snap.files.filterNot(selected.toSet)
         val newVersion = snap.version + 1

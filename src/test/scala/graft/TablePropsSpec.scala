@@ -60,7 +60,10 @@ class TablePropsSpec extends SparkSpec {
     // data exact after the interleaved compactions
     assert(t.scan().select("id").as[Long].collect().sorted.toSeq ===
       ((0L until 10L) ++ (100L until 110L)).sorted)
-    // replay fence intact: re-sending an old batch is a no-op
+    // replay fence intact: re-sending an old batch is a no-op — even with a
+    // hair-trigger threshold (minFiles=1), a fenced replay must stay
+    // version-stable (no maintenance commit rides on a no-op)
+    t.setAutoCompact(minFiles = 1, targetRows = 1000L)
     val v = t.currentVersion
     t.merge(Seq((999L, "a")).toDF("id", "p"),
       spark.emptyDataset[Long].toDF("id"), batchId = 3L)

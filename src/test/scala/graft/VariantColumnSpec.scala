@@ -150,6 +150,28 @@ class VariantColumnSpec extends SparkSpec {
       .map(_.toPlainString).sorted.toSeq === Seq("0.50", "12.34"))
   }
 
+  test("shred spec is additive-only on a live column; clear is the escape hatch") {
+    val t = mk("ttable-var-add")
+    t.setVariantShred("v", Seq(("a", "$.a", "bigint")))
+    t.merge(rows(1L -> """{"a": 1, "b": "x"}"""), noDel, batchId = 0)
+    // adding a field while keeping the old one: allowed, rewrites once
+    t.setVariantShred("v", Seq(("a", "$.a", "bigint"), ("b", "$.b", "string")))
+    assert(t.scanShredded("v").columns.toSeq === Seq("id", "a", "b"))
+    // dropping a live field is refused (stale-spec readers would read NULLs)
+    intercept[IllegalArgumentException] {
+      t.setVariantShred("v", Seq(("b", "$.b", "string")))
+    }
+    // retyping a live field is refused for the same reason
+    intercept[IllegalArgumentException] {
+      t.setVariantShred("v", Seq(("a", "$.a", "string"), ("b", "$.b", "string")))
+    }
+    // explicit clear works and does not rewrite data files
+    val v = t.currentVersion
+    t.setVariantShred("v", Seq.empty)
+    assert(t.variantShred.get("v").isEmpty)
+    assert(t.currentVersion === v)
+  }
+
   test("failed shred materialization rolls the spec back (no live spec without side-columns)") {
     val t = mk("ttable-var-roll")
     t.merge(rows(1L -> """{"a": 1}"""), noDel, batchId = 0)
