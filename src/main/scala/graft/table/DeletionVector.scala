@@ -3,7 +3,7 @@ package graft.table
 import java.nio.ByteBuffer
 import java.util.{BitSet => JBitSet, TreeMap => JTreeMap}
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 /**
  * Roaring-style bitmap of deleted row ordinals — the Iceberg v3

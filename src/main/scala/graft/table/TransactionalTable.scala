@@ -1164,8 +1164,8 @@ final class TransactionalTable private (
       }
       snap.deletes.foreach(d => expDirect += d.path)
     }
-    val exclusiveChunks = (expChunkPaths -- keptChunkPaths).toSeq
-    val directCandidates = (expDirect -- keptDirect).toSeq
+    val exclusiveChunks = expChunkPaths.filterNot(keptChunkPaths).toSeq
+    val directCandidates = expDirect.filterNot(keptDirect).toSeq
     if (exclusiveChunks.nonEmpty || directCandidates.nonEmpty) {
       import spark.implicits._
       def pathsOf(chunks: Seq[String], direct: Seq[String]) = {
