@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, SequenceOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, SequenceOps, SimilarityOps, SketchOps, TextOps}
 
 /**
  * Training-data-pipeline queries beyond the X1–X6 core: corpus-level TF-IDF
@@ -317,6 +317,37 @@ object PipelineQueries {
              |SELECT w.doc_id, w.lang, w.n_bigrams, w.n_rare, w.rarity,
              |  CAST(1 + len(list_filter(cs, x -> w.rarity > x)) AS BIGINT) AS bucket
              |FROM wl w JOIN cuts USING (lang) ORDER BY w.doc_id""".stripMargin)),
+
+    // X4: COUNT-MIN SKETCH heavy hitters — the fixed-size frequency summary
+    // (depth x width, bounded regardless of corpus) with the one-sided
+    // est >= true guarantee; md5-derived buckets so the oracle replays the
+    // sketch and every estimate bit-for-bit. Emits the exact top-5 terms
+    // with their true occurrence counts and the sketch estimates.
+    Q("x4_cms_counts",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val toks = docs.select(explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+        val top5 = tf.orderBy(desc("true_cnt"), col("term")).limit(5)
+        val sketch = SketchOps.cmsSketch(docs, "text", depth = 4, width = 64)
+        val est = SketchOps.cmsEstimate(sketch, top5.select("term"),
+          "term", depth = 4, width = 64)
+        top5.join(est, Seq("term")).select("term", "true_cnt", "est")
+      },
+      Some(s"""WITH toks AS (SELECT unnest($DuckToks) AS term FROM documents),
+             |tf AS (SELECT term, COUNT(*) AS true_cnt FROM toks GROUP BY term),
+             |top5 AS (SELECT term, true_cnt FROM tf ORDER BY true_cnt DESC, term LIMIT 5),
+             |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+             |sk AS (SELECT r,
+             |         CAST(CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 64 AS BIGINT) AS bucket,
+             |         COUNT(*) AS cnt
+             |       FROM toks CROSS JOIN rs GROUP BY 1, 2),
+             |q AS (SELECT t.term, t.true_cnt, rs.r,
+             |        CAST(CAST(concat('0x', substring(md5(CAST(rs.r AS VARCHAR) || ':' || t.term), 1, 15)) AS BIGINT) % 64 AS BIGINT) AS bucket
+             |      FROM top5 t CROSS JOIN rs)
+             |SELECT q.term, q.true_cnt, MIN(COALESCE(sk.cnt, 0)) AS est
+             |FROM q LEFT JOIN sk ON sk.r = q.r AND sk.bucket = q.bucket
+             |GROUP BY q.term, q.true_cnt""".stripMargin)),
 
     // X3: approximate k-NN GRAPH — top-3 within-cell cosine neighbors per
     // vector (graph substrate for component-based semantic dedup / label

@@ -271,6 +271,35 @@ class TextOpsSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("count-min sketch: est >= true for every term; shard sketches merge exactly") {
+    import graft.ops.SketchOps
+    val docs = Seq(
+      (1L, "aa bb aa cc dd aa"), (2L, "bb cc bb ee"), (3L, "aa ff gg aa"))
+      .toDF("doc_id", "text")
+    val truth = docs.select(explode(graft.ops.TextOps.tokens($"text")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    // narrow width forces collisions — the guarantee must still hold
+    val sk = SketchOps.cmsSketch(docs, depth = 3, width = 4)
+    val est = SketchOps.cmsEstimate(sk,
+      truth.keys.toSeq.toDF("term"), depth = 3, width = 4)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CMS underestimated '$t': ${est(t)} < $c")
+    }
+    // an unseen term estimates from whatever collides — never negative
+    val unseen = SketchOps.cmsEstimate(sk, Seq("zz_unseen").toDF("term"),
+      depth = 3, width = 4).as[(String, Long)].head()
+    assert(unseen._2 >= 0L)
+    // mergeability: sketch(A ∪ B) == cmsMerge(sketch(A), sketch(B)) exactly
+    val (a, b) = (docs.filter($"doc_id" <= 1), docs.filter($"doc_id" > 1))
+    val merged = SketchOps.cmsMerge(
+      SketchOps.cmsSketch(a, depth = 3, width = 4),
+      SketchOps.cmsSketch(b, depth = 3, width = 4))
+      .as[(Long, Long, Long)].collect().toSet
+    val whole = sk.as[(Long, Long, Long)].collect().toSet
+    assert(merged === whole, "per-shard sketches must roll up to the corpus sketch")
+  }
+
   test("chunkWindows: full coverage with overlap, tail pinned, short docs one chunk") {
     val toks = (1 to 10).map(i => s"t$i").mkString(" ")
     val out = TextOps.chunkWindows(docs((1L, toks), (2L, "a b"), (3L, "")),
