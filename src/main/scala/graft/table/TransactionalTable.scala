@@ -1501,7 +1501,9 @@ final class TransactionalTable private (
     retryingCommit("mergeAdhoc") { snap =>
       validateUnchanged(snap, expectedVersion, "MERGE/DELETE/UPDATE")
       doMerge(snap, upserts, deleteKeys, snap.batchId, mode, guardTs)
+      pendingAutoCompact = true
     }
+    maybeAutoCompact()
   }
 
   /** Serializable-isolation gate (Iceberg validation parity): a write whose

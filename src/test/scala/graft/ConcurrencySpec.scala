@@ -108,6 +108,32 @@ class ConcurrencySpec extends SparkSpec {
     (15 until 20).foreach(k => assert(got(k.toLong) === -1L))
   }
 
+  test("concurrent writers under hair-trigger auto-compaction: all rows land, no write fails") {
+    val root = fresh()
+    TransactionalTable.open(spark, root).setAutoCompact(minFiles = 1, targetRows = 1000L)
+    val writers = 4
+    // every merge fires an implicit compaction attempt that races the other
+    // writers' merges AND their compactions — containment means a losing
+    // maintenance pass is skipped, never surfaced as a failed write
+    runAll(writers) { i =>
+      val t = TransactionalTable.open(spark, root)
+      (0 until 3).foreach { j =>
+        t.mergeAdhoc((0 until 5).map(k => (i * 1000L + j * 10L + k, i.toLong))
+          .toDF("id", "v"), spark.emptyDataset[Long].toDF("id"))
+      }
+    }
+    val t = TransactionalTable.open(spark, root)
+    val got = t.scan().as[(Long, Long)].collect()
+    assert(got.length === writers * 15, s"rows lost under auto-compact races: ${got.length}")
+    (0 until writers).foreach(i => assert(got.toMap.apply(i * 1000L) === i.toLong))
+    // racing compactions may individually lose and be skipped (contained);
+    // one quiesced write then pays the whole accumulated debt deterministically
+    t.mergeAdhoc(Seq((999999L, 0L)).toDF("id", "v"), spark.emptyDataset[Long].toDF("id"))
+    assert(t.snapshot.files.size <= 2,
+      s"post-quiesce auto-compaction must pack the debt, got ${t.snapshot.files.size}")
+    assert(t.scan().count() === writers * 15 + 1L)
+  }
+
   test("merge racing full-table compaction: both land, no row lost or resurrected") {
     val root = fresh()
     val seed = TransactionalTable.open(spark, root)
