@@ -318,6 +318,78 @@ object PipelineQueries {
              |  CAST(1 + len(list_filter(cs, x -> w.rarity > x)) AS BIGINT) AS bucket
              |FROM wl w JOIN cuts USING (lang) ORDER BY w.doc_id""".stripMargin)),
 
+    // CAPSTONE: the full corpus-build dataflow as ONE composed query —
+    // exact content dedup → funnel cleaning rules → per-lang quality
+    // tertiles (tail shard drops) → deterministic 50% mixture gate. Every
+    // stage is an individually-oracled operator; the composition proves
+    // they chain (stage order matters: tertile cutoffs are computed on the
+    // CLEANED corpus, as a real pipeline would). All map-only or
+    // thin-exchange shapes — the whole build is one Catalyst plan.
+    Q("x4_corpus_build",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        // 1. exact dedup: keep the lowest doc_id per identical text
+        val keep1 = docs.withColumn("_h", TextOps.md5Hash60(col("text")))
+          .groupBy("_h").agg(min("doc_id").as("doc_id")).select("doc_id")
+        val deduped = docs.join(keep1, Seq("doc_id"), "left_semi")
+        // 2. funnel (x4_filter_funnel's exact integer rules, keep-only form)
+        val toks = TextOps.tokens(col("text"))
+        val n = size(toks).cast("long")
+        val chars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        val wsum = aggregate(TextOps.termCounts(col("text")), lit(0L), (acc, e) =>
+          acc + (pmod(TextOps.md5Hash60(e.getField("term")), lit(1001L)) - 500L) *
+            e.getField("tf").cast("long"))
+        val cleaned = deduped.filter(
+          n >= 20L && n <= 2000L && chars >= n * 2L && chars <= n * 14L && wsum >= 0L)
+        // 3. per-lang tertiles on the cleaned corpus; the tail shard drops
+        val bucketed = TextOps.qualityBuckets(cleaned, buckets = 3)
+          .filter(col("bucket") <= 2L)
+        // 4. deterministic 50% mixture gate
+        bucketed
+          .filter(TextOps.md5Hash60(col("doc_id")).cast("double") <
+            lit(0.5 * (1L << 60).toDouble))
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .select("doc_id", "lang", "source", "bucket")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, text, lang, source, $DuckToks AS w FROM documents),
+             |k1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+             |dd AS (SELECT t0.* FROM t0 JOIN k1 USING (doc_id)),
+             |st AS (SELECT doc_id, len(w) AS n,
+             |         coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS chars
+             |       FROM dd),
+             |tm AS (SELECT doc_id, unnest(w) AS term FROM dd),
+             |tc AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY 1, 2),
+             |cls AS (SELECT doc_id,
+             |          SUM((CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % 1001 - 500) * tf) AS wsum
+             |        FROM tc GROUP BY doc_id),
+             |cln AS (SELECT dd.doc_id, dd.lang, dd.source, dd.w
+             |        FROM dd JOIN st USING (doc_id) LEFT JOIN cls USING (doc_id)
+             |        WHERE st.n >= 20 AND st.n <= 2000
+             |          AND st.chars >= st.n * 2 AND st.chars <= st.n * 14
+             |          AND coalesce(cls.wsum, 0) >= 0),
+             |bi AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+             |       FROM cln WHERE len(w) >= 2),
+             |dfq AS (SELECT bigram, COUNT(*) AS df FROM bi GROUP BY 1),
+             |sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             |         CAST(SUM(CASE WHEN dfq.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rarity
+             |       FROM bi b JOIN dfq USING (bigram) GROUP BY b.doc_id),
+             |wl AS (SELECT sc.doc_id, sc.rarity, c.lang, c.source FROM sc JOIN cln c USING (doc_id)),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rarity, doc_id) AS rn,
+             |         COUNT(*) OVER (PARTITION BY lang) AS nn FROM wl),
+             |cut AS (SELECT lang, rarity AS cv
+             |        FROM rk CROSS JOIN (SELECT unnest([1, 2]) AS k) ks
+             |        WHERE rn = (k * nn + 2) // 3),
+             |cuts AS (SELECT lang, list_sort(list(cv)) AS cs FROM cut GROUP BY lang)
+             |SELECT w2.doc_id, w2.lang, w2.source,
+             |  CAST(1 + len(list_filter(cs, x -> w2.rarity > x)) AS BIGINT) AS bucket
+             |FROM wl w2 JOIN cuts USING (lang)
+             |WHERE 1 + len(list_filter(cs, x -> w2.rarity > x)) <= 2
+             |  AND CAST(CAST(concat('0x', substring(md5(CAST(w2.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+             |      < 0.5 * 1152921504606846976.0
+             |ORDER BY w2.doc_id""".stripMargin)),
+
     // X4: COUNT-MIN SKETCH heavy hitters — the fixed-size frequency summary
     // (depth x width, bounded regardless of corpus) with the one-sided
     // est >= true guarantee; md5-derived buckets so the oracle replays the
