@@ -329,6 +329,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       .foreach(v => t.setAutoCompactTargetRows(java.lang.Long.parseLong(v)))
     Option(properties.get("write.auto-compact.min-files"))
       .foreach(v => t.setAutoCompactMinFiles(Integer.parseInt(v)))
+    Option(properties.get("write.parquet.compression-codec"))
+      .foreach(t.setCompressionCodec)
     Option(properties.get("row.lineage"))
       .foreach(v => t.setRowLineage(java.lang.Boolean.parseBoolean(v)))
     properties.asScala.foreach { case (k, v) =>
@@ -421,6 +423,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case sp: TableChange.SetProperty
           if sp.property() == "write.auto-compact.target-rows" =>
         t.setAutoCompactTargetRows(java.lang.Long.parseLong(sp.value()))
+      // Parquet codec for future writes (Iceberg property name; compaction
+      // migrates old files): ALTER TABLE t SET
+      // TBLPROPERTIES('write.parquet.compression-codec'='zstd' | ... | '')
+      case sp: TableChange.SetProperty
+          if sp.property() == "write.parquet.compression-codec" =>
+        t.setCompressionCodec(sp.value())
       // Per-operation row-level write strategy (Iceberg write.merge.mode /
       // write.delete.mode / write.update.mode parity): ALTER TABLE t SET
       // TBLPROPERTIES('write.delete.mode'='merge-on-read' | ... )
@@ -760,6 +768,7 @@ private[sql] class GraftSqlTable(tableName: String, tableSchema: StructType,
       if (mode != "copy-on-write") m.put(prop, mode)
     }
     if (t.rowLineageEnabled) m.put("row.lineage", "true")
+    t.compressionCodec.foreach(c => m.put("write.parquet.compression-codec", c))
     t.parquetBloomCols.foreach(c =>
       m.put(s"${GraftCatalog.ParquetBloomPrefix}$c", "true"))
     t.variantShred.foreach { case (c, fields) =>

@@ -2199,6 +2199,27 @@ final class TransactionalTable private (
     }
   }
 
+  /** Iceberg `write.parquet.compression-codec` parity: the codec every
+    * future data-file write uses (zstd/gzip/snappy/lz4/uncompressed —
+    * validated against Spark's parquet codec list). Existing files keep
+    * their codec (parquet is self-describing per file; readers mix freely);
+    * a compaction rewrites under the new codec — the migration path. Empty
+    * string clears back to the session default. */
+  def setCompressionCodec(codec: String): Unit = synchronized {
+    val c = codec.trim.toLowerCase(java.util.Locale.ROOT)
+    require(c.isEmpty || Set("zstd", "gzip", "snappy", "lz4", "uncompressed",
+      "brotli", "lzo", "none").contains(c),
+      s"unknown parquet compression codec '$codec'")
+    updateTableMeta(m =>
+      if (c.isEmpty) { m.remove("compressionCodec"); () }
+      else m.put("compressionCodec", c))
+  }
+
+  /** The declared parquet codec, if any (see [[setCompressionCodec]]). */
+  def compressionCodec: Option[String] =
+    tableMeta.filter(_.has("compressionCodec"))
+      .map(_.get("compressionCodec").asText())
+
   /** The stored target-rows threshold, active or not (default 2²⁰). */
   def autoCompactTargetRows: Long =
     tableMeta.filter(_.has("autoCompactTargetRows"))
@@ -2780,7 +2801,13 @@ final class TransactionalTable private (
     // row-group point-lookup skipping below the manifest layer.
     val bloomed0 = parquetBloomCols.foldLeft(capped)((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
-    bloomed0.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
+    // Declared compression codec (Iceberg write.parquet.compression-codec
+    // parity); unset = Spark's session default (snappy).
+    val coded = compressionCodec match {
+      case Some(c) => bloomed0.option("compression", c)
+      case None => bloomed0
+    }
+    coded.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
     if (!Files.isDirectory(outDir)) return Seq.empty
     val parts = Files.walk(outDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))

@@ -91,6 +91,50 @@ class TablePropsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.db.ac").collect().head.getLong(0) === 9L)
   }
 
+  test("compression codec property: footers carry the codec; ALTER affects future writes; compaction migrates") {
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.cc (id BIGINT, v STRING) TBLPROPERTIES(" +
+      "'pk'='id', 'write.parquet.compression-codec'='zstd')")
+    spark.sql(s"INSERT INTO $cat.db.cc SELECT id, concat('v-', id) FROM range(0, 100)")
+    val warehouse = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = TransactionalTable.open(spark, s"$warehouse/db/cc")
+    def codecsOf(paths: Seq[String]): Set[String] = {
+      val conf = spark.sessionState.newHadoopConf()
+      paths.flatMap { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.get(0).getColumns.asScala.map(_.getCodec.name()).toSeq
+        } finally r.close()
+      }.toSet
+    }
+    assert(codecsOf(t.snapshot.files.map(_.path).toSeq) === Set("ZSTD"))
+    // SHOW TBLPROPERTIES round-trips
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.db.cc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.parquet.compression-codec").contains("zstd"))
+    // ALTER: future writes pick the new codec; old files keep theirs
+    spark.sql(s"ALTER TABLE $cat.db.cc SET TBLPROPERTIES(" +
+      "'write.parquet.compression-codec'='gzip')")
+    spark.sql(s"INSERT INTO $cat.db.cc SELECT id, concat('w-', id) FROM range(100, 200)")
+    val t2 = TransactionalTable.open(spark, s"$warehouse/db/cc")
+    assert(codecsOf(t2.snapshot.files.map(_.path).toSeq) === Set("ZSTD", "GZIP"))
+    // mixed codecs read fine (parquet is self-describing per file)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.db.cc").collect().head.getLong(0) === 200L)
+    // compaction migrates everything to the declared codec
+    t2.compact(minFileRows = 1L << 20)
+    val t3 = TransactionalTable.open(spark, s"$warehouse/db/cc")
+    assert(codecsOf(t3.snapshot.files.map(_.path).toSeq) === Set("GZIP"))
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.db.cc").collect().head.getLong(0) === 200L)
+    // invalid codec refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.cc SET TBLPROPERTIES(" +
+        "'write.parquet.compression-codec'='bogus')")
+    }
+  }
+
   test("parquet bloom property: footer carries the filter; reads stay correct") {
     val cat = freshCat()
     spark.sql(s"CREATE TABLE $cat.db.b (id BIGINT, req STRING) TBLPROPERTIES(" +
