@@ -217,8 +217,18 @@ private[sources] final class GraftStreamTable(root: String, tableSchema: StructT
           options.getBoolean("skipNonAppends", false),
           Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
           cdcMode = Option(options.get("mode")).contains("cdc"),
-          checkpointLocation = checkpointLocation)
+          checkpointLocation = checkpointLocation,
+          startingTimestamp =
+            Option(options.get("startingTimestamp")).map(GraftStreamTable.parseTs))
     }
+}
+
+private[sources] object GraftStreamTable {
+  /** `startingTimestamp` option value: epoch millis, or an ISO-8601 instant
+    * (`2026-08-14T12:00:00Z`). */
+  def parseTs(v: String): Long =
+    if (v.forall(_.isDigit)) v.toLong
+    else java.time.Instant.parse(v).toEpochMilli
 }
 
 /** A committed table version as a streaming offset. */
@@ -239,7 +249,13 @@ private[sources] final class GraftTableMicroBatchStream(
     /** Changelog mode: micro-batches are the interval's net insert/delete
       * images (plus lineage ids when enabled), not appended files. */
     cdcMode: Boolean = false,
-    checkpointLocation: String = "")
+    checkpointLocation: String = "",
+    /** Start after the last version committed at or before this timestamp
+      * (Delta `startingTimestamp` parity — "changes since ts"). A timestamp
+      * predating every retained commit clamps to version 0, which is the
+      * empty CREATE commit: nothing is lost. Ignored when `startingVersion`
+      * is set (the explicit version wins). */
+    startingTimestamp: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -262,7 +278,12 @@ private[sources] final class GraftTableMicroBatchStream(
     availableTip.getOrElse(table.currentVersion)
 
   override def initialOffset(): Offset =
-    VersionOffset(startingVersion.getOrElse(table.currentVersion))
+    VersionOffset(startingVersion
+      .orElse(startingTimestamp.map { ts =>
+        try table.versionAt(ts)
+        catch { case _: IllegalArgumentException => 0L } // predates the table
+      })
+      .getOrElse(table.currentVersion))
 
   override def latestOffset(): Offset = VersionOffset(tipNow)
 

@@ -56,6 +56,32 @@ class TableStreamReadSpec extends SparkSpec {
     assert(got2 === Set(3L, 4L), s"restart must deliver only the new commits, got $got2")
   }
 
+  test("startingTimestamp resolves to the last commit at-or-before; predating clamps to v0") {
+    val root = tmpDir("tsr-ts") + "/t"
+    val t = TransactionalTable.create(spark, root, sch, "id")
+    t.append(Seq(1L -> "a").toDF("id", "v")) // v1
+    val tsAfterV1 = t.snapshot.committedAtMs
+    Thread.sleep(15) // commit-time resolution is ms
+    t.append(Seq(2L -> "b").toDF("id", "v")) // v2
+    // ts at v1's commit time → stream everything AFTER v1 (just v2)
+    val got = drain(root, tmpDir("tsr-ts-ck1"),
+      Map("startingTimestamp" -> tsAfterV1.toString)).map(_._1).toSet
+    assert(got === Set(2L), s"changes since v1's commit time, got $got")
+    // a timestamp predating the table streams the full history (clamp to v0)
+    val all = drain(root, tmpDir("tsr-ts-ck2"),
+      Map("startingTimestamp" -> "0")).map(_._1).toSet
+    assert(all === Set(1L, 2L))
+    // ISO-8601 form parses (far future → nothing until a new commit)
+    val none = drain(root, tmpDir("tsr-ts-ck3"),
+      Map("startingTimestamp" -> "2099-01-01T00:00:00Z"))
+    assert(none.isEmpty)
+    // explicit startingVersion wins over a timestamp
+    val winner = drain(root, tmpDir("tsr-ts-ck4"),
+      Map("startingVersion" -> "0", "startingTimestamp" -> tsAfterV1.toString))
+      .map(_._1).toSet
+    assert(winner === Set(1L, 2L))
+  }
+
   test("Trigger.AvailableNow drains to the start-time tip and stops") {
     val root = tmpDir("tsr-an") + "/t"
     val ckpt = tmpDir("tsr-an-ckpt")
