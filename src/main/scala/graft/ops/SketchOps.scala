@@ -67,9 +67,13 @@ object SketchOps {
   }
 
   /** Bucketwise sum of same-shape sketches — per-shard sketches roll up to
-    * the corpus sketch with no second pass over the data. */
-  def cmsMerge(sketches: DataFrame*): DataFrame =
-    sketches.reduce(_ unionAll _)
+    * the corpus sketch with no second pass over the data. Union is BY NAME
+    * (a sketch re-read from storage may present columns in another order;
+    * positional union would silently sum row ids into bucket ids). */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
       .groupBy("row", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
+  }
 }

@@ -596,21 +596,8 @@ object ExtQueries {
     // are integer-exact (the classifier stage thresholds the raw integer
     // wsum, not the float logit), so the label column is bit-oracle-able.
     Q("x4_filter_funnel",
-      (s, d) => {
-        val docs = Tables.load(s, d, "documents")
-        val toks = TextOps.tokens(col("text"))
-        val n = size(toks).cast("long")
-        val chars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
-        val tc = TextOps.termCounts(col("text"))
-        val wsum = aggregate(tc, lit(0L), (acc, e) =>
-          acc + (pmod(TextOps.md5Hash60(e.getField("term")), lit(1001L)) - 500L) *
-            e.getField("tf").cast("long"))
-        TextOps.filterFunnel(docs, Seq(
-          "too_short" -> (n >= 20L),
-          "too_long" -> (n <= 2000L),
-          "word_len" -> (chars >= n * 2L && chars <= n * 14L),
-          "low_quality" -> (wsum >= 0L)))
-      },
+      (s, d) => TextOps.filterFunnel(Tables.load(s, d, "documents"),
+        FunnelRules.stages),
       Some(s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
               |st AS (SELECT doc_id, len(w) AS n,
               |         coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS chars
@@ -618,12 +605,12 @@ object ExtQueries {
               |tm AS (SELECT doc_id, unnest(w) AS term FROM t),
               |tc AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY 1, 2),
               |cls AS (SELECT doc_id,
-              |          SUM((CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % 1001 - 500) * tf) AS wsum
+              |          SUM((CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % ${FunnelRules.ClassifierMod} - ${FunnelRules.ClassifierShift}) * tf) AS wsum
               |        FROM tc GROUP BY doc_id)
               |SELECT st.doc_id,
-              |  CASE WHEN NOT (st.n >= 20) THEN 'too_short'
-              |       WHEN NOT (st.n <= 2000) THEN 'too_long'
-              |       WHEN NOT (st.chars >= st.n * 2 AND st.chars <= st.n * 14) THEN 'word_len'
+              |  CASE WHEN NOT (st.n >= ${FunnelRules.MinTokens}) THEN 'too_short'
+              |       WHEN NOT (st.n <= ${FunnelRules.MaxTokens}) THEN 'too_long'
+              |       WHEN NOT (st.chars >= st.n * ${FunnelRules.MinCharsPerToken} AND st.chars <= st.n * ${FunnelRules.MaxCharsPerToken}) THEN 'word_len'
               |       WHEN NOT (coalesce(cls.wsum, 0) >= 0) THEN 'low_quality'
               |       ELSE NULL END AS dropped_at
               |FROM st LEFT JOIN cls USING (doc_id)

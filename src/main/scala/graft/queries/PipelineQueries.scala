@@ -332,15 +332,9 @@ object PipelineQueries {
         val keep1 = docs.withColumn("_h", TextOps.md5Hash60(col("text")))
           .groupBy("_h").agg(min("doc_id").as("doc_id")).select("doc_id")
         val deduped = docs.join(keep1, Seq("doc_id"), "left_semi")
-        // 2. funnel (x4_filter_funnel's exact integer rules, keep-only form)
-        val toks = TextOps.tokens(col("text"))
-        val n = size(toks).cast("long")
-        val chars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
-        val wsum = aggregate(TextOps.termCounts(col("text")), lit(0L), (acc, e) =>
-          acc + (pmod(TextOps.md5Hash60(e.getField("term")), lit(1001L)) - 500L) *
-            e.getField("tf").cast("long"))
-        val cleaned = deduped.filter(
-          n >= 20L && n <= 2000L && chars >= n * 2L && chars <= n * 14L && wsum >= 0L)
+        // 2. funnel (FunnelRules — the same predicates x4_filter_funnel
+        // labels with; one source of truth for the thresholds)
+        val cleaned = deduped.filter(FunnelRules.keep)
         // 3. per-lang tertiles on the cleaned corpus; the tail shard drops
         val bucketed = TextOps.qualityBuckets(cleaned, buckets = 3)
           .filter(col("bucket") <= 2L)
@@ -361,12 +355,12 @@ object PipelineQueries {
              |tm AS (SELECT doc_id, unnest(w) AS term FROM dd),
              |tc AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY 1, 2),
              |cls AS (SELECT doc_id,
-             |          SUM((CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % 1001 - 500) * tf) AS wsum
+             |          SUM((CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % ${FunnelRules.ClassifierMod} - ${FunnelRules.ClassifierShift}) * tf) AS wsum
              |        FROM tc GROUP BY doc_id),
              |cln AS (SELECT dd.doc_id, dd.lang, dd.source, dd.w
              |        FROM dd JOIN st USING (doc_id) LEFT JOIN cls USING (doc_id)
-             |        WHERE st.n >= 20 AND st.n <= 2000
-             |          AND st.chars >= st.n * 2 AND st.chars <= st.n * 14
+             |        WHERE st.n >= ${FunnelRules.MinTokens} AND st.n <= ${FunnelRules.MaxTokens}
+             |          AND st.chars >= st.n * ${FunnelRules.MinCharsPerToken} AND st.chars <= st.n * ${FunnelRules.MaxCharsPerToken}
              |          AND coalesce(cls.wsum, 0) >= 0),
              |bi AS (SELECT DISTINCT doc_id,
              |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
@@ -405,6 +399,7 @@ object PipelineQueries {
         val est = SketchOps.cmsEstimate(sketch, top5.select("term"),
           "term", depth = 4, width = 64)
         top5.join(est, Seq("term")).select("term", "true_cnt", "est")
+          .orderBy("term")
       },
       Some(s"""WITH toks AS (SELECT unnest($DuckToks) AS term FROM documents),
              |tf AS (SELECT term, COUNT(*) AS true_cnt FROM toks GROUP BY term),
@@ -419,7 +414,7 @@ object PipelineQueries {
              |      FROM top5 t CROSS JOIN rs)
              |SELECT q.term, q.true_cnt, MIN(COALESCE(sk.cnt, 0)) AS est
              |FROM q LEFT JOIN sk ON sk.r = q.r AND sk.bucket = q.bucket
-             |GROUP BY q.term, q.true_cnt""".stripMargin)),
+             |GROUP BY q.term, q.true_cnt ORDER BY q.term""".stripMargin)),
 
     // X3: approximate k-NN GRAPH — top-3 within-cell cosine neighbors per
     // vector (graph substrate for component-based semantic dedup / label

@@ -227,8 +227,14 @@ private[sources] object GraftStreamTable {
   /** `startingTimestamp` option value: epoch millis, or an ISO-8601 instant
     * (`2026-08-14T12:00:00Z`). */
   def parseTs(v: String): Long =
-    if (v.forall(_.isDigit)) v.toLong
-    else java.time.Instant.parse(v).toEpochMilli
+    try {
+      if (v.nonEmpty && v.forall(_.isDigit)) v.toLong
+      else java.time.Instant.parse(v).toEpochMilli
+    } catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"startingTimestamp must be epoch millis or an ISO-8601 instant " +
+          s"(e.g. 2026-08-14T12:00:00Z), got '$v'", e)
+    }
 }
 
 /** A committed table version as a streaming offset. */
@@ -250,11 +256,13 @@ private[sources] final class GraftTableMicroBatchStream(
       * images (plus lineage ids when enabled), not appended files. */
     cdcMode: Boolean = false,
     checkpointLocation: String = "",
-    /** Start after the last version committed at or before this timestamp
-      * (Delta `startingTimestamp` parity — "changes since ts"). A timestamp
-      * predating every retained commit clamps to version 0, which is the
-      * empty CREATE commit: nothing is lost. Ignored when `startingVersion`
-      * is set (the explicit version wins). */
+    /** Stream every commit made AT OR AFTER this timestamp, inclusive
+      * (Delta `startingTimestamp` semantics — a consumer resuming from a
+      * recorded commit time must not lose that commit). A timestamp
+      * predating every retained commit clamps to the earliest RETAINED
+      * version (post-expiry, version 0 may be gone — clamping to 0 would
+      * die on the offset-expired check). Ignored when `startingVersion` is
+      * set (the explicit version wins). */
     startingTimestamp: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
@@ -280,8 +288,24 @@ private[sources] final class GraftTableMicroBatchStream(
   override def initialOffset(): Offset =
     VersionOffset(startingVersion
       .orElse(startingTimestamp.map { ts =>
-        try table.versionAt(ts)
-        catch { case _: IllegalArgumentException => 0L } // predates the table
+        val t = table
+        // Inclusive at-or-after: the offset is the last version committed
+        // STRICTLY BEFORE ts (ms granularity ⇒ committedAt <= ts-1), so a
+        // commit stamped exactly ts is delivered, not skipped.
+        try t.versionAt(ts - 1)
+        catch {
+          case _: IllegalArgumentException if t.expiryFloor == 0L =>
+            0L // predates the table; v0 is the empty CREATE — lossless
+          case _: IllegalArgumentException =>
+            // Early history expired: silently clamping would skip the
+            // earliest retained snapshot's accumulated state (its increments
+            // are gone). Fail with the recovery path instead (Delta errors
+            // here too).
+            throw new IllegalArgumentException(
+              s"startingTimestamp $ts predates the earliest retained commit " +
+                s"(expiry floor v${t.expiryFloor}); stream from an explicit " +
+                s"version instead (startingVersion=${t.expiryFloor})")
+        }
       })
       .getOrElse(table.currentVersion))
 

@@ -63,9 +63,13 @@ class TableStreamReadSpec extends SparkSpec {
     val tsAfterV1 = t.snapshot.committedAtMs
     Thread.sleep(15) // commit-time resolution is ms
     t.append(Seq(2L -> "b").toDF("id", "v")) // v2
-    // ts at v1's commit time → stream everything AFTER v1 (just v2)
-    val got = drain(root, tmpDir("tsr-ts-ck1"),
+    // ts exactly at v1's commit time → INCLUSIVE (Delta parity): v1 and v2
+    val inc = drain(root, tmpDir("tsr-ts-ck0"),
       Map("startingTimestamp" -> tsAfterV1.toString)).map(_._1).toSet
+    assert(inc === Set(1L, 2L), s"a commit stamped exactly ts must be delivered, got $inc")
+    // ts strictly after v1's commit → just v2
+    val got = drain(root, tmpDir("tsr-ts-ck1"),
+      Map("startingTimestamp" -> (tsAfterV1 + 1).toString)).map(_._1).toSet
     assert(got === Set(2L), s"changes since v1's commit time, got $got")
     // a timestamp predating the table streams the full history (clamp to v0)
     val all = drain(root, tmpDir("tsr-ts-ck2"),
