@@ -216,17 +216,23 @@ object TextOps {
    * vocabulary (it is corpus-sized; at 100 TB it must stay distributed).
    */
   def bigramRarity(df: DataFrame, rareDf: Long = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    if (rareDf <= 2) bigramRarityOrderStat(df, rareDf, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      /** Extra `df` columns carried through to the output: they ride the
+        * MAP-ONLY `n_bigrams` leg (computed straight from `df`), so a
+        * caller needing e.g. the language column pays no corpus re-join. */
+      carry: Seq[String] = Seq.empty): DataFrame =
+    if (rareDf <= 2) bigramRarityOrderStat(df, rareDf, idCol, textCol, carry)
     else {
       val bi = df.select(col(idCol), explode(shingles(col(textCol), 2)).as("bigram"))
       val dfCounts = bi.groupBy("bigram").agg(count(lit(1)).as("df"))
-      bi.join(dfCounts, "bigram")
+      val scored = bi.join(dfCounts, "bigram")
         .groupBy(col(idCol))
         .agg(
           count(lit(1)).as("n_bigrams"),
           sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
         .withColumn("rarity", col("n_rare").cast("double") / col("n_bigrams"))
+      if (carry.isEmpty) scored
+      else scored.join(df.select((col(idCol) +: carry.map(col)): _*), Seq(idCol))
     }
 
   /** [[bigramRarity]] for `rareDf` ≤ 2 — the common configuration — via
@@ -241,7 +247,8 @@ object TextOps {
     * row per doc. `n_bigrams` never needed the shuffle at all: it is the
     * in-row size of the distinct shingle set. */
   private def bigramRarityOrderStat(df: DataFrame, rareDf: Long,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String,
+      carry: Seq[String] = Seq.empty): DataFrame = {
     val bi = df.select(col(idCol), explode(shingles(col(textCol), 2)).as("bigram"))
     val stats = bi.groupBy("bigram").agg(count(lit(1)).as("df"),
       min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))
@@ -249,12 +256,16 @@ object TextOps {
       .select(explode(when(col("df") === 1L, array(col("_mn")))
         .otherwise(array(col("_mn"), col("_mx")))).as(idCol))
     val nRare = rareDocs.groupBy(idCol).agg(count(lit(1)).as("n_rare"))
+    // carry columns ride this MAP-ONLY leg straight out of `df` — the one
+    // join below is unavoidable (n_rare is aggregated), but callers never
+    // pay a second corpus join for their own columns.
     val nBigrams = df
-      .select(col(idCol), size(shingles(col(textCol), 2)).as("n_bigrams"))
+      .select((col(idCol) +: size(shingles(col(textCol), 2)).as("n_bigrams") +:
+        carry.map(col)): _*)
       .filter(col("n_bigrams") > 0)
     nBigrams.join(nRare, Seq(idCol), "left")
-      .select(col(idCol), col("n_bigrams"),
-        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .select((col(idCol) +: col("n_bigrams") +:
+        coalesce(col("n_rare"), lit(0L)).as("n_rare") +: carry.map(col)): _*)
       .withColumn("rarity", col("n_rare").cast("double") / col("n_bigrams"))
   }
 
@@ -286,15 +297,24 @@ object TextOps {
    */
   def qualityBuckets(df: DataFrame, buckets: Int = 3, sampleRate: Double = 1.0,
       langCol: String = "lang", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      /** Extra `df` columns carried through to the output — they ride the
+        * one lang join this op already pays, so a caller needing them
+        * (e.g. `source` for a downstream mixture stage) never re-joins the
+        * corpus. */
+      carry: Seq[String] = Seq.empty): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(sampleRate > 0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1], got $sampleRate")
     val hashSpace = (1L << 60).toDouble
-    val scored = bigramRarity(df, rareDf = 2, idCol, textCol)
-      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
-    val sample = scored.filter(
-      md5Hash60(col(idCol)).cast("double") < lit(sampleRate * hashSpace))
+    // lang + carry ride bigramRarity's map-only n_bigrams leg — this op
+    // adds ZERO corpus joins of its own
+    val scored = bigramRarity(df, rareDf = 2, idCol, textCol,
+      carry = langCol +: carry)
+    val sample =
+      if (sampleRate >= 1.0) scored // full-corpus cutoffs: the gate is a no-op
+      else scored.filter(
+        md5Hash60(col(idCol)).cast("double") < lit(sampleRate * hashSpace))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(langCol)).orderBy(col("rarity"), col(idCol))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(langCol))
@@ -310,8 +330,8 @@ object TextOps {
     scored.join(broadcast(cuts), Seq(langCol))
       .withColumn("bucket",
         (lit(1) + size(filter(col("_cuts"), c => col("rarity") > c))).cast("long"))
-      .select(col(idCol), col(langCol), col("n_bigrams"), col("n_rare"),
-        col("rarity"), col("bucket"))
+      .select((col(idCol) +: col(langCol) +: col("n_bigrams") +: col("n_rare") +:
+        col("rarity") +: col("bucket") +: carry.map(col)): _*)
   }
 
   /**

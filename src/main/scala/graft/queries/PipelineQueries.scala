@@ -328,23 +328,30 @@ object PipelineQueries {
     Q("x4_corpus_build",
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        // 1. exact dedup: keep the lowest doc_id per identical text
-        val keep1 = docs.withColumn("_h", TextOps.md5Hash60(col("text")))
-          .groupBy("_h").agg(min("doc_id").as("doc_id")).select("doc_id")
-        val deduped = docs.join(keep1, Seq("doc_id"), "left_semi")
+        // 1. exact dedup: keep the lowest doc_id per identical text — ONE
+        // window exchange on the content hash (a groupBy+semi-join pays two
+        // exchanges and a join for the same answer)
+        val wDedup = Window.partitionBy(col("_h")).orderBy(col("doc_id"))
+        val deduped = docs.withColumn("_h", TextOps.md5Hash60(col("text")))
+          .withColumn("_rn", row_number().over(wDedup))
+          .filter(col("_rn") === 1).drop("_h", "_rn")
         // 2. funnel (FunnelRules — the same predicates x4_filter_funnel
         // labels with; one source of truth for the thresholds)
         val cleaned = deduped.filter(FunnelRules.keep)
-        // 3. per-lang tertiles on the cleaned corpus; the tail shard drops
-        val bucketed = TextOps.qualityBuckets(cleaned, buckets = 3)
+        // 3. per-lang tertiles on the cleaned corpus; the tail shard drops.
+        // `source` rides the bucket op's own lang join (carry) — no
+        // re-join of the corpus for stage 4's output columns.
+        val bucketed = TextOps.qualityBuckets(cleaned, buckets = 3,
+            carry = Seq("source"))
           .filter(col("bucket") <= 2L)
-        // 4. deterministic 50% mixture gate
+        // 4. deterministic 50% mixture gate. No final ORDER BY on either
+        // side: the gate value-sorts rows before hashing, and a global sort
+        // of the output is pure presentation (a range exchange + sampling
+        // job the 100 TB pipeline would never run).
         bucketed
           .filter(TextOps.md5Hash60(col("doc_id")).cast("double") <
             lit(0.5 * (1L << 60).toDouble))
-          .join(docs.select("doc_id", "source"), Seq("doc_id"))
           .select("doc_id", "lang", "source", "bucket")
-          .orderBy("doc_id")
       },
       Some(s"""WITH t0 AS (SELECT doc_id, text, lang, source, $DuckToks AS w FROM documents),
              |k1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
@@ -381,8 +388,8 @@ object PipelineQueries {
              |FROM wl w2 JOIN cuts USING (lang)
              |WHERE 1 + len(list_filter(cs, x -> w2.rarity > x)) <= 2
              |  AND CAST(CAST(concat('0x', substring(md5(CAST(w2.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
-             |      < 0.5 * 1152921504606846976.0
-             |ORDER BY w2.doc_id""".stripMargin)),
+             |      < 0.5 * 1152921504606846976.0""".stripMargin),
+      headline = true),
 
     // X4: COUNT-MIN SKETCH heavy hitters — the fixed-size frequency summary
     // (depth x width, bounded regardless of corpus) with the one-sided
