@@ -216,6 +216,60 @@ object PipelineQueries {
              |SELECT id AS doc_id, min(r) AS canonical_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // Quality-aware dedup representative selection: near-dup clusters keep
+    // their HIGHEST-QUALITY member (classifier logit, doc_id tie-break) —
+    // the curation decision real pipelines make instead of min-id. Composes
+    // three oracled operators (jaccard pairs → connected components →
+    // classifier); ranking is one window over cluster members only.
+    Q("x1_dedup_keep_best",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val clusters = DedupOps.dedupClusters(
+          DedupOps.jaccardPairs(docs, threshold = 0.5, maxDocFreq = None)
+            .select(col("doc_a"), col("doc_b")))
+        val scored = TextOps.qualityClassify(docs).select(col("doc_id"), col("logit"))
+        val w = Window.partitionBy(col("canonical_id"))
+          .orderBy(desc("logit"), col("doc_id"))
+        clusters.join(scored, Seq("doc_id"))
+          .withColumn("kept", row_number().over(w) === 1)
+          .select("doc_id", "canonical_id", "logit", "kept")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |       FROM toks WHERE len(w) >= 3),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT doc_a, doc_b FROM inter
+             |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+             |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |          UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT a, a FROM edges
+             |  UNION
+             |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+             |comp AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id),
+             |tm AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |tc AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY 1, 2),
+             |q AS (SELECT doc_id,
+             |        SUM((CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % 1001 - 500) * tf) AS wsum,
+             |        CAST(SUM(tf) AS BIGINT) AS n
+             |      FROM tc GROUP BY doc_id),
+             |lg AS (SELECT doc_id,
+             |         CASE WHEN n = 0 THEN 0.0 ELSE CAST(wsum AS DOUBLE) / (n * 500.0) END AS logit
+             |       FROM q)
+             |SELECT c.doc_id, c.canonical_id, lg.logit,
+             |  (row_number() OVER (PARTITION BY c.canonical_id ORDER BY lg.logit DESC, c.doc_id) = 1) AS kept
+             |FROM comp c JOIN lg USING (doc_id)
+             |ORDER BY c.doc_id""".stripMargin)),
+
     // K-means assignment step: nearest (max-cosine) of k=8 fixed centroids
     // (the 8 lowest-vec_id embeddings — deterministic seeding, same rule as
     // IVF's hash-stride sampling degenerates to on this fixture). One corpus
