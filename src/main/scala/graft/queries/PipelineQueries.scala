@@ -20,6 +20,34 @@ import graft.ops.{DedupOps, SequenceOps, SimilarityOps, SketchOps, TextOps}
  */
 object PipelineQueries {
 
+  /** DuckDB-side exact near-dup CLOSURE (jaccard ≥ 0.5 pairs → recursive-CTE
+    * connected components ending in `comp(doc_id, canonical_id)`) — ONE copy
+    * shared by `x1_dedup_clusters` and `x1_dedup_keep_best` so a closure fix
+    * can never leave the two oracles silently disagreeing about the same
+    * clustering. Starts with `WITH RECURSIVE toks AS ...`. */
+  private val DuckClosureCte: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |       FROM toks WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+      |comp AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
+
   private val DuckToks =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
@@ -193,28 +221,8 @@ object PipelineQueries {
         DedupOps.jaccardPairs(Tables.load(s, d, "documents"), threshold = 0.5,
             maxDocFreq = None)
           .select(col("doc_a"), col("doc_b"))),
-      Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w
-             |  FROM documents),
-             |sh AS (SELECT DISTINCT doc_id,
-             |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-             |       FROM toks WHERE len(w) >= 3),
-             |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2),
-             |pairs AS (
-             |  SELECT doc_a, doc_b FROM inter
-             |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-             |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5),
-             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-             |          UNION SELECT doc_b, doc_a FROM pairs),
-             |reach(id, r) AS (
-             |  SELECT a, a FROM edges
-             |  UNION
-             |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
-             |SELECT id AS doc_id, min(r) AS canonical_id
-             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+      Some(s"""$DuckClosureCte
+             |SELECT doc_id, canonical_id FROM comp ORDER BY doc_id""".stripMargin)),
 
     // Quality-aware dedup representative selection: near-dup clusters keep
     // their HIGHEST-QUALITY member (classifier logit, doc_id tie-break) —
@@ -227,7 +235,13 @@ object PipelineQueries {
         val clusters = DedupOps.dedupClusters(
           DedupOps.jaccardPairs(docs, threshold = 0.5, maxDocFreq = None)
             .select(col("doc_a"), col("doc_b")))
-        val scored = TextOps.qualityClassify(docs).select(col("doc_id"), col("logit"))
+        // score ONLY cluster members: the per-term hashing fold is the
+        // query's dominant map cost, and cluster members are a small
+        // fraction of the corpus — classifying everything then discarding
+        // ~90% in the join would waste the fold
+        val scored = TextOps.qualityClassify(
+            clusters.select("doc_id").join(docs, Seq("doc_id")))
+          .select(col("doc_id"), col("logit"))
         val w = Window.partitionBy(col("canonical_id"))
           .orderBy(desc("logit"), col("doc_id"))
         clusters.join(scored, Seq("doc_id"))
@@ -235,28 +249,9 @@ object PipelineQueries {
           .select("doc_id", "canonical_id", "logit", "kept")
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w
-             |  FROM documents),
-             |sh AS (SELECT DISTINCT doc_id,
-             |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-             |       FROM toks WHERE len(w) >= 3),
-             |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2),
-             |pairs AS (
-             |  SELECT doc_a, doc_b FROM inter
-             |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-             |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5),
-             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-             |          UNION SELECT doc_b, doc_a FROM pairs),
-             |reach(id, r) AS (
-             |  SELECT a, a FROM edges
-             |  UNION
-             |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
-             |comp AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id),
-             |tm AS (SELECT doc_id, unnest(w) AS term FROM toks),
+      Some(s"""$DuckClosureCte,
+             |tm AS (SELECT t.doc_id, unnest(t.w) AS term
+             |       FROM toks t JOIN comp USING (doc_id)),
              |tc AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY 1, 2),
              |q AS (SELECT doc_id,
              |        SUM((CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % 1001 - 500) * tf) AS wsum,
