@@ -271,6 +271,67 @@ class TextOpsSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("qualityBuckets equals the reference model across random corpora") {
+    import graft.ops.TextOps
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val langs = Seq("en", "fr", "de").take(1 + rng.nextInt(3))
+      val vocab = (1 to 6).map(i => s"w$i")
+      val docs = (1L to (8 + rng.nextInt(20)).toLong).map { id =>
+        val n = 2 + rng.nextInt(8)
+        (id, langs(rng.nextInt(langs.length)),
+          Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = TextOps.qualityBuckets(df, buckets = 3)
+        .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+      // reference model: rarity from distinct-bigram dfs, explicit rank rule
+      val bigrams: Map[Long, Set[String]] = docs.map { case (id, _, t) =>
+        val w = t.split("\\s+").filter(_.nonEmpty)
+        id -> w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }.toSet
+      }.toMap
+      val dfCount: Map[String, Int] =
+        bigrams.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val rarity: Map[Long, Double] = bigrams.collect {
+        case (id, bs) if bs.nonEmpty =>
+          id -> bs.count(dfCount(_) <= 2).toDouble / bs.size
+      }.toMap
+      val byLang = docs.filter(d => rarity.contains(d._1)).groupBy(_._2)
+      val expect = byLang.flatMap { case (_, ds) =>
+        val ordered = ds.map(d => (rarity(d._1), d._1)).sortBy(identity)
+        val n = ordered.length
+        val cuts = (1 to 2).map(k => ordered(((k * n + 2) / 3) - 1)._1).sorted
+        ds.map { d =>
+          d._1 -> (1L + cuts.count(c => rarity(d._1) > c))
+        }
+      }
+      assert(got === expect, s"trial $trial: got $got expected $expect")
+    }
+  }
+
+  test("upsampleEpochs copy counts equal the md5 model across random factor specs") {
+    import graft.ops.{DedupOps, TextOps}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val fac = Map("a" -> (rng.nextInt(12) * 0.25), "b" -> (rng.nextInt(12) * 0.25))
+      val docs = (1L to 30L).map(i => (i, if (i % 2 == 0) "a" else "b") )
+        .toDF("doc_id", "source")
+      val got = DedupOps.upsampleEpochs(docs, fac.toSeq)
+        .as[(Long, String, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._3).sorted.toSeq).toMap
+      (1L to 30L).foreach { id =>
+        val f = fac(if (id % 2 == 0) "a" else "b")
+        val h = graft.functions.Md5Hash60.hash(UTF8String.fromString(id.toString))
+        val copies = math.floor(f).toLong +
+          (if (h.toDouble < (f - math.floor(f)) * (1L << 60).toDouble) 1L else 0L)
+        if (copies == 0) assert(!got.contains(id), s"trial $trial id $id must drop")
+        else assert(got(id) === (0L until copies),
+          s"trial $trial id $id: got ${got.get(id)}, want 0 until $copies")
+      }
+    }
+  }
+
   test("count-min sketch: est >= true for every term; shard sketches merge exactly") {
     import graft.ops.SketchOps
     val docs = Seq(
