@@ -358,8 +358,7 @@ private[sources] final class GraftTableMicroBatchStream(
     val e = end.asInstanceOf[VersionOffset].version
     val dir = cdcSpillRoot
     if (java.nio.file.Files.isDirectory(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala.toSeq.foreach { p =>
+      graft.util.Fs.listSeq(dir).foreach { p =>
         // spill dirs are "<s>_<e>"; crashed writes leave "<s>_<e>.tmpN"
         p.getFileName.toString.split("_") match {
           case Array(_, hi) if scala.util.Try(hi.split("\\.")(0).toLong)
@@ -476,16 +475,12 @@ private[sources] final class GraftTableMicroBatchStream(
     }
     val entries =
       if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala
-          .filter(p => java.nio.file.Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .map(p => org.apache.spark.sql.graftshim.ManifestEntry(
-            p.toString, None, Long.MinValue, Long.MaxValue,
-            java.nio.file.Files.size(p)))
-          .toSeq
-      }
+      else graft.util.Fs.walkSeq(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => org.apache.spark.sql.graftshim.ManifestEntry(
+          p.toString, None, Long.MinValue, Long.MaxValue,
+          java.nio.file.Files.size(p)))
     currentBatch = org.apache.spark.sql.graftshim.ManifestFileIndex
       .scanBuilder(spark, tableSchema, entries, t.pk, CaseInsensitiveStringMap.empty(),
         t.pkIsString)

@@ -575,8 +575,8 @@ object GraftCatalog {
     }
     terms += cur.result()
     terms.iterator.map(_.trim).filter(_.nonEmpty).toSeq.map { term =>
-      val i = term.indexOf(':'); val j = term.lastIndexOf(':')
-      require(i > 0 && j > i, s"cannot parse shred term '$term' (want name:$$.path:type)")
+      val i = term.indexOf(':')
+      require(i > 0, s"cannot parse shred term '$term' (want name:$$.path:type)")
       // The type may carry internal colons (struct<a:int>): re-find the last
       // colon at depth 0 so struct fields don't truncate the type.
       var k = -1; var d = 0

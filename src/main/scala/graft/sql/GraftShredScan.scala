@@ -68,8 +68,8 @@ class GraftShredScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * provably serves: child is the relation's variant attribute, path is a
     * string literal equal to the spec path, target type equals the spec
     * type (and is not timestamp — write-time zone must never leak). */
-  private def shredTarget(r: DataSourceV2Relation, g: GraftSqlTable,
-      t: TransactionalTable)(vg: VariantGet): Option[String] =
+  private def shredTarget(r: DataSourceV2Relation,
+      g: GraftSqlTable)(vg: VariantGet): Option[String] =
     vg.child match {
       case a: AttributeReference if r.outputSet.contains(a) =>
         g.shredSpecs.find(_._1.equalsIgnoreCase(a.name)).flatMap { case (vcol, fields) =>
@@ -79,7 +79,7 @@ class GraftShredScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 path == p.toString && vg.dataType != TimestampType &&
                   (try DataType.fromDDL(tpe) == vg.dataType
                    catch { case _: Exception => false })
-              }.map { case (name, _, _) => t.shredPhysical(vcol, name) }
+              }.map { case (name, _, _) => TransactionalTable.shredPhysical(vcol, name) }
             case _ => None
           }
         }
@@ -95,21 +95,24 @@ class GraftShredScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     rOpt.flatMap { r =>
       val g = r.table.asInstanceOf[GraftSqlTable]
-      val t = TransactionalTable.open(spark, g.root)
-      val target = shredTarget(r, g, t) _
-      // physical side-columns this chain actually probes
+      val target = shredTarget(r, g) _
+      // physical side-columns this chain actually probes — computed from
+      // the relation's CAPTURED specs and pure naming, BEFORE any table
+      // open: the common no-variant_get query over a shredded table must
+      // not pay disk reads during analysis.
       val needed = top.collect { case n if n == top || n.isInstanceOf[Filter] => n }
         .flatMap(_.expressions.flatMap(_.collect {
           case vg: VariantGet => target(vg)
         }.flatten)).distinct
       if (needed.isEmpty) None
       else {
+        val t = TransactionalTable.open(spark, g.root)
         // Engine scan (delete-aware, pinned to the relation's snapshot)
         // exposing the original columns under their exprIds + the needed
         // side-columns. Side-column types come from the declared specs.
         val physType = g.shredSpecs.toSeq.flatMap { case (vcol, fields) =>
           fields.map { case (name, _, tpe) =>
-            t.shredPhysical(vcol, name) -> DataType.fromDDL(tpe)
+            TransactionalTable.shredPhysical(vcol, name) -> DataType.fromDDL(tpe)
           }
         }.toMap
         val shredFields = needed.map(p => StructField(p, physType(p)))

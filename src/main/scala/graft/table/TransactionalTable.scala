@@ -826,8 +826,14 @@ final class TransactionalTable private (
             case s => s.filterNot(f => removedPaths.contains(f.path))
           }
           pendingChunkHint = Some((removed, Seq.empty))
+          // Delete-artifact targets (positional files, DVs) are recorded in
+          // URI form (_metadata.file_path); manifest paths are plain —
+          // normalize like every other target comparison (l.746, l.3200) or
+          // artifacts on dropped files are carried forever (morPending never
+          // clears, maintenance keeps refusing).
           commit(Snapshot(snap.version + 1, snap.batchId, carried,
-            snap.deletes.filterNot(d => d.target.exists(removedPaths))))
+            snap.deletes.filterNot(d =>
+              d.target.map(TransactionalTable.stripScheme).exists(removedPaths))))
           result = Some(removed.length.toLong)
         }
       }
@@ -1474,6 +1480,7 @@ final class TransactionalTable private (
           // writeDataFiles (which set it) and commit() (which consumes it)
           // must not advance an unrelated commit's high-water mark.
           pendingNextRowId = None
+          pendingWroteShredSpec = None // same: never judge an unrelated commit
         }
       }
       catch {
@@ -2364,9 +2371,11 @@ final class TransactionalTable private (
       }.toMap
     }.getOrElse(Map.empty)
 
-  /** Physical side-column name a shredded field lands under in data files. */
+  /** Physical side-column name a shredded field lands under in data files
+    * (pure naming — see the companion twin, used by the analysis rule so it
+    * never has to open the table just to compute names). */
   private[graft] def shredPhysical(varCol: String, name: String): String =
-    s"_sh_${varCol.toLowerCase(java.util.Locale.ROOT)}_${name.toLowerCase(java.util.Locale.ROOT)}"
+    TransactionalTable.shredPhysical(varCol, name)
 
   /**
    * SHREDDING for a stored VARIANT column (the engine form of Parquet/
@@ -2450,6 +2459,16 @@ final class TransactionalTable private (
     * shred spec the materializing rewrite writes under — see the window
     * argument in [[setVariantShred]]. */
   private var pendingShredSpec: Option[Map[String, Seq[(String, String, String)]]] = None
+
+  /** The shred spec [[writeDataFiles]] actually materialized under, consumed
+    * by [[commit]]'s spec-stability guard: a WRITER whose files were shaped
+    * by a stale spec (another handle's `setVariantShred` flipped the spec
+    * between this attempt's meta read and its commit) must NOT land — the
+    * commit throws the retryable conflict and the recompute re-reads the
+    * live spec. This closes the cross-handle TOCTOU the flip-then-heal
+    * sequence alone cannot (the healer's version check races the writer's
+    * commit; with this guard the straddling writer polices itself). */
+  private var pendingWroteShredSpec: Option[Map[String, Seq[(String, String, String)]]] = None
 
   /** Full-rewrite commit (every live file, deletes folded in) — the
     * materialization step behind [[setVariantShred]] on a non-empty table. */
@@ -2753,7 +2772,9 @@ final class TransactionalTable private (
     // Variant shredding (see setVariantShred): materialize each declared hot
     // path as a typed physical side-column — map-only, codegen'd variant_get
     // over the already-in-hand rows; the logical schema is untouched.
-    val df = pendingShredSpec.getOrElse(variantShred).foldLeft(df0) {
+    val effectiveShred = pendingShredSpec.getOrElse(variantShred)
+    pendingWroteShredSpec = Some(effectiveShred) // commit() validates stability
+    val df = effectiveShred.foldLeft(df0) {
       case (d, (vcol, fields)) =>
         d.columns.find(_.equalsIgnoreCase(vcol)) match {
           case Some(actual) => fields.foldLeft(d) { case (d2, (name, path, tpe)) =>
@@ -2809,9 +2830,8 @@ final class TransactionalTable private (
     }
     coded.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
     if (!Files.isDirectory(outDir)) return Seq.empty
-    val parts = Files.walk(outDir).iterator().asScala
+    val parts = graft.util.Fs.walkSeq(outDir)
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
     // Footers are read in parallel: a partitioned commit can produce
     // tasks×partitions part files, and ~20 ms of sequential open() each would
     // put an O(files) serial section back into the commit path.
@@ -3013,9 +3033,8 @@ final class TransactionalTable private (
       .write.mode("overwrite").parquet(outDir.toString)
     // Stats from footers, like writeDataFiles (an empty key set writes no
     // part files → None).
-    val parts = Files.walk(outDir).iterator().asScala
+    val parts = graft.util.Fs.walkSeq(outDir)
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
     val statCol = if (hashRanged) "_dhash" else pk
     val stats = parts.map(p => pkFooterStats(p, statCol)).filter(_._1 > 0)
     if (stats.isEmpty) None
@@ -3511,9 +3530,22 @@ final class TransactionalTable private (
   private def commit(s: Snapshot): Unit = {
     val pendingNrid = pendingNextRowId
     pendingNextRowId = None // consumed — never leaks into an unrelated commit
+    val wroteShred = pendingWroteShredSpec
+    pendingWroteShredSpec = None // consumed — never leaks into an unrelated commit
     if (Files.exists(pointerPath) && currentVersion >= s.version && s.version > 0)
       throw new ConcurrentCommitException(
         s"version ${s.version} already committed (root=$root)")
+    // Shred-spec stability: files shaped under a spec another handle has
+    // since changed must not land (their side-columns would be missing or
+    // stale under the LIVE spec — silently-NULL shredded reads). Retryable:
+    // the recompute re-reads the live spec and rewrites correctly. The
+    // materializing rewrite itself (pendingShredSpec set) is exempt — it
+    // intentionally writes ahead of the flip.
+    wroteShred.foreach { used =>
+      if (pendingShredSpec.isEmpty && used != variantShred)
+        throw new ConcurrentCommitException(
+          s"variant shred spec changed concurrently while writing data files (root=$root)")
+    }
     Files.createDirectories(manifestDir)
     val chunkRefs = planChunks(s)
     val node = mapper.createObjectNode()
@@ -3747,6 +3779,11 @@ object TransactionalTable {
   val RowLevelOps: Set[String] = Set("merge", "delete", "update")
 
   private[table] def rowLevelKey(op: String): String = s"writeMode_$op"
+
+  /** Physical side-column name for a shredded variant field — pure string
+    * derivation, no table state. */
+  private[graft] def shredPhysical(varCol: String, name: String): String =
+    s"_sh_${varCol.toLowerCase(java.util.Locale.ROOT)}_${name.toLowerCase(java.util.Locale.ROOT)}"
 
   /** SQL-facing mode name → engine [[MergeMode]] (Iceberg value vocabulary
     * plus the engine's two finer merge-on-read shapes). */

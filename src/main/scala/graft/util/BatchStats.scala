@@ -12,8 +12,20 @@ package graft.util
  */
 object BatchStats {
   private val q = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def record(kind: String, sec: Double): Unit = { q.add((kind, sec)); () }
+  /** Bound for an UNDRAINED queue: outside the bench nothing calls
+    * [[drain]], and a long-running pipeline (the 864-commits/day posture)
+    * must not leak one tuple per batch forever. Past the cap the OLDEST
+    * sample drops — recent batches are the ones a late-attaching drainer
+    * wants. 16k samples ≈ 18 days of 100 s batches, ~1 MiB. */
+  private val MaxPending = 16384
+
+  def record(kind: String, sec: Double): Unit = {
+    q.add((kind, sec))
+    if (n.incrementAndGet() > MaxPending && q.poll() != null) n.decrementAndGet()
+    ()
+  }
 
   /** Time `body`, record it under `kind`, return its result. */
   def timed[A](kind: String)(body: => A): A = {
@@ -25,7 +37,7 @@ object BatchStats {
   def drain(): Seq[(String, Double)] = {
     val b = Seq.newBuilder[(String, Double)]
     var x = q.poll()
-    while (x != null) { b += x; x = q.poll() }
+    while (x != null) { b += x; n.decrementAndGet(); x = q.poll() }
     b.result()
   }
 }

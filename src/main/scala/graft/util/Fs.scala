@@ -4,13 +4,33 @@ import java.nio.file.{Files, Path}
 
 object Fs {
   /** Best-effort recursive delete (children before parents); missing files
-    * are fine — used for scratch/spill cleanup, never for table data. */
+    * are fine — used for scratch/spill cleanup, never for table data. The
+    * walk stream is CLOSED explicitly: these run per micro-batch on
+    * long-lived streams, and an unclosed DirectoryStream holds its fd until
+    * GC — a slow fd leak in exactly the always-on deployment. */
   def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return
     import scala.jdk.CollectionConverters._
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach { f =>
         try Files.deleteIfExists(f) catch { case _: java.io.IOException => () }
       }
+    finally s.close()
+  }
+
+  /** Materialize a directory listing with the stream closed (see
+    * [[deleteRecursively]] on why closing matters on streaming hot paths). */
+  def listSeq(dir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Materialize a recursive walk with the stream closed. */
+  def walkSeq(dir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 }

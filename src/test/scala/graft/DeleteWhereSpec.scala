@@ -200,6 +200,29 @@ class DeleteWhereSpec extends SparkSpec {
     }
   }
 
+  test("delete artifacts targeting dropped files drop with them (URI-form targets)") {
+    import graft.table.{MergeMode, PartitionTransform}
+    val root = tmpDir("dw-dv") + "/t"
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    val t = TransactionalTable.create(spark, root, sch, "id", partitionCol = Some("p"))
+    t.merge(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p"),
+      spark.emptyDataset[Long].toDF("id"), batchId = 0)
+    // a DELETION VECTOR masking a row of partition 'a' — its target is the
+    // URI-form _metadata.file_path, NOT the plain manifest path
+    t.merge(Seq.empty[(Long, String)].toDF("id", "p"), Seq(1L).toDF("id"),
+      batchId = 1, mode = MergeMode.MergeOnReadVector)
+    assert(t.snapshot.deletes.nonEmpty, "fixture needs a pending DV")
+    // metadata-only drop of partition 'a' must drop the DV with its file
+    assert(t.deletePartitions(Set("a")).exists(_ > 0))
+    assert(t.snapshot.deletes.isEmpty,
+      s"DV targeting a dropped file must drop too, got ${t.snapshot.deletes}")
+    assert(t.scan().select("id").as[Long].collect().toSeq === Seq(3L))
+    // morPending cleared -> maintenance is allowed again
+    t.compactPartitions(Seq("b"), minFileRows = 1L << 20)
+  }
+
   test("deletePartitions API: not metadata-decidable under partition evolution") {
     // files written under an older spec may contain matching rows — the
     // metadata path must refuse (None) and leave the table untouched
