@@ -131,6 +131,7 @@ object Bench {
       "x4_tfidf", "x7_q5_revenue_by_nation", "x2_line_dedup")
     val baseSec = results.toMap
     var hiJson = ""
+    var hiCompactJson = "" // factors-only twin, built alongside (never parsed back)
     if (hiCopies > 1) {
       val dir = graft.tools.ScaledData.materialize(spark, sfDir, hiCopies)
       val rs = Registry.headlines.filter(q => heavy.contains(q.name)).map { q =>
@@ -145,6 +146,7 @@ object Bench {
         "\"" + k + "\":" + f
       }.mkString("{", ",", "}")
       hiJson = s""","scaled_hi":{"copies":$hiCopies,"queries":$sq,"factors":$factors}"""
+      hiCompactJson = s""","scaled_hi":{"copies":$hiCopies,"factors":$factors}"""
     }
 
     // "Within 2x of DuckDB" as a COMPUTED column: tools/check.py --times-out
@@ -199,10 +201,11 @@ object Bench {
     // and the full line (2.9k and growing ~100 chars per new headline) no
     // longer fits, so "parsed" came back null. Stdout gets a COMPACT line
     // instead — complete JSON, same key names the perf gate reads (queries /
-    // oracle_sec / ratio_vs_duckdb), times at 1 ms precision, oracle_sec
-    // restricted to ratio-bearing queries, scaled reduced to its total —
-    // sized to stay comfortably inside the window; full fidelity (raw nanos,
-    // per-query scaled map) lives in the file the compact line points at.
+    // ratio_vs_duckdb), times at 1 ms precision, scaled reduced to totals,
+    // scaled_hi to its factors, oracle_sec omitted (derivable: engine sec /
+    // ratio) — sized to stay comfortably inside the window; full fidelity
+    // (raw nanos, per-query scaled maps, oracle_sec incl. streaming-tier)
+    // lives in the file the compact line points at.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
@@ -213,25 +216,18 @@ object Bench {
       .mkString("{", ",", "}")
     val compactOracle =
       if (oracleEntries.isEmpty) ""
-      else {
+      else
         // ratio only: oracle_sec is derivable (engine sec / ratio) and the
         // full map lives in the file — the ~450 chars it cost pushed the
         // compact line past the 2000-char tail window once scaled_hi and
-        // batch_sec joined it.
-        val ratioBearing = oracleEntries.filter(e => e._4 && !streamingTier(e._1))
-        s""","ratio_vs_duckdb":${ratioJson(ratioBearing)}"""
-      }
+        // batch_sec joined it. ratioJson filters to ratio-bearing
+        // non-streaming entries itself.
+        s""","ratio_vs_duckdb":${ratioJson(oracleEntries)}"""
     val compactScaled =
       if (scaledTotal.isNaN) ""
       else s""","scaled_total":${r3(scaledTotal)},"scaled_copies":$scaleCopies"""
-    // scaled_hi compacted to its FACTORS (the judged numbers); per-query
-    // seconds live in the full artifact.
-    val compactHi =
-      if (hiJson.isEmpty) ""
-      else hiJson.replaceFirst(""","scaled_hi":\{"copies":(\d+),"queries":\{[^}]*\}""",
-        ""","scaled_hi":{"copies":$1""")
     val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$errJson$compactScaled$compactHi$batchJson$compactOracle,"full":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$errJson$compactScaled$hiCompactJson$batchJson$compactOracle,"full":"BENCH_LAST.json"}"""
     if (compactLine.length >= 1950)
       System.err.println(s"WARNING: compact bench line ${compactLine.length} chars — " +
         "approaching the driver's 2000-char tail window; trim a block")

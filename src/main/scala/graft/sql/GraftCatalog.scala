@@ -70,7 +70,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
     if (!Files.isDirectory(dir)) Array.empty
-    else Files.list(dir).iterator().asScala
+    else graft.util.Fs.listSeq(dir).iterator
       .filter(p => TransactionalTable.exists(p.toString))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -96,7 +96,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listViews(namespace: String*): Array[Identifier] = {
     val dir = Paths.get((warehouse +: namespace).mkString("/"))
     if (!Files.isDirectory(dir)) Array.empty
-    else Files.list(dir).iterator().asScala
+    else graft.util.Fs.listSeq(dir).iterator
       .filter(p => GraftViewStore.exists(p.toString))
       .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
       .toArray
@@ -520,7 +520,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "objectName" -> ident.toString))
     if (!Files.exists(root)) false
     else {
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      graft.util.Fs.deleteRecursively(root)
       true
     }
   }
@@ -532,7 +532,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listNamespaces(): Array[Array[String]] = {
     val dir = Paths.get(warehouse)
     if (!Files.isDirectory(dir)) Array.empty
-    else Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
+    else graft.util.Fs.listSeq(dir).iterator.filter(Files.isDirectory(_))
       .map(p => Array(p.getFileName.toString)).toArray
   }
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = Array.empty

@@ -220,11 +220,7 @@ object GraftViewStore {
       if (materialized) {
         // a materialized view owns its storage table: delete it with the view
         val storage = Paths.get(storageRoot(root))
-        if (Files.exists(storage)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(storage).iterator().asScala.toSeq.reverse
-            .foreach(f => Files.deleteIfExists(f))
-        }
+        if (Files.exists(storage)) graft.util.Fs.deleteRecursively(storage)
       }
       // remove the now-empty view dir (ignore failure: files written by
       // others are left alone)

@@ -826,14 +826,27 @@ final class TransactionalTable private (
             case s => s.filterNot(f => removedPaths.contains(f.path))
           }
           pendingChunkHint = Some((removed, Seq.empty))
-          // Delete-artifact targets (positional files, DVs) are recorded in
-          // URI form (_metadata.file_path); manifest paths are plain —
-          // normalize like every other target comparison (l.746, l.3200) or
-          // artifacts on dropped files are carried forever (morPending never
-          // clears, maintenance keeps refusing).
-          commit(Snapshot(snap.version + 1, snap.batchId, carried,
-            snap.deletes.filterNot(d =>
-              d.target.map(TransactionalTable.stripScheme).exists(removedPaths))))
+          // Delete artifacts whose victims are ALL dropped drop too —
+          // otherwise morPending never clears and maintenance keeps
+          // refusing. Targets are URI-form (_metadata.file_path); manifest
+          // paths plain — normalize like every other comparison (l.746,
+          // l.3200). DV entries carry their target in the manifest;
+          // POSITIONAL entries record victims only inside the (tiny,
+          // merge-traffic-bounded) delete file — read their distinct _dfile
+          // set once. An artifact masking ANY surviving file is carried.
+          val keptDeletes = snap.deletes.filter { d =>
+            d.target match {
+              case Some(tgt) => // vector (and any target-carrying) entries
+                !removedPaths.contains(TransactionalTable.stripScheme(tgt))
+              case None if d.kind == DeleteFile.Position =>
+                val victims = spark.read.parquet(d.path).select(col("_dfile"))
+                  .distinct().collect()
+                  .map(r => TransactionalTable.stripScheme(r.getString(0)))
+                !victims.forall(removedPaths.contains)
+              case None => true // equality deletes mask by KEY, not by file
+            }
+          }
+          commit(Snapshot(snap.version + 1, snap.batchId, carried, keptDeletes))
           result = Some(removed.length.toLong)
         }
       }
@@ -960,8 +973,7 @@ final class TransactionalTable private (
     require(branchName.isEmpty, "drop branches from the main handle")
     validBranchName(name)
     val bdir = branchesDir.resolve(name)
-    if (Files.exists(bdir))
-      Files.walk(bdir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    if (Files.exists(bdir)) graft.util.Fs.deleteRecursively(bdir)
   }
 
   /**
@@ -1187,8 +1199,7 @@ final class TransactionalTable private (
         .as[String].collect()
       doomed.foreach { p =>
         val path = Paths.get(p)
-        if (Files.isDirectory(path))
-          Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        if (Files.isDirectory(path)) graft.util.Fs.deleteRecursively(path)
         else Files.deleteIfExists(path)
       }
     }

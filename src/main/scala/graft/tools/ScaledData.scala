@@ -71,9 +71,6 @@ object ScaledData {
   def delete(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
-    if (Files.exists(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => try Files.delete(p) catch { case _: Exception => () })
-    }
+    if (Files.exists(root)) graft.util.Fs.deleteRecursively(root)
   }
 }

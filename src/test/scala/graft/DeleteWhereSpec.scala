@@ -223,6 +223,38 @@ class DeleteWhereSpec extends SparkSpec {
     t.compactPartitions(Seq("b"), minFileRows = 1L << 20)
   }
 
+  test("positional delete files drop when ALL victims drop; carry when any survives") {
+    import graft.table.MergeMode
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    // case 1: the positional delete's only victim is in the dropped partition
+    val t1 = TransactionalTable.create(spark, tmpDir("dw-pos1") + "/t", sch, "id",
+      partitionCol = Some("p"))
+    t1.merge(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p"),
+      spark.emptyDataset[Long].toDF("id"), batchId = 0)
+    t1.merge(Seq.empty[(Long, String)].toDF("id", "p"), Seq(1L).toDF("id"),
+      batchId = 1, mode = MergeMode.MergeOnReadPositional)
+    assert(t1.snapshot.deletes.nonEmpty)
+    assert(t1.deletePartitions(Set("a")).exists(_ > 0))
+    assert(t1.snapshot.deletes.isEmpty,
+      s"positional artifact with all victims dropped must drop, got ${t1.snapshot.deletes}")
+    assert(t1.scan().select("id").as[Long].collect().toSeq === Seq(3L))
+    // case 2: one positional delete file masks rows in BOTH partitions —
+    // dropping one partition must CARRY the artifact (it still masks 'b')
+    val t2 = TransactionalTable.create(spark, tmpDir("dw-pos2") + "/t", sch, "id",
+      partitionCol = Some("p"))
+    t2.merge(Seq((1L, "a"), (3L, "b"), (4L, "b")).toDF("id", "p"),
+      spark.emptyDataset[Long].toDF("id"), batchId = 0)
+    t2.merge(Seq.empty[(Long, String)].toDF("id", "p"), Seq(1L, 3L).toDF("id"),
+      batchId = 1, mode = MergeMode.MergeOnReadPositional)
+    assert(t2.deletePartitions(Set("a")).exists(_ > 0))
+    assert(t2.snapshot.deletes.nonEmpty,
+      "artifact masking a surviving file must be carried")
+    assert(t2.scan().select("id").as[Long].collect().toSeq === Seq(4L),
+      "carried artifact must still mask id=3 in the surviving partition")
+  }
+
   test("deletePartitions API: not metadata-decidable under partition evolution") {
     // files written under an older spec may contain matching rows — the
     // metadata path must refuse (None) and leave the table untouched
