@@ -292,8 +292,10 @@ object TextOps {
    * cutoff window sorts ONLY the sample (rate-bounded) per language; the
    * final bucket assignment is one broadcast join of (buckets−1)·|langs|
    * cutoff rows + a map-only array count. Languages with an empty sample
-   * drop from the output (no cutoffs → no shard labels), surfaced rather
-   * than defaulted.
+   * (possible when sampleRate < 1) surface with a NULL bucket — no cutoffs
+   * means no shard label, visibly, never a silently-dropped document. A
+   * sample smaller than the bucket count keeps each selected cutoff RANK
+   * once (several k collapsing onto one rank never duplicate a cutoff).
    */
   def qualityBuckets(df: DataFrame, buckets: Int = 3, sampleRate: Double = 1.0,
       langCol: String = "lang", idCol: String = "doc_id",
@@ -325,11 +327,21 @@ object TextOps {
       // integer ceil-division on both engines: (k·n + b − 1) div b
       .filter(col("_rn") ===
         expr(s"(_k * _n + ${buckets - 1}) div $buckets"))
-    val cuts = cutRows.groupBy(col(langCol))
+    // Distinct cutoff RANKS: a tiny sample (n < buckets) collapses several
+    // k onto the same rank — keeping that row once per k would duplicate
+    // the cutoff and shift every bucket past it. Genuine score ties between
+    // DIFFERENT ranks are kept (they are the data's real quantiles). With
+    // n >= buckets ranks are distinct and this is a no-op.
+    val cuts = cutRows.select(col(langCol), col("_rn"), col("rarity")).distinct()
+      .groupBy(col(langCol))
       .agg(sort_array(collect_list(col("rarity"))).as("_cuts"))
-    scored.join(broadcast(cuts), Seq(langCol))
+    // LEFT join: a language whose hash sample is empty (possible when
+    // sampleRate < 1) has no cutoffs — its documents surface with a NULL
+    // bucket instead of silently vanishing from the output.
+    scored.join(broadcast(cuts), Seq(langCol), "left")
       .withColumn("bucket",
-        (lit(1) + size(filter(col("_cuts"), c => col("rarity") > c))).cast("long"))
+        when(col("_cuts").isNull, lit(null).cast("long")).otherwise(
+          (lit(1) + size(filter(col("_cuts"), c => col("rarity") > c))).cast("long")))
       .select((col(idCol) +: col(langCol) +: col("n_bigrams") +: col("n_rare") +:
         col("rarity") +: col("bucket") +: carry.map(col)): _*)
   }

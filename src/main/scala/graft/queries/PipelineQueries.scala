@@ -359,7 +359,7 @@ object PipelineQueries {
              |wl AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),
              |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rarity, doc_id) AS rn,
              |         COUNT(*) OVER (PARTITION BY lang) AS n FROM wl),
-             |cut AS (SELECT lang, rarity AS c
+             |cut AS (SELECT DISTINCT lang, rn, rarity AS c
              |        FROM rk CROSS JOIN (SELECT unnest([1, 2]) AS k) ks
              |        WHERE rn = (k * n + 2) // 3),
              |cuts AS (SELECT lang, list_sort(list(c)) AS cs FROM cut GROUP BY lang)
@@ -428,7 +428,7 @@ object PipelineQueries {
              |wl AS (SELECT sc.doc_id, sc.rarity, c.lang, c.source FROM sc JOIN cln c USING (doc_id)),
              |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rarity, doc_id) AS rn,
              |         COUNT(*) OVER (PARTITION BY lang) AS nn FROM wl),
-             |cut AS (SELECT lang, rarity AS cv
+             |cut AS (SELECT DISTINCT lang, rn, rarity AS cv
              |        FROM rk CROSS JOIN (SELECT unnest([1, 2]) AS k) ks
              |        WHERE rn = (k * nn + 2) // 3),
              |cuts AS (SELECT lang, list_sort(list(cv)) AS cs FROM cut GROUP BY lang)

@@ -520,7 +520,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "objectName" -> ident.toString))
     if (!Files.exists(root)) false
     else {
-      graft.util.Fs.deleteRecursively(root)
+      // Strict: a half-deleted table dir must surface as an error, not a
+      // successful DROP (the lenient variant is for scratch cleanup only).
+      graft.util.Fs.deleteRecursivelyStrict(root)
       true
     }
   }

@@ -107,6 +107,11 @@ class GraftShredScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (needed.isEmpty) None
       else {
         val t = TransactionalTable.open(spark, g.root)
+        // Crashed flip window (heal-pending marker, see setVariantShred):
+        // a live file may lack the side-columns — keep the binary-decoding
+        // plan (exact, unaccelerated) until healVariantShred confirms.
+        if (t.shredHealPending.nonEmpty) None
+        else {
         // Engine scan (delete-aware, pinned to the relation's snapshot)
         // exposing the original columns under their exprIds + the needed
         // side-columns. Side-column types come from the declared specs.
@@ -154,6 +159,7 @@ class GraftShredScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case _: Filter => Project(r.output.map(a => a: NamedExpression), rebuilt)
           case _ => rebuilt
         })
+        }
       }
     }
   }

@@ -30,7 +30,12 @@ final case class ChunkRef(
     specId: Option[Int] = None,
     /** Chunk-merged column [min,max] — intersection of the columns every
       * file tracks, each spanning the whole chunk. */
-    stats: Map[String, (Long, Long)] = Map.empty)
+    stats: Map[String, (Long, Long)] = Map.empty,
+    /** Smallest per-file row count in the chunk (−1 = pre-upgrade ref, not
+      * recorded). Lets maintenance detect a MIXED chunk — one huge file
+      * hiding many tiny ones behind an above-target mean — without loading
+      * a single entry. */
+    minFileRows: Long = -1L)
 
 object ChunkRef {
   /** Above this many distinct partition values the per-chunk list stops
@@ -59,7 +64,7 @@ object ChunkRef {
     ChunkRef(path, files.length,
       files.iterator.map(_.pkMin).min, files.iterator.map(_.pkMax).max,
       files.iterator.map(_.rows).sum, files.iterator.map(_.bytes).sum,
-      parts, uniformSpec, merged)
+      parts, uniformSpec, merged, files.iterator.map(_.rows).min)
   }
 }
 

@@ -358,7 +358,8 @@ final class TransactionalTable private (
       if (!c.has("stats")) Map.empty
       else c.get("stats").properties().asScala.map { e =>
         e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
-      }.toMap)
+      }.toMap,
+      if (c.has("minRows")) c.get("minRows").asLong() else -1L)
 
   /** Chunk refs (with stats) of a version's manifest — JSON-only, no chunk
     * is opened. Empty for legacy inline manifests. */
@@ -803,6 +804,10 @@ final class TransactionalTable private (
   def deletePartitions(values: Set[String]): Option[Long] = synchronized {
     require(partitionSpec.isDefined, "deletePartitions requires a partitioned table")
     var result: Option[Long] = None
+    // Positional-delete victim sets, memoized by delete-file path: delete
+    // files are immutable, so under commit contention the retry loop reuses
+    // the already-read sets instead of re-running a Spark job per attempt.
+    val victimMemo = scala.collection.mutable.HashMap.empty[String, Array[String]]
     retryingCommit("delete") { snap =>
       // Chunk-level triage: a chunk with a recorded partition list under the
       // current spec that misses every value provably contains no matching
@@ -839,9 +844,10 @@ final class TransactionalTable private (
               case Some(tgt) => // vector (and any target-carrying) entries
                 !removedPaths.contains(TransactionalTable.stripScheme(tgt))
               case None if d.kind == DeleteFile.Position =>
-                val victims = spark.read.parquet(d.path).select(col("_dfile"))
-                  .distinct().collect()
-                  .map(r => TransactionalTable.stripScheme(r.getString(0)))
+                val victims = victimMemo.getOrElseUpdate(d.path,
+                  spark.read.parquet(d.path).select(col("_dfile"))
+                    .distinct().collect()
+                    .map(r => TransactionalTable.stripScheme(r.getString(0))))
                 !victims.forall(removedPaths.contains)
               case None => true // equality deletes mask by KEY, not by file
             }
@@ -2252,8 +2258,10 @@ final class TransactionalTable private (
   /** Post-commit auto-compaction trigger (see [[setAutoCompact]]) — called
     * only from [[merge]]/[[append]] (maintenance commits never re-trigger).
     * Small-file debt is estimated from CHUNK STATS ALONE — a chunk whose
-    * mean file size is below target is counted small — O(chunks) driver
-    * arithmetic, zero manifest-entry loads on the no-op path (the 864
+    * mean file size is below target counts all its files; a MIXED chunk
+    * (above-target mean, but minFileRows below target) counts one —
+    * O(chunks) driver arithmetic, zero manifest-entry loads on the no-op
+    * path (the 864
     * commits/day case pays one Seq traversal, not an entry parse). Debt in
     * identity-spec partitions compacts via [[compactPartitions]] (touched
     * partitions only); debt outside per-chunk partition lists (wide chunks,
@@ -2277,10 +2285,21 @@ final class TransactionalTable private (
             case mf: ManifestFiles =>
               val small = mf.chunks.filter(c =>
                 c.count > 0 && c.rows >= 0 && c.rows / c.count < target)
-              (small.map(_.count).sum,
-                small.flatMap(c => c.partitions.filter(_ => c.specId.contains(currentSpecId))
+              // Chunk-mean counting alone undercounts MIXED chunks (one huge
+              // file hiding many tiny ones behind an above-target mean).
+              // minFileRows detects them — such a chunk provably holds ≥1
+              // small file (1 is the only sound lower bound from aggregate
+              // stats), so accumulated mixed-chunk debt still crosses the
+              // trigger instead of deferring forever. Pre-upgrade refs
+              // (minFileRows = −1) stay mean-only, as before.
+              val smallPaths = small.map(_.path).toSet
+              val mixed = mf.chunks.filter(c => !smallPaths.contains(c.path) &&
+                c.count > 0 && c.minFileRows >= 0 && c.minFileRows < target)
+              val debt = small ++ mixed
+              (small.map(_.count).sum + mixed.length,
+                debt.flatMap(c => c.partitions.filter(_ => c.specId.contains(currentSpecId))
                   .getOrElse(Seq.empty)).distinct,
-                small.forall(c => c.specId.contains(currentSpecId) && c.partitions.isDefined))
+                debt.forall(c => c.specId.contains(currentSpecId) && c.partitions.isDefined))
             case files => (files.count(_.rows < target), Seq.empty[String], false)
           }
           if (nSmall >= minFiles) {
@@ -2434,7 +2453,8 @@ final class TransactionalTable private (
           s"shred spec change for '$varCol' must keep field '$n' ($p0:$t0) — " +
             "specs are additive-only on a live column (clear with '' first)")
       }
-    def putSpec(spec: Option[Seq[(String, String, String)]]): Unit =
+    def putSpec(spec: Option[Seq[(String, String, String)]],
+        markPending: Boolean = false): Unit =
       updateTableMeta { m =>
         val cur = if (m.has("variantShred"))
           m.get("variantShred").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -2446,7 +2466,19 @@ final class TransactionalTable private (
             val a = arr.addArray(); a.add(n); a.add(p); a.add(t)
           }
         }
-        if (cur.isEmpty) { m.remove("variantShred"); () }
+        if (cur.isEmpty) m.remove("variantShred")
+        // Heal-pending marker written ATOMICALLY with the spec flip: until
+        // the straddler-window check below confirms (and clears it), readers
+        // must treat files as possibly lacking the side-columns. A crash
+        // anywhere between this write and the confirmation leaves the marker
+        // behind, and shredded reads fall back to the variant binary —
+        // correct, unaccelerated — until [[healVariantShred]] runs.
+        if (markPending) {
+          val pend = shredHealPending + lc
+          val arr = m.putArray("shredHealPending")
+          pend.toSeq.sorted.foreach(arr.add)
+        }
+        ()
       }
     if (fields.nonEmpty && Files.exists(pointerPath) && snapshot.files.nonEmpty) {
       // Materialize BEFORE the spec goes live: the rewrite runs under a
@@ -2456,14 +2488,47 @@ final class TransactionalTable private (
       // A failed rewrite leaves no live spec, nothing to roll back. After
       // the flip, heal the flip window: a commit that raced between rewrite
       // and flip wrote without the columns — one rewrite under the now-live
-      // spec covers it (from here on every writer materializes itself).
+      // spec covers it (from here on every writer materializes itself). The
+      // flip carries a durable heal-pending marker so a crash before the
+      // heal commits can never leave silent-NULL shredded reads.
       pendingShredSpec = Some(variantShred + (lc -> fields))
       try rewriteAllFiles("shred")
       finally pendingShredSpec = None
       val vRewritten = currentVersion
-      putSpec(Some(fields))
+      putSpec(Some(fields), markPending = true)
       if (currentVersion != vRewritten) rewriteAllFiles("shred")
+      // Confirmed: every live file now carries side-columns for EVERY live
+      // spec (both rewrites materialize the full spec map), so all pending
+      // markers clear, not just this column's.
+      clearShredHealPending()
     } else putSpec(Some(fields))
+  }
+
+  /** Variant columns whose shred spec flipped live without a CONFIRMED
+    * straddler-window heal (a crash between the spec flip and the heal
+    * commit in [[setVariantShred]]). While a column is listed, a live file
+    * may lack its side-columns, so [[scanShredded]] and the transparent
+    * rewrite rule serve the variant binary instead — exact, unaccelerated —
+    * until [[healVariantShred]] re-establishes the invariant. */
+  def shredHealPending: Set[String] =
+    tableMeta.filter(_.has("shredHealPending"))
+      .map(_.get("shredHealPending").elements().asScala.map(_.asText()).toSet)
+      .getOrElse(Set.empty)
+
+  private def clearShredHealPending(): Unit =
+    updateTableMeta { m => m.remove("shredHealPending"); () }
+
+  /** Idempotent recovery for a crashed [[setVariantShred]] flip window: one
+    * full rewrite under the live spec re-materializes every side-column,
+    * then the pending markers clear. No-op when nothing is pending; safe to
+    * call at any time (a redundant call after a crash-between-heal-and-clear
+    * merely rewrites once more). */
+  def healVariantShred(): Unit = synchronized {
+    if (shredHealPending.nonEmpty) {
+      if (Files.exists(pointerPath) && snapshot.files.nonEmpty)
+        rewriteAllFiles("shred-heal")
+      clearShredHealPending()
+    }
   }
 
   /** Thread-confined (setVariantShred is synchronized): the not-yet-live
@@ -2510,15 +2575,27 @@ final class TransactionalTable private (
     val fields = variantShred.getOrElse(lc, throw new IllegalArgumentException(
       s"no shred spec declared for variant column '$varCol' (setVariantShred)"))
     val s = snapshot
-    val shredFields = fields.map { case (n, _, t) =>
-      org.apache.spark.sql.types.StructField(shredPhysical(lc, n),
-        org.apache.spark.sql.types.DataType.fromDDL(t))
+    if (shredHealPending.contains(lc)) {
+      // Crashed flip window (see setVariantShred): a live file may lack the
+      // side-columns, and reading them would serve silent NULLs. Serve the
+      // exact same semantics from the variant binary — the identical
+      // variant_get the writer materializes — until healVariantShred runs.
+      val actual = schema.fields.find(_.name.equalsIgnoreCase(varCol)).get.name
+      scanWithDeletes(s.files, s.deletes)
+        .select(pkCols.map(col) ++ fields.map { case (n, p, t) =>
+          org.apache.spark.sql.functions.variant_get(col(actual), p, t).as(n)
+        }: _*)
+    } else {
+      val shredFields = fields.map { case (n, _, t) =>
+        org.apache.spark.sql.types.StructField(shredPhysical(lc, n),
+          org.apache.spark.sql.types.DataType.fromDDL(t))
+      }
+      val sch = StructType(pkCols.map(schema(_)) ++ shredFields)
+      scanWithDeletes(s.files, s.deletes, sch)
+        .select(pkCols.map(col) ++ fields.map { case (n, _, _) =>
+          col(shredPhysical(lc, n)).as(n)
+        }: _*)
     }
-    val sch = StructType(pkCols.map(schema(_)) ++ shredFields)
-    scanWithDeletes(s.files, s.deletes, sch)
-      .select(pkCols.map(col) ++ fields.map { case (n, _, _) =>
-        col(shredPhysical(lc, n)).as(n)
-      }: _*)
   }
 
   /** Columns with parquet bloom filters enabled (see [[setParquetBloom]]). */
@@ -3599,6 +3676,7 @@ final class TransactionalTable private (
         val pa = o.putArray("parts"); ps.foreach(pa.add)
       }
       c.specId.foreach(sid => o.put("spec", sid))
+      if (c.minFileRows >= 0) o.put("minRows", c.minFileRows)
       if (c.stats.nonEmpty) {
         val so = o.putObject("stats")
         c.stats.foreach { case (k, (mn, mx)) =>

@@ -73,6 +73,33 @@ class TablePropsSpec extends SparkSpec {
     assert(t.autoCompact.isEmpty)
   }
 
+  test("auto-compaction detects MIXED chunks (tiny files hidden behind an above-target mean)") {
+    val root = tmpDir("ttable-autoc-mixed") + "/t"
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    val t = TransactionalTable.create(spark, root, sch, "id", partitionCol = Some("p"))
+    t.setWriteDistribution("hash") // one file per partition value per commit
+    t.setAutoCompact(minFiles = 2, targetRows = 1000L)
+    // Each commit lands one 5000-row file + two 1-row files in ONE chunk:
+    // chunk mean ≈ 1667 > target, so mean-only debt counting sees ZERO —
+    // the minFileRows stat must still surface the tiny files as debt.
+    (0 until 2).foreach { i =>
+      val base = i * 1000000L
+      val big = (0L until 5000L).map(j => (base + j, "big"))
+      val tiny = Seq((base + 900001L, "s1"), (base + 900002L, "s2"))
+      t.merge((big ++ tiny).toDF("id", "p"),
+        spark.emptyDataset[Long].toDF("id"), batchId = i.toLong)
+    }
+    val ops = (1L to t.currentVersion).flatMap(v => t.operationOf(v))
+    assert(ops.exists(_.startsWith("compact")),
+      s"mixed-chunk debt must trigger auto-compaction, ops=$ops")
+    // tiny files packed, big files untouched, data exact
+    assert(t.scan().count() === 2 * 5002L)
+    val small = t.snapshot.files.count(_.rows < 1000L)
+    assert(small <= 2, s"tiny files must be packed, got $small small files")
+  }
+
   test("auto-compaction via SQL TBLPROPERTIES: bounded files, property round-trips") {
     val cat = freshCat()
     spark.sql(s"""CREATE TABLE $cat.db.ac (id BIGINT, v STRING)

@@ -300,13 +300,56 @@ class TextOpsSpec extends SparkSpec {
       val expect = byLang.flatMap { case (_, ds) =>
         val ordered = ds.map(d => (rarity(d._1), d._1)).sortBy(identity)
         val n = ordered.length
-        val cuts = (1 to 2).map(k => ordered(((k * n + 2) / 3) - 1)._1).sorted
+        // distinct cutoff RANKS (tiny n collapses several k onto one rank)
+        val cuts = (1 to 2).map(k => (k * n + 2) / 3).distinct
+          .map(rk => ordered(rk - 1)._1).sorted
         ds.map { d =>
           d._1 -> (1L + cuts.count(c => rarity(d._1) > c))
         }
       }
       assert(got === expect, s"trial $trial: got $got expected $expect")
     }
+  }
+
+  test("qualityBuckets: tiny sample dedupes cutoff ranks; empty-sample lang gets NULL bucket") {
+    import graft.ops.TextOps
+    import org.apache.spark.unsafe.types.UTF8String
+    // doc(id, m): rarity = m/(m+2), strictly increasing in m (as above)
+    def doc(id: Long, lang: String, m: Int): (Long, String, String) =
+      (id, lang, ("aa bb cc" +: (1 to m).map(j => s"u${id}x$j")).mkString(" "))
+    val ids = 1L to 5L
+    val h = ids.map(i => i -> graft.functions.Md5Hash60.hash(
+      UTF8String.fromString(i.toString))).toMap
+    // rate admits EXACTLY the smallest-hash doc: the gate threshold sits at
+    // the MIDPOINT of the two smallest hashes (gap ≈ 2^55 ≫ double ulp, so
+    // float rounding of rate*2^60 can never flip either side)
+    val sortedH = h.values.toSeq.sorted
+    val rate = ((sortedH(0) + sortedH(1)) / 2).toDouble / (1L << 60).toDouble
+    val docs = ids.map(i => doc(i, "en", i.toInt)).toDF("doc_id", "lang", "text")
+    val got = TextOps.qualityBuckets(docs, buckets = 3, sampleRate = rate)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    // sample n=1: ranks for k=1,2 both collapse to 1 — ONE cutoff, so
+    // buckets above it are 2, never the rank-duplicated 3
+    val sampled = ids.minBy(h)
+    // rarity is strictly increasing in id, so id order = rarity order
+    ids.foreach { i =>
+      assert(got(i) === (if (i > sampled) 2L else 1L),
+        s"id $i (sampled=$sampled): got ${got(i)}")
+    }
+    assert(!got.values.exists(_ > 2L), "duplicate cutoffs must never produce bucket 3 here")
+
+    // a language whose entire sample is gated out surfaces with NULL bucket
+    // instead of silently dropping from the output
+    val twoLang = (ids.map(i => doc(i, "en", i.toInt)) :+ doc(100L, "zz", 1))
+      .toDF("doc_id", "lang", "text")
+    val hZz = graft.functions.Md5Hash60.hash(UTF8String.fromString("100"))
+    assume(hZz > sortedH(1), "construction: zz doc must be gated out at `rate`")
+    val out = TextOps.qualityBuckets(twoLang, buckets = 3, sampleRate = rate)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out.contains(100L), "empty-sample language must not vanish from the output")
+    assert(out(100L).isEmpty, "empty-sample language must surface with a NULL bucket")
+    assert(out(sampled) === Some(1L))
   }
 
   test("upsampleEpochs copy counts equal the md5 model across random factor specs") {

@@ -189,6 +189,41 @@ class VariantColumnSpec extends SparkSpec {
     assert(t.scan().count() === 1L)
   }
 
+  test("crashed flip window: heal-pending marker serves the binary, heal restores the fast path") {
+    val dir = tmpDir("ttable-var-crash")
+    val t = TransactionalTable.create(spark, dir, sch, "id")
+    t.merge(rows(1L -> """{"a": 1}""", 2L -> """{"a": 2}"""), noDel, batchId = 0)
+    // Simulate a crash immediately after setVariantShred's spec flip: the
+    // spec is LIVE and the heal-pending marker is set, but no live file
+    // carries the side-columns — exactly the straddler state a crash
+    // between the flip write and the heal commit leaves behind.
+    val p = java.nio.file.Paths.get(dir, "_table.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = om.readTree(java.nio.file.Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val arr = m.putObject("variantShred").putArray("v")
+    val a = arr.addArray(); a.add("a"); a.add("$.a"); a.add("bigint")
+    m.putArray("shredHealPending").add("v")
+    java.nio.file.Files.write(p, om.writeValueAsBytes(m))
+
+    val t2 = TransactionalTable.open(spark, dir)
+    assert(t2.shredHealPending === Set("v"))
+    // read path: REAL values from the variant binary — never silent NULLs
+    assert(t2.scanShredded("v").select("a").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L))
+    // heal re-materializes every live file and clears the marker
+    t2.healVariantShred()
+    assert(t2.shredHealPending.isEmpty)
+    val sh = t2.scanShredded("v")
+    assert(sh.queryExecution.executedPlan.toString.contains("_sh_v_a"),
+      "fast path must serve the physical side-column after heal")
+    assert(sh.select("a").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // idempotent: a second heal is a no-op
+    val v = t2.currentVersion
+    t2.healVariantShred()
+    assert(t2.currentVersion === v)
+  }
+
   test("SQL surface: CREATE with VARIANT + shred property, DML, SHOW TBLPROPERTIES") {
     val cat = s"graft_var${System.nanoTime()}"
     val w = tmpDir("graft-var-wh")
