@@ -156,6 +156,28 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** 56-bit difference hash (dHash) over the 8×8 thumbnail: bit `r*7+c` is
+    * set iff cell (r,c) is strictly darker than its right neighbor — 8 rows
+    * × 7 adjacent-column comparisons. Gradient DIRECTIONS, not magnitudes:
+    * a uniform brightness shift or a lossless re-encode leaves every bit
+    * unchanged, which is exactly the invariance image near-dup needs. The
+    * thumbnail is the exact area-average [[decode]] already emits, so for
+    * 8×8 grayscale fixtures the hash is closed-form (cell = pixel luma). */
+  def dHash(thumb: Array[Float]): Long = {
+    require(thumb.length == 64, s"dHash needs the 8x8 thumbnail, got ${thumb.length}")
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (thumb(r * 8 + c) < thumb(r * 8 + c + 1)) h |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
   /** Exact pixel statistics of one decoded frame: (width, height, BT.601
     * mean luma, per-channel means, 16-bin luma histogram, 8×8 thumbnail). */
   private def pixelStats(img: java.awt.image.BufferedImage)

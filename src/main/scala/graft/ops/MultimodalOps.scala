@@ -152,6 +152,55 @@ object MultimodalOps {
         "mean_r", "mean_g", "mean_b", "thumb")
   }
 
+  /** Per-image perceptual hash: decode → 8×8 thumbnail → 56-bit
+    * [[ImageCodec.dHash]]. Same batched `mapPartitions` shape as
+    * [[decodeImages]]; non-image rows are dropped. One Long per image —
+    * the fixed-width key all downstream dedup machinery joins on. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map(d => (id, ImageCodec.dHash(d.thumb)))
+      })
+      .toDF("media_id", "phash")
+  }
+
+  /** Pigeonhole banding of the 56-bit perceptual hash: 4 bands of 14 bits —
+    * any pair within Hamming distance 3 agrees on ≥1 band (the
+    * LAION-style image-dedup twin of [[DedupOps.simhashBands]]). */
+  def phashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id"), col("phash"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> named_struct('band', c, 'chunk', (phash >> (c * 14)) & 16383))"
+        )).as("x"))
+      .select(col("media_id"), col("phash"), col("x.band").cast("long").as("band"),
+        col("x.chunk").as("chunk"))
+
+  /**
+   * Image near-duplicate pairs with perceptual-hash Hamming distance ≤
+   * `maxDist` (default 3): decode → dHash → banded candidate join → exact
+   * `bit_count` filter. Candidates come from an equi-join on (band, chunk),
+   * never all-pairs — at corpus scale the shuffle carries (media_id, phash,
+   * band, chunk) rows, and only hash-colliding bucket members ever meet.
+   * Brightness-shifted and losslessly re-encoded copies land at distance 0;
+   * genuinely different images disagree in every band and never pair.
+   */
+  def imageNearDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunked = phashBands(imageHashes(media))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .dropDuplicates("media_a", "media_b")
+      .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
   /** Byte-balanced repartitioning ahead of decode: range-partition on a
     * size-bucketed key so a few huge payloads don't skew one task. */
   def repartitionBySize(media: DataFrame, partitions: Int): DataFrame =

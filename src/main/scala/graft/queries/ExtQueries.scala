@@ -1141,6 +1141,133 @@ object ExtQueries {
              |) AS t(media_id, frame_idx, width, height, mean_luma)
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // X5: image NEAR-DUP — perceptual hash (dHash over the decoded 8×8
+    // thumbnail) + Hamming-banded candidate join, the LAION-style image
+    // dedup modality. Fixtures are 8×8 GRAYSCALE images (gray luma = pixel
+    // value exactly; one pixel per thumbnail cell), so every dHash is
+    // closed-form from the ±10 gradient pattern: A = alternating-row
+    // 0x55/0x2A bits = 24019198012642645; the brightness-shifted BMP
+    // re-encode of A hashes identically; C flips bits 0 and 14 (distance
+    // 2); D is A's complement (distance 56, never a candidate). The oracle
+    // pins the four closed-form hashes and REPLAYS banding → candidate
+    // pairs → exact Hamming in SQL.
+    Q("x5_image_neardup",
+      (s, _) => {
+        import s.implicits._
+        // 8×8 grayscale gradient image: row r starts at `base`, then steps
+        // ±10 left-to-right by bit c of rowBits(r) (bit set = brighter).
+        def img(rowBits: Seq[Int], base: Int, fmt: String): Array[Byte] = {
+          val bi = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (r <- 0 until 8) {
+            var v = base
+            bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+            for (c <- 0 until 7) {
+              v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
+              bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+            }
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(bi, fmt, bos)
+          bos.toByteArray
+        }
+        val bitsA = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+        val bitsC = Seq(0x54, 0x2A, 0x54, 0x2A, 0x55, 0x2A, 0x55, 0x2A) // flips bits 0, 14
+        val bitsD = bitsA.map(_ ^ 0x7f) // complement: distance 56
+        val media = Seq(
+          (1L, img(bitsA, 100, "png")),
+          (2L, img(bitsA, 140, "bmp")), // +40 brightness, re-encoded: same hash
+          (3L, img(bitsC, 100, "png")),
+          (4L, img(bitsD, 100, "png"))).toDF("media_id", "content")
+        MultimodalOps.imageNearDupPairs(media, maxDist = 3)
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), CAST(24019198012642645 AS BIGINT)),
+             |    (2, 24019198012642645),
+             |    (3, 24019198012626260),
+             |    (4, 48038396025285290)) AS t(media_id, phash)),
+             |ch AS (SELECT media_id, phash, c AS band,
+             |         (phash >> CAST(c * 14 AS INTEGER)) & 16383 AS chunk
+             |       FROM h, range(4) r(c)),
+             |p AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+             |        a.phash AS pa, b.phash AS pb
+             |      FROM ch a JOIN ch b ON a.band = b.band AND a.chunk = b.chunk
+             |        AND a.media_id < b.media_id)
+             |SELECT media_a, media_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+             |FROM p WHERE bit_count(xor(pa, pb)) <= 3
+             |ORDER BY media_a, media_b""".stripMargin)),
+
+    // X5: INCREMENTAL image dedup — the persistent Hamming-banded perceptual
+    // index (ImageDedupIndex) as an engine table: batch 0 seeds two distinct
+    // images; batch 1 brings a brightness-shifted re-encode of image 1
+    // (corpus dup, distance 0), a 2-bit-flipped variant (corpus NEAR-dup,
+    // distance 2), a fresh image, its in-batch brightness copy, and a
+    // non-image payload (kept, hashless). Output = batch-1 kept ids. All
+    // hashes are closed-form from the 8×8 gray gradients (pinned literals),
+    // so DuckDB replays banding → corpus filter → in-batch rule exactly,
+    // including the two replay-fenced table commits it rides on.
+    Q("x5_image_index",
+      (s, _) => {
+        import s.implicits._
+        def img(rowBits: Seq[Int], base: Int, fmt: String): Array[Byte] = {
+          val bi = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (r <- 0 until 8) {
+            var v = base
+            bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+            for (c <- 0 until 7) {
+              v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
+              bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+            }
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(bi, fmt, bos)
+          bos.toByteArray
+        }
+        val bitsA = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+        val bitsC = Seq(0x54, 0x2A, 0x54, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+        val bitsD = bitsA.map(_ ^ 0x7f)
+        val bitsE = Seq.fill(8)(0x33)
+        val b0 = Seq((1L, img(bitsA, 100, "png")), (4L, img(bitsD, 100, "png")))
+          .toDF("media_id", "content")
+        val b1 = Seq(
+          (11L, img(bitsA, 140, "bmp")), // corpus dup of 1 (distance 0)
+          (13L, img(bitsC, 100, "png")), // corpus near-dup of 1 (distance 2)
+          (15L, img(bitsE, 100, "png")), // fresh
+          (16L, img(bitsE, 120, "png")), // in-batch dup of 15
+          (17L, "not an image".getBytes)) // hashless: kept
+          .toDF("media_id", "content")
+        val root = java.nio.file.Files.createTempDirectory("graft_img_idx").toString + "/idx"
+        val index = graft.ops.ImageDedupIndex.create(s, root)
+        graft.ops.ImageDedupIndex.appendBatch(index, b0, 0)
+        graft.ops.ImageDedupIndex.appendBatch(index, b1, 1)
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), 0, CAST(24019198012642645 AS BIGINT)),
+             |    (4, 0, 48038396025285290),
+             |    (11, 1, 24019198012642645),
+             |    (13, 1, 24019198012626260),
+             |    (15, 1, 28936514141215155),
+             |    (16, 1, 28936514141215155)) AS t(media_id, batch, phash)),
+             |ch AS (SELECT media_id, batch, phash, c AS band,
+             |         (phash >> CAST(c * 14 AS INTEGER)) & 16383 AS chunk
+             |       FROM h, range(4) r(c)),
+             |cdup AS (SELECT DISTINCT b.media_id FROM ch b JOIN ch i
+             |         ON b.batch = 1 AND i.batch = 0 AND b.band = i.band
+             |           AND b.chunk = i.chunk
+             |           AND bit_count(xor(b.phash, i.phash)) <= 3),
+             |cand AS (SELECT * FROM ch WHERE batch = 1
+             |         AND media_id NOT IN (SELECT media_id FROM cdup)),
+             |bdup AS (SELECT DISTINCT a.media_id FROM cand a JOIN cand b
+             |         ON a.band = b.band AND a.chunk = b.chunk
+             |           AND b.media_id < a.media_id
+             |           AND bit_count(xor(a.phash, b.phash)) <= 3)
+             |SELECT media_id FROM (
+             |  SELECT DISTINCT media_id FROM cand
+             |  WHERE media_id NOT IN (SELECT media_id FROM bdup)
+             |  UNION ALL SELECT CAST(17 AS BIGINT)
+             |) ORDER BY media_id""".stripMargin)),
+
     // X4: BPE-ish token counting — letter runs, single digits, single
     // punctuation (the GPT-2-style pre-tokenizer shape); identical regex
     // semantics in Java and RE2 for this class-only pattern.

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.ImageDedupIndex
+
+/** Persistent image near-dup index ([[graft.ops.ImageDedupIndex]]): the
+  * Hamming-banded perceptual-hash composition of the image codec with the
+  * replay-fenced DedupIndex lifecycle. */
+class ImageDedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 8×8 grayscale gradient image whose dHash is `codeword` replicated
+    * across all 8 rows (gray luma = pixel value; one pixel per thumbnail
+    * cell): two images with different 7-bit codewords sit at Hamming
+    * distance 8·ham7 ≥ 8, far outside maxDist=3; a brightness shift
+    * (`base`) never moves a bit. */
+  private def gradImage(codeword: Int, base: Int = 100,
+      fmt: String = "png"): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until 8) {
+      var v = base
+      bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+      for (c <- 0 until 7) {
+        v += (if (((codeword >> c) & 1) == 1) 10 else -10)
+        bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("appendBatch: corpus dup dropped, replay fence, in-batch dup, non-image kept") {
+    val index = ImageDedupIndex.create(spark, tmpDir("img-index") + "/idx")
+    // batch 0: two distinct images
+    val b0 = Seq((1L, gradImage(0x55)), (2L, gradImage(0x2A)))
+      .toDF("media_id", "content")
+    assert(ImageDedupIndex.appendBatch(index, b0, 0)
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    assert(index.scan().count() === 8L) // 2 images × 4 bands
+    // batch 1: a brightness-shifted BMP re-encode of image 1 (corpus dup,
+    // distance 0) + a fresh image
+    val b1 = Seq((11L, gradImage(0x55, base = 140, fmt = "bmp")),
+        (12L, gradImage(0x33)))
+      .toDF("media_id", "content")
+    assert(ImageDedupIndex.appendBatch(index, b1, 1)
+      .as[Long].collect().toSeq === Seq(12L))
+    val rowsAfter = index.scan().count()
+    assert(rowsAfter === 12L)
+    // replayed batch: fence no-ops the append AND the kept set recomputes
+    // identically (self-matches excluded from the corpus filter)
+    assert(ImageDedupIndex.appendBatch(index, b1, 1)
+      .as[Long].collect().toSeq === Seq(12L))
+    assert(index.scan().count() === rowsAfter, "replay must not grow the index")
+    // in-batch dups: two copies of a fresh image in one batch -> smaller id
+    // wins; a non-image payload has no hash and is kept bandless
+    val b2 = Seq((20L, gradImage(0x66)), (21L, gradImage(0x66, base = 120)),
+        (22L, "definitely not an image".getBytes))
+      .toDF("media_id", "content")
+    assert(ImageDedupIndex.appendBatch(index, b2, 2)
+      .as[Long].collect().toSeq.sorted === Seq(20L, 22L))
+  }
+
+  test("lifecycle: compaction cadence bounds files, flat appendBatch, batch-0 dup still caught") {
+    val index = ImageDedupIndex.create(spark, tmpDir("img-index-life") + "/idx")
+    // 20 ingest batches: one fresh image (distinct codeword per batch, so
+    // pairwise Hamming ≥ 8) plus one brightness-shifted re-encode of batch
+    // 0's image — the dup must KEEP dropping after any number of
+    // compactions (maintenance preserves index content)
+    def batchDf(b: Int) = Seq(
+      (100L * b + 1, gradImage(b + 1)),
+      (100L * b + 2, gradImage(1, base = 130, fmt = "bmp")))
+      .toDF("media_id", "content")
+    assert(ImageDedupIndex.appendBatch(index, batchDf(0), 0, compactEvery = 4)
+      .as[Long].collect().toSeq === Seq(1L))  // in-batch: 2 is 1's dup
+    val times = (1 to 19).map { b =>
+      val t0 = System.nanoTime()
+      val kept = ImageDedupIndex.appendBatch(index, batchDf(b), b, compactEvery = 4)
+        .as[Long].collect().toSeq
+      assert(kept === Seq(100L * b + 1),
+        s"batch $b: fresh image kept, batch-0 dup dropped (post-compaction) — got $kept")
+      (System.nanoTime() - t0) / 1e9
+    }
+    // content: one row set per kept image — 20 fresh images × 4 bands
+    assert(index.scan().select("media_id").distinct().count() === 20L)
+    // file count bounded by the compaction interval, not total batch count
+    val nFiles = graft.table.TransactionalTable.open(spark, index.root)
+      .snapshot.files.length
+    assert(nFiles <= 8, s"compaction cadence must bound the file count, got $nFiles")
+    // flatness: per-batch wall time must not grow with batch count
+    val first = times.slice(0, 5).sum / 5
+    val last = times.slice(14, 19).sum / 5
+    assert(last <= first * 3.0,
+      f"appendBatch wall time grew: first5=$first%.2fs last5=$last%.2fs")
+  }
+}

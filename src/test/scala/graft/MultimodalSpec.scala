@@ -210,4 +210,70 @@ class MultimodalSpec extends SparkSpec {
       .select($"frame_idx", $"mean_luma").as[(Long, Double)].collect().sortBy(_._1)
     assert(fs.toSeq === Seq((0L, 18.0), (2L, 28.0), (4L, 149.0)))
   }
+
+  // ---- image near-dup: perceptual hash + Hamming-banded pairing ----
+
+  /** Deterministic "natural" color image: pixel (x,y) channels follow a
+    * smooth pattern with values in [40, 208] (shift-safe, no clamping). */
+  private def patternImage(w: Int, h: Int, shift: Int, fmt: String,
+      variant: Int = 0): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + ((x * 7 + y * 3 + variant * 11) % 160) + shift
+      val g = 40 + ((x * 2 + y * 13 + variant * 29) % 160) + shift
+      val b = 40 + ((x * 5 + y * 5 + variant * 47) % 160) + shift
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("dHash: closed-form value on 8x8 grayscale gradient; brightness/re-encode invariant") {
+    import graft.ops.ImageCodec
+    // 8×8 gray gradient: row r starts at base, steps ±10 by bit c of rowBits(r).
+    // Gray pixel v has luma exactly v, and each thumbnail cell is one pixel,
+    // so the dHash is the rowBits pattern verbatim.
+    def gray(rowBits: Seq[Int], base: Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (r <- 0 until 8) {
+        var v = base
+        bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+        for (c <- 0 until 7) {
+          v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
+          bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, bos)
+      bos.toByteArray
+    }
+    val bitsA = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+    val expected = bitsA.zipWithIndex.map { case (b, r) => b.toLong << (7 * r) }.sum
+    assert(expected === 24019198012642645L) // the oracle's pinned literal
+    val hA = ImageCodec.dHash(ImageCodec.decode(gray(bitsA, 100, "png")).get.thumb)
+    assert(hA === expected)
+    // brightness shift and lossless re-encode leave every bit unchanged
+    val hShift = ImageCodec.dHash(ImageCodec.decode(gray(bitsA, 140, "bmp")).get.thumb)
+    assert(hShift === hA)
+  }
+
+  test("imageNearDupPairs: re-encoded + brightness-shifted copies found, distinct images not") {
+    val media = Seq(
+      (1L, patternImage(64, 48, 0, "png")),          // original
+      (2L, patternImage(64, 48, 0, "bmp")),          // lossless re-encode
+      (3L, patternImage(64, 48, 20, "png")),         // +20 brightness
+      (4L, patternImage(64, 48, 0, "png", variant = 3)), // genuinely different
+      (5L, "not an image".getBytes)                  // non-image: dropped
+    ).toDF("media_id", "content")
+    val pairs = MultimodalOps.imageNearDupPairs(media, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // luma shifts by exactly the brightness delta ((S + 256δ)>>8 = (S>>8)+δ),
+    // so copies 2 and 3 hash identically to 1: all three pair at distance 0
+    assert(pairs === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+    // the distinct image pairs with nothing
+    assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
+  }
 }
