@@ -10,8 +10,10 @@ import graft.ops.TextOps
   * the classifier hash rule, in both the Spark predicates and the SQL
   * constants the oracles interpolate, so a rule tweak can never leave the
   * capstone silently applying stale thresholds (each query's own oracle
-  * would drift with it and keep matching). */
-private[queries] object FunnelRules {
+  * would drift with it and keep matching). Public: the streaming
+  * corpus-build ([[graft.stream.CorpusPipeline]] call sites and specs)
+  * cleans with the same rules. */
+object FunnelRules {
   val MinTokens = 20L
   val MaxTokens = 2000L
   val MinCharsPerToken = 2L

@@ -440,6 +440,88 @@ object PipelineQueries {
              |      < 0.5 * 1152921504606846976.0""".stripMargin),
       headline = true),
 
+    // STREAMING CORPUS BUILD (the production ingest posture): a document
+    // stream — fixture documents split into two JSON-lines drops, even ids
+    // then odd ids — drives funnel cleaning → persistent-DedupIndex dedup →
+    // replay-fenced merges into a corpus ENGINE TABLE per micro-batch
+    // (CorpusPipeline inside foreachBatch; the second drop resumes from the
+    // checkpoint, so the query itself exercises restart). Every rule is
+    // md5-derived, so DuckDB replays funnel thresholds, sketches, banding,
+    // and both batch dedup rules bit-for-bit — the streamed end state must
+    // equal the batch pipeline over the same documents.
+    Q("cdc_corpus_stream",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val in = Files.createTempDirectory("graft_corpus_in").toString
+        val ckpt = Files.createTempDirectory("graft_corpus_ckpt").toString
+        val index = graft.ops.DedupIndex.create(s,
+          Files.createTempDirectory("graft_corpus_idx").toString + "/idx")
+        val corpus = graft.table.TransactionalTable.create(s,
+          Files.createTempDirectory("graft_corpus_tbl").toString + "/corpus",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, text STRING, lang STRING, source STRING"), "doc_id")
+        // one JSON-lines file per micro-batch, written distributed then moved
+        def drop(cond: org.apache.spark.sql.Column, name: String): Unit = {
+          val stage = Files.createTempDirectory("graft_corpus_stage").toString + "/s"
+          docs.filter(cond)
+            .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+              col("source"))))
+            .coalesce(1).write.text(stage)
+          val part = graft.util.Fs.listSeq(Paths.get(stage))
+            .find(_.getFileName.toString.startsWith("part-")).get
+          Files.move(part, Paths.get(in, name))
+        }
+        def runOnce(): Unit = {
+          val q = graft.stream.CorpusPipeline.run(s, in, ckpt, index, corpus,
+            FunnelRules.keep)
+          q.awaitTermination()
+        }
+        drop(col("doc_id") % 2 === 0, "b0.json"); runOnce()
+        drop(col("doc_id") % 2 === 1, "b1.json"); runOnce()
+        corpus.scan().select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, lang, source, $DuckToks AS w FROM documents),
+             |st AS (SELECT doc_id, len(w) AS n,
+             |         coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS chars
+             |       FROM t0),
+             |tm AS (SELECT doc_id, unnest(w) AS term FROM t0),
+             |tc AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY 1, 2),
+             |cls AS (SELECT doc_id,
+             |          SUM((CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % ${FunnelRules.ClassifierMod} - ${FunnelRules.ClassifierShift}) * tf) AS wsum
+             |        FROM tc GROUP BY doc_id),
+             |cln AS (SELECT t0.doc_id, t0.lang, t0.source, t0.w
+             |        FROM t0 JOIN st USING (doc_id) LEFT JOIN cls USING (doc_id)
+             |        WHERE st.n >= ${FunnelRules.MinTokens} AND st.n <= ${FunnelRules.MaxTokens}
+             |          AND st.chars >= st.n * ${FunnelRules.MinCharsPerToken} AND st.chars <= st.n * ${FunnelRules.MaxCharsPerToken}
+             |          AND coalesce(cls.wsum, 0) >= 0),
+             |th AS (SELECT doc_id, CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+             |       FROM (SELECT doc_id, unnest(w) AS t FROM cln) u),
+             |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |         FROM th, range(60) r(b) GROUP BY doc_id, b),
+             |sk AS (SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+             |       FROM bits GROUP BY doc_id),
+             |ch AS (SELECT doc_id, c AS band, (simhash >> CAST(c * 15 AS INTEGER)) & 32767 AS chunk
+             |       FROM sk, range(4) r(c)),
+             |e AS (SELECT * FROM ch WHERE doc_id % 2 = 0),
+             |o AS (SELECT * FROM ch WHERE doc_id % 2 = 1),
+             |e_dup AS (SELECT DISTINCT a.doc_id FROM e a
+             |          JOIN e b ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id < a.doc_id),
+             |e_kept AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM e_dup)),
+             |o_cdup AS (SELECT DISTINCT a.doc_id FROM o a
+             |           JOIN e_kept i ON i.band = a.band AND i.chunk = a.chunk),
+             |cand AS (SELECT * FROM o WHERE doc_id NOT IN (SELECT doc_id FROM o_cdup)),
+             |o_bdup AS (SELECT DISTINCT a.doc_id FROM cand a
+             |           JOIN cand b ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id < a.doc_id),
+             |kept AS (SELECT DISTINCT doc_id FROM e_kept
+             |         UNION
+             |         SELECT doc_id FROM (SELECT DISTINCT doc_id FROM cand)
+             |         WHERE doc_id NOT IN (SELECT doc_id FROM o_bdup))
+             |SELECT c.doc_id, c.lang, c.source FROM cln c JOIN kept USING (doc_id)
+             |ORDER BY c.doc_id""".stripMargin),
+      headline = true, streaming = true),
+
     // X4: COUNT-MIN SKETCH heavy hitters — the fixed-size frequency summary
     // (depth x width, bounded regardless of corpus) with the one-sided
     // est >= true guarantee; md5-derived buckets so the oracle replays the

@@ -1,0 +1,75 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.DedupIndex
+import graft.table.TransactionalTable
+
+/**
+ * Streaming corpus build — the PRODUCTION ingest posture the persistent
+ * dedup index was built for, and the streaming twin of the batch
+ * `x4_corpus_build` capstone: an incoming document stream drives, per
+ * micro-batch,
+ *
+ *   1. funnel CLEANING (a caller-supplied keep predicate — the
+ *      [[graft.queries.FunnelRules.keep]] rules at the query surface),
+ *   2. incremental NEAR-DUP dedup against the persistent
+ *      [[DedupIndex]] (banded corpus filter + in-batch rule, survivors'
+ *      bands appended in a replay-fenced commit),
+ *   3. a replay-fenced MERGE of the kept documents into the corpus
+ *      engine table.
+ *
+ * Exactly-once under restart: steps 2 and 3 are both fenced on the
+ * micro-batch id — a crashed/re-delivered epoch recomputes the identical
+ * kept set (the index's corpus filter excludes self-matches) and both
+ * commits no-op, so the corpus end state is independent of how many times
+ * an epoch is delivered. Per-batch cost is O(batch ⋈ index) on spread
+ * (band, chunk) keys plus one merge of the kept rows — never a function of
+ * corpus size, the shape that holds at 100 TB.
+ */
+object CorpusPipeline {
+
+  /**
+   * One micro-batch: clean → dedup-against-index → fenced corpus commit.
+   * Safe to call from `foreachBatch` (and replay-safe when called again
+   * with the same `batchId`). Returns the kept doc ids (deterministic,
+   * already materialized by the index append).
+   */
+  def processBatch(index: TransactionalTable, corpus: TransactionalTable,
+      docs: DataFrame, batchId: Long, clean: Column,
+      compactEvery: Int = 0): DataFrame =
+    graft.util.BatchStats.timed("corpus_stream_batch") {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val cleaned = docs.filter(clean)
+      val kept = DedupIndex.appendBatch(index, cleaned, batchId,
+        compactEvery = compactEvery)
+      val rows = cleaned.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      corpus.merge(rows, spark.emptyDataset[Long].toDF("doc_id"), batchId)
+      kept
+    }
+
+  /**
+   * The checkpointed stream: JSON-lines documents landing in `inputDir` →
+   * [[processBatch]] per micro-batch. Restarting with the same checkpoint
+   * resumes at the first unprocessed file; a re-delivered epoch is fenced
+   * to a no-op on both tables.
+   */
+  def run(spark: SparkSession, inputDir: String, checkpointDir: String,
+      index: TransactionalTable, corpus: TransactionalTable, clean: Column,
+      schemaDdl: String = "doc_id LONG, text STRING, lang STRING, source STRING",
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schemaDdl)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        processBatch(index, corpus, df, bid, clean, compactEvery); ()
+      }
+      .trigger(trigger)
+      .start()
+}
