@@ -1892,6 +1892,76 @@ object ReplayQueries {
            |) AS t(event, total, n) ORDER BY event""".stripMargin
       }),
 
+    // MV rewrite JOIN-CONTAINMENT tier (the remaining classic
+    // Calcite/Oracle tier after exact / roll-up / filter-subsumption): a
+    // query joining the fact to a dimension a ROW-PRESERVING MV already
+    // joined — here aggregating over that join — is served by aggregating
+    // MV STORAGE (sound for every aggregate: storage rows are the join's
+    // rows 1:1). Near-miss (different join key) and staleness both fall
+    // through to the source, plan-asserted.
+    Q("cdc_sql_mv_rewrite_join",
+      (s, _) => {
+        val cat = s"graft_mj${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mj").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        val dsch = org.apache.spark.sql.types.StructType.fromDDL(
+          "device STRING, class STRING")
+        val dim = TransactionalTable.create(s, s"$warehouse/db/devices", dsch,
+          "device", None)
+        import s.implicits._
+        dim.append(Seq(("tablet", "handheld"), ("mobile", "handheld"),
+          ("pc", "desktop")).toDF("device", "class"))
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.joined AS " +
+          s"SELECT f.trans_id, f.event, f.amount, d.class " +
+          s"FROM $cat.db.retail f JOIN $cat.db.devices d ON f.device = d.device")
+        val q = s"SELECT d.class, SUM(f.amount) AS total, COUNT(*) AS n " +
+          s"FROM $cat.db.retail f JOIN $cat.db.devices d ON f.device = d.device " +
+          s"GROUP BY d.class"
+        try {
+          s.conf.set(graft.sql.GraftMvRewriteRule.ConfKey, s"$cat.db.joined")
+          // join-containment: ONLY MV storage is scanned — neither source
+          // relation appears in the plan, and no Join remains
+          val accelPlan = s.sql(q).queryExecution.optimizedPlan.toString
+          require(!accelPlan.contains("db.retail") && !accelPlan.contains("db.devices"),
+            "aggregate over the MV's stored join must read MV storage only")
+          require(!accelPlan.contains("Join"),
+            "the join itself must vanish from the accelerated plan")
+          // near-miss: a DIFFERENT join key must fall through to the source
+          val miss = s.sql(s"SELECT d.class, SUM(f.amount) AS total " +
+            s"FROM $cat.db.retail f JOIN $cat.db.devices d ON f.sku = d.device " +
+            s"GROUP BY d.class")
+          require(miss.queryExecution.optimizedPlan.toString.contains("db.retail"),
+            "a different join key must not be claimed by the MV")
+          // staleness: a fact commit reverts the SAME query to the source
+          s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+            "(500, 'c500', 'visit', 'SKU500', 555, 'pc', NULL)")
+          require(s.sql(q).queryExecution.optimizedPlan.toString.contains("db.retail"),
+            "stale MV must not serve the join query")
+          s.sql(q).orderBy("class")
+        } finally s.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
+      },
+      Some {
+        val classOf = Map("tablet" -> "handheld", "mobile" -> "handheld",
+          "pc" -> "desktop")
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (_, _, _, _, amt, dev, _) => (classOf(dev), amt) } :+
+          (("desktop", 555)))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (cls, rs) =>
+            s"('$cls', CAST(${rs.map(_._2.toLong).sum} AS BIGINT), CAST(${rs.size} AS BIGINT))"
+          }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(class, total, n) ORDER BY class""".stripMargin
+      }),
+
     // Partition-scoped compaction (E89): bin-pack ONE partition's files,
     // carry the rest by reference — table contents must be bit-identical.
     Q("cdc_compact_partitions_state",

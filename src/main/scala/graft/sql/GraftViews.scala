@@ -1479,9 +1479,15 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case None => p match {
             // ROLL-UP tier: a coarser GROUP BY over the same input (modulo
             // a narrower WHERE — the filter-subsumption extension) re-
-            // aggregates the MV instead of the source
+            // aggregates the MV instead of the source. When no aggregate MV
+            // matches, the JOIN-CONTAINMENT tier tries row-preserving MVs:
+            // a query aggregating the very rows an MV stores 1:1 (its
+            // joined/filtered core) aggregates MV STORAGE instead of
+            // recomputing the join.
             case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-              candidates.view.flatMap(c => rollup(agg, c)).headOption.getOrElse(p)
+              candidates.view.flatMap(c => rollup(agg, c)).headOption
+                .orElse(candidates.view.flatMap(c => aggOverRows(agg, c)).headOption)
+                .getOrElse(p)
             // FILTER-SUBSUMPTION tier (row-preserving): a query whose WHERE
             // strictly narrows the MV's WHERE scans the MV + residual filter
             case _: Filter | _: Project =>
@@ -1525,9 +1531,12 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (qOuts, qConds, qCore) = p match {
       case Project(pr, Filter(cond, core)) => (pr, splitConj(cond), core)
       case Filter(cond, core) => (core.output, splitConj(cond), core)
+      // bare narrower projection (no WHERE): the join-containment shape —
+      // e.g. a column subset of the MV's stored join. Containment then
+      // requires an UNFILTERED MV (its conjunct set must be ⊆ ∅ below).
+      case Project(pr, core) => (pr, Nil, core)
       case _ => return None
     }
-    if (qConds.isEmpty) return None
     // MV side: same shapes; an UNFILTERED projection MV subsumes any WHERE
     val (mOuts: Seq[NamedExpression], mConds, mCore) = c.defPlan match {
       case Project(pr, Filter(cond, core)) => (pr, splitConj(cond), core)
@@ -1574,6 +1583,68 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (residual2.isEmpty) storagePlan
       else Filter(residual2.map(_.get).reduce(And), storagePlan)
     Some(Project(outputs2.map(_.get), filtered))
+  }
+
+  /**
+   * JOIN-CONTAINMENT tier (the remaining classic Calcite/Oracle rewrite
+   * after exact / roll-up / filter-subsumption): a query AGGREGATING the
+   * rows a ROW-PRESERVING MV stores 1:1 — typically the MV's join of a
+   * fact to its dimensions, optionally narrowed by a subsumed WHERE — is
+   * answered by running the SAME aggregation over MV storage (+ the
+   * residual filter). Sound for EVERY aggregate (AVG, DISTINCT included):
+   * the MV is row-preserving, so storage rows ARE the core's rows passing
+   * the MV WHERE, and the residual re-derives the narrower set — nothing
+   * is pre-aggregated. Requirements: canonically identical cores, MV
+   * conjuncts ⊆ query conjuncts, and every grouping / aggregate-input /
+   * residual expression expressible over columns the MV exposes.
+   */
+  private def aggOverRows(q: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      c: Candidate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // MV must be row-preserving (an aggregate MV is rollup's business)
+    val (mOuts: Seq[NamedExpression], mConds, mCore) = c.defPlan match {
+      case Project(pr, Filter(cond, core)) => (pr, splitConj(cond), core)
+      case Filter(cond, core) => (core.output, splitConj(cond), core)
+      case Project(pr, core) => (pr, Nil, core)
+      case _ => return None
+    }
+    val (qConds, qCore) = splitFilter(q.child)
+    if (qCore.canonicalized != mCore.canonicalized) return None
+    val q2m: Map[ExprId, Attribute] =
+      qCore.output.zip(mCore.output).map { case (a, b) => a.exprId -> b }.toMap
+    def rebase(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference => q2m.getOrElse(a.exprId, a)
+    }
+    val rebasedQ = qConds.map(rebase)
+    if (!mConds.forall(mc => rebasedQ.exists(_.semanticEquals(mc)))) return None
+    val residual = rebasedQ.filterNot(qc => mConds.exists(qc.semanticEquals))
+    val storagePlan = c.storageScan().queryExecution.analyzed
+    val mOut: Seq[(Expression, Attribute)] =
+      mOuts.zip(storagePlan.output).map { case (mo, attr) =>
+        (mo match { case Alias(x, _) => x; case x => x }, attr) }
+    def overStorage(e: Expression): Option[Expression] = {
+      val rewritten = e.transformDown {
+        case sub if mOut.exists(_._1.semanticEquals(sub)) =>
+          mOut.find(_._1.semanticEquals(sub)).get._2
+      }
+      if (rewritten.references.subsetOf(AttributeSet(storagePlan.output)))
+        Some(rewritten)
+      else None
+    }
+    val residual2 = residual.map(overStorage)
+    if (residual2.exists(_.isEmpty)) return None
+    val groups2 = q.groupingExpressions.map(g => overStorage(rebase(g)))
+    if (groups2.exists(_.isEmpty)) return None
+    val aggs2: Seq[Option[NamedExpression]] = q.aggregateExpressions.map { ne =>
+      overStorage(rebase(ne match { case Alias(x, _) => x; case x => x }))
+        .map(e2 => Alias(e2, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier))
+    }
+    if (aggs2.exists(_.isEmpty)) return None
+    val source =
+      if (residual2.isEmpty) storagePlan
+      else Filter(residual2.map(_.get).reduce(And), storagePlan)
+    Some(org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+      groups2.map(_.get), aggs2.map(_.get), source))
   }
 
   /**

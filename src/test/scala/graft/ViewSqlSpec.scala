@@ -596,6 +596,72 @@ class ViewSqlSpec extends SparkSpec {
     } finally spark.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
   }
 
+  test("MV rewrite join-containment: aggregates over the MV's stored join read storage") {
+    val cat = s"graft_jc${System.nanoTime()}"
+    val w = tmpDir("graft-jc-wh")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    Files.createDirectories(Paths.get(s"$w/db"))
+    TransactionalTable.create(spark, s"$w/db/f",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, k BIGINT, v BIGINT"),
+      "id", None)
+    TransactionalTable.create(spark, s"$w/db/d",
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, tag STRING"), "k", None)
+    spark.sql(s"INSERT INTO $cat.db.f VALUES (1,1,10),(2,1,20),(3,2,5)")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (1,'x'),(2,'y')")
+    // row-preserving MV storing the fact ⋈ dim join (k itself not exposed)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jmv AS " +
+      s"SELECT f.id, f.v, d.tag FROM $cat.db.f f JOIN $cat.db.d d ON f.k = d.k")
+    def srcScanned(sql: String): Boolean = {
+      val p = spark.sql(sql).queryExecution.optimizedPlan.toString
+      p.contains("db.f") || p.contains("db.d")
+    }
+    try {
+      spark.conf.set(graft.sql.GraftMvRewriteRule.ConfKey, s"$cat.db.jmv")
+      // the containment shape: aggregate over the same join → MV storage
+      val q1 = s"SELECT d.tag, SUM(f.v) AS sv FROM $cat.db.f f " +
+        s"JOIN $cat.db.d d ON f.k = d.k GROUP BY d.tag"
+      assert(!srcScanned(q1), "aggregate over the stored join must read MV storage")
+      assert(spark.sql(q1).as[(String, Long)].collect().sortBy(_._1).toSeq ===
+        Seq(("x", 30L), ("y", 5L)))
+      // row-preserving ⇒ EVERY aggregate is sound, AVG and DISTINCT included
+      // (the pre-aggregated roll-up tier must refuse these)
+      val q2 = s"SELECT d.tag, AVG(f.v) AS av, COUNT(DISTINCT f.v) AS nd " +
+        s"FROM $cat.db.f f JOIN $cat.db.d d ON f.k = d.k GROUP BY d.tag"
+      assert(!srcScanned(q2), "AVG/DISTINCT aggregate over stored rows must read MV storage")
+      assert(spark.sql(q2).as[(String, Double, Long)].collect().sortBy(_._1).toSeq ===
+        Seq(("x", 15.0, 2L), ("y", 5.0, 1L)))
+      // residual WHERE the query adds on an exposed column applies on top
+      val q3 = s"SELECT d.tag, SUM(f.v) AS sv FROM $cat.db.f f " +
+        s"JOIN $cat.db.d d ON f.k = d.k WHERE f.v >= 10 GROUP BY d.tag"
+      assert(!srcScanned(q3), "residual over the stored join must read MV storage")
+      assert(spark.sql(q3).as[(String, Long)].collect().toSeq === Seq(("x", 30L)))
+      // bare narrower projection of the join (no aggregate, no filter)
+      val q4 = s"SELECT f.id FROM $cat.db.f f JOIN $cat.db.d d ON f.k = d.k"
+      assert(!srcScanned(q4), "projection subset of the stored join must read MV storage")
+      assert(spark.sql(q4).as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+      // near-miss: a DIFFERENT join key is a different core → source
+      val q5 = s"SELECT d.tag, SUM(f.v) AS sv FROM $cat.db.f f " +
+        s"JOIN $cat.db.d d ON f.id = d.k GROUP BY d.tag"
+      assert(srcScanned(q5), "a different join key must not be claimed")
+      assert(spark.sql(q5).as[(String, Long)].collect().sortBy(_._1).toSeq ===
+        Seq(("x", 10L), ("y", 20L)))
+      // a column the MV does not expose (the join key) → source
+      val q6 = s"SELECT d.tag, SUM(f.k) AS sk FROM $cat.db.f f " +
+        s"JOIN $cat.db.d d ON f.k = d.k GROUP BY d.tag"
+      assert(srcScanned(q6), "aggregating an unexposed column must fall through")
+      // staleness: a fact commit reverts to the source until refresh
+      spark.sql(s"INSERT INTO $cat.db.f VALUES (4,2,40)")
+      assert(srcScanned(q1), "stale MV must not serve the join query")
+      assert(spark.sql(q1).as[(String, Long)].collect().sortBy(_._1).toSeq ===
+        Seq(("x", 30L), ("y", 45L)))
+      spark.sql(s"CALL $cat.system.refresh_mv('db.jmv')")
+      assert(!srcScanned(q1), "refreshed MV serves the join query again")
+      assert(spark.sql(q1).as[(String, Long)].collect().sortBy(_._1).toSeq ===
+        Seq(("x", 30L), ("y", 45L)))
+    } finally spark.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
+  }
+
   test("MV rewrite composes under HAVING: the filter stays, the aggregate reads the MV") {
     val (cat, _) = freshGrouped()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.hmv AS " +
