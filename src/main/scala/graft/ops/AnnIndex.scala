@@ -128,6 +128,107 @@ object AnnIndex {
   }
 
   /**
+   * MAINTENANCE under drift: cells grow unbalanced as the corpus drifts
+   * away from the seed batch's distribution (a hot region crowds into one
+   * cell and probe pruning degenerates). [[retrain]] re-trains the coarse
+   * quantizer on the CURRENT index contents — the same deterministic
+   * md5-stride seeding rule as [[create]] plus `iters` Lloyd refinement
+   * rounds (the [[SimilarityOps.ivfTopK]] recipe; quality is certified by
+   * recall bound, not bit-exact oracle, per the ivfRecall convention) —
+   * then republishes the index in two single-table commits that keep
+   * probes valid THROUGHOUT:
+   *
+   *  - [[reassignAll]] — every indexed vector upserts to its new cell in
+   *    ONE fenced merge, REUSING THE SAME CELL-ID SPACE (0..K−1);
+   *  - [[publishCentroids]] — the centroid table flips to the new vectors
+   *    (and grown/shrunk cell count) in one fenced merge.
+   *
+   * COMMIT ORDER is chosen so the live centroid cell set always COVERS
+   * every cell that holds rows: centroids first when the quantizer GROWS
+   * (rows stay inside the old prefix of the enlarged set), rows first when
+   * it SHRINKS (rows move into a prefix of the still-published set). A
+   * probe landing anywhere in the window therefore sees every vector
+   * reachable: an all-cell probe (nprobe ≥ cells) is EXACT at every point
+   * — identical before, during, and after maintenance — and a small-nprobe
+   * probe returns a valid approximate top-k of the full corpus (recall
+   * dips toward the un-refreshed geometry; nothing is missing or wrong).
+   *
+   * Both commits ride an independent "maintenance" writer fence so a
+   * crashed/re-run maintenance job is exactly-once and never fences out
+   * the ingest stream's own epoch sequence.
+   */
+  def retrain(h: Handle, cells: Int, fenceId: Long, iters: Int = 2): Seq[Seq[Double]] = {
+    val cent = trainFromIndex(h, cells, iters)
+    val kOld = h.centroids.countRows
+    if (cent.length > kOld) {
+      publishCentroids(h, cent, fenceId)
+      reassignAll(h, cent, fenceId)
+    } else {
+      reassignAll(h, cent, fenceId)
+      publishCentroids(h, cent, fenceId)
+    }
+    cent
+  }
+
+  /** Deterministic quantizer training over the current index contents:
+    * md5-stride seeding (the [[create]] rule) + `iters` Lloyd rounds
+    * (cells×dim driver collects, bounded by construction). */
+  private[graft] def trainFromIndex(h: Handle, cells: Int, iters: Int): Seq[Seq[Double]] = {
+    require(cells > 0, "cells must be positive")
+    val rows = h.assignments.scan().select(col("vec_id"), col("v"))
+    val n = rows.count()
+    require(n > 0, "retrain needs a non-empty index")
+    val stride = math.max(1L, n / cells)
+    var seeds = rows.filter(pmod(TextOps.md5Hash60(col("vec_id")), lit(stride)) === 0)
+      .orderBy("vec_id").limit(cells).select("v").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    if (seeds.isEmpty)
+      seeds = rows.orderBy("vec_id").limit(cells).select("v").collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+    var cent = seeds
+    (0 until iters).foreach { _ =>
+      val means = rows.withColumn("cell", cellOf(col("v"), cent))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect().groupBy(_.getLong(0).toInt)
+        .map { case (cell, rs) =>
+          cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cent = cent.indices.map(i => means.getOrElse(i, cent(i)))
+    }
+    cent
+  }
+
+  /** Maintenance step 1: move every indexed vector to its cell under `cent`
+    * in one fenced merge (same cell-id space — see [[retrain]] on why this
+    * keeps mid-maintenance probes valid). */
+  def reassignAll(h: Handle, cent: Seq[Seq[Double]], fenceId: Long): Unit = {
+    val spark = h.assignments.spark
+    import spark.implicits._
+    val rows = h.assignments.scan()
+      .withColumn("cell", cellOf(col("v"), cent))
+      .select("vec_id", "cell", "v")
+    h.assignments.merge(rows, spark.emptyDataset[Long].toDF("vec_id"), fenceId,
+      writerId = Some(MaintenanceWriter))
+  }
+
+  /** Maintenance step 2: publish the new centroids — upsert cells 0..K−1,
+    * delete any cells beyond K (a shrunk quantizer) — one fenced merge. */
+  def publishCentroids(h: Handle, cent: Seq[Seq[Double]], fenceId: Long): Unit = {
+    val spark = h.centroids.spark
+    import spark.implicits._
+    val dead = h.centroids.scan().select("cell").as[Long].collect()
+      .filter(_ >= cent.length).toSeq // cells × 1 — bounded
+    h.centroids.merge(
+      cent.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }.toDF("cell", "cv"),
+      dead.toDF("cell"), fenceId, writerId = Some(MaintenanceWriter))
+  }
+
+  /** Writer-fence domain for maintenance commits (independent of the ingest
+    * stream's epoch sequence). */
+  val MaintenanceWriter = "ann-maintenance"
+
+  /**
    * Approximate per-query top-k against the INDEX: each query probes its
    * `nprobe` nearest cells and scores exactly only within them. The scan is
    * partition-pruned at the manifest — only the probed cells' files are

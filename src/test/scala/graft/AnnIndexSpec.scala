@@ -102,6 +102,93 @@ class AnnIndexSpec extends SparkSpec {
       .orderBy("qid", "rnk").collect().toSeq === probed)
   }
 
+  test("drift maintenance: retrain rebalances, probes stay valid mid-window, recall certified") {
+    val root = tmpDir("ann-index-drift")
+    // seed region: axis-0 vectors, wobble confined to axes 1–3; drift
+    // region: axis-5 vectors, wobble confined to axes 6–7. Disjoint wobble
+    // axes make every drift vector's argmax over the SEED centroids
+    // identical (the differences live on axes where drift vectors carry
+    // only the constant base), so drift provably crowds ONE cell.
+    def vec(axis: Int, wobbleBase: Int, i: Long): Seq[Float] = {
+      val a = Array.fill(dim)(0.05)
+      a(axis) = 1.0f.toDouble
+      a(wobbleBase + (i % 2).toInt) += 0.01 * (i % 5)
+      a.map(_.toFloat).toSeq
+    }
+    val seed = (0L until 20L).map(i => (i, vec(0, 1, i))).toDF("vec_id", "embedding")
+    val h = AnnIndex.create(spark, root, seed, cells = 4)
+    AnnIndex.appendBatch(h, seed, batchId = 0)
+    // 10× growth, all of it in a region the frozen quantizer never saw
+    val driftRows = (1 to 10).flatMap { b =>
+      (0L until 20L).map(j => (1000L * b + j, vec(5, 6, 1000L * b + j)))
+    }
+    (1 to 10).foreach { b =>
+      AnnIndex.appendBatch(h,
+        driftRows.filter(_._1 / 1000L == b).toDF("vec_id", "embedding"), batchId = b)
+    }
+    val all = ((0L until 20L).map(i => (i, vec(0, 1, i))) ++ driftRows)
+      .toDF("vec_id", "embedding")
+    def maxCellFrac(): Double = {
+      val counts = h.assignments.scan().groupBy("cell").count()
+        .as[(Long, Long)].collect().map(_._2)
+      counts.max.toDouble / counts.sum
+    }
+    val before = maxCellFrac()
+    assert(before > 0.8, s"premise: drift must crowd one cell, got $before")
+    val queries = all.filter(col("vec_id").isin(2L, 7L, 1003L, 2011L, 5004L, 9013L))
+    // ---- maintenance, with probes INSIDE the window ----
+    val kOld = h.centroids.countRows.toInt
+    val cent = AnnIndex.trainFromIndex(h, cells = 4, iters = 2)
+    // the retrain commit-order invariant: an ALL-CELL probe is exact — and
+    // therefore identical — before, during, and after the window
+    val np = math.max(kOld, cent.length)
+    def allCellProbe(): Seq[org.apache.spark.sql.Row] =
+      AnnIndex.probe(h, queries, k = 5, nprobe = np)
+        .orderBy("qid", "rnk").collect().toSeq
+    val beforeAll = allCellProbe()
+    assert(beforeAll.size === 6 * 5)
+    // drive retrain's two commits manually (same order rule) to probe the window
+    val grow = cent.length > kOld
+    if (grow) AnnIndex.publishCentroids(h, cent, fenceId = 0)
+    else AnnIndex.reassignAll(h, cent, fenceId = 0)
+    assert(allCellProbe() === beforeAll,
+      "all-cell probe must be identical mid-maintenance (consistent snapshot)")
+    // a small-nprobe mid-window probe stays VALID: every neighbor is a real
+    // indexed vector with a well-formed rank (degraded recall — probed
+    // cells not yet populated — is allowed; phantom rows are not)
+    val midSmall = AnnIndex.probe(h, queries, k = 5, nprobe = 2).collect()
+    val indexed = h.assignments.scan().select("vec_id").as[Long].collect().toSet
+    assert(midSmall.nonEmpty && midSmall.length <= 6 * 5)
+    assert(midSmall.forall(r => indexed(r.getLong(1)) &&
+      r.getInt(2) >= 1 && r.getInt(2) <= 5))
+    if (grow) AnnIndex.reassignAll(h, cent, fenceId = 0)
+    else AnnIndex.publishCentroids(h, cent, fenceId = 0)
+    assert(allCellProbe() === beforeAll,
+      "all-cell probe must be identical after the maintenance window")
+    // ---- drift healed: balance restored, recall certified ----
+    val after = maxCellFrac()
+    assert(after < before && after <= 0.6,
+      s"retrain must rebalance cells: before=$before after=$after")
+    val approx = AnnIndex.probe(h, queries, k = 5, nprobe = 2)
+      .select("qid", "neighbor_id")
+    val exact = SimilarityOps.cosineTopK(all, queries, k = 5)
+      .select("qid", "neighbor_id")
+    val hit = approx.join(exact, Seq("qid", "neighbor_id"), "leftsemi").count()
+    val total = exact.count()
+    assert(hit >= (total * 0.6).toLong,
+      s"recall after 10x growth + maintenance too low: $hit / $total")
+    // ---- exactly-once maintenance; ingest fence independent ----
+    val (va, vc) = (h.assignments.currentVersion, h.centroids.currentVersion)
+    AnnIndex.reassignAll(h, cent, fenceId = 0)
+    AnnIndex.publishCentroids(h, cent, fenceId = 0)
+    assert(h.assignments.currentVersion === va &&
+      h.centroids.currentVersion === vc, "replayed maintenance must no-op")
+    AnnIndex.appendBatch(h,
+      Seq((99999L, vec(5, 6, 99999L))).toDF("vec_id", "embedding"), batchId = 11)
+    assert(h.assignments.countRows === 221L,
+      "maintenance must not fence out the ingest stream")
+  }
+
   test("recall certificate holds after incremental growth") {
     val root = tmpDir("ann-index-recall")
     val all = corpus(0 until 160)
