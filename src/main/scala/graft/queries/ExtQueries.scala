@@ -1281,6 +1281,43 @@ object ExtQueries {
              |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // X4: BPE merge LEARNING over a deterministic md5 sample (tokenizer
+    // training — the learning half of x4_bpe_token_count's fixed rule):
+    // word frequencies from a quarter of the docs, 4 greedy merge
+    // iterations (max summed pair frequency, lexicographic tie-break),
+    // vocabulary merge table as the result. Both engines apply a merge as
+    // a literal delimited-string replace (non-overlapping left-to-right =
+    // greedy BPE), so DuckDB replays the sample and every iteration
+    // exactly.
+    Q("x4_bpe_learn",
+      (s, d) => graft.ops.BpeOps.bpeLearn(Tables.load(s, d, "documents"),
+        merges = 4, sampleMod = 4),
+      Some(s"""WITH w AS (
+             |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+             |    SELECT regexp_replace(lower(t), '[^a-z]', '', 'g') AS w FROM (
+             |      SELECT unnest($DuckToks) AS t FROM documents
+             |      WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 = 0) u) v
+             |  WHERE len(w) >= 2 GROUP BY w),
+             |st0 AS (SELECT '<' || array_to_string(regexp_split_to_array(w, ''), '><') || '>' AS s, freq FROM w),
+             |${(1 to 4).map(i => s"""p$i AS (
+             |  SELECT pr.l, pr.r, CAST(SUM(st${i - 1}.freq) AS BIGINT) AS cnt
+             |  FROM st${i - 1},
+             |    LATERAL (SELECT string_split(regexp_replace(st${i - 1}.s, '^<|>$$', '', 'g'), '><') AS syms) sy,
+             |    LATERAL (SELECT unnest(list_transform(range(1, len(sy.syms)), j ->
+             |      struct_pack(l := sy.syms[CAST(j AS INTEGER)], r := sy.syms[CAST(j AS INTEGER) + 1]))) AS pr) pr
+             |  WHERE len(sy.syms) >= 2
+             |  GROUP BY pr.l, pr.r),
+             |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+             |st$i AS (SELECT replace(st${i - 1}.s, '<' || b$i.l || '><' || b$i.r || '>',
+             |                        '<' || b$i.l || b$i.r || '>') AS s, st${i - 1}.freq
+             |         FROM st${i - 1}, b$i)""").mkString(",\n")}
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS step, l AS "left", r AS "right", l || r AS merged, cnt AS pair_count FROM b1
+             |  UNION ALL SELECT 2, l, r, l || r, cnt FROM b2
+             |  UNION ALL SELECT 3, l, r, l || r, cnt FROM b3
+             |  UNION ALL SELECT 4, l, r, l || r, cnt FROM b4)
+             |ORDER BY step""".stripMargin)),
+
     // X6: typed JSON parse via from_json with an explicit schema (the
     // streaming-safe form — no inference), vs get_json_object's path probe.
     Q("x6_from_json_typed",

@@ -352,6 +352,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out(sampled) === Some(1L))
   }
 
+  test("bpeLearn: greedy merges with closed-form counts; ties break lexicographically") {
+    import graft.ops.BpeOps
+    // words: "aaab" ×2, "ab" ×1 (sampleMod = 1 ⇒ everything sampled)
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = BpeOps.bpeLearn(docs, merges = 3, sampleMod = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // iter 1: (a,a) 4 vs (a,b) 3 → merge aa (greedy: <a><a><a><b> → <aa><a><b>)
+    // iter 2: (aa,a) 2, (a,b) 3 → merge ab
+    // iter 3: (aa,ab) 2 → merge aaab
+    assert(got === Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)))
+    // lexicographic tie-break: "ba ca" — pairs (b,a) 1, (c,a) 1 → (b,a) wins
+    val tie = BpeOps.bpeLearn(Seq((1L, "ba ca")).toDF("doc_id", "text"),
+      merges = 1, sampleMod = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(tie === Seq((1L, "b", "a", "ba", 1L)))
+    // preprocessing: case folded, non-alpha stripped, 1-char words dropped
+    val prep = BpeOps.bpeLearn(Seq((1L, "AB a-b! c")).toDF("doc_id", "text"),
+      merges = 1, sampleMod = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(prep === Seq((1L, "a", "b", "ab", 2L)))
+  }
+
   test("upsampleEpochs copy counts equal the md5 model across random factor specs") {
     import graft.ops.{DedupOps, TextOps}
     import org.apache.spark.unsafe.types.UTF8String
