@@ -66,6 +66,26 @@ object Bench {
     // numbers measure the query, not first-touch initialization.
     Registry.headlines.headOption.foreach(q =>
       try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
+    // SELF-QUALIFICATION: a fixed floor probe — warm documents.count(),
+    // min of 3 — measures the local-mode scheduling floor of THIS run. The
+    // probe's plan never changes, so a floor above the documented band
+    // (default 0.25 s; SPARK_GRAFT_FLOOR_BAND overrides) proves the VM was
+    // contended during the run and the artifact flags itself
+    // `contended: true` — floor-dominated per-query regressions in such a
+    // run are environment, not plans (PERF.md's ±15–45 % band, measured
+    // in-band instead of asserted).
+    val floorBand = sys.env.getOrElse("SPARK_GRAFT_FLOOR_BAND", "0.25").toDouble
+    val floorSec = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.count() // warm footer/listing caches: the probe measures scheduling
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        docs.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val contended = floorSec > floorBand
+    val floorJson = s""","floor_sec":${math.rint(floorSec * 1000) / 1000},"floor_band":$floorBand,"contended":$contended"""
     // Streaming-tier freshness: the batch kernels record per-batch wall time
     // into BatchStats; collect it per query (across the min-of-N runs) and
     // publish p50/p95 — the number the ratio exclusion policy promises
@@ -128,7 +148,8 @@ object Bench {
     // (sec@30× / sec@1×  vs  copies) is a plan bug, not noise, at this size.
     val hiCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI_COPIES", "30").toInt
     val heavy = Seq("cdc_events_replay", "x2_dedup_index", "x2_dup_spans",
-      "x4_tfidf", "x7_q5_revenue_by_nation", "x2_line_dedup")
+      "x4_tfidf", "x7_q5_revenue_by_nation", "x2_line_dedup",
+      "x4_corpus_build", "x1_dedup_keep_best", "x3_ann_index")
     val baseSec = results.toMap
     var hiJson = ""
     var hiCompactJson = "" // factors-only twin, built alongside (never parsed back)
@@ -195,7 +216,7 @@ object Bench {
       else failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$errJson$scaledJson$hiJson$batchJson$oracleJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$floorJson$errJson$scaledJson$hiJson$batchJson$oracleJson}"""
     // The FULL artifact goes to disk (both paths committed / inspectable):
     // round 11 proved the driver's stdout tail capture is a 2000-char window,
     // and the full line (2.9k and growing ~100 chars per new headline) no
@@ -227,7 +248,7 @@ object Bench {
       if (scaledTotal.isNaN) ""
       else s""","scaled_total":${r3(scaledTotal)},"scaled_copies":$scaleCopies"""
     val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$errJson$compactScaled$hiCompactJson$batchJson$compactOracle,"full":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$floorJson$errJson$compactScaled$hiCompactJson$batchJson$compactOracle,"full":"BENCH_LAST.json"}"""
     if (compactLine.length >= 1950)
       System.err.println(s"WARNING: compact bench line ${compactLine.length} chars — " +
         "approaching the driver's 2000-char tail window; trim a block")

@@ -885,7 +885,11 @@ object ExtQueries {
              |       WHERE a.vec_id <> pr.qid)
              |SELECT qid, nid AS neighbor_id, rnk FROM (
              |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM sc) z
-             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+      // headline: the r13 verdict asks 30x coverage for the persistent ANN
+      // index; a fenced micro-batch pipeline -> streaming tier (native
+      // shuffle partitions, freshness-framed like x2_dedup_index)
+      headline = true, streaming = true),
 
     // X3: recall certificate for the LLOYD-REFINED IVF path (iters=3 — the
     // configuration the 100 TB plan actually runs; x3_ann_ivf_topk oracles

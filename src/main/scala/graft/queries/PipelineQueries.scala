@@ -263,7 +263,9 @@ object PipelineQueries {
              |SELECT c.doc_id, c.canonical_id, lg.logit,
              |  (row_number() OVER (PARTITION BY c.canonical_id ORDER BY lg.logit DESC, c.doc_id) = 1) AS kept
              |FROM comp c JOIN lg USING (doc_id)
-             |ORDER BY c.doc_id""".stripMargin)),
+             |ORDER BY c.doc_id""".stripMargin),
+      // headline: the r13 verdict asks 30x coverage for keep-best dedup
+      headline = true),
 
     // K-means assignment step: nearest (max-cosine) of k=8 fixed centroids
     // (the 8 lowest-vec_id embeddings — deterministic seeding, same rule as
