@@ -35,8 +35,20 @@ object BpeOps {
     * pair_count) in learned order — the vocabulary's merge table. */
   def bpeLearn(docs: DataFrame, merges: Int, sampleMod: Long = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(merges >= 1, "merges must be >= 1")
     val spark = docs.sparkSession
+    val learned = learnMerges(docs, merges, sampleMod, idCol, textCol)
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(learned).asJava),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "step BIGINT, left STRING, right STRING, merged STRING, pair_count BIGINT"))
+  }
+
+  /** The learning loop itself; the merge table is driver-local BY DESIGN
+    * (`merges` rows — the tokenizer vocabulary, never data-proportional). */
+  private def learnMerges(docs: DataFrame, merges: Int, sampleMod: Long,
+      idCol: String, textCol: String): Seq[Row] = {
+    require(merges >= 1, "merges must be >= 1")
     val words = docs
       .filter(pmod(TextOps.md5Hash60(col(idCol)), lit(sampleMod)) === 0)
       .select(explode(TextOps.tokens(lower(col(textCol)))).as("w0"))
@@ -69,10 +81,40 @@ object BpeOps {
         expr(s"replace(s, '<$l><$r>', '<$l$r>')"))
       Row(step.toLong, l, r, l + r, cnt)
     }
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(learned).asJava),
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "step BIGINT, left STRING, right STRING, merged STRING, pair_count BIGINT"))
+    learned
+  }
+
+  /** Apply learned merges to the FULL corpus — the encode half of the
+    * tokenizer loop (learn on a sample, tokenize everything): per doc, the
+    * preprocessed word stream (the exact preprocessing [[bpeLearn]] trains
+    * on) is folded through the learned replaces IN LEARNED ORDER and the
+    * surviving symbols are counted.
+    *
+    * The 100 TB shape: learning touches only the hash sample; application
+    * compiles the merge table into ONE codegen'd projection (the replace
+    * chain is a literal fold — `merges` nested `replace` calls inside an
+    * in-row `aggregate` over the doc's words), so encoding is map-only —
+    * ZERO shuffles, zero joins, no explode: corpus cost is one scan.
+    * Docs with no qualifying word encode to (0, 0) rather than dropping. */
+  def bpeApply(docs: DataFrame, merges: Int, sampleMod: Long = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val learned = learnMerges(docs, merges, sampleMod, idCol, textCol)
+    // symbol string of one word, with every learned merge applied in order
+    // (symbols are alpha-only by construction — literal inlining is safe)
+    val symed = learned.foldLeft(
+      "concat('<', concat_ws('><', split(w, '')), '>')") { (e, m) =>
+      val (l, r) = (m.getString(1), m.getString(2))
+      s"replace($e, '<$l><$r>', '<$l$r>')"
+    }
+    docs.select(col(idCol),
+        expr(s"""filter(transform(filter(split(lower($textCol), '\\\\s+'),
+                 t -> t != ''), t -> regexp_replace(t, '[^a-z]', '')),
+                 w -> length(w) >= 2)""").as("_ws"))
+      .select(col(idCol),
+        size(col("_ws")).cast("long").as("n_words"),
+        expr(s"""aggregate(_ws, 0L, (acc, w) ->
+                 acc + size(split(regexp_replace($symed, '^<|>$$', ''), '><')))""")
+          .cast("long").as("n_bpe_symbols"))
+      .orderBy(idCol)
   }
 }

@@ -201,6 +201,55 @@ object MultimodalOps {
       .orderBy("media_a", "media_b")
   }
 
+  /** Per-clip acoustic fingerprint: PCM decode → 33-window energy-delta
+    * hash ([[WavCodec.fingerprint]]). Same batched `mapPartitions` shape as
+    * [[imageHashes]]; non-WAV / too-short rows are dropped. One Long per
+    * clip — the fixed-width key the Hamming machinery joins on. */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        WavCodec.fingerprint(bytes).map(h => (id, h))
+      })
+      .toDF("media_id", "ahash")
+  }
+
+  /** Pigeonhole banding of the 32-bit acoustic fingerprint: 4 bands of
+    * 8 bits — any pair within Hamming distance 3 agrees on ≥ 1 band
+    * (same guarantee as [[phashBands]], narrower hash). */
+  def ahashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id"), col("ahash"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> named_struct('band', c, 'chunk', (ahash >> (c * 8)) & 255))"
+        )).as("x"))
+      .select(col("media_id"), col("ahash"), col("x.band").cast("long").as("band"),
+        col("x.chunk").as("chunk"))
+
+  /**
+   * Audio near-duplicate pairs with fingerprint Hamming distance ≤
+   * `maxDist` (default 3): PCM decode → energy-delta hash → banded
+   * candidate join → exact `bit_count` filter — the audio modality of the
+   * image pipeline above, same never-all-pairs shape. Volume-scaled copies
+   * land at distance 0 (the delta hash is gain-invariant); localized edits
+   * land within `maxDist`; different material disagrees in every band and
+   * never pairs.
+   */
+  def audioNearDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunked = ahashBands(audioHashes(media))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.ahash").as("ah_a"), col("b.ahash").as("ah_b"))
+      .dropDuplicates("media_a", "media_b")
+      .withColumn("hamming", expr("bit_count(ah_a ^ ah_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
   /** Byte-balanced repartitioning ahead of decode: range-partition on a
     * size-bucketed key so a few huge payloads don't skew one task. */
   def repartitionBySize(media: DataFrame, partitions: Int): DataFrame =

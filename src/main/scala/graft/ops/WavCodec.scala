@@ -113,6 +113,49 @@ object WavCodec {
         peak = peak, zeroCrossings = crossings, ampHist = histF)
   }
 
+  /** 32-bit acoustic fingerprint (the audio twin of [[ImageCodec.dHash]]):
+    * channel 0 is sliced into 33 equal time windows, each window's mean
+    * absolute amplitude is its energy, and bit k (k = 0..31) is set iff
+    * energy(k+1) > energy(k) — the classic energy-DELTA hash. Comparing
+    * CONSECUTIVE windows (not window vs global mean) makes the fingerprint
+    * exactly invariant under volume scaling (a positive gain preserves every
+    * strict energy ordering), so the same clip at a different level lands at
+    * Hamming distance 0, while localized edits flip only the deltas they
+    * touch. Fewer frames than windows cannot fingerprint (some windows would
+    * be empty) → None, like every other refusal in this codec. */
+  def fingerprint(bytes: Array[Byte], windows: Int = 33): Option[Long] = {
+    require(windows >= 2 && windows <= 65, s"windows must be in [2, 65], got $windows")
+    parseChunks(bytes).flatMap { case (meta, off, _) =>
+      val n = meta.nFrames
+      if (n < windows) None
+      else {
+        val bytesPer = meta.bitsPerSample / 8
+        val frameBytes = meta.channels * bytesPer
+        val sumAbs = new Array[Long](windows)
+        val cnt = new Array[Long](windows)
+        var f = 0L
+        while (f < n) {
+          val i = off + (f * frameBytes).toInt // channel 0 of frame f
+          val v =
+            if (bytesPer == 1) (bytes(i) & 0xff) - 128
+            else ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+          val w = (f * windows / n).toInt
+          sumAbs(w) += math.abs(v)
+          cnt(w) += 1
+          f += 1
+        }
+        var h = 0L
+        var k = 0
+        while (k < windows - 1) {
+          // integer cross-multiply: exact energy compare, no double rounding
+          if (sumAbs(k + 1) * cnt(k) > sumAbs(k) * cnt(k + 1)) h |= 1L << k
+          k += 1
+        }
+        Some(h)
+      }
+    }
+  }
+
   /** Serialize PCM samples as a canonical WAV byte stream (fixture builder —
     * the writer twin of [[decode]], used by specs and the oracle query).
     * 16-bit signed when `bits == 16` (values clamped to short range), 8-bit

@@ -15,6 +15,31 @@ object ExtQueries {
   private val DuckToks =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
+  /** DuckDB-side BPE merge learning (mirrors BpeOps.learnMerges, 4 merges on
+    * the md5 %4 sample): the b1..b4 CTEs are the learned merge table, shared
+    * by the learn oracle (`x4_bpe_learn`) and the apply oracle
+    * (`x4_bpe_apply`), so the training replay lives ONCE. */
+  private lazy val DuckBpeCtes =
+    s"""w AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT regexp_replace(lower(t), '[^a-z]', '', 'g') AS w FROM (
+       |      SELECT unnest($DuckToks) AS t FROM documents
+       |      WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 = 0) u) v
+       |  WHERE len(w) >= 2 GROUP BY w),
+       |st0 AS (SELECT '<' || array_to_string(regexp_split_to_array(w, ''), '><') || '>' AS s, freq FROM w),
+       |${(1 to 4).map(i => s"""p$i AS (
+       |  SELECT pr.l, pr.r, CAST(SUM(st${i - 1}.freq) AS BIGINT) AS cnt
+       |  FROM st${i - 1},
+       |    LATERAL (SELECT string_split(regexp_replace(st${i - 1}.s, '^<|>$$', '', 'g'), '><') AS syms) sy,
+       |    LATERAL (SELECT unnest(list_transform(range(1, len(sy.syms)), j ->
+       |      struct_pack(l := sy.syms[CAST(j AS INTEGER)], r := sy.syms[CAST(j AS INTEGER) + 1]))) AS pr) pr
+       |  WHERE len(sy.syms) >= 2
+       |  GROUP BY pr.l, pr.r),
+       |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |st$i AS (SELECT replace(st${i - 1}.s, '<' || b$i.l || '><' || b$i.r || '>',
+       |                        '<' || b$i.l || b$i.r || '>') AS s, st${i - 1}.freq
+       |         FROM st${i - 1}, b$i)""").mkString(",\n")}""".stripMargin
+
   /** DuckDB-side exact shingle-Jaccard pairs (mirrors DedupOps.jaccardPairs);
     * shared by the exact and the LSH-verified near-dup oracles (the LSH path
     * with 16×2 banding has recall 1 on this corpus — all planted pairs are at
@@ -1201,6 +1226,54 @@ object ExtQueries {
              |FROM p WHERE bit_count(xor(pa, pb)) <= 3
              |ORDER BY media_a, media_b""".stripMargin)),
 
+    // X5: AUDIO near-dup — the acoustic modality of the image pipeline:
+    // PCM decode → 33-window energy-DELTA fingerprint (gain-invariant by
+    // construction: a volume change preserves every strict window-energy
+    // ordering) → 4×8-bit Hamming banding → banded candidate join → exact
+    // bit_count. Fixtures are closed-form: window amplitudes walk ±400
+    // from 2000 by a 32-bit delta pattern, so the fingerprint IS the
+    // pattern. Clip 2 is clip 1 at HALF VOLUME (distance 0 — the
+    // invariance the delta hash buys); clip 3 flips deltas 3 and 17
+    // (distance 2); clip 4 inverts every delta (distance 32, no band
+    // agrees, never a candidate). The oracle pins the three patterns and
+    // replays banding → pairs → Hamming in SQL.
+    Q("x5_audio_neardup",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.WavCodec
+        def wav(pattern: Long, div: Int): Array[Byte] = {
+          val v = new Array[Int](33)
+          v(0) = 2000
+          for (k <- 0 until 32)
+            v(k + 1) = v(k) + (if (((pattern >> k) & 1L) == 1L) 400 else -400)
+          WavCodec.write(v.flatMap(x => Array.fill(8)(x / div)), 1, 8000, 16)
+        }
+        val pA = 0x55555555L                      // alternating up/down
+        val pC = pA | (1L << 3) | (1L << 17)      // two flipped deltas
+        val pD = ~pA & 0xffffffffL                // every delta inverted
+        val media = Seq(
+          (1L, wav(pA, 1)),
+          (2L, wav(pA, 2)), // half volume: same fingerprint
+          (3L, wav(pC, 1)),
+          (4L, wav(pD, 1))).toDF("media_id", "content")
+        MultimodalOps.audioNearDupPairs(media, maxDist = 3)
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), CAST(1431655765 AS BIGINT)),
+             |    (2, 1431655765),
+             |    (3, 1431786845),
+             |    (4, 2863311530)) AS t(media_id, ahash)),
+             |ch AS (SELECT media_id, ahash, c AS band,
+             |         (ahash >> CAST(c * 8 AS INTEGER)) & 255 AS chunk
+             |       FROM h, range(4) r(c)),
+             |p AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+             |        a.ahash AS aa, b.ahash AS ab
+             |      FROM ch a JOIN ch b ON a.band = b.band AND a.chunk = b.chunk
+             |        AND a.media_id < b.media_id)
+             |SELECT media_a, media_b, CAST(bit_count(xor(aa, ab)) AS INTEGER) AS hamming
+             |FROM p WHERE bit_count(xor(aa, ab)) <= 3
+             |ORDER BY media_a, media_b""".stripMargin)),
+
     // X5: INCREMENTAL image dedup — the persistent Hamming-banded perceptual
     // index (ImageDedupIndex) as an engine table: batch 0 seeds two distinct
     // images; batch 1 brings a brightness-shifted re-encode of image 1
@@ -1296,31 +1369,43 @@ object ExtQueries {
     Q("x4_bpe_learn",
       (s, d) => graft.ops.BpeOps.bpeLearn(Tables.load(s, d, "documents"),
         merges = 4, sampleMod = 4),
-      Some(s"""WITH w AS (
-             |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-             |    SELECT regexp_replace(lower(t), '[^a-z]', '', 'g') AS w FROM (
-             |      SELECT unnest($DuckToks) AS t FROM documents
-             |      WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 = 0) u) v
-             |  WHERE len(w) >= 2 GROUP BY w),
-             |st0 AS (SELECT '<' || array_to_string(regexp_split_to_array(w, ''), '><') || '>' AS s, freq FROM w),
-             |${(1 to 4).map(i => s"""p$i AS (
-             |  SELECT pr.l, pr.r, CAST(SUM(st${i - 1}.freq) AS BIGINT) AS cnt
-             |  FROM st${i - 1},
-             |    LATERAL (SELECT string_split(regexp_replace(st${i - 1}.s, '^<|>$$', '', 'g'), '><') AS syms) sy,
-             |    LATERAL (SELECT unnest(list_transform(range(1, len(sy.syms)), j ->
-             |      struct_pack(l := sy.syms[CAST(j AS INTEGER)], r := sy.syms[CAST(j AS INTEGER) + 1]))) AS pr) pr
-             |  WHERE len(sy.syms) >= 2
-             |  GROUP BY pr.l, pr.r),
-             |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-             |st$i AS (SELECT replace(st${i - 1}.s, '<' || b$i.l || '><' || b$i.r || '>',
-             |                        '<' || b$i.l || b$i.r || '>') AS s, st${i - 1}.freq
-             |         FROM st${i - 1}, b$i)""").mkString(",\n")}
+      Some(s"""WITH $DuckBpeCtes
              |SELECT * FROM (
              |  SELECT CAST(1 AS BIGINT) AS step, l AS "left", r AS "right", l || r AS merged, cnt AS pair_count FROM b1
              |  UNION ALL SELECT 2, l, r, l || r, cnt FROM b2
              |  UNION ALL SELECT 3, l, r, l || r, cnt FROM b3
              |  UNION ALL SELECT 4, l, r, l || r, cnt FROM b4)
              |ORDER BY step""".stripMargin)),
+
+    // X4: BPE merge APPLICATION — the encode half of the tokenizer loop
+    // (x4_bpe_learn trains on the hash sample; this tokenizes the FULL
+    // corpus with the learned table): per doc, every preprocessed word is
+    // folded through the 4 learned replaces in learned order and the
+    // surviving symbols are counted. The engine side compiles the merge
+    // table into one codegen'd projection (in-row `aggregate` over the
+    // word array — zero shuffles, zero joins, no explode: the 100 TB cost
+    // is one corpus scan). The oracle reuses the learn CTEs and replays
+    // the same fold per word.
+    Q("x4_bpe_apply",
+      (s, d) => graft.ops.BpeOps.bpeApply(Tables.load(s, d, "documents"),
+        merges = 4, sampleMod = 4),
+      Some(s"""WITH $DuckBpeCtes,
+             |tok AS (SELECT doc_id, regexp_replace(lower(t), '[^a-z]', '', 'g') AS w
+             |        FROM (SELECT doc_id, unnest($DuckToks) AS t FROM documents) u),
+             |a0 AS (SELECT doc_id,
+             |         '<' || array_to_string(regexp_split_to_array(w, ''), '><') || '>' AS s
+             |       FROM tok WHERE len(w) >= 2),
+             |${(1 to 4).map(i =>
+               s"""a$i AS (SELECT doc_id, replace(a${i - 1}.s, '<' || b$i.l || '><' || b$i.r || '>',
+             |                 '<' || b$i.l || b$i.r || '>') AS s FROM a${i - 1}, b$i)"""
+             ).mkString(",\n")},
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             |          CAST(SUM(len(string_split(regexp_replace(s, '^<|>$$', '', 'g'), '><'))) AS BIGINT) AS n_bpe_symbols
+             |        FROM a4 GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
+             |       COALESCE(agg.n_bpe_symbols, 0) AS n_bpe_symbols
+             |FROM documents d LEFT JOIN agg USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // X6: typed JSON parse via from_json with an explicit schema (the
     // streaming-safe form — no inference), vs get_json_object's path probe.

@@ -276,4 +276,49 @@ class MultimodalSpec extends SparkSpec {
     // the distinct image pairs with nothing
     assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
   }
+
+  // window amplitudes walk ±`step` from `base` by the 32-bit delta pattern;
+  // 8 constant frames per window, mono 16-bit → fingerprint == pattern.
+  private def patternWav(pattern: Long, base: Int = 2000, step: Int = 400,
+      div: Int = 1): Array[Byte] = {
+    val v = new Array[Int](33)
+    v(0) = base
+    for (k <- 0 until 32)
+      v(k + 1) = v(k) + (if (((pattern >> k) & 1L) == 1L) step else -step)
+    graft.ops.WavCodec.write(v.flatMap(x => Array.fill(8)(x / div)), 1, 8000, 16)
+  }
+
+  test("WavCodec.fingerprint: closed-form delta hash, exact gain invariance, refusals") {
+    import graft.ops.WavCodec
+    // base 14000 keeps the worst-case ±400×32 walk strictly positive (the
+    // hash reads |amplitude|, so a zero-crossing walk would fold deltas)
+    val p = 0x5A5A1234L
+    assert(WavCodec.fingerprint(patternWav(p, base = 14000)) === Some(p))
+    // volume is a NO-OP on the fingerprint: half and quarter amplitude
+    // (base and step divisible by 4 ⇒ integer scaling is exact)
+    assert(WavCodec.fingerprint(patternWav(p, base = 14000, div = 2)) === Some(p))
+    assert(WavCodec.fingerprint(patternWav(p, base = 14000, div = 4)) === Some(p))
+    // fewer frames than windows → refuse (some windows would be empty)
+    val short = WavCodec.write(Array.fill(20)(100), 1, 8000, 16)
+    assert(WavCodec.fingerprint(short) === None)
+    // non-WAV payloads refuse like the rest of the codec
+    assert(WavCodec.fingerprint("not a wav".getBytes) === None)
+  }
+
+  test("audioNearDupPairs: volume-scaled copy at distance 0, edits within band, different material never pairs") {
+    val pA = 0x55555555L
+    val pC = pA | (1L << 3) | (1L << 17) // two flipped deltas
+    val pD = ~pA & 0xffffffffL           // every delta inverted
+    val media = Seq(
+      (1L, patternWav(pA)),
+      (2L, patternWav(pA, div = 2)),      // half volume
+      (3L, patternWav(pC)),
+      (4L, patternWav(pD)),
+      (5L, "not audio".getBytes)          // non-WAV: dropped
+    ).toDF("media_id", "content")
+    val pairs = MultimodalOps.audioNearDupPairs(media, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)))
+    assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
+  }
 }

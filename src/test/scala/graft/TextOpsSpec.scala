@@ -377,6 +377,28 @@ class TextOpsSpec extends SparkSpec {
     assert(prep === Seq((1L, "a", "b", "ab", 2L)))
   }
 
+  test("bpeApply: learned merges encode the FULL corpus, sampled or not; empty docs keep (0,0)") {
+    import graft.ops.BpeOps
+    // same training corpus as the learn test: merges aa, ab, aaab (in order)
+    val docs = Seq(
+      (1L, "aaab aaab ab"),
+      (2L, "aaabab b aab"), // NOT symbol-identical to training words
+      (3L, "!!! 7 x")       // nothing survives preprocessing → (0, 0)
+    ).toDF("doc_id", "text")
+    val got = BpeOps.bpeApply(docs, merges = 3, sampleMod = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1: aaab→<aaab> (1), aaab→1, ab→<ab> (1) ⇒ 3 words, 3 symbols
+    // doc 2: aaabab: <a><a><a><b><a><b> →aa→ <aa><a><b><a><b> →ab→
+    //        <aa><ab><ab> →aaab→ <aaab><ab> = 2 symbols; "b" dropped (len 1);
+    //        aab: <a><a><b> → <aa><b> → (no <a><b> adjacency left) 2 symbols
+    assert(got === Seq((1L, 3L, 3L), (2L, 2L, 4L), (3L, 0L, 0L)))
+    // application order matters: with only the FIRST merge learned, doc 1's
+    // aaab is <aa><a><b> = 3 symbols, ab stays 2
+    val one = BpeOps.bpeApply(docs.filter($"doc_id" === 1), merges = 1, sampleMod = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one === Seq((1L, 3L, 8L))) // 3 + 3 + 2
+  }
+
   test("upsampleEpochs copy counts equal the md5 model across random factor specs") {
     import graft.ops.{DedupOps, TextOps}
     import org.apache.spark.unsafe.types.UTF8String
