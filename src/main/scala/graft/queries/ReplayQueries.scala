@@ -1689,6 +1689,57 @@ object ReplayQueries {
            |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
       }),
 
+    // JOIN MV maintenance (E162): a fact ⋈ dim MV with append-only intervals
+    // on BOTH sources refreshes via the IVM delta terms Δfact⋈dim@v1 ∪
+    // fact@v0⋈Δdim — one fenced APPEND of the new join rows, never a re-join
+    // of the full sources. The interval exercises both terms: a new fact
+    // matching an existing dim row, and a new dim row matching existing
+    // facts. Reason must name the join tier; contents must equal the direct
+    // join of the final sources.
+    Q("cdc_sql_mv_incr_join",
+      (s, _) => {
+        val cat = s"graft_mj${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mj").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        TransactionalTable.create(s, s"$warehouse/db/evcat",
+          org.apache.spark.sql.types.StructType.fromDDL("event STRING, cat STRING"),
+          "event", None)
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES ('visit', 'browse'), ('cart', 'intent')")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.fact_cat AS " +
+          s"SELECT r.trans_id, r.event, r.amount, c.cat " +
+          s"FROM $cat.db.retail r JOIN $cat.db.evcat c ON r.event = c.event")
+        // Δfact (visit 500 joins the OLD dim) + Δdim ('like' joins OLD facts)
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'visit', 'SKU500', 555, 'pc', NULL)")
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES ('like', 'social')")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.fact_cat')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-join"),
+          s"expected the join IVM path, got '$refreshed'")
+        s.sql(s"SELECT trans_id, event, amount, cat FROM $cat.db.fact_cat " +
+          "ORDER BY trans_id")
+      },
+      Some {
+        val cats = Map("visit" -> "browse", "cart" -> "intent", "like" -> "social")
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) } :+
+          ((500L, "visit", 555)))
+          .filter(r => cats.contains(r._2))
+          .sortBy(_._1)
+          .map { case (id, ev, amt) =>
+            s"(CAST($id AS BIGINT), '$ev', $amt, '${cats(ev)}')" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, event, amount, cat) ORDER BY trans_id""".stripMargin
+      }),
+
     // Aggregate MV maintenance (E108): a GROUP BY SUM/COUNT/MIN/MAX view
     // refreshes by merging per-group DELTAS of the append-only interval —
     // only changed groups rewrite (reason must say incremental-agg, and the

@@ -276,13 +276,14 @@ object GraftProcedures {
             spark, parsed, cur.currentCatalog, cur.currentNamespace)
           val storage = TransactionalTable.open(spark, storageRoot)
           GraftMvRefresh.tryIncremental(spark, meta, qualified, storage) match {
-            case Some((label, _, newVersion, srcRoot)) =>
+            case Some((label, _, updatedVersions)) =>
               // append-only interval: row-preserving definitions appended
               // the transformed inserts (O(new data)); aggregate
-              // definitions merged per-group deltas (O(delta groups))
+              // definitions merged per-group deltas (O(delta groups));
+              // join definitions appended the IVM delta terms (O(Δ ⋈ other))
               GraftViewStore.mutate(root) {
                 case Some(m) =>
-                  m.copy(sourceVersions = m.sourceVersions + (srcRoot -> newVersion))
+                  m.copy(sourceVersions = m.sourceVersions ++ updatedVersions)
                 case None => throw new IllegalStateException(
                   s"materialized view $name dropped during refresh")
               }

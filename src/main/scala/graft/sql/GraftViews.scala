@@ -1164,17 +1164,22 @@ private[sql] object GraftMvRefresh {
     }
   }
 
-  /** Try the incremental path: Some((label, affectedRows, newSourceVersion,
-    * root)) after committing; None → caller runs the full recompute. */
+  /** Try the incremental path: Some((label, affectedRows, updated source
+    * versions)) after committing; None → caller runs the full recompute. */
   def tryIncremental(spark: SparkSession, meta: GraftViewStore.ViewMeta,
       qualified: LogicalPlan,
-      storage: graft.table.TransactionalTable): Option[(String, Long, Long, String)] = {
+      storage: graft.table.TransactionalTable): Option[(String, Long, Map[String, Long])] = {
     if (meta.externalSources) return None
     val single = spfSource(qualified)
     // the chain match must account for the WHOLE tree: a subquery expression
     // anywhere means a second relation feeds the view
     val allRels = qualified.collectWithSubqueries { case u: UnresolvedRelation => u }
-    if (single.isEmpty || allRels.size != 1) return None
+    if (single.isEmpty || allRels.size != 1)
+      // exactly two relations: the JOIN maintenance tier (shape-gated there;
+      // a subquery-expression second relation fails its Join match)
+      return if (allRels.size == 2)
+        tryIncrementalJoin(spark, meta, qualified, storage, allRels)
+      else None
     val analyzedShape = scala.util.Try(
       org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, qualified)
         .queryExecution.analyzed).toOption
@@ -1215,7 +1220,7 @@ private[sql] object GraftMvRefresh {
           val v0 = math.max(v0meta,
             storage.snapshot.writerFences.getOrElse(writerId, -1L))
           // data already there (fence ahead of recorded meta); heal meta only
-          if (v1 == v0) Some(("incremental: +0 rows (fence-healed)", 0L, v1, root))
+          if (v1 == v0) Some(("incremental: +0 rows (fence-healed)", 0L, Map(root -> v1)))
           else {
             val delta = t.changes(v0, v1) // throws if v0 expired → full refresh
             def applyDef(images: org.apache.spark.sql.DataFrame)
@@ -1237,10 +1242,11 @@ private[sql] object GraftMvRefresh {
               case None =>
                 val n = out.count()
                 storage.append(out, batchId = v1, writerId = Some(writerId))
-                Some((s"incremental: +$n rows", n, v1, root))
+                Some((s"incremental: +$n rows", n, Map(root -> v1)))
               case Some((groupCols, aggCols)) =>
-                Some(mergeAggDelta(spark, storage, out, groupCols, aggCols,
-                  v1, writerId, root))
+                val (label, nG, v, r) = mergeAggDelta(spark, storage, out,
+                  groupCols, aggCols, v1, writerId, root)
+                Some((label, nG, Map(r -> v)))
             } else aggResolved match {
               // RETRACTION path (the full IVM algebra): SUM/COUNT subtract
               // delete-image aggregates; an update (delete+insert pair in
@@ -1251,14 +1257,135 @@ private[sql] object GraftMvRefresh {
               case Some((groupCols, aggCols)) if retractEligible(aggCols) =>
                 val delOut = applyDef(
                   delta.where(fcol("_change_type") === "delete").drop("_change_type"))
-                Some(mergeAggDeltaRetract(spark, storage, out, delOut, groupCols,
-                  aggCols, v1, writerId, root))
+                val (label, nG, v, r) = mergeAggDeltaRetract(spark, storage, out,
+                  delOut, groupCols, aggCols, v1, writerId, root)
+                Some((label, nG, Map(r -> v)))
               case _ => None
             }
           }
         }.toOption.flatten
       }
     }
+  }
+
+  /**
+   * JOIN maintenance tier: a TWO-source, INNER-join, row-preserving
+   * definition refreshes with the classic incremental-view-maintenance
+   * delta
+   *
+   *     new rows  =  ΔA ⋈ B@v1  ∪  A@v0 ⋈ ΔB
+   *
+   * (sound because A1⋈B1 = A0⋈B0 + ΔA⋈B1 + A0⋈ΔB when both intervals are
+   * APPEND-ONLY — an inner join of growing inputs only gains rows), so
+   * storage APPENDS O(Δ ⋈ other) instead of re-joining two full sources and
+   * replacing the MV. With AQE the Δ side broadcasts in the common case,
+   * making each term a map-only pass over one source — the shape that keeps
+   * a 100 TB join MV refreshable. Fencing: component-wise-monotone source
+   * versions make their SUM a faithful pair fence (equal sums under
+   * component-wise ≤ force the equal pair), so `fence == v1a+v1b` ⟺ exactly
+   * this interval already committed → heal meta only, never double-apply.
+   *
+   * Falls back to the full recompute on: outer/semi joins or
+   * aggregates/distinct/windows anywhere (shape gate), self-joins (the
+   * mixed delta terms need occurrence-level substitution), deletes in
+   * either interval, expired baseline snapshots, schema drift.
+   */
+  private def tryIncrementalJoin(spark: SparkSession,
+      meta: GraftViewStore.ViewMeta, qualified: LogicalPlan,
+      storage: graft.table.TransactionalTable,
+      rels: Seq[UnresolvedRelation]): Option[(String, Long, Map[String, Long])] = {
+    val analyzedShape = scala.util.Try(
+      org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, qualified)
+        .queryExecution.analyzed).toOption
+    if (!analyzedShape.exists(joinPreservingShape)) return None
+    val resolved = rels.flatMap { u =>
+      GraftViewResolution.target(spark, u.multipartIdentifier).map {
+        case (_, g, ns, nm) =>
+          u.multipartIdentifier -> g.tableRoot(
+            org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, nm))
+      }
+    }
+    if (resolved.size != 2) return None
+    val Seq((partsA, rootA), (partsB, rootB)) = resolved
+    if (rootA == rootB) return None // self-join: occurrence-level deltas
+    (meta.sourceVersions.get(rootA), meta.sourceVersions.get(rootB)) match {
+      case (Some(v0a), Some(v0b)) => scala.util.Try {
+        val ta = graft.table.TransactionalTable.open(spark, rootA)
+        val tb = graft.table.TransactionalTable.open(spark, rootB)
+        val (v1a, v1b) = (ta.currentVersion, tb.currentVersion)
+        val updated = Map(rootA -> v1a, rootB -> v1b)
+        val writerId = s"mv-incr-join:${Seq(rootA, rootB).sorted.mkString("|")}"
+        val fence = storage.snapshot.writerFences.getOrElse(writerId, -1L)
+        if (fence >= v1a + v1b)
+          Some(("incremental-join: +0 rows (fence-healed)", 0L, updated))
+        else {
+          // Some(None) = empty interval; Some(Some(df)) = its insert
+          // images; None = deletes present → full recompute
+          def delta(t: graft.table.TransactionalTable, v0: Long, v1: Long)
+              : Option[Option[org.apache.spark.sql.DataFrame]] =
+            if (v1 == v0) Some(None)
+            else {
+              val d = t.changes(v0, v1) // throws if v0 expired → full refresh
+              if (!d.where(fcol("_change_type") === "delete").isEmpty) None
+              else Some(Some(
+                d.where(fcol("_change_type") === "insert").drop("_change_type")))
+            }
+          (delta(ta, v0a, v1a), delta(tb, v0b, v1b)) match {
+            case (Some(dA), Some(dB)) =>
+              // the definition with each relation OCCURRENCE replaced by a
+              // pinned frame (delta inserts / time-travel scan)
+              def applyDef(aSide: org.apache.spark.sql.DataFrame,
+                  bSide: org.apache.spark.sql.DataFrame)
+                  : org.apache.spark.sql.DataFrame = {
+                val substituted = qualified.transformDownWithSubqueries {
+                  case u: UnresolvedRelation
+                      if u.multipartIdentifier == partsA =>
+                    aSide.queryExecution.analyzed
+                  case u: UnresolvedRelation
+                      if u.multipartIdentifier == partsB =>
+                    bSide.queryExecution.analyzed
+                }
+                val out0 = org.apache.spark.sql.graftshim.GraftShims
+                  .ofRows(spark, substituted)
+                val aliases = meta.current.columnAliases
+                if (out0.columns.toSeq != aliases) out0.toDF(aliases: _*) else out0
+              }
+              val terms =
+                dA.map(d => applyDef(d, tb.scanAt(v1b))).toSeq ++
+                dB.map(d => applyDef(ta.scanAt(v0a), d)).toSeq
+              if (terms.isEmpty)
+                Some(("incremental-join: +0 rows", 0L, updated))
+              else {
+                val out = terms.reduce(_ union _)
+                val sameSchema =
+                  out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+                    storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
+                if (!sameSchema) None
+                else {
+                  val n = out.count()
+                  storage.append(out, batchId = v1a + v1b,
+                    writerId = Some(writerId))
+                  Some((s"incremental-join: +$n rows", n, updated))
+                }
+              }
+            case _ => None
+          }
+        }
+      }.toOption.flatten
+      case _ => None
+    }
+  }
+
+  /** Row-preserving chain over exactly one INNER join of two leaf chains —
+    * the [[tryIncrementalJoin]] shape gate (on the ANALYZED plan). */
+  private def joinPreservingShape(analyzed: LogicalPlan): Boolean = analyzed match {
+    case Project(_, c) => joinPreservingShape(c)
+    case Filter(_, c) => joinPreservingShape(c)
+    case SubqueryAlias(_, c) => joinPreservingShape(c)
+    case j: Join =>
+      j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+        rowPreservingShape(j.left) && rowPreservingShape(j.right)
+    case _ => false
   }
 
   /** Combine per-group deltas into storage and MERGE on the group key —

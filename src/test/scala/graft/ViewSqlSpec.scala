@@ -347,6 +347,102 @@ class ViewSqlSpec extends SparkSpec {
       .select("refreshed").as[Boolean].head() === false)
   }
 
+  /** fresh() + a dimension table `db.d(id, name)` joining db.t on id. */
+  private def freshJoin(): (String, String) = {
+    val (cat, w) = fresh()
+    TransactionalTable.create(spark, s"$w/db/d",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING"),
+      "id", None)
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (1, 'a'), (2, 'b')")
+    (cat, w)
+  }
+
+  test("join MV: append-only intervals on BOTH sources refresh via the IVM delta terms") {
+    val (cat, w) = freshJoin()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jmv AS " +
+      s"SELECT t.id, t.v, d.name FROM $cat.db.t t JOIN $cat.db.d d ON t.id = d.id " +
+      s"WHERE t.v >= 10")
+    assert(spark.sql(s"SELECT id, v, name FROM $cat.db.jmv ORDER BY id")
+      .as[(Long, Long, String)].collect().toSeq ===
+      Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    val storageV0 = TransactionalTable.open(spark, s"$w/db/jmv/_storage").currentVersion
+    // interval exercises all three delta products: Δt⋈d_old (4 has no dim →
+    // nothing), t_old⋈Δd (3 matches old fact), Δt⋈Δd (5 matches 5 — must
+    // appear exactly ONCE: Δt⋈d@v1 picks it, t@v0⋈Δd cannot)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40), (5, 50)")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (3, 'c'), (5, 'e')")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.jmv')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true)
+    assert(r._2.startsWith("incremental-join"), s"expected join IVM path, got: $r")
+    assert(spark.sql(s"SELECT id, v, name FROM $cat.db.jmv ORDER BY id")
+      .as[(Long, Long, String)].collect().toSeq ===
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (5L, 50L, "e")))
+    // incremental = ONE append commit on storage, not a table replace
+    assert(TransactionalTable.open(spark, s"$w/db/jmv/_storage").currentVersion
+      === storageV0 + 1)
+    assert(spark.sql(s"CALL $cat.system.mv_status('db.jmv')")
+      .select("fresh").as[Boolean].head() === true)
+  }
+
+  test("join MV: deletes in either interval fall back to the full recompute") {
+    val (cat, _) = freshJoin()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jdel AS " +
+      s"SELECT t.id, d.name FROM $cat.db.t t JOIN $cat.db.d d ON t.id = d.id")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 1")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.jdel')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true)
+    assert(r._2.startsWith("stale:"), s"deletes must force a recompute, got: $r")
+    assert(spark.sql(s"SELECT id FROM $cat.db.jdel ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("join MV: the pair fence prevents double-apply after a crash before the meta update") {
+    val (cat, w) = freshJoin()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jfen AS " +
+      s"SELECT t.id, d.name FROM $cat.db.t t JOIN $cat.db.d d ON t.id = d.id")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40)")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (4, 'dd')")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.jfen')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental-join"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.jfen").as[Long].head() === 3L)
+    // crash window: storage append landed, _view.json not yet updated
+    val root = s"$w/db/jfen"
+    val meta = GraftViewStore.load(root)
+    GraftViewStore.write(root,
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.jfen')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-join: +0"), s"expected fence heal, got $r2")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.jfen").as[Long].head() === 3L,
+      "pair fence failed: interval applied twice")
+  }
+
+  test("join MV: self-joins and outer joins never ride the join tier") {
+    val (cat, _) = freshJoin()
+    // self-join: the mixed delta terms need occurrence-level substitution
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jself AS " +
+      s"SELECT a.id, b.v FROM $cat.db.t a JOIN $cat.db.t b ON a.id = b.id")
+    // LEFT JOIN: a new dim row would RETRACT the null-extended fact row —
+    // incremental append-only maintenance is unsound, must recompute
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jleft AS " +
+      s"SELECT t.id, d.name FROM $cat.db.t t LEFT JOIN $cat.db.d d ON t.id = d.id")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (6, 60)")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (3, 'c')")
+    val rSelf = spark.sql(s"CALL $cat.system.refresh_mv('db.jself')")
+      .select("reason").as[String].head()
+    assert(rSelf.startsWith("stale:"), s"self-join must recompute, got: $rSelf")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.jself").as[Long].head() === 4L)
+    val rLeft = spark.sql(s"CALL $cat.system.refresh_mv('db.jleft')")
+      .select("reason").as[String].head()
+    assert(rLeft.startsWith("stale:"), s"left join must recompute, got: $rLeft")
+    // dim 3 arrived: the previously null-extended fact row is now matched
+    assert(spark.sql(s"SELECT name FROM $cat.db.jleft WHERE id = 3")
+      .as[String].head() === "c")
+  }
+
   /** fresh() + a grouped source table `db.ev(id, grp, v)`. */
   private def freshGrouped(): (String, String) = {
     val (cat, w) = fresh()
