@@ -84,8 +84,33 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // Two further fixed probes, recorded for CROSS-ROUND normalization (the
+    // r14 A/B proved the scheduling floor alone misses slow-VM modes that
+    // inflate shuffle-heavy queries ~30% while tiny scans stay in-band —
+    // PERF.md "VM normalization"): a one-stage codegen'd hash reduction
+    // (cpu_sec) and a two-stage exchange + hash agg (shuffle_sec), both
+    // data-independent with plans that never change. Comparing these fields
+    // across round artifacts separates VM drift from plan changes.
+    def minOf3(f: () => Unit): Double = {
+      f() // warm (codegen + stage caches)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    import org.apache.spark.sql.functions._
+    val cpuSec = minOf3(() => {
+      spark.range(0, 1L << 26, 1, 32)
+        .select(sum(bit_count(xxhash64(col("id"))))).collect(); ()
+    })
+    val shuffleSec = minOf3(() => {
+      spark.range(0, 1L << 23, 1, 32)
+        .withColumn("k", pmod(xxhash64(col("id")), lit(100000)))
+        .groupBy("k").agg(count(lit(1))).orderBy(desc("count(1)"))
+        .limit(5).collect(); ()
+    })
     val contended = floorSec > floorBand
-    val floorJson = s""","floor_sec":${math.rint(floorSec * 1000) / 1000},"floor_band":$floorBand,"contended":$contended"""
+    def r3p(v: Double): Double = math.rint(v * 1000) / 1000
+    val floorJson = s""","floor_sec":${r3p(floorSec)},"floor_band":$floorBand,"cpu_sec":${r3p(cpuSec)},"shuffle_sec":${r3p(shuffleSec)},"contended":$contended"""
     // Streaming-tier freshness: the batch kernels record per-batch wall time
     // into BatchStats; collect it per query (across the min-of-N runs) and
     // publish p50/p95 — the number the ratio exclusion policy promises

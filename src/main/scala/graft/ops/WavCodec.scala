@@ -144,11 +144,19 @@ object WavCodec {
           cnt(w) += 1
           f += 1
         }
+        // exact mean-energy compare via 128-bit cross-multiply: sumAbs can
+        // reach ~2^43 on a max-amplitude 2 GB payload, so the 64-bit product
+        // would overflow; Math.multiplyHigh keeps the compare exact
+        def crossGt(a: Long, b: Long, c: Long, d: Long): Boolean = { // a*b > c*d
+          val (hi1, lo1) = (Math.multiplyHigh(a, b), a * b)
+          val (hi2, lo2) = (Math.multiplyHigh(c, d), c * d)
+          hi1 != hi2 && hi1 > hi2 ||
+            hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0
+        }
         var h = 0L
         var k = 0
         while (k < windows - 1) {
-          // integer cross-multiply: exact energy compare, no double rounding
-          if (sumAbs(k + 1) * cnt(k) > sumAbs(k) * cnt(k + 1)) h |= 1L << k
+          if (crossGt(sumAbs(k + 1), cnt(k), sumAbs(k), cnt(k + 1))) h |= 1L << k
           k += 1
         }
         Some(h)

@@ -1740,6 +1740,54 @@ object ReplayQueries {
            |) AS t(trans_id, event, amount, cat) ORDER BY trans_id""".stripMargin
       }),
 
+    // AGGREGATE over a JOIN MV maintenance (E162 composition): the
+    // star-schema summary table — per-category totals over fact ⋈ dim —
+    // refreshes by aggregating the join's IVM row delta and merging only
+    // the changed groups. Reason must name the join-agg tier.
+    Q("cdc_sql_mv_incr_join_agg",
+      (s, _) => {
+        val cat = s"graft_mja${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mja").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        TransactionalTable.create(s, s"$warehouse/db/evcat",
+          org.apache.spark.sql.types.StructType.fromDDL("event STRING, cat STRING"),
+          "event", None)
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES ('visit', 'browse'), ('cart', 'intent')")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.cat_totals AS " +
+          s"SELECT c.cat, SUM(r.amount) AS total, COUNT(*) AS n " +
+          s"FROM $cat.db.retail r JOIN $cat.db.evcat c ON r.event = c.event " +
+          s"GROUP BY c.cat")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'visit', 'SKU500', 555, 'pc', NULL)")
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES ('like', 'social')")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.cat_totals')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-join-agg"),
+          s"expected the join-agg IVM path, got '$refreshed'")
+        s.sql(s"SELECT cat, total, n FROM $cat.db.cat_totals ORDER BY cat")
+      },
+      Some {
+        val cats = Map("visit" -> "browse", "cart" -> "intent", "like" -> "social")
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) } :+
+          ((500L, "visit", 555)))
+          .filter(r => cats.contains(r._2))
+          .groupBy(r => cats(r._2)).toSeq.sortBy(_._1)
+          .map { case (cat, rs) =>
+            s"('$cat', CAST(${rs.map(_._3.toLong).sum} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT))" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(cat, total, n) ORDER BY cat""".stripMargin
+      }),
+
     // Aggregate MV maintenance (E108): a GROUP BY SUM/COUNT/MIN/MAX view
     // refreshes by merging per-group DELTAS of the append-only interval —
     // only changed groups rewrite (reason must say incremental-agg, and the

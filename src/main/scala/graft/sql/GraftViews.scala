@@ -1098,7 +1098,13 @@ private[sql] object GraftMvRefresh {
     def withName(n: String): AggOut = copy(name = n)
   }
 
-  private[sql] def aggShape(analyzed: LogicalPlan): Option[(Seq[String], Seq[AggOut])] = {
+  private[sql] def aggShape(analyzed: LogicalPlan): Option[(Seq[String], Seq[AggOut])] =
+    aggShape(analyzed, rowPreservingShape)
+
+  /** As [[aggShape]], with the shape gate for the Aggregate's CHILD plan
+    * supplied by the caller (single-source chain vs inner-join chain). */
+  private[sql] def aggShape(analyzed: LogicalPlan,
+      childShape: LogicalPlan => Boolean): Option[(Seq[String], Seq[AggOut])] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
@@ -1121,7 +1127,7 @@ private[sql] object GraftMvRefresh {
     }
     peel(analyzed, Map.empty).flatMap { case (agg, rename) =>
       if (agg.groupingExpressions.isEmpty) return None // global agg: no key to merge on
-      if (!rowPreservingShape(agg.child)) return None
+      if (!childShape(agg.child)) return None
       def outName(n: String): String = rename.getOrElse(n, n)
       // renames must cover every aggregate output exactly once (a dropped or
       // duplicated column makes the storage merge ambiguous)
@@ -1285,8 +1291,16 @@ private[sql] object GraftMvRefresh {
    * component-wise ≤ force the equal pair), so `fence == v1a+v1b` ⟺ exactly
    * this interval already committed → heal meta only, never double-apply.
    *
+   * An AGGREGATE over the join (the star-schema summary table:
+   * `SELECT k, SUM(x) … FROM fact JOIN dim GROUP BY k`) maintains too:
+   * each delta term runs the full definition (per-group partials of its
+   * delta product), the two partials combine group-wise with the roll-up
+   * algebra, and [[mergeAggDelta]] merges only the changed groups into
+   * storage — the append-only aggregate tier riding the join tier's rows.
+   *
    * Falls back to the full recompute on: outer/semi joins or
-   * aggregates/distinct/windows anywhere (shape gate), self-joins (the
+   * distinct/windows anywhere (shape gate), non-whitelisted aggregates
+   * (AVG, DISTINCT, FILTER), storage PK ≠ group keys, self-joins (the
    * mixed delta terms need occurrence-level substitution), deletes in
    * either interval, expired baseline snapshots, schema drift.
    */
@@ -1297,7 +1311,26 @@ private[sql] object GraftMvRefresh {
     val analyzedShape = scala.util.Try(
       org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, qualified)
         .queryExecution.analyzed).toOption
-    if (!analyzedShape.exists(joinPreservingShape)) return None
+    val rowJoin = analyzedShape.exists(joinPreservingShape)
+    // AGGREGATE over the join (the star-schema summary table): per-group
+    // deltas of the join's IVM row delta merge into storage — the same
+    // append-only algebra as the single-source aggregate tier
+    val aggJoin =
+      if (rowJoin) None
+      else analyzedShape.flatMap(a => aggShape(a, joinPreservingShape))
+    if (!rowJoin && aggJoin.isEmpty) return None
+    val aggResolved = aggJoin.map { case (g, ks) =>
+      val aliases = meta.current.columnAliases
+      val analyzedNames = analyzedShape.get.output.map(_.name)
+      val alias: Map[String, String] =
+        if (analyzedNames == aliases) Map.empty
+        else analyzedNames.zip(aliases).toMap
+      (g.map(n => alias.getOrElse(n, n)),
+        ks.map(a => a.withName(alias.getOrElse(a.name, a.name))))
+    }
+    aggResolved.foreach { case (g, _) =>
+      if (storage.pkCols.toSet != g.toSet) return None
+    }
     val resolved = rels.flatMap { u =>
       GraftViewResolution.target(spark, u.multipartIdentifier).map {
         case (_, g, ns, nm) =>
@@ -1356,16 +1389,44 @@ private[sql] object GraftMvRefresh {
               if (terms.isEmpty)
                 Some(("incremental-join: +0 rows", 0L, updated))
               else {
-                val out = terms.reduce(_ union _)
+                // names/types of the applied definition must be storage's
+                // (checked on the per-term outputs — the aggregate path's
+                // roll-up combine below may legitimately widen sums, which
+                // mergeAggDelta casts back on merge)
                 val sameSchema =
-                  out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+                  terms.head.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
                     storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
                 if (!sameSchema) None
-                else {
-                  val n = out.count()
-                  storage.append(out, batchId = v1a + v1b,
-                    writerId = Some(writerId))
-                  Some((s"incremental-join: +$n rows", n, updated))
+                else aggResolved match {
+                  case None =>
+                    val out = terms.reduce(_ union _)
+                    val n = out.count()
+                    storage.append(out, batchId = v1a + v1b,
+                      writerId = Some(writerId))
+                    Some((s"incremental-join: +$n rows", n, updated))
+                  case Some((groupCols, aggCols)) =>
+                    // each term already aggregated the full definition over
+                    // its delta product; two terms combine group-wise with
+                    // the roll-up algebra (SUM of sums AND of counts,
+                    // MIN of mins, MAX of maxes) into one delta frame
+                    val delta =
+                      if (terms.size == 1) terms.head
+                      else {
+                        val u = terms.reduce(_ union _)
+                        val aggExprs = aggCols.map { a =>
+                          import org.apache.spark.sql.functions.{max, min, sum}
+                          (a.kind match {
+                            case "min" => min(fcol(a.name))
+                            case "max" => max(fcol(a.name))
+                            case _ => sum(fcol(a.name)) // sum/count/count_star
+                          }).as(a.name)
+                        }
+                        u.groupBy(groupCols.map(fcol): _*)
+                          .agg(aggExprs.head, aggExprs.tail: _*)
+                      }
+                    val (_, nG, _, _) = mergeAggDelta(spark, storage, delta,
+                      groupCols, aggCols, v1a + v1b, writerId, rootA)
+                    Some((s"incremental-join-agg: $nG groups merged", nG, updated))
                 }
               }
             case _ => None

@@ -420,6 +420,42 @@ class ViewSqlSpec extends SparkSpec {
       "pair fence failed: interval applied twice")
   }
 
+  test("join MV: AGGREGATE over the join merges per-group deltas of the IVM row delta") {
+    val (cat, w) = freshJoin()
+    // star-schema summary: per-category totals over fact ⋈ dim
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jagg " +
+      s"TBLPROPERTIES('pk'='name') AS " +
+      s"SELECT d.name, SUM(t.v) AS total, COUNT(*) AS n, MAX(t.v) AS mx " +
+      s"FROM $cat.db.t t JOIN $cat.db.d d ON t.id = d.id GROUP BY d.name")
+    assert(spark.sql(s"SELECT name, total, n, mx FROM $cat.db.jagg ORDER BY name")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("a", 10L, 1L, 10L), ("b", 20L, 1L, 20L)))
+    val storageV0 = TransactionalTable.open(spark, s"$w/db/jagg/_storage").currentVersion
+    // Δfact joins dim 'a' twice (group update), Δdim 'c' matches old fact 3
+    // (new group), and the Δfact⋈Δdim product (id 7) lands once in group 'g7'
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (8, 80), (7, 70)")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (3, 'c'), (7, 'g7'), (8, 'a')")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.jagg')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true)
+    assert(r._2.startsWith("incremental-join-agg"), s"expected join agg tier, got: $r")
+    assert(spark.sql(s"SELECT name, total, n, mx FROM $cat.db.jagg ORDER BY name")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("a", 90L, 2L, 80L), ("b", 20L, 1L, 20L),
+        ("c", 30L, 1L, 30L), ("g7", 70L, 1L, 70L)))
+    // delta MERGE commit, not a storage replace
+    assert(TransactionalTable.open(spark, s"$w/db/jagg/_storage").currentVersion
+      === storageV0 + 1)
+    // AVG is not delta-decomposable: falls back to the recompute
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.javg AS " +
+      s"SELECT d.name, AVG(t.v) AS av FROM $cat.db.t t " +
+      s"JOIN $cat.db.d d ON t.id = d.id GROUP BY d.name")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9, 90)")
+    val rAvg = spark.sql(s"CALL $cat.system.refresh_mv('db.javg')")
+      .select("reason").as[String].head()
+    assert(rAvg.startsWith("stale:"), s"AVG must recompute, got: $rAvg")
+  }
+
   test("join MV: self-joins and outer joins never ride the join tier") {
     val (cat, _) = freshJoin()
     // self-join: the mixed delta terms need occurrence-level substitution
