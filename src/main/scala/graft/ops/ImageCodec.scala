@@ -95,11 +95,11 @@ object ImageCodec {
     }
   }
 
-  /** Per-frame decode of a MULTI-frame container (animated GIF — the one
-    * video-like format with a pure-JVM codec). Each frame is fully pixel-
-    * decoded; single-frame formats yield one entry. Frames whose pixels the
-    * reader cannot produce are skipped (truncated trailers). */
-  def frames(bytes: Array[Byte]): Seq[FrameStats] = probe(bytes) match {
+  /** Shared per-frame reader loop: decode every frame the reader can
+    * produce and fold it through `f`. Frames whose pixels the reader cannot
+    * produce are skipped (truncated trailers). */
+  private def readFrames[T](bytes: Array[Byte],
+      f: (Int, java.awt.image.BufferedImage) => T): Seq[T] = probe(bytes) match {
     case None => Seq.empty
     case Some(_) =>
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -115,14 +115,11 @@ object ImageCodec {
           try {
             reader.setInput(iis)
             val n = try reader.getNumImages(true) catch { case _: Exception => 1 }
-            val out = Seq.newBuilder[FrameStats]
+            val out = Seq.newBuilder[T]
             var i = 0
             while (i < math.max(1, n)) {
               val img = try reader.read(i) catch { case _: Exception => null }
-              if (img != null) {
-                val (w, h, meanLuma, _, _, _) = pixelStats(img)
-                out += FrameStats(i, w, h, meanLuma)
-              }
+              if (img != null) out += f(i, img)
               i += 1
             }
             out.result()
@@ -131,21 +128,47 @@ object ImageCodec {
       } finally iis.close()
   }
 
+  /** Per-frame decode of a MULTI-frame container (animated GIF — the one
+    * video-like format with a pure-JVM codec). Each frame is fully pixel-
+    * decoded; single-frame formats yield one entry. */
+  def frames(bytes: Array[Byte]): Seq[FrameStats] = readFrames(bytes, {
+    (i, img) =>
+      val (w, h, meanLuma, _, _, _) = pixelStats(img)
+      FrameStats(i, w, h, meanLuma)
+  })
+
+  /** Per-frame perceptual hash: (frameIdx, 56-bit [[dHash]] of the frame's
+    * 8×8 area-average thumbnail) — the video-dedup kernel (each frame gets
+    * the same hash its still-image twin would). */
+  def frameDHashes(bytes: Array[Byte]): Seq[(Int, Long)] = readFrames(bytes, {
+    (i, img) =>
+      val (_, _, _, _, _, thumb) = pixelStats(img)
+      (i, dHash(thumb))
+  })
+
   /** Serialize constant-color frames as an ANIMATED GIF via the JDK's GIF
     * writer (fixture builder — the writer twin of [[frames]], used by specs
     * and the oracle query; single solid colors survive palettization
     * exactly). */
-  def writeGifAnimation(w: Int, h: Int, frameColors: Seq[Int]): Array[Byte] = {
+  def writeGifAnimation(w: Int, h: Int, frameColors: Seq[Int]): Array[Byte] =
+    writeGifAnimationImages(frameColors.map { rgb =>
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgb)
+      bi
+    })
+
+  /** General form: arbitrary frames as an animated GIF. Any frame with
+    * ≤ 256 distinct colors (every fixture gradient) survives palettization
+    * bit-exactly. */
+  def writeGifAnimationImages(images: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
-      frameColors.foreach { rgb =>
-        val bi = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgb)
+      images.foreach { bi =>
         writer.writeToSequence(new javax.imageio.IIOImage(bi, null, null), null)
       }
       writer.endWriteSequence()

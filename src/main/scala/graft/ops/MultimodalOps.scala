@@ -250,6 +250,64 @@ object MultimodalOps {
       .orderBy("media_a", "media_b")
   }
 
+  /** Per-frame perceptual hashes of every clip: (media_id, pos, fhash) —
+    * real frame decode ([[ImageCodec.frameDHashes]]) sampled every
+    * `stride`-th frame. Non-video/undecodable payloads contribute no rows.
+    * Same batched `mapPartitions` shape as [[imageHashes]]. */
+  def videoFrameHashes(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.frameDHashes(bytes).iterator
+          .filter(_._1 % stride == 0)
+          .map { case (idx, h) => (id, idx.toLong, h) }
+      })
+      .toDF("media_id", "pos", "fhash")
+  }
+
+  /**
+   * VIDEO near-duplicate pairs: clips whose time-aligned sampled frames
+   * match (per-frame dHash within Hamming `maxDist`) at ≥ `minMatchFrac`
+   * of the shorter clip's sampled frames — the temporal composition of
+   * the image pipeline. Candidates come from an equi-join on
+   * (pos, band, chunk): the frame POSITION rides the bucket key, so only
+   * time-aligned hash-colliding frames ever meet — never all-pairs, never
+   * cross-position blowup. Re-encoded / brightness-shifted copies match
+   * every frame; a partial edit keeps matching outside the edited span;
+   * different material never pairs.
+   */
+  def videoNearDupPairs(media: DataFrame, maxDist: Int = 3, stride: Int = 1,
+      minMatchFrac: Double = 0.5): DataFrame = {
+    require(minMatchFrac > 0 && minMatchFrac <= 1, "minMatchFrac in (0, 1]")
+    val fh = videoFrameHashes(media, stride)
+    val counts = fh.groupBy("media_id").agg(count(lit(1)).as("n"))
+    val ch = fh.select(col("media_id"), col("pos"), col("fhash"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> named_struct('band', c, 'chunk', (fhash >> (c * 14)) & 16383))"
+        )).as("x"))
+      .select(col("media_id"), col("pos"), col("fhash"),
+        col("x.band").cast("long").as("band"), col("x.chunk").as("chunk"))
+    val matched = ch.as("a").join(ch.as("b"),
+        col("a.pos") === col("b.pos") && col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.pos").as("pos"), col("a.fhash").as("fa"), col("b.fhash").as("fb"))
+      .dropDuplicates("media_a", "media_b", "pos")
+      .filter(expr("bit_count(fa ^ fb)") <= maxDist)
+      .groupBy("media_a", "media_b").agg(count(lit(1)).as("n_matched"))
+    matched
+      .join(counts.select(col("media_id").as("media_a"), col("n").as("n_a")), "media_a")
+      .join(counts.select(col("media_id").as("media_b"), col("n").as("n_b")), "media_b")
+      .filter(col("n_matched") >= ceil(least(col("n_a"), col("n_b")) * lit(minMatchFrac)))
+      .select(col("media_a"), col("media_b"), col("n_matched"),
+        least(col("n_a"), col("n_b")).as("n_frames"))
+      .orderBy("media_a", "media_b")
+  }
+
   /** Byte-balanced repartitioning ahead of decode: range-partition on a
     * size-bucketed key so a few huge payloads don't skew one task. */
   def repartitionBySize(media: DataFrame, partitions: Int): DataFrame =

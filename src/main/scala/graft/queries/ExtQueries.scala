@@ -1274,6 +1274,74 @@ object ExtQueries {
              |FROM p WHERE bit_count(xor(aa, ab)) <= 3
              |ORDER BY media_a, media_b""".stripMargin)),
 
+    // X5: VIDEO near-dup — the temporal composition of the image pipeline:
+    // real per-frame decode (animated GIF) → per-frame dHash → banded
+    // candidate join KEYED BY FRAME POSITION (time-aligned, never
+    // all-pairs) → clips pair when ≥ half the shorter clip's frames match
+    // within Hamming 3. Fixtures are closed-form 8×8 gray-gradient frames
+    // (hash = rowBits pattern verbatim, exact through GIF palettization):
+    // clip 2 is clip 1 brightness-shifted (3/3 frames at distance 0),
+    // clip 3 shares frame 0 exactly + frame 1 at distance 2 with a
+    // different frame 2 (2/3 → still a near-dup), clip 4 is inverted
+    // material (no banded candidate at any position). The oracle pins the
+    // 12 frame hashes and replays banding → aligned pairs → the
+    // match-fraction gate in SQL.
+    Q("x5_video_neardup",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageCodec
+        def frame(rowBits: Seq[Int], base: Int): java.awt.image.BufferedImage = {
+          val bi = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (r <- 0 until 8) {
+            var v = base
+            bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+            for (c <- 0 until 7) {
+              v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
+              bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+            }
+          }
+          bi
+        }
+        def gif(patterns: Seq[Seq[Int]], base: Int): Array[Byte] =
+          ImageCodec.writeGifAnimationImages(patterns.map(frame(_, base)))
+        val bitsP = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+        val bitsQ = Seq.fill(8)(0x33)
+        val bitsR = Seq.fill(8)(0x0F)
+        val bitsQ2 = Seq(0x32, 0x33, 0x32) ++ Seq.fill(5)(0x33) // flips 2 bits of Q
+        val bitsT = Seq.fill(8)(0x11)
+        val media = Seq(
+          (1L, gif(Seq(bitsP, bitsQ, bitsR), 100)),
+          (2L, gif(Seq(bitsP, bitsQ, bitsR), 140)),        // brightness copy
+          (3L, gif(Seq(bitsP, bitsQ2, bitsT), 100)),       // partial edit
+          (4L, gif(Seq(bitsP.map(_ ^ 0x7f), bitsQ.map(_ ^ 0x7f),
+            bitsR.map(_ ^ 0x7f)), 100)),                    // inverted material
+          (5L, "not a video".getBytes)).toDF("media_id", "content")
+        MultimodalOps.videoNearDupPairs(media, maxDist = 3, minMatchFrac = 0.5)
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(24019198012642645 AS BIGINT)),
+             |    (1, 1, 28936514141215155), (1, 2, 8510739453298575),
+             |    (2, 0, 24019198012642645), (2, 1, 28936514141215155), (2, 2, 8510739453298575),
+             |    (3, 0, 24019198012642645), (3, 1, 28936514141198770), (3, 2, 9645504713738385),
+             |    (4, 0, 48038396025285290), (4, 1, 43121079896712780), (4, 2, 63546854584629360)
+             |  ) AS t(media_id, pos, fhash)),
+             |ch AS (SELECT media_id, pos, fhash, c AS band,
+             |         (fhash >> CAST(c * 14 AS INTEGER)) & 16383 AS chunk
+             |       FROM h, range(4) r(c)),
+             |p AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+             |        a.pos AS pos, a.fhash AS fa, b.fhash AS fb
+             |      FROM ch a JOIN ch b ON a.pos = b.pos AND a.band = b.band
+             |        AND a.chunk = b.chunk AND a.media_id < b.media_id),
+             |m AS (SELECT media_a, media_b, CAST(COUNT(*) AS BIGINT) AS n_matched
+             |      FROM p WHERE bit_count(xor(fa, fb)) <= 3 GROUP BY 1, 2),
+             |cnt AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1)
+             |SELECT media_a, media_b, n_matched, least(ca.n, cb.n) AS n_frames
+             |FROM m JOIN cnt ca ON ca.media_id = m.media_a
+             |       JOIN cnt cb ON cb.media_id = m.media_b
+             |WHERE n_matched >= ceil(least(ca.n, cb.n) * 0.5)
+             |ORDER BY media_a, media_b""".stripMargin)),
+
     // X5: INCREMENTAL image dedup — the persistent Hamming-banded perceptual
     // index (ImageDedupIndex) as an engine table: batch 0 seeds two distinct
     // images; batch 1 brings a brightness-shifted re-encode of image 1

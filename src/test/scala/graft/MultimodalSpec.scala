@@ -277,6 +277,53 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
   }
 
+  test("videoNearDupPairs: time-aligned frame hashes; brightness copy 3/3, partial edit 2/3, inverted 0/3") {
+    import graft.ops.ImageCodec
+    def frame(rowBits: Seq[Int], base: Int): java.awt.image.BufferedImage = {
+      val bi = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (r <- 0 until 8) {
+        var v = base
+        bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+        for (c <- 0 until 7) {
+          v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
+          bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+        }
+      }
+      bi
+    }
+    def gif(ps: Seq[Seq[Int]], base: Int): Array[Byte] =
+      ImageCodec.writeGifAnimationImages(ps.map(frame(_, base)))
+    val p = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+    val q = Seq.fill(8)(0x33)
+    val r = Seq.fill(8)(0x0F)
+    val q2 = Seq(0x32, 0x33, 0x32) ++ Seq.fill(5)(0x33) // 2 bits off q
+    val t = Seq.fill(8)(0x11)
+    // per-frame hashes are the rowBits patterns verbatim (closed form)
+    val fh = ImageCodec.frameDHashes(gif(Seq(p, q), 100))
+    assert(fh === Seq((0, 24019198012642645L), (1, 28936514141215155L)))
+    val media = Seq(
+      (1L, gif(Seq(p, q, r), 100)),
+      (2L, gif(Seq(p, q, r), 140)),  // brightness shift: every frame matches
+      (3L, gif(Seq(p, q2, t), 100)), // frame 0 exact, 1 at dist 2, 2 distinct
+      (4L, gif(Seq(p.map(_ ^ 0x7f), q.map(_ ^ 0x7f), r.map(_ ^ 0x7f)), 100)),
+      (5L, "not a video".getBytes)
+    ).toDF("media_id", "content")
+    val pairs = MultimodalOps.videoNearDupPairs(media, maxDist = 3, minMatchFrac = 0.5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 3L, 3L), (1L, 3L, 2L, 3L), (2L, 3L, 2L, 3L)))
+    // raising the bar to a full match keeps only the brightness copy
+    val strict = MultimodalOps.videoNearDupPairs(media, maxDist = 3, minMatchFrac = 1.0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(strict === Set((1L, 2L, 3L, 3L)))
+    // stride sampling keeps positions 0 and 2: the edit clip matches only
+    // at position 0 now (1 of 2 — inside a 0.5 bar, outside a full match)
+    val strided = MultimodalOps.videoNearDupPairs(media, maxDist = 3, stride = 2,
+        minMatchFrac = 0.5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(strided === Set((1L, 2L, 2L, 2L), (1L, 3L, 1L, 2L), (2L, 3L, 1L, 2L)))
+  }
+
   // window amplitudes walk ±`step` from `base` by the 32-bit delta pattern;
   // 8 constant frames per window, mono 16-bit → fingerprint == pattern.
   private def patternWav(pattern: Long, base: Int = 2000, step: Int = 400,
