@@ -1740,6 +1740,53 @@ object ReplayQueries {
            |) AS t(trans_id, event, amount, cat) ORDER BY trans_id""".stripMargin
       }),
 
+    // UNION ALL MV maintenance (E164): union is LINEAR, so an append-only
+    // interval on either source refreshes with ONE application of the
+    // definition to the pair of deltas (leg 1 maps Δfact, leg 2 maps Δdim;
+    // a quiet leg substitutes an empty frame). Reason must name the union
+    // tier; contents must equal the direct union of the final sources.
+    Q("cdc_sql_mv_incr_union",
+      (s, _) => {
+        val cat = s"graft_mu${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mu").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        TransactionalTable.create(s, s"$warehouse/db/archive", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        s.sql(s"INSERT INTO $cat.db.archive VALUES " +
+          "(900, 'c900', 'visit', 'SKU900', 11, 'pc', NULL)")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.all_events AS " +
+          s"SELECT trans_id, event, amount FROM $cat.db.retail WHERE amount >= 20 " +
+          s"UNION ALL SELECT trans_id, event, amount FROM $cat.db.archive")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'visit', 'SKU500', 555, 'pc', NULL), " +
+          "(501, 'c501', 'cart', 'SKU501', 5, 'pc', NULL)") // filtered out
+        s.sql(s"INSERT INTO $cat.db.archive VALUES " +
+          "(901, 'c901', 'cart', 'SKU901', 7, 'tablet', NULL)")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.all_events')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-union"),
+          s"expected the union IVM path, got '$refreshed'")
+        s.sql(s"SELECT trans_id, event, amount FROM $cat.db.all_events ORDER BY trans_id")
+      },
+      Some {
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) }
+          .filter(_._3 >= 20) ++
+          Seq((500L, "visit", 555), (900L, "visit", 11), (901L, "cart", 7)))
+          .sortBy(_._1)
+          .map { case (id, ev, amt) => s"(CAST($id AS BIGINT), '$ev', $amt)" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
+      }),
+
     // AGGREGATE over a JOIN MV maintenance (E162 composition): the
     // star-schema summary table — per-category totals over fact ⋈ dim —
     // refreshes by aggregating the join's IVM row delta and merging only

@@ -1318,7 +1318,14 @@ private[sql] object GraftMvRefresh {
     val aggJoin =
       if (rowJoin) None
       else analyzedShape.flatMap(a => aggShape(a, joinPreservingShape))
-    if (!rowJoin && aggJoin.isEmpty) return None
+    // UNION ALL of two row-preserving legs: union is LINEAR, so the whole
+    // delta is ONE application of the definition to (ΔA, ΔB) — leg 1 maps
+    // ΔA, leg 2 maps ΔB, nothing touches old data. SQL UNION (distinct)
+    // parses as Distinct(Union) and fails this gate — a new row duplicating
+    // an old one would double on append, so it recomputes.
+    val unionAll =
+      !rowJoin && aggJoin.isEmpty && analyzedShape.exists(unionPreservingShape)
+    if (!rowJoin && aggJoin.isEmpty && !unionAll) return None
     val aggResolved = aggJoin.map { case (g, ks) =>
       val aliases = meta.current.columnAliases
       val analyzedNames = analyzedShape.get.output.map(_.name)
@@ -1383,6 +1390,23 @@ private[sql] object GraftMvRefresh {
                 val aliases = meta.current.columnAliases
                 if (out0.columns.toSeq != aliases) out0.toDF(aliases: _*) else out0
               }
+              if (unionAll) {
+                // one application: empty-interval legs substitute an empty
+                // frame of the source's schema (plan-only, reads nothing)
+                val out = applyDef(
+                  dA.getOrElse(ta.scanAt(v0a).limit(0)),
+                  dB.getOrElse(tb.scanAt(v0b).limit(0)))
+                val sameSchema =
+                  out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+                    storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
+                if (!sameSchema) None
+                else {
+                  val n = out.count()
+                  storage.append(out, batchId = v1a + v1b,
+                    writerId = Some(writerId))
+                  Some((s"incremental-union: +$n rows", n, updated))
+                }
+              } else {
               val terms =
                 dA.map(d => applyDef(d, tb.scanAt(v1b))).toSeq ++
                 dB.map(d => applyDef(ta.scanAt(v0a), d)).toSeq
@@ -1429,6 +1453,7 @@ private[sql] object GraftMvRefresh {
                     Some((s"incremental-join-agg: $nG groups merged", nG, updated))
                 }
               }
+              }
             case _ => None
           }
         }
@@ -1446,6 +1471,17 @@ private[sql] object GraftMvRefresh {
     case j: Join =>
       j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
         rowPreservingShape(j.left) && rowPreservingShape(j.right)
+    case _ => false
+  }
+
+  /** Row-preserving chain over a two-leg UNION ALL of leaf chains. SQL
+    * UNION (distinct) parses as Distinct(Union) and fails this gate. */
+  private def unionPreservingShape(analyzed: LogicalPlan): Boolean = analyzed match {
+    case Project(_, c) => unionPreservingShape(c)
+    case Filter(_, c) => unionPreservingShape(c)
+    case SubqueryAlias(_, c) => unionPreservingShape(c)
+    case u: Union =>
+      u.children.size == 2 && u.children.forall(rowPreservingShape)
     case _ => false
   }
 

@@ -456,6 +456,43 @@ class ViewSqlSpec extends SparkSpec {
     assert(rAvg.startsWith("stale:"), s"AVG must recompute, got: $rAvg")
   }
 
+  test("union MV: UNION ALL of two sources refreshes with one delta application; UNION falls back") {
+    val (cat, w) = freshJoin() // db.t(id, v) + db.d(id, name)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.uni AS " +
+      s"SELECT id, v * 2 AS x FROM $cat.db.t WHERE v >= 20 " +
+      s"UNION ALL SELECT id, id AS x FROM $cat.db.d")
+    assert(spark.sql(s"SELECT x FROM $cat.db.uni ORDER BY x")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 40L, 60L))
+    val storageV0 = TransactionalTable.open(spark, s"$w/db/uni/_storage").currentVersion
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40), (5, 5)") // 5 filtered out
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (9, 'z')")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.uni')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true)
+    assert(r._2.startsWith("incremental-union"), s"expected union tier, got: $r")
+    assert(spark.sql(s"SELECT x FROM $cat.db.uni ORDER BY x")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 9L, 40L, 60L, 80L))
+    assert(TransactionalTable.open(spark, s"$w/db/uni/_storage").currentVersion
+      === storageV0 + 1)
+    // a one-sided interval substitutes an empty frame for the quiet leg
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (11, 'w')")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.uni')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-union: +1"), s"got: $r2")
+    // UNION (distinct) cannot append-maintain: a new row duplicating an
+    // old one would double — must recompute
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.unid AS " +
+      s"SELECT id FROM $cat.db.t UNION SELECT id FROM $cat.db.d")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (100, 1)")
+    val rd = spark.sql(s"CALL $cat.system.refresh_mv('db.unid')")
+      .select("reason").as[String].head()
+    assert(rd.startsWith("stale:"), s"UNION distinct must recompute, got: $rd")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.unid").as[Long].head() ===
+      spark.sql(s"SELECT count(DISTINCT id) AS n FROM " +
+        s"(SELECT id FROM $cat.db.t UNION ALL SELECT id FROM $cat.db.d)")
+        .as[Long].head())
+  }
+
   test("join MV: self-joins and outer joins never ride the join tier") {
     val (cat, _) = freshJoin()
     // self-join: the mixed delta terms need occurrence-level substitution
