@@ -1413,6 +1413,70 @@ object ExtQueries {
              |  UNION ALL SELECT CAST(17 AS BIGINT)
              |) ORDER BY media_id""".stripMargin)),
 
+    // X5: INCREMENTAL audio dedup — the [[HammingIndex]] core instantiated
+    // over the gain-invariant energy-delta fingerprint (AudioDedupIndex),
+    // mirroring x5_image_index batch-for-batch: batch 0 seeds two distinct
+    // clips; batch 1 brings a HALF-VOLUME copy of clip 1 (corpus dup,
+    // distance 0 — the invariance the delta hash buys), a 2-delta-flipped
+    // variant (corpus NEAR-dup, distance 2), a fresh clip, its in-batch
+    // volume copy, and a non-WAV payload (kept, hashless). Output =
+    // batch-1 kept ids. All fingerprints are closed-form amplitude walks
+    // (pinned literals), so DuckDB replays banding → corpus filter →
+    // in-batch rule exactly, including the two replay-fenced commits.
+    Q("x5_audio_index",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.WavCodec
+        def wav(pattern: Long, div: Int): Array[Byte] = {
+          val v = new Array[Int](33)
+          v(0) = 2000
+          for (k <- 0 until 32)
+            v(k + 1) = v(k) + (if (((pattern >> k) & 1L) == 1L) 400 else -400)
+          WavCodec.write(v.flatMap(x => Array.fill(8)(x / div)), 1, 8000, 16)
+        }
+        val pA = 0x55555555L
+        val pC = pA | (1L << 3) | (1L << 17)
+        val pD = ~pA & 0xffffffffL
+        val pE = 0x33333333L
+        val b0 = Seq((1L, wav(pA, 1)), (4L, wav(pD, 1))).toDF("media_id", "content")
+        val b1 = Seq(
+          (11L, wav(pA, 2)),            // corpus dup of 1 (half volume)
+          (13L, wav(pC, 1)),            // corpus near-dup of 1 (distance 2)
+          (15L, wav(pE, 1)),            // fresh
+          (16L, wav(pE, 2)),            // in-batch dup of 15
+          (17L, "not audio".getBytes))  // hashless: kept
+          .toDF("media_id", "content")
+        val root = java.nio.file.Files.createTempDirectory("graft_aud_idx").toString + "/idx"
+        val index = graft.ops.AudioDedupIndex.create(s, root)
+        graft.ops.AudioDedupIndex.appendBatch(index, b0, 0)
+        graft.ops.AudioDedupIndex.appendBatch(index, b1, 1)
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), 0, CAST(1431655765 AS BIGINT)),
+             |    (4, 0, 2863311530),
+             |    (11, 1, 1431655765),
+             |    (13, 1, 1431786845),
+             |    (15, 1, 858993459),
+             |    (16, 1, 858993459)) AS t(media_id, batch, ahash)),
+             |ch AS (SELECT media_id, batch, ahash, c AS band,
+             |         (ahash >> CAST(c * 8 AS INTEGER)) & 255 AS chunk
+             |       FROM h, range(4) r(c)),
+             |cdup AS (SELECT DISTINCT b.media_id FROM ch b JOIN ch i
+             |         ON b.batch = 1 AND i.batch = 0 AND b.band = i.band
+             |           AND b.chunk = i.chunk
+             |           AND bit_count(xor(b.ahash, i.ahash)) <= 3),
+             |cand AS (SELECT * FROM ch WHERE batch = 1
+             |         AND media_id NOT IN (SELECT media_id FROM cdup)),
+             |bdup AS (SELECT DISTINCT a.media_id FROM cand a JOIN cand b
+             |         ON a.band = b.band AND a.chunk = b.chunk
+             |           AND b.media_id < a.media_id
+             |           AND bit_count(xor(a.ahash, b.ahash)) <= 3)
+             |SELECT media_id FROM (
+             |  SELECT DISTINCT media_id FROM cand
+             |  WHERE media_id NOT IN (SELECT media_id FROM bdup)
+             |  UNION ALL SELECT CAST(17 AS BIGINT)
+             |) ORDER BY media_id""".stripMargin)),
+
     // X4: BPE-ish token counting — letter runs, single digits, single
     // punctuation (the GPT-2-style pre-tokenizer shape); identical regex
     // semantics in Java and RE2 for this class-only pattern.

@@ -93,4 +93,36 @@ class ImageDedupIndexSpec extends SparkSpec {
     assert(last <= first * 3.0,
       f"appendBatch wall time grew: first5=$first%.2fs last5=$last%.2fs")
   }
+
+  test("AudioDedupIndex: the same HammingIndex core over the energy-delta fingerprint") {
+    import graft.ops.{AudioDedupIndex, WavCodec}
+    def wav(pattern: Long, div: Int): Array[Byte] = {
+      val v = new Array[Int](33)
+      v(0) = 2000
+      for (k <- 0 until 32)
+        v(k + 1) = v(k) + (if (((pattern >> k) & 1L) == 1L) 400 else -400)
+      WavCodec.write(v.flatMap(x => Array.fill(8)(x / div)), 1, 8000, 16)
+    }
+    val pA = 0x55555555L
+    val pE = 0x33333333L
+    val index = AudioDedupIndex.create(spark, tmpDir("aud-index") + "/idx")
+    assert(AudioDedupIndex.appendBatch(index,
+        Seq((1L, wav(pA, 1))).toDF("media_id", "content"), 0)
+      .as[Long].collect().toSeq === Seq(1L))
+    // batch 1: half-volume corpus dup of 1 dropped; fresh kept; its
+    // in-batch volume copy dropped; non-WAV kept hashless
+    val b1 = Seq(
+      (11L, wav(pA, 2)),
+      (15L, wav(pE, 1)),
+      (16L, wav(pE, 2)),
+      (17L, "not audio".getBytes)).toDF("media_id", "content")
+    assert(AudioDedupIndex.appendBatch(index, b1, 1)
+      .as[Long].collect().toSeq === Seq(15L, 17L))
+    // replay fence: re-delivered batch recomputes the identical kept set,
+    // index version does not advance
+    val v = graft.table.TransactionalTable.open(spark, index.root).currentVersion
+    assert(AudioDedupIndex.appendBatch(index, b1, 1)
+      .as[Long].collect().toSeq === Seq(15L, 17L))
+    assert(graft.table.TransactionalTable.open(spark, index.root).currentVersion === v)
+  }
 }
