@@ -174,7 +174,8 @@ object Bench {
     val hiCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI_COPIES", "30").toInt
     val heavy = Seq("cdc_events_replay", "x2_dedup_index", "x2_dup_spans",
       "x4_tfidf", "x7_q5_revenue_by_nation", "x2_line_dedup",
-      "x4_corpus_build", "x1_dedup_keep_best", "x3_ann_index")
+      "x4_corpus_build", "x1_dedup_keep_best", "x3_ann_index",
+      "cdc_corpus_stream")
     val baseSec = results.toMap
     var hiJson = ""
     var hiCompactJson = "" // factors-only twin, built alongside (never parsed back)

@@ -1537,7 +1537,10 @@ object ExtQueries {
              |SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
              |       COALESCE(agg.n_bpe_symbols, 0) AS n_bpe_symbols
              |FROM documents d LEFT JOIN agg USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin)),
+             |ORDER BY d.doc_id""".stripMargin),
+      // headline: the tokenize-everything scan — learn on the sample,
+      // encode the FULL corpus in one zero-shuffle codegen'd projection
+      headline = true),
 
     // X6: typed JSON parse via from_json with an explicit schema (the
     // streaming-safe form — no inference), vs get_json_object's path probe.
