@@ -273,8 +273,12 @@ object Bench {
     val compactScaled =
       if (scaledTotal.isNaN) ""
       else s""","scaled_total":${r3(scaledTotal)},"scaled_copies":$scaleCopies"""
+    // batch_sec dropped from the COMPACT line only (r14: 30 headlines
+    // pushed the line to 2108 chars, past the driver's 2000-char tail
+    // window) — the streaming-tier p50/p95 live in the full artifact the
+    // "full" pointer names.
     val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$floorJson$errJson$compactScaled$hiCompactJson$batchJson$compactOracle,"full":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$floorJson$errJson$compactScaled$hiCompactJson$compactOracle,"full":"BENCH_LAST.json"}"""
     if (compactLine.length >= 1950)
       System.err.println(s"WARNING: compact bench line ${compactLine.length} chars — " +
         "approaching the driver's 2000-char tail window; trim a block")
