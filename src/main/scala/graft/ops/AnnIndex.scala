@@ -234,9 +234,19 @@ object AnnIndex {
    * partition-pruned at the manifest — only the probed cells' files are
    * planned at all, nprobe/cells of the index regardless of corpus size.
    * Unit vectors throughout: dot = cosine, bit-identical to the oracle.
+   *
+   * FILTERED search (`allowed`): an id allowlist (column `vec_id` — any
+   * metadata predicate evaluated on the source table) PRE-FILTERS the
+   * in-cell candidates before ranking, so the result is the exact top-k of
+   * the allowed set within the probed cells — vector stores call this
+   * pre-filter semantics. The allowlist rides a semi-join (broadcast when
+   * small, hash otherwise); under a highly selective filter raise `nprobe`
+   * — probed cells may hold few allowed rows, the standard filtered-ANN
+   * recall trade.
    */
   def probe(h: Handle, queries: DataFrame, k: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cent = h.centroidVectors
     val q = queries.select(col(idCol).cast("long").as("qid"), unit(vecCol).as("qv"))
     // nprobe nearest cells per query (same expression shape as ivfTopK)
@@ -252,10 +262,12 @@ object AnnIndex {
     // so the union of probed cells is driver-known and exact.
     val probedCells = probes.select("cell").distinct().collect()
       .map(_.getLong(0).toString).toSet
-    val cand = h.assignments.scanPartitions(p => p.exists(probedCells))
+    val cand0 = h.assignments.scanPartitions(p => p.exists(probedCells))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("cos", SimilarityOps.dot(col("qv"), col("v")))
+    val cand = allowed.fold(cand0)(a =>
+      cand0.join(a.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
     cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -15,6 +15,39 @@ object ExtQueries {
   private val DuckToks =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
+  /** DuckDB-side persistent-ANN-index replay (mirrors the x3_ann_index
+    * flow: 3-batch build with md5-stride seed choice → frozen centroids →
+    * assignment → nprobe=4 probe → in-cell exact top-5). `scExtra` injects
+    * an extra candidate predicate — the FILTERED-search variant
+    * (`x3_ann_index_filtered`) is this oracle plus one membership test. */
+  private def duckAnnIndexSql(scExtra: String): String =
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       |e AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e0),
+       |b0 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+       |nn AS (SELECT COUNT(*) AS n FROM b0),
+       |seeds0 AS (SELECT vec_id FROM b0, nn
+       |           WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % GREATEST(1, n // 16) = 0
+       |           ORDER BY vec_id LIMIT 16),
+       |seeds AS (SELECT vec_id FROM seeds0
+       |          UNION ALL
+       |          SELECT vec_id FROM (SELECT vec_id FROM b0 ORDER BY vec_id LIMIT 16) f
+       |          WHERE (SELECT COUNT(*) FROM seeds0) = 0),
+       |cent AS (SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cell, e.v AS cv
+       |         FROM seeds s JOIN e ON e.vec_id = s.vec_id),
+       |asg AS (SELECT vec_id, cell FROM (
+       |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+       |          FROM e, cent c) z WHERE rn = 1),
+       |pr AS (SELECT vec_id AS qid, cell FROM (
+       |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+       |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 4),
+       |sc AS (SELECT pr.qid, a.vec_id AS nid, list_dot_product(qe.v, ae.v) AS cos
+       |       FROM pr JOIN asg a ON a.cell = pr.cell
+       |       JOIN e qe ON qe.vec_id = pr.qid JOIN e ae ON ae.vec_id = a.vec_id
+       |       WHERE a.vec_id <> pr.qid$scExtra)
+       |SELECT qid, nid AS neighbor_id, rnk FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM sc) z
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** DuckDB-side BPE merge learning (mirrors BpeOps.learnMerges, 4 merges on
     * the md5 %4 sample): the b1..b4 CTEs are the learned merge table, shared
     * by the learn oracle (`x4_bpe_learn`) and the apply oracle
@@ -885,36 +918,35 @@ object ExtQueries {
         AnnIndex.probe(AnnIndex.open(s, root), e.filter(col("vec_id") < 8),
           k = 5, nprobe = 4).orderBy("qid", "rnk")
       },
-      Some("""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
-             |e AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e0),
-             |b0 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
-             |nn AS (SELECT COUNT(*) AS n FROM b0),
-             |seeds0 AS (SELECT vec_id FROM b0, nn
-             |           WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % GREATEST(1, n // 16) = 0
-             |           ORDER BY vec_id LIMIT 16),
-             |seeds AS (SELECT vec_id FROM seeds0
-             |          UNION ALL
-             |          SELECT vec_id FROM (SELECT vec_id FROM b0 ORDER BY vec_id LIMIT 16) f
-             |          WHERE (SELECT COUNT(*) FROM seeds0) = 0),
-             |cent AS (SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cell, e.v AS cv
-             |         FROM seeds s JOIN e ON e.vec_id = s.vec_id),
-             |asg AS (SELECT vec_id, cell FROM (
-             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
-             |          FROM e, cent c) z WHERE rn = 1),
-             |pr AS (SELECT vec_id AS qid, cell FROM (
-             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
-             |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 4),
-             |sc AS (SELECT pr.qid, a.vec_id AS nid, list_dot_product(qe.v, ae.v) AS cos
-             |       FROM pr JOIN asg a ON a.cell = pr.cell
-             |       JOIN e qe ON qe.vec_id = pr.qid JOIN e ae ON ae.vec_id = a.vec_id
-             |       WHERE a.vec_id <> pr.qid)
-             |SELECT qid, nid AS neighbor_id, rnk FROM (
-             |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM sc) z
-             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+      Some(duckAnnIndexSql(scExtra = "")),
       // headline: the r13 verdict asks 30x coverage for the persistent ANN
       // index; a fenced micro-batch pipeline -> streaming tier (native
       // shuffle partitions, freshness-framed like x2_dedup_index)
       headline = true, streaming = true),
+
+    // X3: FILTERED ANN search over the persistent index — pre-filter
+    // semantics: the exact top-k of the ALLOWED set (documents with
+    // lang = 'en', the metadata predicate a real filtered vector search
+    // pushes) within each query's probed cells. The allowlist rides a
+    // semi-join on the in-cell candidates; everything else — seed choice,
+    // frozen centroids, probe cells, in-cell exact scoring — is the
+    // x3_ann_index flow, so the oracle is that oracle plus ONE predicate.
+    Q("x3_ann_index_filtered",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val root = java.nio.file.Files.createTempDirectory("graft_ann_indexf")
+          .toString + "/idx"
+        val h = AnnIndex.create(s, root, e.filter(col("vec_id") % 3 === 0),
+          cells = 16)
+        (0 until 3).foreach(b => AnnIndex.appendBatch(h,
+          e.filter(col("vec_id") % 3 === b), batchId = b, compactEvery = 2))
+        val allowed = Tables.load(s, d, "documents")
+          .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+        AnnIndex.probe(AnnIndex.open(s, root), e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 4, allowed = Some(allowed)).orderBy("qid", "rnk")
+      },
+      Some(duckAnnIndexSql(scExtra =
+        "\n|         AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"))),
 
     // X3: recall certificate for the LLOYD-REFINED IVF path (iters=3 — the
     // configuration the 100 TB plan actually runs; x3_ann_ivf_topk oracles
