@@ -1787,6 +1787,55 @@ object ReplayQueries {
            |) AS t(trans_id, event, amount) ORDER BY trans_id""".stripMargin
       }),
 
+    // AGGREGATE over a UNION ALL MV (E164 composition — completes the
+    // {row, aggregate} × {single-source, join, union} maintenance matrix):
+    // per-event totals over retail ∪ archive refresh by aggregating the
+    // single delta application and merging only the changed groups.
+    Q("cdc_sql_mv_incr_union_agg",
+      (s, _) => {
+        val cat = s"graft_mua${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mua").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        TransactionalTable.create(s, s"$warehouse/db/archive", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        s.sql(s"INSERT INTO $cat.db.archive VALUES " +
+          "(900, 'c900', 'visit', 'SKU900', 11, 'pc', NULL)")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.ev_tot " +
+          s"TBLPROPERTIES('pk'='event') AS " +
+          s"SELECT event, SUM(amount) AS total, COUNT(*) AS n FROM (" +
+          s"  SELECT event, amount FROM $cat.db.retail " +
+          s"  UNION ALL SELECT event, amount FROM $cat.db.archive" +
+          s") GROUP BY event")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'visit', 'SKU500', 555, 'pc', NULL)")
+        s.sql(s"INSERT INTO $cat.db.archive VALUES " +
+          "(901, 'c901', 'wish', 'SKU901', 7, 'tablet', NULL)") // new group
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.ev_tot')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-union-agg"),
+          s"expected the union-agg IVM path, got '$refreshed'")
+        s.sql(s"SELECT event, total, n FROM $cat.db.ev_tot ORDER BY event")
+      },
+      Some {
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (_, _, ev, _, amt, _, _) => (ev, amt) } ++
+          Seq(("visit", 555), ("visit", 11), ("wish", 7)))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (ev, rs) =>
+            s"('$ev', CAST(${rs.map(_._2.toLong).sum} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT))" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, n) ORDER BY event""".stripMargin
+      }),
+
     // AGGREGATE over a JOIN MV maintenance (E162 composition): the
     // star-schema summary table — per-category totals over fact ⋈ dim —
     // refreshes by aggregating the join's IVM row delta and merging only

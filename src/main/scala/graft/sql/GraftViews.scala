@@ -1322,11 +1322,16 @@ private[sql] object GraftMvRefresh {
     // delta is ONE application of the definition to (ΔA, ΔB) — leg 1 maps
     // ΔA, leg 2 maps ΔB, nothing touches old data. SQL UNION (distinct)
     // parses as Distinct(Union) and fails this gate — a new row duplicating
-    // an old one would double on append, so it recomputes.
+    // an old one would double on append, so it recomputes. An AGGREGATE
+    // over the union maintains too: the same single application yields the
+    // interval's per-group partials, merged like the other agg tiers.
     val unionAll =
       !rowJoin && aggJoin.isEmpty && analyzedShape.exists(unionPreservingShape)
-    if (!rowJoin && aggJoin.isEmpty && !unionAll) return None
-    val aggResolved = aggJoin.map { case (g, ks) =>
+    val aggUnion =
+      if (rowJoin || aggJoin.nonEmpty || unionAll) None
+      else analyzedShape.flatMap(a => aggShape(a, unionPreservingShape))
+    if (!rowJoin && aggJoin.isEmpty && !unionAll && aggUnion.isEmpty) return None
+    val aggResolved = aggJoin.orElse(aggUnion).map { case (g, ks) =>
       val aliases = meta.current.columnAliases
       val analyzedNames = analyzedShape.get.output.map(_.name)
       val alias: Map[String, String] =
@@ -1390,7 +1395,7 @@ private[sql] object GraftMvRefresh {
                 val aliases = meta.current.columnAliases
                 if (out0.columns.toSeq != aliases) out0.toDF(aliases: _*) else out0
               }
-              if (unionAll) {
+              if (unionAll || aggUnion.nonEmpty) {
                 // one application: empty-interval legs substitute an empty
                 // frame of the source's schema (plan-only, reads nothing)
                 val out = applyDef(
@@ -1400,11 +1405,18 @@ private[sql] object GraftMvRefresh {
                   out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
                     storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
                 if (!sameSchema) None
-                else {
-                  val n = out.count()
-                  storage.append(out, batchId = v1a + v1b,
-                    writerId = Some(writerId))
-                  Some((s"incremental-union: +$n rows", n, updated))
+                else aggResolved match {
+                  case None =>
+                    val n = out.count()
+                    storage.append(out, batchId = v1a + v1b,
+                      writerId = Some(writerId))
+                    Some((s"incremental-union: +$n rows", n, updated))
+                  case Some((groupCols, aggCols)) =>
+                    // the single application IS the interval's per-group
+                    // partials — merge the changed groups into storage
+                    val (_, nG, _, _) = mergeAggDelta(spark, storage, out,
+                      groupCols, aggCols, v1a + v1b, writerId, rootA)
+                    Some((s"incremental-union-agg: $nG groups merged", nG, updated))
                 }
               } else {
               val terms =

@@ -493,6 +493,32 @@ class ViewSqlSpec extends SparkSpec {
         .as[Long].head())
   }
 
+  test("union MV: AGGREGATE over the union merges per-group deltas of the single application") {
+    val (cat, w) = freshJoin()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.uagg " +
+      s"TBLPROPERTIES('pk'='id') AS " +
+      s"SELECT id, SUM(v) AS total, COUNT(*) AS n FROM (" +
+      s"  SELECT id, v FROM $cat.db.t UNION ALL SELECT id, id AS v FROM $cat.db.d" +
+      s") GROUP BY id")
+    assert(spark.sql(s"SELECT id, total, n FROM $cat.db.uagg ORDER BY id")
+      .as[(Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 11L, 2L), (2L, 22L, 2L), (3L, 30L, 1L)))
+    val storageV0 = TransactionalTable.open(spark, s"$w/db/uagg/_storage").currentVersion
+    // group update from each leg + a brand-new group in one interval
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 300), (9, 90)")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (9, 'z')")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.uagg')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true)
+    assert(r._2.startsWith("incremental-union-agg"), s"expected union agg tier, got: $r")
+    assert(spark.sql(s"SELECT id, total, n FROM $cat.db.uagg ORDER BY id")
+      .as[(Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 11L, 2L), (2L, 22L, 2L), (3L, 330L, 2L), (9L, 99L, 2L)))
+    // delta MERGE commit, not a storage replace
+    assert(TransactionalTable.open(spark, s"$w/db/uagg/_storage").currentVersion
+      === storageV0 + 1)
+  }
+
   test("join MV: self-joins and outer joins never ride the join tier") {
     val (cat, _) = freshJoin()
     // self-join: the mixed delta terms need occurrence-level substitution
