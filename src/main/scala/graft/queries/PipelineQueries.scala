@@ -442,6 +442,110 @@ object PipelineQueries {
              |      < 0.5 * 1152921504606846976.0""".stripMargin),
       headline = true),
 
+    // STREAMING MEDIA CORPUS BUILD (the multimodal twin of
+    // cdc_corpus_stream): an image stream — two base64 JSON-lines drops —
+    // drives perceptual-hash dedup against the persistent Hamming index →
+    // replay-fenced merges of the KEPT payloads into a binary corpus
+    // engine table per micro-batch (MediaPipeline inside foreachBatch;
+    // the second drop resumes from the checkpoint). Fixtures are the
+    // closed-form 8×8 gradients, so DuckDB replays banding, BOTH batches'
+    // dedup rules, and the hashless-kept path exactly: batch 0 seeds two
+    // distinct images; batch 1 brings a brightness-shifted re-encode of
+    // image 1 (dropped), a 2-bit near-dup (dropped), a fresh image (kept),
+    // its in-batch copy (dropped), and a non-image payload (kept).
+    Q("cdc_media_stream",
+      (s, _) => {
+        import java.nio.file.{Files, Paths}
+        def img(rowBits: Seq[Int], base: Int, fmt: String): Array[Byte] = {
+          val bi = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (r <- 0 until 8) {
+            var v = base
+            bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+            for (c <- 0 until 7) {
+              v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
+              bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+            }
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(bi, fmt, bos)
+          bos.toByteArray
+        }
+        val bitsA = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+        val bitsC = Seq(0x54, 0x2A, 0x54, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+        val bitsD = bitsA.map(_ ^ 0x7f)
+        val bitsE = Seq.fill(8)(0x33)
+        val in = Files.createTempDirectory("graft_media_in").toString
+        val ckpt = Files.createTempDirectory("graft_media_ckpt").toString
+        val index = graft.ops.ImageDedupIndex.create(s,
+          Files.createTempDirectory("graft_media_idx").toString + "/idx")
+        val corpus = graft.table.TransactionalTable.create(s,
+          Files.createTempDirectory("graft_media_tbl").toString + "/corpus",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            graft.stream.MediaPipeline.CorpusSchemaDdl), "media_id")
+        def b64(b: Array[Byte]): String =
+          java.util.Base64.getEncoder.encodeToString(b)
+        def drop(name: String, rows: Seq[(Long, Array[Byte])]): Unit =
+          Files.writeString(Paths.get(in, name), rows.map { case (id, bytes) =>
+            s"""{"media_id":$id,"content_b64":"${b64(bytes)}"}"""
+          }.mkString("", "\n", "\n"))
+        def runOnce(): Unit = {
+          val q = graft.stream.MediaPipeline.run(s, in, ckpt, index, corpus)
+          q.awaitTermination()
+        }
+        drop("b0.json", Seq(
+          (1L, img(bitsA, 100, "png")), (4L, img(bitsD, 100, "png"))))
+        runOnce()
+        drop("b1.json", Seq(
+          (11L, img(bitsA, 140, "bmp")),
+          (13L, img(bitsC, 100, "png")),
+          (15L, img(bitsE, 100, "png")),
+          (16L, img(bitsE, 120, "png")),
+          (17L, "not an image".getBytes)))
+        runOnce()
+        // end state + payload-intactness proof: the STORED binaries must
+        // reproduce their closed-form hashes after the base64 → stream →
+        // fenced-merge round trip (engine-side assert; the oracle checks
+        // the kept-id set, which the dedup rules derive from these hashes)
+        val rehash = graft.ops.MultimodalOps.imageHashes(corpus.scan())
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        require(rehash == Map(1L -> 24019198012642645L,
+          4L -> 48038396025285290L, 15L -> 28936514141215155L),
+          s"stored payloads must re-hash to the closed-form literals: $rehash")
+        corpus.scan().select("media_id").orderBy("media_id")
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), 0, CAST(24019198012642645 AS BIGINT)),
+             |    (4, 0, 48038396025285290),
+             |    (11, 1, 24019198012642645),
+             |    (13, 1, 24019198012626260),
+             |    (15, 1, 28936514141215155),
+             |    (16, 1, 28936514141215155)) AS t(media_id, batch, phash)),
+             |ch AS (SELECT media_id, batch, phash, c AS band,
+             |         (phash >> CAST(c * 14 AS INTEGER)) & 16383 AS chunk
+             |       FROM h, range(4) r(c)),
+             |b0dup AS (SELECT DISTINCT a.media_id FROM ch a JOIN ch b
+             |          ON a.batch = 0 AND b.batch = 0 AND a.band = b.band
+             |            AND a.chunk = b.chunk AND b.media_id < a.media_id
+             |            AND bit_count(xor(a.phash, b.phash)) <= 3),
+             |b0k AS (SELECT * FROM ch WHERE batch = 0
+             |        AND media_id NOT IN (SELECT media_id FROM b0dup)),
+             |cdup AS (SELECT DISTINCT b.media_id FROM ch b JOIN b0k i
+             |         ON b.batch = 1 AND b.band = i.band AND b.chunk = i.chunk
+             |           AND bit_count(xor(b.phash, i.phash)) <= 3),
+             |cand AS (SELECT * FROM ch WHERE batch = 1
+             |         AND media_id NOT IN (SELECT media_id FROM cdup)),
+             |bdup AS (SELECT DISTINCT a.media_id FROM cand a JOIN cand b
+             |         ON a.band = b.band AND a.chunk = b.chunk
+             |           AND b.media_id < a.media_id
+             |           AND bit_count(xor(a.phash, b.phash)) <= 3)
+             |SELECT media_id FROM (
+             |  SELECT DISTINCT media_id FROM b0k
+             |  UNION ALL SELECT DISTINCT media_id FROM cand
+             |    WHERE media_id NOT IN (SELECT media_id FROM bdup)
+             |  UNION ALL SELECT CAST(17 AS BIGINT)
+             |) ORDER BY media_id""".stripMargin)),
+
     // STREAMING CORPUS BUILD (the production ingest posture): a document
     // stream — fixture documents split into two JSON-lines drops, even ids
     // then odd ids — drives funnel cleaning → persistent-DedupIndex dedup →

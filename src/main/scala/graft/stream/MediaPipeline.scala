@@ -1,0 +1,70 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.ImageDedupIndex
+import graft.table.TransactionalTable
+
+/**
+ * Streaming MEDIA corpus build — the multimodal twin of [[CorpusPipeline]]:
+ * an incoming stream of opaque media payloads drives, per micro-batch,
+ *
+ *   1. incremental NEAR-DUP dedup against the persistent Hamming index
+ *      ([[ImageDedupIndex]] — perceptual dHash, banded corpus filter +
+ *      in-batch rule, survivors' bands appended in a replay-fenced commit;
+ *      undecodable payloads are kept, bandless),
+ *   2. a replay-fenced MERGE of the kept media rows into the corpus
+ *      engine table (binary payload + id — the at-rest layout X5 reads).
+ *
+ * Exactly-once under restart for the same reason as the text pipeline:
+ * both commits are fenced on the micro-batch id, and a re-delivered epoch
+ * recomputes the identical kept set (survivors-only index content makes
+ * the replay's corpus filter agree with the original in-batch rule), so
+ * the corpus end state is independent of delivery count. Per-batch cost is
+ * O(batch bands ⋈ index) — never a function of corpus size.
+ *
+ * The stream envelope is JSON-lines with BASE64 payloads (binary cannot
+ * ride raw JSON); the decode to `binary` happens before the batch kernel.
+ */
+object MediaPipeline {
+
+  /** Corpus row layout: the opaque payload next to its id. */
+  val CorpusSchemaDdl = "media_id LONG, content BINARY"
+
+  /** One micro-batch: index dedup → fenced corpus commit. Safe to call from
+    * `foreachBatch`; replay-safe for a repeated `batchId`. Returns kept ids. */
+  def processBatch(index: TransactionalTable, corpus: TransactionalTable,
+      media: DataFrame, batchId: Long, compactEvery: Int = 0): DataFrame =
+    graft.util.BatchStats.timed("media_stream_batch") {
+      val spark = media.sparkSession
+      import spark.implicits._
+      val kept = ImageDedupIndex.appendBatch(index, media, batchId,
+        compactEvery = compactEvery)
+      val rows = media.join(kept.select(col("media_id")), Seq("media_id"), "left_semi")
+      corpus.merge(rows, spark.emptyDataset[Long].toDF("media_id"), batchId)
+      kept
+    }
+
+  /** The checkpointed stream: JSON-lines `{media_id, content_b64}` landing
+    * in `inputDir` → [[processBatch]] per micro-batch. Restarting with the
+    * same checkpoint resumes at the first unprocessed file; a re-delivered
+    * epoch is fenced to a no-op on both tables. */
+  def run(spark: SparkSession, inputDir: String, checkpointDir: String,
+      index: TransactionalTable, corpus: TransactionalTable,
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema("media_id LONG, content_b64 STRING")
+      .json(inputDir)
+      .select(col("media_id"), unbase64(col("content_b64")).as("content"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        processBatch(index, corpus, df, bid, compactEvery); ()
+      }
+      .trigger(trigger)
+      .start()
+}

@@ -91,4 +91,65 @@ class CorpusStreamSpec extends SparkSpec {
     assert(corpus.currentVersion === corpusV, "replay must not commit to the corpus")
     assert(corpus.scan().select("doc_id").as[Long].collect().toSet === streamed)
   }
+
+  test("media stream: perceptual dedup per micro-batch; restart resumes; replay fenced; payloads intact") {
+    import graft.stream.MediaPipeline
+    def img(codeword: Int, base: Int, fmt: String = "png"): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (r <- 0 until 8) {
+        var v = base
+        bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+        for (c <- 0 until 7) {
+          v += (if (((codeword >> c) & 1) == 1) 10 else -10)
+          bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, bos)
+      bos.toByteArray
+    }
+    def b64(b: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(b)
+    def writeMedia(dir: String, name: String, rows: Seq[(Long, Array[Byte])]): Unit =
+      Files.write(Paths.get(dir, name), rows.map { case (id, bytes) =>
+        s"""{"media_id":$id,"content_b64":"${b64(bytes)}"}"""
+      }.mkString("", "\n", "\n").getBytes)
+    val in = tmpDir("media-stream-in")
+    val cp = tmpDir("media-stream-cp")
+    val index = graft.ops.ImageDedupIndex.create(spark, tmpDir("media-stream-idx") + "/idx")
+    val corpus = TransactionalTable.create(spark, tmpDir("media-stream-tbl") + "/c",
+      org.apache.spark.sql.types.StructType.fromDDL(MediaPipeline.CorpusSchemaDdl),
+      "media_id")
+    def runOnce(): Unit = {
+      val q = MediaPipeline.run(spark, in, cp, index, corpus)
+      q.awaitTermination()
+    }
+    val b0 = Seq((1L, img(0x55, 100)), (4L, img(0x2A, 100)))
+    val b1 = Seq(
+      (11L, img(0x55, 140, "bmp")),   // brightness re-encode of 1: dropped
+      (15L, img(0x33, 100)),          // fresh
+      (16L, img(0x33, 120)),          // in-batch copy of 15: dropped
+      (17L, "not an image".getBytes)) // hashless: kept
+    writeMedia(in, "b0.json", b0)
+    runOnce()
+    assert(corpus.scan().select("media_id").as[Long].collect().toSet === Set(1L, 4L))
+    writeMedia(in, "b1.json", b1)
+    runOnce() // restart boundary: resumes from the checkpoint
+    val kept = corpus.scan().select("media_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 15L, 17L), s"end state: $kept")
+    // payloads round-trip base64 → stream → merge byte-exactly
+    val stored = corpus.scan().as[(Long, Array[Byte])].collect()
+      .map { case (id, b) => id -> b.toSeq }.toMap
+    (b0 ++ b1).filter(r => kept(r._1)).foreach { case (id, bytes) =>
+      assert(stored(id) === bytes.toSeq, s"payload $id mutated in flight")
+    }
+    // re-delivered epoch: identical kept set, no commit on either table
+    val idxRows = index.scan().count()
+    val corpusV = corpus.currentVersion
+    val replayKept = MediaPipeline.processBatch(index, corpus,
+      b1.toDF("media_id", "content"), 1L).as[Long].collect().toSet
+    assert(replayKept === Set(15L, 17L), s"replayed kept: $replayKept")
+    assert(index.scan().count() === idxRows)
+    assert(corpus.currentVersion === corpusV)
+  }
 }
