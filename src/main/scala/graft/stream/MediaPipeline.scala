@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.ImageDedupIndex
+import graft.ops.{AudioDedupIndex, ImageDedupIndex}
 import graft.table.TransactionalTable
 
 /**
@@ -34,15 +34,28 @@ object MediaPipeline {
   /** Corpus row layout: the opaque payload next to its id. */
   val CorpusSchemaDdl = "media_id LONG, content BINARY"
 
+  /** A per-batch dedup kernel: (index, media, batchId, compactEvery) →
+    * kept ids. Any [[graft.ops.HammingIndex]] binding fits. */
+  type DedupKernel = (TransactionalTable, DataFrame, Long, Int) => DataFrame
+
+  /** Perceptual dHash over decoded pixels (the default). */
+  val ImageKernel: DedupKernel =
+    (i, m, b, c) => ImageDedupIndex.appendBatch(i, m, b, compactEvery = c)
+
+  /** Gain-invariant energy-delta fingerprint over decoded PCM — the same
+    * stream with the acoustic binding. */
+  val AudioKernel: DedupKernel =
+    (i, m, b, c) => AudioDedupIndex.appendBatch(i, m, b, compactEvery = c)
+
   /** One micro-batch: index dedup → fenced corpus commit. Safe to call from
     * `foreachBatch`; replay-safe for a repeated `batchId`. Returns kept ids. */
   def processBatch(index: TransactionalTable, corpus: TransactionalTable,
-      media: DataFrame, batchId: Long, compactEvery: Int = 0): DataFrame =
+      media: DataFrame, batchId: Long, compactEvery: Int = 0,
+      kernel: DedupKernel = ImageKernel): DataFrame =
     graft.util.BatchStats.timed("media_stream_batch") {
       val spark = media.sparkSession
       import spark.implicits._
-      val kept = ImageDedupIndex.appendBatch(index, media, batchId,
-        compactEvery = compactEvery)
+      val kept = kernel(index, media, batchId, compactEvery)
       val rows = media.join(kept.select(col("media_id")), Seq("media_id"), "left_semi")
       corpus.merge(rows, spark.emptyDataset[Long].toDF("media_id"), batchId)
       kept
@@ -55,7 +68,8 @@ object MediaPipeline {
   def run(spark: SparkSession, inputDir: String, checkpointDir: String,
       index: TransactionalTable, corpus: TransactionalTable,
       compactEvery: Int = 0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      kernel: DedupKernel = ImageKernel): StreamingQuery =
     spark.readStream
       .schema("media_id LONG, content_b64 STRING")
       .json(inputDir)
@@ -63,7 +77,7 @@ object MediaPipeline {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        processBatch(index, corpus, df, bid, compactEvery); ()
+        processBatch(index, corpus, df, bid, compactEvery, kernel); ()
       }
       .trigger(trigger)
       .start()

@@ -152,4 +152,41 @@ class CorpusStreamSpec extends SparkSpec {
     assert(index.scan().count() === idxRows)
     assert(corpus.currentVersion === corpusV)
   }
+
+  test("media stream with the AUDIO kernel: same pipeline, acoustic fingerprint dedup") {
+    import graft.stream.MediaPipeline
+    import graft.ops.WavCodec
+    def wav(pattern: Long, div: Int): Array[Byte] = {
+      val v = new Array[Int](33)
+      v(0) = 2000
+      for (k <- 0 until 32)
+        v(k + 1) = v(k) + (if (((pattern >> k) & 1L) == 1L) 400 else -400)
+      WavCodec.write(v.flatMap(x => Array.fill(8)(x / div)), 1, 8000, 16)
+    }
+    def b64(b: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(b)
+    def writeMedia(dir: String, name: String, rows: Seq[(Long, Array[Byte])]): Unit =
+      Files.write(Paths.get(dir, name), rows.map { case (id, bytes) =>
+        s"""{"media_id":$id,"content_b64":"${b64(bytes)}"}"""
+      }.mkString("", "\n", "\n").getBytes)
+    val in = tmpDir("audio-stream-in")
+    val cp = tmpDir("audio-stream-cp")
+    val index = graft.ops.AudioDedupIndex.create(spark, tmpDir("audio-stream-idx") + "/idx")
+    val corpus = TransactionalTable.create(spark, tmpDir("audio-stream-tbl") + "/c",
+      org.apache.spark.sql.types.StructType.fromDDL(MediaPipeline.CorpusSchemaDdl),
+      "media_id")
+    def runOnce(): Unit = {
+      val q = MediaPipeline.run(spark, in, cp, index, corpus,
+        kernel = MediaPipeline.AudioKernel)
+      q.awaitTermination()
+    }
+    writeMedia(in, "b0.json", Seq((1L, wav(0x55555555L, 1))))
+    runOnce()
+    writeMedia(in, "b1.json", Seq(
+      (11L, wav(0x55555555L, 2)), // half-volume copy of 1: dropped
+      (15L, wav(0x33333333L, 1)), // fresh: kept
+      (17L, "not audio".getBytes))) // hashless: kept
+    runOnce()
+    assert(corpus.scan().select("media_id").as[Long].collect().toSet ===
+      Set(1L, 15L, 17L))
+  }
 }
