@@ -1509,6 +1509,110 @@ object ExtQueries {
              |  UNION ALL SELECT CAST(17 AS BIGINT)
              |) ORDER BY media_id""".stripMargin)),
 
+    // X5: INCREMENTAL video dedup — the frame-position-keyed index
+    // (VideoDedupIndex): the dedup decision is per CLIP (≥ half the
+    // shorter side's frames matching within Hamming 3) but the join unit
+    // is the time-aligned frame, so the index stores one row per kept
+    // frame per band with the clip's frame count denormalized on. Batch 0
+    // seeds a clip and its inverted material; batch 1 brings a
+    // brightness-shifted copy (3/3 frames → corpus dup), a PARTIAL edit
+    // (2/3 → still a corpus dup — the fraction rule firing across the
+    // index boundary), a fresh clip sharing ONE aligned frame with the
+    // corpus (1/3 → kept: single-frame overlap is not a dup), its
+    // in-batch copy (dropped), and a non-video payload (kept, frameless).
+    // All 18 frame hashes are closed-form, so DuckDB replays BOTH batches'
+    // fraction rules exactly.
+    Q("x5_video_index",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageCodec
+        def frame(rowBits: Seq[Int], base: Int): java.awt.image.BufferedImage = {
+          val bi = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (r <- 0 until 8) {
+            var v = base
+            bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+            for (c <- 0 until 7) {
+              v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
+              bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+            }
+          }
+          bi
+        }
+        def gif(ps: Seq[Seq[Int]], base: Int): Array[Byte] =
+          ImageCodec.writeGifAnimationImages(ps.map(frame(_, base)))
+        val bitsP = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+        val bitsQ = Seq.fill(8)(0x33)
+        val bitsR = Seq.fill(8)(0x0F)
+        val bitsQ2 = Seq(0x32, 0x33, 0x32) ++ Seq.fill(5)(0x33)
+        val bitsT = Seq.fill(8)(0x11)
+        val b0 = Seq(
+          (1L, gif(Seq(bitsP, bitsQ, bitsR), 100)),
+          (4L, gif(Seq(bitsP.map(_ ^ 0x7f), bitsQ.map(_ ^ 0x7f),
+            bitsR.map(_ ^ 0x7f)), 100))).toDF("media_id", "content")
+        val b1 = Seq(
+          (11L, gif(Seq(bitsP, bitsQ, bitsR), 140)),  // 3/3: corpus dup
+          (13L, gif(Seq(bitsP, bitsQ2, bitsT), 100)), // 2/3: corpus dup
+          (15L, gif(Seq(bitsQ, bitsQ, bitsQ), 100)),  // 1/3 overlap: kept
+          (16L, gif(Seq(bitsQ, bitsQ, bitsQ), 120)),  // in-batch dup of 15
+          (17L, "not a video".getBytes))              // frameless: kept
+          .toDF("media_id", "content")
+        val root = java.nio.file.Files.createTempDirectory("graft_vid_idx").toString + "/idx"
+        val index = graft.ops.VideoDedupIndex.create(s, root)
+        graft.ops.VideoDedupIndex.appendBatch(index, b0, 0)
+        graft.ops.VideoDedupIndex.appendBatch(index, b1, 1)
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), 0, CAST(0 AS BIGINT), CAST(24019198012642645 AS BIGINT)),
+             |    (1, 0, 1, 28936514141215155), (1, 0, 2, 8510739453298575),
+             |    (4, 0, 0, 48038396025285290), (4, 0, 1, 43121079896712780), (4, 0, 2, 63546854584629360),
+             |    (11, 1, 0, 24019198012642645), (11, 1, 1, 28936514141215155), (11, 1, 2, 8510739453298575),
+             |    (13, 1, 0, 24019198012642645), (13, 1, 1, 28936514141198770), (13, 1, 2, 9645504713738385),
+             |    (15, 1, 0, 28936514141215155), (15, 1, 1, 28936514141215155), (15, 1, 2, 28936514141215155),
+             |    (16, 1, 0, 28936514141215155), (16, 1, 1, 28936514141215155), (16, 1, 2, 28936514141215155)
+             |  ) AS t(media_id, batch, pos, fhash)),
+             |cnt AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+             |ch AS (SELECT media_id, batch, pos, fhash, c AS band,
+             |         (fhash >> CAST(c * 14 AS INTEGER)) & 16383 AS chunk
+             |       FROM h, range(4) r(c)),
+             |p0 AS (SELECT DISTINCT a.media_id, a.pos, b.media_id AS om
+             |       FROM ch a JOIN ch b ON a.batch = 0 AND b.batch = 0
+             |         AND a.pos = b.pos AND a.band = b.band AND a.chunk = b.chunk
+             |         AND b.media_id < a.media_id
+             |         AND bit_count(xor(a.fhash, b.fhash)) <= 3),
+             |d0 AS (SELECT z.media_id FROM (
+             |         SELECT media_id, om, COUNT(*) AS m FROM p0 GROUP BY 1, 2) z
+             |       JOIN cnt ca ON ca.media_id = z.media_id
+             |       JOIN cnt cb ON cb.media_id = z.om
+             |       WHERE m >= ceil(least(ca.n, cb.n) * 0.5)),
+             |k0 AS (SELECT * FROM ch WHERE batch = 0
+             |       AND media_id NOT IN (SELECT media_id FROM d0)),
+             |p1 AS (SELECT DISTINCT b.media_id, b.pos, i.media_id AS om
+             |       FROM ch b JOIN k0 i ON b.batch = 1
+             |         AND b.pos = i.pos AND b.band = i.band AND b.chunk = i.chunk
+             |         AND bit_count(xor(b.fhash, i.fhash)) <= 3),
+             |cd AS (SELECT z.media_id FROM (
+             |         SELECT media_id, om, COUNT(*) AS m FROM p1 GROUP BY 1, 2) z
+             |       JOIN cnt ca ON ca.media_id = z.media_id
+             |       JOIN cnt cb ON cb.media_id = z.om
+             |       WHERE m >= ceil(least(ca.n, cb.n) * 0.5)),
+             |cand AS (SELECT * FROM ch WHERE batch = 1
+             |         AND media_id NOT IN (SELECT media_id FROM cd)),
+             |p2 AS (SELECT DISTINCT a.media_id, a.pos, b.media_id AS om
+             |       FROM cand a JOIN cand b ON a.pos = b.pos AND a.band = b.band
+             |         AND a.chunk = b.chunk AND b.media_id < a.media_id
+             |         AND bit_count(xor(a.fhash, b.fhash)) <= 3),
+             |bd AS (SELECT z.media_id FROM (
+             |         SELECT media_id, om, COUNT(*) AS m FROM p2 GROUP BY 1, 2) z
+             |       JOIN cnt ca ON ca.media_id = z.media_id
+             |       JOIN cnt cb ON cb.media_id = z.om
+             |       WHERE m >= ceil(least(ca.n, cb.n) * 0.5))
+             |SELECT media_id FROM (
+             |  SELECT DISTINCT media_id FROM cand
+             |  WHERE media_id NOT IN (SELECT media_id FROM bd)
+             |  UNION ALL SELECT CAST(17 AS BIGINT)
+             |) ORDER BY media_id""".stripMargin)),
+
     // X4: BPE-ish token counting — letter runs, single digits, single
     // punctuation (the GPT-2-style pre-tokenizer shape); identical regex
     // semantics in Java and RE2 for this class-only pattern.

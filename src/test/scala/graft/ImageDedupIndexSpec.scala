@@ -94,6 +94,48 @@ class ImageDedupIndexSpec extends SparkSpec {
       f"appendBatch wall time grew: first5=$first%.2fs last5=$last%.2fs")
   }
 
+  test("VideoDedupIndex: clip fraction rule across the index boundary; single-frame overlap kept; replay fenced") {
+    import graft.ops.{ImageCodec, VideoDedupIndex}
+    def frame(codeword: Int, base: Int): java.awt.image.BufferedImage = {
+      val bi = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (r <- 0 until 8) {
+        var v = base
+        bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+        for (c <- 0 until 7) {
+          v += (if (((codeword >> c) & 1) == 1) 10 else -10)
+          bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+        }
+      }
+      bi
+    }
+    def gif(codewords: Seq[Int], base: Int): Array[Byte] =
+      ImageCodec.writeGifAnimationImages(codewords.map(frame(_, base)))
+    val index = VideoDedupIndex.create(spark, tmpDir("vid-index") + "/idx")
+    // batch 0: one three-frame clip
+    assert(VideoDedupIndex.appendBatch(index,
+        Seq((1L, gif(Seq(0x55, 0x33, 0x0F), 100))).toDF("media_id", "content"), 0)
+      .as[Long].collect().toSeq === Seq(1L))
+    val b1 = Seq(
+      (11L, gif(Seq(0x55, 0x33, 0x0F), 140)), // 3/3 vs clip 1: corpus dup
+      (12L, gif(Seq(0x55, 0x33, 0x11), 100)), // 2/3: corpus dup (fraction rule)
+      (15L, gif(Seq(0x33, 0x33, 0x33), 100)), // 1/3 aligned overlap: kept
+      (16L, gif(Seq(0x33, 0x33, 0x33), 120)), // in-batch 3/3 of 15: dropped
+      (17L, "not a video".getBytes))          // frameless: kept
+      .toDF("media_id", "content")
+    assert(VideoDedupIndex.appendBatch(index, b1, 1)
+      .as[Long].collect().toSeq === Seq(15L, 17L))
+    // index holds survivors only: clips 1 and 15, 3 frames × 4 bands each
+    assert(index.scan().select("media_id").distinct()
+      .as[Long].collect().toSet === Set(1L, 15L))
+    assert(index.scan().count() === 24L)
+    // replayed epoch: identical kept set, no new commit
+    val v = graft.table.TransactionalTable.open(spark, index.root).currentVersion
+    assert(VideoDedupIndex.appendBatch(index, b1, 1)
+      .as[Long].collect().toSeq === Seq(15L, 17L))
+    assert(graft.table.TransactionalTable.open(spark, index.root).currentVersion === v)
+  }
+
   test("AudioDedupIndex: the same HammingIndex core over the energy-delta fingerprint") {
     import graft.ops.{AudioDedupIndex, WavCodec}
     def wav(pattern: Long, div: Int): Array[Byte] = {
