@@ -273,4 +273,44 @@ object AnnIndex {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
+
+  /**
+   * FILTERED probe with a DEFICIENCY GUARANTEE (the recall-hardening knob
+   * for selective filters): run the banded [[probe]] first; any query whose
+   * probed cells hold FEWER than `k` allowed candidates re-scores against
+   * the FULL allowed set exactly (the widen-to-everything fallback — sound
+   * and simple: a filter selective enough to starve the probed cells has
+   * already shrunk the exact scan to its own selectivity). Dense queries
+   * keep the cheap banded answer untouched; deficient ones pay one
+   * filtered scan and get the exact filtered top-k. Fully deterministic —
+   * the deficiency rule (in-cell allowed count < k) is replayable by an
+   * external oracle.
+   */
+  def probeFiltered(h: Handle, queries: DataFrame, k: Int, nprobe: Int,
+      allowed: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val first = probe(h, queries, k, nprobe, idCol, vecCol,
+      allowed = Some(allowed))
+    val q = queries.select(col(idCol).cast("long").as("qid"), unit(vecCol).as("qv"))
+    val counts = first.groupBy("qid").agg(count(lit(1)).as("_m"))
+    val deficient = q.join(counts, Seq("qid"), "left")
+      .filter(coalesce(col("_m"), lit(0L)) < k)
+      .select("qid", "qv")
+    // exact filtered scan for the deficient queries only: allowed rows of
+    // the whole index × the (small, broadcast) deficient query set
+    val allowedRows = h.assignments.scan()
+      .join(allowed.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    // deliberate broadcast nested loop: allowed rows × the bounded
+    // deficient-query set — the exact-scan fallback IS a brute-force
+    // cosine pass (same shape as x3_cosine_topk's baseline)
+    val second = allowedRows.crossJoin(broadcast(deficient))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", SimilarityOps.dot(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"))
+    first.join(deficient.select("qid"), Seq("qid"), "left_anti")
+      .unionByName(second)
+  }
 }

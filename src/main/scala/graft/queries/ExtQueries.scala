@@ -20,23 +20,28 @@ object ExtQueries {
     * assignment → nprobe=4 probe → in-cell exact top-5). `scExtra` injects
     * an extra candidate predicate — the FILTERED-search variant
     * (`x3_ann_index_filtered`) is this oracle plus one membership test. */
+  /** The shared index-BUILD replay (seed choice -> centroids -> full
+    * assignment), used by every ann-index oracle variant. */
+  private val DuckAnnPrefix: String =
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |e AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e0),
+      |b0 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+      |nn AS (SELECT COUNT(*) AS n FROM b0),
+      |seeds0 AS (SELECT vec_id FROM b0, nn
+      |           WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % GREATEST(1, n // 16) = 0
+      |           ORDER BY vec_id LIMIT 16),
+      |seeds AS (SELECT vec_id FROM seeds0
+      |          UNION ALL
+      |          SELECT vec_id FROM (SELECT vec_id FROM b0 ORDER BY vec_id LIMIT 16) f
+      |          WHERE (SELECT COUNT(*) FROM seeds0) = 0),
+      |cent AS (SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cell, e.v AS cv
+      |         FROM seeds s JOIN e ON e.vec_id = s.vec_id),
+      |asg AS (SELECT vec_id, cell FROM (
+      |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+      |          FROM e, cent c) z WHERE rn = 1)""".stripMargin
+
   private def duckAnnIndexSql(scExtra: String): String =
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
-       |e AS (SELECT vec_id, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e0),
-       |b0 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
-       |nn AS (SELECT COUNT(*) AS n FROM b0),
-       |seeds0 AS (SELECT vec_id FROM b0, nn
-       |           WHERE CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % GREATEST(1, n // 16) = 0
-       |           ORDER BY vec_id LIMIT 16),
-       |seeds AS (SELECT vec_id FROM seeds0
-       |          UNION ALL
-       |          SELECT vec_id FROM (SELECT vec_id FROM b0 ORDER BY vec_id LIMIT 16) f
-       |          WHERE (SELECT COUNT(*) FROM seeds0) = 0),
-       |cent AS (SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cell, e.v AS cv
-       |         FROM seeds s JOIN e ON e.vec_id = s.vec_id),
-       |asg AS (SELECT vec_id, cell FROM (
-       |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
-       |          FROM e, cent c) z WHERE rn = 1),
+    s"""WITH $DuckAnnPrefix,
        |pr AS (SELECT vec_id AS qid, cell FROM (
        |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
        |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 4),
@@ -947,6 +952,55 @@ object ExtQueries {
       },
       Some(duckAnnIndexSql(scExtra =
         "\n|         AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"))),
+
+    // X3: ADAPTIVE filtered ANN — the deficiency guarantee: with a
+    // selective allowlist (lang = 'de', ~14% of the corpus) and nprobe = 1,
+    // some queries' single probed cell holds fewer than k allowed
+    // candidates; those queries WIDEN to an exact scan of the full allowed
+    // set (brute-force filtered cosine), while dense queries keep the
+    // cheap banded answer. The deficiency rule (in-cell allowed count < k)
+    // is integer-exact, so DuckDB replays both passes and the per-query
+    // routing decision itself.
+    Q("x3_ann_filtered_adaptive",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val root = java.nio.file.Files.createTempDirectory("graft_ann_ad")
+          .toString + "/idx"
+        val h = AnnIndex.create(s, root, e.filter(col("vec_id") % 3 === 0),
+          cells = 16)
+        (0 until 3).foreach(b => AnnIndex.appendBatch(h,
+          e.filter(col("vec_id") % 3 === b), batchId = b, compactEvery = 2))
+        val allowed = Tables.load(s, d, "documents")
+          .filter(col("lang") === "de").select(col("doc_id").as("vec_id"))
+        AnnIndex.probeFiltered(AnnIndex.open(s, root), e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 1, allowed = allowed).orderBy("qid", "rnk")
+      },
+      Some(s"""WITH $DuckAnnPrefix,
+             |alw AS (SELECT doc_id AS vid FROM documents WHERE lang = 'de'),
+             |pr AS (SELECT vec_id AS qid, cell FROM (
+             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+             |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 1),
+             |p1 AS (SELECT pr.qid, a.vec_id AS nid, list_dot_product(qe.v, ae.v) AS cos
+             |       FROM pr JOIN asg a ON a.cell = pr.cell
+             |       JOIN e qe ON qe.vec_id = pr.qid JOIN e ae ON ae.vec_id = a.vec_id
+             |       WHERE a.vec_id <> pr.qid
+             |         AND a.vec_id IN (SELECT vid FROM alw)),
+             |c1 AS (SELECT qid, COUNT(*) AS m FROM p1 GROUP BY qid),
+             |qs AS (SELECT vec_id AS qid FROM e WHERE vec_id < 8),
+             |defq AS (SELECT qs.qid FROM qs LEFT JOIN c1 USING (qid)
+             |         WHERE coalesce(c1.m, 0) < 5),
+             |dense AS (SELECT qid, nid, rnk FROM (
+             |            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM p1) z
+             |          WHERE rnk <= 5 AND qid NOT IN (SELECT qid FROM defq)),
+             |ex AS (SELECT dq.qid, a.vec_id AS nid, list_dot_product(qe.v, a.v) AS cos
+             |       FROM defq dq JOIN e qe ON qe.vec_id = dq.qid, e a
+             |       WHERE a.vec_id IN (SELECT vid FROM alw) AND a.vec_id <> dq.qid),
+             |wide AS (SELECT qid, nid, rnk FROM (
+             |           SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM ex) z
+             |         WHERE rnk <= 5)
+             |SELECT qid, nid AS neighbor_id, rnk FROM (
+             |  SELECT * FROM dense UNION ALL SELECT * FROM wide)
+             |ORDER BY qid, rnk""".stripMargin)),
 
     // X3: recall certificate for the LLOYD-REFINED IVF path (iters=3 — the
     // configuration the 100 TB plan actually runs; x3_ann_ivf_topk oracles

@@ -24,6 +24,37 @@ class AnnIndexSpec extends SparkSpec {
       (i.toLong, base.map(_.toFloat).toSeq)
     }.toDF("vec_id", "embedding")
 
+  test("probeFiltered: starved queries widen to the exact filtered ranking; saturated allowlists pass through") {
+    val root = tmpDir("ann-index-ad")
+    val all = corpus(0 until 120)
+    val h = AnnIndex.create(spark, root, all, cells = 4)
+    AnnIndex.appendBatch(h, all, batchId = 0)
+    val queries = all.filter(col("vec_id") < 6)
+    // (a) allowlist SMALLER than k: every query is deficient by
+    // construction (its probed cell cannot hold k allowed rows), widens,
+    // and returns the COMPLETE exact filtered ranking — the guarantee the
+    // adaptive path exists for. Deterministic whatever the seed geometry.
+    val tiny = all.filter(col("vec_id").isin(9L, 18L, 27L, 36L)).select("vec_id")
+    val got = AnnIndex.probeFiltered(h, queries, k = 5, nprobe = 1, tiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = SimilarityOps.cosineTopK(
+      all.join(tiny, Seq("vec_id"), "left_semi"), queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet === exact.toSet,
+      "starved queries must return the exact filtered ranking")
+    assert(got.groupBy(_._1).forall(_._2.length === 4),
+      "all 4 allowed ids ranked for every query")
+    // (b) allowlist = everything: no query is deficient, the result IS the
+    // banded first pass untouched (no widening, no extra scan semantics)
+    val everything = all.select("vec_id")
+    val viaAdaptive = AnnIndex.probeFiltered(h, queries, k = 3, nprobe = 2,
+      everything).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val firstPass = AnnIndex.probe(h, queries, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAdaptive === firstPass,
+      "a saturated allowlist must keep every banded answer untouched")
+  }
+
   test("index probe equals the one-shot IVF pipeline on the same quantizer") {
     val root = tmpDir("ann-index-eq")
     val all = corpus(0 until 120)
