@@ -1836,6 +1836,61 @@ object ReplayQueries {
            |) AS t(event, total, n) ORDER BY event""".stripMargin
       }),
 
+    // THREE-source JOIN MV maintenance (E162 generalized): fact ⋈ dim ⋈ dim
+    // refreshes with the telescoping delta Σᵢ (pre@v0 ⋈ Δᵢ ⋈ post@v1) — one
+    // interval touches all three sources, so every mixed Δ-product fires
+    // and must land exactly once. Reason must name the join tier.
+    Q("cdc_sql_mv_incr_join3",
+      (s, _) => {
+        val cat = s"graft_mj3${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mj3").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        TransactionalTable.create(s, s"$warehouse/db/evcat",
+          org.apache.spark.sql.types.StructType.fromDDL("event STRING, cat STRING"),
+          "event", None)
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES ('visit', 'browse'), ('cart', 'intent')")
+        TransactionalTable.create(s, s"$warehouse/db/devcat",
+          org.apache.spark.sql.types.StructType.fromDDL("device STRING, dtier STRING"),
+          "device", None)
+        s.sql(s"INSERT INTO $cat.db.devcat VALUES ('pc', 'desktop'), ('tablet', 'handheld')")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.fact3 AS " +
+          s"SELECT r.trans_id, r.amount, c.cat, v.dtier " +
+          s"FROM $cat.db.retail r JOIN $cat.db.evcat c ON r.event = c.event " +
+          s"JOIN $cat.db.devcat v ON r.device = v.device")
+        // all three sources advance in one interval
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'like', 'SKU500', 555, 'mobile', NULL)") // Δfact⋈Δdim⋈Δdim
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES ('like', 'social')")
+        s.sql(s"INSERT INTO $cat.db.devcat VALUES ('mobile', 'handheld')")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.fact3')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-join"),
+          s"expected the join IVM path, got '$refreshed'")
+        s.sql(s"SELECT trans_id, amount, cat, dtier FROM $cat.db.fact3 " +
+          "ORDER BY trans_id")
+      },
+      Some {
+        val cats = Map("visit" -> "browse", "cart" -> "intent", "like" -> "social")
+        val devs = Map("pc" -> "desktop", "tablet" -> "handheld", "mobile" -> "handheld")
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, dev, _) => (id, ev, amt, dev) } :+
+          ((500L, "like", 555, "mobile")))
+          .filter(r => cats.contains(r._2) && devs.contains(r._4))
+          .sortBy(_._1)
+          .map { case (id, ev, amt, dev) =>
+            s"(CAST($id AS BIGINT), $amt, '${cats(ev)}', '${devs(dev)}')" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, amount, cat, dtier) ORDER BY trans_id""".stripMargin
+      }),
+
     // AGGREGATE over a JOIN MV maintenance (E162 composition): the
     // star-schema summary table — per-category totals over fact ⋈ dim —
     // refreshes by aggregating the join's IVM row delta and merging only

@@ -1181,9 +1181,9 @@ private[sql] object GraftMvRefresh {
     // anywhere means a second relation feeds the view
     val allRels = qualified.collectWithSubqueries { case u: UnresolvedRelation => u }
     if (single.isEmpty || allRels.size != 1)
-      // exactly two relations: the JOIN maintenance tier (shape-gated there;
-      // a subquery-expression second relation fails its Join match)
-      return if (allRels.size == 2)
+      // 2–8 relations: the JOIN/UNION maintenance tier (shape-gated there;
+      // a subquery-expression extra relation fails its Join-tree match)
+      return if (allRels.size >= 2 && allRels.size <= 8)
         tryIncrementalJoin(spark, meta, qualified, storage, allRels)
       else None
     val analyzedShape = scala.util.Try(
@@ -1275,21 +1275,23 @@ private[sql] object GraftMvRefresh {
   }
 
   /**
-   * JOIN maintenance tier: a TWO-source, INNER-join, row-preserving
-   * definition refreshes with the classic incremental-view-maintenance
-   * delta
+   * JOIN maintenance tier: an N-source (2–8) tree of INNER joins over
+   * row-preserving legs refreshes with the classic TELESCOPING
+   * incremental-view-maintenance delta
    *
-   *     new rows  =  ΔA ⋈ B@v1  ∪  A@v0 ⋈ ΔB
+   *     new rows = Σ_i  A_1@v0 ⋈ … ⋈ A_{i-1}@v0 ⋈ ΔA_i ⋈ A_{i+1}@v1 ⋈ … ⋈ A_N@v1
    *
-   * (sound because A1⋈B1 = A0⋈B0 + ΔA⋈B1 + A0⋈ΔB when both intervals are
-   * APPEND-ONLY — an inner join of growing inputs only gains rows), so
-   * storage APPENDS O(Δ ⋈ other) instead of re-joining two full sources and
+   * (sound when every interval is APPEND-ONLY: expanding each A_j@v1 =
+   * A_j@v0 + ΔA_j telescopes exactly — every mixed Δ-product is counted
+   * once; an inner join of growing inputs only gains rows), so storage
+   * APPENDS O(Σ_i Δ_i ⋈ others) instead of re-joining full sources and
    * replacing the MV. With AQE the Δ side broadcasts in the common case,
-   * making each term a map-only pass over one source — the shape that keeps
-   * a 100 TB join MV refreshable. Fencing: component-wise-monotone source
-   * versions make their SUM a faithful pair fence (equal sums under
-   * component-wise ≤ force the equal pair), so `fence == v1a+v1b` ⟺ exactly
-   * this interval already committed → heal meta only, never double-apply.
+   * making each term a map-only pass over the other sources — the shape
+   * that keeps a 100 TB join MV refreshable. Fencing: component-wise-
+   * monotone source versions make their SUM a faithful tuple fence (equal
+   * sums under component-wise ≤ force the equal tuple), so `fence == Σv1`
+   * ⟺ exactly this interval already committed → heal meta only, never
+   * double-apply.
    *
    * An AGGREGATE over the join (the star-schema summary table:
    * `SELECT k, SUM(x) … FROM fact JOIN dim GROUP BY k`) maintains too:
@@ -1326,9 +1328,10 @@ private[sql] object GraftMvRefresh {
     // over the union maintains too: the same single application yields the
     // interval's per-group partials, merged like the other agg tiers.
     val unionAll =
-      !rowJoin && aggJoin.isEmpty && analyzedShape.exists(unionPreservingShape)
+      rels.size == 2 && !rowJoin && aggJoin.isEmpty &&
+        analyzedShape.exists(unionPreservingShape)
     val aggUnion =
-      if (rowJoin || aggJoin.nonEmpty || unionAll) None
+      if (rels.size != 2 || rowJoin || aggJoin.nonEmpty || unionAll) None
       else analyzedShape.flatMap(a => aggShape(a, unionPreservingShape))
     if (!rowJoin && aggJoin.isEmpty && !unionAll && aggUnion.isEmpty) return None
     val aggResolved = aggJoin.orElse(aggUnion).map { case (g, ks) =>
@@ -1350,141 +1353,167 @@ private[sql] object GraftMvRefresh {
             org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, nm))
       }
     }
-    if (resolved.size != 2) return None
-    val Seq((partsA, rootA), (partsB, rootB)) = resolved
-    if (rootA == rootB) return None // self-join: occurrence-level deltas
-    (meta.sourceVersions.get(rootA), meta.sourceVersions.get(rootB)) match {
-      case (Some(v0a), Some(v0b)) => scala.util.Try {
-        val ta = graft.table.TransactionalTable.open(spark, rootA)
-        val tb = graft.table.TransactionalTable.open(spark, rootB)
-        val (v1a, v1b) = (ta.currentVersion, tb.currentVersion)
-        val updated = Map(rootA -> v1a, rootB -> v1b)
-        val writerId = s"mv-incr-join:${Seq(rootA, rootB).sorted.mkString("|")}"
-        val fence = storage.snapshot.writerFences.getOrElse(writerId, -1L)
-        if (fence >= v1a + v1b)
-          Some(("incremental-join: +0 rows (fence-healed)", 0L, updated))
+    if (resolved.size != rels.size) return None
+    val roots = resolved.map(_._2)
+    if (roots.distinct.size != roots.size)
+      return None // self-join: occurrence-level deltas
+    if (!roots.forall(meta.sourceVersions.contains)) return None
+    scala.util.Try {
+      // one pinned view of every source: table, baseline v0, current v1
+      val src = resolved.map { case (parts, root) =>
+        val t = graft.table.TransactionalTable.open(spark, root)
+        (parts, root, t, meta.sourceVersions(root), t.currentVersion)
+      }
+      val updated = src.map { case (_, root, _, _, v1) => root -> v1 }.toMap
+      val batchSum = src.map(_._5).sum
+      val writerId = s"mv-incr-join:${roots.sorted.mkString("|")}"
+      val fence = storage.snapshot.writerFences.getOrElse(writerId, -1L)
+      // componentwise-monotone versions make the SUM a faithful tuple
+      // fence (equal sums under componentwise ≤ force the equal tuple), so
+      // fence == Σv1 ⟺ exactly this interval already committed
+      if (fence >= batchSum)
+        Some(("incremental-join: +0 rows (fence-healed)", 0L, updated))
+      else {
+        // Some(None) = empty interval; Some(Some(df)) = its insert
+        // images; None = deletes present → full recompute
+        def delta(t: graft.table.TransactionalTable, v0: Long, v1: Long)
+            : Option[Option[org.apache.spark.sql.DataFrame]] =
+          if (v1 == v0) Some(None)
+          else {
+            val d = t.changes(v0, v1) // throws if v0 expired → full refresh
+            if (!d.where(fcol("_change_type") === "delete").isEmpty) None
+            else Some(Some(
+              d.where(fcol("_change_type") === "insert").drop("_change_type")))
+          }
+        val deltas = src.map { case (_, _, t, v0, v1) => delta(t, v0, v1) }
+        if (deltas.exists(_.isEmpty)) None
         else {
-          // Some(None) = empty interval; Some(Some(df)) = its insert
-          // images; None = deletes present → full recompute
-          def delta(t: graft.table.TransactionalTable, v0: Long, v1: Long)
-              : Option[Option[org.apache.spark.sql.DataFrame]] =
-            if (v1 == v0) Some(None)
-            else {
-              val d = t.changes(v0, v1) // throws if v0 expired → full refresh
-              if (!d.where(fcol("_change_type") === "delete").isEmpty) None
-              else Some(Some(
-                d.where(fcol("_change_type") === "insert").drop("_change_type")))
+          val ds = deltas.map(_.get)
+          // the definition with each relation OCCURRENCE replaced by its
+          // pinned frame (delta inserts / time-travel scan)
+          def applyDef(frames: Seq[org.apache.spark.sql.DataFrame])
+              : org.apache.spark.sql.DataFrame = {
+            val byParts = src.map(_._1).zip(frames).toMap
+            val substituted = qualified.transformDownWithSubqueries {
+              case u: UnresolvedRelation
+                  if byParts.contains(u.multipartIdentifier) =>
+                byParts(u.multipartIdentifier).queryExecution.analyzed
             }
-          (delta(ta, v0a, v1a), delta(tb, v0b, v1b)) match {
-            case (Some(dA), Some(dB)) =>
-              // the definition with each relation OCCURRENCE replaced by a
-              // pinned frame (delta inserts / time-travel scan)
-              def applyDef(aSide: org.apache.spark.sql.DataFrame,
-                  bSide: org.apache.spark.sql.DataFrame)
-                  : org.apache.spark.sql.DataFrame = {
-                val substituted = qualified.transformDownWithSubqueries {
-                  case u: UnresolvedRelation
-                      if u.multipartIdentifier == partsA =>
-                    aSide.queryExecution.analyzed
-                  case u: UnresolvedRelation
-                      if u.multipartIdentifier == partsB =>
-                    bSide.queryExecution.analyzed
-                }
-                val out0 = org.apache.spark.sql.graftshim.GraftShims
-                  .ofRows(spark, substituted)
-                val aliases = meta.current.columnAliases
-                if (out0.columns.toSeq != aliases) out0.toDF(aliases: _*) else out0
+            val out0 = org.apache.spark.sql.graftshim.GraftShims
+              .ofRows(spark, substituted)
+            val aliases = meta.current.columnAliases
+            if (out0.columns.toSeq != aliases) out0.toDF(aliases: _*) else out0
+          }
+          if (unionAll || aggUnion.nonEmpty) {
+            // one application: empty-interval legs substitute an empty
+            // frame of the source's schema (plan-only, reads nothing)
+            val out = applyDef(src.zip(ds).map { case ((_, _, t, v0, _), d) =>
+              d.getOrElse(t.scanAt(v0).limit(0))
+            })
+            val sameSchema =
+              out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+                storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
+            if (!sameSchema) None
+            else aggResolved match {
+              case None =>
+                val n = out.count()
+                storage.append(out, batchId = batchSum,
+                  writerId = Some(writerId))
+                Some((s"incremental-union: +$n rows", n, updated))
+              case Some((groupCols, aggCols)) =>
+                // the single application IS the interval's per-group
+                // partials — merge the changed groups into storage
+                val (_, nG, _, _) = mergeAggDelta(spark, storage, out,
+                  groupCols, aggCols, batchSum, writerId, roots.head)
+                Some((s"incremental-union-agg: $nG groups merged", nG, updated))
+            }
+          } else {
+            // TELESCOPING delta over N inner-joined sources:
+            //   new rows = Σ_i  A_1@v0 ⋈ … ⋈ A_{i-1}@v0 ⋈ ΔA_i ⋈
+            //                   A_{i+1}@v1 ⋈ … ⋈ A_N@v1
+            // (sound when every interval is append-only: expanding each
+            // A_j@v1 = A_j@v0 + ΔA_j telescopes exactly, every mixed
+            // Δ-product counted once). One term per source with a
+            // non-empty interval.
+            val terms = src.indices.flatMap { i =>
+              ds(i).map { d =>
+                applyDef(src.indices.map { j =>
+                  val (_, _, t, v0, v1) = src(j)
+                  if (j < i) t.scanAt(v0)
+                  else if (j == i) d
+                  else t.scanAt(v1)
+                })
               }
-              if (unionAll || aggUnion.nonEmpty) {
-                // one application: empty-interval legs substitute an empty
-                // frame of the source's schema (plan-only, reads nothing)
-                val out = applyDef(
-                  dA.getOrElse(ta.scanAt(v0a).limit(0)),
-                  dB.getOrElse(tb.scanAt(v0b).limit(0)))
-                val sameSchema =
-                  out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-                    storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
-                if (!sameSchema) None
-                else aggResolved match {
-                  case None =>
-                    val n = out.count()
-                    storage.append(out, batchId = v1a + v1b,
-                      writerId = Some(writerId))
-                    Some((s"incremental-union: +$n rows", n, updated))
-                  case Some((groupCols, aggCols)) =>
-                    // the single application IS the interval's per-group
-                    // partials — merge the changed groups into storage
-                    val (_, nG, _, _) = mergeAggDelta(spark, storage, out,
-                      groupCols, aggCols, v1a + v1b, writerId, rootA)
-                    Some((s"incremental-union-agg: $nG groups merged", nG, updated))
-                }
-              } else {
-              val terms =
-                dA.map(d => applyDef(d, tb.scanAt(v1b))).toSeq ++
-                dB.map(d => applyDef(ta.scanAt(v0a), d)).toSeq
-              if (terms.isEmpty)
-                Some(("incremental-join: +0 rows", 0L, updated))
-              else {
-                // names/types of the applied definition must be storage's
-                // (checked on the per-term outputs — the aggregate path's
-                // roll-up combine below may legitimately widen sums, which
-                // mergeAggDelta casts back on merge)
-                val sameSchema =
-                  terms.head.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-                    storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
-                if (!sameSchema) None
-                else aggResolved match {
-                  case None =>
-                    val out = terms.reduce(_ union _)
-                    val n = out.count()
-                    storage.append(out, batchId = v1a + v1b,
-                      writerId = Some(writerId))
-                    Some((s"incremental-join: +$n rows", n, updated))
-                  case Some((groupCols, aggCols)) =>
-                    // each term already aggregated the full definition over
-                    // its delta product; two terms combine group-wise with
-                    // the roll-up algebra (SUM of sums AND of counts,
-                    // MIN of mins, MAX of maxes) into one delta frame
-                    val delta =
-                      if (terms.size == 1) terms.head
-                      else {
-                        val u = terms.reduce(_ union _)
-                        val aggExprs = aggCols.map { a =>
-                          import org.apache.spark.sql.functions.{max, min, sum}
-                          (a.kind match {
-                            case "min" => min(fcol(a.name))
-                            case "max" => max(fcol(a.name))
-                            case _ => sum(fcol(a.name)) // sum/count/count_star
-                          }).as(a.name)
-                        }
-                        u.groupBy(groupCols.map(fcol): _*)
-                          .agg(aggExprs.head, aggExprs.tail: _*)
+            }
+            if (terms.isEmpty)
+              Some(("incremental-join: +0 rows", 0L, updated))
+            else {
+              // names/types of the applied definition must be storage's
+              // (checked on the per-term outputs — the aggregate path's
+              // roll-up combine below may legitimately widen sums, which
+              // mergeAggDelta casts back on merge)
+              val sameSchema =
+                terms.head.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+                  storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
+              if (!sameSchema) None
+              else aggResolved match {
+                case None =>
+                  val out = terms.reduce(_ union _)
+                  val n = out.count()
+                  storage.append(out, batchId = batchSum,
+                    writerId = Some(writerId))
+                  Some((s"incremental-join: +$n rows", n, updated))
+                case Some((groupCols, aggCols)) =>
+                  // each term already aggregated the full definition over
+                  // its delta product; terms combine group-wise with the
+                  // roll-up algebra (SUM of sums AND of counts, MIN of
+                  // mins, MAX of maxes) into one delta frame
+                  val delta =
+                    if (terms.size == 1) terms.head
+                    else {
+                      val u = terms.reduce(_ union _)
+                      val aggExprs = aggCols.map { a =>
+                        import org.apache.spark.sql.functions.{max, min, sum}
+                        (a.kind match {
+                          case "min" => min(fcol(a.name))
+                          case "max" => max(fcol(a.name))
+                          case _ => sum(fcol(a.name)) // sum/count/count_star
+                        }).as(a.name)
                       }
-                    val (_, nG, _, _) = mergeAggDelta(spark, storage, delta,
-                      groupCols, aggCols, v1a + v1b, writerId, rootA)
-                    Some((s"incremental-join-agg: $nG groups merged", nG, updated))
-                }
+                      u.groupBy(groupCols.map(fcol): _*)
+                        .agg(aggExprs.head, aggExprs.tail: _*)
+                    }
+                  val (_, nG, _, _) = mergeAggDelta(spark, storage, delta,
+                    groupCols, aggCols, batchSum, writerId, roots.head)
+                  Some((s"incremental-join-agg: $nG groups merged", nG, updated))
               }
-              }
-            case _ => None
+            }
           }
         }
-      }.toOption.flatten
-      case _ => None
-    }
+      }
+    }.toOption.flatten
   }
 
-  /** Row-preserving chain over exactly one INNER join of two leaf chains —
-    * the [[tryIncrementalJoin]] shape gate (on the ANALYZED plan). */
-  private def joinPreservingShape(analyzed: LogicalPlan): Boolean = analyzed match {
-    case Project(_, c) => joinPreservingShape(c)
-    case Filter(_, c) => joinPreservingShape(c)
-    case SubqueryAlias(_, c) => joinPreservingShape(c)
+  /** Row-preserving chain over a TREE of INNER joins of leaf chains (any
+    * shape, any arity ≥ 2 via nesting) — the [[tryIncrementalJoin]] shape
+    * gate (on the ANALYZED plan). A tree with no Join at all fails (that is
+    * the single-source tier's business). */
+  private def joinPreservingShape(analyzed: LogicalPlan): Boolean =
+    countJoins(analyzed) >= 1 && joinTreeShape(analyzed)
+
+  private def joinTreeShape(p: LogicalPlan): Boolean = p match {
+    case Project(_, c) => joinTreeShape(c)
+    case Filter(_, c) => joinTreeShape(c)
+    case SubqueryAlias(_, c) => joinTreeShape(c)
     case j: Join =>
       j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
-        rowPreservingShape(j.left) && rowPreservingShape(j.right)
+        joinTreeShape(j.left) && joinTreeShape(j.right)
+    case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
     case _ => false
   }
+
+  private def countJoins(p: LogicalPlan): Int =
+    p.collect { case _: Join => 1 }.sum
 
   /** Row-preserving chain over a two-leg UNION ALL of leaf chains. SQL
     * UNION (distinct) parses as Distinct(Union) and fails this gate. */
