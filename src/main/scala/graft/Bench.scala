@@ -75,7 +75,12 @@ object Bench {
     // run are environment, not plans (PERF.md's ±15–45 % band, measured
     // in-band instead of asserted).
     val floorBand = sys.env.getOrElse("SPARK_GRAFT_FLOOR_BAND", "0.25").toDouble
-    val floorSec = {
+    // Probes must never abort the bench: any probe failure (missing file,
+    // transient executor loss) degrades to NaN → the field is omitted from
+    // the artifact and `contended` stays un-flagged (ADVICE r14).
+    def probed(f: => Double): Double =
+      try f catch { case _: Throwable => Double.NaN }
+    val floorSec = probed {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       docs.count() // warm footer/listing caches: the probe measures scheduling
       (1 to 3).map { _ =>
@@ -98,19 +103,23 @@ object Bench {
       }.min
     }
     import org.apache.spark.sql.functions._
-    val cpuSec = minOf3(() => {
+    val cpuSec = probed(minOf3(() => {
       spark.range(0, 1L << 26, 1, 32)
         .select(sum(bit_count(xxhash64(col("id"))))).collect(); ()
-    })
-    val shuffleSec = minOf3(() => {
+    }))
+    val shuffleSec = probed(minOf3(() => {
       spark.range(0, 1L << 23, 1, 32)
         .withColumn("k", pmod(xxhash64(col("id")), lit(100000)))
         .groupBy("k").agg(count(lit(1))).orderBy(desc("count(1)"))
         .limit(5).collect(); ()
-    })
-    val contended = floorSec > floorBand
+    }))
+    val contended = !floorSec.isNaN && floorSec > floorBand
     def r3p(v: Double): Double = math.rint(v * 1000) / 1000
-    val floorJson = s""","floor_sec":${r3p(floorSec)},"floor_band":$floorBand,"cpu_sec":${r3p(cpuSec)},"shuffle_sec":${r3p(shuffleSec)},"contended":$contended"""
+    def optField(name: String, v: Double): String =
+      if (v.isNaN) "" else s""","$name":${r3p(v)}"""
+    val floorJson = optField("floor_sec", floorSec) +
+      s""","floor_band":$floorBand""" + optField("cpu_sec", cpuSec) +
+      optField("shuffle_sec", shuffleSec) + s""","contended":$contended"""
     // Streaming-tier freshness: the batch kernels record per-batch wall time
     // into BatchStats; collect it per query (across the min-of-N runs) and
     // publish p50/p95 — the number the ratio exclusion policy promises

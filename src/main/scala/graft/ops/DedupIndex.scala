@@ -15,8 +15,9 @@ import graft.table.TransactionalTable
  * ONE replay-fenced commit. Cost per batch: O(batch bands ⋈ index) — a plain
  * equi-join on well-spread (band, chunk) keys — never O(corpus²), and a
  * crashed/replayed batch is exactly-once (the table's batchId fence turns
- * the re-append into a no-op while the returned kept-set is recomputed
- * deterministically).
+ * the re-append into a no-op while the returned kept set is READ BACK from
+ * the committed rows of the batch — bit-for-bit the original, never a
+ * chain-divergent recomputation; see [[HammingIndex]], ADVICE r14).
  *
  * Dedup rules (deterministic, DuckDB-recomputable bit-for-bit since every
  * hash is md5-derived):
@@ -29,10 +30,13 @@ import graft.table.TransactionalTable
 object DedupIndex {
 
   /** Index row: one per (kept doc, band). `sig_id` (md5-60 of "doc:band")
-    * is the synthetic primary key — band buckets themselves repeat. */
+    * is the synthetic primary key — band buckets themselves repeat.
+    * `batch` stamps the fenced commit that kept the doc (replay
+    * read-back). */
   val Schema: StructType = StructType(Seq(
     StructField("sig_id", LongType), StructField("band", LongType),
-    StructField("chunk", LongType), StructField("doc_id", LongType)))
+    StructField("chunk", LongType), StructField("doc_id", LongType),
+    StructField("batch", LongType)))
 
   def create(spark: SparkSession, root: String): TransactionalTable =
     TransactionalTable.create(spark, root, Schema, pk = "sig_id", partitionCol = None)
@@ -93,25 +97,36 @@ object DedupIndex {
             col("b.doc_id") < col("a.doc_id"), "left_semi")
         .select(col("doc_id")).distinct()
       // zero-token docs have no sketch (the explode drops them) — they can
-      // be neither a dup nor a dup target, so they are KEPT, bandless
+      // be neither a dup nor a dup target, so they are KEPT, bandless (a
+      // pure function of the batch input: replays recompute identically)
       val sketchless = docs.select(col(idCol).cast("long").as("doc_id"))
         .join(bands.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-      // materialized + lineage-truncated: the returned kept set must not
-      // recompute against the index AFTER the append below advances it
       val keptIds = cand.select("doc_id").distinct()
         .join(inBatchDup, Seq("doc_id"), "left_anti")
-        .unionByName(sketchless)
-        .localCheckpoint(true)
-      // (3) one fenced commit of the survivors' bands
+      // (3) one fenced commit of the survivors' bands, stamped with this
+      // batch id
       val rows = cand.join(keptIds, Seq("doc_id"), "left_semi")
         .select(
           TextOps.md5Hash60(concat_ws(":", col("doc_id"), col("band"))).as("sig_id"),
-          col("band"), col("chunk"), col("doc_id"))
+          col("band"), col("chunk"), col("doc_id"), lit(batchId).as("batch"))
       import spark.implicits._
       index.merge(rows, spark.emptyDataset[Long].toDF("sig_id"), batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         index.compact()
-      keptIds.orderBy("doc_id")
+      // Returned kept set READ BACK from this batch's committed rows: a
+      // replayed batch's merge no-ops on the fence and the read-back
+      // returns the ORIGINAL kept set bit-for-bit — never a recomputation
+      // that could diverge on transitive in-batch chains (A<B<C sharing
+      // buckets pairwise-adjacently: recomputing against the now-indexed
+      // survivors corpus-filters B via A and keeps chain-orphaned C,
+      // growing the kept set across deliveries — ADVICE r14). Materialized
+      // + lineage-truncated: the result must not re-scan after later
+      // batches advance the index.
+      index.scan().where(col("batch") === batchId)
+        .select("doc_id").distinct()
+        .unionByName(sketchless)
+        .localCheckpoint(true)
+        .orderBy("doc_id")
     } finally {
       cand.unpersist(blocking = false)
       bands.unpersist(blocking = false)

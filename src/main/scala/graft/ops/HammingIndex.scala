@@ -22,21 +22,29 @@ import graft.table.TransactionalTable
  * band row, so a random band collision between genuinely different media
  * never drops a keeper); (2) in-batch rule — a smaller media_id within
  * `maxDist` in a shared bucket wins; (3) survivors' band signatures land
- * in ONE replay-fenced commit, so a re-delivered batch recomputes the
- * identical kept set (self-matches excluded by media_id) and the commit
- * no-ops. Rows the hasher cannot fingerprint are kept, bandless. Cost per
- * batch: O(batch bands ⋈ index) on the spread (band, chunk) key — never
+ * in ONE replay-fenced commit. The RETURNED kept set is read back from the
+ * index's committed rows for this `batchId` (the `batch` column), not from
+ * the freshly computed candidate set: on a re-delivered batch the fenced
+ * commit no-ops and the read-back returns the ORIGINAL kept set bit-for-bit
+ * — even on transitive in-batch chains (A<B<C, A~B, B~C, A≁C) where a
+ * recomputation against the now-indexed survivors would orphan C and keep
+ * it, diverging the downstream corpus merge from the index (ADVICE r14).
+ * Rows the hasher cannot fingerprint are kept, bandless — recomputed
+ * deterministically from the batch input on replay. Cost per batch:
+ * O(batch bands ⋈ index) on the spread (band, chunk) key — never
  * O(corpus²); `compactEvery` bounds index file count so per-batch join
  * cost stays flat in batch count.
  */
 object HammingIndex {
 
   /** Index row: one per (kept medium, band). `sig_id` (md5-60 of
-    * "media:band") is the synthetic primary key — buckets repeat. */
+    * "media:band") is the synthetic primary key — buckets repeat. `batch`
+    * stamps the fenced commit that kept the medium, making the committed
+    * kept set recoverable per batch (replay read-back). */
   val Schema: StructType = StructType(Seq(
     StructField("sig_id", LongType), StructField("band", LongType),
     StructField("chunk", LongType), StructField("media_id", LongType),
-    StructField("hash", LongType)))
+    StructField("hash", LongType), StructField("batch", LongType)))
 
   def create(spark: SparkSession, root: String): TransactionalTable =
     TransactionalTable.create(spark, root, Schema, pk = "sig_id", partitionCol = None)
@@ -87,25 +95,38 @@ object HammingIndex {
             col("b.media_id") < col("a.media_id") &&
             expr("bit_count(a.hash ^ b.hash)") <= maxDist, "left_semi")
         .select(col("media_id")).distinct()
-      // unfingerprintable payloads have no hash — kept, bandless
+      // unfingerprintable payloads have no hash — kept, bandless (pure
+      // function of the batch input: a replay recomputes these identically)
       val hashless = allIds.select(col("media_id").cast("long").as("media_id"))
         .join(banded.select("media_id").distinct(), Seq("media_id"), "left_anti")
-      // materialized + lineage-truncated: the returned kept set must not
-      // recompute against the index AFTER the append advances it
       val keptIds = cand.select("media_id").distinct()
         .join(inBatchDup, Seq("media_id"), "left_anti")
-        .unionByName(hashless)
-        .localCheckpoint(true)
-      // (3) one fenced commit of the survivors' band signatures
+      // (3) one fenced commit of the survivors' band signatures, stamped
+      // with this batch id
       val rows = cand.join(keptIds, Seq("media_id"), "left_semi")
         .select(
           TextOps.md5Hash60(concat_ws(":", col("media_id"), col("band"))).as("sig_id"),
-          col("band"), col("chunk"), col("media_id"), col("hash"))
+          col("band"), col("chunk"), col("media_id"), col("hash"),
+          lit(batchId).as("batch"))
       import spark.implicits._
       index.merge(rows, spark.emptyDataset[Long].toDF("sig_id"), batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         index.compact()
-      keptIds.orderBy("media_id")
+      // The returned kept set is READ BACK from the committed index rows of
+      // this batch: on a replay the fenced merge no-ops and this scan
+      // returns the ORIGINAL kept set bit-for-bit, so downstream consumers
+      // (the media/corpus pipelines' payload merges) can never diverge from
+      // the index even across a crash between the two commits — including
+      // on transitive in-batch chains (A<B<C, A~B, B~C, A≁C), where a
+      // RECOMPUTATION against the now-indexed survivors would corpus-filter
+      // B via A and then keep chain-orphaned C (ADVICE r14). Materialized +
+      // lineage-truncated: the result must not re-scan after later batches
+      // advance the index.
+      index.scan().where(col("batch") === batchId)
+        .select("media_id").distinct()
+        .unionByName(hashless)
+        .localCheckpoint(true)
+        .orderBy("media_id")
     } finally {
       cand.unpersist(blocking = false)
       banded.unpersist(blocking = false)

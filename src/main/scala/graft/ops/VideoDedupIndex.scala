@@ -25,20 +25,23 @@ import graft.table.TransactionalTable
  * refined by exact `bit_count`, rolled up per (batch clip, index clip)
  * pair and gated by the fraction rule; (2) the same rule among in-batch
  * survivors (smaller media_id wins); (3) survivors' frame-band signatures
- * land in ONE replay-fenced commit — a re-delivered batch recomputes the
- * identical kept set (self-matches excluded by media_id; survivors-only
- * content keeps replay agreeing with the original in-batch rule).
- * Payloads that decode no frames are kept, bandless. `compactEvery` bounds
- * index files exactly like the other indexes.
+ * land in ONE replay-fenced commit stamped with the batch id, and the
+ * RETURNED kept set is read back from the committed rows of that batch —
+ * a re-delivered batch (whose commit the fence no-ops) returns the
+ * ORIGINAL kept set bit-for-bit instead of a recomputation that could
+ * diverge on transitive in-batch chains (see [[HammingIndex]]; ADVICE
+ * r14). Payloads that decode no frames are kept, bandless. `compactEvery`
+ * bounds index files exactly like the other indexes.
  */
 object VideoDedupIndex {
 
-  /** Index row: one per (kept clip, sampled frame, band). */
+  /** Index row: one per (kept clip, sampled frame, band). `batch` stamps
+    * the fenced commit that kept the clip (replay read-back). */
   val Schema: StructType = StructType(Seq(
     StructField("sig_id", LongType), StructField("pos", LongType),
     StructField("band", LongType), StructField("chunk", LongType),
     StructField("media_id", LongType), StructField("fhash", LongType),
-    StructField("n_frames", LongType)))
+    StructField("n_frames", LongType), StructField("batch", LongType)))
 
   def create(spark: SparkSession, root: String): TransactionalTable =
     TransactionalTable.create(spark, root, Schema, pk = "sig_id", partitionCol = None)
@@ -93,24 +96,32 @@ object VideoDedupIndex {
       try {
         // (2) in-batch: the same fraction rule, smaller media_id wins
         val inBatchDup = fracDup(cand, otherSide(cand), smallerId = true)
-        // frameless payloads (no decodable frames) are kept, bandless
+        // frameless payloads (no decodable frames) are kept, bandless —
+        // pure function of the batch input, replay-identical
         val hashless = media.select(col("media_id").cast("long").as("media_id"))
           .join(bands.select("media_id").distinct(), Seq("media_id"), "left_anti")
         val keptIds = cand.select("media_id").distinct()
           .join(inBatchDup, Seq("media_id"), "left_anti")
-          .unionByName(hashless)
-          .localCheckpoint(true)
-        // (3) one fenced commit of the survivors' frame-band signatures
+        // (3) one fenced commit of the survivors' frame-band signatures,
+        // stamped with this batch id
         val rows = cand.join(keptIds, Seq("media_id"), "left_semi")
           .select(
             TextOps.md5Hash60(concat_ws(":", col("media_id"), col("pos"),
               col("band"))).as("sig_id"),
             col("pos"), col("band"), col("chunk"), col("media_id"),
-            col("fhash"), col("n_frames"))
+            col("fhash"), col("n_frames"), lit(batchId).as("batch"))
         index.merge(rows, spark.emptyDataset[Long].toDF("sig_id"), batchId)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           index.compact()
-        keptIds.orderBy("media_id")
+        // Returned kept set READ BACK from this batch's committed rows: a
+        // replayed batch's merge no-ops on the fence and the read-back
+        // returns the original kept set — never a chain-divergent
+        // recomputation (see [[HammingIndex]]).
+        index.scan().where(col("batch") === batchId)
+          .select("media_id").distinct()
+          .unionByName(hashless)
+          .localCheckpoint(true)
+          .orderBy("media_id")
       } finally {
         cand.unpersist(blocking = false)
         bands.unpersist(blocking = false)

@@ -1287,11 +1287,14 @@ private[sql] object GraftMvRefresh {
    * APPENDS O(Σ_i Δ_i ⋈ others) instead of re-joining full sources and
    * replacing the MV. With AQE the Δ side broadcasts in the common case,
    * making each term a map-only pass over the other sources — the shape
-   * that keeps a 100 TB join MV refreshable. Fencing: component-wise-
-   * monotone source versions make their SUM a faithful tuple fence (equal
-   * sums under component-wise ≤ force the equal tuple), so `fence == Σv1`
-   * ⟺ exactly this interval already committed → heal meta only, never
-   * double-apply.
+   * that keeps a 100 TB join MV refreshable. Fencing: every refresh commit
+   * lands ONE PER-SOURCE fence (`writerId#root` → that source's committed
+   * v1) atomically with the data, and the next refresh baselines each
+   * source at max(meta version, its fence) — the single-source tier's
+   * guard generalized, so a crash between the storage commit and the
+   * _view.json update (even followed by further source appends) heals
+   * incrementally and never double-applies. The scalar Σv1 batch fence
+   * stays as the engine-level replay no-op backstop.
    *
    * An AGGREGATE over the join (the star-schema summary table:
    * `SELECT k, SUM(x) … FROM fact JOIN dim GROUP BY k`) maintains too:
@@ -1359,19 +1362,29 @@ private[sql] object GraftMvRefresh {
       return None // self-join: occurrence-level deltas
     if (!roots.forall(meta.sourceVersions.contains)) return None
     scala.util.Try {
-      // one pinned view of every source: table, baseline v0, current v1
+      val writerId = s"mv-incr-join:${roots.sorted.mkString("|")}"
+      val fences = storage.snapshot.writerFences
+      // One pinned view of every source: table, baseline v0, current v1.
+      // v0 = max(recorded meta version, this source's PER-SOURCE fence
+      // `writerId#root` — landed atomically WITH every refresh commit), the
+      // single-source tier's guard generalized: a crash between the storage
+      // commit and the _view.json update leaves the fences carrying the
+      // exact committed tuple, so a later refresh (even after further
+      // source appends) baselines past the committed interval and can
+      // never double-apply it.
       val src = resolved.map { case (parts, root) =>
         val t = graft.table.TransactionalTable.open(spark, root)
-        (parts, root, t, meta.sourceVersions(root), t.currentVersion)
+        val v0 = math.max(meta.sourceVersions(root),
+          fences.getOrElse(s"$writerId#$root", -1L))
+        (parts, root, t, v0, t.currentVersion)
       }
       val updated = src.map { case (_, root, _, _, v1) => root -> v1 }.toMap
       val batchSum = src.map(_._5).sum
-      val writerId = s"mv-incr-join:${roots.sorted.mkString("|")}"
-      val fence = storage.snapshot.writerFences.getOrElse(writerId, -1L)
-      // componentwise-monotone versions make the SUM a faithful tuple
-      // fence (equal sums under componentwise ≤ force the equal tuple), so
-      // fence == Σv1 ⟺ exactly this interval already committed
-      if (fence >= batchSum)
+      val extraFences =
+        src.map { case (_, root, _, _, v1) => s"$writerId#$root" -> v1 }.toMap
+      // empty interval everywhere (possibly because the fences already
+      // carry it) → heal meta only, never re-apply
+      if (src.forall { case (_, _, _, v0, v1) => v1 == v0 })
         Some(("incremental-join: +0 rows (fence-healed)", 0L, updated))
       else {
         // Some(None) = empty interval; Some(Some(df)) = its insert
@@ -1418,13 +1431,13 @@ private[sql] object GraftMvRefresh {
               case None =>
                 val n = out.count()
                 storage.append(out, batchId = batchSum,
-                  writerId = Some(writerId))
+                  writerId = Some(writerId), extraFences = extraFences)
                 Some((s"incremental-union: +$n rows", n, updated))
               case Some((groupCols, aggCols)) =>
                 // the single application IS the interval's per-group
                 // partials — merge the changed groups into storage
                 val (_, nG, _, _) = mergeAggDelta(spark, storage, out,
-                  groupCols, aggCols, batchSum, writerId, roots.head)
+                  groupCols, aggCols, batchSum, writerId, roots.head, extraFences)
                 Some((s"incremental-union-agg: $nG groups merged", nG, updated))
             }
           } else {
@@ -1461,7 +1474,7 @@ private[sql] object GraftMvRefresh {
                   val out = terms.reduce(_ union _)
                   val n = out.count()
                   storage.append(out, batchId = batchSum,
-                    writerId = Some(writerId))
+                    writerId = Some(writerId), extraFences = extraFences)
                   Some((s"incremental-join: +$n rows", n, updated))
                 case Some((groupCols, aggCols)) =>
                   // each term already aggregated the full definition over
@@ -1484,7 +1497,7 @@ private[sql] object GraftMvRefresh {
                         .agg(aggExprs.head, aggExprs.tail: _*)
                     }
                   val (_, nG, _, _) = mergeAggDelta(spark, storage, delta,
-                    groupCols, aggCols, batchSum, writerId, roots.head)
+                    groupCols, aggCols, batchSum, writerId, roots.head, extraFences)
                   Some((s"incremental-join-agg: $nG groups merged", nG, updated))
               }
             }
@@ -1532,7 +1545,8 @@ private[sql] object GraftMvRefresh {
       storage: graft.table.TransactionalTable,
       delta: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], aggCols: Seq[AggOut],
-      v1: Long, writerId: String, root: String): (String, Long, Long, String) = {
+      v1: Long, writerId: String, root: String,
+      extraFences: Map[String, Long] = Map.empty): (String, Long, Long, String) = {
     import org.apache.spark.sql.functions.{greatest, least, when}
     requireNonNullKeys(delta, groupCols)
     val d = delta.alias("d")
@@ -1574,7 +1588,8 @@ private[sql] object GraftMvRefresh {
     val emptyDeletes = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(storage.pkCols.map(storage.schema(_))))
-    storage.merge(combined, emptyDeletes, batchId = v1, writerId = Some(writerId))
+    storage.merge(combined, emptyDeletes, batchId = v1, writerId = Some(writerId),
+      extraFences = extraFences)
     (s"incremental-agg: $nGroups groups merged", nGroups, v1, root)
   }
 

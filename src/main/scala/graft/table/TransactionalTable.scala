@@ -1425,7 +1425,10 @@ final class TransactionalTable private (
         * streams each replay-protect their own epoch sequence and never
         * fence each other out (Delta txnAppId semantics). A writer-fenced
         * commit leaves the global batchId untouched. */
-      writerId: Option[String] = None): Unit = synchronized {
+      writerId: Option[String] = None,
+      /** Additional fence-domain updates landing atomically with the commit
+        * (per-source MV high-water marks) — see [[append]]. */
+      extraFences: Map[String, Long] = Map.empty): Unit = synchronized {
     retryingCommit("merge") { snap =>
       // T4: replayed batch — already committed (re-checked on every retry:
       // the concurrent winner may have been this very batch's other attempt)
@@ -1435,9 +1438,10 @@ final class TransactionalTable private (
       }
       if (!fenced) {
         pendingWriterFence = writerId.map(_ -> batchId)
+        pendingExtraFences = extraFences
         try doMerge(snap, upserts, deleteKeys,
           if (writerId.isDefined) snap.batchId else batchId, mode, guardTs)
-        finally pendingWriterFence = None
+        finally { pendingWriterFence = None; pendingExtraFences = Map.empty }
         pendingAutoCompact = true
       }
     }
@@ -1454,6 +1458,11 @@ final class TransactionalTable private (
     * calling thread): the per-writer fence update the in-flight commit must
     * persist. Cleared in the caller's finally. */
   private var pendingWriterFence: Option[(String, Long)] = None
+
+  /** Thread-confined companion: additional fence-domain updates (per-source
+    * MV high-water marks) the in-flight commit persists atomically with the
+    * data. Cleared in the caller's finally. */
+  private var pendingExtraFences: Map[String, Long] = Map.empty
 
   /** Thread-confined twin: the parent snapshot's fence map, set by
     * retryingCommit around each attempt so commit() inherits without a
@@ -2637,9 +2646,14 @@ final class TransactionalTable private (
   }
 
   /** Bulk append (bootstrap / initial load): no key matching, pure add.
-    * `writerId` selects the fence domain — see [[merge]]. */
+    * `writerId` selects the fence domain — see [[merge]]; `extraFences`
+    * lands additional fence-domain updates atomically WITH the data (the
+    * multi-source MV tier records one per-source high-water mark per
+    * refresh commit, so a crash before its own meta update is recoverable
+    * per source instead of by full recompute). */
   def append(rows: DataFrame, batchId: Long = -1L,
-      writerId: Option[String] = None): Unit = synchronized {
+      writerId: Option[String] = None,
+      extraFences: Map[String, Long] = Map.empty): Unit = synchronized {
     retryingCommit("append") { snap =>
       val fenced = writerId match {
         case Some(w) => batchId >= 0 && batchId <= snap.writerFences.getOrElse(w, -1L)
@@ -2650,11 +2664,12 @@ final class TransactionalTable private (
         val newFiles = writeDataFiles(conformed(rows),
           commitDir(newVersion), seq = newVersion)
         pendingWriterFence = writerId.map(_ -> batchId)
+        pendingExtraFences = extraFences
         pendingChunkHint = Some((Seq.empty, newFiles))
         try commit(Snapshot(newVersion,
           if (writerId.isDefined) snap.batchId else math.max(batchId, snap.batchId),
           new AppendedFiles(snap.files, newFiles), snap.deletes))
-        finally pendingWriterFence = None
+        finally { pendingWriterFence = None; pendingExtraFences = Map.empty }
         pendingAutoCompact = true
       }
     }
@@ -3711,7 +3726,11 @@ final class TransactionalTable private (
           catch { case _: Exception => Map.empty[String, Long] }
         else Map.empty[String, Long]
       }
-    val effectiveFences = inheritedFences ++ pendingWriterFence
+    // fences are monotone: an extra-fence update never lowers an inherited mark
+    val grownExtra = pendingExtraFences.map { case (k, v) =>
+      k -> math.max(v, inheritedFences.getOrElse(k, -1L))
+    }
+    val effectiveFences = inheritedFences ++ grownExtra ++ pendingWriterFence
     if (effectiveFences.nonEmpty) {
       val fo = node.putObject("writerFences")
       effectiveFences.foreach { case (k, v) => fo.put(k, v) }

@@ -114,6 +114,29 @@ class DedupSimilaritySpec extends SparkSpec {
       === Seq(20L, 22L))
   }
 
+  test("DedupIndex: replayed batch returns the COMMITTED kept set on chain-bearing real data") {
+    import graft.ops.DedupIndex
+    import org.apache.spark.sql.functions.col
+    // The sf0.001 documents fixture contains transitive bucket chains
+    // (A<B<C with A,B and B,C sharing simhash bands but not A,C): a replay
+    // that RECOMPUTED the kept set would corpus-filter B via the
+    // now-indexed A and keep chain-orphaned C — growing kept across
+    // deliveries. The read-back contract (ADVICE r14) returns the original
+    // committed set instead, so the downstream corpus merge can never
+    // diverge from the index.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val index = DedupIndex.create(spark, tmpDir("dedup-index-chain") + "/idx")
+    DedupIndex.appendBatch(index, docs.filter(col("doc_id") % 2 === 0), 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val k1 = DedupIndex.appendBatch(index, odd, 1).as[Long].collect().toSeq
+    val rowsAfter = index.scan().count()
+    val k2 = DedupIndex.appendBatch(index, odd, 1).as[Long].collect().toSeq
+    assert(k2 === k1, "replay diverged from the committed kept set")
+    assert(index.scan().count() === rowsAfter, "replay must not grow the index")
+  }
+
   test("DedupIndex lifecycle: compaction cadence bounds files and keeps appendBatch flat") {
     import graft.ops.DedupIndex
     val index = DedupIndex.create(spark, tmpDir("dedup-index-life") + "/idx")

@@ -61,6 +61,31 @@ class ImageDedupIndexSpec extends SparkSpec {
       .as[Long].collect().toSeq.sorted === Seq(20L, 22L))
   }
 
+  test("HammingIndex: replay returns the ORIGINAL kept set on a transitive in-batch chain") {
+    import graft.ops.HammingIndex
+    import org.apache.spark.sql.functions.col
+    val index = HammingIndex.create(spark, tmpDir("ham-chain") + "/idx")
+    // 56-bit space, 4×14 banding: A=0; B flips 2 bits of A's band 0
+    // (dist 2 — a pair); C flips 2 bits of B's band 1 (dist 2 from B,
+    // dist 4 from A — NOT a pair with A)
+    val a = 0L
+    val b = a ^ 0x3L
+    val c = b ^ (0x3L << 14)
+    val hashes = Seq((1L, a), (2L, b), (3L, c)).toDF("media_id", "hash")
+    val ids = hashes.select(col("media_id"))
+    // single-pass in-batch rule drops 2 (via 1) and 3 (via 2): kept = {1}
+    assert(HammingIndex.appendBatch(index, hashes, ids, bands = 4,
+      bitsPerBand = 14, batchId = 0).as[Long].collect().toSeq === Seq(1L))
+    val n = index.scan().count()
+    // replay: the fenced commit no-ops and the read-back returns the
+    // ORIGINAL kept set — a recomputation would corpus-filter 2 via the
+    // now-indexed 1 and then KEEP chain-orphaned 3 (1≁3)
+    assert(HammingIndex.appendBatch(index, hashes, ids, bands = 4,
+      bitsPerBand = 14, batchId = 0).as[Long].collect().toSeq === Seq(1L),
+      "replay diverged from the committed kept set on a transitive chain")
+    assert(index.scan().count() === n, "replay must not grow the index")
+  }
+
   test("lifecycle: compaction cadence bounds files, flat appendBatch, batch-0 dup still caught") {
     val index = ImageDedupIndex.create(spark, tmpDir("img-index-life") + "/idx")
     // 20 ingest batches: one fresh image (distinct codeword per batch, so

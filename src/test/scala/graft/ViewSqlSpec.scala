@@ -420,6 +420,37 @@ class ViewSqlSpec extends SparkSpec {
       "pair fence failed: interval applied twice")
   }
 
+  test("join MV: per-source fences heal a crash even when a source advances AFTERWARDS") {
+    val (cat, w) = freshJoin()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jfen2 AS " +
+      s"SELECT t.id, d.name FROM $cat.db.t t JOIN $cat.db.d d ON t.id = d.id")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40)")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (4, 'dd')")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.jfen2')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental-join"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.jfen2").as[Long].head() === 3L)
+    // crash window: storage commit landed, _view.json not yet updated...
+    val root = s"$w/db/jfen2"
+    val meta = GraftViewStore.load(root)
+    GraftViewStore.write(root,
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+    // ...and a source then ADVANCES before the next refresh (the scalar
+    // Σv1 fence cannot detect this — the per-source fences must carry the
+    // committed baseline forward; ADVICE r14)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (5, 50)") // no dim match yet
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.jfen2')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-join"), s"expected incremental heal, got $r2")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.jfen2").as[Long].head() === 3L,
+      "per-source fence failed: interval applied twice after the crash window")
+    // a later matching dim row still lands exactly once
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (5, 'ee')")
+    spark.sql(s"CALL $cat.system.refresh_mv('db.jfen2')")
+    assert(spark.sql(s"SELECT id FROM $cat.db.jfen2 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 4L, 5L))
+  }
+
   test("join MV: AGGREGATE over the join merges per-group deltas of the IVM row delta") {
     val (cat, w) = freshJoin()
     // star-schema summary: per-category totals over fact ⋈ dim
