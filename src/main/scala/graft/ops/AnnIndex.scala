@@ -96,6 +96,9 @@ object AnnIndex {
     // pruning then opens nprobe files per un-compacted batch, and the
     // compaction cadence has cells× less small-file debt to pay.
     asg.setWriteDistribution("hash")
+    // the REQUESTED quantizer width — the drift trigger retrains to this,
+    // never to whatever the seed rule happened to yield
+    cent.setCustomMeta("ann.cells", cells.toString)
     Handle(asg, cent)
   }
 
@@ -114,17 +117,54 @@ object AnnIndex {
   def appendBatch(h: Handle, vecs: DataFrame, batchId: Long,
       compactEvery: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = graft.util.BatchStats.timed("ann_index_batch") {
-    val spark = vecs.sparkSession
-    val cent = h.centroidVectors
-    val rows = vecs
-      .select(col(idCol).cast("long").as("vec_id"), unit(vecCol).as("v"))
-      .withColumn("cell", cellOf(col("v"), cent))
-      .select("vec_id", "cell", "v")
-    import spark.implicits._
-    h.assignments.merge(rows, spark.emptyDataset[Long].toDF("vec_id"), batchId)
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      h.assignments.compact()
+      vecCol: String = "embedding",
+      /** > 0 turns on the DRIFT TRIGGER: after the batch lands, if the
+        * hottest cell holds more than this fraction of the index (corpus
+        * drifted away from the frozen quantizer's seed distribution —
+        * probe pruning degenerating toward one giant cell), [[retrain]]
+        * fires automatically with the current cell count. The occupancy
+        * check is one group-by over the assignment table; the retrain
+        * fences on the batch id, so a replayed batch replays to a no-op. */
+      retrainWhenSkew: Double = 0.0): Unit =
+    graft.util.BatchStats.timed("ann_index_batch") {
+      val spark = vecs.sparkSession
+      val cent = h.centroidVectors
+      val rows = vecs
+        .select(col(idCol).cast("long").as("vec_id"), unit(vecCol).as("v"))
+        .withColumn("cell", cellOf(col("v"), cent))
+        .select("vec_id", "cell", "v")
+      import spark.implicits._
+      h.assignments.merge(rows, spark.emptyDataset[Long].toDF("vec_id"), batchId)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        h.assignments.compact()
+      if (retrainWhenSkew > 0) {
+        val s = status(h)
+        // retrain back to the REQUESTED width (create-time record), not the
+        // live centroid count — a previously collapsed/shrunk quantizer
+        // must be able to grow back. Skew needs enough vectors that the hot
+        // fraction is signal, not small-sample noise: ≥ 2 rows per cell.
+        val want = h.centroids.customMeta("ann.cells")
+          .map(_.toInt).getOrElse(s.nCells.toInt)
+        if (s.nVectors >= 2L * want && s.maxCellFraction > retrainWhenSkew)
+          retrain(h, cells = want, fenceId = batchId)
+      }
+    }
+
+  /** Occupancy stats of the live index: the drift-observability surface
+    * behind `CALL graft.system.ann_status` and the [[appendBatch]] skew
+    * trigger. `lastRetrain` is the persisted per-retrain record (JSON:
+    * fence + post-retrain occupancy), written by [[retrain]]. */
+  final case class Status(nVectors: Long, nCells: Long,
+      maxCellFraction: Double, lastRetrain: Option[String])
+
+  def status(h: Handle): Status = {
+    val agg = h.assignments.scan().groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("total"), max("n").as("mx")).collect()(0)
+    val total = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val mx = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    Status(total, h.centroids.countRows,
+      if (total == 0) 0.0 else mx.toDouble / total,
+      h.centroids.customMeta("ann.retrain.stats"))
   }
 
   /**
@@ -167,6 +207,12 @@ object AnnIndex {
       reassignAll(h, cent, fenceId)
       publishCentroids(h, cent, fenceId)
     }
+    // persist the per-retrain occupancy record (observability breadcrumb:
+    // `ann_status` reports it; a re-fenced replay rewrites the same value)
+    val s = status(h)
+    h.centroids.setCustomMeta("ann.retrain.stats",
+      s"""{"fence":$fenceId,"n_vectors":${s.nVectors},""" +
+        s""""n_cells":${s.nCells},"max_cell_fraction":${s.maxCellFraction}}""")
     cent
   }
 
@@ -179,13 +225,24 @@ object AnnIndex {
     val n = rows.count()
     require(n > 0, "retrain needs a non-empty index")
     val stride = math.max(1L, n / cells)
-    var seeds = rows.filter(pmod(TextOps.md5Hash60(col("vec_id")), lit(stride)) === 0)
-      .orderBy("vec_id").limit(cells).select("v").collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
-    if (seeds.isEmpty)
-      seeds = rows.orderBy("vec_id").limit(cells).select("v").collect()
-        .map(_.getSeq[Double](0).toSeq).toSeq
-    var cent = seeds
+    val strided = rows.filter(pmod(TextOps.md5Hash60(col("vec_id")), lit(stride)) === 0)
+      .orderBy("vec_id").limit(cells).select("vec_id", "v").collect()
+    // TOP UP a stride whiff (hash luck can select < cells ids) with the
+    // lowest ids not already chosen: a retrain must never silently SHRINK
+    // the quantizer below the requested width — a collapsed cell count
+    // degenerates every later probe to a full scan and re-trips the drift
+    // trigger forever. Deterministic (id order); quality is certified by
+    // recall bound, not bit-exact oracle, per the trainFromIndex contract.
+    val seeds =
+      if (strided.length >= cells || n <= strided.length) strided.toSeq
+      else {
+        val chosen = strided.map(_.getLong(0)).toSet
+        strided.toSeq ++ rows
+          .filter(!col("vec_id").isin(chosen.toSeq: _*))
+          .orderBy("vec_id").limit(cells - strided.length)
+          .select("vec_id", "v").collect().toSeq
+      }
+    var cent = seeds.map(_.getSeq[Double](1).toSeq)
     (0 until iters).foreach { _ =>
       val means = rows.withColumn("cell", cellOf(col("v"), cent))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))

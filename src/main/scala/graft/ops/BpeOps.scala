@@ -79,6 +79,14 @@ object BpeOps {
       // (symbols are alpha-only by construction, so inlining is safe)
       state = state.withColumn("s",
         expr(s"replace(s, '<$l><$r>', '<$l$r>')"))
+      // Re-materialize periodically: without this, step k's pair count
+      // re-executes all k−1 prior replaces over the vocabulary (O(merges²)
+      // total work) and the accumulated plan nests `merges` expressions
+      // deep — an analyzer stack overflow in the low thousands. Checkpoint
+      // cadence keeps per-step work O(vocab) and plan depth ≤ 64 at any
+      // real vocab size (32k merges); semantics unchanged — the state is
+      // the same vocabulary either way.
+      if (step % 64 == 0) state = state.localCheckpoint(true)
       Row(step.toLong, l, r, l + r, cnt)
     }
     learned

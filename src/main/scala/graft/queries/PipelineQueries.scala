@@ -546,6 +546,142 @@ object PipelineQueries {
              |  UNION ALL SELECT CAST(17 AS BIGINT)
              |) ORDER BY media_id""".stripMargin)),
 
+    // STREAMING MEDIA CORPUS BUILD, VIDEO KERNEL: the same MediaPipeline
+    // stream bound to the TEMPORAL dedup kernel (VideoDedupIndex — frame-
+    // position-keyed banding, clip fraction rule), completing the kernel
+    // triad (image/audio/video) on one streaming ingest path. Fixtures are
+    // the x5_video_index GIF clips (closed-form per-frame dHashes): batch 0
+    // seeds a clip and its inverse; batch 1 (a restart — the second drop
+    // resumes from the checkpoint) brings a brightness-shifted 3/3 copy
+    // (dropped), a 2/3 partial edit (dropped — the fraction rule across the
+    // index boundary), a 1/3-overlap fresh clip (kept), its in-batch copy
+    // (dropped), and a non-video payload (kept, frameless). End state =
+    // corpus ids; stored GIFs must re-hash to the closed-form frame
+    // literals after the base64 → stream → fenced-merge round trip.
+    Q("cdc_media_stream_video",
+      (s, _) => {
+        import java.nio.file.{Files, Paths}
+        import graft.ops.ImageCodec
+        def frame(rowBits: Seq[Int], base: Int): java.awt.image.BufferedImage = {
+          val bi = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (r <- 0 until 8) {
+            var v = base
+            bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+            for (c <- 0 until 7) {
+              v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
+              bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+            }
+          }
+          bi
+        }
+        def gif(ps: Seq[Seq[Int]], base: Int): Array[Byte] =
+          ImageCodec.writeGifAnimationImages(ps.map(frame(_, base)))
+        val bitsP = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+        val bitsQ = Seq.fill(8)(0x33)
+        val bitsR = Seq.fill(8)(0x0F)
+        val bitsQ2 = Seq(0x32, 0x33, 0x32) ++ Seq.fill(5)(0x33)
+        val bitsT = Seq.fill(8)(0x11)
+        val in = Files.createTempDirectory("graft_vmedia_in").toString
+        val ckpt = Files.createTempDirectory("graft_vmedia_ckpt").toString
+        val index = graft.ops.VideoDedupIndex.create(s,
+          Files.createTempDirectory("graft_vmedia_idx").toString + "/idx")
+        val corpus = graft.table.TransactionalTable.create(s,
+          Files.createTempDirectory("graft_vmedia_tbl").toString + "/corpus",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            graft.stream.MediaPipeline.CorpusSchemaDdl), "media_id")
+        def b64(b: Array[Byte]): String =
+          java.util.Base64.getEncoder.encodeToString(b)
+        def drop(name: String, rows: Seq[(Long, Array[Byte])]): Unit =
+          Files.writeString(Paths.get(in, name), rows.map { case (id, bytes) =>
+            s"""{"media_id":$id,"content_b64":"${b64(bytes)}"}"""
+          }.mkString("", "\n", "\n"))
+        def runOnce(): Unit = {
+          val q = graft.stream.MediaPipeline.run(s, in, ckpt, index, corpus,
+            kernel = graft.stream.MediaPipeline.VideoKernel)
+          q.awaitTermination()
+        }
+        drop("b0.json", Seq(
+          (1L, gif(Seq(bitsP, bitsQ, bitsR), 100)),
+          (4L, gif(Seq(bitsP.map(_ ^ 0x7f), bitsQ.map(_ ^ 0x7f),
+            bitsR.map(_ ^ 0x7f)), 100))))
+        runOnce()
+        drop("b1.json", Seq(
+          (11L, gif(Seq(bitsP, bitsQ, bitsR), 140)),
+          (13L, gif(Seq(bitsP, bitsQ2, bitsT), 100)),
+          (15L, gif(Seq(bitsQ, bitsQ, bitsQ), 100)),
+          (16L, gif(Seq(bitsQ, bitsQ, bitsQ), 120)),
+          (17L, "not a video".getBytes)))
+        runOnce()
+        // payload-intactness proof: stored GIFs re-decode to the closed-form
+        // per-frame hashes (engine-side assert; the oracle derives the
+        // kept-id set from these same literals)
+        val rehash = graft.ops.MultimodalOps.videoFrameHashes(corpus.scan())
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val want = Map(
+          (1L, 0L) -> 24019198012642645L, (1L, 1L) -> 28936514141215155L,
+          (1L, 2L) -> 8510739453298575L,
+          (4L, 0L) -> 48038396025285290L, (4L, 1L) -> 43121079896712780L,
+          (4L, 2L) -> 63546854584629360L,
+          (15L, 0L) -> 28936514141215155L, (15L, 1L) -> 28936514141215155L,
+          (15L, 2L) -> 28936514141215155L)
+        require(rehash == want,
+          s"stored payloads must re-hash to the closed-form literals: $rehash")
+        corpus.scan().select("media_id").orderBy("media_id")
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), 0, CAST(0 AS BIGINT), CAST(24019198012642645 AS BIGINT)),
+             |    (1, 0, 1, 28936514141215155), (1, 0, 2, 8510739453298575),
+             |    (4, 0, 0, 48038396025285290), (4, 0, 1, 43121079896712780), (4, 0, 2, 63546854584629360),
+             |    (11, 1, 0, 24019198012642645), (11, 1, 1, 28936514141215155), (11, 1, 2, 8510739453298575),
+             |    (13, 1, 0, 24019198012642645), (13, 1, 1, 28936514141198770), (13, 1, 2, 9645504713738385),
+             |    (15, 1, 0, 28936514141215155), (15, 1, 1, 28936514141215155), (15, 1, 2, 28936514141215155),
+             |    (16, 1, 0, 28936514141215155), (16, 1, 1, 28936514141215155), (16, 1, 2, 28936514141215155)
+             |  ) AS t(media_id, batch, pos, fhash)),
+             |cnt AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+             |ch AS (SELECT media_id, batch, pos, fhash, c AS band,
+             |         (fhash >> CAST(c * 14 AS INTEGER)) & 16383 AS chunk
+             |       FROM h, range(4) r(c)),
+             |p0 AS (SELECT DISTINCT a.media_id, a.pos, b.media_id AS om
+             |       FROM ch a JOIN ch b ON a.batch = 0 AND b.batch = 0
+             |         AND a.pos = b.pos AND a.band = b.band AND a.chunk = b.chunk
+             |         AND b.media_id < a.media_id
+             |         AND bit_count(xor(a.fhash, b.fhash)) <= 3),
+             |d0 AS (SELECT z.media_id FROM (
+             |         SELECT media_id, om, COUNT(*) AS m FROM p0 GROUP BY 1, 2) z
+             |       JOIN cnt ca ON ca.media_id = z.media_id
+             |       JOIN cnt cb ON cb.media_id = z.om
+             |       WHERE m >= ceil(least(ca.n, cb.n) * 0.5)),
+             |k0 AS (SELECT * FROM ch WHERE batch = 0
+             |       AND media_id NOT IN (SELECT media_id FROM d0)),
+             |p1 AS (SELECT DISTINCT b.media_id, b.pos, i.media_id AS om
+             |       FROM ch b JOIN k0 i ON b.batch = 1
+             |         AND b.pos = i.pos AND b.band = i.band AND b.chunk = i.chunk
+             |         AND bit_count(xor(b.fhash, i.fhash)) <= 3),
+             |cd AS (SELECT z.media_id FROM (
+             |         SELECT media_id, om, COUNT(*) AS m FROM p1 GROUP BY 1, 2) z
+             |       JOIN cnt ca ON ca.media_id = z.media_id
+             |       JOIN cnt cb ON cb.media_id = z.om
+             |       WHERE m >= ceil(least(ca.n, cb.n) * 0.5)),
+             |cand AS (SELECT * FROM ch WHERE batch = 1
+             |         AND media_id NOT IN (SELECT media_id FROM cd)),
+             |p2 AS (SELECT DISTINCT a.media_id, a.pos, b.media_id AS om
+             |       FROM cand a JOIN cand b ON a.pos = b.pos AND a.band = b.band
+             |         AND a.chunk = b.chunk AND b.media_id < a.media_id
+             |         AND bit_count(xor(a.fhash, b.fhash)) <= 3),
+             |bd AS (SELECT z.media_id FROM (
+             |         SELECT media_id, om, COUNT(*) AS m FROM p2 GROUP BY 1, 2) z
+             |       JOIN cnt ca ON ca.media_id = z.media_id
+             |       JOIN cnt cb ON cb.media_id = z.om
+             |       WHERE m >= ceil(least(ca.n, cb.n) * 0.5))
+             |SELECT media_id FROM (
+             |  SELECT DISTINCT media_id FROM k0
+             |  UNION ALL SELECT media_id FROM (
+             |    SELECT DISTINCT media_id FROM cand
+             |    WHERE media_id NOT IN (SELECT media_id FROM bd))
+             |  UNION ALL SELECT CAST(17 AS BIGINT)
+             |) ORDER BY media_id""".stripMargin)),
+
     // STREAMING CORPUS BUILD (the production ingest posture): a document
     // stream — fixture documents split into two JSON-lines drops, even ids
     // then odd ids — drives funnel cleaning → persistent-DedupIndex dedup →

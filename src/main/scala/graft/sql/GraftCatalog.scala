@@ -485,6 +485,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     rootOf(ident)
   }
 
+  /** Disk root for a dotted table name that may not exist yet (the index
+    * CREATE procedures build engine tables there; the directory then shows
+    * up through the normal catalog listing). */
+  private[sql] def rootByName(table: String): String = {
+    val parts = table.split("\\.")
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'db.tbl', got '$table'")
+    rootOf(Identifier.of(parts.init, parts.last))
+  }
+
   private[sql] def openByName(table: String): TransactionalTable = {
     val parts = table.split("\\.")
     require(parts.length >= 1 && parts.forall(_.nonEmpty),

@@ -311,6 +311,101 @@ object GraftProcedures {
         }
       }),
 
+    // LLM-pipeline index procedures — the SQL/CALL surface over the
+    // persistent dedup/ANN indexes, so every pipeline feature is reachable
+    // from SQL (the reference's everything-through-SQL posture,
+    // README.md:436,511). Sources/queries are named tables or temp views;
+    // row-set results register as temp views (the create_changelog_view
+    // idiom) so plain SQL consumes them.
+    //
+    //   CALL graft.system.dedup_index_create('db.idx')
+    //   CALL graft.system.dedup_index_append('db.idx', 'batch_view', 0, 'kept0')
+    //   CALL graft.system.ann_index_create('db.ann', 'seed_view', 16)
+    //   CALL graft.system.ann_index_append('db.ann', 'batch_view', 0, 2)
+    //   CALL graft.system.ann_probe('db.ann', 'query_view', 5, 4, 'hits')
+    //   CALL graft.system.ann_status('db.ann')
+    "dedup_index_create" -> Spec(
+      Seq("table" -> S),
+      row("index" -> S, "version" -> L),
+      (c, a) => {
+        val name = a.getUTF8String(0).toString
+        val t = graft.ops.DedupIndex.create(
+          org.apache.spark.sql.SparkSession.active, c.rootByName(name))
+        Seq(name, t.currentVersion)
+      }),
+
+    // Appends one batch (replay-fenced on batch_id) and registers the kept
+    // doc ids as `kept_view` — the read-back contract makes a re-CALL of a
+    // committed batch return the original kept set.
+    "dedup_index_append" -> Spec(
+      Seq("table" -> S, "source" -> S, "batch_id" -> L, "kept_view" -> S),
+      row("kept_view" -> S, "kept_docs" -> L, "index_version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val index = open(c, a)
+        val kept = graft.ops.DedupIndex.appendBatch(index,
+          spark.table(a.getUTF8String(1).toString), a.getLong(2))
+        val view = a.getUTF8String(3).toString
+        kept.createOrReplaceTempView(view)
+        Seq(view, kept.count(), index.currentVersion)
+      }),
+
+    "ann_index_create" -> Spec(
+      Seq("index" -> S, "seed_source" -> S, "cells" -> I),
+      row("index" -> S, "cells" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val name = a.getUTF8String(0).toString
+        val h = graft.ops.AnnIndex.create(spark, c.rootByName(name),
+          spark.table(a.getUTF8String(1).toString), a.getInt(2))
+        Seq(name, h.centroids.scan().count())
+      }),
+
+    "ann_index_append" -> Spec(
+      Seq("index" -> S, "source" -> S, "batch_id" -> L, "compact_every" -> I),
+      row("indexed_vectors" -> L, "assignments_version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val h = graft.ops.AnnIndex.open(spark, c.rootByName(a.getUTF8String(0).toString))
+        val src = spark.table(a.getUTF8String(1).toString)
+        graft.ops.AnnIndex.appendBatch(h, src, a.getLong(2),
+          compactEvery = a.getInt(3))
+        Seq(src.count(), h.assignments.currentVersion)
+      }),
+
+    // Partition-pruned approximate top-k over the persistent index,
+    // registered as `result_view` (qid, neighbor_id, rnk).
+    "ann_probe" -> Spec(
+      Seq("index" -> S, "queries" -> S, "k" -> I, "nprobe" -> I,
+        "result_view" -> S),
+      row("result_view" -> S, "n_results" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val h = graft.ops.AnnIndex.open(spark, c.rootByName(a.getUTF8String(0).toString))
+        val hits = graft.ops.AnnIndex.probe(h,
+          spark.table(a.getUTF8String(1).toString), a.getInt(2), a.getInt(3))
+        val view = a.getUTF8String(4).toString
+        hits.createOrReplaceTempView(view)
+        Seq(view, hits.count())
+      }),
+
+    // Drift observability for the frozen quantizer: cell-occupancy skew
+    // (max cell fraction vs the 1/cells ideal) is the signal that the
+    // corpus has drifted from the seed distribution and probe pruning is
+    // degenerating — the operator's retrain trigger.
+    "ann_status" -> Spec(
+      Seq("index" -> S),
+      row("n_vectors" -> L, "n_cells" -> L, "max_cell_fraction" -> DoubleType,
+        "last_retrain" -> S, "assignments_version" -> L,
+        "centroids_version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val h = graft.ops.AnnIndex.open(spark, c.rootByName(a.getUTF8String(0).toString))
+        val s = graft.ops.AnnIndex.status(h)
+        Seq(s.nVectors, s.nCells, s.maxCellFraction, s.lastRetrain.getOrElse(""),
+          h.assignments.currentVersion, h.centroids.currentVersion)
+      }),
+
     "mv_status" -> Spec(
       Seq("view" -> S),
       row("view" -> S, "fresh" -> BooleanType, "stale_sources" -> S,

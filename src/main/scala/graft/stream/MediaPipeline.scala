@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.{AudioDedupIndex, ImageDedupIndex}
+import graft.ops.{AudioDedupIndex, ImageDedupIndex, VideoDedupIndex}
 import graft.table.TransactionalTable
 
 /**
@@ -46,6 +46,14 @@ object MediaPipeline {
     * stream with the acoustic binding. */
   val AudioKernel: DedupKernel =
     (i, m, b, c) => AudioDedupIndex.appendBatch(i, m, b, compactEvery = c)
+
+  /** Per-frame dHash with the time-aligned clip fraction rule — the
+    * TEMPORAL binding ([[VideoDedupIndex]]): a batch clip is dropped when
+    * ≥ half the shorter side's frames match one indexed clip within
+    * Hamming 3. The index table must be created with
+    * [[VideoDedupIndex.create]] (frame-position-keyed schema). */
+  val VideoKernel: DedupKernel =
+    (i, m, b, c) => VideoDedupIndex.appendBatch(i, m, b, compactEvery = c)
 
   /** One micro-batch: index dedup → fenced corpus commit. Safe to call from
     * `foreachBatch`; replay-safe for a repeated `batchId`. Returns kept ids. */

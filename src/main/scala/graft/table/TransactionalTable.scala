@@ -2613,6 +2613,18 @@ final class TransactionalTable private (
       .map(_.get("parquetBloomCols").elements().asScala.map(_.asText()).toSeq)
       .getOrElse(Seq.empty)
 
+  /** Free-form writer-property record (engine components persist small
+    * operational breadcrumbs here — e.g. the ANN index's per-retrain
+    * cell-occupancy stats). Namespaced under `custom.` so it can never
+    * collide with an engine metadata key. */
+  def setCustomMeta(key: String, value: String): Unit = synchronized {
+    updateTableMeta(_.put(s"custom.$key", value))
+  }
+
+  /** The stored [[setCustomMeta]] value, if any. */
+  def customMeta(key: String): Option[String] =
+    tableMeta.filter(_.has(s"custom.$key")).map(_.get(s"custom.$key").asText())
+
   /** Read-modify-atomic-rewrite of `_table.json` for writer-behavior
     * properties (orthogonal to schema/partition metadata, which own their
     * own rewrite path and carry these keys forward). */

@@ -220,6 +220,52 @@ class AnnIndexSpec extends SparkSpec {
       "maintenance must not fence out the ingest stream")
   }
 
+  test("drift TRIGGER: appendBatch(retrainWhenSkew) self-retrains, persists stats, recall recovers") {
+    val root = tmpDir("ann-index-trigger")
+    // same planted-drift geometry as the manual-maintenance test: seed
+    // region on axis 0, drift region on axis 5 with disjoint wobble axes —
+    // every drift vector provably lands in ONE seed cell
+    def vec(axis: Int, wobbleBase: Int, i: Long): Seq[Float] = {
+      val a = Array.fill(dim)(0.05)
+      a(axis) = 1.0
+      a(wobbleBase + (i % 2).toInt) += 0.01 * (i % 5)
+      a.map(_.toFloat).toSeq
+    }
+    val seed = (0L until 20L).map(i => (i, vec(0, 1, i))).toDF("vec_id", "embedding")
+    val h = AnnIndex.create(spark, root, seed, cells = 4)
+    AnnIndex.appendBatch(h, seed, batchId = 0, retrainWhenSkew = 0.8)
+    assert(AnnIndex.status(h).lastRetrain.isEmpty,
+      "no retrain may fire while occupancy is in-band")
+    // drift batches with the trigger armed: the hot cell crosses 0.8 and
+    // the ingest path self-heals — no operator CALL in the loop
+    val driftRows = (1 to 6).flatMap { b =>
+      (0L until 20L).map(j => (1000L * b + j, vec(5, 6, 1000L * b + j)))
+    }
+    (1 to 6).foreach { b =>
+      AnnIndex.appendBatch(h,
+        driftRows.filter(_._1 / 1000L == b).toDF("vec_id", "embedding"),
+        batchId = b, retrainWhenSkew = 0.8)
+    }
+    val s = AnnIndex.status(h)
+    assert(s.nVectors === 140L)
+    assert(s.maxCellFraction <= 0.8,
+      s"trigger must have rebalanced the quantizer: $s")
+    assert(s.lastRetrain.isDefined && s.lastRetrain.get.contains("max_cell_fraction"),
+      s"retrain must persist its occupancy record: $s")
+    // recall against the exact ranking recovers under the retrained cells
+    val all = ((0L until 20L).map(i => (i, vec(0, 1, i))) ++ driftRows)
+      .toDF("vec_id", "embedding")
+    val queries = all.filter(col("vec_id").isin(2L, 7L, 1003L, 2011L, 5004L))
+    val approx = AnnIndex.probe(h, queries, k = 5, nprobe = 2)
+      .select("qid", "neighbor_id")
+    val exact = SimilarityOps.cosineTopK(all, queries, k = 5)
+      .select("qid", "neighbor_id")
+    val hit = approx.join(exact, Seq("qid", "neighbor_id"), "leftsemi").count()
+    val total = exact.count()
+    assert(hit >= (total * 0.6).toLong,
+      s"recall after trigger-driven maintenance too low: $hit / $total")
+  }
+
   test("recall certificate holds after incremental growth") {
     val root = tmpDir("ann-index-recall")
     val all = corpus(0 until 160)

@@ -377,6 +377,57 @@ class TextOpsSpec extends SparkSpec {
     assert(prep === Seq((1L, "a", "b", "ab", 2L)))
   }
 
+  test("bpeLearn at 256 merges: bounded plan (checkpoint cadence), exact vs driver reference") {
+    import graft.ops.BpeOps
+    // A 256-step learn exercises the periodic localCheckpoint: without it,
+    // step k re-executes all k−1 prior replaces (O(merges²) work) and the
+    // accumulated plan nests 256 expressions deep. Corpus: 500 deterministic
+    // pseudo-words (LCG over a 12-letter alphabet) — enough adjacent-pair
+    // diversity to sustain 256 greedy merges.
+    val rng = new java.util.Random(7)
+    val words = (0 until 500).map { _ =>
+      (0 until 12).map(_ => ('a' + rng.nextInt(12)).toChar).mkString
+    }
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = BpeOps.bpeLearn(docs, merges = 256, sampleMod = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got.size === 256)
+    // driver-side reference: same preprocessing, greedy left-to-right
+    // non-overlapping merge application, max-count lexicographic tie-break
+    var state: Map[Vector[String], Long] = words
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.size.toLong
+      }
+    val ref = (1 to 256).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, f) =>
+        syms.indices.dropRight(1).foreach { i =>
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        }
+      }
+      val ((l, r), cnt) = counts.toSeq
+        .minBy { case ((l, r), c) => (-c, l, r) }
+      state = state.groupBy { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }.map { case (syms, m) => syms -> m.values.sum }
+      (step.toLong, l, r, l + r, cnt)
+    }
+    assert(got === ref, "learned merge table diverged from the reference")
+    // bounded per-step cost: generous smoke bound — the pre-fix quadratic
+    // re-execution shape would trend far past this long before 32k merges
+    assert(sec / 256 < 1.5, f"per-step time ${sec / 256}%.2f s — plan growth?")
+  }
+
   test("bpeApply: learned merges encode the FULL corpus, sampled or not; empty docs keep (0,0)") {
     import graft.ops.BpeOps
     // same training corpus as the learn test: merges aa, ab, aaab (in order)
