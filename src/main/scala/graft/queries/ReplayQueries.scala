@@ -1939,6 +1939,122 @@ object ReplayQueries {
            |) AS t(cat, total, n) ORDER BY cat""".stripMargin
       }),
 
+    // JOIN-agg MV RETRACTION (E170): a delete-bearing interval on the
+    // star-schema summary net-merges via the SIGNED telescoping delta —
+    // each term's sign is its single delta operand's image kind; an UPDATE
+    // (delete+insert changelog pair) nets exactly, a category losing its
+    // last fact leaves storage, and a Δdim insert births a group from OLD
+    // facts. The reason must name the join retraction tier.
+    Q("cdc_sql_mv_incr_join_retract",
+      (s, _) => {
+        val cat = s"graft_mjr${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mjr").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        TransactionalTable.create(s, s"$warehouse/db/evcat",
+          org.apache.spark.sql.types.StructType.fromDDL("event STRING, cat STRING"),
+          "event", None)
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES " +
+          "('visit', 'browse'), ('cart', 'intent'), ('like', 'social')")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.cat_tot " +
+          s"TBLPROPERTIES('pk'='cat') AS " +
+          s"SELECT c.cat, SUM(r.amount) AS total, COUNT(r.amount) AS na, " +
+          s"COUNT(*) AS n " +
+          s"FROM $cat.db.retail r JOIN $cat.db.evcat c ON r.event = c.event " +
+          s"GROUP BY c.cat")
+        // churn: an UPDATE, a group-KILLING fact delete, a Δfact insert,
+        // and a Δdim insert joining facts already present at v0
+        s.sql(s"UPDATE $cat.db.retail SET amount = amount + 100 WHERE trans_id = 19")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE event = 'cart'")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'like', 'SKU500', 7, 'pc', NULL)")
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES ('purchase', 'buy')")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.cat_tot')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-join-agg-retract"),
+          s"expected the join retraction path, got '$refreshed'")
+        s.sql(s"SELECT cat, total, na, n FROM $cat.db.cat_tot ORDER BY cat")
+      },
+      Some {
+        val cats = Map("visit" -> "browse", "cart" -> "intent",
+          "like" -> "social", "purchase" -> "buy")
+        val after = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) }
+          .map { case (id, ev, amt) => (id, ev, if (id == 19L) amt + 100 else amt) }
+          .filter { case (_, ev, _) => ev != "cart" } :+
+          ((500L, "like", 7)))
+          .filter(r => cats.contains(r._2))
+        val rows = after.groupBy(r => cats(r._2)).toSeq.sortBy(_._1)
+          .map { case (c, rs) =>
+            s"('$c', CAST(${rs.map(_._3.toLong).sum} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT), CAST(${rs.size} AS BIGINT))" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(cat, total, na, n) ORDER BY cat""".stripMargin
+      }),
+
+    // UNION-agg MV RETRACTION (E170): deletes and updates on EITHER leg of
+    // the union net out per group through the same signed algebra — union
+    // is linear, so each sign takes ONE definition application over the
+    // leg images. A group fed by both legs survives losing one leg's rows;
+    // a group losing its last row on its only leg dies.
+    Q("cdc_sql_mv_incr_union_retract",
+      (s, _) => {
+        val cat = s"graft_mur${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mur").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        TransactionalTable.create(s, s"$warehouse/db/archive", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        s.sql(s"INSERT INTO $cat.db.archive VALUES " +
+          "(900, 'c900', 'visit', 'SKU900', 11, 'pc', NULL)")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.ev_tot " +
+          s"TBLPROPERTIES('pk'='event') AS " +
+          s"SELECT event, SUM(amount) AS total, COUNT(amount) AS na, " +
+          s"COUNT(*) AS n FROM (" +
+          s"  SELECT event, amount FROM $cat.db.retail " +
+          s"  UNION ALL SELECT event, amount FROM $cat.db.archive" +
+          s") GROUP BY event")
+        // churn on BOTH legs: retail kills a whole group + updates one row;
+        // archive retracts its visit contribution and births a new group
+        s.sql(s"DELETE FROM $cat.db.retail WHERE event = 'purchase'")
+        s.sql(s"UPDATE $cat.db.retail SET amount = amount + 100 WHERE trans_id = 21")
+        s.sql(s"DELETE FROM $cat.db.archive WHERE trans_id = 900")
+        s.sql(s"INSERT INTO $cat.db.archive VALUES " +
+          "(901, 'c901', 'wish', 'SKU901', 7, 'tablet', NULL)")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.ev_tot')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-union-agg-retract"),
+          s"expected the union retraction path, got '$refreshed'")
+        s.sql(s"SELECT event, total, na, n FROM $cat.db.ev_tot ORDER BY event")
+      },
+      Some {
+        val after = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) }
+          .map { case (id, ev, amt) => (id, ev, if (id == 21L) amt + 100 else amt) }
+          .filter { case (_, ev, _) => ev != "purchase" }) :+
+          ((901L, "wish", 7))
+        val rows = after.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (ev, rs) =>
+            s"('$ev', CAST(${rs.map(_._3.toLong).sum} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT), CAST(${rs.size} AS BIGINT))" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, na, n) ORDER BY event""".stripMargin
+      }),
+
     // Aggregate MV maintenance (E108): a GROUP BY SUM/COUNT/MIN/MAX view
     // refreshes by merging per-group DELTAS of the append-only interval —
     // only changed groups rewrite (reason must say incremental-agg, and the

@@ -1303,11 +1303,23 @@ private[sql] object GraftMvRefresh {
    * algebra, and [[mergeAggDelta]] merges only the changed groups into
    * storage — the append-only aggregate tier riding the join tier's rows.
    *
+   * DELETE-bearing intervals: the telescoping identity holds for SIGNED
+   * deltas, and each term has exactly one delta operand — so a term's
+   * sign is its operand's image kind. The AGGREGATE tiers (join and
+   * union) therefore RETRACT: insert products roll up into per-group
+   * insert partials, delete products into delete partials, and
+   * [[mergeAggDeltaRetract]] nets them against storage (zero-count
+   * groups die, SUMs null out with their paired COUNT) — the E111
+   * single-source retraction generalized. Requires the same
+   * [[retractEligible]] agg set (SUM/COUNT with COUNT(*) present).
+   *
    * Falls back to the full recompute on: outer/semi joins or
    * distinct/windows anywhere (shape gate), non-whitelisted aggregates
    * (AVG, DISTINCT, FILTER), storage PK ≠ group keys, self-joins (the
-   * mixed delta terms need occurrence-level substitution), deletes in
-   * either interval, expired baseline snapshots, schema drift.
+   * mixed delta terms need occurrence-level substitution), deletes in a
+   * ROW-preserving interval (multiset retraction needs row
+   * multiplicities storage does not key) or with a non-retractable agg
+   * set, expired baseline snapshots, schema drift.
    */
   private def tryIncrementalJoin(spark: SparkSession,
       meta: GraftViewStore.ViewMeta, qualified: LogicalPlan,
@@ -1387,23 +1399,32 @@ private[sql] object GraftMvRefresh {
       if (src.forall { case (_, _, _, v0, v1) => v1 == v0 })
         Some(("incremental-join: +0 rows (fence-healed)", 0L, updated))
       else {
-        // Some(None) = empty interval; Some(Some(df)) = its insert
-        // images; None = deletes present → full recompute
+        // per-source interval split into SIGNED images: (inserts, deletes)
+        // — a side is None when that image set is empty. An UPDATE rides
+        // the net changelog as a delete+insert pair and nets out exactly
+        // under retraction.
         def delta(t: graft.table.TransactionalTable, v0: Long, v1: Long)
-            : Option[Option[org.apache.spark.sql.DataFrame]] =
-          if (v1 == v0) Some(None)
+            : (Option[org.apache.spark.sql.DataFrame],
+               Option[org.apache.spark.sql.DataFrame]) =
+          if (v1 == v0) (None, None)
           else {
             val d = t.changes(v0, v1) // throws if v0 expired → full refresh
-            if (!d.where(fcol("_change_type") === "delete").isEmpty) None
-            else Some(Some(
-              d.where(fcol("_change_type") === "insert").drop("_change_type")))
+            val ins = d.where(fcol("_change_type") === "insert").drop("_change_type")
+            val del = d.where(fcol("_change_type") === "delete").drop("_change_type")
+            (if (ins.isEmpty) None else Some(ins),
+              if (del.isEmpty) None else Some(del))
           }
-        val deltas = src.map { case (_, _, t, v0, v1) => delta(t, v0, v1) }
-        if (deltas.exists(_.isEmpty)) None
+        val ds = src.map { case (_, _, t, v0, v1) => delta(t, v0, v1) }
+        val hasDeletes = ds.exists(_._2.isDefined)
+        // Deletes: the ROW-preserving tiers fall back (retracting one
+        // occurrence from multiset storage needs row multiplicities the
+        // table does not key); the AGGREGATE tiers RETRACT via the
+        // counting algebra below when the agg set is retract-eligible.
+        if (hasDeletes && (aggResolved.isEmpty ||
+            !retractEligible(aggResolved.get._2))) None
         else {
-          val ds = deltas.map(_.get)
           // the definition with each relation OCCURRENCE replaced by its
-          // pinned frame (delta inserts / time-travel scan)
+          // pinned frame (delta images / time-travel scan)
           def applyDef(frames: Seq[org.apache.spark.sql.DataFrame])
               : org.apache.spark.sql.DataFrame = {
             val byParts = src.map(_._1).zip(frames).toMap
@@ -1417,16 +1438,93 @@ private[sql] object GraftMvRefresh {
             val aliases = meta.current.columnAliases
             if (out0.columns.toSeq != aliases) out0.toDF(aliases: _*) else out0
           }
-          if (unionAll || aggUnion.nonEmpty) {
+          // empty-but-typed stand-ins: a quiet leg substitutes an empty
+          // frame of the source schema (plan-only); an empty AGGREGATED
+          // side uses the storage schema directly
+          def emptyLeg(i: Int): org.apache.spark.sql.DataFrame = {
+            val (_, _, t, v0, _) = src(i); t.scanAt(v0).limit(0)
+          }
+          def emptyAgg(): org.apache.spark.sql.DataFrame =
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(storage.schema.fields))
+          def schemaOk(df: org.apache.spark.sql.DataFrame): Boolean =
+            df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+              storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
+          // group-wise roll-up of per-term AGGREGATED partials into one
+          // delta frame (retraction reaches here only with SUM/COUNT kinds)
+          def rollup(ts: Seq[org.apache.spark.sql.DataFrame],
+              groupCols: Seq[String], aggCols: Seq[AggOut])
+              : org.apache.spark.sql.DataFrame =
+            if (ts.size == 1) ts.head
+            else {
+              val u = ts.reduce(_ union _)
+              val aggExprs = aggCols.map { a =>
+                import org.apache.spark.sql.functions.{max, min, sum}
+                (a.kind match {
+                  case "min" => min(fcol(a.name))
+                  case "max" => max(fcol(a.name))
+                  case _ => sum(fcol(a.name)) // sum/count/count_star
+                }).as(a.name)
+              }
+              u.groupBy(groupCols.map(fcol): _*)
+                .agg(aggExprs.head, aggExprs.tail: _*)
+            }
+          if (hasDeletes) {
+            // RETRACTION (the full IVM algebra for the join/union agg
+            // tiers): the telescoping identity holds for SIGNED deltas —
+            // each term has exactly ONE delta operand, so a term's output
+            // sign IS that operand's image kind. Insert products aggregate
+            // into per-group insert partials, delete products into delete
+            // partials, and [[mergeAggDeltaRetract]] nets them against
+            // storage (zero-count groups die, SUMs null when their paired
+            // COUNT reaches zero) — E111's single-source case generalized.
+            val (groupCols, aggCols) = aggResolved.get
+            def signedTerms(side: ((Option[org.apache.spark.sql.DataFrame],
+                Option[org.apache.spark.sql.DataFrame])) =>
+                Option[org.apache.spark.sql.DataFrame])
+                : Seq[org.apache.spark.sql.DataFrame] =
+              if (unionAll || aggUnion.nonEmpty) {
+                // union is linear: ONE application per sign over the leg
+                // images (quiet legs empty)
+                if (ds.forall(d => side(d).isEmpty)) Seq.empty
+                else Seq(applyDef(src.indices.map(i =>
+                  side(ds(i)).getOrElse(emptyLeg(i)))))
+              } else
+                src.indices.flatMap { i =>
+                  side(ds(i)).map { d =>
+                    applyDef(src.indices.map { j =>
+                      val (_, _, t, v0, v1) = src(j)
+                      if (j < i) t.scanAt(v0)
+                      else if (j == i) d
+                      else t.scanAt(v1)
+                    })
+                  }
+                }
+            val insTerms = signedTerms(_._1)
+            val delTerms = signedTerms(_._2)
+            val checked = (insTerms ++ delTerms).headOption
+            if (checked.exists(t => !schemaOk(t))) None
+            else {
+              val dIns =
+                if (insTerms.isEmpty) emptyAgg()
+                else rollup(insTerms, groupCols, aggCols)
+              val dDel =
+                if (delTerms.isEmpty) emptyAgg()
+                else rollup(delTerms, groupCols, aggCols)
+              val tier = if (unionAll || aggUnion.nonEmpty) "union" else "join"
+              val (_, nG, _, _) = mergeAggDeltaRetract(spark, storage, dIns,
+                dDel, groupCols, aggCols, batchSum, writerId, roots.head,
+                extraFences)
+              Some((s"incremental-$tier-agg-retract: $nG groups net-merged",
+                nG, updated))
+            }
+          } else if (unionAll || aggUnion.nonEmpty) {
             // one application: empty-interval legs substitute an empty
             // frame of the source's schema (plan-only, reads nothing)
-            val out = applyDef(src.zip(ds).map { case ((_, _, t, v0, _), d) =>
-              d.getOrElse(t.scanAt(v0).limit(0))
-            })
-            val sameSchema =
-              out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-                storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
-            if (!sameSchema) None
+            val out = applyDef(src.indices.map(i =>
+              ds(i)._1.getOrElse(emptyLeg(i))))
+            if (!schemaOk(out)) None
             else aggResolved match {
               case None =>
                 val n = out.count()
@@ -1449,7 +1547,7 @@ private[sql] object GraftMvRefresh {
             // Δ-product counted once). One term per source with a
             // non-empty interval.
             val terms = src.indices.flatMap { i =>
-              ds(i).map { d =>
+              ds(i)._1.map { d =>
                 applyDef(src.indices.map { j =>
                   val (_, _, t, v0, v1) = src(j)
                   if (j < i) t.scanAt(v0)
@@ -1465,10 +1563,7 @@ private[sql] object GraftMvRefresh {
               // (checked on the per-term outputs — the aggregate path's
               // roll-up combine below may legitimately widen sums, which
               // mergeAggDelta casts back on merge)
-              val sameSchema =
-                terms.head.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-                  storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
-              if (!sameSchema) None
+              if (!schemaOk(terms.head)) None
               else aggResolved match {
                 case None =>
                   val out = terms.reduce(_ union _)
@@ -1481,22 +1576,8 @@ private[sql] object GraftMvRefresh {
                   // its delta product; terms combine group-wise with the
                   // roll-up algebra (SUM of sums AND of counts, MIN of
                   // mins, MAX of maxes) into one delta frame
-                  val delta =
-                    if (terms.size == 1) terms.head
-                    else {
-                      val u = terms.reduce(_ union _)
-                      val aggExprs = aggCols.map { a =>
-                        import org.apache.spark.sql.functions.{max, min, sum}
-                        (a.kind match {
-                          case "min" => min(fcol(a.name))
-                          case "max" => max(fcol(a.name))
-                          case _ => sum(fcol(a.name)) // sum/count/count_star
-                        }).as(a.name)
-                      }
-                      u.groupBy(groupCols.map(fcol): _*)
-                        .agg(aggExprs.head, aggExprs.tail: _*)
-                    }
-                  val (_, nG, _, _) = mergeAggDelta(spark, storage, delta,
+                  val (_, nG, _, _) = mergeAggDelta(spark, storage,
+                    rollup(terms, groupCols, aggCols),
                     groupCols, aggCols, batchSum, writerId, roots.head, extraFences)
                   Some((s"incremental-join-agg: $nG groups merged", nG, updated))
               }
@@ -1636,7 +1717,8 @@ private[sql] object GraftMvRefresh {
       storage: graft.table.TransactionalTable,
       dIns: org.apache.spark.sql.DataFrame, dDel: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], aggCols: Seq[AggOut],
-      v1: Long, writerId: String, root: String): (String, Long, Long, String) = {
+      v1: Long, writerId: String, root: String,
+      extraFences: Map[String, Long] = Map.empty): (String, Long, Long, String) = {
     import org.apache.spark.sql.functions.{coalesce, lit, when}
     // net delta: full outer ins/del per group (a group may appear on either
     // side only), both sides prefixed to dodge name collisions
@@ -1692,7 +1774,8 @@ private[sql] object GraftMvRefresh {
     val dead = combined.where(fcol(starName) === 0)
       .select(storage.pkCols.map(fcol): _*)
     val nGroups = combined.count()
-    storage.merge(upserts, dead, batchId = v1, writerId = Some(writerId))
+    storage.merge(upserts, dead, batchId = v1, writerId = Some(writerId),
+      extraFences = extraFences)
     (s"incremental-agg-retract: $nGroups groups net-merged", nGroups, v1, root)
   }
 }

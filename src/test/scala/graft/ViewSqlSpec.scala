@@ -487,6 +487,96 @@ class ViewSqlSpec extends SparkSpec {
     assert(rAvg.startsWith("stale:"), s"AVG must recompute, got: $rAvg")
   }
 
+  test("join MV: aggregate RETRACTION under a delete-bearing interval (counting algebra)") {
+    val (cat, w) = freshJoin()
+    // retract-eligible agg set: SUM(v) with its COUNT(v), plus COUNT(*)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jret " +
+      s"TBLPROPERTIES('pk'='name') AS " +
+      s"SELECT d.name, SUM(t.v) AS total, COUNT(t.v) AS nv, COUNT(*) AS n " +
+      s"FROM $cat.db.t t JOIN $cat.db.d d ON t.id = d.id GROUP BY d.name")
+    assert(spark.sql(s"SELECT name, total, nv, n FROM $cat.db.jret ORDER BY name")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("a", 10L, 1L, 1L), ("b", 20L, 1L, 1L)))
+    val storageV0 = TransactionalTable.open(spark, s"$w/db/jret/_storage").currentVersion
+    // interval: an UPDATE (delete+insert pair nets out), a group-KILLING
+    // delete (b's only fact), and a Δt⋈Δd product landing once (id 4)
+    spark.sql(s"UPDATE $cat.db.t SET v = 15 WHERE id = 1")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 2")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 40)")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (4, 'aa')")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.jret')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true)
+    assert(r._2.startsWith("incremental-join-agg-retract"),
+      s"expected the join retraction tier, got: $r")
+    // group a updated in place, b DEAD (zero count), aa born
+    assert(spark.sql(s"SELECT name, total, nv, n FROM $cat.db.jret ORDER BY name")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("a", 15L, 1L, 1L), ("aa", 40L, 1L, 1L)))
+    // one delta MERGE commit, not a storage replace
+    assert(TransactionalTable.open(spark, s"$w/db/jret/_storage").currentVersion
+      === storageV0 + 1)
+    // replay safety: re-rolling meta + a further append must not re-apply
+    val root = s"$w/db/jret"
+    val meta = GraftViewStore.load(root)
+    GraftViewStore.write(root,
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9, 90)") // no dim match
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.jret')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-join"), s"expected incremental heal, got $r2")
+    assert(spark.sql(s"SELECT name, total, nv, n FROM $cat.db.jret ORDER BY name")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("a", 15L, 1L, 1L), ("aa", 40L, 1L, 1L)),
+      "per-source fence failed under retraction")
+  }
+
+  test("join MV: deletes on non-retractable shapes still force the recompute") {
+    val (cat, _) = freshJoin()
+    // row-preserving join tier: no multiset retraction — recompute
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jrow AS " +
+      s"SELECT t.id, d.name FROM $cat.db.t t JOIN $cat.db.d d ON t.id = d.id")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 1")
+    val rRow = spark.sql(s"CALL $cat.system.refresh_mv('db.jrow')")
+      .select("reason").as[String].head()
+    assert(rRow.startsWith("stale:"), s"row join + delete must recompute, got: $rRow")
+    assert(spark.sql(s"SELECT id FROM $cat.db.jrow ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L))
+    // MAX cannot un-see a deleted extremum: agg tier falls back too
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jmax " +
+      s"TBLPROPERTIES('pk'='name') AS " +
+      s"SELECT d.name, MAX(t.v) AS mx, COUNT(*) AS n " +
+      s"FROM $cat.db.t t JOIN $cat.db.d d ON t.id = d.id GROUP BY d.name")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 2")
+    val rMax = spark.sql(s"CALL $cat.system.refresh_mv('db.jmax')")
+      .select("reason").as[String].head()
+    assert(rMax.startsWith("stale:"), s"MAX + delete must recompute, got: $rMax")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.jmax").as[Long].head() === 0L)
+  }
+
+  test("union MV: AGGREGATE retraction — deletes on either leg net out per group") {
+    val (cat, _) = freshJoin() // db.t(id, v) + db.d(id, name)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.uret " +
+      s"TBLPROPERTIES('pk'='id') AS " +
+      s"SELECT id, SUM(v) AS total, COUNT(v) AS nv, COUNT(*) AS n FROM (" +
+      s"  SELECT id, v FROM $cat.db.t UNION ALL SELECT id, id AS v FROM $cat.db.d" +
+      s") GROUP BY id")
+    // t: (1,10),(2,20),(3,30); d legs contribute v=id for ids 1,2
+    assert(spark.sql(s"SELECT id, total, nv, n FROM $cat.db.uret ORDER BY id")
+      .as[(Long, Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 11L, 2L, 2L), (2L, 22L, 2L, 2L), (3L, 30L, 1L, 1L)))
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 3") // group 3 dies
+    spark.sql(s"UPDATE $cat.db.t SET v = 12 WHERE id = 1") // group 1: 11 -> 13
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (9, 'z')") // group 9 born
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.uret')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-union-agg-retract"),
+      s"expected the union retraction tier, got: $r")
+    assert(spark.sql(s"SELECT id, total, nv, n FROM $cat.db.uret ORDER BY id")
+      .as[(Long, Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 13L, 2L, 2L), (2L, 22L, 2L, 2L), (9L, 9L, 1L, 1L)))
+  }
+
   test("union MV: UNION ALL of two sources refreshes with one delta application; UNION falls back") {
     val (cat, w) = freshJoin() // db.t(id, v) + db.d(id, name)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.uni AS " +
