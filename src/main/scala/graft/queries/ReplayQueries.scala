@@ -1999,6 +1999,56 @@ object ReplayQueries {
            |) AS t(cat, total, na, n) ORDER BY cat""".stripMargin
       }),
 
+    // SELF-join MV maintenance (E171): the telescoping delta stated over
+    // relation OCCURRENCES — a device-cooccurrence summary (retail ⋈ retail
+    // ON device) refreshes through the signed occurrence terms under an
+    // interval carrying an UPDATE, a group-killing DELETE, and an INSERT
+    // whose Δ⋈Δ product must land exactly once. Reason must name the join
+    // retraction tier (occurrence substitution is positional per identifier).
+    Q("cdc_sql_mv_incr_selfjoin",
+      (s, _) => {
+        val cat = s"graft_msj${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_msj").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.dev_pairs " +
+          s"TBLPROPERTIES('pk'='dev') AS " +
+          s"SELECT a.device AS dev, SUM(b.amount) AS total, " +
+          s"COUNT(b.amount) AS na, COUNT(*) AS n " +
+          s"FROM $cat.db.retail a JOIN $cat.db.retail b " +
+          s"ON a.device = b.device GROUP BY a.device")
+        s.sql(s"UPDATE $cat.db.retail SET amount = amount + 100 WHERE trans_id = 19")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE device = 'mobile'")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'visit', 'SKU500', 7, 'tablet', NULL)")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.dev_pairs')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-join-agg-retract"),
+          s"expected the self-join retraction path, got '$refreshed'")
+        s.sql(s"SELECT dev, total, na, n FROM $cat.db.dev_pairs ORDER BY dev")
+      },
+      Some {
+        val after = (CdcFixtures.expectedEndState
+          .map { case (id, _, _, _, amt, dev, _) => (id, dev, amt) }
+          .map { case (id, dev, amt) => (id, dev, if (id == 19L) amt + 100 else amt) }
+          .filter { case (_, dev, _) => dev != "mobile" }) :+
+          ((500L, "tablet", 7))
+        val rows = after.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (dev, rs) =>
+            val k = rs.size.toLong
+            s"('$dev', CAST(${k * rs.map(_._3.toLong).sum} AS BIGINT), " +
+              s"CAST(${k * k} AS BIGINT), CAST(${k * k} AS BIGINT))" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(dev, total, na, n) ORDER BY dev""".stripMargin
+      }),
+
     // UNION-agg MV RETRACTION (E170): deletes and updates on EITHER leg of
     // the union net out per group through the same signed algebra — union
     // is linear, so each sign takes ONE definition application over the

@@ -1313,10 +1313,17 @@ private[sql] object GraftMvRefresh {
    * single-source retraction generalized. Requires the same
    * [[retractEligible]] agg set (SUM/COUNT with COUNT(*) present).
    *
+   * SELF-JOINS (E171) ride the same algebra: the telescoping sum is
+   * stated over relation OCCURRENCES — substitution is positional, every
+   * occurrence of a repeated root carries the same interval, and the
+   * inner join's bilinearity over signed multisets keeps both the
+   * append-only and retraction expansions exact (term i for occurrence i:
+   * pre-occurrences @v0, Δ at i, post-occurrences @v1 — for t ⋈ t that is
+   * Δ⋈t@v1 + t@v0⋈Δ = Δ⋈t + t⋈Δ + Δ⋈Δ, each mixed product once).
+   *
    * Falls back to the full recompute on: outer/semi joins or
    * distinct/windows anywhere (shape gate), non-whitelisted aggregates
-   * (AVG, DISTINCT, FILTER), storage PK ≠ group keys, self-joins (the
-   * mixed delta terms need occurrence-level substitution), deletes in a
+   * (AVG, DISTINCT, FILTER), storage PK ≠ group keys, deletes in a
    * ROW-preserving interval (multiset retraction needs row
    * multiplicities storage does not key) or with a non-retractable agg
    * set, expired baseline snapshots, schema drift.
@@ -1369,9 +1376,12 @@ private[sql] object GraftMvRefresh {
       }
     }
     if (resolved.size != rels.size) return None
+    // SELF-JOINS maintain too (E171): the telescoping identity is stated
+    // over relation OCCURRENCES, not distinct sources — substitution is
+    // positional (applyDef below), every occurrence of a repeated root
+    // carries the same (v0, v1) interval, and the duplicate-keyed maps
+    // (updated, extraFences) collapse naturally.
     val roots = resolved.map(_._2)
-    if (roots.distinct.size != roots.size)
-      return None // self-join: occurrence-level deltas
     if (!roots.forall(meta.sourceVersions.contains)) return None
     scala.util.Try {
       val writerId = s"mv-incr-join:${roots.sorted.mkString("|")}"
@@ -1391,7 +1401,10 @@ private[sql] object GraftMvRefresh {
         (parts, root, t, v0, t.currentVersion)
       }
       val updated = src.map { case (_, root, _, _, v1) => root -> v1 }.toMap
-      val batchSum = src.map(_._5).sum
+      // distinct-root sum: a self-join must not count one source's version
+      // once per occurrence (the scalar replay-fence backstop would then
+      // jump when a view's occurrence count differs from a sibling's)
+      val batchSum = updated.values.sum
       val extraFences =
         src.map { case (_, root, _, _, v1) => s"$writerId#$root" -> v1 }.toMap
       // empty interval everywhere (possibly because the fences already
@@ -1414,7 +1427,13 @@ private[sql] object GraftMvRefresh {
             (if (ins.isEmpty) None else Some(ins),
               if (del.isEmpty) None else Some(del))
           }
-        val ds = src.map { case (_, _, t, v0, v1) => delta(t, v0, v1) }
+        // memoized per ROOT: a self-join's occurrences share one interval —
+        // compute (and action the two isEmpty probes of) it once
+        val deltaByRoot = scala.collection.mutable.Map.empty[String,
+          (Option[org.apache.spark.sql.DataFrame],
+           Option[org.apache.spark.sql.DataFrame])]
+        val ds = src.map { case (_, root, t, v0, v1) =>
+          deltaByRoot.getOrElseUpdate(root, delta(t, v0, v1)) }
         val hasDeletes = ds.exists(_._2.isDefined)
         // Deletes: the ROW-preserving tiers fall back (retracting one
         // occurrence from multiset storage needs row multiplicities the
@@ -1424,14 +1443,27 @@ private[sql] object GraftMvRefresh {
             !retractEligible(aggResolved.get._2))) None
         else {
           // the definition with each relation OCCURRENCE replaced by its
-          // pinned frame (delta images / time-travel scan)
+          // pinned frame. Substitution is by per-IDENTIFIER frame QUEUE:
+          // a distinct identifier substitutes by name (order-independent —
+          // robust even if a relation is visited out of collect order), and
+          // a repeated identifier's occurrences dequeue in traversal order,
+          // which is sound for ANY fixed occurrence order because every
+          // occurrence of one identifier carries the same source and
+          // interval — the telescoping sum is exact in whatever total order
+          // the traversal fixes, as long as it is the same for every term
+          // (it is: the traversal of a fixed plan is deterministic).
           def applyDef(frames: Seq[org.apache.spark.sql.DataFrame])
               : org.apache.spark.sql.DataFrame = {
-            val byParts = src.map(_._1).zip(frames).toMap
+            val queues = scala.collection.mutable.Map.empty[Seq[String],
+              scala.collection.mutable.Queue[org.apache.spark.sql.DataFrame]]
+            src.map(_._1).zip(frames).foreach { case (parts, f) =>
+              queues.getOrElseUpdate(parts,
+                scala.collection.mutable.Queue.empty).enqueue(f)
+            }
             val substituted = qualified.transformDownWithSubqueries {
               case u: UnresolvedRelation
-                  if byParts.contains(u.multipartIdentifier) =>
-                byParts(u.multipartIdentifier).queryExecution.analyzed
+                  if queues.get(u.multipartIdentifier).exists(_.nonEmpty) =>
+                queues(u.multipartIdentifier).dequeue().queryExecution.analyzed
             }
             val out0 = org.apache.spark.sql.graftshim.GraftShims
               .ofRows(spark, substituted)

@@ -554,6 +554,55 @@ class ViewSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.jmax").as[Long].head() === 0L)
   }
 
+  test("SELF-join MV: occurrence-level deltas — append-only interval refreshes incrementally") {
+    val (cat, w) = fresh() // db.t: (1,10),(2,20),(3,30)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.sj AS " +
+      s"SELECT a.id AS aid, b.id AS bid, a.v + b.v AS sv " +
+      s"FROM $cat.db.t a JOIN $cat.db.t b ON a.v = b.v")
+    assert(spark.sql(s"SELECT aid, bid FROM $cat.db.sj ORDER BY aid, bid")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    val storageV0 = TransactionalTable.open(spark, s"$w/db/sj/_storage").currentVersion
+    // Δ row 4 shares v=10 with old row 1: the two occurrence terms must
+    // produce Δ⋈t@v1 = {(4,1),(4,4)} and t@v0⋈Δ = {(1,4)} — each mixed
+    // product exactly once, (4,4) only via the Δ⋈v1 term
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (4, 10)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.sj')")
+      .select("refreshed", "reason").as[(Boolean, String)].head()
+    assert(r._1 === true)
+    assert(r._2.startsWith("incremental-join: +3"),
+      s"expected the occurrence-level join tier, got: $r")
+    assert(spark.sql(s"SELECT aid, bid, sv FROM $cat.db.sj ORDER BY aid, bid")
+      .as[(Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 1L, 20L), (1L, 4L, 20L), (2L, 2L, 40L), (3L, 3L, 60L),
+        (4L, 1L, 20L), (4L, 4L, 20L)))
+    assert(TransactionalTable.open(spark, s"$w/db/sj/_storage").currentVersion
+      === storageV0 + 1, "must append, not replace")
+  }
+
+  test("SELF-join MV: aggregate RETRACTION — signed occurrence terms net per group") {
+    val (cat, _) = fresh()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.sja " +
+      s"TBLPROPERTIES('pk'='av') AS " +
+      s"SELECT a.v AS av, SUM(b.v) AS total, COUNT(b.v) AS nb, COUNT(*) AS n " +
+      s"FROM $cat.db.t a JOIN $cat.db.t b ON a.id = b.id GROUP BY a.v")
+    assert(spark.sql(s"SELECT av, total, nb, n FROM $cat.db.sja ORDER BY av")
+      .as[(Long, Long, Long, Long)].collect().toSeq ===
+      Seq((10L, 10L, 1L, 1L), (20L, 20L, 1L, 1L), (30L, 30L, 1L, 1L)))
+    // UPDATE moves a row between groups (20 dies, 25 born), DELETE kills 30,
+    // INSERT births 50 — the four signed terms (ins/del × two occurrences)
+    // must net exactly, including the Δ⋈Δ products inside ins⋈t@v1
+    spark.sql(s"UPDATE $cat.db.t SET v = 25 WHERE id = 2")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 3")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (5, 50)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.sja')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-join-agg-retract"),
+      s"expected the self-join retraction tier, got: $r")
+    assert(spark.sql(s"SELECT av, total, nb, n FROM $cat.db.sja ORDER BY av")
+      .as[(Long, Long, Long, Long)].collect().toSeq ===
+      Seq((10L, 10L, 1L, 1L), (25L, 25L, 1L, 1L), (50L, 50L, 1L, 1L)))
+  }
+
   test("union MV: AGGREGATE retraction — deletes on either leg net out per group") {
     val (cat, _) = freshJoin() // db.t(id, v) + db.d(id, name)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.uret " +
@@ -683,9 +732,9 @@ class ViewSqlSpec extends SparkSpec {
       === storageV0 + 1)
   }
 
-  test("join MV: self-joins and outer joins never ride the join tier") {
+  test("join MV: self-joins ride the join tier (E171); outer joins never do") {
     val (cat, _) = freshJoin()
-    // self-join: the mixed delta terms need occurrence-level substitution
+    // self-join: occurrence-level substitution (queue per identifier)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jself AS " +
       s"SELECT a.id, b.v FROM $cat.db.t a JOIN $cat.db.t b ON a.id = b.id")
     // LEFT JOIN: a new dim row would RETRACT the null-extended fact row —
@@ -696,8 +745,11 @@ class ViewSqlSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.db.d VALUES (3, 'c')")
     val rSelf = spark.sql(s"CALL $cat.system.refresh_mv('db.jself')")
       .select("reason").as[String].head()
-    assert(rSelf.startsWith("stale:"), s"self-join must recompute, got: $rSelf")
-    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.jself").as[Long].head() === 4L)
+    assert(rSelf.startsWith("incremental-join: +1"),
+      s"self-join must maintain incrementally, got: $rSelf")
+    assert(spark.sql(s"SELECT id, v FROM $cat.db.jself ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (6L, 60L)))
     val rLeft = spark.sql(s"CALL $cat.system.refresh_mv('db.jleft')")
       .select("reason").as[String].head()
     assert(rLeft.startsWith("stale:"), s"left join must recompute, got: $rLeft")
