@@ -561,6 +561,56 @@ object ReplayQueries {
       },
       Some(endStateOracle)),
 
+    // STREAMING-MAINTAINED summary MV (E178): the CDC pipeline refreshes a
+    // materialized view over its sink table INSIDE each micro-batch
+    // (`maintainViews`), so the summary is as fresh as the state store —
+    // batch 2 carries updates + deletes, so the refresh rides the
+    // RETRACTION algebra per batch, and the incremental path is proven by
+    // the mv-incr writer fence only those tiers land.
+    Q("cdc_stream_mv_fresh",
+      (s, _) => {
+        val cat = s"graft_smq${System.nanoTime()}"
+        val work = Files.createTempDirectory("graft_stream_mv").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$work/wh")
+        Files.createDirectories(java.nio.file.Paths.get(s"$work/wh/db"))
+        Files.createDirectories(java.nio.file.Paths.get(s"$work/input"))
+        val t = TransactionalTable.create(s, s"$work/wh/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.ev_tot " +
+          s"TBLPROPERTIES('pk'='event') AS " +
+          s"SELECT event, SUM(amount) AS total, COUNT(amount) AS na, " +
+          s"COUNT(*) AS n FROM $cat.db.retail GROUP BY event")
+        def runOnce(): Unit = {
+          val q = CdcPipeline.start(s, s"$work/input", t, s"$work/ckpt",
+            trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+            maintainViews = Seq(s"$cat.db.ev_tot"))
+          q.processAllAvailable(); q.stop(); q.awaitTermination()
+        }
+        CdcFixtures.write(s"$work/input", "b1.jsonl", CdcFixtures.scenario1Lines)
+        runOnce()
+        CdcFixtures.write(s"$work/input", "b2.jsonl", CdcFixtures.scenario2Lines)
+        runOnce()
+        val fences = TransactionalTable.open(s, s"$work/wh/db/ev_tot/_storage")
+          .snapshot.writerFences
+        require(fences.keys.exists(_.startsWith("mv-incr")),
+          s"refreshes must ride the incremental tiers, fences: ${fences.keys}")
+        s.sql(s"SELECT event, total, na, n FROM $cat.db.ev_tot ORDER BY event")
+      },
+      Some {
+        val rows = CdcFixtures.expectedEndState
+          .map { case (_, _, ev, _, amt, _, _) => (ev, amt) }
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (ev, rs) =>
+            s"('$ev', CAST(${rs.map(_._2.toLong).sum} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT), CAST(${rs.size} AS BIGINT))" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, na, n) ORDER BY event""".stripMargin
+      },
+      streaming = true),
+
     // TYPE WIDENING (Iceberg type-promotion parity): replay scenario1, widen
     // amount int→long (metadata-only, zero data movement), replay scenario2 —
     // pre-widen INT32 files and post-widen files answer ONE scan under the
@@ -1997,6 +2047,63 @@ object ReplayQueries {
         s"""SELECT * FROM (VALUES
            |  $rows
            |) AS t(cat, total, na, n) ORDER BY cat""".stripMargin
+      }),
+
+    // KEYED ROW MV retraction (E177): the reference's enriched-fact shape —
+    // a row-preserving fact ⋈ dim MV with an EXPLICIT pk (the keyed-output
+    // contract) — survives a delete-bearing interval by netting the signed
+    // telescoping terms BY FULL ROW and merging on the pk: a fact UPDATE
+    // rewrites its row, a fact DELETE removes its key, a dim UPDATE
+    // rewrites every matching enriched row, inserts birth keys. Reason must
+    // name the keyed join retraction tier.
+    Q("cdc_sql_mv_keyed_retract",
+      (s, _) => {
+        val cat = s"graft_mkr${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mkr").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        TransactionalTable.create(s, s"$warehouse/db/evcat",
+          org.apache.spark.sql.types.StructType.fromDDL("event STRING, cat STRING"),
+          "event", None)
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES " +
+          "('visit', 'browse'), ('cart', 'intent'), ('like', 'social')")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.fact_enriched " +
+          s"TBLPROPERTIES('pk'='trans_id') AS " +
+          s"SELECT r.trans_id, r.amount, c.cat " +
+          s"FROM $cat.db.retail r JOIN $cat.db.evcat c ON r.event = c.event")
+        s.sql(s"UPDATE $cat.db.retail SET amount = amount + 100 WHERE trans_id = 19")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE trans_id = 21")
+        s.sql(s"UPDATE $cat.db.evcat SET cat = 'browsing' WHERE event = 'visit'")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'like', 'SKU500', 7, 'pc', NULL)")
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES ('purchase', 'buy')")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.fact_enriched')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-join-retract"),
+          s"expected the keyed row retraction path, got '$refreshed'")
+        s.sql(s"SELECT trans_id, amount, cat FROM $cat.db.fact_enriched " +
+          "ORDER BY trans_id")
+      },
+      Some {
+        val cats = Map("visit" -> "browsing", "cart" -> "intent",
+          "like" -> "social", "purchase" -> "buy")
+        val rows = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) }
+          .map { case (id, ev, amt) => (id, ev, if (id == 19L) amt + 100 else amt) }
+          .filter { case (id, ev, _) => id != 21L && cats.contains(ev) } :+
+          ((500L, "like", 7)))
+          .sortBy(_._1)
+          .map { case (id, ev, amt) =>
+            s"(CAST($id AS BIGINT), $amt, '${cats(ev)}')" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(trans_id, amount, cat) ORDER BY trans_id""".stripMargin
       }),
 
     // SELF-join MV maintenance (E171): the telescoping delta stated over

@@ -1266,6 +1266,18 @@ private[sql] object GraftMvRefresh {
                 val (label, nG, v, r) = mergeAggDeltaRetract(spark, storage, out,
                   delOut, groupCols, aggCols, v1, writerId, root)
                 Some((label, nG, Map(r -> v)))
+              // KEYED ROW retraction (E177): an EXPLICIT 'pk' property is
+              // the user's contract that the definition emits at most one
+              // row per key — deletes then MERGE row-wise (a delete image
+              // that the definition's filter drops retracts nothing; one
+              // that passes deletes its key; an update nets). The DEFAULT
+              // pk (first column) carries no such contract → recompute.
+              case None if rowShape && meta.properties.contains("pk") =>
+                val delOut = applyDef(
+                  delta.where(fcol("_change_type") === "delete").drop("_change_type"))
+                val n = mergeRowDeltaRetract(spark, storage, out, delOut,
+                  v1, writerId)
+                Some((s"incremental-retract: $n rows net-merged", n, Map(root -> v1)))
               case _ => None
             }
           }
@@ -1435,12 +1447,16 @@ private[sql] object GraftMvRefresh {
         val ds = src.map { case (_, root, t, v0, v1) =>
           deltaByRoot.getOrElseUpdate(root, delta(t, v0, v1)) }
         val hasDeletes = ds.exists(_._2.isDefined)
-        // Deletes: the ROW-preserving tiers fall back (retracting one
-        // occurrence from multiset storage needs row multiplicities the
-        // table does not key); the AGGREGATE tiers RETRACT via the
-        // counting algebra below when the agg set is retract-eligible.
-        if (hasDeletes && (aggResolved.isEmpty ||
-            !retractEligible(aggResolved.get._2))) None
+        // Deletes: the AGGREGATE tiers RETRACT via the counting algebra
+        // below when the agg set is retract-eligible; the ROW-preserving
+        // tiers retract ROW-WISE when the MV declares an EXPLICIT 'pk'
+        // (E177 — the keyed-output contract; the default first-column pk
+        // carries no such contract). Unkeyed row tiers fall back
+        // (retracting one occurrence from multiset storage needs row
+        // multiplicities the table does not key).
+        val keyedRow = aggResolved.isEmpty && meta.properties.contains("pk")
+        if (hasDeletes && (if (aggResolved.nonEmpty)
+              !retractEligible(aggResolved.get._2) else !keyedRow)) None
         else {
           // the definition with each relation OCCURRENCE replaced by its
           // pinned frame. Substitution is by per-IDENTIFIER frame QUEUE:
@@ -1503,15 +1519,16 @@ private[sql] object GraftMvRefresh {
                 .agg(aggExprs.head, aggExprs.tail: _*)
             }
           if (hasDeletes) {
-            // RETRACTION (the full IVM algebra for the join/union agg
-            // tiers): the telescoping identity holds for SIGNED deltas —
-            // each term has exactly ONE delta operand, so a term's output
-            // sign IS that operand's image kind. Insert products aggregate
-            // into per-group insert partials, delete products into delete
-            // partials, and [[mergeAggDeltaRetract]] nets them against
-            // storage (zero-count groups die, SUMs null when their paired
-            // COUNT reaches zero) — E111's single-source case generalized.
-            val (groupCols, aggCols) = aggResolved.get
+            // RETRACTION (the full IVM algebra for the join/union tiers):
+            // the telescoping identity holds for SIGNED deltas — each term
+            // has exactly ONE delta operand, so a term's output sign IS
+            // that operand's image kind. AGGREGATE tiers: insert products
+            // aggregate into per-group insert partials, delete products
+            // into delete partials, [[mergeAggDeltaRetract]] nets them
+            // (zero-count groups die, SUMs null when their paired COUNT
+            // reaches zero) — E111's single-source case generalized.
+            // KEYED ROW tiers (E177): the raw signed rows net by full row
+            // in [[mergeRowDeltaRetract]] and MERGE on the declared pk.
             def signedTerms(side: ((Option[org.apache.spark.sql.DataFrame],
                 Option[org.apache.spark.sql.DataFrame])) =>
                 Option[org.apache.spark.sql.DataFrame])
@@ -1538,18 +1555,30 @@ private[sql] object GraftMvRefresh {
             val checked = (insTerms ++ delTerms).headOption
             if (checked.exists(t => !schemaOk(t))) None
             else {
-              val dIns =
-                if (insTerms.isEmpty) emptyAgg()
-                else rollup(insTerms, groupCols, aggCols)
-              val dDel =
-                if (delTerms.isEmpty) emptyAgg()
-                else rollup(delTerms, groupCols, aggCols)
               val tier = if (unionAll || aggUnion.nonEmpty) "union" else "join"
-              val (_, nG, _, _) = mergeAggDeltaRetract(spark, storage, dIns,
-                dDel, groupCols, aggCols, batchSum, writerId, roots.head,
-                extraFences)
-              Some((s"incremental-$tier-agg-retract: $nG groups net-merged",
-                nG, updated))
+              aggResolved match {
+                case Some((groupCols, aggCols)) =>
+                  val dIns =
+                    if (insTerms.isEmpty) emptyAgg()
+                    else rollup(insTerms, groupCols, aggCols)
+                  val dDel =
+                    if (delTerms.isEmpty) emptyAgg()
+                    else rollup(delTerms, groupCols, aggCols)
+                  val (_, nG, _, _) = mergeAggDeltaRetract(spark, storage, dIns,
+                    dDel, groupCols, aggCols, batchSum, writerId, roots.head,
+                    extraFences)
+                  Some((s"incremental-$tier-agg-retract: $nG groups net-merged",
+                    nG, updated))
+                case None => // keyedRow (gate above)
+                  val insRows =
+                    if (insTerms.isEmpty) emptyAgg() else insTerms.reduce(_ union _)
+                  val delRows =
+                    if (delTerms.isEmpty) emptyAgg() else delTerms.reduce(_ union _)
+                  val n = mergeRowDeltaRetract(spark, storage, insRows, delRows,
+                    batchSum, writerId, extraFences)
+                  Some((s"incremental-$tier-retract: $n rows net-merged",
+                    n, updated))
+              }
             }
           } else if (unionAll || aggUnion.nonEmpty) {
             // one application: empty-interval legs substitute an empty
@@ -1809,6 +1838,46 @@ private[sql] object GraftMvRefresh {
     storage.merge(upserts, dead, batchId = v1, writerId = Some(writerId),
       extraFences = extraFences)
     (s"incremental-agg-retract: $nGroups groups net-merged", nGroups, v1, root)
+  }
+
+  /**
+   * ROW-level retraction merge (E177): for a KEYED row-preserving MV —
+   * the user declared `TBLPROPERTIES('pk')`, the contract that the
+   * definition emits at most one row per key (the reference's
+   * enriched-fact shape: state-store fact ⋈ dims) — a delete-bearing
+   * interval nets by FULL ROW with signed counts: +1 per insert-term
+   * row, −1 per delete-term row. Per key the net is {+new}, {−old}, or
+   * {−old, +new} — every intermediate mixed product the signed
+   * telescoping expansion emits (e.g. old-fact ⋈ new-dim when both
+   * sources change) appears once with each sign and cancels — so rows
+   * netting positive MERGE as upserts and keys whose rows net negative
+   * with no positive survivor are deleted. Cost O(Δ ⋈ others), one
+   * delta-sized hash aggregation, one fenced MERGE — never O(view).
+   */
+  private def mergeRowDeltaRetract(spark: SparkSession,
+      storage: graft.table.TransactionalTable,
+      insRows: org.apache.spark.sql.DataFrame,
+      delRows: org.apache.spark.sql.DataFrame,
+      v1: Long, writerId: String,
+      extraFences: Map[String, Long] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.{lit, sum => fsum}
+    val cols = storage.schema.fieldNames.toIndexedSeq
+    val signed = insRows.select(cols.map(fcol): _*).withColumn("__sgn", lit(1L))
+      .unionByName(delRows.select(cols.map(fcol): _*).withColumn("__sgn", lit(-1L)))
+    val net = signed.groupBy(cols.map(fcol): _*).agg(fsum(fcol("__sgn")).as("__net"))
+      .where(fcol("__net") =!= 0)
+      .localCheckpoint(true) // one computation of the terms feeds both merge legs
+    val upserts = net.where(fcol("__net") > 0).drop("__net")
+    val upsertKeys = upserts.select(storage.pkCols.map(fcol): _*).alias("u")
+    val deadCond = storage.pkCols
+      .map(c => fcol(s"n.$c") <=> fcol(s"u.$c")).reduce(_ && _)
+    val dead = net.where(fcol("__net") < 0)
+      .select(storage.pkCols.map(fcol): _*).alias("n")
+      .join(upsertKeys, deadCond, "left_anti").distinct()
+    val n = net.count()
+    storage.merge(upserts, dead, batchId = v1, writerId = Some(writerId),
+      extraFences = extraFences)
+    n
   }
 }
 

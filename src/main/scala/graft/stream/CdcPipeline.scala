@@ -161,7 +161,17 @@ object CdcPipeline {
         * default: pinned schemas are deterministic across restarts. */
       inferSchema: Boolean = false,
       /** Dead-letter directory for malformed envelopes (see applyCdcBatch). */
-      dlqDir: Option[String] = None): StreamingQuery = {
+      dlqDir: Option[String] = None,
+      /** Fully-qualified materialized views (`cat.db.view`) over the sink
+        * table to refresh AFTER each batch's merge — the summary tables
+        * stay as fresh as the state store itself (freshness = one trigger,
+        * not an out-of-band refresh job). Each refresh takes the
+        * incremental tiers (append / agg delta / retraction — CDC batches
+        * carry updates+deletes, so the retraction algebra is the common
+        * case) and is version-interval-based and fence-guarded: a replayed
+        * or crashed-over batch heals to +0, and a refresh missed by a
+        * crash is absorbed into the next batch's interval. */
+      maintainViews: Seq[String] = Nil): StreamingQuery = {
     val envelopeSchema =
       if (!inferSchema) Cdc.envelopeSchema
       else {
@@ -206,6 +216,14 @@ object CdcPipeline {
       // out-of-band via rewrite_data_files).
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         table.compact()
+      maintainViews.foreach { v =>
+        val parts = v.split('.')
+        require(parts.length >= 3,
+          s"maintainViews entries must be fully qualified cat.db.view: '$v'")
+        spark.sql(
+          s"CALL ${parts.head}.system.refresh_mv('${parts.tail.mkString(".")}')")
+          .collect() // force the refresh inside the batch, not lazily after
+      }
     }
     envelopes.writeStream
       .foreachBatch(fn)

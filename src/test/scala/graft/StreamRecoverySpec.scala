@@ -52,6 +52,53 @@ class StreamRecoverySpec extends SparkSpec {
     assert(ids === CdcFixtures.expectedEndState.map(_._1))
   }
 
+  test("maintainViews: summary MV stays fresh per batch via the incremental tiers, across restart") {
+    val work = tmpDir("stream-mv")
+    val input = s"$work/input"
+    Files.createDirectories(Paths.get(input))
+    val cat = s"graft_smv${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$work/wh")
+    Files.createDirectories(Paths.get(s"$work/wh/db"))
+    val t = TransactionalTable.create(spark, s"$work/wh/db/retail", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.ev_tot " +
+      s"TBLPROPERTIES('pk'='event') AS " +
+      s"SELECT event, SUM(amount) AS total, COUNT(amount) AS na, COUNT(*) AS n " +
+      s"FROM $cat.db.retail GROUP BY event")
+    def runOnce(): Unit = {
+      val q = CdcPipeline.start(spark, input, t, s"$work/ckpt",
+        trigger = Trigger.ProcessingTime("1 second"),
+        maintainViews = Seq(s"$cat.db.ev_tot"))
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    def mvRows(): Seq[(String, Long, Long, Long)] =
+      spark.sql(s"SELECT event, total, na, n FROM $cat.db.ev_tot ORDER BY event")
+        .as[(String, Long, Long, Long)].collect().toSeq
+    def expect(rows: Seq[(String, Int)]): Seq[(String, Long, Long, Long)] =
+      rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (ev, rs) =>
+        (ev, rs.map(_._2.toLong).sum, rs.size.toLong, rs.size.toLong) }
+    CdcFixtures.write(input, "b1.jsonl", CdcFixtures.scenario1Lines)
+    runOnce()
+    assert(mvRows() === expect(CdcFixtures.expectedStateV1
+      .map { case (_, _, ev, _, amt, _, _) => (ev, amt) }),
+      "MV must reflect batch 1 without an out-of-band refresh")
+    // restart; batch 2 carries updates + deletes → per-batch RETRACTION
+    CdcFixtures.write(input, "b2.jsonl", CdcFixtures.scenario2Lines)
+    runOnce()
+    assert(mvRows() === expect(CdcFixtures.expectedEndState
+      .map { case (_, _, ev, _, amt, _, _) => (ev, amt) }))
+    // incremental-path proof: only the incremental tiers land writer fences
+    val st = TransactionalTable.open(spark, s"$work/wh/db/ev_tot/_storage")
+    assert(st.snapshot.writerFences.keys.exists(_.startsWith("mv-incr")),
+      "refreshes must have taken the incremental tiers")
+    // idle restart: no batch → no refresh → no MV commit
+    val v = st.currentVersion
+    runOnce()
+    assert(TransactionalTable.open(spark, s"$work/wh/db/ev_tot/_storage")
+      .currentVersion === v, "idle restart committed to the MV")
+  }
+
   test("startingPosition=LATEST skips files present before the stream started") {
     val work = tmpDir("stream-latest")
     val input = s"$work/input"

@@ -554,6 +554,61 @@ class ViewSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.jmax").as[Long].head() === 0L)
   }
 
+  test("keyed row MV (single source): explicit pk enables row-wise retraction") {
+    val (cat, _) = fresh() // t: (1,10),(2,20),(3,30)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.krow TBLPROPERTIES('pk'='id') AS " +
+      s"SELECT id, v * 2 AS v2 FROM $cat.db.t WHERE v >= 10")
+    // filter-crossing UPDATE: the delete image passes the WHERE, the new
+    // image does not → key 1 must DIE; in-filter UPDATE upserts; DELETE
+    // kills; INSERT births
+    spark.sql(s"UPDATE $cat.db.t SET v = 5 WHERE id = 1")
+    spark.sql(s"UPDATE $cat.db.t SET v = 25 WHERE id = 2")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 3")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (7, 70)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.krow')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-retract"),
+      s"expected keyed row retraction, got: $r")
+    assert(spark.sql(s"SELECT id, v2 FROM $cat.db.krow ORDER BY id")
+      .as[(Long, Long)].collect().toSeq === Seq((2L, 50L), (7L, 140L)))
+  }
+
+  test("keyed row MV (join): dim updates rewrite matching rows; fact deletes remove keys") {
+    val (cat, _) = freshJoin() // t: 1,2,3; d: (1,'a'),(2,'b')
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.kjoin TBLPROPERTIES('pk'='id') AS " +
+      s"SELECT t.id, t.v, d.name FROM $cat.db.t t JOIN $cat.db.d d ON t.id = d.id")
+    spark.sql(s"UPDATE $cat.db.d SET name = 'A' WHERE id = 1") // row rewrite via Δdim
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 2") // key dies
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9, 90)") // no dim match → nothing
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (3, 'c')") // births old fact 3
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.kjoin')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-join-retract"),
+      s"expected keyed row join retraction, got: $r")
+    assert(spark.sql(s"SELECT id, v, name FROM $cat.db.kjoin ORDER BY id")
+      .as[(Long, Long, String)].collect().toSeq ===
+      Seq((1L, 10L, "A"), (3L, 30L, "c")))
+  }
+
+  test("keyed row MV (union): signed rows net — an update invisible to the leg cancels") {
+    val (cat, _) = freshJoin()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.kuni TBLPROPERTIES('pk'='id') AS " +
+      s"SELECT id, v FROM $cat.db.t " +
+      s"UNION ALL SELECT id + 1000 AS id, id AS v FROM $cat.db.d")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 2")
+    // name is NOT projected by the leg: the update's delete+insert images
+    // map to identical rows and must net to zero (no spurious churn)
+    spark.sql(s"UPDATE $cat.db.d SET name = 'A' WHERE id = 1")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (5, 'e')")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.kuni')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-union-retract"),
+      s"expected keyed row union retraction, got: $r")
+    assert(spark.sql(s"SELECT id, v FROM $cat.db.kuni ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (3L, 30L), (1001L, 1L), (1002L, 2L), (1005L, 5L)))
+  }
+
   test("SELF-join MV: occurrence-level deltas — append-only interval refreshes incrementally") {
     val (cat, w) = fresh() // db.t: (1,10),(2,20),(3,30)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.sj AS " +
