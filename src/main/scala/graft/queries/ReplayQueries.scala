@@ -2298,6 +2298,55 @@ object ReplayQueries {
            |) AS t(event, total, na, n) ORDER BY event""".stripMargin
       }),
 
+    // AVG MV maintenance with declared companions (E179): AVG(x) maintains
+    // incrementally — through the RETRACTION tier too — when the definition
+    // also carries SUM(x) and COUNT(x); the merge recomputes avg = sum/count
+    // per changed group from the exactly-maintained companions (bit-equal to
+    // a fresh Average for integral inputs). Reason must name the retraction
+    // path; DuckDB recomputes the whole aggregate as the oracle.
+    Q("cdc_sql_mv_avg",
+      (s, _) => {
+        val cat = s"graft_mav${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mav").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.ev_avg " +
+          s"TBLPROPERTIES('pk'='event') AS " +
+          s"SELECT event, SUM(amount) AS total, COUNT(amount) AS na, " +
+          s"COUNT(*) AS n, AVG(amount) AS avg_amt " +
+          s"FROM $cat.db.retail GROUP BY event")
+        s.sql(s"UPDATE $cat.db.retail SET amount = amount + 100 WHERE trans_id = 19")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE trans_id = 21")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE event = 'list'")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.ev_avg')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-agg-retract"),
+          s"expected the retraction path with AVG companions, got '$refreshed'")
+        s.sql(s"SELECT event, total, na, n, avg_amt FROM $cat.db.ev_avg ORDER BY event")
+      },
+      Some {
+        val after = CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) }
+          .map { case (id, ev, amt) => (id, ev, if (id == 19L) amt + 100 else amt) }
+          .filter { case (id, ev, _) => id != 21L && ev != "list" }
+        val rows = after.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (ev, rs) =>
+            val sum = rs.map(_._3.toLong).sum
+            val avg = sum.toDouble / rs.size
+            s"('$ev', CAST($sum AS BIGINT), CAST(${rs.size} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT), CAST($avg AS DOUBLE))"
+          }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, na, n, avg_amt) ORDER BY event""".stripMargin
+      }),
+
     // Transparent MV rewrite (E110): with the view opted in, the RAW
     // aggregate query over the source is answered from the FRESH MV's
     // storage (plan must lose its Aggregate), bit-identical to computing

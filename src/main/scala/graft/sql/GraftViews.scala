@@ -1158,6 +1158,15 @@ private[sql] object GraftMvRefresh {
                 (if (c.children.size == 1) c.children.headOption else None))
               case _: Min => Some("min" -> ae.aggregateFunction.children.headOption)
               case _: Max => Some("max" -> ae.aggregateFunction.children.headOption)
+              // AVG maintains only WITH DECLARED COMPANIONS (E179): the
+              // stored average alone is not delta-decomposable, but when
+              // the definition ALSO carries SUM(x) and COUNT(x) the merge
+              // recomputes avg = sum/count per changed group from the
+              // exactly-maintained companions. Companion presence (and the
+              // double-typed storage column) is enforced by
+              // [[avgSupportOk]] at both maintenance tiers.
+              case _: org.apache.spark.sql.catalyst.expressions.aggregate.Average =>
+                Some("avg" -> ae.aggregateFunction.children.headOption)
               case _ => None
             }
             kind.foreach { case (k, arg) => aggs += AggOut(outName(out), k, arg) }
@@ -1208,6 +1217,9 @@ private[sql] object GraftMvRefresh {
     }
     aggResolved.foreach { case (g, _) =>
       if (storage.pkCols.toSet != g.toSet) return None
+    }
+    aggResolved.foreach { case (_, ks) =>
+      if (!avgSupportOk(ks, storage)) return None // AVG needs its companions
     }
     val parts = single.get
     GraftViewResolution.target(spark, parts).flatMap { case (_, g, ns, nm) =>
@@ -1379,6 +1391,9 @@ private[sql] object GraftMvRefresh {
     }
     aggResolved.foreach { case (g, _) =>
       if (storage.pkCols.toSet != g.toSet) return None
+    }
+    aggResolved.foreach { case (_, ks) =>
+      if (!avgSupportOk(ks, storage)) return None // AVG needs its companions
     }
     val resolved = rels.flatMap { u =>
       GraftViewResolution.target(spark, u.multipartIdentifier).map {
@@ -1704,6 +1719,10 @@ private[sql] object GraftMvRefresh {
     val sSub = storage.scan().alias("s").join(dKeys, semiCond, "left_semi").alias("s")
     // null-safe key equality: a NULL group key is a real group
     val keyCond = groupCols.map(c => fcol(s"d.$c") <=> fcol(s"s.$c")).reduce(_ && _)
+    def addOf(c: String): org.apache.spark.sql.Column = {
+      val dc = fcol(s"d.$c"); val sc = fcol(s"s.$c")
+      when(sc.isNull, dc).when(dc.isNull, sc).otherwise(dc + sc)
+    }
     val combinedCols =
       groupCols.map(c => fcol(s"d.$c").as(c)) ++
         aggCols.map { a =>
@@ -1719,6 +1738,20 @@ private[sql] object GraftMvRefresh {
               when(sc.isNull, dc).when(dc.isNull, sc).otherwise(dc + sc)
             case "min" => least(dc, sc)
             case "max" => greatest(dc, sc)
+            // AVG (E179): recomputed from its exactly-maintained SUM/COUNT
+            // companions — the delta frame's own avg value (an average of
+            // the interval alone) is deliberately ignored.
+            case "avg" =>
+              val arg = a.arg.get
+              val sC = aggCols.find(x =>
+                x.kind == "sum" && x.arg.exists(_.semanticEquals(arg))).get
+              val nC = aggCols.find(x =>
+                x.kind == "count" && x.arg.exists(_.semanticEquals(arg))).get
+              val cnt = addOf(nC.name)
+              when(cnt.isNull || cnt === 0,
+                  org.apache.spark.sql.functions.lit(null))
+                .otherwise(addOf(sC.name)
+                  .cast(org.apache.spark.sql.types.DoubleType) / cnt)
             case other => throw new IllegalStateException(s"unexpected agg kind $other")
           }).cast(tpe).as(c)
         }
@@ -1750,13 +1783,33 @@ private[sql] object GraftMvRefresh {
         "aggregate maintenance requires non-null group keys; full recompute")
   }
 
+  /** AVG support (E179): every AVG(x) needs SUM(x) AND COUNT(x) declared in
+    * the same definition (the merge recomputes avg = sum/count per changed
+    * group from the exactly-maintained companions — the stored average
+    * alone is not delta-decomposable), and the avg storage column must be
+    * DOUBLE (decimal averages carry scale-adjustment semantics the
+    * companion division does not reproduce — those recompute). For
+    * integral inputs the companion division is bit-equal to a fresh
+    * Average while the exact long sum fits 2^53, and MORE accurate past
+    * it. */
+  private def avgSupportOk(aggCols: Seq[AggOut],
+      storage: graft.table.TransactionalTable): Boolean =
+    aggCols.filter(_.kind == "avg").forall { a =>
+      a.arg.exists { arg =>
+        aggCols.exists(c => c.kind == "sum" && c.arg.exists(_.semanticEquals(arg))) &&
+        aggCols.exists(c => c.kind == "count" && c.arg.exists(_.semanticEquals(arg)))
+      } && storage.schema(a.name).dataType ==
+        org.apache.spark.sql.types.DoubleType
+    }
+
   /** Retraction eligibility: every aggregate is SUM/COUNT (MIN/MAX cannot
-    * un-see a deleted extremum), a COUNT(*) column exists (group-death
-    * detection → storage row deletion), and every SUM(x) has a COUNT(x)
-    * over the semantically-same input (SUM must return NULL when a group's
-    * last non-null x retracts — undecidable from the stored sum alone). */
+    * un-see a deleted extremum; AVG rides its E179 companions), a COUNT(*)
+    * column exists (group-death detection → storage row deletion), and
+    * every SUM(x) has a COUNT(x) over the semantically-same input (SUM
+    * must return NULL when a group's last non-null x retracts —
+    * undecidable from the stored sum alone). */
   private def retractEligible(aggCols: Seq[AggOut]): Boolean = {
-    val kindsOk = aggCols.forall(a => Set("sum", "count", "count_star")(a.kind))
+    val kindsOk = aggCols.forall(a => Set("sum", "count", "count_star", "avg")(a.kind))
     val hasStar = aggCols.exists(_.kind == "count_star")
     def countFor(arg: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
       aggCols.exists(c => c.kind == "count" && c.arg.exists(_.semanticEquals(arg)))
@@ -1818,6 +1871,19 @@ private[sql] object GraftMvRefresh {
           val raw = (z(fcol(s"s.${a.name}"), tpe) + z(fcol(s"d._gi_${a.name}"), tpe) -
             z(fcol(s"d._gx_${a.name}"), tpe))
           when(newCountExpr(pairedCount) === 0, lit(null)).otherwise(raw)
+        // AVG (E179): recomputed from the netted SUM/COUNT companions; NULL
+        // when the group's last non-null input retracts
+        case "avg" =>
+          val arg = a.arg.get
+          val sC = aggCols.find(x =>
+            x.kind == "sum" && x.arg.exists(_.semanticEquals(arg))).get
+          val nC = countByArg(arg.canonicalized.toString)
+          val sTpe = storage.schema(sC.name).dataType
+          val nNew = newCountExpr(nC)
+          val sNew = z(fcol(s"s.${sC.name}"), sTpe) +
+            z(fcol(s"d._gi_${sC.name}"), sTpe) - z(fcol(s"d._gx_${sC.name}"), sTpe)
+          when(nNew === 0, lit(null))
+            .otherwise(sNew.cast(org.apache.spark.sql.types.DoubleType) / nNew)
         case other => throw new IllegalStateException(s"unexpected retract kind $other")
       }).cast(tpe).as(a.name)
     }

@@ -477,7 +477,8 @@ class ViewSqlSpec extends SparkSpec {
     // delta MERGE commit, not a storage replace
     assert(TransactionalTable.open(spark, s"$w/db/jagg/_storage").currentVersion
       === storageV0 + 1)
-    // AVG is not delta-decomposable: falls back to the recompute
+    // AVG WITHOUT its E179 SUM/COUNT companions is not delta-decomposable
+    // from the stored final alone: falls back to the recompute
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.javg AS " +
       s"SELECT d.name, AVG(t.v) AS av FROM $cat.db.t t " +
       s"JOIN $cat.db.d d ON t.id = d.id GROUP BY d.name")
@@ -552,6 +553,52 @@ class ViewSqlSpec extends SparkSpec {
       .select("reason").as[String].head()
     assert(rMax.startsWith("stale:"), s"MAX + delete must recompute, got: $rMax")
     assert(spark.sql(s"SELECT count(*) AS c FROM $cat.db.jmax").as[Long].head() === 0L)
+  }
+
+  test("aggregate MV: AVG maintains with declared SUM/COUNT companions (E179)") {
+    val (cat, _) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.avgmv " +
+      s"TBLPROPERTIES('pk'='grp') AS " +
+      s"SELECT grp, SUM(v) AS sv, COUNT(v) AS nv, COUNT(*) AS n, AVG(v) AS av " +
+      s"FROM $cat.db.ev GROUP BY grp")
+    // append interval incl. an all-NULL-input group (avg must stay NULL)
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',30),(5,'c',7),(6,'d',NULL)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.avgmv')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental-agg:"), s"append tier expected, got: $r1")
+    assert(spark.sql(s"SELECT grp, sv, nv, n, av FROM $cat.db.avgmv ORDER BY grp")
+      .as[(String, Option[Long], Long, Long, Option[Double])].collect().toSeq ===
+      Seq(("a", Some(60L), 3L, 3L, Some(20.0)), ("b", Some(5L), 1L, 1L, Some(5.0)),
+        ("c", Some(7L), 1L, 1L, Some(7.0)), ("d", None, 0L, 1L, None)))
+    // retraction interval: UPDATE re-averages, group b dies
+    spark.sql(s"UPDATE $cat.db.ev SET v = 40 WHERE id = 2")
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE grp = 'b'")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.avgmv')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-agg-retract"), s"retract tier expected, got: $r2")
+    assert(spark.sql(s"SELECT grp, sv, nv, n, av FROM $cat.db.avgmv ORDER BY grp")
+      .as[(String, Option[Long], Long, Long, Option[Double])].collect().toSeq ===
+      Seq(("a", Some(80L), 3L, 3L, Some(80.0 / 3)),
+        ("c", Some(7L), 1L, 1L, Some(7.0)), ("d", None, 0L, 1L, None)))
+  }
+
+  test("join-agg MV: AVG with companions rides the retraction tier (E179)") {
+    val (cat, _) = freshJoin() // t:(1,10),(2,20),(3,30); d:(1,'a'),(2,'b')
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jav " +
+      s"TBLPROPERTIES('pk'='name') AS " +
+      s"SELECT d.name, SUM(t.v) AS sv, COUNT(t.v) AS nv, COUNT(*) AS n, " +
+      s"AVG(t.v) AS av FROM $cat.db.t t JOIN $cat.db.d d ON t.id = d.id " +
+      s"GROUP BY d.name")
+    spark.sql(s"UPDATE $cat.db.t SET v = 15 WHERE id = 1")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 2") // b dies
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (3, 'a')") // fact 3 joins group a
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.jav')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-join-agg-retract"),
+      s"join retract tier expected, got: $r")
+    assert(spark.sql(s"SELECT name, sv, nv, n, av FROM $cat.db.jav ORDER BY name")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq ===
+      Seq(("a", 45L, 2L, 2L, 22.5)))
   }
 
   test("keyed row MV (single source): explicit pk enables row-wise retraction") {
