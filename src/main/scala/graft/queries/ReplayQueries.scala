@@ -2347,6 +2347,60 @@ object ReplayQueries {
            |) AS t(event, total, na, n, avg_amt) ORDER BY event""".stripMargin
       }),
 
+    // COUNT(DISTINCT) MV maintenance (E180): the per-group value-count aux
+    // table makes the one aggregate multiset storage cannot express
+    // maintainable — an UPDATE that merely moves a second copy of a value
+    // leaves the distinct count FLAT (only the aux knows), a last-copy
+    // retraction drops it, a whole-device delete kills the group, and an
+    // unseen event raises it. Reason must name the distinct path.
+    Q("cdc_sql_mv_count_distinct",
+      (s, _) => {
+        val cat = s"graft_mcd${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mcd").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.dev_events " +
+          s"TBLPROPERTIES('pk'='device') AS " +
+          s"SELECT device, COUNT(DISTINCT event) AS dev_events, " +
+          s"SUM(amount) AS total, COUNT(amount) AS na, COUNT(*) AS n " +
+          s"FROM $cat.db.retail GROUP BY device")
+        // 27 like→visit: tablet still holds 'like' via 47 (dv flat); then
+        // 47 like→visit too (dv drops); mobile dies; pc gains 'share'
+        s.sql(s"UPDATE $cat.db.retail SET event = 'visit' WHERE trans_id = 27")
+        s.sql(s"UPDATE $cat.db.retail SET event = 'visit' WHERE trans_id = 47")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE device = 'mobile'")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'share', 'SKU500', 7, 'pc', NULL)")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.dev_events')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-agg-distinct"),
+          s"expected the count-distinct path, got '$refreshed'")
+        s.sql(s"SELECT device, dev_events, total, na, n FROM $cat.db.dev_events " +
+          "ORDER BY device")
+      },
+      Some {
+        val after = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, dev, _) => (id, ev, amt, dev) }
+          .map { case (id, ev, amt, dev) =>
+            (id, if (id == 27L || id == 47L) "visit" else ev, amt, dev) }
+          .filter { case (_, _, _, dev) => dev != "mobile" }) :+
+          ((500L, "share", 7, "pc"))
+        val rows = after.groupBy(_._4).toSeq.sortBy(_._1)
+          .map { case (dev, rs) =>
+            s"('$dev', CAST(${rs.map(_._2).distinct.size} AS BIGINT), " +
+              s"CAST(${rs.map(_._3.toLong).sum} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT), CAST(${rs.size} AS BIGINT))" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(device, dev_events, total, na, n) ORDER BY device""".stripMargin
+      }),
+
     // Transparent MV rewrite (E110): with the view opted in, the RAW
     // aggregate query over the source is answered from the FRESH MV's
     // storage (plan must lose its Aggregate), bit-identical to computing

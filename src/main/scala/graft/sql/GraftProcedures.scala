@@ -295,6 +295,10 @@ object GraftProcedures {
                 df0.toDF(cur.columnAliases: _*) else df0
               val replaced = storage.replaceWith(df, df.schema, storage.pk,
                 storage.partitionSpec)
+              // a storage replace invalidates any count_distinct aux counts
+              // (E180) — drop them; the next incremental refresh
+              // re-bootstraps from its new baseline
+              GraftMvRefresh.dropDistinctAux(root)
               val (sources, external) =
                 GraftViewResolution.engineSources(df.queryExecution.analyzed)
               GraftViewStore.mutate(root) {

@@ -1141,9 +1141,13 @@ private[sql] object GraftMvRefresh {
           if (!ne.deterministic) false
           else { groups += outName(ne.name); true }
         } else ne match {
-          case Alias(ae: AggregateExpression, out)
-              if !ae.isDistinct && ae.filter.isEmpty =>
+          case Alias(ae: AggregateExpression, out) if ae.filter.isEmpty =>
             val kind = ae.aggregateFunction match {
+              // COUNT(DISTINCT x) maintains via the per-group value-count
+              // AUX table (E180); any other DISTINCT aggregate recomputes
+              case c: Count if ae.isDistinct && c.children.size == 1 =>
+                Some("count_distinct" -> c.children.headOption)
+              case _ if ae.isDistinct => None
               case _: Sum => Some("sum" -> ae.aggregateFunction.children.headOption)
               case c: Count if c.children.forall {
                 case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value != null
@@ -1255,8 +1259,36 @@ private[sql] object GraftMvRefresh {
             val sameSchema =
               out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
                 storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
+            val hasDistinct =
+              aggResolved.exists(_._2.exists(_.kind == "count_distinct"))
             if (!sameSchema) None
-            else if (!hasDeletes) aggResolved match {
+            else if (hasDistinct) {
+              // COUNT(DISTINCT) path (E180): EVERY interval — append-only
+              // included — routes through the per-group value-count AUX
+              // table and the retraction-shaped merge (a new row can both
+              // raise a count and leave the distinct count flat; only the
+              // aux knows which).
+              val (groupCols, aggCols) = aggResolved.get
+              if (!distinctSupportOk(aggCols)) None
+              else {
+                val delOut = applyDef(
+                  delta.where(fcol("_change_type") === "delete").drop("_change_type"))
+                def pairsOf(images: org.apache.spark.sql.DataFrame) =
+                  distinctPairFrames(spark, applyDef(images), groupCols, aggCols)
+                val viewRoot =
+                  java.nio.file.Paths.get(storage.root).getParent.toString
+                val (label, nG, v, r) = mergeAggDeltaDistinct(spark, storage,
+                  viewRoot, groupCols, aggCols, out, delOut,
+                  pairsOf(delta.where(fcol("_change_type") === "insert")
+                    .drop("_change_type")),
+                  pairsOf(delta.where(fcol("_change_type") === "delete")
+                    .drop("_change_type")),
+                  name => distinctPairFrames(spark, applyDef(t.scanAt(v0)),
+                    groupCols, aggCols)(name),
+                  v0, v1, writerId, root)
+                Some((label, nG, Map(r -> v)))
+              }
+            } else if (!hasDeletes) aggResolved match {
               case None =>
                 val n = out.count()
                 storage.append(out, batchId = v1, writerId = Some(writerId))
@@ -1394,6 +1426,10 @@ private[sql] object GraftMvRefresh {
     }
     aggResolved.foreach { case (_, ks) =>
       if (!avgSupportOk(ks, storage)) return None // AVG needs its companions
+      // count_distinct's aux maintenance is single-source only (E180): the
+      // join tiers would need the aux fed by the telescoping pair terms —
+      // not wired; recompute
+      if (ks.exists(_.kind == "count_distinct")) return None
     }
     val resolved = rels.flatMap { u =>
       GraftViewResolution.target(spark, u.multipartIdentifier).map {
@@ -1808,8 +1844,164 @@ private[sql] object GraftMvRefresh {
     * every SUM(x) has a COUNT(x) over the semantically-same input (SUM
     * must return NULL when a group's last non-null x retracts —
     * undecidable from the stored sum alone). */
+  /** For each count_distinct output of the definition: a
+    * (groupCols…, __val) frame projecting the PRE-aggregation pairs of the
+    * given SUBSTITUTED definition frame — the Aggregate's own child with
+    * the group expressions and the distinct argument, so the aux
+    * maintenance sees raw (group, value) occurrences, not partials.
+    * Expressions are taken from the substituted plan itself (its exprIds),
+    * matched to aggCols positionally — both sides classify
+    * aggregateExpressions identically. */
+  private def distinctPairFrames(spark: SparkSession,
+      defFrame: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], aggCols: Seq[AggOut])
+      : Map[String, org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val agg = defFrame.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a
+    }.getOrElse(throw new IllegalStateException(
+      "count_distinct definition lost its Aggregate node"))
+    val groupsNamed = agg.aggregateExpressions
+      .filterNot(_.exists(_.isInstanceOf[AggregateExpression]))
+    val aggEntries = agg.aggregateExpressions
+      .filter(_.exists(_.isInstanceOf[AggregateExpression]))
+    aggCols.zipWithIndex.collect { case (a, j) if a.kind == "count_distinct" =>
+      val arg = aggEntries(j) match {
+        case Alias(ae: AggregateExpression, _) =>
+          ae.aggregateFunction.children.head
+        case other => throw new IllegalStateException(
+          s"unexpected aggregate shape: $other")
+      }
+      val proj = Project(
+        (groupsNamed :+ Alias(arg, "__val")()).toIndexedSeq, agg.child)
+      a.name -> org.apache.spark.sql.graftshim.GraftShims.ofRows(spark, proj)
+        .toDF((groupCols :+ "__val"): _*)
+    }.toMap
+  }
+
+  /**
+   * COUNT(DISTINCT x) maintenance (E180): per distinct output, a per-group
+   * VALUE-COUNT aux engine table (`<viewRoot>/_aux_d_<col>`, PK = group
+   * keys + value) tracks how many source rows carry each (group, value)
+   * pair — the multiset storage itself cannot express. Bootstrap builds it
+   * once from the v0 snapshot (fenced: the commit carries the bootstrap
+   * writer fence, so a crash between create and append re-runs the append
+   * exactly once); each interval then nets signed (group, value) counts
+   * into it (values reaching 0 leave — O(Δ values), never O(aux)), and the
+   * MV's distinct column for every changed group is the post-merge aux row
+   * count per group, OVERLAID onto the retraction-shaped storage merge.
+   * Both commits are fenced on (writerId, v1): replays and crash-retries
+   * skip the aux work and no-op the merges. The full-recompute path drops
+   * the aux dirs (stale counts must not survive a replace) — the next
+   * incremental refresh re-bootstraps from its new baseline.
+   */
+  private def mergeAggDeltaDistinct(spark: SparkSession,
+      storage: graft.table.TransactionalTable, viewRoot: String,
+      groupCols: Seq[String], aggCols: Seq[AggOut],
+      dIns: org.apache.spark.sql.DataFrame, dDel: org.apache.spark.sql.DataFrame,
+      insPairs: Map[String, org.apache.spark.sql.DataFrame],
+      delPairs: Map[String, org.apache.spark.sql.DataFrame],
+      bootPairs: String => org.apache.spark.sql.DataFrame,
+      v0: Long, v1: Long, writerId: String, root: String)
+      : (String, Long, Long, String) = {
+    import org.apache.spark.sql.functions.{coalesce, count => fcount, lit, sum => fsum, when}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val overlays = aggCols.filter(_.kind == "count_distinct").map { a =>
+      val auxRoot = s"$viewRoot/_aux_d_${a.name}"
+      val keys = groupCols :+ "__val"
+      val aux =
+        if (graft.table.TransactionalTable.exists(auxRoot))
+          graft.table.TransactionalTable.open(spark, auxRoot)
+        else graft.table.TransactionalTable.create(spark, auxRoot,
+          StructType((groupCols.map(storage.schema(_)) :+
+            StructField("__val", a.arg.get.dataType) :+
+            StructField("cnt", LongType, nullable = false)).toArray),
+          keys.mkString(","), None)
+      val bootWriter = s"$writerId#aux-bootstrap"
+      if (!aux.snapshot.writerFences.contains(bootWriter))
+        aux.append(bootPairs(a.name).where(fcol("__val").isNotNull)
+          .groupBy(keys.map(fcol): _*)
+          .agg(fcount(lit(1)).cast(LongType).as("cnt")),
+          batchId = v0, writerId = Some(bootWriter))
+      // fenced: a crash-retry whose aux commit already landed must NOT
+      // recompute deltas against the post-merge aux (it would read its own
+      // application as a mismatch) — skip straight to the counts
+      if (aux.snapshot.writerFences.getOrElse(writerId, -1L) < v1) {
+        val ip = insPairs(a.name).where(fcol("__val").isNotNull)
+          .withColumn("__sgn", lit(1L))
+        val dp = delPairs(a.name).where(fcol("__val").isNotNull)
+          .withColumn("__sgn", lit(-1L))
+        val net = ip.unionByName(dp).groupBy(keys.map(fcol): _*)
+          .agg(fsum(fcol("__sgn")).as("__net")).where(fcol("__net") =!= 0)
+        requireNonNullKeys(net, groupCols)
+        val n = net.alias("n")
+        val nKeys = net.select(keys.map(fcol): _*).alias("k")
+        val semi = keys.map(c => fcol(s"a.$c") <=> fcol(s"k.$c")).reduce(_ && _)
+        val aSub = aux.scan().alias("a").join(nKeys, semi, "left_semi").alias("a")
+        val cond = keys.map(c => fcol(s"n.$c") <=> fcol(s"a.$c")).reduce(_ && _)
+        val comb = n.join(aSub, cond, "left")
+          .select((keys.map(c => fcol(s"n.$c").as(c)) :+
+            (coalesce(fcol("a.cnt"), lit(0L)) + fcol("n.__net")).as("cnt")): _*)
+          .localCheckpoint(true)
+        val nNeg = comb.where(fcol("cnt") < 0).count()
+        if (nNeg > 0) throw new IllegalStateException(
+          s"$nNeg negative distinct-value counts — baseline/interval mismatch")
+        aux.merge(comb.where(fcol("cnt") > 0),
+          comb.where(fcol("cnt") === 0).select(keys.map(fcol): _*),
+          batchId = v1, writerId = Some(writerId))
+      }
+      // post-merge distinct count per CHANGED group (a group whose values
+      // all vanished reads 0; group-death itself is count_star's business)
+      val changed = insPairs(a.name).select(groupCols.map(fcol): _*)
+        .unionByName(delPairs(a.name).select(groupCols.map(fcol): _*))
+        .distinct().alias("g")
+      val s2 = aux.scan().alias("s2")
+      val gcond = groupCols.map(c => fcol(s"g.$c") <=> fcol(s"s2.$c")).reduce(_ && _)
+      val counts = changed.join(s2, gcond, "left")
+        .groupBy(groupCols.map(c => fcol(s"g.$c").as(c)): _*)
+        .agg(fsum(when(fcol("s2.cnt").isNotNull, 1L).otherwise(0L)).as("__dc"))
+      a -> counts
+    }
+    val (_, nG, v, r) = mergeAggDeltaRetract(spark, storage, dIns, dDel,
+      groupCols, aggCols, v1, writerId, root, distinctCounts = overlays)
+    (s"incremental-agg-distinct: $nG groups merged", nG, v, r)
+  }
+
+  /** Drop every count_distinct aux table under a view root — called by the
+    * full-recompute path (a storage replace invalidates the counts; the
+    * next incremental refresh re-bootstraps from its new baseline). */
+  def dropDistinctAux(viewRoot: String): Unit = {
+    val dir = java.nio.file.Paths.get(viewRoot)
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("_aux_d_"))
+          .foreach { p =>
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+      } finally s.close()
+    }
+  }
+
+  /** COUNT(DISTINCT x) support (E180): the value must be PK-able in the aux
+    * table (string/integral — the same constraint the engine's MERGE places
+    * on any key), and the rest of the agg set must be the full-IVM shape
+    * ([[retractEligible]] — the distinct path routes every interval,
+    * append-only included, through the retraction-shaped merge). */
+  private def distinctSupportOk(aggCols: Seq[AggOut]): Boolean = {
+    import org.apache.spark.sql.types._
+    aggCols.filter(_.kind == "count_distinct").forall(_.arg.exists(_.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    })) && retractEligible(aggCols)
+  }
+
   private def retractEligible(aggCols: Seq[AggOut]): Boolean = {
-    val kindsOk = aggCols.forall(a => Set("sum", "count", "count_star", "avg")(a.kind))
+    val kindsOk = aggCols.forall(a =>
+      Set("sum", "count", "count_star", "avg", "count_distinct")(a.kind))
     val hasStar = aggCols.exists(_.kind == "count_star")
     def countFor(arg: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
       aggCols.exists(c => c.kind == "count" && c.arg.exists(_.semanticEquals(arg)))
@@ -1832,7 +2024,11 @@ private[sql] object GraftMvRefresh {
       dIns: org.apache.spark.sql.DataFrame, dDel: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], aggCols: Seq[AggOut],
       v1: Long, writerId: String, root: String,
-      extraFences: Map[String, Long] = Map.empty): (String, Long, Long, String) = {
+      extraFences: Map[String, Long] = Map.empty,
+      /** E180: per count_distinct output, the post-merge aux counts
+        * (groupCols…, __dc) to OVERLAY onto the combined frame. */
+      distinctCounts: Seq[(AggOut, org.apache.spark.sql.DataFrame)] = Nil)
+      : (String, Long, Long, String) = {
     import org.apache.spark.sql.functions.{coalesce, lit, when}
     // net delta: full outer ins/del per group (a group may appear on either
     // side only), both sides prefixed to dodge name collisions
@@ -1884,12 +2080,28 @@ private[sql] object GraftMvRefresh {
             z(fcol(s"d._gi_${sC.name}"), sTpe) - z(fcol(s"d._gx_${sC.name}"), sTpe)
           when(nNew === 0, lit(null))
             .otherwise(sNew.cast(org.apache.spark.sql.types.DoubleType) / nNew)
+        // E180: placeholder — the real value is overlaid from the aux below
+        case "count_distinct" => lit(null)
         case other => throw new IllegalStateException(s"unexpected retract kind $other")
       }).cast(tpe).as(a.name)
     }
     val starName = aggCols.find(_.kind == "count_star").get.name
-    val combined = d.join(sSub, keyCond, "left").select(combinedCols: _*)
+    val combined0 = d.join(sSub, keyCond, "left").select(combinedCols: _*)
       .select(storage.schema.fieldNames.map(fcol).toIndexedSeq: _*)
+    // E180 overlay: count_distinct columns read the post-merge AUX counts
+    // per group (every combined group is a changed group, so the counts
+    // frame covers it; coalesce(0) is belt-and-braces)
+    val combinedX = distinctCounts.foldLeft(combined0) { case (acc, (a, cnts)) =>
+      val cond2 = groupCols.map(k => fcol(s"c.$k") <=> fcol(s"x.$k")).reduce(_ && _)
+      acc.alias("c").join(cnts.alias("x"), cond2, "left")
+        .select(storage.schema.fieldNames.map { f =>
+          if (f == a.name)
+            coalesce(fcol("x.__dc"), lit(0L))
+              .cast(storage.schema(f).dataType).as(f)
+          else fcol(s"c.$f")
+        }.toIndexedSeq: _*)
+    }
+    val combined = combinedX
       .localCheckpoint(true) // one computation feeds the sanity check + both merge legs
     // sanity: a negative row count means the baseline diverged from the
     // interval (should be impossible under the fence) — refuse loudly

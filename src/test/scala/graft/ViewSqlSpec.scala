@@ -601,6 +601,67 @@ class ViewSqlSpec extends SparkSpec {
       Seq(("a", 45L, 2L, 2L, 22.5)))
   }
 
+  test("aggregate MV: COUNT(DISTINCT) maintains via the value-count aux table (E180)") {
+    val (cat, w) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.dmv " +
+      s"TBLPROPERTIES('pk'='grp') AS " +
+      s"SELECT grp, COUNT(DISTINCT v) AS dv, SUM(v) AS sv, COUNT(v) AS nv, " +
+      s"COUNT(*) AS n FROM $cat.db.ev GROUP BY grp")
+    def rows(): Seq[(String, Long, Option[Long], Long, Long)] =
+      spark.sql(s"SELECT grp, dv, sv, nv, n FROM $cat.db.dmv ORDER BY grp")
+        .as[(String, Long, Option[Long], Long, Long)].collect().toSeq
+    // append: a duplicate value (dv flat, n up), a new value, a new group,
+    // and a NULL input (ignored by the distinct count)
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES " +
+      "(4,'a',10), (5,'a',30), (6,'c',7), (7,'c',NULL)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.dmv')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental-agg-distinct"), s"got: $r1")
+    assert(rows() === Seq(("a", 3L, Some(70L), 4L, 4L), ("b", 1L, Some(5L), 1L, 1L),
+      ("c", 1L, Some(7L), 1L, 2L)))
+    // retraction: one copy of a duplicated value retracts (dv FLAT — only
+    // the aux knows), a unique value retracts (dv drops), a group dies
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 1") // 10 still held by id 4
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 2") // 20 gone
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE grp = 'b'")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.dmv')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-agg-distinct"), s"got: $r2")
+    assert(rows() === Seq(("a", 2L, Some(40L), 2L, 2L), ("c", 1L, Some(7L), 1L, 2L)))
+    // an UPDATE collapsing two values into one: dv 2 -> 1
+    spark.sql(s"UPDATE $cat.db.ev SET v = 10 WHERE id = 5")
+    val r3 = spark.sql(s"CALL $cat.system.refresh_mv('db.dmv')")
+      .select("reason").as[String].head()
+    assert(r3.startsWith("incremental-agg-distinct"), s"got: $r3")
+    assert(rows() === Seq(("a", 1L, Some(20L), 2L, 2L), ("c", 1L, Some(7L), 1L, 2L)))
+    assert(TransactionalTable.exists(s"$w/db/dmv/_aux_d_dv"), "aux table must exist")
+  }
+
+  test("COUNT(DISTINCT) MV: full recompute drops the aux; next refresh re-bootstraps (E180)") {
+    val (cat, w) = freshGrouped()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.dmv2 " +
+      s"TBLPROPERTIES('pk'='grp') AS " +
+      s"SELECT grp, COUNT(DISTINCT v) AS dv, COUNT(*) AS n " +
+      s"FROM $cat.db.ev GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',10)")
+    spark.sql(s"CALL $cat.system.refresh_mv('db.dmv2')").collect()
+    assert(TransactionalTable.exists(s"$w/db/dmv2/_aux_d_dv"))
+    // a NULL group key forces the fallback recompute — the aux must go
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (8, NULL, 99)")
+    val rf = spark.sql(s"CALL $cat.system.refresh_mv('db.dmv2')")
+      .select("reason").as[String].head()
+    assert(rf.startsWith("stale:"), s"NULL group must recompute, got: $rf")
+    assert(!TransactionalTable.exists(s"$w/db/dmv2/_aux_d_dv"),
+      "stale aux must not survive a storage replace")
+    // next incremental refresh re-bootstraps from the new baseline
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (9,'a',20), (10,'a',10)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.dmv2')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-agg-distinct"), s"got: $r")
+    assert(spark.sql(s"SELECT dv, n FROM $cat.db.dmv2 WHERE grp = 'a'")
+      .as[(Long, Long)].head() === ((2L, 5L))) // values {10×3, 20×2}
+  }
+
   test("keyed row MV (single source): explicit pk enables row-wise retraction") {
     val (cat, _) = fresh() // t: (1,10),(2,20),(3,30)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.krow TBLPROPERTIES('pk'='id') AS " +
