@@ -153,7 +153,7 @@ object Bench {
     val scaleCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val scaleRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "1").toInt
     val scaleInvariant = Set("cdc_replay_end_state", "cdc_replay_mor_end_state",
-      "j1_merge_upsert")
+      "j1_merge_upsert", "cdc_stream_mv_fresh")
     var scaledTotal = Double.NaN
     var rs10: Seq[(String, Double)] = Nil
     if (scaleCopies > 1) {

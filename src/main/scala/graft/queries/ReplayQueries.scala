@@ -609,7 +609,7 @@ object ReplayQueries {
            |  $rows
            |) AS t(event, total, na, n) ORDER BY event""".stripMargin
       },
-      streaming = true),
+      headline = true, streaming = true),
 
     // TYPE WIDENING (Iceberg type-promotion parity): replay scenario1, widen
     // amount int→long (metadata-only, zero data movement), replay scenario2 —
