@@ -2401,6 +2401,66 @@ object ReplayQueries {
            |) AS t(device, dev_events, total, na, n) ORDER BY device""".stripMargin
       }),
 
+    // COUNT(DISTINCT) MV maintenance on the JOIN tier (E181): the per-group
+    // value-count aux is fed by the signed telescoping pair terms of the
+    // fact ⋈ dim delta — a device UPDATE that another row still covers
+    // leaves the distinct count flat, a group-killing fact delete drops its
+    // row, and a Δfact/Δdim insert pair births a group, all in ONE interval
+    // refreshed without recompute. Reason must name the join distinct tier.
+    Q("cdc_sql_mv_count_distinct_join",
+      (s, _) => {
+        val cat = s"graft_mdj${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mdj").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        TransactionalTable.create(s, s"$warehouse/db/evcat",
+          org.apache.spark.sql.types.StructType.fromDDL("event STRING, cat STRING"),
+          "event", None)
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES " +
+          "('visit', 'browse'), ('cart', 'intent'), ('like', 'social')")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.cat_devs " +
+          s"TBLPROPERTIES('pk'='cat') AS " +
+          s"SELECT c.cat, COUNT(DISTINCT r.device) AS devs, " +
+          s"SUM(r.amount) AS total, COUNT(r.amount) AS na, COUNT(*) AS n " +
+          s"FROM $cat.db.retail r JOIN $cat.db.evcat c ON r.event = c.event " +
+          s"GROUP BY c.cat")
+        s.sql(s"UPDATE $cat.db.retail SET device = 'pc' WHERE trans_id = 19")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE event = 'cart'")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'like', 'SKU500', 7, 'tablet', NULL)")
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES ('purchase', 'buy')")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.cat_devs')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-join-agg-distinct"),
+          s"expected the join distinct tier, got '$refreshed'")
+        s.sql(s"SELECT cat, devs, total, na, n FROM $cat.db.cat_devs ORDER BY cat")
+      },
+      Some {
+        val cats = Map("visit" -> "browse", "cart" -> "intent",
+          "like" -> "social", "purchase" -> "buy")
+        val after = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, dev, _) => (id, ev, amt, dev) }
+          .map { case (id, ev, amt, dev) =>
+            (id, ev, amt, if (id == 19L) "pc" else dev) }
+          .filter { case (_, ev, _, _) => ev != "cart" } :+
+          ((500L, "like", 7, "tablet")))
+          .filter(r => cats.contains(r._2))
+        val rows = after.groupBy(r => cats(r._2)).toSeq.sortBy(_._1)
+          .map { case (c, rs) =>
+            s"('$c', CAST(${rs.map(_._4).distinct.size} AS BIGINT), " +
+              s"CAST(${rs.map(_._3.toLong).sum} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT), CAST(${rs.size} AS BIGINT))" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(cat, devs, total, na, n) ORDER BY cat""".stripMargin
+      }),
+
     // Transparent MV rewrite (E110): with the view opted in, the RAW
     // aggregate query over the source is answered from the FRESH MV's
     // storage (plan must lose its Aggregate), bit-identical to computing

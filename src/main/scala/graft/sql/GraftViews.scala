@@ -1049,6 +1049,16 @@ final case class GraftCreateMaterializedViewExec(cmd: GraftCreateMaterializedVie
  * Any miss (shape, deletes in the interval, expired baseline snapshot,
  * schema drift, PK≠group keys) falls back to the full atomic recompute.
  */
+/** Test-only crash injection for the MV refresh path: when set, invoked
+  * right after each COUNT(DISTINCT) aux commit and BEFORE the storage merge
+  * — a non-NonFatal throw from it simulates a crash in the
+  * aux-ahead-of-storage window the per-source aux fences exist to heal
+  * (a NonFatal throw would merely fall back to the full recompute).
+  * Never set outside specs. */
+private[graft] object GraftViewTestHooks {
+  @volatile var failAfterAuxCommit: Option[String => Unit] = None
+}
+
 private[sql] object GraftMvRefresh {
 
   import org.apache.spark.sql.functions.{col => fcol}
@@ -1275,17 +1285,21 @@ private[sql] object GraftMvRefresh {
                   delta.where(fcol("_change_type") === "delete").drop("_change_type"))
                 def pairsOf(images: org.apache.spark.sql.DataFrame) =
                   distinctPairFrames(spark, applyDef(images), groupCols, aggCols)
+                def signedPairs(d: org.apache.spark.sql.DataFrame) =
+                  (pairsOf(d.where(fcol("_change_type") === "insert")
+                     .drop("_change_type")),
+                   pairsOf(d.where(fcol("_change_type") === "delete")
+                     .drop("_change_type")))
+                val (insP, delP) = signedPairs(delta)
                 val viewRoot =
                   java.nio.file.Paths.get(storage.root).getParent.toString
                 val (label, nG, v, r) = mergeAggDeltaDistinct(spark, storage,
-                  viewRoot, groupCols, aggCols, out, delOut,
-                  pairsOf(delta.where(fcol("_change_type") === "insert")
-                    .drop("_change_type")),
-                  pairsOf(delta.where(fcol("_change_type") === "delete")
-                    .drop("_change_type")),
+                  viewRoot, groupCols, aggCols, out, delOut, insP, delP,
+                  bl => signedPairs(t.changes(bl(root), v1)),
                   name => distinctPairFrames(spark, applyDef(t.scanAt(v0)),
                     groupCols, aggCols)(name),
-                  v0, v1, writerId, root)
+                  Map(root -> v0), Map(root -> v1), v0, v1, writerId, root,
+                  Map(s"$writerId#$root" -> v1), "agg-distinct")
                 Some((label, nG, Map(r -> v)))
               }
             } else if (!hasDeletes) aggResolved match {
@@ -1426,10 +1440,12 @@ private[sql] object GraftMvRefresh {
     }
     aggResolved.foreach { case (_, ks) =>
       if (!avgSupportOk(ks, storage)) return None // AVG needs its companions
-      // count_distinct's aux maintenance is single-source only (E180): the
-      // join tiers would need the aux fed by the telescoping pair terms —
-      // not wired; recompute
-      if (ks.exists(_.kind == "count_distinct")) return None
+      // count_distinct rides the aux machinery on the join/union tiers too
+      // (E181) — the signed telescoping pair terms feed the per-group
+      // value-count aux — under the same support gate as the single-source
+      // tier (PK-able value type, full-IVM agg set)
+      if (ks.exists(_.kind == "count_distinct") && !distinctSupportOk(ks))
+        return None
     }
     val resolved = rels.flatMap { u =>
       GraftViewResolution.target(spark, u.multipartIdentifier).map {
@@ -1490,14 +1506,19 @@ private[sql] object GraftMvRefresh {
             (if (ins.isEmpty) None else Some(ins),
               if (del.isEmpty) None else Some(del))
           }
-        // memoized per ROOT: a self-join's occurrences share one interval —
-        // compute (and action the two isEmpty probes of) it once
-        val deltaByRoot = scala.collection.mutable.Map.empty[String,
+        // memoized per (ROOT, baseline): a self-join's occurrences share one
+        // interval — compute (and action the two isEmpty probes of) it
+        // once; the distinct aux may re-derive at ITS OWN baselines (E181)
+        val deltaByRoot = scala.collection.mutable.Map.empty[(String, Long),
           (Option[org.apache.spark.sql.DataFrame],
            Option[org.apache.spark.sql.DataFrame])]
-        val ds = src.map { case (_, root, t, v0, v1) =>
-          deltaByRoot.getOrElseUpdate(root, delta(t, v0, v1)) }
+        def dsAt(bl: Map[String, Long]) = src.map { case (_, root, t, _, v1) =>
+          deltaByRoot.getOrElseUpdate((root, bl(root)), delta(t, bl(root), v1)) }
+        val bl0 = src.map { case (_, root, _, v0, _) => root -> v0 }.toMap
+        val ds = dsAt(bl0)
         val hasDeletes = ds.exists(_._2.isDefined)
+        val hasDistinct =
+          aggResolved.exists(_._2.exists(_.kind == "count_distinct"))
         // Deletes: the AGGREGATE tiers RETRACT via the counting algebra
         // below when the agg set is retract-eligible; the ROW-preserving
         // tiers retract ROW-WISE when the MV declares an EXPLICIT 'pk'
@@ -1569,40 +1590,85 @@ private[sql] object GraftMvRefresh {
               u.groupBy(groupCols.map(fcol): _*)
                 .agg(aggExprs.head, aggExprs.tail: _*)
             }
-          if (hasDeletes) {
-            // RETRACTION (the full IVM algebra for the join/union tiers):
-            // the telescoping identity holds for SIGNED deltas — each term
-            // has exactly ONE delta operand, so a term's output sign IS
-            // that operand's image kind. AGGREGATE tiers: insert products
-            // aggregate into per-group insert partials, delete products
-            // into delete partials, [[mergeAggDeltaRetract]] nets them
-            // (zero-count groups die, SUMs null when their paired COUNT
-            // reaches zero) — E111's single-source case generalized.
-            // KEYED ROW tiers (E177): the raw signed rows net by full row
-            // in [[mergeRowDeltaRetract]] and MERGE on the declared pk.
-            def signedTerms(side: ((Option[org.apache.spark.sql.DataFrame],
+          // signed telescoping terms at the given per-source BASELINES
+          // (bl0 for the storage interval; the distinct aux may re-derive
+          // at its own committed baselines): each term has exactly ONE
+          // delta operand, so a term's output sign IS that operand's
+          // image kind; union is linear — ONE application per sign over
+          // the leg images (quiet legs empty)
+          def termsAt(bl: Map[String, Long],
+              side: ((Option[org.apache.spark.sql.DataFrame],
                 Option[org.apache.spark.sql.DataFrame])) =>
                 Option[org.apache.spark.sql.DataFrame])
-                : Seq[org.apache.spark.sql.DataFrame] =
-              if (unionAll || aggUnion.nonEmpty) {
-                // union is linear: ONE application per sign over the leg
-                // images (quiet legs empty)
-                if (ds.forall(d => side(d).isEmpty)) Seq.empty
-                else Seq(applyDef(src.indices.map(i =>
-                  side(ds(i)).getOrElse(emptyLeg(i)))))
-              } else
-                src.indices.flatMap { i =>
-                  side(ds(i)).map { d =>
-                    applyDef(src.indices.map { j =>
-                      val (_, _, t, v0, v1) = src(j)
-                      if (j < i) t.scanAt(v0)
-                      else if (j == i) d
-                      else t.scanAt(v1)
-                    })
-                  }
+              : Seq[org.apache.spark.sql.DataFrame] = {
+            val dsA = dsAt(bl)
+            if (unionAll || aggUnion.nonEmpty) {
+              if (dsA.forall(d => side(d).isEmpty)) Seq.empty
+              else Seq(applyDef(src.indices.map(i =>
+                side(dsA(i)).getOrElse(emptyLeg(i)))))
+            } else
+              src.indices.flatMap { i =>
+                side(dsA(i)).map { d =>
+                  applyDef(src.indices.map { j =>
+                    val (_, rootJ, t, _, v1) = src(j)
+                    if (j < i) t.scanAt(bl(rootJ))
+                    else if (j == i) d
+                    else t.scanAt(v1)
+                  })
                 }
-            val insTerms = signedTerms(_._1)
-            val delTerms = signedTerms(_._2)
+              }
+          }
+          if (hasDistinct) {
+            // COUNT(DISTINCT) on the join/union tiers (E181): EVERY
+            // interval — append-only included — routes the signed pair
+            // terms through the per-group value-count aux and the
+            // retraction-shaped merge with the distinct overlay (a new
+            // join product can raise a count yet leave the distinct count
+            // flat; only the aux knows which).
+            val (groupCols, aggCols) = aggResolved.get
+            val insTerms = termsAt(bl0, _._1)
+            val delTerms = termsAt(bl0, _._2)
+            if ((insTerms ++ delTerms).headOption.exists(t => !schemaOk(t))) None
+            else {
+              def pairsOfTerms(terms: Seq[org.apache.spark.sql.DataFrame])
+                  : Map[String, org.apache.spark.sql.DataFrame] =
+                (if (terms.isEmpty) Seq(applyDef(src.indices.map(emptyLeg)))
+                 else terms)
+                  .map(t => distinctPairFrames(spark, t, groupCols, aggCols))
+                  .reduce((m1, m2) => m1.map { case (k, df) =>
+                    k -> df.unionByName(m2(k)) })
+              val dIns =
+                if (insTerms.isEmpty) emptyAgg()
+                else rollup(insTerms, groupCols, aggCols)
+              val dDel =
+                if (delTerms.isEmpty) emptyAgg()
+                else rollup(delTerms, groupCols, aggCols)
+              val viewRoot =
+                java.nio.file.Paths.get(storage.root).getParent.toString
+              val tier = if (unionAll || aggUnion.nonEmpty) "union" else "join"
+              val (label, nG, _, _) = mergeAggDeltaDistinct(spark, storage,
+                viewRoot, groupCols, aggCols, dIns, dDel,
+                pairsOfTerms(insTerms), pairsOfTerms(delTerms),
+                bl => (pairsOfTerms(termsAt(bl, _._1)),
+                       pairsOfTerms(termsAt(bl, _._2))),
+                name => distinctPairFrames(spark,
+                  applyDef(src.map { case (_, _, t, v0, _) => t.scanAt(v0) }),
+                  groupCols, aggCols)(name),
+                bl0, updated, bl0.values.sum, batchSum, writerId, roots.head,
+                extraFences, s"$tier-agg-distinct")
+              Some((label, nG, updated))
+            }
+          } else if (hasDeletes) {
+            // RETRACTION (the full IVM algebra for the join/union tiers):
+            // AGGREGATE tiers: insert products aggregate into per-group
+            // insert partials, delete products into delete partials,
+            // [[mergeAggDeltaRetract]] nets them (zero-count groups die,
+            // SUMs null when their paired COUNT reaches zero) — E111's
+            // single-source case generalized. KEYED ROW tiers (E177): the
+            // raw signed rows net by full row in [[mergeRowDeltaRetract]]
+            // and MERGE on the declared pk.
+            val insTerms = termsAt(bl0, _._1)
+            val delTerms = termsAt(bl0, _._2)
             val checked = (insTerms ++ delTerms).headOption
             if (checked.exists(t => !schemaOk(t))) None
             else {
@@ -1891,10 +1957,21 @@ private[sql] object GraftMvRefresh {
    * into it (values reaching 0 leave — O(Δ values), never O(aux)), and the
    * MV's distinct column for every changed group is the post-merge aux row
    * count per group, OVERLAID onto the retraction-shaped storage merge.
-   * Both commits are fenced on (writerId, v1): replays and crash-retries
-   * skip the aux work and no-op the merges. The full-recompute path drops
-   * the aux dirs (stale counts must not survive a replace) — the next
-   * incremental refresh re-bootstraps from its new baseline.
+   *
+   * The aux is itself a tiny incremental MV (`SELECT groups, x, COUNT(*)
+   * … GROUP BY groups, x`) and carries ITS OWN per-source fences
+   * (`writerId#root`, landed atomically with every aux merge): the aux
+   * netting baselines at max(storage baseline, aux fence) per source, so
+   * a crash BETWEEN the aux commit and the storage commit — even followed
+   * by further source appends — nets only the unseen remainder into the
+   * aux (`auxPairsFor` recomputes the signed pairs at the aux's own
+   * baselines) while the storage merge still covers its full interval.
+   * The overlay's changed-group set always comes from the STORAGE
+   * interval's pairs. E181 generalizes the whole routine to the join /
+   * union tiers: baselines/targets are per-source maps and the signed
+   * pairs are the telescoping term expansions. The full-recompute path
+   * drops the aux dirs (stale counts must not survive a replace) — the
+   * next incremental refresh re-bootstraps from its new baseline.
    */
   private def mergeAggDeltaDistinct(spark: SparkSession,
       storage: graft.table.TransactionalTable, viewRoot: String,
@@ -1902,8 +1979,13 @@ private[sql] object GraftMvRefresh {
       dIns: org.apache.spark.sql.DataFrame, dDel: org.apache.spark.sql.DataFrame,
       insPairs: Map[String, org.apache.spark.sql.DataFrame],
       delPairs: Map[String, org.apache.spark.sql.DataFrame],
+      auxPairsFor: Map[String, Long] => (
+        Map[String, org.apache.spark.sql.DataFrame],
+        Map[String, org.apache.spark.sql.DataFrame]),
       bootPairs: String => org.apache.spark.sql.DataFrame,
-      v0: Long, v1: Long, writerId: String, root: String)
+      baselines: Map[String, Long], targets: Map[String, Long],
+      bootBatchId: Long, batchId: Long, writerId: String, root: String,
+      extraFences: Map[String, Long], tier: String)
       : (String, Long, Long, String) = {
     import org.apache.spark.sql.functions.{coalesce, count => fcount, lit, sum => fsum, when}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -1923,14 +2005,25 @@ private[sql] object GraftMvRefresh {
         aux.append(bootPairs(a.name).where(fcol("__val").isNotNull)
           .groupBy(keys.map(fcol): _*)
           .agg(fcount(lit(1)).cast(LongType).as("cnt")),
-          batchId = v0, writerId = Some(bootWriter))
-      // fenced: a crash-retry whose aux commit already landed must NOT
-      // recompute deltas against the post-merge aux (it would read its own
-      // application as a mismatch) — skip straight to the counts
-      if (aux.snapshot.writerFences.getOrElse(writerId, -1L) < v1) {
-        val ip = insPairs(a.name).where(fcol("__val").isNotNull)
+          batchId = bootBatchId, writerId = Some(bootWriter))
+      // the aux's own committed baseline per source: max(storage baseline,
+      // per-source aux fence; the legacy scalar fence covers single-root
+      // aux tables written before per-source fences existed). A crash-retry
+      // whose aux commit already landed must NOT recompute deltas against
+      // the post-merge aux (it would read its own application as a
+      // mismatch) — fully-applied intervals skip straight to the counts.
+      val auxF = aux.snapshot.writerFences
+      val v0aux: Map[String, Long] = baselines.map { case (r0, b) =>
+        val legacy = if (baselines.size == 1) auxF.getOrElse(writerId, -1L) else -1L
+        r0 -> math.max(b,
+          math.max(legacy, auxF.getOrElse(s"$writerId#$r0", -1L)))
+      }
+      if (v0aux.exists { case (r0, v) => v < targets(r0) }) {
+        val (ipm, dpm) =
+          if (v0aux == baselines) (insPairs, delPairs) else auxPairsFor(v0aux)
+        val ip = ipm(a.name).where(fcol("__val").isNotNull)
           .withColumn("__sgn", lit(1L))
-        val dp = delPairs(a.name).where(fcol("__val").isNotNull)
+        val dp = dpm(a.name).where(fcol("__val").isNotNull)
           .withColumn("__sgn", lit(-1L))
         val net = ip.unionByName(dp).groupBy(keys.map(fcol): _*)
           .agg(fsum(fcol("__sgn")).as("__net")).where(fcol("__net") =!= 0)
@@ -1949,8 +2042,10 @@ private[sql] object GraftMvRefresh {
           s"$nNeg negative distinct-value counts — baseline/interval mismatch")
         aux.merge(comb.where(fcol("cnt") > 0),
           comb.where(fcol("cnt") === 0).select(keys.map(fcol): _*),
-          batchId = v1, writerId = Some(writerId))
+          batchId = batchId, writerId = Some(writerId),
+          extraFences = targets.map { case (r0, v) => s"$writerId#$r0" -> v })
       }
+      GraftViewTestHooks.failAfterAuxCommit.foreach(f => f(a.name))
       // post-merge distinct count per CHANGED group (a group whose values
       // all vanished reads 0; group-death itself is count_star's business)
       val changed = insPairs(a.name).select(groupCols.map(fcol): _*)
@@ -1964,9 +2059,11 @@ private[sql] object GraftMvRefresh {
       a -> counts
     }
     val (_, nG, v, r) = mergeAggDeltaRetract(spark, storage, dIns, dDel,
-      groupCols, aggCols, v1, writerId, root, distinctCounts = overlays)
-    (s"incremental-agg-distinct: $nG groups merged", nG, v, r)
+      groupCols, aggCols, batchId, writerId, root, extraFences,
+      distinctCounts = overlays)
+    (s"incremental-$tier: $nG groups merged", nG, v, r)
   }
+
 
   /** Drop every count_distinct aux table under a view root — called by the
     * full-recompute path (a storage replace invalidates the counts; the

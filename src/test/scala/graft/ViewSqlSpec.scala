@@ -662,6 +662,123 @@ class ViewSqlSpec extends SparkSpec {
       .as[(Long, Long)].head() === ((2L, 5L))) // values {10×3, 20×2}
   }
 
+  test("join MV: COUNT(DISTINCT) maintains via the aux fed by telescoping terms (E181)") {
+    val (cat, w) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
+    TransactionalTable.create(spark, s"$w/db/g",
+      org.apache.spark.sql.types.StructType.fromDDL("grp STRING, tag STRING"),
+      "grp", None)
+    spark.sql(s"INSERT INTO $cat.db.g VALUES ('a','x'), ('b','y')")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jdv " +
+      s"TBLPROPERTIES('pk'='tag') AS " +
+      s"SELECT g.tag, COUNT(DISTINCT e.v) AS dv, SUM(e.v) AS sv, " +
+      s"COUNT(e.v) AS nv, COUNT(*) AS n " +
+      s"FROM $cat.db.ev e JOIN $cat.db.g g ON e.grp = g.grp GROUP BY g.tag")
+    def rows(): Seq[(String, Long, Option[Long], Long, Long)] =
+      spark.sql(s"SELECT tag, dv, sv, nv, n FROM $cat.db.jdv ORDER BY tag")
+        .as[(String, Long, Option[Long], Long, Long)].collect().toSeq
+    assert(rows() === Seq(("x", 2L, Some(30L), 2L, 2L), ("y", 1L, Some(5L), 1L, 1L)))
+    // APPEND-ONLY interval on BOTH sources still routes through the aux
+    // (a duplicate join product must leave dv flat): dup value into 'a',
+    // plus a Δfact⋈Δdim birth ('c' fact meets 'c' dim in one interval)
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',10), (5,'c',7)")
+    spark.sql(s"INSERT INTO $cat.db.g VALUES ('c','z')")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.jdv')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental-join-agg-distinct"), s"got: $r1")
+    assert(rows() === Seq(("x", 2L, Some(40L), 3L, 3L), ("y", 1L, Some(5L), 1L, 1L),
+      ("z", 1L, Some(7L), 1L, 1L)))
+    // RETRACTION: one copy of the duplicated value retracts (dv FLAT — only
+    // the aux knows), an UPDATE collapses two values into one (dv drops),
+    // a fact delete kills a group
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 1") // 10 still held by id 4
+    spark.sql(s"UPDATE $cat.db.ev SET v = 20 WHERE id = 4") // {20,20} → dv 1
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE grp = 'b'")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.jdv')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-join-agg-distinct"), s"got: $r2")
+    assert(rows() === Seq(("x", 1L, Some(40L), 2L, 2L), ("z", 1L, Some(7L), 1L, 1L)))
+    // DIM-side churn: retagging 'c' moves its whole group (z dies, w born) —
+    // the dim-delta signed terms must feed the aux on both signs
+    spark.sql(s"UPDATE $cat.db.g SET tag = 'w' WHERE grp = 'c'")
+    val r3 = spark.sql(s"CALL $cat.system.refresh_mv('db.jdv')")
+      .select("reason").as[String].head()
+    assert(r3.startsWith("incremental-join-agg-distinct"), s"got: $r3")
+    assert(rows() === Seq(("w", 1L, Some(7L), 1L, 1L), ("x", 1L, Some(40L), 2L, 2L)))
+    assert(TransactionalTable.exists(s"$w/db/jdv/_aux_d_dv"), "aux table must exist")
+  }
+
+  test("union MV: COUNT(DISTINCT) dedups across legs via the shared aux (E181)") {
+    val (cat, w) = fresh() // unused base; gives catalog + warehouse
+    for (n <- Seq("u1", "u2"))
+      TransactionalTable.create(spark, s"$w/db/$n",
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, grp STRING, v BIGINT"),
+        "id", None)
+    spark.sql(s"INSERT INTO $cat.db.u1 VALUES (1,'a',10), (2,'a',20)")
+    spark.sql(s"INSERT INTO $cat.db.u2 VALUES (1,'a',10), (2,'b',5)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.udv " +
+      s"TBLPROPERTIES('pk'='grp') AS " +
+      s"SELECT grp, COUNT(DISTINCT v) AS dv, COUNT(v) AS nv, COUNT(*) AS n FROM (" +
+      s"SELECT grp, v FROM $cat.db.u1 UNION ALL SELECT grp, v FROM $cat.db.u2" +
+      s") GROUP BY grp")
+    def rows(): Seq[(String, Long, Long, Long)] =
+      spark.sql(s"SELECT grp, dv, nv, n FROM $cat.db.udv ORDER BY grp")
+        .as[(String, Long, Long, Long)].collect().toSeq
+    // value 10 appears in BOTH legs → one distinct
+    assert(rows() === Seq(("a", 2L, 3L, 3L), ("b", 1L, 1L, 1L)))
+    // cross-leg duplicate insert (dv flat) + a genuinely new value
+    spark.sql(s"INSERT INTO $cat.db.u2 VALUES (3,'a',20), (4,'a',30)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.udv')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental-union-agg-distinct"), s"got: $r1")
+    assert(rows() === Seq(("a", 3L, 5L, 5L), ("b", 1L, 1L, 1L)))
+    // retraction across legs: u1's copy of 10 retracts but u2 still holds
+    // one (dv FLAT); then u2's copy goes too (dv drops)
+    spark.sql(s"DELETE FROM $cat.db.u1 WHERE id = 1")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.udv')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-union-agg-distinct"), s"got: $r2")
+    assert(rows() === Seq(("a", 3L, 4L, 4L), ("b", 1L, 1L, 1L)))
+    spark.sql(s"DELETE FROM $cat.db.u2 WHERE id = 1")
+    spark.sql(s"CALL $cat.system.refresh_mv('db.udv')").collect()
+    assert(rows() === Seq(("a", 2L, 3L, 3L), ("b", 1L, 1L, 1L)))
+  }
+
+  test("COUNT(DISTINCT) aux: per-source fences heal a crash between aux and storage commits") {
+    val (cat, w) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.cdv " +
+      s"TBLPROPERTIES('pk'='grp') AS " +
+      s"SELECT grp, COUNT(DISTINCT v) AS dv, COUNT(*) AS n " +
+      s"FROM $cat.db.ev GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',30)")
+    // crash AFTER the aux commit, BEFORE the storage merge (a non-NonFatal
+    // throw — a NonFatal one would merely fall back to the recompute)
+    graft.sql.GraftViewTestHooks.failAfterAuxCommit =
+      Some(_ => throw new scala.util.control.ControlThrowable("injected crash") {})
+    try {
+      intercept[Throwable] {
+        spark.sql(s"CALL $cat.system.refresh_mv('db.cdv')").collect()
+      }
+    } finally graft.sql.GraftViewTestHooks.failAfterAuxCommit = None
+    // the aux carries the interval; the storage and meta do not
+    assert(spark.sql(s"SELECT n FROM $cat.db.cdv WHERE grp = 'a'")
+      .as[Long].head() === 2L, "storage must not have merged")
+    // the source then ADVANCES before the healing refresh: id 4's value 30
+    // retracts again. Without the per-source aux fences, the aux would net
+    // the FULL storage interval (insert 30 + delete 30 = zero) on top of
+    // its already-applied insert — a ghost (a,30) row inflating dv to 3.
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 4")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.cdv')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-agg-distinct"), s"got: $r")
+    assert(spark.sql(s"SELECT dv, n FROM $cat.db.cdv WHERE grp = 'a'")
+      .as[(Long, Long)].head() === ((2L, 2L)),
+      "aux double-applied the crashed interval: ghost distinct value")
+    // and the aux itself holds no ghost row for the retracted value
+    val aux = TransactionalTable.open(spark, s"$w/db/cdv/_aux_d_dv")
+    assert(aux.scan().where("grp = 'a' AND __val = 30").isEmpty,
+      "ghost (a,30) aux row after the crash window")
+  }
+
   test("keyed row MV (single source): explicit pk enables row-wise retraction") {
     val (cat, _) = fresh() // t: (1,10),(2,20),(3,30)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.krow TBLPROPERTIES('pk'='id') AS " +
