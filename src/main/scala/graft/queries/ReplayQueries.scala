@@ -2401,6 +2401,60 @@ object ReplayQueries {
            |) AS t(device, dev_events, total, na, n) ORDER BY device""".stripMargin
       }),
 
+    // SUM/AVG(DISTINCT) MV maintenance (E182): the SAME value-count aux
+    // answers every distinct aggregate — the overlay reads SUM(__val) /
+    // AVG(__val) over the live aux rows per changed group, so collapsing
+    // two amounts into one duplicate drops the distinct sum by the value
+    // exactly once while COUNT(*) stays flat; group death and births ride
+    // the same interval. Reason must name the distinct path.
+    Q("cdc_sql_mv_sum_distinct",
+      (s, _) => {
+        val cat = s"graft_msd${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_msd").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.dev_amts " +
+          s"TBLPROPERTIES('pk'='device') AS " +
+          s"SELECT device, SUM(DISTINCT amount) AS sd, AVG(DISTINCT amount) AS ad, " +
+          s"COUNT(DISTINCT amount) AS dv, COUNT(*) AS n " +
+          s"FROM $cat.db.retail GROUP BY device")
+        // two tablet rows collapse onto one amount (distinct sum counts 777
+        // once), mobile dies, pc gains a fresh amount
+        s.sql(s"UPDATE $cat.db.retail SET amount = 777 WHERE trans_id = 27")
+        s.sql(s"UPDATE $cat.db.retail SET amount = 777 WHERE trans_id = 47")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE device = 'mobile'")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'share', 'SKU500', 7, 'pc', NULL)")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.dev_amts')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-agg-distinct"),
+          s"expected the distinct path, got '$refreshed'")
+        s.sql(s"SELECT device, sd, ad, dv, n FROM $cat.db.dev_amts ORDER BY device")
+      },
+      Some {
+        val after = (CdcFixtures.expectedEndState
+          .map { case (id, _, _, _, amt, dev, _) => (id, amt, dev) }
+          .map { case (id, amt, dev) =>
+            (id, if (id == 27L || id == 47L) 777 else amt, dev) }
+          .filter { case (_, _, dev) => dev != "mobile" }) :+
+          ((500L, 7, "pc"))
+        val rows = after.groupBy(_._3).toSeq.sortBy(_._1)
+          .map { case (dev, rs) =>
+            val dvals = rs.map(_._2.toLong).distinct
+            val avg = dvals.sum.toDouble / dvals.size
+            s"('$dev', CAST(${dvals.sum} AS BIGINT), CAST($avg AS DOUBLE), " +
+              s"CAST(${dvals.size} AS BIGINT), CAST(${rs.size} AS BIGINT))" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(device, sd, ad, dv, n) ORDER BY device""".stripMargin
+      }),
+
     // COUNT(DISTINCT) MV maintenance on the JOIN tier (E181): the per-group
     // value-count aux is fed by the signed telescoping pair terms of the
     // fact ⋈ dim delta — a device UPDATE that another row still covers

@@ -1157,6 +1157,13 @@ private[sql] object GraftMvRefresh {
               // AUX table (E180); any other DISTINCT aggregate recomputes
               case c: Count if ae.isDistinct && c.children.size == 1 =>
                 Some("count_distinct" -> c.children.headOption)
+              // SUM/AVG(DISTINCT) ride the SAME aux (E182): per changed
+              // group the overlay reads sum(__val) / avg(__val) over the
+              // live aux rows — integral args only (the value is the aux PK)
+              case s: Sum if ae.isDistinct && s.children.size == 1 =>
+                Some("sum_distinct" -> s.children.headOption)
+              case a: Average if ae.isDistinct && a.children.size == 1 =>
+                Some("avg_distinct" -> a.children.headOption)
               case _ if ae.isDistinct => None
               case _: Sum => Some("sum" -> ae.aggregateFunction.children.headOption)
               case c: Count if c.children.forall {
@@ -1270,7 +1277,7 @@ private[sql] object GraftMvRefresh {
               out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
                 storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
             val hasDistinct =
-              aggResolved.exists(_._2.exists(_.kind == "count_distinct"))
+              aggResolved.exists(_._2.exists(a => isDistinctKind(a.kind)))
             if (!sameSchema) None
             else if (hasDistinct) {
               // COUNT(DISTINCT) path (E180): EVERY interval — append-only
@@ -1444,7 +1451,7 @@ private[sql] object GraftMvRefresh {
       // (E181) — the signed telescoping pair terms feed the per-group
       // value-count aux — under the same support gate as the single-source
       // tier (PK-able value type, full-IVM agg set)
-      if (ks.exists(_.kind == "count_distinct") && !distinctSupportOk(ks))
+      if (ks.exists(a => isDistinctKind(a.kind)) && !distinctSupportOk(ks))
         return None
     }
     val resolved = rels.flatMap { u =>
@@ -1518,7 +1525,7 @@ private[sql] object GraftMvRefresh {
         val ds = dsAt(bl0)
         val hasDeletes = ds.exists(_._2.isDefined)
         val hasDistinct =
-          aggResolved.exists(_._2.exists(_.kind == "count_distinct"))
+          aggResolved.exists(_._2.exists(a => isDistinctKind(a.kind)))
         // Deletes: the AGGREGATE tiers RETRACT via the counting algebra
         // below when the agg set is retract-eligible; the ROW-preserving
         // tiers retract ROW-WISE when the MV declares an EXPLICIT 'pk'
@@ -1932,7 +1939,7 @@ private[sql] object GraftMvRefresh {
       .filterNot(_.exists(_.isInstanceOf[AggregateExpression]))
     val aggEntries = agg.aggregateExpressions
       .filter(_.exists(_.isInstanceOf[AggregateExpression]))
-    aggCols.zipWithIndex.collect { case (a, j) if a.kind == "count_distinct" =>
+    aggCols.zipWithIndex.collect { case (a, j) if isDistinctKind(a.kind) =>
       val arg = aggEntries(j) match {
         case Alias(ae: AggregateExpression, _) =>
           ae.aggregateFunction.children.head
@@ -1989,7 +1996,7 @@ private[sql] object GraftMvRefresh {
       : (String, Long, Long, String) = {
     import org.apache.spark.sql.functions.{coalesce, count => fcount, lit, sum => fsum, when}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val overlays = aggCols.filter(_.kind == "count_distinct").map { a =>
+    val overlays = aggCols.filter(a => isDistinctKind(a.kind)).map { a =>
       val auxRoot = s"$viewRoot/_aux_d_${a.name}"
       val keys = groupCols :+ "__val"
       val aux =
@@ -2046,16 +2053,25 @@ private[sql] object GraftMvRefresh {
           extraFences = targets.map { case (r0, v) => s"$writerId#$r0" -> v })
       }
       GraftViewTestHooks.failAfterAuxCommit.foreach(f => f(a.name))
-      // post-merge distinct count per CHANGED group (a group whose values
-      // all vanished reads 0; group-death itself is count_star's business)
+      // post-merge overlay value per CHANGED group, read from the live aux
+      // rows: count_distinct = live-value count (0 when all vanished —
+      // group-death itself is count_star's business); sum_distinct =
+      // SUM(__val) and avg_distinct = AVG(__val), both naturally NULL when
+      // the group's last distinct value retracts (E182)
       val changed = insPairs(a.name).select(groupCols.map(fcol): _*)
         .unionByName(delPairs(a.name).select(groupCols.map(fcol): _*))
         .distinct().alias("g")
       val s2 = aux.scan().alias("s2")
       val gcond = groupCols.map(c => fcol(s"g.$c") <=> fcol(s"s2.$c")).reduce(_ && _)
+      val overlayExpr = a.kind match {
+        case "count_distinct" =>
+          fsum(when(fcol("s2.cnt").isNotNull, 1L).otherwise(0L))
+        case "sum_distinct" => fsum(fcol("s2.__val"))
+        case _ => org.apache.spark.sql.functions.avg(fcol("s2.__val"))
+      }
       val counts = changed.join(s2, gcond, "left")
         .groupBy(groupCols.map(c => fcol(s"g.$c").as(c)): _*)
-        .agg(fsum(when(fcol("s2.cnt").isNotNull, 1L).otherwise(0L)).as("__dc"))
+        .agg(overlayExpr.as("__dc"))
       a -> counts
     }
     val (_, nG, v, r) = mergeAggDeltaRetract(spark, storage, dIns, dDel,
@@ -2083,22 +2099,32 @@ private[sql] object GraftMvRefresh {
     }
   }
 
-  /** COUNT(DISTINCT x) support (E180): the value must be PK-able in the aux
-    * table (string/integral — the same constraint the engine's MERGE places
-    * on any key), and the rest of the agg set must be the full-IVM shape
-    * ([[retractEligible]] — the distinct path routes every interval,
-    * append-only included, through the retraction-shaped merge). */
+  /** The aggregate kinds maintained through the value-count aux table
+    * (E180/E182): COUNT/SUM/AVG over DISTINCT values. */
+  private[sql] def isDistinctKind(k: String): Boolean =
+    k == "count_distinct" || k == "sum_distinct" || k == "avg_distinct"
+
+  /** DISTINCT-aggregate support (E180/E182): the value must be PK-able in
+    * the aux table (string/integral for COUNT — the same constraint the
+    * engine's MERGE places on any key; integral only for SUM/AVG, which
+    * must also arithmetic over it), and the rest of the agg set must be
+    * the full-IVM shape ([[retractEligible]] — the distinct path routes
+    * every interval, append-only included, through the retraction-shaped
+    * merge). */
   private def distinctSupportOk(aggCols: Seq[AggOut]): Boolean = {
     import org.apache.spark.sql.types._
-    aggCols.filter(_.kind == "count_distinct").forall(_.arg.exists(_.dataType match {
-      case StringType | LongType | IntegerType | ShortType | ByteType => true
-      case _ => false
-    })) && retractEligible(aggCols)
+    aggCols.filter(a => isDistinctKind(a.kind)).forall(a =>
+      a.arg.exists(_.dataType match {
+        case StringType => a.kind == "count_distinct"
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })) && retractEligible(aggCols)
   }
 
   private def retractEligible(aggCols: Seq[AggOut]): Boolean = {
     val kindsOk = aggCols.forall(a =>
-      Set("sum", "count", "count_star", "avg", "count_distinct")(a.kind))
+      Set("sum", "count", "count_star", "avg", "count_distinct",
+        "sum_distinct", "avg_distinct")(a.kind))
     val hasStar = aggCols.exists(_.kind == "count_star")
     def countFor(arg: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
       aggCols.exists(c => c.kind == "count" && c.arg.exists(_.semanticEquals(arg)))
@@ -2177,24 +2203,27 @@ private[sql] object GraftMvRefresh {
             z(fcol(s"d._gi_${sC.name}"), sTpe) - z(fcol(s"d._gx_${sC.name}"), sTpe)
           when(nNew === 0, lit(null))
             .otherwise(sNew.cast(org.apache.spark.sql.types.DoubleType) / nNew)
-        // E180: placeholder — the real value is overlaid from the aux below
-        case "count_distinct" => lit(null)
+        // E180/E182: placeholder — the real value is overlaid from the aux
+        case "count_distinct" | "sum_distinct" | "avg_distinct" => lit(null)
         case other => throw new IllegalStateException(s"unexpected retract kind $other")
       }).cast(tpe).as(a.name)
     }
     val starName = aggCols.find(_.kind == "count_star").get.name
     val combined0 = d.join(sSub, keyCond, "left").select(combinedCols: _*)
       .select(storage.schema.fieldNames.map(fcol).toIndexedSeq: _*)
-    // E180 overlay: count_distinct columns read the post-merge AUX counts
-    // per group (every combined group is a changed group, so the counts
-    // frame covers it; coalesce(0) is belt-and-braces)
+    // E180/E182 overlay: DISTINCT-aggregate columns read the post-merge AUX
+    // values per group (every combined group is a changed group, so the
+    // counts frame covers it). COUNT coalesces to 0 (belt-and-braces);
+    // SUM/AVG stay NULL when the group's last distinct value retracted.
     val combinedX = distinctCounts.foldLeft(combined0) { case (acc, (a, cnts)) =>
       val cond2 = groupCols.map(k => fcol(s"c.$k") <=> fcol(s"x.$k")).reduce(_ && _)
+      val overlaid =
+        if (a.kind == "count_distinct") coalesce(fcol("x.__dc"), lit(0L))
+        else fcol("x.__dc")
       acc.alias("c").join(cnts.alias("x"), cond2, "left")
         .select(storage.schema.fieldNames.map { f =>
           if (f == a.name)
-            coalesce(fcol("x.__dc"), lit(0L))
-              .cast(storage.schema(f).dataType).as(f)
+            overlaid.cast(storage.schema(f).dataType).as(f)
           else fcol(s"c.$f")
         }.toIndexedSeq: _*)
     }

@@ -743,6 +743,88 @@ class ViewSqlSpec extends SparkSpec {
     assert(rows() === Seq(("a", 2L, 3L, 3L), ("b", 1L, 1L, 1L)))
   }
 
+  test("aggregate MV: SUM/AVG(DISTINCT) overlay from the same aux (E182)") {
+    val (cat, _) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.sdv " +
+      s"TBLPROPERTIES('pk'='grp') AS " +
+      s"SELECT grp, SUM(DISTINCT v) AS sd, AVG(DISTINCT v) AS ad, " +
+      s"COUNT(DISTINCT v) AS dv, COUNT(*) AS n " +
+      s"FROM $cat.db.ev GROUP BY grp")
+    def rows(): Seq[(String, Option[Long], Option[Double], Long, Long)] =
+      spark.sql(s"SELECT grp, sd, ad, dv, n FROM $cat.db.sdv ORDER BY grp")
+        .as[(String, Option[Long], Option[Double], Long, Long)].collect().toSeq
+    assert(rows() === Seq(("a", Some(30L), Some(15.0), 2L, 2L),
+      ("b", Some(5L), Some(5.0), 1L, 1L)))
+    // a DUPLICATE value leaves sum/avg-distinct flat while n rises; a new
+    // all-NULL group carries NULL sum/avg (never 0)
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',10), (7,'c',NULL)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.sdv')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental-agg-distinct"), s"got: $r1")
+    assert(rows() === Seq(("a", Some(30L), Some(15.0), 2L, 3L),
+      ("b", Some(5L), Some(5.0), 1L, 1L), ("c", None, None, 0L, 1L)))
+    // retraction: one copy of 10 retracts (flat — only the aux knows),
+    // then the LAST copy retracts (sum drops by the value exactly once)
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 1")
+    spark.sql(s"CALL $cat.system.refresh_mv('db.sdv')").collect()
+    assert(rows() === Seq(("a", Some(30L), Some(15.0), 2L, 2L),
+      ("b", Some(5L), Some(5.0), 1L, 1L), ("c", None, None, 0L, 1L)))
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 4")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.sdv')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-agg-distinct"), s"got: $r2")
+    assert(rows() === Seq(("a", Some(20L), Some(20.0), 1L, 1L),
+      ("b", Some(5L), Some(5.0), 1L, 1L), ("c", None, None, 0L, 1L)))
+  }
+
+  test("SUM(DISTINCT) over a DOUBLE column falls back (the value must be aux-PK-able)") {
+    val (cat, w) = fresh()
+    TransactionalTable.create(spark, s"$w/db/dd",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, grp STRING, x DOUBLE"),
+      "id", None)
+    spark.sql(s"INSERT INTO $cat.db.dd VALUES (1,'a',1.5), (2,'a',2.5)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.ddv TBLPROPERTIES('pk'='grp') AS " +
+      s"SELECT grp, SUM(DISTINCT x) AS sd, COUNT(*) AS n FROM $cat.db.dd GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.db.dd VALUES (3,'a',1.5)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.ddv')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("stale:"), s"double-typed DISTINCT arg must recompute, got: $r")
+    assert(spark.sql(s"SELECT sd, n FROM $cat.db.ddv WHERE grp = 'a'")
+      .as[(Double, Long)].head() === ((4.0, 3L)))
+  }
+
+  test("join MV: SUM(DISTINCT) maintains through the telescoping pair terms (E182)") {
+    val (cat, w) = freshGrouped()
+    TransactionalTable.create(spark, s"$w/db/g2",
+      org.apache.spark.sql.types.StructType.fromDDL("grp STRING, tag STRING"),
+      "grp", None)
+    spark.sql(s"INSERT INTO $cat.db.g2 VALUES ('a','x'), ('b','x')")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jsd TBLPROPERTIES('pk'='tag') AS " +
+      s"SELECT g.tag, SUM(DISTINCT e.v) AS sd, COUNT(*) AS n " +
+      s"FROM $cat.db.ev e JOIN $cat.db.g2 g ON e.grp = g.grp GROUP BY g.tag")
+    // both 'a' and 'b' fold into tag x: values {10,20,5} → 35
+    assert(spark.sql(s"SELECT sd, n FROM $cat.db.jsd").as[(Long, Long)].head()
+      === ((35L, 3L)))
+    // a cross-GROUP duplicate: a second 5 arrives via grp 'a' — the tag's
+    // distinct sum must stay flat (the dup is only visible in the aux)
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (8,'a',5)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.jsd')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental-join-agg-distinct"), s"got: $r1")
+    assert(spark.sql(s"SELECT sd, n FROM $cat.db.jsd").as[(Long, Long)].head()
+      === ((35L, 4L)))
+    // retract grp b's 5: tag x still holds one 5 via grp a → flat
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 3")
+    spark.sql(s"CALL $cat.system.refresh_mv('db.jsd')").collect()
+    assert(spark.sql(s"SELECT sd, n FROM $cat.db.jsd").as[(Long, Long)].head()
+      === ((35L, 3L)))
+    // retract the last 5 → drops
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 8")
+    spark.sql(s"CALL $cat.system.refresh_mv('db.jsd')").collect()
+    assert(spark.sql(s"SELECT sd, n FROM $cat.db.jsd").as[(Long, Long)].head()
+      === ((30L, 2L)))
+  }
+
   test("COUNT(DISTINCT) aux: per-source fences heal a crash between aux and storage commits") {
     val (cat, w) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.cdv " +
