@@ -994,6 +994,44 @@ object ExtQueries {
       },
       Some(duckAnnIndexSql(scExtra = ""))),
 
+    // STREAMING ANN ingest (E183): the SAME persistent-ANN flow fed by a
+    // checkpointed embedding stream — three JSON-lines micro-batches (the
+    // x3_ann_index batch split), a RESTART boundary between them, fenced
+    // assignment merges per epoch. Assignments depend only on the frozen
+    // centroids and the vector, so the streamed index bit-matches the
+    // batch build and the probe shares x3_ann_index's oracle — the three
+    // surfaces (Scala batch, CALL, stream) cannot drift.
+    Q("cdc_ann_stream",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val e = Tables.load(s, d, "embeddings")
+        val root = Files.createTempDirectory("graft_ann_stream").toString + "/idx"
+        val in = Files.createTempDirectory("graft_ann_in").toString
+        val ckpt = Files.createTempDirectory("graft_ann_ckpt").toString
+        val h = AnnIndex.create(s, root, e.filter(col("vec_id") % 3 === 0),
+          cells = 16)
+        def drop(b: Int): Unit = {
+          val stage = Files.createTempDirectory("graft_ann_stage").toString + "/s"
+          e.filter(col("vec_id") % 3 === b)
+            .select(to_json(struct(col("vec_id"),
+              col("embedding").cast("array<double>").as("embedding"))))
+            .coalesce(1).write.text(stage)
+          val part = graft.util.Fs.listSeq(Paths.get(stage))
+            .find(_.getFileName.toString.startsWith("part-")).get
+          Files.move(part, Paths.get(in, s"b$b.json"))
+        }
+        def runOnce(): Unit = {
+          val q = graft.stream.VectorPipeline.run(s, in, ckpt, h,
+            compactEvery = 2)
+          q.awaitTermination()
+        }
+        drop(0); drop(1); runOnce() // two micro-batches
+        drop(2); runOnce()          // restart boundary, third epoch
+        AnnIndex.probe(AnnIndex.open(s, root), e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 4).orderBy("qid", "rnk")
+      },
+      Some(duckAnnIndexSql(scExtra = "")), streaming = true),
+
     // X3: FILTERED ANN search over the persistent index — pre-filter
     // semantics: the exact top-k of the ALLOWED set (documents with
     // lang = 'en', the metadata predicate a real filtered vector search

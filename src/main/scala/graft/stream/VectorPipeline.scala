@@ -1,0 +1,63 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.AnnIndex
+
+/**
+ * Streaming ANN ingest — the VECTOR twin of [[CorpusPipeline]] /
+ * [[MediaPipeline]], completing the posture that every persistent
+ * pipeline index is maintainable from a micro-batch stream: an incoming
+ * embedding stream drives, per micro-batch, one [[AnnIndex.appendBatch]]
+ * — assign each vector to its nearest frozen centroid (broadcast literal,
+ * map-only) and land the assignments as ONE replay-fenced merge under the
+ * micro-batch id.
+ *
+ * Exactly-once under restart for the same reason as the sibling
+ * pipelines: the assignment merge is fenced on the batch id, and the
+ * assignment of a vector depends only on the frozen centroids and the
+ * vector itself, so a re-delivered epoch recomputes the identical rows
+ * and no-ops. The optional DRIFT TRIGGER (`retrainWhenSkew`) rides along:
+ * a batch that tips the hottest cell past the threshold retrains the
+ * quantizer under the same fence — a replayed batch replays the retrain
+ * to a no-op. Per-batch cost is O(batch × cells) compares + one merge —
+ * never a function of index size; probes against the index stay
+ * manifest-pruned to nprobe cells while the stream appends.
+ *
+ * The stream envelope is JSON-lines `{vec_id, embedding: [..]}` —
+ * float-origin embeddings widen to double exactly, so the streamed
+ * assignments bit-match a batch build over the same rows.
+ */
+object VectorPipeline {
+
+  /** One micro-batch: a fenced assignment merge (+ the optional compaction
+    * cadence and drift trigger). Safe to call from `foreachBatch`;
+    * replay-safe for a repeated `batchId`. */
+  def processBatch(h: AnnIndex.Handle, vecs: DataFrame, batchId: Long,
+      compactEvery: Int = 0, retrainWhenSkew: Double = 0.0): Unit =
+    graft.util.BatchStats.timed("vector_stream_batch") {
+      AnnIndex.appendBatch(h, vecs, batchId, compactEvery = compactEvery,
+        retrainWhenSkew = retrainWhenSkew)
+    }
+
+  /** The checkpointed stream: JSON-lines `{vec_id, embedding}` landing in
+    * `inputDir` → [[processBatch]] per micro-batch. Restarting with the
+    * same checkpoint resumes at the first unprocessed file; a re-delivered
+    * epoch is fenced to a no-op on the assignment table. */
+  def run(spark: SparkSession, inputDir: String, checkpointDir: String,
+      h: AnnIndex.Handle, compactEvery: Int = 0,
+      retrainWhenSkew: Double = 0.0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        processBatch(h, df, bid, compactEvery, retrainWhenSkew); ()
+      }
+      .trigger(trigger)
+      .start()
+}

@@ -189,4 +189,51 @@ class CorpusStreamSpec extends SparkSpec {
     assert(corpus.scan().select("media_id").as[Long].collect().toSet ===
       Set(1L, 15L, 17L))
   }
+
+  test("vector stream: fenced ANN ingest bit-matches the batch build; restart + replay safe") {
+    import graft.ops.AnnIndex
+    import graft.stream.VectorPipeline
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(1.0, 0.0, 0.0), 2L -> Seq(0.9, 0.1, 0.0),
+      3L -> Seq(0.0, 1.0, 0.0), 4L -> Seq(0.1, 0.9, 0.0),
+      5L -> Seq(0.95, 0.05, 0.0), 6L -> Seq(0.05, 0.95, 0.0),
+      7L -> Seq(0.8, 0.2, 0.0), 8L -> Seq(0.2, 0.8, 0.0))
+    def frame(ids: Long => Boolean) =
+      vecs.filter(v => ids(v._1)).toDF("vec_id", "embedding")
+    def writeVecs(dir: String, name: String, ids: Long => Boolean): Unit =
+      Files.write(Paths.get(dir, name),
+        vecs.filter(v => ids(v._1)).map { case (id, e) =>
+          s"""{"vec_id": $id, "embedding": [${e.mkString(", ")}]}"""
+        }.mkString("", "\n", "\n").getBytes)
+    val in = tmpDir("vec-stream-in")
+    val cp = tmpDir("vec-stream-cp")
+    val h = AnnIndex.create(spark, tmpDir("vec-stream-idx") + "/idx",
+      frame(_ <= 2), cells = 2)
+    def runOnce(): Unit = {
+      val q = VectorPipeline.run(spark, in, cp, h)
+      q.awaitTermination()
+    }
+    // batch 0, STOP (restart boundary), batch 1 resumes from the checkpoint
+    writeVecs(in, "b0.json", _ <= 4); runOnce()
+    writeVecs(in, "b1.json", _ > 4); runOnce()
+    def assignments(x: AnnIndex.Handle): Set[(Long, Int)] =
+      x.assignments.scan()
+        .select($"vec_id", $"cell".cast("int"))
+        .as[(Long, Int)].collect().toSet
+    // golden twin: a batch build with the same seeds and batch split
+    val g = AnnIndex.create(spark, tmpDir("vec-twin-idx") + "/idx",
+      frame(_ <= 2), cells = 2)
+    AnnIndex.appendBatch(g, frame(_ <= 4), batchId = 0)
+    AnnIndex.appendBatch(g, frame(_ > 4), batchId = 1)
+    assert(assignments(h) === assignments(g),
+      "streamed assignments must bit-match the batch build")
+    assert(assignments(h).map(_._1) === (1L to 8L).toSet)
+    // RE-DELIVERED epoch: the fenced merge must no-op
+    val v0 = h.assignments.currentVersion
+    VectorPipeline.processBatch(h, frame(_ > 4), batchId = 1)
+    assert(h.assignments.currentVersion === v0, "replay must not commit")
+    // and probes over the streamed index answer (exactness is the oracled
+    // cdc_ann_stream query's business)
+    assert(AnnIndex.probe(h, frame(_ == 1), k = 3, nprobe = 2).count() === 3L)
+  }
 }
