@@ -151,6 +151,64 @@ object PipelineQueries {
              |FROM cum GROUP BY 1 ORDER BY bin""".stripMargin),
       headline = true),
 
+    // Incremental training-data EXPORT (E184): only the corpus delta between
+    // two table versions publishes — changes(v0, v1) insert images shuffle
+    // deterministically into shards (md5 order), pack into 4096-token bins
+    // PER SHARD (one hash exchange, per-shard local sorts — the 100 TB
+    // shape), land as an immutable parquet export + fenced manifest row;
+    // delete images publish as tombstones; a re-run of the same interval
+    // is fenced to a no-op. Oracle: the odd-doc delta replayed through the
+    // same md5 shard/order and running-sum bin arithmetic.
+    Q("x1_incremental_export",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files.createTempDirectory("graft_export").toString
+        val corpus = graft.table.TransactionalTable.create(s, s"$root/corpus",
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+          "doc_id", None)
+        corpus.append(docs.filter(col("doc_id") % 2 === 0), batchId = 0)
+        val v0 = corpus.currentVersion // the already-published snapshot
+        // the delta: all odd docs arrive, and two published docs retract
+        corpus.append(docs.filter(col("doc_id") % 2 === 1), batchId = 1)
+        corpus.merge(corpus.scan().limit(0),
+          docs.filter(col("doc_id").isin(2L, 4L)).select("doc_id"), batchId = 2)
+        val v1 = corpus.currentVersion
+        val r = graft.ops.ExportOps.exportDelta(corpus, s"$root/exports",
+          v0, v1, nShards = 8, capacity = 4096L)
+        require(r.exported, "first export of the interval must publish")
+        require(r.tombstones.collect().map(_.getLong(0)).toSet == Set(2L, 4L),
+          "retracted published docs must tombstone")
+        // idempotence: the same interval re-runs to a fenced no-op
+        val r2 = graft.ops.ExportOps.exportDelta(corpus, s"$root/exports",
+          v0, v1, nShards = 8, capacity = 4096L)
+        require(!r2.exported, "re-export of a published interval must no-op")
+        require(graft.ops.ExportOps.manifest(s, s"$root/exports")
+          .scan().count() == 1L, "manifest must hold exactly one row")
+        // read back from the PUBLISHED parquet (not the plan) — the export
+        // on disk is what a trainer consumes
+        s.read.parquet(r.dir)
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("shard", "bin")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+             |toks AS (SELECT doc_id,
+             |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+             |  FROM d),
+             |h AS (SELECT doc_id, n_tokens,
+             |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+             |  FROM toks),
+             |cum AS (SELECT doc_id, n_tokens, CAST(_h % 8 AS INT) AS shard,
+             |  CAST(SUM(n_tokens) OVER (PARTITION BY _h % 8 ORDER BY _h, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+             |  FROM h)
+             |SELECT shard, (c - n_tokens) // 4096 AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM cum GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)),
+
     // Benchmark decontamination: 3-gram containment of each "benchmark" doc
     // (doc_id < 20 stands in for the eval set) inside each corpus doc —
     // catches eval leakage that Jaccard misses (long doc ⊇ short benchmark).
