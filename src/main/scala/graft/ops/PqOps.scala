@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * PRODUCT QUANTIZATION (E185) — the memory-bounded vector compression
+ * behind IVF-PQ, the canonical 100 TB ANN layout: each d-dim embedding
+ * splits into `m` contiguous subvectors, each subvector quantizes to one
+ * of `k` per-subspace codes, and the vector stores as m small ints
+ * (m bytes at k ≤ 256) instead of d floats — a 64-dim float vector at
+ * m=4/k=256 compresses 64×. Search runs in the COMPRESSED domain via
+ * ADC (asymmetric distance computation): per query, one m×k lookup table
+ * of subspace dot products, then each candidate scores as m table
+ * lookups — O(N·m) instead of O(N·d), with the raw vectors never read.
+ *
+ * Codebooks are DETERMINISTIC (the subvectors of the k lowest-id
+ * vectors — the same seed rule the IVF quantizer and x3_kmeans_assign
+ * degenerate to on a fixture), so DuckDB replays training, encoding, and
+ * every ADC score bit-for-bit. Encode and score are MAP-ONLY against
+ * literal codebooks (broadcast in the plan, `typedlit` — the AnnIndex
+ * centroid pattern): no shuffle anywhere but the final per-query top-k
+ * window over ADC-scored candidates.
+ */
+object PqOps {
+
+  /** books(s)(c) = the c-th code vector of subspace s (length d/m each). */
+  type Codebooks = Seq[Seq[Seq[Double]]]
+
+  /** Train per-subspace codebooks from the k lowest-`idCol` vectors'
+    * subvectors — bounded driver collect (k rows), deterministic. */
+  def codebooks(vecs: DataFrame, m: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Codebooks = {
+    require(m > 0 && k > 0, "m and k must be positive")
+    val seeds = vecs
+      .select(SimilarityOps.asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(seeds.nonEmpty, "need at least one seed vector")
+    val d = seeds.head.size
+    require(d % m == 0, s"dim $d must split into $m equal subspaces")
+    val sd = d / m
+    (0 until m).map(s => seeds.map(_.slice(s * sd, (s + 1) * sd)))
+  }
+
+  /** The per-subspace code of `v` (argmax of 2·dot(sub, code) − ‖code‖² =
+    * the nearest code by L2; ties → lowest code id). The scores array
+    * materializes once inside a transform let-binding. */
+  private def codeOf(v: Column, codes: Seq[Seq[Double]],
+      s: Int, sd: Int): Column = {
+    val sub = slice(v, s * sd + 1, sd)
+    val scores = array(codes.map { c =>
+      lit(2.0) * SimilarityOps.dot(sub, typedlit(c)) -
+        lit(c.map(x => x * x).sum)
+    }: _*)
+    element_at(transform(array(scores),
+      sc => (array_position(sc, array_max(sc)) - 1).cast("int")), 1)
+  }
+
+  /** Encode: (idCol, codes array<int> of length m) — map-only. */
+  def encode(vecs: DataFrame, books: Codebooks,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.size
+    val sd = books.head.head.size
+    val v = SimilarityOps.asDouble(col(vecCol))
+    vecs.select(col(idCol),
+      array((0 until m).map(s => codeOf(v, books(s), s, sd)): _*).as("codes"))
+  }
+
+  /** ADC top-k: approximate dot(q, x) ≈ Σ_s dot(q_s, books(s)(codes_s)).
+    * Queries broadcast against the ENCODED table (the raw corpus vectors
+    * are never read); per-query top-k by (score desc, id asc). Returns
+    * (qid, neighbor_id, adc, rnk). */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, books: Codebooks, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.size
+    val sd = books.head.head.size
+    val qv = SimilarityOps.asDouble(col(vecCol))
+    val q = queries.select(col(idCol).as("qid"), qv.as("qv"))
+    // per (query, candidate) score: subspace lookup tables are expressions
+    // over qv with literal code vectors — evaluated per row, m·k dots of
+    // length d/m = exactly one full-dim dot per candidate worth of flops,
+    // but NO raw candidate vector load (the compressed-domain property)
+    val adc = (0 until m).map { s =>
+      val tbl = array(books(s).map(c =>
+        SimilarityOps.dot(slice(col("qv"), s * sd + 1, sd), typedlit(c))): _*)
+      element_at(tbl, element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(desc("adc"), col("neighbor_id"))
+    encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("neighbor_id"), col("adc"), col("rnk"))
+  }
+}

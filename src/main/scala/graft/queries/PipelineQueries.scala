@@ -353,6 +353,50 @@ object PipelineQueries {
              |  FROM p) t
              |WHERE rnk = 1 ORDER BY vec_id""".stripMargin)),
 
+    // PRODUCT QUANTIZATION + ADC search (E185): vectors compress to m=4
+    // per-subspace codes (k=8 codes each — deterministic seed codebooks, the
+    // x3_kmeans_assign rule per subspace) and the top-k runs ENTIRELY in the
+    // compressed domain: per query one m×k lookup table, per candidate m
+    // table lookups — O(N·m), raw vectors never read. The oracle replays
+    // training, encoding (argmax 2·dot−‖c‖², ties → lowest code), and every
+    // ADC score bit-for-bit (left-associated subspace sum on both sides).
+    Q("x3_pq_adc",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val books = graft.ops.PqOps.codebooks(e, m = 4, k = 8)
+        val enc = graft.ops.PqOps.encode(e, books)
+        graft.ops.PqOps.adcTopK(e.filter(col("vec_id") < 8), enc, books, k = 5)
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sd AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+             |       FROM e ORDER BY vec_id LIMIT 8),
+             |bk AS (SELECT CAST(r.s AS INT) AS s, sd.c,
+             |         list_slice(sd.v, CAST(r.s * 16 + 1 AS INT), CAST((r.s + 1) * 16 AS INT)) AS cv
+             |       FROM sd, range(4) r(s)),
+             |sc AS (SELECT e.vec_id, bk.s, bk.c,
+             |         2.0 * list_dot_product(list_slice(e.v, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv)
+             |           - list_dot_product(bk.cv, bk.cv) AS score
+             |       FROM e, bk),
+             |cd AS (SELECT vec_id, s, c FROM (
+             |         SELECT vec_id, s, c,
+             |           row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) AS rk
+             |         FROM sc) t WHERE rk = 1),
+             |qt AS (SELECT q.vec_id AS qid, bk.s, bk.c,
+             |         list_dot_product(list_slice(q.v, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv) AS t
+             |       FROM e q, bk WHERE q.vec_id < 8),
+             |sc2 AS (SELECT cd.vec_id AS neighbor_id, qt.qid, qt.s, qt.t
+             |        FROM cd JOIN qt ON qt.s = cd.s AND qt.c = cd.c),
+             |adc AS (SELECT qid, neighbor_id,
+             |          MAX(CASE WHEN s = 0 THEN t END) + MAX(CASE WHEN s = 1 THEN t END)
+             |          + MAX(CASE WHEN s = 2 THEN t END) + MAX(CASE WHEN s = 3 THEN t END) AS adc
+             |        FROM sc2 GROUP BY qid, neighbor_id)
+             |SELECT qid, neighbor_id, adc, CAST(rnk AS INT) AS rnk FROM (
+             |  SELECT qid, neighbor_id, adc,
+             |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, neighbor_id) AS rnk
+             |  FROM adc) z
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pruning — cluster to
     // 8 deterministic cells, pairwise cosine WITHIN cells only (work is
     // Σ|cell|², never corpus²; cell count is the 100 TB knob), drop any

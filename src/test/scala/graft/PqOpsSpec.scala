@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{PqOps, SimilarityOps}
+
+/** Product quantization (E185): encode/ADC mechanics and compressed-domain
+  * recall on a separable fixture. */
+class PqOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 well-separated directions in 8 dims, 4 vectors near each; queries are
+  // the cluster axes — ADC must rank the right cluster's members on top.
+  private val base = Seq(
+    Seq(1.0, 0, 0, 0, 1.0, 0, 0, 0),
+    Seq(0, 1.0, 0, 0, 0, 1.0, 0, 0),
+    Seq(0, 0, 1.0, 0, 0, 0, 1.0, 0))
+  private val vecs = (0 until 12).map { i =>
+    val b = base(i % 3)
+    (i.toLong, b.zipWithIndex.map { case (x, j) => x + 0.01 * ((i + j) % 5) })
+  }
+
+  test("codebooks/encode: m codes per vector, each in [0, k)") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = PqOps.codebooks(df, m = 2, k = 4)
+    assert(books.size === 2 && books.forall(_.size === 4) &&
+      books.forall(_.forall(_.size === 4)))
+    val enc = PqOps.encode(df, books).collect()
+    assert(enc.length === 12)
+    enc.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.size === 2 && cs.forall(c => c >= 0 && c < 4), s"codes: $cs")
+    }
+  }
+
+  test("ADC top-k ranks the query's own cluster first (compressed-domain recall)") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = PqOps.codebooks(df, m = 2, k = 6)
+    val enc = PqOps.encode(df, books)
+    val queries = base.zipWithIndex.map { case (b, i) => (100L + i, b) }
+      .toDF("vec_id", "embedding")
+    val top = PqOps.adcTopK(queries, enc, books, k = 4)
+    // every query's top-4 is exactly its own cluster (ids ≡ i mod 3)
+    val byQ = top.select("qid", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    base.indices.foreach { i =>
+      val want = (0 until 12).filter(_ % 3 == i).map(_.toLong).toSet
+      assert(byQ(100L + i) === want, s"query $i got ${byQ(100L + i)}")
+    }
+    // and the ADC score of a same-cluster member beats every cross-cluster
+    // exact score ordering sanity: top-1 by ADC == top-1 by exact cosine
+    val exact = SimilarityOps.cosineTopK(df, queries, k = 1)
+    val adcTop1 = top.filter(col("rnk") === 1)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toMap
+    val exactTop1 = exact.select(col("qid"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(adcTop1.keySet === exactTop1.keySet)
+    adcTop1.foreach { case (q, n) =>
+      assert(n % 3 === exactTop1(q) % 3,
+        s"ADC top-1 left the exact top-1's cluster for query $q")
+    }
+  }
+}
