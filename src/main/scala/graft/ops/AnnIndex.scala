@@ -332,6 +332,41 @@ object AnnIndex {
   }
 
   /**
+   * IVF-PQ probe (E186): the same nprobe-nearest-cell selection as
+   * [[probe]], but candidates come from the CELL-PARTITIONED PQ codes
+   * table ([[PqOps.buildPqCodes]]) and score via ADC in the compressed
+   * domain — the probe reads nprobe cells' worth of m-int code rows, the
+   * raw vectors never load. Returns (qid, neighbor_id, adc, rnk). ADC
+   * ranks approximate cosine (the index stores unit vectors); exactness
+   * of the ordering is the codebook resolution's business — the shape is
+   * the canonical memory-bounded layout for 100 TB corpora.
+   */
+  def probePq(h: Handle, codes: TransactionalTable, books: PqOps.Codebooks,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = h.centroidVectors
+    val q = queries.select(col(idCol).cast("long").as("qid"), unit(vecCol).as("qv"))
+    val probes = q.withColumn("_sims", simsTo(col("qv"), cent))
+      .withColumn("_cell", explode(slice(
+        transform(array_sort(zip_with(col("_sims"),
+            typedlit(cent.indices.toList),
+            (s, i) => struct((-s).as("negs"), i.as("i")))),
+          p => p.getField("i")),
+        1, nprobe)))
+      .select(col("qid"), col("qv"), col("_cell").cast("long").as("cell"))
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.getLong(0).toString).toSet
+    val cand = codes.scanPartitions(p => p.exists(probedCells))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc", PqOps.adcScore(col("qv"), col("codes"), books))
+    val w = Window.partitionBy("qid").orderBy(desc("adc"), col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("adc"), col("rnk"))
+  }
+
+  /**
    * FILTERED probe with a DEFICIENCY GUARANTEE (the recall-hardening knob
    * for selective filters): run the banded [[probe]] first; any query whose
    * probed cells hold FEWER than `k` allowed candidates re-scores against

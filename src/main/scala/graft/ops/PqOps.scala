@@ -68,31 +68,57 @@ object PqOps {
       array((0 until m).map(s => codeOf(v, books(s), s, sd)): _*).as("codes"))
   }
 
-  /** ADC top-k: approximate dot(q, x) ≈ Σ_s dot(q_s, books(s)(codes_s)).
-    * Queries broadcast against the ENCODED table (the raw corpus vectors
-    * are never read); per-query top-k by (score desc, id asc). Returns
-    * (qid, neighbor_id, adc, rnk). */
-  def adcTopK(queries: DataFrame, encoded: DataFrame, books: Codebooks, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The ADC score expression: approximate dot(q, x) ≈
+    * Σ_s dot(q_s, books(s)(codes_s)) — per (query, candidate) row the
+    * subspace lookup tables are expressions over `qv` with literal code
+    * vectors: m·k dots of length d/m = one full-dim dot per candidate
+    * worth of flops, but NO raw candidate vector load (the
+    * compressed-domain property). Left-associated subspace sum — the
+    * oracle replays the exact association. */
+  def adcScore(qv: Column, codes: Column, books: Codebooks): Column = {
     val m = books.size
     val sd = books.head.head.size
+    (0 until m).map { s =>
+      val tbl = array(books(s).map(c =>
+        SimilarityOps.dot(slice(qv, s * sd + 1, sd), typedlit(c))): _*)
+      element_at(tbl, element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** ADC top-k over a flat encoded table: per-query top-k by
+    * (score desc, id asc). Returns (qid, neighbor_id, adc, rnk). */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, books: Codebooks, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qv = SimilarityOps.asDouble(col(vecCol))
     val q = queries.select(col(idCol).as("qid"), qv.as("qv"))
-    // per (query, candidate) score: subspace lookup tables are expressions
-    // over qv with literal code vectors — evaluated per row, m·k dots of
-    // length d/m = exactly one full-dim dot per candidate worth of flops,
-    // but NO raw candidate vector load (the compressed-domain property)
-    val adc = (0 until m).map { s =>
-      val tbl = array(books(s).map(c =>
-        SimilarityOps.dot(slice(col("qv"), s * sd + 1, sd), typedlit(c))): _*)
-      element_at(tbl, element_at(col("codes"), s + 1) + 1)
-    }.reduce(_ + _)
     val w = Window.partitionBy(col("qid")).orderBy(desc("adc"), col("neighbor_id"))
     encoded.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(q))
-      .withColumn("adc", adc)
+      .withColumn("adc", adcScore(col("qv"), col("codes"), books))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("neighbor_id"), col("adc"), col("rnk"))
+  }
+
+  /** IVF-PQ storage (E186): the PQ codes of every indexed vector in a
+    * CELL-PARTITIONED engine table beside the IVF index — codebooks train
+    * on the index's own (unit) vectors, and probes then read ONLY the
+    * probed cells' code rows (manifest partition pruning) and score in
+    * the compressed domain: nprobe/cells of the CODES (m ints per vector)
+    * instead of nprobe/cells of the raw floats. */
+  def buildPqCodes(h: AnnIndex.Handle, root: String,
+      books: Codebooks): graft.table.TransactionalTable = {
+    val spark = h.assignments.spark
+    val t = graft.table.TransactionalTable.create(spark, root,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id LONG, cell LONG, codes ARRAY<INT>"),
+      "vec_id", Some("cell"))
+    t.setWriteDistribution("hash")
+    val m = books.size
+    val sd = books.head.head.size
+    t.append(h.assignments.scan().select(col("vec_id"), col("cell"),
+      array((0 until m).map(s =>
+        codeOf(col("v"), books(s), s, sd)): _*).as("codes")))
+    t
   }
 }

@@ -1032,6 +1032,66 @@ object ExtQueries {
       },
       Some(duckAnnIndexSql(scExtra = "")), streaming = true),
 
+    // X3: IVF-PQ (E186) — the canonical memory-bounded 100 TB ANN layout
+    // composed from the two oracled halves: the IVF index picks nprobe
+    // cells per query (x3_ann_index's rule), and candidates score via ADC
+    // over a CELL-PARTITIONED PQ codes table (PqOps.buildPqCodes — m ints
+    // per vector, codebooks trained on the index's own unit vectors) —
+    // the probe reads only the probed cells' code rows, raw vectors never
+    // load. DuckDB replays seed choice, cells, codebooks, encoding, and
+    // every ADC score bit-for-bit.
+    Q("x3_ivf_pq",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val root = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+          .toString
+        val h = AnnIndex.create(s, s"$root/idx", e.filter(col("vec_id") % 3 === 0),
+          cells = 16)
+        (0 until 3).foreach(b => AnnIndex.appendBatch(h,
+          e.filter(col("vec_id") % 3 === b), batchId = b, compactEvery = 2))
+        val hh = AnnIndex.open(s, s"$root/idx")
+        val books = graft.ops.PqOps.codebooks(
+          hh.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
+          m = 4, k = 8)
+        val codes = graft.ops.PqOps.buildPqCodes(hh, s"$root/codes", books)
+        AnnIndex.probePq(hh, codes, books, e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 4).orderBy("qid", "rnk")
+      },
+      Some(s"""WITH $DuckAnnPrefix,
+             |sdv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+             |        FROM e ORDER BY vec_id LIMIT 8),
+             |bk AS (SELECT CAST(r.s AS INT) AS s, sdv.c,
+             |         list_slice(sdv.v, CAST(r.s * 16 + 1 AS INT), CAST((r.s + 1) * 16 AS INT)) AS cv
+             |       FROM sdv, range(4) r(s)),
+             |scx AS (SELECT e.vec_id, bk.s, bk.c,
+             |          2.0 * list_dot_product(list_slice(e.v, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv)
+             |            - list_dot_product(bk.cv, bk.cv) AS score
+             |        FROM e, bk),
+             |cdx AS (SELECT vec_id, s, c FROM (
+             |          SELECT vec_id, s, c,
+             |            row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) AS rk
+             |          FROM scx) t WHERE rk = 1),
+             |pr AS (SELECT vec_id AS qid, cell FROM (
+             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+             |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 4),
+             |qt AS (SELECT q.vec_id AS qid, bk.s, bk.c,
+             |         list_dot_product(list_slice(q.v, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv) AS t
+             |       FROM e q, bk WHERE q.vec_id < 8),
+             |cand AS (SELECT pr.qid, a.vec_id AS nid
+             |         FROM pr JOIN asg a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid),
+             |sc2 AS (SELECT cand.qid, cand.nid, qt.s, qt.t
+             |        FROM cand JOIN cdx ON cdx.vec_id = cand.nid
+             |        JOIN qt ON qt.qid = cand.qid AND qt.s = cdx.s AND qt.c = cdx.c),
+             |adc AS (SELECT qid, nid,
+             |          MAX(CASE WHEN s = 0 THEN t END) + MAX(CASE WHEN s = 1 THEN t END)
+             |          + MAX(CASE WHEN s = 2 THEN t END) + MAX(CASE WHEN s = 3 THEN t END) AS adc
+             |        FROM sc2 GROUP BY qid, nid)
+             |SELECT qid, nid AS neighbor_id, adc, CAST(rnk AS INT) AS rnk FROM (
+             |  SELECT qid, nid, adc,
+             |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rnk
+             |  FROM adc) z
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
     // X3: FILTERED ANN search over the persistent index — pre-filter
     // semantics: the exact top-k of the ALLOWED set (documents with
     // lang = 'en', the metadata predicate a real filtered vector search

@@ -60,4 +60,31 @@ class PqOpsSpec extends SparkSpec {
         s"ADC top-1 left the exact top-1's cluster for query $q")
     }
   }
+
+  test("IVF-PQ: cell-partitioned codes table; probePq reads only probed cells (E186)") {
+    import graft.ops.AnnIndex
+    val df = vecs.toDF("vec_id", "embedding")
+    val root = tmpDir("ivfpq")
+    val h = AnnIndex.create(spark, s"$root/idx", df, cells = 3)
+    AnnIndex.appendBatch(h, df, batchId = 0)
+    val books = PqOps.codebooks(
+      h.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
+      m = 2, k = 4)
+    val codes = PqOps.buildPqCodes(h, s"$root/codes", books)
+    // layout: one row per indexed vector, partitioned by cell
+    assert(codes.scan().count() === 12L)
+    assert(codes.partitionCol === Some("cell"))
+    val queries = base.zipWithIndex.map { case (b, i) => (100L + i, b) }
+      .toDF("vec_id", "embedding")
+    val top = AnnIndex.probePq(h, codes, books, queries, k = 3, nprobe = 1)
+    // nprobe=1 on a separable fixture: every hit shares the query's cell,
+    // and with the cluster axes as queries the hits are the right cluster
+    val byQ = top.select("qid", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2 % 3).toSet).toMap
+    byQ.foreach { case (q, clusters) =>
+      assert(clusters.size === 1, s"query $q crossed clusters: $clusters")
+    }
+    assert(top.groupBy("qid").count().select("count").as[Long].collect()
+      .forall(_ === 3L), "k rows per query")
+  }
 }
