@@ -100,6 +100,16 @@ object PqOps {
       .select(col("qid"), col("neighbor_id"), col("adc"), col("rnk"))
   }
 
+  /** Exact text round-trip for codebooks (stored in the codes table's
+    * metadata so `CALL pq_probe` replays the trained books): Java's
+    * shortest-double repr parses back bit-identical. */
+  def booksToString(books: Codebooks): String =
+    books.map(_.map(_.mkString(",")).mkString("|")).mkString(";")
+
+  def booksFromString(s: String): Codebooks =
+    s.split(';').toSeq.map(_.split('|').toSeq.map(
+      _.split(',').toSeq.map(_.toDouble)))
+
   /** IVF-PQ storage (E186): the PQ codes of every indexed vector in a
     * CELL-PARTITIONED engine table beside the IVF index — codebooks train
     * on the index's own (unit) vectors, and probes then read ONLY the

@@ -74,6 +74,46 @@ object ExtQueries {
       |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
       |          FROM e, cent c) z WHERE rn = 1)""".stripMargin
 
+  /** DuckDB-side IVF-PQ replay (index build + unit-vector codebooks +
+    * encoding + probed-cell ADC scoring), SHARED by the Scala-API query
+    * (`x3_ivf_pq`) and its CALL-procedure twin (`cdc_pq_sql`) so the two
+    * surfaces cannot drift. */
+  private lazy val DuckIvfPqSql: String =
+    s"""WITH $DuckAnnPrefix,
+       |sdv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+       |        FROM e ORDER BY vec_id LIMIT 8),
+       |bk AS (SELECT CAST(r.s AS INT) AS s, sdv.c,
+       |         list_slice(sdv.v, CAST(r.s * 16 + 1 AS INT), CAST((r.s + 1) * 16 AS INT)) AS cv
+       |       FROM sdv, range(4) r(s)),
+       |scx AS (SELECT e.vec_id, bk.s, bk.c,
+       |          2.0 * list_dot_product(list_slice(e.v, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv)
+       |            - list_dot_product(bk.cv, bk.cv) AS score
+       |        FROM e, bk),
+       |cdx AS (SELECT vec_id, s, c FROM (
+       |          SELECT vec_id, s, c,
+       |            row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) AS rk
+       |          FROM scx) t WHERE rk = 1),
+       |pr AS (SELECT vec_id AS qid, cell FROM (
+       |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+       |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 4),
+       |qt AS (SELECT q.vec_id AS qid, bk.s, bk.c,
+       |         list_dot_product(list_slice(q.v, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv) AS t
+       |       FROM e q, bk WHERE q.vec_id < 8),
+       |cand AS (SELECT pr.qid, a.vec_id AS nid
+       |         FROM pr JOIN asg a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid),
+       |sc2 AS (SELECT cand.qid, cand.nid, qt.s, qt.t
+       |        FROM cand JOIN cdx ON cdx.vec_id = cand.nid
+       |        JOIN qt ON qt.qid = cand.qid AND qt.s = cdx.s AND qt.c = cdx.c),
+       |adc AS (SELECT qid, nid,
+       |          MAX(CASE WHEN s = 0 THEN t END) + MAX(CASE WHEN s = 1 THEN t END)
+       |          + MAX(CASE WHEN s = 2 THEN t END) + MAX(CASE WHEN s = 3 THEN t END) AS adc
+       |        FROM sc2 GROUP BY qid, nid)
+       |SELECT qid, nid AS neighbor_id, adc, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT qid, nid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rnk
+       |  FROM adc) z
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   private def duckAnnIndexSql(scExtra: String): String =
     s"""WITH $DuckAnnPrefix,
        |pr AS (SELECT vec_id AS qid, cell FROM (
@@ -1057,40 +1097,35 @@ object ExtQueries {
         AnnIndex.probePq(hh, codes, books, e.filter(col("vec_id") < 8),
           k = 5, nprobe = 4).orderBy("qid", "rnk")
       },
-      Some(s"""WITH $DuckAnnPrefix,
-             |sdv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
-             |        FROM e ORDER BY vec_id LIMIT 8),
-             |bk AS (SELECT CAST(r.s AS INT) AS s, sdv.c,
-             |         list_slice(sdv.v, CAST(r.s * 16 + 1 AS INT), CAST((r.s + 1) * 16 AS INT)) AS cv
-             |       FROM sdv, range(4) r(s)),
-             |scx AS (SELECT e.vec_id, bk.s, bk.c,
-             |          2.0 * list_dot_product(list_slice(e.v, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv)
-             |            - list_dot_product(bk.cv, bk.cv) AS score
-             |        FROM e, bk),
-             |cdx AS (SELECT vec_id, s, c FROM (
-             |          SELECT vec_id, s, c,
-             |            row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) AS rk
-             |          FROM scx) t WHERE rk = 1),
-             |pr AS (SELECT vec_id AS qid, cell FROM (
-             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
-             |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 4),
-             |qt AS (SELECT q.vec_id AS qid, bk.s, bk.c,
-             |         list_dot_product(list_slice(q.v, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv) AS t
-             |       FROM e q, bk WHERE q.vec_id < 8),
-             |cand AS (SELECT pr.qid, a.vec_id AS nid
-             |         FROM pr JOIN asg a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid),
-             |sc2 AS (SELECT cand.qid, cand.nid, qt.s, qt.t
-             |        FROM cand JOIN cdx ON cdx.vec_id = cand.nid
-             |        JOIN qt ON qt.qid = cand.qid AND qt.s = cdx.s AND qt.c = cdx.c),
-             |adc AS (SELECT qid, nid,
-             |          MAX(CASE WHEN s = 0 THEN t END) + MAX(CASE WHEN s = 1 THEN t END)
-             |          + MAX(CASE WHEN s = 2 THEN t END) + MAX(CASE WHEN s = 3 THEN t END) AS adc
-             |        FROM sc2 GROUP BY qid, nid)
-             |SELECT qid, nid AS neighbor_id, adc, CAST(rnk AS INT) AS rnk FROM (
-             |  SELECT qid, nid, adc,
-             |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rnk
-             |  FROM adc) z
-             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+      Some(DuckIvfPqSql)),
+
+    // The SQL/CALL twin of the SAME IVF-PQ flow (E187 — the reference's
+    // everything-through-SQL posture): index built and appended through
+    // `CALL ann_index_*`, codes trained/stored through `pq_codes_build`
+    // (books persisted in table metadata — a LATER session's probe must
+    // not re-derive them from the since-grown index), probed through
+    // `pq_probe`. The oracle IS x3_ivf_pq's oracle, so the two surfaces
+    // cannot drift.
+    Q("cdc_pq_sql",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val cat = s"graft_pq${System.nanoTime()}"
+        val w = java.nio.file.Files.createTempDirectory("graft_pq_sql").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+        (0 until 3).foreach(b => e.filter(col("vec_id") % 3 === b)
+          .createOrReplaceTempView(s"pqsql_b$b"))
+        e.filter(col("vec_id") < 8).createOrReplaceTempView("pqsql_q")
+        s.sql(s"CALL $cat.system.ann_index_create('db.ann', 'pqsql_b0', 16)").collect()
+        (0 until 3).foreach(b => s.sql(
+          s"CALL $cat.system.ann_index_append('db.ann', 'pqsql_b$b', $b, 2)").collect())
+        s.sql(s"CALL $cat.system.pq_codes_build('db.ann', 'db.codes', 4, 8)").collect()
+        s.sql(s"CALL $cat.system.pq_probe('db.ann', 'db.codes', 'pqsql_q', 5, 4, " +
+          s"'pqsql_hits')").collect()
+        s.sql("SELECT qid, neighbor_id, adc, rnk FROM pqsql_hits ORDER BY qid, rnk")
+      },
+      Some(DuckIvfPqSql)),
 
     // X3: FILTERED ANN search over the persistent index — pre-filter
     // semantics: the exact top-k of the ALLOWED set (documents with

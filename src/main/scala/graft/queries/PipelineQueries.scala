@@ -20,6 +20,28 @@ import graft.ops.{DedupOps, SequenceOps, SimilarityOps, SketchOps, TextOps}
  */
 object PipelineQueries {
 
+  /** DuckDB-side incremental-export replay (odd-doc delta → md5 shard +
+    * in-shard order → per-shard running-sum bins), SHARED by the Scala-API
+    * query (`x1_incremental_export`) and its CALL twin (`cdc_export_sql`)
+    * so the two surfaces cannot drift. */
+  private lazy val DuckExportSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+       |toks AS (SELECT doc_id,
+       |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+       |  FROM d),
+       |h AS (SELECT doc_id, n_tokens,
+       |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+       |  FROM toks),
+       |cum AS (SELECT doc_id, n_tokens, CAST(_h % 8 AS INT) AS shard,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY _h % 8 ORDER BY _h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+       |  FROM h)
+       |SELECT shard, (c - n_tokens) // 4096 AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+
   /** DuckDB-side exact near-dup CLOSURE (jaccard ≥ 0.5 pairs → recursive-CTE
     * connected components ending in `comp(doc_id, canonical_id)`) — ONE copy
     * shared by `x1_dedup_clusters` and `x1_dedup_keep_best` so a closure fix
@@ -192,22 +214,44 @@ object PipelineQueries {
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
           .orderBy("shard", "bin")
       },
-      Some(s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
-             |toks AS (SELECT doc_id,
-             |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
-             |  FROM d),
-             |h AS (SELECT doc_id, n_tokens,
-             |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
-             |  FROM toks),
-             |cum AS (SELECT doc_id, n_tokens, CAST(_h % 8 AS INT) AS shard,
-             |  CAST(SUM(n_tokens) OVER (PARTITION BY _h % 8 ORDER BY _h, doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
-             |  FROM h)
-             |SELECT shard, (c - n_tokens) // 4096 AS bin,
-             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             |FROM cum GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)),
+      Some(DuckExportSql)),
+
+    // The SQL/CALL twin of the SAME incremental export (E187): the corpus
+    // delta publishes through `CALL export_delta` — fenced (the re-CALL
+    // reports exported=false), tombstones counted in the result row — and
+    // the query reads back the PUBLISHED parquet. The oracle IS
+    // x1_incremental_export's oracle, so the two surfaces cannot drift.
+    Q("cdc_export_sql",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val cat = s"graft_exp${System.nanoTime()}"
+        val w = java.nio.file.Files.createTempDirectory("graft_exp_sql").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+        val corpus = graft.table.TransactionalTable.create(s, s"$w/db/corpus",
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+          "doc_id", None)
+        corpus.append(docs.filter(col("doc_id") % 2 === 0), batchId = 0)
+        val v0 = corpus.currentVersion
+        corpus.append(docs.filter(col("doc_id") % 2 === 1), batchId = 1)
+        s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id IN (2, 4)")
+        val v1 = graft.table.TransactionalTable.open(s, s"$w/db/corpus")
+          .currentVersion
+        val call = s"CALL $cat.system.export_delta('db.corpus', 'db.exports', " +
+          s"$v0, $v1, 8, 4096)"
+        val r = s.sql(call).collect()(0)
+        require(r.getBoolean(0) && r.getLong(2) == 2L,
+          s"first CALL must publish with 2 tombstones: $r")
+        val r2 = s.sql(call).collect()(0)
+        require(!r2.getBoolean(0), s"re-CALL must be fenced: $r2")
+        s.read.parquet(r.getString(3))
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("shard", "bin")
+      },
+      Some(DuckExportSql)),
 
     // Benchmark decontamination: 3-gram containment of each "benchmark" doc
     // (doc_id < 20 stands in for the eval set) inside each corpus doc —

@@ -410,6 +410,67 @@ object GraftProcedures {
           h.assignments.currentVersion, h.centroids.currentVersion)
       }),
 
+    // IVF-PQ from SQL (E186/E187): codebooks train on the index's own unit
+    // vectors, the codes land cell-partitioned beside the index, and the
+    // trained books persist in the codes table's metadata (exact double
+    // round-trip) so a probe in a LATER session replays them — the books
+    // must NOT re-derive from a since-grown index.
+    "pq_codes_build" -> Spec(
+      Seq("index" -> S, "codes" -> S, "m" -> I, "k" -> I),
+      row("codes" -> S, "n_vectors" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val h = graft.ops.AnnIndex.open(spark,
+          c.rootByName(a.getUTF8String(0).toString))
+        import org.apache.spark.sql.functions.col
+        val books = graft.ops.PqOps.codebooks(
+          h.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
+          a.getInt(2), a.getInt(3))
+        val name = a.getUTF8String(1).toString
+        val t = graft.ops.PqOps.buildPqCodes(h, c.rootByName(name), books)
+        t.setCustomMeta("pq.books", graft.ops.PqOps.booksToString(books))
+        Seq(name, t.scan().count())
+      }),
+
+    "pq_probe" -> Spec(
+      Seq("index" -> S, "codes" -> S, "queries" -> S, "k" -> I, "nprobe" -> I,
+        "result_view" -> S),
+      row("result_view" -> S, "n_results" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val h = graft.ops.AnnIndex.open(spark,
+          c.rootByName(a.getUTF8String(0).toString))
+        val codes = TransactionalTable.open(spark,
+          c.rootByName(a.getUTF8String(1).toString))
+        val books = graft.ops.PqOps.booksFromString(
+          codes.customMeta("pq.books").getOrElse(throw new IllegalStateException(
+            "codes table carries no pq.books metadata — built outside pq_codes_build?")))
+        val hits = graft.ops.AnnIndex.probePq(h, codes, books,
+          spark.table(a.getUTF8String(2).toString), a.getInt(3), a.getInt(4))
+        val view = a.getUTF8String(5).toString
+        hits.createOrReplaceTempView(view)
+        Seq(view, hits.count())
+      }),
+
+    // Incremental training-data export from SQL (E184/E187): publish the
+    // corpus delta (from_version → to_version) as sharded packed parquet +
+    // tombstones under the named export root; fenced — a re-CALL of a
+    // published interval reports exported=false and changes nothing.
+    "export_delta" -> Spec(
+      Seq("table" -> S, "export_root" -> S, "from_version" -> L,
+        "to_version" -> L, "n_shards" -> I, "capacity" -> L),
+      row("exported" -> BooleanType, "n_docs" -> L, "n_tombstones" -> L,
+        "dir" -> S),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val corpus = open(c, a)
+        val r = graft.ops.ExportOps.exportDelta(corpus,
+          c.rootByName(a.getUTF8String(1).toString),
+          a.getLong(2), a.getLong(3), a.getInt(4), a.getLong(5))
+        Seq(r.exported, spark.read.parquet(r.dir).count(),
+          r.tombstones.count(), r.dir)
+      }),
+
     "mv_status" -> Spec(
       Seq("view" -> S),
       row("view" -> S, "fresh" -> BooleanType, "stale_sources" -> S,
