@@ -50,6 +50,29 @@ object ExportOps {
       StructType.fromDDL(ManifestSchemaDdl), "to_v", None)
   }
 
+  /** Publish everything the manifest has not seen yet: the interval runs
+    * from the manifest's export fence (the last published `to_v`; 0 on a
+    * virgin root — the first call publishes the whole corpus) to the
+    * corpus head. An empty interval returns without touching disk — the
+    * idempotent shape a streaming pipeline calls once per micro-batch
+    * ([[graft.stream.CorpusPipeline]] `exportEvery`): replayed batches and
+    * crash-skipped publications absorb into the next interval. */
+  def exportLatest(corpus: TransactionalTable, exportRoot: String,
+      nShards: Int, capacity: Long,
+      idCol: String = "doc_id", textCol: String = "text"): ExportResult = {
+    val spark = corpus.spark
+    val m = manifest(spark, exportRoot)
+    val from = math.max(0L, m.snapshot.writerFences.getOrElse(ExportWriter, 0L))
+    val to = corpus.currentVersion
+    if (to <= from) {
+      import spark.implicits._
+      ExportResult(spark.emptyDataset[Long].toDF(idCol),
+        spark.emptyDataset[Long].toDF(idCol), exported = false,
+        dir = s"$exportRoot/exp_${from}_$from")
+    } else exportDelta(corpus, exportRoot, from, to, nShards, capacity,
+      idCol, textCol)
+  }
+
   def exportDelta(corpus: TransactionalTable, exportRoot: String,
       fromVersion: Long, toVersion: Long, nShards: Int, capacity: Long,
       idCol: String = "doc_id", textCol: String = "text"): ExportResult = {

@@ -37,9 +37,13 @@ object CorpusPipeline {
    * with the same `batchId`). Returns the kept doc ids (deterministic,
    * already materialized by the index append).
    */
+  /** Continuous-publication binding (E188): where and how to export. */
+  final case class Publish(exportRoot: String, nShards: Int, capacity: Long,
+      every: Int = 1)
+
   def processBatch(index: TransactionalTable, corpus: TransactionalTable,
       docs: DataFrame, batchId: Long, clean: Column,
-      compactEvery: Int = 0): DataFrame =
+      compactEvery: Int = 0, publish: Option[Publish] = None): DataFrame =
     graft.util.BatchStats.timed("corpus_stream_batch") {
       val spark = docs.sparkSession
       import spark.implicits._
@@ -48,6 +52,15 @@ object CorpusPipeline {
         compactEvery = compactEvery)
       val rows = cleaned.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
       corpus.merge(rows, spark.emptyDataset[Long].toDF("doc_id"), batchId)
+      // continuous publication (E188): every k-th batch ships the corpus
+      // interval the export manifest has not seen — fence-driven, so a
+      // replayed batch no-ops and a crash-skipped publication absorbs into
+      // the next one
+      publish.foreach { p =>
+        if (p.every <= 1 || batchId % p.every == 0)
+          graft.ops.ExportOps.exportLatest(corpus, p.exportRoot,
+            p.nShards, p.capacity)
+      }
       kept
     }
 
@@ -61,14 +74,15 @@ object CorpusPipeline {
       index: TransactionalTable, corpus: TransactionalTable, clean: Column,
       schemaDdl: String = "doc_id LONG, text STRING, lang STRING, source STRING",
       compactEvery: Int = 0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      publish: Option[Publish] = None): StreamingQuery =
     spark.readStream
       .schema(schemaDdl)
       .json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        processBatch(index, corpus, df, bid, clean, compactEvery); ()
+        processBatch(index, corpus, df, bid, clean, compactEvery, publish); ()
       }
       .trigger(trigger)
       .start()

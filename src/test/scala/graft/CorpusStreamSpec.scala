@@ -92,6 +92,49 @@ class CorpusStreamSpec extends SparkSpec {
     assert(corpus.scan().select("doc_id").as[Long].collect().toSet === streamed)
   }
 
+  test("continuous publication (E188): per-batch exports chain the manifest fence; union = corpus") {
+    import graft.ops.ExportOps
+    val in = tmpDir("pub-stream-in")
+    val cp = tmpDir("pub-stream-cp")
+    val exp = tmpDir("pub-stream-exp")
+    val index = DedupIndex.create(spark, tmpDir("pub-stream-idx") + "/idx")
+    val corpus = TransactionalTable.create(spark, tmpDir("pub-stream-tbl") + "/c",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING"), "doc_id")
+    val pub = Some(CorpusPipeline.Publish(exp, nShards = 2, capacity = 64))
+    def runOnce(): Unit = {
+      val q = CorpusPipeline.run(spark, in, cp, index, corpus, FunnelRules.keep,
+        publish = pub)
+      q.awaitTermination()
+    }
+    writeBatch(in, "b0.json", b0Docs); runOnce()
+    writeBatch(in, "b1.json", b1Docs); runOnce()
+    val m = ExportOps.manifest(spark, exp)
+    val intervals = m.scan().select("from_v", "to_v").as[(Long, Long)]
+      .collect().sortBy(_._2)
+    assert(intervals.nonEmpty)
+    // fence-chained: each publication starts where the previous ended
+    intervals.sliding(2).foreach {
+      case Array((_, t1), (f2, _)) => assert(f2 === t1, "intervals must chain")
+      case _ =>
+    }
+    // the union of published docs IS the corpus — nothing missed, nothing
+    // published twice (no updates/deletes in this stream)
+    val published = intervals.toSeq.flatMap { case (f, t) =>
+      spark.read.parquet(s"$exp/exp_${f}_$t").select("doc_id").as[Long]
+        .collect().toSeq
+    }
+    val corpusIds = corpus.scan().select("doc_id").as[Long].collect().toSet
+    assert(published.toSet === corpusIds, s"published=$published")
+    assert(published.size === published.toSet.size, "a doc published twice")
+    // a replayed batch publishes nothing new
+    val mv = m.currentVersion
+    CorpusPipeline.processBatch(index, corpus,
+      b1Docs.toDF("doc_id", "text", "lang", "source"), 1L, FunnelRules.keep,
+      publish = pub)
+    assert(m.currentVersion === mv, "replayed batch must not re-publish")
+  }
+
   test("media stream: perceptual dedup per micro-batch; restart resumes; replay fenced; payloads intact") {
     import graft.stream.MediaPipeline
     def img(codeword: Int, base: Int, fmt: String = "png"): Array[Byte] = {
