@@ -462,13 +462,13 @@ object GraftProcedures {
       row("exported" -> BooleanType, "n_docs" -> L, "n_tombstones" -> L,
         "dir" -> S),
       (c, a) => {
-        val spark = org.apache.spark.sql.SparkSession.active
         val corpus = open(c, a)
         val r = graft.ops.ExportOps.exportDelta(corpus,
           c.rootByName(a.getUTF8String(1).toString),
           a.getLong(2), a.getLong(3), a.getInt(4), a.getLong(5))
-        Seq(r.exported, spark.read.parquet(r.dir).count(),
-          r.tombstones.count(), r.dir)
+        // count from the deterministic assignment, not the dir — a fenced
+        // re-CALL of an interval older than the fence has no dir to read
+        Seq(r.exported, r.assignment.count(), r.tombstones.count(), r.dir)
       }),
 
     "mv_status" -> Spec(
