@@ -367,6 +367,39 @@ object AnnIndex {
   }
 
   /**
+   * Two-stage IVF-PQ probe with EXACT RE-RANK (E189 — the production
+   * refine pattern): stage 1 is [[probePq]] with a WIDER shortlist
+   * (`kShort` ≥ k, ADC over the probed cells' code rows only); stage 2
+   * re-scores JUST the shortlist rows exactly — the raw vectors load for
+   * kShort × queries rows, never for the corpus — and the final top-k
+   * ranks by the exact dot. Both stages are deterministic (ADC ties →
+   * lowest id; exact ties → lowest id), so an external oracle replays the
+   * shortlist rule and the re-rank bit-for-bit. Compressed-domain scan +
+   * exact quality on a bounded candidate set: the memory/recall trade
+   * IVF-PQ deployments actually run.
+   */
+  def probePqRefined(h: Handle, codes: TransactionalTable,
+      books: PqOps.Codebooks, queries: DataFrame, k: Int, kShort: Int,
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(kShort >= k, "the shortlist must be at least k wide")
+    val shortlist = probePq(h, codes, books, queries, kShort, nprobe,
+      idCol, vecCol).select(col("qid"), col("neighbor_id"))
+    val q = queries.select(col(idCol).cast("long").as("qid"), unit(vecCol).as("qv"))
+    // exact rescoring of the shortlist only: PK-keyed lookup into the
+    // assignment table (qid × kShort rows), one broadcast of the queries
+    val exact = shortlist
+      .join(h.assignments.scan().select(col("vec_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos", SimilarityOps.dot(col("qv"), col("v")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("neighbor_id"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rnk"))
+  }
+
+  /**
    * FILTERED probe with a DEFICIENCY GUARANTEE (the recall-hardening knob
    * for selective filters): run the banded [[probe]] first; any query whose
    * probed cells hold FEWER than `k` allowed candidates re-scores against

@@ -78,7 +78,7 @@ object ExtQueries {
     * encoding + probed-cell ADC scoring), SHARED by the Scala-API query
     * (`x3_ivf_pq`) and its CALL-procedure twin (`cdc_pq_sql`) so the two
     * surfaces cannot drift. */
-  private lazy val DuckIvfPqSql: String =
+  private lazy val DuckIvfPqCtes: String =
     s"""WITH $DuckAnnPrefix,
        |sdv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
        |        FROM e ORDER BY vec_id LIMIT 8),
@@ -107,11 +107,32 @@ object ExtQueries {
        |adc AS (SELECT qid, nid,
        |          MAX(CASE WHEN s = 0 THEN t END) + MAX(CASE WHEN s = 1 THEN t END)
        |          + MAX(CASE WHEN s = 2 THEN t END) + MAX(CASE WHEN s = 3 THEN t END) AS adc
-       |        FROM sc2 GROUP BY qid, nid)
+       |        FROM sc2 GROUP BY qid, nid)""".stripMargin
+
+  private lazy val DuckIvfPqSql: String =
+    s"""$DuckIvfPqCtes
        |SELECT qid, nid AS neighbor_id, adc, CAST(rnk AS INT) AS rnk FROM (
        |  SELECT qid, nid, adc,
        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rnk
        |  FROM adc) z
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** The two-stage refine replay (E189): ADC shortlist of 15 from the same
+    * CTEs, exact dot re-rank of just the shortlist, final top-5 — shared
+    * structure with `DuckIvfPqSql` so the stages cannot drift. */
+  private lazy val DuckIvfPqRefinedSql: String =
+    s"""$DuckIvfPqCtes,
+       |shortlist AS (SELECT qid, nid FROM (
+       |  SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rnk
+       |  FROM adc) z WHERE rnk <= 15),
+       |exact AS (SELECT s.qid, s.nid, list_dot_product(qe.v, ne.v) AS cos
+       |          FROM shortlist s JOIN e qe ON qe.vec_id = s.qid
+       |          JOIN e ne ON ne.vec_id = s.nid)
+       |SELECT qid, nid AS neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |  FROM exact) z
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   private def duckAnnIndexSql(scExtra: String): String =
@@ -1098,6 +1119,31 @@ object ExtQueries {
           k = 5, nprobe = 4).orderBy("qid", "rnk")
       },
       Some(DuckIvfPqSql)),
+
+    // X3: two-stage IVF-PQ with EXACT RE-RANK (E189 — the refine pattern
+    // deployments run): a 3×-wide ADC shortlist from the compressed domain,
+    // then exact rescoring of JUST the shortlist rows (raw vectors load
+    // for queries × kShort rows, never the corpus), final top-5 by exact
+    // dot. Both stage rules are deterministic, so the oracle replays the
+    // shortlist AND the re-rank bit-for-bit.
+    Q("x3_ivf_pq_refined",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val root = java.nio.file.Files.createTempDirectory("graft_ivfpqr")
+          .toString
+        val h = AnnIndex.create(s, s"$root/idx", e.filter(col("vec_id") % 3 === 0),
+          cells = 16)
+        (0 until 3).foreach(b => AnnIndex.appendBatch(h,
+          e.filter(col("vec_id") % 3 === b), batchId = b, compactEvery = 2))
+        val hh = AnnIndex.open(s, s"$root/idx")
+        val books = graft.ops.PqOps.codebooks(
+          hh.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
+          m = 4, k = 8)
+        val codes = graft.ops.PqOps.buildPqCodes(hh, s"$root/codes", books)
+        AnnIndex.probePqRefined(hh, codes, books, e.filter(col("vec_id") < 8),
+          k = 5, kShort = 15, nprobe = 4).orderBy("qid", "rnk")
+      },
+      Some(DuckIvfPqRefinedSql)),
 
     // The SQL/CALL twin of the SAME IVF-PQ flow (E187 — the reference's
     // everything-through-SQL posture): index built and appended through
