@@ -137,6 +137,31 @@ object DedupOps {
   }
 
   /**
+   * Poisson PPS sampling (E190) — probability-proportional-to-size, the
+   * classic weighted downsampling (keep long/high-quality documents with
+   * probability ∝ their weight): each row keeps with
+   * p_i = min(1, n·w_i / W), so the expected sample size is n (modulo the
+   * cap) and every inclusion decision is the deterministic
+   * md5Hash60(id) < p·2⁶⁰ gate — replayable bit-for-bit by an external
+   * oracle, no transcendentals.
+   *
+   * 100 TB shape: ONE map-side-combinable scalar aggregate (total weight,
+   * a 1-row broadcast), then a map-only filter — zero wide shuffles.
+   */
+  def ppsSample(docs: DataFrame, weightCol: String, expectedN: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(expectedN > 0, s"expectedN must be positive, got $expectedN")
+    val hashSpace = (1L << 60).toDouble // md5Hash60 range
+    val tot = docs.agg(sum(col(weightCol)).cast("double").as("_totw"))
+    docs.crossJoin(broadcast(tot))
+      .filter(TextOps.md5Hash60(col(idCol)).cast("double") <
+        least(lit(1.0),
+          lit(expectedN.toDouble) * col(weightCol).cast("double") / col("_totw"))
+          * lit(hashSpace))
+      .drop("_totw")
+  }
+
+  /**
    * Epoch-weighted UPSAMPLING — the repeat-at-read half of data mixing
    * ([[mixtureBudgetSample]] handles the subsample-only half): per-source
    * epoch factors f ≥ 0 emit each document ⌊f⌋ full copies plus one

@@ -297,6 +297,26 @@ object ExtQueries {
              |  FROM cand) z
              |WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin)),
 
+    // X1: Poisson PPS sampling (E190) — inclusion probability ∝ weight
+    // (token count), expected sample size n, capped at 1; ONE scalar
+    // total-weight aggregate then a map-only md5 gate — zero wide
+    // shuffles. The oracle replays the threshold arithmetic bit-for-bit.
+    Q("x1_pps_sample",
+      (s, d) => {
+        val t = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        DedupOps.ppsSample(t, "n_tokens", expectedN = 40L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($DuckToks) AS BIGINT) AS n_tokens
+             |           FROM documents),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tw FROM t)
+             |SELECT doc_id, n_tokens FROM t, tot
+             |WHERE CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+             |  < LEAST(1.0, 40.0 * CAST(n_tokens AS DOUBLE) / tw) * 1152921504606846976.0
+             |ORDER BY doc_id""".stripMargin)),
+
     // X1: temperature-scaled mixture sampling (multilingual-LM data mixing:
     // keep-rate per source ∝ (n_s/N)^α, α=0.5 flattening the source
     // distribution; DedupOps.temperatureSample). Selection is the md5-hash
