@@ -1138,7 +1138,11 @@ object ExtQueries {
         AnnIndex.probePq(hh, codes, books, e.filter(col("vec_id") < 8),
           k = 5, nprobe = 4).orderBy("qid", "rnk")
       },
-      Some(DuckIvfPqSql)),
+      Some(DuckIvfPqSql),
+      // headline: the round's marquee scale feature — index build + code
+      // build + compressed-domain probes, scaled-tier covered like
+      // x3_ann_index
+      headline = true),
 
     // X3: two-stage IVF-PQ with EXACT RE-RANK (E189 — the refine pattern
     // deployments run): a 3×-wide ADC shortlist from the compressed domain,
