@@ -385,11 +385,18 @@ object AnnIndex {
     require(kShort >= k, "the shortlist must be at least k wide")
     val shortlist = probePq(h, codes, books, queries, kShort, nprobe,
       idCol, vecCol).select(col("qid"), col("neighbor_id"))
+      .localCheckpoint(true) // one ADC pass feeds the id collect + the join
     val q = queries.select(col(idCol).cast("long").as("qid"), unit(vecCol).as("qv"))
-    // exact rescoring of the shortlist only: PK-keyed lookup into the
-    // assignment table (qid × kShort rows), one broadcast of the queries
+    // exact rescoring of the shortlist only: the distinct shortlist ids are
+    // driver-bounded (≤ queries × kShort — the same documented contract as
+    // probedCells), and the pushed IN filter lets the assignment scan prune
+    // files by PK range ∧ bloom — raw vectors load for the shortlist's
+    // files only, never the corpus
+    val ids = shortlist.select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
     val exact = shortlist
-      .join(h.assignments.scan().select(col("vec_id").as("neighbor_id"), col("v")),
+      .join(h.assignments.scan().filter(col("vec_id").isin(ids: _*))
+          .select(col("vec_id").as("neighbor_id"), col("v")),
         Seq("neighbor_id"))
       .join(broadcast(q), Seq("qid"))
       .withColumn("cos", SimilarityOps.dot(col("qv"), col("v")))

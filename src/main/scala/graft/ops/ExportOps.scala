@@ -104,7 +104,9 @@ object ExportOps {
     if (!fenced) {
       assignment.write.mode("overwrite").partitionBy("shard").parquet(dir)
       tombs.write.mode("overwrite").parquet(s"$dir/_tombstones")
-      val stats = assignment.agg(
+      // manifest stats from the PUBLISHED parquet (reads only n_tokens),
+      // not a second computation of the assignment plan
+      val stats = spark.read.parquet(dir).agg(
         count(lit(1)).as("n_docs"), coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
         .collect()(0)
       val row = spark.createDataFrame(
