@@ -367,6 +367,42 @@ object AnnIndex {
   }
 
   /**
+   * RESIDUAL IVF-PQ probe (E191 — the FAISS IVF-ADC layout): candidates
+   * store residual codes ([[PqOps.buildPqCodesResidual]]), and the score
+   * decomposes exactly as dot(q, x) ≈ dot(q, cv_cell) + Σ_s dot(q_s,
+   * books(s)(code_s)) — the centroid term computes ONCE per (query,
+   * probed cell) and the residual term is the same m-lookup ADC; the sum
+   * association is pinned (cdot + left-assoc subspace chain) so an
+   * external oracle replays every score bit-for-bit.
+   */
+  def probePqResidual(h: Handle, codes: TransactionalTable,
+      books: PqOps.Codebooks, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = h.centroidVectors
+    val q = queries.select(col(idCol).cast("long").as("qid"), unit(vecCol).as("qv"))
+    val probes = q.withColumn("_sims", simsTo(col("qv"), cent))
+      .withColumn("_cell", explode(slice(
+        transform(array_sort(zip_with(col("_sims"),
+            typedlit(cent.indices.toList),
+            (s, i) => struct((-s).as("negs"), i.as("i")))),
+          p => p.getField("i")),
+        1, nprobe)))
+      .select(col("qid"), col("qv"), col("_cell").cast("long").as("cell"))
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.getLong(0).toString).toSet
+    val cdot = SimilarityOps.dot(col("qv"),
+      element_at(typedlit(cent), (col("cell") + 1).cast("int")))
+    val cand = codes.scanPartitions(p => p.exists(probedCells))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc", cdot + PqOps.adcScore(col("qv"), col("codes"), books))
+    val w = Window.partitionBy("qid").orderBy(desc("adc"), col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("adc"), col("rnk"))
+  }
+
+  /**
    * Two-stage IVF-PQ probe with EXACT RE-RANK (E189 — the production
    * refine pattern): stage 1 is [[probePq]] with a WIDER shortlist
    * (`kShort` ≥ k, ADC over the probed cells' code rows only); stage 2

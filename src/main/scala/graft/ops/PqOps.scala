@@ -110,6 +110,39 @@ object PqOps {
     s.split(';').toSeq.map(_.split('|').toSeq.map(
       _.split(',').toSeq.map(_.toDouble)))
 
+  /** The residual of a vector against its cell's centroid (elementwise,
+    * exact): what RESIDUAL IVF-PQ (E191) quantizes — residual magnitudes
+    * are much smaller than raw coordinates, so the same code budget buys
+    * finer resolution (the FAISS IVF-ADC layout). */
+  def residualOf(v: Column, cell: Column, cent: Seq[Seq[Double]]): Column =
+    zip_with(v, element_at(typedlit(cent), (cell + 1).cast("int")),
+      (a, b) => a - b)
+
+  /** Residual IVF-PQ storage (E191): codebooks train on the k lowest-id
+    * RESIDUALS and every indexed vector's residual encodes against them;
+    * returns the cell-partitioned codes table and the trained books
+    * (also persisted in the table metadata for later sessions). */
+  def buildPqCodesResidual(h: AnnIndex.Handle, root: String, m: Int, k: Int)
+      : (graft.table.TransactionalTable, Codebooks) = {
+    val cent = h.centroidVectors
+    val res = h.assignments.scan().select(col("vec_id"), col("cell"),
+      residualOf(col("v"), col("cell"), cent).as("embedding"))
+    val books = codebooks(res, m, k)
+    val spark = h.assignments.spark
+    val t = graft.table.TransactionalTable.create(spark, root,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id LONG, cell LONG, codes ARRAY<INT>"),
+      "vec_id", Some("cell"))
+    t.setWriteDistribution("hash")
+    val sd = books.head.head.size
+    t.append(res.select(col("vec_id"), col("cell"),
+      array((0 until m).map(s =>
+        codeOf(col("embedding"), books(s), s, sd)): _*).as("codes")))
+    t.setCustomMeta("pq.books", booksToString(books))
+    t.setCustomMeta("pq.residual", "true")
+    (t, books)
+  }
+
   /** IVF-PQ storage (E186): the PQ codes of every indexed vector in a
     * CELL-PARTITIONED engine table beside the IVF index — codebooks train
     * on the index's own (unit) vectors, and probes then read ONLY the

@@ -87,4 +87,25 @@ class PqOpsSpec extends SparkSpec {
     assert(top.groupBy("qid").count().select("count").as[Long].collect()
       .forall(_ === 3L), "k rows per query")
   }
+
+  test("residual IVF-PQ (E191): residual codes keep the cluster structure; books persisted") {
+    import graft.ops.AnnIndex
+    val df = vecs.toDF("vec_id", "embedding")
+    val root = tmpDir("ivfpq-res")
+    val h = AnnIndex.create(spark, s"$root/idx", df, cells = 3)
+    AnnIndex.appendBatch(h, df, batchId = 0)
+    val (codes, books) = PqOps.buildPqCodesResidual(h, s"$root/codes", m = 2, k = 6)
+    assert(codes.customMeta("pq.books").exists(_.nonEmpty))
+    assert(codes.customMeta("pq.residual") === Some("true"))
+    // books round-trip exactly through the metadata encoding
+    assert(PqOps.booksFromString(codes.customMeta("pq.books").get) === books)
+    val queries = base.zipWithIndex.map { case (b, i) => (100L + i, b) }
+      .toDF("vec_id", "embedding")
+    val top = AnnIndex.probePqResidual(h, codes, books, queries, k = 3, nprobe = 1)
+    val byQ = top.select("qid", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2 % 3).toSet).toMap
+    byQ.foreach { case (q, clusters) =>
+      assert(clusters.size === 1, s"query $q crossed clusters: $clusters")
+    }
+  }
 }
