@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -75,7 +75,12 @@ object ExportOps {
 
   def exportDelta(corpus: TransactionalTable, exportRoot: String,
       fromVersion: Long, toVersion: Long, nShards: Int, capacity: Long,
-      idCol: String = "doc_id", textCol: String = "text"): ExportResult = {
+      idCol: String = "doc_id", textCol: String = "text",
+      /** Row size for bin packing: whitespace token count by default (the
+        * text-corpus contract); pass e.g. `length(_)` for BYTE-budget
+        * shards over a BINARY media corpus (E192). */
+      sizeOf: Column => Column = c => size(TextOps.tokens(c)).cast("long"))
+      : ExportResult = {
     require(nShards > 0 && capacity > 0, "nShards and capacity must be positive")
     val spark = corpus.spark
     val m = manifest(spark, exportRoot)
@@ -86,7 +91,7 @@ object ExportOps {
       // an id re-inserted in the SAME interval is alive, not tombstoned
       .join(inserts.select(col(idCol)), Seq(idCol), "left_anti")
     val toks = inserts.select(col(idCol), col(textCol),
-      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      sizeOf(col(textCol)).cast("long").as("n_tokens"))
     // deterministic shard + in-shard position (md5 order), then the
     // per-shard running token sum cuts capacity-sized bins — both windows
     // share the shard partitioning: ONE exchange end to end

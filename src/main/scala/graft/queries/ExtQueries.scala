@@ -1586,6 +1586,58 @@ object ExtQueries {
              |) AS t(media_id, frame_idx, width, height, mean_luma)
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // X5: MEDIA export (E192) — the byte-budget twin of the text-corpus
+    // publication: a BINARY media corpus's changelog delta shards and
+    // packs by PAYLOAD BYTES (sizeOf = length(content)) instead of token
+    // count — same md5 shard rule, same fenced manifest. Payload byte
+    // sizes are closed-form (the deterministic GIF encoder), so the
+    // oracle pins them and replays the shard/pack arithmetic in SQL.
+    Q("x5_media_export",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageCodec
+        def gif(i: Int): Array[Byte] =
+          ImageCodec.writeGifAnimation(4 + i, 3,
+            Seq(0x101010 * i, 0x0000ff))
+        val root = java.nio.file.Files.createTempDirectory("graft_mexp").toString
+        val corpus = graft.table.TransactionalTable.create(s, s"$root/media",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "media_id LONG, content BINARY"), "media_id", None)
+        corpus.append((1 to 2).map(i => (i.toLong, gif(i))).toDF("media_id", "content"),
+          batchId = 0)
+        val v0 = corpus.currentVersion
+        corpus.append((3 to 5).map(i => (i.toLong, gif(i))).toDF("media_id", "content"),
+          batchId = 1)
+        val v1 = corpus.currentVersion
+        val r = graft.ops.ExportOps.exportDelta(corpus, s"$root/exp", v0, v1,
+          nShards = 2, capacity = 256L, idCol = "media_id", textCol = "content",
+          sizeOf = length(_).cast("long"))
+        require(r.exported, "the delta must publish")
+        s.read.parquet(r.dir)
+          .select(col("shard"), col("bin"), col("pos"), col("media_id"),
+            col("n_tokens"))
+          .orderBy("shard", "pos")
+      },
+      Some {
+        val lens = (3 to 5).map { i =>
+          i.toLong -> graft.ops.ImageCodec.writeGifAnimation(4 + i, 3,
+            Seq(0x101010 * i, 0x0000ff)).length
+        }
+        val vals = lens.map { case (i, l) =>
+          s"(CAST($i AS BIGINT), CAST($l AS BIGINT))" }.mkString(", ")
+        s"""WITH t AS (SELECT * FROM (VALUES $vals) AS v(media_id, n_tokens)),
+           |h AS (SELECT media_id, n_tokens,
+           |  CAST(concat('0x', substring(md5(CAST(media_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+           |  FROM t),
+           |cum AS (SELECT media_id, n_tokens, CAST(_h % 2 AS INT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY _h % 2 ORDER BY _h, media_id) - 1 AS INT) AS pos,
+           |  CAST(SUM(n_tokens) OVER (PARTITION BY _h % 2 ORDER BY _h, media_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+           |  FROM h)
+           |SELECT shard, (c - n_tokens) // 256 AS bin, pos, media_id, n_tokens
+           |FROM cum ORDER BY shard, pos""".stripMargin
+      }),
+
     // X5: image NEAR-DUP — perceptual hash (dHash over the decoded 8×8
     // thumbnail) + Hamming-banded candidate join, the LAION-style image
     // dedup modality. Fixtures are 8×8 GRAYSCALE images (gray luma = pixel
