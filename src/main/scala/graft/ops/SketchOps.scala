@@ -76,4 +76,47 @@ object SketchOps {
       .groupBy("row", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
   }
+
+  /**
+   * Bounded LOG₂ HISTOGRAM (E193) — the fixed-size distribution summary a
+   * 100 TB corpus can afford: positive values land in bucket
+   * ⌊log₂ v⌋ (≤ 64 buckets regardless of corpus size; the bucket index is
+   * the BIT LENGTH of the value minus one — integer-exact, no libm), one
+   * map-side-combinable groupBy over ≤ 64 keys. Output (bucket, lo, cnt,
+   * cum) with lo = 2^bucket and the running cumulative count — mergeable
+   * by summing cnt per bucket. Values < 1 are excluded (token/byte sizes
+   * of kept corpus rows are ≥ 1 by construction; a caller tracking empties
+   * counts them separately).
+   */
+  def logHistogram(df: DataFrame, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket")) // ≤ 64 rows — a single-partition window is fine
+    df.filter(col(valueCol) >= 1)
+      .withColumn("bucket", (length(bin(col(valueCol).cast("long"))) - 1).cast("int"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", expr("CAST(shiftleft(1L, bucket) AS BIGINT)"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .select("bucket", "lo", "cnt", "cum")
+  }
+
+  /** Quantile estimates from the histogram: for each requested percentile
+    * p (integer 0–100), the LOWER BOUND (2^bucket) of the first bucket
+    * whose cumulative count reaches p% of the total — the crossing rule
+    * is the integer comparison cum·100 ≥ p·total (no floating point), so
+    * any engine replays the same bucket choice. Estimates are
+    * order-of-magnitude by construction (the honest contract of a
+    * 64-bucket sketch). */
+  def histQuantiles(hist: DataFrame, ps: Seq[Int]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val total = hist.agg(sum(col("cnt")).as("_tot"))
+    val pdf = ps.toDF("p")
+    hist.crossJoin(broadcast(total)).crossJoin(broadcast(pdf))
+      .filter(col("cum") * 100 >= col("p") * col("_tot"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p"))
+          .orderBy(col("bucket"))))
+      .filter(col("_rk") === 1)
+      .select(col("p"), col("lo").as("est"))
+  }
 }

@@ -253,6 +253,51 @@ object PipelineQueries {
       },
       Some(DuckExportSql)),
 
+    // X4: bounded LOG2 histogram (E193) — the fixed-size distribution
+    // summary (≤ 64 buckets at any corpus size; bucket = bit-length − 1,
+    // integer-exact, no libm), one map-combinable groupBy. Mergeable by
+    // summing cnt per bucket.
+    Q("x4_length_histogram",
+      (s, d) => SketchOps.logHistogram(
+        Tables.load(s, d, "documents")
+          .select(size(TextOps.tokens(col("text"))).cast("long").as("n")), "n")
+        .orderBy("bucket"),
+      Some(s"""WITH t AS (SELECT CAST(len($DuckToks) AS BIGINT) AS n FROM documents),
+             |h AS (SELECT CAST(length(bin(n)) - 1 AS INT) AS bucket,
+             |        CAST(COUNT(*) AS BIGINT) AS cnt
+             |      FROM t WHERE n >= 1 GROUP BY 1)
+             |SELECT bucket, CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS lo, cnt,
+             |  CAST(SUM(cnt) OVER (ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |FROM h ORDER BY bucket""".stripMargin)),
+
+    // X4: histogram QUANTILES (E193) — p50/p90/p99 as the lower bound of
+    // the first bucket whose cumulative reaches p% of the total; the
+    // crossing rule is the integer comparison cum·100 >= p·total, so any
+    // engine replays the same bucket choice.
+    Q("x4_length_quantiles",
+      (s, d) => {
+        val hist = SketchOps.logHistogram(
+          Tables.load(s, d, "documents")
+            .select(size(TextOps.tokens(col("text"))).cast("long").as("n")), "n")
+        SketchOps.histQuantiles(hist, Seq(50, 90, 99)).orderBy("p")
+      },
+      Some(s"""WITH t AS (SELECT CAST(len($DuckToks) AS BIGINT) AS n FROM documents),
+             |h AS (SELECT CAST(length(bin(n)) - 1 AS INT) AS bucket,
+             |        CAST(COUNT(*) AS BIGINT) AS cnt
+             |      FROM t WHERE n >= 1 GROUP BY 1),
+             |ch AS (SELECT bucket, CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS lo,
+             |         CAST(SUM(cnt) OVER (ORDER BY bucket
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |       FROM h),
+             |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM h),
+             |ps AS (SELECT CAST(unnest([50, 90, 99]) AS INT) AS p)
+             |SELECT p, est FROM (
+             |  SELECT ps.p, ch.lo AS est,
+             |    row_number() OVER (PARTITION BY ps.p ORDER BY ch.bucket) AS rk
+             |  FROM ps, ch, tot WHERE ch.cum * 100 >= ps.p * tot.tot) z
+             |WHERE rk = 1 ORDER BY p""".stripMargin)),
+
     // Benchmark decontamination: 3-gram containment of each "benchmark" doc
     // (doc_id < 20 stands in for the eval set) inside each corpus doc —
     // catches eval leakage that Jaccard misses (long doc ⊇ short benchmark).
