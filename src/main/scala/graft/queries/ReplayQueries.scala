@@ -2401,6 +2401,58 @@ object ReplayQueries {
            |) AS t(device, dev_events, total, na, n) ORDER BY device""".stripMargin
       }),
 
+    // DERIVED-column MV maintenance (E194): a computed metric over
+    // maintained aggregates (SUM(amount)/COUNT(*) — the per-event average
+    // ticket, the ratio shape every summary table carries) recomputes per
+    // merged group from the exactly-maintained companions, append AND
+    // retraction; an UPDATE + group-killing DELETE + INSERT ride one
+    // interval. Reason must name the retraction path (never recompute).
+    Q("cdc_sql_mv_derived",
+      (s, _) => {
+        val cat = s"graft_mdr${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mdr").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.ev_ratio " +
+          s"TBLPROPERTIES('pk'='event') AS " +
+          s"SELECT event, SUM(amount) AS total, COUNT(amount) AS na, " +
+          s"COUNT(*) AS n, SUM(amount) / CAST(COUNT(*) AS DOUBLE) AS avg_ticket " +
+          s"FROM $cat.db.retail GROUP BY event")
+        s.sql(s"UPDATE $cat.db.retail SET amount = amount + 100 WHERE trans_id = 19")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE event = 'list'")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'visit', 'SKU500', 7, 'pc', NULL)")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.ev_ratio')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-agg-retract"),
+          s"expected the retraction path with the derived column, got '$refreshed'")
+        s.sql(s"SELECT event, total, na, n, avg_ticket FROM $cat.db.ev_ratio " +
+          "ORDER BY event")
+      },
+      Some {
+        val after = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) }
+          .map { case (id, ev, amt) => (id, ev, if (id == 19L) amt + 100 else amt) }
+          .filter { case (_, ev, _) => ev != "list" } :+
+          ((500L, "visit", 7)))
+        val rows = after.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (ev, rs) =>
+            val sum = rs.map(_._3.toLong).sum
+            val ratio = sum.toDouble / rs.size
+            s"('$ev', CAST($sum AS BIGINT), CAST(${rs.size} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT), CAST($ratio AS DOUBLE))"
+          }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, total, na, n, avg_ticket) ORDER BY event""".stripMargin
+      }),
+
     // SUM/AVG(DISTINCT) MV maintenance (E182): the SAME value-count aux
     // answers every distinct aggregate — the overlay reads SUM(__val) /
     // AVG(__val) over the live aux rows per changed group, so collapsing

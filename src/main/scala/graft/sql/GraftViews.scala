@@ -1104,7 +1104,11 @@ private[sql] object GraftMvRefresh {
     * aggregate's input expression (None for COUNT(*)) — needed to pair each
     * SUM(x) with its COUNT(x) under retraction. */
   final case class AggOut(name: String, kind: String,
-      arg: Option[org.apache.spark.sql.catalyst.expressions.Expression]) {
+      arg: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      /** The declared AggregateExpression for bare outputs (the E194
+        * derived-column substitution matches embedded aggregates against
+        * these); for kind = "derived", `arg` holds the full expression. */
+      ae: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None) {
     def withName(n: String): AggOut = copy(name = n)
   }
 
@@ -1190,14 +1194,58 @@ private[sql] object GraftMvRefresh {
                 Some("avg" -> ae.aggregateFunction.children.headOption)
               case _ => None
             }
-            kind.foreach { case (k, arg) => aggs += AggOut(outName(out), k, arg) }
+            kind.foreach { case (k, arg) =>
+              aggs += AggOut(outName(out), k, arg, ae = Some(ae)) }
             kind.isDefined
-          case _ => false // arithmetic over an aggregate, or unnamed shape
+          // DERIVED column (E194): a deterministic NUMERIC scalar
+          // expression over aggregates (SUM(a)/COUNT(*) AS ratio) — the
+          // merged value recomputes post-merge from the exactly-maintained
+          // companion outputs. Leaves must be aggregates or literals (a
+          // raw child attribute would be unresolvable post-merge); the
+          // companion-presence gate runs below once all outputs are known.
+          case Alias(expr, out) if expr.deterministic &&
+              expr.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+              expr.collect { case ae: AggregateExpression => ae }
+                .forall(ae => ae.filter.isEmpty && !ae.isDistinct) &&
+              !expr.transform { case _: AggregateExpression =>
+                org.apache.spark.sql.catalyst.expressions.Literal(1)
+              }.exists(_.isInstanceOf[Attribute]) =>
+            aggs += AggOut(outName(out), "derived", Some(expr))
+            true
+          case _ => false // unnamed shape
         }
       }
       val g = groups.result()
-      if (ok && g.nonEmpty) Some((g, aggs.result())) else None
+      if (ok && g.nonEmpty) {
+        val as = aggs.result()
+        // E194 gate: every aggregate EMBEDDED in a derived output must
+        // semantically equal the AE of a declared bare output — the merge
+        // substitutes the maintained column for it
+        val bare = as.filter(_.kind != "derived")
+          .flatMap(_.ae).map(_.canonicalized).toSet
+        val derivedOk = as.filter(_.kind == "derived").forall(_.arg.get.collect {
+          case ae: AggregateExpression => ae
+        }.forall(ae => bare(ae.canonicalized)))
+        if (derivedOk) Some((g, as)) else None
+      } else None
     }
+  }
+
+  /** E194: a derived output's expression with every embedded aggregate
+    * replaced by the maintained output COLUMN it matches — evaluated over
+    * the post-merge combined frame. */
+  private def derivedColumn(a: AggOut, aggCols: Seq[AggOut])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val names = aggCols.collect {
+      case c if c.kind != "derived" && c.ae.isDefined =>
+        c.ae.get.canonicalized -> c.name
+    }.toMap
+    org.apache.spark.sql.graftshim.GraftShims.column(a.arg.get.transform {
+      case ae: AggregateExpression if names.contains(ae.canonicalized) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(names(ae.canonicalized))
+    })
   }
 
   /** Try the incremental path: Some((label, affectedRows, updated source
@@ -1861,10 +1909,19 @@ private[sql] object GraftMvRefresh {
                   org.apache.spark.sql.functions.lit(null))
                 .otherwise(addOf(sC.name)
                   .cast(org.apache.spark.sql.types.DoubleType) / cnt)
+            // E194: placeholder — recomputed below from the merged companions
+            case "derived" => org.apache.spark.sql.functions.lit(null)
             case other => throw new IllegalStateException(s"unexpected agg kind $other")
           }).cast(tpe).as(c)
         }
-    val combined = d.join(sSub, keyCond, "left").select(combinedCols: _*)
+    val combined0 = d.join(sSub, keyCond, "left").select(combinedCols: _*)
+    // E194: derived columns recompute per merged group from the
+    // exactly-maintained companion outputs
+    val combinedD = aggCols.filter(_.kind == "derived").foldLeft(combined0) {
+      (df, a) => df.withColumn(a.name,
+        derivedColumn(a, aggCols).cast(storage.schema(a.name).dataType))
+    }
+    val combined = combinedD
       // align to the storage column ORDER (merge aligns by position for
       // the write path's schema checks)
       .select(storage.schema.fieldNames.map(fcol).toIndexedSeq: _*)
@@ -2124,7 +2181,7 @@ private[sql] object GraftMvRefresh {
   private def retractEligible(aggCols: Seq[AggOut]): Boolean = {
     val kindsOk = aggCols.forall(a =>
       Set("sum", "count", "count_star", "avg", "count_distinct",
-        "sum_distinct", "avg_distinct")(a.kind))
+        "sum_distinct", "avg_distinct", "derived")(a.kind))
     val hasStar = aggCols.exists(_.kind == "count_star")
     def countFor(arg: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
       aggCols.exists(c => c.kind == "count" && c.arg.exists(_.semanticEquals(arg)))
@@ -2205,6 +2262,8 @@ private[sql] object GraftMvRefresh {
             .otherwise(sNew.cast(org.apache.spark.sql.types.DoubleType) / nNew)
         // E180/E182: placeholder — the real value is overlaid from the aux
         case "count_distinct" | "sum_distinct" | "avg_distinct" => lit(null)
+        // E194: placeholder — recomputed below from the merged companions
+        case "derived" => lit(null)
         case other => throw new IllegalStateException(s"unexpected retract kind $other")
       }).cast(tpe).as(a.name)
     }
@@ -2227,7 +2286,13 @@ private[sql] object GraftMvRefresh {
           else fcol(s"c.$f")
         }.toIndexedSeq: _*)
     }
-    val combined = combinedX
+    // E194: derived columns recompute per merged group (after the distinct
+    // overlays; embedded DISTINCT aggregates are gated out at classification)
+    val combinedY = aggCols.filter(_.kind == "derived").foldLeft(combinedX) {
+      (df, a) => df.withColumn(a.name,
+        derivedColumn(a, aggCols).cast(storage.schema(a.name).dataType))
+    }
+    val combined = combinedY
       .localCheckpoint(true) // one computation feeds the sanity check + both merge legs
     // sanity: a negative row count means the baseline diverged from the
     // interval (should be impossible under the fence) — refuse loudly

@@ -825,6 +825,76 @@ class ViewSqlSpec extends SparkSpec {
       === ((30L, 2L)))
   }
 
+  test("aggregate MV: DERIVED columns recompute from maintained companions (E194)") {
+    val (cat, _) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.drv " +
+      s"TBLPROPERTIES('pk'='grp') AS " +
+      s"SELECT grp, SUM(v) AS sv, COUNT(v) AS nv, COUNT(*) AS n, " +
+      s"SUM(v) / CAST(COUNT(*) AS DOUBLE) AS ratio " +
+      s"FROM $cat.db.ev GROUP BY grp")
+    def rows(): Seq[(String, Option[Long], Long, Long, Option[Double])] =
+      spark.sql(s"SELECT grp, sv, nv, n, ratio FROM $cat.db.drv ORDER BY grp")
+        .as[(String, Option[Long], Long, Long, Option[Double])].collect().toSeq
+    assert(rows() === Seq(("a", Some(30L), 2L, 2L, Some(15.0)),
+      ("b", Some(5L), 1L, 1L, Some(5.0))))
+    // append-only interval: the merged ratio must come from the POST-merge
+    // sums, not the delta's own partial ratio
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',30), (5,'c',8)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.drv')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental-agg"), s"got: $r1")
+    assert(rows() === Seq(("a", Some(60L), 3L, 3L, Some(20.0)),
+      ("b", Some(5L), 1L, 1L, Some(5.0)), ("c", Some(8L), 1L, 1L, Some(8.0))))
+    // retraction: UPDATE + group-killing DELETE — ratio follows the
+    // retracted companions
+    spark.sql(s"UPDATE $cat.db.ev SET v = 40 WHERE id = 1")
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE grp = 'b'")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.drv')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-agg-retract"), s"got: $r2")
+    assert(rows() === Seq(("a", Some(90L), 3L, 3L, Some(30.0)),
+      ("c", Some(8L), 1L, 1L, Some(8.0))))
+  }
+
+  test("derived column over an UNDECLARED aggregate falls back to recompute (E194 gate)") {
+    val (cat, _) = freshGrouped()
+    // ratio embeds SUM(v + 1), which is NOT declared as a bare output
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.drvbad " +
+      s"TBLPROPERTIES('pk'='grp') AS " +
+      s"SELECT grp, SUM(v) AS sv, COUNT(*) AS n, " +
+      s"SUM(v + 1) / CAST(COUNT(*) AS DOUBLE) AS ratio " +
+      s"FROM $cat.db.ev GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',30)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.drvbad')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("stale:"), s"unmatched embedded aggregate must recompute, got: $r")
+    assert(spark.sql(s"SELECT ratio FROM $cat.db.drvbad WHERE grp = 'a'")
+      .as[Double].head() === 21.0) // (11+21+31)/3
+  }
+
+  test("join MV: derived columns ride the agg-over-join tiers (E194)") {
+    val (cat, w) = freshGrouped()
+    TransactionalTable.create(spark, s"$w/db/g3",
+      org.apache.spark.sql.types.StructType.fromDDL("grp STRING, tag STRING"),
+      "grp", None)
+    spark.sql(s"INSERT INTO $cat.db.g3 VALUES ('a','x'), ('b','x')")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jdrv TBLPROPERTIES('pk'='tag') AS " +
+      s"SELECT g.tag, SUM(e.v) AS sv, COUNT(e.v) AS nv, COUNT(*) AS n, " +
+      s"SUM(e.v) / CAST(COUNT(*) AS DOUBLE) AS ratio " +
+      s"FROM $cat.db.ev e JOIN $cat.db.g3 g ON e.grp = g.grp GROUP BY g.tag")
+    assert(spark.sql(s"SELECT sv, n, ratio FROM $cat.db.jdrv")
+      .as[(Long, Long, Double)].head() === ((35L, 3L, 35.0 / 3)))
+    // retraction through the join tier: the derived ratio recomputes from
+    // the netted companions
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 3")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (6,'a',25)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.jdrv')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-join-agg-retract"), s"got: $r")
+    assert(spark.sql(s"SELECT sv, n, ratio FROM $cat.db.jdrv")
+      .as[(Long, Long, Double)].head() === ((55L, 3L, 55.0 / 3)))
+  }
+
   test("COUNT(DISTINCT) aux: per-source fences heal a crash between aux and storage commits") {
     val (cat, w) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.cdv " +
