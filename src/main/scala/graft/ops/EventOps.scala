@@ -38,4 +38,52 @@ object EventOps {
         (max(us) - min(us)).as("duration_us"))
       .orderBy(userCol, "session_id")
   }
+
+  /**
+   * Ordered EVENT-FUNNEL analysis (E195) — the product-analytics staple:
+   * how far through an ordered stage sequence (view → click → purchase)
+   * each user progressed, where stage k+1 only counts STRICTLY AFTER the
+   * event that completed stage k (same-timestamp ties break on the id
+   * column — deterministic, so an external oracle replays the fold).
+   *
+   * ONE aggregation: events filtered to the stage types, collected per
+   * user as a sorted (ts, id, type) array and folded with the `aggregate`
+   * higher-order function (codegen'd — no UDF): the accumulator is the
+   * current stage, an element advances it iff it matches the NEXT stage.
+   * Per-user array size is bounded by that user's stage-typed events —
+   * the usual funnel-analysis contract (a user with millions of events
+   * is a bot; cap upstream). Returns (userCol, stage) with stage in
+   * [0, #stages].
+   */
+  def funnelStages(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val evs = events.filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol).as("t"), col(tieCol).as("i"),
+          col(typeCol).as("et")))).as("_evs"))
+    val fold = aggregate(col("_evs"), lit(0), (acc, e) =>
+      stages.zipWithIndex.foldLeft(when(lit(false), acc)) {
+        case (w, (st, i)) => w.when(acc === i && e.getField("et") === st, lit(i + 1))
+      }.otherwise(acc))
+    evs.select(col(userCol), fold.as("stage"))
+  }
+
+  /** Funnel summary: per stage k ≥ 1, how many users REACHED it (stage ≥ k)
+    * — the standard conversion read-out. */
+  def funnelCounts(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val st = funnelStages(events, stages, userCol, typeCol, tsCol, tieCol)
+    val ks = (1 to stages.size).toDF("stage_k")
+    st.crossJoin(broadcast(ks))
+      .filter(col("stage") >= col("stage_k"))
+      .groupBy(col("stage_k"))
+      .agg(count(lit(1)).as("users"))
+      .select(col("stage_k").as("stage"), col("users"))
+  }
 }

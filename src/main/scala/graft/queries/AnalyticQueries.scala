@@ -622,5 +622,38 @@ object AnalyticQueries {
              |  max(us) - min(us) AS duration_us
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin),
-      headline = true))
+      headline = true),
+
+    // Ordered event-FUNNEL analysis (E195): users reaching each stage of
+    // view → click → purchase IN ORDER (stage k+1 strictly after the event
+    // completing stage k; ties break on event_id). The engine folds each
+    // user's sorted events once with the codegen'd `aggregate` HOF; the
+    // oracle states the equivalent sequential-min formulation — both are
+    // exactly "first qualifying event after the previous stage".
+    Q("x7_event_funnel",
+      (s, d) => graft.ops.EventOps.funnelCounts(Tables.events(s, d),
+          stages = Seq("view", "click", "purchase"))
+        .orderBy("stage"),
+      Some("""WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+             |          WHERE event_type IN ('view', 'click', 'purchase')),
+             |r AS (SELECT user_id, event_type,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+             |      FROM e),
+             |t1 AS (SELECT user_id, min(rnk) AS r1 FROM r
+             |       WHERE event_type = 'view' GROUP BY user_id),
+             |t2 AS (SELECT r.user_id, min(rnk) AS r2 FROM r JOIN t1 USING (user_id)
+             |       WHERE event_type = 'click' AND rnk > r1 GROUP BY r.user_id),
+             |t3 AS (SELECT r.user_id, min(rnk) AS r3 FROM r JOIN t2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND rnk > r2 GROUP BY r.user_id),
+             |st AS (SELECT u.user_id,
+             |         CASE WHEN t3.user_id IS NOT NULL THEN 3
+             |              WHEN t2.user_id IS NOT NULL THEN 2
+             |              WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+             |       FROM (SELECT DISTINCT user_id FROM e) u
+             |       LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+             |       LEFT JOIN t3 USING (user_id)),
+             |ks AS (SELECT CAST(unnest([1, 2, 3]) AS INT) AS stage_k)
+             |SELECT stage_k AS stage, CAST(COUNT(*) AS BIGINT) AS users
+             |FROM ks JOIN st ON st.stage >= ks.stage_k
+             |GROUP BY 1 ORDER BY stage""".stripMargin)))
 }
