@@ -71,6 +71,26 @@ object EventOps {
     evs.select(col(userCol), fold.as("stage"))
   }
 
+  /**
+   * RETENTION COHORTS (E196) — the funnel's companion read-out: users
+   * bucketed by their FIRST-activity week (the cohort), counted per
+   * (cohort, weeks-since-first) cell. Weeks are 7-day buckets of the
+   * integer epoch-day (`us div 86400e6 div 7`) — calendar-free and
+   * integer-exact, so any engine replays the same cells. Two hash
+   * aggregations + one user-keyed join, all on the same key — one
+   * exchange shape at any scale.
+   */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val wk = expr(
+      s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000 div 7")
+    val byUser = events.select(col(userCol), wk.as("wk"))
+    val cohorts = byUser.groupBy(col(userCol)).agg(min(col("wk")).as("cohort"))
+    byUser.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset_weeks"))
+      .agg(countDistinct(col(userCol)).as("users"))
+  }
+
   /** Funnel summary: per stage k ≥ 1, how many users REACHED it (stage ≥ k)
     * — the standard conversion read-out. */
   def funnelCounts(events: DataFrame, stages: Seq[String],

@@ -655,5 +655,21 @@ object AnalyticQueries {
              |ks AS (SELECT CAST(unnest([1, 2, 3]) AS INT) AS stage_k)
              |SELECT stage_k AS stage, CAST(COUNT(*) AS BIGINT) AS users
              |FROM ks JOIN st ON st.stage >= ks.stage_k
-             |GROUP BY 1 ORDER BY stage""".stripMargin)))
+             |GROUP BY 1 ORDER BY stage""".stripMargin)),
+
+    // RETENTION cohorts (E196): users bucketed by first-activity week,
+    // counted per (cohort, weeks-since-first) cell — integer-exact 7-day
+    // epoch buckets (calendar-free), so both engines compute identical
+    // cells.
+    Q("x7_retention_cohorts",
+      (s, d) => graft.ops.EventOps.retentionCohorts(Tables.events(s, d))
+        .orderBy("cohort", "offset_weeks"),
+      Some("""WITH w AS (SELECT user_id,
+             |            epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS wk
+             |          FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id)
+             |SELECT c.cohort, w.wk - c.cohort AS offset_weeks,
+             |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS users
+             |FROM w JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort, offset_weeks""".stripMargin)))
 }
