@@ -2401,6 +2401,60 @@ object ReplayQueries {
            |) AS t(device, dev_events, total, na, n) ORDER BY device""".stripMargin
       }),
 
+    // MIN/MAX RETRACTION via the value-count aux (E197, opt-in
+    // TBLPROPERTIES('retract_minmax')): deleting the row that holds a
+    // group's extremum re-derives MIN/MAX from the LIVE value multiset —
+    // the one thing the cheap least/greatest fold cannot do — while
+    // duplicate-extremum churn stays flat; group death and an UPDATE
+    // moving the max ride the same interval. Reason must name the aux
+    // path (never recompute).
+    Q("cdc_sql_mv_minmax_retract",
+      (s, _) => {
+        val cat = s"graft_mmr${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mmr").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.ev_range " +
+          s"TBLPROPERTIES('pk'='event', 'retract_minmax'='true') AS " +
+          s"SELECT event, MIN(amount) AS mn, MAX(amount) AS mx, " +
+          s"SUM(amount) AS total, COUNT(amount) AS na, COUNT(*) AS n " +
+          s"FROM $cat.db.retail GROUP BY event")
+        // an UPDATE that MOVES an extremum, a group-killing delete, a birth
+        s.sql(s"UPDATE $cat.db.retail SET amount = 1 WHERE trans_id = 19")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE event = 'list'")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'visit', 'SKU500', 999, 'pc', NULL)")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.ev_range')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-agg-distinct"),
+          s"expected the aux path for MIN/MAX retraction, got '$refreshed'")
+        s.sql(s"SELECT event, mn, mx, total, na, n FROM $cat.db.ev_range " +
+          "ORDER BY event")
+      },
+      Some {
+        val after = (CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, amt, _, _) => (id, ev, amt) }
+          .map { case (id, ev, amt) => (id, ev, if (id == 19L) 1 else amt) }
+          .filter { case (_, ev, _) => ev != "list" } :+
+          ((500L, "visit", 999)))
+        val rows = after.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (ev, rs) =>
+            val as = rs.map(_._3.toLong)
+            s"('$ev', CAST(${as.min} AS BIGINT), CAST(${as.max} AS BIGINT), " +
+              s"CAST(${as.sum} AS BIGINT), CAST(${rs.size} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT))"
+          }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(event, mn, mx, total, na, n) ORDER BY event""".stripMargin
+      }),
+
     // DERIVED-column MV maintenance (E194): a computed metric over
     // maintained aggregates (SUM(amount)/COUNT(*) — the per-event average
     // ticket, the ratio shape every summary table carries) recomputes per

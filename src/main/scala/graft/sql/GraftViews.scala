@@ -1324,22 +1324,24 @@ private[sql] object GraftMvRefresh {
             val sameSchema =
               out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
                 storage.schema.fields.map(f => (f.name, f.dataType)).toSeq
-            val hasDistinct =
-              aggResolved.exists(_._2.exists(a => isDistinctKind(a.kind)))
+            val auxKinds = auxKindsFor(meta.properties)
+            val hasAux =
+              aggResolved.exists(_._2.exists(a => auxKinds(a.kind)))
             if (!sameSchema) None
-            else if (hasDistinct) {
-              // COUNT(DISTINCT) path (E180): EVERY interval — append-only
+            else if (hasAux) {
+              // AUX path (E180/E197): EVERY interval — append-only
               // included — routes through the per-group value-count AUX
               // table and the retraction-shaped merge (a new row can both
-              // raise a count and leave the distinct count flat; only the
-              // aux knows which).
+              // raise a count and leave the distinct count flat, and only
+              // the live value multiset can un-see a deleted extremum).
               val (groupCols, aggCols) = aggResolved.get
-              if (!distinctSupportOk(aggCols)) None
+              if (!distinctSupportOk(aggCols, auxKinds)) None
               else {
                 val delOut = applyDef(
                   delta.where(fcol("_change_type") === "delete").drop("_change_type"))
                 def pairsOf(images: org.apache.spark.sql.DataFrame) =
-                  distinctPairFrames(spark, applyDef(images), groupCols, aggCols)
+                  distinctPairFrames(spark, applyDef(images), groupCols, aggCols,
+                    auxKinds)
                 def signedPairs(d: org.apache.spark.sql.DataFrame) =
                   (pairsOf(d.where(fcol("_change_type") === "insert")
                      .drop("_change_type")),
@@ -1352,9 +1354,9 @@ private[sql] object GraftMvRefresh {
                   viewRoot, groupCols, aggCols, out, delOut, insP, delP,
                   bl => signedPairs(t.changes(bl(root), v1)),
                   name => distinctPairFrames(spark, applyDef(t.scanAt(v0)),
-                    groupCols, aggCols)(name),
+                    groupCols, aggCols, auxKinds)(name),
                   Map(root -> v0), Map(root -> v1), v0, v1, writerId, root,
-                  Map(s"$writerId#$root" -> v1), "agg-distinct")
+                  Map(s"$writerId#$root" -> v1), "agg-distinct", auxKinds)
                 Some((label, nG, Map(r -> v)))
               }
             } else if (!hasDeletes) aggResolved match {
@@ -1499,7 +1501,8 @@ private[sql] object GraftMvRefresh {
       // (E181) — the signed telescoping pair terms feed the per-group
       // value-count aux — under the same support gate as the single-source
       // tier (PK-able value type, full-IVM agg set)
-      if (ks.exists(a => isDistinctKind(a.kind)) && !distinctSupportOk(ks))
+      val auxK = auxKindsFor(meta.properties)
+      if (ks.exists(a => auxK(a.kind)) && !distinctSupportOk(ks, auxK))
         return None
     }
     val resolved = rels.flatMap { u =>
@@ -1572,8 +1575,9 @@ private[sql] object GraftMvRefresh {
         val bl0 = src.map { case (_, root, _, v0, _) => root -> v0 }.toMap
         val ds = dsAt(bl0)
         val hasDeletes = ds.exists(_._2.isDefined)
-        val hasDistinct =
-          aggResolved.exists(_._2.exists(a => isDistinctKind(a.kind)))
+        val auxKinds = auxKindsFor(meta.properties)
+        val hasAux =
+          aggResolved.exists(_._2.exists(a => auxKinds(a.kind)))
         // Deletes: the AGGREGATE tiers RETRACT via the counting algebra
         // below when the agg set is retract-eligible; the ROW-preserving
         // tiers retract ROW-WISE when the MV declares an EXPLICIT 'pk'
@@ -1583,7 +1587,7 @@ private[sql] object GraftMvRefresh {
         // multiplicities the table does not key).
         val keyedRow = aggResolved.isEmpty && meta.properties.contains("pk")
         if (hasDeletes && (if (aggResolved.nonEmpty)
-              !retractEligible(aggResolved.get._2) else !keyedRow)) None
+              !retractEligible(aggResolved.get._2, auxKinds) else !keyedRow)) None
         else {
           // the definition with each relation OCCURRENCE replaced by its
           // pinned frame. Substitution is by per-IDENTIFIER frame QUEUE:
@@ -1673,7 +1677,7 @@ private[sql] object GraftMvRefresh {
                 }
               }
           }
-          if (hasDistinct) {
+          if (hasAux) {
             // COUNT(DISTINCT) on the join/union tiers (E181): EVERY
             // interval — append-only included — routes the signed pair
             // terms through the per-group value-count aux and the
@@ -1689,7 +1693,8 @@ private[sql] object GraftMvRefresh {
                   : Map[String, org.apache.spark.sql.DataFrame] =
                 (if (terms.isEmpty) Seq(applyDef(src.indices.map(emptyLeg)))
                  else terms)
-                  .map(t => distinctPairFrames(spark, t, groupCols, aggCols))
+                  .map(t => distinctPairFrames(spark, t, groupCols, aggCols,
+                    auxKinds))
                   .reduce((m1, m2) => m1.map { case (k, df) =>
                     k -> df.unionByName(m2(k)) })
               val dIns =
@@ -1708,9 +1713,9 @@ private[sql] object GraftMvRefresh {
                        pairsOfTerms(termsAt(bl, _._2))),
                 name => distinctPairFrames(spark,
                   applyDef(src.map { case (_, _, t, v0, _) => t.scanAt(v0) }),
-                  groupCols, aggCols)(name),
+                  groupCols, aggCols, auxKinds)(name),
                 bl0, updated, bl0.values.sum, batchSum, writerId, roots.head,
-                extraFences, s"$tier-agg-distinct")
+                extraFences, s"$tier-agg-distinct", auxKinds)
               Some((label, nG, updated))
             }
           } else if (hasDeletes) {
@@ -1984,7 +1989,8 @@ private[sql] object GraftMvRefresh {
     * aggregateExpressions identically. */
   private def distinctPairFrames(spark: SparkSession,
       defFrame: org.apache.spark.sql.DataFrame,
-      groupCols: Seq[String], aggCols: Seq[AggOut])
+      groupCols: Seq[String], aggCols: Seq[AggOut],
+      auxKinds: Set[String])
       : Map[String, org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
@@ -1996,7 +2002,7 @@ private[sql] object GraftMvRefresh {
       .filterNot(_.exists(_.isInstanceOf[AggregateExpression]))
     val aggEntries = agg.aggregateExpressions
       .filter(_.exists(_.isInstanceOf[AggregateExpression]))
-    aggCols.zipWithIndex.collect { case (a, j) if isDistinctKind(a.kind) =>
+    aggCols.zipWithIndex.collect { case (a, j) if auxKinds(a.kind) =>
       val arg = aggEntries(j) match {
         case Alias(ae: AggregateExpression, _) =>
           ae.aggregateFunction.children.head
@@ -2049,11 +2055,12 @@ private[sql] object GraftMvRefresh {
       bootPairs: String => org.apache.spark.sql.DataFrame,
       baselines: Map[String, Long], targets: Map[String, Long],
       bootBatchId: Long, batchId: Long, writerId: String, root: String,
-      extraFences: Map[String, Long], tier: String)
+      extraFences: Map[String, Long], tier: String,
+      auxKinds: Set[String])
       : (String, Long, Long, String) = {
     import org.apache.spark.sql.functions.{coalesce, count => fcount, lit, sum => fsum, when}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val overlays = aggCols.filter(a => isDistinctKind(a.kind)).map { a =>
+    val overlays = aggCols.filter(a => auxKinds(a.kind)).map { a =>
       val auxRoot = s"$viewRoot/_aux_d_${a.name}"
       val keys = groupCols :+ "__val"
       val aux =
@@ -2124,7 +2131,12 @@ private[sql] object GraftMvRefresh {
         case "count_distinct" =>
           fsum(when(fcol("s2.cnt").isNotNull, 1L).otherwise(0L))
         case "sum_distinct" => fsum(fcol("s2.__val"))
-        case _ => org.apache.spark.sql.functions.avg(fcol("s2.__val"))
+        case "avg_distinct" => org.apache.spark.sql.functions.avg(fcol("s2.__val"))
+        // E197: MIN/MAX re-derive from the LIVE value multiset — exactly
+        // the "un-see the deleted extremum" the cheap fold cannot do
+        case "min" => org.apache.spark.sql.functions.min(fcol("s2.__val"))
+        case "max" => org.apache.spark.sql.functions.max(fcol("s2.__val"))
+        case other => throw new IllegalStateException(s"unexpected aux kind $other")
       }
       val counts = changed.join(s2, gcond, "left")
         .groupBy(groupCols.map(c => fcol(s"g.$c").as(c)): _*)
@@ -2161,6 +2173,18 @@ private[sql] object GraftMvRefresh {
   private[sql] def isDistinctKind(k: String): Boolean =
     k == "count_distinct" || k == "sum_distinct" || k == "avg_distinct"
 
+  /** The kinds routed through the value-count aux for a given view: the
+    * distinct family always; MIN/MAX too when the view OPTS IN via
+    * `TBLPROPERTIES('retract_minmax'='true')` (E197 — the aux's live
+    * per-group value multiset is exactly what "un-seeing" a deleted
+    * extremum needs; the cost is aux maintenance on every interval, which
+    * is why it is an explicit opt-in rather than the default cheap
+    * least/greatest fold). */
+  private def auxKindsFor(props: Map[String, String]): Set[String] =
+    Set("count_distinct", "sum_distinct", "avg_distinct") ++
+      (if (props.get("retract_minmax").contains("true")) Set("min", "max")
+       else Set.empty[String])
+
   /** DISTINCT-aggregate support (E180/E182): the value must be PK-able in
     * the aux table (string/integral for COUNT — the same constraint the
     * engine's MERGE places on any key; integral only for SUM/AVG, which
@@ -2168,20 +2192,24 @@ private[sql] object GraftMvRefresh {
     * the full-IVM shape ([[retractEligible]] — the distinct path routes
     * every interval, append-only included, through the retraction-shaped
     * merge). */
-  private def distinctSupportOk(aggCols: Seq[AggOut]): Boolean = {
+  private def distinctSupportOk(aggCols: Seq[AggOut],
+      auxKinds: Set[String]): Boolean = {
     import org.apache.spark.sql.types._
-    aggCols.filter(a => isDistinctKind(a.kind)).forall(a =>
+    aggCols.filter(a => auxKinds(a.kind)).forall(a =>
       a.arg.exists(_.dataType match {
-        case StringType => a.kind == "count_distinct"
+        // the value is the aux PK; SUM/AVG must also arithmetic over it
+        case StringType =>
+          a.kind == "count_distinct" || a.kind == "min" || a.kind == "max"
         case LongType | IntegerType | ShortType | ByteType => true
         case _ => false
-      })) && retractEligible(aggCols)
+      })) && retractEligible(aggCols, auxKinds)
   }
 
-  private def retractEligible(aggCols: Seq[AggOut]): Boolean = {
+  private def retractEligible(aggCols: Seq[AggOut],
+      auxKinds: Set[String] = Set.empty): Boolean = {
     val kindsOk = aggCols.forall(a =>
-      Set("sum", "count", "count_star", "avg", "count_distinct",
-        "sum_distinct", "avg_distinct", "derived")(a.kind))
+      (Set("sum", "count", "count_star", "avg", "count_distinct",
+        "sum_distinct", "avg_distinct", "derived") ++ auxKinds)(a.kind))
     val hasStar = aggCols.exists(_.kind == "count_star")
     def countFor(arg: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
       aggCols.exists(c => c.kind == "count" && c.arg.exists(_.semanticEquals(arg)))
@@ -2238,9 +2266,12 @@ private[sql] object GraftMvRefresh {
       case a if a.kind == "count" && a.arg.isDefined =>
         a.arg.get.canonicalized.toString -> a
     }.toMap
+    val auxNames = distinctCounts.map(_._1.name).toSet
     val combinedCols = groupCols.map(c => fcol(s"d.$c").as(c)) ++ aggCols.map { a =>
       val tpe = storage.schema(a.name).dataType
-      (a.kind match {
+      // any aux-overlaid column (distinct family; MIN/MAX under E197) is a
+      // placeholder here — the real value lands from the aux below
+      (if (auxNames(a.name)) lit(null) else a.kind match {
         case "count" | "count_star" => newCountExpr(a)
         case "sum" =>
           val pairedCount = countByArg(a.arg.get.canonicalized.toString)

@@ -895,6 +895,66 @@ class ViewSqlSpec extends SparkSpec {
       .as[(Long, Long, Double)].head() === ((55L, 3L, 55.0 / 3)))
   }
 
+  test("aggregate MV: MIN/MAX retract via the value-count aux when opted in (E197)") {
+    val (cat, w) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.mmx " +
+      s"TBLPROPERTIES('pk'='grp', 'retract_minmax'='true') AS " +
+      s"SELECT grp, MIN(v) AS mn, MAX(v) AS mx, SUM(v) AS sv, " +
+      s"COUNT(v) AS nv, COUNT(*) AS n " +
+      s"FROM $cat.db.ev GROUP BY grp")
+    def rows(): Seq[(String, Option[Long], Option[Long], Long)] =
+      spark.sql(s"SELECT grp, mn, mx, n FROM $cat.db.mmx ORDER BY grp")
+        .as[(String, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(rows() === Seq(("a", Some(10L), Some(20L), 2L), ("b", Some(5L), Some(5L), 1L)))
+    // append-only interval still routes through the aux (it must see every
+    // value to retract later); a duplicate of the current max arrives
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (4,'a',20), (5,'a',3)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('db.mmx')")
+      .select("reason").as[String].head()
+    assert(r1.startsWith("incremental-agg-distinct"), s"got: $r1")
+    assert(rows() === Seq(("a", Some(3L), Some(20L), 4L), ("b", Some(5L), Some(5L), 1L)))
+    // retract ONE copy of the duplicated max: flat (only the aux knows)
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 2")
+    spark.sql(s"CALL $cat.system.refresh_mv('db.mmx')").collect()
+    assert(rows() === Seq(("a", Some(3L), Some(20L), 3L), ("b", Some(5L), Some(5L), 1L)))
+    // retract the LAST copy of the max AND the current min in one
+    // interval: both re-derive from the live multiset
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 4")
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 5")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.mmx')")
+      .select("reason").as[String].head()
+    assert(r2.startsWith("incremental-agg-distinct"), s"got: $r2")
+    assert(rows() === Seq(("a", Some(10L), Some(10L), 1L), ("b", Some(5L), Some(5L), 1L)))
+    // group death still rides count_star
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE grp = 'b'")
+    spark.sql(s"CALL $cat.system.refresh_mv('db.mmx')").collect()
+    assert(rows() === Seq(("a", Some(10L), Some(10L), 1L)))
+    assert(TransactionalTable.exists(s"$w/db/mmx/_aux_d_mn") &&
+      TransactionalTable.exists(s"$w/db/mmx/_aux_d_mx"))
+  }
+
+  test("join MV: opted-in MIN/MAX retraction rides the telescoping aux terms (E197)") {
+    val (cat, w) = freshGrouped()
+    TransactionalTable.create(spark, s"$w/db/g4",
+      org.apache.spark.sql.types.StructType.fromDDL("grp STRING, tag STRING"),
+      "grp", None)
+    spark.sql(s"INSERT INTO $cat.db.g4 VALUES ('a','x'), ('b','x')")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.jmmx " +
+      s"TBLPROPERTIES('pk'='tag', 'retract_minmax'='true') AS " +
+      s"SELECT g.tag, MAX(e.v) AS mx, SUM(e.v) AS sv, COUNT(e.v) AS nv, " +
+      s"COUNT(*) AS n " +
+      s"FROM $cat.db.ev e JOIN $cat.db.g4 g ON e.grp = g.grp GROUP BY g.tag")
+    assert(spark.sql(s"SELECT mx, n FROM $cat.db.jmmx").as[(Long, Long)].head()
+      === ((20L, 3L)))
+    // delete the fact holding the max: the join-tier aux re-derives it
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 2") // v=20, the max
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('db.jmmx')")
+      .select("reason").as[String].head()
+    assert(r.startsWith("incremental-join-agg-distinct"), s"got: $r")
+    assert(spark.sql(s"SELECT mx, n FROM $cat.db.jmmx").as[(Long, Long)].head()
+      === ((10L, 2L)))
+  }
+
   test("COUNT(DISTINCT) aux: per-source fences heal a crash between aux and storage commits") {
     val (cat, w) = freshGrouped() // ev: (1,'a',10),(2,'a',20),(3,'b',5)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.cdv " +
