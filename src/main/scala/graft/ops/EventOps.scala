@@ -91,6 +91,29 @@ object EventOps {
       .agg(countDistinct(col(userCol)).as("users"))
   }
 
+  /**
+   * ACTIVE USERS (E198): exact DAU and trailing-7-day WAU per day. The
+   * (day, user) pairs dedup once (one exchange); WAU expands each pair to
+   * the ≤ 7 days whose trailing window contains it against the BROADCAST
+   * day list — O(pairs × 7) work, exact distinct counts, no approximate
+   * sketch needed at any corpus size (the day dimension is tiny by
+   * construction). Days are integer epoch-day buckets — calendar-free
+   * and engine-agnostic.
+   */
+  def activeUsers(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val day = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000")
+    val pairs = events.select(day.as("day"), col(userCol)).distinct()
+    val days = pairs.select(col("day")).distinct()
+    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = pairs.alias("p")
+      .join(broadcast(days.alias("d")),
+        col("p.day").between(col("d.day") - 6, col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col(s"p.$userCol")).as("wau"))
+    dau.join(wau, Seq("day"))
+  }
+
   /** Funnel summary: per stage k ≥ 1, how many users REACHED it (stage ≥ k)
     * — the standard conversion read-out. */
   def funnelCounts(events: DataFrame, stages: Seq[String],

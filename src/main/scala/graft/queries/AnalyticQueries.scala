@@ -671,5 +671,23 @@ object AnalyticQueries {
              |SELECT c.cohort, w.wk - c.cohort AS offset_weeks,
              |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS users
              |FROM w JOIN c USING (user_id)
-             |GROUP BY 1, 2 ORDER BY cohort, offset_weeks""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY cohort, offset_weeks""".stripMargin)),
+
+    // ACTIVE USERS (E198): exact DAU + trailing-7-day WAU per epoch day —
+    // the (day, user) pairs dedup once, WAU expands each pair against the
+    // tiny broadcast day list (O(pairs × 7), exact — no sketch needed).
+    Q("x7_active_users",
+      (s, d) => graft.ops.EventOps.activeUsers(Tables.events(s, d))
+        .orderBy("day"),
+      Some("""WITH p AS (SELECT DISTINCT
+             |            epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |            user_id
+             |          FROM events),
+             |d AS (SELECT DISTINCT day FROM p),
+             |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM p GROUP BY day),
+             |wau AS (SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+             |        FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+             |        GROUP BY d.day)
+             |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+             |ORDER BY day""".stripMargin)))
 }
