@@ -113,6 +113,33 @@ class AnnIndexSpec extends SparkSpec {
       "partition-pruned probe must not plan unprobed cells' files")
   }
 
+  test("IVF-PQ probe plans only the probed cells' CODE files (destroyed-file proof, E186)") {
+    val root = tmpDir("ann-ivfpq-prune")
+    val all = corpus(0 until 120)
+    val h = AnnIndex.create(spark, root + "/idx", all, cells = 4)
+    AnnIndex.appendBatch(h, all, batchId = 0)
+    val books = graft.ops.PqOps.codebooks(
+      h.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
+      m = 2, k = 4)
+    val codes = graft.ops.PqOps.buildPqCodes(h, root + "/codes", books)
+    val queries = all.filter(col("vec_id") === 0)
+    val expected = AnnIndex.probePq(h, codes, books, queries, k = 3, nprobe = 1)
+      .orderBy("rnk").collect().toSeq
+    val probedCell = codes.scan()
+      .filter(col("vec_id").isin(expected.map(_.getLong(1)): _*))
+      .select("cell").distinct().as[Long].collect().toSet
+    // destroy every OTHER cell's code files AND every raw assignment file:
+    // the compressed-domain probe must touch neither
+    codes.snapshot.files
+      .filterNot(f => f.partition.exists(p => probedCell.contains(p.toLong)))
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    h.assignments.snapshot.files
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    assert(AnnIndex.probePq(h, codes, books, queries, k = 3, nprobe = 1)
+      .orderBy("rnk").collect().toSeq === expected,
+      "IVF-PQ probe must plan only probed cells' code rows — raw vectors never load")
+  }
+
   test("compaction cadence bounds index files; probe unchanged after compaction") {
     val root = tmpDir("ann-index-compact")
     val all = corpus(0 until 200)
