@@ -77,9 +77,11 @@ object Bench {
     val floorBand = sys.env.getOrElse("SPARK_GRAFT_FLOOR_BAND", "0.25").toDouble
     // Probes must never abort the bench: any probe failure (missing file,
     // transient executor loss) degrades to NaN → the field is omitted from
-    // the artifact and `contended` stays un-flagged (ADVICE r14).
+    // the artifact and `contended` stays un-flagged (ADVICE r14). NonFatal
+    // only: a fatal VM error (OOM, stack overflow) must propagate — timings
+    // taken in an undefined VM state would be flagged healthy (ADVICE r15).
     def probed(f: => Double): Double =
-      try f catch { case _: Throwable => Double.NaN }
+      try f catch { case scala.util.control.NonFatal(_) => Double.NaN }
     val floorSec = probed {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       docs.count() // warm footer/listing caches: the probe measures scheduling

@@ -125,7 +125,17 @@ object AnnIndex {
         * fires automatically with the current cell count. The occupancy
         * check is one group-by over the assignment table; the retrain
         * fences on the batch id, so a replayed batch replays to a no-op. */
-      retrainWhenSkew: Double = 0.0): Unit =
+      retrainWhenSkew: Double = 0.0,
+      /** COOLDOWN for the drift trigger (ADVICE r15): after a retrain at
+        * fence f, batches with `batchId < f + retrainCooldown` skip the
+        * occupancy check entirely. On INHERENTLY skewed data — where no
+        * retrain can push the hot-cell fraction under the threshold — the
+        * trigger would otherwise fire a full O(index) retrain+reassign on
+        * EVERY batch, breaking the "per-batch cost is never a function of
+        * index size" contract; the cooldown amortizes that worst case to
+        * 1/N batches while a genuine drift episode still heals within N
+        * batches of crossing the threshold. */
+      retrainCooldown: Int = 4): Unit =
     graft.util.BatchStats.timed("ann_index_batch") {
       val spark = vecs.sparkSession
       val cent = h.centroidVectors
@@ -137,7 +147,9 @@ object AnnIndex {
       h.assignments.merge(rows, spark.emptyDataset[Long].toDF("vec_id"), batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         h.assignments.compact()
-      if (retrainWhenSkew > 0) {
+      if (retrainWhenSkew > 0 &&
+          batchId >= lastRetrainFence(h).fold(Long.MinValue)(
+            _ + math.max(1, retrainCooldown))) {
         val s = status(h)
         // retrain back to the REQUESTED width (create-time record), not the
         // live centroid count — a previously collapsed/shrunk quantizer
@@ -148,6 +160,14 @@ object AnnIndex {
         if (s.nVectors >= 2L * want && s.maxCellFraction > retrainWhenSkew)
           retrain(h, cells = want, fenceId = batchId)
       }
+    }
+
+  /** The fence of the last persisted retrain, parsed from the
+    * `ann.retrain.stats` record [[retrain]] writes (None before any
+    * retrain) — the drift trigger's cooldown clock. */
+  private[graft] def lastRetrainFence(h: Handle): Option[Long] =
+    h.centroids.customMeta("ann.retrain.stats").flatMap { s =>
+      """"fence":(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
     }
 
   /** Occupancy stats of the live index: the drift-observability surface

@@ -41,8 +41,25 @@ object DedupIndex {
   def create(spark: SparkSession, root: String): TransactionalTable =
     TransactionalTable.create(spark, root, Schema, pk = "sig_id", partitionCol = None)
 
+  /** Open an existing index, failing FAST on a pre-`batch`-column table (an
+    * index created before the replay read-back landed): appendBatch would
+    * otherwise merge 5 columns against 6 and the kept-set read-back would
+    * filter on a column that does not exist — recreate the index (or re-add
+    * its docs through a fresh one) to migrate (ADVICE r15). NOTE the
+    * read-back serves the MOST RECENT batch per doc: a doc re-kept in a
+    * later batch overwrites its `batch` stamp on the same sig_id rows. */
   def open(spark: SparkSession, root: String): TransactionalTable =
-    TransactionalTable.open(spark, root)
+    requireBatchColumn(TransactionalTable.open(spark, root), root)
+
+  private[ops] def requireBatchColumn(t: TransactionalTable,
+      root: String): TransactionalTable = {
+    require(t.schema.fieldNames.exists(
+        _.equalsIgnoreCase("batch")),
+      s"legacy dedup index at $root lacks the 'batch' column (pre-read-back " +
+        "schema) — recreate the index; appendBatch cannot serve replay " +
+        "read-backs against it")
+    t
+  }
 
   /**
    * Filter `docs` against the index + self-dedup, append the survivors'

@@ -110,8 +110,12 @@ object ExportOps {
       assignment.write.mode("overwrite").partitionBy("shard").parquet(dir)
       tombs.write.mode("overwrite").parquet(s"$dir/_tombstones")
       // manifest stats from the PUBLISHED parquet (reads only n_tokens),
-      // not a second computation of the assignment plan
-      val stats = spark.read.parquet(dir).agg(
+      // not a second computation of the assignment plan. The schema is
+      // passed EXPLICITLY: a deletes-only interval publishes an empty data
+      // dir (tombstones only), and schema inference over zero files throws —
+      // the explicit-schema read returns 0 rows and the manifest row still
+      // lands with n_docs = 0 (ADVICE r15).
+      val stats = spark.read.schema(assignment.schema).parquet(dir).agg(
         count(lit(1)).as("n_docs"), coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
         .collect()(0)
       val row = spark.createDataFrame(

@@ -49,8 +49,12 @@ object HammingIndex {
   def create(spark: SparkSession, root: String): TransactionalTable =
     TransactionalTable.create(spark, root, Schema, pk = "sig_id", partitionCol = None)
 
+  /** Open an existing index, failing FAST on a pre-`batch`-column table —
+    * same legacy-schema contract as [[DedupIndex.open]] (ADVICE r15); the
+    * read-back serves the MOST RECENT batch per medium (a re-kept medium's
+    * rows carry the later batch stamp). */
   def open(spark: SparkSession, root: String): TransactionalTable =
-    TransactionalTable.open(spark, root)
+    DedupIndex.requireBatchColumn(TransactionalTable.open(spark, root), root)
 
   /**
    * Filter one batch against the index + self-dedup, append the survivors'

@@ -46,8 +46,10 @@ object VideoDedupIndex {
   def create(spark: SparkSession, root: String): TransactionalTable =
     TransactionalTable.create(spark, root, Schema, pk = "sig_id", partitionCol = None)
 
+  /** Legacy (pre-`batch`) index tables fail fast on open — the
+    * [[DedupIndex.open]] contract (ADVICE r15). */
   def open(spark: SparkSession, root: String): TransactionalTable =
-    TransactionalTable.open(spark, root)
+    DedupIndex.requireBatchColumn(TransactionalTable.open(spark, root), root)
 
   /** Filter one batch of media rows (media_id, content) against the index
     * + self-dedup, append the survivors' frame-band signatures as batch

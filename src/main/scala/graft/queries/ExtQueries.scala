@@ -117,6 +117,52 @@ object ExtQueries {
        |  FROM adc) z
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** DuckDB-side RESIDUAL IVF-PQ replay (E191 — index build + residual
+    * codebooks + residual encoding + centroid-dot + ADC scoring), SHARED by
+    * the Scala-API query (`x3_ivf_pq_residual`) and its CALL twin
+    * (`cdc_pq_residual_sql`) so the two surfaces cannot drift. */
+  private lazy val DuckIvfPqResidualSql: String =
+    s"""WITH $DuckAnnPrefix,
+             |res AS (SELECT a.vec_id, a.cell,
+             |          list_transform(range(len(e.v)), i -> e.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1]) AS rv
+             |        FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN cent c ON c.cell = a.cell),
+             |sdv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, rv
+             |        FROM res ORDER BY vec_id LIMIT 8),
+             |bk AS (SELECT CAST(r.s AS INT) AS s, sdv.c,
+             |         list_slice(sdv.rv, CAST(r.s * 16 + 1 AS INT), CAST((r.s + 1) * 16 AS INT)) AS cv2
+             |       FROM sdv, range(4) r(s)),
+             |scx AS (SELECT res.vec_id, bk.s, bk.c,
+             |          2.0 * list_dot_product(list_slice(res.rv, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv2)
+             |            - list_dot_product(bk.cv2, bk.cv2) AS score
+             |        FROM res, bk),
+             |cdx AS (SELECT vec_id, s, c FROM (
+             |          SELECT vec_id, s, c,
+             |            row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) AS rk
+             |          FROM scx) t WHERE rk = 1),
+             |pr AS (SELECT vec_id AS qid, cell FROM (
+             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+             |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 4),
+             |cd0 AS (SELECT pr.qid, pr.cell, list_dot_product(qe.v, c.cv) AS cdot
+             |        FROM pr JOIN e qe ON qe.vec_id = pr.qid JOIN cent c ON c.cell = pr.cell),
+             |qt AS (SELECT q.vec_id AS qid, bk.s, bk.c,
+             |         list_dot_product(list_slice(q.v, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv2) AS t
+             |       FROM e q, bk WHERE q.vec_id < 8),
+             |cand AS (SELECT pr.qid, a.vec_id AS nid, a.cell
+             |         FROM pr JOIN asg a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid),
+             |sc2 AS (SELECT cand.qid, cand.nid, cand.cell, qt.s, qt.t
+             |        FROM cand JOIN cdx ON cdx.vec_id = cand.nid
+             |        JOIN qt ON qt.qid = cand.qid AND qt.s = cdx.s AND qt.c = cdx.c),
+             |adc AS (SELECT sc2.qid, sc2.nid,
+             |          cd0.cdot + (MAX(CASE WHEN s = 0 THEN t END) + MAX(CASE WHEN s = 1 THEN t END)
+             |          + MAX(CASE WHEN s = 2 THEN t END) + MAX(CASE WHEN s = 3 THEN t END)) AS adc
+             |        FROM sc2 JOIN cd0 ON cd0.qid = sc2.qid AND cd0.cell = sc2.cell
+             |        GROUP BY sc2.qid, sc2.nid, cd0.cdot)
+             |SELECT qid, nid AS neighbor_id, adc, CAST(rnk AS INT) AS rnk FROM (
+             |  SELECT qid, nid, adc,
+             |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rnk
+             |  FROM adc) z
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** The two-stage refine replay (E189): ADC shortlist of 15 from the same
     * CTEs, exact dot re-rank of just the shortlist, final top-5 — shared
     * structure with `DuckIvfPqSql` so the stages cannot drift. */
@@ -1165,46 +1211,35 @@ object ExtQueries {
         AnnIndex.probePqResidual(hh, codes, books, e.filter(col("vec_id") < 8),
           k = 5, nprobe = 4).orderBy("qid", "rnk")
       },
-      Some(s"""WITH $DuckAnnPrefix,
-             |res AS (SELECT a.vec_id, a.cell,
-             |          list_transform(range(len(e.v)), i -> e.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1]) AS rv
-             |        FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN cent c ON c.cell = a.cell),
-             |sdv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, rv
-             |        FROM res ORDER BY vec_id LIMIT 8),
-             |bk AS (SELECT CAST(r.s AS INT) AS s, sdv.c,
-             |         list_slice(sdv.rv, CAST(r.s * 16 + 1 AS INT), CAST((r.s + 1) * 16 AS INT)) AS cv2
-             |       FROM sdv, range(4) r(s)),
-             |scx AS (SELECT res.vec_id, bk.s, bk.c,
-             |          2.0 * list_dot_product(list_slice(res.rv, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv2)
-             |            - list_dot_product(bk.cv2, bk.cv2) AS score
-             |        FROM res, bk),
-             |cdx AS (SELECT vec_id, s, c FROM (
-             |          SELECT vec_id, s, c,
-             |            row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) AS rk
-             |          FROM scx) t WHERE rk = 1),
-             |pr AS (SELECT vec_id AS qid, cell FROM (
-             |          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
-             |          FROM e, cent c WHERE e.vec_id < 8) z WHERE rn <= 4),
-             |cd0 AS (SELECT pr.qid, pr.cell, list_dot_product(qe.v, c.cv) AS cdot
-             |        FROM pr JOIN e qe ON qe.vec_id = pr.qid JOIN cent c ON c.cell = pr.cell),
-             |qt AS (SELECT q.vec_id AS qid, bk.s, bk.c,
-             |         list_dot_product(list_slice(q.v, bk.s * 16 + 1, (bk.s + 1) * 16), bk.cv2) AS t
-             |       FROM e q, bk WHERE q.vec_id < 8),
-             |cand AS (SELECT pr.qid, a.vec_id AS nid, a.cell
-             |         FROM pr JOIN asg a ON a.cell = pr.cell WHERE a.vec_id <> pr.qid),
-             |sc2 AS (SELECT cand.qid, cand.nid, cand.cell, qt.s, qt.t
-             |        FROM cand JOIN cdx ON cdx.vec_id = cand.nid
-             |        JOIN qt ON qt.qid = cand.qid AND qt.s = cdx.s AND qt.c = cdx.c),
-             |adc AS (SELECT sc2.qid, sc2.nid,
-             |          cd0.cdot + (MAX(CASE WHEN s = 0 THEN t END) + MAX(CASE WHEN s = 1 THEN t END)
-             |          + MAX(CASE WHEN s = 2 THEN t END) + MAX(CASE WHEN s = 3 THEN t END)) AS adc
-             |        FROM sc2 JOIN cd0 ON cd0.qid = sc2.qid AND cd0.cell = sc2.cell
-             |        GROUP BY sc2.qid, sc2.nid, cd0.cdot)
-             |SELECT qid, nid AS neighbor_id, adc, CAST(rnk AS INT) AS rnk FROM (
-             |  SELECT qid, nid, adc,
-             |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rnk
-             |  FROM adc) z
-             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+      Some(DuckIvfPqResidualSql)),
+
+    // The SQL/CALL twin of the RESIDUAL flow (ADVICE r15): codes built via
+    // `pq_codes_build_residual` carry the `pq.residual` metadata stamp and
+    // `pq_probe` must DISPATCH to the residual scorer off it — pointing the
+    // raw-vector ADC at residual books would silently mis-rank. The oracle
+    // IS x3_ivf_pq_residual's oracle, so the two surfaces cannot drift.
+    Q("cdc_pq_residual_sql",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val cat = s"graft_pqres${System.nanoTime()}"
+        val w = java.nio.file.Files.createTempDirectory("graft_pqres_sql").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+        (0 until 3).foreach(b => e.filter(col("vec_id") % 3 === b)
+          .createOrReplaceTempView(s"pqres_b$b"))
+        e.filter(col("vec_id") < 8).createOrReplaceTempView("pqres_q")
+        s.sql(s"CALL $cat.system.ann_index_create('db.ann', 'pqres_b0', 16)").collect()
+        (0 until 3).foreach(b => s.sql(
+          s"CALL $cat.system.ann_index_append('db.ann', 'pqres_b$b', $b, 2)").collect())
+        s.sql(s"CALL $cat.system.pq_codes_build_residual('db.ann', 'db.codes', 4, 8)")
+          .collect()
+        s.sql(s"CALL $cat.system.pq_probe('db.ann', 'db.codes', 'pqres_q', 5, 4, " +
+          s"'pqres_hits')").collect()
+        s.sql("SELECT qid, neighbor_id, adc, rnk FROM pqres_hits ORDER BY qid, rnk")
+      },
+      Some(DuckIvfPqResidualSql)),
+
 
     // X3: two-stage IVF-PQ with EXACT RE-RANK (E189 — the refine pattern
     // deployments run): a 3×-wide ADC shortlist from the compressed domain,

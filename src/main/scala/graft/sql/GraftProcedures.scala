@@ -432,6 +432,23 @@ object GraftProcedures {
         Seq(name, t.scan().count())
       }),
 
+    // RESIDUAL IVF-PQ from SQL (E191 twin of pq_codes_build): codebooks
+    // train on the k lowest-id RESIDUALS and codes quantize v − centroid;
+    // the `pq.residual` metadata stamp routes pq_probe to the residual
+    // scorer (centroid dot term + residual ADC).
+    "pq_codes_build_residual" -> Spec(
+      Seq("index" -> S, "codes" -> S, "m" -> I, "k" -> I),
+      row("codes" -> S, "n_vectors" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val h = graft.ops.AnnIndex.open(spark,
+          c.rootByName(a.getUTF8String(0).toString))
+        val name = a.getUTF8String(1).toString
+        val (t, _) = graft.ops.PqOps.buildPqCodesResidual(h,
+          c.rootByName(name), a.getInt(2), a.getInt(3))
+        Seq(name, t.scan().count())
+      }),
+
     "pq_probe" -> Spec(
       Seq("index" -> S, "codes" -> S, "queries" -> S, "k" -> I, "nprobe" -> I,
         "result_view" -> S),
@@ -445,8 +462,17 @@ object GraftProcedures {
         val books = graft.ops.PqOps.booksFromString(
           codes.customMeta("pq.books").getOrElse(throw new IllegalStateException(
             "codes table carries no pq.books metadata — built outside pq_codes_build?")))
-        val hits = graft.ops.AnnIndex.probePq(h, codes, books,
-          spark.table(a.getUTF8String(2).toString), a.getInt(3), a.getInt(4))
+        val queries = spark.table(a.getUTF8String(2).toString)
+        // dispatch on the codes table's own encoding stamp: residual books
+        // scored by the raw-vector ADC would silently mis-rank (the books
+        // quantize v − centroid, and the centroid dot term would be
+        // missing) — ADVICE r15
+        val residual = codes.customMeta("pq.residual").contains("true")
+        val hits =
+          if (residual) graft.ops.AnnIndex.probePqResidual(h, codes, books,
+            queries, a.getInt(3), a.getInt(4))
+          else graft.ops.AnnIndex.probePq(h, codes, books,
+            queries, a.getInt(3), a.getInt(4))
         val view = a.getUTF8String(5).toString
         hits.createOrReplaceTempView(view)
         Seq(view, hits.count())

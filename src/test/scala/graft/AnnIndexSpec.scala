@@ -260,7 +260,12 @@ class AnnIndexSpec extends SparkSpec {
     }
     val seed = (0L until 20L).map(i => (i, vec(0, 1, i))).toDF("vec_id", "embedding")
     val h = AnnIndex.create(spark, root, seed, cells = 4)
-    AnnIndex.appendBatch(h, seed, batchId = 0, retrainWhenSkew = 0.8)
+    // cooldown 1 = re-check occupancy EVERY batch: this test exercises the
+    // trigger's heal-until-in-band behavior on a drift episode the retrain
+    // only partially absorbs per pass (the cooldown's 1/N amortization is
+    // the separate ADVICE-r15 test below)
+    AnnIndex.appendBatch(h, seed, batchId = 0, retrainWhenSkew = 0.8,
+      retrainCooldown = 1)
     assert(AnnIndex.status(h).lastRetrain.isEmpty,
       "no retrain may fire while occupancy is in-band")
     // drift batches with the trigger armed: the hot cell crosses 0.8 and
@@ -271,7 +276,7 @@ class AnnIndexSpec extends SparkSpec {
     (1 to 6).foreach { b =>
       AnnIndex.appendBatch(h,
         driftRows.filter(_._1 / 1000L == b).toDF("vec_id", "embedding"),
-        batchId = b, retrainWhenSkew = 0.8)
+        batchId = b, retrainWhenSkew = 0.8, retrainCooldown = 1)
     }
     val s = AnnIndex.status(h)
     assert(s.nVectors === 140L)
@@ -291,6 +296,34 @@ class AnnIndexSpec extends SparkSpec {
     val total = exact.count()
     assert(hit >= (total * 0.6).toLong,
       s"recall after trigger-driven maintenance too low: $hit / $total")
+  }
+
+  test("drift-trigger COOLDOWN: inherently skewed data retrains 1/N batches, not every batch (ADVICE r15)") {
+    val root = tmpDir("ann-index-cooldown")
+    // every vector identical (axis 0): NO retrain can spread them — the
+    // hot-cell fraction is pinned at 1.0 and an un-cooled trigger would
+    // fire a full O(index) retrain on every single batch
+    def flat(ids: Range) = ids.map { i =>
+      val a = Array.fill(dim)(0.0); a(0) = 1.0
+      (i.toLong, a.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val h = AnnIndex.create(spark, root, flat(0 until 20), cells = 4)
+    AnnIndex.appendBatch(h, flat(0 until 20), batchId = 0,
+      retrainWhenSkew = 0.5, retrainCooldown = 3)
+    assert(AnnIndex.lastRetrainFence(h) === Some(0L),
+      "first over-threshold batch must retrain")
+    // batches inside the cooldown window skip the trigger (fence frozen)
+    (1 to 2).foreach { b =>
+      AnnIndex.appendBatch(h, flat(100 * b until 100 * b + 20), batchId = b,
+        retrainWhenSkew = 0.5, retrainCooldown = 3)
+      assert(AnnIndex.lastRetrainFence(h) === Some(0L),
+        s"batch $b is inside the cooldown and must not retrain")
+    }
+    // first batch past the cooldown re-checks and retrains again
+    AnnIndex.appendBatch(h, flat(300 until 320), batchId = 3,
+      retrainWhenSkew = 0.5, retrainCooldown = 3)
+    assert(AnnIndex.lastRetrainFence(h) === Some(3L),
+      "the batch past the cooldown must re-arm the trigger")
   }
 
   test("recall certificate holds after incremental growth") {

@@ -61,4 +61,33 @@ class ExportOpsSpec extends SparkSpec {
       .select("mx").as[Long].collect()
     assert(bins.forall(_ >= 0L))
   }
+
+  test("deletes-only interval publishes tombstones + a zero-doc manifest row (ADVICE r15)") {
+    val root = tmpDir("export-ops-delonly")
+    val corpus = TransactionalTable.create(spark, s"$root/corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+      "doc_id", None)
+    corpus.append(Seq(doc(1, 10), doc(2, 20)).toDF("doc_id", "text"), batchId = 0)
+    val v0 = corpus.currentVersion
+    val e1 = ExportOps.exportDelta(corpus, s"$root/exp", 0, v0,
+      nShards = 2, capacity = 16L)
+    assert(e1.exported)
+    // interval 2 carries ONLY deletions: zero insert images, one tombstone
+    import spark.implicits._
+    corpus.merge(spark.emptyDataset[(Long, String)].toDF("doc_id", "text"),
+      Seq(1L).toDF("doc_id"), batchId = 1)
+    val v1 = corpus.currentVersion
+    val e2 = ExportOps.exportDelta(corpus, s"$root/exp", v0, v1,
+      nShards = 2, capacity = 16L)
+    assert(e2.exported, "a deletes-only interval must still publish")
+    assert(e2.tombstones.as[Long].collect().toSet === Set(1L))
+    assert(spark.read.parquet(s"${e2.dir}/_tombstones").as[Long].collect()
+      .toSet === Set(1L), "tombstone list must be on disk")
+    val m = ExportOps.manifest(spark, s"$root/exp")
+    val row = m.scan().where(col("to_v") === v1)
+      .select("n_docs", "n_tokens", "n_tombstones")
+      .as[(Long, Long, Long)].collect()
+    assert(row.toSeq === Seq((0L, 0L, 1L)),
+      s"manifest must record the empty publication exactly: ${row.toSeq}")
+  }
 }
