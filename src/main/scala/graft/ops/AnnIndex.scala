@@ -441,19 +441,21 @@ object AnnIndex {
     require(kShort >= k, "the shortlist must be at least k wide")
     val shortlist = probePq(h, codes, books, queries, kShort, nprobe,
       idCol, vecCol).select(col("qid"), col("neighbor_id"))
-      .localCheckpoint(true) // one ADC pass feeds the id collect + the join
+      .localCheckpoint(true) // one ADC pass feeds file pruning + the join
     val q = queries.select(col(idCol).cast("long").as("qid"), unit(vecCol).as("qv"))
-    // exact rescoring of the shortlist only: the distinct shortlist ids are
-    // driver-bounded (≤ queries × kShort — the same documented contract as
-    // probedCells), and the pushed IN filter lets the assignment scan prune
-    // files by PK range ∧ bloom — raw vectors load for the shortlist's
-    // files only, never the corpus
-    val ids = shortlist.select(col("neighbor_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // exact rescoring of the shortlist only, through the E63 runtime-filter
+    // posture instead of an inlined `isin` literal (r15 hardening note: a
+    // 10⁴-query × 10²-kShort OFFLINE batch would inline ~10⁶ literals into
+    // the plan): scanForKeys prunes the assignment files by PK range ∧
+    // bloom against the shortlist's id set — raw vectors load for the
+    // shortlist's files only, never the corpus — with plan size and driver
+    // memory bounded past the key-collect cap (range-only pruning), and the
+    // exact row membership enforced by the equi-join on neighbor_id.
+    val slice = h.assignments
+      .scanForKeys(shortlist.select(col("neighbor_id")).distinct())
+      .select(col("vec_id").as("neighbor_id"), col("v"))
     val exact = shortlist
-      .join(h.assignments.scan().filter(col("vec_id").isin(ids: _*))
-          .select(col("vec_id").as("neighbor_id"), col("v")),
-        Seq("neighbor_id"))
+      .join(slice, Seq("neighbor_id"))
       .join(broadcast(q), Seq("qid"))
       .withColumn("cos", SimilarityOps.dot(col("qv"), col("v")))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("neighbor_id"))

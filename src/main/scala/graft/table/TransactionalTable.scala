@@ -461,6 +461,21 @@ final class TransactionalTable private (
       s.files.filter(f => f.specId != currentSpecId || pred(f.partition)), s.deletes)
   }
 
+  /** PK-pruned slice scan — the engine-op twin of the SQL layer's DSv2
+   *  runtime filter (E63): plans ONLY the files that can contain a value of
+   *  `keys`' FIRST column (exact key-set ∧ bloom pruning under the
+   *  [[TransactionalTable.MaxCollectedKeys]] cap, [min,max]-range pruning
+   *  past it — driver memory and PLAN SIZE stay bounded no matter how many
+   *  keys arrive, unlike an inlined `isin` literal). Delete-aware. Pruning
+   *  is file-granular, so the slice is a SUPERSET of the matching rows —
+   *  the caller still joins/semi-joins it against the key set. */
+  def scanForKeys(keys: DataFrame): DataFrame = {
+    val snap = snapshot
+    val keyDf = keys.select(pkKey(col(keys.columns.head)).as("_k")).distinct()
+    val (affected, _) = affectedFiles(snap, keyDf)
+    scanWithDeletes(affected, snap.deletes)
+  }
+
   private def scanFiles(files: Seq[DataFile], sch: StructType = schema): DataFrame =
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     else readParquet(files.map(_.path), sch)

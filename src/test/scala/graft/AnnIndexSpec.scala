@@ -140,6 +140,88 @@ class AnnIndexSpec extends SparkSpec {
       "IVF-PQ probe must plan only probed cells' code rows — raw vectors never load")
   }
 
+  test("refined probe loads raw vectors only for the shortlist's files (destroyed-file proof)") {
+    val root = tmpDir("ann-ivfpq-refprune")
+    // direction correlates with ID RANGE (ids 0-29 → axis 0, 30-59 → axis 1,
+    // …): each cell's assignment file then spans a disjoint pk range, so the
+    // exact-re-rank stage's PK pruning provably excludes the other cells'
+    // raw-vector files — which this test destroys
+    val all = (0 until 120).map { i =>
+      val base = Array.fill(dim)(0.05)
+      base(i / 30) = 1.0
+      base(4 + (i % 3)) += 0.02 * (i % 5)
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val h = AnnIndex.create(spark, root + "/idx", all, cells = 4)
+    AnnIndex.appendBatch(h, all, batchId = 0)
+    val books = graft.ops.PqOps.codebooks(
+      h.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
+      m = 2, k = 4)
+    val codes = graft.ops.PqOps.buildPqCodes(h, root + "/codes", books)
+    val queries = all.filter(col("vec_id") === 0)
+    val expected = AnnIndex.probePqRefined(h, codes, books, queries,
+      k = 3, kShort = 6, nprobe = 1).orderBy("rnk").collect().toSeq
+    val shortIds = AnnIndex.probePq(h, codes, books, queries, k = 6, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    // destroy every raw-vector file whose pk range holds NO shortlist id,
+    // and every unprobed cell's code file
+    val probedCell = codes.scan().filter(col("vec_id").isin(shortIds.toSeq: _*))
+      .select("cell").distinct().as[Long].collect().toSet
+    codes.snapshot.files
+      .filterNot(f => f.partition.exists(p => probedCell.contains(p.toLong)))
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    h.assignments.snapshot.files
+      .filterNot(f => shortIds.exists(id => id >= f.pkMin && id <= f.pkMax))
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    assert(AnnIndex.probePqRefined(h, codes, books, queries,
+      k = 3, kShort = 6, nprobe = 1).orderBy("rnk").collect().toSeq === expected,
+      "exact re-rank must plan only the shortlist's raw-vector files")
+  }
+
+  test("refined probe plan stays bounded at 10^4+ shortlist ids (no inlined literals)") {
+    val root = tmpDir("ann-ivfpq-bigshort")
+    val n = 12000
+    val all = (0 until n).map { i =>
+      val base = Array.fill(dim)(0.05)
+      base(i % 4) = 1.0
+      base(4 + (i % 3)) += 0.01 * (i % 7)
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val h = AnnIndex.create(spark, root + "/idx", all, cells = 4)
+    AnnIndex.appendBatch(h, all, batchId = 0)
+    val books = graft.ops.PqOps.codebooks(
+      h.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
+      m = 2, k = 4)
+    val codes = graft.ops.PqOps.buildPqCodes(h, root + "/codes", books)
+    val queries = all.filter(col("vec_id") < 4)
+    val df = AnnIndex.probePqRefined(h, codes, books, queries,
+      k = 3, kShort = 2900, nprobe = 1)
+    val rows = df.collect()
+    assert(rows.length === 12, "top-3 per query expected")
+    // the shortlist really was ≥ 10^4 distinct ids …
+    val distinctIds = AnnIndex.probePq(h, codes, books, queries,
+      k = 2900, nprobe = 1).select("neighbor_id").distinct().count()
+    assert(distinctIds >= 10000L, s"premise: shortlist ids $distinctIds < 10^4")
+    // … and the exact-stage plan carries a JOIN, not 10^4 inlined literals
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.length < 60000,
+      s"plan size ${plan.length} suggests inlined shortlist literals")
+    // exact re-rank correctness at this width: recompute independently
+    val short = AnnIndex.probePq(h, codes, books, queries, k = 2900, nprobe = 1)
+      .select("qid", "neighbor_id")
+    val vecs = h.assignments.scan().select(col("vec_id").as("neighbor_id"), col("v"))
+    val qv = h.assignments.scan().filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(desc("cos"), col("neighbor_id"))
+    val want = short.join(vecs, Seq("neighbor_id")).join(qv, Seq("qid"))
+      .withColumn("cos", SimilarityOps.dot(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select("qid", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === want)
+  }
+
   test("compaction cadence bounds index files; probe unchanged after compaction") {
     val root = tmpDir("ann-index-compact")
     val all = corpus(0 until 200)
