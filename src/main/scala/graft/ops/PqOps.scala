@@ -58,6 +58,78 @@ object PqOps {
       sc => (array_position(sc, array_max(sc)) - 1).cast("int")), 1)
   }
 
+  /**
+   * LLOYD-REFINED codebooks (E199): `iters` rounds of per-subspace k-means
+   * over the corpus's subvectors, seeded from deterministic [[codebooks]] —
+   * the quantization quality a production IVF-PQ index actually ships
+   * (seed-only books waste code budget wherever the first k vectors are
+   * unrepresentative). Each round is ONE distributed plan: every vector's m
+   * subvectors assign to their nearest code (the [[codeOf]] rule — map-only
+   * against literal books), then per-(subspace, code, position) means
+   * aggregate in one hash agg; the driver collects exactly m·k·(d/m) = d·k
+   * mean cells per round — the codebook's own size, bounded by
+   * construction. Codes that attract no vectors keep their previous
+   * vector (the standard empty-cell rule, deterministic).
+   *
+   * Like the IVF quantizer's Lloyd step ([[AnnIndex.trainFromIndex]]), a
+   * distributed mean is not bit-reproducible across engines — refined books
+   * are certified by the [[pqRecall]] bound, not a bit-exact oracle.
+   */
+  def refineCodebooks(vecs: DataFrame, seed: Codebooks, iters: Int,
+      vecCol: String = "embedding"): Codebooks = {
+    val m = seed.size
+    val k = seed.head.size
+    val sd = seed.head.head.size
+    var cur = seed
+    val v = SimilarityOps.asDouble(col(vecCol))
+    (0 until iters).foreach { _ =>
+      val perSub = array((0 until m).map(s =>
+        struct(codeOf(v, cur(s), s, sd).as("code"),
+          slice(v, s * sd + 1, sd).as("sub"))): _*)
+      val means = vecs
+        .select(posexplode(perSub).as(Seq("s", "x")))
+        .select(col("s"), col("x.code").as("code"),
+          posexplode(col("x.sub")).as(Seq("pos", "xv")))
+        .groupBy("s", "code", "pos").agg(avg("xv").as("mu"))
+        .collect() // d·k cells — the codebook's own size
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rs) =>
+          key -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      cur = (0 until m).map(s =>
+        (0 until k).map(c => means.getOrElse((s, c), cur(s)(c))))
+    }
+    cur
+  }
+
+  /**
+   * Recall@k CERTIFICATE for the IVF-PQ path (the quality bound the
+   * compressed-domain scorer ships under — mirror of
+   * [[SimilarityOps.ivfRecall]] for the refined-quantizer IVF path): the
+   * two-stage [[AnnIndex.probePqRefined]] answer (ADC shortlist → exact
+   * re-rank) is compared against the exact cosine top-k over the SAME
+   * corpus, and one row `(queries, k, recall_ok)` comes back — `queries`
+   * data-derived (oracled exactly), `recall_ok` the premise assert: any
+   * quality regression in codebook training (seeding or Lloyd step),
+   * encoding, ADC scoring, or the shortlist rule flips the boolean and
+   * fails the round's hash compare.
+   */
+  def pqRecall(h: AnnIndex.Handle, codes: graft.table.TransactionalTable,
+      books: Codebooks, corpus: DataFrame, queries: DataFrame, k: Int,
+      kShort: Int, nprobe: Int, minRecall: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val approx = AnnIndex.probePqRefined(h, codes, books, queries, k, kShort,
+      nprobe, idCol, vecCol).select(col("qid"), col("neighbor_id"))
+    val exact = SimilarityOps.cosineTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("qid", "neighbor_id"), "leftsemi")
+    queries.agg(count(lit(1)).cast("long").as("queries"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("queries"), lit(k).as("k"),
+        (col("n_hit") >= col("n_exact") * lit(minRecall)).as("recall_ok"))
+  }
+
   /** Encode: (idCol, codes array<int> of length m) — map-only. */
   def encode(vecs: DataFrame, books: Codebooks,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

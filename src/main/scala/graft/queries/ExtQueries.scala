@@ -1385,6 +1385,40 @@ object ExtQueries {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS queries, CAST(5 AS INT) AS k,
              |true AS recall_ok FROM embeddings WHERE vec_id < 8""".stripMargin)),
 
+    // X3: recall certificate for the IVF-PQ path (E199 — the one
+    // approximate path that shipped quality-blind through r15): the full
+    // production configuration — persistent index, LLOYD-REFINED codebooks
+    // (PqOps.refineCodebooks, 2 rounds of per-subspace k-means over the
+    // index's unit vectors), ADC shortlist, exact re-rank — measured
+    // against the exact cosine top-5 and thresholded. Refined books ride a
+    // distributed mean (not bit-reproducible cross-engine, the
+    // x3_ivf_recall convention), so the driver surface is the quality
+    // bound: measured recall@5 (PqRecallProbe) 0.55 / 0.70 / 0.575 at
+    // sf0.001/0.01/0.1 — the 0.4 threshold certifies with a ≥6-hit margin
+    // at every fixture scale; any regression in codebook training (seeding
+    // or the Lloyd step), encoding, ADC scoring, or the shortlist rule
+    // flips the boolean and fails the hash compare.
+    Q("x3_pq_recall",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val root = java.nio.file.Files.createTempDirectory("graft_pqrec").toString
+        val h = AnnIndex.create(s, s"$root/idx", e.filter(col("vec_id") % 3 === 0),
+          cells = 16)
+        (0 until 3).foreach(b => AnnIndex.appendBatch(h,
+          e.filter(col("vec_id") % 3 === b), batchId = b, compactEvery = 2))
+        val hh = AnnIndex.open(s, s"$root/idx")
+        val unitVecs = hh.assignments.scan()
+          .select(col("vec_id"), col("v").as("embedding"))
+        val books = graft.ops.PqOps.refineCodebooks(unitVecs,
+          graft.ops.PqOps.codebooks(unitVecs, m = 8, k = 16), iters = 2)
+        val codes = graft.ops.PqOps.buildPqCodes(hh, s"$root/codes", books)
+        graft.ops.PqOps.pqRecall(hh, codes, books, e,
+          e.filter(col("vec_id") < 8), k = 5, kShort = 100, nprobe = 6,
+          minRecall = 0.4)
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS queries, CAST(5 AS INT) AS k,
+             |true AS recall_ok FROM embeddings WHERE vec_id < 8""".stripMargin)),
+
     // X3: embedding near-dup pairs above cosine 0.4 (brute force; exact).
     Q("x3_embedding_neardup",
       (s, d) => SimilarityOps.nearDupPairs(Tables.load(s, d, "embeddings"), threshold = 0.4),

@@ -61,6 +61,42 @@ class PqOpsSpec extends SparkSpec {
     }
   }
 
+  test("refineCodebooks (E199): Lloyd rounds cut quantization error when seeds are unrepresentative; empty cells keep their seed") {
+    // the k lowest ids all sit in ONE cluster — the seed rule's worst case:
+    // seed books describe cluster 0 only, and both other clusters quantize
+    // badly until the Lloyd rounds move codes onto them
+    val skewed = (0 until 4).map { i =>
+      (i.toLong, base(0).zipWithIndex.map { case (x, j) => x + 0.01 * ((i + j) % 5) })
+    } ++ (4 until 16).map { i =>
+      (i.toLong, base(i % 3).zipWithIndex.map { case (x, j) => x + 0.01 * ((i + j) % 5) })
+    }
+    val df = skewed.toDF("vec_id", "embedding")
+    val seed = PqOps.codebooks(df, m = 2, k = 4)
+    val refined = PqOps.refineCodebooks(df, seed, iters = 3)
+    // shape preserved
+    assert(refined.size === 2 && refined.forall(_.size === 4) &&
+      refined.forall(_.forall(_.size === 4)))
+    // quantization error (nearest-code L2 per subvector, summed): Lloyd
+    // must strictly improve on the degenerate seeds
+    def qErr(books: PqOps.Codebooks): Double =
+      skewed.map { case (_, v) =>
+        (0 until 2).map { s =>
+          val sub = v.slice(s * 4, (s + 1) * 4)
+          books(s).map(c =>
+            sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum
+    assert(qErr(refined) < qErr(seed) * 0.8,
+      s"Lloyd rounds must cut quantization error: ${qErr(refined)} vs ${qErr(seed)}")
+    // empty-cell rule: with k far above the cluster count, some codes
+    // attract nothing and must keep their seed vector verbatim
+    val wide = PqOps.codebooks(df, m = 2, k = 12)
+    val wideRefined = PqOps.refineCodebooks(df, wide, iters = 1)
+    val kept = (0 until 2).flatMap(s => (0 until 12).filter(c =>
+      wideRefined(s)(c) == wide(s)(c)))
+    assert(kept.nonEmpty, "unassigned codes must keep their seed vectors")
+  }
+
   test("IVF-PQ: cell-partitioned codes table; probePq reads only probed cells (E186)") {
     import graft.ops.AnnIndex
     val df = vecs.toDF("vec_id", "embedding")
