@@ -117,6 +117,76 @@ object ExtQueries {
        |  FROM adc) z
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** The two deterministic image-index ingest batches (pinned dHash
+    * literals in the oracle): batch 0 seeds two distinct images; batch 1
+    * brings a corpus dup (distance 0), a corpus near-dup (distance 2), a
+    * fresh image, its in-batch dup, and a non-image payload (kept,
+    * hashless). SHARED by `x5_image_index` and `cdc_media_index_sql`. */
+  private def imageIndexBatches(s: org.apache.spark.sql.SparkSession)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    def img(rowBits: Seq[Int], base: Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (r <- 0 until 8) {
+        var v = base
+        bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+        for (c <- 0 until 7) {
+          v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
+          bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, bos)
+      bos.toByteArray
+    }
+    val bitsA = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+    val bitsC = Seq(0x54, 0x2A, 0x54, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+    val bitsD = bitsA.map(_ ^ 0x7f)
+    val bitsE = Seq.fill(8)(0x33)
+    val b0 = Seq((1L, img(bitsA, 100, "png")), (4L, img(bitsD, 100, "png")))
+      .toDF("media_id", "content")
+    val b1 = Seq(
+      (11L, img(bitsA, 140, "bmp")), // corpus dup of 1 (distance 0)
+      (13L, img(bitsC, 100, "png")), // corpus near-dup of 1 (distance 2)
+      (15L, img(bitsE, 100, "png")), // fresh
+      (16L, img(bitsE, 120, "png")), // in-batch dup of 15
+      (17L, "not an image".getBytes)) // hashless: kept
+      .toDF("media_id", "content")
+    (b0, b1)
+  }
+
+  /** DuckDB-side image-index replay (pinned dHash literals → 4×14 banding →
+    * corpus filter refined by exact Hamming ≤ 3 → in-batch rule → batch-1
+    * kept ids), SHARED by the Scala-API query (`x5_image_index`) and its
+    * CALL twin (`cdc_media_index_sql`) so the two surfaces cannot drift. */
+  private lazy val DuckImageIndexSql: Option[String] =
+    Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), 0, CAST(24019198012642645 AS BIGINT)),
+             |    (4, 0, 48038396025285290),
+             |    (11, 1, 24019198012642645),
+             |    (13, 1, 24019198012626260),
+             |    (15, 1, 28936514141215155),
+             |    (16, 1, 28936514141215155)) AS t(media_id, batch, phash)),
+             |ch AS (SELECT media_id, batch, phash, c AS band,
+             |         (phash >> CAST(c * 14 AS INTEGER)) & 16383 AS chunk
+             |       FROM h, range(4) r(c)),
+             |cdup AS (SELECT DISTINCT b.media_id FROM ch b JOIN ch i
+             |         ON b.batch = 1 AND i.batch = 0 AND b.band = i.band
+             |           AND b.chunk = i.chunk
+             |           AND bit_count(xor(b.phash, i.phash)) <= 3),
+             |cand AS (SELECT * FROM ch WHERE batch = 1
+             |         AND media_id NOT IN (SELECT media_id FROM cdup)),
+             |bdup AS (SELECT DISTINCT a.media_id FROM cand a JOIN cand b
+             |         ON a.band = b.band AND a.chunk = b.chunk
+             |           AND b.media_id < a.media_id
+             |           AND bit_count(xor(a.phash, b.phash)) <= 3)
+             |SELECT media_id FROM (
+             |  SELECT DISTINCT media_id FROM cand
+             |  WHERE media_id NOT IN (SELECT media_id FROM bdup)
+             |  UNION ALL SELECT CAST(17 AS BIGINT)
+             |) ORDER BY media_id""".stripMargin)
+
   /** DuckDB-side RESIDUAL IVF-PQ replay (E191 — index build + residual
     * codebooks + residual encoding + centroid-dot + ADC scoring), SHARED by
     * the Scala-API query (`x3_ivf_pq_residual`) and its CALL twin
@@ -1890,65 +1960,38 @@ object ExtQueries {
     // including the two replay-fenced table commits it rides on.
     Q("x5_image_index",
       (s, _) => {
-        import s.implicits._
-        def img(rowBits: Seq[Int], base: Int, fmt: String): Array[Byte] = {
-          val bi = new java.awt.image.BufferedImage(
-            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (r <- 0 until 8) {
-            var v = base
-            bi.setRGB(0, r, (v << 16) | (v << 8) | v)
-            for (c <- 0 until 7) {
-              v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
-              bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
-            }
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(bi, fmt, bos)
-          bos.toByteArray
-        }
-        val bitsA = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
-        val bitsC = Seq(0x54, 0x2A, 0x54, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
-        val bitsD = bitsA.map(_ ^ 0x7f)
-        val bitsE = Seq.fill(8)(0x33)
-        val b0 = Seq((1L, img(bitsA, 100, "png")), (4L, img(bitsD, 100, "png")))
-          .toDF("media_id", "content")
-        val b1 = Seq(
-          (11L, img(bitsA, 140, "bmp")), // corpus dup of 1 (distance 0)
-          (13L, img(bitsC, 100, "png")), // corpus near-dup of 1 (distance 2)
-          (15L, img(bitsE, 100, "png")), // fresh
-          (16L, img(bitsE, 120, "png")), // in-batch dup of 15
-          (17L, "not an image".getBytes)) // hashless: kept
-          .toDF("media_id", "content")
+        val (b0, b1) = imageIndexBatches(s)
         val root = java.nio.file.Files.createTempDirectory("graft_img_idx").toString + "/idx"
         val index = graft.ops.ImageDedupIndex.create(s, root)
         graft.ops.ImageDedupIndex.appendBatch(index, b0, 0)
         graft.ops.ImageDedupIndex.appendBatch(index, b1, 1)
       },
-      Some("""WITH h AS (SELECT * FROM (VALUES
-             |    (CAST(1 AS BIGINT), 0, CAST(24019198012642645 AS BIGINT)),
-             |    (4, 0, 48038396025285290),
-             |    (11, 1, 24019198012642645),
-             |    (13, 1, 24019198012626260),
-             |    (15, 1, 28936514141215155),
-             |    (16, 1, 28936514141215155)) AS t(media_id, batch, phash)),
-             |ch AS (SELECT media_id, batch, phash, c AS band,
-             |         (phash >> CAST(c * 14 AS INTEGER)) & 16383 AS chunk
-             |       FROM h, range(4) r(c)),
-             |cdup AS (SELECT DISTINCT b.media_id FROM ch b JOIN ch i
-             |         ON b.batch = 1 AND i.batch = 0 AND b.band = i.band
-             |           AND b.chunk = i.chunk
-             |           AND bit_count(xor(b.phash, i.phash)) <= 3),
-             |cand AS (SELECT * FROM ch WHERE batch = 1
-             |         AND media_id NOT IN (SELECT media_id FROM cdup)),
-             |bdup AS (SELECT DISTINCT a.media_id FROM cand a JOIN cand b
-             |         ON a.band = b.band AND a.chunk = b.chunk
-             |           AND b.media_id < a.media_id
-             |           AND bit_count(xor(a.phash, b.phash)) <= 3)
-             |SELECT media_id FROM (
-             |  SELECT DISTINCT media_id FROM cand
-             |  WHERE media_id NOT IN (SELECT media_id FROM bdup)
-             |  UNION ALL SELECT CAST(17 AS BIGINT)
-             |) ORDER BY media_id""".stripMargin)),
+      DuckImageIndexSql),
+
+    // The SQL/CALL twin of the SAME image-index flow (the one index family
+    // a SQL-only user could not reach through r15): created and appended
+    // through `CALL media_index_create/media_index_append('…', 'image',
+    // …)`, kept ids consumed from the registered view. The oracle IS
+    // x5_image_index's oracle, so the two surfaces cannot drift.
+    Q("cdc_media_index_sql",
+      (s, _) => {
+        val (b0, b1) = imageIndexBatches(s)
+        val cat = s"graft_mi${System.nanoTime()}"
+        val w = java.nio.file.Files.createTempDirectory("graft_mi_sql").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+        b0.createOrReplaceTempView("mi_b0")
+        b1.createOrReplaceTempView("mi_b1")
+        s.sql(s"CALL $cat.system.media_index_create('db.idx', 'image')").collect()
+        s.sql(s"CALL $cat.system.media_index_append('db.idx', 'image', 'mi_b0', 0, " +
+          "'mi_kept0')").collect()
+        s.sql(s"CALL $cat.system.media_index_append('db.idx', 'image', 'mi_b1', 1, " +
+          "'mi_kept1')").collect()
+        s.sql("SELECT media_id FROM mi_kept1 ORDER BY media_id")
+      },
+      DuckImageIndexSql),
+
 
     // X5: INCREMENTAL audio dedup — the [[HammingIndex]] core instantiated
     // over the gain-invariant energy-delta fingerprint (AudioDedupIndex),

@@ -432,6 +432,54 @@ object GraftProcedures {
         Seq(name, t.scan().count())
       }),
 
+    // MEDIA dedup indexes from SQL (the last index family that was
+    // Scala-API only — the reference's SQL-first posture): one generic
+    // create/append pair over the HammingIndex core, dispatched on `kind`
+    // (image = perceptual dHash 4×14, audio = energy-delta 4×8, video =
+    // per-frame kernel). Sources are named tables/temp views with
+    // (media_id, content BINARY); the kept ids register as `kept_view`
+    // with the same replay read-back contract as dedup_index_append.
+    //   CALL graft.system.media_index_create('db.idx', 'image')
+    //   CALL graft.system.media_index_append('db.idx', 'image', 'batch_view', 0, 'kept0')
+    "media_index_create" -> Spec(
+      Seq("index" -> S, "kind" -> S),
+      row("index" -> S, "kind" -> S, "version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val name = a.getUTF8String(0).toString
+        val kind = a.getUTF8String(1).toString.toLowerCase(java.util.Locale.ROOT)
+        val t = kind match {
+          case "image" => graft.ops.ImageDedupIndex.create(spark, c.rootByName(name))
+          case "audio" => graft.ops.AudioDedupIndex.create(spark, c.rootByName(name))
+          case "video" => graft.ops.VideoDedupIndex.create(spark, c.rootByName(name))
+          case other => throw new IllegalArgumentException(
+            s"unknown media index kind '$other' (image|audio|video)")
+        }
+        Seq(name, kind, t.currentVersion)
+      }),
+
+    "media_index_append" -> Spec(
+      Seq("index" -> S, "kind" -> S, "source" -> S, "batch_id" -> L,
+        "kept_view" -> S),
+      row("kept_view" -> S, "kept_media" -> L, "index_version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val index = open(c, a)
+        val kind = a.getUTF8String(1).toString.toLowerCase(java.util.Locale.ROOT)
+        val media = spark.table(a.getUTF8String(2).toString)
+        val batchId = a.getLong(3)
+        val kept = kind match {
+          case "image" => graft.ops.ImageDedupIndex.appendBatch(index, media, batchId)
+          case "audio" => graft.ops.AudioDedupIndex.appendBatch(index, media, batchId)
+          case "video" => graft.ops.VideoDedupIndex.appendBatch(index, media, batchId)
+          case other => throw new IllegalArgumentException(
+            s"unknown media index kind '$other' (image|audio|video)")
+        }
+        val view = a.getUTF8String(4).toString
+        kept.createOrReplaceTempView(view)
+        Seq(view, kept.count(), index.currentVersion)
+      }),
+
     // RESIDUAL IVF-PQ from SQL (E191 twin of pq_codes_build): codebooks
     // train on the k lowest-id RESIDUALS and codes quantize v − centroid;
     // the `pq.residual` metadata stamp routes pq_probe to the residual

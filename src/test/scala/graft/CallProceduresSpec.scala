@@ -243,4 +243,26 @@ class CallProceduresSpec extends SparkSpec {
     // untouched key 1 must not appear even though CoW rewrote its file
     assert(!got.exists(_._1 == 1L))
   }
+
+  test("media_index_create/append dispatch on kind; unknown kind fails fast") {
+    val w = mkWarehouse("gp8")
+    // audio + video kinds exercised with undecodable payloads: both paths
+    // must keep them bandless (the hashless-keep rule) through the CALL
+    // surface; the full image flow is oracled by cdc_media_index_sql
+    Seq(1L -> "not a wav", 2L -> "nor this").map { case (id, t) => (id, t.getBytes) }
+      .toDF("media_id", "content").createOrReplaceTempView("gp8_media")
+    for (kind <- Seq("audio", "video")) {
+      spark.sql(s"CALL gp8.system.media_index_create('db.$kind', '$kind')").collect()
+      val Seq((view, kept, _)) = spark.sql(
+        s"CALL gp8.system.media_index_append('db.$kind', '$kind', 'gp8_media', 0, " +
+          s"'gp8_kept_$kind')").as[(String, Long, Long)].collect().toSeq
+      assert(view === s"gp8_kept_$kind" && kept === 2L,
+        s"$kind: undecodable payloads must be kept bandless")
+      assert(spark.sql(s"SELECT media_id FROM gp8_kept_$kind ORDER BY media_id")
+        .as[Long].collect().toSeq === Seq(1L, 2L))
+    }
+    intercept[Exception] {
+      spark.sql("CALL gp8.system.media_index_create('db.x', 'hologram')").collect()
+    }
+  }
 }
