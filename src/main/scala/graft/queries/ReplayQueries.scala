@@ -2738,6 +2738,78 @@ object ReplayQueries {
            |) AS t(event, total, n) ORDER BY event""".stripMargin
       }),
 
+    // MV rewrite COUNT(DISTINCT) ROLL-UP tier (E200): distinct counts are
+    // not summable, so the classic roll-up cannot serve a coarser
+    // COUNT(DISTINCT) from stored counts — but the E180 value-count aux
+    // beside the MV holds the live per-(group, value) multiset, and the
+    // coarser answer is exactly COUNT(DISTINCT __val) over its live rows.
+    // The aux exists only after an INCREMENTAL refresh (a recompute drops
+    // it), so the flow is create → mutate → refresh_mv (distinct path
+    // asserted) → accelerate (plan must NOT read the source) → stale
+    // fallback after a source commit (plan reads the source again).
+    Q("cdc_sql_mv_rewrite_distinct",
+      (s, _) => {
+        val cat = s"graft_mrd${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_mrd").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.dev_events " +
+          s"TBLPROPERTIES('pk'='device') AS " +
+          s"SELECT device, COUNT(DISTINCT event) AS dev_events, COUNT(*) AS n " +
+          s"FROM $cat.db.retail GROUP BY device")
+        // churn that exercises the aux (value moves, group death, birth),
+        // then the incremental refresh that BOOTSTRAPS + maintains it
+        s.sql(s"UPDATE $cat.db.retail SET event = 'visit' WHERE trans_id = 27")
+        s.sql(s"DELETE FROM $cat.db.retail WHERE device = 'mobile'")
+        s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+          "(500, 'c500', 'share', 'SKU500', 7, 'pc', NULL)")
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('db.dev_events')")
+          .select("reason").collect().head.getString(0)
+        require(refreshed.startsWith("incremental-agg-distinct"),
+          s"expected the count-distinct path, got '$refreshed'")
+        val qGlobal = s"SELECT COUNT(DISTINCT event) AS dev_events FROM $cat.db.retail"
+        val qNarrow = s"SELECT COUNT(DISTINCT event) AS dev_events " +
+          s"FROM $cat.db.retail WHERE device <> 'pc'"
+        val wantGlobal = s.sql(qGlobal).collect().head.getLong(0) // pre-opt-in
+        val wantNarrow = s.sql(qNarrow).collect().head.getLong(0)
+        try {
+          s.conf.set(graft.sql.GraftMvRewriteRule.ConfKey, s"$cat.db.dev_events")
+          // coarser COUNT(DISTINCT): answered from the aux, source unread
+          val accel = s.sql(qGlobal)
+          require(!accel.queryExecution.optimizedPlan.toString.contains("db.retail"),
+            "global COUNT(DISTINCT) must answer from the value-count aux")
+          require(accel.collect().head.getLong(0) == wantGlobal,
+            "aux-served distinct count must equal the source's")
+          // residual on the group key filters aux rows, still source-free
+          val narrow = s.sql(qNarrow)
+          require(!narrow.queryExecution.optimizedPlan.toString.contains("db.retail"),
+            "group-key residual must filter aux rows, not re-scan the source")
+          require(narrow.collect().head.getLong(0) == wantNarrow,
+            "residual-filtered distinct count must equal the source's")
+          // stale fallback: a source commit (new event 'promo') reverts the
+          // SAME query to the source until the next refresh
+          s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+            "(501, 'c501', 'promo', 'SKU501', 9, 'tv', NULL)")
+          val fallback = s.sql(qGlobal)
+          require(fallback.queryExecution.optimizedPlan.toString.contains("db.retail"),
+            "stale MV must not serve the distinct roll-up")
+          fallback
+        } finally s.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
+      },
+      Some {
+        val events = ((CdcFixtures.expectedEndState
+          .map { case (id, _, ev, _, _, dev, _) => (id, ev, dev) }
+          .map { case (id, ev, dev) => (id, if (id == 27L) "visit" else ev, dev) }
+          .filter { case (_, _, dev) => dev != "mobile" }
+          .map(_._2)) :+ "share" :+ "promo").distinct
+        s"SELECT CAST(${events.size} AS BIGINT) AS dev_events"
+      }),
+
     // MV rewrite JOIN-CONTAINMENT tier (the remaining classic
     // Calcite/Oracle tier after exact / roll-up / filter-subsumption): a
     // query joining the fact to a dimension a ROW-PRESERVING MV already

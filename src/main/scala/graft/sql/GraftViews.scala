@@ -2451,6 +2451,10 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
               candidates.view.flatMap(c => rollup(agg, c)).headOption
                 .orElse(candidates.view.flatMap(c => aggOverRows(agg, c)).headOption)
+                // COUNT(DISTINCT) roll-ups answer from the E180 value-count
+                // aux (maintained acceleration state that was unqueryable
+                // through r15)
+                .orElse(candidates.view.flatMap(c => rollupDistinct(agg, c)).headOption)
                 .getOrElse(p)
             // FILTER-SUBSUMPTION tier (row-preserving): a query whose WHERE
             // strictly narrows the MV's WHERE scans the MV + residual filter
@@ -2730,8 +2734,118 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Some(Aggregate(groupAttrs.map(_.get), outputs.map(_.get), source))
   }
 
+  /**
+   * COUNT(DISTINCT) roll-up tier (E200): a query computing COUNT(DISTINCT x)
+   * at the MV's grain or coarser cannot roll up from stored counts (distinct
+   * counts are not summable), but the E180 value-count AUX table beside the
+   * MV holds exactly the live per-(group, value) multiset the maintenance
+   * algebra needs — and a coarser COUNT(DISTINCT x) is exactly
+   * COUNT(DISTINCT __val) over those rows per coarse group. Scope, checked
+   * structurally: same canonical core, MV WHERE conjuncts ⊆ query conjuncts
+   * (residuals must rewrite over the MV's GROUP outputs — aux rows of one
+   * group agree on them), every query grouping expression exposed by the MV,
+   * and the aggregate outputs are group columns plus EXACTLY ONE clean
+   * COUNT(DISTINCT x) whose argument matches an MV count_distinct output
+   * with a live aux table (a full-recompute refresh drops the aux — the
+   * tier then falls through to the source, which is always correct). The
+   * aux is always at least as fresh as storage (its merge commits FIRST in
+   * every incremental refresh), so a fresh candidate implies a fresh aux.
+   */
+  private def rollupDistinct(q: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      c: Candidate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val m = c.defPlan match { case a: Aggregate => a; case _ => return None }
+    val (qConds, qCore) = splitFilter(q.child)
+    val (mConds, mCore) = splitFilter(m.child)
+    if (qCore.canonicalized != mCore.canonicalized) return None
+    val q2m: Map[ExprId, Attribute] =
+      qCore.output.zip(mCore.output).map { case (a, b) => a.exprId -> b }.toMap
+    def rebase(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference => q2m.getOrElse(a.exprId, a)
+    }
+    def stripAlias(e: Expression): Expression = e match {
+      case Alias(x, _) => x
+      case x => x
+    }
+    val rebasedConds = qConds.map(rebase)
+    if (!mConds.forall(mc => rebasedConds.exists(_.semanticEquals(mc)))) return None
+    val residual = rebasedConds.filterNot(qc => mConds.exists(qc.semanticEquals))
+    // identical grain + identical filter belongs to the exact tier
+    if (residual.isEmpty &&
+      q.groupingExpressions.size >= m.groupingExpressions.size) return None
+    if (q.groupingExpressions.size > m.groupingExpressions.size) return None
+    def isAggOut(ne: NamedExpression) = ne.exists(_.isInstanceOf[AggregateExpression])
+    def cleanCountDistinct(ae: AggregateExpression): Boolean =
+      ae.isDistinct && ae.filter.isEmpty &&
+        ae.aggregateFunction.isInstanceOf[Count] &&
+        ae.aggregateFunction.children.size == 1
+    // exactly one aggregate output, a clean COUNT(DISTINCT x)
+    val distinctArg = q.aggregateExpressions.filter(isAggOut) match {
+      case Seq(Alias(ae: AggregateExpression, _)) if cleanCountDistinct(ae) =>
+        rebase(ae.aggregateFunction.children.head)
+      case _ => return None
+    }
+    // the MV output storing COUNT(DISTINCT) of the SAME argument names the aux
+    val mvOutName = m.aggregateExpressions.collectFirst {
+      case al @ Alias(mae: AggregateExpression, _)
+          if cleanCountDistinct(mae) &&
+            mae.aggregateFunction.children.head.semanticEquals(distinctArg) =>
+        al.name
+    }.getOrElse(return None)
+    val auxPlan = c.auxScan(mvOutName) match {
+      case Some(scan) => scan().queryExecution.analyzed
+      case None => return None // aux dropped by a full recompute — fall through
+    }
+    def auxCol(name: String): Option[Attribute] =
+      auxPlan.output.find(_.name.equalsIgnoreCase(name))
+    // group outputs map by NAME: aux group columns are created from the
+    // MV's own storage group column names
+    def groupName(target: Expression): Option[String] =
+      m.aggregateExpressions.collectFirst {
+        case ne if !isAggOut(ne) && stripAlias(ne).semanticEquals(target) => ne.name
+      }
+    def overAux(target: Expression): Option[Attribute] =
+      groupName(target).flatMap(auxCol)
+    val groupAttrs = q.groupingExpressions.map(g => overAux(rebase(g)))
+    if (groupAttrs.exists(_.isEmpty)) return None
+    val residualOverAux: Seq[Option[Expression]] = residual.map { r =>
+      val rewritten = r.transformDown {
+        case sub if overAux(sub).isDefined => overAux(sub).get
+      }
+      if (rewritten.references.subsetOf(AttributeSet(auxPlan.output)))
+        Some(rewritten)
+      else None
+    }
+    if (residualOverAux.exists(_.isEmpty)) return None
+    val valAttr = auxCol("__val").getOrElse(return None)
+    val cntAttr = auxCol("cnt").getOrElse(return None)
+    val outputs = q.aggregateExpressions.map { ne =>
+      if (!isAggOut(ne))
+        overAux(rebase(stripAlias(ne))).map(attr =>
+          Alias(attr, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier))
+      else {
+        val cd: Expression = AggregateExpression(
+          Count(Seq(valAttr)), Complete, isDistinct = true)
+        val typed = if (cd.dataType == ne.dataType) cd else Cast(cd, ne.dataType)
+        Some(Alias(typed, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier))
+      }
+    }
+    if (outputs.exists(_.isEmpty)) return None
+    // live values only (belt and braces: the maintenance merge already
+    // deletes zero-count rows)
+    val live: Expression = GreaterThan(cntAttr, Literal(0L))
+    val source = Filter((live +: residualOverAux.map(_.get)).reduce(And), auxPlan)
+    Some(Aggregate(groupAttrs.map(_.get), outputs.map(_.get), source))
+  }
+
   private final case class Candidate(
-      defPlan: LogicalPlan, storageScan: () => org.apache.spark.sql.DataFrame)
+      defPlan: LogicalPlan, storageScan: () => org.apache.spark.sql.DataFrame,
+      /** MV-output-name → the E180 value-count aux table's scan (None when
+        * no aux exists — never bootstrapped, or dropped by a full
+        * recompute). */
+      auxScan: String => Option[() => org.apache.spark.sql.DataFrame])
 
   private def resolveCandidate(name: String): Option[Candidate] = try {
     val parts = name.split("\\.").toSeq
@@ -2780,7 +2894,13 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val storage = graft.table.TransactionalTable.open(
       spark, GraftViewStore.storageRoot(root))
-    Some(Candidate(defPlan, () => storage.scan()))
+    Some(Candidate(defPlan, () => storage.scan(),
+      outName => {
+        val auxRoot = s"$root/_aux_d_$outName"
+        if (graft.table.TransactionalTable.exists(auxRoot))
+          Some(() => graft.table.TransactionalTable.open(spark, auxRoot).scan())
+        else None
+      }))
   } catch {
     case scala.util.control.NonFatal(e) =>
       logWarning(s"$ConfKey entry '$name' skipped: ${e.getMessage}")
