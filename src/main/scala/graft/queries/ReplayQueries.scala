@@ -611,6 +611,69 @@ object ReplayQueries {
       },
       headline = true, streaming = true),
 
+    // STREAMING-MAINTAINED JOIN MV (E201 — the combination most sensitive
+    // to the per-source fence algebra): a fact ⋈ dim aggregate MV refreshed
+    // INSIDE each micro-batch while BOTH sources advance — the dim gains a
+    // mapping while the stream is down, so the second batch's refresh nets
+    // a multi-source interval (Δfact terms + Δdim terms, E181 telescoping)
+    // under live streaming restarts. The mv-incr-join writer fence proves
+    // the refreshes took the incremental join tier, never recompute.
+    Q("cdc_stream_mv_join_fresh",
+      (s, _) => {
+        val cat = s"graft_smj${System.nanoTime()}"
+        val work = Files.createTempDirectory("graft_stream_mvj").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$work/wh")
+        Files.createDirectories(java.nio.file.Paths.get(s"$work/wh/db"))
+        Files.createDirectories(java.nio.file.Paths.get(s"$work/input"))
+        val t = TransactionalTable.create(s, s"$work/wh/db/retail", Cdc.tableSchema,
+          Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        TransactionalTable.create(s, s"$work/wh/db/evcat",
+          org.apache.spark.sql.types.StructType.fromDDL("event STRING, cat STRING"),
+          "event", None)
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES " +
+          "('visit', 'browse'), ('cart', 'intent'), ('purchase', 'buy')")
+        s.sql(s"CREATE MATERIALIZED VIEW $cat.db.cat_tot " +
+          s"TBLPROPERTIES('pk'='cat') AS " +
+          s"SELECT c.cat, SUM(r.amount) AS total, COUNT(r.amount) AS na, " +
+          s"COUNT(*) AS n FROM $cat.db.retail r " +
+          s"JOIN $cat.db.evcat c ON r.event = c.event GROUP BY c.cat")
+        def runOnce(): Unit = {
+          val q = CdcPipeline.start(s, s"$work/input", t, s"$work/ckpt",
+            trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+            maintainViews = Seq(s"$cat.db.cat_tot"))
+          q.processAllAvailable(); q.stop(); q.awaitTermination()
+        }
+        CdcFixtures.write(s"$work/input", "b1.jsonl", CdcFixtures.scenario1Lines)
+        runOnce()
+        // the DIM advances while the stream is down: the next batch's
+        // refresh covers a genuinely multi-source interval
+        s.sql(s"INSERT INTO $cat.db.evcat VALUES ('like', 'social')")
+        CdcFixtures.write(s"$work/input", "b2.jsonl", CdcFixtures.scenario2Lines)
+        runOnce()
+        val fences = TransactionalTable.open(s, s"$work/wh/db/cat_tot/_storage")
+          .snapshot.writerFences
+        require(fences.keys.exists(_.startsWith("mv-incr-join")),
+          s"refreshes must ride the incremental JOIN tier, fences: ${fences.keys}")
+        s.sql(s"SELECT cat, total, na, n FROM $cat.db.cat_tot ORDER BY cat")
+      },
+      Some {
+        val cats = Map("visit" -> "browse", "cart" -> "intent",
+          "purchase" -> "buy", "like" -> "social")
+        val rows = CdcFixtures.expectedEndState
+          .map { case (_, _, ev, _, amt, _, _) => (ev, amt) }
+          .filter(r => cats.contains(r._1))
+          .groupBy(r => cats(r._1)).toSeq.sortBy(_._1)
+          .map { case (c, rs) =>
+            s"('$c', CAST(${rs.map(_._2.toLong).sum} AS BIGINT), " +
+              s"CAST(${rs.size} AS BIGINT), CAST(${rs.size} AS BIGINT))" }
+          .mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows
+           |) AS t(cat, total, na, n) ORDER BY cat""".stripMargin
+      },
+      streaming = true),
+
     // TYPE WIDENING (Iceberg type-promotion parity): replay scenario1, widen
     // amount int→long (metadata-only, zero data movement), replay scenario2 —
     // pre-widen INT32 files and post-widen files answer ONE scan under the

@@ -99,6 +99,65 @@ class StreamRecoverySpec extends SparkSpec {
       .currentVersion === v, "idle restart committed to the MV")
   }
 
+  test("streaming JOIN MV: crash between the aux and storage commits heals on restart (E201)") {
+    val work = tmpDir("stream-mv-join-crash")
+    val input = s"$work/input"
+    Files.createDirectories(Paths.get(input))
+    val cat = s"graft_smjc${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$work/wh")
+    Files.createDirectories(Paths.get(s"$work/wh/db"))
+    val t = TransactionalTable.create(spark, s"$work/wh/db/retail", Cdc.tableSchema,
+      Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+    TransactionalTable.create(spark, s"$work/wh/db/evcat",
+      org.apache.spark.sql.types.StructType.fromDDL("event STRING, cat STRING"),
+      "event", None)
+    spark.sql(s"INSERT INTO $cat.db.evcat VALUES " +
+      "('visit', 'browse'), ('cart', 'intent'), ('like', 'social'), " +
+      "('purchase', 'buy'), ('list', 'browse')")
+    // a JOIN MV with COUNT(DISTINCT): the refresh commits the value-count
+    // aux FIRST, then storage — the widest crash window in the fence algebra
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.cat_devs " +
+      s"TBLPROPERTIES('pk'='cat') AS " +
+      s"SELECT c.cat, COUNT(DISTINCT r.device) AS devs, COUNT(*) AS n " +
+      s"FROM $cat.db.retail r JOIN $cat.db.evcat c ON r.event = c.event " +
+      s"GROUP BY c.cat")
+    def runOnce(): Unit = {
+      val q = CdcPipeline.start(spark, input, t, s"$work/ckpt",
+        trigger = Trigger.ProcessingTime("1 second"),
+        maintainViews = Seq(s"$cat.db.cat_devs"))
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    CdcFixtures.write(input, "b1.jsonl", CdcFixtures.scenario1Lines)
+    runOnce()
+    // batch 2 (updates + deletes) arrives; the refresh CRASHES after the
+    // aux commit, before the storage merge — mid-micro-batch, with the
+    // table merge already committed but the checkpoint not yet advanced
+    CdcFixtures.write(input, "b2.jsonl", CdcFixtures.scenario2Lines)
+    graft.sql.GraftViewTestHooks.failAfterAuxCommit =
+      Some(_ => throw new scala.util.control.ControlThrowable("injected crash") {})
+    try {
+      intercept[Throwable] { runOnce() }
+    } finally graft.sql.GraftViewTestHooks.failAfterAuxCommit = None
+    // the DIM advances too before the healing restart: the per-source aux
+    // fences must net ONLY the unseen remainder per source (a full-interval
+    // re-net would double-apply the crashed batch's aux delta)
+    spark.sql(s"UPDATE $cat.db.evcat SET cat = 'social' WHERE event = 'list'")
+    runOnce() // checkpoint re-delivers batch 2; merge re-fences; refresh heals
+    val cats = Map("visit" -> "browse", "cart" -> "intent", "like" -> "social",
+      "purchase" -> "buy", "list" -> "social")
+    val want = CdcFixtures.expectedEndState
+      .map { case (_, _, ev, _, _, dev, _) => (cats(ev), dev) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rs) => (c, rs.map(_._2).distinct.size.toLong, rs.size.toLong) }
+    val got = spark.sql(s"SELECT cat, devs, n FROM $cat.db.cat_devs ORDER BY cat")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === want, "healed join MV diverged after the crash window")
+    val st = TransactionalTable.open(spark, s"$work/wh/db/cat_devs/_storage")
+    assert(st.snapshot.writerFences.keys.exists(_.startsWith("mv-incr-join")),
+      "the heal must ride the incremental join tier")
+  }
+
   test("startingPosition=LATEST skips files present before the stream started") {
     val work = tmpDir("stream-latest")
     val input = s"$work/input"
