@@ -127,4 +127,137 @@ object ExportOps {
     }
     ExportResult(assignment, tombs, exported = !fenced, dir = dir)
   }
+
+  private def dirOf(exportRoot: String, fromV: Long, toV: Long): String =
+    s"$exportRoot/exp_${fromV}_$toV"
+
+  /** One manifest row per published interval, as a small case class —
+    * intervals are bounded ([[pack]] exists to keep them so), so the
+    * driver-side collect is the manifest's own size. */
+  final case class Interval(toV: Long, fromV: Long, nDocs: Long, nTokens: Long,
+      nTombstones: Long, nShards: Int, capacity: Long)
+
+  def intervals(spark: SparkSession, exportRoot: String): Seq[Interval] =
+    manifest(spark, exportRoot).scan().orderBy(col("to_v")).collect().map(r =>
+      Interval(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getLong(6))).toSeq
+
+  /**
+   * The READER CONTRACT over a multi-interval export root (what a trainer
+   * consumes): for every doc, the copy from its LATEST publishing interval
+   * wins, and a tombstone from a LATER interval than the last publish
+   * removes the doc entirely. One union over the manifest's dirs (zero-doc
+   * dirs skipped off manifest stats — a deletes-only interval has no data
+   * files to read), one per-doc max-interval window, one tombstone
+   * anti-join. Returns the published rows
+   * (shard, bin, pos, doc_id, n_tokens, <textCol>).
+   */
+  def readCorpus(spark: SparkSession, exportRoot: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      /** Payload type: STRING for text corpora, BINARY for media exports
+        * (the byte-budget shards of E196). */
+      textType: String = "STRING"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ivs = intervals(spark, exportRoot)
+    val readSchema = StructType.fromDDL(
+      s"shard INT, bin LONG, pos INT, $idCol LONG, n_tokens LONG, $textCol $textType")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      readSchema.add("_to", "long"))
+    val pubs = ivs.filter(_.nDocs > 0).map(iv =>
+      spark.read.schema(readSchema).parquet(dirOf(exportRoot, iv.fromV, iv.toV))
+        .select((readSchema.fieldNames.map(col) :+ lit(iv.toV).as("_to")).toSeq: _*))
+      .foldLeft(empty)(_ unionByName _)
+    val tombs = ivs.filter(_.nTombstones > 0).map(iv =>
+      spark.read.schema(StructType.fromDDL(s"$idCol LONG"))
+        .parquet(s"${dirOf(exportRoot, iv.fromV, iv.toV)}/_tombstones")
+        .select(col(idCol), lit(iv.toV).as("_tto")))
+      .reduceOption(_ unionByName _)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_to").desc)
+    val latest = pubs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    tombs.fold(latest.drop("_to")) { t =>
+      val dead = t.groupBy(idCol).agg(max(col("_tto")).as("_tto"))
+      latest.join(dead, Seq(idCol), "left")
+        .where(col("_tto").isNull || col("_tto") < col("_to"))
+        .drop("_to", "_tto")
+    }
+  }
+
+  final case class PackResult(packed: Boolean, intervalsBefore: Long,
+      nDocs: Long, dir: String)
+
+  /** Writer-fence domain for [[pack]] commits (independent of the export
+    * fence — packing must never advance what [[exportLatest]] publishes
+    * next). */
+  private val PackWriter = "export-pack"
+
+  /**
+   * SHARD COMPACTION for long-running continuous publication: fold every
+   * published interval into ONE consolidated export (the [[readCorpus]]
+   * materialization — latest copy per doc, tombstones applied) under
+   * `exp_0_<maxToV>`, re-sharded deterministically from the STORED
+   * n_tokens (no re-tokenization — byte-budget media exports keep their
+   * sizes), then replace the manifest's rows with one consolidated row in
+   * ONE fenced merge. Reader-visible ATOMICITY rides the manifest commit:
+   * a reader derives dirs from manifest rows, the consolidated dir is a
+   * fresh path written BEFORE the commit (crash → old manifest + intact
+   * old dirs; the single-interval edge case overwrites its own dir with
+   * identical rows), and the old dirs are removed only AFTER the commit.
+   * A re-CALL at the same head is fenced to a no-op. Like snapshot expiry,
+   * a reader that captured the OLD manifest before the pack must re-read
+   * it before touching disk again.
+   */
+  def pack(spark: SparkSession, exportRoot: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      textType: String = "STRING"): PackResult = {
+    val m = manifest(spark, exportRoot)
+    val ivs = intervals(spark, exportRoot)
+    if (ivs.size <= 1)
+      return PackResult(packed = false, ivs.size.toLong,
+        ivs.map(_.nDocs).sum, ivs.headOption.fold("")(iv =>
+          dirOf(exportRoot, iv.fromV, iv.toV)))
+    val maxTo = ivs.map(_.toV).max
+    val dir = dirOf(exportRoot, 0L, maxTo)
+    if (m.snapshot.writerFences.getOrElse(PackWriter, -1L) >= maxTo)
+      return PackResult(packed = false, ivs.size.toLong, ivs.map(_.nDocs).sum, dir)
+    val last = ivs.maxBy(_.toV)
+    val kept = readCorpus(spark, exportRoot, idCol, textCol, textType)
+      .select(col(idCol), col(textCol), col("n_tokens"))
+    // same one-exchange shard/pos/bin pipeline as exportDelta, sized by the
+    // stored token counts
+    val sharded = SequenceOps.globalShuffle(kept, idCol, last.nShards)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val assignment = sharded
+      .withColumn("_c", sum(col("n_tokens")).over(w))
+      .withColumn("bin", ((col("_c") - col("n_tokens")) / last.capacity).cast("long"))
+      .drop("_c")
+      .select(col("shard"), col("bin"), col("pos"), col(idCol),
+        col("n_tokens"), col(textCol))
+    assignment.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val stats = spark.read.schema(assignment.schema).parquet(dir).agg(
+      count(lit(1)).as("n_docs"), coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+      .collect()(0)
+    // ONE fenced merge: the consolidated row upserts, every other interval
+    // row deletes — the atomic flip readers see
+    import spark.implicits._
+    val row = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        maxTo, 0L, stats.getLong(0), stats.getLong(1), 0L,
+        last.nShards, last.capacity)),
+      StructType.fromDDL(ManifestSchemaDdl))
+    m.merge(row, ivs.map(_.toV).filter(_ != maxTo).toDF("to_v"),
+      batchId = maxTo, writerId = Some(PackWriter))
+    // reclaim the folded dirs (post-commit: new-manifest readers never
+    // touch them)
+    ivs.filter(iv => dirOf(exportRoot, iv.fromV, iv.toV) != dir).foreach { iv =>
+      val p = java.nio.file.Paths.get(dirOf(exportRoot, iv.fromV, iv.toV))
+      if (java.nio.file.Files.isDirectory(p))
+        graft.util.Fs.deleteRecursively(p)
+    }
+    PackResult(packed = true, ivs.size.toLong, stats.getLong(0), dir)
+  }
 }

@@ -253,6 +253,61 @@ object PipelineQueries {
       },
       Some(DuckExportSql)),
 
+    // Export-lifecycle observability + shard compaction from SQL (E202):
+    // two published intervals (evens from a virgin root, then odds + the
+    // {2,4} tombstones), status'd via `CALL export_status` (summary totals
+    // are ADDITIVE — published docs stay counted after their tombstone;
+    // the debt column carries the retractions), then folded via
+    // `CALL export_pack` and status'd again: one consolidated interval,
+    // zero remaining debt, totals now NET of the tombstoned docs — all
+    // recomputable by DuckDB from the fixture's own token counts.
+    Q("cdc_export_status_sql",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val cat = s"graft_exs${System.nanoTime()}"
+        val w = java.nio.file.Files.createTempDirectory("graft_exs_sql").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+        val corpus = graft.table.TransactionalTable.create(s, s"$w/db/corpus",
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+          "doc_id", None)
+        corpus.append(docs.filter(col("doc_id") % 2 === 0), batchId = 0)
+        val v0 = corpus.currentVersion
+        s.sql(s"CALL $cat.system.export_delta('db.corpus', 'db.exports', " +
+          s"0, $v0, 8, 4096)").collect()
+        corpus.append(docs.filter(col("doc_id") % 2 === 1), batchId = 1)
+        s.sql(s"DELETE FROM $cat.db.corpus WHERE doc_id IN (2, 4)")
+        val v1 = graft.table.TransactionalTable.open(s, s"$w/db/corpus")
+          .currentVersion
+        s.sql(s"CALL $cat.system.export_delta('db.corpus', 'db.exports', " +
+          s"$v0, $v1, 8, 4096)").collect()
+        val pre = s.sql(
+          s"CALL $cat.system.export_status('db.exports', 'exs_detail')")
+        // detail view: one manifest row per interval, queryable as SQL
+        require(s.sql("SELECT COUNT(*) FROM exs_detail").collect()(0)
+          .getLong(0) == 2L, "detail view must carry both intervals")
+        val preRow = pre.collect()(0)
+        // pack, then the post-pack status is the oracled output
+        val pk = s.sql(s"CALL $cat.system.export_pack('db.exports')").collect()(0)
+        require(pk.getBoolean(0) && pk.getLong(1) == 2L,
+          s"pack must fold both intervals: $pk")
+        s.sql(s"CALL $cat.system.export_status('db.exports', 'exs_detail2')")
+          .select(lit(preRow.getLong(0)).as("pre_intervals"),
+            lit(preRow.getLong(3)).as("pre_debt"),
+            col("intervals"), col("n_docs"), col("n_tokens"),
+            col("tombstone_debt"), col("head_version"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+             |  CAST(len($DuckToks) AS BIGINT) AS n FROM documents)
+             |SELECT CAST(2 AS BIGINT) AS pre_intervals,
+             |  CAST(2 AS BIGINT) AS pre_debt,
+             |  CAST(1 AS BIGINT) AS intervals,
+             |  (SELECT CAST(COUNT(*) - 2 AS BIGINT) FROM documents) AS n_docs,
+             |  (SELECT CAST(SUM(n) AS BIGINT) FROM toks WHERE doc_id NOT IN (2, 4)) AS n_tokens,
+             |  CAST(0 AS BIGINT) AS tombstone_debt,
+             |  CAST(3 AS BIGINT) AS head_version""".stripMargin)),
+
     // X4: bounded LOG2 histogram (E193) — the fixed-size distribution
     // summary (≤ 64 buckets at any corpus size; bucket = bit-length − 1,
     // integer-exact, no libm), one map-combinable groupBy. Mergeable by

@@ -545,6 +545,41 @@ object GraftProcedures {
         Seq(r.exported, r.assignment.count(), r.tombstones.count(), r.dir)
       }),
 
+    // Export-lifecycle observability + maintenance (E202):
+    //   CALL graft.system.export_status('db.exp', 'exp_detail')
+    //     → one summary row (interval count, doc/token totals, tombstone
+    //       debt, head version) + the per-interval manifest rows registered
+    //       as `detail_view` for plain SQL.
+    //   CALL graft.system.export_pack('db.exp')
+    //     → folds every published interval into one consolidated export
+    //       (latest copy per doc, tombstones applied, zero remaining debt)
+    //       behind one atomic manifest flip; re-CALL at the same head
+    //       no-ops.
+    "export_status" -> Spec(
+      Seq("export_root" -> S, "detail_view" -> S),
+      row("intervals" -> L, "n_docs" -> L, "n_tokens" -> L,
+        "tombstone_debt" -> L, "head_version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = c.rootByName(a.getUTF8String(0).toString)
+        val ivs = graft.ops.ExportOps.intervals(spark, root)
+        graft.ops.ExportOps.manifest(spark, root).scan()
+          .createOrReplaceTempView(a.getUTF8String(1).toString)
+        Seq(ivs.size.toLong, ivs.map(_.nDocs).sum, ivs.map(_.nTokens).sum,
+          ivs.map(_.nTombstones).sum, ivs.map(_.toV).maxOption.getOrElse(0L))
+      }),
+
+    "export_pack" -> Spec(
+      Seq("export_root" -> S),
+      row("packed" -> BooleanType, "intervals_before" -> L, "n_docs" -> L,
+        "dir" -> S),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val r = graft.ops.ExportOps.pack(spark,
+          c.rootByName(a.getUTF8String(0).toString))
+        Seq(r.packed, r.intervalsBefore, r.nDocs, r.dir)
+      }),
+
     "mv_status" -> Spec(
       Seq("view" -> S),
       row("view" -> S, "fresh" -> BooleanType, "stale_sources" -> S,

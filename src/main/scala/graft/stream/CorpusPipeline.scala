@@ -37,9 +37,14 @@ object CorpusPipeline {
    * with the same `batchId`). Returns the kept doc ids (deterministic,
    * already materialized by the index append).
    */
-  /** Continuous-publication binding (E188): where and how to export. */
+  /** Continuous-publication binding (E188): where and how to export.
+    * `packEvery > 0` folds the accumulated interval dirs into one
+    * consolidated export every k-th batch ([[graft.ops.ExportOps.pack]]) —
+    * long-running publication otherwise grows one dir per interval and the
+    * reader's union fans out without bound. Pack commits are fenced on the
+    * export head, so a replayed batch's pack no-ops. */
   final case class Publish(exportRoot: String, nShards: Int, capacity: Long,
-      every: Int = 1)
+      every: Int = 1, packEvery: Int = 0)
 
   def processBatch(index: TransactionalTable, corpus: TransactionalTable,
       docs: DataFrame, batchId: Long, clean: Column,
@@ -60,6 +65,8 @@ object CorpusPipeline {
         if (p.every <= 1 || batchId % p.every == 0)
           graft.ops.ExportOps.exportLatest(corpus, p.exportRoot,
             p.nShards, p.capacity)
+        if (p.packEvery > 0 && batchId > 0 && batchId % p.packEvery == 0)
+          graft.ops.ExportOps.pack(spark, p.exportRoot)
       }
       kept
     }

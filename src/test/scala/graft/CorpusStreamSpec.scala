@@ -133,6 +133,21 @@ class CorpusStreamSpec extends SparkSpec {
       b1Docs.toDF("doc_id", "text", "lang", "source"), 1L, FunnelRules.keep,
       publish = pub)
     assert(m.currentVersion === mv, "replayed batch must not re-publish")
+    // packEvery (E202): the in-pipeline compaction cadence folds the
+    // accumulated intervals into one and the reader-visible corpus is
+    // unchanged
+    val preSet = ExportOps.readCorpus(spark, exp).select("doc_id")
+      .as[Long].collect().toSet
+    CorpusPipeline.processBatch(index, corpus,
+      Seq((50L, longText("delta"), "en", "s")).toDF("doc_id", "text", "lang", "source"),
+      2L, FunnelRules.keep,
+      publish = Some(CorpusPipeline.Publish(exp, nShards = 2, capacity = 64,
+        packEvery = 2)))
+    assert(ExportOps.intervals(spark, exp).size === 1,
+      "packEvery must fold the interval chain")
+    assert(ExportOps.readCorpus(spark, exp).select("doc_id")
+      .as[Long].collect().toSet === preSet + 50L,
+      "packed reader corpus must equal the pre-pack corpus plus the new batch")
   }
 
   test("media stream: perceptual dedup per micro-batch; restart resumes; replay fenced; payloads intact") {

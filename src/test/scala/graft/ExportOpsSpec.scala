@@ -62,6 +62,66 @@ class ExportOpsSpec extends SparkSpec {
     assert(bins.forall(_ >= 0L))
   }
 
+  test("pack (E202): intervals fold atomically — latest copy wins, tombstone debt zeroed, fenced re-pack, publication continues") {
+    val root = tmpDir("export-ops-pack")
+    val corpus = TransactionalTable.create(spark, s"$root/corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+      "doc_id", None)
+    def pub(): Unit = {
+      val r = ExportOps.exportLatest(corpus, s"$root/exp", nShards = 2,
+        capacity = 16L)
+      assert(r.exported)
+    }
+    // interval A: docs 1, 2 — B: docs 3, 4 + UPDATE of 2 — C: deletes-only
+    corpus.append(Seq(doc(1, 10), doc(2, 20)).toDF("doc_id", "text"), batchId = 0)
+    pub()
+    corpus.merge(Seq(doc(3, 5), doc(4, 7), (2L, "two rewritten")).toDF("doc_id", "text"),
+      spark.emptyDataset[Long].toDF("doc_id"), batchId = 1)
+    pub()
+    corpus.merge(spark.emptyDataset[(Long, String)].toDF("doc_id", "text"),
+      Seq(3L).toDF("doc_id"), batchId = 2)
+    pub()
+    def corpusRows() = ExportOps.readCorpus(spark, s"$root/exp")
+      .select("doc_id", "n_tokens", "text").as[(Long, Long, String)]
+      .collect().toSet
+    val before = corpusRows()
+    assert(before.map(_._1) === Set(1L, 2L, 4L), s"reader contract pre-pack: $before")
+    assert(before.find(_._1 == 2L).get._3 === "two rewritten",
+      "latest published copy must win")
+    // ATOMICITY: a dir the manifest does not list is invisible to readers —
+    // exactly the crash-window state (consolidated dir written, flip not
+    // yet committed)
+    Seq((999L, "ghost")).toDF("doc_id", "text")
+      .withColumn("shard", lit(0)).withColumn("bin", lit(0L))
+      .withColumn("pos", lit(0)).withColumn("n_tokens", lit(1L))
+      .select("shard", "bin", "pos", "doc_id", "n_tokens", "text")
+      .write.partitionBy("shard").parquet(s"$root/exp/exp_0_999")
+    assert(corpusRows() === before,
+      "readers must derive dirs from the manifest alone (crash-window atomicity)")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(s"$root/exp/exp_0_999"))
+    val head = corpus.currentVersion
+    val p = ExportOps.pack(spark, s"$root/exp")
+    assert(p.packed && p.intervalsBefore === 3L && p.nDocs === 3L)
+    // one consolidated manifest row, zero remaining tombstone debt
+    val ivs = ExportOps.intervals(spark, s"$root/exp")
+    assert(ivs.map(iv => (iv.toV, iv.fromV, iv.nDocs, iv.nTombstones)) ===
+      Seq((head, 0L, 3L, 0L)), s"manifest after pack: $ivs")
+    assert(corpusRows() === before, "pack must not change the reader-visible corpus")
+    // folded dirs reclaimed; only the consolidated dir remains
+    val dirs = graft.util.Fs.listSeq(java.nio.file.Paths.get(s"$root/exp"))
+      .map(_.getFileName.toString).filter(_.startsWith("exp_"))
+    assert(dirs === Seq(s"exp_0_$head"), s"old interval dirs must be reclaimed: $dirs")
+    // re-pack at the same head: fenced no-op
+    val mv = ExportOps.manifest(spark, s"$root/exp").currentVersion
+    assert(!ExportOps.pack(spark, s"$root/exp").packed)
+    assert(ExportOps.manifest(spark, s"$root/exp").currentVersion === mv)
+    // publication CONTINUES from the untouched export fence
+    corpus.append(Seq(doc(9, 3)).toDF("doc_id", "text"), batchId = 3)
+    pub()
+    assert(corpusRows().map(_._1) === Set(1L, 2L, 4L, 9L),
+      "post-pack publication must extend the consolidated corpus")
+  }
+
   test("deletes-only interval publishes tombstones + a zero-doc manifest row (ADVICE r15)") {
     val root = tmpDir("export-ops-delonly")
     val corpus = TransactionalTable.create(spark, s"$root/corpus",
