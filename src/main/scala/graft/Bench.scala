@@ -175,13 +175,33 @@ object Bench {
     val heavy = Seq("cdc_events_replay", "x2_dedup_index", "x2_dup_spans",
       "x4_tfidf", "x7_q5_revenue_by_nation", "x2_line_dedup",
       "x4_corpus_build", "x1_dedup_keep_best", "x3_ann_index",
-      "cdc_corpus_stream")
+      "cdc_corpus_stream", "x1_keep_best_index")
     var rs30: Seq[(String, Double)] = Nil
     var hiDir: Option[String] = None // kept alive through requalification
     if (hiCopies > 1) {
       val dir = graft.tools.ScaledData.materialize(spark, sfDir, hiCopies)
       hiDir = Some(dir)
       rs30 = Registry.headlines.filter(q => heavy.contains(q.name)).map { q =>
+        q.name -> timedRun(q, () => q.fn(spark, dir).count())
+      }
+    }
+
+    // EXTREME scale point (100× ≈ sf10 from sf0.1), INDEX pipelines only
+    // (r15 verdict #4): the 100 TB judgment for the persistent-index
+    // families extrapolated from ≤30× tiers; this tier replaces that
+    // extrapolation with a measurement another decade up. The subset is
+    // the three index headlines plus the keep-best INDEX twin (the
+    // flat-shape replacement for the closure's steep curve — the closure
+    // itself is O(pairs) by construction and stays on the 30× tier).
+    val xhiCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_XHI_COPIES", "100").toInt
+    val indexPipelines = Seq("x3_ivf_pq", "x2_dedup_index", "cdc_corpus_stream",
+      "x1_keep_best_index")
+    var rsXhi: Seq[(String, Double)] = Nil
+    var xhiDir: Option[String] = None
+    if (xhiCopies > 1) {
+      val dir = graft.tools.ScaledData.materialize(spark, sfDir, xhiCopies)
+      xhiDir = Some(dir)
+      rsXhi = Registry.headlines.filter(q => indexPipelines.contains(q.name)).map { q =>
         q.name -> timedRun(q, () => q.fn(spark, dir).count())
       }
     }
@@ -197,7 +217,7 @@ object Bench {
     // "requalified" so a reader can tell second-pass entries from
     // first-pass ones — and any name still inverted after the retry stays
     // listed with its inversion intact rather than being massaged.
-    val scaledFloor: Map[String, Double] = (rs10 ++ rs30).filter(_._2 >= 0)
+    val scaledFloor: Map[String, Double] = (rs10 ++ rs30 ++ rsXhi).filter(_._2 >= 0)
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     val requalified = scala.collection.mutable.LinkedHashSet.empty[String]
     val finalResults = results.map { case (name, base) =>
@@ -225,6 +245,22 @@ object Bench {
       rs30 = rs30.map { case (name, v) =>
         val b = baseNow.getOrElse(name, Double.NaN)
         name -> (if (v >= 0 && b > 0 && v / b > hiCopies / 2.0) {
+          System.gc(); Thread.sleep(2000)
+          val q = Registry.headlines.find(_.name == name).get
+          val re = timedRun(q, () => q.fn(spark, dir).count())
+          requalifiedHi.add(name)
+          if (re >= 0) math.min(v, re) else v
+        } else v)
+      }
+      graft.tools.ScaledData.delete(dir)
+    }
+    // the 100× tier gets the same one-retry requalification against the
+    // flat-to-sublinear bound (factor ≤ copies/2)
+    xhiDir.foreach { dir =>
+      val baseNow = finalResults.toMap
+      rsXhi = rsXhi.map { case (name, v) =>
+        val b = baseNow.getOrElse(name, Double.NaN)
+        name -> (if (v >= 0 && b > 0 && v / b > xhiCopies / 2.0) {
           System.gc(); Thread.sleep(2000)
           val q = Registry.headlines.find(_.name == name).get
           val re = timedRun(q, () => q.fn(spark, dir).count())
@@ -270,6 +306,19 @@ object Bench {
       }.mkString("{", ",", "}")
       hiJson = s""","scaled_hi":{"copies":$hiCopies,"queries":$sq,"factors":$factors}"""
       hiCompactJson = s""","scaled_hi":{"copies":$hiCopies,"factors":$factors}"""
+    }
+    var xhiJson = ""
+    var xhiCompactJson = ""
+    if (rsXhi.nonEmpty) {
+      val sq = rsXhi.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+        .mkString("{", ",", "}")
+      val factors = rsXhi.map { case (k, v) =>
+        val b = baseSec.getOrElse(k, Double.NaN)
+        val f = if (v >= 0 && b > 0) math.rint(v / b * 100) / 100 else -1.0
+        "\"" + k + "\":" + f
+      }.mkString("{", ",", "}")
+      xhiJson = s""","scaled_xhi":{"copies":$xhiCopies,"queries":$sq,"factors":$factors}"""
+      xhiCompactJson = s""","scaled_xhi":{"copies":$xhiCopies,"factors":$factors}"""
     }
 
     // "Within 2x of DuckDB" as a COMPUTED column: tools/check.py --times-out
@@ -318,7 +367,7 @@ object Bench {
       else failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$floorJson$requalJson$errJson$scaledJson$hiJson$batchJson$oracleJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"timing":"min_of_n"$floorJson$requalJson$errJson$scaledJson$hiJson$xhiJson$batchJson$oracleJson}"""
     // The FULL artifact goes to disk (both paths committed / inspectable):
     // round 11 proved the driver's stdout tail capture is a 2000-char window,
     // and the full line (2.9k and growing ~100 chars per new headline) no
@@ -354,7 +403,7 @@ object Bench {
     // window) — the streaming-tier p50/p95 live in the full artifact the
     // "full" pointer names.
     val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$floorJson$requalJson$errJson$compactScaled$hiCompactJson$compactOracle,"full":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfBase"$floorJson$requalJson$errJson$compactScaled$hiCompactJson$xhiCompactJson$compactOracle,"full":"BENCH_LAST.json"}"""
     if (compactLine.length >= 1950)
       System.err.println(s"WARNING: compact bench line ${compactLine.length} chars — " +
         "approaching the driver's 2000-char tail window; trim a block")

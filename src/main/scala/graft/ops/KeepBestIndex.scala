@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+import graft.table.TransactionalTable
+
+/**
+ * Persistent QUALITY-AWARE near-duplicate index — the incremental twin of
+ * `x1_dedup_keep_best`'s per-run closure, in the [[DedupIndex]] posture:
+ * instead of re-pairing and re-clustering the corpus per run (the steepest
+ * scaling curve in the bench artifact — the closure join grows with corpus
+ * pairs), the index keeps ONE BEST representative per near-dup
+ * neighborhood and each batch pays O(batch bands ⋈ index) on spread
+ * (band, chunk) keys, never O(corpus²).
+ *
+ * The "best" rule is total and deterministic (DuckDB-replayable bit for
+ * bit — the score is [[TextOps.qualityClassify]]'s md5-derived logit):
+ * x beats y iff logit(x) > logit(y), ties to the LOWER doc_id. Per batch:
+ *
+ *  1. corpus rule: a batch doc sharing any SimHash band bucket with a
+ *     BETTER indexed doc loses (route-to-drop);
+ *  2. in-batch rule: among the remaining docs, a doc sharing a bucket
+ *     with a better surviving doc loses;
+ *  3. EVICTION — the part plain [[DedupIndex]] cannot express: an indexed
+ *     doc sharing a bucket with a (necessarily better, by rule 1) kept
+ *     batch doc is REPLACED — its band rows delete, and an eviction-log
+ *     row (sentinel band −1, which can never join a real bucket) records
+ *     the retraction for the downstream corpus, all in the SAME fenced
+ *     commit.
+ *
+ * Replay safety: the merge is fenced on `batchId`, and BOTH result sets
+ * read back from the committed rows of this batch (kept = band rows ≥ 0,
+ * evicted = the −1 log rows), so a crashed/re-delivered batch returns the
+ * ORIGINAL kept AND evicted sets bit-for-bit — a recomputation would miss
+ * the evictions (the evicted rows are already gone) and the downstream
+ * retraction would be lost across the crash window (the HammingIndex
+ * read-back argument, extended to the eviction side).
+ */
+object KeepBestIndex {
+
+  /** Index row: one per (kept doc, band), score carried for the better-of
+    * comparisons; eviction-log rows use band = −1. */
+  val Schema: StructType = StructType(Seq(
+    StructField("sig_id", LongType), StructField("band", LongType),
+    StructField("chunk", LongType), StructField("doc_id", LongType),
+    StructField("score", DoubleType), StructField("batch", LongType)))
+
+  def create(spark: SparkSession, root: String): TransactionalTable =
+    TransactionalTable.create(spark, root, Schema, pk = "sig_id", partitionCol = None)
+
+  def open(spark: SparkSession, root: String): TransactionalTable =
+    DedupIndex.requireBatchColumn(TransactionalTable.open(spark, root), root)
+
+  final case class BatchResult(kept: DataFrame, evicted: DataFrame)
+
+  /** better(a, b): a's (score, id) beats b's — higher logit, ties to the
+    * lower doc_id. */
+  private def better(aScore: Column, aId: Column,
+      bScore: Column, bId: Column): Column =
+    aScore > bScore || (aScore === bScore && aId < bId)
+
+  /**
+   * One batch: score → band → corpus rule → in-batch rule → fenced commit
+   * of (kept band rows + eviction log + evicted-row deletes). Returns the
+   * kept doc ids and the evicted (replaced) doc ids, both read back from
+   * the committed batch. Safe to call from `foreachBatch`; `compactEvery`
+   * has the [[DedupIndex.appendBatch]] cadence contract.
+   */
+  def appendBatch(index: TransactionalTable, docs: DataFrame, batchId: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      compactEvery: Int = 0): BatchResult =
+    graft.util.BatchStats.timed("keep_best_index_batch") {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val scored = TextOps.qualityClassify(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(textCol)))
+        .select(col("doc_id"), col("logit"))
+      val bands = DedupOps.simhashBands(DedupOps.simhashSketch(docs, idCol, textCol))
+        .select(col("doc_id"), col("band"), col("chunk"))
+        .join(scored, Seq("doc_id"))
+        .persist()
+      val idx = index.scan().where(col("band") >= 0).select(
+        col("band"), col("chunk"), col("doc_id").as("_i_doc"),
+        col("score").as("_i_score"))
+      // (1) corpus rule: any shared bucket holding a BETTER indexed doc
+      // drops the batch doc; self-matches excluded so a replay recomputes
+      // the identical candidate set
+      val corpusLose = bands.join(idx,
+          bands("band") === idx("band") && bands("chunk") === idx("chunk") &&
+            bands("doc_id") =!= col("_i_doc") &&
+            better(col("_i_score"), col("_i_doc"), col("logit"), bands("doc_id")),
+          "left_semi")
+        .select("doc_id").distinct()
+      val cand = bands.join(corpusLose, Seq("doc_id"), "left_anti").persist()
+      try {
+        // (2) in-batch rule: the better doc in a shared bucket wins
+        val inBatchLose = cand.as("a").join(cand.as("b"),
+            col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+              col("b.doc_id") =!= col("a.doc_id") &&
+              better(col("b.logit"), col("b.doc_id"),
+                col("a.logit"), col("a.doc_id")),
+            "left_semi")
+          .select(col("doc_id")).distinct()
+        // kept ids and the eviction set are SMALL and feed several legs of
+        // the commit (upserts, deletes, and the merge's own multi-pass
+        // evaluation of both) — materialize them once, eagerly, so the
+        // banded joins behind them run a single time
+        val keptIds = cand.select("doc_id").distinct()
+          .join(inBatchLose, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val keptRows = cand.join(keptIds, Seq("doc_id"), "left_semi")
+        // zero-token docs have no sketch — kept, bandless (pure function of
+        // the batch input: replays recompute identically)
+        val sketchless = docs.select(col(idCol).cast("long").as("doc_id"))
+          .join(bands.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        // (3) EVICTION: every indexed doc bucket-adjacent to a kept doc is
+        // necessarily worse (rule 1 killed the other direction) — replaced
+        val evictRows = idx.join(keptRows,
+            idx("band") === keptRows("band") && idx("chunk") === keptRows("chunk") &&
+              col("_i_doc") =!= keptRows("doc_id"), "left_semi")
+          .select(col("_i_doc").as("doc_id"), col("_i_score").as("score"))
+          .distinct()
+          .localCheckpoint(true)
+        // one fenced commit: kept band rows + eviction-log rows upsert, the
+        // evicted docs' band rows delete (their sig_ids recomputed from the
+        // deterministic doc:band rule over all 4 bands)
+        val upserts = keptRows.select(
+            TextOps.md5Hash60(concat_ws(":", col("doc_id"), col("band"))).as("sig_id"),
+            col("band"), col("chunk"), col("doc_id"),
+            col("logit").as("score"), lit(batchId).as("batch"))
+          .unionByName(evictRows.select(
+            TextOps.md5Hash60(concat_ws(":", lit("evict"), lit(batchId),
+              col("doc_id"))).as("sig_id"),
+            lit(-1L).as("band"), lit(-1L).as("chunk"), col("doc_id"),
+            col("score"), lit(batchId).as("batch")))
+        val dels = evictRows.select(explode(sequence(lit(0L), lit(3L))).as("band"),
+            col("doc_id"))
+          .select(TextOps.md5Hash60(
+            concat_ws(":", col("doc_id"), col("band"))).as("sig_id"))
+        index.merge(upserts, dels, batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          index.compact()
+        // read-back (replay-exact for BOTH sets): kept = this batch's band
+        // rows + the bandless docs; evicted = this batch's −1 log rows
+        val committed = index.scan().where(col("batch") === batchId)
+          .localCheckpoint(true)
+        BatchResult(
+          kept = committed.where(col("band") >= 0).select("doc_id").distinct()
+            .unionByName(sketchless).orderBy("doc_id"),
+          evicted = committed.where(col("band") === -1).select("doc_id")
+            .distinct().orderBy("doc_id"))
+      } finally {
+        cand.unpersist(blocking = false)
+        bands.unpersist(blocking = false)
+      }
+    }
+}

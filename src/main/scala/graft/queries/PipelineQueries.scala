@@ -469,6 +469,76 @@ object PipelineQueries {
       // headline: the r13 verdict asks 30x coverage for keep-best dedup
       headline = true),
 
+    // INCREMENTAL keep-best dedup over the persistent index (E203 — the
+    // index-posture twin of x1_dedup_keep_best's per-run closure, which is
+    // the steepest scaling curve in the bench artifact): the index keeps
+    // ONE BEST representative per near-dup neighborhood; each batch pays
+    // O(batch bands ⋈ index) and a better batch doc EVICTS its indexed
+    // rival in the same fenced commit (the retraction the downstream
+    // corpus consumes). Evens seed batch 0 (self-deduped by quality);
+    // odds arrive as batch 1 — worse odds drop, better odds evict. Output:
+    // batch-1 kept ids + the evicted ids, both read back from committed
+    // rows. DuckDB replays banding, the md5 logit, both better-of rules,
+    // and the eviction set bit-for-bit.
+    Q("x1_keep_best_index",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files.createTempDirectory("graft_kbi").toString + "/idx"
+        val index = graft.ops.KeepBestIndex.create(s, root)
+        graft.ops.KeepBestIndex.appendBatch(index,
+          docs.filter(col("doc_id") % 2 === 0), batchId = 0)
+        val r = graft.ops.KeepBestIndex.appendBatch(index,
+          docs.filter(col("doc_id") % 2 === 1), batchId = 1, compactEvery = 1)
+        r.kept.select(col("doc_id"), lit("kept").as("status"))
+          .unionByName(r.evicted.select(col("doc_id"), lit("evicted").as("status")))
+          .orderBy("status", "doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+             |th AS (SELECT doc_id, CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+             |       FROM (SELECT doc_id, unnest(w) AS t FROM toks) u),
+             |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |         FROM th, range(60) r(b) GROUP BY doc_id, b),
+             |sk AS (SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+             |       FROM bits GROUP BY doc_id),
+             |tc AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS t FROM toks) u GROUP BY 1, 2),
+             |qs AS (SELECT doc_id,
+             |         SUM((CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT) % 1001 - 500) * tf) AS wsum,
+             |         CAST(SUM(tf) AS BIGINT) AS n
+             |       FROM tc GROUP BY doc_id),
+             |lg AS (SELECT t.doc_id,
+             |         CASE WHEN coalesce(q.n, 0) = 0 THEN 0.0
+             |              ELSE CAST(q.wsum AS DOUBLE) / (q.n * 500.0) END AS logit
+             |       FROM toks t LEFT JOIN qs q USING (doc_id)),
+             |ch AS (SELECT sk.doc_id, c AS band, (simhash >> CAST(c * 15 AS INTEGER)) & 32767 AS chunk, lg.logit
+             |       FROM sk, range(4) r(c) JOIN lg ON lg.doc_id = sk.doc_id),
+             |e AS (SELECT * FROM ch WHERE doc_id % 2 = 0),
+             |o AS (SELECT * FROM ch WHERE doc_id % 2 = 1),
+             |e_lose AS (SELECT DISTINCT a.doc_id FROM e a JOIN e b
+             |           ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id <> a.doc_id
+             |             AND (b.logit > a.logit OR (b.logit = a.logit AND b.doc_id < a.doc_id))),
+             |e_kept AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM e_lose)),
+             |o_clos AS (SELECT DISTINCT a.doc_id FROM o a JOIN e_kept i
+             |           ON i.band = a.band AND i.chunk = a.chunk
+             |             AND (i.logit > a.logit OR (i.logit = a.logit AND i.doc_id < a.doc_id))),
+             |cand AS (SELECT * FROM o WHERE doc_id NOT IN (SELECT doc_id FROM o_clos)),
+             |o_blos AS (SELECT DISTINCT a.doc_id FROM cand a JOIN cand b
+             |           ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id <> a.doc_id
+             |             AND (b.logit > a.logit OR (b.logit = a.logit AND b.doc_id < a.doc_id))),
+             |kept AS (SELECT DISTINCT doc_id FROM cand
+             |         WHERE doc_id NOT IN (SELECT doc_id FROM o_blos)
+             |         UNION ALL
+             |         SELECT doc_id FROM toks WHERE doc_id % 2 = 1 AND len(w) = 0),
+             |kb AS (SELECT c.* FROM cand c JOIN kept USING (doc_id)),
+             |evict AS (SELECT DISTINCT i.doc_id FROM e_kept i JOIN kb k
+             |          ON k.band = i.band AND k.chunk = i.chunk AND k.doc_id <> i.doc_id)
+             |SELECT doc_id, status FROM (
+             |  SELECT doc_id, 'kept' AS status FROM kept
+             |  UNION ALL SELECT doc_id, 'evicted' FROM evict
+             |) ORDER BY status, doc_id""".stripMargin),
+      // headline: the index-posture replacement for the closure's scaling
+      headline = true),
+
     // K-means assignment step: nearest (max-cosine) of k=8 fixed centroids
     // (the 8 lowest-vec_id embeddings — deterministic seeding, same rule as
     // IVF's hash-stride sampling degenerates to on this fixture). One corpus
