@@ -404,13 +404,18 @@ object DedupOps {
         aggregate(slice(col("toks"), i + 1, lit(window)), lit(0L), combine).as("wkey"))))
         .as("w"))
       .select(col("doc_id"), col("w.start").cast("long").as("start"), col("w.wkey").as("wkey"))
-    // cross-doc test as min≠max (NOT countDistinct, which would pay an
-    // extra pre-shuffle on (wkey, doc_id)): map-side partials combine and
-    // one wkey exchange carries ≤1 row per key per task
-    val dupKeys = wins.groupBy("wkey")
-      .agg(min(col("doc_id")).as("_d0"), max(col("doc_id")).as("_d1"))
-      .where(col("_d0") =!= col("_d1"))
-    val marked = wins.join(dupKeys.select("wkey"), Seq("wkey"), "left_semi")
+    // cross-doc test as min≠max OVER A WINDOW on wkey (r16 — replaces the
+    // groupBy + semi-join-back form): the aggregate+join shape paid TWO
+    // wkey exchanges and computed the rotate-xor fold over every window
+    // TWICE (once per `wins` evaluation); the unbounded-frame window pays
+    // ONE exchange and one fold, and each wkey group it buffers is a few
+    // rows (documents sharing one window hash). countDistinct would
+    // re-shuffle on (wkey, doc_id); min≠max needs neither.
+    val byKey = Window.partitionBy("wkey")
+    val marked = wins
+      .withColumn("_dup",
+        min(col("doc_id")).over(byKey) =!= max(col("doc_id")).over(byKey))
+      .where(col("_dup"))
       .select(col("doc_id"), col("start"), (col("start") + lit(window - 1)).as("end"))
     // gaps-and-islands span merge: a window starts a NEW span iff it begins
     // past every previous window's end + 1 (adjacent coverage merges)

@@ -432,6 +432,40 @@ object GraftProcedures {
         Seq(name, t.scan().count())
       }),
 
+    // KEEP-BEST dedup index from SQL (E203/E204): quality-aware incremental
+    // dedup — each append registers BOTH result views (kept ids + the
+    // indexed docs the batch evicted), each read back from committed rows
+    // so a re-CALL of a committed batch returns the original sets.
+    //   CALL graft.system.keep_best_index_create('db.kb')
+    //   CALL graft.system.keep_best_index_append('db.kb', 'batch_view', 0, 'kept0', 'evicted0')
+    "keep_best_index_create" -> Spec(
+      Seq("index" -> S),
+      row("index" -> S, "version" -> L),
+      (c, a) => {
+        val name = a.getUTF8String(0).toString
+        val t = graft.ops.KeepBestIndex.create(
+          org.apache.spark.sql.SparkSession.active, c.rootByName(name))
+        Seq(name, t.currentVersion)
+      }),
+
+    "keep_best_index_append" -> Spec(
+      Seq("index" -> S, "source" -> S, "batch_id" -> L, "kept_view" -> S,
+        "evicted_view" -> S),
+      row("kept_view" -> S, "kept_docs" -> L, "evicted_view" -> S,
+        "evicted_docs" -> L, "index_version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val index = open(c, a)
+        val r = graft.ops.KeepBestIndex.appendBatch(index,
+          spark.table(a.getUTF8String(1).toString), a.getLong(2))
+        val keptView = a.getUTF8String(3).toString
+        val evictedView = a.getUTF8String(4).toString
+        r.kept.createOrReplaceTempView(keptView)
+        r.evicted.createOrReplaceTempView(evictedView)
+        Seq(keptView, r.kept.count(), evictedView, r.evicted.count(),
+          index.currentVersion)
+      }),
+
     // MEDIA dedup indexes from SQL (the last index family that was
     // Scala-API only — the reference's SQL-first posture): one generic
     // create/append pair over the HammingIndex core, dispatched on `kind`

@@ -72,6 +72,50 @@ object CorpusPipeline {
     }
 
   /**
+   * KEEP-BEST micro-batch (E204 — the eviction-consuming twin of
+   * [[processBatch]]): the [[graft.ops.KeepBestIndex]] decides the batch's
+   * kept docs AND the indexed rivals they replace, and ONE fenced corpus
+   * merge upserts the kept rows while DELETING the evicted docs — the
+   * corpus always holds exactly the index's live representatives. Replay
+   * safety end to end: the index commit fences + reads BOTH sets back from
+   * committed rows, so a re-delivered epoch re-issues the identical merge
+   * (same upserts, same deletes) against the corpus fence, which no-ops —
+   * the retraction can never be lost OR double-applied across a crash
+   * between the two table commits. Per-batch cost stays
+   * O(batch bands ⋈ index) + one merge — never a function of corpus size.
+   */
+  def processBatchKeepBest(index: TransactionalTable, corpus: TransactionalTable,
+      docs: DataFrame, batchId: Long, clean: Column,
+      compactEvery: Int = 0): graft.ops.KeepBestIndex.BatchResult =
+    graft.util.BatchStats.timed("keepbest_stream_batch") {
+      val cleaned = docs.filter(clean)
+      val r = graft.ops.KeepBestIndex.appendBatch(index, cleaned, batchId,
+        compactEvery = compactEvery)
+      val rows = cleaned.join(r.kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      corpus.merge(rows, r.evicted.select(col("doc_id")), batchId)
+      r
+    }
+
+  /** The checkpointed keep-best stream: [[processBatchKeepBest]] per
+    * micro-batch over JSON-lines documents in `inputDir` — same restart /
+    * replay contract as [[run]]. */
+  def runKeepBest(spark: SparkSession, inputDir: String, checkpointDir: String,
+      index: TransactionalTable, corpus: TransactionalTable, clean: Column,
+      schemaDdl: String = "doc_id LONG, text STRING, lang STRING, source STRING",
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schemaDdl)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        processBatchKeepBest(index, corpus, df, bid, clean, compactEvery); ()
+      }
+      .trigger(trigger)
+      .start()
+
+  /**
    * The checkpointed stream: JSON-lines documents landing in `inputDir` →
    * [[processBatch]] per micro-batch. Restarting with the same checkpoint
    * resumes at the first unprocessed file; a re-delivered epoch is fenced

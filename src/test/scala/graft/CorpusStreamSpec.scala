@@ -150,6 +150,55 @@ class CorpusStreamSpec extends SparkSpec {
       "packed reader corpus must equal the pre-pack corpus plus the new batch")
   }
 
+  test("keep-best stream (E204): evictions retract from the corpus; replay fenced; crash between commits heals") {
+    import graft.ops.KeepBestIndex
+    import graft.stream.CorpusPipeline
+    // pinned near-dup texts (KeepBestIndexSpec): textB > textA in quality,
+    // bucket-adjacent by construction
+    val base = (1 to 30).map(k => s"commonword$k").mkString(" ")
+    val textA = s"$base extra8"
+    val textB = s"$base extra4"
+    val work = tmpDir("kb-stream")
+    val in = s"$work/in"
+    Files.createDirectories(Paths.get(in))
+    val index = KeepBestIndex.create(spark, s"$work/idx")
+    val corpus = TransactionalTable.create(spark, s"$work/corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+      "doc_id", None)
+    def runOnce(): Unit = {
+      val q = CorpusPipeline.runKeepBest(spark, in, s"$work/ckpt", index, corpus,
+        lit(true), schemaDdl = "doc_id LONG, text STRING")
+      q.awaitTermination()
+    }
+    def corpusIds(): Seq[Long] =
+      corpus.scan().select("doc_id").as[Long].collect().toSeq.sorted
+    Files.write(Paths.get(in, "b0.json"),
+      s"""{"doc_id": 10, "text": "$textA"}""".getBytes)
+    runOnce()
+    assert(corpusIds() === Seq(10L))
+    // epoch 1 across a restart: the better near-dup EVICTS 10 from the corpus
+    Files.write(Paths.get(in, "b1.json"),
+      s"""{"doc_id": 5, "text": "$textB"}""".getBytes)
+    runOnce()
+    assert(corpusIds() === Seq(5L), "the eviction must retract from the corpus")
+    // replay of epoch 1: both commits fence to no-ops
+    val cv = corpus.currentVersion
+    CorpusPipeline.processBatchKeepBest(index, corpus,
+      Seq((5L, textB)).toDF("doc_id", "text"), batchId = 1, lit(true))
+    assert(corpus.currentVersion === cv && corpusIds() === Seq(5L),
+      "replayed epoch must not re-commit")
+    // CRASH BETWEEN THE TWO COMMITS: the index commit of epoch 2 lands
+    // (doc 3 = identical text, lower id → evicts 5) but the corpus merge
+    // does not; the re-delivered epoch must still apply the retraction
+    KeepBestIndex.appendBatch(index, Seq((3L, textB)).toDF("doc_id", "text"),
+      batchId = 2)
+    assert(corpusIds() === Seq(5L), "premise: corpus merge not yet applied")
+    CorpusPipeline.processBatchKeepBest(index, corpus,
+      Seq((3L, textB)).toDF("doc_id", "text"), batchId = 2, lit(true))
+    assert(corpusIds() === Seq(3L),
+      "the re-delivered epoch must replay the ORIGINAL eviction read-back")
+  }
+
   test("media stream: perceptual dedup per micro-batch; restart resumes; replay fenced; payloads intact") {
     import graft.stream.MediaPipeline
     def img(codeword: Int, base: Int, fmt: String = "png"): Array[Byte] = {

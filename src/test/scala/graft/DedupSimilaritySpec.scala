@@ -455,14 +455,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
-  test("duplicateSpans at scale (no broadcast): co-partitioned SMJ, map-combined agg, no extra exchange") {
-    // Force the at-scale join path (under default thresholds AQE broadcasts
-    // the tiny dup-key set instead; this pins the plan the query degrades
-    // to at corpus scale): the dup-key aggregate must combine map-side on
-    // wkey alone — min≠max, NOT a countDistinct, whose (wkey, doc_id)
-    // pre-shuffle would add a third full exchange of the window index —
-    // and the semi-join must be a co-partitioned SMJ, never a
-    // cartesian/BNLJ.
+  test("duplicateSpans at scale: ONE wkey exchange, one fold pass, no join (r16 plan)") {
+    // The r16 plan replaces the dup-key groupBy + semi-join-back (2 wkey
+    // exchanges, rotate-xor fold computed twice — once per `wins`
+    // evaluation) with min≠max over an unbounded window on wkey: ONE
+    // exchange, one fold pass, no join operator at all. Each wkey group
+    // the window buffers is a handful of rows (docs sharing one window
+    // hash). Pinned here so a refactor cannot silently reintroduce the
+    // double-fold shape.
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -475,11 +475,12 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(df.as[(Long, Long, Long, Long)].collect().toSeq ===
         Seq((10L, 0L, 6L, 4L), (11L, 2L, 8L, 4L)))
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin") && plan.contains("LeftSemi"))
+      assert(!plan.contains("Join"),
+        s"the min≠max window form needs no join operator:\n$plan")
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
       val wkeyExchanges = "Exchange hashpartitioning\\(wkey".r.findAllIn(plan).length
-      assert(wkeyExchanges === 2,
-        s"expected exactly 2 wkey exchanges (probe + map-combined agg), got $wkeyExchanges:\n$plan")
+      assert(wkeyExchanges === 1,
+        s"expected exactly 1 wkey exchange (the dup-test window), got $wkeyExchanges:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
