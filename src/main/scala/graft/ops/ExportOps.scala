@@ -84,6 +84,17 @@ object ExportOps {
     require(nShards > 0 && capacity > 0, "nShards and capacity must be positive")
     val spark = corpus.spark
     val m = manifest(spark, exportRoot)
+    // stamp the export's column/payload contract on first use (E202): a
+    // LATER session's pack / readCorpus / CALL export_pack resolves the id
+    // column, payload column and payload TYPE (STRING text vs BINARY
+    // media) from the manifest instead of trusting caller defaults — a
+    // byte-budget media export packs with the same call as a text corpus
+    if (m.customMeta("export.payload.type").isEmpty) {
+      m.setCustomMeta("export.id.col", idCol)
+      m.setCustomMeta("export.payload.col", textCol)
+      m.setCustomMeta("export.payload.type",
+        corpus.schema(textCol).dataType.sql)
+    }
     val delta = corpus.changes(fromVersion, toVersion)
     val inserts = delta.where(col("_change_type") === "insert").drop("_change_type")
     val tombs = delta.where(col("_change_type") === "delete")
@@ -152,11 +163,30 @@ object ExportOps {
    * anti-join. Returns the published rows
    * (shard, bin, pos, doc_id, n_tokens, <textCol>).
    */
+  /** The export root's stamped (idCol, payloadCol, payloadType) contract,
+    * falling back to the given defaults for roots published before the
+    * stamp existed. */
+  private def contract(spark: SparkSession, exportRoot: String,
+      idCol: String, textCol: String, textType: String): (String, String, String) = {
+    val m = manifest(spark, exportRoot)
+    (m.customMeta("export.id.col").getOrElse(idCol),
+      m.customMeta("export.payload.col").getOrElse(textCol),
+      m.customMeta("export.payload.type").getOrElse(textType))
+  }
+
   def readCorpus(spark: SparkSession, exportRoot: String,
       idCol: String = "doc_id", textCol: String = "text",
       /** Payload type: STRING for text corpora, BINARY for media exports
-        * (the byte-budget shards of E196). */
+        * (the byte-budget shards of E196). The manifest's stamped contract
+        * overrides all three defaults when present. */
       textType: String = "STRING"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (id, pc, pt) = contract(spark, exportRoot, idCol, textCol, textType)
+    readCorpusAs(spark, exportRoot, id, pc, pt)
+  }
+
+  private def readCorpusAs(spark: SparkSession, exportRoot: String,
+      idCol: String, textCol: String, textType: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ivs = intervals(spark, exportRoot)
     val readSchema = StructType.fromDDL(
@@ -212,6 +242,7 @@ object ExportOps {
       idCol: String = "doc_id", textCol: String = "text",
       textType: String = "STRING"): PackResult = {
     val m = manifest(spark, exportRoot)
+    val (id, pc, pt) = contract(spark, exportRoot, idCol, textCol, textType)
     val ivs = intervals(spark, exportRoot)
     if (ivs.size <= 1)
       return PackResult(packed = false, ivs.size.toLong,
@@ -222,11 +253,11 @@ object ExportOps {
     if (m.snapshot.writerFences.getOrElse(PackWriter, -1L) >= maxTo)
       return PackResult(packed = false, ivs.size.toLong, ivs.map(_.nDocs).sum, dir)
     val last = ivs.maxBy(_.toV)
-    val kept = readCorpus(spark, exportRoot, idCol, textCol, textType)
-      .select(col(idCol), col(textCol), col("n_tokens"))
+    val kept = readCorpusAs(spark, exportRoot, id, pc, pt)
+      .select(col(id), col(pc), col("n_tokens"))
     // same one-exchange shard/pos/bin pipeline as exportDelta, sized by the
     // stored token counts
-    val sharded = SequenceOps.globalShuffle(kept, idCol, last.nShards)
+    val sharded = SequenceOps.globalShuffle(kept, id, last.nShards)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -235,8 +266,8 @@ object ExportOps {
       .withColumn("_c", sum(col("n_tokens")).over(w))
       .withColumn("bin", ((col("_c") - col("n_tokens")) / last.capacity).cast("long"))
       .drop("_c")
-      .select(col("shard"), col("bin"), col("pos"), col(idCol),
-        col("n_tokens"), col(textCol))
+      .select(col("shard"), col("bin"), col("pos"), col(id),
+        col("n_tokens"), col(pc))
     assignment.write.mode("overwrite").partitionBy("shard").parquet(dir)
     val stats = spark.read.schema(assignment.schema).parquet(dir).agg(
       count(lit(1)).as("n_docs"), coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))

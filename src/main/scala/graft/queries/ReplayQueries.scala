@@ -2854,6 +2854,36 @@ object ReplayQueries {
             "group-key residual must filter aux rows, not re-scan the source")
           require(narrow.collect().head.getLong(0) == wantNarrow,
             "residual-filtered distinct count must equal the source's")
+          // SUM/AVG(DISTINCT) ride the SAME tier (E200 generalization): a
+          // second MV whose aux holds the (device, amount) multiset serves
+          // all three distinct aggregates of `amount` in one aux scan;
+          // dev_events (distinct arg `event`) must fall through for this
+          // query and the candidate iteration must land on dev_amounts
+          s.sql(s"CREATE MATERIALIZED VIEW $cat.db.dev_amounts " +
+            s"TBLPROPERTIES('pk'='device') AS " +
+            s"SELECT device, SUM(DISTINCT amount) AS sda, " +
+            s"AVG(DISTINCT amount) AS ada, COUNT(DISTINCT amount) AS cda, " +
+            s"COUNT(*) AS n FROM $cat.db.retail GROUP BY device")
+          s.sql(s"INSERT INTO $cat.db.retail VALUES " +
+            "(502, 'c502', 'visit', 'SKU502', 41, 'pc', NULL)")
+          for (v <- Seq("dev_events", "dev_amounts")) {
+            val reason = s.sql(s"CALL $cat.system.refresh_mv('db.$v')")
+              .select("reason").collect().head.getString(0)
+            require(reason.startsWith("incremental-agg-distinct"),
+              s"$v: expected the distinct path, got '$reason'")
+          }
+          val qAmt = s"SELECT SUM(DISTINCT amount) AS sda, " +
+            s"AVG(DISTINCT amount) AS ada, COUNT(DISTINCT amount) AS cda " +
+            s"FROM $cat.db.retail"
+          s.conf.unset(graft.sql.GraftMvRewriteRule.ConfKey)
+          val wantAmt = s.sql(qAmt).collect().head
+          s.conf.set(graft.sql.GraftMvRewriteRule.ConfKey,
+            s"$cat.db.dev_events,$cat.db.dev_amounts")
+          val accelAmt = s.sql(qAmt)
+          require(!accelAmt.queryExecution.optimizedPlan.toString.contains("db.retail"),
+            "SUM/AVG/COUNT(DISTINCT) must all answer from the value-count aux")
+          require(accelAmt.collect().head == wantAmt,
+            "aux-served distinct sum/avg/count must equal the source's")
           // stale fallback: a source commit (new event 'promo') reverts the
           // SAME query to the source until the next refresh
           s.sql(s"INSERT INTO $cat.db.retail VALUES " +

@@ -2735,17 +2735,19 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /**
-   * COUNT(DISTINCT) roll-up tier (E200): a query computing COUNT(DISTINCT x)
-   * at the MV's grain or coarser cannot roll up from stored counts (distinct
-   * counts are not summable), but the E180 value-count AUX table beside the
-   * MV holds exactly the live per-(group, value) multiset the maintenance
-   * algebra needs — and a coarser COUNT(DISTINCT x) is exactly
-   * COUNT(DISTINCT __val) over those rows per coarse group. Scope, checked
-   * structurally: same canonical core, MV WHERE conjuncts ⊆ query conjuncts
-   * (residuals must rewrite over the MV's GROUP outputs — aux rows of one
-   * group agree on them), every query grouping expression exposed by the MV,
-   * and the aggregate outputs are group columns plus EXACTLY ONE clean
-   * COUNT(DISTINCT x) whose argument matches an MV count_distinct output
+   * DISTINCT-aggregate roll-up tier (E200): a query computing
+   * COUNT/SUM/AVG(DISTINCT x) at the MV's grain or coarser cannot roll up
+   * from stored values (distinct aggregates are not summable), but the
+   * E180 value-count AUX table beside the MV holds exactly the live
+   * per-(group, value) multiset the maintenance algebra needs — and the
+   * coarser answer is exactly the SAME distinct aggregate over `__val`
+   * per coarse group (the DISTINCT dedups values shared across fine
+   * groups). Scope, checked structurally: same canonical core, MV WHERE
+   * conjuncts ⊆ query conjuncts (residuals must rewrite over the MV's
+   * GROUP outputs — aux rows of one group agree on them), every query
+   * grouping expression exposed by the MV, and the aggregate outputs are
+   * group columns plus clean DISTINCT aggregates (Count/Sum/Average, no
+   * FILTER) that ALL share ONE argument matching some MV distinct output
    * with a live aux table (a full-recompute refresh drops the aux — the
    * tier then falls through to the source, which is always correct). The
    * aux is always at least as fresh as storage (its merge commits FIRST in
@@ -2777,20 +2779,28 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       q.groupingExpressions.size >= m.groupingExpressions.size) return None
     if (q.groupingExpressions.size > m.groupingExpressions.size) return None
     def isAggOut(ne: NamedExpression) = ne.exists(_.isInstanceOf[AggregateExpression])
-    def cleanCountDistinct(ae: AggregateExpression): Boolean =
+    def cleanDistinct(ae: AggregateExpression): Boolean =
       ae.isDistinct && ae.filter.isEmpty &&
-        ae.aggregateFunction.isInstanceOf[Count] &&
+        (ae.aggregateFunction.isInstanceOf[Count] ||
+          ae.aggregateFunction.isInstanceOf[Sum] ||
+          ae.aggregateFunction.isInstanceOf[Average]) &&
         ae.aggregateFunction.children.size == 1
-    // exactly one aggregate output, a clean COUNT(DISTINCT x)
-    val distinctArg = q.aggregateExpressions.filter(isAggOut) match {
-      case Seq(Alias(ae: AggregateExpression, _)) if cleanCountDistinct(ae) =>
+    // every aggregate output must be a clean DISTINCT aggregate, and they
+    // must all share ONE argument (one aux serves them all — it is keyed
+    // by (group, value), not by which distinct aggregate the MV declared)
+    val distinctArgs = q.aggregateExpressions.filter(isAggOut).map {
+      case Alias(ae: AggregateExpression, _) if cleanDistinct(ae) =>
         rebase(ae.aggregateFunction.children.head)
       case _ => return None
     }
-    // the MV output storing COUNT(DISTINCT) of the SAME argument names the aux
+    if (distinctArgs.isEmpty) return None
+    val distinctArg = distinctArgs.head
+    if (!distinctArgs.forall(_.semanticEquals(distinctArg))) return None
+    // any MV output storing a distinct aggregate of the SAME argument
+    // names a live aux with the right content
     val mvOutName = m.aggregateExpressions.collectFirst {
       case al @ Alias(mae: AggregateExpression, _)
-          if cleanCountDistinct(mae) &&
+          if cleanDistinct(mae) &&
             mae.aggregateFunction.children.head.semanticEquals(distinctArg) =>
         al.name
     }.getOrElse(return None)
@@ -2825,11 +2835,19 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (!isAggOut(ne))
         overAux(rebase(stripAlias(ne))).map(attr =>
           Alias(attr, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier))
-      else {
-        val cd: Expression = AggregateExpression(
-          Count(Seq(valAttr)), Complete, isDistinct = true)
-        val typed = if (cd.dataType == ne.dataType) cd else Cast(cd, ne.dataType)
-        Some(Alias(typed, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier))
+      else ne match {
+        case Alias(ae: AggregateExpression, _) =>
+          // the SAME distinct aggregate, re-aimed at the aux's value column
+          val fn = ae.aggregateFunction match {
+            case _: Count => Count(Seq(valAttr))
+            case _: Sum => Sum(valAttr)
+            case _: Average => Average(valAttr)
+            case other => throw new IllegalStateException(s"unreachable: $other")
+          }
+          val cd: Expression = AggregateExpression(fn, Complete, isDistinct = true)
+          val typed = if (cd.dataType == ne.dataType) cd else Cast(cd, ne.dataType)
+          Some(Alias(typed, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier))
+        case _ => None
       }
     }
     if (outputs.exists(_.isEmpty)) return None

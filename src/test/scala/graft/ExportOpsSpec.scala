@@ -122,6 +122,45 @@ class ExportOpsSpec extends SparkSpec {
       "post-pack publication must extend the consolidated corpus")
   }
 
+  test("media (BINARY) export packs off the stamped manifest contract — no caller overrides") {
+    val root = tmpDir("export-ops-media-pack")
+    val corpus = TransactionalTable.create(spark, s"$root/media",
+      org.apache.spark.sql.types.StructType.fromDDL("media_id LONG, content BINARY"),
+      "media_id", None)
+    def payload(i: Int): Array[Byte] = Array.fill(10 + i)(i.toByte)
+    def pub(): Unit = {
+      val m = ExportOps.manifest(spark, s"$root/exp")
+      val from = math.max(0L, m.snapshot.writerFences.getOrElse("export", 0L))
+      val r = ExportOps.exportDelta(corpus, s"$root/exp", from,
+        corpus.currentVersion, nShards = 2, capacity = 64L,
+        idCol = "media_id", textCol = "content",
+        sizeOf = org.apache.spark.sql.functions.length(_).cast("long"))
+      assert(r.exported)
+    }
+    corpus.append(Seq((1L, payload(1)), (2L, payload(2))).toDF("media_id", "content"),
+      batchId = 0)
+    pub()
+    corpus.merge(Seq((3L, payload(3)), (2L, payload(9))).toDF("media_id", "content"),
+      Seq(1L).toDF("media_id"), batchId = 1)
+    pub()
+    // the stamped contract (media_id / content / BINARY) drives BOTH the
+    // reader and the pack — the call sites pass nothing
+    val before = ExportOps.readCorpus(spark, s"$root/exp")
+      .select("media_id", "n_tokens").as[(Long, Long)].collect().toSet
+    assert(before === Set((2L, 19L), (3L, 13L)),
+      s"byte sizes must ride the stored n_tokens: $before")
+    val p = ExportOps.pack(spark, s"$root/exp")
+    assert(p.packed && p.nDocs === 2L)
+    val after = ExportOps.readCorpus(spark, s"$root/exp")
+      .select("media_id", "n_tokens").as[(Long, Long)].collect().toSet
+    assert(after === before, "pack must preserve the binary reader corpus")
+    // payload BYTES survive the repack bit-for-bit
+    val bytes = ExportOps.readCorpus(spark, s"$root/exp")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(bytes(2L) === payload(9).toSeq && bytes(3L) === payload(3).toSeq)
+  }
+
   test("deletes-only interval publishes tombstones + a zero-doc manifest row (ADVICE r15)") {
     val root = tmpDir("export-ops-delonly")
     val corpus = TransactionalTable.create(spark, s"$root/corpus",
