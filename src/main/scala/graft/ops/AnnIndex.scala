@@ -138,11 +138,7 @@ object AnnIndex {
       retrainCooldown: Int = 4): Unit =
     graft.util.BatchStats.timed("ann_index_batch") {
       val spark = vecs.sparkSession
-      val cent = h.centroidVectors
-      val rows = vecs
-        .select(col(idCol).cast("long").as("vec_id"), unit(vecCol).as("v"))
-        .withColumn("cell", cellOf(col("v"), cent))
-        .select("vec_id", "cell", "v")
+      val rows = assignRows(h, vecs, idCol, vecCol)
       import spark.implicits._
       h.assignments.merge(rows, spark.emptyDataset[Long].toDF("vec_id"), batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -161,6 +157,18 @@ object AnnIndex {
           retrain(h, cells = want, fenceId = batchId)
       }
     }
+
+  /** A batch's (vec_id, cell, v) rows under the FROZEN centroids — the
+    * ingest assignment rule, shared by [[appendBatch]] and the streaming
+    * PQ-codes maintenance ([[PqOps.appendCodes]]) so the two can never
+    * assign a vector differently. Map-only (broadcast literal centroids). */
+  private[ops] def assignRows(h: Handle, vecs: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cent = h.centroidVectors
+    vecs.select(col(idCol).cast("long").as("vec_id"), unit(vecCol).as("v"))
+      .withColumn("cell", cellOf(col("v"), cent))
+      .select("vec_id", "cell", "v")
+  }
 
   /** The fence of the last persisted retrain, parsed from the
     * `ann.retrain.stats` record [[retrain]] writes (None before any

@@ -215,6 +215,46 @@ object PqOps {
     (t, books)
   }
 
+  /**
+   * STREAMING maintenance of the PQ codes table (E205): through r16 the
+   * codes were batch-built only — under streaming ingest
+   * ([[graft.stream.VectorPipeline]]) newly indexed vectors were invisible
+   * to every compressed-domain probe until a full rebuild. `appendCodes`
+   * encodes ONE batch against the table's own STAMPED books (raw or
+   * residual, read from `pq.books`/`pq.residual` — a probe and its codes
+   * must never disagree about the encoding) under the index's frozen
+   * centroids (the [[AnnIndex.assignRows]] rule, so the cell here always
+   * equals the cell the raw ingest assigned), and lands it as ONE
+   * replay-fenced merge — a re-delivered batch no-ops, a re-ingested
+   * vec_id moves its code row. Because books and centroids are both
+   * frozen, incrementally maintained codes are BIT-IDENTICAL to a
+   * one-shot [[buildPqCodes]] over the same final index.
+   */
+  def appendCodes(h: AnnIndex.Handle, codes: graft.table.TransactionalTable,
+      vecs: DataFrame, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      compactEvery: Int = 0): Unit =
+    graft.util.BatchStats.timed("pq_codes_batch") {
+      val books = booksFromString(codes.customMeta("pq.books").getOrElse(
+        throw new IllegalStateException(
+          "codes table carries no pq.books metadata — built outside pq_codes_build?")))
+      val residual = codes.customMeta("pq.residual").contains("true")
+      val m = books.size
+      val sd = books.head.head.size
+      val rows = AnnIndex.assignRows(h, vecs, idCol, vecCol)
+      val src =
+        if (!residual) rows.select(col("vec_id"), col("cell"), col("v").as("ev"))
+        else rows.select(col("vec_id"), col("cell"),
+          residualOf(col("v"), col("cell"), h.centroidVectors).as("ev"))
+      val encoded = src.select(col("vec_id"), col("cell"),
+        array((0 until m).map(s => codeOf(col("ev"), books(s), s, sd)): _*).as("codes"))
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      codes.merge(encoded, spark.emptyDataset[Long].toDF("vec_id"), batchId)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        codes.compact()
+    }
+
   /** IVF-PQ storage (E186): the PQ codes of every indexed vector in a
     * CELL-PARTITIONED engine table beside the IVF index — codebooks train
     * on the index's own (unit) vectors, and probes then read ONLY the
@@ -234,6 +274,10 @@ object PqOps {
     t.append(h.assignments.scan().select(col("vec_id"), col("cell"),
       array((0 until m).map(s =>
         codeOf(col("v"), books(s), s, sd)): _*).as("codes")))
+    // stamp the books here too (the CALL surface re-stamps identically):
+    // streaming maintenance (appendCodes) and later-session probes resolve
+    // the encoding from the table, never from a caller's copy
+    t.setCustomMeta("pq.books", booksToString(books))
     t
   }
 }

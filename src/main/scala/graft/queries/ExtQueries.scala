@@ -78,10 +78,16 @@ object ExtQueries {
     * encoding + probed-cell ADC scoring), SHARED by the Scala-API query
     * (`x3_ivf_pq`) and its CALL-procedure twin (`cdc_pq_sql`) so the two
     * surfaces cannot drift. */
-  private lazy val DuckIvfPqCtes: String =
+  private lazy val DuckIvfPqCtes: String = duckIvfPqCtes("")
+
+  /** The same CTEs with a configurable codebook-training population
+    * (`sdvWhere` filters `e`): the streaming-codes twin trains books on
+    * the SEED epoch only (vec_id % 3 = 0 — the index contents at
+    * codes-table creation time), everything else identical. */
+  private def duckIvfPqCtes(sdvWhere: String): String =
     s"""WITH $DuckAnnPrefix,
        |sdv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
-       |        FROM e ORDER BY vec_id LIMIT 8),
+       |        FROM e $sdvWhere ORDER BY vec_id LIMIT 8),
        |bk AS (SELECT CAST(r.s AS INT) AS s, sdv.c,
        |         list_slice(sdv.v, CAST(r.s * 16 + 1 AS INT), CAST((r.s + 1) * 16 AS INT)) AS cv
        |       FROM sdv, range(4) r(s)),
@@ -1228,6 +1234,62 @@ object ExtQueries {
           k = 5, nprobe = 4).orderBy("qid", "rnk")
       },
       Some(duckAnnIndexSql(scExtra = "")), streaming = true),
+
+    // STREAMING IVF-PQ codes maintenance (E205): through r16 wave 1 the
+    // codes table was batch-built only — streamed vectors were invisible
+    // to compressed-domain probes until a rebuild. Here the books train on
+    // the unit SEED vectors (the 8 lowest % 3 == 0 ids), the codes table
+    // starts empty with the books stamped, and all three epochs stream
+    // through VectorPipeline WITH codes maintenance across a restart
+    // boundary; the probe then scores ADC over codes exactly as fresh as
+    // the index. Books and centroids are both frozen, so the streamed
+    // codes bit-match a one-shot build — the oracle is the IVF-PQ replay
+    // with the codebook population pinned to the seed epoch.
+    Q("cdc_pq_stream",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val e = Tables.load(s, d, "embeddings")
+        val root = Files.createTempDirectory("graft_pq_stream").toString
+        val in = Files.createTempDirectory("graft_pqs_in").toString
+        val ckpt = Files.createTempDirectory("graft_pqs_ckpt").toString
+        val h = AnnIndex.create(s, s"$root/idx", e.filter(col("vec_id") % 3 === 0),
+          cells = 16)
+        // books train on the UNIT seed vectors BEFORE any ingest (the
+        // stream's own epoch ids start at 0, so nothing may pre-advance
+        // the fence); the codes table starts empty with the books stamped
+        val v0 = SimilarityOps.asDouble(col("embedding"))
+        val unitSeeds = e.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id"),
+            transform(v0, x => x / sqrt(SimilarityOps.dot(v0, v0))).as("embedding"))
+        val books = graft.ops.PqOps.codebooks(unitSeeds, m = 4, k = 8)
+        val codes = graft.ops.PqOps.buildPqCodes(h, s"$root/codes", books)
+        def drop(b: Int): Unit = {
+          val stage = Files.createTempDirectory("graft_pqs_stage").toString + "/s"
+          e.filter(col("vec_id") % 3 === b)
+            .select(to_json(struct(col("vec_id"),
+              col("embedding").cast("array<double>").as("embedding"))))
+            .coalesce(1).write.text(stage)
+          val part = graft.util.Fs.listSeq(Paths.get(stage))
+            .find(_.getFileName.toString.startsWith("part-")).get
+          Files.move(part, Paths.get(in, s"b$b.json"))
+        }
+        def runOnce(): Unit = {
+          val q = graft.stream.VectorPipeline.run(s, in, ckpt, h,
+            compactEvery = 2, codes = Some(codes))
+          q.awaitTermination()
+        }
+        drop(0); drop(1); runOnce() // two micro-batches, codes maintained
+        drop(2); runOnce()          // restart boundary, third epoch
+        AnnIndex.probePq(h, codes, books, e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 4).orderBy("qid", "rnk")
+      },
+      Some(s"""${duckIvfPqCtes("WHERE vec_id % 3 = 0")}
+             |SELECT qid, nid AS neighbor_id, adc, CAST(rnk AS INT) AS rnk FROM (
+             |  SELECT qid, nid, adc,
+             |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rnk
+             |  FROM adc) z
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+      streaming = true),
 
     // X3: IVF-PQ (E186) — the canonical memory-bounded 100 TB ANN layout
     // composed from the two oracled halves: the IVF index picks nprobe

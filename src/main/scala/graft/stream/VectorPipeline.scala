@@ -33,30 +33,46 @@ import graft.ops.AnnIndex
 object VectorPipeline {
 
   /** One micro-batch: a fenced assignment merge (+ the optional compaction
-    * cadence and drift trigger). Safe to call from `foreachBatch`;
-    * replay-safe for a repeated `batchId`. */
+    * cadence and drift trigger). With `codes` set (E205), the SAME batch
+    * also encodes into the IVF-PQ codes table under its stamped books —
+    * the compressed-domain probes stay exactly as fresh as the index.
+    * Codes maintenance requires a FROZEN quantizer (`retrainWhenSkew`
+    * must stay 0): a retrain moves cells (and, for residual books, the
+    * subtraction baseline), silently invalidating every stored code —
+    * rebuild via [[graft.ops.PqOps.buildPqCodes]] after any retrain.
+    * Safe to call from `foreachBatch`; replay-safe for a repeated
+    * `batchId` (both merges fence independently on it). */
   def processBatch(h: AnnIndex.Handle, vecs: DataFrame, batchId: Long,
-      compactEvery: Int = 0, retrainWhenSkew: Double = 0.0): Unit =
+      compactEvery: Int = 0, retrainWhenSkew: Double = 0.0,
+      codes: Option[graft.table.TransactionalTable] = None): Unit =
     graft.util.BatchStats.timed("vector_stream_batch") {
+      require(codes.isEmpty || retrainWhenSkew == 0.0,
+        "PQ-codes maintenance requires a frozen quantizer: a drift retrain " +
+          "moves cells and invalidates every stored code (rebuild via " +
+          "buildPqCodes after retraining)")
       AnnIndex.appendBatch(h, vecs, batchId, compactEvery = compactEvery,
         retrainWhenSkew = retrainWhenSkew)
+      codes.foreach(t => graft.ops.PqOps.appendCodes(h, t, vecs, batchId,
+        compactEvery = compactEvery))
     }
 
   /** The checkpointed stream: JSON-lines `{vec_id, embedding}` landing in
     * `inputDir` → [[processBatch]] per micro-batch. Restarting with the
     * same checkpoint resumes at the first unprocessed file; a re-delivered
-    * epoch is fenced to a no-op on the assignment table. */
+    * epoch is fenced to a no-op on the assignment table (and the codes
+    * table, when maintained). */
   def run(spark: SparkSession, inputDir: String, checkpointDir: String,
       h: AnnIndex.Handle, compactEvery: Int = 0,
       retrainWhenSkew: Double = 0.0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      codes: Option[graft.table.TransactionalTable] = None): StreamingQuery =
     spark.readStream
       .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
       .json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        processBatch(h, df, bid, compactEvery, retrainWhenSkew); ()
+        processBatch(h, df, bid, compactEvery, retrainWhenSkew, codes); ()
       }
       .trigger(trigger)
       .start()

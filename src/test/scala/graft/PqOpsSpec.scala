@@ -124,6 +124,70 @@ class PqOpsSpec extends SparkSpec {
       .forall(_ === 3L), "k rows per query")
   }
 
+  test("appendCodes (E205): incremental codes bit-match the one-shot build; replay no-ops; residual dispatch") {
+    import graft.ops.AnnIndex
+    val all = (0 until 24).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, j) => x + 0.01 * ((i + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    def unitOf(df: org.apache.spark.sql.DataFrame) = {
+      val v = SimilarityOps.asDouble(col("embedding"))
+      df.select(col("vec_id"),
+        transform(v, x => x / sqrt(SimilarityOps.dot(v, v))).as("embedding"))
+    }
+    for (residual <- Seq(false, true)) {
+      val root = tmpDir(s"pq-append-$residual")
+      // incremental: empty index + empty codes, 3 streamed epochs
+      val hInc = AnnIndex.create(spark, s"$root/inc/idx",
+        all.filter(col("vec_id") % 3 === 0), cells = 3)
+      val (codesInc, books) =
+        if (residual) {
+          // residual books need residuals of indexed vectors — bootstrap
+          // epoch 0 first, build, then stream epochs 1-2
+          AnnIndex.appendBatch(hInc, all.filter(col("vec_id") % 3 === 0), batchId = 0)
+          val (t, b) = PqOps.buildPqCodesResidual(hInc, s"$root/inc/codes", m = 2, k = 4)
+          (1 to 2).foreach(e => PqOps.appendCodes(hInc, t,
+            all.filter(col("vec_id") % 3 === e), batchId = e))
+          (1 to 2).foreach(e => AnnIndex.appendBatch(hInc,
+            all.filter(col("vec_id") % 3 === e), batchId = e))
+          (t, b)
+        } else {
+          val b = PqOps.codebooks(unitOf(all.filter(col("vec_id") % 3 === 0)),
+            m = 2, k = 4)
+          val t = PqOps.buildPqCodes(hInc, s"$root/inc/codes", b)
+          (0 to 2).foreach { e =>
+            AnnIndex.appendBatch(hInc, all.filter(col("vec_id") % 3 === e), batchId = e)
+            PqOps.appendCodes(hInc, t, all.filter(col("vec_id") % 3 === e), batchId = e)
+          }
+          (t, b)
+        }
+      // one-shot twin over the SAME final index with the SAME books
+      val hOne = AnnIndex.create(spark, s"$root/one/idx",
+        all.filter(col("vec_id") % 3 === 0), cells = 3)
+      AnnIndex.appendBatch(hOne, all, batchId = 0)
+      val codesOne =
+        if (residual) {
+          val t = graft.table.TransactionalTable.create(spark, s"$root/one/codes",
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "vec_id LONG, cell LONG, codes ARRAY<INT>"), "vec_id", Some("cell"))
+          t.setCustomMeta("pq.books", PqOps.booksToString(books))
+          t.setCustomMeta("pq.residual", "true")
+          PqOps.appendCodes(hOne, t, all, batchId = 0)
+          t
+        } else PqOps.buildPqCodes(hOne, s"$root/one/codes", books)
+      def rows(t: graft.table.TransactionalTable) =
+        t.scan().select("vec_id", "cell", "codes")
+          .as[(Long, Long, Seq[Int])].collect().toSet
+      assert(rows(codesInc) === rows(codesOne),
+        s"residual=$residual: incremental codes must bit-match the one-shot build")
+      // replayed epoch: fenced to a no-op
+      val v = codesInc.currentVersion
+      PqOps.appendCodes(hInc, codesInc, all.filter(col("vec_id") % 3 === 1), batchId = 1)
+      assert(codesInc.currentVersion === v && rows(codesInc) === rows(codesOne),
+        "replayed codes epoch must no-op")
+    }
+  }
+
   test("residual IVF-PQ (E191): residual codes keep the cluster structure; books persisted") {
     import graft.ops.AnnIndex
     val df = vecs.toDF("vec_id", "embedding")
