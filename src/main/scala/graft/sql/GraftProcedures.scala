@@ -432,6 +432,36 @@ object GraftProcedures {
         Seq(name, t.scan().count())
       }),
 
+    // Dedup-family index observability (the ann_status sibling for the
+    // banded indexes — DedupIndex / KeepBestIndex / Hamming media / video):
+    // one scan pass over the index table reporting size, live
+    // representatives, eviction-log debt (keep-best only; 0 elsewhere),
+    // batch coverage and file count — the numbers an operator checks
+    // before trusting a compaction cadence or sizing a corpus filter.
+    //   CALL graft.system.index_status('db.idx')
+    "index_status" -> Spec(
+      Seq("index" -> S),
+      row("n_rows" -> L, "n_live" -> L, "n_evict_log" -> L, "n_batches" -> L,
+        "last_batch" -> L, "version" -> L, "files" -> L),
+      (c, a) => {
+        import org.apache.spark.sql.functions._
+        val t = open(c, a)
+        val idCol = t.schema.fieldNames.find(n =>
+          n.equalsIgnoreCase("doc_id") || n.equalsIgnoreCase("media_id"))
+          .getOrElse(throw new IllegalArgumentException(
+            "not a dedup-family index table (no doc_id/media_id column)"))
+        val r = t.scan().agg(
+          count(lit(1)).as("n"),
+          countDistinct(when(col("band") >= 0, col(idCol))).as("live"),
+          sum(when(col("band") < 0, 1L).otherwise(0L)).as("evl"),
+          countDistinct(col("batch")).as("nb"),
+          max(col("batch")).as("lb")).collect()(0)
+        def z(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+        Seq(z(0), z(1), z(2), z(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          t.currentVersion, t.snapshot.files.size.toLong)
+      }),
+
     // KEEP-BEST dedup index from SQL (E203/E204): quality-aware incremental
     // dedup — each append registers BOTH result views (kept ids + the
     // indexed docs the batch evicted), each read back from committed rows

@@ -244,6 +244,42 @@ class CallProceduresSpec extends SparkSpec {
     assert(!got.exists(_._1 == 1L))
   }
 
+  test("index_status: one-pass observability over the banded index families") {
+    val w = mkWarehouse("gp9")
+    val base = (1 to 30).map(k => s"commonword$k").mkString(" ")
+    Seq((10L, s"$base extra8")).toDF("doc_id", "text")
+      .createOrReplaceTempView("gp9_b0")
+    Seq((5L, s"$base extra4")).toDF("doc_id", "text")
+      .createOrReplaceTempView("gp9_b1")
+    spark.sql("CALL gp9.system.keep_best_index_create('db.kb')").collect()
+    spark.sql("CALL gp9.system.keep_best_index_append('db.kb', 'gp9_b0', 0, " +
+      "'gp9_k0', 'gp9_e0')").collect()
+    spark.sql("CALL gp9.system.keep_best_index_append('db.kb', 'gp9_b1', 1, " +
+      "'gp9_k1', 'gp9_e1')").collect()
+    // doc 5 evicted doc 10: 4 live band rows + 1 eviction-log row; batch
+    // coverage reflects LIVE rows — batch 0's rows left with the eviction
+    val Seq((n, live, evl, nb, lb, _, files)) =
+      spark.sql("CALL gp9.system.index_status('db.kb')")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(n === 5L && live === 1L && evl === 1L && nb === 1L && lb === 1L,
+      s"keep-best status: n=$n live=$live evl=$evl nb=$nb lb=$lb")
+    assert(files >= 1L)
+    // a plain dedup index reports zero eviction debt
+    spark.sql("CALL gp9.system.dedup_index_create('db.dd')").collect()
+    spark.sql("CALL gp9.system.dedup_index_append('db.dd', 'gp9_b0', 0, " +
+      "'gp9_dk0')").collect()
+    val Seq((_, liveD, evlD, _, _, _, _)) =
+      spark.sql("CALL gp9.system.index_status('db.dd')")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(liveD === 1L && evlD === 0L)
+    // a non-index table fails fast
+    val t = TransactionalTable.create(spark, s"$w/db/plain", sch, "id")
+    t.append(Seq(1L -> "a").toDF("id", "v"), batchId = 0)
+    intercept[Exception] {
+      spark.sql("CALL gp9.system.index_status('db.plain')").collect()
+    }
+  }
+
   test("media_index_create/append dispatch on kind; unknown kind fails fast") {
     val w = mkWarehouse("gp8")
     // audio + video kinds exercised with undecodable payloads: both paths
