@@ -76,12 +76,22 @@ object ExportOps {
   def exportDelta(corpus: TransactionalTable, exportRoot: String,
       fromVersion: Long, toVersion: Long, nShards: Int, capacity: Long,
       idCol: String = "doc_id", textCol: String = "text",
-      /** Row size for bin packing: whitespace token count by default (the
-        * text-corpus contract); pass e.g. `length(_)` for BYTE-budget
-        * shards over a BINARY media corpus (E192). */
-      sizeOf: Column => Column = c => size(TextOps.tokens(c)).cast("long"))
+      /** Row size for bin packing. None = dispatch on the PAYLOAD TYPE:
+        * whitespace token count for STRING text, payload BYTES for a
+        * BINARY media corpus (E192) — the r16 fix for the silent trap
+        * where a media corpus published through the default token rule
+        * got string-cast garbage sizes. Pass Some(...) to override
+        * (e.g. frame counts). */
+      sizeOf: Option[Column => Column] = None)
       : ExportResult = {
     require(nShards > 0 && capacity > 0, "nShards and capacity must be positive")
+    val size0: Column => Column = sizeOf.getOrElse {
+      corpus.schema(textCol).dataType match {
+        case org.apache.spark.sql.types.BinaryType =>
+          (c: Column) => length(c).cast("long")
+        case _ => (c: Column) => size(TextOps.tokens(c)).cast("long")
+      }
+    }
     val spark = corpus.spark
     val m = manifest(spark, exportRoot)
     // stamp the export's column/payload contract on first use (E202): a
@@ -102,7 +112,7 @@ object ExportOps {
       // an id re-inserted in the SAME interval is alive, not tombstoned
       .join(inserts.select(col(idCol)), Seq(idCol), "left_anti")
     val toks = inserts.select(col(idCol), col(textCol),
-      sizeOf(col(textCol)).cast("long").as("n_tokens"))
+      size0(col(textCol)).cast("long").as("n_tokens"))
     // deterministic shard + in-shard position (md5 order), then the
     // per-shard running token sum cuts capacity-sized bins — both windows
     // share the shard partitioning: ONE exchange end to end

@@ -1812,7 +1812,7 @@ object ExtQueries {
         val v1 = corpus.currentVersion
         val r = graft.ops.ExportOps.exportDelta(corpus, s"$root/exp", v0, v1,
           nShards = 2, capacity = 256L, idCol = "media_id", textCol = "content",
-          sizeOf = length(_).cast("long"))
+          sizeOf = Some(length(_).cast("long")))
         require(r.exported, "the delta must publish")
         s.read.parquet(r.dir)
           .select(col("shard"), col("bin"), col("pos"), col("media_id"),

@@ -55,17 +55,29 @@ object MediaPipeline {
   val VideoKernel: DedupKernel =
     (i, m, b, c) => VideoDedupIndex.appendBatch(i, m, b, compactEvery = c)
 
-  /** One micro-batch: index dedup → fenced corpus commit. Safe to call from
-    * `foreachBatch`; replay-safe for a repeated `batchId`. Returns kept ids. */
+  /** One micro-batch: index dedup → fenced corpus commit (→ optional
+    * continuous BYTE-budget publication, E192/E202: `publish` ships the
+    * corpus interval the export manifest has not seen — sizes dispatch off
+    * the BINARY payload type automatically — and `packEvery` folds the
+    * interval chain on cadence). Safe to call from `foreachBatch`;
+    * replay-safe for a repeated `batchId`. Returns kept ids. */
   def processBatch(index: TransactionalTable, corpus: TransactionalTable,
       media: DataFrame, batchId: Long, compactEvery: Int = 0,
-      kernel: DedupKernel = ImageKernel): DataFrame =
+      kernel: DedupKernel = ImageKernel,
+      publish: Option[CorpusPipeline.Publish] = None): DataFrame =
     graft.util.BatchStats.timed("media_stream_batch") {
       val spark = media.sparkSession
       import spark.implicits._
       val kept = kernel(index, media, batchId, compactEvery)
       val rows = media.join(kept.select(col("media_id")), Seq("media_id"), "left_semi")
       corpus.merge(rows, spark.emptyDataset[Long].toDF("media_id"), batchId)
+      publish.foreach { p =>
+        if (p.every <= 1 || batchId % p.every == 0)
+          graft.ops.ExportOps.exportLatest(corpus, p.exportRoot,
+            p.nShards, p.capacity, idCol = "media_id", textCol = "content")
+        if (p.packEvery > 0 && batchId > 0 && batchId % p.packEvery == 0)
+          graft.ops.ExportOps.pack(spark, p.exportRoot)
+      }
       kept
     }
 
@@ -77,7 +89,8 @@ object MediaPipeline {
       index: TransactionalTable, corpus: TransactionalTable,
       compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
-      kernel: DedupKernel = ImageKernel): StreamingQuery =
+      kernel: DedupKernel = ImageKernel,
+      publish: Option[CorpusPipeline.Publish] = None): StreamingQuery =
     spark.readStream
       .schema("media_id LONG, content_b64 STRING")
       .json(inputDir)
@@ -85,7 +98,7 @@ object MediaPipeline {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        processBatch(index, corpus, df, bid, compactEvery, kernel); ()
+        processBatch(index, corpus, df, bid, compactEvery, kernel, publish); ()
       }
       .trigger(trigger)
       .start()

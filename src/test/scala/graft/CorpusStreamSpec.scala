@@ -199,6 +199,37 @@ class CorpusStreamSpec extends SparkSpec {
       "the re-delivered epoch must replay the ORIGINAL eviction read-back")
   }
 
+  test("media stream continuous publication: byte-budget shards off the payload type, pack cadence folds") {
+    import graft.ops.ExportOps
+    import graft.stream.{CorpusPipeline, MediaPipeline}
+    val work = tmpDir("media-pub")
+    val index = graft.ops.ImageDedupIndex.create(spark, s"$work/idx")
+    val corpus = TransactionalTable.create(spark, s"$work/corpus",
+      org.apache.spark.sql.types.StructType.fromDDL(MediaPipeline.CorpusSchemaDdl),
+      "media_id", None)
+    def payload(i: Int): Array[Byte] = Array.fill(20 + i)(i.toByte) // not an image: kept hashless
+    val pub = Some(CorpusPipeline.Publish(s"$work/exp", nShards = 2,
+      capacity = 128, packEvery = 2))
+    MediaPipeline.processBatch(index, corpus,
+      Seq((1L, payload(1)), (2L, payload(2))).toDF("media_id", "content"),
+      batchId = 0, publish = pub)
+    MediaPipeline.processBatch(index, corpus,
+      Seq((3L, payload(3))).toDF("media_id", "content"), batchId = 1, publish = pub)
+    // the reader resolves the BINARY contract from the manifest stamp; the
+    // publication sizes are payload BYTES (the type-dispatched default)
+    val rows = ExportOps.readCorpus(spark, s"$work/exp")
+      .select("media_id", "n_tokens").as[(Long, Long)].collect().toSet
+    assert(rows === Set((1L, 21L), (2L, 22L), (3L, 23L)),
+      s"published media must size by bytes: $rows")
+    // packEvery=2 fired at batch 2: one consolidated interval
+    MediaPipeline.processBatch(index, corpus,
+      Seq((4L, payload(4))).toDF("media_id", "content"), batchId = 2, publish = pub)
+    assert(ExportOps.intervals(spark, s"$work/exp").size === 1,
+      "pack cadence must fold the media interval chain")
+    assert(ExportOps.readCorpus(spark, s"$work/exp").select("media_id")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("media stream: perceptual dedup per micro-batch; restart resumes; replay fenced; payloads intact") {
     import graft.stream.MediaPipeline
     def img(codeword: Int, base: Int, fmt: String = "png"): Array[Byte] = {

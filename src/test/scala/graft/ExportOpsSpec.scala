@@ -134,7 +134,7 @@ class ExportOpsSpec extends SparkSpec {
       val r = ExportOps.exportDelta(corpus, s"$root/exp", from,
         corpus.currentVersion, nShards = 2, capacity = 64L,
         idCol = "media_id", textCol = "content",
-        sizeOf = org.apache.spark.sql.functions.length(_).cast("long"))
+        sizeOf = Some(org.apache.spark.sql.functions.length(_).cast("long")))
       assert(r.exported)
     }
     corpus.append(Seq((1L, payload(1)), (2L, payload(2))).toDF("media_id", "content"),
