@@ -372,6 +372,7 @@ object AnnIndex {
   def probePq(h: Handle, codes: TransactionalTable, books: PqOps.Codebooks,
       queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    PqOps.requireCodesFresh(h, codes) // E206: stale codes mis-rank silently
     val cent = h.centroidVectors
     val q = queries.select(col(idCol).cast("long").as("qid"), unit(vecCol).as("qv"))
     val probes = q.withColumn("_sims", simsTo(col("qv"), cent))
@@ -406,6 +407,7 @@ object AnnIndex {
   def probePqResidual(h: Handle, codes: TransactionalTable,
       books: PqOps.Codebooks, queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    PqOps.requireCodesFresh(h, codes) // E206: stale codes mis-rank silently
     val cent = h.centroidVectors
     val q = queries.select(col(idCol).cast("long").as("qid"), unit(vecCol).as("qv"))
     val probes = q.withColumn("_sims", simsTo(col("qv"), cent))

@@ -162,6 +162,44 @@ object DedupOps {
   }
 
   /**
+   * Deterministic TRAIN/VAL/TEST split (E207) — the partition every
+   * training pipeline cuts before anything else ships: integer weights
+   * (e.g. train 8 / val 1 / test 1) over the md5-hash residue domain —
+   * a row's split is the first label whose cumulative weight exceeds
+   * md5Hash60(id ++ salt) mod Σweights. Properties the random `split()`
+   * loses:
+   *
+   *  - membership is a pure function of (id, salt): a re-crawled or
+   *    re-ingested document lands in the SAME split in every run — the
+   *    leakage-safety property (a doc drifting from test into train
+   *    across pipeline runs silently contaminates evaluation);
+   *  - `salt` re-cuts the corpus without code changes (new salt = a
+   *    fresh independent split of the same ids);
+   *  - integer modulus only — an external engine replays every
+   *    assignment bit-for-bit.
+   *
+   * 100 TB shape: map-only — ONE codegen'd hash + CASE projection, zero
+   * shuffles at any scale. The hash residue binds once per row (array
+   * let-binding) so the md5 kernel runs once however many labels chain.
+   */
+  def hashSplit(docs: DataFrame, splits: Seq[(String, Int)],
+      salt: String = "", idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"split weights must be positive: $splits")
+    val w = splits.map(_._2.toLong).sum
+    val hRaw = pmod(TextOps.md5Hash60(
+      concat(col(idCol).cast("string"), lit(salt))), lit(w))
+    val cums = splits.map(_._2.toLong).scanLeft(0L)(_ + _).tail
+    // transform over a 1-element array = a let-binding in Column algebra:
+    // the md5 evaluates once per row, not once per CASE branch
+    val label = element_at(transform(array(hRaw), h =>
+      splits.map(_._1).zip(cums).init.foldRight(lit(splits.last._1): Column) {
+        case ((name, cum), acc) => when(h < cum, lit(name)).otherwise(acc)
+      }), 1)
+    docs.withColumn("split", label)
+  }
+
+  /**
    * Epoch-weighted UPSAMPLING — the repeat-at-read half of data mixing
    * ([[mixtureBudgetSample]] handles the subsample-only half): per-source
    * epoch factors f ≥ 0 emit each document ⌊f⌋ full copies plus one

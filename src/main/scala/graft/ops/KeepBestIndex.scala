@@ -55,6 +55,33 @@ object KeepBestIndex {
 
   final case class BatchResult(kept: DataFrame, evicted: DataFrame)
 
+  /**
+   * MAINTENANCE: drop eviction-log rows from batches before `beforeBatch`
+   * (E209 — without this the −1 sentinel log grows one row per evicted doc
+   * FOREVER; the rows exist solely so a re-delivered batch reads back its
+   * original evicted set, and the read-back contract already serves only
+   * the MOST RECENT batch id — a streaming checkpoint can re-deliver only
+   * the last uncommitted epoch — so older log rows are dead weight on
+   * every index scan). One commit deleting exactly the stale log rows;
+   * nothing to prune is a no-op (version-stable under replays). Returns
+   * the pruned row count. `appendBatch(pruneEvictEvery = k)` runs this at
+   * a cadence with `beforeBatch = batchId`, keeping log debt bounded by
+   * the cadence times the eviction rate.
+   */
+  def pruneEvictLog(index: TransactionalTable, beforeBatch: Long): Long = {
+    val spark = index.spark
+    val stale = index.scan()
+      .where(col("band") === -1 && col("batch") < beforeBatch)
+      .select("sig_id").localCheckpoint(true)
+    val n = stale.count()
+    if (n > 0) {
+      val emptyUpserts = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
+      index.mergeAdhoc(emptyUpserts, stale)
+    }
+    n
+  }
+
   /** better(a, b): a's (score, id) beats b's — higher logit, ties to the
     * lower doc_id. */
   private def better(aScore: Column, aId: Column,
@@ -70,7 +97,7 @@ object KeepBestIndex {
    */
   def appendBatch(index: TransactionalTable, docs: DataFrame, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text",
-      compactEvery: Int = 0): BatchResult =
+      compactEvery: Int = 0, pruneEvictEvery: Int = 0): BatchResult =
     graft.util.BatchStats.timed("keep_best_index_batch") {
       val spark = docs.sparkSession
       import spark.implicits._
@@ -142,6 +169,8 @@ object KeepBestIndex {
         index.merge(upserts, dels, batchId)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           index.compact()
+        if (pruneEvictEvery > 0 && batchId > 0 && batchId % pruneEvictEvery == 0)
+          pruneEvictLog(index, batchId)
         // read-back (replay-exact for BOTH sets): kept = this batch's band
         // rows + the bandless docs; evicted = this batch's −1 log rows
         val committed = index.scan().where(col("batch") === batchId)

@@ -182,6 +182,83 @@ object PqOps {
     s.split(';').toSeq.map(_.split('|').toSeq.map(
       _.split(',').toSeq.map(_.toDouble)))
 
+  /** The quantizer GENERATION the codes table must match (E206): the fence
+    * of the index's last retrain, −1 before any retrain. [[AnnIndex.retrain]]
+    * moves centroid vectors AND the cell layout, so every stored code row —
+    * its `cell` partition value and its encoding (residual codes doubly so:
+    * they quantize v − centroid) — is invalidated by a retrain. The codes
+    * table stamps this value at build/rebuild time and every probe/append
+    * compares it against the live index. */
+  private[graft] def quantizerGen(h: AnnIndex.Handle): Long =
+    AnnIndex.lastRetrainFence(h).getOrElse(-1L)
+
+  /** Fail fast when `codes` no longer matches the index's quantizer (E206):
+    * a probe over stale codes would silently mis-rank (wrong cells pruned,
+    * wrong encodings scored) and an append would interleave two cell
+    * layouts in one table — both are wrong answers shaped like right ones.
+    * Tables from before the stamp existed pass as generation −1, so they
+    * only refuse once a retrain has actually happened (the conservative
+    * legacy rule). A half-finished rebuild ([[rebuildCodes]] crash window)
+    * refuses via its pending marker. */
+  private[graft] def requireCodesFresh(h: AnnIndex.Handle,
+      codes: graft.table.TransactionalTable): Unit = {
+    if (codes.customMeta("pq.rebuild.pending").contains("true"))
+      throw new IllegalStateException(
+        "PQ codes table has an unfinished rebuild (pq.rebuild.pending) — " +
+          "re-run PqOps.rebuildCodes / CALL graft.system.pq_rebuild to complete it")
+    val cur = quantizerGen(h)
+    val stamped = codes.customMeta("pq.quantizer.fence").map(_.toLong).getOrElse(-1L)
+    if (cur != stamped)
+      throw new IllegalStateException(
+        s"PQ codes table is STALE: built under quantizer generation $stamped " +
+          s"but the index has since retrained (generation $cur) — cell layout " +
+          "and encodings no longer match the quantizer; rebuild via " +
+          "PqOps.rebuildCodes / CALL graft.system.pq_rebuild")
+  }
+
+  /**
+   * REBUILD the codes table against the index's CURRENT quantizer (E206 —
+   * the maintenance step [[AnnIndex.retrain]] mandates: a retrain leaves
+   * every stored code row stale, and until this runs the freshness fence
+   * refuses probes instead of serving silently wrong rankings). Re-trains
+   * the codebooks by the table's own build rule (raw or residual, read
+   * from the `pq.residual` stamp; same m/k as the stamped books; optional
+   * Lloyd refinement via `refineIters` — pass the depth the original build
+   * used), re-encodes EVERY indexed vector, and swaps the contents in ONE
+   * atomic overwrite commit.
+   *
+   * Crash safety: a `pq.rebuild.pending` marker brackets the overwrite and
+   * the metadata re-stamp — any crash inside the window leaves the marker
+   * set, every probe/append refuses, and re-running the rebuild heals
+   * (the overwrite is idempotent against the same index state).
+   */
+  def rebuildCodes(h: AnnIndex.Handle, codes: graft.table.TransactionalTable,
+      refineIters: Int = 0): Codebooks = {
+    val old = booksFromString(codes.customMeta("pq.books").getOrElse(
+      throw new IllegalStateException(
+        "codes table carries no pq.books metadata — built outside pq_codes_build?")))
+    val m = old.size
+    val k = old.head.size
+    val residual = codes.customMeta("pq.residual").contains("true")
+    val cent = h.centroidVectors
+    val src =
+      if (residual) h.assignments.scan().select(col("vec_id"), col("cell"),
+        residualOf(col("v"), col("cell"), cent).as("embedding"))
+      else h.assignments.scan().select(col("vec_id"), col("cell"),
+        col("v").as("embedding"))
+    val seed = codebooks(src, m, k)
+    val books = if (refineIters > 0) refineCodebooks(src, seed, refineIters) else seed
+    val sd = books.head.head.size
+    codes.setCustomMeta("pq.rebuild.pending", "true")
+    codes.overwrite(src.select(col("vec_id"), col("cell"),
+      array((0 until m).map(s =>
+        codeOf(col("embedding"), books(s), s, sd)): _*).as("codes")))
+    codes.setCustomMeta("pq.books", booksToString(books))
+    codes.setCustomMeta("pq.quantizer.fence", quantizerGen(h).toString)
+    codes.setCustomMeta("pq.rebuild.pending", "false")
+    books
+  }
+
   /** The residual of a vector against its cell's centroid (elementwise,
     * exact): what RESIDUAL IVF-PQ (E191) quantizes — residual magnitudes
     * are much smaller than raw coordinates, so the same code budget buys
@@ -212,6 +289,7 @@ object PqOps {
         codeOf(col("embedding"), books(s), s, sd)): _*).as("codes")))
     t.setCustomMeta("pq.books", booksToString(books))
     t.setCustomMeta("pq.residual", "true")
+    t.setCustomMeta("pq.quantizer.fence", quantizerGen(h).toString)
     (t, books)
   }
 
@@ -235,6 +313,7 @@ object PqOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       compactEvery: Int = 0): Unit =
     graft.util.BatchStats.timed("pq_codes_batch") {
+      requireCodesFresh(h, codes)
       val books = booksFromString(codes.customMeta("pq.books").getOrElse(
         throw new IllegalStateException(
           "codes table carries no pq.books metadata — built outside pq_codes_build?")))
@@ -278,6 +357,7 @@ object PqOps {
     // streaming maintenance (appendCodes) and later-session probes resolve
     // the encoding from the table, never from a caller's copy
     t.setCustomMeta("pq.books", booksToString(books))
+    t.setCustomMeta("pq.quantizer.fence", quantizerGen(h).toString)
     t
   }
 }

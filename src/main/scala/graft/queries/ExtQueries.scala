@@ -382,6 +382,23 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some("SELECT doc_id FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id")),
 
+    // X1: deterministic TRAIN/VAL/TEST split (E207) — integer weights over
+    // the md5 residue domain; membership is a pure function of (doc_id,
+    // salt), so re-ingested docs keep their split across runs (the
+    // leakage-safety property a random split loses). Map-only, zero
+    // shuffles; the oracle replays hash → residue → CASE bit-for-bit.
+    Q("x1_train_split",
+      (s, d) => DedupOps.hashSplit(Tables.load(s, d, "documents"),
+          splits = Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .select("doc_id", "split")
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id,
+             |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS hm
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN hm < 8 THEN 'train' WHEN hm < 9 THEN 'val' ELSE 'test' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // X1: deterministic GLOBAL SHUFFLE into training shards — the "write
     // shuffled shards" step before packing: md5-pseudorandom, reproducible
     // run-to-run, restartable by (shard, pos). Scale shape: map-only shard

@@ -496,6 +496,20 @@ object GraftProcedures {
           index.currentVersion)
       }),
 
+    // Eviction-log retention for the keep-best index (E209): log rows exist
+    // only for their own batch's replay read-back (most-recent-batch
+    // contract), so rows from batches before `before_batch` are dead weight
+    // on every index scan — one commit drops them; nothing stale is a no-op.
+    //   CALL graft.system.keep_best_index_prune('db.kb', 5)
+    "keep_best_index_prune" -> Spec(
+      Seq("index" -> S, "before_batch" -> L),
+      row("pruned" -> L, "version" -> L),
+      (c, a) => {
+        val index = open(c, a)
+        val n = graft.ops.KeepBestIndex.pruneEvictLog(index, a.getLong(1))
+        Seq(n, index.currentVersion)
+      }),
+
     // MEDIA dedup indexes from SQL (the last index family that was
     // Scala-API only — the reference's SQL-first posture): one generic
     // create/append pair over the HammingIndex core, dispatched on `kind`
@@ -559,6 +573,26 @@ object GraftProcedures {
         val (t, _) = graft.ops.PqOps.buildPqCodesResidual(h,
           c.rootByName(name), a.getInt(2), a.getInt(3))
         Seq(name, t.scan().count())
+      }),
+
+    // REBUILD the codes table against the index's CURRENT quantizer (E206):
+    // AnnIndex.retrain invalidates every stored code row (cells + encodings),
+    // and the freshness fence makes pq_probe/appendCodes refuse until this
+    // runs — retrain books by the table's own rule (raw/residual from the
+    // pq.residual stamp; refine_iters Lloyd rounds), re-encode the whole
+    // index, swap in ONE atomic overwrite.
+    //   CALL graft.system.pq_rebuild('db.ann', 'db.codes', 0)
+    "pq_rebuild" -> Spec(
+      Seq("index" -> S, "codes" -> S, "refine_iters" -> I),
+      row("codes" -> S, "n_vectors" -> L, "version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val h = graft.ops.AnnIndex.open(spark,
+          c.rootByName(a.getUTF8String(0).toString))
+        val name = a.getUTF8String(1).toString
+        val codes = TransactionalTable.open(spark, c.rootByName(name))
+        graft.ops.PqOps.rebuildCodes(h, codes, a.getInt(2))
+        Seq(name, codes.scan().count(), codes.currentVersion)
       }),
 
     "pq_probe" -> Spec(

@@ -1004,6 +1004,13 @@ final case class GraftCreateMaterializedViewExec(cmd: GraftCreateMaterializedVie
       val spec = GraftCatalog.toPartitionSpec(cmd.partitioning.toArray)
       val storage = graft.table.TransactionalTable.createPartitioned(
         session, GraftViewStore.storageRoot(root), df.schema, pk, spec)
+      // Incremental maintenance lands ONE merge commit per refresh interval
+      // — under streaming maintenance (maintainViews) that is one-plus small
+      // files per micro-batch FOREVER on the freshest-read path. Opt the
+      // storage into post-commit auto-compaction (E148: contained,
+      // fence-gated, O(chunks) when no debt) so file count stays bounded by
+      // the cadence however long the stream runs.
+      storage.setAutoCompact(minFiles = 16)
       storage.append(df)
       val cm = session.sessionState.catalogManager
       val version = GraftViewStore.VersionMeta(
@@ -2066,11 +2073,17 @@ private[sql] object GraftMvRefresh {
       val aux =
         if (graft.table.TransactionalTable.exists(auxRoot))
           graft.table.TransactionalTable.open(spark, auxRoot)
-        else graft.table.TransactionalTable.create(spark, auxRoot,
-          StructType((groupCols.map(storage.schema(_)) :+
-            StructField("__val", a.arg.get.dataType) :+
-            StructField("cnt", LongType, nullable = false)).toArray),
-          keys.mkString(","), None)
+        else {
+          val t = graft.table.TransactionalTable.create(spark, auxRoot,
+            StructType((groupCols.map(storage.schema(_)) :+
+              StructField("__val", a.arg.get.dataType) :+
+              StructField("cnt", LongType, nullable = false)).toArray),
+            keys.mkString(","), None)
+          // one merge per refresh interval → bound the aux's small-file debt
+          // the same way as MV storage (E148 post-commit cadence)
+          t.setAutoCompact(minFiles = 16)
+          t
+        }
       val bootWriter = s"$writerId#aux-bootstrap"
       if (!aux.snapshot.writerFences.contains(bootWriter))
         aux.append(bootPairs(a.name).where(fcol("__val").isNotNull)

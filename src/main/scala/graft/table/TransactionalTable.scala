@@ -3883,17 +3883,23 @@ object TransactionalTable {
       }
     }
     // Writer-behavior properties are orthogonal metadata owned by their
-    // setters — a schema/partition-evolution rewrite of _table.json must
-    // carry them forward, not silently reset them to defaults.
+    // setters — a schema/partition-evolution or replace rewrite of
+    // _table.json must carry them forward, not silently reset them to
+    // defaults. EVERY field this function does not itself own is carried:
+    // the original allowlist (writeDistribution/maxRecordsPerFile/
+    // sortOrder) silently DROPPED auto-compaction, parquet blooms, the
+    // compression codec, per-op write modes, variant shreds and all
+    // `custom.*` metadata (PQ codebooks, ANN retrain stats) on the first
+    // ALTER TABLE — properties must survive DDL, the Iceberg posture.
+    val structuralKeys = Set("schemaJson", "pk", "partitionCol",
+      "partitionTransform", "currentSpecId", "pastSpecs", "renames",
+      "metaVersion")
     val existingMeta = Paths.get(root, "_table.json")
     if (Files.exists(existingMeta)) {
       val old = mapper.readTree(Files.readAllBytes(existingMeta))
-      if (old.has("writeDistribution"))
-        meta.put("writeDistribution", old.get("writeDistribution").asText())
-      if (old.has("maxRecordsPerFile"))
-        meta.put("maxRecordsPerFile", old.get("maxRecordsPerFile").asLong())
-      if (old.has("sortOrder"))
-        meta.put("sortOrder", old.get("sortOrder").asText())
+      old.fieldNames().asScala.filterNot(structuralKeys).foreach { f =>
+        meta.set[com.fasterxml.jackson.databind.JsonNode](f, old.get(f)); ()
+      }
       // RTAS watermark: the replace-commit version this meta is synced to.
       // Carried forward by every later ALTER so the heal check
       // (metaVersion < replace version ⇒ stale cache) can never regress

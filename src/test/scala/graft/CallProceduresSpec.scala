@@ -280,6 +280,45 @@ class CallProceduresSpec extends SparkSpec {
     }
   }
 
+  test("pq_rebuild: a retrained quantizer stales the codes; the CALL re-encodes and probes serve again (E206)") {
+    val cat = "gppq"
+    val w = mkWarehouse(cat)
+    import graft.ops.{AnnIndex, PqOps}
+    import org.apache.spark.sql.functions.col
+    val base = Seq(
+      Seq(1.0, 0, 0, 0, 1.0, 0, 0, 0),
+      Seq(0, 1.0, 0, 0, 0, 1.0, 0, 0),
+      Seq(0, 0, 1.0, 0, 0, 0, 1.0, 0))
+    val vecs = (0 until 12).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, j) => x + 0.01 * ((i + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val h = AnnIndex.create(spark, s"$w/db/ann", vecs, cells = 3)
+    AnnIndex.appendBatch(h, vecs, batchId = 0)
+    val books = PqOps.codebooks(
+      h.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
+      m = 2, k = 4)
+    PqOps.buildPqCodes(h, s"$w/db/codes", books)
+    vecs.limit(2).createOrReplaceTempView("pq_rebuild_queries")
+    spark.sql(s"CALL $cat.system.pq_probe('db.ann', 'db.codes', " +
+      "'pq_rebuild_queries', 2, 3, 'pq_rb_hits')")
+    assert(spark.table("pq_rb_hits").count() > 0)
+    AnnIndex.retrain(h, cells = 3, fenceId = 50L)
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.pq_probe('db.ann', 'db.codes', " +
+        "'pq_rebuild_queries', 2, 3, 'pq_rb_hits2')"))
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("STALE"), chain)
+    val r = spark.sql(s"CALL $cat.system.pq_rebuild('db.ann', 'db.codes', 0)")
+      .select("n_vectors").as[Long].head()
+    assert(r === 12L)
+    spark.sql(s"CALL $cat.system.pq_probe('db.ann', 'db.codes', " +
+      "'pq_rebuild_queries', 2, 3, 'pq_rb_hits3')")
+    assert(spark.table("pq_rb_hits3").count() > 0)
+  }
+
   test("media_index_create/append dispatch on kind; unknown kind fails fast") {
     val w = mkWarehouse("gp8")
     // audio + video kinds exercised with undecodable payloads: both paths

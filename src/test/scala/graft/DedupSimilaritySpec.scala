@@ -581,4 +581,34 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(again === first)
   }
+
+  test("hashSplit (E207): pure function of (id, salt) — stable under corpus growth; salt re-cuts; weights hold") {
+    import graft.ops.DedupOps
+    val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val full = DedupOps.hashSplit(docs, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // weights hold within the hash's statistical wobble
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900, s"train: $counts")
+    assert(counts("val") > 50 && counts("val") < 160, s"val: $counts")
+    assert(counts("test") > 50 && counts("test") < 160, s"test: $counts")
+    // THE property: membership depends only on (id, salt) — a shrunken or
+    // re-ingested corpus keeps every surviving doc's split (no doc can
+    // drift from test into train across pipeline runs)
+    val half = DedupOps.hashSplit(docs.filter(col("doc_id") % 2 === 0), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    half.foreach { case (id, s) =>
+      assert(full(id) === s, s"doc $id drifted from ${full(id)} to $s")
+    }
+    // a new salt is a fresh independent cut of the same ids
+    val salted = DedupOps.hashSplit(docs, splits, salt = "v2")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(full.count { case (id, s) => salted(id) != s } > 100,
+      "a new salt must re-cut a substantial fraction")
+    // single-label edge: everything lands in the one split
+    val one = DedupOps.hashSplit(docs, Seq("all" -> 1))
+      .select("split").distinct().as[String].collect().toSeq
+    assert(one === Seq("all"))
+  }
 }

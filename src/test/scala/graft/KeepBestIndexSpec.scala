@@ -67,6 +67,43 @@ class KeepBestIndexSpec extends SparkSpec {
       "exactly one live representative per neighborhood")
   }
 
+  test("pruneEvictLog (E209): stale log rows drop, latest batch's read-back intact, live rows untouched") {
+    val root = tmpDir("keep-best-prune") + "/idx"
+    val index = KeepBestIndex.create(spark, root)
+    // three eviction-bearing batches: each replaces the previous rep
+    KeepBestIndex.appendBatch(index, Seq((30L, textA)).toDF("doc_id", "text"), 0)
+    KeepBestIndex.appendBatch(index, Seq((20L, textB)).toDF("doc_id", "text"), 1)
+    val r2 = KeepBestIndex.appendBatch(index,
+      Seq((5L, textB)).toDF("doc_id", "text"), 2)
+    assert(ids(r2.evicted) === Seq(20L))
+    def logBatches = index.scan().where(col("band") === -1)
+      .select("batch").distinct().as[Long].collect().toSet
+    assert(logBatches === Set(1L, 2L), "two eviction-log generations accrued")
+    // prune everything before the latest batch: only batch-2 log rows live
+    val pruned = KeepBestIndex.pruneEvictLog(index, beforeBatch = 2)
+    assert(pruned === 1L)
+    assert(logBatches === Set(2L))
+    // the MOST RECENT batch's replay read-back (the documented contract)
+    // still returns both original sets bit-for-bit
+    val r2b = KeepBestIndex.appendBatch(index,
+      Seq((5L, textB)).toDF("doc_id", "text"), 2)
+    assert(ids(r2b.kept) === Seq(5L) && ids(r2b.evicted) === Seq(20L),
+      "post-prune replay of the latest batch must read back both sets")
+    // live representative rows untouched
+    assert(index.scan().where(col("band") >= 0).select("doc_id").distinct()
+      .as[Long].collect().toSeq === Seq(5L))
+    // nothing stale left: a re-prune is a version-stable no-op
+    val v = index.currentVersion
+    assert(KeepBestIndex.pruneEvictLog(index, beforeBatch = 2) === 0L)
+    assert(index.currentVersion === v, "no-op prune must not commit")
+    // the in-append cadence: batch 4 with pruneEvictEvery=2 clears batch 2's
+    // log rows in the same call that commits batch 4's
+    val r4 = KeepBestIndex.appendBatch(index,
+      Seq((2L, textB)).toDF("doc_id", "text"), batchId = 4, pruneEvictEvery = 2)
+    assert(ids(r4.evicted) === Seq(5L))
+    assert(logBatches === Set(4L), s"cadence prune left: $logBatches")
+  }
+
   test("incremental result matches the one-shot ingest; compaction keeps probes intact") {
     val docs = (0 until 60).map { i =>
       val extra = s"uniq${i}x" // mostly distinct docs + planted dup pairs

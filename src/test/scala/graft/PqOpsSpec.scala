@@ -188,6 +188,60 @@ class PqOpsSpec extends SparkSpec {
     }
   }
 
+  test("E206: probes refuse stale codes after a retrain; rebuildCodes restores a fresh-build-identical table") {
+    import graft.ops.AnnIndex
+    for (residual <- Seq(false, true)) {
+      val root = tmpDir(s"pq-stale-$residual")
+      val df = vecs.toDF("vec_id", "embedding")
+      val h = AnnIndex.create(spark, s"$root/idx", df, cells = 3)
+      AnnIndex.appendBatch(h, df, batchId = 0)
+      def build(dir: String) =
+        if (residual) PqOps.buildPqCodesResidual(h, dir, m = 2, k = 4)
+        else {
+          val b = PqOps.codebooks(
+            h.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
+            m = 2, k = 4)
+          (PqOps.buildPqCodes(h, dir, b), b)
+        }
+      val (codes, books) = build(s"$root/codes")
+      val queries = base.zipWithIndex.map { case (b, i) => (100L + i, b) }
+        .toDF("vec_id", "embedding")
+      def probe(bk: PqOps.Codebooks) =
+        if (residual) AnnIndex.probePqResidual(h, codes, bk, queries, k = 3, nprobe = 3)
+        else AnnIndex.probePq(h, codes, bk, queries, k = 3, nprobe = 3)
+      assert(probe(books).count() > 0, "fresh codes probe fine")
+      // a retrain moves centroid vectors AND the cell layout: every stored
+      // code row is now wrong, and the fence must refuse instead of serving
+      // silently mis-ranked results
+      AnnIndex.retrain(h, cells = 3, fenceId = 100L)
+      val e1 = intercept[IllegalStateException](probe(books).collect())
+      assert(e1.getMessage.contains("STALE"), e1.getMessage)
+      val e2 = intercept[IllegalStateException](
+        PqOps.appendCodes(h, codes, df, batchId = 9))
+      assert(e2.getMessage.contains("STALE"), e2.getMessage)
+      // rebuild re-trains by the table's own rule, re-encodes everything in
+      // one overwrite commit, and re-stamps — the result must bit-match a
+      // fresh one-shot build over the same (retrained) index
+      val books2 = PqOps.rebuildCodes(h, codes)
+      val (fresh, freshBooks) = build(s"$root/fresh")
+      assert(books2 === freshBooks, "rebuild must re-train by the build rule")
+      def rows(t: graft.table.TransactionalTable) =
+        t.scan().select("vec_id", "cell", "codes")
+          .as[(Long, Long, Seq[Int])].collect().toSet
+      assert(rows(codes) === rows(fresh),
+        s"residual=$residual: rebuilt codes must bit-match a fresh build")
+      assert(probe(books2).count() > 0, "probes serve again after the rebuild")
+      // crash-window guard: a pending rebuild marker refuses probes even
+      // when the generation stamp happens to match
+      codes.setCustomMeta("pq.rebuild.pending", "true")
+      val e3 = intercept[IllegalStateException](probe(books2).collect())
+      assert(e3.getMessage.contains("unfinished rebuild"), e3.getMessage)
+      // re-running the rebuild heals the window
+      PqOps.rebuildCodes(h, codes)
+      assert(probe(books2).count() > 0)
+    }
+  }
+
   test("residual IVF-PQ (E191): residual codes keep the cluster structure; books persisted") {
     import graft.ops.AnnIndex
     val df = vecs.toDF("vec_id", "embedding")

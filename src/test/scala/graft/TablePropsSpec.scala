@@ -18,6 +18,42 @@ class TablePropsSpec extends SparkSpec {
     cat
   }
 
+  test("writer-behavior properties and custom metadata SURVIVE schema evolution and replace") {
+    // _table.json rewrites (ALTER/evolution/replace) rebuilt the file from
+    // scratch and carried only an allowlist — auto-compaction, parquet
+    // blooms, codec, per-op write modes and custom.* metadata silently
+    // vanished on the first DDL. The fix carries every non-structural field.
+    import org.apache.spark.sql.types._
+    val root = tmpDir("props-survive")
+    val t = TransactionalTable.create(spark, root,
+      StructType.fromDDL("id LONG, v LONG"), pk = "id")
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    t.setAutoCompact(minFiles = 7, targetRows = 1234L)
+    t.setParquetBloom("v", on = true)
+    t.setCompressionCodec("gzip")
+    t.setRowLevelMode("delete", "merge-on-read")
+    t.setCustomMeta("pq.books", "0.5,0.25|0.125,1.0")
+    def assertCarried(label: String, tt: TransactionalTable): Unit = {
+      assert(tt.autoCompact === Some((7, 1234L)), s"$label: autoCompact lost")
+      assert(tt.parquetBloomCols === Seq("v"), s"$label: parquet bloom lost")
+      assert(tt.compressionCodec === Some("gzip"), s"$label: codec lost")
+      assert(tt.rowLevelModeName("delete") === "merge-on-read",
+        s"$label: write mode lost")
+      assert(tt.customMeta("pq.books") === Some("0.5,0.25|0.125,1.0"),
+        s"$label: custom metadata lost")
+    }
+    val t2 = t.addColumn("w", LongType)
+    assertCarried("addColumn", TransactionalTable.open(spark, root))
+    val t3 = t2.addColumn("x", StringType)
+    assertCarried("second addColumn", TransactionalTable.open(spark, root))
+    // replace keeps writer behavior too (the MV full-recompute path rides
+    // replaceWith — losing auto-compaction there would undo the cadence)
+    val t4 = t3.replaceWith(Seq((5L, 50L)).toDF("id", "v"),
+      StructType.fromDDL("id LONG, v LONG"), "id", None)
+    assertCarried("replaceWith", TransactionalTable.open(spark, root))
+    assert(t4.scan().select("id").as[Long].collect().toSeq === Seq(5L))
+  }
+
   test("TRUNCATE TABLE: metadata-only empty state; time travel intact; reusable") {
     val cat = freshCat()
     spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v STRING) TBLPROPERTIES('pk'='id')")

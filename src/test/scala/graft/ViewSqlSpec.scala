@@ -322,6 +322,30 @@ class ViewSqlSpec extends SparkSpec {
       .select("fresh").as[Boolean].head() === true)
   }
 
+  test("MV storage file count stays BOUNDED under many incremental refreshes (auto-compaction cadence)") {
+    // one merge/append commit per refresh interval = one-plus small files
+    // per interval forever without maintenance — under streaming
+    // maintenance that is per-micro-batch debt on the freshest-read path.
+    // Storage is created with the E148 auto-compact cadence; 24 refreshes
+    // must NOT leave 25 files behind.
+    val (cat, w) = fresh()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.bnd AS " +
+      s"SELECT id, v FROM $cat.db.t")
+    (1 to 24).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (${100 + i}, ${10 * i})")
+      val reason = spark.sql(s"CALL $cat.system.refresh_mv('db.bnd')")
+        .select("reason").as[String].head()
+      assert(reason.startsWith("incremental"), s"refresh $i fell back: $reason")
+    }
+    val storage = TransactionalTable.open(spark, s"$w/db/bnd/_storage")
+    val nFiles = storage.snapshot.files.size
+    assert(nFiles < 20, s"storage small-file debt unbounded: $nFiles files")
+    // and the compaction cadence never disturbed correctness or freshness
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.bnd").as[Long].head() === 27L)
+    assert(spark.sql(s"CALL $cat.system.mv_status('db.bnd')")
+      .select("fresh").as[Boolean].head() === true)
+  }
+
   test("incremental refresh is crash/replay safe: the storage fence prevents double-apply") {
     val (cat, w) = fresh()
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.fen AS SELECT id, v FROM $cat.db.t")
