@@ -114,6 +114,36 @@ object EventOps {
     dau.join(wau, Seq("day"))
   }
 
+  /**
+   * ACTIVE USERS over ARBITRARY trailing windows (E210 — the [[activeUsers]]
+   * shape generalized to the full DAU/WAU/MAU read-out behind stickiness
+   * dashboards): one exact distinct count per named window, all served by
+   * ONE join of the deduped (day, user) pairs against the broadcast day
+   * list at the WIDEST window — each narrower window is a conditional
+   * distinct inside the same aggregation, so N windows cost one
+   * O(pairs × maxWindow) expansion, not N joins. Exact at any corpus size
+   * (the day dimension is tiny by construction); integer epoch-day
+   * buckets, calendar-free and engine-agnostic.
+   */
+  def activeUsersWindows(events: DataFrame, windows: Seq[(String, Int)],
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_._2 >= 1),
+      s"window lengths must be >= 1 days: $windows")
+    val day = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000")
+    val pairs = events.select(day.as("day"), col(userCol)).distinct()
+    val days = pairs.select(col("day")).distinct()
+    val maxW = windows.map(_._2).max
+    val aggs = windows.map { case (name, w) =>
+      countDistinct(when(col("p.day") >= col("d.day") - (w - 1),
+        col(s"p.$userCol"))).as(name)
+    }
+    pairs.alias("p")
+      .join(broadcast(days.alias("d")),
+        col("p.day").between(col("d.day") - (maxW - 1), col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Funnel summary: per stage k ≥ 1, how many users REACHED it (stage ≥ k)
     * — the standard conversion read-out. */
   def funnelCounts(events: DataFrame, stages: Seq[String],

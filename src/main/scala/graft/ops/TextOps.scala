@@ -153,6 +153,45 @@ object TextOps {
       predFirstMax.as("lang_pred"): _*)
   }
 
+  /** The explicit codepoint-range classes behind [[scriptSignals]] — NEVER
+    * \p{script} property classes, whose member sets drift with each engine's
+    * Unicode table version; a fixed range counts identically in any regex
+    * dialect (Java here, RE2 in the DuckDB oracle). BMP-only by design. */
+  val ScriptClasses: Seq[(String, String, String)] = Seq(
+    // (name, Java regex class, RE2 class — the oracle's dialect)
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("cyrillic", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("cjk", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("arabic", "[\\u0600-\\u06FF]", "[\\x{0600}-\\x{06FF}]"),
+    ("hangul", "[\\uAC00-\\uD7AF]", "[\\x{AC00}-\\x{D7AF}]"),
+    ("digit", "[0-9]", "[0-9]"))
+
+  /**
+   * Unicode SCRIPT signals (E211 — the writing-system profile a
+   * multilingual corpus pipeline cuts routing decisions on, upstream of
+   * [[langId]]'s vocabulary heuristic: CJK/Arabic/Cyrillic text never
+   * reaches a Latin-stopword classifier): per-document character counts
+   * for the fixed [[ScriptClasses]] ranges plus total characters and a
+   * per-script fraction — count = length(t) − length(t with the class
+   * removed), one codegen'd regexp pass per class, and every fraction one
+   * IEEE division of exact integers (NULL on empty docs, never NaN).
+   * Map-only: ZERO shuffles at any corpus size.
+   */
+  def scriptSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val total = length(t).cast("long")
+    val counts = ScriptClasses.map { case (name, java, _) =>
+      name -> (total - length(regexp_replace(t, java, "")).cast("long"))
+    }
+    df.select(col(idCol) +: total.as("n_chars") +:
+      (counts.map { case (n, c) => c.as(s"n_$n") } ++
+        counts.map { case (n, c) =>
+          when(total > 0L, c.cast("double") / total.cast("double"))
+            .as(s"frac_$n")
+        }): _*)
+  }
+
   /** Quality signals: exact integer counts + double ratios computed in a fixed
     * operation order (bit-reproducible across engines). */
   def qualityScore(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",

@@ -689,5 +689,34 @@ object AnalyticQueries {
              |        FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
              |        GROUP BY d.day)
              |SELECT day, dau, wau FROM dau JOIN wau USING (day)
-             |ORDER BY day""".stripMargin)))
+             |ORDER BY day""".stripMargin)),
+
+    // X7: STICKINESS (E210) — DAU / trailing-28-day MAU per day, the
+    // engagement ratio product dashboards publish; one join at the widest
+    // window serves every narrower count as a conditional distinct. The
+    // ratio is one IEEE division of two exact longs — bit-equal across
+    // engines.
+    Q("x7_stickiness",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        graft.ops.EventOps.activeUsersWindows(Tables.events(s, d),
+            Seq("dau" -> 1, "wau" -> 7, "mau" -> 28))
+          .withColumn("stickiness",
+            col("dau").cast("double") / col("mau").cast("double"))
+          .orderBy("day")
+      },
+      Some("""WITH p AS (SELECT DISTINCT
+             |            epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |            user_id
+             |          FROM events),
+             |d AS (SELECT DISTINCT day FROM p),
+             |w AS (SELECT d.day,
+             |        CAST(COUNT(DISTINCT CASE WHEN p.day >= d.day THEN p.user_id END) AS BIGINT) AS dau,
+             |        CAST(COUNT(DISTINCT CASE WHEN p.day >= d.day - 6 THEN p.user_id END) AS BIGINT) AS wau,
+             |        CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS mau
+             |      FROM d JOIN p ON p.day BETWEEN d.day - 27 AND d.day
+             |      GROUP BY d.day)
+             |SELECT day, dau, wau, mau,
+             |       CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+             |FROM w ORDER BY day""".stripMargin)))
 }

@@ -724,6 +724,43 @@ object ExtQueries {
               |       ELSE 'und' END AS lang_pred
               |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // X4: unicode SCRIPT signals (E211) — per-doc writing-system profile
+    // over explicit codepoint-range classes (never \p{script}, whose member
+    // sets drift across engines' Unicode tables). The fixture text is
+    // ASCII, so the query decorates docs with DETERMINISTIC multilingual
+    // snippets (doc_id mod 4) that both engines replay — the counts and
+    // fractions are then real, not all-zero.
+    Q("x4_script_signals",
+      (s, d) => {
+        val deco = element_at(
+          typedlit(Seq(" кот мир", " 数据查询分析", " بيانات كبيرة", "")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"), deco).as("text"))
+        TextOps.scriptSignals(docs).orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  text || CASE CAST(doc_id % 4 AS INT)
+             |    WHEN 0 THEN ' кот мир' WHEN 1 THEN ' 数据查询分析'
+             |    WHEN 2 THEN ' بيانات كبيرة' ELSE '' END AS x
+             |  FROM documents),
+             |c AS (SELECT doc_id, CAST(length(x) AS BIGINT) AS n_chars,
+             |  CAST(length(x) - length(regexp_replace(x, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+             |  CAST(length(x) - length(regexp_replace(x, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+             |  CAST(length(x) - length(regexp_replace(x, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+             |  CAST(length(x) - length(regexp_replace(x, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+             |  CAST(length(x) - length(regexp_replace(x, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS BIGINT) AS n_hangul,
+             |  CAST(length(x) - length(regexp_replace(x, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+             |FROM t)
+             |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul, n_digit,
+             |  CASE WHEN n_chars > 0 THEN CAST(n_latin AS DOUBLE) / n_chars END AS frac_latin,
+             |  CASE WHEN n_chars > 0 THEN CAST(n_cyrillic AS DOUBLE) / n_chars END AS frac_cyrillic,
+             |  CASE WHEN n_chars > 0 THEN CAST(n_cjk AS DOUBLE) / n_chars END AS frac_cjk,
+             |  CASE WHEN n_chars > 0 THEN CAST(n_arabic AS DOUBLE) / n_chars END AS frac_arabic,
+             |  CASE WHEN n_chars > 0 THEN CAST(n_hangul AS DOUBLE) / n_chars END AS frac_hangul,
+             |  CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars END AS frac_digit
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // X4: quality signals (exact counts; ratios in fixed-order double math).
     Q("x4_quality_score",
       (s, d) => TextOps.qualityScore(Tables.load(s, d, "documents")).orderBy("doc_id"),
