@@ -224,6 +224,52 @@ object ExportOps {
     }
   }
 
+  /**
+   * STREAMING consumption of the publication chain (E212 — the trainer's
+   * "tail -f", closing the loop the continuous-publication side opened):
+   * [[streamIntervals]] is a checkpointed stream of MANIFEST rows — one
+   * per published interval, exactly the [[Interval]] shape — served by the
+   * engine's table streaming source over `exportRoot/_manifest`; interval
+   * publications are pure appends (monotone to_v PK), so each micro-batch
+   * carries exactly the newly published intervals and a restart resumes
+   * from the checkpoint without re-delivering consumed ones. [[pack]]
+   * commits are manifest REWRITES that consolidate already-consumed
+   * intervals — `skipNonAppends` skips them whole by construction (nothing
+   * new to train on in a pack).
+   *
+   * Start-up contract: a consumer born into an existing root snapshots
+   * with [[readCorpus]] and tails from the manifest version it captured
+   * (pass it as `startingVersion`); a consumer started WITH the root tails
+   * from 0 and sees every interval exactly once.
+   */
+  def streamIntervals(spark: SparkSession, exportRoot: String,
+      startingVersion: Option[Long] = Some(0L)): DataFrame = {
+    manifest(spark, exportRoot) // materialize the table on a virgin root
+    val b = spark.readStream.format("graft-table")
+      .option("skipNonAppends", "true")
+    startingVersion.fold(b)(v => b.option("startingVersion", v.toString))
+      .load(s"$exportRoot/_manifest")
+  }
+
+  /** The immutable published payload of ONE interval (the per-row
+    * companion of [[streamIntervals]]): (docs, tombstone ids). Docs are
+    * empty for a deletes-only interval (its dir holds no data files — the
+    * explicit schema makes that a 0-row read, not an inference error);
+    * column names/types resolve from the manifest's stamped contract. */
+  def readInterval(spark: SparkSession, exportRoot: String,
+      fromV: Long, toV: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      textType: String = "STRING"): (DataFrame, DataFrame) = {
+    val (id, pc, pt) = contract(spark, exportRoot, idCol, textCol, textType)
+    val dir = dirOf(exportRoot, fromV, toV)
+    val readSchema = StructType.fromDDL(
+      s"shard INT, bin LONG, pos INT, $id LONG, n_tokens LONG, $pc $pt")
+    val docs = spark.read.schema(readSchema).parquet(dir)
+    val tombs = spark.read.schema(StructType.fromDDL(s"$id LONG"))
+      .parquet(s"$dir/_tombstones")
+    (docs, tombs)
+  }
+
   final case class PackResult(packed: Boolean, intervalsBefore: Long,
       nDocs: Long, dir: String)
 

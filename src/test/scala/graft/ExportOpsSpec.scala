@@ -62,6 +62,54 @@ class ExportOpsSpec extends SparkSpec {
     assert(bins.forall(_ >= 0L))
   }
 
+  test("streamIntervals (E212): a checkpointed consumer sees each interval exactly once; pack is skipped; restart resumes") {
+    val root = tmpDir("export-stream")
+    val corpus = TransactionalTable.create(spark, s"$root/corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+      "doc_id", None)
+    corpus.append(Seq(doc(1, 10), doc(2, 20)).toDF("doc_id", "text"), batchId = 0)
+    val v1 = corpus.currentVersion
+    ExportOps.exportDelta(corpus, s"$root/exp", 0, v1, nShards = 2, capacity = 16L)
+    corpus.append(Seq(doc(3, 5)).toDF("doc_id", "text"), batchId = 1)
+    val v2 = corpus.currentVersion
+    ExportOps.exportDelta(corpus, s"$root/exp", v1, v2, nShards = 2, capacity = 16L)
+    val ckpt = s"$root/ckpt"
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    def drain(): Unit = {
+      val q = ExportOps.streamIntervals(spark, s"$root/exp")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.select("from_v", "to_v").collect().foreach { r =>
+            val (f, t) = (r.getLong(0), r.getLong(1))
+            val (docs, tombs) = ExportOps.readInterval(spark, s"$root/exp", f, t)
+            seen.add((f, t, docs.count(), tombs.count()))
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    }
+    import scala.jdk.CollectionConverters._
+    drain()
+    assert(seen.asScala.toSet === Set((0L, v1, 2L, 0L), (v1, v2, 1L, 0L)),
+      s"both published intervals exactly once: ${seen.asScala.toSeq}")
+    // pack consolidates the manifest (a rewrite commit): the consumer
+    // SKIPS it — its contents were already consumed interval-by-interval
+    assert(ExportOps.pack(spark, s"$root/exp").packed)
+    // a post-pack interval: an update + a cross-export retraction
+    corpus.merge(Seq(doc(4, 6)).toDF("doc_id", "text"),
+      Seq(1L).toDF("doc_id"), batchId = 2)
+    val v3 = corpus.currentVersion
+    ExportOps.exportDelta(corpus, s"$root/exp", v2, v3, nShards = 2, capacity = 16L)
+    val before = seen.size
+    drain() // restart from the checkpoint
+    val fresh = seen.asScala.toSeq.drop(before).toSet
+    assert(fresh === Set((v2, v3, 1L, 1L)),
+      s"restart must deliver ONLY the new interval (pack skipped): $fresh")
+    // the interval reader's tombstone side carries the retraction
+    val (_, tombs) = ExportOps.readInterval(spark, s"$root/exp", v2, v3)
+    assert(tombs.as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("pack (E202): intervals fold atomically — latest copy wins, tombstone debt zeroed, fenced re-pack, publication continues") {
     val root = tmpDir("export-ops-pack")
     val corpus = TransactionalTable.create(spark, s"$root/corpus",
