@@ -200,6 +200,15 @@ object PqOps {
     * only refuse once a retrain has actually happened (the conservative
     * legacy rule). A half-finished rebuild ([[rebuildCodes]] crash window)
     * refuses via its pending marker. */
+  /** True when `codes` matches the index's live quantizer generation and no
+    * rebuild is half-finished — the non-throwing twin of
+    * [[requireCodesFresh]] (maintenance callers rebuild instead of fail). */
+  def codesFresh(h: AnnIndex.Handle,
+      codes: graft.table.TransactionalTable): Boolean =
+    !codes.customMeta("pq.rebuild.pending").contains("true") &&
+      codes.customMeta("pq.quantizer.fence").map(_.toLong).getOrElse(-1L) ==
+        quantizerGen(h)
+
   private[graft] def requireCodesFresh(h: AnnIndex.Handle,
       codes: graft.table.TransactionalTable): Unit = {
     if (codes.customMeta("pq.rebuild.pending").contains("true"))
@@ -231,9 +240,18 @@ object PqOps {
    * the metadata re-stamp — any crash inside the window leaves the marker
    * set, every probe/append refuses, and re-running the rebuild heals
    * (the overwrite is idempotent against the same index state).
+   *
+   * `refineIters < 0` (the default) resolves the Lloyd depth from the
+   * table's own `pq.refine.iters` stamp (0 when never stamped), so an
+   * UNATTENDED rebuild — the E213 drift-retrain path — reproduces the
+   * quality tier the table was built at; an explicit value overrides and
+   * re-stamps.
    */
   def rebuildCodes(h: AnnIndex.Handle, codes: graft.table.TransactionalTable,
-      refineIters: Int = 0): Codebooks = {
+      refineIters: Int = -1): Codebooks = {
+    val ri =
+      if (refineIters >= 0) refineIters
+      else codes.customMeta("pq.refine.iters").map(_.toInt).getOrElse(0)
     val old = booksFromString(codes.customMeta("pq.books").getOrElse(
       throw new IllegalStateException(
         "codes table carries no pq.books metadata — built outside pq_codes_build?")))
@@ -247,13 +265,14 @@ object PqOps {
       else h.assignments.scan().select(col("vec_id"), col("cell"),
         col("v").as("embedding"))
     val seed = codebooks(src, m, k)
-    val books = if (refineIters > 0) refineCodebooks(src, seed, refineIters) else seed
+    val books = if (ri > 0) refineCodebooks(src, seed, ri) else seed
     val sd = books.head.head.size
     codes.setCustomMeta("pq.rebuild.pending", "true")
     codes.overwrite(src.select(col("vec_id"), col("cell"),
       array((0 until m).map(s =>
         codeOf(col("embedding"), books(s), s, sd)): _*).as("codes")))
     codes.setCustomMeta("pq.books", booksToString(books))
+    codes.setCustomMeta("pq.refine.iters", ri.toString)
     codes.setCustomMeta("pq.quantizer.fence", quantizerGen(h).toString)
     codes.setCustomMeta("pq.rebuild.pending", "false")
     books

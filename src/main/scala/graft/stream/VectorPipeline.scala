@@ -36,24 +36,32 @@ object VectorPipeline {
     * cadence and drift trigger). With `codes` set (E205), the SAME batch
     * also encodes into the IVF-PQ codes table under its stamped books —
     * the compressed-domain probes stay exactly as fresh as the index.
-    * Codes maintenance requires a FROZEN quantizer (`retrainWhenSkew`
-    * must stay 0): a retrain moves cells (and, for residual books, the
-    * subtraction baseline), silently invalidating every stored code —
-    * rebuild via [[graft.ops.PqOps.buildPqCodes]] after any retrain.
-    * Safe to call from `foreachBatch`; replay-safe for a repeated
-    * `batchId` (both merges fence independently on it). */
+    *
+    * Drift retrain COMPOSES with codes maintenance (E213; through r16
+    * wave 4 the combination was guarded off): a retrain moves cells (and,
+    * for residual books, the subtraction baseline), invalidating every
+    * stored code — so after the ingest step, a codes table that no longer
+    * matches the quantizer generation (the E206 fence: a drift retrain
+    * just fired, or an earlier rebuild crashed mid-window) is REBUILT in
+    * one atomic overwrite before probes can observe it; the rebuild
+    * already encodes this batch's rows (the assignment merge landed
+    * first), so the per-batch encode is skipped that epoch. Replays stay
+    * exactly-once: the assignment merge and the per-batch encode fence on
+    * the batch id, the drift trigger's cooldown absorbs the replayed
+    * retrain, and a fresh codes table is never rebuilt.
+    * Safe to call from `foreachBatch`. */
   def processBatch(h: AnnIndex.Handle, vecs: DataFrame, batchId: Long,
       compactEvery: Int = 0, retrainWhenSkew: Double = 0.0,
       codes: Option[graft.table.TransactionalTable] = None): Unit =
     graft.util.BatchStats.timed("vector_stream_batch") {
-      require(codes.isEmpty || retrainWhenSkew == 0.0,
-        "PQ-codes maintenance requires a frozen quantizer: a drift retrain " +
-          "moves cells and invalidates every stored code (rebuild via " +
-          "buildPqCodes after retraining)")
       AnnIndex.appendBatch(h, vecs, batchId, compactEvery = compactEvery,
         retrainWhenSkew = retrainWhenSkew)
-      codes.foreach(t => graft.ops.PqOps.appendCodes(h, t, vecs, batchId,
-        compactEvery = compactEvery))
+      codes.foreach { t =>
+        if (!graft.ops.PqOps.codesFresh(h, t))
+          graft.ops.PqOps.rebuildCodes(h, t)
+        else graft.ops.PqOps.appendCodes(h, t, vecs, batchId,
+          compactEvery = compactEvery)
+      }
     }
 
   /** The checkpointed stream: JSON-lines `{vec_id, embedding}` landing in

@@ -242,6 +242,58 @@ class PqOpsSpec extends SparkSpec {
     }
   }
 
+  test("E213: drift retrain composes with streamed codes maintenance — auto-rebuild keeps probes fresh") {
+    import graft.ops.AnnIndex
+    import graft.stream.VectorPipeline
+    val dim = 8
+    // the AnnIndexSpec planted-drift geometry: seed region on axis 0, drift
+    // region on axis 5 — drift crowds one seed cell until the trigger trips
+    def vec(axis: Int, wobbleBase: Int, i: Long): Seq[Double] = {
+      val a = Array.fill(dim)(0.05); a(axis) = 1.0
+      a(wobbleBase + (i % 2).toInt) += 0.01 * (i % 5); a.toSeq
+    }
+    val root = tmpDir("pq-drift")
+    val seed = (0L until 20L).map(i => (i, vec(0, 1, i))).toDF("vec_id", "embedding")
+    val h = AnnIndex.create(spark, s"$root/idx", seed, cells = 4)
+    VectorPipeline.processBatch(h, seed, batchId = 0, retrainWhenSkew = 0.8)
+    val books = PqOps.codebooks(
+      h.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
+      m = 2, k = 4)
+    val codes = PqOps.buildPqCodes(h, s"$root/codes", books)
+    assert(PqOps.codesFresh(h, codes))
+    // drift epochs with the trigger ARMED and codes MAINTAINED — the
+    // combination r16 wave 4 guarded off; the retrain (epoch ~5) stales the
+    // codes mid-stream and the pipeline must rebuild before the epoch ends
+    def batch(b: Int) = (0L until 20L)
+      .map(j => (1000L * b + j, vec(5, 6, 1000L * b + j)))
+      .toDF("vec_id", "embedding")
+    (1 to 6).foreach { b =>
+      VectorPipeline.processBatch(h, batch(b), batchId = b,
+        retrainWhenSkew = 0.8, codes = Some(codes))
+      assert(PqOps.codesFresh(h, codes), s"epoch $b left stale codes")
+    }
+    assert(AnnIndex.status(h).lastRetrain.isDefined,
+      "the planted drift must have tripped a retrain")
+    // the maintained codes converged to a fresh one-shot build over the
+    // final (retrained) index under the rebuilt books
+    val curBooks = PqOps.booksFromString(codes.customMeta("pq.books").get)
+    val oneShot = PqOps.buildPqCodes(h, s"$root/fresh", curBooks)
+    def rows(t: graft.table.TransactionalTable) =
+      t.scan().select("vec_id", "cell", "codes")
+        .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(rows(codes) === rows(oneShot),
+      "maintained codes must bit-match a one-shot build post-retrain")
+    // the E206 fence passes and compressed-domain probes serve
+    assert(AnnIndex.probePq(h, codes, curBooks, seed.limit(2),
+      k = 3, nprobe = 2).count() > 0)
+    // a re-delivered epoch is exactly-once: no commit on either table
+    val (vA, vC) = (h.assignments.currentVersion, codes.currentVersion)
+    VectorPipeline.processBatch(h, batch(6), batchId = 6,
+      retrainWhenSkew = 0.8, codes = Some(codes))
+    assert(h.assignments.currentVersion === vA && codes.currentVersion === vC,
+      "replayed epoch must no-op both tables")
+  }
+
   test("residual IVF-PQ (E191): residual codes keep the cluster structure; books persisted") {
     import graft.ops.AnnIndex
     val df = vecs.toDF("vec_id", "embedding")
