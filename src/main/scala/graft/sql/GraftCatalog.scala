@@ -537,8 +537,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME not supported")
+  /** `ALTER TABLE ... RENAME TO` (E214): the atomic directory move + the
+    * one-pass absolute-path rewrite ([[TransactionalTable.renameRoot]]).
+    * Views have their own RENAME VIEW path — renaming one through the
+    * TABLE statement is the wrong-command error, never a silent move. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val oldRoot = rootOf(oldIdent)
+    if (GraftViewStore.exists(oldRoot))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_COMMAND_FOR_OBJECT_TYPE",
+        messageParameters = Map(
+          "alternative" -> "ALTER VIEW ... RENAME TO", "operation" -> "ALTER TABLE ... RENAME TO",
+          "foundType" -> "VIEW", "requiredType" -> "EXTERNAL or MANAGED",
+          "objectName" -> oldIdent.toString))
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    val newRoot = rootOf(newIdent)
+    if (tableExists(newIdent) || GraftViewStore.exists(newRoot))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    require(namespaceExists(newIdent.namespace()),
+      s"target namespace ${newIdent.namespace().mkString(".")} does not exist")
+    TransactionalTable.renameRoot(oldRoot, newRoot)
+  }
 
   // SupportsNamespaces (flat, directory-backed)
   override def listNamespaces(): Array[Array[String]] = {

@@ -3986,7 +3986,83 @@ object TransactionalTable {
   }
 
   /** Open a table from its path alone, using the persisted `_table.json`. */
+  /** Marker beside the TARGET root during [[renameRoot]]: a crash between
+    * the directory move and the metadata-path rewrite leaves it, and
+    * [[open]] completes the rewrite before serving (idempotent — once
+    * rewritten, the old prefix no longer appears). Holds the old root. */
+  private def renameMarker(root: String) = Paths.get(root + ".rename_pending")
+
+  /**
+   * RENAME the table directory (E214 — `ALTER TABLE ... RENAME TO` parity;
+   * `GraftCatalog.renameTable` lowers here). Manifest/chunk JSON stores
+   * data- and delete-file paths ABSOLUTE, so the rename is the atomic
+   * directory move plus ONE metadata pass: every `.json` file under the
+   * new root replaces the QUOTED old-root path prefix with the new one —
+   * files registered from OUTSIDE the root (`add_files` externals) keep
+   * their paths by construction (prefix match only), and data/delete files
+   * themselves are untouched (parquet/bitmaps carry no self-paths). Cost
+   * is O(metadata JSON), zero data movement.
+   *
+   * Crash safety: the `<newRoot>.rename_pending` marker brackets
+   * move + rewrite; [[open]] heals an interrupted rename, and a marker
+   * whose target directory never materialized is swept as stale (the
+   * source is intact — re-issue the rename). Open handles on the old root
+   * are invalidated, exactly as by DROP.
+   */
+  def renameRoot(oldRoot: String, newRoot: String): Unit = {
+    require(exists(oldRoot), s"no table at $oldRoot")
+    require(!Files.exists(Paths.get(newRoot)),
+      s"rename target already exists: $newRoot")
+    val marker = renameMarker(newRoot)
+    Files.write(marker,
+      oldRoot.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(Paths.get(oldRoot), Paths.get(newRoot),
+      StandardCopyOption.ATOMIC_MOVE)
+    rewritePathPrefix(newRoot, oldRoot)
+    Files.deleteIfExists(marker)
+    ()
+  }
+
+  /** Replace the quoted `oldRoot/` path prefix with `root/` in every
+    * metadata JSON under `root` — atomic per file, idempotent overall. */
+  private def rewritePathPrefix(root: String, oldRoot: String): Unit = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val oldPrefix = "\"" + oldRoot + "/"
+    val newPrefix = "\"" + root + "/"
+    val walk = Files.walk(Paths.get(root))
+    try walk.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".json") && Files.isRegularFile(p))
+      .foreach { p =>
+        val s = new String(Files.readAllBytes(p), utf8)
+        if (s.contains(oldPrefix)) {
+          val tmp = p.resolveSibling(p.getFileName.toString + ".rntmp")
+          Files.write(tmp, s.replace(oldPrefix, newPrefix).getBytes(utf8),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    finally walk.close()
+  }
+
+  private def healRename(root: String): Unit = {
+    val marker = renameMarker(root)
+    if (Files.exists(marker)) {
+      if (Files.isDirectory(Paths.get(root))) {
+        val oldRoot = new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        rewritePathPrefix(root, oldRoot)
+      }
+      // target never materialized (crash before the move): the source is
+      // intact and the marker is stale either way
+      Files.deleteIfExists(marker)
+      ()
+    }
+  }
+
   def open(spark: SparkSession, root: String): TransactionalTable = {
+    healRename(root)
     healReplace(root)
     val meta = mapper.readTree(Files.readAllBytes(Paths.get(root, "_table.json")))
     val schema = org.apache.spark.sql.types.DataType.fromJson(
