@@ -101,18 +101,10 @@ object EventOps {
    * and engine-agnostic.
    */
   def activeUsers(events: DataFrame, userCol: String = "user_id",
-      tsCol: String = "ts"): DataFrame = {
-    val day = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000")
-    val pairs = events.select(day.as("day"), col(userCol)).distinct()
-    val days = pairs.select(col("day")).distinct()
-    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val wau = pairs.alias("p")
-      .join(broadcast(days.alias("d")),
-        col("p.day").between(col("d.day") - 6, col("d.day")))
-      .groupBy(col("d.day").as("day"))
-      .agg(countDistinct(col(s"p.$userCol")).as("wau"))
-    dau.join(wau, Seq("day"))
-  }
+      tsCol: String = "ts"): DataFrame =
+    // the fixed DAU/WAU read-out is the windows generalization at (1, 7) —
+    // one implementation, one set of epoch-day semantics to maintain
+    activeUsersWindows(events, Seq("dau" -> 1, "wau" -> 7), userCol, tsCol)
 
   /**
    * ACTIVE USERS over ARBITRARY trailing windows (E210 — the [[activeUsers]]

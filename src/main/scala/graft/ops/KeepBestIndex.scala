@@ -70,8 +70,13 @@ object KeepBestIndex {
    */
   def pruneEvictLog(index: TransactionalTable, beforeBatch: Long): Long = {
     val spark = index.spark
+    // CLAMP to the latest committed batch: the stream's current epoch may
+    // have committed its merge but not its checkpoint, and a prune past it
+    // (an operator's "prune everything" call) would delete exactly the log
+    // rows its re-delivery reads back — the loss the log exists to prevent.
+    val bound = math.min(beforeBatch, index.snapshot.batchId)
     val stale = index.scan()
-      .where(col("band") === -1 && col("batch") < beforeBatch)
+      .where(col("band") === -1 && col("batch") < bound)
       .select("sig_id").localCheckpoint(true)
     val n = stale.count()
     if (n > 0) {

@@ -182,33 +182,42 @@ object PqOps {
     s.split(';').toSeq.map(_.split('|').toSeq.map(
       _.split(',').toSeq.map(_.toDouble)))
 
-  /** The quantizer GENERATION the codes table must match (E206): the fence
-    * of the index's last retrain, −1 before any retrain. [[AnnIndex.retrain]]
-    * moves centroid vectors AND the cell layout, so every stored code row —
-    * its `cell` partition value and its encoding (residual codes doubly so:
-    * they quantize v − centroid) — is invalidated by a retrain. The codes
-    * table stamps this value at build/rebuild time and every probe/append
-    * compares it against the live index. */
+  /** The quantizer GENERATION the codes table must match (E206): the
+    * CENTROID TABLE's commit version. [[AnnIndex.retrain]] moves centroid
+    * vectors AND the cell layout, so every stored code row — its `cell`
+    * partition value and its encoding (residual codes doubly so: they
+    * quantize v − centroid) — is invalidated by a retrain. The version is
+    * bumped by the retrain's own `publishCentroids` COMMIT (nothing else
+    * writes the centroid table after creation), so the generation advances
+    * atomically with the mutation — a retrain that crashes after the
+    * publish but before its observability stamp still reads as a new
+    * generation (deriving from the post-hoc `ann.retrain.stats` record
+    * would let that crash serve stale codes as fresh); a REPLAYED retrain's
+    * fenced no-op publish keeps the version, so replays never false-stale. */
   private[graft] def quantizerGen(h: AnnIndex.Handle): Long =
-    AnnIndex.lastRetrainFence(h).getOrElse(-1L)
+    h.centroids.currentVersion
+
+  /** True when `codes` matches the index's live quantizer generation and no
+    * rebuild is half-finished — the non-throwing twin of
+    * [[requireCodesFresh]] (maintenance callers rebuild instead of fail).
+    * Tables from before the stamp existed (no `pq.quantizer.fence`) pass
+    * while the index has never persisted a retrain record — the
+    * conservative legacy rule; the first [[appendCodes]] upgrades them. */
+  def codesFresh(h: AnnIndex.Handle,
+      codes: graft.table.TransactionalTable): Boolean =
+    !codes.customMeta("pq.rebuild.pending").contains("true") && {
+      codes.customMeta("pq.quantizer.fence").map(_.toLong) match {
+        case Some(stamped) => stamped == quantizerGen(h)
+        case None => AnnIndex.lastRetrainFence(h).isEmpty
+      }
+    }
 
   /** Fail fast when `codes` no longer matches the index's quantizer (E206):
     * a probe over stale codes would silently mis-rank (wrong cells pruned,
     * wrong encodings scored) and an append would interleave two cell
     * layouts in one table — both are wrong answers shaped like right ones.
-    * Tables from before the stamp existed pass as generation −1, so they
-    * only refuse once a retrain has actually happened (the conservative
-    * legacy rule). A half-finished rebuild ([[rebuildCodes]] crash window)
-    * refuses via its pending marker. */
-  /** True when `codes` matches the index's live quantizer generation and no
-    * rebuild is half-finished — the non-throwing twin of
-    * [[requireCodesFresh]] (maintenance callers rebuild instead of fail). */
-  def codesFresh(h: AnnIndex.Handle,
-      codes: graft.table.TransactionalTable): Boolean =
-    !codes.customMeta("pq.rebuild.pending").contains("true") &&
-      codes.customMeta("pq.quantizer.fence").map(_.toLong).getOrElse(-1L) ==
-        quantizerGen(h)
-
+    * A half-finished rebuild ([[rebuildCodes]] crash window) refuses via
+    * its pending marker. */
   private[graft] def requireCodesFresh(h: AnnIndex.Handle,
       codes: graft.table.TransactionalTable): Unit = {
     if (codes.customMeta("pq.rebuild.pending").contains("true"))
@@ -216,13 +225,19 @@ object PqOps {
         "PQ codes table has an unfinished rebuild (pq.rebuild.pending) — " +
           "re-run PqOps.rebuildCodes / CALL graft.system.pq_rebuild to complete it")
     val cur = quantizerGen(h)
-    val stamped = codes.customMeta("pq.quantizer.fence").map(_.toLong).getOrElse(-1L)
-    if (cur != stamped)
+    val stamped = codes.customMeta("pq.quantizer.fence").map(_.toLong)
+    val stale = stamped match {
+      case Some(st) => st != cur
+      // legacy table without the stamp: refuse once a retrain record exists
+      case None => AnnIndex.lastRetrainFence(h).isDefined
+    }
+    if (stale)
       throw new IllegalStateException(
-        s"PQ codes table is STALE: built under quantizer generation $stamped " +
-          s"but the index has since retrained (generation $cur) — cell layout " +
-          "and encodings no longer match the quantizer; rebuild via " +
-          "PqOps.rebuildCodes / CALL graft.system.pq_rebuild")
+        s"PQ codes table is STALE: built under quantizer generation " +
+          s"${stamped.map(_.toString).getOrElse("<unstamped>")} but the index " +
+          s"has since retrained (generation $cur) — cell layout and encodings " +
+          "no longer match the quantizer; rebuild via PqOps.rebuildCodes / " +
+          "CALL graft.system.pq_rebuild")
   }
 
   /**
@@ -290,12 +305,16 @@ object PqOps {
     * RESIDUALS and every indexed vector's residual encodes against them;
     * returns the cell-partitioned codes table and the trained books
     * (also persisted in the table metadata for later sessions). */
-  def buildPqCodesResidual(h: AnnIndex.Handle, root: String, m: Int, k: Int)
+  def buildPqCodesResidual(h: AnnIndex.Handle, root: String, m: Int, k: Int,
+      refineIters: Int = 0)
       : (graft.table.TransactionalTable, Codebooks) = {
     val cent = h.centroidVectors
     val res = h.assignments.scan().select(col("vec_id"), col("cell"),
       residualOf(col("v"), col("cell"), cent).as("embedding"))
-    val books = codebooks(res, m, k)
+    val seedBooks = codebooks(res, m, k)
+    val books =
+      if (refineIters > 0) refineCodebooks(res, seedBooks, refineIters)
+      else seedBooks
     val spark = h.assignments.spark
     val t = graft.table.TransactionalTable.create(spark, root,
       org.apache.spark.sql.types.StructType.fromDDL(
@@ -308,6 +327,7 @@ object PqOps {
         codeOf(col("embedding"), books(s), s, sd)): _*).as("codes")))
     t.setCustomMeta("pq.books", booksToString(books))
     t.setCustomMeta("pq.residual", "true")
+    t.setCustomMeta("pq.refine.iters", refineIters.toString)
     t.setCustomMeta("pq.quantizer.fence", quantizerGen(h).toString)
     (t, books)
   }
@@ -333,6 +353,10 @@ object PqOps {
       compactEvery: Int = 0): Unit =
     graft.util.BatchStats.timed("pq_codes_batch") {
       requireCodesFresh(h, codes)
+      // upgrade a legacy (pre-stamp) table on its first maintained batch:
+      // requireCodesFresh just proved it matches the live quantizer
+      if (codes.customMeta("pq.quantizer.fence").isEmpty)
+        codes.setCustomMeta("pq.quantizer.fence", quantizerGen(h).toString)
       val books = booksFromString(codes.customMeta("pq.books").getOrElse(
         throw new IllegalStateException(
           "codes table carries no pq.books metadata — built outside pq_codes_build?")))
@@ -359,8 +383,12 @@ object PqOps {
     * probed cells' code rows (manifest partition pruning) and score in
     * the compressed domain: nprobe/cells of the CODES (m ints per vector)
     * instead of nprobe/cells of the raw floats. */
-  def buildPqCodes(h: AnnIndex.Handle, root: String,
-      books: Codebooks): graft.table.TransactionalTable = {
+  def buildPqCodes(h: AnnIndex.Handle, root: String, books: Codebooks,
+      /** The Lloyd depth the caller trained `books` at (0 = seed-only):
+        * stamped as `pq.refine.iters` so an UNATTENDED [[rebuildCodes]] —
+        * the E213 drift-retrain path — reproduces the same quality tier
+        * instead of silently downgrading to seed books. */
+      refineIters: Int = 0): graft.table.TransactionalTable = {
     val spark = h.assignments.spark
     val t = graft.table.TransactionalTable.create(spark, root,
       org.apache.spark.sql.types.StructType.fromDDL(
@@ -376,6 +404,7 @@ object PqOps {
     // streaming maintenance (appendCodes) and later-session probes resolve
     // the encoding from the table, never from a caller's copy
     t.setCustomMeta("pq.books", booksToString(books))
+    t.setCustomMeta("pq.refine.iters", refineIters.toString)
     t.setCustomMeta("pq.quantizer.fence", quantizerGen(h).toString)
     t
   }

@@ -1597,7 +1597,8 @@ object ExtQueries {
           .select(col("vec_id"), col("v").as("embedding"))
         val books = graft.ops.PqOps.refineCodebooks(unitVecs,
           graft.ops.PqOps.codebooks(unitVecs, m = 8, k = 16), iters = 2)
-        val codes = graft.ops.PqOps.buildPqCodes(hh, s"$root/codes", books)
+        val codes = graft.ops.PqOps.buildPqCodes(hh, s"$root/codes", books,
+          refineIters = 2)
         graft.ops.PqOps.pqRecall(hh, codes, books, e,
           e.filter(col("vec_id") < 8), k = 5, kShort = 100, nprobe = 6,
           minRecall = 0.4)

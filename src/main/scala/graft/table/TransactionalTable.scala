@@ -2809,7 +2809,7 @@ final class TransactionalTable private (
       nt.commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
     }
     writeTableMeta(root, newSchema, newPk, newSpec,
-      metaVersion = Some(nt.currentVersion))
+      metaVersion = Some(nt.currentVersion), replaceSemantics = true)
     Files.deleteIfExists(marker)
     nt
   }
@@ -3829,6 +3829,10 @@ object TransactionalTable {
       pk: String, partition: Option[PartitionTransform]): TransactionalTable = {
     if (exists(root))
       throw new IllegalStateException(s"table already exists at $root — use load/open")
+    // A rename marker can only be stale here (had the move happened, this
+    // create would have failed on exists) — sweep it so it can never heal
+    // ONTO the fresh table being created at this root.
+    Files.deleteIfExists(renameMarker(root))
     val t = new TransactionalTable(spark, root, schema, pk, partition)
     Files.createDirectories(Paths.get(root))
     // Self-describing table: persist schema/pk/partitioning so catalogs
@@ -3848,7 +3852,15 @@ object TransactionalTable {
       renames: Map[String, Seq[String]] = Map.empty,
       pastSpecs: Map[Int, PartitionTransform] = Map.empty,
       currentSpecId: Int = 0,
-      metaVersion: Option[Long] = None): Unit = {
+      metaVersion: Option[Long] = None,
+      /** REPLACE semantics (RTAS): contents are wholly new, so
+        * content-describing metadata must NOT survive — custom.* stamps
+        * (PQ books/fences trained on the replaced rows), variant shreds,
+        * row lineage, bloom columns (schema-bound). Only schema-free
+        * WRITER behavior carries: distribution, file sizing, sort order,
+        * auto-compaction (the MV full-recompute path rides replaceWith —
+        * losing the cadence there would undo bounded-file maintenance). */
+      replaceSemantics: Boolean = false): Unit = {
     val meta = mapper.createObjectNode()
     meta.put("schemaJson", schema.json)
     meta.put("pk", pk)
@@ -3894,10 +3906,16 @@ object TransactionalTable {
     val structuralKeys = Set("schemaJson", "pk", "partitionCol",
       "partitionTransform", "currentSpecId", "pastSpecs", "renames",
       "metaVersion")
+    // Under replace, content/schema-bound keys are dropped (fresh-table
+    // semantics); only the schema-free writer-behavior allowlist survives.
+    val replaceCarried = Set("writeDistribution", "maxRecordsPerFile",
+      "sortOrder", "autoCompactMinFiles", "autoCompactTargetRows")
+    def carries(f: String): Boolean =
+      !structuralKeys(f) && (!replaceSemantics || replaceCarried(f))
     val existingMeta = Paths.get(root, "_table.json")
     if (Files.exists(existingMeta)) {
       val old = mapper.readTree(Files.readAllBytes(existingMeta))
-      old.fieldNames().asScala.filterNot(structuralKeys).foreach { f =>
+      old.fieldNames().asScala.filter(carries).foreach { f =>
         meta.set[com.fasterxml.jackson.databind.JsonNode](f, old.get(f)); ()
       }
       // RTAS watermark: the replace-commit version this meta is synced to.
@@ -3978,7 +3996,8 @@ object TransactionalTable {
             Some(PartitionTransform(pt.get("kind").asText(), pt.get("col").asText(),
               if (pt.has("n")) pt.get("n").asInt() else 0))
           }
-          writeTableMeta(root, sch, r.get("pk").asText(), part, metaVersion = Some(v))
+          writeTableMeta(root, sch, r.get("pk").asText(), part,
+            metaVersion = Some(v), replaceSemantics = true)
         }
       }
     }
@@ -4049,13 +4068,16 @@ object TransactionalTable {
   private def healRename(root: String): Unit = {
     val marker = renameMarker(root)
     if (Files.exists(marker)) {
-      if (Files.isDirectory(Paths.get(root))) {
-        val oldRoot = new String(Files.readAllBytes(marker),
-          java.nio.charset.StandardCharsets.UTF_8).trim
+      val oldRoot = new String(Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      // Rewrite ONLY when the move provably happened: the move takes the
+      // WHOLE source directory, so a still-live table at the old root means
+      // the crash hit BEFORE the move — the marker is stale, and rewriting
+      // here would corrupt whatever (unrelated) table now sits at `root`,
+      // e.g. one whose add_files externals legitimately live under the old
+      // root's path prefix.
+      if (Files.isDirectory(Paths.get(root)) && !exists(oldRoot))
         rewritePathPrefix(root, oldRoot)
-      }
-      // target never materialized (crash before the move): the source is
-      // intact and the marker is stale either way
       Files.deleteIfExists(marker)
       ()
     }

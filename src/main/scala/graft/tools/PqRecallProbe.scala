@@ -39,10 +39,11 @@ object PqRecallProbe {
       val exact = SimilarityOps.cosineTopK(e, q, k = 5)
         .select(col("qid"), col("neighbor_id")).cache()
       val nExact = exact.count()
-      for ((label, books) <- Seq(
-          "seed" -> seedBooks,
-          "lloyd2" -> PqOps.refineCodebooks(unitVecs, seedBooks, iters = 2))) {
-        val codes = PqOps.buildPqCodes(hh, s"$root/codes_$label", books)
+      for ((label, books, iters) <- Seq(
+          ("seed", seedBooks, 0),
+          ("lloyd2", PqOps.refineCodebooks(unitVecs, seedBooks, iters = 2), 2))) {
+        val codes = PqOps.buildPqCodes(hh, s"$root/codes_$label", books,
+          refineIters = iters)
         for (nprobe <- Seq(4, 6)) {
           val approx = AnnIndex.probePqRefined(hh, codes, books, q,
             k = 5, kShort = 100, nprobe = nprobe)

@@ -102,6 +102,14 @@ class KeepBestIndexSpec extends SparkSpec {
       Seq((2L, textB)).toDF("doc_id", "text"), batchId = 4, pruneEvictEvery = 2)
     assert(ids(r4.evicted) === Seq(5L))
     assert(logBatches === Set(4L), s"cadence prune left: $logBatches")
+    // an operator's "prune everything" clamps to the latest COMMITTED batch:
+    // the current epoch's log survives and its replay still reads back
+    assert(KeepBestIndex.pruneEvictLog(index, beforeBatch = Long.MaxValue) === 0L)
+    assert(logBatches === Set(4L), "clamp must keep the latest batch's log")
+    val r4b = KeepBestIndex.appendBatch(index,
+      Seq((2L, textB)).toDF("doc_id", "text"), batchId = 4)
+    assert(ids(r4b.kept) === Seq(2L) && ids(r4b.evicted) === Seq(5L),
+      "post-clamp replay must read back both original sets")
   }
 
   test("incremental result matches the one-shot ingest; compaction keeps probes intact") {

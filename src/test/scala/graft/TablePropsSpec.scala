@@ -46,11 +46,21 @@ class TablePropsSpec extends SparkSpec {
     assertCarried("addColumn", TransactionalTable.open(spark, root))
     val t3 = t2.addColumn("x", StringType)
     assertCarried("second addColumn", TransactionalTable.open(spark, root))
-    // replace keeps writer behavior too (the MV full-recompute path rides
-    // replaceWith — losing auto-compaction there would undo the cadence)
+    // REPLACE is fresh-table semantics for content/schema-bound metadata:
+    // custom.* stamps (they describe the REPLACED rows — e.g. PQ books
+    // would decode new codes against books trained on dead data), blooms,
+    // codec, per-op modes all drop; schema-free WRITER behavior carries
+    // (the MV full-recompute path rides replaceWith — losing the
+    // auto-compaction cadence there would undo bounded-file maintenance)
     val t4 = t3.replaceWith(Seq((5L, 50L)).toDF("id", "v"),
       StructType.fromDDL("id LONG, v LONG"), "id", None)
-    assertCarried("replaceWith", TransactionalTable.open(spark, root))
+    val r = TransactionalTable.open(spark, root)
+    assert(r.autoCompact === Some((7, 1234L)), "replace: autoCompact carries")
+    assert(r.customMeta("pq.books").isEmpty,
+      "replace: content-describing custom.* must NOT survive")
+    assert(r.parquetBloomCols.isEmpty, "replace: schema-bound blooms drop")
+    assert(r.rowLevelModeName("delete") !== "merge-on-read",
+      "replace: per-op write modes reset")
     assert(t4.scan().select("id").as[Long].collect().toSeq === Seq(5L))
   }
 
