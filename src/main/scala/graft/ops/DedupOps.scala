@@ -422,19 +422,23 @@ object DedupOps {
    * doc_id — well spread, no global sort). Output: (doc_id, span_start,
    * span_end, n_windows) with 0-based inclusive token positions.
    */
-  def duplicateSpans(docs: DataFrame, window: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The fingerprinted window index behind the span family: one row per
+    * length-`window` token window, (doc_id, start, wkey) — md5-60 per
+    * TOKEN (computed once, shared by every window containing it) combined
+    * position-sensitively with a rotate-xor (token at in-window offset k
+    * contributes rotated by 5·(W−1−k) bits; position-sensitive for any
+    * window ≤ 12). O(tokens) digests total. */
+  private def windowIndex(docs: DataFrame, window: Int,
+      idCol: String, textCol: String): DataFrame = {
     require(window >= 2, "window must be >= 2")
     val nWins = size(col("toks")) - (window - 1)
     // guard: sequence(0, -1) DESCENDS in Spark — short docs must yield an
     // empty index list, not a [0, -1] one
     val idxs = when(nWins > 0, sequence(lit(0), nWins - 1))
       .otherwise(array().cast("array<int>"))
-    // rotate-xor combine: token at in-window offset k contributes rotated by
-    // 5·(W-1-k) bits — position-sensitive for any window ≤ 12
     val combine = (acc: Column, h: Column) =>
       shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h)
-    val wins = docs
+    docs
       .select(col(idCol).cast("long").as("doc_id"),
         transform(TextOps.tokens(col(textCol)), t => TextOps.md5Hash60(t)).as("toks"))
       .select(col("doc_id"), explode(transform(idxs, i => struct(
@@ -442,6 +446,31 @@ object DedupOps {
         aggregate(slice(col("toks"), i + 1, lit(window)), lit(0L), combine).as("wkey"))))
         .as("w"))
       .select(col("doc_id"), col("w.start").cast("long").as("start"), col("w.wkey").as("wkey"))
+  }
+
+  /** Gaps-and-islands merge of marked (doc_id, start, end) token ranges
+    * into maximal per-doc spans: a window starts a NEW span iff it begins
+    * past every previous window's end + 1 (adjacent coverage merges).
+    * Doc-partitioned window — well spread, no global sort. */
+  private def mergeSpans(marked: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val prevMaxEnd = max(col("end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("new_span",
+        when(prevMaxEnd.isNull || col("start") > prevMaxEnd + 1, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  def duplicateSpans(docs: DataFrame, window: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wins = windowIndex(docs, window, idCol, textCol)
     // cross-doc test as min≠max OVER A WINDOW on wkey (r16 — replaces the
     // groupBy + semi-join-back form): the aggregate+join shape paid TWO
     // wkey exchanges and computed the rotate-xor fold over every window
@@ -455,21 +484,36 @@ object DedupOps {
         min(col("doc_id")).over(byKey) =!= max(col("doc_id")).over(byKey))
       .where(col("_dup"))
       .select(col("doc_id"), col("start"), (col("start") + lit(window - 1)).as("end"))
-    // gaps-and-islands span merge: a window starts a NEW span iff it begins
-    // past every previous window's end + 1 (adjacent coverage merges)
-    val byDoc = Window.partitionBy("doc_id").orderBy("start")
-    val prevMaxEnd = max(col("end"))
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = marked
-      .withColumn("new_span",
-        when(prevMaxEnd.isNull || col("start") > prevMaxEnd + 1, 1L).otherwise(0L))
-      .withColumn("span_id",
-        sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("span_id"))
-      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"),
-        count(lit(1)).as("n_windows"))
-    spans.select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
-      .orderBy("doc_id", "span_start")
+    mergeSpans(marked)
+  }
+
+  /**
+   * Span-level benchmark DECONTAMINATION (E215 — the surgical half the
+   * whole-document containment gate ([[containmentPairs]]) cannot give: a
+   * long document embedding one eval example should lose the EXAMPLE, not
+   * its other 10k tokens): a corpus window whose fingerprint appears in
+   * ANY benchmark document marks its token range; marked ranges merge to
+   * maximal per-doc spans. CROSS-SET only — corpus↔corpus duplicates do
+   * not mark (that is [[duplicateSpans]]' business) and benchmark docs
+   * never surface in the output.
+   *
+   * Scale shape — the [[duplicateSpans]] one-exchange plan with a side
+   * bit: both window indexes union, `max(side) OVER (PARTITION BY wkey)`
+   * answers "does any benchmark doc share this window" in the SAME single
+   * wkey exchange — no join, no pair expansion; the benchmark (always ≪
+   * corpus) rides the corpus's shuffle. Oracle contract: fingerprint
+   * equivalence classes (DuckDB groups by raw window text).
+   */
+  def contaminatedSpans(docs: DataFrame, bench: DataFrame, window: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cw = windowIndex(docs, window, idCol, textCol).withColumn("_b", lit(0))
+    val bw = windowIndex(bench, window, idCol, textCol).withColumn("_b", lit(1))
+    val byKey = Window.partitionBy("wkey")
+    val marked = cw.unionByName(bw)
+      .withColumn("_hasb", max(col("_b")).over(byKey))
+      .where(col("_b") === 0 && col("_hasb") === 1)
+      .select(col("doc_id"), col("start"), (col("start") + lit(window - 1)).as("end"))
+    mergeSpans(marked)
   }
 
   /**
@@ -485,8 +529,29 @@ object DedupOps {
    * beyond [[duplicateSpans]]'s own shuffles.
    */
   def removeDuplicateSpans(docs: DataFrame, window: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = duplicateSpans(docs, window, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    removeSpans(docs, duplicateSpans(docs, window, idCol, textCol),
+      idCol, textCol)
+
+  /** Benchmark-decontaminated corpus (the removal half of
+    * [[contaminatedSpans]]): every token inside a contaminated span drops,
+    * survivors re-join; clean documents pass through (normalized) with
+    * n_removed = 0. Same map-only removal kernel as
+    * [[removeDuplicateSpans]]. */
+  def removeContaminatedSpans(docs: DataFrame, bench: DataFrame,
+      window: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    removeSpans(docs, contaminatedSpans(docs, bench, window, idCol, textCol),
+      idCol, textCol)
+
+  /** Drop every token of `docs` covered by a span list (doc_id,
+    * span_start, span_end) and re-join survivors. The span list per doc is
+    * tiny (merged maximal spans), so the join back is a plain equi-join on
+    * doc_id and the filtering one codegen'd higher-order-function pass —
+    * map-only beyond the span detector's own shuffles. */
+  private def removeSpans(docs: DataFrame, spanList: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val spans = spanList
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
     val toksIdx = transform(TextOps.tokens(col("text")),

@@ -896,6 +896,65 @@ object ExtQueries {
               |  CAST(n - len(kept) AS BIGINT) AS n_removed
               |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // X2: span-level benchmark DECONTAMINATION (E215) — the surgical twin
+    // of x2_contamination's whole-doc containment gate: corpus windows
+    // whose text appears in ANY benchmark document mark their ranges, the
+    // merged spans drop, the rest of the document SURVIVES. The benchmark
+    // is derived deterministically from the fixture (tokens 11..26 of every
+    // doc_id % 37 == 0 document — a planted eval-set leak both engines
+    // replay). Cross-set only: ordinary corpus↔corpus duplicate spans do
+    // NOT drop here.
+    Q("x2_decontaminate_spans",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 11, 16)).as("text"))
+        DedupOps.removeContaminatedSpans(docs, bench, window = 6)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+              |bt AS (SELECT list_slice(w, 11, 26) AS bw FROM toks WHERE doc_id % 37 = 0),
+              |bwx AS (SELECT unnest(list_transform(range(0, greatest(len(bw) - 5, 0)),
+              |          i -> array_to_string(list_slice(bw, CAST(i + 1 AS INTEGER), CAST(i + 6 AS INTEGER)), ' '))) AS wkey
+              |        FROM bt),
+              |bk AS (SELECT DISTINCT wkey FROM bwx),
+              |wx AS (SELECT doc_id,
+              |         unnest(list_transform(range(0, greatest(len(w) - 5, 0)),
+              |           i -> struct_pack(s := i,
+              |                 k := array_to_string(list_slice(w, CAST(i + 1 AS INTEGER), CAST(i + 6 AS INTEGER)), ' ')))) AS x
+              |       FROM toks),
+              |wins AS (SELECT doc_id, CAST(x.s AS BIGINT) AS st, x.k AS wkey FROM wx),
+              |d AS (SELECT doc_id, st, st + 5 AS en FROM wins WHERE wkey IN (SELECT wkey FROM bk)),
+              |m AS (SELECT doc_id, st, en,
+              |        CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              |          OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              |        THEN 1 ELSE 0 END AS new_span FROM d),
+              |g AS (SELECT doc_id, st, en,
+              |        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY st
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+              |      FROM m),
+              |spans AS (SELECT doc_id, span_id, MIN(st) AS span_start, MAX(en) AS span_end
+              |          FROM g GROUP BY doc_id, span_id),
+              |sp AS (SELECT doc_id, list(struct_pack(a := span_start, b := span_end)) AS sps
+              |       FROM spans GROUP BY doc_id),
+              |base AS (SELECT doc_id, w FROM toks),
+              |j AS (SELECT b.doc_id, b.w,
+              |        COALESCE(s.sps, CAST([] AS STRUCT(a BIGINT, b BIGINT)[])) AS sps
+              |      FROM base b LEFT JOIN sp s USING (doc_id)),
+              |k AS (SELECT doc_id,
+              |        list_filter(
+              |          list_transform(range(1, len(w) + 1),
+              |            i -> struct_pack(t := w[CAST(i AS INTEGER)], p := CAST(i - 1 AS BIGINT))),
+              |          e -> len(list_filter(sps, r -> r.a <= e.p AND e.p <= r.b)) = 0) AS kept,
+              |        len(w) AS n
+              |      FROM j)
+              |SELECT doc_id,
+              |  COALESCE(array_to_string(list_transform(kept, e -> e.t), ' '), '') AS clean_text,
+              |  CAST(n - len(kept) AS BIGINT) AS n_removed
+              |FROM k ORDER BY doc_id""".stripMargin)),
+
     // X2: cross-document repeated-LINE removal (the C4/MassiveText cleaning
     // rule at newline granularity — between whole-doc dedup and span dedup):
     // a trimmed line occurring in >1 distinct documents drops everywhere;

@@ -295,6 +295,30 @@ object ReplayQueries {
            |ORDER BY trans_id""".stripMargin
       }),
 
+    // E214: ALTER TABLE ... RENAME TO — the golden replay lands in
+    // db.retail, the table renames (atomic dir move + one-pass
+    // absolute-path rewrite of manifest/chunk metadata), and the END STATE
+    // reads back from the NEW identifier; the old one is gone. MOR masks,
+    // time travel and post-rename writes are CatalogSpec's business — the
+    // oracle here pins the full data round-trip through the move.
+    Q("cdc_rename_table",
+      (s, _) => {
+        val cat = s"graft_rn${System.nanoTime()}"
+        val warehouse = Files.createTempDirectory("graft_warehouse_rn").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        Files.createDirectories(java.nio.file.Paths.get(s"$warehouse/db"))
+        val t = TransactionalTable.create(s, s"$warehouse/db/retail",
+          Cdc.tableSchema, Cdc.PrimaryKey, Some(Cdc.PartitionColumn))
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario1Lines, batchId = 0)
+        CdcPipeline.replayLines(s, t, CdcFixtures.scenario2Lines, batchId = 1)
+        s.sql(s"ALTER TABLE $cat.db.retail RENAME TO db.retail_v2")
+        s.sql(s"SELECT trans_id, customer_id, event, sku, amount, device, " +
+          s"date_format(trans_datetime, 'yyyy-MM-dd HH:mm:ss') AS trans_datetime " +
+          s"FROM $cat.db.retail_v2 ORDER BY trans_id")
+      },
+      Some(endStateOracle)),
+
     // FULL-SYNC MERGE (Iceberg/Delta `WHEN NOT MATCHED BY SOURCE THEN
     // DELETE`): after the golden replay, sync the table to a source that
     // keeps only trans_id < 30 (amounts +1000) and adds key 500 — matched

@@ -582,6 +582,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("contaminatedSpans (E215): a planted eval leak drops surgically; corpus-corpus dups do NOT; clean docs pass") {
+    import graft.ops.DedupOps
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      // doc 1 embeds the benchmark mid-document: ONLY that span must drop
+      (1L, s"intro words here $benchText outro words tail end"),
+      // docs 2 and 3 share a CORPUS-side duplicate passage — decontamination
+      // must leave it (that's duplicateSpans' business, not this gate's)
+      (2L, "shared corpus passage one two three four five six seven eight"),
+      (3L, "shared corpus passage one two three four five six seven eight"),
+      (4L, "totally clean document with nothing to remove at all here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val spans = DedupOps.contaminatedSpans(docs, bench, window = 4)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1: benchmark tokens sit at positions 3..10 (0-based)
+    assert(spans === Seq((1L, 3L, 10L)), s"got $spans")
+    val cleaned = DedupOps.removeContaminatedSpans(docs, bench, window = 4)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(cleaned(0) === ((1L, "intro words here outro words tail end", 8L)))
+    assert(cleaned(1)._3 === 0L && cleaned(2)._3 === 0L,
+      "corpus-side duplicates must survive decontamination")
+    assert(cleaned(3) === ((4L,
+      "totally clean document with nothing to remove at all here", 0L)))
+  }
+
   test("hashSplit (E207): pure function of (id, salt) — stable under corpus growth; salt re-cuts; weights hold") {
     import graft.ops.DedupOps
     val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
