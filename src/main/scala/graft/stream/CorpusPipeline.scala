@@ -48,11 +48,28 @@ object CorpusPipeline {
 
   def processBatch(index: TransactionalTable, corpus: TransactionalTable,
       docs: DataFrame, batchId: Long, clean: Column,
-      compactEvery: Int = 0, publish: Option[Publish] = None): DataFrame =
+      compactEvery: Int = 0, publish: Option[Publish] = None,
+      /** Span-level benchmark DECONTAMINATION at ingest (E215 in the
+        * streaming posture): with a benchmark (doc_id, text) frame set,
+        * every micro-batch loses exactly its leaked benchmark spans BEFORE
+        * the funnel judges it (quality rules must see the text that will
+        * ship). Per-batch cost: one wkey exchange of batch ∪ benchmark
+        * windows — the benchmark is tiny and fixed by contract (the SAME
+        * frame on every delivery, or replays would diverge). */
+      decontaminate: Option[DataFrame] = None,
+      decontaminateWindow: Int = 8): DataFrame =
     graft.util.BatchStats.timed("corpus_stream_batch") {
       val spark = docs.sparkSession
       import spark.implicits._
-      val cleaned = docs.filter(clean)
+      val decon = decontaminate.fold(docs) { bench =>
+        val scrubbed = graft.ops.DedupOps.removeContaminatedSpans(
+          docs, bench, decontaminateWindow)
+          .select(col("doc_id"), col("clean_text"))
+        // non-text columns (source, lang, ...) ride along unchanged
+        docs.drop("text").join(scrubbed, Seq("doc_id"))
+          .withColumnRenamed("clean_text", "text")
+      }
+      val cleaned = decon.filter(clean)
       val kept = DedupIndex.appendBatch(index, cleaned, batchId,
         compactEvery = compactEvery)
       val rows = cleaned.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -126,14 +143,17 @@ object CorpusPipeline {
       schemaDdl: String = "doc_id LONG, text STRING, lang STRING, source STRING",
       compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
-      publish: Option[Publish] = None): StreamingQuery =
+      publish: Option[Publish] = None,
+      decontaminate: Option[DataFrame] = None,
+      decontaminateWindow: Int = 8): StreamingQuery =
     spark.readStream
       .schema(schemaDdl)
       .json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        processBatch(index, corpus, df, bid, clean, compactEvery, publish); ()
+        processBatch(index, corpus, df, bid, clean, compactEvery, publish,
+          decontaminate, decontaminateWindow); ()
       }
       .trigger(trigger)
       .start()

@@ -92,6 +92,46 @@ class CorpusStreamSpec extends SparkSpec {
     assert(corpus.scan().select("doc_id").as[Long].collect().toSet === streamed)
   }
 
+  test("streaming decontamination (E215): leaked benchmark spans drop at ingest; restart + replay safe") {
+    val in = tmpDir("decon-stream-in")
+    val cp = tmpDir("decon-stream-cp")
+    val index = DedupIndex.create(spark, tmpDir("decon-stream-idx") + "/idx")
+    val corpus = TransactionalTable.create(spark, tmpDir("decon-stream-tbl") + "/c",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING"), "doc_id")
+    // the eval set: a fixed 8-token example; doc 2 embeds it mid-document
+    val benchText = (1 to 8).map(k => s"evaltok$k").mkString(" ")
+    val bench = Seq((900L, benchText)).toDF("doc_id", "text")
+    val leaky = longText("alpha").split(" ").take(12).mkString(" ") +
+      s" $benchText " + longText("alpha").split(" ").drop(12).mkString(" ")
+    val docs0 = Seq((2L, leaky, "en", "src0"), (4L, longText("omega"), "de", "src1"))
+    def runOnce(): Unit = {
+      val q = CorpusPipeline.run(spark, in, cp, index, corpus, FunnelRules.keep,
+        decontaminate = Some(bench), decontaminateWindow = 6)
+      q.awaitTermination()
+    }
+    writeBatch(in, "b0.json", docs0)
+    runOnce()
+    val t2 = corpus.scan().filter($"doc_id" === 2L)
+      .select("text").as[String].head()
+    assert(!t2.contains("evaltok"), s"benchmark spans must drop at ingest: $t2")
+    assert(t2 === longText("alpha"), "everything around the leak survives")
+    // restart boundary: a later batch carrying the SAME leak cleans too
+    writeBatch(in, "b1.json", Seq((3L, s"$benchText " + longText("gamma"), "fr", "src2")))
+    runOnce()
+    val t3 = corpus.scan().filter($"doc_id" === 3L)
+      .select("text").as[String].head()
+    assert(!t3.contains("evaltok") && t3 === longText("gamma"), t3)
+    // re-delivered epoch: identical recompute, both tables no-op
+    val (ir, cv) = (index.scan().count(), corpus.currentVersion)
+    CorpusPipeline.processBatch(index, corpus,
+      Seq((3L, s"$benchText " + longText("gamma"), "fr", "src2"))
+        .toDF("doc_id", "text", "lang", "source"),
+      1L, FunnelRules.keep, decontaminate = Some(bench), decontaminateWindow = 6)
+    assert(index.scan().count() === ir && corpus.currentVersion === cv,
+      "replayed decontaminated epoch must no-op")
+  }
+
   test("continuous publication (E188): per-batch exports chain the manifest fence; union = corpus") {
     import graft.ops.ExportOps
     val in = tmpDir("pub-stream-in")
