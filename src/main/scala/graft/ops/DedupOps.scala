@@ -505,9 +505,26 @@ object DedupOps {
    * equivalence classes (DuckDB groups by raw window text).
    */
   def contaminatedSpans(docs: DataFrame, bench: DataFrame, window: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    contaminatedSpansPre(docs,
+      benchmarkWindows(bench, window, idCol, textCol), window, idCol, textCol)
+
+  /** A benchmark's fingerprinted window index, precomputed for REPEATED
+    * [[contaminatedSpansPre]] calls — the streaming posture scrubs every
+    * micro-batch against the SAME benchmark, and re-tokenizing it per
+    * batch is pure waste; callers may `.persist()` the result. */
+  def benchmarkWindows(bench: DataFrame, window: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    windowIndex(bench, window, idCol, textCol)
+
+  /** [[contaminatedSpans]] against a PRECOMPUTED (possibly cached)
+    * [[benchmarkWindows]] frame — `window` must match the one the frame
+    * was built with (the fingerprints are window-length-specific). */
+  def contaminatedSpansPre(docs: DataFrame, benchWins: DataFrame,
+      window: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val cw = windowIndex(docs, window, idCol, textCol).withColumn("_b", lit(0))
-    val bw = windowIndex(bench, window, idCol, textCol).withColumn("_b", lit(1))
+    val bw = benchWins.withColumn("_b", lit(1))
     val byKey = Window.partitionBy("wkey")
     val marked = cw.unionByName(bw)
       .withColumn("_hasb", max(col("_b")).over(byKey))
@@ -543,6 +560,13 @@ object DedupOps {
       textCol: String = "text"): DataFrame =
     removeSpans(docs, contaminatedSpans(docs, bench, window, idCol, textCol),
       idCol, textCol)
+
+  /** The span-removal kernel over an EXPLICIT span list (doc_id,
+    * span_start, span_end) — for callers that computed spans themselves
+    * (e.g. [[contaminatedSpansPre]] against a cached benchmark index). */
+  def removeSpansOf(docs: DataFrame, spanList: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    removeSpans(docs, spanList, idCol, textCol)
 
   /** Drop every token of `docs` covered by a span list (doc_id,
     * span_start, span_end) and re-join survivors. The span list per doc is

@@ -115,7 +115,11 @@ object EventOps {
    * distinct inside the same aggregation, so N windows cost one
    * O(pairs × maxWindow) expansion, not N joins. Exact at any corpus size
    * (the day dimension is tiny by construction); integer epoch-day
-   * buckets, calendar-free and engine-agnostic.
+   * buckets, calendar-free and engine-agnostic. NULL user ids never count
+   * — consistently, in EVERY window ([[activeUsers]]' old hand-rolled DAU
+   * leg counted a NULL as one user while its WAU leg did not; the
+   * delegation fixed the inconsistency in favor of the SQL-standard
+   * COUNT(DISTINCT) rule).
    */
   def activeUsersWindows(events: DataFrame, windows: Seq[(String, Int)],
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {

@@ -206,7 +206,10 @@ object PqOps {
   def codesFresh(h: AnnIndex.Handle,
       codes: graft.table.TransactionalTable): Boolean =
     !codes.customMeta("pq.rebuild.pending").contains("true") && {
-      codes.customMeta("pq.quantizer.fence").map(_.toLong) match {
+      // "-1" = the retired retrain-fence scheme's pre-retrain value: treat
+      // like a missing stamp (legacy rule) — version generations are ≥ 1,
+      // so comparing would false-stale every never-retrained old table
+      codes.customMeta("pq.quantizer.fence").map(_.toLong).filter(_ >= 0) match {
         case Some(stamped) => stamped == quantizerGen(h)
         case None => AnnIndex.lastRetrainFence(h).isEmpty
       }
@@ -225,10 +228,11 @@ object PqOps {
         "PQ codes table has an unfinished rebuild (pq.rebuild.pending) — " +
           "re-run PqOps.rebuildCodes / CALL graft.system.pq_rebuild to complete it")
     val cur = quantizerGen(h)
-    val stamped = codes.customMeta("pq.quantizer.fence").map(_.toLong)
+    val stamped = codes.customMeta("pq.quantizer.fence").map(_.toLong).filter(_ >= 0)
     val stale = stamped match {
       case Some(st) => st != cur
-      // legacy table without the stamp: refuse once a retrain record exists
+      // legacy table (no stamp, or the retired fence scheme's "-1"):
+      // refuse once a retrain record exists
       case None => AnnIndex.lastRetrainFence(h).isDefined
     }
     if (stale)
@@ -353,9 +357,10 @@ object PqOps {
       compactEvery: Int = 0): Unit =
     graft.util.BatchStats.timed("pq_codes_batch") {
       requireCodesFresh(h, codes)
-      // upgrade a legacy (pre-stamp) table on its first maintained batch:
-      // requireCodesFresh just proved it matches the live quantizer
-      if (codes.customMeta("pq.quantizer.fence").isEmpty)
+      // upgrade a legacy (pre-stamp or retired-scheme) table on its first
+      // maintained batch: requireCodesFresh just proved it matches the
+      // live quantizer
+      if (codes.customMeta("pq.quantizer.fence").map(_.toLong).forall(_ < 0))
         codes.setCustomMeta("pq.quantizer.fence", quantizerGen(h).toString)
       val books = booksFromString(codes.customMeta("pq.books").getOrElse(
         throw new IllegalStateException(

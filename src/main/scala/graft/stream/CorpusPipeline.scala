@@ -46,28 +46,44 @@ object CorpusPipeline {
   final case class Publish(exportRoot: String, nShards: Int, capacity: Long,
       every: Int = 1, packEvery: Int = 0)
 
+  /** Ingest-time decontamination binding (E215): the PRECOMPUTED benchmark
+    * window index plus its window length — built once per stream so the
+    * benchmark's tokenization/fingerprint pass is never repaid per batch. */
+  final case class Decontaminate(benchWindows: DataFrame, window: Int)
+  object Decontaminate {
+    def of(bench: DataFrame, window: Int = 8): Decontaminate =
+      Decontaminate(
+        graft.ops.DedupOps.benchmarkWindows(bench, window).persist(), window)
+  }
+
   def processBatch(index: TransactionalTable, corpus: TransactionalTable,
       docs: DataFrame, batchId: Long, clean: Column,
       compactEvery: Int = 0, publish: Option[Publish] = None,
       /** Span-level benchmark DECONTAMINATION at ingest (E215 in the
-        * streaming posture): with a benchmark (doc_id, text) frame set,
-        * every micro-batch loses exactly its leaked benchmark spans BEFORE
-        * the funnel judges it (quality rules must see the text that will
-        * ship). Per-batch cost: one wkey exchange of batch ∪ benchmark
-        * windows — the benchmark is tiny and fixed by contract (the SAME
-        * frame on every delivery, or replays would diverge). */
-      decontaminate: Option[DataFrame] = None,
-      decontaminateWindow: Int = 8): DataFrame =
+        * streaming posture): every micro-batch loses exactly its leaked
+        * benchmark spans BEFORE the funnel judges it (quality rules must
+        * see the text that will ship). CONTAMINATED docs only are
+        * rewritten — a clean document keeps its byte-exact input text
+        * (the token-rejoin kernel would otherwise collapse its newline/
+        * whitespace structure corpus-wide). Per-batch cost: one wkey
+        * exchange of batch ∪ (precomputed, cached) benchmark windows —
+        * the benchmark is fixed by contract (the SAME set on every
+        * delivery, or replays would diverge). */
+      decontaminate: Option[Decontaminate] = None): DataFrame =
     graft.util.BatchStats.timed("corpus_stream_batch") {
       val spark = docs.sparkSession
       import spark.implicits._
-      val decon = decontaminate.fold(docs) { bench =>
-        val scrubbed = graft.ops.DedupOps.removeContaminatedSpans(
-          docs, bench, decontaminateWindow)
+      val decon = decontaminate.fold(docs) { dc =>
+        val spans = graft.ops.DedupOps.contaminatedSpansPre(
+          docs, dc.benchWindows, dc.window)
+        val scrubbed = graft.ops.DedupOps.removeSpansOf(docs, spans)
+          .where(col("n_removed") > 0)
           .select(col("doc_id"), col("clean_text"))
-        // non-text columns (source, lang, ...) ride along unchanged
-        docs.drop("text").join(scrubbed, Seq("doc_id"))
-          .withColumnRenamed("clean_text", "text")
+        // non-text columns (source, lang, ...) and CLEAN docs' exact
+        // input text ride through unchanged
+        docs.join(scrubbed, Seq("doc_id"), "left")
+          .withColumn("text", coalesce(col("clean_text"), col("text")))
+          .drop("clean_text")
       }
       val cleaned = decon.filter(clean)
       val kept = DedupIndex.appendBatch(index, cleaned, batchId,
@@ -145,16 +161,18 @@ object CorpusPipeline {
       trigger: Trigger = Trigger.AvailableNow(),
       publish: Option[Publish] = None,
       decontaminate: Option[DataFrame] = None,
-      decontaminateWindow: Int = 8): StreamingQuery =
+      decontaminateWindow: Int = 8): StreamingQuery = {
+    // build (and cache) the benchmark window index ONCE per stream
+    val dc = decontaminate.map(b => Decontaminate.of(b, decontaminateWindow))
     spark.readStream
       .schema(schemaDdl)
       .json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        processBatch(index, corpus, df, bid, clean, compactEvery, publish,
-          decontaminate, decontaminateWindow); ()
+        processBatch(index, corpus, df, bid, clean, compactEvery, publish, dc); ()
       }
       .trigger(trigger)
       .start()
+  }
 }

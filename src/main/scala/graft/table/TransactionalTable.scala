@@ -4029,6 +4029,10 @@ object TransactionalTable {
    * are invalidated, exactly as by DROP.
    */
   def renameRoot(oldRoot: String, newRoot: String): Unit = {
+    // a chained rename (A->B crashed mid-rewrite, then B->C) must complete
+    // B's pending rewrite FIRST — moving half-healed metadata would strand
+    // stale "A/" prefixes under C where no marker can ever find them again
+    healRename(oldRoot)
     require(exists(oldRoot), s"no table at $oldRoot")
     require(!Files.exists(Paths.get(newRoot)),
       s"rename target already exists: $newRoot")
@@ -4070,16 +4074,30 @@ object TransactionalTable {
     if (Files.exists(marker)) {
       val oldRoot = new String(Files.readAllBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8).trim
-      // Rewrite ONLY when the move provably happened: the move takes the
-      // WHOLE source directory, so a still-live table at the old root means
-      // the crash hit BEFORE the move — the marker is stale, and rewriting
-      // here would corrupt whatever (unrelated) table now sits at `root`,
-      // e.g. one whose add_files externals legitimately live under the old
-      // root's path prefix.
-      if (Files.isDirectory(Paths.get(root)) && !exists(oldRoot))
+      if (!Files.isDirectory(Paths.get(root))) {
+        // target never materialized (crash before the move): the source is
+        // intact, the marker is stale — sweep it
+        Files.deleteIfExists(marker)
+        ()
+      } else if (!exists(oldRoot)) {
+        // the move provably happened (it takes the WHOLE source directory,
+        // so the old root cannot still hold a table): complete the rewrite
         rewritePathPrefix(root, oldRoot)
-      Files.deleteIfExists(marker)
-      ()
+        Files.deleteIfExists(marker)
+        ()
+      } else {
+        // AMBIGUOUS: both roots hold state — either the crash hit before
+        // the move (marker stale) or something re-created a table at the
+        // old root after a completed move. Rewriting could corrupt an
+        // unrelated table; sweeping would destroy the only recovery record
+        // for a genuinely half-renamed target. Refuse loudly.
+        throw new IllegalStateException(
+          s"rename of $oldRoot -> $root is in an ambiguous crashed state " +
+            "(both roots hold a table and the rename marker is present). " +
+            "If the rename never completed, drop/move the table now at " +
+            s"$oldRoot and re-open; if $root is a NEW unrelated table, " +
+            s"delete the stale marker $marker")
+      }
     }
   }
 

@@ -104,7 +104,11 @@ class CorpusStreamSpec extends SparkSpec {
     val bench = Seq((900L, benchText)).toDF("doc_id", "text")
     val leaky = longText("alpha").split(" ").take(12).mkString(" ") +
       s" $benchText " + longText("alpha").split(" ").drop(12).mkString(" ")
-    val docs0 = Seq((2L, leaky, "en", "src0"), (4L, longText("omega"), "de", "src1"))
+    // doc 6 is CLEAN and carries a double space: it must ship byte-exact
+    // (only contaminated docs are rewritten by the token-rejoin kernel)
+    val cleanOdd = longText("delta") + "  doublespaced tail"
+    val docs0 = Seq((2L, leaky, "en", "src0"), (4L, longText("omega"), "de", "src1"),
+      (6L, cleanOdd, "en", "src0"))
     def runOnce(): Unit = {
       val q = CorpusPipeline.run(spark, in, cp, index, corpus, FunnelRules.keep,
         decontaminate = Some(bench), decontaminateWindow = 6)
@@ -116,6 +120,9 @@ class CorpusStreamSpec extends SparkSpec {
       .select("text").as[String].head()
     assert(!t2.contains("evaltok"), s"benchmark spans must drop at ingest: $t2")
     assert(t2 === longText("alpha"), "everything around the leak survives")
+    // clean docs keep their byte-exact input (whitespace structure intact)
+    assert(corpus.scan().filter($"doc_id" === 6L).select("text").as[String]
+      .head() === cleanOdd, "clean docs must not be token-rejoined")
     // restart boundary: a later batch carrying the SAME leak cleans too
     writeBatch(in, "b1.json", Seq((3L, s"$benchText " + longText("gamma"), "fr", "src2")))
     runOnce()
@@ -127,7 +134,8 @@ class CorpusStreamSpec extends SparkSpec {
     CorpusPipeline.processBatch(index, corpus,
       Seq((3L, s"$benchText " + longText("gamma"), "fr", "src2"))
         .toDF("doc_id", "text", "lang", "source"),
-      1L, FunnelRules.keep, decontaminate = Some(bench), decontaminateWindow = 6)
+      1L, FunnelRules.keep,
+      decontaminate = Some(CorpusPipeline.Decontaminate.of(bench, 6)))
     assert(index.scan().count() === ir && corpus.currentVersion === cv,
       "replayed decontaminated epoch must no-op")
   }

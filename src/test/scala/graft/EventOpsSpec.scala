@@ -33,6 +33,13 @@ class EventOpsSpec extends SparkSpec {
     val twin = EventOps.activeUsers(events).orderBy("day")
       .as[(Long, Long, Long)].collect().toSeq
     assert(twin === out.map(r => (r._1, r._2, r._3)))
+    // NULL user ids never count, consistently across every window (the
+    // COUNT(DISTINCT) rule — pinned so the semantics cannot drift again)
+    val withNull = events.unionByName(
+      Seq((ts(0), null.asInstanceOf[String])).toDF("ts", "user_id"))
+    val d0 = EventOps.activeUsersWindows(withNull, Seq("dau" -> 1, "wau" -> 7))
+      .filter(col("day") === 0).as[(Long, Long, Long)].head()
+    assert(d0 === ((0L, 2L, 2L)), s"NULL user must not count: $d0")
   }
 
   test("scriptSignals (E211): hand-computed counts and fractions; empty doc yields NULL fractions") {
