@@ -280,9 +280,16 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+    // Shuffle key = xxhash64(shingle), not the raw string: the inverted
+    // index is this query's widest exchange and a 3-token shingle is
+    // ~25-40 bytes vs 8 — same equivalence classes modulo a 64-bit
+    // birthday collision (P ≈ pairs²/2⁶⁴; a collision would merge two
+    // shingles' doc lists and surface as an oracle mismatch, the
+    // x1_dedup_by_fingerprint posture — never silent corruption).
     val exploded = docs.select(col(idCol).as("doc_id"),
       explode(TextOps.shingles(col(textCol), n)).as("sh"))
-    val byShingle = exploded.groupBy("sh")
+      .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+    val byShingle = exploded.groupBy("shk")
       .agg(sort_array(collect_list("doc_id")).as("ds"))
     // Skew guard first (so set sizes below see the same capped index), then
     // keep only shingles that can produce a pair.
