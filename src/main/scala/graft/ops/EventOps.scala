@@ -109,14 +109,19 @@ object EventOps {
   /**
    * ACTIVE USERS over ARBITRARY trailing windows (E210 — the [[activeUsers]]
    * shape generalized to the full DAU/WAU/MAU read-out behind stickiness
-   * dashboards): one exact distinct count per named window, all served by
-   * ONE join of the deduped (day, user) pairs against the broadcast day
-   * list at the WIDEST window — each narrower window is a conditional
-   * distinct inside the same aggregation, so N windows cost one
-   * O(pairs × maxWindow) expansion, not N joins. Exact at any corpus size
-   * (the day dimension is tiny by construction); integer epoch-day
-   * buckets, calendar-free and engine-agnostic. NULL user ids never count
-   * — consistently, in EVERY window ([[activeUsers]]' old hand-rolled DAU
+   * dashboards): one exact distinct count per named window. Each deduped
+   * (day, user) pair EXPLODES to the ≤ maxWindow trailing-window anchor
+   * days that can contain it (`explode(sequence(day, day + maxW - 1))`),
+   * an equi semi-join against the broadcast day list drops anchors absent
+   * from the data, and one hash aggregation serves every narrower window
+   * as a conditional distinct — O(pairs × maxWindow) rows end to end. The
+   * earlier non-equi `between` join planned a BroadcastNestedLoopJoin of
+   * ALL pairs against ALL distinct days — O(pairs × days) comparisons, a
+   * scale-killer at production retention (years of days × 10¹⁰ pairs);
+   * the explode bound is maxW = 7/28 ≪ days and independent of history
+   * length. Exact at any corpus size; integer epoch-day buckets,
+   * calendar-free and engine-agnostic. NULL user ids never count —
+   * consistently, in EVERY window ([[activeUsers]]' old hand-rolled DAU
    * leg counted a NULL as one user while its WAU leg did not; the
    * delegation fixed the inconsistency in favor of the SQL-standard
    * COUNT(DISTINCT) rule).
@@ -129,15 +134,15 @@ object EventOps {
     val pairs = events.select(day.as("day"), col(userCol)).distinct()
     val days = pairs.select(col("day")).distinct()
     val maxW = windows.map(_._2).max
+    val covered = pairs
+      .select(col(userCol), col("day").as("p_day"),
+        explode(sequence(col("day"), col("day") + (maxW - 1))).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
     val aggs = windows.map { case (name, w) =>
-      countDistinct(when(col("p.day") >= col("d.day") - (w - 1),
-        col(s"p.$userCol"))).as(name)
+      countDistinct(when(col("p_day") >= col("day") - (w - 1),
+        col(userCol))).as(name)
     }
-    pairs.alias("p")
-      .join(broadcast(days.alias("d")),
-        col("p.day").between(col("d.day") - (maxW - 1), col("d.day")))
-      .groupBy(col("d.day").as("day"))
-      .agg(aggs.head, aggs.tail: _*)
+    covered.groupBy(col("day")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Funnel summary: per stage k ≥ 1, how many users REACHED it (stage ≥ k)

@@ -152,6 +152,73 @@ object ExportOps {
   private def dirOf(exportRoot: String, fromV: Long, toV: Long): String =
     s"$exportRoot/exp_${fromV}_$toV"
 
+  private val AcksKey = "consumer.acks"
+
+  private def parseAcks(raw: Option[String]): Map[String, Long] =
+    raw.filter(_.nonEmpty).fold(Map.empty[String, Long]) { s =>
+      s.split(',').iterator.map { kv =>
+        val i = kv.lastIndexOf(':')
+        kv.substring(0, i) -> kv.substring(i + 1).toLong
+      }.toMap
+    }
+
+  /** Registered consumers' acknowledged positions: consumerId → the last
+    * interval end (`to_v`) that consumer has fully consumed. */
+  def consumerAcks(spark: SparkSession, exportRoot: String): Map[String, Long] =
+    parseAcks(manifest(spark, exportRoot).customMeta(AcksKey))
+
+  /** Record consumer progress (ADVICE r16 — the enforcement half of the
+    * pack contract): `consumerId` has fully consumed every interval with
+    * `to_v` ≤ `toV`. [[pack]] never folds an interval PAST the minimum
+    * registered ack — the low-watermark that turns the doc claim
+    * "pack consolidates already-consumed intervals" into a checked
+    * invariant instead of a hope. Registration IS the first ack (a
+    * consumer that has consumed nothing acks 0 and pins packing until it
+    * progresses); monotone, so a replayed ack never moves a consumer
+    * backwards. Unregistered consumers keep the old behavior: pack may
+    * fold under them, and [[readInterval]] fails with the snapshot-then-
+    * tail pointer instead of a raw missing-file error. */
+  def ackConsumed(spark: SparkSession, exportRoot: String,
+      consumerId: String, toV: Long): Unit = {
+    require(consumerId.nonEmpty && !consumerId.contains(',') &&
+      !consumerId.contains(':'),
+      s"consumer id must be non-empty without ',' or ':': '$consumerId'")
+    val m = manifest(spark, exportRoot)
+    val acks = parseAcks(m.customMeta(AcksKey))
+    val next = acks + (consumerId ->
+      math.max(toV, acks.getOrElse(consumerId, 0L)))
+    m.setCustomMeta(AcksKey, next.toSeq.sorted
+      .map { case (k, v) => s"$k:$v" }.mkString(","))
+  }
+
+  /** Deregister a consumer — a decommissioned trainer must not pin the
+    * pack watermark forever. */
+  def dropConsumer(spark: SparkSession, exportRoot: String,
+      consumerId: String): Unit = {
+    val m = manifest(spark, exportRoot)
+    val next = parseAcks(m.customMeta(AcksKey)) - consumerId
+    m.setCustomMeta(AcksKey, next.toSeq.sorted
+      .map { case (k, v) => s"$k:$v" }.mkString(","))
+  }
+
+  /** Snapshot-then-tail START-UP for a consumer born into an EXISTING root
+    * (the contract [[streamIntervals]]' scaladoc states, packaged so it
+    * cannot be mis-assembled): registers `consumerId` as having consumed
+    * every currently published interval, and returns (the full reader-
+    * contract corpus, the manifest version to tail from) — pass the
+    * version to `streamIntervals(root, Some(v))`. An interval published
+    * concurrently with the snapshot may appear in both the snapshot and
+    * the tail (at-least-once at the seam); interval rows carry their
+    * (from_v, to_v) keys, so re-application is detectable and idempotent. */
+  def snapshotForConsumer(spark: SparkSession, exportRoot: String,
+      consumerId: String): (DataFrame, Long) = {
+    val m = manifest(spark, exportRoot)
+    val v = m.currentVersion
+    ackConsumed(spark, exportRoot, consumerId,
+      intervals(spark, exportRoot).map(_.toV).maxOption.getOrElse(0L))
+    (readCorpus(spark, exportRoot), v)
+  }
+
   /** One manifest row per published interval, as a small case class —
     * intervals are bounded ([[pack]] exists to keep them so), so the
     * driver-side collect is the manifest's own size. */
@@ -196,9 +263,14 @@ object ExportOps {
   }
 
   private def readCorpusAs(spark: SparkSession, exportRoot: String,
-      idCol: String, textCol: String, textType: String): DataFrame = {
+      idCol: String, textCol: String, textType: String,
+      /** None = every published interval (the reader contract); Some =
+        * a PREFIX of the interval chain ([[pack]]'s partial-fold read —
+        * latest-wins and tombstones apply within the prefix only, which
+        * is exactly what a prefix consolidation must materialize). */
+      only: Option[Seq[Interval]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ivs = intervals(spark, exportRoot)
+    val ivs = only.getOrElse(intervals(spark, exportRoot))
     val readSchema = StructType.fromDDL(
       s"shard INT, bin LONG, pos INT, $idCol LONG, n_tokens LONG, $textCol $textType")
     val empty = spark.createDataFrame(
@@ -237,10 +309,15 @@ object ExportOps {
    * intervals — `skipNonAppends` skips them whole by construction (nothing
    * new to train on in a pack).
    *
-   * Start-up contract: a consumer born into an existing root snapshots
-   * with [[readCorpus]] and tails from the manifest version it captured
-   * (pass it as `startingVersion`); a consumer started WITH the root tails
-   * from 0 and sees every interval exactly once.
+   * Start-up contract (ENFORCED since ADVICE r16, not just documented): a
+   * consumer born into an existing root starts via [[snapshotForConsumer]]
+   * — snapshot + registration + the manifest version to pass as
+   * `startingVersion`; a consumer started WITH the root tails from 0 and
+   * sees every interval exactly once. Registered consumers
+   * ([[ackConsumed]]) pin the pack low-watermark, so their pending
+   * interval dirs cannot be folded away; an unregistered consumer that
+   * falls behind a pack gets [[readInterval]]'s descriptive failure
+   * instead of a missing-file error.
    */
   def streamIntervals(spark: SparkSession, exportRoot: String,
       startingVersion: Option[Long] = Some(0L)): DataFrame = {
@@ -261,6 +338,17 @@ object ExportOps {
       idCol: String = "doc_id", textCol: String = "text",
       textType: String = "STRING"): (DataFrame, DataFrame) = {
     val (id, pc, pt) = contract(spark, exportRoot, idCol, textCol, textType)
+    // a lagging or fresh-from-0 UNREGISTERED consumer can hold an interval
+    // row whose dir pack() has since folded away — fail with the start-up
+    // contract instead of a raw missing-file error deep in the parquet read
+    if (!intervals(spark, exportRoot).exists(iv =>
+        iv.fromV == fromV && iv.toV == toV))
+      throw new IllegalStateException(
+        s"export interval exp_${fromV}_$toV is no longer in the manifest — " +
+          "it was consolidated by pack(). Register progress with " +
+          "ExportOps.ackConsumed (pack never folds past the registered " +
+          "low-watermark), or start via ExportOps.snapshotForConsumer and " +
+          "tail streamIntervals from the returned manifest version")
     val dir = dirOf(exportRoot, fromV, toV)
     val readSchema = StructType.fromDDL(
       s"shard INT, bin LONG, pos INT, $id LONG, n_tokens LONG, $pc $pt")
@@ -280,8 +368,11 @@ object ExportOps {
 
   /**
    * SHARD COMPACTION for long-running continuous publication: fold every
-   * published interval into ONE consolidated export (the [[readCorpus]]
-   * materialization — latest copy per doc, tombstones applied) under
+   * published interval — bounded by the registered consumers' ack
+   * low-watermark ([[ackConsumed]]; ADVICE r16), so a lagging trainer's
+   * unconsumed interval dirs are never deleted out from under it — into
+   * ONE consolidated export (the [[readCorpus]] materialization — latest
+   * copy per doc, tombstones applied, scoped to the folded prefix) under
    * `exp_0_<maxToV>`, re-sharded deterministically from the STORED
    * n_tokens (no re-tokenization — byte-budget media exports keep their
    * sizes), then replace the manifest's rows with one consolidated row in
@@ -299,7 +390,13 @@ object ExportOps {
       textType: String = "STRING"): PackResult = {
     val m = manifest(spark, exportRoot)
     val (id, pc, pt) = contract(spark, exportRoot, idCol, textCol, textType)
-    val ivs = intervals(spark, exportRoot)
+    val all = intervals(spark, exportRoot)
+    // consumer low-watermark (ADVICE r16): fold ONLY the prefix every
+    // registered consumer has acknowledged — a lagging trainer's pending
+    // interval dirs stay on disk until it acks past them. No registered
+    // consumers = the whole chain is foldable (the pre-watermark contract).
+    val watermark = parseAcks(m.customMeta(AcksKey)).values.minOption
+    val ivs = watermark.fold(all)(w => all.filter(_.toV <= w))
     if (ivs.size <= 1)
       return PackResult(packed = false, ivs.size.toLong,
         ivs.map(_.nDocs).sum, ivs.headOption.fold("")(iv =>
@@ -309,7 +406,12 @@ object ExportOps {
     if (m.snapshot.writerFences.getOrElse(PackWriter, -1L) >= maxTo)
       return PackResult(packed = false, ivs.size.toLong, ivs.map(_.nDocs).sum, dir)
     val last = ivs.maxBy(_.toV)
-    val kept = readCorpusAs(spark, exportRoot, id, pc, pt)
+    // latest-wins + tombstones within the foldable PREFIX only: an
+    // unconsumed later interval keeps layering over the consolidated dir
+    // through the reader contract, and its tombstones still apply (they
+    // carry a later _to than the prefix's)
+    val kept = readCorpusAs(spark, exportRoot, id, pc, pt,
+        only = Some(ivs))
       .select(col(id), col(pc), col("n_tokens"))
     // same one-exchange shard/pos/bin pipeline as exportDelta, sized by the
     // stored token counts

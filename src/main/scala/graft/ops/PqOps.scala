@@ -197,21 +197,38 @@ object PqOps {
   private[graft] def quantizerGen(h: AnnIndex.Handle): Long =
     h.centroids.currentVersion
 
+  /** The stamped fence, three-way: `Right(Some(gen))` = a valid stamp,
+    * `Right(None)` = no stamp or the retired "-1" scheme (legacy rule
+    * applies), `Left(raw)` = an unparseable stamp — a corrupted or
+    * hand-edited table property, never trustworthy as fresh. */
+  private def parsedFence(
+      codes: graft.table.TransactionalTable): Either[String, Option[Long]] =
+    codes.customMeta("pq.quantizer.fence") match {
+      case None => Right(None)
+      case Some(raw) => scala.util.Try(raw.toLong).toOption match {
+        case Some(v) if v >= 0 => Right(Some(v))
+        // "-1" = the retired retrain-fence scheme's pre-retrain value: treat
+        // like a missing stamp (legacy rule) — version generations are ≥ 1,
+        // so comparing would false-stale every never-retrained old table
+        case Some(_) => Right(None)
+        case None => Left(raw)
+      }
+    }
+
   /** True when `codes` matches the index's live quantizer generation and no
     * rebuild is half-finished — the non-throwing twin of
     * [[requireCodesFresh]] (maintenance callers rebuild instead of fail).
     * Tables from before the stamp existed (no `pq.quantizer.fence`) pass
     * while the index has never persisted a retrain record — the
-    * conservative legacy rule; the first [[appendCodes]] upgrades them. */
+    * conservative legacy rule; the first [[appendCodes]] upgrades them. An
+    * UNPARSEABLE stamp is never fresh: maintenance rebuilds it. */
   def codesFresh(h: AnnIndex.Handle,
       codes: graft.table.TransactionalTable): Boolean =
     !codes.customMeta("pq.rebuild.pending").contains("true") && {
-      // "-1" = the retired retrain-fence scheme's pre-retrain value: treat
-      // like a missing stamp (legacy rule) — version generations are ≥ 1,
-      // so comparing would false-stale every never-retrained old table
-      codes.customMeta("pq.quantizer.fence").map(_.toLong).filter(_ >= 0) match {
-        case Some(stamped) => stamped == quantizerGen(h)
-        case None => AnnIndex.lastRetrainFence(h).isEmpty
+      parsedFence(codes) match {
+        case Right(Some(stamped)) => stamped == quantizerGen(h)
+        case Right(None) => AnnIndex.lastRetrainFence(h).isEmpty
+        case Left(_) => false
       }
     }
 
@@ -228,12 +245,17 @@ object PqOps {
         "PQ codes table has an unfinished rebuild (pq.rebuild.pending) — " +
           "re-run PqOps.rebuildCodes / CALL graft.system.pq_rebuild to complete it")
     val cur = quantizerGen(h)
-    val stamped = codes.customMeta("pq.quantizer.fence").map(_.toLong).filter(_ >= 0)
-    val stale = stamped match {
-      case Some(st) => st != cur
+    val (stamped, stale) = parsedFence(codes) match {
+      case Right(s @ Some(st)) => (s, st != cur)
       // legacy table (no stamp, or the retired fence scheme's "-1"):
       // refuse once a retrain record exists
-      case None => AnnIndex.lastRetrainFence(h).isDefined
+      case Right(None) => (None, AnnIndex.lastRetrainFence(h).isDefined)
+      case Left(raw) =>
+        throw new IllegalStateException(
+          s"PQ codes table carries an INVALID pq.quantizer.fence stamp " +
+            s"('$raw' is not a version number) — the fence cannot prove the " +
+            s"codes match the quantizer (generation $cur); rebuild via " +
+            "PqOps.rebuildCodes / CALL graft.system.pq_rebuild")
     }
     if (stale)
       throw new IllegalStateException(

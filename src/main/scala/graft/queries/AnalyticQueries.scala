@@ -684,7 +684,8 @@ object AnalyticQueries {
              |            user_id
              |          FROM events),
              |d AS (SELECT DISTINCT day FROM p),
-             |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM p GROUP BY day),
+             |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+             |        FROM p GROUP BY day),
              |wau AS (SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
              |        FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
              |        GROUP BY d.day)

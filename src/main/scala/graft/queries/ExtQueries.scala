@@ -1617,15 +1617,18 @@ object ExtQueries {
     // the iters=0 pipeline bit-for-bit, but a distributed mean is not
     // reproducible cross-engine, so the refined path's driver surface is its
     // quality bound instead). Measured recall@5 (IvfRecallProbe): 0.90 /
-    // 0.675 / 0.60 at sf0.001/0.01/0.1 — the 0.5 threshold certifies the
-    // refined quantizer with ≥4-hit margin at every fixture scale; any
-    // regression in seeding, the Lloyd step, or probe selection flips the
-    // boolean and fails the hash compare. `queries` is data-derived.
+    // 0.675 / 0.60 at sf0.001/0.01/0.1 — the 0.55 threshold pins the
+    // certificate at the measured tri-SF floor (0.60, 2-hit margin on the
+    // 8×5-hit probe set; the pipeline is seeded-deterministic, so the
+    // measurement reproduces run-to-run) — a half-quality regression can
+    // no longer certify; any regression in seeding, the Lloyd step, or
+    // probe selection flips the boolean and fails the hash compare.
+    // `queries` is data-derived.
     Q("x3_ivf_recall",
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
         SimilarityOps.ivfRecall(e, e.filter(col("vec_id") < 8), k = 5, dim = 64,
-          minRecall = 0.5, nprobe = 6, iters = 3)
+          minRecall = 0.55, nprobe = 6, iters = 3)
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS queries, CAST(5 AS INT) AS k,
              |true AS recall_ok FROM embeddings WHERE vec_id < 8""".stripMargin)),
@@ -1639,10 +1642,12 @@ object ExtQueries {
     // distributed mean (not bit-reproducible cross-engine, the
     // x3_ivf_recall convention), so the driver surface is the quality
     // bound: measured recall@5 (PqRecallProbe) 0.55 / 0.70 / 0.575 at
-    // sf0.001/0.01/0.1 — the 0.4 threshold certifies with a ≥6-hit margin
-    // at every fixture scale; any regression in codebook training (seeding
-    // or the Lloyd step), encoding, ADC scoring, or the shortlist rule
-    // flips the boolean and fails the hash compare.
+    // sf0.001/0.01/0.1 — the 0.5 threshold pins the certificate at the
+    // measured tri-SF floor (0.55, 2-hit margin on the 8×5-hit probe set;
+    // seeded-deterministic codebooks reproduce the measurement run-to-run)
+    // — any regression in codebook training (seeding or the Lloyd step),
+    // encoding, ADC scoring, or the shortlist rule flips the boolean and
+    // fails the hash compare.
     Q("x3_pq_recall",
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
@@ -1660,7 +1665,7 @@ object ExtQueries {
           refineIters = 2)
         graft.ops.PqOps.pqRecall(hh, codes, books, e,
           e.filter(col("vec_id") < 8), k = 5, kShort = 100, nprobe = 6,
-          minRecall = 0.4)
+          minRecall = 0.5)
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS queries, CAST(5 AS INT) AS k,
              |true AS recall_ok FROM embeddings WHERE vec_id < 8""".stripMargin)),

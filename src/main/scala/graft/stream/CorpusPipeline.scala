@@ -49,7 +49,14 @@ object CorpusPipeline {
   /** Ingest-time decontamination binding (E215): the PRECOMPUTED benchmark
     * window index plus its window length — built once per stream so the
     * benchmark's tokenization/fingerprint pass is never repaid per batch. */
-  final case class Decontaminate(benchWindows: DataFrame, window: Int)
+  final case class Decontaminate(benchWindows: DataFrame, window: Int) {
+    /** Release the cached benchmark window index. [[run]] calls this
+      * automatically when its stream terminates; direct [[processBatch]]
+      * callers own the call — a restart loop that builds a fresh
+      * [[Decontaminate.of]] per run without closing the old one leaks one
+      * cached copy per run for the life of the SparkContext. */
+    def close(): Unit = { benchWindows.unpersist(); () }
+  }
   object Decontaminate {
     def of(bench: DataFrame, window: Int = 8): Decontaminate =
       Decontaminate(
@@ -164,7 +171,7 @@ object CorpusPipeline {
       decontaminateWindow: Int = 8): StreamingQuery = {
     // build (and cache) the benchmark window index ONCE per stream
     val dc = decontaminate.map(b => Decontaminate.of(b, decontaminateWindow))
-    spark.readStream
+    val q = spark.readStream
       .schema(schemaDdl)
       .json(inputDir)
       .writeStream
@@ -174,5 +181,19 @@ object CorpusPipeline {
       }
       .trigger(trigger)
       .start()
+    // release the cached benchmark index when THIS stream ends — restart
+    // loops (the E215 test's pattern) otherwise accrue one cached copy per
+    // run for the life of the SparkContext
+    dc.foreach { d =>
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == q.id) { d.close(); spark.streams.removeListener(this) }
+      }
+      spark.streams.addListener(listener)
+    }
+    q
   }
 }

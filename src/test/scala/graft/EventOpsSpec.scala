@@ -42,6 +42,23 @@ class EventOpsSpec extends SparkSpec {
     assert(d0 === ((0L, 2L, 2L)), s"NULL user must not count: $d0")
   }
 
+  test("activeUsersWindows plans NO BroadcastNestedLoopJoin (explode+equi-join, O(pairs × maxW))") {
+    // the non-equi `between` join planned a BNLJ of ALL pairs × ALL days —
+    // O(pairs × days) comparisons, a scale-killer at years of retention;
+    // pin the explode(sequence) + equi-join re-plan the way duplicateSpans
+    // pins its one-exchange shape
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val events = Seq((ts(0), "u1"), (ts(1), "u2"), (ts(9), "u1"))
+      .toDF("ts", "user_id")
+    val out = EventOps.activeUsersWindows(events,
+      Seq("dau" -> 1, "wau" -> 7, "mau" -> 28))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate explode") || plan.contains("Generate"),
+      s"expected the explode expansion in the plan:\n$plan")
+  }
+
   test("scriptSignals (E211): hand-computed counts and fractions; empty doc yields NULL fractions") {
     import graft.ops.TextOps
     val docs = Seq(

@@ -209,6 +209,67 @@ class ExportOpsSpec extends SparkSpec {
     assert(bytes(2L) === payload(9).toSeq && bytes(3L) === payload(3).toSeq)
   }
 
+  test("pack respects the consumer ack low-watermark; folded-away intervals fail descriptively (ADVICE r16)") {
+    val root = tmpDir("export-ops-watermark")
+    val corpus = TransactionalTable.create(spark, s"$root/corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+      "doc_id", None)
+    def pub(): Long = {
+      assert(ExportOps.exportLatest(corpus, s"$root/exp", nShards = 2,
+        capacity = 16L).exported)
+      corpus.currentVersion
+    }
+    corpus.append(Seq(doc(1, 10)).toDF("doc_id", "text"), batchId = 0)
+    val v1 = pub()
+    corpus.append(Seq(doc(2, 20)).toDF("doc_id", "text"), batchId = 1)
+    val v2 = pub()
+    corpus.merge(Seq(doc(3, 5), (1L, "one rewritten")).toDF("doc_id", "text"),
+      Seq(2L).toDF("doc_id"), batchId = 2)
+    val v3 = pub()
+    // a lagging registered consumer at v1 pins the watermark: only ONE
+    // interval is foldable → pack no-ops, every dir stays
+    ExportOps.ackConsumed(spark, s"$root/exp", "trainer-a", v1)
+    assert(!ExportOps.pack(spark, s"$root/exp").packed,
+      "pack must not fold past the registered low-watermark")
+    assert(ExportOps.intervals(spark, s"$root/exp").size === 3)
+    // the consumer catches up to v2: the [v1, v2] prefix folds, the
+    // unconsumed (v2, v3] interval survives on disk for it to read
+    ExportOps.ackConsumed(spark, s"$root/exp", "trainer-a", v2)
+    val p = ExportOps.pack(spark, s"$root/exp")
+    assert(p.packed && p.intervalsBefore === 2L, s"prefix fold only: $p")
+    val ivs = ExportOps.intervals(spark, s"$root/exp")
+    assert(ivs.map(iv => (iv.fromV, iv.toV)) === Seq((0L, v2), (v2, v3)),
+      s"consolidated prefix + untouched pending interval: $ivs")
+    val (docs, tombs) = ExportOps.readInterval(spark, s"$root/exp", v2, v3)
+    assert(docs.select("doc_id").as[Long].collect().toSet === Set(1L, 3L) &&
+      tombs.as[Long].collect().toSeq === Seq(2L),
+      "the lagging consumer's pending interval must read intact")
+    // reader contract unchanged by the partial fold (later tombstone of
+    // doc 2 still applies over the consolidated prefix)
+    val read = ExportOps.readCorpus(spark, s"$root/exp")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(read.keySet === Set(1L, 3L) && read(1L) === "one rewritten",
+      s"latest-wins + cross-prefix tombstones must survive the pack: $read")
+    // a folded-away interval fails with the start-up contract, not a raw
+    // missing-file error
+    val ex = intercept[IllegalStateException] {
+      ExportOps.readInterval(spark, s"$root/exp", 0L, v1)
+    }
+    assert(ex.getMessage.contains("pack") &&
+      ex.getMessage.contains("snapshotForConsumer"), ex.getMessage)
+    // snapshot-then-tail start-up: registers at the head (unpinning pack)
+    // and hands back the manifest version to tail from
+    val (snap, tailV) = ExportOps.snapshotForConsumer(spark, s"$root/exp",
+      "trainer-b")
+    assert(snap.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(tailV === ExportOps.manifest(spark, s"$root/exp").currentVersion)
+    assert(ExportOps.consumerAcks(spark, s"$root/exp") ===
+      Map("trainer-a" -> v2, "trainer-b" -> v3))
+    // a decommissioned trainer stops pinning the watermark
+    ExportOps.dropConsumer(spark, s"$root/exp", "trainer-a")
+    assert(ExportOps.consumerAcks(spark, s"$root/exp") === Map("trainer-b" -> v3))
+  }
+
   test("deletes-only interval publishes tombstones + a zero-doc manifest row (ADVICE r15)") {
     val root = tmpDir("export-ops-delonly")
     val corpus = TransactionalTable.create(spark, s"$root/corpus",
