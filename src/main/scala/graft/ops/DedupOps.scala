@@ -769,4 +769,54 @@ object DedupOps {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** A benchmark's banded SimHash sketch (band, chunk, bench_id,
+    * bench_sim), precomputed for REPEATED [[nearContaminatedPre]] calls —
+    * the streaming posture probes every micro-batch against the SAME
+    * benchmark; callers may `.persist()` the result (the
+    * [[benchmarkWindows]] convention). */
+  def benchmarkBands(bench: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    simhashBands(simhashSketch(bench, idCol, textCol))
+      .select(col("band"), col("chunk"), col("doc_id").as("bench_id"),
+        col("simhash").as("bench_sim"))
+
+  /**
+   * NEAR-DUP benchmark decontamination (the paraphrase half exact n-gram
+   * decontamination misses): a corpus document whose SimHash lands within
+   * Hamming distance ≤ `maxDist` of ANY benchmark document's is flagged —
+   * the near-duplicate leak case ([[contaminatedSpans]] catches verbatim
+   * spans; a lightly reworded eval example sails through exact windows but
+   * not through a 3-bit sketch ball). CROSS-SET only: corpus↔corpus
+   * near-dups are [[simhashPairs]]' business, and benchmark docs never
+   * surface in the output. Returns one row per contaminated corpus doc:
+   * (doc_id, n_bench_matches, min_hamming).
+   *
+   * Scale shape: the benchmark is an eval set — thousands of docs, ≪
+   * corpus by construction — so its banded sketch BROADCASTS and the probe
+   * is a map-only hash join on (band, chunk) over the corpus's one sketch
+   * aggregation; the per-doc flag is a doc-keyed hash aggregate. Pigeonhole
+   * soundness is [[simhashPairs]]': distance ≤ 3 over 4×15-bit chunks
+   * always agrees on ≥ 1 chunk — zero false negatives at the sketch level.
+   */
+  def nearContaminated(corpus: DataFrame, bench: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    nearContaminatedPre(corpus, benchmarkBands(bench, idCol, textCol),
+      maxDist, idCol, textCol)
+
+  /** [[nearContaminated]] against a PRECOMPUTED (possibly cached)
+    * [[benchmarkBands]] frame — the per-micro-batch posture. */
+  def nearContaminatedPre(corpus: DataFrame, benchBands: DataFrame,
+      maxDist: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    simhashBands(simhashSketch(corpus, idCol, textCol))
+      .join(broadcast(benchBands), Seq("band", "chunk"))
+      .select(col("doc_id"), col("bench_id"),
+        expr("bit_count(simhash ^ bench_sim)").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("doc_id", "bench_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_matches"),
+        min(col("hamming")).cast("int").as("min_hamming"))
+      .orderBy("doc_id")
 }

@@ -15,6 +15,47 @@ object ExtQueries {
   private val DuckToks =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
+  /** Sampling-family oracles, SHARED between each Scala-API query and its
+    * CALL-procedure twin (`cdc_split_sql` / `cdc_temperature_sql` /
+    * `cdc_cap_group_sql`) so the two surfaces cannot drift — the
+    * media-index twin convention (r16) applied to the batch sampling ops
+    * (r16 verdict #6). */
+  private val DuckHashSplitSql: String =
+    """WITH h AS (SELECT doc_id,
+      |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS hm
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN hm < 8 THEN 'train' WHEN hm < 9 THEN 'val' ELSE 'test' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  private val DuckTemperatureSampleSql: String =
+    """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM documents GROUP BY source),
+      |r AS (SELECT source, n, SUM(n) OVER () AS tot,
+      |        pow(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 0.5) AS p
+      |      FROM c),
+      |rr AS (SELECT source,
+      |         LEAST(1.0, 0.5 * CAST(tot AS DOUBLE) * (p / SUM(p) OVER ())
+      |                      / CAST(n AS DOUBLE)) AS rate
+      |       FROM r)
+      |SELECT d.doc_id, d.source FROM documents d JOIN rr USING (source)
+      |WHERE CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) AS DOUBLE) < rate * 1152921504606846976.0
+      |ORDER BY d.doc_id""".stripMargin
+
+  private val DuckCapPerSourceSql: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |h AS (SELECT doc_id, source,
+      |        CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+      |      FROM documents),
+      |cand AS (SELECT h.doc_id, h.source, h._h FROM h JOIN c USING (source)
+      |         WHERE h._h < CAST(FLOOR(LEAST(1.0, 160.0 / c.n) * 1152921504606846976.0) AS BIGINT))
+      |SELECT doc_id, source, rk FROM (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY _h, doc_id) AS rk
+      |  FROM cand) z
+      |WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin
+
   /** DuckDB-side incremental-dedup-index replay (mirrors the x2_dedup_index
     * flow: even docs index batch 0 self-deduped, odd docs corpus-filtered
     * then self-deduped as batch 1; output = batch-1 kept ids). SHARED by
@@ -392,12 +433,7 @@ object ExtQueries {
           splits = Seq("train" -> 8, "val" -> 1, "test" -> 1))
         .select("doc_id", "split")
         .orderBy("doc_id"),
-      Some("""WITH h AS (SELECT doc_id,
-             |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS hm
-             |  FROM documents)
-             |SELECT doc_id,
-             |  CASE WHEN hm < 8 THEN 'train' WHEN hm < 9 THEN 'val' ELSE 'test' END AS split
-             |FROM h ORDER BY doc_id""".stripMargin)),
+      Some(DuckHashSplitSql)),
 
     // X1: deterministic GLOBAL SHUFFLE into training shards — the "write
     // shuffled shards" step before packing: md5-pseudorandom, reproducible
@@ -424,17 +460,7 @@ object ExtQueries {
       (s, d) => DedupOps.capPerGroup(Tables.load(s, d, "documents"),
           groupCol = "source", k = 5)
         .orderBy("source", "doc_id"),
-      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-             |h AS (SELECT doc_id, source,
-             |        CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
-             |      FROM documents),
-             |cand AS (SELECT h.doc_id, h.source, h._h FROM h JOIN c USING (source)
-             |         WHERE h._h < CAST(FLOOR(LEAST(1.0, 160.0 / c.n) * 1152921504606846976.0) AS BIGINT))
-             |SELECT doc_id, source, rk FROM (
-             |  SELECT doc_id, source,
-             |         row_number() OVER (PARTITION BY source ORDER BY _h, doc_id) AS rk
-             |  FROM cand) z
-             |WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin)),
+      Some(DuckCapPerSourceSql)),
 
     // X1: Poisson PPS sampling (E190) — inclusion probability ∝ weight
     // (token count), expected sample size n, capped at 1; ONE scalar
@@ -465,19 +491,49 @@ object ExtQueries {
           groupCol = "source", alpha = 0.5, frac = 0.5)
         .select("doc_id", "source")
         .orderBy("doc_id"),
-      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
-             |          FROM documents GROUP BY source),
-             |r AS (SELECT source, n, SUM(n) OVER () AS tot,
-             |        pow(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 0.5) AS p
-             |      FROM c),
-             |rr AS (SELECT source,
-             |         LEAST(1.0, 0.5 * CAST(tot AS DOUBLE) * (p / SUM(p) OVER ())
-             |                      / CAST(n AS DOUBLE)) AS rate
-             |       FROM r)
-             |SELECT d.doc_id, d.source FROM documents d JOIN rr USING (source)
-             |WHERE CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
-             |           AS BIGINT) AS DOUBLE) < rate * 1152921504606846976.0
-             |ORDER BY d.doc_id""".stripMargin)),
+      Some(DuckTemperatureSampleSql)),
+
+    // The SQL/CALL surface of the SAME sampling family (r16 verdict #6 —
+    // the reference's everything-through-SQL posture): split, temperature
+    // sample and per-group cap all driven through `CALL graft.system.*`
+    // over a temp view, results consumed from the registered result views
+    // with no Scala op call in the query body. Each oracle IS the Scala
+    // twin's oracle (shared constants), so the surfaces cannot drift.
+    Q("cdc_split_sql",
+      (s, d) => {
+        val cat = s"graft_smp${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_smp_sql").toString)
+        Tables.load(s, d, "documents").createOrReplaceTempView("smp_docs")
+        s.sql(s"CALL $cat.system.hash_split('smp_docs', 'train:8,val:1,test:1', '', 'doc_id', 'smp_splits')").collect()
+        s.sql("SELECT doc_id, split FROM smp_splits ORDER BY doc_id")
+      },
+      Some(DuckHashSplitSql)),
+
+    Q("cdc_temperature_sql",
+      (s, d) => {
+        val cat = s"graft_smt${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_smt_sql").toString)
+        Tables.load(s, d, "documents").createOrReplaceTempView("smt_docs")
+        s.sql(s"CALL $cat.system.temperature_sample('smt_docs', 'source', 0.5, 0.5, 'doc_id', 'smt_sample')").collect()
+        s.sql("SELECT doc_id, source FROM smt_sample ORDER BY doc_id")
+      },
+      Some(DuckTemperatureSampleSql)),
+
+    Q("cdc_cap_group_sql",
+      (s, d) => {
+        val cat = s"graft_smc${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_smc_sql").toString)
+        Tables.load(s, d, "documents").createOrReplaceTempView("smc_docs")
+        s.sql(s"CALL $cat.system.cap_per_group('smc_docs', 'source', 5, 'doc_id', 'smc_capped')").collect()
+        s.sql("SELECT doc_id, source, rk FROM smc_capped ORDER BY source, doc_id")
+      },
+      Some(DuckCapPerSourceSql)),
 
     // X1: budgeted MIXTURE sampling — the data-mixing stage: per-source
     // target token shares + a global token budget → deterministic per-source
@@ -1070,6 +1126,37 @@ object ExtQueries {
               |      FROM ch a JOIN ch b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
               |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
               |FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // X2: NEAR-DUP benchmark decontamination (r16 verdict #7 — the
+    // paraphrase-leak case x2_decontaminate_spans' exact windows miss):
+    // corpus docs (doc_id % 7 != 0) whose SimHash lands within Hamming 3
+    // of ANY benchmark doc's (doc_id % 7 == 0) flag with their match count
+    // and closest distance. Cross-set only; every hash md5-derived, so
+    // DuckDB replays sketch, banding and the Hamming ball bit-for-bit.
+    Q("x2_decontaminate_near",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        DedupOps.nearContaminated(
+          corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+              |th AS (SELECT doc_id, CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+              |       FROM (SELECT doc_id, unnest(w) AS t FROM toks) u),
+              |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              |         FROM th, range(60) r(b) GROUP BY doc_id, b),
+              |sk AS (SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+              |       FROM bits GROUP BY doc_id),
+              |ch AS (SELECT doc_id, simhash, c AS band, (simhash >> CAST(c * 15 AS INTEGER)) & 32767 AS chunk
+              |       FROM sk, range(4) r(c)),
+              |corp AS (SELECT * FROM ch WHERE doc_id % 7 <> 0),
+              |ben AS (SELECT doc_id AS bench_id, simhash AS bsim, band, chunk FROM ch WHERE doc_id % 7 = 0),
+              |p AS (SELECT DISTINCT c.doc_id, b.bench_id, bit_count(xor(c.simhash, b.bsim)) AS hamming
+              |      FROM corp c JOIN ben b ON c.band = b.band AND c.chunk = b.chunk
+              |      WHERE bit_count(xor(c.simhash, b.bsim)) <= 3)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+              |       CAST(MIN(hamming) AS INTEGER) AS min_hamming
+              |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // X2: INCREMENTAL corpus dedup — the persistent LSH index as an engine
     // table (DedupIndex): even-id docs populate the index (batch 0,

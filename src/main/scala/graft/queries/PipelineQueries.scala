@@ -70,6 +70,21 @@ object PipelineQueries {
       |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
       |comp AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
+  /** Shared by `x1_upsample_epochs` and its CALL twin (`cdc_upsample_sql`)
+    * so the two surfaces cannot drift. */
+  private val DuckUpsampleSql: String =
+    """WITH f AS (SELECT doc_id, source,
+      |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+      |              WHEN 'src2' THEN 0.0 ELSE 1.0 END AS fac FROM documents),
+      |c AS (SELECT doc_id, source,
+      |        CAST(floor(fac) AS BIGINT)
+      |        + CASE WHEN CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |                 AS BIGINT) AS DOUBLE) < (fac - floor(fac)) * 1152921504606846976.0
+      |          THEN 1 ELSE 0 END AS n
+      |      FROM f)
+      |SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS epoch
+      |FROM c WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin
+
   private val DuckToks =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
@@ -737,17 +752,22 @@ object PipelineQueries {
       (s, d) => DedupOps.upsampleEpochs(Tables.load(s, d, "documents"),
           epochs = Seq("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0))
         .orderBy("doc_id", "epoch"),
-      Some("""WITH f AS (SELECT doc_id, source,
-             |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
-             |              WHEN 'src2' THEN 0.0 ELSE 1.0 END AS fac FROM documents),
-             |c AS (SELECT doc_id, source,
-             |        CAST(floor(fac) AS BIGINT)
-             |        + CASE WHEN CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-             |                 AS BIGINT) AS DOUBLE) < (fac - floor(fac)) * 1152921504606846976.0
-             |          THEN 1 ELSE 0 END AS n
-             |      FROM f)
-             |SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS epoch
-             |FROM c WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin)),
+      Some(DuckUpsampleSql)),
+
+    // The CALL twin of x1_upsample_epochs (r16 verdict #6: SQL/CALL twins
+    // for the sampling family) — same epochs spec through
+    // `CALL graft.system.upsample_epochs`, same shared oracle, zero drift.
+    Q("cdc_upsample_sql",
+      (s, d) => {
+        val cat = s"graft_smu${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_smu_sql").toString)
+        Tables.load(s, d, "documents").createOrReplaceTempView("smu_docs")
+        s.sql(s"CALL $cat.system.upsample_epochs('smu_docs', 'src0:2.5,src1:0.25,src2:0.0', 'source', 'doc_id', 'smu_epochs')").collect()
+        s.sql("SELECT doc_id, source, epoch FROM smu_epochs ORDER BY doc_id, epoch")
+      },
+      Some(DuckUpsampleSql)),
 
     // X4: CCNet head/middle/tail quality sharding — per-language tertile
     // cutoffs (explicit percentile_disc rule over a deterministic hash

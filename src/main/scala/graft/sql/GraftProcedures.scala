@@ -39,6 +39,16 @@ object GraftProcedures {
   private val S = StringType
   private val L = LongType
   private val I = IntegerType
+  private val D = DoubleType
+
+  /** 'name:weight,name:weight' spec strings (the CALL-surface encoding of
+    * the Scala sampling APIs' Seq[(String, …)] specs). */
+  private def specList(spec: String): Seq[(String, String)] =
+    spec.split(',').toSeq.filter(_.nonEmpty).map { kv =>
+      val i = kv.lastIndexOf(':')
+      require(i > 0, s"malformed spec entry '$kv' (want name:weight)")
+      kv.substring(0, i).trim -> kv.substring(i + 1).trim
+    }
 
   private final case class Spec(
       params: Seq[(String, DataType)],
@@ -510,6 +520,83 @@ object GraftProcedures {
         Seq(n, index.currentVersion)
       }),
 
+    // BATCH SAMPLING family from SQL (r16 verdict #6 — the last pipeline
+    // family that was Scala-API only; the reference's posture is SQL-first,
+    // README.md:436): each procedure runs the corresponding DedupOps
+    // sampling op over a named table/temp view and registers the result as
+    // `result_view` (the create_changelog_view idiom), so the full
+    // train/val/test + mixing recipe is expressible without Scala. Spec
+    // strings are 'name:weight' lists — the same shapes the Scala API
+    // takes as Seq.
+    //   CALL graft.system.hash_split('docs_view', 'train:8,val:1,test:1', '', 'doc_id', 'splits')
+    //   CALL graft.system.temperature_sample('docs_view', 'source', 0.5, 0.5, 'doc_id', 'sample')
+    //   CALL graft.system.cap_per_group('docs_view', 'source', 5, 'doc_id', 'capped')
+    //   CALL graft.system.upsample_epochs('docs_view', 'src0:2.5,src1:0.25,src2:0.0', 'source', 'doc_id', 'epochs')
+    "hash_split" -> Spec(
+      Seq("source" -> S, "splits" -> S, "salt" -> S, "id_col" -> S,
+        "result_view" -> S),
+      row("result_view" -> S, "rows" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val splits = specList(a.getUTF8String(1).toString)
+          .map { case (k, v) => k -> v.toInt }
+        val out = graft.ops.DedupOps.hashSplit(
+          spark.table(a.getUTF8String(0).toString), splits,
+          salt = a.getUTF8String(2).toString,
+          idCol = a.getUTF8String(3).toString)
+        val view = a.getUTF8String(4).toString
+        out.createOrReplaceTempView(view)
+        Seq(view, out.count())
+      }),
+
+    "temperature_sample" -> Spec(
+      Seq("source" -> S, "group_col" -> S, "alpha" -> D, "frac" -> D,
+        "id_col" -> S, "result_view" -> S),
+      row("result_view" -> S, "rows" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val out = graft.ops.DedupOps.temperatureSample(
+          spark.table(a.getUTF8String(0).toString),
+          groupCol = a.getUTF8String(1).toString,
+          alpha = a.getDouble(2), frac = a.getDouble(3),
+          idCol = a.getUTF8String(4).toString)
+        val view = a.getUTF8String(5).toString
+        out.createOrReplaceTempView(view)
+        Seq(view, out.count())
+      }),
+
+    "cap_per_group" -> Spec(
+      Seq("source" -> S, "group_col" -> S, "k" -> I, "id_col" -> S,
+        "result_view" -> S),
+      row("result_view" -> S, "rows" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val out = graft.ops.DedupOps.capPerGroup(
+          spark.table(a.getUTF8String(0).toString),
+          groupCol = a.getUTF8String(1).toString, k = a.getInt(2),
+          idCol = a.getUTF8String(3).toString)
+        val view = a.getUTF8String(4).toString
+        out.createOrReplaceTempView(view)
+        Seq(view, out.count())
+      }),
+
+    "upsample_epochs" -> Spec(
+      Seq("source" -> S, "epochs" -> S, "group_col" -> S, "id_col" -> S,
+        "result_view" -> S),
+      row("result_view" -> S, "rows" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val epochs = specList(a.getUTF8String(1).toString)
+          .map { case (k, v) => k -> v.toDouble }
+        val out = graft.ops.DedupOps.upsampleEpochs(
+          spark.table(a.getUTF8String(0).toString), epochs,
+          groupCol = a.getUTF8String(2).toString,
+          idCol = a.getUTF8String(3).toString)
+        val view = a.getUTF8String(4).toString
+        out.createOrReplaceTempView(view)
+        Seq(view, out.count())
+      }),
+
     // MEDIA dedup indexes from SQL (the last index family that was
     // Scala-API only — the reference's SQL-first posture): one generic
     // create/append pair over the HammingIndex core, dispatched on `kind`
@@ -676,6 +763,49 @@ object GraftProcedures {
         val r = graft.ops.ExportOps.pack(spark,
           c.rootByName(a.getUTF8String(0).toString))
         Seq(r.packed, r.intervalsBefore, r.nDocs, r.dir)
+      }),
+
+    // Consumer low-watermark runbook ops (E218, the operator surface of
+    // the pack contract): ack progress / list acks / drop a decommissioned
+    // consumer — the calls an external trainer's orchestrator issues.
+    //   CALL graft.system.export_ack('db.exp', 'trainer-a', 7)
+    //   CALL graft.system.export_consumers('db.exp', 'acks_view')
+    //   CALL graft.system.export_drop_consumer('db.exp', 'trainer-a')
+    "export_ack" -> Spec(
+      Seq("export_root" -> S, "consumer" -> S, "to_version" -> L),
+      row("consumer" -> S, "acked_to" -> L, "pack_watermark" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = c.rootByName(a.getUTF8String(0).toString)
+        val consumer = a.getUTF8String(1).toString
+        graft.ops.ExportOps.ackConsumed(spark, root, consumer, a.getLong(2))
+        val acks = graft.ops.ExportOps.consumerAcks(spark, root)
+        Seq(consumer, acks(consumer), acks.values.min)
+      }),
+
+    "export_consumers" -> Spec(
+      Seq("export_root" -> S, "acks_view" -> S),
+      row("n_consumers" -> L, "pack_watermark" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val acks = graft.ops.ExportOps.consumerAcks(spark,
+          c.rootByName(a.getUTF8String(0).toString))
+        acks.toSeq.sorted.toDF("consumer", "acked_to")
+          .createOrReplaceTempView(a.getUTF8String(1).toString)
+        Seq(acks.size.toLong,
+          if (acks.isEmpty) Long.MaxValue else acks.values.min)
+      }),
+
+    "export_drop_consumer" -> Spec(
+      Seq("export_root" -> S, "consumer" -> S),
+      row("remaining_consumers" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = c.rootByName(a.getUTF8String(0).toString)
+        graft.ops.ExportOps.dropConsumer(spark, root,
+          a.getUTF8String(1).toString)
+        Seq(graft.ops.ExportOps.consumerAcks(spark, root).size.toLong)
       }),
 
     "mv_status" -> Spec(

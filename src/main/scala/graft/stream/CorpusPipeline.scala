@@ -63,6 +63,23 @@ object CorpusPipeline {
         graft.ops.DedupOps.benchmarkWindows(bench, window).persist(), window)
   }
 
+  /** NEAR-DUP benchmark gate (the paraphrase half beside [[Decontaminate]]'s
+    * exact spans): a batch doc whose SimHash lands within Hamming `maxDist`
+    * of ANY benchmark doc's DROPS whole — a reworded eval example cannot be
+    * span-scrubbed (its tokens differ) but must not ship. Same
+    * precompute-once contract: the benchmark's banded sketch builds and
+    * caches per stream. */
+  final case class NearDecontaminate(benchBands: DataFrame, maxDist: Int) {
+    /** Release the cached benchmark band index (same ownership rule as
+      * [[Decontaminate.close]]). */
+    def close(): Unit = { benchBands.unpersist(); () }
+  }
+  object NearDecontaminate {
+    def of(bench: DataFrame, maxDist: Int = 3): NearDecontaminate =
+      NearDecontaminate(
+        graft.ops.DedupOps.benchmarkBands(bench).persist(), maxDist)
+  }
+
   def processBatch(index: TransactionalTable, corpus: TransactionalTable,
       docs: DataFrame, batchId: Long, clean: Column,
       compactEvery: Int = 0, publish: Option[Publish] = None,
@@ -76,7 +93,13 @@ object CorpusPipeline {
         * exchange of batch ∪ (precomputed, cached) benchmark windows —
         * the benchmark is fixed by contract (the SAME set on every
         * delivery, or replays would diverge). */
-      decontaminate: Option[Decontaminate] = None): DataFrame =
+      decontaminate: Option[Decontaminate] = None,
+      /** Near-dup benchmark gate (r17, beside the span scrub): batch docs
+        * whose SimHash is within the gate's Hamming ball of ANY benchmark
+        * doc drop WHOLE before the funnel — the paraphrased-eval-leak case
+        * span removal cannot touch. Deterministic per input, so replays
+        * recompute the identical drop set. */
+      nearDecontaminate: Option[NearDecontaminate] = None): DataFrame =
     graft.util.BatchStats.timed("corpus_stream_batch") {
       val spark = docs.sparkSession
       import spark.implicits._
@@ -92,7 +115,13 @@ object CorpusPipeline {
           .withColumn("text", coalesce(col("clean_text"), col("text")))
           .drop("clean_text")
       }
-      val cleaned = decon.filter(clean)
+      val gated = nearDecontaminate.fold(decon) { nd =>
+        decon.join(
+          graft.ops.DedupOps.nearContaminatedPre(decon, nd.benchBands,
+            nd.maxDist).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
+      val cleaned = gated.filter(clean)
       val kept = DedupIndex.appendBatch(index, cleaned, batchId,
         compactEvery = compactEvery)
       val rows = cleaned.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -168,29 +197,37 @@ object CorpusPipeline {
       trigger: Trigger = Trigger.AvailableNow(),
       publish: Option[Publish] = None,
       decontaminate: Option[DataFrame] = None,
-      decontaminateWindow: Int = 8): StreamingQuery = {
-    // build (and cache) the benchmark window index ONCE per stream
+      decontaminateWindow: Int = 8,
+      nearDecontaminate: Option[DataFrame] = None,
+      nearDecontaminateMaxDist: Int = 3): StreamingQuery = {
+    // build (and cache) the benchmark window/band indexes ONCE per stream
     val dc = decontaminate.map(b => Decontaminate.of(b, decontaminateWindow))
+    val nd = nearDecontaminate.map(b =>
+      NearDecontaminate.of(b, nearDecontaminateMaxDist))
     val q = spark.readStream
       .schema(schemaDdl)
       .json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        processBatch(index, corpus, df, bid, clean, compactEvery, publish, dc); ()
+        processBatch(index, corpus, df, bid, clean, compactEvery, publish,
+          dc, nd); ()
       }
       .trigger(trigger)
       .start()
-    // release the cached benchmark index when THIS stream ends — restart
+    // release the cached benchmark indexes when THIS stream ends — restart
     // loops (the E215 test's pattern) otherwise accrue one cached copy per
     // run for the life of the SparkContext
-    dc.foreach { d =>
+    if (dc.nonEmpty || nd.nonEmpty) {
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit = ()
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-          if (e.id == q.id) { d.close(); spark.streams.removeListener(this) }
+          if (e.id == q.id) {
+            dc.foreach(_.close()); nd.foreach(_.close())
+            spark.streams.removeListener(this)
+          }
       }
       spark.streams.addListener(listener)
     }

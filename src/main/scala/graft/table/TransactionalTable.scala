@@ -279,6 +279,11 @@ final class TransactionalTable private (
   private def dataDir = Paths.get(root, "data")
   private def branchesDir = mainManifestDir.resolve("branches")
 
+  /** Commit-protocol I/O ([[CommitIO]]): POSIX by default; specs inject a
+    * simulated object store to prove the claim/publish protocol holds
+    * without atomic rename. */
+  private[table] var commitIo: CommitIO = PosixCommitIO
+
   /** Per-attempt output directory for a commit's data/delete files. The nonce
     * makes concurrent attempts at the same version write DISJOINT paths — a
     * losing writer can never clobber files a winner's manifest references
@@ -2646,14 +2651,10 @@ final class TransactionalTable private (
   private def updateTableMeta(
       f: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
     val p = Paths.get(root, "_table.json")
-    val meta = mapper.readTree(Files.readAllBytes(p))
+    val meta = mapper.readTree(commitIo.read(p))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     f(meta)
-    val tmp = Paths.get(root, "_table.json.tmp")
-    Files.write(tmp, mapper.writeValueAsBytes(meta),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, Paths.get(root, "_table.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    commitIo.putAtomic(p, mapper.writeValueAsBytes(meta))
   }
 
   /** Conform a merge/append input to the table schema: columns the input
@@ -3764,26 +3765,28 @@ final class TransactionalTable private (
     }
     val mPath = manifestDir.resolve(s"v${s.version}.json")
     val bytes = mapper.writeValueAsBytes(node)
-    try Files.write(mPath, bytes, StandardOpenOption.CREATE_NEW)
+    // claim + publish run through the CommitIO contract (r17): the claim
+    // needs only a conditional PUT, the publish only a full-object replace
+    // — no rename semantics anywhere, so the protocol ports to S3-class
+    // stores as-is (see CommitIO's scaladoc; ObjectStoreCommitSpec proves
+    // it on a simulated no-rename store)
+    try commitIo.putIfAbsent(mPath, bytes)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
-      if (Files.exists(pointerPath) && currentVersion >= s.version)
+      if (commitIo.exists(pointerPath) && currentVersion >= s.version)
         throw new ConcurrentCommitException(
           s"manifest v${s.version} committed by another writer (root=$root)")
       // Claim exists but the pointer hasn't reached it: in-flight writer
       // (lose the race, retry) — unless it has sat un-pointed past the grace
       // window, which only a crash between claim and swap produces.
-      val ageMs = try System.currentTimeMillis() - Files.getLastModifiedTime(mPath).toMillis
+      val ageMs = try System.currentTimeMillis() - commitIo.modifiedAtMs(mPath)
         catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
       if (ageMs < OrphanManifestGraceMs)
         throw new ConcurrentCommitException(
           s"manifest v${s.version} claimed by an in-flight writer (root=$root)")
-      Files.deleteIfExists(mPath)
-      Files.write(mPath, bytes, StandardOpenOption.CREATE_NEW)
+      commitIo.delete(mPath)
+      commitIo.putIfAbsent(mPath, bytes)
     }
-    val tmp = Paths.get(pointerPath.toString + ".tmp")
-    Files.write(tmp, s.version.toString.getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    commitIo.putAtomic(pointerPath, s.version.toString.getBytes)
   }
 }
 

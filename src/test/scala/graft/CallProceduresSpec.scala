@@ -340,4 +340,97 @@ class CallProceduresSpec extends SparkSpec {
       spark.sql("CALL gp8.system.media_index_create('db.x', 'hologram')").collect()
     }
   }
+
+  test("export consumer watermark from SQL: export_ack / export_consumers / export_drop_consumer") {
+    val w = mkWarehouse("gpa")
+    val corpus = TransactionalTable.create(spark, s"$w/db/corpus",
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      "doc_id", None)
+    def pub(): Long = {
+      assert(graft.ops.ExportOps.exportLatest(corpus, s"$w/db/exp",
+        nShards = 2, capacity = 16L).exported)
+      corpus.currentVersion
+    }
+    corpus.append(Seq(1L -> "one doc body").toDF("doc_id", "text"), batchId = 0)
+    val v1 = pub()
+    corpus.append(Seq(2L -> "two doc body").toDF("doc_id", "text"), batchId = 1)
+    val v2 = pub()
+    val Seq((c1, a1, wm1)) = spark.sql(
+      s"CALL gpa.system.export_ack('db.exp', 'trainer-a', $v1)")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(c1 === "trainer-a" && a1 === v1 && wm1 === v1)
+    spark.sql(s"CALL gpa.system.export_ack('db.exp', 'trainer-b', $v2)").collect()
+    val Seq((n, wm)) = spark.sql(
+      "CALL gpa.system.export_consumers('db.exp', 'gpa_acks')")
+      .as[(Long, Long)].collect().toSeq
+    assert(n === 2L && wm === v1)
+    assert(spark.sql("SELECT consumer, acked_to FROM gpa_acks ORDER BY consumer")
+      .as[(String, Long)].collect().toSeq ===
+      Seq("trainer-a" -> v1, "trainer-b" -> v2))
+    // the watermark blocks pack at v1 (one foldable interval): no-op
+    assert(!spark.sql("CALL gpa.system.export_pack('db.exp')")
+      .select("packed").as[Boolean].head())
+    // dropping the laggard unpins; pack folds both intervals
+    val remaining = spark.sql(
+      "CALL gpa.system.export_drop_consumer('db.exp', 'trainer-a')")
+      .as[Long].head()
+    assert(remaining === 1L)
+    assert(spark.sql("CALL gpa.system.export_pack('db.exp')")
+      .select("packed").as[Boolean].head())
+    assert(graft.ops.ExportOps.intervals(spark, s"$w/db/exp").size === 1)
+  }
+
+  test("sampling family from SQL: hash_split / temperature_sample / cap_per_group / upsample_epochs match the Scala ops") {
+    mkWarehouse("gp9")
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 40L).map(i =>
+      (i, s"doc $i body", if (i % 3 == 0) "wiki" else "web"))
+      .toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("gp9_docs")
+    // hash_split: CALL view == Scala op, bit for bit
+    val Seq((sv, sn)) = spark.sql(
+      "CALL gp9.system.hash_split('gp9_docs', 'train:8,val:1,test:1', '', 'doc_id', 'gp9_splits')")
+      .as[(String, Long)].collect().toSeq
+    assert(sv === "gp9_splits" && sn === 40L)
+    val sqlSplit = spark.table("gp9_splits").select("doc_id", "split")
+      .as[(Long, String)].collect().toSet
+    val apiSplit = graft.ops.DedupOps.hashSplit(docs,
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(sqlSplit === apiSplit)
+    // temperature_sample (double args through CALL)
+    spark.sql(
+      "CALL gp9.system.temperature_sample('gp9_docs', 'source', 0.5, 0.5, 'doc_id', 'gp9_temp')")
+      .collect()
+    val sqlTemp = spark.table("gp9_temp").select("doc_id").as[Long].collect().toSet
+    val apiTemp = graft.ops.DedupOps.temperatureSample(docs, "source",
+      alpha = 0.5, frac = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(sqlTemp === apiTemp && sqlTemp.nonEmpty)
+    // cap_per_group
+    spark.sql(
+      "CALL gp9.system.cap_per_group('gp9_docs', 'source', 3, 'doc_id', 'gp9_cap')")
+      .collect()
+    val sqlCap = spark.table("gp9_cap").select("doc_id", "source", "rk")
+      .as[(Long, String, Int)].collect().toSet
+    val apiCap = graft.ops.DedupOps.capPerGroup(docs, "source", k = 3)
+      .as[(Long, String, Int)].collect().toSet
+    assert(sqlCap === apiCap && sqlCap.map(_._2).toSeq.distinct.size === 2)
+    // upsample_epochs: spec-string factors, epoch fan-out preserved
+    spark.sql(
+      "CALL gp9.system.upsample_epochs('gp9_docs', 'wiki:2.5,web:0.0', 'source', 'doc_id', 'gp9_up')")
+      .collect()
+    val sqlUp = spark.table("gp9_up").select("doc_id", "epoch")
+      .as[(Long, Long)].collect().toSet
+    val apiUp = graft.ops.DedupOps.upsampleEpochs(docs,
+        Seq("wiki" -> 2.5, "web" -> 0.0))
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    assert(sqlUp === apiUp && sqlUp.nonEmpty)
+    assert(spark.table("gp9_up").filter(col("source") === "web").count() === 0L)
+    // malformed spec fails fast
+    intercept[Exception] {
+      spark.sql(
+        "CALL gp9.system.hash_split('gp9_docs', 'trainval', '', 'doc_id', 'gp9_bad')")
+        .collect()
+    }
+  }
 }

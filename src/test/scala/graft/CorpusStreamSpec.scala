@@ -140,6 +140,39 @@ class CorpusStreamSpec extends SparkSpec {
       "replayed decontaminated epoch must no-op")
   }
 
+  test("near-dup benchmark gate (r17): docs in the benchmark's Hamming ball drop whole; replay safe") {
+    val in = tmpDir("near-stream-in")
+    val cp = tmpDir("near-stream-cp")
+    val index = DedupIndex.create(spark, tmpDir("near-stream-idx") + "/idx")
+    val corpus = TransactionalTable.create(spark, tmpDir("near-stream-tbl") + "/c",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING"), "doc_id")
+    // the eval set: doc 11 re-publishes its text verbatim under a new id
+    // (SimHash distance 0 — the leak span scrubbing cannot express: the
+    // WHOLE doc is the eval example); doc 13 is unrelated and must ship
+    val bench = Seq((901L, longText("omega"))).toDF("doc_id", "text")
+    writeBatch(in, "b0.json", Seq(
+      (11L, longText("omega"), "en", "src0"),
+      (13L, longText("gamma"), "en", "src0")))
+    val q = CorpusPipeline.run(spark, in, cp, index, corpus, FunnelRules.keep,
+      nearDecontaminate = Some(bench))
+    q.awaitTermination()
+    assert(corpus.scan().select("doc_id").as[Long].collect().toSet === Set(13L),
+      "benchmark-ball docs must drop whole; unrelated docs ship")
+    assert(index.scan().filter($"doc_id" === 11L).count() === 0L,
+      "gated docs must never enter the dedup index")
+    // re-delivered epoch recomputes the identical drop set: both no-op
+    val (ir, cv) = (index.scan().count(), corpus.currentVersion)
+    CorpusPipeline.processBatch(index, corpus,
+      Seq((11L, longText("omega"), "en", "src0"),
+        (13L, longText("gamma"), "en", "src0"))
+        .toDF("doc_id", "text", "lang", "source"),
+      0L, FunnelRules.keep,
+      nearDecontaminate = Some(CorpusPipeline.NearDecontaminate.of(bench)))
+    assert(index.scan().count() === ir && corpus.currentVersion === cv,
+      "replayed near-gated epoch must no-op")
+  }
+
   test("continuous publication (E188): per-batch exports chain the manifest fence; union = corpus") {
     import graft.ops.ExportOps
     val in = tmpDir("pub-stream-in")
