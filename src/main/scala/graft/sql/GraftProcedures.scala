@@ -520,6 +520,59 @@ object GraftProcedures {
         Seq(n, index.currentVersion)
       }),
 
+    // DECONTAMINATION from SQL (E220 — the E215/E217 pair reachable
+    // without Scala, the same everything-through-SQL argument as the
+    // sampling family): span-level scrub returns every corpus doc with its
+    // cleaned text + removed-token count; near-dup flags the docs inside
+    // the benchmark's Hamming ball (paraphrase leaks the exact windows
+    // miss). Sources are named tables/temp views with (doc_id, text).
+    //   CALL graft.system.decontaminate_spans('corpus_v', 'bench_v', 8, 'clean_docs')
+    //   CALL graft.system.decontaminate_near('corpus_v', 'bench_v', 3, 'flagged')
+    "decontaminate_spans" -> Spec(
+      Seq("corpus" -> S, "benchmark" -> S, "window" -> I, "result_view" -> S),
+      row("result_view" -> S, "rows" -> L, "contaminated_docs" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        val out = graft.ops.DedupOps.removeContaminatedSpans(
+          spark.table(a.getUTF8String(0).toString),
+          spark.table(a.getUTF8String(1).toString), a.getInt(2))
+        val view = a.getUTF8String(3).toString
+        out.createOrReplaceTempView(view)
+        Seq(view, out.count(), out.where(col("n_removed") > 0).count())
+      }),
+
+    "decontaminate_near" -> Spec(
+      Seq("corpus" -> S, "benchmark" -> S, "max_dist" -> I, "result_view" -> S),
+      row("result_view" -> S, "flagged_docs" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val out = graft.ops.DedupOps.nearContaminated(
+          spark.table(a.getUTF8String(0).toString),
+          spark.table(a.getUTF8String(1).toString), a.getInt(2))
+        val view = a.getUTF8String(3).toString
+        out.createOrReplaceTempView(view)
+        Seq(view, out.count())
+      }),
+
+    // Snapshot-then-tail start-up from SQL (the E218 consumer birth): one
+    // CALL registers the consumer at the head, registers the full reader
+    // corpus as `snapshot_view`, and returns the manifest version to tail
+    // streamIntervals from.
+    //   CALL graft.system.export_snapshot('db.exp', 'trainer-a', 'snap')
+    "export_snapshot" -> Spec(
+      Seq("export_root" -> S, "consumer" -> S, "snapshot_view" -> S),
+      row("snapshot_view" -> S, "n_docs" -> L, "tail_from_version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val (df, v) = graft.ops.ExportOps.snapshotForConsumer(spark,
+          c.rootByName(a.getUTF8String(0).toString),
+          a.getUTF8String(1).toString)
+        val view = a.getUTF8String(2).toString
+        df.createOrReplaceTempView(view)
+        Seq(view, df.count(), v)
+      }),
+
     // BATCH SAMPLING family from SQL (r16 verdict #6 — the last pipeline
     // family that was Scala-API only; the reference's posture is SQL-first,
     // README.md:436): each procedure runs the corresponding DedupOps

@@ -121,23 +121,33 @@ object CorpusPipeline {
             nd.maxDist).select(col("doc_id")),
           Seq("doc_id"), "left_anti")
       }
-      val cleaned = gated.filter(clean)
-      val kept = DedupIndex.appendBatch(index, cleaned, batchId,
-        compactEvery = compactEvery)
-      val rows = cleaned.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      corpus.merge(rows, spark.emptyDataset[Long].toDF("doc_id"), batchId)
-      // continuous publication (E188): every k-th batch ships the corpus
-      // interval the export manifest has not seen — fence-driven, so a
-      // replayed batch no-ops and a crash-skipped publication absorbs into
-      // the next one
-      publish.foreach { p =>
-        if (p.every <= 1 || batchId % p.every == 0)
-          graft.ops.ExportOps.exportLatest(corpus, p.exportRoot,
-            p.nShards, p.capacity)
-        if (p.packEvery > 0 && batchId > 0 && batchId % p.packEvery == 0)
-          graft.ops.ExportOps.pack(spark, p.exportRoot)
-      }
-      kept
+      // materialize at the BATCH-SIZED waist (the r16 keep-best fix applied
+      // here, r16 verdict plan-audit note): `cleaned` feeds BOTH the index
+      // append (band computation) and the corpus merge input — without the
+      // cache, the decontamination wkey exchange + near-dup sketch join are
+      // repaid per downstream pass. Bounded by batch size; released before
+      // the batch returns.
+      val decontaminated = decontaminate.nonEmpty || nearDecontaminate.nonEmpty
+      val cleaned0 = gated.filter(clean)
+      val cleaned = if (decontaminated) cleaned0.persist() else cleaned0
+      try {
+        val kept = DedupIndex.appendBatch(index, cleaned, batchId,
+          compactEvery = compactEvery)
+        val rows = cleaned.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        corpus.merge(rows, spark.emptyDataset[Long].toDF("doc_id"), batchId)
+        // continuous publication (E188): every k-th batch ships the corpus
+        // interval the export manifest has not seen — fence-driven, so a
+        // replayed batch no-ops and a crash-skipped publication absorbs into
+        // the next one
+        publish.foreach { p =>
+          if (p.every <= 1 || batchId % p.every == 0)
+            graft.ops.ExportOps.exportLatest(corpus, p.exportRoot,
+              p.nShards, p.capacity)
+          if (p.packEvery > 0 && batchId > 0 && batchId % p.packEvery == 0)
+            graft.ops.ExportOps.pack(spark, p.exportRoot)
+        }
+        kept
+      } finally if (decontaminated) { cleaned.unpersist(); () }
     }
 
   /**

@@ -26,7 +26,7 @@ object IvfRecallProbe {
       val d = s"/root/testdata/$sf"
       val e = Tables.load(spark, d, "embeddings")
       val q = e.filter(col("vec_id") < 8)
-      for (iters <- Seq(0, 3); nprobe <- Seq(4, 6)) {
+      for (iters <- Seq(0, 3); nprobe <- Seq(4, 6, 8, 10)) {
         val approx = SimilarityOps
           .ivfTopK(e, q, k = 5, dim = 64, nprobe = nprobe, iters = iters)
           .select(col("qid"), col("neighbor_id"))

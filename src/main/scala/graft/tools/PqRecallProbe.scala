@@ -35,21 +35,25 @@ object PqRecallProbe {
       val hh = AnnIndex.open(spark, s"$root/idx")
       val unitVecs = hh.assignments.scan()
         .select(col("vec_id"), col("v").as("embedding"))
-      val seedBooks = PqOps.codebooks(unitVecs, m = 8, k = 16)
       val exact = SimilarityOps.cosineTopK(e, q, k = 5)
         .select(col("qid"), col("neighbor_id")).cache()
       val nExact = exact.count()
-      for ((label, books, iters) <- Seq(
-          ("seed", seedBooks, 0),
-          ("lloyd2", PqOps.refineCodebooks(unitVecs, seedBooks, iters = 2), 2))) {
+      // quality-knob sweep (r17): subspace centroids k, Lloyd depth, and
+      // exact-re-rank shortlist — the three levers behind the certificate
+      for ((label, kSub, iters, kShort) <- Seq(
+          ("k16-i2-ks100", 16, 2, 100))) { // the shipped x3_pq_recall config
+        val seedBooks = PqOps.codebooks(unitVecs, m = 8, k = kSub)
+        val books = if (iters > 0)
+          PqOps.refineCodebooks(unitVecs, seedBooks, iters = iters)
+        else seedBooks
         val codes = PqOps.buildPqCodes(hh, s"$root/codes_$label", books,
           refineIters = iters)
-        for (nprobe <- Seq(4, 6)) {
+        for (nprobe <- Seq(6, 8, 10, 12, 16)) {
           val approx = AnnIndex.probePqRefined(hh, codes, books, q,
-            k = 5, kShort = 100, nprobe = nprobe)
+            k = 5, kShort = kShort, nprobe = nprobe)
             .select(col("qid"), col("neighbor_id"))
           val nHit = approx.join(exact, Seq("qid", "neighbor_id"), "leftsemi").count()
-          println(f"[pq-recall] $sf books=$label nprobe=$nprobe recall@5 = ${nHit.toDouble / nExact}%.3f ($nHit/$nExact)")
+          println(f"[pq-recall] $sf cfg=$label nprobe=$nprobe recall@5 = ${nHit.toDouble / nExact}%.3f ($nHit/$nExact)")
         }
       }
       exact.unpersist()

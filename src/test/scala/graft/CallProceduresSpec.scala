@@ -341,6 +341,59 @@ class CallProceduresSpec extends SparkSpec {
     }
   }
 
+  test("decontamination from SQL: decontaminate_spans scrubs the leak, decontaminate_near flags the ball") {
+    mkWarehouse("gpd")
+    def longText(seed: String): String =
+      (1 to 24).map(k => s"${seed}word$k").mkString(" ")
+    val benchText = (1 to 8).map(k => s"evaltok$k").mkString(" ")
+    Seq((900L, benchText)).toDF("doc_id", "text")
+      .createOrReplaceTempView("gpd_bench")
+    val leaky = longText("alpha").split(" ").take(12).mkString(" ") +
+      s" $benchText " + longText("alpha").split(" ").drop(12).mkString(" ")
+    Seq((1L, leaky), (2L, longText("gamma")))
+      .toDF("doc_id", "text").createOrReplaceTempView("gpd_corpus")
+    val Seq((v1, rows1, dirty)) = spark.sql(
+      "CALL gpd.system.decontaminate_spans('gpd_corpus', 'gpd_bench', 8, 'gpd_clean')")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(v1 === "gpd_clean" && rows1 === 2L && dirty === 1L)
+    val clean = spark.sql(
+      "SELECT doc_id, clean_text, n_removed FROM gpd_clean ORDER BY doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(!clean(0)._2.contains("evaltok") && clean(0)._3 === 8L,
+      s"the leaked example must scrub: ${clean(0)}")
+    assert(clean(1)._3 === 0L, "clean docs lose nothing")
+    // near-dup flag: doc 3 re-publishes the benchmark text verbatim
+    // (distance 0), doc 2 is unrelated
+    Seq((3L, benchText), (2L, longText("gamma")))
+      .toDF("doc_id", "text").createOrReplaceTempView("gpd_corpus2")
+    val Seq((v2, flagged)) = spark.sql(
+      "CALL gpd.system.decontaminate_near('gpd_corpus2', 'gpd_bench', 3, 'gpd_flag')")
+      .as[(String, Long)].collect().toSeq
+    assert(v2 === "gpd_flag" && flagged === 1L)
+    assert(spark.sql("SELECT doc_id, min_hamming FROM gpd_flag")
+      .as[(Long, Int)].collect().toSeq === Seq(3L -> 0))
+  }
+
+  test("export_snapshot from SQL: registers the consumer and returns the tail version") {
+    val w = mkWarehouse("gps")
+    val corpus = TransactionalTable.create(spark, s"$w/db/corpus",
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+      "doc_id", None)
+    corpus.append(Seq(1L -> "one doc body", 2L -> "two doc body")
+      .toDF("doc_id", "text"), batchId = 0)
+    assert(graft.ops.ExportOps.exportLatest(corpus, s"$w/db/exp",
+      nShards = 2, capacity = 16L).exported)
+    val Seq((view, n, tailV)) = spark.sql(
+      "CALL gps.system.export_snapshot('db.exp', 'trainer-z', 'gps_snap')")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(view === "gps_snap" && n === 2L)
+    assert(tailV === graft.ops.ExportOps.manifest(spark, s"$w/db/exp").currentVersion)
+    assert(spark.sql("SELECT doc_id FROM gps_snap ORDER BY doc_id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    assert(graft.ops.ExportOps.consumerAcks(spark, s"$w/db/exp")
+      .contains("trainer-z"))
+  }
+
   test("export consumer watermark from SQL: export_ack / export_consumers / export_drop_consumer") {
     val w = mkWarehouse("gpa")
     val corpus = TransactionalTable.create(spark, s"$w/db/corpus",
