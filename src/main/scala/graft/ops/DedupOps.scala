@@ -756,6 +756,7 @@ object DedupOps {
 
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    requireBandSound(maxDist)
     val chunked = simhashBands(simhashSketch(docs, idCol, textCol))
 
     chunked.as("a").join(chunked.as("b"),
@@ -769,6 +770,17 @@ object DedupOps {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The 4-chunk pigeonhole is SOUND only to Hamming distance 3 (4 chunks,
+    * ≤ 3 flipped bits → some chunk untouched); a wider ball silently loses
+    * candidates whose flips spread across all 4 chunks — a false negative
+    * shaped like a clean answer, so the bound is enforced, not documented
+    * (review r17). */
+  private def requireBandSound(maxDist: Int): Unit =
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3]: the 4x15-bit banding guarantees a " +
+        s"band collision only to Hamming distance 3 — a $maxDist-ball " +
+        "would silently miss pairs whose differing bits span all 4 chunks")
 
   /** A benchmark's banded SimHash sketch (band, chunk, bench_id,
     * bench_sim), precomputed for REPEATED [[nearContaminatedPre]] calls —
@@ -808,7 +820,8 @@ object DedupOps {
     * [[benchmarkBands]] frame — the per-micro-batch posture. */
   def nearContaminatedPre(corpus: DataFrame, benchBands: DataFrame,
       maxDist: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    requireBandSound(maxDist)
     simhashBands(simhashSketch(corpus, idCol, textCol))
       .join(broadcast(benchBands), Seq("band", "chunk"))
       .select(col("doc_id"), col("bench_id"),
@@ -819,4 +832,5 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bench_matches"),
         min(col("hamming")).cast("int").as("min_hamming"))
       .orderBy("doc_id")
+  }
 }

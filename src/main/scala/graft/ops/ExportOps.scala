@@ -152,20 +152,26 @@ object ExportOps {
   private def dirOf(exportRoot: String, fromV: Long, toV: Long): String =
     s"$exportRoot/exp_${fromV}_$toV"
 
-  private val AcksKey = "consumer.acks"
-
-  private def parseAcks(raw: Option[String]): Map[String, Long] =
-    raw.filter(_.nonEmpty).fold(Map.empty[String, Long]) { s =>
-      s.split(',').iterator.map { kv =>
-        val i = kv.lastIndexOf(':')
-        kv.substring(0, i) -> kv.substring(i + 1).toLong
-      }.toMap
-    }
+  /** The consumer-ack registry as an ENGINE TABLE under
+    * `exportRoot/_consumers` (PK = consumer): ack writes ride the table's
+    * optimistic commit protocol, so two orchestrator PROCESSES acking
+    * concurrently serialize through commit claims instead of losing a
+    * registration to a last-writer-wins metadata rewrite (review r17 —
+    * the watermark invariant must not rest on a non-CAS primitive). */
+  private def consumersTable(spark: SparkSession,
+      exportRoot: String): TransactionalTable = {
+    val root = s"$exportRoot/_consumers"
+    if (TransactionalTable.exists(root)) TransactionalTable.open(spark, root)
+    else TransactionalTable.create(spark, root,
+      StructType.fromDDL("consumer STRING, acked_to LONG"), "consumer", None)
+  }
 
   /** Registered consumers' acknowledged positions: consumerId → the last
     * interval end (`to_v`) that consumer has fully consumed. */
   def consumerAcks(spark: SparkSession, exportRoot: String): Map[String, Long] =
-    parseAcks(manifest(spark, exportRoot).customMeta(AcksKey))
+    if (!TransactionalTable.exists(s"$exportRoot/_consumers")) Map.empty
+    else consumersTable(spark, exportRoot).scan().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Record consumer progress (ADVICE r16 — the enforcement half of the
     * pack contract): `consumerId` has fully consumed every interval with
@@ -174,48 +180,61 @@ object ExportOps {
     * "pack consolidates already-consumed intervals" into a checked
     * invariant instead of a hope. Registration IS the first ack (a
     * consumer that has consumed nothing acks 0 and pins packing until it
-    * progresses); monotone, so a replayed ack never moves a consumer
-    * backwards. Unregistered consumers keep the old behavior: pack may
+    * progresses). Monotone: a stale or replayed ack (≤ the committed one)
+    * no-ops instead of moving the consumer backwards; concurrent acks
+    * from DIFFERENT consumers serialize through the table's optimistic
+    * commits. One orchestrator per consumer id is the intended topology
+    * (same-consumer concurrent acks are not serialized beyond the commit
+    * protocol). Unregistered consumers keep the old behavior: pack may
     * fold under them, and [[readInterval]] fails with the snapshot-then-
     * tail pointer instead of a raw missing-file error. */
   def ackConsumed(spark: SparkSession, exportRoot: String,
       consumerId: String, toV: Long): Unit = {
-    require(consumerId.nonEmpty && !consumerId.contains(',') &&
-      !consumerId.contains(':'),
-      s"consumer id must be non-empty without ',' or ':': '$consumerId'")
-    val m = manifest(spark, exportRoot)
-    val acks = parseAcks(m.customMeta(AcksKey))
-    val next = acks + (consumerId ->
-      math.max(toV, acks.getOrElse(consumerId, 0L)))
-    m.setCustomMeta(AcksKey, next.toSeq.sorted
-      .map { case (k, v) => s"$k:$v" }.mkString(","))
+    require(consumerId.nonEmpty, "consumer id must be non-empty")
+    require(toV >= 0, s"acked version must be >= 0, got $toV")
+    val t = consumersTable(spark, exportRoot)
+    if (consumerAcks(spark, exportRoot).get(consumerId).exists(_ >= toV))
+      return // monotone: never move a consumer backwards
+    import spark.implicits._
+    val writer = s"ack-$consumerId"
+    val bid = t.snapshot.writerFences.getOrElse(writer, -1L) + 1
+    t.merge(Seq((consumerId, toV)).toDF("consumer", "acked_to"),
+      spark.emptyDataset[String].toDF("consumer"),
+      batchId = bid, writerId = Some(writer))
   }
 
   /** Deregister a consumer — a decommissioned trainer must not pin the
     * pack watermark forever. */
   def dropConsumer(spark: SparkSession, exportRoot: String,
       consumerId: String): Unit = {
-    val m = manifest(spark, exportRoot)
-    val next = parseAcks(m.customMeta(AcksKey)) - consumerId
-    m.setCustomMeta(AcksKey, next.toSeq.sorted
-      .map { case (k, v) => s"$k:$v" }.mkString(","))
+    if (!TransactionalTable.exists(s"$exportRoot/_consumers")) return
+    val t = consumersTable(spark, exportRoot)
+    import spark.implicits._
+    val writer = s"ack-$consumerId"
+    val bid = t.snapshot.writerFences.getOrElse(writer, -1L) + 1
+    t.merge(spark.emptyDataset[(String, Long)].toDF("consumer", "acked_to"),
+      Seq(consumerId).toDF("consumer"), batchId = bid, writerId = Some(writer))
   }
 
   /** Snapshot-then-tail START-UP for a consumer born into an EXISTING root
     * (the contract [[streamIntervals]]' scaladoc states, packaged so it
-    * cannot be mis-assembled): registers `consumerId` as having consumed
-    * every currently published interval, and returns (the full reader-
-    * contract corpus, the manifest version to tail from) — pass the
-    * version to `streamIntervals(root, Some(v))`. An interval published
-    * concurrently with the snapshot may appear in both the snapshot and
-    * the tail (at-least-once at the seam); interval rows carry their
-    * (from_v, to_v) keys, so re-application is detectable and idempotent. */
+    * cannot be mis-assembled): registers `consumerId` at ack 0 — which
+    * PINS [[pack]] completely until the consumer advances, so the
+    * returned (lazy) snapshot can never have its interval dirs folded
+    * away between registration and materialization (review r17: acking
+    * the head here opened exactly that window) — and returns (the full
+    * reader-contract corpus, the manifest version to tail from). The
+    * caller materializes the snapshot, THEN acks the snapshot head
+    * ([[ackConsumed]] with the max `to_v` it consumed) to let packing
+    * resume. An interval published concurrently with the snapshot may
+    * appear in both the snapshot and the tail (at-least-once at the
+    * seam); interval rows carry their (from_v, to_v) keys, so
+    * re-application is detectable and idempotent. */
   def snapshotForConsumer(spark: SparkSession, exportRoot: String,
       consumerId: String): (DataFrame, Long) = {
     val m = manifest(spark, exportRoot)
+    ackConsumed(spark, exportRoot, consumerId, 0L)
     val v = m.currentVersion
-    ackConsumed(spark, exportRoot, consumerId,
-      intervals(spark, exportRoot).map(_.toV).maxOption.getOrElse(0L))
     (readCorpus(spark, exportRoot), v)
   }
 
@@ -338,18 +357,27 @@ object ExportOps {
       idCol: String = "doc_id", textCol: String = "text",
       textType: String = "STRING"): (DataFrame, DataFrame) = {
     val (id, pc, pt) = contract(spark, exportRoot, idCol, textCol, textType)
+    val dir = dirOf(exportRoot, fromV, toV)
     // a lagging or fresh-from-0 UNREGISTERED consumer can hold an interval
     // row whose dir pack() has since folded away — fail with the start-up
-    // contract instead of a raw missing-file error deep in the parquet read
-    if (!intervals(spark, exportRoot).exists(iv =>
-        iv.fromV == fromV && iv.toV == toV))
+    // contract instead of a raw missing-file error deep in the parquet
+    // read. The guard is OFF the hot path (review r17): every published
+    // interval's dir exists (even deletes-only publishes write the empty
+    // partitioned dir), so the manifest scan runs only on the miss path.
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) {
+      if (!intervals(spark, exportRoot).exists(iv =>
+          iv.fromV == fromV && iv.toV == toV))
+        throw new IllegalStateException(
+          s"export interval exp_${fromV}_$toV is no longer in the manifest — " +
+            "it was consolidated by pack(). Register progress with " +
+            "ExportOps.ackConsumed (pack never folds past the registered " +
+            "low-watermark), or start via ExportOps.snapshotForConsumer and " +
+            "tail streamIntervals from the returned manifest version")
       throw new IllegalStateException(
-        s"export interval exp_${fromV}_$toV is no longer in the manifest — " +
-          "it was consolidated by pack(). Register progress with " +
-          "ExportOps.ackConsumed (pack never folds past the registered " +
-          "low-watermark), or start via ExportOps.snapshotForConsumer and " +
-          "tail streamIntervals from the returned manifest version")
-    val dir = dirOf(exportRoot, fromV, toV)
+        s"export interval exp_${fromV}_$toV is in the manifest but its " +
+          s"directory is missing ($dir) — the export root is corrupted or " +
+          "was partially deleted out-of-band")
+    }
     val readSchema = StructType.fromDDL(
       s"shard INT, bin LONG, pos INT, $id LONG, n_tokens LONG, $pc $pt")
     val docs = spark.read.schema(readSchema).parquet(dir)
@@ -395,7 +423,7 @@ object ExportOps {
     // registered consumer has acknowledged — a lagging trainer's pending
     // interval dirs stay on disk until it acks past them. No registered
     // consumers = the whole chain is foldable (the pre-watermark contract).
-    val watermark = parseAcks(m.customMeta(AcksKey)).values.minOption
+    val watermark = consumerAcks(spark, exportRoot).values.minOption
     val ivs = watermark.fold(all)(w => all.filter(_.toV <= w))
     if (ivs.size <= 1)
       return PackResult(packed = false, ivs.size.toLong,

@@ -533,13 +533,18 @@ object GraftProcedures {
       row("result_view" -> S, "rows" -> L, "contaminated_docs" -> L),
       (c, a) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
         val out = graft.ops.DedupOps.removeContaminatedSpans(
           spark.table(a.getUTF8String(0).toString),
           spark.table(a.getUTF8String(1).toString), a.getInt(2))
         val view = a.getUTF8String(3).toString
         out.createOrReplaceTempView(view)
-        Seq(view, out.count(), out.where(col("n_removed") > 0).count())
+        // both counts from ONE pass — the scrub pipeline is the expensive
+        // leg and must not run twice for a pair of scalars
+        val stats = out.agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("n_removed") > 0, 1L).otherwise(0L)), lit(0L))
+            .as("dirty")).collect()(0)
+        Seq(view, stats.getLong(0), stats.getLong(1))
       }),
 
     "decontaminate_near" -> Spec(

@@ -240,6 +240,14 @@ object CorpusPipeline {
           }
       }
       spark.streams.addListener(listener)
+      // the listener registers AFTER start(): a stream that drains and
+      // terminates in the gap (AvailableNow over a tiny input) posted its
+      // terminated event to nobody — sweep that window here; unpersist is
+      // idempotent, so racing the listener's own close() is harmless
+      if (!q.isActive) {
+        dc.foreach(_.close()); nd.foreach(_.close())
+        spark.streams.removeListener(listener)
+      }
     }
     q
   }

@@ -974,11 +974,7 @@ final class TransactionalTable private (
       // fork references the same immutable chunk files (expiry's chunk GC is
       // branch-aware, see expireSnapshots).
       Files.copy(mainManifestDir.resolve(s"v$v.json"), bdir.resolve(s"v$v.json"))
-      val tmp = Paths.get(bdir.resolve("_current").toString + ".tmp")
-      Files.write(tmp, v.toString.getBytes, StandardOpenOption.CREATE,
-        StandardOpenOption.TRUNCATE_EXISTING)
-      Files.move(tmp, bdir.resolve("_current"), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      commitIo.putAtomic(bdir.resolve("_current"), v.toString.getBytes)
       branch(name)
     }
 
@@ -1102,22 +1098,14 @@ final class TransactionalTable private (
       val newVersion = math.max(snap.version, head.version) + 1
       commit(Snapshot(newVersion, math.max(snap.batchId, head.batchId),
         head.files, head.deletes, writerFences = fences))
-      val tmp = Paths.get(bdir.resolve("_published").toString + ".tmp")
-      Files.write(tmp, newVersion.toString.getBytes, StandardOpenOption.CREATE,
-        StandardOpenOption.TRUNCATE_EXISTING)
-      Files.move(tmp, bdir.resolve("_published"), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      commitIo.putAtomic(bdir.resolve("_published"), newVersion.toString.getBytes)
     }
   }
 
   private def writeRefs(refs: Map[String, Long]): Unit = {
     val node = mapper.createObjectNode()
     refs.foreach { case (k, v) => node.put(k, v) }
-    val tmp = Paths.get(root, "_refs.json.tmp")
-    Files.write(tmp, mapper.writeValueAsBytes(node),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, refsPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    commitIo.putAtomic(refsPath, mapper.writeValueAsBytes(node))
   }
 
   /**
@@ -1160,13 +1148,9 @@ final class TransactionalTable private (
     // publish numbering hole. Streaming resume uses this to tell a wedged
     // hole-offset apart from a genuinely expired one (writing before the
     // deletes keeps the floor conservative across a crash mid-expiry).
-    if (cutoff > expiryFloor) {
-      val tmp = Paths.get(root, "_expiry_floor.tmp")
-      Files.write(tmp, cutoff.toString.getBytes, StandardOpenOption.CREATE,
-        StandardOpenOption.TRUNCATE_EXISTING)
-      Files.move(tmp, Paths.get(root, "_expiry_floor"), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    if (cutoff > expiryFloor)
+      commitIo.putAtomic(Paths.get(root, "_expiry_floor"),
+        cutoff.toString.getBytes)
     val tagged = tags.values.toSet
     // Publish after branch divergence can skip main version numbers — keep
     // only versions whose manifest actually exists.
@@ -1910,7 +1894,7 @@ final class TransactionalTable private (
         s"'$name' is a former name of an existing column (rename history); pick another")
       val evolved = schema.add(org.apache.spark.sql.types.StructField(
         name, dataType, nullable = true, metadata))
-      writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId)
+      writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId, io = commitIo)
       new TransactionalTable(spark, root, evolved, pk, partitionSpec, renames,
         pastSpecs, currentSpecId, branchName)
     }
@@ -1934,7 +1918,7 @@ final class TransactionalTable private (
       }
       val fields = schema.fields.updated(idx, f.copy(metadata = mb.build()))
       val evolved = StructType(fields)
-      writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId)
+      writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId, io = commitIo)
       new TransactionalTable(spark, root, evolved, pk, partitionSpec, renames,
         pastSpecs, currentSpecId, branchName)
     }
@@ -1957,7 +1941,7 @@ final class TransactionalTable private (
       s"cannot drop partition column '${partitionCol.get}'")
     val evolved = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
     val prunedRenames = renames - name.toLowerCase(java.util.Locale.ROOT)
-    writeTableMeta(root, evolved, pk, partitionSpec, prunedRenames, pastSpecs, currentSpecId)
+    writeTableMeta(root, evolved, pk, partitionSpec, prunedRenames, pastSpecs, currentSpecId, io = commitIo)
     new TransactionalTable(spark, root, evolved, pk, partitionSpec, prunedRenames,
       pastSpecs, currentSpecId, branchName)
   }
@@ -1996,7 +1980,7 @@ final class TransactionalTable private (
           s"${to.simpleString} (lossless widenings only: byte/short/int→long, float→double)")
       val evolved = StructType(schema.fields.map(x =>
         if (x.name.equalsIgnoreCase(name)) x.copy(dataType = to) else x))
-      writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId)
+      writeTableMeta(root, evolved, pk, partitionSpec, renames, pastSpecs, currentSpecId, io = commitIo)
       new TransactionalTable(spark, root, evolved, pk, partitionSpec, renames,
         pastSpecs, currentSpecId, branchName)
     }
@@ -2030,7 +2014,7 @@ final class TransactionalTable private (
     // era still resolve.
     val olds = from +: renames.getOrElse(lc(from), Seq.empty)
     val newRenames = (renames - lc(from)) + (lc(to) -> olds)
-    writeTableMeta(root, evolved, pk, partitionSpec, newRenames, pastSpecs, currentSpecId)
+    writeTableMeta(root, evolved, pk, partitionSpec, newRenames, pastSpecs, currentSpecId, io = commitIo)
     new TransactionalTable(spark, root, evolved, pk, partitionSpec, newRenames,
       pastSpecs, currentSpecId, branchName)
   }
@@ -2062,7 +2046,7 @@ final class TransactionalTable private (
       }
       val nextId = (allSpecs.keySet + currentSpecId).max + 1
       val past = allSpecs // old current becomes a past spec
-      writeTableMeta(root, schema, pk, next, renames, past, nextId)
+      writeTableMeta(root, schema, pk, next, renames, past, nextId, io = commitIo)
       new TransactionalTable(spark, root, schema, pk, next, renames, past, nextId, branchName)
     }
 
@@ -2810,7 +2794,7 @@ final class TransactionalTable private (
       nt.commit(Snapshot(newVersion, snap.batchId, newFiles, Seq.empty))
     }
     writeTableMeta(root, newSchema, newPk, newSpec,
-      metaVersion = Some(nt.currentVersion), replaceSemantics = true)
+      metaVersion = Some(nt.currentVersion), replaceSemantics = true, io = commitIo)
     Files.deleteIfExists(marker)
     nt
   }
@@ -3863,7 +3847,11 @@ object TransactionalTable {
         * WRITER behavior carries: distribution, file sizing, sort order,
         * auto-compaction (the MV full-recompute path rides replaceWith —
         * losing the cadence there would undo bounded-file maintenance). */
-      replaceSemantics: Boolean = false): Unit = {
+      replaceSemantics: Boolean = false,
+      /** Static callers (create, heal) publish via POSIX; instance paths
+        * pass their handle's [[CommitIO]] so an injected store covers
+        * schema-evolution rewrites too. */
+      io: CommitIO = PosixCommitIO): Unit = {
     val meta = mapper.createObjectNode()
     meta.put("schemaJson", schema.json)
     meta.put("pk", pk)
@@ -3929,11 +3917,7 @@ object TransactionalTable {
         meta.put("metaVersion", old.get("metaVersion").asLong())
     }
     metaVersion.foreach(v => meta.put("metaVersion", v))
-    val tmp = Paths.get(root, "_table.json.tmp")
-    Files.write(tmp, mapper.writeValueAsBytes(meta),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, Paths.get(root, "_table.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    io.putAtomic(Paths.get(root, "_table.json"), mapper.writeValueAsBytes(meta))
   }
 
   /** SQL row-level operations whose write strategy is independently

@@ -257,17 +257,28 @@ class ExportOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("pack") &&
       ex.getMessage.contains("snapshotForConsumer"), ex.getMessage)
-    // snapshot-then-tail start-up: registers at the head (unpinning pack)
-    // and hands back the manifest version to tail from
+    // snapshot-then-tail start-up: registers at ack 0 — the snapshot's
+    // interval dirs cannot be folded away before the consumer MATERIALIZES
+    // it (review r17: acking the head at snapshot time opened exactly that
+    // window) — and hands back the manifest version to tail from
     val (snap, tailV) = ExportOps.snapshotForConsumer(spark, s"$root/exp",
       "trainer-b")
     assert(snap.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
     assert(tailV === ExportOps.manifest(spark, s"$root/exp").currentVersion)
     assert(ExportOps.consumerAcks(spark, s"$root/exp") ===
+      Map("trainer-a" -> v2, "trainer-b" -> 0L))
+    // the consumer acks the head AFTER consuming its snapshot
+    ExportOps.ackConsumed(spark, s"$root/exp", "trainer-b", v3)
+    // a stale/replayed ack never moves a consumer backwards
+    ExportOps.ackConsumed(spark, s"$root/exp", "trainer-b", v1)
+    assert(ExportOps.consumerAcks(spark, s"$root/exp") ===
       Map("trainer-a" -> v2, "trainer-b" -> v3))
     // a decommissioned trainer stops pinning the watermark
     ExportOps.dropConsumer(spark, s"$root/exp", "trainer-a")
     assert(ExportOps.consumerAcks(spark, s"$root/exp") === Map("trainer-b" -> v3))
+    // drop-then-re-register works (the fence must not eat the comeback)
+    ExportOps.ackConsumed(spark, s"$root/exp", "trainer-a", v1)
+    assert(ExportOps.consumerAcks(spark, s"$root/exp")("trainer-a") === v1)
   }
 
   test("deletes-only interval publishes tombstones + a zero-doc manifest row (ADVICE r15)") {
