@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.table.TransactionalTable
+
+/**
+ * Corpus QUALITY-DRIFT monitor (E221 — the ingest-side twin of the ANN
+ * index's cell-skew drift trigger): a crawler gone bad, a source flipped
+ * to boilerplate, or a parser regression shows up as a SHIFT in the
+ * token-length distribution long before any single funnel rule fires.
+ * The monitor keeps one tiny bucket-histogram row set per micro-batch in
+ * an engine table and scores Population Stability Index (PSI) between a
+ * reference window and the current batch — the standard drift statistic
+ * (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted).
+ *
+ * Determinism (the oracle contract): buckets are FIXED powers-of-two
+ * token-count ranges expressed as an integer CASE chain (no float log),
+ * probabilities are Laplace-smoothed exact-integer ratios, and PSI is a
+ * sum of IEEE double ln/multiply over those ratios — replayable by an
+ * external engine term-for-term.
+ *
+ * 100 TB shape: per-batch cost is ONE map-side-combinable aggregation to
+ * ≤ 10 rows (the histogram), and the drift score is arithmetic over two
+ * ≤ 10-row frames — the monitor adds no wide shuffle to the ingest path
+ * at any corpus size.
+ */
+object QualityMonitor {
+
+  /** Upper bounds (inclusive) of the token-count buckets: 2^k − 1 ladder,
+    * final bucket unbounded. Integer boundaries = exact bucketing in any
+    * engine. */
+  val BucketBounds: Seq[Long] = Seq(0L, 1L, 3L, 7L, 15L, 31L, 63L, 127L, 255L, 511L)
+
+  /** Bucket index for a token count — a codegen'd integer CASE chain. */
+  def tokenBucket(n: Column): Column =
+    BucketBounds.zipWithIndex.foldRight(lit(BucketBounds.size): Column) {
+      case ((bound, i), acc) => when(n <= bound, lit(i)).otherwise(acc)
+    }
+
+  /** The ≤ 11-row histogram of a document frame: (bucket, n_docs). */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(tokenBucket(size(TextOps.tokens(col(textCol))).cast("long"))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+
+  /** PSI between a reference and a current histogram (both
+    * (bucket, n_docs)): one row (psi, n_ref, n_cur). Laplace smoothing
+    * (+1 per bucket over the full bucket domain) keeps empty buckets
+    * finite and the arithmetic exact-rational up to the final ln. */
+  def psi(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val k = BucketBounds.size + 1
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val buckets = (0 until k).map(_.toLong).toDF("bucket")
+    val r = ref.groupBy("bucket").agg(sum("n_docs").as("rn"))
+    val c = cur.groupBy("bucket").agg(sum("n_docs").as("cn"))
+    val joined = buckets.join(r, Seq("bucket"), "left").join(c, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("rn"), lit(0L)).as("rn"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val tot = joined.agg(sum("rn").as("rt"), sum("cn").as("ct"))
+    val pc = (col("cn") + 1).cast("double") / (col("ct") + k).cast("double")
+    val pr = (col("rn") + 1).cast("double") / (col("rt") + k).cast("double")
+    joined.crossJoin(broadcast(tot))
+      .select(((pc - pr) * (log(pc) - log(pr))).as("term"),
+        col("rt"), col("ct"))
+      .groupBy(col("rt").as("n_ref"), col("ct").as("n_cur"))
+      .agg(sum(col("term")).as("psi"))
+      .select(col("psi"), col("n_ref"), col("n_cur"))
+  }
+
+  /** Create/open the per-batch histogram table at `root`
+    * (PK = (batch, bucket)). */
+  def statsTable(spark: org.apache.spark.sql.SparkSession,
+      root: String): TransactionalTable =
+    if (TransactionalTable.exists(root)) TransactionalTable.open(spark, root)
+    else TransactionalTable.create(spark, root,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "stat_id STRING, batch LONG, bucket LONG, n_docs LONG"),
+      "stat_id", None)
+
+  /** Append one micro-batch's histogram (replay-fenced: a re-delivered
+    * epoch recomputes the identical ≤ 11 rows and the commit no-ops). */
+  def appendBatch(stats: TransactionalTable, docs: DataFrame, batchId: Long,
+      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = profile(docs, textCol)
+      .select(concat_ws(":", lit(batchId), col("bucket")).as("stat_id"),
+        lit(batchId).as("batch"), col("bucket"), col("n_docs"))
+    stats.merge(rows, spark.emptyDataset[String].toDF("stat_id"),
+      batchId = batchId, writerId = Some("quality-monitor"))
+  }
+
+  final case class Drift(psi: Double, nRef: Long, nCur: Long, drifted: Boolean)
+
+  /** Score the batches AFTER `refUpToBatch` against the reference window
+    * (batches ≤ `refUpToBatch`) from the STORED histograms — the check an
+    * operator (or an ingest-gate hook) runs at cadence. */
+  def drift(stats: TransactionalTable, refUpToBatch: Long,
+      threshold: Double = 0.25): Drift = {
+    val s = stats.scan().select(col("batch"), col("bucket"), col("n_docs"))
+    val r = psi(
+      s.where(col("batch") <= refUpToBatch).select("bucket", "n_docs"),
+      s.where(col("batch") > refUpToBatch).select("bucket", "n_docs"))
+      .collect()(0)
+    Drift(r.getDouble(0), r.getLong(1), r.getLong(2),
+      drifted = r.getDouble(0) > threshold)
+  }
+}

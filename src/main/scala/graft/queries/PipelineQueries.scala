@@ -773,6 +773,45 @@ object PipelineQueries {
     // cutoffs (explicit percentile_disc rule over a deterministic hash
     // sample; rate 1.0 here) on the oracle-exact bigram-rarity score, then
     // a broadcast map-only bucket assignment.
+    // X4: corpus QUALITY-DRIFT score (E221 — the ingest-side drift monitor):
+    // PSI between the even-id docs (reference window) and the odd-id docs
+    // (current window) over fixed powers-of-two token-length buckets —
+    // integer CASE bucketing, Laplace-smoothed exact-integer ratios, ln/sum
+    // in IEEE doubles rounded to 6 decimals (the last step absorbs ULP and
+    // summation-order divergence between engines; the buckets and counts
+    // beneath are exact). The fixture's halves are distribution-identical
+    // by construction, so the expected score is ≈ 0 — the oracle proves the
+    // arithmetic, the spec proves a planted shift flips the verdict.
+    Q("x4_quality_drift",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        graft.ops.QualityMonitor.psi(
+          graft.ops.QualityMonitor.profile(docs.filter(col("doc_id") % 2 === 0)),
+          graft.ops.QualityMonitor.profile(docs.filter(col("doc_id") % 2 === 1)))
+          .select(round(col("psi"), 6).as("psi"), col("n_ref"), col("n_cur"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
+             |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM toks),
+             |b AS (SELECT doc_id,
+             |        CASE WHEN n <= 0 THEN 0 WHEN n <= 1 THEN 1 WHEN n <= 3 THEN 2
+             |             WHEN n <= 7 THEN 3 WHEN n <= 15 THEN 4 WHEN n <= 31 THEN 5
+             |             WHEN n <= 63 THEN 6 WHEN n <= 127 THEN 7 WHEN n <= 255 THEN 8
+             |             WHEN n <= 511 THEN 9 ELSE 10 END AS bucket
+             |      FROM n),
+             |dom AS (SELECT CAST(unnest(range(11)) AS BIGINT) AS bucket),
+             |r AS (SELECT bucket, COUNT(*) AS rn FROM b WHERE doc_id % 2 = 0 GROUP BY bucket),
+             |c AS (SELECT bucket, COUNT(*) AS cn FROM b WHERE doc_id % 2 = 1 GROUP BY bucket),
+             |j AS (SELECT dom.bucket, COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+             |      FROM dom LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
+             |t AS (SELECT SUM(rn) AS rt, SUM(cn) AS ct FROM j)
+             |SELECT round(SUM(
+             |         (CAST(cn + 1 AS DOUBLE) / CAST(ct + 11 AS DOUBLE)
+             |            - CAST(rn + 1 AS DOUBLE) / CAST(rt + 11 AS DOUBLE))
+             |         * (ln(CAST(cn + 1 AS DOUBLE) / CAST(ct + 11 AS DOUBLE))
+             |            - ln(CAST(rn + 1 AS DOUBLE) / CAST(rt + 11 AS DOUBLE)))), 6) AS psi,
+             |       CAST(MAX(rt) AS BIGINT) AS n_ref, CAST(MAX(ct) AS BIGINT) AS n_cur
+             |FROM j, t""".stripMargin)),
+
     Q("x4_quality_buckets",
       (s, d) => TextOps.qualityBuckets(Tables.load(s, d, "documents"),
           buckets = 3, sampleRate = 1.0)

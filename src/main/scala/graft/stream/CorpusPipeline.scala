@@ -99,10 +99,18 @@ object CorpusPipeline {
         * doc drop WHOLE before the funnel — the paraphrased-eval-leak case
         * span removal cannot touch. Deterministic per input, so replays
         * recompute the identical drop set. */
-      nearDecontaminate: Option[NearDecontaminate] = None): DataFrame =
+      nearDecontaminate: Option[NearDecontaminate] = None,
+      /** Quality-drift monitor (E221): record the RAW batch's token-length
+        * histogram (≤ 11 rows, replay-fenced) BEFORE any gate touches it —
+        * drift must observe the incoming distribution, not the cleaned
+        * survivor set, or the funnel would mask exactly the shift it is
+        * there to surface. Score at cadence with
+        * [[graft.ops.QualityMonitor.drift]]. */
+      monitor: Option[graft.table.TransactionalTable] = None): DataFrame =
     graft.util.BatchStats.timed("corpus_stream_batch") {
       val spark = docs.sparkSession
       import spark.implicits._
+      monitor.foreach(t => graft.ops.QualityMonitor.appendBatch(t, docs, batchId))
       val decon = decontaminate.fold(docs) { dc =>
         val spans = graft.ops.DedupOps.contaminatedSpansPre(
           docs, dc.benchWindows, dc.window)
@@ -209,7 +217,8 @@ object CorpusPipeline {
       decontaminate: Option[DataFrame] = None,
       decontaminateWindow: Int = 8,
       nearDecontaminate: Option[DataFrame] = None,
-      nearDecontaminateMaxDist: Int = 3): StreamingQuery = {
+      nearDecontaminateMaxDist: Int = 3,
+      monitor: Option[graft.table.TransactionalTable] = None): StreamingQuery = {
     // build (and cache) the benchmark window/band indexes ONCE per stream
     val dc = decontaminate.map(b => Decontaminate.of(b, decontaminateWindow))
     val nd = nearDecontaminate.map(b =>
@@ -221,7 +230,7 @@ object CorpusPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, bid: Long) =>
         processBatch(index, corpus, df, bid, clean, compactEvery, publish,
-          dc, nd); ()
+          dc, nd, monitor); ()
       }
       .trigger(trigger)
       .start()

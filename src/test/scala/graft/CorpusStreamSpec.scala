@@ -173,6 +173,51 @@ class CorpusStreamSpec extends SparkSpec {
       "replayed near-gated epoch must no-op")
   }
 
+  test("quality-drift monitor (E221): a planted length shift flips the verdict; stable traffic does not; replay fenced") {
+    import graft.ops.QualityMonitor
+    val in = tmpDir("qm-stream-in")
+    val cp = tmpDir("qm-stream-cp")
+    val index = DedupIndex.create(spark, tmpDir("qm-stream-idx") + "/idx")
+    val corpus = TransactionalTable.create(spark, tmpDir("qm-stream-tbl") + "/c",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING"), "doc_id")
+    val stats = QualityMonitor.statsTable(spark, tmpDir("qm-stream-st") + "/stats")
+    def runOnce(): Unit = {
+      val q = CorpusPipeline.run(spark, in, cp, index, corpus, FunnelRules.keep,
+        monitor = Some(stats))
+      q.awaitTermination()
+    }
+    // batch 0: 24-token docs (the reference window)
+    writeBatch(in, "b0.json",
+      (1L to 8L).map(i => (i, longText(s"ref$i"), "en", "src0")))
+    runOnce()
+    // batch 1: same length profile → stable
+    writeBatch(in, "b1.json",
+      (11L to 18L).map(i => (i, longText(s"cur$i"), "en", "src0")))
+    runOnce()
+    val stable = QualityMonitor.drift(stats, refUpToBatch = 0)
+    assert(!stable.drifted && stable.nRef === 8L && stable.nCur === 8L,
+      s"identical length profiles must not drift: $stable")
+    // batch 2: the crawler goes bad — everything collapses to 2 tokens
+    writeBatch(in, "b2.json",
+      (21L to 28L).map(i => (i, "tiny doc", "en", "src0")))
+    runOnce()
+    val shifted = QualityMonitor.drift(stats, refUpToBatch = 1)
+    assert(shifted.drifted && shifted.psi > 0.25,
+      s"a wholesale length collapse must trip the monitor: $shifted")
+    // drift observes the RAW input: the funnel DROPPED the tiny docs (< 20
+    // tokens), so the corpus never saw them — only the monitor did
+    assert(corpus.scan().filter($"doc_id" >= 21L).count() === 0L,
+      "the shifted batch must be funnel-dropped from the corpus")
+    // re-delivered epoch: identical ≤ 11 histogram rows, fenced no-op
+    val sv = stats.currentVersion
+    CorpusPipeline.processBatch(index, corpus,
+      (21L to 28L).map(i => (i, "tiny doc", "en", "src0"))
+        .toDF("doc_id", "text", "lang", "source"),
+      2L, FunnelRules.keep, monitor = Some(stats))
+    assert(stats.currentVersion === sv, "replayed monitor epoch must no-op")
+  }
+
   test("continuous publication (E188): per-batch exports chain the manifest fence; union = corpus") {
     import graft.ops.ExportOps
     val in = tmpDir("pub-stream-in")
