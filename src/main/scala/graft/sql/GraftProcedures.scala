@@ -578,6 +578,36 @@ object GraftProcedures {
         Seq(view, df.count(), v)
       }),
 
+    // QUALITY-DRIFT monitor from SQL (E221's runbook surface): append one
+    // micro-batch's token-length histogram; score the tail against a
+    // reference window off the stored rows.
+    //   CALL graft.system.quality_monitor_append('db.stats', 'docs_view', 0)
+    //   CALL graft.system.quality_drift('db.stats', 1, 0.25)
+    "quality_monitor_append" -> Spec(
+      Seq("stats" -> S, "source" -> S, "batch_id" -> L),
+      row("batch_id" -> L, "n_docs" -> L, "version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        val stats = open(c, a)
+        val docs = spark.table(a.getUTF8String(1).toString)
+        graft.ops.QualityMonitor.appendBatch(stats, docs, a.getLong(2))
+        val n = stats.scan().where(col("batch") === a.getLong(2))
+          .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()(0)
+        Seq(a.getLong(2), if (n.isNullAt(0)) 0L else n.getLong(0),
+          stats.currentVersion)
+      }),
+
+    "quality_drift" -> Spec(
+      Seq("stats" -> S, "ref_up_to_batch" -> L, "threshold" -> D),
+      row("psi" -> DoubleType, "n_ref" -> L, "n_cur" -> L,
+        "drifted" -> BooleanType),
+      (c, a) => {
+        val r = graft.ops.QualityMonitor.drift(open(c, a), a.getLong(1),
+          a.getDouble(2))
+        Seq(r.psi, r.nRef, r.nCur, r.drifted)
+      }),
+
     // BATCH SAMPLING family from SQL (r16 verdict #6 — the last pipeline
     // family that was Scala-API only; the reference's posture is SQL-first,
     // README.md:436): each procedure runs the corresponding DedupOps

@@ -374,6 +374,35 @@ class CallProceduresSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSeq === Seq(3L -> 0))
   }
 
+  test("quality-drift monitor from SQL: append histograms, score the tail, planted shift flips the verdict") {
+    val w = mkWarehouse("gpq")
+    graft.ops.QualityMonitor.statsTable(spark, s"$w/db/stats")
+    def docsView(name: String, words: Int, ids: Range): Unit =
+      ids.map(i => (i.toLong, (1 to words).map(k => s"w${i}x$k").mkString(" ")))
+        .toDF("doc_id", "text").createOrReplaceTempView(name)
+    docsView("gpq_b0", 24, 1 to 8)
+    docsView("gpq_b1", 24, 11 to 18)
+    docsView("gpq_b2", 2, 21 to 28) // the collapse
+    for ((v, b) <- Seq(("gpq_b0", 0), ("gpq_b1", 1), ("gpq_b2", 2))) {
+      val Seq((bid, n, _)) = spark.sql(
+        s"CALL gpq.system.quality_monitor_append('db.stats', '$v', $b)")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(bid === b.toLong && n === 8L)
+    }
+    val Seq((psiStable, nr, nc, dStable)) = spark.sql(
+      "CALL gpq.system.quality_drift('db.stats', 0, 0.25)")
+      .as[(Double, Long, Long, Boolean)].collect().toSeq
+    // ref = batch 0 (8 docs), cur = batches 1+2 (8 same + 8 collapsed):
+    // half the tail shifted — already past the 0.25 band
+    assert(nr === 8L && nc === 16L && dStable === (psiStable > 0.25))
+    val Seq((psi2, _, _, drifted)) = spark.sql(
+      "CALL gpq.system.quality_drift('db.stats', 1, 0.25)")
+      .as[(Double, Long, Long, Boolean)].collect().toSeq
+    assert(drifted && psi2 > 0.25,
+      s"the collapsed tail alone must trip the verdict: $psi2")
+    assert(psi2 > psiStable, "a purer shifted tail scores higher")
+  }
+
   test("export_snapshot from SQL: registers the consumer and returns the tail version") {
     val w = mkWarehouse("gps")
     val corpus = TransactionalTable.create(spark, s"$w/db/corpus",
