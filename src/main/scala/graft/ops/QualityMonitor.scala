@@ -10,10 +10,10 @@ import graft.table.TransactionalTable
  * index's cell-skew drift trigger): a crawler gone bad, a source flipped
  * to boilerplate, or a parser regression shows up as a SHIFT in the
  * token-length distribution long before any single funnel rule fires.
- * The monitor keeps one tiny bucket-histogram row set per micro-batch in
- * an engine table and scores Population Stability Index (PSI) between a
- * reference window and the current batch — the standard drift statistic
- * (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted).
+ * The monitor keeps one tiny bucket-histogram row set (≤ 11 rows) per
+ * micro-batch in an engine table and scores Population Stability Index
+ * (PSI) between a reference window and the current batch — the standard
+ * drift statistic (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted).
  *
  * Determinism (the oracle contract): buckets are FIXED powers-of-two
  * token-count ranges expressed as an integer CASE chain (no float log),
@@ -22,8 +22,8 @@ import graft.table.TransactionalTable
  * external engine term-for-term.
  *
  * 100 TB shape: per-batch cost is ONE map-side-combinable aggregation to
- * ≤ 10 rows (the histogram), and the drift score is arithmetic over two
- * ≤ 10-row frames — the monitor adds no wide shuffle to the ingest path
+ * ≤ 11 rows (the histogram), and the drift score is arithmetic over two
+ * ≤ 11-row frames — the monitor adds no wide shuffle to the ingest path
  * at any corpus size.
  */
 object QualityMonitor {
@@ -87,23 +87,36 @@ object QualityMonitor {
       "stat_id", None)
 
   /** Append one micro-batch's histogram (replay-fenced: a re-delivered
-    * epoch recomputes the identical ≤ 11 rows and the commit no-ops). */
+    * epoch recomputes the identical ≤ 11 rows and the commit no-ops).
+    * Returns FALSE when the fence dropped the append — an out-of-order
+    * backfill or a second pipeline behind this writer's high-water mark
+    * must be VISIBLE to the caller, not silently absorbed (review r17);
+    * pipelines sharing one stats table pass distinct `writerId`s (the
+    * ExportOps per-consumer convention) so neither fences the other out. */
   def appendBatch(stats: TransactionalTable, docs: DataFrame, batchId: Long,
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      writerId: String = "quality-monitor"): Boolean = {
+    if (batchId <= stats.snapshot.writerFences.getOrElse(writerId, -1L))
+      return false
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = profile(docs, textCol)
       .select(concat_ws(":", lit(batchId), col("bucket")).as("stat_id"),
         lit(batchId).as("batch"), col("bucket"), col("n_docs"))
     stats.merge(rows, spark.emptyDataset[String].toDF("stat_id"),
-      batchId = batchId, writerId = Some("quality-monitor"))
+      batchId = batchId, writerId = Some(writerId))
+    true
   }
 
   final case class Drift(psi: Double, nRef: Long, nCur: Long, drifted: Boolean)
 
   /** Score the batches AFTER `refUpToBatch` against the reference window
     * (batches ≤ `refUpToBatch`) from the STORED histograms — the check an
-    * operator (or an ingest-gate hook) runs at cadence. */
+    * operator (or an ingest-gate hook) runs at cadence. An EMPTY window on
+    * either side never flags: Laplace smoothing turns zero evidence into a
+    * uniform distribution, which scores ~0.84 against any concentrated
+    * real profile — a loud false alarm from no data at all (review r17);
+    * psi is still reported so the caller can see the degenerate score. */
   def drift(stats: TransactionalTable, refUpToBatch: Long,
       threshold: Double = 0.25): Drift = {
     val s = stats.scan().select(col("batch"), col("bucket"), col("n_docs"))
@@ -112,6 +125,6 @@ object QualityMonitor {
       s.where(col("batch") > refUpToBatch).select("bucket", "n_docs"))
       .collect()(0)
     Drift(r.getDouble(0), r.getLong(1), r.getLong(2),
-      drifted = r.getDouble(0) > threshold)
+      drifted = r.getDouble(0) > threshold && r.getLong(1) > 0 && r.getLong(2) > 0)
   }
 }

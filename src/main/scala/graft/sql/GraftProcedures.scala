@@ -585,16 +585,20 @@ object GraftProcedures {
     //   CALL graft.system.quality_drift('db.stats', 1, 0.25)
     "quality_monitor_append" -> Spec(
       Seq("stats" -> S, "source" -> S, "batch_id" -> L),
-      row("batch_id" -> L, "n_docs" -> L, "version" -> L),
+      row("batch_id" -> L, "committed" -> BooleanType, "n_docs" -> L,
+        "version" -> L),
       (c, a) => {
         val spark = org.apache.spark.sql.SparkSession.active
         import org.apache.spark.sql.functions.col
         val stats = open(c, a)
         val docs = spark.table(a.getUTF8String(1).toString)
-        graft.ops.QualityMonitor.appendBatch(stats, docs, a.getLong(2))
+        // `committed` = false when the writer fence dropped the append (an
+        // out-of-order backfill) — the operator must SEE the no-op
+        val committed = graft.ops.QualityMonitor.appendBatch(stats, docs,
+          a.getLong(2))
         val n = stats.scan().where(col("batch") === a.getLong(2))
           .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()(0)
-        Seq(a.getLong(2), if (n.isNullAt(0)) 0L else n.getLong(0),
+        Seq(a.getLong(2), committed, if (n.isNullAt(0)) 0L else n.getLong(0),
           stats.currentVersion)
       }),
 

@@ -173,8 +173,13 @@ object CorpusPipeline {
    */
   def processBatchKeepBest(index: TransactionalTable, corpus: TransactionalTable,
       docs: DataFrame, batchId: Long, clean: Column,
-      compactEvery: Int = 0): graft.ops.KeepBestIndex.BatchResult =
+      compactEvery: Int = 0,
+      /** Same raw-batch drift recording as [[processBatch]] (review r17:
+        * the keep-best ingest posture must be able to observe a crawler
+        * collapse too). */
+      monitor: Option[TransactionalTable] = None): graft.ops.KeepBestIndex.BatchResult =
     graft.util.BatchStats.timed("keepbest_stream_batch") {
+      monitor.foreach(t => graft.ops.QualityMonitor.appendBatch(t, docs, batchId))
       val cleaned = docs.filter(clean)
       val r = graft.ops.KeepBestIndex.appendBatch(index, cleaned, batchId,
         compactEvery = compactEvery)
@@ -190,14 +195,16 @@ object CorpusPipeline {
       index: TransactionalTable, corpus: TransactionalTable, clean: Column,
       schemaDdl: String = "doc_id LONG, text STRING, lang STRING, source STRING",
       compactEvery: Int = 0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      monitor: Option[TransactionalTable] = None): StreamingQuery =
     spark.readStream
       .schema(schemaDdl)
       .json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, bid: Long) =>
-        processBatchKeepBest(index, corpus, df, bid, clean, compactEvery); ()
+        processBatchKeepBest(index, corpus, df, bid, clean, compactEvery,
+          monitor); ()
       }
       .trigger(trigger)
       .start()

@@ -384,11 +384,16 @@ class CallProceduresSpec extends SparkSpec {
     docsView("gpq_b1", 24, 11 to 18)
     docsView("gpq_b2", 2, 21 to 28) // the collapse
     for ((v, b) <- Seq(("gpq_b0", 0), ("gpq_b1", 1), ("gpq_b2", 2))) {
-      val Seq((bid, n, _)) = spark.sql(
+      val Seq((bid, committed, n, _)) = spark.sql(
         s"CALL gpq.system.quality_monitor_append('db.stats', '$v', $b)")
-        .as[(Long, Long, Long)].collect().toSeq
-      assert(bid === b.toLong && n === 8L)
+        .as[(Long, Boolean, Long, Long)].collect().toSeq
+      assert(bid === b.toLong && committed && n === 8L)
     }
+    // an out-of-order backfill behind the writer fence is VISIBLE, not
+    // silently absorbed
+    assert(!spark.sql(
+      "CALL gpq.system.quality_monitor_append('db.stats', 'gpq_b0', 1)")
+      .select("committed").as[Boolean].head())
     val Seq((psiStable, nr, nc, dStable)) = spark.sql(
       "CALL gpq.system.quality_drift('db.stats', 0, 0.25)")
       .as[(Double, Long, Long, Boolean)].collect().toSeq

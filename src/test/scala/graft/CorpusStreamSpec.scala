@@ -216,6 +216,11 @@ class CorpusStreamSpec extends SparkSpec {
         .toDF("doc_id", "text", "lang", "source"),
       2L, FunnelRules.keep, monitor = Some(stats))
     assert(stats.currentVersion === sv, "replayed monitor epoch must no-op")
+    // an EMPTY current window never flags (smoothing would score a uniform
+    // no-data profile ~0.84 against any real traffic — a false alarm)
+    val empty = QualityMonitor.drift(stats, refUpToBatch = 2)
+    assert(!empty.drifted && empty.nCur === 0L,
+      s"zero current evidence must not read as drift: $empty")
   }
 
   test("continuous publication (E188): per-batch exports chain the manifest fence; union = corpus") {
