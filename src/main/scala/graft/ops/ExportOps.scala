@@ -162,8 +162,27 @@ object ExportOps {
       exportRoot: String): TransactionalTable = {
     val root = s"$exportRoot/_consumers"
     if (TransactionalTable.exists(root)) TransactionalTable.open(spark, root)
-    else TransactionalTable.create(spark, root,
+    else try TransactionalTable.create(spark, root,
       StructType.fromDDL("consumer STRING, acked_to LONG"), "consumer", None)
+    catch {
+      // two consumers registering on a VIRGIN root race the table creation
+      // (exists→create is check-then-act across processes); every creator
+      // writes the identical schema/PK meta, so the loser — whatever stage
+      // its create died at (meta tmp collision, v0 claim, exists guard) —
+      // opens the winner's table and proceeds. The open itself can race the
+      // winner's still-in-flight v0 commit: retry briefly until the pointer
+      // lands (bounded — the winner's create is a two-file local write)
+      case e: Exception =>
+        var last: Throwable = e
+        var opened: TransactionalTable = null
+        var i = 0
+        while (opened == null && i < 50) {
+          try opened = TransactionalTable.open(spark, root)
+          catch { case t: Exception => last = t; Thread.sleep(20); i += 1 }
+        }
+        if (opened == null) throw last
+        opened
+    }
   }
 
   /** Registered consumers' acknowledged positions: consumerId → the last
@@ -180,12 +199,16 @@ object ExportOps {
     * "pack consolidates already-consumed intervals" into a checked
     * invariant instead of a hope. Registration IS the first ack (a
     * consumer that has consumed nothing acks 0 and pins packing until it
-    * progresses). Monotone: a stale or replayed ack (≤ the committed one)
-    * no-ops instead of moving the consumer backwards; concurrent acks
-    * from DIFFERENT consumers serialize through the table's optimistic
-    * commits. One orchestrator per consumer id is the intended topology
-    * (same-consumer concurrent acks are not serialized beyond the commit
-    * protocol). Unregistered consumers keep the old behavior: pack may
+    * progresses). Monotone AT THE WRITE (ADVICE r17 — the old shape was
+    * check-then-act: two processes acking the same consumer could both
+    * pass the pre-read and commit out of order, regressing `acked_to`
+    * and unpinning [[pack]] under a lagging reader): the read-and-merge
+    * runs under a serializable-validation loop — each attempt pins the
+    * table version it read the stored ack at ([[TransactionalTable
+    * .mergeAdhoc]]'s `expectedVersion` gate), so a concurrent commit
+    * forces a re-read and the committed value can only be
+    * greatest(existing, new). A stale or replayed ack (≤ the committed
+    * one) no-ops. Unregistered consumers keep the old behavior: pack may
     * fold under them, and [[readInterval]] fails with the snapshot-then-
     * tail pointer instead of a raw missing-file error. */
   def ackConsumed(spark: SparkSession, exportRoot: String,
@@ -193,14 +216,27 @@ object ExportOps {
     require(consumerId.nonEmpty, "consumer id must be non-empty")
     require(toV >= 0, s"acked version must be >= 0, got $toV")
     val t = consumersTable(spark, exportRoot)
-    if (consumerAcks(spark, exportRoot).get(consumerId).exists(_ >= toV))
-      return // monotone: never move a consumer backwards
     import spark.implicits._
-    val writer = s"ack-$consumerId"
-    val bid = t.snapshot.writerFences.getOrElse(writer, -1L) + 1
-    t.merge(Seq((consumerId, toV)).toDF("consumer", "acked_to"),
-      spark.emptyDataset[String].toDF("consumer"),
-      batchId = bid, writerId = Some(writer))
+    var attempts = 0
+    while (true) {
+      val v0 = t.currentVersion
+      val stored = t.scanAt(v0).where(col("consumer") === consumerId)
+        .collect().headOption.map(_.getLong(1))
+      if (stored.exists(_ >= toV)) return // monotone: never move backwards
+      try {
+        t.mergeAdhoc(Seq((consumerId, toV)).toDF("consumer", "acked_to"),
+          spark.emptyDataset[String].toDF("consumer"),
+          expectedVersion = Some(v0))
+        return
+      } catch {
+        // a concurrent ack landed between our read and our commit: the
+        // version gate rejected the write — re-read and re-decide (the
+        // loop converges: each rejection means the table advanced)
+        case e: graft.table.CommitConflictException =>
+          attempts += 1
+          if (attempts > 20) throw e
+      }
+    }
   }
 
   /** Deregister a consumer — a decommissioned trainer must not pin the
@@ -219,17 +255,26 @@ object ExportOps {
   /** Snapshot-then-tail START-UP for a consumer born into an EXISTING root
     * (the contract [[streamIntervals]]' scaladoc states, packaged so it
     * cannot be mis-assembled): registers `consumerId` at ack 0 — which
-    * PINS [[pack]] completely until the consumer advances, so the
-    * returned (lazy) snapshot can never have its interval dirs folded
-    * away between registration and materialization (review r17: acking
-    * the head here opened exactly that window) — and returns (the full
+    * pins [[pack]] until the consumer advances — and returns (the full
     * reader-contract corpus, the manifest version to tail from). The
     * caller materializes the snapshot, THEN acks the snapshot head
     * ([[ackConsumed]] with the max `to_v` it consumed) to let packing
     * resume. An interval published concurrently with the snapshot may
     * appear in both the snapshot and the tail (at-least-once at the
     * seam); interval rows carry their (from_v, to_v) keys, so
-    * re-application is detectable and idempotent. */
+    * re-application is detectable and idempotent.
+    *
+    * The pin itself is AT-MOST-ONCE against an in-flight pack (ADVICE
+    * r17), two ways: (a) a [[pack]] in another process that read the
+    * consumer registry BEFORE this registration committed can still fold
+    * and delete interval dirs while the snapshot materializes; (b) for an
+    * ALREADY-REGISTERED consumer the ack-0 registration is a monotone
+    * no-op — the previously-acked prefix stays foldable, so
+    * re-registration does NOT re-pin it. Both failure modes are LOUD (a
+    * missing parquet path at materialization, never silent rows lost):
+    * on that failure, call this again — the re-read manifest resolves to
+    * the post-pack consolidated dirs, and the reader contract over them
+    * is row-identical to what the folded chain would have produced. */
   def snapshotForConsumer(spark: SparkSession, exportRoot: String,
       consumerId: String): (DataFrame, Long) = {
     val m = manifest(spark, exportRoot)

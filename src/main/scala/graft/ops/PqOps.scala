@@ -237,9 +237,11 @@ object PqOps {
     * wrong encodings scored) and an append would interleave two cell
     * layouts in one table — both are wrong answers shaped like right ones.
     * A half-finished rebuild ([[rebuildCodes]] crash window) refuses via
-    * its pending marker. */
+    * its pending marker. Returns the parsed stamp (None = legacy/unstamped)
+    * so callers never re-parse the raw property — a second raw `.toLong`
+    * was safe only by call order (review r17). */
   private[graft] def requireCodesFresh(h: AnnIndex.Handle,
-      codes: graft.table.TransactionalTable): Unit = {
+      codes: graft.table.TransactionalTable): Option[Long] = {
     if (codes.customMeta("pq.rebuild.pending").contains("true"))
       throw new IllegalStateException(
         "PQ codes table has an unfinished rebuild (pq.rebuild.pending) — " +
@@ -264,6 +266,7 @@ object PqOps {
           s"has since retrained (generation $cur) — cell layout and encodings " +
           "no longer match the quantizer; rebuild via PqOps.rebuildCodes / " +
           "CALL graft.system.pq_rebuild")
+    stamped
   }
 
   /**
@@ -378,11 +381,11 @@ object PqOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       compactEvery: Int = 0): Unit =
     graft.util.BatchStats.timed("pq_codes_batch") {
-      requireCodesFresh(h, codes)
+      val stamped = requireCodesFresh(h, codes)
       // upgrade a legacy (pre-stamp or retired-scheme) table on its first
       // maintained batch: requireCodesFresh just proved it matches the
-      // live quantizer
-      if (codes.customMeta("pq.quantizer.fence").map(_.toLong).forall(_ < 0))
+      // live quantizer (and already parsed the stamp — None = legacy)
+      if (stamped.isEmpty)
         codes.setCustomMeta("pq.quantizer.fence", quantizerGen(h).toString)
       val books = booksFromString(codes.customMeta("pq.books").getOrElse(
         throw new IllegalStateException(

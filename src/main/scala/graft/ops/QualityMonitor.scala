@@ -39,10 +39,17 @@ object QualityMonitor {
       case ((bound, i), acc) => when(n <= bound, lit(i)).otherwise(acc)
     }
 
+  /** Token count for bucketing, NULL-total: a NULL text counts 0 tokens in
+    * EVERY engine (ADVICE r17 — Spark's legacy sizeOfNull returns -1 where
+    * DuckDB's CASE over len(NULL) falls through to the top bucket; both are
+    * clamped here and the oracle mirrors the coalesce, so the replayable
+    * determinism claim covers NULL rows too). */
+  private def tokenCount(text: Column): Column =
+    greatest(coalesce(size(TextOps.tokens(text)).cast("long"), lit(0L)), lit(0L))
+
   /** The ≤ 11-row histogram of a document frame: (bucket, n_docs). */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(tokenBucket(size(TextOps.tokens(col(textCol))).cast("long"))
-        .as("bucket"))
+    docs.select(tokenBucket(tokenCount(col(textCol))).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
 
   /** PSI between a reference and a current histogram (both

@@ -791,7 +791,7 @@ object PipelineQueries {
           .select(round(col("psi"), 6).as("psi"), col("n_ref"), col("n_cur"))
       },
       Some(s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
-             |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM toks),
+             |n AS (SELECT doc_id, CAST(coalesce(len(w), 0) AS BIGINT) AS n FROM toks),
              |b AS (SELECT doc_id,
              |        CASE WHEN n <= 0 THEN 0 WHEN n <= 1 THEN 1 WHEN n <= 3 THEN 2
              |             WHEN n <= 7 THEN 3 WHEN n <= 15 THEN 4 WHEN n <= 31 THEN 5

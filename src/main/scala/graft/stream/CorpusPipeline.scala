@@ -123,9 +123,15 @@ object CorpusPipeline {
           .withColumn("text", coalesce(col("clean_text"), col("text")))
           .drop("clean_text")
       }
-      val gated = nearDecontaminate.fold(decon) { nd =>
-        decon.join(
-          graft.ops.DedupOps.nearContaminatedPre(decon, nd.benchBands,
+      // the near-dup gate consumes `decon` TWICE (once to sketch the batch
+      // against the benchmark bands, once as the anti-join left side) — pin
+      // it (ADVICE r17: without this the span-scrub wkey exchange above is
+      // repaid per branch). Bounded by batch size; released in the finally.
+      val deconPinned = nearDecontaminate.nonEmpty
+      val deconC = if (deconPinned) decon.persist() else decon
+      val gated = nearDecontaminate.fold(deconC) { nd =>
+        deconC.join(
+          graft.ops.DedupOps.nearContaminatedPre(deconC, nd.benchBands,
             nd.maxDist).select(col("doc_id")),
           Seq("doc_id"), "left_anti")
       }
@@ -155,7 +161,10 @@ object CorpusPipeline {
             graft.ops.ExportOps.pack(spark, p.exportRoot)
         }
         kept
-      } finally if (decontaminated) { cleaned.unpersist(); () }
+      } finally {
+        if (decontaminated) { cleaned.unpersist(); () }
+        if (deconPinned) { deconC.unpersist(); () }
+      }
     }
 
   /**

@@ -223,6 +223,20 @@ class CorpusStreamSpec extends SparkSpec {
       s"zero current evidence must not read as drift: $empty")
   }
 
+  test("quality-drift histogram counts NULL text as 0 tokens (ADVICE r17): bucket 0 in every engine, never the top bucket") {
+    import graft.ops.QualityMonitor
+    // Spark's legacy size(NULL) is -1 where DuckDB's CASE over len(NULL)
+    // falls through to ELSE — the profile clamps both to bucket 0 and the
+    // x4_quality_drift oracle mirrors the coalesce, so a NULL-text fixture
+    // row can never split the engines
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "three tokens here"))
+      .toDF("doc_id", "text")
+    val hist = QualityMonitor.profile(docs)
+      .as[(Int, Long)].collect().toMap
+    assert(hist === Map(0 -> 2L, 2 -> 1L),
+      s"NULL and empty text both land in bucket 0; 3 tokens in bucket 2: $hist")
+  }
+
   test("continuous publication (E188): per-batch exports chain the manifest fence; union = corpus") {
     import graft.ops.ExportOps
     val in = tmpDir("pub-stream-in")

@@ -281,6 +281,35 @@ class ExportOpsSpec extends SparkSpec {
     assert(ExportOps.consumerAcks(spark, s"$root/exp")("trainer-a") === v1)
   }
 
+  test("ackConsumed is monotone under concurrent writers (ADVICE r17): racing acks can never regress the stored watermark") {
+    val root = tmpDir("export-ops-ack-race")
+    val corpus = TransactionalTable.create(spark, s"$root/corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+      "doc_id", None)
+    corpus.append(Seq(doc(1, 10)).toDF("doc_id", "text"), batchId = 0)
+    assert(ExportOps.exportLatest(corpus, s"$root/exp", nShards = 1,
+      capacity = 16L).exported)
+    // each thread acks through its OWN table instance (ackConsumed opens
+    // one per call), so the race is between real optimistic commits — the
+    // old check-then-act shape let a stale low ack overwrite a higher one
+    // after both passed the pre-read; the version-gated merge must not
+    val acks = Seq(3L, 9L, 1L, 7L, 5L, 2L, 8L, 4L)
+    val threads = acks.map { v =>
+      new Thread(() =>
+        ExportOps.ackConsumed(spark, s"$root/exp", "trainer-r", v))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(ExportOps.consumerAcks(spark, s"$root/exp")("trainer-r") === 9L,
+      "the committed ack must be the max of every racing write")
+    // and a late straggler below the committed value still no-ops — no
+    // write at all, not a same-value rewrite
+    val reg = TransactionalTable.open(spark, s"$root/exp/_consumers")
+    val tv = reg.currentVersion
+    ExportOps.ackConsumed(spark, s"$root/exp", "trainer-r", 6L)
+    assert(ExportOps.consumerAcks(spark, s"$root/exp")("trainer-r") === 9L)
+    assert(reg.currentVersion === tv, "a stale ack must not commit")
+  }
+
   test("deletes-only interval publishes tombstones + a zero-doc manifest row (ADVICE r15)") {
     val root = tmpDir("export-ops-delonly")
     val corpus = TransactionalTable.create(spark, s"$root/corpus",
