@@ -158,6 +158,48 @@ object AnnIndex {
       }
     }
 
+  /** Writer-fence domain for delete maintenance: independent of both the
+    * ingest stream's epoch sequence and the retrain maintenance fence, so
+    * a corpus posture that REMOVES vectors (keep-best evictions, SQL
+    * DELETE, decontamination drops) replay-protects its own delete epochs
+    * without fencing out either neighbor. */
+  val DeleteWriter = "ann-delete"
+
+  /**
+   * DELETE maintenance (r17 review #4 — the one index family that could
+   * not forget): remove `ids` from the assignment table — and, when the
+   * index carries a PQ codes table, from the codes in the same epoch — in
+   * fenced merges, so a corpus removal (a keep-best eviction, a SQL
+   * row-level DELETE, a benchmark-decontamination drop) stops surfacing
+   * as a ghost neighbor in every subsequent probe. Without this, deleted
+   * vectors kept ranking until a full rebuild.
+   *
+   * Replay/crash contract: both merges fence on `batchId` in the
+   * [[DeleteWriter]] domain — a re-delivered delete epoch no-ops on
+   * whichever tables already committed, so a crash between the two merges
+   * heals on retry and the pair is exactly-once end to end. A deleted id
+   * re-ingested by a LATER [[appendBatch]] epoch simply reappears (the
+   * delete is a row removal, not a tombstone on the id). Cost is one
+   * keyed anti-merge per table — O(batch ⋈ touched files), never a
+   * function of index size; cell occupancy ([[status]], the drift
+   * trigger) reads the live rows, so the stats follow automatically.
+   */
+  def deleteBatch(h: Handle, ids: DataFrame, batchId: Long,
+      codes: Option[TransactionalTable] = None,
+      idCol: String = "vec_id"): Unit =
+    graft.util.BatchStats.timed("ann_delete_batch") {
+      val spark = h.assignments.spark
+      val keys = ids.select(col(idCol).cast("long").as("vec_id"))
+      def emptyOf(sch: StructType): DataFrame = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      h.assignments.merge(emptyOf(h.assignments.schema), keys, batchId,
+        writerId = Some(DeleteWriter))
+      // the codes row of a deleted vector would keep ADC-ranking it from
+      // the compressed domain — same keys, same fenced epoch
+      codes.foreach(t => t.merge(emptyOf(t.schema), keys, batchId,
+        writerId = Some(DeleteWriter)))
+    }
+
   /** A batch's (vec_id, cell, v) rows under the FROZEN centroids — the
     * ingest assignment rule, shared by [[appendBatch]] and the streaming
     * PQ-codes maintenance ([[PqOps.appendCodes]]) so the two can never

@@ -52,6 +52,18 @@ object QualityMonitor {
     docs.select(tokenBucket(tokenCount(col(textCol))).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
 
+  /** PER-SOURCE histogram (r17 review, "What's missing" #5): one ≤ 11-row
+    * block per source — the corpus-level profile dilutes a single source
+    * flipping to boilerplate under the other sources' volume, which is
+    * exactly the failure the monitor's own motivation names. Still one
+    * map-side-combinable aggregation; the frame is ≤ 11 × |sources| rows.
+    * NULL sources bucket under "" so the domain join stays total. */
+  def profileBySource(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame =
+    docs.select(coalesce(col(sourceCol).cast("string"), lit("")).as("source"),
+        tokenBucket(tokenCount(col(textCol))).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("n_docs"))
+
   /** PSI between a reference and a current histogram (both
     * (bucket, n_docs)): one row (psi, n_ref, n_cur). Laplace smoothing
     * (+1 per bucket over the full bucket domain) keeps empty buckets
@@ -83,14 +95,50 @@ object QualityMonitor {
       .select(col("psi"), col("n_ref"), col("n_cur"))
   }
 
+  /** PSI per source between two (source, bucket, n_docs) histograms —
+    * (source, psi, n_ref, n_cur), one row per source seen in EITHER
+    * window. Identical Laplace/ln arithmetic to [[psi]], so the 6-decimal
+    * oracle contract carries over term for term; the bucket domain is
+    * completed per source (an explode over the ≤ 11 fixed buckets — never
+    * a cross join for the plan audit to flag) and the per-source totals
+    * ride a source-partitioned window over the ≤ 11 × |sources| frame. */
+  def psiBySource(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val k = BucketBounds.size + 1
+    val srcs = ref.select("source").unionByName(cur.select("source")).distinct()
+    val buckets = srcs.select(col("source"),
+      explode(typedLit((0L until k.toLong).toArray)).as("bucket"))
+    val r = ref.groupBy("source", "bucket").agg(sum("n_docs").as("rn"))
+    val c = cur.groupBy("source", "bucket").agg(sum("n_docs").as("cn"))
+    val joined = buckets
+      .join(r, Seq("source", "bucket"), "left")
+      .join(c, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"),
+        coalesce(col("rn"), lit(0L)).as("rn"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val pc = (col("cn") + 1).cast("double") / (col("ct") + k).cast("double")
+    val pr = (col("rn") + 1).cast("double") / (col("rt") + k).cast("double")
+    joined
+      .withColumn("rt", sum("rn").over(wSrc))
+      .withColumn("ct", sum("cn").over(wSrc))
+      .select(col("source"), ((pc - pr) * (log(pc) - log(pr))).as("term"),
+        col("rt"), col("ct"))
+      .groupBy(col("source"), col("rt").as("n_ref"), col("ct").as("n_cur"))
+      .agg(sum(col("term")).as("psi"))
+      .select(col("source"), col("psi"), col("n_ref"), col("n_cur"))
+  }
+
   /** Create/open the per-batch histogram table at `root`
-    * (PK = (batch, bucket)). */
+    * (PK = (batch, source, bucket), flattened into stat_id). Since r18 the
+    * table carries the SOURCE key — [[appendBatch]] still accepts a
+    * pre-r18 table (no source column) and degrades to corpus-level rows,
+    * so an existing monitor root keeps working unchanged. */
   def statsTable(spark: org.apache.spark.sql.SparkSession,
       root: String): TransactionalTable =
     if (TransactionalTable.exists(root)) TransactionalTable.open(spark, root)
     else TransactionalTable.create(spark, root,
       org.apache.spark.sql.types.StructType.fromDDL(
-        "stat_id STRING, batch LONG, bucket LONG, n_docs LONG"),
+        "stat_id STRING, batch LONG, source STRING, bucket LONG, n_docs LONG"),
       "stat_id", None)
 
   /** Append one micro-batch's histogram (replay-fenced: a re-delivered
@@ -102,14 +150,32 @@ object QualityMonitor {
     * ExportOps per-consumer convention) so neither fences the other out. */
   def appendBatch(stats: TransactionalTable, docs: DataFrame, batchId: Long,
       textCol: String = "text",
-      writerId: String = "quality-monitor"): Boolean = {
+      writerId: String = "quality-monitor",
+      /** Source key for the per-source histogram blocks (r18): resolved
+        * against the BATCH — a batch without the column (or a pre-r18
+        * stats table without the source field) records corpus-level rows
+        * under source "", so every caller keeps working and per-source
+        * drift lights up wherever the data carries the key. */
+      sourceCol: String = "source"): Boolean = {
     if (batchId <= stats.snapshot.writerFences.getOrElse(writerId, -1L))
       return false
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = profile(docs, textCol)
-      .select(concat_ws(":", lit(batchId), col("bucket")).as("stat_id"),
-        lit(batchId).as("batch"), col("bucket"), col("n_docs"))
+    val perSource = stats.schema.fieldNames.contains("source")
+    val rows =
+      if (!perSource)
+        profile(docs, textCol)
+          .select(concat_ws(":", lit(batchId), col("bucket")).as("stat_id"),
+            lit(batchId).as("batch"), col("bucket"), col("n_docs"))
+      else {
+        val hist =
+          if (docs.columns.contains(sourceCol)) profileBySource(docs, textCol, sourceCol)
+          else profile(docs, textCol).select(lit("").as("source"),
+            col("bucket"), col("n_docs"))
+        hist.select(
+          concat_ws(":", lit(batchId), col("source"), col("bucket")).as("stat_id"),
+          lit(batchId).as("batch"), col("source"), col("bucket"), col("n_docs"))
+      }
     stats.merge(rows, spark.emptyDataset[String].toDF("stat_id"),
       batchId = batchId, writerId = Some(writerId))
     true
@@ -134,4 +200,41 @@ object QualityMonitor {
     Drift(r.getDouble(0), r.getLong(1), r.getLong(2),
       drifted = r.getDouble(0) > threshold && r.getLong(1) > 0 && r.getLong(2) > 0)
   }
+
+  final case class SourceDrift(source: String, psi: Double, nRef: Long,
+      nCur: Long, drifted: Boolean)
+
+  /** PER-SOURCE drift verdicts (r17 review #5 — the corpus-level score
+    * dilutes a single collapsing source under the other sources' volume):
+    * one [[SourceDrift]] per source, worst first. The empty-window
+    * never-flag rule applies PER SOURCE — a source with zero evidence in
+    * either window reports its (degenerate) psi but never flags; in
+    * particular a source APPEARING or DISAPPEARING between the windows is
+    * a membership change for the operator's allowlist, not a distribution
+    * drift. Driver-side size is |sources| rows — the monitor's own bound.
+    * A pre-r18 stats table (no source column) scores as ONE "" source —
+    * exactly the corpus-level verdict. */
+  def driftBySource(stats: TransactionalTable, refUpToBatch: Long,
+      threshold: Double = 0.25): Seq[SourceDrift] = {
+    val perSource = stats.schema.fieldNames.contains("source")
+    val s0 = stats.scan()
+    val s =
+      if (perSource) s0.select(col("batch"), col("source"), col("bucket"), col("n_docs"))
+      else s0.select(col("batch"), lit("").as("source"), col("bucket"), col("n_docs"))
+    psiBySource(
+      s.where(col("batch") <= refUpToBatch).select("source", "bucket", "n_docs"),
+      s.where(col("batch") > refUpToBatch).select("source", "bucket", "n_docs"))
+      .collect()
+      .map(r => SourceDrift(r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3),
+        drifted = r.getDouble(1) > threshold && r.getLong(2) > 0 && r.getLong(3) > 0))
+      .sortBy(d => (-d.psi, d.source)).toSeq
+  }
+
+  /** The worst per-source verdict — the single row an alerting hook keys
+    * on (None only when the stats table is empty). */
+  def driftWorstSource(stats: TransactionalTable, refUpToBatch: Long,
+      threshold: Double = 0.25): Option[SourceDrift] =
+    driftBySource(stats, refUpToBatch, threshold)
+      .sortBy(d => (!d.drifted, -d.psi, d.source)).headOption
 }

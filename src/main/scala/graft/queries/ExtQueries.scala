@@ -1435,6 +1435,32 @@ object ExtQueries {
       },
       Some(duckAnnIndexSql(scExtra = "")), streaming = true),
 
+    // DELETE maintenance on the persistent ANN index (r17 review #4 — the
+    // one index family that could not forget): the same 3-batch build,
+    // then a corpus removal feed (every vec_id % 7 == 0 — the shape a SQL
+    // DELETE / keep-best eviction / decontamination drop produces) leaves
+    // the index in ONE fenced delete epoch, and the probe returns the
+    // exact in-cell top-5 of the SURVIVORS — no ghost neighbors. The
+    // oracle is the shared ANN replay with the candidate set restricted
+    // to surviving ids (centroids and probe cells are untouched by
+    // deletes — only candidates leave), so the post-delete state is
+    // hash-matched end to end.
+    Q("cdc_ann_delete_state",
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val root = java.nio.file.Files.createTempDirectory("graft_ann_del")
+          .toString + "/idx"
+        val h = AnnIndex.create(s, root, e.filter(col("vec_id") % 3 === 0),
+          cells = 16)
+        (0 until 3).foreach(b => AnnIndex.appendBatch(h,
+          e.filter(col("vec_id") % 3 === b), batchId = b, compactEvery = 2))
+        AnnIndex.deleteBatch(h, e.filter(col("vec_id") % 7 === 0)
+          .select("vec_id"), batchId = 3)
+        AnnIndex.probe(AnnIndex.open(s, root), e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 4).orderBy("qid", "rnk")
+      },
+      Some(duckAnnIndexSql(scExtra = " AND a.vec_id % 7 <> 0"))),
+
     // STREAMING IVF-PQ codes maintenance (E205): through r16 wave 1 the
     // codes table was batch-built only — streamed vectors were invisible
     // to compressed-domain probes until a rebuild. Here the books train on

@@ -812,6 +812,44 @@ object PipelineQueries {
              |       CAST(MAX(rt) AS BIGINT) AS n_ref, CAST(MAX(ct) AS BIGINT) AS n_cur
              |FROM j, t""".stripMargin)),
 
+    // X4: PER-SOURCE quality drift (r17 review #5 — the corpus-level PSI
+    // dilutes one collapsing source under the other sources' volume): the
+    // same Laplace/ln arithmetic scored independently per source key, the
+    // bucket domain completed per source. Same 6-decimal rounding contract;
+    // one row per source.
+    Q("x4_quality_drift_by_source",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        graft.ops.QualityMonitor.psiBySource(
+          graft.ops.QualityMonitor.profileBySource(docs.filter(col("doc_id") % 2 === 0)),
+          graft.ops.QualityMonitor.profileBySource(docs.filter(col("doc_id") % 2 === 1)))
+          .select(col("source"), round(col("psi"), 6).as("psi"),
+            col("n_ref"), col("n_cur"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $DuckToks AS w FROM documents),
+             |n AS (SELECT doc_id, source, CAST(coalesce(len(w), 0) AS BIGINT) AS n FROM toks),
+             |b AS (SELECT doc_id, source,
+             |        CASE WHEN n <= 0 THEN 0 WHEN n <= 1 THEN 1 WHEN n <= 3 THEN 2
+             |             WHEN n <= 7 THEN 3 WHEN n <= 15 THEN 4 WHEN n <= 31 THEN 5
+             |             WHEN n <= 63 THEN 6 WHEN n <= 127 THEN 7 WHEN n <= 255 THEN 8
+             |             WHEN n <= 511 THEN 9 ELSE 10 END AS bucket
+             |      FROM n),
+             |dom AS (SELECT source, CAST(unnest(range(11)) AS BIGINT) AS bucket
+             |        FROM (SELECT DISTINCT source FROM documents)),
+             |r AS (SELECT source, bucket, COUNT(*) AS rn FROM b WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+             |c AS (SELECT source, bucket, COUNT(*) AS cn FROM b WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+             |j AS (SELECT dom.source, dom.bucket, COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+             |      FROM dom LEFT JOIN r USING (source, bucket) LEFT JOIN c USING (source, bucket)),
+             |t AS (SELECT source, SUM(rn) AS rt, SUM(cn) AS ct FROM j GROUP BY source)
+             |SELECT j.source, round(SUM(
+             |         (CAST(cn + 1 AS DOUBLE) / CAST(ct + 11 AS DOUBLE)
+             |            - CAST(rn + 1 AS DOUBLE) / CAST(rt + 11 AS DOUBLE))
+             |         * (ln(CAST(cn + 1 AS DOUBLE) / CAST(ct + 11 AS DOUBLE))
+             |            - ln(CAST(rn + 1 AS DOUBLE) / CAST(rt + 11 AS DOUBLE)))), 6) AS psi,
+             |       CAST(MAX(rt) AS BIGINT) AS n_ref, CAST(MAX(ct) AS BIGINT) AS n_cur
+             |FROM j JOIN t USING (source) GROUP BY j.source ORDER BY j.source""".stripMargin)),
+
     Q("x4_quality_buckets",
       (s, d) => TextOps.qualityBuckets(Tables.load(s, d, "documents"),
           buckets = 3, sampleRate = 1.0)

@@ -403,6 +403,28 @@ object GraftProcedures {
         Seq(view, hits.count())
       }),
 
+    // DELETE maintenance (r18): remove a view's vec_ids from the index —
+    // and the PQ codes table when one rides beside it (pass '' for none) —
+    // so corpus removals (SQL DELETE, evictions, decontamination drops)
+    // stop surfacing as ghost neighbors. Fenced per batch_id: replays no-op.
+    //   CALL graft.system.ann_delete('db.ann', 'deleted_ids', 3, 'db.codes')
+    "ann_delete" -> Spec(
+      Seq("index" -> S, "ids" -> S, "batch_id" -> L, "codes" -> S),
+      row("deleted" -> L, "n_vectors" -> L, "assignments_version" -> L),
+      (c, a) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val h = graft.ops.AnnIndex.open(spark, c.rootByName(a.getUTF8String(0).toString))
+        val ids = spark.table(a.getUTF8String(1).toString)
+        val codesName = a.getUTF8String(3).toString
+        val codes =
+          if (codesName.isEmpty) None
+          else Some(graft.table.TransactionalTable.open(spark,
+            c.rootByName(codesName)))
+        graft.ops.AnnIndex.deleteBatch(h, ids, a.getLong(2), codes = codes)
+        Seq(ids.count(), graft.ops.AnnIndex.status(h).nVectors,
+          h.assignments.currentVersion)
+      }),
+
     // Drift observability for the frozen quantizer: cell-occupancy skew
     // (max cell fraction vs the 1/cells ideal) is the signal that the
     // corpus has drifted from the seed distribution and probe pruning is
@@ -610,6 +632,23 @@ object GraftProcedures {
         val r = graft.ops.QualityMonitor.drift(open(c, a), a.getLong(1),
           a.getDouble(2))
         Seq(r.psi, r.nRef, r.nCur, r.drifted)
+      }),
+
+    // Per-source drift verdict (r18): the WORST source row — the single
+    // row an alerting runbook keys on where the corpus-level score would
+    // dilute one collapsing source under the rest of the traffic.
+    //   CALL graft.system.quality_drift_by_source('db.stats', 1, 0.25)
+    "quality_drift_by_source" -> Spec(
+      Seq("stats" -> S, "ref_up_to_batch" -> L, "threshold" -> D),
+      row("source" -> S, "psi" -> DoubleType, "n_ref" -> L, "n_cur" -> L,
+        "drifted" -> BooleanType, "n_sources" -> L),
+      (c, a) => {
+        val all = graft.ops.QualityMonitor.driftBySource(open(c, a),
+          a.getLong(1), a.getDouble(2))
+        val w = all.sortBy(d => (!d.drifted, -d.psi, d.source)).headOption
+          .getOrElse(graft.ops.QualityMonitor.SourceDrift("", 0.0, 0L, 0L,
+            drifted = false))
+        Seq(w.source, w.psi, w.nRef, w.nCur, w.drifted, all.size.toLong)
       }),
 
     // BATCH SAMPLING family from SQL (r16 verdict #6 — the last pipeline

@@ -186,7 +186,17 @@ object CorpusPipeline {
       /** Same raw-batch drift recording as [[processBatch]] (review r17:
         * the keep-best ingest posture must be able to observe a crawler
         * collapse too). */
-      monitor: Option[TransactionalTable] = None): graft.ops.KeepBestIndex.BatchResult =
+      monitor: Option[TransactionalTable] = None,
+      /** ANN index over the corpus docs' embeddings (r17 review #4): a
+        * keep-best EVICTION removes the doc from the corpus — its vector
+        * must leave the index in the same epoch or it keeps surfacing as
+        * a ghost neighbor in every probe. Requires the shared-id contract
+        * (vec_id == doc_id, the per-doc-embedding corpus shape); the
+        * delete rides its own fence domain, so a replayed epoch no-ops
+        * here exactly as it does on the corpus merge. `vectorCodes` rides
+        * along when the index carries a PQ codes table. */
+      vectorIndex: Option[graft.ops.AnnIndex.Handle] = None,
+      vectorCodes: Option[TransactionalTable] = None): graft.ops.KeepBestIndex.BatchResult =
     graft.util.BatchStats.timed("keepbest_stream_batch") {
       monitor.foreach(t => graft.ops.QualityMonitor.appendBatch(t, docs, batchId))
       val cleaned = docs.filter(clean)
@@ -194,6 +204,9 @@ object CorpusPipeline {
         compactEvery = compactEvery)
       val rows = cleaned.join(r.kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
       corpus.merge(rows, r.evicted.select(col("doc_id")), batchId)
+      vectorIndex.foreach(h => graft.ops.AnnIndex.deleteBatch(h,
+        r.evicted.select(col("doc_id")), batchId, codes = vectorCodes,
+        idCol = "doc_id"))
       r
     }
 

@@ -55,6 +55,62 @@ class AnnIndexSpec extends SparkSpec {
       "a saturated allowlist must keep every banded answer untouched")
   }
 
+  test("deleteBatch (r17 review #4): removed vectors stop surfacing in raw and compressed probes; crash heal; fenced replay; re-ingest resurrects") {
+    import graft.ops.PqOps
+    val root = tmpDir("ann-index-del")
+    val all = corpus(0 until 90)
+    val h = AnnIndex.create(spark, root, all, cells = 4)
+    AnnIndex.appendBatch(h, all, batchId = 0)
+    val v0 = SimilarityOps.asDouble(col("embedding"))
+    val unitAll = all.select(col("vec_id"),
+      transform(v0, x => x / sqrt(SimilarityOps.dot(v0, v0))).as("embedding"))
+    val books = PqOps.codebooks(unitAll, m = 4, k = 8)
+    val codes = PqOps.buildPqCodes(h, tmpDir("ann-index-delc") + "/codes", books)
+    val queries = all.filter(col("vec_id") < 5)
+    val dead = all.filter(col("vec_id") >= 60).select("vec_id")
+    // crash window: the assignments delete commits, the codes delete does
+    // not (a caller that died between the two merges) ...
+    AnnIndex.deleteBatch(h, dead, batchId = 1)
+    assert(h.assignments.countRows === 60L)
+    assert(codes.countRows === 90L, "codes untouched by the crashed half")
+    // ... and the re-run heals: assignments no-op on the fence, codes catch up
+    val av = h.assignments.currentVersion
+    AnnIndex.deleteBatch(h, dead, batchId = 1, codes = Some(codes))
+    assert(h.assignments.currentVersion === av,
+      "replayed assignment delete must no-op on the fence")
+    assert(codes.countRows === 60L &&
+      codes.scan().filter(col("vec_id") >= 60).count() === 0L)
+    // no ghost neighbors: with every cell probed, the raw probe IS the
+    // exact top-k of the survivors — same per-query neighbor SET as brute
+    // force over them (rank order can swap on FP-tied cosines: the index
+    // stores pre-normalized vectors, brute force normalizes on the fly)
+    val got = AnnIndex.probe(h, queries, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = SimilarityOps.cosineTopK(all.filter(col("vec_id") < 60),
+      queries, k = 10).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got === exact, "post-delete probe must be ghost-free and exact")
+    assert(got.values.flatten.forall(_ < 60L), "no ghost may rank")
+    // the compressed domain forgot them too
+    val pq = AnnIndex.probePq(h, codes, books, queries, k = 10, nprobe = 4)
+    assert(pq.filter(col("neighbor_id") >= 60).count() === 0L,
+      "deleted vectors must not ADC-rank from stale codes")
+    // full replay of the whole delete epoch: both tables stay put
+    val (av2, cv2) = (h.assignments.currentVersion, codes.currentVersion)
+    AnnIndex.deleteBatch(h, dead, batchId = 1, codes = Some(codes))
+    assert(h.assignments.currentVersion === av2 && codes.currentVersion === cv2)
+    // a deleted id re-ingested by a later epoch reappears (row removal,
+    // not an id tombstone)
+    AnnIndex.appendBatch(h, all.filter(col("vec_id") === 70), batchId = 2)
+    val wide = AnnIndex.probe(h, queries, k = 61, nprobe = 4)
+    assert(wide.filter(col("neighbor_id") === 70).count() === queries.count(),
+      "a re-ingested vector must rank again for every query")
+    assert(wide.filter(col("neighbor_id") > 60).select("neighbor_id")
+      .distinct().as[Long].collect().toSeq === Seq(70L),
+      "only the re-ingested id returns; the rest stay deleted")
+  }
+
   test("index probe equals the one-shot IVF pipeline on the same quantizer") {
     val root = tmpDir("ann-index-eq")
     val all = corpus(0 until 120)

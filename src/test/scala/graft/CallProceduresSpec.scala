@@ -406,6 +406,48 @@ class CallProceduresSpec extends SparkSpec {
     assert(drifted && psi2 > 0.25,
       s"the collapsed tail alone must trip the verdict: $psi2")
     assert(psi2 > psiStable, "a purer shifted tail scores higher")
+    // per-source twin (r18): these views carry no source column, so the
+    // whole corpus scores as the single "" source — the worst-source row
+    // must agree with the corpus-level verdict
+    val Seq((src, psiS, _, _, driftedS, nSrc)) = spark.sql(
+      "CALL gpq.system.quality_drift_by_source('db.stats', 1, 0.25)")
+      .as[(String, Double, Long, Long, Boolean, Long)].collect().toSeq
+    assert(src === "" && nSrc === 1L && driftedS &&
+      math.abs(psiS - psi2) < 1e-12,
+      s"sourceless stats must score as one '' source: $src $psiS vs $psi2")
+  }
+
+  test("ann_delete from SQL: removals leave the index and the codes table; fenced replay no-ops") {
+    val w = mkWarehouse("gad")
+    val vecs = (0 until 90).map { i =>
+      val a = Array.fill(8)(0.05); a(i % 4) = 1.0
+      (i.toLong, a.toSeq)
+    }.toDF("vec_id", "embedding")
+    vecs.createOrReplaceTempView("gad_vecs")
+    spark.sql("CALL gad.system.ann_index_create('db.ann', 'gad_vecs', 4)").collect()
+    spark.sql("CALL gad.system.ann_index_append('db.ann', 'gad_vecs', 0, 0)").collect()
+    spark.sql("CALL gad.system.pq_codes_build('db.ann', 'db.codes', 4, 8)").collect()
+    vecs.filter($"vec_id" >= 60).select("vec_id")
+      .createOrReplaceTempView("gad_dead")
+    val Seq((deleted, nVec, v1)) = spark.sql(
+      "CALL gad.system.ann_delete('db.ann', 'gad_dead', 1, 'db.codes')")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(deleted === 30L && nVec === 60L)
+    val codes = TransactionalTable.open(spark, s"$w/db/codes")
+    assert(codes.countRows === 60L &&
+      codes.scan().where($"vec_id" >= 60).count() === 0L,
+      "the codes table must forget the deleted vectors too")
+    // replayed delete epoch: both tables hold their versions
+    val cv = codes.currentVersion
+    val Seq((_, nVec2, v2)) = spark.sql(
+      "CALL gad.system.ann_delete('db.ann', 'gad_dead', 1, 'db.codes')")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(nVec2 === 60L && v2 === v1 && codes.currentVersion === cv,
+      "a replayed ann_delete must no-op on the fence")
+    // no ghost neighbors through the SQL probe either
+    vecs.filter($"vec_id" < 3).createOrReplaceTempView("gad_q")
+    spark.sql("CALL gad.system.ann_probe('db.ann', 'gad_q', 10, 4, 'gad_hits')").collect()
+    assert(spark.sql("SELECT * FROM gad_hits WHERE neighbor_id >= 60").count() === 0L)
   }
 
   test("export_snapshot from SQL: registers the consumer and returns the tail version") {

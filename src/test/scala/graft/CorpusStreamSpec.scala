@@ -223,6 +223,44 @@ class CorpusStreamSpec extends SparkSpec {
       s"zero current evidence must not read as drift: $empty")
   }
 
+  test("per-source quality drift (r18): a single collapsing source flags while the corpus-level score stays quiet") {
+    import graft.ops.QualityMonitor
+    val stats = QualityMonitor.statsTable(spark, tmpDir("qm-src-st") + "/stats")
+    // ref: 40 healthy docs from src_main + 4 from src_a, all ~24 tokens
+    val ref = ((1 to 40).map(i => (i.toLong, longText(s"m$i"), "en", "src_main")) ++
+      (101 to 104).map(i => (i.toLong, longText(s"a$i"), "en", "src_a")))
+      .toDF("doc_id", "text", "lang", "source")
+    // cur: src_main unchanged, src_a collapses to 2-token boilerplate —
+    // 4 of 44 docs, diluted to invisibility at the corpus level
+    val cur = ((41 to 80).map(i => (i.toLong, longText(s"m$i"), "en", "src_main")) ++
+      (141 to 144).map(i => (i.toLong, "tiny doc", "en", "src_a")))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(QualityMonitor.appendBatch(stats, ref, 0L))
+    assert(QualityMonitor.appendBatch(stats, cur, 1L))
+    // corpus-level: the 4-doc shift hides under the 40-doc healthy volume
+    val corpus = QualityMonitor.drift(stats, refUpToBatch = 0)
+    assert(!corpus.drifted && corpus.psi < 0.25,
+      s"the diluted corpus-level score must stay quiet: $corpus")
+    // per-source: src_a's collapse is undiluted and flags
+    val bySrc = QualityMonitor.driftBySource(stats, refUpToBatch = 0)
+      .map(d => d.source -> d).toMap
+    assert(bySrc("src_a").drifted && bySrc("src_a").psi > 0.25,
+      s"the collapsing source must flag on its own key: ${bySrc("src_a")}")
+    assert(!bySrc("src_main").drifted && bySrc("src_main").psi < 0.05,
+      s"the healthy source must not: ${bySrc("src_main")}")
+    assert(QualityMonitor.driftWorstSource(stats, 0).map(_.source) ===
+      Some("src_a"), "the worst-source verdict keys the alert")
+    // a source with evidence in only ONE window is a membership change,
+    // never a drift flag (the empty-window rule, per source)
+    val cur2 = (201 to 204).map(i => (i.toLong, longText(s"n$i"), "en", "src_new"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(QualityMonitor.appendBatch(stats, cur2, 2L))
+    val newcomer = QualityMonitor.driftBySource(stats, refUpToBatch = 0)
+      .find(_.source === "src_new").get
+    assert(!newcomer.drifted && newcomer.nRef === 0L,
+      s"a newly appearing source must not read as drift: $newcomer")
+  }
+
   test("quality-drift histogram counts NULL text as 0 tokens (ADVICE r17): bucket 0 in every engine, never the top bucket") {
     import graft.ops.QualityMonitor
     // Spark's legacy size(NULL) is -1 where DuckDB's CASE over len(NULL)
@@ -342,6 +380,45 @@ class CorpusStreamSpec extends SparkSpec {
       Seq((3L, textB)).toDF("doc_id", "text"), batchId = 2, lit(true))
     assert(corpusIds() === Seq(3L),
       "the re-delivered epoch must replay the ORIGINAL eviction read-back")
+  }
+
+  test("keep-best evictions forget the evicted doc's vector in the ANN index (r17 review #4); replay fenced") {
+    import graft.ops.{AnnIndex, KeepBestIndex}
+    import graft.stream.CorpusPipeline
+    val base = (1 to 30).map(k => s"commonword$k").mkString(" ")
+    val textA = s"$base extra8"
+    val textB = s"$base extra4" // better near-dup of textA (pinned pair)
+    val work = tmpDir("kb-vec")
+    val index = KeepBestIndex.create(spark, s"$work/idx")
+    val corpus = TransactionalTable.create(spark, s"$work/corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+      "doc_id", None)
+    // per-doc embeddings share the id space (the vectorIndex contract)
+    def vec(i: Int): Seq[Float] = {
+      val a = Array.fill(8)(0.05f); a(i % 4) = 1f; a.toSeq
+    }
+    val vecs = Seq((10L, vec(10)), (5L, vec(5))).toDF("vec_id", "embedding")
+    val h = AnnIndex.create(spark, s"$work/ann", vecs, cells = 2)
+    AnnIndex.appendBatch(h, vecs, batchId = 0)
+    CorpusPipeline.processBatchKeepBest(index, corpus,
+      Seq((10L, textA)).toDF("doc_id", "text"), batchId = 0, lit(true),
+      vectorIndex = Some(h))
+    assert(h.assignments.countRows === 2L, "no eviction yet — both vectors live")
+    // epoch 1: the better near-dup evicts doc 10 from the corpus AND its
+    // vector from the index, same epoch
+    CorpusPipeline.processBatchKeepBest(index, corpus,
+      Seq((5L, textB)).toDF("doc_id", "text"), batchId = 1, lit(true),
+      vectorIndex = Some(h))
+    assert(corpus.scan().select("doc_id").as[Long].collect().toSeq === Seq(5L))
+    assert(h.assignments.scan().select("vec_id").as[Long].collect().toSeq ===
+      Seq(5L), "the evicted doc's vector must leave the index with it")
+    // replayed epoch: every commit (index, corpus, vector delete) fences
+    val (cv, av) = (corpus.currentVersion, h.assignments.currentVersion)
+    CorpusPipeline.processBatchKeepBest(index, corpus,
+      Seq((5L, textB)).toDF("doc_id", "text"), batchId = 1, lit(true),
+      vectorIndex = Some(h))
+    assert(corpus.currentVersion === cv && h.assignments.currentVersion === av,
+      "replayed epoch must no-op everywhere, the vector delete included")
   }
 
   test("media stream continuous publication: byte-budget shards off the payload type, pack cadence folds") {
