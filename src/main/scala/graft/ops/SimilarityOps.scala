@@ -232,6 +232,34 @@ object SimilarityOps {
    * exact side is a broadcast cross join, the join on (qid, neighbor)
    * a leftsemi over two k·|queries|-row sides.
    */
+  /**
+   * Deterministic CLUSTERED-REGIME embedding fixture (r17 review #3): the
+   * synthetic `embeddings` table is near-uniform — the r17 recall sweeps
+   * proved IVF's loss there is cell pruning scattering true neighbors
+   * across cells, i.e. exactly the regime IVF is NOT designed for — so the
+   * clustered certificates re-derive each vector from its id as
+   * `center(id mod clusters) + jitter·noise(id)`: a mixture of `clusters`
+   * tight blobs, the regime real embedding models produce and the one the
+   * production nprobe claim needs. Every component is md5 arithmetic over
+   * the id (the fixture convention — no RNG state, replayable by any
+   * engine), so the fixture is identical run-to-run and sf-scaled by
+   * whatever id frame it is applied to.
+   */
+  def clusteredEmbeddings(ids: DataFrame, clusters: Int = 16, dim: Int = 64,
+      jitter: Double = 0.08, idCol: String = "vec_id"): DataFrame = {
+    require(clusters > 0 && dim > 0 && jitter >= 0, "bad fixture parameters")
+    val two60 = math.pow(2.0, 60)
+    def u(key: Column): Column = TextOps.md5Hash60(key).cast("double") / lit(two60)
+    val id = col(idCol).cast("long")
+    val comps = (0 until dim).map { j =>
+      val c = u(concat(lit("cl:"), pmod(id, lit(clusters.toLong)).cast("string"),
+        lit(s":$j"))) - lit(0.5)
+      val w = u(concat(lit("v:"), id.cast("string"), lit(s":$j"))) - lit(0.5)
+      c + lit(jitter) * w
+    }
+    ids.select(id.as("vec_id"), array(comps: _*).as("embedding"))
+  }
+
   def ivfRecall(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       minRecall: Double, cells: Int = 16, nprobe: Int = 4, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -1747,6 +1747,60 @@ object ExtQueries {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS queries, CAST(5 AS INT) AS k,
              |true AS recall_ok FROM embeddings WHERE vec_id < 8""".stripMargin)),
 
+    // X3: CLUSTERED-REGIME recall certificate (r17 review #3): the
+    // synthetic embeddings table is near-uniform — the r17 sweeps proved
+    // the uniform certificates measure exactly the regime IVF is NOT
+    // designed for (cell pruning scatters near-tie neighbors; recall 0.75
+    // at nprobe=10 of 16). This certificate runs the SAME refined-IVF path
+    // over the md5-derived mixture-of-tight-clusters fixture
+    // (SimilarityOps.clusteredEmbeddings — 16 blobs, 8% jitter, the shape
+    // real embedding models produce) at the PRODUCTION nprobe=4: measured
+    // recall@5 = 1.000 at sf0.001/0.01/0.1 (ClusteredRecallProbe r18 —
+    // 1.000 even at nprobe=1: a tight cluster assigns whole to one cell
+    // and the query probes it first). The 0.9 threshold pins that floor a
+    // 4-hit decade above any hideable regression.
+    Q("x3_ivf_recall_clustered",
+      (s, d) => {
+        val e = SimilarityOps.clusteredEmbeddings(
+          Tables.load(s, d, "embeddings").select("vec_id"))
+        SimilarityOps.ivfRecall(e, e.filter(col("vec_id") < 8), k = 5,
+          dim = 64, minRecall = 0.9, nprobe = 4, iters = 3)
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS queries, CAST(5 AS INT) AS k,
+             |true AS recall_ok FROM embeddings WHERE vec_id < 8""".stripMargin)),
+
+    // The IVF-PQ sibling over the same clustered fixture, production
+    // nprobe=4. The r18 probe located the clustered-regime PQ lever:
+    // kShort=100 reads 0.70 at sf0.1 — the ADC shortlist is NARROWER than
+    // the ~125-member cluster, and in-cluster near-ties (cosine spread
+    // ~1e-3) reorder under quantization, so true top-5 fall off BEFORE the
+    // exact re-rank; kShort=200 ≥ cluster width reads 1.000 at every SF
+    // (nprobe ≥ 2). The production rule this certificate encodes: size the
+    // shortlist to the expected cluster occupancy, not to k. Threshold 0.9
+    // pins the measured tri-SF floor (1.000).
+    Q("x3_pq_recall_clustered",
+      (s, d) => {
+        val e = SimilarityOps.clusteredEmbeddings(
+          Tables.load(s, d, "embeddings").select("vec_id"))
+        val root = java.nio.file.Files.createTempDirectory("graft_pqrec_cl").toString
+        val h = AnnIndex.create(s, s"$root/idx", e.filter(col("vec_id") % 3 === 0),
+          cells = 16)
+        (0 until 3).foreach(b => AnnIndex.appendBatch(h,
+          e.filter(col("vec_id") % 3 === b), batchId = b, compactEvery = 2))
+        val hh = AnnIndex.open(s, s"$root/idx")
+        val unitVecs = hh.assignments.scan()
+          .select(col("vec_id"), col("v").as("embedding"))
+        val books = graft.ops.PqOps.refineCodebooks(unitVecs,
+          graft.ops.PqOps.codebooks(unitVecs, m = 8, k = 16), iters = 2)
+        val codes = graft.ops.PqOps.buildPqCodes(hh, s"$root/codes", books,
+          refineIters = 2)
+        graft.ops.PqOps.pqRecall(hh, codes, books, e,
+          e.filter(col("vec_id") < 8), k = 5, kShort = 200, nprobe = 4,
+          minRecall = 0.9)
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS queries, CAST(5 AS INT) AS k,
+             |true AS recall_ok FROM embeddings WHERE vec_id < 8""".stripMargin)),
+
     // X3: recall certificate for the IVF-PQ path (E199 — the one
     // approximate path that shipped quality-blind through r15): the full
     // production configuration — persistent index, LLOYD-REFINED codebooks
