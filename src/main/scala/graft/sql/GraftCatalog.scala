@@ -39,6 +39,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   private var catalogName: String = _
   private var warehouse: String = _
+  /** `renameMode` catalog option: "move" (default — the POSIX fast path,
+    * one atomic directory move) or "metadata" (the object-store posture —
+    * `ALTER TABLE RENAME TO` rebinds the name in the namespace's
+    * [[CatalogLinks]] map and never touches the data directory). */
+  private var renameMode: String = "move"
+  /** Commit I/O for the links map — specs inject a simulated object store
+    * here (the ObjectStoreCommitSpec pattern; `private[graft]` so the
+    * table-package spec can reach it like `TransactionalTable.commitIo`). */
+  private[graft] var linksIo: graft.table.CommitIO = graft.table.PosixCommitIO
 
   private def spark = SparkSession.active
 
@@ -46,6 +55,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
       sys.props("java.io.tmpdir") + "/graft-warehouse")
+    renameMode = Option(options.get("renameMode")).getOrElse("move")
+    require(renameMode == "move" || renameMode == "metadata",
+      s"renameMode must be 'move' or 'metadata', got '$renameMode'")
   }
 
   override def name(): String = catalogName
@@ -60,24 +72,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
       .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
-  private def rootOf(ident: Identifier): String =
-    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+  private def nsDirOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq).mkString("/")
+
+  /** Name resolution consults the namespace's [[CatalogLinks]] map first
+    * (metadata renames — r17 review #6): a LINKED name resolves to its
+    * physical directory, a TOMBSTONED one to its own (hidden at the
+    * exists level), everything else to the path convention. Namespaces
+    * that never metadata-renamed pay one file-exists check. */
+  private def rootOf(ident: Identifier): String = {
+    val ns = nsDirOf(ident)
+    CatalogLinks.resolve(ns, ident.name()) match {
+      case CatalogLinks.Linked(phys) => s"$ns/$phys"
+      case _ => s"$ns/${ident.name()}"
+    }
+  }
 
   /** Table root on disk for an identifier (used by the CTAS command to open
     * the freshly created table through the engine API). */
   private[sql] def tableRoot(ident: Identifier): String = rootOf(ident)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    val nsDir = (warehouse +: namespace.toSeq).mkString("/")
+    val dir = Paths.get(nsDir)
     if (!Files.isDirectory(dir)) Array.empty
-    else graft.util.Fs.listSeq(dir).iterator
-      .filter(p => TransactionalTable.exists(p.toString))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+    else {
+      val links = CatalogLinks.read(nsDir).entries
+      // physical dirs under their own name, minus renamed-away ones ...
+      val plain = graft.util.Fs.listSeq(dir).iterator
+        .filter(p => TransactionalTable.exists(p.toString))
+        .map(_.getFileName.toString)
+        .filterNot(n => links.get(n).contains(None))
+      // ... plus metadata-renamed names whose physical dir still exists
+      val linked = links.iterator.collect {
+        case (n, Some(phys)) if TransactionalTable.exists(s"$nsDir/$phys") => n
+      }
+      (plain ++ linked).toSeq.distinct.sorted
+        .map(n => Identifier.of(namespace, n)).toArray
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    TransactionalTable.exists(rootOf(ident))
+    CatalogLinks.resolve(nsDirOf(ident), ident.name()) match {
+      case CatalogLinks.Tombstoned => false
+      case CatalogLinks.Linked(phys) =>
+        TransactionalTable.exists(s"${nsDirOf(ident)}/$phys")
+      case CatalogLinks.Unlinked => TransactionalTable.exists(rootOf(ident))
+    }
 
   // FunctionCatalog (storage-partitioned joins): Spark resolves the table's
   // bucket(n, col) transform here to decide scan co-partitioning.
@@ -112,7 +153,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def createView(info: ViewInfo): View = {
     val root = rootOf(info.ident())
-    if (tableExists(info.ident()))
+    // the raw dir probe backs up tableExists: a TOMBSTONED (renamed-away)
+    // name's directory still holds the renamed table — a view created
+    // there would co-locate _view.json with live table data
+    if (tableExists(info.ident()) || TransactionalTable.exists(root))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(info.ident())
     GraftViewStore.mutate(root) {
       case Some(_) =>
@@ -125,7 +169,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
     val root = rootOf(info.ident())
-    if (tableExists(info.ident()))
+    if (tableExists(info.ident()) || TransactionalTable.exists(root))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(info.ident())
     GraftViewStore.mutate(root) { prior =>
       if (prior.isEmpty && !orCreate)
@@ -197,7 +241,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case Some(v) => loadAt(ident, Some(v))
       case None =>
         val root = rootOf(ident)
-        if (!TransactionalTable.exists(root)) {
+        if (!tableExists(ident)) {
           // metadata-table suffix with a TAG ref: `t.files VERSION AS OF
           // 'prod'` resolves the tag against the parent table and scopes
           // the metadata answer to it
@@ -245,14 +289,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * epoch; resolve to the greatest snapshot committed at or before it. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = rootOf(ident)
-    if (!TransactionalTable.exists(root)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = TransactionalTable.open(spark, root)
     loadAt(ident, Some(t.versionAt(timestamp / 1000L)))
   }
 
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
     val root = rootOf(ident)
-    if (!TransactionalTable.exists(root)) {
+    // tableExists, not a raw dir probe: a TOMBSTONED name (metadata-renamed
+    // away) still has a directory but must not load under the old name
+    if (!tableExists(ident)) {
       // Iceberg-style metadata tables: `graft.db.t.history` parses as
       // namespace [db, t] + name "history" — serve the parent table's
       // metadata when the suffix names one (see MetadataTables).
@@ -308,6 +354,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // a table created at a view's path would co-locate _table.json with
       // _view.json — one name, two objects, both surfaces broken
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    CatalogLinks.resolve(nsDirOf(ident), ident.name()) match {
+      case CatalogLinks.Tombstoned =>
+        // a renamed-away name is reusable once its physical directory is
+        // free (the renamed table was dropped); while the directory still
+        // holds the renamed table's data, refuse LOUDLY rather than create
+        // into it
+        if (Files.exists(Paths.get(s"${nsDirOf(ident)}/${ident.name()}")))
+          throw new IllegalStateException(
+            s"cannot create '${ident}': the name was renamed away by a " +
+              "metadata rename and its directory still holds the renamed " +
+              "table's data — drop the renamed table (or pick another name)")
+        CatalogLinks.clearTombstone(nsDirOf(ident), ident.name(), linksIo)
+      case CatalogLinks.Linked(_) =>
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+      case CatalogLinks.Unlinked => ()
+    }
     val pk = Option(properties.get("pk")).getOrElse(schema.fieldNames.head)
     Files.createDirectories(Paths.get(rootOf(ident)).getParent)
     // Column DEFAULTs (Iceberg v3): freeze each CURRENT_DEFAULT into a
@@ -518,6 +580,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    // a TOMBSTONED name must never delete the physical directory it used
+    // to point at — the renamed table owns that data now
+    if (CatalogLinks.resolve(nsDirOf(ident), ident.name()) ==
+        CatalogLinks.Tombstoned) return false
     val root = Paths.get(rootOf(ident))
     if (GraftViewStore.exists(root.toString))
       // DROP TABLE on a view must not silently destroy it (or an MV's
@@ -533,12 +599,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // Strict: a half-deleted table dir must surface as an error, not a
       // successful DROP (the lenient variant is for scratch cleanup only).
       graft.util.Fs.deleteRecursivelyStrict(root)
+      // dropping a metadata-renamed table retires its name binding too
+      CatalogLinks.unlink(nsDirOf(ident), ident.name(), linksIo)
       true
     }
   }
 
-  /** `ALTER TABLE ... RENAME TO` (E214): the atomic directory move + the
-    * one-pass absolute-path rewrite ([[TransactionalTable.renameRoot]]).
+  /** `ALTER TABLE ... RENAME TO` — two postures (r17 review #6):
+    *
+    *  - `renameMode=move` (default, the POSIX fast path, E214): one atomic
+    *    directory move + the one-pass absolute-path rewrite
+    *    ([[TransactionalTable.renameRoot]]).
+    *  - `renameMode=metadata` (the object-store posture): the data
+    *    directory NEVER moves — the name rebinds in the namespace's
+    *    [[CatalogLinks]] map, committed claim/publish through [[CommitIO]]
+    *    primitives only; a crash between claim and publish leaves the OLD
+    *    binding intact (no dual-root, no dual-name window). Same-namespace
+    *    only: a cross-namespace metadata rename would need an atomic flip
+    *    of two maps.
+    *
     * Views have their own RENAME VIEW path — renaming one through the
     * TABLE statement is the wrong-command error, never a silent move. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -556,7 +635,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
     require(namespaceExists(newIdent.namespace()),
       s"target namespace ${newIdent.namespace().mkString(".")} does not exist")
-    TransactionalTable.renameRoot(oldRoot, newRoot)
+    if (renameMode == "metadata") {
+      require(oldIdent.namespace().toSeq == newIdent.namespace().toSeq,
+        "metadata rename rebinds a name within its namespace — a " +
+          "cross-namespace rename needs renameMode=move")
+      // the target name's directory may be physically occupied by a
+      // renamed-away table (tombstoned): binding over it would leave two
+      // names one directory apart — refuse like any occupied target
+      if (Files.exists(Paths.get(s"${nsDirOf(newIdent)}/${newIdent.name()}")))
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+      CatalogLinks.rename(nsDirOf(oldIdent), oldIdent.name(), newIdent.name(),
+        linksIo)
+    } else {
+      TransactionalTable.renameRoot(oldRoot, newRoot)
+      // a MOVE of a previously metadata-renamed table: its link now points
+      // at the moved-away directory — retire the stale binding
+      CatalogLinks.unlink(nsDirOf(oldIdent), oldIdent.name(), linksIo)
+    }
   }
 
   // SupportsNamespaces (flat, directory-backed)

@@ -1,0 +1,136 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import graft.table.TransactionalTable
+
+/**
+ * Object-store `ALTER TABLE RENAME TO` (r17 review #6): with
+ * `renameMode=metadata` the rename is a name rebinding in the namespace's
+ * [[graft.sql.CatalogLinks]] map, committed claim/publish through
+ * [[CommitIO]] — the data directory NEVER moves, so S3's copy+delete
+ * rename (and its dual-root crash window) never enters the picture. The
+ * simulated store below is the ObjectStoreCommitSpec posture: conditional
+ * PUT + full-object PUT only, with crash injection between the claim and
+ * the HEAD publish.
+ */
+class CatalogMetadataRenameSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private final class SimStoreIO extends CommitIO {
+    @volatile var crashBeforeHeadPut = false
+    override def putIfAbsent(path: Path, bytes: Array[Byte]): Unit = {
+      Files.write(path, bytes, StandardOpenOption.CREATE_NEW); ()
+    }
+    override def putAtomic(path: Path, bytes: Array[Byte]): Unit = {
+      if (crashBeforeHeadPut && path.getFileName.toString == "HEAD") {
+        crashBeforeHeadPut = false
+        throw new RuntimeException("simulated crash: claim landed, HEAD PUT lost")
+      }
+      // ONE full-object PUT — no tmp file, no move
+      Files.write(path, bytes, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      ()
+    }
+    override def read(path: Path): Array[Byte] = Files.readAllBytes(path)
+    override def exists(path: Path): Boolean = Files.exists(path)
+    override def modifiedAtMs(path: Path): Long =
+      Files.getLastModifiedTime(path).toMillis
+    override def delete(path: Path): Unit = { Files.deleteIfExists(path); () }
+  }
+
+  test("metadata rename: zero directory moves; crash between claim and HEAD leaves the old binding; retry completes; lifecycle composes") {
+    val cat = s"graft_mrn${System.nanoTime()}"
+    val w = tmpDir("graft-warehouse-mrn")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.conf.set(s"spark.sql.catalog.$cat.renameMode", "metadata")
+    Files.createDirectories(Paths.get(s"$w/db"))
+    TransactionalTable.create(spark, s"$w/db/t",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"),
+      "id", None)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20)")
+    val plugin = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.sql.GraftCatalog]
+    val io = new SimStoreIO
+    plugin.linksIo = io
+
+    // CRASH between the links claim and the HEAD publish
+    io.crashBeforeHeadPut = true
+    intercept[RuntimeException](spark.sql(s"ALTER TABLE $cat.db.t RENAME TO db.t2"))
+    // no ambiguity: the OLD name still resolves (HEAD never moved), the
+    // new one does not, and the data directory did not move
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM $cat.db.t").as[Long].head() === 2L,
+      "a crashed metadata rename must leave the old binding fully live")
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.t2").collect())
+    assert(Files.isDirectory(Paths.get(s"$w/db/t")) &&
+      !Files.exists(Paths.get(s"$w/db/t2")), "the data directory never moves")
+
+    // the RETRY completes (the orphaned claim rolls forward, then the
+    // fresh attempt commits) — still zero directory moves
+    spark.sql(s"ALTER TABLE $cat.db.t RENAME TO db.t2")
+    assert(spark.sql(s"SELECT id FROM $cat.db.t2 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.t").collect())
+    assert(Files.isDirectory(Paths.get(s"$w/db/t")) &&
+      !Files.exists(Paths.get(s"$w/db/t2")), "rename is metadata-only")
+
+    // the renamed table stays fully writable and listable under the new name
+    spark.sql(s"INSERT INTO $cat.db.t2 VALUES (3, 30)")
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM $cat.db.t2").as[Long].head() === 3L)
+    val listed = spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")
+      .as[String].collect().toSet
+    assert(listed.contains("t2") && !listed.contains("t"),
+      s"SHOW TABLES must follow the binding, not the directory: $listed")
+
+    // a SECOND metadata rename chains through the link (t2 -> t3, physical
+    // dir still db/t)
+    spark.sql(s"ALTER TABLE $cat.db.t2 RENAME TO db.t3")
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM $cat.db.t3").as[Long].head() === 3L)
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.t2").collect())
+    assert(Files.isDirectory(Paths.get(s"$w/db/t")), "data stays put across chains")
+
+    // guards: the renamed-away name cannot host a NEW table while the
+    // physical directory still occupies it (loud, not silent co-location)
+    val ex = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.t (id BIGINT) TBLPROPERTIES('pk'='id')"))
+    assert(ex.getMessage.contains("renamed away"), ex.getMessage)
+
+    // DROP through the linked name deletes the physical directory and
+    // frees both names
+    spark.sql(s"DROP TABLE $cat.db.t3")
+    assert(!Files.exists(Paths.get(s"$w/db/t")), "drop must reclaim the physical dir")
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.t3").collect())
+    // the old name is reusable now: the tombstone lifts on CREATE
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) TBLPROPERTIES('pk'='id')")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9, 90)")
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM $cat.db.t").as[Long].head() === 1L,
+      "a renamed-away name must be reusable once its directory is free")
+  }
+
+  test("metadata rename guards: occupied targets refuse; cross-namespace refuses; concurrent double-bind loses loudly") {
+    val cat = s"graft_mrg${System.nanoTime()}"
+    val w = tmpDir("graft-warehouse-mrg")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.conf.set(s"spark.sql.catalog.$cat.renameMode", "metadata")
+    Files.createDirectories(Paths.get(s"$w/db"))
+    Files.createDirectories(Paths.get(s"$w/db2"))
+    for (n <- Seq("a", "b"))
+      TransactionalTable.create(spark, s"$w/db/$n",
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"), "id", None)
+    // onto an existing table: refuse
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.db.a RENAME TO db.b"))
+    // cross-namespace under metadata mode: refuse (one map cannot flip two
+    // namespaces atomically)
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.db.a RENAME TO db2.a"))
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").count() === 2L,
+      "refused renames must change nothing")
+    // after a -> c, the TARGET name's directory (db/a, tombstoned) still
+    // physically occupies 'a': binding another table onto 'a' must refuse
+    spark.sql(s"ALTER TABLE $cat.db.a RENAME TO db.c")
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.db.b RENAME TO db.a"))
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")
+      .as[String].collect().toSet === Set("b", "c"))
+  }
+}
