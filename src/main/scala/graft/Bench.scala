@@ -185,7 +185,13 @@ object Bench {
     // extrapolation with measurement on the queries whose absolute cost
     // dominates the round — any superlinear per-query factor
     // (sec@30× / sec@1×  vs  copies) is a plan bug, not noise, at this size.
+    // Since r18 the scaled tiers run MIN-OF-2 (r17 verdict #1: two rounds
+    // of single-run tiers shipped factors 3–6× the same-HEAD calm run with
+    // every probe reading contended:false — the trivial floor probe does
+    // not register whatever slows multi-stage scaled queries; a second
+    // run of the query itself does).
     val hiCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI_COPIES", "30").toInt
+    val hiRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI_RUNS", "2").toInt
     // x1_dedup_keep_best left this list in r17 (verdict #1): the per-run
     // closure is O(pairs-within-the-run) BY CONSTRUCTION, so its 30× factor
     // grows with duplicate density rather than staying flat — r15 6.56 →
@@ -198,10 +204,14 @@ object Bench {
     // below needs a 30× anchor for every 100× entry — r16's 21.89-vs-3.48
     // xhi swing was undecidable precisely because the query had no
     // intermediate scale point.
+    // x2_jaccard_capped joins the 30× tier (r17 verdict #2): the query sat
+    // above the 2× gate in the shipped artifact with no scaling evidence
+    // and no exception row — the gate's own protocol had no data to
+    // adjudicate with; its 30× factor is that data.
     val heavy = Seq("cdc_events_replay", "x2_dedup_index", "x2_dup_spans",
       "x4_tfidf", "x7_q5_revenue_by_nation", "x2_line_dedup",
       "x4_corpus_build", "x3_ann_index", "x3_ivf_pq",
-      "cdc_corpus_stream", "x1_keep_best_index")
+      "cdc_corpus_stream", "x1_keep_best_index", "x2_jaccard_capped")
     var rs30: Seq[(String, Double)] = Nil
     var hiDir: Option[String] = None // kept alive through requalification
     if (hiCopies > 1) {
@@ -209,7 +219,8 @@ object Bench {
       hiDir = Some(dir)
       floor30 = floorProbe()
       rs30 = Registry.headlines.filter(q => heavy.contains(q.name)).map { q =>
-        q.name -> timedRun(q, () => q.fn(spark, dir).count())
+        q.name -> minOk((1 to hiRuns).map(_ =>
+          timedRun(q, () => q.fn(spark, dir).count())))
       }
     }
 
@@ -221,8 +232,13 @@ object Bench {
     // flat-shape replacement for the closure's steep curve — the closure
     // itself is O(pairs) by construction and stays on the 30× tier).
     val xhiCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_XHI_COPIES", "100").toInt
+    val xhiRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_XHI_RUNS", "2").toInt
+    // cdc_events_replay joins the 100× tier (r17 verdict #6): the
+    // CDC/merge path is the reference's actual workload — it carries
+    // measured 100× evidence beside the LLM index pipelines instead of
+    // stopping at its 30× point.
     val indexPipelines = Seq("x3_ivf_pq", "x2_dedup_index", "cdc_corpus_stream",
-      "x1_keep_best_index")
+      "x1_keep_best_index", "cdc_events_replay")
     var rsXhi: Seq[(String, Double)] = Nil
     var xhiDir: Option[String] = None
     if (xhiCopies > 1) {
@@ -230,9 +246,35 @@ object Bench {
       xhiDir = Some(dir)
       floorXhi = floorProbe()
       rsXhi = Registry.headlines.filter(q => indexPipelines.contains(q.name)).map { q =>
-        q.name -> timedRun(q, () => q.fn(spark, dir).count())
+        q.name -> minOk((1 to xhiRuns).map(_ =>
+          timedRun(q, () => q.fn(spark, dir).count())))
       }
     }
+
+    // PRIOR-CALM-FACTOR CROSS-CHECK (r17 verdict #1, the in-artifact half):
+    // tools/factors_calm.json persists the per-tier scaling factors of the
+    // last CALM narrative run (PERF.md's qualified measurement, committed
+    // per round). A tier entry whose factor exceeds 1.5× its recorded calm
+    // factor re-measures once more; if it STILL exceeds, the artifact
+    // carries it under the tier's "calm_flagged" list — the reader can
+    // tell contention-suspect entries from clean ones without trusting
+    // any narrative.
+    val calmPath = java.nio.file.Paths.get("tools/factors_calm.json")
+    val (calmHi, calmXhi): (Map[String, Double], Map[String, Double]) =
+      if (!java.nio.file.Files.exists(calmPath)) (Map.empty, Map.empty)
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(calmPath))
+        def tier(key: String): Map[String, Double] = Option(node.get(key))
+          .map { t =>
+            val m = scala.collection.mutable.Map.empty[String, Double]
+            t.fields().forEachRemaining(e => m.put(e.getKey, e.getValue.asDouble()))
+            m.toMap
+          }.getOrElse(Map.empty)
+        (tier("hi"), tier("xhi"))
+      } catch { case _: Exception => (Map.empty, Map.empty) }
+    val calmFlagged30 = scala.collection.mutable.LinkedHashSet.empty[String]
+    val calmFlaggedXhi = scala.collection.mutable.LinkedHashSet.empty[String]
 
     // INTERNAL-CONSISTENCY REQUALIFICATION (r14 verdict): a base-tier
     // min-of-N that EXCEEDS the same query's single run at 10× (or 30×) the
@@ -272,13 +314,19 @@ object Bench {
       val baseNow = finalResults.toMap
       rs30 = rs30.map { case (name, v) =>
         val b = baseNow.getOrElse(name, Double.NaN)
-        name -> (if (v >= 0 && b > 0 && v / b > hiCopies / 2.0) {
+        def f(x: Double): Double = if (x >= 0 && b > 0) x / b else -1.0
+        val calm = calmHi.get(name).filter(_ > 0)
+        val trigger = f(v) > hiCopies / 2.0 ||
+          calm.exists(c => f(v) > 1.5 * c)
+        val v2 = if (v >= 0 && trigger) {
           System.gc(); Thread.sleep(2000)
           val q = Registry.headlines.find(_.name == name).get
           val re = timedRun(q, () => q.fn(spark, dir).count())
           requalifiedHi.add(name)
           if (re >= 0) math.min(v, re) else v
-        } else v)
+        } else v
+        if (calm.exists(c => f(v2) > 1.5 * c)) calmFlagged30.add(name)
+        name -> v2
       }
       graft.tools.ScaledData.delete(dir)
     }
@@ -297,17 +345,22 @@ object Bench {
       val copiesRatio = xhiCopies.toDouble / math.max(1, hiCopies)
       rsXhi = rsXhi.map { case (name, v) =>
         val b = baseNow.getOrElse(name, Double.NaN)
-        val f = if (v >= 0 && b > 0) v / b else -1.0
+        def fOf(x: Double): Double = if (x >= 0 && b > 0) x / b else -1.0
+        val f = fOf(v)
+        val calm = calmXhi.get(name).filter(_ > 0)
         val pastBound = f > xhiCopies / 2.0
         val pastTierConsistency = factor30.get(name)
           .exists(f30 => f30 > 0 && f > 3.0 * f30 * copiesRatio)
-        name -> (if (f > 0 && (pastBound || pastTierConsistency)) {
+        val pastCalm = calm.exists(c => f > 1.5 * c)
+        val v2 = if (f > 0 && (pastBound || pastTierConsistency || pastCalm)) {
           System.gc(); Thread.sleep(2000)
           val q = Registry.headlines.find(_.name == name).get
           val re = timedRun(q, () => q.fn(spark, dir).count())
           requalifiedHi.add(name)
           if (re >= 0) math.min(v, re) else v
-        } else v)
+        } else v
+        if (calm.exists(c => fOf(v2) > 1.5 * c)) calmFlaggedXhi.add(name)
+        name -> v2
       }
       graft.tools.ScaledData.delete(dir)
     }
@@ -345,6 +398,18 @@ object Bench {
       }
 
     val baseSec = finalResults.toMap
+    def calmJson(calm: Map[String, Double],
+        flagged: scala.collection.mutable.LinkedHashSet[String]): String =
+      (if (calm.isEmpty) ""
+       else calm.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+         .mkString(""","factors_calm":{""", ",", "}")) +
+      (if (flagged.isEmpty) ""
+       else flagged.map("\"" + _ + "\"").mkString(""","calm_flagged":[""", ",", "]"))
+    // compact twin: the flag list only (the calm factors live in the file)
+    def calmCompactJson(
+        flagged: scala.collection.mutable.LinkedHashSet[String]): String =
+      if (flagged.isEmpty) ""
+      else flagged.map("\"" + _ + "\"").mkString(""","calm_flagged":[""", ",", "]")
     var hiJson = ""
     var hiCompactJson = "" // factors-only twin, built alongside (never parsed back)
     if (rs30.nonEmpty) {
@@ -355,8 +420,8 @@ object Bench {
         val f = if (v >= 0 && b > 0) math.rint(v / b * 100) / 100 else -1.0
         "\"" + k + "\":" + f
       }.mkString("{", ",", "}")
-      hiJson = s""","scaled_hi":{"copies":$hiCopies${tierFloorJson(floor30)},"queries":$sq,"factors":$factors}"""
-      hiCompactJson = s""","scaled_hi":{"copies":$hiCopies${tierContendedJson(floor30)},"factors":$factors}"""
+      hiJson = s""","scaled_hi":{"copies":$hiCopies,"runs_per_query":$hiRuns${tierFloorJson(floor30)},"queries":$sq,"factors":$factors${calmJson(calmHi, calmFlagged30)}}"""
+      hiCompactJson = s""","scaled_hi":{"copies":$hiCopies${tierContendedJson(floor30)},"factors":$factors${calmCompactJson(calmFlagged30)}}"""
     }
     var xhiJson = ""
     var xhiCompactJson = ""
@@ -368,8 +433,8 @@ object Bench {
         val f = if (v >= 0 && b > 0) math.rint(v / b * 100) / 100 else -1.0
         "\"" + k + "\":" + f
       }.mkString("{", ",", "}")
-      xhiJson = s""","scaled_xhi":{"copies":$xhiCopies${tierFloorJson(floorXhi)},"queries":$sq,"factors":$factors}"""
-      xhiCompactJson = s""","scaled_xhi":{"copies":$xhiCopies${tierContendedJson(floorXhi)},"factors":$factors}"""
+      xhiJson = s""","scaled_xhi":{"copies":$xhiCopies,"runs_per_query":$xhiRuns${tierFloorJson(floorXhi)},"queries":$sq,"factors":$factors${calmJson(calmXhi, calmFlaggedXhi)}}"""
+      xhiCompactJson = s""","scaled_xhi":{"copies":$xhiCopies${tierContendedJson(floorXhi)},"factors":$factors${calmCompactJson(calmFlaggedXhi)}}"""
     }
 
     // "Within 2x of DuckDB" as a COMPUTED column: tools/check.py --times-out

@@ -204,9 +204,15 @@ object CorpusPipeline {
         compactEvery = compactEvery)
       val rows = cleaned.join(r.kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
       corpus.merge(rows, r.evicted.select(col("doc_id")), batchId)
-      vectorIndex.foreach(h => graft.ops.AnnIndex.deleteBatch(h,
-        r.evicted.select(col("doc_id")), batchId, codes = vectorCodes,
-        idCol = "doc_id"))
+      // only commit a delete epoch when the batch actually evicted — the
+      // common no-eviction batch must not bump the vector index's version
+      // (the eviction set is deterministic per batch, so a replay makes
+      // the same skip/apply decision and the fence stays consistent)
+      vectorIndex.foreach { h =>
+        if (!r.evicted.isEmpty)
+          graft.ops.AnnIndex.deleteBatch(h, r.evicted.select(col("doc_id")),
+            batchId, codes = vectorCodes, idCol = "doc_id")
+      }
       r
     }
 
