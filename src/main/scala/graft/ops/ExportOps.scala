@@ -173,14 +173,20 @@ object ExportOps {
       // winner's still-in-flight v0 commit: retry briefly until the pointer
       // lands (bounded — the winner's create is a two-file local write)
       case e: Exception =>
-        var last: Throwable = e
         var opened: TransactionalTable = null
         var i = 0
+        var lastOpen: Throwable = null
         while (opened == null && i < 50) {
           try opened = TransactionalTable.open(spark, root)
-          catch { case t: Exception => last = t; Thread.sleep(20); i += 1 }
+          catch { case t: Exception => lastOpen = t; Thread.sleep(20); i += 1 }
         }
-        if (opened == null) throw last
+        if (opened == null) {
+          // not a creation race after all (e.g. a real IO failure): the
+          // ORIGINAL create error is the root cause — surface it, with
+          // the open-retry failure attached instead of burying it
+          if (lastOpen != null) e.addSuppressed(lastOpen)
+          throw e
+        }
         opened
     }
   }

@@ -231,10 +231,16 @@ object QualityMonitor {
       .sortBy(d => (-d.psi, d.source)).toSeq
   }
 
+  /** The alerting order over per-source verdicts: flagged first, then by
+    * psi descending — ONE definition shared by the Scala API and the
+    * `quality_drift_by_source` CALL so the two surfaces cannot key a
+    * different worst row. */
+  def worstOf(all: Seq[SourceDrift]): Option[SourceDrift] =
+    all.sortBy(d => (!d.drifted, -d.psi, d.source)).headOption
+
   /** The worst per-source verdict — the single row an alerting hook keys
     * on (None only when the stats table is empty). */
   def driftWorstSource(stats: TransactionalTable, refUpToBatch: Long,
       threshold: Double = 0.25): Option[SourceDrift] =
-    driftBySource(stats, refUpToBatch, threshold)
-      .sortBy(d => (!d.drifted, -d.psi, d.source)).headOption
+    worstOf(driftBySource(stats, refUpToBatch, threshold))
 }

@@ -827,7 +827,7 @@ object PipelineQueries {
             col("n_ref"), col("n_cur"))
           .orderBy("source")
       },
-      Some(s"""WITH toks AS (SELECT doc_id, source, $DuckToks AS w FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id, coalesce(source, '') AS source, $DuckToks AS w FROM documents),
              |n AS (SELECT doc_id, source, CAST(coalesce(len(w), 0) AS BIGINT) AS n FROM toks),
              |b AS (SELECT doc_id, source,
              |        CASE WHEN n <= 0 THEN 0 WHEN n <= 1 THEN 1 WHEN n <= 3 THEN 2
@@ -836,7 +836,7 @@ object PipelineQueries {
              |             WHEN n <= 511 THEN 9 ELSE 10 END AS bucket
              |      FROM n),
              |dom AS (SELECT source, CAST(unnest(range(11)) AS BIGINT) AS bucket
-             |        FROM (SELECT DISTINCT source FROM documents)),
+             |        FROM (SELECT DISTINCT coalesce(source, '') AS source FROM documents)),
              |r AS (SELECT source, bucket, COUNT(*) AS rn FROM b WHERE doc_id % 2 = 0 GROUP BY 1, 2),
              |c AS (SELECT source, bucket, COUNT(*) AS cn FROM b WHERE doc_id % 2 = 1 GROUP BY 1, 2),
              |j AS (SELECT dom.source, dom.bucket, COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn

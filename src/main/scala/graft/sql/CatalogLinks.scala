@@ -11,24 +11,29 @@ import graft.table.CommitIO
  * move is a copy+delete whose crash window materializes exactly the
  * dual-root state the E214 heal marker refuses as ambiguous, so the
  * metadata rename NEVER moves the data — it rebinds the NAME in a
- * per-namespace links map committed with the same two primitives as a
- * table commit ([[CommitIO]]):
+ * per-namespace links map.
  *
- *  - claim  = `putIfAbsent` of the next map version file
- *    (`_catalog_links/v<N>.json`) — concurrent renames serialize, losers
- *    re-read and retry;
- *  - publish = ONE full-object `putAtomic` of the HEAD pointer — readers
- *    see the old or the new map whole.
+ * Commit protocol: the map is a chain of versioned whole-map files
+ * (`_catalog_links/v<N>.json`) and the CLAIM IS THE COMMIT — one
+ * `putIfAbsent` of `v(N+1)` makes the new map live atomically (the map
+ * version is the largest contiguous `v<K>` present; there is NO mutable
+ * pointer object). Consequences, all by construction:
  *
- * BOTH bindings of a rename — `new → physical dir`, `old → tombstone` —
- * flip in that one publish, so no crash can leave a state where both
- * names (or neither) resolve: a crash between claim and publish leaves
- * HEAD on the old map (the rename observably did not happen; the old
- * name keeps working), and the orphaned claim is ROLLED FORWARD by the
- * next links commit (publishing an existing claim is an idempotent
- * same-bytes PUT, so racing the original writer is harmless) — the
- * rename a caller saw crash completes at the next catalog mutation, the
- * at-least-once twin of the table protocol's claim heal.
+ *  - concurrent mutations serialize through the conditional PUT — the
+ *    loser's claim conflicts, it re-reads and re-decides against the
+ *    winner's map;
+ *  - a crash can only land BEFORE the claim (nothing happened — the old
+ *    binding is fully live) or AFTER it (the rename is fully applied);
+ *    there is no half-state to heal, no roll-forward, and no pointer
+ *    that a stale writer could regress (the r18 review killed the
+ *    earlier HEAD-pointer variant for exactly that race);
+ *  - readers route through the same [[CommitIO]] the commits use, so a
+ *    store-backed io observes its own renames.
+ *
+ * Resolution probes `v1, v2, …` until the first absent version — O(#
+ * renames ever) `exists` calls per namespace, with the common
+ * never-renamed namespace paying exactly one. Renames are operator
+ * actions (a handful per table lifetime), not a data path.
  *
  * The map entry value is the PHYSICAL directory name inside the same
  * namespace (`Some(dir)`) or a tombstone (`None` — the name no longer
@@ -55,19 +60,17 @@ object CatalogLinks {
   final case class Links(version: Long, entries: Map[String, Option[String]])
 
   private def linksDir(nsDir: String): Path = Paths.get(nsDir, Dir)
-  private def headPath(nsDir: String): Path = linksDir(nsDir).resolve("HEAD")
   private def vPath(nsDir: String, v: Long): Path =
     linksDir(nsDir).resolve(s"v$v.json")
 
-  /** Fast-path: namespaces that never used a metadata rename have no HEAD
-    * and pay one `exists` per resolution, nothing more. */
-  def read(nsDir: String): Links = {
-    val head = headPath(nsDir)
-    if (!Files.exists(head)) return Links(0L, Map.empty)
-    val v = new String(Files.readAllBytes(head), UTF_8).trim.toLong
-    if (v <= 0) return Links(0L, Map.empty)
+  /** The live map = the largest contiguous claim. Never-renamed
+    * namespaces (no `_catalog_links/v1.json`) pay one `exists`. */
+  def read(nsDir: String, io: CommitIO): Links = {
+    var v = 0L
+    while (io.exists(vPath(nsDir, v + 1))) v += 1
+    if (v == 0) return Links(0L, Map.empty)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = om.readTree(Files.readAllBytes(vPath(nsDir, v)))
+    val node = om.readTree(io.read(vPath(nsDir, v)))
     val entries = scala.collection.mutable.Map.empty[String, Option[String]]
     node.fields().forEachRemaining { e =>
       entries.put(e.getKey,
@@ -76,8 +79,8 @@ object CatalogLinks {
     Links(v, entries.toMap)
   }
 
-  def resolve(nsDir: String, name: String): Resolution =
-    read(nsDir).entries.get(name) match {
+  def resolve(nsDir: String, name: String, io: CommitIO): Resolution =
+    read(nsDir, io).entries.get(name) match {
       case Some(Some(phys)) => Linked(phys)
       case Some(None) => Tombstoned
       case None => Unlinked
@@ -93,28 +96,19 @@ object CatalogLinks {
     om.writeValueAsBytes(node)
   }
 
-  /** One CAS attempt: claim the next version, publish HEAD. On a claim
-    * conflict the existing claim is rolled FORWARD (same-bytes publish —
-    * see the object scaladoc) and the caller re-reads. */
+  /** One CAS attempt: claim `v(cur+1)` — the claim IS the commit. */
   private def tryCommit(nsDir: String, cur: Links,
       entries: Map[String, Option[String]], io: CommitIO): Boolean = {
     Files.createDirectories(linksDir(nsDir))
-    val next = cur.version + 1
-    try io.putIfAbsent(vPath(nsDir, next), serialize(entries))
-    catch {
-      case _: FileAlreadyExistsException =>
-        io.putAtomic(headPath(nsDir), next.toString.getBytes(UTF_8))
-        return false
-    }
-    io.putAtomic(headPath(nsDir), next.toString.getBytes(UTF_8))
-    true
+    try { io.putIfAbsent(vPath(nsDir, cur.version + 1), serialize(entries)); true }
+    catch { case _: FileAlreadyExistsException => false }
   }
 
   private def retrying(nsDir: String, io: CommitIO)(
       step: Links => Option[Map[String, Option[String]]]): Unit = {
     var attempts = 0
     while (true) {
-      val cur = read(nsDir)
+      val cur = read(nsDir, io)
       step(cur) match {
         case None => return // nothing to change under the freshest map
         case Some(entries) =>
@@ -133,24 +127,16 @@ object CatalogLinks {
   def rename(nsDir: String, oldName: String, newName: String,
       io: CommitIO): Unit =
     retrying(nsDir, io) { cur =>
-      // idempotence under the roll-forward heal: a crashed attempt's claim
-      // may have been published by OUR OWN conflict handler one loop ago —
-      // a map that already shows (old tombstoned, new bound) IS this
-      // rename applied; re-applying would double-tombstone a live chain
-      if (cur.entries.get(oldName).contains(None) &&
-          cur.entries.get(newName).exists(_.isDefined)) None
-      else {
-        val phys = cur.entries.get(oldName) match {
-          case Some(Some(p)) => p
-          case Some(None) => throw new IllegalStateException(
-            s"rename source '$oldName' no longer resolves (renamed concurrently)")
-          case None => oldName
-        }
-        if (cur.entries.get(newName).exists(_.isDefined))
-          throw new IllegalStateException(
-            s"rename target '$newName' is already bound (renamed concurrently)")
-        Some(cur.entries + (newName -> Some(phys)) + (oldName -> None))
+      val phys = cur.entries.get(oldName) match {
+        case Some(Some(p)) => p
+        case Some(None) => throw new IllegalStateException(
+          s"rename source '$oldName' no longer resolves (renamed concurrently)")
+        case None => oldName
       }
+      if (cur.entries.get(newName).exists(_.isDefined))
+        throw new IllegalStateException(
+          s"rename target '$newName' is already bound (renamed concurrently)")
+      Some(cur.entries + (newName -> Some(phys)) + (oldName -> None))
     }
 
   /** Remove `name`'s binding (table dropped through a linked name). */

@@ -82,7 +82,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * that never metadata-renamed pay one file-exists check. */
   private def rootOf(ident: Identifier): String = {
     val ns = nsDirOf(ident)
-    CatalogLinks.resolve(ns, ident.name()) match {
+    CatalogLinks.resolve(ns, ident.name(), linksIo) match {
       case CatalogLinks.Linked(phys) => s"$ns/$phys"
       case _ => s"$ns/${ident.name()}"
     }
@@ -97,7 +97,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val dir = Paths.get(nsDir)
     if (!Files.isDirectory(dir)) Array.empty
     else {
-      val links = CatalogLinks.read(nsDir).entries
+      val links = CatalogLinks.read(nsDir, linksIo).entries
       // physical dirs under their own name, minus renamed-away ones ...
       val plain = graft.util.Fs.listSeq(dir).iterator
         .filter(p => TransactionalTable.exists(p.toString))
@@ -113,7 +113,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    CatalogLinks.resolve(nsDirOf(ident), ident.name()) match {
+    CatalogLinks.resolve(nsDirOf(ident), ident.name(), linksIo) match {
       case CatalogLinks.Tombstoned => false
       case CatalogLinks.Linked(phys) =>
         TransactionalTable.exists(s"${nsDirOf(ident)}/$phys")
@@ -354,7 +354,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       // a table created at a view's path would co-locate _table.json with
       // _view.json — one name, two objects, both surfaces broken
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
-    CatalogLinks.resolve(nsDirOf(ident), ident.name()) match {
+    CatalogLinks.resolve(nsDirOf(ident), ident.name(), linksIo) match {
       case CatalogLinks.Tombstoned =>
         // a renamed-away name is reusable once its physical directory is
         // free (the renamed table was dropped); while the directory still
@@ -366,8 +366,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               "metadata rename and its directory still holds the renamed " +
               "table's data — drop the renamed table (or pick another name)")
         CatalogLinks.clearTombstone(nsDirOf(ident), ident.name(), linksIo)
-      case CatalogLinks.Linked(_) =>
-        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+      case CatalogLinks.Linked(phys) =>
+        // a DANGLING link (physical dir gone — e.g. a drop that crashed
+        // after deleting the data) frees the name; a live one refuses
+        if (TransactionalTable.exists(s"${nsDirOf(ident)}/$phys"))
+          throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+        CatalogLinks.unlink(nsDirOf(ident), ident.name(), linksIo)
       case CatalogLinks.Unlinked => ()
     }
     val pk = Option(properties.get("pk")).getOrElse(schema.fieldNames.head)
@@ -582,7 +586,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def dropTable(ident: Identifier): Boolean = {
     // a TOMBSTONED name must never delete the physical directory it used
     // to point at — the renamed table owns that data now
-    if (CatalogLinks.resolve(nsDirOf(ident), ident.name()) ==
+    if (CatalogLinks.resolve(nsDirOf(ident), ident.name(), linksIo) ==
         CatalogLinks.Tombstoned) return false
     val root = Paths.get(rootOf(ident))
     if (GraftViewStore.exists(root.toString))
@@ -594,13 +598,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "alternative" -> "DROP VIEW", "operation" -> "DROP TABLE",
           "foundType" -> "VIEW", "requiredType" -> "EXTERNAL or MANAGED",
           "objectName" -> ident.toString))
-    if (!Files.exists(root)) false
-    else {
+    if (!Files.exists(root)) {
+      // a DANGLING link (physical dir already gone) still occupies the
+      // name: retire it so the name is re-creatable instead of wedged
+      CatalogLinks.unlink(nsDirOf(ident), ident.name(), linksIo)
+      false
+    } else {
+      // UNLINK FIRST, then delete (r18 review): a crash between the two
+      // leaves an orphaned data directory (garbage, re-droppable), never
+      // a live link to a half-deleted table — the reverse order wedged
+      // the name (exists=false, drop=false, create=refused) until a
+      // hand-edit of the links map.
+      CatalogLinks.unlink(nsDirOf(ident), ident.name(), linksIo)
       // Strict: a half-deleted table dir must surface as an error, not a
       // successful DROP (the lenient variant is for scratch cleanup only).
       graft.util.Fs.deleteRecursivelyStrict(root)
-      // dropping a metadata-renamed table retires its name binding too
-      CatalogLinks.unlink(nsDirOf(ident), ident.name(), linksIo)
       true
     }
   }

@@ -420,9 +420,14 @@ object GraftProcedures {
           if (codesName.isEmpty) None
           else Some(graft.table.TransactionalTable.open(spark,
             c.rootByName(codesName)))
+        // `deleted` = rows that actually LEFT the index (before − after),
+        // not the requested id-set size — absent ids and fenced-replay
+        // no-ops must read 0, or a runbook keying on it confirms a
+        // removal that never happened (review r18)
+        val before = graft.ops.AnnIndex.status(h).nVectors
         graft.ops.AnnIndex.deleteBatch(h, ids, a.getLong(2), codes = codes)
-        Seq(ids.count(), graft.ops.AnnIndex.status(h).nVectors,
-          h.assignments.currentVersion)
+        val after = graft.ops.AnnIndex.status(h).nVectors
+        Seq(before - after, after, h.assignments.currentVersion)
       }),
 
     // Drift observability for the frozen quantizer: cell-occupancy skew
@@ -645,7 +650,7 @@ object GraftProcedures {
       (c, a) => {
         val all = graft.ops.QualityMonitor.driftBySource(open(c, a),
           a.getLong(1), a.getDouble(2))
-        val w = all.sortBy(d => (!d.drifted, -d.psi, d.source)).headOption
+        val w = graft.ops.QualityMonitor.worstOf(all)
           .getOrElse(graft.ops.QualityMonitor.SourceDrift("", 0.0, 0L, 0L,
             drifted = false))
         Seq(w.source, w.psi, w.nRef, w.nCur, w.drifted, all.size.toLong)

@@ -18,15 +18,26 @@ class CatalogMetadataRenameSpec extends graft.SparkSpec {
   import spark.implicits._
 
   private final class SimStoreIO extends CommitIO {
-    @volatile var crashBeforeHeadPut = false
+    /** The writer dies BEFORE its conditional PUT reaches the store:
+      * the commit observably never happened. */
+    @volatile var crashBeforeClaim = false
+    /** The store ACKS the conditional PUT and THEN the writer dies: the
+      * claim IS the commit, so the rename is fully applied despite the
+      * statement erroring — there is no third, half-applied state. */
+    @volatile var crashAfterClaim = false
     override def putIfAbsent(path: Path, bytes: Array[Byte]): Unit = {
-      Files.write(path, bytes, StandardOpenOption.CREATE_NEW); ()
+      if (crashBeforeClaim) {
+        crashBeforeClaim = false
+        throw new RuntimeException("simulated crash: writer died before the claim PUT")
+      }
+      Files.write(path, bytes, StandardOpenOption.CREATE_NEW)
+      if (crashAfterClaim) {
+        crashAfterClaim = false
+        throw new RuntimeException("simulated crash: claim acked, writer died")
+      }
+      ()
     }
     override def putAtomic(path: Path, bytes: Array[Byte]): Unit = {
-      if (crashBeforeHeadPut && path.getFileName.toString == "HEAD") {
-        crashBeforeHeadPut = false
-        throw new RuntimeException("simulated crash: claim landed, HEAD PUT lost")
-      }
       // ONE full-object PUT — no tmp file, no move
       Files.write(path, bytes, StandardOpenOption.CREATE,
         StandardOpenOption.TRUNCATE_EXISTING)
@@ -39,7 +50,7 @@ class CatalogMetadataRenameSpec extends graft.SparkSpec {
     override def delete(path: Path): Unit = { Files.deleteIfExists(path); () }
   }
 
-  test("metadata rename: zero directory moves; crash between claim and HEAD leaves the old binding; retry completes; lifecycle composes") {
+  test("metadata rename: zero directory moves; a crash leaves either the old or the new binding whole, never both; lifecycle composes") {
     val cat = s"graft_mrn${System.nanoTime()}"
     val w = tmpDir("graft-warehouse-mrn")
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
@@ -55,25 +66,30 @@ class CatalogMetadataRenameSpec extends graft.SparkSpec {
     val io = new SimStoreIO
     plugin.linksIo = io
 
-    // CRASH between the links claim and the HEAD publish
-    io.crashBeforeHeadPut = true
+    // CRASH (a): the writer dies BEFORE its claim reaches the store —
+    // the rename observably never happened; the old binding is fully live
+    io.crashBeforeClaim = true
     intercept[RuntimeException](spark.sql(s"ALTER TABLE $cat.db.t RENAME TO db.t2"))
-    // no ambiguity: the OLD name still resolves (HEAD never moved), the
-    // new one does not, and the data directory did not move
     assert(spark.sql(s"SELECT COUNT(*) AS c FROM $cat.db.t").as[Long].head() === 2L,
-      "a crashed metadata rename must leave the old binding fully live")
+      "a pre-claim crash must leave the old binding fully live")
     intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.t2").collect())
     assert(Files.isDirectory(Paths.get(s"$w/db/t")) &&
       !Files.exists(Paths.get(s"$w/db/t2")), "the data directory never moves")
 
-    // the RETRY completes (the orphaned claim rolls forward, then the
-    // fresh attempt commits) — still zero directory moves
-    spark.sql(s"ALTER TABLE $cat.db.t RENAME TO db.t2")
+    // CRASH (b): the store ACKS the claim, THEN the writer dies — the
+    // claim IS the commit, so the rename is fully applied despite the
+    // statement erroring: both names resolve consistently, no half-state
+    io.crashAfterClaim = true
+    intercept[RuntimeException](spark.sql(s"ALTER TABLE $cat.db.t RENAME TO db.t2"))
     assert(spark.sql(s"SELECT id FROM $cat.db.t2 ORDER BY id")
-      .as[Long].collect().toSeq === Seq(1L, 2L))
+      .as[Long].collect().toSeq === Seq(1L, 2L),
+      "a post-claim crash must leave the rename fully applied")
     intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.t").collect())
     assert(Files.isDirectory(Paths.get(s"$w/db/t")) &&
       !Files.exists(Paths.get(s"$w/db/t2")), "rename is metadata-only")
+    // an operator RETRYING the crashed statement discovers it applied:
+    // the source name no longer resolves — loud, never a double-apply
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.db.t RENAME TO db.t2"))
 
     // the renamed table stays fully writable and listable under the new name
     spark.sql(s"INSERT INTO $cat.db.t2 VALUES (3, 30)")
@@ -132,5 +148,16 @@ class CatalogMetadataRenameSpec extends graft.SparkSpec {
     intercept[Exception](spark.sql(s"ALTER TABLE $cat.db.b RENAME TO db.a"))
     assert(spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")
       .as[String].collect().toSet === Set("b", "c"))
+    // a DANGLING link (physical dir gone out-of-band, or a drop that
+    // crashed between unlink and delete) must not wedge the name: the
+    // name reads as absent and CREATE reclaims it (r18 review)
+    spark.sql(s"ALTER TABLE $cat.db.b RENAME TO db.d")
+    graft.util.Fs.deleteRecursively(Paths.get(s"$w/db/b"))
+    assert(!spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")
+      .as[String].collect().contains("d"), "a dangling link must not list")
+    spark.sql(s"CREATE TABLE $cat.db.d (id BIGINT) TBLPROPERTIES('pk'='id')")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (7)")
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM $cat.db.d").as[Long].head() === 1L,
+      "CREATE must reclaim a dangling-linked name")
   }
 }
