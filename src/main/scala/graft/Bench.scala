@@ -398,18 +398,26 @@ object Bench {
       }
 
     val baseSec = finalResults.toMap
+    // compact twin: the check marker + flag list (the calm factors
+    // themselves live in the full file) — the driver tail-captures the
+    // compact line, so IT must be decidable too: "off" = the cross-check
+    // never ran, distinct from "ran and found nothing"
+    def calmCompactJson(calm: Map[String, Double],
+        flagged: scala.collection.mutable.LinkedHashSet[String]): String =
+      s""","calm_check":"${if (calm.isEmpty) "off" else "on"}"""" +
+        (if (flagged.isEmpty) ""
+         else flagged.map("\"" + _ + "\"").mkString(""","calm_flagged":[""", ",", "]"))
+    // `calm_check` is EXPLICIT: "off" means the cross-check never ran
+    // (factors file absent/unreadable/empty for this tier) — without the
+    // marker a reader cannot tell "all entries clean" from "nothing was
+    // checked" (r18 review pass 2), which defeats the in-artifact
+    // decidability the protocol exists for
     def calmJson(calm: Map[String, Double],
         flagged: scala.collection.mutable.LinkedHashSet[String]): String =
       (if (calm.isEmpty) ""
        else calm.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
          .mkString(""","factors_calm":{""", ",", "}")) +
-      (if (flagged.isEmpty) ""
-       else flagged.map("\"" + _ + "\"").mkString(""","calm_flagged":[""", ",", "]"))
-    // compact twin: the flag list only (the calm factors live in the file)
-    def calmCompactJson(
-        flagged: scala.collection.mutable.LinkedHashSet[String]): String =
-      if (flagged.isEmpty) ""
-      else flagged.map("\"" + _ + "\"").mkString(""","calm_flagged":[""", ",", "]")
+        calmCompactJson(calm, flagged)
     var hiJson = ""
     var hiCompactJson = "" // factors-only twin, built alongside (never parsed back)
     if (rs30.nonEmpty) {
@@ -421,7 +429,7 @@ object Bench {
         "\"" + k + "\":" + f
       }.mkString("{", ",", "}")
       hiJson = s""","scaled_hi":{"copies":$hiCopies,"runs_per_query":$hiRuns${tierFloorJson(floor30)},"queries":$sq,"factors":$factors${calmJson(calmHi, calmFlagged30)}}"""
-      hiCompactJson = s""","scaled_hi":{"copies":$hiCopies${tierContendedJson(floor30)},"factors":$factors${calmCompactJson(calmFlagged30)}}"""
+      hiCompactJson = s""","scaled_hi":{"copies":$hiCopies${tierContendedJson(floor30)},"factors":$factors${calmCompactJson(calmHi, calmFlagged30)}}"""
     }
     var xhiJson = ""
     var xhiCompactJson = ""
@@ -434,7 +442,7 @@ object Bench {
         "\"" + k + "\":" + f
       }.mkString("{", ",", "}")
       xhiJson = s""","scaled_xhi":{"copies":$xhiCopies,"runs_per_query":$xhiRuns${tierFloorJson(floorXhi)},"queries":$sq,"factors":$factors${calmJson(calmXhi, calmFlaggedXhi)}}"""
-      xhiCompactJson = s""","scaled_xhi":{"copies":$xhiCopies${tierContendedJson(floorXhi)},"factors":$factors${calmCompactJson(calmFlaggedXhi)}}"""
+      xhiCompactJson = s""","scaled_xhi":{"copies":$xhiCopies${tierContendedJson(floorXhi)},"factors":$factors${calmCompactJson(calmXhi, calmFlaggedXhi)}}"""
     }
 
     // "Within 2x of DuckDB" as a COMPUTED column: tools/check.py --times-out

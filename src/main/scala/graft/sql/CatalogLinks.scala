@@ -136,13 +136,26 @@ object CatalogLinks {
       if (cur.entries.get(newName).exists(_.isDefined))
         throw new IllegalStateException(
           s"rename target '$newName' is already bound (renamed concurrently)")
-      Some(cur.entries + (newName -> Some(phys)) + (oldName -> None))
+      // normalization: a rename BACK to the physical name needs no link at
+      // all — the name resolves to its own directory again (no permanent
+      // self-link entry to carry)
+      val withOld = cur.entries + (oldName -> None)
+      Some(if (phys == newName) withOld - newName
+           else withOld + (newName -> Some(phys)))
     }
 
   /** Remove `name`'s binding (table dropped through a linked name). */
   def unlink(nsDir: String, name: String, io: CommitIO): Unit =
+    unlinkAll(nsDir, Seq(name), io)
+
+  /** Remove several bindings in ONE commit — the drop path retires both
+    * the dropped link AND the tombstone over its physical directory
+    * atomically, so no crash ordering can leave a name wedged behind a
+    * stale entry (r18 review pass 2). */
+  def unlinkAll(nsDir: String, names: Seq[String], io: CommitIO): Unit =
     retrying(nsDir, io) { cur =>
-      if (cur.entries.contains(name)) Some(cur.entries - name) else None
+      if (names.exists(cur.entries.contains)) Some(cur.entries -- names)
+      else None
     }
 
   /** Lift a tombstone so a NEW table can be created under a previously

@@ -117,7 +117,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case CatalogLinks.Tombstoned => false
       case CatalogLinks.Linked(phys) =>
         TransactionalTable.exists(s"${nsDirOf(ident)}/$phys")
-      case CatalogLinks.Unlinked => TransactionalTable.exists(rootOf(ident))
+      // resolution is already known — probing rootOf again would re-read
+      // the links map for nothing (r18 review pass 2)
+      case CatalogLinks.Unlinked =>
+        TransactionalTable.exists(s"${nsDirOf(ident)}/${ident.name()}")
     }
 
   // FunctionCatalog (storage-partitioned joins): Spark resolves the table's
@@ -584,10 +587,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    val resolution = CatalogLinks.resolve(nsDirOf(ident), ident.name(), linksIo)
     // a TOMBSTONED name must never delete the physical directory it used
     // to point at — the renamed table owns that data now
-    if (CatalogLinks.resolve(nsDirOf(ident), ident.name(), linksIo) ==
-        CatalogLinks.Tombstoned) return false
+    if (resolution == CatalogLinks.Tombstoned) return false
     val root = Paths.get(rootOf(ident))
     if (GraftViewStore.exists(root.toString))
       // DROP TABLE on a view must not silently destroy it (or an MV's
@@ -598,18 +601,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "alternative" -> "DROP VIEW", "operation" -> "DROP TABLE",
           "foundType" -> "VIEW", "requiredType" -> "EXTERNAL or MANAGED",
           "objectName" -> ident.toString))
+    // the drop retires EVERY binding touching this table in one commit:
+    // the dropped name's own entry AND, for a linked name, the tombstone
+    // over its physical directory (r18 review pass 2 — retiring only the
+    // link left a crash window where the orphaned dir sat behind the
+    // original name's tombstone: un-droppable, un-creatable, wedged)
+    val toUnlink = resolution match {
+      case CatalogLinks.Linked(phys) => Seq(ident.name(), phys)
+      case _ => Seq(ident.name())
+    }
     if (!Files.exists(root)) {
       // a DANGLING link (physical dir already gone) still occupies the
       // name: retire it so the name is re-creatable instead of wedged
-      CatalogLinks.unlink(nsDirOf(ident), ident.name(), linksIo)
+      CatalogLinks.unlinkAll(nsDirOf(ident), toUnlink, linksIo)
       false
     } else {
       // UNLINK FIRST, then delete (r18 review): a crash between the two
-      // leaves an orphaned data directory (garbage, re-droppable), never
-      // a live link to a half-deleted table — the reverse order wedged
-      // the name (exists=false, drop=false, create=refused) until a
-      // hand-edit of the links map.
-      CatalogLinks.unlink(nsDirOf(ident), ident.name(), linksIo)
+      // leaves an orphaned data directory under its ORIGINAL, now fully
+      // unbound name — visible, re-droppable, never wedged behind a
+      // stale entry. The reverse order left a live link to a
+      // half-deleted table.
+      CatalogLinks.unlinkAll(nsDirOf(ident), toUnlink, linksIo)
       // Strict: a half-deleted table dir must surface as an error, not a
       // successful DROP (the lenient variant is for scratch cleanup only).
       graft.util.Fs.deleteRecursivelyStrict(root)
@@ -651,18 +663,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       require(oldIdent.namespace().toSeq == newIdent.namespace().toSeq,
         "metadata rename rebinds a name within its namespace — a " +
           "cross-namespace rename needs renameMode=move")
-      // the target name's directory may be physically occupied by a
+      val ns = nsDirOf(newIdent)
+      // the target name's directory may be physically occupied by ANOTHER
       // renamed-away table (tombstoned): binding over it would leave two
-      // names one directory apart — refuse like any occupied target
-      if (Files.exists(Paths.get(s"${nsDirOf(newIdent)}/${newIdent.name()}")))
+      // names one directory apart — refuse like any occupied target.
+      // EXEMPT the source's own physical directory (r18 review pass 2):
+      // renaming a table BACK to its original name finds its own data dir
+      // there, and the rebinding (orig -> Some(orig), current -> tombstone)
+      // is perfectly consistent.
+      val targetDir = s"$ns/${newIdent.name()}"
+      if (targetDir != oldRoot && Files.exists(Paths.get(targetDir)))
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+      // a DANGLING link on the target name (physical dir gone — the same
+      // state CREATE reclaims) frees it for renames too, instead of a
+      // misleading 'renamed concurrently' refusal from the map layer
+      CatalogLinks.resolve(ns, newIdent.name(), linksIo) match {
+        case CatalogLinks.Linked(phys)
+            if !TransactionalTable.exists(s"$ns/$phys") =>
+          CatalogLinks.unlink(ns, newIdent.name(), linksIo)
+        case _ => ()
+      }
       CatalogLinks.rename(nsDirOf(oldIdent), oldIdent.name(), newIdent.name(),
         linksIo)
     } else {
       TransactionalTable.renameRoot(oldRoot, newRoot)
       // a MOVE of a previously metadata-renamed table: its link now points
-      // at the moved-away directory — retire the stale binding
+      // at the moved-away directory — retire the stale binding; and a
+      // stale TOMBSTONE on the target name (its dir was free, or
+      // renameRoot would have refused) must lift, or the resolution layer
+      // hides the just-moved live data behind it (r18 review pass 2)
       CatalogLinks.unlink(nsDirOf(oldIdent), oldIdent.name(), linksIo)
+      CatalogLinks.clearTombstone(nsDirOf(newIdent), newIdent.name(), linksIo)
     }
   }
 

@@ -159,5 +159,23 @@ class CatalogMetadataRenameSpec extends graft.SparkSpec {
     spark.sql(s"INSERT INTO $cat.db.d VALUES (7)")
     assert(spark.sql(s"SELECT COUNT(*) AS c FROM $cat.db.d").as[Long].head() === 1L,
       "CREATE must reclaim a dangling-linked name")
+    // rename BACK to the original name (r18 review pass 2): the occupied
+    // target directory is the source's OWN data dir — allowed, and the
+    // map normalizes to a plain binding (no permanent self-link)
+    spark.sql(s"ALTER TABLE $cat.db.c RENAME TO db.a")
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM $cat.db.a").as[Long].head() === 0L,
+      "a table must be renamable back to its original name")
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.c").collect())
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")
+      .as[String].collect().toSet === Set("a", "d"),
+      "the rename-back must restore the plain binding (b was consumed above)")
+    // a dangling-linked TARGET name is reclaimable by rename, like CREATE
+    TransactionalTable.create(spark, s"$w/db/f",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"), "id", None)
+    spark.sql(s"ALTER TABLE $cat.db.f RENAME TO db.e")
+    graft.util.Fs.deleteRecursively(Paths.get(s"$w/db/f"))
+    spark.sql(s"ALTER TABLE $cat.db.d RENAME TO db.e")
+    assert(spark.sql(s"SELECT id FROM $cat.db.e").as[Long].collect().toSeq ===
+      Seq(7L), "rename must reclaim a dangling-linked target name")
   }
 }
