@@ -177,7 +177,12 @@ object ExportOps {
         var i = 0
         var lastOpen: Throwable = null
         while (opened == null && i < 50) {
-          try opened = TransactionalTable.open(spark, root)
+          // the handle must be USABLE, not just constructible: open() can
+          // succeed off the winner's table meta while its v0 commit has
+          // not yet published the version pointer — probe it before
+          // handing the handle out
+          try { val t = TransactionalTable.open(spark, root)
+                t.currentVersion; opened = t }
           catch { case t: Exception => lastOpen = t; Thread.sleep(20); i += 1 }
         }
         if (opened == null) {
@@ -235,10 +240,13 @@ object ExportOps {
           expectedVersion = Some(v0))
         return
       } catch {
-        // a concurrent ack landed between our read and our commit: the
-        // version gate rejected the write — re-read and re-decide (the
-        // loop converges: each rejection means the table advanced)
-        case e: graft.table.CommitConflictException =>
+        // a concurrent ack landed between our read and our commit — the
+        // version gate rejected the write (CommitConflict), or the commit
+        // claim itself lost every internal retry under heavy contention
+        // (ConcurrentCommit): both mean "the table advanced"; re-read and
+        // re-decide (the loop converges: each rejection means progress)
+        case e @ (_: graft.table.CommitConflictException |
+                  _: graft.table.ConcurrentCommitException) =>
           attempts += 1
           if (attempts > 20) throw e
       }
