@@ -1,7 +1,7 @@
 package graft.sql
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.nio.file.{FileAlreadyExistsException, Path, Paths}
 
 import graft.table.CommitIO
 
@@ -96,10 +96,12 @@ object CatalogLinks {
     om.writeValueAsBytes(node)
   }
 
-  /** One CAS attempt: claim `v(cur+1)` — the claim IS the commit. */
+  /** One CAS attempt: claim `v(cur+1)` — the claim IS the commit. Parent
+    * preparation is the io's job (CommitIO contract: putIfAbsent accepts
+    * keys with no existing parent — an object store has no directories),
+    * so this path stays fully store-expressible (r18 advice). */
   private def tryCommit(nsDir: String, cur: Links,
       entries: Map[String, Option[String]], io: CommitIO): Boolean = {
-    Files.createDirectories(linksDir(nsDir))
     try { io.putIfAbsent(vPath(nsDir, cur.version + 1), serialize(entries)); true }
     catch { case _: FileAlreadyExistsException => false }
   }

@@ -112,16 +112,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    CatalogLinks.resolve(nsDirOf(ident), ident.name(), linksIo) match {
-      case CatalogLinks.Tombstoned => false
-      case CatalogLinks.Linked(phys) =>
-        TransactionalTable.exists(s"${nsDirOf(ident)}/$phys")
-      // resolution is already known — probing rootOf again would re-read
-      // the links map for nothing (r18 review pass 2)
-      case CatalogLinks.Unlinked =>
-        TransactionalTable.exists(s"${nsDirOf(ident)}/${ident.name()}")
-    }
+  override def tableExists(ident: Identifier): Boolean = resolvedTable(ident)._2
 
   // FunctionCatalog (storage-partitioned joins): Spark resolves the table's
   // bucket(n, col) transform here to decide scan co-partitioning.
@@ -138,30 +129,75 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   // ---------------------------------------------------------------------
 
   override def listViews(namespace: String*): Array[Identifier] = {
-    val dir = Paths.get((warehouse +: namespace).mkString("/"))
+    val nsDir = (warehouse +: namespace).mkString("/")
+    val dir = Paths.get(nsDir)
     if (!Files.isDirectory(dir)) Array.empty
-    else graft.util.Fs.listSeq(dir).iterator
-      .filter(p => GraftViewStore.exists(p.toString))
-      .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
-      .toArray
+    else {
+      val links = CatalogLinks.read(nsDir, linksIo).entries
+      // physical dirs under their own name, minus renamed-away ones ...
+      val plain = graft.util.Fs.listSeq(dir).iterator
+        .filter(p => GraftViewStore.exists(p.toString, linksIo))
+        .map(_.getFileName.toString)
+        .filterNot(n => links.get(n).contains(None))
+      // ... plus metadata-renamed names whose physical dir still holds a view
+      val linked = links.iterator.collect {
+        case (n, Some(phys)) if GraftViewStore.exists(s"$nsDir/$phys", linksIo) => n
+      }
+      (plain ++ linked).toSeq.distinct.sorted
+        .map(n => Identifier.of(namespace.toArray, n)).toArray
+    }
   }
 
   override def viewExists(ident: Identifier): Boolean =
-    GraftViewStore.exists(rootOf(ident))
+    CatalogLinks.resolve(nsDirOf(ident), ident.name(), linksIo) match {
+      case CatalogLinks.Tombstoned => false
+      case CatalogLinks.Linked(phys) =>
+        GraftViewStore.exists(s"${nsDirOf(ident)}/$phys", linksIo)
+      case CatalogLinks.Unlinked =>
+        GraftViewStore.exists(s"${nsDirOf(ident)}/${ident.name()}", linksIo)
+    }
 
   override def loadView(ident: Identifier): View =
     if (!viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    else GraftViewStore.connectorView(ident, rootOf(ident))
+    else GraftViewStore.connectorView(ident, rootOf(ident), linksIo)
+
+  /** Create-path root resolution for views — the same tombstone guard and
+    * dangling-link reclaim [[createTable]] applies (r18 advice #2: the
+    * view-create paths previously wrote at a DANGLING link's stale physical
+    * directory, storing the view under one name while resolving it under
+    * another). A LIVE link survives: REPLACE of a metadata-renamed view
+    * must keep mutating its linked root. */
+  private[sql] def viewCreateRoot(ident: Identifier): String = {
+    val ns = nsDirOf(ident)
+    CatalogLinks.resolve(ns, ident.name(), linksIo) match {
+      case CatalogLinks.Tombstoned =>
+        // renamed-away name: reusable once its directory is free; while the
+        // directory still holds the renamed object, refuse LOUDLY rather
+        // than co-locate a new view's metadata with its data
+        if (Files.exists(Paths.get(s"$ns/${ident.name()}")))
+          throw new IllegalStateException(
+            s"cannot create '$ident': the name was renamed away by a " +
+              "metadata rename and its directory still holds the renamed " +
+              "object's data — drop the renamed object (or pick another name)")
+        CatalogLinks.clearTombstone(ns, ident.name(), linksIo)
+      case CatalogLinks.Linked(phys)
+          if !TransactionalTable.exists(s"$ns/$phys") &&
+            !GraftViewStore.exists(s"$ns/$phys", linksIo) =>
+        CatalogLinks.unlink(ns, ident.name(), linksIo)
+      case _ => ()
+    }
+    rootOf(ident)
+  }
 
   override def createView(info: ViewInfo): View = {
-    val root = rootOf(info.ident())
+    val root = viewCreateRoot(info.ident())
     // the raw dir probe backs up tableExists: a TOMBSTONED (renamed-away)
     // name's directory still holds the renamed table — a view created
-    // there would co-locate _view.json with live table data
+    // there would co-locate view metadata with live table data
     if (tableExists(info.ident()) || TransactionalTable.exists(root))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(info.ident())
-    GraftViewStore.mutate(root) {
+    GraftViewStore.mutate(root, linksIo) {
       case Some(_) =>
         throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
       case None => GraftViewStore.metaForDefinition(
@@ -171,10 +207,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
-    val root = rootOf(info.ident())
+    val root = viewCreateRoot(info.ident())
     if (tableExists(info.ident()) || TransactionalTable.exists(root))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(info.ident())
-    GraftViewStore.mutate(root) { prior =>
+    GraftViewStore.mutate(root, linksIo) { prior =>
       if (prior.isEmpty && !orCreate)
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident())
       GraftViewStore.metaForDefinition(
@@ -185,7 +221,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
     val root = rootOf(ident)
-    GraftViewStore.mutate(root) {
+    GraftViewStore.mutate(root, linksIo) {
       case None =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
       case Some(meta) =>
@@ -199,15 +235,70 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     loadView(ident)
   }
 
-  override def dropView(ident: Identifier): Boolean =
-    GraftViewStore.drop(rootOf(ident))
+  override def dropView(ident: Identifier): Boolean = {
+    val ns = nsDirOf(ident)
+    val resolution = CatalogLinks.resolve(ns, ident.name(), linksIo)
+    // a TOMBSTONED name must never delete the directory it used to point
+    // at — the renamed view owns that data now (mirrors dropTable)
+    if (resolution == CatalogLinks.Tombstoned) return false
+    val root = rootOf(ident)
+    val toUnlink = resolution match {
+      case CatalogLinks.Linked(phys) => Seq(ident.name(), phys)
+      case _ => Seq(ident.name())
+    }
+    if (!GraftViewStore.exists(root, linksIo)) {
+      // a DANGLING link still occupies the name: retire it so the name is
+      // re-creatable instead of wedged
+      if (resolution != CatalogLinks.Unlinked)
+        CatalogLinks.unlinkAll(ns, toUnlink, linksIo)
+      false
+    } else {
+      // UNLINK FIRST, then delete (same crash reasoning as dropTable): a
+      // crash between the two leaves an orphaned view dir under its
+      // original, fully unbound name — visible, re-droppable, never wedged
+      if (resolution != CatalogLinks.Unlinked)
+        CatalogLinks.unlinkAll(ns, toUnlink, linksIo)
+      GraftViewStore.drop(root, linksIo)
+    }
+  }
 
+  /** `ALTER VIEW ... RENAME TO` — the same two postures as [[renameTable]]:
+    * `move` does one atomic directory move; `metadata` rebinds the name in
+    * the namespace's [[CatalogLinks]] map (views and tables share the map —
+    * a name binds ONE object) and never touches the view directory. */
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    if (!GraftViewStore.exists(rootOf(oldIdent)))
+    if (!viewExists(oldIdent))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
-    if (GraftViewStore.exists(rootOf(newIdent)) || tableExists(newIdent))
+    if (viewExists(newIdent) || tableExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
-    GraftViewStore.rename(rootOf(oldIdent), rootOf(newIdent))
+    if (renameMode == "metadata") {
+      require(oldIdent.namespace().toSeq == newIdent.namespace().toSeq,
+        "metadata rename rebinds a name within its namespace — a " +
+          "cross-namespace rename needs renameMode=move")
+      val ns = nsDirOf(newIdent)
+      val oldRoot = rootOf(oldIdent)
+      // an occupied target directory (ANOTHER renamed-away object's data)
+      // refuses; the source's own physical dir is exempt (rename-back)
+      val targetDir = s"$ns/${newIdent.name()}"
+      if (targetDir != oldRoot && Files.exists(Paths.get(targetDir)))
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+      // a DANGLING link on the target name frees it for renames too
+      CatalogLinks.resolve(ns, newIdent.name(), linksIo) match {
+        case CatalogLinks.Linked(phys)
+            if !TransactionalTable.exists(s"$ns/$phys") &&
+              !GraftViewStore.exists(s"$ns/$phys", linksIo) =>
+          CatalogLinks.unlink(ns, newIdent.name(), linksIo)
+        case _ => ()
+      }
+      CatalogLinks.rename(nsDirOf(oldIdent), oldIdent.name(), newIdent.name(),
+        linksIo)
+    } else {
+      GraftViewStore.rename(rootOf(oldIdent), rootOf(newIdent))
+      // retire any stale binding on the moved-from name; lift any stale
+      // tombstone on the target (mirrors renameTable's move branch)
+      CatalogLinks.unlink(nsDirOf(oldIdent), oldIdent.name(), linksIo)
+      CatalogLinks.clearTombstone(nsDirOf(newIdent), newIdent.name(), linksIo)
+    }
   }
 
   /** The snapshot's file list as SQL-layer manifest entries — LAZY when the
@@ -243,8 +334,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     version.toLongOption match {
       case Some(v) => loadAt(ident, Some(v))
       case None =>
-        val root = rootOf(ident)
-        if (!tableExists(ident)) {
+        val (root, present) = resolvedTable(ident)
+        if (!present) {
           // metadata-table suffix with a TAG ref: `t.files VERSION AS OF
           // 'prod'` resolves the tag against the parent table and scopes
           // the metadata answer to it
@@ -291,17 +382,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   /** `TIMESTAMP AS OF ts` time travel — Catalyst passes MICROseconds since
     * epoch; resolve to the greatest snapshot committed at or before it. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val root = rootOf(ident)
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (root, present) = resolvedTable(ident)
+    if (!present) throw new NoSuchTableException(ident)
     val t = TransactionalTable.open(spark, root)
     loadAt(ident, Some(t.versionAt(timestamp / 1000L)))
   }
 
+  /** ONE links resolution per operation (r18 advice #4): `rootOf` +
+    * `tableExists` each re-read the namespace's whole links version chain
+    * (O(#renames) exists probes — several HEAD requests per table load on a
+    * real object store). Resolve once and derive both the root and the
+    * tombstone-aware existence from it. */
+  private def resolvedTable(ident: Identifier): (String, Boolean) = {
+    val ns = nsDirOf(ident)
+    CatalogLinks.resolve(ns, ident.name(), linksIo) match {
+      case CatalogLinks.Tombstoned => (s"$ns/${ident.name()}", false)
+      case CatalogLinks.Linked(phys) =>
+        val r = s"$ns/$phys"; (r, TransactionalTable.exists(r))
+      case CatalogLinks.Unlinked =>
+        val r = s"$ns/${ident.name()}"; (r, TransactionalTable.exists(r))
+    }
+  }
+
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
-    val root = rootOf(ident)
-    // tableExists, not a raw dir probe: a TOMBSTONED name (metadata-renamed
-    // away) still has a directory but must not load under the old name
-    if (!tableExists(ident)) {
+    val (root, present) = resolvedTable(ident)
+    // tombstone-aware existence, not a raw dir probe: a TOMBSTONED name
+    // (metadata-renamed away) still has a directory but must not load
+    // under the old name
+    if (!present) {
       // Iceberg-style metadata tables: `graft.db.t.history` parses as
       // namespace [db, t] + name "history" — serve the parent table's
       // metadata when the suffix names one (see MetadataTables).
@@ -556,12 +664,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   /** Disk root for a dotted table name that may not exist yet (the index
     * CREATE procedures build engine tables there; the directory then shows
-    * up through the normal catalog listing). */
+    * up through the normal catalog listing). Applies createTable's
+    * tombstone guard (r18 advice #1): without it, `CALL ann_index_create`
+    * on a metadata-renamed-away name resolved to the renamed table's
+    * still-live data directory and silently built index subtables inside
+    * it — and a later DROP of the renamed table deleted the index with it. */
   private[sql] def rootByName(table: String): String = {
     val parts = table.split("\\.")
     require(parts.length >= 1 && parts.forall(_.nonEmpty),
       s"procedure table argument must be 'db.tbl', got '$table'")
-    rootOf(Identifier.of(parts.init, parts.last))
+    val ident = Identifier.of(parts.init, parts.last)
+    val ns = nsDirOf(ident)
+    CatalogLinks.resolve(ns, ident.name(), linksIo) match {
+      case CatalogLinks.Tombstoned =>
+        if (Files.exists(Paths.get(s"$ns/${ident.name()}")))
+          throw new IllegalStateException(
+            s"cannot create '$ident': the name was renamed away by a " +
+              "metadata rename and its directory still holds the renamed " +
+              "object's data — drop the renamed object (or pick another name)")
+        CatalogLinks.clearTombstone(ns, ident.name(), linksIo)
+        s"$ns/${ident.name()}"
+      case CatalogLinks.Linked(phys) => s"$ns/$phys"
+      case CatalogLinks.Unlinked => s"$ns/${ident.name()}"
+    }
   }
 
   private[sql] def openByName(table: String): TransactionalTable = {
@@ -592,7 +717,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // to point at — the renamed table owns that data now
     if (resolution == CatalogLinks.Tombstoned) return false
     val root = Paths.get(rootOf(ident))
-    if (GraftViewStore.exists(root.toString))
+    if (GraftViewStore.exists(root.toString, linksIo))
       // DROP TABLE on a view must not silently destroy it (or an MV's
       // owned storage) — the wrong-statement error Spark itself gives
       throw new org.apache.spark.sql.AnalysisException(
@@ -646,7 +771,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * TABLE statement is the wrong-command error, never a silent move. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val oldRoot = rootOf(oldIdent)
-    if (GraftViewStore.exists(oldRoot))
+    if (GraftViewStore.exists(oldRoot, linksIo))
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_COMMAND_FOR_OBJECT_TYPE",
         messageParameters = Map(
@@ -655,7 +780,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "objectName" -> oldIdent.toString))
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     val newRoot = rootOf(newIdent)
-    if (tableExists(newIdent) || GraftViewStore.exists(newRoot))
+    if (tableExists(newIdent) || GraftViewStore.exists(newRoot, linksIo))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
     require(namespaceExists(newIdent.namespace()),
       s"target namespace ${newIdent.namespace().mkString(".")} does not exist")

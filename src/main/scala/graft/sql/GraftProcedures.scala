@@ -269,7 +269,7 @@ object GraftProcedures {
         val name = a.getUTF8String(0).toString
         val spark = org.apache.spark.sql.SparkSession.active
         val root = c.viewRootByName(name)
-        val meta = GraftViewStore.load(root)
+        val meta = GraftViewStore.load(root, c.linksIo)
         require(meta.materialized, s"$name is a plain view, not materialized")
         val staleSources = meta.sourceVersions.filter { case (r, v) =>
           !TransactionalTable.exists(r) ||
@@ -291,7 +291,7 @@ object GraftProcedures {
               // the transformed inserts (O(new data)); aggregate
               // definitions merged per-group deltas (O(delta groups));
               // join definitions appended the IVM delta terms (O(Δ ⋈ other))
-              GraftViewStore.mutate(root) {
+              GraftViewStore.mutate(root, c.linksIo) {
                 case Some(m) =>
                   m.copy(sourceVersions = m.sourceVersions ++ updatedVersions)
                 case None => throw new IllegalStateException(
@@ -311,7 +311,7 @@ object GraftProcedures {
               GraftMvRefresh.dropDistinctAux(root)
               val (sources, external) =
                 GraftViewResolution.engineSources(df.queryExecution.analyzed)
-              GraftViewStore.mutate(root) {
+              GraftViewStore.mutate(root, c.linksIo) {
                 case Some(m) =>
                   m.copy(sourceVersions = sources, externalSources = external)
                 case None => throw new IllegalStateException(
@@ -951,7 +951,7 @@ object GraftProcedures {
       (c, a) => {
         val name = a.getUTF8String(0).toString
         val spark = org.apache.spark.sql.SparkSession.active
-        val meta = GraftViewStore.load(c.viewRootByName(name))
+        val meta = GraftViewStore.load(c.viewRootByName(name), c.linksIo)
         require(meta.materialized, s"$name is a plain view, not materialized")
         val stale = meta.sourceVersions.filter { case (r, v) =>
           !TransactionalTable.exists(r) ||

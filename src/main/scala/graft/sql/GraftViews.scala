@@ -30,20 +30,58 @@ import org.apache.spark.sql.types.{DataType, StructType}
  *
  * Iceberg-parity choices: REPLACE/ALTER ... AS appends a new version (the
  * definition history is retained, like Iceberg's view versions); property
- * changes rewrite properties only; all writes are atomic tmp+ATOMIC_MOVE so
- * readers never observe a torn file. The stored `currentCatalog` and
+ * changes rewrite properties only. The stored `currentCatalog` and
  * `currentNamespace` pin the name-resolution context of the defining
  * session, so unqualified table names in the view SQL keep meaning the same
  * tables when the view is read under a different current catalog/namespace
  * (see [[GraftViewRead.qualify]]).
+ *
+ * COMMIT PROTOCOL (r18 review #1 — the object-store posture the TABLE layer
+ * already has): view metadata is a chain of immutable versioned whole-files
+ * (`_view/v<N>.json`) committed through [[graft.table.CommitIO]], and the
+ * `putIfAbsent` CLAIM IS THE COMMIT — the [[CatalogLinks]] idiom. The live
+ * metadata = the largest contiguous `v<K>` present; there is NO mutable
+ * pointer and NO rename anywhere in the path, so the store needs only
+ * conditional PUT + GET. Consequences, all by construction:
+ *
+ *  - concurrent DDLs (REPLACE racing SET TBLPROPERTIES, two CREATEs)
+ *    serialize through the conditional PUT — the loser re-reads the fresh
+ *    state and re-decides, CROSS-PROCESS (the pre-r19 byte-compare CAS was
+ *    guarded by a JVM-local lock with a documented cross-process window);
+ *  - a crash lands BEFORE the claim (nothing happened) or AFTER it (the
+ *    DDL is fully applied); no torn or half state exists to heal;
+ *  - readers route through the same io, so a store-backed deployment
+ *    observes its own commits.
+ *
+ * Pre-r19 warehouses hold a single `_view.json` (tmp+ATOMIC_MOVE format):
+ * reads fall back to it when no chain exists, and the FIRST chain commit
+ * supersedes it (the legacy file is then retired best-effort — readers
+ * prefer the chain regardless, so a crash between the two is inert).
  */
 object GraftViewStore {
 
   private val mapper = new ObjectMapper()
 
+  /** LEGACY (pre-r19) single-file metadata — read fallback only. */
   val FileName = "_view.json"
+  /** The versioned metadata chain: `_view/v<N>.json`, claim-is-commit. */
+  private val ChainDir = "_view"
 
-  def exists(root: String): Boolean = Files.exists(Paths.get(root, FileName))
+  private def legacyPath(root: String): Path = Paths.get(root, FileName)
+  private def chainPath(root: String, v: Long): Path =
+    Paths.get(root, ChainDir, s"v$v.json")
+
+  /** Live chain version = largest contiguous claim; 0 = no chain (legacy
+    * file or nothing). Never-mutated-since-migration views pay the same
+    * probe count as the links map: one `exists` per version ever written. */
+  private def chainVersion(root: String, io: graft.table.CommitIO): Long = {
+    var v = 0L
+    while (io.exists(chainPath(root, v + 1))) v += 1
+    v
+  }
+
+  def exists(root: String, io: graft.table.CommitIO): Boolean =
+    io.exists(chainPath(root, 1L)) || io.exists(legacyPath(root))
 
   /** One stored view definition version. */
   final case class VersionMeta(
@@ -75,10 +113,16 @@ object GraftViewStore {
           s"versions ${versions.map(_.versionId).mkString("[", ",", "]")}"))
   }
 
-  def load(root: String): ViewMeta = parse(Files.readAllBytes(Paths.get(root, FileName)))
+  def load(root: String, io: graft.table.CommitIO): ViewMeta =
+    parse(rawBytes(root, io))
 
-  private[sql] def rawBytes(root: String): Array[Byte] =
-    Files.readAllBytes(Paths.get(root, FileName))
+  /** Current metadata bytes — the chain head when one exists, else the
+    * legacy file (content digests derived from these stay valid cache keys:
+    * every commit lands a new immutable file). */
+  private[sql] def rawBytes(root: String, io: graft.table.CommitIO): Array[Byte] = {
+    val v = chainVersion(root, io)
+    if (v > 0) io.read(chainPath(root, v)) else io.read(legacyPath(root))
+  }
 
   private[sql] def parse(bytes: Array[Byte]): ViewMeta = {
     val node = mapper.readTree(bytes)
@@ -106,51 +150,63 @@ object GraftViewStore {
       externalSources = Option(node.get("externalSources")).exists(_.asBoolean()))
   }
 
-  /** JVM-local per-root locks for the CAS in [[mutate]]. Cross-process, the
-    * ATOMIC_MOVE still prevents torn reads; the residual cross-process
-    * check-to-move window is the same one Iceberg's HadoopCatalog accepts. */
-  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def lockFor(root: String): AnyRef = rootLocks.computeIfAbsent(
-    Paths.get(root).toAbsolutePath.normalize.toString, _ => new AnyRef)
-
-  private def currentBytes(root: String): Option[Array[Byte]] = {
-    val p = Paths.get(root, FileName)
-    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
-  }
-
   /**
-   * Compare-and-swap read-modify-write of `_view.json` — the view-metadata
-   * analogue of the table layer's `retryingCommit`. `f` sees the CURRENT
-   * meta (None if absent) and returns the replacement; the write only lands
-   * if the file is byte-identical to what `f` observed, else the mutation is
-   * recomputed against the fresh state and retried. Two concurrent DDLs
-   * (e.g. SET TBLPROPERTIES racing REPLACE VIEW) therefore serialize instead
-   * of silently losing one writer's update. Exceptions thrown by `f`
-   * (existence guards etc.) propagate unchanged.
+   * Serialized read-modify-write of the view metadata — the view-metadata
+   * analogue of the table layer's `retryingCommit`, now claim-is-commit:
+   * `f` sees the CURRENT meta (None if absent) and returns the replacement,
+   * which is committed by one conditional PUT of the next chain version. A
+   * losing writer's claim conflicts; it re-reads the fresh state, re-decides
+   * and retries — two concurrent DDLs (e.g. SET TBLPROPERTIES racing
+   * REPLACE VIEW) therefore serialize CROSS-PROCESS instead of silently
+   * losing one writer's update. Exceptions thrown by `f` (existence guards
+   * etc.) propagate unchanged.
    */
-  def mutate(root: String, maxAttempts: Int = 5)(f: Option[ViewMeta] => ViewMeta): ViewMeta = {
+  def mutate(root: String, io: graft.table.CommitIO, maxAttempts: Int = 20)(
+      f: Option[ViewMeta] => ViewMeta): ViewMeta = {
     var attempt = 0
     while (attempt < maxAttempts) {
-      val observed = currentBytes(root)
-      val next = f(observed.map(parse))
-      val committed = lockFor(root).synchronized {
-        val now = currentBytes(root)
-        val unchanged = (observed, now) match {
-          case (None, None) => true
-          case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
-          case _ => false
+      val v = chainVersion(root, io)
+      val legacy = v == 0 && io.exists(legacyPath(root))
+      val prior: Option[Option[ViewMeta]] =
+        try Some(
+          if (v > 0) Some(parse(io.read(chainPath(root, v))))
+          else if (legacy) Some(parse(io.read(legacyPath(root))))
+          else None)
+        catch {
+          // the legacy file was retired (or the observed head expired)
+          // between the probe and the read — a racing writer moved the
+          // state; loop and re-observe
+          case _: java.nio.file.NoSuchFileException => None
         }
-        if (unchanged) write(root, next)
-        unchanged
+      prior match {
+        case None => attempt += 1
+        case Some(cur) =>
+          val next = f(cur)
+          try {
+            io.putIfAbsent(chainPath(root, v + 1), serialize(next))
+            // the chain supersedes the legacy file from its first commit on;
+            // retirement is best-effort (readers prefer the chain regardless,
+            // so a crash here leaves an inert file the next commit retires)
+            if (legacy)
+              try io.delete(legacyPath(root))
+              catch { case scala.util.control.NonFatal(_) => () }
+            return next
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+          }
       }
-      if (committed) return next
-      attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
-      s"view metadata at $root kept changing across $maxAttempts CAS attempts")
+      s"view metadata at $root kept changing across $maxAttempts commit attempts")
   }
 
-  def write(root: String, meta: ViewMeta): Unit = {
+  /** Commit `meta` as the next chain version regardless of prior content
+    * (create paths — the caller has already run its existence guards). */
+  def write(root: String, meta: ViewMeta, io: graft.table.CommitIO): Unit = {
+    mutate(root, io)(_ => meta); ()
+  }
+
+  private def serialize(meta: ViewMeta): Array[Byte] = {
     val node = mapper.createObjectNode()
     node.put("formatVersion", 1)
     node.put("currentVersionId", meta.currentVersionId)
@@ -164,12 +220,7 @@ object GraftViewStore {
     meta.properties.foreach { case (k, v) => props.put(k, v) }
     val arr = node.putArray("versions")
     meta.versions.foreach { v => writeVersion(arr, v) }
-    val dir = Paths.get(root)
-    Files.createDirectories(dir)
-    val tmp = Files.createTempFile(dir, "_view", ".tmp")
-    Files.write(tmp, mapper.writeValueAsBytes(node))
-    Files.move(tmp, dir.resolve(FileName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    mapper.writeValueAsBytes(node)
   }
 
   private def writeVersion(arr: ArrayNode, v: VersionMeta): Unit = {
@@ -211,24 +262,36 @@ object GraftViewStore {
     * so it is never enumerated by listTables). */
   def storageRoot(root: String): String = s"$root/_storage"
 
-  def drop(root: String): Boolean = {
-    val p = Paths.get(root, FileName)
-    if (!Files.exists(p)) false
+  def drop(root: String, io: graft.table.CommitIO): Boolean = {
+    if (!exists(root, io)) false
     else {
-      val materialized = load(root).materialized
-      Files.delete(p)
+      val materialized = load(root, io).materialized
+      // retire the chain HEAD-DOWN (vN .. v1): a crash mid-way leaves a
+      // contiguous v1..vk prefix — the view still exists (stale but whole)
+      // and the drop is re-runnable. The other order would leave orphaned
+      // high versions a later CREATE's fresh v1 would splice into.
+      var v = chainVersion(root, io)
+      while (v > 0) { io.delete(chainPath(root, v)); v -= 1 }
+      try io.delete(legacyPath(root))
+      catch { case scala.util.control.NonFatal(_) => () }
       if (materialized) {
         // a materialized view owns its storage table: delete it with the view
         val storage = Paths.get(storageRoot(root))
         if (Files.exists(storage)) graft.util.Fs.deleteRecursively(storage)
       }
-      // remove the now-empty view dir (ignore failure: files written by
-      // others are left alone)
-      try Files.deleteIfExists(Paths.get(root)) catch { case _: Exception => () }
+      // remove the now-empty chain + view dirs (ignore failure: files
+      // written by others are left alone)
+      try {
+        Files.deleteIfExists(Paths.get(root, ChainDir))
+        Files.deleteIfExists(Paths.get(root))
+      } catch { case _: Exception => () }
       true
     }
   }
 
+  /** POSIX whole-directory move — the `renameMode=move` fast path ONLY.
+    * Object-store deployments rename views via catalog metadata
+    * ([[CatalogLinks]], `renameMode=metadata`) and never call this. */
   def rename(oldRoot: String, newRoot: String): Unit = {
     val to = Paths.get(newRoot)
     Files.createDirectories(to.getParent)
@@ -236,8 +299,9 @@ object GraftViewStore {
   }
 
   /** Materialize the connector [[View]] for an identifier rooted at `root`. */
-  def connectorView(ident: Identifier, root: String): View = {
-    val meta = load(root)
+  def connectorView(ident: Identifier, root: String,
+      io: graft.table.CommitIO): View = {
+    val meta = load(root, io)
     val cur = meta.current
     new View {
       override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
@@ -334,6 +398,13 @@ object GraftViewResolution {
   def viewRoot(g: GraftCatalog, ns: Seq[String], name: String): String =
     g.tableRoot(org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name))
 
+  /** Tombstone-aware "is there a stored view here" — the read/routing
+    * probe. `viewRoot` alone maps a TOMBSTONED (metadata-renamed-away)
+    * name to its own directory, which still physically holds the renamed
+    * view's store: a raw exists probe there would resurrect the old name. */
+  def viewVisible(g: GraftCatalog, ns: Seq[String], name: String): Boolean =
+    g.viewExists(org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name))
+
   /** Engine sources of an ANALYZED plan: graft table root → the snapshot
     * version the relation was pinned at, plus whether any non-engine leaf
     * source exists (external parquet, local data, MOR-rewritten scans) —
@@ -400,16 +471,16 @@ object GraftViewResolution {
   def expand(spark: SparkSession, parts: Seq[String], seen: Set[String])
       : Option[LogicalPlan] =
     target(spark, parts).flatMap { case (catName, g, ns, name) =>
-      val root = viewRoot(g, ns, name)
-      if (!GraftViewStore.exists(root)) None
+      if (!viewVisible(g, ns, name)) None
       else {
+        val root = viewRoot(g, ns, name)
         val fullName = (catName +: ns :+ name).mkString(".")
         if (seen.contains(fullName.toLowerCase(java.util.Locale.ROOT)))
           throw new org.apache.spark.sql.AnalysisException(
             errorClass = "RECURSIVE_VIEW",
             messageParameters = Map("viewIdent" -> fullName,
               "newPath" -> (seen.mkString(" -> ") + s" -> $fullName")))
-        val bytes = GraftViewStore.rawBytes(root)
+        val bytes = GraftViewStore.rawBytes(root, g.linksIo)
         val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
           .map("%02x".format(_)).mkString
         val cached = planCache.synchronized {
@@ -651,7 +722,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       }
     case r @ RenameTable(child, newName, true) =>
       partsOf(child).flatMap(graftTarget) match {
-        case Some((cat, g, ns, name)) if GraftViewStore.exists(GraftViewResolution.viewRoot(g, ns, name)) =>
+        case Some((cat, g, ns, name))
+            if GraftViewResolution.viewVisible(g, ns, name) =>
           val (newNs, newLeaf) = graftTarget(newName) match {
             // A 1-part target is namespace-less: keep the SOURCE view's
             // namespace (a same-catalog rename must not silently adopt the
@@ -670,7 +742,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     case d @ DescribeRelation(child, _, isExtended, output) =>
       partsOf(child).flatMap(graftTarget) match {
         case Some((cat, g, ns, name))
-            if GraftViewStore.exists(GraftViewResolution.viewRoot(g, ns, name)) =>
+            if GraftViewResolution.viewVisible(g, ns, name) =>
           GraftDescribeViewCommand(cat, ns, name, isExtended, output)
         case _ => d
       }
@@ -679,7 +751,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     case sc @ ShowCreateTable(child, _, output) =>
       partsOf(child).flatMap(graftTarget) match {
         case Some((cat, g, ns, name))
-            if GraftViewStore.exists(GraftViewResolution.viewRoot(g, ns, name)) =>
+            if GraftViewResolution.viewVisible(g, ns, name) =>
           GraftShowCreateViewCommand(cat, ns, name, output)
         case _ => sc
       }
@@ -800,12 +872,12 @@ final case class GraftCreateViewExec(cmd: GraftCreateViewCommand) extends LeafEx
         queryColumnNames = schema.fieldNames.toSeq,
         columnAliases = aliases,
         columnComments = comments)
-      val root = cat.tableRoot(id)
+      val root = cat.viewCreateRoot(id)
       if (cat.tableExists(id))
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(id)
       if (exists && !cmd.replace)
         throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(id)
-      GraftViewStore.mutate(root) { prior =>
+      GraftViewStore.mutate(root, cat.linksIo) { prior =>
         if (prior.isDefined && !cmd.replace)
           throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(id)
         GraftViewStore.metaForDefinition(prior, version, props)
@@ -822,7 +894,7 @@ final case class GraftAlterViewAsExec(cmd: GraftAlterViewAsCommand) extends Leaf
     val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
     val id = GraftViewExec.ident(cmd.ns, cmd.viewName)
     val root = cat.tableRoot(id)
-    if (!GraftViewStore.exists(root))
+    if (!GraftViewStore.exists(root, cat.linksIo))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(id)
     val df = org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.query)
     GraftViewExec.rejectTempRefs(cmd.viewName, df.queryExecution.analyzed)
@@ -837,7 +909,7 @@ final case class GraftAlterViewAsExec(cmd: GraftAlterViewAsCommand) extends Leaf
       columnAliases = df.schema.fieldNames.toSeq,
       columnComments = Seq.fill(df.schema.fields.length)(None))
     // ALTER ... AS keeps properties (only the definition changes)
-    GraftViewStore.mutate(root) {
+    GraftViewStore.mutate(root, cat.linksIo) {
       case None =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(id)
       case Some(cur) => GraftViewStore.metaForDefinition(Some(cur), version, cur.properties)
@@ -895,7 +967,7 @@ final case class GraftShowCreateViewExec(cmd: GraftShowCreateViewCommand) extend
   private lazy val stmt: String = {
     val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
     val root = cat.tableRoot(GraftViewExec.ident(cmd.ns, cmd.viewName))
-    val meta = GraftViewStore.load(root)
+    val meta = GraftViewStore.load(root, cat.linksIo)
     val cur = meta.current
     val full = (cmd.catalogName +: cmd.ns :+ cmd.viewName).mkString(".")
     val kind = if (meta.materialized) "MATERIALIZED VIEW" else "VIEW"
@@ -922,7 +994,7 @@ final case class GraftDescribeViewExec(cmd: GraftDescribeViewCommand) extends Le
       if (c == null) null else UTF8String.fromString(c))
     val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
     val root = cat.tableRoot(GraftViewExec.ident(cmd.ns, cmd.viewName))
-    val meta = GraftViewStore.load(root)
+    val meta = GraftViewStore.load(root, cat.linksIo)
     val cur = meta.current
     val cols = cur.schema.fields.zipWithIndex.map { case (f, i) =>
       r(cur.columnAliases.lift(i).getOrElse(f.name), f.dataType.simpleString,
@@ -983,13 +1055,13 @@ final case class GraftCreateMaterializedViewExec(cmd: GraftCreateMaterializedVie
   private lazy val run: Unit = {
     val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
     val id = GraftViewExec.ident(cmd.ns, cmd.viewName)
-    val root = cat.tableRoot(id)
-    if (GraftViewStore.exists(root)) {
+    if (cat.viewExists(id)) {
       if (!cmd.ifNotExists)
         throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(id)
     } else if (cat.tableExists(id)) {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(id)
     } else {
+      val root = cat.viewCreateRoot(id)
       val df0 = org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.query)
       if (cmd.userColumnNames.nonEmpty &&
           cmd.userColumnNames.length != df0.schema.fields.length)
@@ -1023,7 +1095,8 @@ final case class GraftCreateMaterializedViewExec(cmd: GraftCreateMaterializedVie
         columnComments = Seq.fill(df.schema.fields.length)(None))
       GraftViewStore.write(root, GraftViewStore.ViewMeta(
         currentVersionId = 1, versions = Seq(version), properties = cmd.properties,
-        materialized = true, sourceVersions = sources, externalSources = external))
+        materialized = true, sourceVersions = sources, externalSources = external),
+        cat.linksIo)
     }
   }
   override protected def doExecute(): RDD[InternalRow] = { run; sparkContext.emptyRDD }
@@ -2887,11 +2960,11 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case g: GraftCatalog => g
       case _ => logWarning(s"$ConfKey entry '$name': not a graft catalog"); return None
     }
-    val root = GraftViewResolution.viewRoot(cat, parts.tail.init, parts.last)
-    if (!GraftViewStore.exists(root)) {
+    if (!GraftViewResolution.viewVisible(cat, parts.tail.init, parts.last)) {
       logWarning(s"$ConfKey entry '$name': no such view"); return None
     }
-    val bytes = GraftViewStore.rawBytes(root)
+    val root = GraftViewResolution.viewRoot(cat, parts.tail.init, parts.last)
+    val bytes = GraftViewStore.rawBytes(root, cat.linksIo)
     val meta = GraftViewStore.parse(bytes)
     if (!meta.materialized || meta.externalSources) return None
     // freshness: every recorded source is exactly at its recorded version

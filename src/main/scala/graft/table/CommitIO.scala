@@ -37,7 +37,13 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 trait CommitIO {
   /** Create `path` with `bytes` iff absent — the atomic claim. MUST throw
     * [[java.nio.file.FileAlreadyExistsException]] when the object already
-    * exists (the losing-writer signal the retry loop dispatches on). */
+    * exists (the losing-writer signal the retry loop dispatches on).
+    *
+    * Implementations MUST accept a `path` whose parent "directory" does not
+    * exist yet: on an object store every key is writable (directories are
+    * not a thing), and the POSIX implementation creates missing parents.
+    * This keeps commit paths free of local-FS `createDirectories` calls a
+    * store-backed io would never see (r18 advice). */
   def putIfAbsent(path: Path, bytes: Array[Byte]): Unit
 
   /** Replace `path` with `bytes`; concurrent readers observe the old or
@@ -54,9 +60,11 @@ trait CommitIO {
   * claim = `CREATE_NEW`, publish = tmp file + atomic rename. */
 object PosixCommitIO extends CommitIO {
   override def putIfAbsent(path: Path, bytes: Array[Byte]): Unit = {
+    Option(path.getParent).foreach(Files.createDirectories(_))
     Files.write(path, bytes, StandardOpenOption.CREATE_NEW); ()
   }
   override def putAtomic(path: Path, bytes: Array[Byte]): Unit = {
+    Option(path.getParent).foreach(Files.createDirectories(_))
     val tmp = Paths.get(path.toString + ".tmp")
     Files.write(tmp, bytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

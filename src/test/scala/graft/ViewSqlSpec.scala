@@ -54,13 +54,13 @@ class ViewSqlSpec extends SparkSpec {
     val (cat, w) = fresh()
     spark.sql(s"CREATE VIEW $cat.db.r AS SELECT id FROM $cat.db.t")
     spark.sql(s"CREATE OR REPLACE VIEW $cat.db.r AS SELECT v FROM $cat.db.t")
-    val meta = GraftViewStore.load(s"$w/db/r")
+    val meta = GraftViewStore.load(s"$w/db/r", graft.table.PosixCommitIO)
     assert(meta.currentVersionId === 2 && meta.versions.map(_.versionId) === Seq(1, 2))
     assert(spark.sql(s"SELECT * FROM $cat.db.r ORDER BY v").columns.toSeq === Seq("v"))
     // ALTER VIEW ... AS appends another version, keeps properties
     spark.sql(s"ALTER VIEW $cat.db.r SET TBLPROPERTIES('team'='core')")
     spark.sql(s"ALTER VIEW $cat.db.r AS SELECT id, v FROM $cat.db.t")
-    val meta2 = GraftViewStore.load(s"$w/db/r")
+    val meta2 = GraftViewStore.load(s"$w/db/r", graft.table.PosixCommitIO)
     assert(meta2.currentVersionId === 3 && meta2.properties("team") === "core")
   }
 
@@ -84,7 +84,7 @@ class ViewSqlSpec extends SparkSpec {
     val (cat, w) = fresh()
     spark.sql(s"CREATE VIEW $cat.db.old AS SELECT id FROM $cat.db.t")
     spark.sql(s"ALTER VIEW $cat.db.old RENAME TO $cat.db.fresh")
-    assert(!GraftViewStore.exists(s"$w/db/old") && GraftViewStore.exists(s"$w/db/fresh"))
+    assert(!GraftViewStore.exists(s"$w/db/old", graft.table.PosixCommitIO) && GraftViewStore.exists(s"$w/db/fresh", graft.table.PosixCommitIO))
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.fresh").as[Long].head() === 3L)
   }
 
@@ -98,7 +98,7 @@ class ViewSqlSpec extends SparkSpec {
       spark.sql(s"ALTER VIEW $cat.db.m AS SELECT id FROM $cat.db.t"))
     assert(e2.getMessage.contains("MATERIALIZED"))
     // still a working MV: flags intact, storage intact, refresh still runs
-    val meta = GraftViewStore.load(s"$w/db/m")
+    val meta = GraftViewStore.load(s"$w/db/m", graft.table.PosixCommitIO)
     assert(meta.materialized && meta.sourceVersions.nonEmpty)
     assert(graft.table.TransactionalTable.exists(s"$w/db/m/_storage"))
     assert(spark.sql(s"CALL $cat.system.refresh_mv('db.m')")
@@ -114,17 +114,17 @@ class ViewSqlSpec extends SparkSpec {
     // state, another writer lands a property update. The CAS must detect the
     // change and recompute `f` against the fresh state.
     var attempts = 0
-    GraftViewStore.mutate(root) { cur =>
+    GraftViewStore.mutate(root, graft.table.PosixCommitIO) { cur =>
       attempts += 1
       if (attempts == 1) {
-        val sneak = GraftViewStore.load(root)
-        GraftViewStore.write(root, sneak.copy(properties = sneak.properties + ("racer" -> "yes")))
+        val sneak = GraftViewStore.load(root, graft.table.PosixCommitIO)
+        GraftViewStore.write(root, sneak.copy(properties = sneak.properties + ("racer" -> "yes")), graft.table.PosixCommitIO)
       }
       val m = cur.get
       m.copy(properties = m.properties + ("mine" -> "yes"))
     }
     assert(attempts === 2)
-    val fin = GraftViewStore.load(root)
+    val fin = GraftViewStore.load(root, graft.table.PosixCommitIO)
     assert(fin.properties.get("racer") === Some("yes") && fin.properties.get("mine") === Some("yes"))
   }
 
@@ -153,8 +153,8 @@ class ViewSqlSpec extends SparkSpec {
     spark.sql(s"USE $cat.db2")
     try spark.sql(s"ALTER VIEW $cat.db.sv RENAME TO sv2")
     finally spark.sql("USE spark_catalog.default")
-    assert(GraftViewStore.exists(s"$w/db/sv2"), "renamed view stays in db")
-    assert(!GraftViewStore.exists(s"$w/db2/sv2"), "must not move to current namespace")
+    assert(GraftViewStore.exists(s"$w/db/sv2", graft.table.PosixCommitIO), "renamed view stays in db")
+    assert(!GraftViewStore.exists(s"$w/db2/sv2", graft.table.PosixCommitIO), "must not move to current namespace")
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.sv2").as[Long].head() === 3L)
   }
 
@@ -217,12 +217,12 @@ class ViewSqlSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(s"DROP TABLE $cat.db.keep"))
     assert(e.getMessage.contains("DROP VIEW"), s"got: ${e.getMessage}")
     // nothing was deleted — view and its storage intact, reads still work
-    assert(GraftViewStore.exists(s"$w/db/keep"))
+    assert(GraftViewStore.exists(s"$w/db/keep", graft.table.PosixCommitIO))
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.keep").as[Long].head() === 3L)
     // and CREATE TABLE at the view's name is rejected, not co-located
     intercept[Exception](
       spark.sql(s"CREATE TABLE $cat.db.keep (x BIGINT) TBLPROPERTIES('pk'='x')"))
-    assert(GraftViewStore.exists(s"$w/db/keep"))
+    assert(GraftViewStore.exists(s"$w/db/keep", graft.table.PosixCommitIO))
   }
 
   test("views and tables are distinct namespaces: name collisions rejected") {
@@ -246,7 +246,7 @@ class ViewSqlSpec extends SparkSpec {
     // reads hit the storage table
     assert(spark.sql(s"SELECT v10 FROM $cat.db.mv ORDER BY id")
       .as[Long].collect().toSeq === Seq(100L, 200L, 300L))
-    val meta = GraftViewStore.load(s"$w/db/mv")
+    val meta = GraftViewStore.load(s"$w/db/mv", graft.table.PosixCommitIO)
     assert(meta.materialized && !meta.externalSources)
     assert(meta.sourceVersions.size === 1 && meta.sourceVersions.head._2 === 1L)
     // fresh: refresh is a no-op
@@ -290,7 +290,7 @@ class ViewSqlSpec extends SparkSpec {
     Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.mode("overwrite").parquet(ext)
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.db.extmv AS " +
       s"SELECT k, s FROM parquet.`$ext`")
-    assert(GraftViewStore.load(s"$w/db/extmv").externalSources)
+    assert(GraftViewStore.load(s"$w/db/extmv", graft.table.PosixCommitIO).externalSources)
     // freshness unprovable → refresh recomputes every time
     val r = spark.sql(s"CALL $cat.system.refresh_mv('db.extmv')")
       .select("refreshed", "reason").as[(Boolean, String)].head()
@@ -357,9 +357,9 @@ class ViewSqlSpec extends SparkSpec {
     // simulate a crash BETWEEN the storage append and the _view.json update:
     // rewind the recorded source versions to their pre-refresh values
     val root = s"$w/db/fen"
-    val meta = GraftViewStore.load(root)
+    val meta = GraftViewStore.load(root, graft.table.PosixCommitIO)
     GraftViewStore.write(root,
-      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }), graft.table.PosixCommitIO)
     // replayed refresh must heal via the fence, NOT re-append the interval
     val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.fen')")
       .select("refreshed", "reason").as[(Boolean, String)].head()
@@ -434,9 +434,9 @@ class ViewSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.jfen").as[Long].head() === 3L)
     // crash window: storage append landed, _view.json not yet updated
     val root = s"$w/db/jfen"
-    val meta = GraftViewStore.load(root)
+    val meta = GraftViewStore.load(root, graft.table.PosixCommitIO)
     GraftViewStore.write(root,
-      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }), graft.table.PosixCommitIO)
     val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.jfen')")
       .select("reason").as[String].head()
     assert(r2.startsWith("incremental-join: +0"), s"expected fence heal, got $r2")
@@ -456,9 +456,9 @@ class ViewSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.jfen2").as[Long].head() === 3L)
     // crash window: storage commit landed, _view.json not yet updated...
     val root = s"$w/db/jfen2"
-    val meta = GraftViewStore.load(root)
+    val meta = GraftViewStore.load(root, graft.table.PosixCommitIO)
     GraftViewStore.write(root,
-      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }), graft.table.PosixCommitIO)
     // ...and a source then ADVANCES before the next refresh (the scalar
     // Σv1 fence cannot detect this — the per-source fences must carry the
     // committed baseline forward; ADVICE r14)
@@ -543,9 +543,9 @@ class ViewSqlSpec extends SparkSpec {
       === storageV0 + 1)
     // replay safety: re-rolling meta + a further append must not re-apply
     val root = s"$w/db/jret"
-    val meta = GraftViewStore.load(root)
+    val meta = GraftViewStore.load(root, graft.table.PosixCommitIO)
     GraftViewStore.write(root,
-      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }), graft.table.PosixCommitIO)
     spark.sql(s"INSERT INTO $cat.db.t VALUES (9, 90)") // no dim match
     val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.jret')")
       .select("reason").as[String].head()
@@ -1213,9 +1213,9 @@ class ViewSqlSpec extends SparkSpec {
     // replay safety carries over: rewind the recorded versions, refresh
     // heals via the tuple fence without double-applying
     val root = s"$w/db/j3"
-    val meta = GraftViewStore.load(root)
+    val meta = GraftViewStore.load(root, graft.table.PosixCommitIO)
     GraftViewStore.write(root,
-      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }), graft.table.PosixCommitIO)
     val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.j3')")
       .select("reason").as[String].head()
     assert(r2.startsWith("incremental-join: +0"), s"expected fence heal, got $r2")
@@ -1322,9 +1322,9 @@ class ViewSqlSpec extends SparkSpec {
     // crash between storage merge and _view.json update: rewind recorded
     // source versions — the replayed refresh must fence, not double-add
     val root = s"$w/db/fagg"
-    val meta = GraftViewStore.load(root)
+    val meta = GraftViewStore.load(root, graft.table.PosixCommitIO)
     GraftViewStore.write(root,
-      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }))
+      meta.copy(sourceVersions = meta.sourceVersions.map { case (k, _) => k -> 1L }), graft.table.PosixCommitIO)
     val r2 = spark.sql(s"CALL $cat.system.refresh_mv('db.fagg')")
       .select("reason").as[String].head()
     assert(r2.contains("+0") || r2.contains("fence"), s"expected fence heal, got $r2")

@@ -30,6 +30,9 @@ class CatalogMetadataRenameSpec extends graft.SparkSpec {
         crashBeforeClaim = false
         throw new RuntimeException("simulated crash: writer died before the claim PUT")
       }
+      // an object store has no directories — any key is writable; on the
+      // local simulation that means preparing the parent (CommitIO contract)
+      Option(path.getParent).foreach(Files.createDirectories(_))
       Files.write(path, bytes, StandardOpenOption.CREATE_NEW)
       if (crashAfterClaim) {
         crashAfterClaim = false

@@ -34,6 +34,9 @@ class ObjectStoreCommitSpec extends graft.SparkSpec {
     @volatile var crashBeforePointerPut = false
     override def putIfAbsent(path: Path, bytes: Array[Byte]): Unit = {
       conditionalPuts.incrementAndGet()
+      // an object store has no directories — any key is writable; on the
+      // local simulation that means preparing the parent (CommitIO contract)
+      java.nio.file.Files.createDirectories(path.getParent)
       // the store-side atomicity of If-None-Match is modeled by CREATE_NEW
       Files.write(path, bytes, StandardOpenOption.CREATE_NEW); ()
     }
