@@ -61,6 +61,48 @@ object DedupIndex {
     t
   }
 
+  /** Writer-fence domain for delete maintenance (r19 — the banded family
+    * gets what the ANN index got in r18, [[AnnIndex.DeleteWriter]]):
+    * independent of the ingest epoch sequence, so a takedown/
+    * retroactive-decontamination posture replay-protects its own delete
+    * epochs without fencing out the ingest stream. Shared across the
+    * banded family — [[DedupIndex]], [[HammingIndex]] (image/audio
+    * bindings) and [[KeepBestIndex]] band rows all key on the same
+    * deterministic md5-60("id:band") sig rule. */
+  val DeleteWriter = "banded-delete"
+
+  /** The shared banded-family delete kernel: the sig_id of every (id,
+    * band) row is a PURE FUNCTION of the id (`md5_60("id:band")`), so the
+    * delete keys are recomputed map-only from the ids — one keyed
+    * anti-merge over PK-pruned files, NEVER an index scan. Ids with no
+    * index rows (bandless keeps, never-indexed, already-deleted) no-op. */
+  private[ops] def deleteBandRows(index: TransactionalTable, ids: DataFrame,
+      idCol: String, nBands: Int, batchId: Long): Unit = {
+    val spark = ids.sparkSession
+    val keys = ids.select(col(idCol).cast("long").as("id"))
+      .select(col("id"), explode(sequence(lit(0L), lit(nBands - 1L))).as("band"))
+      .select(TextOps.md5Hash60(concat_ws(":", col("id"), col("band"))).as("sig_id"))
+    val emptyUpserts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], index.schema)
+    index.merge(emptyUpserts, keys, batchId, writerId = Some(DeleteWriter))
+  }
+
+  /**
+   * DELETE maintenance (r18 review missing #2 — the banded indexes could
+   * not forget): remove `ids`' band rows so a takedown / right-to-be-
+   * forgotten removal / retroactive decontamination stops silently
+   * suppressing future legitimate near-matches of the removed content.
+   * Fenced on `batchId` in the [[DeleteWriter]] domain — a re-delivered
+   * delete epoch no-ops, and a deleted id re-ingested by a LATER
+   * [[appendBatch]] epoch simply reappears (the delete is a row removal,
+   * not a tombstone on the id) — the [[AnnIndex.deleteBatch]] contract.
+   */
+  def deleteBatch(index: TransactionalTable, ids: DataFrame, batchId: Long,
+      idCol: String = "doc_id"): Unit =
+    graft.util.BatchStats.timed("dedup_index_delete") {
+      deleteBandRows(index, ids, idCol, nBands = 4, batchId = batchId)
+    }
+
   /**
    * Filter `docs` against the index + self-dedup, append the survivors'
    * band signatures as batch `batchId` (replay-fenced), and return the kept

@@ -56,6 +56,19 @@ object HammingIndex {
   def open(spark: SparkSession, root: String): TransactionalTable =
     DedupIndex.requireBatchColumn(TransactionalTable.open(spark, root), root)
 
+  /** DELETE maintenance for the Hamming family (r18 review missing #2):
+    * remove `ids`' band rows — a media takedown stops suppressing future
+    * legitimate near-matches of the removed content. Same fenced
+    * map-only-keys contract as [[DedupIndex.deleteBatch]] (the sig rule is
+    * identical); both instantiations ([[ImageDedupIndex]],
+    * [[AudioDedupIndex]]) use 4 bands. */
+  def deleteBatch(index: TransactionalTable, ids: DataFrame, batchId: Long,
+      bands: Int = 4, idCol: String = "media_id"): Unit =
+    graft.util.BatchStats.timed("hamming_index_delete") {
+      DedupIndex.deleteBandRows(index, ids, idCol, nBands = bands,
+        batchId = batchId)
+    }
+
   /**
    * Filter one batch against the index + self-dedup, append the survivors'
    * band signatures as batch `batchId` (replay-fenced), and return the
@@ -161,4 +174,9 @@ object AudioDedupIndex {
         media.select(col("media_id")), bands = 4, bitsPerBand = 8,
         batchId = batchId, maxDist = maxDist, compactEvery = compactEvery)
     }
+
+  /** Takedown by media id — [[HammingIndex.deleteBatch]]. */
+  def deleteBatch(index: TransactionalTable, ids: DataFrame,
+      batchId: Long): Unit =
+    HammingIndex.deleteBatch(index, ids, batchId)
 }

@@ -35,4 +35,9 @@ object ImageDedupIndex {
         media.select(col("media_id")), bands = 4, bitsPerBand = 14,
         batchId = batchId, maxDist = maxDist, compactEvery = compactEvery)
     }
+
+  /** Takedown by media id — [[HammingIndex.deleteBatch]]. */
+  def deleteBatch(index: TransactionalTable, ids: DataFrame,
+      batchId: Long): Unit =
+    HammingIndex.deleteBatch(index, ids, batchId)
 }

@@ -53,6 +53,24 @@ object KeepBestIndex {
   def open(spark: SparkSession, root: String): TransactionalTable =
     DedupIndex.requireBatchColumn(TransactionalTable.open(spark, root), root)
 
+  /** DELETE maintenance (r18 review missing #2): remove `ids`' band rows —
+    * a takedown of an indexed representative stops suppressing future
+    * legitimate near-matches (and stops the keep-best rule judging new
+    * arrivals against removed content). Shares [[DedupIndex.deleteBatch]]'s
+    * fenced map-only-keys contract (identical sig rule, bands 0..3).
+    * Eviction-LOG rows (band −1) are untouched by design: they key on the
+    * EVICTED doc — which is by definition no longer in the index — and
+    * exist solely so a re-delivered epoch reads back its original evicted
+    * set; [[pruneEvictLog]] retires them at cadence. A takedown's own
+    * corpus retraction is the caller's merge (see
+    * [[graft.stream.CorpusPipeline.takedown]]), not a log row. */
+  def deleteBatch(index: TransactionalTable, ids: DataFrame, batchId: Long,
+      idCol: String = "doc_id"): Unit =
+    graft.util.BatchStats.timed("keep_best_index_delete") {
+      DedupIndex.deleteBandRows(index, ids, idCol, nBands = 4,
+        batchId = batchId)
+    }
+
   final case class BatchResult(kept: DataFrame, evicted: DataFrame)
 
   /**

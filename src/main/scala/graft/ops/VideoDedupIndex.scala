@@ -51,6 +51,29 @@ object VideoDedupIndex {
   def open(spark: SparkSession, root: String): TransactionalTable =
     DedupIndex.requireBatchColumn(TransactionalTable.open(spark, root), root)
 
+  /** DELETE maintenance (r18 review missing #2): remove `ids`' frame-band
+    * rows. The video sig rule keys on (media, POS, band) and the frame
+    * positions are not recoverable from the id alone, so — unlike the
+    * other banded families — the delete keys come from ONE column-pruned
+    * index read semi-joined to the ids (2 long columns; a takedown is an
+    * operator action, not a data path), materialized BEFORE the mutation.
+    * Fenced in the shared [[DedupIndex.DeleteWriter]] domain: a replayed
+    * delete epoch recomputes empty keys and the fence no-ops the merge;
+    * re-ingest by a later [[appendBatch]] reappears. */
+  def deleteBatch(index: TransactionalTable, ids: DataFrame, batchId: Long,
+      idCol: String = "media_id"): Unit =
+    graft.util.BatchStats.timed("video_index_delete") {
+      val spark = ids.sparkSession
+      val keys = index.scan()
+        .join(ids.select(col(idCol).cast("long").as("media_id")),
+          Seq("media_id"), "left_semi")
+        .select("sig_id").localCheckpoint(true)
+      val emptyUpserts = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], index.schema)
+      index.merge(emptyUpserts, keys, batchId,
+        writerId = Some(DedupIndex.DeleteWriter))
+    }
+
   /** Filter one batch of media rows (media_id, content) against the index
     * + self-dedup, append the survivors' frame-band signatures as batch
     * `batchId` (replay-fenced), and return the kept media ids. */

@@ -61,7 +61,13 @@ object ExtQueries {
     * then self-deduped as batch 1; output = batch-1 kept ids). SHARED by
     * the Scala-API query (`x2_dedup_index`) and its CALL-procedure twin
     * (`cdc_dedup_index_sql`) so the two surfaces cannot drift. */
-  private lazy val DuckDedupIndexSql: String =
+  private lazy val DuckDedupIndexSql: String = duckDedupIndexSql("")
+
+  /** The same replay with a LIVE-rows filter on the index side (`liveWhere`
+    * filters `e_kept`): the delete-maintenance variant
+    * (`x2_dedup_index_delete`) is this oracle restricted to the survivors
+    * of the delete epoch, everything else identical. */
+  private def duckDedupIndexSql(liveWhere: String): String =
     s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
        |th AS (SELECT doc_id, CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
        |       FROM (SELECT doc_id, unnest(w) AS t FROM toks) u),
@@ -76,8 +82,9 @@ object ExtQueries {
        |e_dup AS (SELECT DISTINCT a.doc_id FROM e a
        |          JOIN e b ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id < a.doc_id),
        |e_kept AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM e_dup)),
+       |e_live AS (SELECT * FROM e_kept $liveWhere),
        |o_cdup AS (SELECT DISTINCT a.doc_id FROM o a
-       |           JOIN e_kept i ON i.band = a.band AND i.chunk = a.chunk),
+       |           JOIN e_live i ON i.band = a.band AND i.chunk = a.chunk),
        |cand AS (SELECT * FROM o WHERE doc_id NOT IN (SELECT doc_id FROM o_cdup)),
        |o_bdup AS (SELECT DISTINCT a.doc_id FROM cand a
        |           JOIN cand b ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id < a.doc_id)
@@ -1201,6 +1208,28 @@ object ExtQueries {
         s.sql("SELECT doc_id FROM dix_kept1 ORDER BY doc_id")
       },
       Some(DuckDedupIndexSql)),
+
+    // X2: DELETE maintenance on the persistent dedup index (r19 — the
+    // banded family's takedown path): evens index as batch 0, a takedown
+    // epoch removes every doc_id % 10 == 0 representative, odds filter
+    // against the POST-DELETE index as batch 2. An odd doc whose only
+    // collision was with a removed representative is now ADMITTED — the
+    // exact suppression a no-delete index would silently keep applying.
+    // The oracle is the shared replay restricted to delete survivors, so
+    // banding, both dedup rules, AND the fenced row removal are all
+    // DuckDB-verified bit-for-bit.
+    Q("x2_dedup_index_delete",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val root = java.nio.file.Files.createTempDirectory("graft_dedup_del").toString + "/idx"
+        val index = graft.ops.DedupIndex.create(s, root)
+        graft.ops.DedupIndex.appendBatch(index, docs.filter(col("doc_id") % 2 === 0), 0)
+        graft.ops.DedupIndex.deleteBatch(index,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id"), batchId = 1)
+        graft.ops.DedupIndex.appendBatch(index, docs.filter(col("doc_id") % 2 === 1), 2)
+      },
+      Some(duckDedupIndexSql("WHERE doc_id % 10 <> 0")),
+      streaming = true),
 
     // X2: the Jaccard skew cap EXERCISED under oracle — maxDocFreq=4 drops
     // non-discriminative shingles (df 5-8 at this SF) before pair expansion,
@@ -2346,6 +2375,51 @@ object ExtQueries {
       },
       DuckImageIndexSql),
 
+    // X5: DELETE maintenance on the image index (r19 — the Hamming family's
+    // takedown path): batch 0 seeds images 1 and 4, a takedown epoch
+    // removes image 1, then batch 2 arrives. Its re-encode (11) and 2-bit
+    // variant (13) of the REMOVED image — both corpus-dropped in
+    // x5_image_index — are now judged only against each other: 11 is
+    // ADMITTED and 13 falls to the in-batch rule (distance 2 from 11,
+    // smaller id wins). The oracle replays banding + both rules with the
+    // index side restricted to the delete survivor (image 4).
+    Q("x5_image_index_delete",
+      (s, _) => {
+        import s.implicits._
+        val (b0, b1) = imageIndexBatches(s)
+        val root = java.nio.file.Files.createTempDirectory("graft_img_del").toString + "/idx"
+        val index = graft.ops.ImageDedupIndex.create(s, root)
+        graft.ops.ImageDedupIndex.appendBatch(index, b0, 0)
+        graft.ops.ImageDedupIndex.deleteBatch(index,
+          Seq(1L).toDF("media_id"), batchId = 1)
+        graft.ops.ImageDedupIndex.appendBatch(index, b1, 2)
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), 0, CAST(24019198012642645 AS BIGINT)),
+             |    (4, 0, 48038396025285290),
+             |    (11, 1, 24019198012642645),
+             |    (13, 1, 24019198012626260),
+             |    (15, 1, 28936514141215155),
+             |    (16, 1, 28936514141215155)) AS t(media_id, batch, phash)),
+             |ch AS (SELECT media_id, batch, phash, c AS band,
+             |         (phash >> CAST(c * 14 AS INTEGER)) & 16383 AS chunk
+             |       FROM h, range(4) r(c)),
+             |cdup AS (SELECT DISTINCT b.media_id FROM ch b JOIN ch i
+             |         ON b.batch = 1 AND i.batch = 0 AND i.media_id <> 1
+             |           AND b.band = i.band AND b.chunk = i.chunk
+             |           AND bit_count(xor(b.phash, i.phash)) <= 3),
+             |cand AS (SELECT * FROM ch WHERE batch = 1
+             |         AND media_id NOT IN (SELECT media_id FROM cdup)),
+             |bdup AS (SELECT DISTINCT a.media_id FROM cand a JOIN cand b
+             |         ON a.band = b.band AND a.chunk = b.chunk
+             |           AND b.media_id < a.media_id
+             |           AND bit_count(xor(a.phash, b.phash)) <= 3)
+             |SELECT media_id FROM (
+             |  SELECT DISTINCT media_id FROM cand
+             |  WHERE media_id NOT IN (SELECT media_id FROM bdup)
+             |  UNION ALL SELECT CAST(17 AS BIGINT)
+             |) ORDER BY media_id""".stripMargin)),
+
 
     // X5: INCREMENTAL audio dedup — the [[HammingIndex]] core instantiated
     // over the gain-invariant energy-delta fingerprint (AudioDedupIndex),
@@ -2488,6 +2562,106 @@ object ExtQueries {
              |       JOIN cnt cb ON cb.media_id = z.om
              |       WHERE m >= ceil(least(ca.n, cb.n) * 0.5)),
              |k0 AS (SELECT * FROM ch WHERE batch = 0
+             |       AND media_id NOT IN (SELECT media_id FROM d0)),
+             |p1 AS (SELECT DISTINCT b.media_id, b.pos, i.media_id AS om
+             |       FROM ch b JOIN k0 i ON b.batch = 1
+             |         AND b.pos = i.pos AND b.band = i.band AND b.chunk = i.chunk
+             |         AND bit_count(xor(b.fhash, i.fhash)) <= 3),
+             |cd AS (SELECT z.media_id FROM (
+             |         SELECT media_id, om, COUNT(*) AS m FROM p1 GROUP BY 1, 2) z
+             |       JOIN cnt ca ON ca.media_id = z.media_id
+             |       JOIN cnt cb ON cb.media_id = z.om
+             |       WHERE m >= ceil(least(ca.n, cb.n) * 0.5)),
+             |cand AS (SELECT * FROM ch WHERE batch = 1
+             |         AND media_id NOT IN (SELECT media_id FROM cd)),
+             |p2 AS (SELECT DISTINCT a.media_id, a.pos, b.media_id AS om
+             |       FROM cand a JOIN cand b ON a.pos = b.pos AND a.band = b.band
+             |         AND a.chunk = b.chunk AND b.media_id < a.media_id
+             |         AND bit_count(xor(a.fhash, b.fhash)) <= 3),
+             |bd AS (SELECT z.media_id FROM (
+             |         SELECT media_id, om, COUNT(*) AS m FROM p2 GROUP BY 1, 2) z
+             |       JOIN cnt ca ON ca.media_id = z.media_id
+             |       JOIN cnt cb ON cb.media_id = z.om
+             |       WHERE m >= ceil(least(ca.n, cb.n) * 0.5))
+             |SELECT media_id FROM (
+             |  SELECT DISTINCT media_id FROM cand
+             |  WHERE media_id NOT IN (SELECT media_id FROM bd)
+             |  UNION ALL SELECT CAST(17 AS BIGINT)
+             |) ORDER BY media_id""".stripMargin)),
+
+    // X5: DELETE maintenance on the video index (r19): clip 1 is taken
+    // down after seeding, so batch 2's full copy (11, 3/3 of the removed
+    // clip) is ADMITTED, the partial edit (13, 2/3) now falls to the
+    // IN-BATCH fraction rule against 11, and the single-frame-overlap
+    // clip (15) stays kept. The video delete is the one banded family
+    // whose keys come from a column-pruned index read (the sig rule keys
+    // on frame position), so this also oracles that path end to end.
+    Q("x5_video_index_delete",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageCodec
+        def frame(rowBits: Seq[Int], base: Int): java.awt.image.BufferedImage = {
+          val bi = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (r <- 0 until 8) {
+            var v = base
+            bi.setRGB(0, r, (v << 16) | (v << 8) | v)
+            for (c <- 0 until 7) {
+              v += (if (((rowBits(r) >> c) & 1) == 1) 10 else -10)
+              bi.setRGB(c + 1, r, (v << 16) | (v << 8) | v)
+            }
+          }
+          bi
+        }
+        def gif(ps: Seq[Seq[Int]], base: Int): Array[Byte] =
+          ImageCodec.writeGifAnimationImages(ps.map(frame(_, base)))
+        val bitsP = Seq(0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A, 0x55, 0x2A)
+        val bitsQ = Seq.fill(8)(0x33)
+        val bitsR = Seq.fill(8)(0x0F)
+        val bitsQ2 = Seq(0x32, 0x33, 0x32) ++ Seq.fill(5)(0x33)
+        val bitsT = Seq.fill(8)(0x11)
+        val b0 = Seq(
+          (1L, gif(Seq(bitsP, bitsQ, bitsR), 100)),
+          (4L, gif(Seq(bitsP.map(_ ^ 0x7f), bitsQ.map(_ ^ 0x7f),
+            bitsR.map(_ ^ 0x7f)), 100))).toDF("media_id", "content")
+        val b1 = Seq(
+          (11L, gif(Seq(bitsP, bitsQ, bitsR), 140)),  // 3/3 of removed 1: admitted
+          (13L, gif(Seq(bitsP, bitsQ2, bitsT), 100)), // 2/3 of 11 in-batch: dropped
+          (15L, gif(Seq(bitsQ, bitsQ, bitsQ), 100)),  // 1/3 overlap: kept
+          (16L, gif(Seq(bitsQ, bitsQ, bitsQ), 120)),  // in-batch dup of 15
+          (17L, "not a video".getBytes))              // frameless: kept
+          .toDF("media_id", "content")
+        val root = java.nio.file.Files.createTempDirectory("graft_vid_del").toString + "/idx"
+        val index = graft.ops.VideoDedupIndex.create(s, root)
+        graft.ops.VideoDedupIndex.appendBatch(index, b0, 0)
+        graft.ops.VideoDedupIndex.deleteBatch(index,
+          Seq(1L).toDF("media_id"), batchId = 1)
+        graft.ops.VideoDedupIndex.appendBatch(index, b1, 2)
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), 0, CAST(0 AS BIGINT), CAST(24019198012642645 AS BIGINT)),
+             |    (1, 0, 1, 28936514141215155), (1, 0, 2, 8510739453298575),
+             |    (4, 0, 0, 48038396025285290), (4, 0, 1, 43121079896712780), (4, 0, 2, 63546854584629360),
+             |    (11, 1, 0, 24019198012642645), (11, 1, 1, 28936514141215155), (11, 1, 2, 8510739453298575),
+             |    (13, 1, 0, 24019198012642645), (13, 1, 1, 28936514141198770), (13, 1, 2, 9645504713738385),
+             |    (15, 1, 0, 28936514141215155), (15, 1, 1, 28936514141215155), (15, 1, 2, 28936514141215155),
+             |    (16, 1, 0, 28936514141215155), (16, 1, 1, 28936514141215155), (16, 1, 2, 28936514141215155)
+             |  ) AS t(media_id, batch, pos, fhash)),
+             |cnt AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+             |ch AS (SELECT media_id, batch, pos, fhash, c AS band,
+             |         (fhash >> CAST(c * 14 AS INTEGER)) & 16383 AS chunk
+             |       FROM h, range(4) r(c)),
+             |p0 AS (SELECT DISTINCT a.media_id, a.pos, b.media_id AS om
+             |       FROM ch a JOIN ch b ON a.batch = 0 AND b.batch = 0
+             |         AND a.pos = b.pos AND a.band = b.band AND a.chunk = b.chunk
+             |         AND b.media_id < a.media_id
+             |         AND bit_count(xor(a.fhash, b.fhash)) <= 3),
+             |d0 AS (SELECT z.media_id FROM (
+             |         SELECT media_id, om, COUNT(*) AS m FROM p0 GROUP BY 1, 2) z
+             |       JOIN cnt ca ON ca.media_id = z.media_id
+             |       JOIN cnt cb ON cb.media_id = z.om
+             |       WHERE m >= ceil(least(ca.n, cb.n) * 0.5)),
+             |k0 AS (SELECT * FROM ch WHERE batch = 0 AND media_id <> 1
              |       AND media_id NOT IN (SELECT media_id FROM d0)),
              |p1 AS (SELECT DISTINCT b.media_id, b.pos, i.media_id AS om
              |       FROM ch b JOIN k0 i ON b.batch = 1

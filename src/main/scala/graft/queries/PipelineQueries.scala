@@ -97,7 +97,13 @@ object PipelineQueries {
     * CTEs `kept` (batch-1 kept ids incl. sketchless), `evict` (batch-0
     * docs replaced by better batch-1 docs), and `e_kept_ids` (batch-0 kept
     * ids incl. sketchless). */
-  private lazy val DuckKeepBestCtes: String =
+  private lazy val DuckKeepBestCtes: String = duckKeepBestCtes("")
+
+  /** The same replay with a LIVE-rows filter on the index side (`liveWhere`
+    * filters `e_kept` into `e_live`): the delete-maintenance variant
+    * (`x1_keep_best_delete`) is this oracle restricted to the survivors of
+    * the delete epoch, everything else identical. */
+  private def duckKeepBestCtes(liveWhere: String): String =
     s"""WITH toks AS (SELECT doc_id, $DuckToks AS w FROM documents),
        |th AS (SELECT doc_id, CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
        |       FROM (SELECT doc_id, unnest(w) AS t FROM toks) u),
@@ -123,7 +129,8 @@ object PipelineQueries {
        |           ON b.band = a.band AND b.chunk = a.chunk AND b.doc_id <> a.doc_id
        |             AND (b.logit > a.logit OR (b.logit = a.logit AND b.doc_id < a.doc_id))),
        |e_kept AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM e_lose)),
-       |o_clos AS (SELECT DISTINCT a.doc_id FROM o a JOIN e_kept i
+       |e_live AS (SELECT * FROM e_kept $liveWhere),
+       |o_clos AS (SELECT DISTINCT a.doc_id FROM o a JOIN e_live i
        |           ON i.band = a.band AND i.chunk = a.chunk
        |             AND (i.logit > a.logit OR (i.logit = a.logit AND i.doc_id < a.doc_id))),
        |cand AS (SELECT * FROM o WHERE doc_id NOT IN (SELECT doc_id FROM o_clos)),
@@ -135,7 +142,7 @@ object PipelineQueries {
        |         UNION ALL
        |         SELECT doc_id FROM toks WHERE doc_id % 2 = 1 AND len(w) = 0),
        |kb AS (SELECT c.* FROM cand c JOIN kept USING (doc_id)),
-       |evict AS (SELECT DISTINCT i.doc_id FROM e_kept i JOIN kb k
+       |evict AS (SELECT DISTINCT i.doc_id FROM e_live i JOIN kb k
        |          ON k.band = i.band AND k.chunk = i.chunk AND k.doc_id <> i.doc_id),
        |e_kept_ids AS (SELECT DISTINCT doc_id FROM e_kept
        |               UNION ALL
@@ -573,6 +580,35 @@ object PipelineQueries {
       // per-batch wall time (BatchStats `keep_best_index_batch`) and the
       // scaled tiers' factors, not a single-query DuckDB ratio
       headline = true, streaming = true),
+
+    // X1: DELETE maintenance on the keep-best index (r19 — the takedown
+    // path): evens index as batch 0, a takedown epoch removes every
+    // doc_id % 10 == 0 representative, odds arrive against the
+    // POST-DELETE index as batch 2. An odd doc previously beaten by (or
+    // evicting) a removed representative is re-judged against the
+    // survivors only — kept AND evicted sets both shift, and both are
+    // oracled via the shared replay restricted to delete survivors.
+    Q("x1_keep_best_delete",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val root = java.nio.file.Files.createTempDirectory("graft_kbd").toString + "/idx"
+        val index = graft.ops.KeepBestIndex.create(s, root)
+        graft.ops.KeepBestIndex.appendBatch(index,
+          docs.filter(col("doc_id") % 2 === 0), batchId = 0)
+        graft.ops.KeepBestIndex.deleteBatch(index,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id"), batchId = 1)
+        val r = graft.ops.KeepBestIndex.appendBatch(index,
+          docs.filter(col("doc_id") % 2 === 1), batchId = 2)
+        r.kept.select(col("doc_id"), lit("kept").as("status"))
+          .unionByName(r.evicted.select(col("doc_id"), lit("evicted").as("status")))
+          .orderBy("status", "doc_id")
+      },
+      Some(s"""${duckKeepBestCtes("WHERE doc_id % 10 <> 0")}
+             |SELECT doc_id, status FROM (
+             |  SELECT doc_id, 'kept' AS status FROM kept
+             |  UNION ALL SELECT doc_id, 'evicted' FROM evict
+             |) ORDER BY status, doc_id""".stripMargin),
+      streaming = true),
 
     // The SQL/CALL twin of the SAME keep-best flow (the new index family
     // must be reachable from SQL like its four siblings): created and

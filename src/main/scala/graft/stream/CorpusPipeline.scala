@@ -216,6 +216,50 @@ object CorpusPipeline {
       r
     }
 
+  /**
+   * TAKEDOWN (r19 — the delete path the banded index family gained):
+   * remove documents from the corpus AND every index derived from their
+   * content in ONE fenced epoch — the right-to-be-forgotten / retroactive-
+   * decontamination operation. Without the index legs, the corpus row
+   * disappears but its band rows keep silently suppressing every future
+   * legitimate near-match of the removed content, and its vector keeps
+   * surfacing as a ghost neighbor.
+   *
+   * Each leg fences on `batchId` in its OWN writer domain (corpus:
+   * `corpus-takedown`; bands: [[DedupIndex.DeleteWriter]]; vectors:
+   * [[graft.ops.AnnIndex.DeleteWriter]]), independent of the ingest
+   * stream's epoch sequence — a crash between any two legs heals on
+   * retry (the committed legs no-op, the rest apply), and a re-delivered
+   * takedown epoch no-ops end to end. The ids are materialized first so
+   * every leg deletes the SAME set even when `ids` derives from the
+   * corpus being mutated. A taken-down id re-ingested by a later epoch
+   * reappears everywhere (deletes are row removals, not id tombstones).
+   *
+   * `keepBest = true` routes the band leg through
+   * [[graft.ops.KeepBestIndex.deleteBatch]] (same sig rule; documented
+   * eviction-log contract there) for corpora built by
+   * [[processBatchKeepBest]].
+   */
+  def takedown(index: TransactionalTable, corpus: TransactionalTable,
+      ids: DataFrame, batchId: Long,
+      keepBest: Boolean = false,
+      vectorIndex: Option[graft.ops.AnnIndex.Handle] = None,
+      vectorCodes: Option[TransactionalTable] = None,
+      idCol: String = "doc_id"): Unit =
+    graft.util.BatchStats.timed("corpus_takedown") {
+      val spark = ids.sparkSession
+      val keys = ids.select(col(idCol).cast("long").as("doc_id"))
+        .localCheckpoint(true)
+      val emptyUpserts = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpus.schema)
+      corpus.merge(emptyUpserts, keys, batchId,
+        writerId = Some("corpus-takedown"))
+      if (keepBest) graft.ops.KeepBestIndex.deleteBatch(index, keys, batchId)
+      else DedupIndex.deleteBatch(index, keys, batchId)
+      vectorIndex.foreach(h => graft.ops.AnnIndex.deleteBatch(h, keys,
+        batchId, codes = vectorCodes, idCol = "doc_id"))
+    }
+
   /** The checkpointed keep-best stream: [[processBatchKeepBest]] per
     * micro-batch over JSON-lines documents in `inputDir` — same restart /
     * replay contract as [[run]]. */
