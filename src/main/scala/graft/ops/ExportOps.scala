@@ -278,17 +278,23 @@ object ExportOps {
     * seam); interval rows carry their (from_v, to_v) keys, so
     * re-application is detectable and idempotent.
     *
-    * The pin itself is AT-MOST-ONCE against an in-flight pack (ADVICE
-    * r17), two ways: (a) a [[pack]] in another process that read the
-    * consumer registry BEFORE this registration committed can still fold
-    * and delete interval dirs while the snapshot materializes; (b) for an
-    * ALREADY-REGISTERED consumer the ack-0 registration is a monotone
-    * no-op — the previously-acked prefix stays foldable, so
-    * re-registration does NOT re-pin it. Both failure modes are LOUD (a
-    * missing parquet path at materialization, never silent rows lost):
-    * on that failure, call this again — the re-read manifest resolves to
-    * the post-pack consolidated dirs, and the reader contract over them
-    * is row-identical to what the folded chain would have produced. */
+    * The pin is EXACTLY-ONCE against an in-flight pack (r19 — enforced,
+    * closing ADVICE r17's documented at-most-once): [[pack]] re-reads the
+    * consumer registry AFTER its manifest commit and DEFERS deleting the
+    * folded interval dirs whenever any registered ack sits below the fold
+    * head — so a registration that lands anywhere in pack's window keeps
+    * every dir its manifest read can reference on disk until the consumer
+    * acks past them ([[pack]]'s reclaim sweep). The ordering argument:
+    * this method commits the ack BEFORE reading the manifest, so either
+    * pack's post-commit registry read observes the ack (deletion defers),
+    * or the ack committed after that read — in which case the manifest
+    * read here happens later still and resolves to the POST-pack
+    * consolidated dirs. Both paths materialize row-identical corpora.
+    * One caveat remains, (b) of ADVICE r17: for an ALREADY-REGISTERED
+    * consumer the ack-0 registration is a monotone no-op — the
+    * previously-acked prefix stays foldable, so re-registration does NOT
+    * re-pin it (re-reading a years-old snapshot plan after acking past it
+    * is outside the contract, exactly like snapshot expiry). */
   def snapshotForConsumer(spark: SparkSession, exportRoot: String,
       consumerId: String): (DataFrame, Long) = {
     val m = manifest(spark, exportRoot)
@@ -467,10 +473,16 @@ object ExportOps {
    * a reader derives dirs from manifest rows, the consolidated dir is a
    * fresh path written BEFORE the commit (crash → old manifest + intact
    * old dirs; the single-interval edge case overwrites its own dir with
-   * identical rows), and the old dirs are removed only AFTER the commit.
-   * A re-CALL at the same head is fenced to a no-op. Like snapshot expiry,
-   * a reader that captured the OLD manifest before the pack must re-read
-   * it before touching disk again.
+   * identical rows), and the old dirs are removed only AFTER the commit —
+   * and only once a POST-commit registry re-read shows no registered ack
+   * below the fold head ([[reclaimFoldedDirs]], r19): a consumer whose
+   * registration landed mid-pack keeps its reachable dirs on disk until
+   * it acks past them, which upgrades [[snapshotForConsumer]]'s pin from
+   * documented-at-most-once to exactly-once. A re-CALL at the same head
+   * is fenced to a no-op (and still runs the reclaim sweep, so deferred
+   * orphans clear once acks advance). Like snapshot expiry, a reader that
+   * captured the OLD manifest before the pack must re-read it before
+   * touching disk again.
    */
   def pack(spark: SparkSession, exportRoot: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -484,14 +496,22 @@ object ExportOps {
     // consumers = the whole chain is foldable (the pre-watermark contract).
     val watermark = consumerAcks(spark, exportRoot).values.minOption
     val ivs = watermark.fold(all)(w => all.filter(_.toV <= w))
-    if (ivs.size <= 1)
+    ExportTestHooks.afterWatermarkRead.foreach(f => f())
+    if (ivs.size <= 1) {
+      // nothing to fold — but a PREVIOUS pack may have deferred its dir
+      // reclaim under a then-lagging consumer: sweep so orphans clear
+      // once acks advance
+      reclaimFoldedDirs(spark, exportRoot)
       return PackResult(packed = false, ivs.size.toLong,
         ivs.map(_.nDocs).sum, ivs.headOption.fold("")(iv =>
           dirOf(exportRoot, iv.fromV, iv.toV)))
+    }
     val maxTo = ivs.map(_.toV).max
     val dir = dirOf(exportRoot, 0L, maxTo)
-    if (m.snapshot.writerFences.getOrElse(PackWriter, -1L) >= maxTo)
+    if (m.snapshot.writerFences.getOrElse(PackWriter, -1L) >= maxTo) {
+      reclaimFoldedDirs(spark, exportRoot)
       return PackResult(packed = false, ivs.size.toLong, ivs.map(_.nDocs).sum, dir)
+    }
     val last = ivs.maxBy(_.toV)
     // latest-wins + tombstones within the foldable PREFIX only: an
     // unconsumed later interval keeps layering over the consolidated dir
@@ -527,13 +547,49 @@ object ExportOps {
       StructType.fromDDL(ManifestSchemaDdl))
     m.merge(row, ivs.map(_.toV).filter(_ != maxTo).toDF("to_v"),
       batchId = maxTo, writerId = Some(PackWriter))
-    // reclaim the folded dirs (post-commit: new-manifest readers never
-    // touch them)
-    ivs.filter(iv => dirOf(exportRoot, iv.fromV, iv.toV) != dir).foreach { iv =>
-      val p = java.nio.file.Paths.get(dirOf(exportRoot, iv.fromV, iv.toV))
-      if (java.nio.file.Files.isDirectory(p))
-        graft.util.Fs.deleteRecursively(p)
-    }
+    // reclaim the folded dirs — GATED on a POST-COMMIT registry re-read
+    // (r19, the exactly-once half of the snapshotForConsumer pin): a
+    // consumer that registered at any point during this pack holds either
+    // the old manifest (its dirs must stay on disk until it acks past
+    // them) or the new one (safe). Deferral, not abort: the manifest flip
+    // is harmless either way — the reader contract over old chain and
+    // consolidated dir is row-identical — only the DELETE is destructive.
+    reclaimFoldedDirs(spark, exportRoot)
     PackResult(packed = true, ivs.size.toLong, stats.getLong(0), dir)
   }
+
+  private val ExpDir = """exp_(\d+)_(\d+)""".r
+
+  /** Delete export dirs the manifest no longer references, EXCEPT those a
+    * registered consumer could still be materializing from: an orphan
+    * `exp_a_b` is reclaimable only when every registered ack is ≥ b (or no
+    * consumer is registered — an ack that is not yet visible here commits
+    * before its owner reads the manifest, so that owner resolves the
+    * POST-pack dirs and never touches the orphan). Deferred orphans are
+    * swept by the next [[pack]] call once acks advance; a crashed pack's
+    * never-committed consolidated dir reclaims the same way. */
+  private def reclaimFoldedDirs(spark: SparkSession, exportRoot: String): Unit = {
+    val referenced = intervals(spark, exportRoot)
+      .map(iv => dirOf(exportRoot, iv.fromV, iv.toV)).toSet
+    val acks = consumerAcks(spark, exportRoot).values
+    val floor = if (acks.isEmpty) Long.MaxValue else acks.min
+    graft.util.Fs.listSeq(java.nio.file.Paths.get(exportRoot)).foreach { p =>
+      p.getFileName.toString match {
+        case ExpDir(_, b)
+            if !referenced.contains(p.toString) && b.toLong <= floor &&
+              java.nio.file.Files.isDirectory(p) =>
+          graft.util.Fs.deleteRecursively(p)
+        case _ => ()
+      }
+    }
+  }
+}
+
+/** Test-only injection for the pack/registration race (r19): runs right
+  * after [[ExportOps.pack]] computes its foldable prefix from the consumer
+  * watermark — the spec registers a consumer here to prove no interval dir
+  * a registered consumer can reach is ever deleted. Never set outside
+  * specs. */
+private[graft] object ExportTestHooks {
+  @volatile var afterWatermarkRead: Option[() => Unit] = None
 }

@@ -338,4 +338,59 @@ class ExportOpsSpec extends SparkSpec {
     assert(row.toSeq === Seq((0L, 0L, 1L)),
       s"manifest must record the empty publication exactly: ${row.toSeq}")
   }
+
+  test("pack/registration race is exactly-once (r19): a consumer registering MID-PACK keeps its dirs; deferred reclaim clears after it acks") {
+    val root = tmpDir("export-ops-race")
+    val corpus = TransactionalTable.create(spark, s"$root/corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+      "doc_id", None)
+    def pub(): Unit =
+      assert(ExportOps.exportLatest(corpus, s"$root/exp", nShards = 2,
+        capacity = 16L).exported)
+    corpus.append(Seq(doc(1, 10), doc(2, 20)).toDF("doc_id", "text"), batchId = 0)
+    pub()
+    corpus.append(Seq(doc(3, 5)).toDF("doc_id", "text"), batchId = 1)
+    pub()
+    corpus.append(Seq(doc(4, 7)).toDF("doc_id", "text"), batchId = 2)
+    pub()
+    val expected = ExportOps.readCorpus(spark, s"$root/exp")
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet
+    def dirsOnDisk(): Set[String] =
+      graft.util.Fs.listSeq(java.nio.file.Paths.get(s"$root/exp"))
+        .map(_.getFileName.toString).filter(_.startsWith("exp_")).toSet
+    val oldDirs = dirsOnDisk()
+    assert(oldDirs.size === 3)
+    // the consumer registers + snapshots BETWEEN pack's watermark read and
+    // its manifest commit — the at-most-once window ADVICE r17 documented.
+    // Its snapshot plan resolves the OLD manifest's dirs.
+    var captured: (org.apache.spark.sql.DataFrame, Long) = null
+    graft.ops.ExportTestHooks.afterWatermarkRead = Some(() => {
+      graft.ops.ExportTestHooks.afterWatermarkRead = None
+      captured = ExportOps.snapshotForConsumer(spark, s"$root/exp", "late")
+    })
+    try {
+      val p = ExportOps.pack(spark, s"$root/exp")
+      assert(p.packed, "the fold itself proceeds (only deletion defers)")
+    } finally graft.ops.ExportTestHooks.afterWatermarkRead = None
+    // EVERY dir the registered consumer's old-manifest plan can reference
+    // is still on disk — deletion deferred, not raced
+    assert(oldDirs.subsetOf(dirsOnDisk()),
+      s"no dir a registered consumer can reach may be deleted: ${dirsOnDisk()}")
+    // the captured snapshot materializes EXACTLY the corpus — no missing
+    // files, no retry needed: the pin is exactly-once now
+    val got = captured._1.select("doc_id", "n_tokens")
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected, s"mid-pack snapshot must be whole: $got")
+    // consumer acks its snapshot head → the next pack call's sweep
+    // reclaims the deferred orphans (the consolidated dir stays)
+    val head = ExportOps.intervals(spark, s"$root/exp").map(_.toV).max
+    ExportOps.ackConsumed(spark, s"$root/exp", "late", head)
+    ExportOps.pack(spark, s"$root/exp") // fenced no-op + reclaim sweep
+    val after = dirsOnDisk()
+    assert(after === Set(s"exp_0_$head"),
+      s"deferred orphans must clear once the consumer acks past them: $after")
+    // and the reader contract over the consolidated root is unchanged
+    assert(ExportOps.readCorpus(spark, s"$root/exp")
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet === expected)
+  }
 }
