@@ -52,6 +52,55 @@ object QualityMonitor {
     docs.select(tokenBucket(tokenCount(col(textCol))).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
 
+  /** A pluggable profile DIMENSION (r19 — review missing #4: token length
+    * was the only profiled signal, so a source whose length distribution
+    * stays flat while its symbol mix collapses — a parser regression
+    * emitting markup, encoding corruption — was invisible): `name` keys
+    * the stored rows, `bucketOf` maps the text column to a bucket in
+    * 0..10 using INTEGER-EXACT arithmetic only (the same ≤ 11-bucket /
+    * replayable-oracle contract as the token ladder). */
+  final case class Signal(name: String, bucketOf: Column => Column)
+
+  /** Token-length powers-of-two ladder — the original E221 dimension. */
+  val TokenLength: Signal = Signal("tok_len", t => tokenBucket(tokenCount(t)))
+
+  /** Symbol-to-character ratio in elevenths: bucket = ⌊10 · n_symbols /
+    * n_chars⌋ (integer division, clamped; empty/NULL text → 0), where a
+    * symbol is any char outside [A-Za-z0-9], space, tab, newline. The
+    * markup/encoding-collapse detector. */
+  val SymbolRatio: Signal = Signal("sym_ratio", symbolBucket)
+
+  /** The dimensions [[appendBatch]] records by default. */
+  val DefaultSignals: Seq[Signal] = Seq(TokenLength, SymbolRatio)
+
+  def symbolBucket(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val nChar = length(t).cast("long")
+    val nSym = nChar - length(regexp_replace(t, "[^A-Za-z0-9 \t\n]", "")).cast("long")
+    least(nSym * lit(10L) / greatest(nChar, lit(1L)), lit(10L)).cast("long")
+  }
+
+  /** ONE-PASS multi-signal per-source histogram: each doc explodes into
+    * |signals| (signal, bucket) pairs (a 2-element literal array — not a
+    * join), then one map-side-combinable aggregation to
+    * ≤ 11 × |signals| × |sources| rows. Docs without the source column
+    * profile under source "" (the [[profileBySource]] rule). */
+  def profileSignals(docs: DataFrame, signals: Seq[Signal] = DefaultSignals,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    require(signals.nonEmpty, "at least one signal")
+    val src =
+      if (docs.columns.contains(sourceCol))
+        coalesce(col(sourceCol).cast("string"), lit(""))
+      else lit("")
+    val pairs = array(signals.map(sig => struct(
+      lit(sig.name).as("signal"),
+      sig.bucketOf(col(textCol)).cast("long").as("bucket"))): _*)
+    docs.select(src.as("source"), explode(pairs).as("sb"))
+      .select(col("sb.signal").as("signal"), col("source"),
+        col("sb.bucket").as("bucket"))
+      .groupBy("signal", "source", "bucket").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** PER-SOURCE histogram (r17 review, "What's missing" #5): one ≤ 11-row
     * block per source — the corpus-level profile dilutes a single source
     * flipping to boilerplate under the other sources' volume, which is
@@ -102,43 +151,60 @@ object QualityMonitor {
     * completed per source (an explode over the ≤ 11 fixed buckets — never
     * a cross join for the plan audit to flag) and the per-source totals
     * ride a source-partitioned window over the ≤ 11 × |sources| frame. */
-  def psiBySource(ref: DataFrame, cur: DataFrame): DataFrame = {
+  def psiBySource(ref: DataFrame, cur: DataFrame): DataFrame =
+    psiKeyed(ref, cur, Seq("source"))
+
+  /** PSI per (signal, source) between two (signal, source, bucket, n_docs)
+    * histograms ([[profileSignals]] frames) — one row per key pair seen in
+    * EITHER window, same arithmetic/oracle contract. */
+  def psiBySignals(ref: DataFrame, cur: DataFrame): DataFrame =
+    psiKeyed(ref, cur, Seq("signal", "source"))
+
+  /** The shared keyed-PSI plan: bucket domain completed per key tuple via
+    * an explode over the ≤ 11 fixed buckets (never a cross join), totals
+    * via a key-partitioned window over the ≤ 11 × |keys| frame. */
+  private def psiKeyed(ref: DataFrame, cur: DataFrame,
+      keys: Seq[String]): DataFrame = {
     val k = BucketBounds.size + 1
-    val srcs = ref.select("source").unionByName(cur.select("source")).distinct()
-    val buckets = srcs.select(col("source"),
-      explode(typedLit((0L until k.toLong).toArray)).as("bucket"))
-    val r = ref.groupBy("source", "bucket").agg(sum("n_docs").as("rn"))
-    val c = cur.groupBy("source", "bucket").agg(sum("n_docs").as("cn"))
+    val kc = keys.map(col)
+    val seen = ref.select(kc: _*).unionByName(cur.select(kc: _*)).distinct()
+    val buckets = seen.select(
+      kc :+ explode(typedLit((0L until k.toLong).toArray)).as("bucket"): _*)
+    val joinKeys = keys :+ "bucket"
+    val r = ref.groupBy(joinKeys.map(col): _*).agg(sum("n_docs").as("rn"))
+    val c = cur.groupBy(joinKeys.map(col): _*).agg(sum("n_docs").as("cn"))
     val joined = buckets
-      .join(r, Seq("source", "bucket"), "left")
-      .join(c, Seq("source", "bucket"), "left")
-      .select(col("source"), col("bucket"),
+      .join(r, joinKeys, "left")
+      .join(c, joinKeys, "left")
+      .select(kc ++ Seq(col("bucket"),
         coalesce(col("rn"), lit(0L)).as("rn"),
-        coalesce(col("cn"), lit(0L)).as("cn"))
-    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        coalesce(col("cn"), lit(0L)).as("cn")): _*)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
     val pc = (col("cn") + 1).cast("double") / (col("ct") + k).cast("double")
     val pr = (col("rn") + 1).cast("double") / (col("rt") + k).cast("double")
     joined
-      .withColumn("rt", sum("rn").over(wSrc))
-      .withColumn("ct", sum("cn").over(wSrc))
-      .select(col("source"), ((pc - pr) * (log(pc) - log(pr))).as("term"),
-        col("rt"), col("ct"))
-      .groupBy(col("source"), col("rt").as("n_ref"), col("ct").as("n_cur"))
+      .withColumn("rt", sum("rn").over(wKey))
+      .withColumn("ct", sum("cn").over(wKey))
+      .select(kc ++ Seq(((pc - pr) * (log(pc) - log(pr))).as("term"),
+        col("rt"), col("ct")): _*)
+      .groupBy(kc ++ Seq(col("rt").as("n_ref"), col("ct").as("n_cur")): _*)
       .agg(sum(col("term")).as("psi"))
-      .select(col("source"), col("psi"), col("n_ref"), col("n_cur"))
+      .select(kc ++ Seq(col("psi"), col("n_ref"), col("n_cur")): _*)
   }
 
   /** Create/open the per-batch histogram table at `root`
-    * (PK = (batch, source, bucket), flattened into stat_id). Since r18 the
-    * table carries the SOURCE key — [[appendBatch]] still accepts a
-    * pre-r18 table (no source column) and degrades to corpus-level rows,
+    * (PK = (batch, signal, source, bucket), flattened into stat_id).
+    * Since r18 the table carries the SOURCE key and since r19 the SIGNAL
+    * key — [[appendBatch]] still accepts the older shapes (no source
+    * column → corpus-level rows; no signal column → token-length only),
     * so an existing monitor root keeps working unchanged. */
   def statsTable(spark: org.apache.spark.sql.SparkSession,
       root: String): TransactionalTable =
     if (TransactionalTable.exists(root)) TransactionalTable.open(spark, root)
     else TransactionalTable.create(spark, root,
       org.apache.spark.sql.types.StructType.fromDDL(
-        "stat_id STRING, batch LONG, source STRING, bucket LONG, n_docs LONG"),
+        "stat_id STRING, batch LONG, signal STRING, source STRING, " +
+          "bucket LONG, n_docs LONG"),
       "stat_id", None)
 
   /** Append one micro-batch's histogram (replay-fenced: a re-delivered
@@ -156,18 +222,23 @@ object QualityMonitor {
         * stats table without the source field) records corpus-level rows
         * under source "", so every caller keeps working and per-source
         * drift lights up wherever the data carries the key. */
-      sourceCol: String = "source"): Boolean = {
+      sourceCol: String = "source",
+      /** Profile dimensions to record (r19 — stats tables with the signal
+        * column store one ≤ 11-row block per signal per source; older
+        * tables degrade to the token-length dimension only). */
+      signals: Seq[Signal] = DefaultSignals): Boolean = {
     if (batchId <= stats.snapshot.writerFences.getOrElse(writerId, -1L))
       return false
     val spark = docs.sparkSession
     import spark.implicits._
     val perSource = stats.schema.fieldNames.contains("source")
+    val perSignal = stats.schema.fieldNames.contains("signal")
     val rows =
       if (!perSource)
         profile(docs, textCol)
           .select(concat_ws(":", lit(batchId), col("bucket")).as("stat_id"),
             lit(batchId).as("batch"), col("bucket"), col("n_docs"))
-      else {
+      else if (!perSignal) {
         val hist =
           if (docs.columns.contains(sourceCol)) profileBySource(docs, textCol, sourceCol)
           else profile(docs, textCol).select(lit("").as("source"),
@@ -175,6 +246,12 @@ object QualityMonitor {
         hist.select(
           concat_ws(":", lit(batchId), col("source"), col("bucket")).as("stat_id"),
           lit(batchId).as("batch"), col("source"), col("bucket"), col("n_docs"))
+      } else {
+        profileSignals(docs, signals, textCol, sourceCol).select(
+          concat_ws(":", lit(batchId), col("signal"), col("source"),
+            col("bucket")).as("stat_id"),
+          lit(batchId).as("batch"), col("signal"), col("source"),
+          col("bucket"), col("n_docs"))
       }
     stats.merge(rows, spark.emptyDataset[String].toDF("stat_id"),
       batchId = batchId, writerId = Some(writerId))
@@ -190,9 +267,22 @@ object QualityMonitor {
     * uniform distribution, which scores ~0.84 against any concentrated
     * real profile — a loud false alarm from no data at all (review r17);
     * psi is still reported so the caller can see the degenerate score. */
+  /** The stored rows of ONE signal dimension: a signal-keyed (r19) table
+    * filters to `sig`; older tables hold token-length rows only, which IS
+    * the [[TokenLength]] dimension — so the pre-signal drift surfaces stay
+    * bit-identical across the schema generations. */
+  private def signalRows(stats: TransactionalTable, sig: Signal): DataFrame = {
+    val s = stats.scan()
+    if (stats.schema.fieldNames.contains("signal"))
+      s.where(col("signal") === sig.name)
+    else if (sig.name == TokenLength.name) s
+    else s.where(lit(false))
+  }
+
   def drift(stats: TransactionalTable, refUpToBatch: Long,
       threshold: Double = 0.25): Drift = {
-    val s = stats.scan().select(col("batch"), col("bucket"), col("n_docs"))
+    val s = signalRows(stats, TokenLength)
+      .select(col("batch"), col("bucket"), col("n_docs"))
     val r = psi(
       s.where(col("batch") <= refUpToBatch).select("bucket", "n_docs"),
       s.where(col("batch") > refUpToBatch).select("bucket", "n_docs"))
@@ -217,7 +307,7 @@ object QualityMonitor {
   def driftBySource(stats: TransactionalTable, refUpToBatch: Long,
       threshold: Double = 0.25): Seq[SourceDrift] = {
     val perSource = stats.schema.fieldNames.contains("source")
-    val s0 = stats.scan()
+    val s0 = signalRows(stats, TokenLength)
     val s =
       if (perSource) s0.select(col("batch"), col("source"), col("bucket"), col("n_docs"))
       else s0.select(col("batch"), lit("").as("source"), col("bucket"), col("n_docs"))
@@ -237,6 +327,42 @@ object QualityMonitor {
     * different worst row. */
   def worstOf(all: Seq[SourceDrift]): Option[SourceDrift] =
     all.sortBy(d => (!d.drifted, -d.psi, d.source)).headOption
+
+  final case class SignalDrift(signal: String, source: String, psi: Double,
+      nRef: Long, nCur: Long, drifted: Boolean)
+
+  /** PER-(SIGNAL, SOURCE) drift verdicts (r19 — review missing #4): one
+    * row per profiled dimension per source, so a source whose token-LENGTH
+    * histogram stays flat while its symbol mix collapses (markup
+    * regression, encoding corruption) flags on the [[SymbolRatio]] row.
+    * Same empty-window never-flag rule per key pair. A pre-r19 stats
+    * table (no signal column) scores its rows as the [[TokenLength]]
+    * dimension only. */
+  def driftBySignals(stats: TransactionalTable, refUpToBatch: Long,
+      threshold: Double = 0.25): Seq[SignalDrift] = {
+    val fields = stats.schema.fieldNames
+    val s0 = stats.scan()
+    val s1 =
+      if (fields.contains("signal")) s0
+      else s0.withColumn("signal", lit(TokenLength.name))
+    val s =
+      if (fields.contains("source")) s1
+      else s1.withColumn("source", lit(""))
+    val cols = Seq("signal", "source", "bucket", "n_docs").map(col)
+    psiBySignals(
+      s.where(col("batch") <= refUpToBatch).select(cols: _*),
+      s.where(col("batch") > refUpToBatch).select(cols: _*))
+      .collect()
+      .map(r => SignalDrift(r.getString(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4),
+        drifted = r.getDouble(2) > threshold && r.getLong(3) > 0 && r.getLong(4) > 0))
+      .sortBy(d => (-d.psi, d.signal, d.source)).toSeq
+  }
+
+  /** The alerting order over per-(signal, source) verdicts — shared by the
+    * Scala API and the `quality_drift_signals` CALL. */
+  def worstOfSignals(all: Seq[SignalDrift]): Option[SignalDrift] =
+    all.sortBy(d => (!d.drifted, -d.psi, d.signal, d.source)).headOption
 
   /** The worst per-source verdict — the single row an alerting hook keys
     * on (None only when the stats table is empty). */

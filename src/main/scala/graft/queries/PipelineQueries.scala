@@ -886,6 +886,63 @@ object PipelineQueries {
              |       CAST(MAX(rt) AS BIGINT) AS n_ref, CAST(MAX(ct) AS BIGINT) AS n_cur
              |FROM j JOIN t USING (source) GROUP BY j.source ORDER BY j.source""".stripMargin)),
 
+    // X4: MULTI-SIGNAL per-source drift (r19 — review missing #4: token
+    // length was the only profiled dimension, so a source whose length
+    // histogram stays flat while its symbol mix collapses — markup
+    // regression, encoding corruption — was invisible). The same
+    // Laplace/ln PSI scored per (signal, source): the token-length ladder
+    // plus the symbol-to-character-ratio elevenths, both integer-exact
+    // bucketers, one row per dimension per source at the same 6-decimal
+    // contract.
+    Q("x4_quality_drift_signals",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        graft.ops.QualityMonitor.psiBySignals(
+          graft.ops.QualityMonitor.profileSignals(docs.filter(col("doc_id") % 2 === 0)),
+          graft.ops.QualityMonitor.profileSignals(docs.filter(col("doc_id") % 2 === 1)))
+          .select(col("signal"), col("source"), round(col("psi"), 6).as("psi"),
+            col("n_ref"), col("n_cur"))
+          .orderBy("signal", "source")
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, coalesce(source, '') AS source, text,
+             |             coalesce(text, '') AS tc FROM documents),
+             |toks AS (SELECT doc_id, source, $DuckToks AS w, tc FROM d0),
+             |n AS (SELECT doc_id, source,
+             |        CAST(coalesce(len(w), 0) AS BIGINT) AS n,
+             |        CAST(len(tc) AS BIGINT) AS nc,
+             |        CAST(len(tc) - len(regexp_replace(tc, '[^A-Za-z0-9 \\t\\n]', '', 'g')) AS BIGINT) AS ns
+             |      FROM toks),
+             |b AS (SELECT doc_id, source, 'tok_len' AS signal,
+             |        CASE WHEN n <= 0 THEN 0 WHEN n <= 1 THEN 1 WHEN n <= 3 THEN 2
+             |             WHEN n <= 7 THEN 3 WHEN n <= 15 THEN 4 WHEN n <= 31 THEN 5
+             |             WHEN n <= 63 THEN 6 WHEN n <= 127 THEN 7 WHEN n <= 255 THEN 8
+             |             WHEN n <= 511 THEN 9 ELSE 10 END AS bucket
+             |      FROM n
+             |      UNION ALL
+             |      SELECT doc_id, source, 'sym_ratio',
+             |        LEAST(ns * 10 // GREATEST(nc, 1), 10)
+             |      FROM n),
+             |dom AS (SELECT signal, source, CAST(unnest(range(11)) AS BIGINT) AS bucket
+             |        FROM (SELECT DISTINCT signal, source FROM b)),
+             |r AS (SELECT signal, source, bucket, COUNT(*) AS rn FROM b
+             |      WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+             |c AS (SELECT signal, source, bucket, COUNT(*) AS cn FROM b
+             |      WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+             |j AS (SELECT dom.signal, dom.source, dom.bucket,
+             |        COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+             |      FROM dom LEFT JOIN r USING (signal, source, bucket)
+             |               LEFT JOIN c USING (signal, source, bucket)),
+             |t AS (SELECT signal, source, SUM(rn) AS rt, SUM(cn) AS ct
+             |      FROM j GROUP BY signal, source)
+             |SELECT j.signal, j.source, round(SUM(
+             |         (CAST(cn + 1 AS DOUBLE) / CAST(ct + 11 AS DOUBLE)
+             |            - CAST(rn + 1 AS DOUBLE) / CAST(rt + 11 AS DOUBLE))
+             |         * (ln(CAST(cn + 1 AS DOUBLE) / CAST(ct + 11 AS DOUBLE))
+             |            - ln(CAST(rn + 1 AS DOUBLE) / CAST(rt + 11 AS DOUBLE)))), 6) AS psi,
+             |       CAST(MAX(rt) AS BIGINT) AS n_ref, CAST(MAX(ct) AS BIGINT) AS n_cur
+             |FROM j JOIN t USING (signal, source) GROUP BY j.signal, j.source
+             |ORDER BY j.signal, j.source""".stripMargin)),
+
     Q("x4_quality_buckets",
       (s, d) => TextOps.qualityBuckets(Tables.load(s, d, "documents"),
           buckets = 3, sampleRate = 1.0)

@@ -623,7 +623,14 @@ object GraftProcedures {
         // out-of-order backfill) — the operator must SEE the no-op
         val committed = graft.ops.QualityMonitor.appendBatch(stats, docs,
           a.getLong(2))
-        val n = stats.scan().where(col("batch") === a.getLong(2))
+        // doc count from the token-length block only: a signal-keyed
+        // table (r19) stores one histogram block per dimension, and
+        // summing across blocks would count each doc once per signal
+        val batchRows = stats.scan().where(col("batch") === a.getLong(2))
+        val n = (if (stats.schema.fieldNames.contains("signal"))
+            batchRows.where(col("signal") ===
+              graft.ops.QualityMonitor.TokenLength.name)
+          else batchRows)
           .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()(0)
         Seq(a.getLong(2), committed, if (n.isNullAt(0)) 0L else n.getLong(0),
           stats.currentVersion)
@@ -654,6 +661,24 @@ object GraftProcedures {
           .getOrElse(graft.ops.QualityMonitor.SourceDrift("", 0.0, 0L, 0L,
             drifted = false))
         Seq(w.source, w.psi, w.nRef, w.nCur, w.drifted, all.size.toLong)
+      }),
+
+    // Per-(signal, source) drift verdict (r19): the WORST dimension row —
+    // catches a source whose token-length histogram stays flat while its
+    // symbol mix collapses (markup regression, encoding corruption).
+    //   CALL graft.system.quality_drift_signals('db.stats', 1, 0.25)
+    "quality_drift_signals" -> Spec(
+      Seq("stats" -> S, "ref_up_to_batch" -> L, "threshold" -> D),
+      row("signal" -> S, "source" -> S, "psi" -> DoubleType, "n_ref" -> L,
+        "n_cur" -> L, "drifted" -> BooleanType, "n_rows" -> L),
+      (c, a) => {
+        val all = graft.ops.QualityMonitor.driftBySignals(open(c, a),
+          a.getLong(1), a.getDouble(2))
+        val w = graft.ops.QualityMonitor.worstOfSignals(all)
+          .getOrElse(graft.ops.QualityMonitor.SignalDrift("", "", 0.0, 0L,
+            0L, drifted = false))
+        Seq(w.signal, w.source, w.psi, w.nRef, w.nCur, w.drifted,
+          all.size.toLong)
       }),
 
     // BATCH SAMPLING family from SQL (r16 verdict #6 — the last pipeline

@@ -261,6 +261,42 @@ class CorpusStreamSpec extends SparkSpec {
       s"a newly appearing source must not read as drift: $newcomer")
   }
 
+  test("multi-signal drift (r19): a markup regression flags on symbol ratio while the length histogram stays flat") {
+    import graft.ops.QualityMonitor
+    val stats = QualityMonitor.statsTable(spark, tmpDir("qm-sig-st") + "/stats")
+    // ref: 24 plain tokens per doc — cur: the SAME token count per doc,
+    // but every token wrapped in markup (a parser regression shipping
+    // HTML): the token-LENGTH histogram is bucket-identical, only the
+    // symbol mix moves
+    def plain(i: Int) = (1 to 24).map(k => s"tok$i$k").mkString(" ")
+    def markup(i: Int) = (1 to 24).map(k => s"<b>tok$i$k</b>").mkString(" ")
+    val ref = (1 to 20).map(i => (i.toLong, plain(i), "en", "src_b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val cur = (21 to 40).map(i => (i.toLong, markup(i), "en", "src_b"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(QualityMonitor.appendBatch(stats, ref, 0L))
+    assert(QualityMonitor.appendBatch(stats, cur, 1L))
+    // every token-length surface stays quiet: corpus-level, per-source,
+    // and the tok_len dimension row — the regression is length-invisible
+    assert(!QualityMonitor.drift(stats, refUpToBatch = 0).drifted,
+      "corpus-level token-length drift must stay quiet")
+    assert(!QualityMonitor.driftBySource(stats, refUpToBatch = 0)
+      .find(_.source == "src_b").get.drifted,
+      "per-source token-length drift must stay quiet")
+    val sig = QualityMonitor.driftBySignals(stats, refUpToBatch = 0)
+      .map(d => (d.signal, d.source) -> d).toMap
+    assert(!sig(("tok_len", "src_b")).drifted &&
+      sig(("tok_len", "src_b")).psi < 0.05,
+      s"the length dimension is flat by construction: ${sig(("tok_len", "src_b"))}")
+    // ... while the symbol-ratio dimension flags it undiluted
+    assert(sig(("sym_ratio", "src_b")).drifted &&
+      sig(("sym_ratio", "src_b")).psi > 0.25,
+      s"the markup collapse must flag on sym_ratio: ${sig(("sym_ratio", "src_b"))}")
+    assert(QualityMonitor.worstOfSignals(
+      QualityMonitor.driftBySignals(stats, 0)).map(_.signal) ===
+      Some("sym_ratio"), "the worst-dimension verdict keys the alert")
+  }
+
   test("quality-drift histogram counts NULL text as 0 tokens (ADVICE r17): bucket 0 in every engine, never the top bucket") {
     import graft.ops.QualityMonitor
     // Spark's legacy size(NULL) is -1 where DuckDB's CASE over len(NULL)
