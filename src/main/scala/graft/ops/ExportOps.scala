@@ -162,8 +162,17 @@ object ExportOps {
       exportRoot: String): TransactionalTable = {
     val root = s"$exportRoot/_consumers"
     if (TransactionalTable.exists(root)) TransactionalTable.open(spark, root)
-    else try TransactionalTable.create(spark, root,
-      StructType.fromDDL("consumer STRING, acked_to LONG"), "consumer", None)
+    else try {
+      val t = TransactionalTable.create(spark, root,
+        StructType.fromDDL("consumer STRING, acked_to LONG"), "consumer", None)
+      // a long-lived stream acks EVERY interval — one merge commit each —
+      // so the registry's snapshot history grows without bound unless it
+      // expires at cadence (r19 — review missing #5). Fences survive any
+      // expiry by construction (inherited into every newer manifest), so
+      // ack monotonicity and dropConsumer replay protection are unaffected.
+      t.setSnapshotExpiry(keepLast = 8)
+      t
+    }
     catch {
       // two consumers registering on a VIRGIN root race the table creation
       // (exists→create is check-then-act across processes); every creator

@@ -201,11 +201,18 @@ object QualityMonitor {
   def statsTable(spark: org.apache.spark.sql.SparkSession,
       root: String): TransactionalTable =
     if (TransactionalTable.exists(root)) TransactionalTable.open(spark, root)
-    else TransactionalTable.create(spark, root,
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "stat_id STRING, batch LONG, signal STRING, source STRING, " +
-          "bucket LONG, n_docs LONG"),
-      "stat_id", None)
+    else {
+      val t = TransactionalTable.create(spark, root,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "stat_id STRING, batch LONG, signal STRING, source STRING, " +
+            "bucket LONG, n_docs LONG"),
+        "stat_id", None)
+      // one append per micro-batch forever → expire snapshot history at
+      // cadence (r19 — review missing #5); the per-batch fence map is
+      // inherited into every newer manifest, so replay fencing survives
+      t.setSnapshotExpiry(keepLast = 8)
+      t
+    }
 
   /** Append one micro-batch's histogram (replay-fenced: a re-delivered
     * epoch recomputes the identical ≤ 11 rows and the commit no-ops).

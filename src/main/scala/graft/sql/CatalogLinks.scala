@@ -16,7 +16,8 @@ import graft.table.CommitIO
  * Commit protocol: the map is a chain of versioned whole-map files
  * (`_catalog_links/v<N>.json`) and the CLAIM IS THE COMMIT — one
  * `putIfAbsent` of `v(N+1)` makes the new map live atomically (the map
- * version is the largest contiguous `v<K>` present; there is NO mutable
+ * version is the LARGEST `v<K>` present — claims only ever target
+ * live+1, so the top of the chain can never gap; there is NO mutable
  * pointer object). Consequences, all by construction:
  *
  *  - concurrent mutations serialize through the conditional PUT — the
@@ -30,10 +31,15 @@ import graft.table.CommitIO
  *  - readers route through the same [[CommitIO]] the commits use, so a
  *    store-backed io observes its own renames.
  *
- * Resolution probes `v1, v2, …` until the first absent version — O(#
- * renames ever) `exists` calls per namespace, with the common
- * never-renamed namespace paying exactly one. Renames are operator
- * actions (a handful per table lifetime), not a data path.
+ * Resolution is ONE `list` of the links prefix (r19 — previously an
+ * O(#renames-ever) exists-probe chain) + one read of the max version;
+ * the common never-renamed namespace pays exactly the one empty list.
+ * Old chain versions retire under a keep-last-N sweep after each commit
+ * (r18 review missing #6): deletes only ever remove a PREFIX of the
+ * chain, so the max-version liveness rule survives concurrent sweeps,
+ * and a reader that listed an about-to-retire version transparently
+ * re-lists. Renames are operator actions (a handful per table
+ * lifetime), not a data path.
  *
  * The map entry value is the PHYSICAL directory name inside the same
  * namespace (`Some(dir)`) or a tombstone (`None` — the name no longer
@@ -63,20 +69,40 @@ object CatalogLinks {
   private def vPath(nsDir: String, v: Long): Path =
     linksDir(nsDir).resolve(s"v$v.json")
 
-  /** The live map = the largest contiguous claim. Never-renamed
-    * namespaces (no `_catalog_links/v1.json`) pay one `exists`. */
+  private val VFile = """v(\d+)\.json""".r
+
+  private def versionsPresent(nsDir: String, io: CommitIO): Seq[Long] =
+    io.list(linksDir(nsDir)).flatMap(_.getFileName.toString match {
+      case VFile(n) => Some(n.toLong)
+      case _ => None
+    })
+
+  /** The live map = the MAX version present (one prefix list + one read).
+    * A read racing the keep-last-N sweep (its listed head retired by a
+    * much-later commit's GC) re-lists — bounded: each retry means ≥
+    * [[KeepVersions]] commits landed since the list. */
   def read(nsDir: String, io: CommitIO): Links = {
-    var v = 0L
-    while (io.exists(vPath(nsDir, v + 1))) v += 1
-    if (v == 0) return Links(0L, Map.empty)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = om.readTree(io.read(vPath(nsDir, v)))
-    val entries = scala.collection.mutable.Map.empty[String, Option[String]]
-    node.fields().forEachRemaining { e =>
-      entries.put(e.getKey,
-        if (e.getValue.isNull) None else Some(e.getValue.asText()))
+    var attempts = 0
+    while (true) {
+      val vs = versionsPresent(nsDir, io)
+      if (vs.isEmpty) return Links(0L, Map.empty)
+      val v = vs.max
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(io.read(vPath(nsDir, v)))
+        val entries = scala.collection.mutable.Map.empty[String, Option[String]]
+        node.fields().forEachRemaining { e =>
+          entries.put(e.getKey,
+            if (e.getValue.isNull) None else Some(e.getValue.asText()))
+        }
+        return Links(v, entries.toMap)
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
     }
-    Links(v, entries.toMap)
+    throw new IllegalStateException("unreachable")
   }
 
   def resolve(nsDir: String, name: String, io: CommitIO): Resolution =
@@ -106,6 +132,21 @@ object CatalogLinks {
     catch { case _: FileAlreadyExistsException => false }
   }
 
+  /** Keep-last-N for the version chain (r18 review missing #6 — every
+    * rename added a whole-map file forever). Runs after each successful
+    * commit; deletes only a PREFIX (versions ≤ committed − N), so
+    * concurrent sweeps are idempotent and max-version liveness holds
+    * throughout. N is deliberately generous: a retired version is ≥ N
+    * commits stale, and [[read]] retries the rare list/GC race. */
+  private val KeepVersions = 8L
+
+  private def gc(nsDir: String, committed: Long, io: CommitIO): Unit =
+    versionsPresent(nsDir, io).filter(_ <= committed - KeepVersions)
+      .foreach { v =>
+        try io.delete(vPath(nsDir, v))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+
   private def retrying(nsDir: String, io: CommitIO)(
       step: Links => Option[Map[String, Option[String]]]): Unit = {
     var attempts = 0
@@ -114,7 +155,10 @@ object CatalogLinks {
       step(cur) match {
         case None => return // nothing to change under the freshest map
         case Some(entries) =>
-          if (tryCommit(nsDir, cur, entries, io)) return
+          if (tryCommit(nsDir, cur, entries, io)) {
+            gc(nsDir, cur.version + 1, io)
+            return
+          }
           attempts += 1
           if (attempts > 20) throw new IllegalStateException(
             s"catalog links commit lost $attempts straight races under $nsDir")

@@ -40,9 +40,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
  * already has): view metadata is a chain of immutable versioned whole-files
  * (`_view/v<N>.json`) committed through [[graft.table.CommitIO]], and the
  * `putIfAbsent` CLAIM IS THE COMMIT — the [[CatalogLinks]] idiom. The live
- * metadata = the largest contiguous `v<K>` present; there is NO mutable
- * pointer and NO rename anywhere in the path, so the store needs only
- * conditional PUT + GET. Consequences, all by construction:
+ * metadata = the MAX `v<K>` present (claims only ever target live+1, so
+ * the top of the chain can never gap; a keep-last-N sweep retires old
+ * versions prefix-only); there is NO mutable pointer and NO rename
+ * anywhere in the path, so the store needs only conditional PUT + GET +
+ * LIST. Consequences, all by construction:
  *
  *  - concurrent DDLs (REPLACE racing SET TBLPROPERTIES, two CREATEs)
  *    serialize through the conditional PUT — the loser re-reads the fresh
@@ -66,22 +68,30 @@ object GraftViewStore {
   val FileName = "_view.json"
   /** The versioned metadata chain: `_view/v<N>.json`, claim-is-commit. */
   private val ChainDir = "_view"
+  /** Keep-last-N for the chain — see the [[CatalogLinks]] GC contract. */
+  private val KeepVersions = 8L
 
   private def legacyPath(root: String): Path = Paths.get(root, FileName)
   private def chainPath(root: String, v: Long): Path =
     Paths.get(root, ChainDir, s"v$v.json")
 
-  /** Live chain version = largest contiguous claim; 0 = no chain (legacy
-    * file or nothing). Never-mutated-since-migration views pay the same
-    * probe count as the links map: one `exists` per version ever written. */
-  private def chainVersion(root: String, io: graft.table.CommitIO): Long = {
-    var v = 0L
-    while (io.exists(chainPath(root, v + 1))) v += 1
-    v
-  }
+  private val VFile = """v(\d+)\.json""".r
+
+  private def versionsPresent(root: String, io: graft.table.CommitIO): Seq[Long] =
+    io.list(Paths.get(root, ChainDir)).flatMap(_.getFileName.toString match {
+      case VFile(n) => Some(n.toLong)
+      case _ => None
+    })
+
+  /** Live chain version = the MAX version present (one prefix list — the
+    * [[CatalogLinks]] liveness rule: claims only ever target live+1, so
+    * the top of the chain can never gap, and the keep-last-N sweep only
+    * ever removes a prefix); 0 = no chain (legacy file or nothing). */
+  private def chainVersion(root: String, io: graft.table.CommitIO): Long =
+    versionsPresent(root, io).maxOption.getOrElse(0L)
 
   def exists(root: String, io: graft.table.CommitIO): Boolean =
-    io.exists(chainPath(root, 1L)) || io.exists(legacyPath(root))
+    chainVersion(root, io) > 0 || io.exists(legacyPath(root))
 
   /** One stored view definition version. */
   final case class VersionMeta(
@@ -118,10 +128,20 @@ object GraftViewStore {
 
   /** Current metadata bytes — the chain head when one exists, else the
     * legacy file (content digests derived from these stay valid cache keys:
-    * every commit lands a new immutable file). */
+    * every commit lands a new immutable file). Retries the rare race where
+    * the listed head was retired by a much-later commit's keep-last sweep. */
   private[sql] def rawBytes(root: String, io: graft.table.CommitIO): Array[Byte] = {
-    val v = chainVersion(root, io)
-    if (v > 0) io.read(chainPath(root, v)) else io.read(legacyPath(root))
+    var attempts = 0
+    while (true) {
+      val v = chainVersion(root, io)
+      try return if (v > 0) io.read(chainPath(root, v)) else io.read(legacyPath(root))
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempts += 1
+          if (attempts > 5 || v == 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private[sql] def parse(bytes: Array[Byte]): ViewMeta = {
@@ -190,6 +210,14 @@ object GraftViewStore {
             if (legacy)
               try io.delete(legacyPath(root))
               catch { case scala.util.control.NonFatal(_) => () }
+            // keep-last-N sweep (the CatalogLinks GC contract): prefix-only
+            // deletes keep the max-version liveness rule intact, and an MV
+            // refresh cadence cannot grow the chain without bound
+            versionsPresent(root, io).filter(_ <= v + 1 - KeepVersions)
+              .foreach { old =>
+                try io.delete(chainPath(root, old))
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
             return next
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => attempt += 1
@@ -266,12 +294,12 @@ object GraftViewStore {
     if (!exists(root, io)) false
     else {
       val materialized = load(root, io).materialized
-      // retire the chain HEAD-DOWN (vN .. v1): a crash mid-way leaves a
-      // contiguous v1..vk prefix — the view still exists (stale but whole)
-      // and the drop is re-runnable. The other order would leave orphaned
-      // high versions a later CREATE's fresh v1 would splice into.
-      var v = chainVersion(root, io)
-      while (v > 0) { io.delete(chainPath(root, v)); v -= 1 }
+      // retire the chain HEAD-DOWN: a crash mid-way leaves a lower prefix —
+      // the view still exists (stale but whole) and the drop is
+      // re-runnable. The other order would leave orphaned high versions a
+      // later CREATE's fresh v1 would hide behind.
+      versionsPresent(root, io).sorted.reverse
+        .foreach(v => io.delete(chainPath(root, v)))
       try io.delete(legacyPath(root))
       catch { case scala.util.control.NonFatal(_) => () }
       if (materialized) {
@@ -1083,6 +1111,10 @@ final case class GraftCreateMaterializedViewExec(cmd: GraftCreateMaterializedVie
       // fence-gated, O(chunks) when no debt) so file count stays bounded by
       // the cadence however long the stream runs.
       storage.setAutoCompact(minFiles = 16)
+      // ... and into post-commit snapshot expiry (r19 — review missing #5):
+      // streaming maintenance lands one merge commit per micro-batch
+      // forever, and nothing else expires MV bookkeeping history
+      storage.setSnapshotExpiry(keepLast = 8)
       storage.append(df)
       val cm = session.sessionState.catalogManager
       val version = GraftViewStore.VersionMeta(
@@ -2152,9 +2184,11 @@ private[sql] object GraftMvRefresh {
               StructField("__val", a.arg.get.dataType) :+
               StructField("cnt", LongType, nullable = false)).toArray),
             keys.mkString(","), None)
-          // one merge per refresh interval → bound the aux's small-file debt
-          // the same way as MV storage (E148 post-commit cadence)
+          // one merge per refresh interval → bound the aux's small-file
+          // debt AND snapshot history the same way as MV storage (E148
+          // post-commit cadence; r19 expiry cadence)
           t.setAutoCompact(minFiles = 16)
+          t.setSnapshotExpiry(keepLast = 8)
           t
         }
       val bootWriter = s"$writerId#aux-bootstrap"

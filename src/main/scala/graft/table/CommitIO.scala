@@ -2,6 +2,8 @@ package graft.table
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 /**
  * The COMMIT-PROTOCOL I/O contract (r16 verdict missing #4 — object-store
  * commit portability): every correctness-bearing write in the table's
@@ -54,6 +56,14 @@ trait CommitIO {
   def exists(path: Path): Boolean
   def modifiedAtMs(path: Path): Long
   def delete(path: Path): Unit
+
+  /** The objects directly under `dir` (empty when nothing is there) — a
+    * prefix LIST, which every object store provides. Added r19 for the
+    * versioned metadata chains (catalog links, view metadata): resolution
+    * reads ONE list instead of O(#versions) exists probes, and keep-last-N
+    * GC can retire old chain versions without breaking liveness (live =
+    * the max version present). */
+  def list(dir: Path): Seq[Path]
 }
 
 /** The POSIX-filesystem implementation (the local / HDFS-like posture):
@@ -77,4 +87,10 @@ object PosixCommitIO extends CommitIO {
   override def modifiedAtMs(path: Path): Long =
     Files.getLastModifiedTime(path).toMillis
   override def delete(path: Path): Unit = { Files.deleteIfExists(path); () }
+  override def list(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
 }

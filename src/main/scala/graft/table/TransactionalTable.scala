@@ -2327,6 +2327,54 @@ final class TransactionalTable private (
             .warn(s"auto-compaction skipped on $root: ${e.getMessage}")
       }
     }
+    maybeAutoExpire()
+  }
+
+  /** Opt-in POST-COMMIT snapshot expiry (r19 — review missing #5: the
+    * engine's own bookkeeping tables — consumer-ack registries, quality
+    * stats, MV aux counts — accumulate one snapshot per ack/batch FOREVER
+    * unless an operator CALLs expire_snapshots per table). After every
+    * `everyCommits`-th committed version, expire down to the last
+    * `keepLast` snapshots ([[expireSnapshots]]). SAFE BY CONSTRUCTION for
+    * replay fences: the commit path inherits every writer fence into each
+    * NEWER manifest, so the retained head always carries the full fence
+    * map and a re-delivered epoch still no-ops after any expiry; tags
+    * always survive. `keepLast = 0` disables. Like auto-compaction, the
+    * sweep never fails the user's write, and a reader that captured an
+    * old snapshot must re-read before touching disk again (the standing
+    * expiry contract). */
+  def setSnapshotExpiry(keepLast: Int, everyCommits: Int = 16): Unit = synchronized {
+    require(keepLast >= 0, s"expiry keep-last must be >= 0, got $keepLast")
+    require(everyCommits > 0, s"expiry cadence must be positive, got $everyCommits")
+    updateTableMeta { m =>
+      if (keepLast == 0) { m.remove("expireKeepLast"); m.remove("expireEveryCommits"); () }
+      else { m.put("expireKeepLast", keepLast); m.put("expireEveryCommits", everyCommits); () }
+    }
+  }
+
+  /** (keepLast, everyCommits) when post-commit expiry is enabled. */
+  def snapshotExpiry: Option[(Int, Int)] =
+    tableMeta.filter(_.has("expireKeepLast"))
+      .map(m => (m.get("expireKeepLast").asInt(),
+        if (m.has("expireEveryCommits")) m.get("expireEveryCommits").asInt()
+        else 16))
+      .filter(_._1 > 0)
+
+  private def maybeAutoExpire(): Unit = snapshotExpiry.foreach {
+    case (keep, every) =>
+      try {
+        // distance-from-floor trigger, NOT a version modulo: auto-compaction
+        // runs FIRST in this hook and its own commit bumps the version, so a
+        // `v % every == 0` check would systematically miss whenever the two
+        // cadences coincide. Retained history is bounded by keep + every
+        // whatever interleaving of data and maintenance commits occurs.
+        if (currentVersion - math.max(expiryFloor, 0L) >= keep + every)
+          expireSnapshots(keep)
+      } catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"auto-expiry skipped on $root: ${e.getMessage}")
+      }
   }
 
   /** Iceberg `write.sort-order` parity (`ALTER TABLE ... WRITE ORDERED BY`):

@@ -51,6 +51,13 @@ class CatalogMetadataRenameSpec extends graft.SparkSpec {
     override def modifiedAtMs(path: Path): Long =
       Files.getLastModifiedTime(path).toMillis
     override def delete(path: Path): Unit = { Files.deleteIfExists(path); () }
+    override def list(dir: Path): Seq[Path] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+        finally s.close()
+      }
   }
 
   test("metadata rename: zero directory moves; a crash leaves either the old or the new binding whole, never both; lifecycle composes") {

@@ -57,6 +57,13 @@ class ObjectStoreCommitSpec extends graft.SparkSpec {
     override def modifiedAtMs(path: Path): Long =
       Files.getLastModifiedTime(path).toMillis
     override def delete(path: Path): Unit = { Files.deleteIfExists(path); () }
+    override def list(dir: Path): Seq[Path] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+        finally s.close()
+      }
   }
 
   test("commit protocol completes on a store with NO rename (conditional PUT + object PUT only)") {

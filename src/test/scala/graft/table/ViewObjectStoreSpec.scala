@@ -56,6 +56,13 @@ class ViewObjectStoreSpec extends graft.SparkSpec {
     override def modifiedAtMs(path: Path): Long =
       Files.getLastModifiedTime(path).toMillis
     override def delete(path: Path): Unit = { Files.deleteIfExists(path); () }
+    override def list(dir: Path): Seq[Path] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+        finally s.close()
+      }
   }
 
   /** Fresh metadata-rename-mode catalog on a simulated store, with a
