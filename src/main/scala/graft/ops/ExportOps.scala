@@ -161,7 +161,13 @@ object ExportOps {
   private def consumersTable(spark: SparkSession,
       exportRoot: String): TransactionalTable = {
     val root = s"$exportRoot/_consumers"
-    if (TransactionalTable.exists(root)) TransactionalTable.open(spark, root)
+    if (TransactionalTable.exists(root)) {
+      // pre-r19 registries gain the history bound on first open (a no-op
+      // once the key exists, including an operator's explicit off)
+      val t = TransactionalTable.open(spark, root)
+      t.defaultSnapshotExpiry(keepLast = 8)
+      t
+    }
     else try {
       val t = TransactionalTable.create(spark, root,
         StructType.fromDDL("consumer STRING, acked_to LONG"), "consumer", None)
@@ -563,31 +569,56 @@ object ExportOps {
     // them) or the new one (safe). Deferral, not abort: the manifest flip
     // is harmless either way — the reader contract over old chain and
     // consolidated dir is row-identical — only the DELETE is destructive.
-    reclaimFoldedDirs(spark, exportRoot)
+    reclaimFoldedDirs(spark, exportRoot,
+      folded = ivs.map(iv => s"exp_${iv.fromV}_${iv.toV}").toSet
+        - s"exp_0_$maxTo")
     PackResult(packed = true, ivs.size.toLong, stats.getLong(0), dir)
   }
 
   private val ExpDir = """exp_(\d+)_(\d+)""".r
 
-  /** Delete export dirs the manifest no longer references, EXCEPT those a
-    * registered consumer could still be materializing from: an orphan
-    * `exp_a_b` is reclaimable only when every registered ack is ≥ b (or no
-    * consumer is registered — an ack that is not yet visible here commits
-    * before its owner reads the manifest, so that owner resolves the
-    * POST-pack dirs and never touches the orphan). Deferred orphans are
-    * swept by the next [[pack]] call once acks advance; a crashed pack's
-    * never-committed consolidated dir reclaims the same way. */
-  private def reclaimFoldedDirs(spark: SparkSession, exportRoot: String): Unit = {
+  /** Age gate for deleting export dirs the sweeping process did not fold
+    * itself: another pack's freshly WRITTEN consolidated dir is
+    * indistinguishable from a crashed pack's orphan until its manifest
+    * commit becomes visible, so unknown orphans must age past any
+    * plausible write-to-commit window before they reclaim (an in-flight
+    * parquet write keeps refreshing the dir mtime, so long writes extend
+    * their own protection). Test-settable (specs shrink the window). */
+  private[graft] var PackOrphanGraceMs: Long = 10L * 60 * 1000
+
+  /** Delete export dirs the manifest no longer references, EXCEPT (a) any
+    * dir a registered consumer could still be materializing from — an
+    * orphan `exp_a_b` reclaims only when every registered ack is ≥ b (or
+    * none is registered; an ack not yet visible here commits before its
+    * owner reads the manifest, so that owner resolves the POST-pack dirs
+    * and never touches the orphan) — and (b) YOUNG dirs this call did not
+    * fold itself (see [[PackOrphanGraceMs]]; r19 review pass 1 — a stale
+    * sweep racing a concurrent pack's write-then-commit must not delete
+    * the new consolidated dir). Matching is by DIR NAME, never by
+    * concatenated path string (a trailing-slash exportRoot must not make
+    * every live dir look orphaned), and the LISTING runs before the
+    * manifest/ack reads so anything written later is simply not a
+    * candidate. Deferred orphans sweep on later [[pack]] calls once acks
+    * advance; a crashed pack's never-committed consolidated dir reclaims
+    * the same way after the grace. */
+  private def reclaimFoldedDirs(spark: SparkSession, exportRoot: String,
+      folded: Set[String] = Set.empty): Unit = {
+    val listed = graft.util.Fs.listSeq(java.nio.file.Paths.get(exportRoot))
     val referenced = intervals(spark, exportRoot)
-      .map(iv => dirOf(exportRoot, iv.fromV, iv.toV)).toSet
+      .map(iv => s"exp_${iv.fromV}_${iv.toV}").toSet
     val acks = consumerAcks(spark, exportRoot).values
     val floor = if (acks.isEmpty) Long.MaxValue else acks.min
-    graft.util.Fs.listSeq(java.nio.file.Paths.get(exportRoot)).foreach { p =>
+    val now = System.currentTimeMillis()
+    listed.foreach { p =>
       p.getFileName.toString match {
-        case ExpDir(_, b)
-            if !referenced.contains(p.toString) && b.toLong <= floor &&
+        case n @ ExpDir(_, b)
+            if !referenced.contains(n) && b.toLong <= floor &&
               java.nio.file.Files.isDirectory(p) =>
-          graft.util.Fs.deleteRecursively(p)
+          val reclaimable = folded.contains(n) ||
+            (try now - java.nio.file.Files.getLastModifiedTime(p).toMillis >
+              PackOrphanGraceMs
+            catch { case scala.util.control.NonFatal(_) => false })
+          if (reclaimable) graft.util.Fs.deleteRecursively(p)
         case _ => ()
       }
     }

@@ -200,7 +200,13 @@ object QualityMonitor {
     * so an existing monitor root keeps working unchanged. */
   def statsTable(spark: org.apache.spark.sql.SparkSession,
       root: String): TransactionalTable =
-    if (TransactionalTable.exists(root)) TransactionalTable.open(spark, root)
+    if (TransactionalTable.exists(root)) {
+      // pre-r19 stats tables gain the history bound on first open (no-op
+      // once the key exists, including an operator's explicit off)
+      val t = TransactionalTable.open(spark, root)
+      t.defaultSnapshotExpiry(keepLast = 8)
+      t
+    }
     else {
       val t = TransactionalTable.create(spark, root,
         org.apache.spark.sql.types.StructType.fromDDL(

@@ -63,6 +63,10 @@ object VideoDedupIndex {
   def deleteBatch(index: TransactionalTable, ids: DataFrame, batchId: Long,
       idCol: String = "media_id"): Unit =
     graft.util.BatchStats.timed("video_index_delete") {
+      // fence FIRST (r19 review pass 1): a re-delivered epoch must not pay
+      // the index read + checkpoint just to have the merge no-op
+      if (batchId <= index.snapshot.writerFences
+          .getOrElse(DedupIndex.DeleteWriter, -1L)) return
       val spark = ids.sparkSession
       val keys = index.scan()
         .join(ids.select(col(idCol).cast("long").as("media_id")),

@@ -148,14 +148,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
   }
 
-  override def viewExists(ident: Identifier): Boolean =
-    CatalogLinks.resolve(nsDirOf(ident), ident.name(), linksIo) match {
-      case CatalogLinks.Tombstoned => false
-      case CatalogLinks.Linked(phys) =>
-        GraftViewStore.exists(s"${nsDirOf(ident)}/$phys", linksIo)
-      case CatalogLinks.Unlinked =>
-        GraftViewStore.exists(s"${nsDirOf(ident)}/${ident.name()}", linksIo)
+  /** ONE links resolution for view reads: the storage root when the name
+    * is not tombstoned (r19 review pass 1 — the read path previously
+    * re-resolved the links chain for the visible check, the root, and the
+    * bytes separately). Existence of an actual stored view is the
+    * caller's probe ([[GraftViewStore.currentBytes]]/exists). */
+  private[sql] def visibleViewRoot(ident: Identifier): Option[String] = {
+    val ns = nsDirOf(ident)
+    CatalogLinks.resolve(ns, ident.name(), linksIo) match {
+      case CatalogLinks.Tombstoned => None
+      case CatalogLinks.Linked(phys) => Some(s"$ns/$phys")
+      case CatalogLinks.Unlinked => Some(s"$ns/${ident.name()}")
     }
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    visibleViewRoot(ident).exists(GraftViewStore.exists(_, linksIo))
 
   override def loadView(ident: Identifier): View =
     if (!viewExists(ident))
@@ -220,6 +228,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    // tombstone-aware existence FIRST (r19 review pass 1): rootOf maps a
+    // renamed-away name to its still-occupied directory, so an unguarded
+    // mutate would silently rewrite the RENAMED view through its dead name
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
     val root = rootOf(ident)
     GraftViewStore.mutate(root, linksIo) {
       case None =>
@@ -662,18 +675,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     rootOf(ident)
   }
 
-  /** Disk root for a dotted table name that may not exist yet (the index
-    * CREATE procedures build engine tables there; the directory then shows
-    * up through the normal catalog listing). Applies createTable's
-    * tombstone guard (r18 advice #1): without it, `CALL ann_index_create`
+  /** Disk root for a dotted table name, for the OPEN/read procedures
+    * (ann_probe/ann_status/index appends/...): links-aware, and a
+    * TOMBSTONED (metadata-renamed-away) name refuses LOUDLY — with no
+    * side effect, this is a read path (r19 review pass 1: the create
+    * guard's clearTombstone briefly lived here and made ann_status
+    * commit a links version). */
+  private[sql] def rootByName(table: String): String = {
+    val ident = identOf(table)
+    val ns = nsDirOf(ident)
+    CatalogLinks.resolve(ns, ident.name(), linksIo) match {
+      case CatalogLinks.Tombstoned =>
+        throw new IllegalStateException(
+          s"'$ident' does not resolve: the name was renamed away by a " +
+            "metadata rename — use the table's current name")
+      case CatalogLinks.Linked(phys) => s"$ns/$phys"
+      case CatalogLinks.Unlinked => s"$ns/${ident.name()}"
+    }
+  }
+
+  /** Root resolution for the index CREATE procedures (they build engine
+    * tables at the name; the directory then shows up through the normal
+    * catalog listing) — createTable's tombstone guard + dangling-link
+    * reclaim (r18 advice #1): without the guard, `CALL ann_index_create`
     * on a metadata-renamed-away name resolved to the renamed table's
     * still-live data directory and silently built index subtables inside
-    * it — and a later DROP of the renamed table deleted the index with it. */
-  private[sql] def rootByName(table: String): String = {
-    val parts = table.split("\\.")
-    require(parts.length >= 1 && parts.forall(_.nonEmpty),
-      s"procedure table argument must be 'db.tbl', got '$table'")
-    val ident = Identifier.of(parts.init, parts.last)
+    * it — and a later DROP of the renamed table deleted the index with
+    * it. */
+  private[sql] def createRootByName(table: String): String = {
+    val ident = identOf(table)
     val ns = nsDirOf(ident)
     CatalogLinks.resolve(ns, ident.name(), linksIo) match {
       case CatalogLinks.Tombstoned =>
@@ -684,9 +714,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               "object's data — drop the renamed object (or pick another name)")
         CatalogLinks.clearTombstone(ns, ident.name(), linksIo)
         s"$ns/${ident.name()}"
+      case CatalogLinks.Linked(phys)
+          if !TransactionalTable.exists(s"$ns/$phys") &&
+            !GraftViewStore.exists(s"$ns/$phys", linksIo) =>
+        // dangling link: the physical object is gone — free the name
+        // (mirrors createTable / viewCreateRoot)
+        CatalogLinks.unlink(ns, ident.name(), linksIo)
+        s"$ns/${ident.name()}"
       case CatalogLinks.Linked(phys) => s"$ns/$phys"
       case CatalogLinks.Unlinked => s"$ns/${ident.name()}"
     }
+  }
+
+  private def identOf(table: String): Identifier = {
+    val parts = table.split("\\.")
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'db.tbl', got '$table'")
+    Identifier.of(parts.init, parts.last)
   }
 
   private[sql] def openByName(table: String): TransactionalTable = {

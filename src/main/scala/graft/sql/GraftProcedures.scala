@@ -285,6 +285,9 @@ object GraftProcedures {
           val qualified = GraftViewResolution.qualifyNames(
             spark, parsed, cur.currentCatalog, cur.currentNamespace)
           val storage = TransactionalTable.open(spark, storageRoot)
+          // pre-r19 MV storage gains the history bound on first refresh
+          // (no-op once the key exists)
+          storage.defaultSnapshotExpiry(keepLast = 8)
           GraftMvRefresh.tryIncremental(spark, meta, qualified, storage) match {
             case Some((label, _, updatedVersions)) =>
               // append-only interval: row-preserving definitions appended
@@ -344,7 +347,7 @@ object GraftProcedures {
       (c, a) => {
         val name = a.getUTF8String(0).toString
         val t = graft.ops.DedupIndex.create(
-          org.apache.spark.sql.SparkSession.active, c.rootByName(name))
+          org.apache.spark.sql.SparkSession.active, c.createRootByName(name))
         Seq(name, t.currentVersion)
       }),
 
@@ -370,7 +373,7 @@ object GraftProcedures {
       (c, a) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val name = a.getUTF8String(0).toString
-        val h = graft.ops.AnnIndex.create(spark, c.rootByName(name),
+        val h = graft.ops.AnnIndex.create(spark, c.createRootByName(name),
           spark.table(a.getUTF8String(1).toString), a.getInt(2))
         Seq(name, h.centroids.scan().count())
       }),
@@ -464,7 +467,7 @@ object GraftProcedures {
           h.assignments.scan().select(col("vec_id"), col("v").as("embedding")),
           a.getInt(2), a.getInt(3))
         val name = a.getUTF8String(1).toString
-        val t = graft.ops.PqOps.buildPqCodes(h, c.rootByName(name), books)
+        val t = graft.ops.PqOps.buildPqCodes(h, c.createRootByName(name), books)
         t.setCustomMeta("pq.books", graft.ops.PqOps.booksToString(books))
         Seq(name, t.scan().count())
       }),
@@ -511,7 +514,7 @@ object GraftProcedures {
       (c, a) => {
         val name = a.getUTF8String(0).toString
         val t = graft.ops.KeepBestIndex.create(
-          org.apache.spark.sql.SparkSession.active, c.rootByName(name))
+          org.apache.spark.sql.SparkSession.active, c.createRootByName(name))
         Seq(name, t.currentVersion)
       }),
 
@@ -775,9 +778,9 @@ object GraftProcedures {
         val name = a.getUTF8String(0).toString
         val kind = a.getUTF8String(1).toString.toLowerCase(java.util.Locale.ROOT)
         val t = kind match {
-          case "image" => graft.ops.ImageDedupIndex.create(spark, c.rootByName(name))
-          case "audio" => graft.ops.AudioDedupIndex.create(spark, c.rootByName(name))
-          case "video" => graft.ops.VideoDedupIndex.create(spark, c.rootByName(name))
+          case "image" => graft.ops.ImageDedupIndex.create(spark, c.createRootByName(name))
+          case "audio" => graft.ops.AudioDedupIndex.create(spark, c.createRootByName(name))
+          case "video" => graft.ops.VideoDedupIndex.create(spark, c.createRootByName(name))
           case other => throw new IllegalArgumentException(
             s"unknown media index kind '$other' (image|audio|video)")
         }

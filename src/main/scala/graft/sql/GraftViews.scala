@@ -93,6 +93,30 @@ object GraftViewStore {
   def exists(root: String, io: graft.table.CommitIO): Boolean =
     chainVersion(root, io) > 0 || io.exists(legacyPath(root))
 
+  /** Current metadata bytes if ANY are stored at `root` — one chain list
+    * plus one read (None for a non-view root at the same probe cost as
+    * [[exists]]). The hot-read-path primitive: [[GraftViewRule]] probes
+    * every unresolved relation, so the absent case must stay cheap. */
+  private[sql] def currentBytes(root: String,
+      io: graft.table.CommitIO): Option[Array[Byte]] = {
+    var attempts = 0
+    while (true) {
+      val v = chainVersion(root, io)
+      try {
+        if (v > 0) return Some(io.read(chainPath(root, v)))
+        else if (io.exists(legacyPath(root)))
+          return Some(io.read(legacyPath(root)))
+        else return None
+      } catch {
+        // raced a sweep or the one-time legacy migration — re-list
+        case e: java.nio.file.NoSuchFileException =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+    None
+  }
+
   /** One stored view definition version. */
   final case class VersionMeta(
       versionId: Int,
@@ -137,8 +161,12 @@ object GraftViewStore {
       try return if (v > 0) io.read(chainPath(root, v)) else io.read(legacyPath(root))
       catch {
         case e: java.nio.file.NoSuchFileException =>
+          // either the chain head was retired by a much-later commit's
+          // sweep, or the LEGACY file was retired by the first chain
+          // commit (the one-time migration race) — re-list and re-decide;
+          // a genuinely absent view exhausts the retries and rethrows
           attempts += 1
-          if (attempts > 5 || v == 0) throw e
+          if (attempts > 5) throw e
       }
     }
     throw new IllegalStateException("unreachable")
@@ -499,16 +527,21 @@ object GraftViewResolution {
   def expand(spark: SparkSession, parts: Seq[String], seen: Set[String])
       : Option[LogicalPlan] =
     target(spark, parts).flatMap { case (catName, g, ns, name) =>
-      if (!viewVisible(g, ns, name)) None
-      else {
-        val root = viewRoot(g, ns, name)
+      // ONE links resolution + ONE chain probe for the whole read (r19
+      // review pass 1 — visible/root/bytes previously each re-resolved;
+      // this rule probes EVERY unresolved relation in the analyzer, so
+      // the per-read store round-trips matter)
+      val resolved = g.visibleViewRoot(
+          org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name))
+        .flatMap(root =>
+          GraftViewStore.currentBytes(root, g.linksIo).map(b => (root, b)))
+      resolved.flatMap { case (root, bytes) =>
         val fullName = (catName +: ns :+ name).mkString(".")
         if (seen.contains(fullName.toLowerCase(java.util.Locale.ROOT)))
           throw new org.apache.spark.sql.AnalysisException(
             errorClass = "RECURSIVE_VIEW",
             messageParameters = Map("viewIdent" -> fullName,
               "newPath" -> (seen.mkString(" -> ") + s" -> $fullName")))
-        val bytes = GraftViewStore.rawBytes(root, g.linksIo)
         val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
           .map("%02x".format(_)).mkString
         val cached = planCache.synchronized {
@@ -921,9 +954,12 @@ final case class GraftAlterViewAsExec(cmd: GraftAlterViewAsCommand) extends Leaf
   private lazy val run: Unit = {
     val cat = GraftViewExec.catalogOf(session, cmd.catalogName)
     val id = GraftViewExec.ident(cmd.ns, cmd.viewName)
-    val root = cat.tableRoot(id)
-    if (!GraftViewStore.exists(root, cat.linksIo))
+    // tombstone-aware existence (r19 review pass 1): a raw store probe at
+    // tableRoot would resurrect a metadata-renamed-away name and rewrite
+    // the renamed view's definition through it
+    if (!cat.viewExists(id))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(id)
+    val root = cat.tableRoot(id)
     val df = org.apache.spark.sql.graftshim.GraftShims.ofRows(session, cmd.query)
     GraftViewExec.rejectTempRefs(cmd.viewName, df.queryExecution.analyzed)
     val cm = session.sessionState.catalogManager
@@ -2176,9 +2212,12 @@ private[sql] object GraftMvRefresh {
       val auxRoot = s"$viewRoot/_aux_d_${a.name}"
       val keys = groupCols :+ "__val"
       val aux =
-        if (graft.table.TransactionalTable.exists(auxRoot))
-          graft.table.TransactionalTable.open(spark, auxRoot)
-        else {
+        if (graft.table.TransactionalTable.exists(auxRoot)) {
+          val t = graft.table.TransactionalTable.open(spark, auxRoot)
+          // pre-r19 aux tables gain the history bound on first touch
+          t.defaultSnapshotExpiry(keepLast = 8)
+          t
+        } else {
           val t = graft.table.TransactionalTable.create(spark, auxRoot,
             StructType((groupCols.map(storage.schema(_)) :+
               StructField("__val", a.arg.get.dataType) :+

@@ -2347,10 +2347,24 @@ final class TransactionalTable private (
     require(keepLast >= 0, s"expiry keep-last must be >= 0, got $keepLast")
     require(everyCommits > 0, s"expiry cadence must be positive, got $everyCommits")
     updateTableMeta { m =>
-      if (keepLast == 0) { m.remove("expireKeepLast"); m.remove("expireEveryCommits"); () }
-      else { m.put("expireKeepLast", keepLast); m.put("expireEveryCommits", everyCommits); () }
+      // keepLast 0 is stored, not removed: an EXPLICIT off must survive
+      // the bookkeeping tables' open-path defaulting
+      // ([[defaultSnapshotExpiry]]), which fires only when the key was
+      // never set at all
+      m.put("expireKeepLast", keepLast)
+      if (keepLast == 0) { m.remove("expireEveryCommits"); () }
+      else { m.put("expireEveryCommits", everyCommits); () }
     }
   }
+
+  /** Opt the table into the expiry cadence UNLESS an operator ever set it
+    * (including explicitly OFF): the migration path for bookkeeping tables
+    * created before the cadence existed — their open sites call this, so
+    * a pre-r19 `_consumers`/stats/MV-storage root gains the bound on first
+    * touch instead of growing forever (r19 review pass 1). */
+  def defaultSnapshotExpiry(keepLast: Int, everyCommits: Int = 16): Unit =
+    if (!tableMeta.exists(_.has("expireKeepLast")))
+      setSnapshotExpiry(keepLast, everyCommits)
 
   /** (keepLast, everyCommits) when post-commit expiry is enabled. */
   def snapshotExpiry: Option[(Int, Int)] =

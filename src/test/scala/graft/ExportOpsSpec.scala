@@ -360,6 +360,12 @@ class ExportOpsSpec extends SparkSpec {
         .map(_.getFileName.toString).filter(_.startsWith("exp_")).toSet
     val oldDirs = dirsOnDisk()
     assert(oldDirs.size === 3)
+    // unknown orphans age-gate before reclaim (r19 review pass 1: a stale
+    // sweep must not delete a concurrent pack's freshly written
+    // consolidated dir) — shrink the window so this test's deferred
+    // orphans clear
+    val grace0 = graft.ops.ExportOps.PackOrphanGraceMs
+    graft.ops.ExportOps.PackOrphanGraceMs = 0L
     // the consumer registers + snapshots BETWEEN pack's watermark read and
     // its manifest commit — the at-most-once window ADVICE r17 documented.
     // Its snapshot plan resolves the OLD manifest's dirs.
@@ -392,5 +398,36 @@ class ExportOpsSpec extends SparkSpec {
     // and the reader contract over the consolidated root is unchanged
     assert(ExportOps.readCorpus(spark, s"$root/exp")
       .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet === expected)
+    graft.ops.ExportOps.PackOrphanGraceMs = grace0
+  }
+
+  test("reclaim matches by dir NAME: a non-canonical exportRoot (trailing slash) never orphans live dirs; young unknown orphans age-gate") {
+    val root = tmpDir("export-ops-norm")
+    val corpus = TransactionalTable.create(spark, s"$root/corpus",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+      "doc_id", None)
+    // exportRoot with a TRAILING SLASH: dirOf string-concatenates while
+    // directory listings normalize — a raw path-string comparison graded
+    // every LIVE dir an orphan and deleted the whole corpus (r19 review
+    // pass 1)
+    val exp = s"$root/exp/"
+    corpus.append(Seq(doc(1, 10), doc(2, 20)).toDF("doc_id", "text"), batchId = 0)
+    assert(ExportOps.exportLatest(corpus, exp, nShards = 2, capacity = 16L).exported)
+    corpus.append(Seq(doc(3, 5)).toDF("doc_id", "text"), batchId = 1)
+    assert(ExportOps.exportLatest(corpus, exp, nShards = 2, capacity = 16L).exported)
+    // a YOUNG unknown orphan (a concurrent pack's freshly written
+    // consolidated dir, or a just-crashed pack) must survive the sweep
+    val young = java.nio.file.Paths.get(s"$root/exp/exp_0_99")
+    java.nio.file.Files.createDirectories(young)
+    val p = ExportOps.pack(spark, exp)
+    assert(p.packed && p.nDocs === 3L)
+    assert(ExportOps.readCorpus(spark, exp).select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L),
+      "live consolidated data must survive a non-canonical-root sweep")
+    val names = graft.util.Fs.listSeq(java.nio.file.Paths.get(s"$root/exp"))
+      .map(_.getFileName.toString).filter(_.startsWith("exp_")).toSet
+    assert(names.contains("exp_0_99"),
+      s"a young unknown orphan must age-gate, not vanish: $names")
+    assert(names.size === 2, s"the folded prefix itself must reclaim: $names")
   }
 }

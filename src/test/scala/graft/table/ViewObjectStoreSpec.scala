@@ -172,6 +172,18 @@ class ViewObjectStoreSpec extends graft.SparkSpec {
     spark.sql(s"ALTER VIEW $cat.db.v3 SET TBLPROPERTIES('k'='1')")
     assert(GraftViewStore.load(s"$w/db/v", io).properties.get("k") === Some("1"))
 
+    // ... while DDL through a RENAMED-AWAY name must refuse, not mutate the
+    // renamed view through its dead name (r19 review pass 1: the mutation
+    // execs bypassed the tombstone guard via the raw store probe)
+    intercept[Exception](
+      spark.sql(s"ALTER VIEW $cat.db.v SET TBLPROPERTIES('stolen'='yes')"))
+    intercept[Exception](
+      spark.sql(s"ALTER VIEW $cat.db.v2 AS SELECT id FROM $cat.db.t"))
+    val metaAfter = GraftViewStore.load(s"$w/db/v", io)
+    assert(metaAfter.properties.get("stolen").isEmpty &&
+      metaAfter.versions.length === 1,
+      "a dead name must never reach the renamed view's metadata")
+
     // the renamed-away name cannot host a NEW view while the directory is
     // occupied (loud, not silent co-location) — mirrors the table guard
     val ex = intercept[Exception](
@@ -286,5 +298,18 @@ class ViewObjectStoreSpec extends graft.SparkSpec {
     spark.sql(s"CALL $cat.system.dedup_index_create('db.idx')")
     assert(spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")
       .as[String].collect().toSet === Set("t9", "idx"))
+    // a READ/open procedure on the tombstoned name refuses loudly too —
+    // and WITHOUT committing anything to the links map (r19 review pass 1:
+    // the create guard's clearTombstone briefly made read-only CALLs
+    // mutate catalog state)
+    def linkVersions(): Set[String] =
+      graft.util.Fs.listSeq(java.nio.file.Paths.get(s"$w/db/_catalog_links"))
+        .map(_.getFileName.toString).toSet
+    val before = linkVersions()
+    val ex2 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.ann_status('db.t')"))
+    assert(ex2.getMessage.contains("does not resolve"), ex2.getMessage)
+    assert(linkVersions() === before,
+      "a read-only CALL must not commit a links version")
   }
 }
