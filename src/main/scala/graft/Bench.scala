@@ -28,6 +28,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      // Cached plans otherwise bypass AQE partition coalescing (Spark
+      // default false): the pipelines' persisted micro-batch intermediates
+      // materialized at the full shuffle-partition count, so every
+      // downstream stage over them scheduled 32 tasks of near-empty data
+      // and every commit wrote one near-empty file per partition (63 part
+      // files per 2-batch index build, r19 JobBreak). Scale-adaptive by
+      // construction — AQE sizes partitions by bytes, so production batches
+      // keep their parallelism. SPARK_GRAFT_CACHE_AQE=false restores the
+      // Spark default for A/B.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // AQE headroom, scoped per query: batch analytics start shuffles at 8×

@@ -163,11 +163,18 @@ object DedupIndex {
       val keptIds = cand.select("doc_id").distinct()
         .join(inBatchDup, Seq("doc_id"), "left_anti")
       // (3) one fenced commit of the survivors' bands, stamped with this
-      // batch id
-      val rows = cand.join(keptIds, Seq("doc_id"), "left_semi")
-        .select(
-          TextOps.md5Hash60(concat_ws(":", col("doc_id"), col("band"))).as("sig_id"),
-          col("band"), col("chunk"), col("doc_id"), lit(batchId).as("batch"))
+      // batch id. The upsert frame is MATERIALIZED once (lineage-truncated,
+      // batch-sized): the merge consumes it twice — the key-pruning collect
+      // and the data-file write — and without this each consumption re-ran
+      // the whole banded-join cascade above (measured 26 AQE stage-jobs per
+      // 2-batch build on plan-keys alone, r19 JobBreak).
+      val rows = graft.util.JobLabel.labeled(spark, "dedup-index:kept-bands") {
+        cand.join(keptIds, Seq("doc_id"), "left_semi")
+          .select(
+            TextOps.md5Hash60(concat_ws(":", col("doc_id"), col("band"))).as("sig_id"),
+            col("band"), col("chunk"), col("doc_id"), lit(batchId).as("batch"))
+          .localCheckpoint(true)
+      }
       import spark.implicits._
       index.merge(rows, spark.emptyDataset[Long].toDF("sig_id"), batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -181,11 +188,14 @@ object DedupIndex {
       // growing the kept set across deliveries — ADVICE r14). Materialized
       // + lineage-truncated: the result must not re-scan after later
       // batches advance the index.
-      index.scan().where(col("batch") === batchId)
-        .select("doc_id").distinct()
-        .unionByName(sketchless)
-        .localCheckpoint(true)
-        .orderBy("doc_id")
+      graft.util.JobLabel.labeled(spark, "dedup-index:read-back") {
+        // stats-pruned: only the files whose footer batch-range can hold this
+        // batch are planned — O(files of the batch), not O(index) (r19)
+        index.scanWhereEq("batch", batchId).where(col("batch") === batchId)
+          .select("doc_id").distinct()
+          .unionByName(sketchless)
+          .localCheckpoint(true)
+      }.orderBy("doc_id")
     } finally {
       cand.unpersist(blocking = false)
       bands.unpersist(blocking = false)

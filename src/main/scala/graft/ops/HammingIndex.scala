@@ -119,12 +119,17 @@ object HammingIndex {
       val keptIds = cand.select("media_id").distinct()
         .join(inBatchDup, Seq("media_id"), "left_anti")
       // (3) one fenced commit of the survivors' band signatures, stamped
-      // with this batch id
-      val rows = cand.join(keptIds, Seq("media_id"), "left_semi")
-        .select(
-          TextOps.md5Hash60(concat_ws(":", col("media_id"), col("band"))).as("sig_id"),
-          col("band"), col("chunk"), col("media_id"), col("hash"),
-          lit(batchId).as("batch"))
+      // with this batch id — materialized once so the merge's two passes
+      // (key-pruning collect + data-file write) don't re-run the banded
+      // joins (r19, the DedupIndex.appendBatch fix)
+      val rows = graft.util.JobLabel.labeled(spark, "hamming-index:kept-bands") {
+        cand.join(keptIds, Seq("media_id"), "left_semi")
+          .select(
+            TextOps.md5Hash60(concat_ws(":", col("media_id"), col("band"))).as("sig_id"),
+            col("band"), col("chunk"), col("media_id"), col("hash"),
+            lit(batchId).as("batch"))
+          .localCheckpoint(true)
+      }
       import spark.implicits._
       index.merge(rows, spark.emptyDataset[Long].toDF("sig_id"), batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -139,11 +144,14 @@ object HammingIndex {
       // B via A and then keep chain-orphaned C (ADVICE r14). Materialized +
       // lineage-truncated: the result must not re-scan after later batches
       // advance the index.
-      index.scan().where(col("batch") === batchId)
-        .select("media_id").distinct()
-        .unionByName(hashless)
-        .localCheckpoint(true)
-        .orderBy("media_id")
+      graft.util.JobLabel.labeled(spark, "hamming-index:read-back") {
+        // stats-pruned to the files whose batch-range can hold this batch —
+        // O(files of the batch), not O(index) (r19)
+        index.scanWhereEq("batch", batchId).where(col("batch") === batchId)
+          .select("media_id").distinct()
+          .unionByName(hashless)
+          .localCheckpoint(true)
+      }.orderBy("media_id")
     } finally {
       cand.unpersist(blocking = false)
       banded.unpersist(blocking = false)

@@ -153,14 +153,17 @@ object KeepBestIndex {
                 col("a.logit"), col("a.doc_id")),
             "left_semi")
           .select(col("doc_id")).distinct()
-        // kept ids and the eviction set are SMALL and feed several legs of
-        // the commit (upserts, deletes, and the merge's own multi-pass
-        // evaluation of both) — materialize them once, eagerly, so the
-        // banded joins behind them run a single time
+        // the kept BAND ROWS are batch-sized and feed several legs of the
+        // commit (the eviction probe, the upsert union, and the merge's own
+        // two-pass evaluation — key-pruning collect + data-file write) —
+        // materialize them once, eagerly, so the banded joins behind them
+        // run a single time (r19: checkpointing the ROWS, not just the ids,
+        // removed the per-leg semi-join recompute the id checkpoint left)
         val keptIds = cand.select("doc_id").distinct()
           .join(inBatchLose, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        val keptRows = cand.join(keptIds, Seq("doc_id"), "left_semi")
+        val keptRows = graft.util.JobLabel.labeled(spark, "keep-best:kept-bands") {
+          cand.join(keptIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
+        }
         // zero-token docs have no sketch — kept, bandless (pure function of
         // the batch input: replays recompute identically)
         val sketchless = docs.select(col(idCol).cast("long").as("doc_id"))
@@ -195,9 +198,13 @@ object KeepBestIndex {
         if (pruneEvictEvery > 0 && batchId > 0 && batchId % pruneEvictEvery == 0)
           pruneEvictLog(index, batchId)
         // read-back (replay-exact for BOTH sets): kept = this batch's band
-        // rows + the bandless docs; evicted = this batch's −1 log rows
-        val committed = index.scan().where(col("batch") === batchId)
-          .localCheckpoint(true)
+        // rows + the bandless docs; evicted = this batch's −1 log rows.
+        // Stats-pruned to the files whose batch-range can hold this batch —
+        // O(files of the batch), not O(index) (r19)
+        val committed = graft.util.JobLabel.labeled(spark, "keep-best:read-back") {
+          index.scanWhereEq("batch", batchId).where(col("batch") === batchId)
+            .localCheckpoint(true)
+        }
         BatchResult(
           kept = committed.where(col("band") >= 0).select("doc_id").distinct()
             .unionByName(sketchless).orderBy("doc_id"),

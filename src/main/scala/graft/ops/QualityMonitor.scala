@@ -266,7 +266,13 @@ object QualityMonitor {
           lit(batchId).as("batch"), col("signal"), col("source"),
           col("bucket"), col("n_docs"))
       }
-    stats.merge(rows, spark.emptyDataset[String].toDF("stat_id"),
+    // materialized once (≤ 11 × |signals| × |sources| rows): the merge
+    // consumes the frame twice (key-pruning collect + data-file write) and
+    // each consumption would re-aggregate the WHOLE batch otherwise (r19)
+    val mat = graft.util.JobLabel.labeled(spark, "quality-monitor:histogram") {
+      rows.localCheckpoint(true)
+    }
+    stats.merge(mat, spark.emptyDataset[String].toDF("stat_id"),
       batchId = batchId, writerId = Some(writerId))
     true
   }

@@ -132,13 +132,18 @@ object VideoDedupIndex {
         val keptIds = cand.select("media_id").distinct()
           .join(inBatchDup, Seq("media_id"), "left_anti")
         // (3) one fenced commit of the survivors' frame-band signatures,
-        // stamped with this batch id
-        val rows = cand.join(keptIds, Seq("media_id"), "left_semi")
-          .select(
-            TextOps.md5Hash60(concat_ws(":", col("media_id"), col("pos"),
-              col("band"))).as("sig_id"),
-            col("pos"), col("band"), col("chunk"), col("media_id"),
-            col("fhash"), col("n_frames"), lit(batchId).as("batch"))
+        // stamped with this batch id — materialized once so the merge's two
+        // passes (key-pruning collect + data-file write) don't re-run the
+        // banded joins (r19, the DedupIndex.appendBatch fix)
+        val rows = graft.util.JobLabel.labeled(spark, "video-index:kept-bands") {
+          cand.join(keptIds, Seq("media_id"), "left_semi")
+            .select(
+              TextOps.md5Hash60(concat_ws(":", col("media_id"), col("pos"),
+                col("band"))).as("sig_id"),
+              col("pos"), col("band"), col("chunk"), col("media_id"),
+              col("fhash"), col("n_frames"), lit(batchId).as("batch"))
+            .localCheckpoint(true)
+        }
         index.merge(rows, spark.emptyDataset[Long].toDF("sig_id"), batchId)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           index.compact()
@@ -146,11 +151,13 @@ object VideoDedupIndex {
         // replayed batch's merge no-ops on the fence and the read-back
         // returns the original kept set — never a chain-divergent
         // recomputation (see [[HammingIndex]]).
-        index.scan().where(col("batch") === batchId)
-          .select("media_id").distinct()
-          .unionByName(hashless)
-          .localCheckpoint(true)
-          .orderBy("media_id")
+        graft.util.JobLabel.labeled(spark, "video-index:read-back") {
+          // stats-pruned: O(files of the batch), not O(index) (r19)
+          index.scanWhereEq("batch", batchId).where(col("batch") === batchId)
+            .select("media_id").distinct()
+            .unionByName(hashless)
+            .localCheckpoint(true)
+        }.orderBy("media_id")
       } finally {
         cand.unpersist(blocking = false)
         bands.unpersist(blocking = false)

@@ -466,6 +466,22 @@ final class TransactionalTable private (
       s.files.filter(f => f.specId != currentSpecId || pred(f.partition)), s.deletes)
   }
 
+  /** Column-stats-pruned scan (r19 — the engine-op twin of the DSv2 stat
+    * pruning the SQL surface already had): plans only the files whose
+    * footer [min,max] for `column` can contain `value`; files without
+    * recorded stats for the column are conservatively kept. Delete-aware.
+    * The per-batch read-backs of the index families ride this so reading
+    * one batch's committed rows schedules O(files of that batch), never
+    * O(index) — the caller still applies the row-level filter (pruning is
+    * file-granular). */
+  def scanWhereEq(column: String, value: Long): DataFrame = {
+    val s = snapshot
+    val lc = column.toLowerCase(java.util.Locale.ROOT)
+    val files = s.files.filter(f =>
+      f.stats.get(lc).forall { case (mn, mx) => value >= mn && value <= mx })
+    scanWithDeletes(files, s.deletes)
+  }
+
   /** PK-pruned slice scan — the engine-op twin of the SQL layer's DSv2
    *  runtime filter (E63): plans ONLY the files that can contain a value of
    *  `keys`' FIRST column (exact key-set ∧ bloom pruning under the
@@ -1631,7 +1647,9 @@ final class TransactionalTable private (
       case mf: ManifestFiles => mf.loadWhere(keep)
       case s => s
     }
-    val keys = keyDf.limit(MaxCollectedKeys + 1).collect().map(_.getLong(0))
+    val keys = graft.util.JobLabel.labeled(spark, s"merge:plan-keys $root") {
+      keyDf.limit(MaxCollectedKeys + 1).collect()
+    }.map(_.getLong(0))
     val oversized = keys.length > MaxCollectedKeys
     val affected =
       if (keys.isEmpty) Seq.empty[DataFile]
@@ -3005,7 +3023,9 @@ final class TransactionalTable private (
       case Some(c) => bloomed0.option("compression", c)
       case None => bloomed0
     }
-    coded.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
+    graft.util.JobLabel.labeled(spark, s"commit:write $root") {
+      coded.mode("overwrite").parquet(outDir.toString) // overwrite: crash-retry safe
+    }
     if (!Files.isDirectory(outDir)) return Seq.empty
     val parts = graft.util.Fs.walkSeq(outDir)
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
@@ -3027,10 +3047,12 @@ final class TransactionalTable private (
       if (!pkHashed || statted.isEmpty) statted
       else {
         val pkField = StructType(pkCols.map(schema(_)))
-        val ranges = spark.read.schema(pkField).parquet(statted.map(_.path): _*)
-          .select(col("_metadata.file_path").as("f"), keyExpr.as("k"))
-          .groupBy("f").agg(min("k").as("mn"), max("k").as("mx"))
-          .collect().map { r =>
+        val ranges = graft.util.JobLabel.labeled(spark, s"commit:pk-ranges $root") {
+          spark.read.schema(pkField).parquet(statted.map(_.path): _*)
+            .select(col("_metadata.file_path").as("f"), keyExpr.as("k"))
+            .groupBy("f").agg(min("k").as("mn"), max("k").as("mx"))
+            .collect()
+        }.map { r =>
             val plain = try new java.net.URI(r.getString(0)).getPath
               catch { case _: Exception => r.getString(0) }
             plain -> ((r.getLong(1), r.getLong(2)))
@@ -3083,19 +3105,21 @@ final class TransactionalTable private (
     if (paths.isEmpty) Map.empty
     else {
       val pkField = StructType(pkCols.map(schema(_)))
-      val partials = spark.read.schema(pkField).parquet(paths: _*)
-        .select(col("_metadata.file_path").as("f"), keyExpr.as("k"))
-        .rdd.mapPartitions { it =>
-          val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
-          it.foreach { r =>
-            if (!r.isNullAt(1)) {
-              val words = acc.getOrElseUpdate(r.getString(0), new Array[Long](BloomBits / 64))
-              bloomSet(words, r.getLong(1))
+      val partials = graft.util.JobLabel.labeled(spark, s"commit:blooms $root") {
+        spark.read.schema(pkField).parquet(paths: _*)
+          .select(col("_metadata.file_path").as("f"), keyExpr.as("k"))
+          .rdd.mapPartitions { it =>
+            val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+            it.foreach { r =>
+              if (!r.isNullAt(1)) {
+                val words = acc.getOrElseUpdate(r.getString(0), new Array[Long](BloomBits / 64))
+                bloomSet(words, r.getLong(1))
+              }
             }
+            acc.iterator
           }
-          acc.iterator
-        }
-        .collect()
+          .collect()
+      }
       // Driver-side OR-merge instead of a reduceByKey: the payload is one
       // 8 KiB bitset per (file, touching partition) and a small file is read
       // by ~one partition, so this is O(files × 8 KiB) — while reduceByKey
