@@ -2015,7 +2015,6 @@ private[sql] object GraftMvRefresh {
       v1: Long, writerId: String, root: String,
       extraFences: Map[String, Long] = Map.empty): (String, Long, Long, String) = {
     import org.apache.spark.sql.functions.{greatest, least, when}
-    requireNonNullKeys(delta, groupCols)
     val d = delta.alias("d")
     // Storage is the BIG side: restrict it to the delta's groups with a
     // semi-join FIRST (AQE broadcasts the delta-key set in the common case →
@@ -2078,7 +2077,24 @@ private[sql] object GraftMvRefresh {
       // align to the storage column ORDER (merge aligns by position for
       // the write path's schema checks)
       .select(storage.schema.fieldNames.map(fcol).toIndexedSeq: _*)
-    val nGroups = combined.count()
+      // materialized once (r19): the changelog scan + delta aggregation +
+      // storage join previously re-ran for every consumer — the null-key
+      // guard, the group count, and the merge's key-pruning and write
+      // passes (4× per refresh)
+      .localCheckpoint(true)
+    // group count + null-key guard in ONE action (see requireNonNullKeys:
+    // combined preserves exactly the delta's group keys, so checking here
+    // is equivalent and throws the same fallback-to-recompute signal)
+    val gc = combined.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+      org.apache.spark.sql.functions.count(
+        when(groupCols.map(c => fcol(c).isNull).reduce(_ || _), 1)).as("nn"))
+      .head()
+    val nGroups = gc.getLong(0)
+    if (gc.getLong(1) > 0) throw new IllegalStateException(
+      s"NULL group key in incremental delta (${gc.getLong(1)} rows) — " +
+        "PK merge cannot apply it; falling back to full recompute")
     val emptyDeletes = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(storage.pkCols.map(storage.schema(_))))
@@ -2087,20 +2103,13 @@ private[sql] object GraftMvRefresh {
     (s"incremental-agg: $nGroups groups merged", nGroups, v1, root)
   }
 
-  /** A NULL group key cannot ride the incremental path: the storage MERGE
-    * matches rows by PK, and NULL never equals NULL there — the delta would
-    * silently not apply (found by test, not theory). Throwing here unwinds
-    * into `tryIncremental`'s Try → the refresh falls back to the full
-    * atomic recompute, which handles NULL groups fine (storage replace, no
-    * PK matching). Costs one action over the (delta-sized) frame. */
-  private def requireNonNullKeys(delta: org.apache.spark.sql.DataFrame,
-      groupCols: Seq[String]): Unit = {
-    val nNull = delta
-      .where(groupCols.map(c => fcol(c).isNull).reduce(_ || _)).count()
-    if (nNull > 0) throw new IllegalStateException(
-      s"$nNull NULL group-key rows in the interval delta — incremental " +
-        "aggregate maintenance requires non-null group keys; full recompute")
-  }
+  // A NULL group key cannot ride the incremental path: the storage MERGE
+  // matches rows by PK, and NULL never equals NULL there — the delta would
+  // silently not apply (found by test, not theory). Since r19 the guard is
+  // FOLDED into each merge path's single-action post-checkpoint counts
+  // (combined preserves exactly the delta's group keys); throwing unwinds
+  // into tryIncremental's Try → full atomic recompute, which handles NULL
+  // groups fine (storage replace, no PK matching).
 
   /** AVG support (E179): every AVG(x) needs SUM(x) AND COUNT(x) declared in
     * the same definition (the merge recomputes avg = sum/count per changed
@@ -2257,7 +2266,8 @@ private[sql] object GraftMvRefresh {
           .withColumn("__sgn", lit(-1L))
         val net = ip.unionByName(dp).groupBy(keys.map(fcol): _*)
           .agg(fsum(fcol("__sgn")).as("__net")).where(fcol("__net") =!= 0)
-        requireNonNullKeys(net, groupCols)
+        // null-key guard folded into the single-action counts below (comb
+        // preserves exactly net's keys — r19)
         val n = net.alias("n")
         val nKeys = net.select(keys.map(fcol): _*).alias("k")
         val semi = keys.map(c => fcol(s"a.$c") <=> fcol(s"k.$c")).reduce(_ && _)
@@ -2267,7 +2277,14 @@ private[sql] object GraftMvRefresh {
           .select((keys.map(c => fcol(s"n.$c").as(c)) :+
             (coalesce(fcol("a.cnt"), lit(0L)) + fcol("n.__net")).as("cnt")): _*)
           .localCheckpoint(true)
-        val nNeg = comb.where(fcol("cnt") < 0).count()
+        val combCnts = comb.agg(
+          fcount(when(fcol("cnt") < 0, 1)).as("neg"),
+          fcount(when(groupCols.map(c => fcol(c).isNull).reduce(_ || _), 1))
+            .as("nn")).head()
+        if (combCnts.getLong(1) > 0) throw new IllegalStateException(
+          s"NULL group key in incremental delta (${combCnts.getLong(1)} rows) — " +
+            "PK merge cannot apply it; falling back to full recompute")
+        val nNeg = combCnts.getLong(0)
         if (nNeg > 0) throw new IllegalStateException(
           s"$nNeg negative distinct-value counts — baseline/interval mismatch")
         aux.merge(comb.where(fcol("cnt") > 0),
@@ -2407,7 +2424,8 @@ private[sql] object GraftMvRefresh {
     val net = i.join(x, ioCond, "full_outer")
       .select(groupCols.map(c => coalesce(fcol(s"_gi_$c"), fcol(s"_gx_$c")).as(c)) ++
         aggCols.flatMap(a => Seq(fcol(s"_gi_${a.name}"), fcol(s"_gx_${a.name}"))): _*)
-    requireNonNullKeys(net, groupCols)
+    // null-key guard folded into the post-checkpoint single-action counts
+    // below (combined preserves exactly net's group keys)
     val d = net.alias("d")
     val dKeys = net.select(groupCols.map(fcol): _*).alias("k")
     val semiCond = groupCols.map(c => fcol(s"s.$c") <=> fcol(s"k.$c")).reduce(_ && _)
@@ -2484,16 +2502,25 @@ private[sql] object GraftMvRefresh {
     }
     val combined = combinedY
       .localCheckpoint(true) // one computation feeds the sanity check + both merge legs
-    // sanity: a negative row count means the baseline diverged from the
-    // interval (should be impossible under the fence) — refuse loudly
-    // rather than commit garbage
-    val nNeg = combined.where(fcol(starName) < 0).count()
+    // sanity + group count in ONE action over the checkpointed frame (r19 —
+    // previously two): a negative row count means the baseline diverged
+    // from the interval (should be impossible under the fence) — refuse
+    // loudly rather than commit garbage
+    val cnts = combined.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      org.apache.spark.sql.functions.count(when(fcol(starName) < 0, 1)).as("neg"),
+      org.apache.spark.sql.functions.count(
+        when(groupCols.map(c => fcol(c).isNull).reduce(_ || _), 1)).as("nn"))
+      .head()
+    val (nGroups, nNeg) = (cnts.getLong(0), cnts.getLong(1))
+    if (cnts.getLong(2) > 0) throw new IllegalStateException(
+      s"NULL group key in incremental delta (${cnts.getLong(2)} rows) — " +
+        "PK merge cannot apply it; falling back to full recompute")
     if (nNeg > 0) throw new IllegalStateException(
       s"retraction produced $nNeg negative group counts — baseline/interval mismatch")
     val upserts = combined.where(fcol(starName) > 0)
     val dead = combined.where(fcol(starName) === 0)
       .select(storage.pkCols.map(fcol): _*)
-    val nGroups = combined.count()
     storage.merge(upserts, dead, batchId = v1, writerId = Some(writerId),
       extraFences = extraFences)
     (s"incremental-agg-retract: $nGroups groups net-merged", nGroups, v1, root)

@@ -3038,29 +3038,18 @@ final class TransactionalTable private (
       DataFile(p.toString, partitionFromPath(outDir, p), mn, mx, rows, Files.size(p),
         stats = colStats, specId = currentSpecId)
     }.seq.toSeq.filter(_.rows > 0)
-    // String/composite PKs: parquet footer min/max are binary (or span
-    // several columns), not one 64-bit value — derive each fresh file's
-    // [pkMin, pkMax] in the xxhash64 key domain instead, with one columnar
-    // read of just the new files' PK column(s) (same cost class as the bloom
-    // pass; conservative pruning under hash collisions, see pkHashed).
+    // ONE post-write pass over the new files' PK column builds BOTH
+    // per-file artifacts (r19 — previously two separate jobs per commit):
+    // [pkMin, pkMax] in the xxhash64 key domain for string/composite PKs
+    // (parquet footer min/max are binary there — long PKs read exact footer
+    // stats and skip the ranging half), and the small-file Bloom bitsets.
+    val bloomPaths = statted.filter(_.rows <= BloomMaxRows).map(_.path).toSet
+    val (ranges, blooms) = pkPassStats(statted.map(_.path), bloomPaths,
+      needRanges = pkHashed)
     val ranged =
-      if (!pkHashed || statted.isEmpty) statted
-      else {
-        val pkField = StructType(pkCols.map(schema(_)))
-        val ranges = graft.util.JobLabel.labeled(spark, s"commit:pk-ranges $root") {
-          spark.read.schema(pkField).parquet(statted.map(_.path): _*)
-            .select(col("_metadata.file_path").as("f"), keyExpr.as("k"))
-            .groupBy("f").agg(min("k").as("mn"), max("k").as("mx"))
-            .collect()
-        }.map { r =>
-            val plain = try new java.net.URI(r.getString(0)).getPath
-              catch { case _: Exception => r.getString(0) }
-            plain -> ((r.getLong(1), r.getLong(2)))
-          }.toMap
-        statted.map(f => ranges.get(f.path)
-          .map { case (mn, mx) => f.copy(pkMin = mn, pkMax = mx) }.getOrElse(f))
-      }
-    val blooms = buildBlooms(ranged.filter(_.rows <= BloomMaxRows).map(_.path))
+      if (!pkHashed) statted
+      else statted.map(f => ranges.get(f.path)
+        .map { case (mn, mx) => f.copy(pkMin = mn, pkMax = mx) }.getOrElse(f))
     val bloomed = ranged.map(f => f.copy(bloom = blooms.get(f.path)))
     if (!rowLineageEnabled) bloomed
     else {
@@ -3101,43 +3090,67 @@ final class TransactionalTable private (
    * mapPartitions is deliberate here: building per-file bitsets is per-row
    * imperative work with no relational shape.
    */
-  private def buildBlooms(paths: Seq[String]): Map[String, String] =
-    if (paths.isEmpty) Map.empty
-    else {
-      val pkField = StructType(pkCols.map(schema(_)))
-      val partials = graft.util.JobLabel.labeled(spark, s"commit:blooms $root") {
-        spark.read.schema(pkField).parquet(paths: _*)
-          .select(col("_metadata.file_path").as("f"), keyExpr.as("k"))
-          .rdd.mapPartitions { it =>
-            val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
-            it.foreach { r =>
-              if (!r.isNullAt(1)) {
-                val words = acc.getOrElseUpdate(r.getString(0), new Array[Long](BloomBits / 64))
-                bloomSet(words, r.getLong(1))
-              }
+  /** The unified post-write PK pass (r19): per-file bloom bitsets for the
+    * files in `bloomPaths` (≤ [[BloomMaxRows]] rows — bigger files would
+    * saturate the 8 KiB bitset) and, when `needRanges` (hashed PKs),
+    * per-file [min, max] of the key hash for EVERY new file. One columnar
+    * Spark job over just the PK column(s) instead of the two jobs
+    * (groupBy-ranges + bloom mapPartitions) every hashed-PK commit paid.
+    * Partials merge driver-side — one 8 KiB bitset + two longs per (file,
+    * touching partition), and a small file is read by ~one partition, so
+    * this is O(files × 8 KiB) without the shuffle stage a reduceByKey
+    * would add to every commit. */
+  private def pkPassStats(allPaths: Seq[String], bloomPaths: Set[String],
+      needRanges: Boolean)
+      : (Map[String, (Long, Long)], Map[String, String]) = {
+    val readPaths = if (needRanges) allPaths else bloomPaths.toSeq
+    if (readPaths.isEmpty) return (Map.empty, Map.empty)
+    val pkField = StructType(pkCols.map(schema(_)))
+    val bloomSet0 = bloomPaths // plain manifest paths (worker normalizes URIs)
+    val nWords = BloomBits / 64
+    val partials = graft.util.JobLabel.labeled(spark, s"commit:pk-pass $root") {
+      spark.read.schema(pkField).parquet(readPaths: _*)
+        .select(col("_metadata.file_path").as("f"), keyExpr.as("k"))
+        .rdd.mapPartitions { it =>
+          // per-file accumulator: (bitset or null, min, max); URI → plain
+          // path memoized once per file per partition
+          val plainOf = scala.collection.mutable.HashMap.empty[String, String]
+          val acc = scala.collection.mutable.HashMap
+            .empty[String, (Array[Long], Array[Long])] // (bitsetOrNull, [mn, mx])
+          it.foreach { r =>
+            if (!r.isNullAt(1)) {
+              val plain = plainOf.getOrElseUpdate(r.getString(0), {
+                val u = r.getString(0)
+                try new java.net.URI(u).getPath catch { case _: Exception => u }
+              })
+              val k = r.getLong(1)
+              val e = acc.getOrElseUpdate(plain, (
+                if (bloomSet0.contains(plain)) new Array[Long](nWords) else null,
+                Array(Long.MaxValue, Long.MinValue)))
+              if (e._1 != null) bloomSet(e._1, k)
+              if (k < e._2(0)) e._2(0) = k
+              if (k > e._2(1)) e._2(1) = k
             }
-            acc.iterator
           }
-          .collect()
-      }
-      // Driver-side OR-merge instead of a reduceByKey: the payload is one
-      // 8 KiB bitset per (file, touching partition) and a small file is read
-      // by ~one partition, so this is O(files × 8 KiB) — while reduceByKey
-      // added a whole shuffle STAGE to every commit (one of the few
-      // per-commit constants visible in the streaming bench's batch floor).
-      val merged = scala.collection.mutable.HashMap.empty[String, Array[Long]]
-      partials.foreach { case (uri, words) =>
-        merged.get(uri) match {
-          case Some(a) => var i = 0; while (i < a.length) { a(i) |= words(i); i += 1 }
-          case None => merged(uri) = words
+          acc.iterator
         }
-      }
-      merged.map { case (uri, words) =>
-        // _metadata.file_path is a URI; manifest paths are plain
-        val plain = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
-        plain -> graft.util.Bloom.encode(words)
-      }.toMap
+        .collect()
     }
+    val bits = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    val rng = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    partials.foreach { case (plain, (words, mnmx)) =>
+      if (words != null) bits.get(plain) match {
+        case Some(a) => var i = 0; while (i < a.length) { a(i) |= words(i); i += 1 }
+        case None => bits(plain) = words
+      }
+      rng.get(plain) match {
+        case Some((mn, mx)) =>
+          rng(plain) = (math.min(mn, mnmx(0)), math.max(mx, mnmx(1)))
+        case None => rng(plain) = (mnmx(0), mnmx(1))
+      }
+    }
+    (rng.toMap, bits.map { case (p, w) => p -> graft.util.Bloom.encode(w) }.toMap)
+  }
 
   /** Table columns (besides the PK) whose footer stats are worth carrying in
     * the manifest: integral + timestamp (both stored as parquet INT32/INT64,
