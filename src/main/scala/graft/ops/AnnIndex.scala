@@ -138,7 +138,12 @@ object AnnIndex {
       retrainCooldown: Int = 4): Unit =
     graft.util.BatchStats.timed("ann_index_batch") {
       val spark = vecs.sparkSession
-      val rows = assignRows(h, vecs, idCol, vecCol)
+      // materialized once (r19): the merge consumes the frame twice (key-
+      // pruning collect + partitioned write) and each pass re-ran the
+      // k×dim assignment dot products over the whole batch
+      val rows = graft.util.JobLabel.labeled(spark, "ann-index:assign") {
+        assignRows(h, vecs, idCol, vecCol).localCheckpoint(true)
+      }
       import spark.implicits._
       h.assignments.merge(rows, spark.emptyDataset[Long].toDF("vec_id"), batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)

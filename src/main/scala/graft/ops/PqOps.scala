@@ -398,9 +398,15 @@ object PqOps {
         if (!residual) rows.select(col("vec_id"), col("cell"), col("v").as("ev"))
         else rows.select(col("vec_id"), col("cell"),
           residualOf(col("v"), col("cell"), h.centroidVectors).as("ev"))
-      val encoded = src.select(col("vec_id"), col("cell"),
-        array((0 until m).map(s => codeOf(col("ev"), books(s), s, sd)): _*).as("codes"))
       val spark = vecs.sparkSession
+      // materialized once (r19): the merge consumes the frame twice (key-
+      // pruning collect + write) and each pass re-ran the assignment dot
+      // products AND the m×k subcodebook encodings over the whole batch
+      val encoded = graft.util.JobLabel.labeled(spark, "pq-codes:encode") {
+        src.select(col("vec_id"), col("cell"),
+          array((0 until m).map(s => codeOf(col("ev"), books(s), s, sd)): _*).as("codes"))
+          .localCheckpoint(true)
+      }
       import spark.implicits._
       codes.merge(encoded, spark.emptyDataset[Long].toDF("vec_id"), batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)

@@ -147,7 +147,12 @@ object CorpusPipeline {
       try {
         val kept = DedupIndex.appendBatch(index, cleaned, batchId,
           compactEvery = compactEvery)
-        val rows = cleaned.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        // materialized once (r19): the corpus merge consumes the kept-rows
+        // join twice (key-pruning collect + write); batch-sized
+        val rows = graft.util.JobLabel.labeled(spark, "corpus-stream:kept-rows") {
+          cleaned.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .localCheckpoint(true)
+        }
         corpus.merge(rows, spark.emptyDataset[Long].toDF("doc_id"), batchId)
         // continuous publication (E188): every k-th batch ships the corpus
         // interval the export manifest has not seen — fence-driven, so a
@@ -202,7 +207,13 @@ object CorpusPipeline {
       val cleaned = docs.filter(clean)
       val r = graft.ops.KeepBestIndex.appendBatch(index, cleaned, batchId,
         compactEvery = compactEvery)
-      val rows = cleaned.join(r.kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      // materialized once (r19): the corpus merge consumes the kept-rows
+      // join twice (key-pruning collect + write); batch-sized
+      val rows = graft.util.JobLabel.labeled(docs.sparkSession,
+          "keepbest-stream:kept-rows") {
+        cleaned.join(r.kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+      }
       corpus.merge(rows, r.evicted.select(col("doc_id")), batchId)
       // only commit a delete epoch when the batch actually evicted — the
       // common no-eviction batch must not bump the vector index's version
