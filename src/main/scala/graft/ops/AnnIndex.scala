@@ -42,11 +42,30 @@ object AnnIndex {
   /** The two engine tables behind one index root. */
   final case class Handle(assignments: TransactionalTable,
       centroids: TransactionalTable) {
+    /** The frozen quantizer as driver-side literals (cells × dim, bounded).
+      * Memoized per (root, committed version) — centroids change only on
+      * create/retrain, yet every assignment/probe/encode leg called this,
+      * paying one collect JOB per micro-batch for an immutable few-KB read
+      * (r19 JobBreak: 4 jobs per appendBatch, 1 was this). The version
+      * probe is a one-line file read, so staleness is impossible. */
     def centroidVectors: Seq[Seq[Double]] = {
-      val rows = centroids.scan().orderBy("cell").collect() // cells × dim, bounded
-      rows.map(_.getSeq[Double](1).toSeq).toSeq
+      val key = (centroids.root, centroids.currentVersion)
+      val hit = centroidCache.get(key)
+      if (hit != null) hit
+      else {
+        val rows = centroids.scan().orderBy("cell").collect()
+        val v = rows.map(_.getSeq[Double](1).toSeq).toSeq
+        if (centroidCache.size > 64) centroidCache.clear()
+        centroidCache.put(key, v)
+        v
+      }
     }
   }
+
+  /** See [[Handle.centroidVectors]] — keyed by (root, version), so every
+    * entry is immutable; bounded by periodic clear. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Seq[Double]]]()
 
   private def unit(vecCol: String): Column = {
     val v = SimilarityOps.asDouble(col(vecCol))
