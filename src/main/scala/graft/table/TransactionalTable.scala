@@ -498,8 +498,18 @@ final class TransactionalTable private (
   }
 
   private def scanFiles(files: Seq[DataFile], sch: StructType = schema): DataFrame =
-    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    if (files.isEmpty) emptyFrame(sch)
     else readParquet(files.map(_.path), sch)
+
+  /** Optimizer-VISIBLE empty frame: a LocalRelation, not an emptyRDD-backed
+    * LogicalRDD. PropagateEmptyRelation / PruneFilters can fold unions,
+    * joins and filters over a LocalRelation-empty scan (an append-only
+    * changes() interval loses its EXCEPT-ALL subtree and a merge against an
+    * empty slice loses the whole merge join), where a LogicalRDD is opaque
+    * and every consumer keeps planning — and running — the full shape. */
+  private def emptyFrame(sch: StructType): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
 
   /** Rename-aware multi-file parquet read under `sch`: for every column with
     * tracked former names ([[renames]]), the files are read with the old
@@ -550,7 +560,7 @@ final class TransactionalTable private (
       sch: StructType = schema, withLineage: Boolean = false): DataFrame =
     if (deletes.isEmpty && !withLineage) scanFiles(files, sch)
     else if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      emptyFrame(
         if (withLineage) sch.add("_rid", "long").add("_lseq", "long") else sch)
     else {
       val (vecDel, rest) = deletes.partition(_.kind == DeleteFile.Vector)
@@ -800,12 +810,24 @@ final class TransactionalTable private (
           mf.loadWhere(keep).filter(f => !addedPaths.contains(f.path) && touched(f))
         case sq => sq.filter(f => !addedPaths.contains(f.path) && touched(f))
       }
-    val before = scanWithDeletes(removed ++ affectedCarried, fromSnap.deletes, sch,
-      withLineage = withLineage)
     val after = scanWithDeletes(added ++ affectedCarried, toSnap.deletes, sch,
       withLineage = withLineage)
-    after.exceptAll(before).withColumn("_change_type", lit("insert"))
-      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    if (removed.isEmpty && affectedCarried.isEmpty) {
+      // APPEND-ONLY interval, decided from manifest metadata alone: nothing
+      // was removed and no new delete artifact touches a carried file, so
+      // the before side is provably empty — `after ⊖ ∅ = after` (multiset)
+      // and `∅ ⊖ after = ∅`. Skip the EXCEPT-ALL pair outright: the
+      // changelog is exactly the added files as inserts, two aggregate
+      // passes cheaper per consumer action, and a downstream delete probe
+      // (`where(_change_type = 'delete')`) constant-folds to an empty
+      // relation instead of launching a job (r20; guide §2.4).
+      after.withColumn("_change_type", lit("insert"))
+    } else {
+      val before = scanWithDeletes(removed ++ affectedCarried, fromSnap.deletes,
+        sch, withLineage = withLineage)
+      after.exceptAll(before).withColumn("_change_type", lit("insert"))
+        .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    }
   }
 
   /** `TRUNCATE TABLE` (SQL metadata-only truncation): one commit with an
